@@ -1,0 +1,284 @@
+"""Per-block extraction kernel (SURVEY.md A4-A12, A18).
+
+Behavioral re-expression of the reference's
+``extract_text_block_information`` (``src/pdf_utils.cpp:166-455``) over
+our layout structures.  Quirks preserved on purpose (they are the
+contract):
+
+* page-number regex is *full-match* anchored (``regex_match`` at
+  ``src/pdf_utils.cpp:187``)
+* smart double quotes U+201C/U+201D → '"' — only those two
+  (``src/pdf_utils.cpp:204-207``)
+* emphasis runs continue while the *font object* is unchanged, not
+  while "emphasized" stays true (``src/pdf_utils.cpp:211``)
+* a space is appended after every word, inside runs and content; the
+  trailing space survives until section-level trim
+  (``src/pdf_utils.cpp:257-260``)
+* title prefix/indent/font captured at an emphasized-run start only
+  while no prefix has been recorded yet (``src/pdf_utils.cpp:229-240``)
+* casing predicates are *none-of*, over bytes: digits/punct count as
+  both cases (``inc/pdf_utils.hpp:148-154``)
+* title-prefix classifier regexes overwrite in bullet→alphabet→roman→
+  number order — "(i)" classifies as ROMAN because roman runs after
+  alphabet (``src/pdf_utils.cpp:296-321``)
+* string positions/lengths are byte offsets of the UTF-8 encoding
+  (C++ ``std::string``), so classification here runs on bytes
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from ..pdf.layout import Block
+
+# enum values mirror inc/pdf_utils.hpp:56-58
+CASE_ALL_UPPER = 0
+CASE_FIRST_ONLY_UPPER = 1
+PREFIX_NONE = 0
+PREFIX_BULLET = 1
+PREFIX_ROMAN = 2
+PREFIX_NUMBER_DOT = 3
+PREFIX_ALPHABET = 4
+EMPH_NONE = 0
+EMPH_SINGLE_QUOTE = 1
+EMPH_DOUBLE_QUOTE = 2
+
+TITLE_MAX_LENGTH = 100  # src/pdf_utils.cpp:495
+PAGE_FOOTER_HEIGHT = 60.0  # src/pdf_utils.cpp:496
+
+_CPP_WS = b" \t\n\r\v\f"
+
+PAGE_NUMBER_RE = re.compile(r".{0,2}[0-9]+.{0,2}", re.S)  # fullmatched
+_BULLET_RE = re.compile(rb"[\*\+\-]")
+_ALPHABET_RE = re.compile(rb"\([a-z]\)")
+_ROMAN_RE = re.compile(rb"\([ivx]{1,5}\)")
+_NUMBER_RE = re.compile(rb"\d+(\.\d+)*\.?")
+
+
+def cpp_trim(s: str) -> str:
+    """trim() from inc/pdf_utils.hpp:110-128 (std::isspace set)."""
+    return s.strip(" \t\n\r\v\f")
+
+
+def is_all_upper_case(s: str) -> bool:
+    """none_of(islower) over UTF-8 bytes (inc/pdf_utils.hpp:148-150)."""
+    return not any(0x61 <= b <= 0x7A for b in s.encode("utf-8"))
+
+
+def is_all_lower_case(s: str) -> bool:
+    """none_of(isupper) over UTF-8 bytes (inc/pdf_utils.hpp:152-154)."""
+    return not any(0x41 <= b <= 0x5A for b in s.encode("utf-8"))
+
+
+@dataclass
+class TitleFormat:
+    """Style fingerprint of a heading (inc/pdf_utils.hpp:53-83)."""
+
+    font_ref_num: int = -1
+    font_ref_gen: int = 0
+    title_case: int = CASE_FIRST_ONLY_UPPER
+    prefix: int = PREFIX_NONE
+    emphasize_style: int = EMPH_NONE
+    numbering_level: int = 0  # default, never reassigned by the reference
+    same_line_with_content: bool = True
+    indent: float = 0.0
+
+    def same_style(self, other: "TitleFormat") -> bool:
+        """operator== — indent intentionally excluded
+        (commented out in src/pdf_utils.cpp:37-40)."""
+        return (
+            self.font_ref_num == other.font_ref_num
+            and self.title_case == other.title_case
+            and self.prefix == other.prefix
+            and self.emphasize_style == other.emphasize_style
+            and self.numbering_level == other.numbering_level
+            and self.same_line_with_content == other.same_line_with_content
+        )
+
+
+@dataclass
+class TextBlockInformation:
+    """inc/pdf_utils.hpp:85-90."""
+
+    is_page_number: bool = False
+    title_format: TitleFormat | None = None
+    emphasized_words: list[str] = field(default_factory=list)
+    partial_paragraph_content: str = ""
+
+
+def _normalize_char(ch: str) -> str:
+    # src/pdf_utils.cpp:204-207 — only the smart *double* quotes
+    if ch in ("“", "”"):
+        return '"'
+    return ch
+
+
+def extract_text_block_information(
+    block: Block,
+    analyze_page_number: bool,
+    y0: float,
+    title_max_length: int = TITLE_MAX_LENGTH,
+) -> TextBlockInformation:
+    info = TextBlockInformation()
+    x_min, y_min, _x_max, _y_max = block.bbox()
+
+    if analyze_page_number and y_min >= y0:
+        # A5: single-line footer block, words joined by ' ', full regex match
+        if block.line_count() == 1:
+            line = block.lines[0]
+            parts = [w.get_text() for w in line.words]
+            line_string = " ".join(parts)
+            if PAGE_NUMBER_RE.fullmatch(line_string):
+                info.is_page_number = True
+    elif y_min < y0:
+        content: list[str] = []
+        run: list[str] = []
+        parsing_emphasized = False
+        prev_font = None
+        title_prefix: str | None = None
+        title_indent: float | None = None
+        font_ref = (-1, 0)
+
+        for line in block.lines:
+            for word in line.words:
+                for ch in word.chars:
+                    character = _normalize_char(ch.text)
+                    font = ch.font
+                    emphasized = font.is_emphasized()
+                    if parsing_emphasized and prev_font is not None:
+                        if font is prev_font:  # gfxFont pointer equality (:211)
+                            run.append(character)
+                        else:
+                            trimmed = cpp_trim("".join(run))
+                            if trimmed:
+                                info.emphasized_words.append(trimmed)
+                            run = []
+                            parsing_emphasized = False
+                            if emphasized:
+                                parsing_emphasized = True
+                                run.append(character)
+                    else:
+                        if emphasized:
+                            parsing_emphasized = True
+                            if title_prefix is None:
+                                cb = ch.bbox
+                                title_indent = cb[0]  # txMinA (:233)
+                                font_ref = (font.ref_num, font.ref_gen)
+                                sofar = "".join(content)
+                                if sofar:
+                                    title_prefix = sofar
+                            run.append(character)
+                        elif parsing_emphasized:
+                            trimmed = cpp_trim("".join(run))
+                            if trimmed:
+                                info.emphasized_words.append(trimmed)
+                            run = []
+                            parsing_emphasized = False
+                    content.append(character)
+                    prev_font = font
+                if parsing_emphasized:
+                    run.append(" ")
+                content.append(" ")
+
+        info.partial_paragraph_content = "".join(content)
+        trimmed = cpp_trim("".join(run))
+        if parsing_emphasized and trimmed:
+            info.emphasized_words.append(trimmed)
+
+        _classify_title(info, title_prefix, title_indent, font_ref, title_max_length)
+    # else: footer block outside the page-number phase → empty info
+    return info
+
+
+def _classify_title(
+    info: TextBlockInformation,
+    title_prefix: str | None,
+    title_indent: float | None,
+    font_ref: tuple[int, int],
+    title_max_length: int,
+) -> None:
+    """A11+A12 (src/pdf_utils.cpp:271-451) on UTF-8 byte strings."""
+    if not info.emphasized_words:
+        return
+    front = info.emphasized_words[0]
+    front_b = front.encode("utf-8")
+    if is_all_lower_case(front) or len(front_b) >= title_max_length:
+        return
+
+    content_b = info.partial_paragraph_content.encode("utf-8")
+    tf: TitleFormat | None = None
+
+    def classify_first_word(first_word: bytes, emph_style: int) -> TitleFormat | None:
+        # sequential ifs, later matches overwrite (:296-321)
+        result = None
+        if _BULLET_RE.fullmatch(first_word):
+            result = TitleFormat(prefix=PREFIX_BULLET, emphasize_style=emph_style)
+        if _ALPHABET_RE.fullmatch(first_word):
+            result = TitleFormat(prefix=PREFIX_ALPHABET, emphasize_style=emph_style)
+        if _ROMAN_RE.fullmatch(first_word):
+            result = TitleFormat(prefix=PREFIX_ROMAN, emphasize_style=emph_style)
+        if _NUMBER_RE.fullmatch(first_word):
+            result = TitleFormat(prefix=PREFIX_NUMBER_DOT, emphasize_style=emph_style)
+        return result
+
+    if title_prefix is not None:
+        prefix_b = title_prefix.encode("utf-8")
+        p_length = len(prefix_b)
+        pos = 0
+        for i in range(p_length):
+            if prefix_b[i] in _CPP_WS:
+                pos = i
+                break
+        if pos > 0:
+            rest = prefix_b[pos + 1 :]
+            first_word = prefix_b[:pos]
+            if not rest:
+                tf = classify_first_word(first_word, EMPH_NONE)
+            elif rest == b"'" and _byte_at(content_b, len(front_b) + p_length) == 0x27:
+                tf = classify_first_word(first_word, EMPH_SINGLE_QUOTE)
+            elif rest == b'"' and _byte_at(content_b, len(front_b) + p_length) == 0x22:
+                tf = classify_first_word(first_word, EMPH_DOUBLE_QUOTE)
+        else:  # no space in prefix (:388-401)
+            if prefix_b == b"'" and _byte_at(content_b, len(front_b) + 1) == 0x27:
+                tf = TitleFormat(prefix=PREFIX_NONE, emphasize_style=EMPH_SINGLE_QUOTE)
+            elif prefix_b == b'"' and _byte_at(content_b, len(front_b) + 1) == 0x22:
+                tf = TitleFormat(prefix=PREFIX_NONE, emphasize_style=EMPH_DOUBLE_QUOTE)
+        if tf is not None:
+            cut = len(front_b) + p_length
+            content_b = content_b[cut:]
+            if tf.emphasize_style > EMPH_NONE:
+                content_b = content_b[1:]
+            info.partial_paragraph_content = content_b.decode("utf-8", "replace")
+            info.title_format = tf
+    else:
+        # case 2: no prefix (:410-433)
+        pos = len(front_b)
+        p_length = len(content_b)
+        if pos == p_length:
+            tf = TitleFormat(prefix=PREFIX_NONE, emphasize_style=EMPH_NONE,
+                             same_line_with_content=False)
+            info.partial_paragraph_content = ""
+            info.title_format = tf
+        elif pos < p_length and content_b[pos] in (0x20, 0x3A):  # ' ' or ':'
+            tf = TitleFormat(prefix=PREFIX_NONE, emphasize_style=EMPH_NONE)
+            info.partial_paragraph_content = content_b[pos + 1 :].decode("utf-8", "replace")
+            info.title_format = tf
+
+    if info.title_format is not None:
+        tf = info.title_format
+        if is_all_upper_case(front):
+            tf.title_case = CASE_ALL_UPPER
+            tf.same_line_with_content = False
+        else:
+            tf.title_case = CASE_FIRST_ONLY_UPPER
+        tf.indent = title_indent if title_indent is not None else 0.0
+        tf.font_ref_num, tf.font_ref_gen = font_ref
+
+
+def _byte_at(b: bytes, idx: int) -> int:
+    """C++ operator[] — out-of-range on a std::string of size n returns
+    the NUL terminator for idx==n; emulate with 0 for any overflow."""
+    if 0 <= idx < len(b):
+        return b[idx]
+    return 0

@@ -1,0 +1,122 @@
+"""Per-document extraction pipeline (SURVEY.md §3.2).
+
+``parse_pdf_bytes`` is the behavioral analogue of the reference's
+``parse_pdf_document`` (``src/pdf_utils.cpp:493-644``): open/validate
+(A2), per-page layout (A3/B6-B13), per-block kernel (A4-A12), the
+``start_parse`` page-number gate with its mid-page toggle (A6 —
+``src/pdf_utils.cpp:533,536-539``: blocks after the page-number block
+on the same page are already analyzed with the gate off), section fold
+(A13), tree (A14) and flat ids (A15).
+
+Pure function of ``bytes`` → plain dict; runs inside the Arrow-batched
+``mapInPandas`` kernel.  Documents the reference would reject
+(``doc->isOk()`` false → ``"{}"`` at ``src/pdf_utils.cpp:500-505``)
+come back with ``status`` set and empty sections instead of raising.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..pdf.content import ContentInterpreter
+from ..pdf.cos import PDFDocument, PDFEncryptedError, PDFSyntaxError
+from ..pdf.filters import FilterError
+from ..pdf.layout import Block, layout_page
+from .blocks import PAGE_FOOTER_HEIGHT, extract_text_block_information
+from .sections import build_tree, flatten_tree, fold_sections
+
+STATUS_OK = "ok"
+STATUS_MALFORMED = "malformed"
+STATUS_ENCRYPTED = "encrypted"
+STATUS_EMPTY = "empty"
+
+
+@dataclass
+class ExtractionResult:
+    status: str
+    sections: list[dict] = field(default_factory=list)
+    text: str = ""
+    spans: list[tuple[int, int]] = field(default_factory=list)
+    n_pages: int = 0
+    error: str = ""
+
+
+def render_sections_text(sections: list[dict]) -> tuple[str, list[tuple[int, int]]]:
+    """Deterministic plain rendition of the section list: the per-turn
+    'extracted text' the equality gate compares, plus the character
+    span of each section's content inside it."""
+    parts: list[str] = []
+    spans: list[tuple[int, int]] = []
+    pos = 0
+    for sec in sections:
+        head = sec["title"]
+        if head and sec["content"]:
+            chunk = head + "\n" + sec["content"]
+            start = pos + len(head) + 1
+        elif head:
+            chunk = head
+            start = pos + len(head)
+        else:
+            chunk = sec["content"]
+            start = pos
+        spans.append((start, start + len(sec["content"])))
+        parts.append(chunk)
+        pos += len(chunk) + 2  # "\n\n" glue
+    return "\n\n".join(parts), spans
+
+
+def page_raw_text(blocks: list[Block]) -> str:
+    """Full-page text in reading order (words joined by spaces, lines
+    by newlines) — the pdftotext-style rendition used for documents
+    the section gate never opens."""
+    out = []
+    for blk in blocks:
+        out.append("\n".join(" ".join(w.get_text() for w in ln.words) for ln in blk.lines))
+    return "\n\n".join(out)
+
+
+def parse_pdf_bytes(data: bytes) -> ExtractionResult:
+    try:
+        doc = PDFDocument.open(data)
+    except PDFEncryptedError as exc:
+        return ExtractionResult(STATUS_ENCRYPTED, error=str(exc))
+    except (PDFSyntaxError, FilterError, ValueError) as exc:
+        return ExtractionResult(STATUS_MALFORMED, error=str(exc))
+
+    try:
+        pages = doc.pages()
+    except (PDFSyntaxError, FilterError, ValueError, RecursionError) as exc:
+        return ExtractionResult(STATUS_MALFORMED, error=str(exc))
+
+    pages_block_infos = []
+    raw_pages: list[str] = []
+    start_parse = False
+    for page in pages:
+        x1, y1, x2, y2 = doc.page_mediabox(page)
+        y0 = y2 - PAGE_FOOTER_HEIGHT  # src/pdf_utils.cpp:522
+        try:
+            content = doc.page_content(page)
+            interp = ContentInterpreter(doc, (x1, y1, x2, y2))
+            glyphs = interp.run(content, doc.dget(page, "Resources"))
+        except (PDFSyntaxError, FilterError, ValueError):
+            glyphs = []
+        blocks = layout_page(glyphs)
+        raw_pages.append(page_raw_text(blocks))
+        infos = []
+        for blk in blocks:
+            info = extract_text_block_information(blk, not start_parse, y0)
+            infos.append(info)
+            if info.is_page_number:
+                start_parse = True  # gate flips mid-page (:536-539)
+        pages_block_infos.append(infos)
+
+    sections = fold_sections(pages_block_infos)
+    root = build_tree(sections, doc.doc_info_title())
+    flat = flatten_tree(root)
+    text, spans = render_sections_text(flat)
+    if len(flat) <= 1 and not flat[0]["title"] and not flat[0]["content"]:
+        # gate never opened / nothing sectioned: fall back to raw text
+        text = "\n\n".join(p for p in raw_pages if p)
+        spans = [(0, len(text))] if text else []
+    status = STATUS_OK if text or sections else STATUS_EMPTY
+    return ExtractionResult(status, flat, text, spans, n_pages=len(pages))

@@ -1,0 +1,139 @@
+"""Section fold, section tree, flat-id serialization (SURVEY.md A13-A15).
+
+Behavioral re-expression of the reference's section logic
+(``src/pdf_utils.cpp:545-627`` fold+tree, ``:133-163`` flat ids).
+Quirks preserved:
+
+* the fold runs only on pages at/after the first page containing a
+  page-number block, and the ``start_parse`` gate never resets
+  (``src/pdf_utils.cpp:516,536-539,545`` — A6)
+* content preceding the first title on a gated page is dropped; a
+  section's content is trimmed only when the section is flushed
+  (``src/pdf_utils.cpp:551,560-563``)
+* TitleFormat equality ignores indent (``src/pdf_utils.cpp:30-41``)
+* tree ids are assigned by a LIFO-stack DFS that visits children in
+  *reverse* sibling order; the root (doc-info title) is id 0 and has
+  no parent_id (``src/pdf_utils.cpp:133-163``)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .blocks import TextBlockInformation, TitleFormat, cpp_trim
+
+
+@dataclass
+class PDFSection:
+    """inc/pdf_utils.hpp:92-98."""
+
+    id: int = 0
+    title: str = ""
+    title_format: TitleFormat | None = None
+    content: str = ""
+    emphasized_words: list[str] = field(default_factory=list)
+
+
+@dataclass
+class DocumentNode:
+    """inc/pdf_utils.hpp:104-108."""
+
+    section: PDFSection
+    children: list["DocumentNode"] = field(default_factory=list)
+    parent: "DocumentNode | None" = None
+
+
+def fold_sections(pages_block_infos: list[list[TextBlockInformation]]) -> list[PDFSection]:
+    """A6 gate + A13 fold over per-page block infos in reading order.
+
+    ``pages_block_infos[p]`` is page p's list of
+    :class:`TextBlockInformation` (already produced with
+    ``analyze_page_number = not start_parse`` — the caller replicates
+    the per-page loop of ``src/pdf_utils.cpp:520-541``)."""
+    sections: list[PDFSection] = []
+    current = PDFSection()
+    start_parse = False
+    for infos in pages_block_infos:
+        if not start_parse and any(i.is_page_number for i in infos):
+            start_parse = True
+        if not start_parse:
+            continue
+        for info in infos:
+            if info.is_page_number:
+                continue
+            if info.title_format is not None:
+                if len(current.title) > 0:
+                    current.content = cpp_trim(current.content)
+                    sections.append(current)
+                current = PDFSection(
+                    title=info.emphasized_words[0],
+                    title_format=info.title_format,
+                    emphasized_words=list(info.emphasized_words[1:]),
+                    content=info.partial_paragraph_content,
+                )
+            elif len(current.title) > 0:
+                current.emphasized_words.extend(info.emphasized_words)
+                current.content += info.partial_paragraph_content
+    if len(current.title) > 0:
+        current.content = cpp_trim(current.content)
+        sections.append(current)
+    return sections
+
+
+def build_tree(sections: list[PDFSection], doc_title: str) -> DocumentNode:
+    """A14 (src/pdf_utils.cpp:579-627): stack of TitleFormats decides
+    nesting; a previously-seen format pops back to that level."""
+    root = DocumentNode(PDFSection(id=0, title=doc_title, content=""))
+    stack: list[TitleFormat] = []
+    current = root
+    for section in sections:
+        fmt = section.title_format
+        assert fmt is not None
+        found = -1
+        for i, f in enumerate(stack):
+            if f.same_style(fmt):
+                found = i
+                break
+        node = DocumentNode(section)
+        if found < 0:
+            node.parent = current
+            current.children.append(node)
+            # reference takes front() of the child list (:607); current
+            # always has exactly one child here, so front()==back() —
+            # kept literal for bug-compatibility
+            current = current.children[0]
+            stack.append(fmt)
+        else:
+            # pop (len(stack) - found) levels, truncate stack after found
+            for _ in range(len(stack) - found):
+                assert current.parent is not None or current is root
+                current = current.parent if current.parent is not None else current
+            del stack[found + 1 :]
+            node.parent = current
+            current.children.append(node)
+            current = current.children[-1]
+    return root
+
+
+def flatten_tree(root: DocumentNode) -> list[dict]:
+    """A15 (src/pdf_utils.cpp:133-163): LIFO DFS, children pushed in
+    order → visited in reverse; ids assigned in pop order."""
+    out: list[dict] = []
+    stack: list[DocumentNode] = [root]
+    next_id = 0
+    while stack:
+        node = stack.pop()
+        node.section.id = next_id
+        next_id += 1
+        rec = {
+            "id": node.section.id,
+            "title": node.section.title,
+            "content": node.section.content,
+            "keywords": list(node.section.emphasized_words),
+        }
+        if node.parent is not None:
+            rec["parent_id"] = node.parent.section.id
+        out.append(rec)
+        for child in node.children:
+            stack.append(child)
+    return out

@@ -1,0 +1,363 @@
+"""Content-stream interpreter: the text-state machine (SURVEY.md B7, B9).
+
+Executes ``BT/ET``, ``Tf``, ``Td/TD/Tm/T*``, ``Tc/Tw/Tz/TL/Ts``,
+``Tj/TJ/'/"`` with full CTM composition (``q/Q/cm``), Form XObjects,
+and ``/ActualText`` marked-content replacement — the poppler stages the
+reference names in its own comments (``src/main.cpp:6-7``: "ctm: Current
+Transformation Matrix") and patches (``poppler.patch:99-151``:
+ActualText suppression + replay inside ``TextPage``).
+
+Coordinates are emitted in *device space* at 72 dpi with y growing
+downward — the same space poppler's ``TextOutputDev`` uses, so the
+reference's footer predicate ``yMin >= mediabox.y2 - 60``
+(``src/pdf_utils.cpp:177,496,522``) transfers verbatim.
+
+Pure function of (page dict, document); runs inside the Arrow-batched
+parse kernel.  Non-text operators are consumed and ignored — the
+reference's poppler build disables image codecs (``Jenkinsfile:32``).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+
+from .cos import Lexer, Name, PDFDocument, PDFSyntaxError, Stream
+from .fonts import Font, load_font
+
+Matrix = tuple[float, float, float, float, float, float]
+
+IDENTITY: Matrix = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def mat_mul(m1: Matrix, m2: Matrix) -> Matrix:
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def mat_apply(m: Matrix, x: float, y: float) -> tuple[float, float]:
+    a, b, c, d, e, f = m
+    return (a * x + c * y + e, b * x + d * y + f)
+
+
+@dataclass
+class Glyph:
+    """One displayed glyph in device space (y down, 72 dpi)."""
+
+    text: str  # unicode (may be multi-char from ToUnicode/ActualText)
+    x: float  # origin
+    y: float  # baseline
+    adv: float  # advance along baseline, device units
+    size: float  # font size in device units
+    font: Font
+    rot: int  # 0..3 quarter-turns
+    is_space: bool
+
+    def bbox(self) -> tuple[float, float, float, float]:
+        """(xMin, yMin, xMax, yMax) in device space — mirrors poppler's
+        per-char edges used at ``src/pdf_utils.cpp:232`` (getCharBBox)."""
+        if self.rot == 0:
+            return (self.x, self.y - self.font.ascent * self.size,
+                    self.x + self.adv, self.y - self.font.descent * self.size)
+        if self.rot == 1:
+            return (self.x + self.font.descent * self.size, self.y,
+                    self.x + self.font.ascent * self.size, self.y + self.adv)
+        if self.rot == 2:
+            return (self.x - self.adv, self.y + self.font.descent * self.size,
+                    self.x, self.y + self.font.ascent * self.size)
+        return (self.x - self.font.ascent * self.size, self.y - self.adv,
+                self.x - self.font.descent * self.size, self.y)
+
+
+@dataclass
+class _TextState:
+    font: Font | None = None
+    size: float = 0.0
+    char_spacing: float = 0.0
+    word_spacing: float = 0.0
+    h_scale: float = 1.0
+    leading: float = 0.0
+    rise: float = 0.0
+    render_mode: int = 0
+
+
+class ContentInterpreter:
+    def __init__(self, doc: PDFDocument, mediabox: tuple[float, float, float, float]):
+        self.doc = doc
+        x1, y1, x2, y2 = mediabox
+        # device flip: dev_x = x - x1 ; dev_y = y2 - y  (72 dpi)
+        self.base_ctm: Matrix = (1.0, 0.0, 0.0, -1.0, -x1, y2)
+        self.glyphs: list[Glyph] = []
+        self._font_cache: dict[object, Font] = {}
+
+    # ---------------- public ----------------
+
+    def run(self, content: bytes, resources: dict | None) -> list[Glyph]:
+        self.glyphs = []
+        self._exec(content, resources or {}, self.base_ctm, depth=0)
+        return self.glyphs
+
+    # ---------------- engine ----------------
+
+    def _get_font(self, resources: dict, name: Name) -> Font | None:
+        doc = self.doc
+        fonts = doc.dget(resources, "Font", {}) or {}
+        raw = fonts.get(name.name)
+        if raw is None:
+            return None
+        ref_num, ref_gen = -1, 0
+        key: object
+        if hasattr(raw, "num"):  # Ref → identity by object number, like gfxFont ptr
+            ref_num, ref_gen = raw.num, raw.gen
+            key = ("ref", raw.num)
+        else:
+            key = ("inline", id(raw))
+        if key in self._font_cache:
+            return self._font_cache[key]
+        font = load_font(doc, doc.resolve(raw), ref_num, ref_gen)
+        self._font_cache[key] = font
+        return font
+
+    def _exec(self, content: bytes, resources: dict, ctm: Matrix, depth: int) -> None:
+        if depth > 8:
+            return
+        doc = self.doc
+        lex = Lexer(content, 0)
+        stack: list = []
+        gs_stack: list[Matrix] = []
+        ts = _TextState()
+        tm: Matrix = IDENTITY
+        tlm: Matrix = IDENTITY
+        in_text = False
+        # ActualText span state (poppler.patch:122-151 semantics)
+        mc_stack: list[str | None] = []  # ActualText per open BDC, None if n/a
+        span_buf: list[Glyph] | None = None
+        span_depth = 0
+
+        def flush_span(actual: str) -> None:
+            nonlocal span_buf
+            buf = span_buf or []
+            span_buf = None
+            if not buf:
+                return
+            # replace buffered glyphs with the ActualText string spread
+            # over their aggregate extent (patch replays via
+            # TextStringToUCS4 with the span's extents)
+            chars = list(actual)
+            if not chars:
+                return
+            first, last = buf[0], buf[-1]
+            total_adv = sum(g.adv for g in buf)
+            step = total_adv / len(chars) if chars else 0.0
+            x, y = first.x, first.y
+            for i, ch in enumerate(chars):
+                self.glyphs.append(
+                    Glyph(ch, x, y, step, first.size, first.font, first.rot,
+                          ch == " ")
+                )
+                if first.rot == 0:
+                    x += step
+                elif first.rot == 1:
+                    y += step
+                elif first.rot == 2:
+                    x -= step
+                else:
+                    y -= step
+            _ = last
+
+        def emit(g: Glyph) -> None:
+            if span_buf is not None:
+                span_buf.append(g)
+            else:
+                self.glyphs.append(g)
+
+        def show_text(raw: bytes) -> None:
+            nonlocal tm
+            font = ts.font
+            if font is None:
+                return
+            for code, uni in font.decode(raw):
+                trm = mat_mul((ts.size * ts.h_scale, 0.0, 0.0, ts.size, 0.0, ts.rise),
+                              mat_mul(tm, ctm))
+                ox, oy = trm[4], trm[5]
+                # rotation from the device-space direction of the baseline
+                ang = math.atan2(trm[1], trm[0])
+                rot = int(round(ang / (math.pi / 2))) % 4
+                scale = math.hypot(trm[0], trm[1])
+                size_dev = math.hypot(trm[2], trm[3])
+                w0 = font.width(code) / 1000.0
+                is_space = (not font.two_byte and code == 0x20) or uni == " "
+                tx = (w0 * ts.size + ts.char_spacing
+                      + (ts.word_spacing if (not font.two_byte and code == 0x20) else 0.0)
+                      ) * ts.h_scale
+                # trm's scale already folds in Tfs·Th·CTM, so the device
+                # advance of the glyph itself is just w0 × that scale
+                adv_dev = w0 * scale
+                if ts.render_mode != 3:  # 3 = invisible
+                    emit(Glyph(uni, ox, oy, adv_dev, size_dev, font, rot, is_space))
+                tm = mat_mul((1.0, 0.0, 0.0, 1.0, tx, 0.0), tm)
+
+        while True:
+            try:
+                tok = lex.next_token()
+            except PDFSyntaxError:
+                break
+            kind, value = tok
+            if kind == "eof":
+                break
+            if kind in ("num", "str"):
+                stack.append(value)
+                continue
+            if kind == "name":
+                stack.append(value)
+                continue
+            if kind == "arr_open":
+                arr = []
+                d = 1
+                while d:
+                    t = lex.next_token()
+                    if t[0] == "eof":
+                        break
+                    if t[0] == "arr_open":
+                        d += 1
+                    elif t[0] == "arr_close":
+                        d -= 1
+                        if d == 0:
+                            break
+                    else:
+                        arr.append(t[1])
+                stack.append(arr)
+                continue
+            if kind == "dict_open":
+                # inline dict operand (BDC/DP): parse properly
+                from .cos import Parser
+
+                p = Parser(content, lex.pos - 2, doc)
+                try:
+                    stack.append(p.parse_object())
+                    lex.pos = p.pos
+                except PDFSyntaxError:
+                    stack.append({})
+                continue
+            if kind != "kw":
+                continue
+            op = value
+            try:
+                if op == "q":
+                    gs_stack.append(ctm)
+                elif op == "Q":
+                    if gs_stack:
+                        ctm = gs_stack.pop()
+                elif op == "cm" and len(stack) >= 6:
+                    a, b, c, d, e, f = (float(v) for v in stack[-6:])
+                    ctm = mat_mul((a, b, c, d, e, f), ctm)
+                elif op == "BT":
+                    in_text = True
+                    tm = tlm = IDENTITY
+                elif op == "ET":
+                    in_text = False
+                elif op == "Tf" and len(stack) >= 2:
+                    ts.size = float(stack[-1])
+                    fname = stack[-2]
+                    if isinstance(fname, Name):
+                        f = self._get_font(resources, fname)
+                        if f is not None:
+                            ts.font = f
+                elif op == "Tc" and stack:
+                    ts.char_spacing = float(stack[-1])
+                elif op == "Tw" and stack:
+                    ts.word_spacing = float(stack[-1])
+                elif op == "Tz" and stack:
+                    ts.h_scale = float(stack[-1]) / 100.0
+                elif op == "TL" and stack:
+                    ts.leading = float(stack[-1])
+                elif op == "Ts" and stack:
+                    ts.rise = float(stack[-1])
+                elif op == "Tr" and stack:
+                    ts.render_mode = int(stack[-1])
+                elif op == "Td" and len(stack) >= 2:
+                    tlm = mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm)
+                    tm = tlm
+                elif op == "TD" and len(stack) >= 2:
+                    ts.leading = -float(stack[-1])
+                    tlm = mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm)
+                    tm = tlm
+                elif op == "Tm" and len(stack) >= 6:
+                    tlm = tuple(float(v) for v in stack[-6:])  # type: ignore[assignment]
+                    tm = tlm
+                elif op == "T*":
+                    tlm = mat_mul((1, 0, 0, 1, 0.0, -ts.leading), tlm)
+                    tm = tlm
+                elif op == "Tj" and stack and isinstance(stack[-1], bytes):
+                    show_text(stack[-1])
+                elif op == "'" and stack and isinstance(stack[-1], bytes):
+                    tlm = mat_mul((1, 0, 0, 1, 0.0, -ts.leading), tlm)
+                    tm = tlm
+                    show_text(stack[-1])
+                elif op == '"' and len(stack) >= 3 and isinstance(stack[-1], bytes):
+                    ts.word_spacing = float(stack[-3])
+                    ts.char_spacing = float(stack[-2])
+                    tlm = mat_mul((1, 0, 0, 1, 0.0, -ts.leading), tlm)
+                    tm = tlm
+                    show_text(stack[-1])
+                elif op == "TJ" and stack and isinstance(stack[-1], list):
+                    for item in stack[-1]:
+                        if isinstance(item, bytes):
+                            show_text(item)
+                        elif isinstance(item, (int, float)):
+                            tx = -float(item) / 1000.0 * ts.size * ts.h_scale
+                            tm = mat_mul((1, 0, 0, 1, tx, 0.0), tm)
+                elif op == "BDC" and len(stack) >= 2:
+                    props = stack[-1]
+                    if isinstance(props, Name):
+                        props = (doc.dget(resources, "Properties", {}) or {}).get(props.name)
+                        props = doc.resolve(props)
+                    actual = None
+                    if isinstance(props, dict):
+                        at = doc.resolve(props.get("ActualText"))
+                        if isinstance(at, bytes):
+                            from .cos import decode_text_string
+
+                            actual = decode_text_string(at)
+                    mc_stack.append(actual)
+                    if actual is not None and span_buf is None:
+                        span_buf = []
+                        span_depth = len(mc_stack)
+                elif op == "BMC":
+                    mc_stack.append(None)
+                elif op == "EMC":
+                    if mc_stack:
+                        actual = mc_stack.pop()
+                        if span_buf is not None and len(mc_stack) == span_depth - 1:
+                            flush_span(actual or "")
+                elif op == "Do" and stack and isinstance(stack[-1], Name):
+                    xobjs = doc.dget(resources, "XObject", {}) or {}
+                    xo = doc.resolve(xobjs.get(stack[-1].name))
+                    if isinstance(xo, Stream):
+                        st = doc.resolve(xo.dict.get("Subtype"))
+                        if st == Name("Form"):
+                            fm = doc.resolve(xo.dict.get("Matrix")) or [1, 0, 0, 1, 0, 0]
+                            fmat = tuple(float(doc.resolve(v)) for v in fm)
+                            fres = doc.dget(xo.dict, "Resources") or resources
+                            try:
+                                self._exec(xo.data(), fres, mat_mul(fmat, ctm), depth + 1)
+                            except Exception:
+                                pass
+                        # image XObjects skipped (codecs disabled in reference build)
+                elif op == "BI":
+                    # inline image: skip to EI
+                    m = re.compile(rb"\bEI\b").search(content, lex.pos)
+                    lex.pos = m.end() if m else len(content)
+            except (ValueError, TypeError, IndexError):
+                pass  # tolerate malformed operands like poppler's error recovery
+            stack.clear()
+        _ = in_text

@@ -1,0 +1,650 @@
+"""COS (Carousel Object System) layer: lexer, parser, xref, objects.
+
+Re-expresses the poppler stages the reference drives (SURVEY.md B1-B3,
+B5, B6): header parse, xref table / xref-stream / object-stream
+resolution, the PDF syntax lexer+parser (reference includes
+``<Parser.h>``/``<Lexer.h>``/``<XRef.h>`` at ``inc/pdf_utils.hpp:13-17``),
+and the catalog/pages tree walk (``inc/pdf_utils.hpp:18-19``).
+
+Everything here is a pure function of an in-memory ``bytes`` payload —
+one transcript turn's PDF — executed inside the Arrow-batched parse
+kernel.  No filesystem, no global state, no Spark dependency.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .filters import FilterError, decode_stream
+
+WHITESPACE = b"\x00\t\n\x0c\r "
+DELIMITERS = b"()<>[]{}/%"
+
+
+class PDFSyntaxError(ValueError):
+    pass
+
+
+class PDFEncryptedError(ValueError):
+    """Document has /Encrypt — reference passes null passwords, so
+    encrypted docs never flow through (SURVEY.md B5); rows are marked
+    status='encrypted' upstream."""
+
+
+@dataclass(frozen=True)
+class Name:
+    name: str
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"/{self.name}"
+
+
+@dataclass(frozen=True)
+class Ref:
+    num: int
+    gen: int
+
+
+@dataclass
+class Stream:
+    dict: dict
+    raw: bytes
+    _doc: "PDFDocument | None" = None
+
+    def data(self) -> bytes:
+        filters = self.dict.get("Filter")
+        parms = self.dict.get("DecodeParms", self.dict.get("DP"))
+        if self._doc is not None:
+            filters = self._doc.resolve(filters)
+            parms = self._doc.resolve(parms)
+            if isinstance(parms, list):
+                parms = [self._doc.resolve(p) for p in parms]
+        return decode_stream(self.raw, filters, parms)
+
+
+class Lexer:
+    """Tokenizer for PDF syntax (numbers, names, strings, delimiters)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def skip_ws(self) -> None:
+        data, n = self.data, len(self.data)
+        pos = self.pos
+        while pos < n:
+            c = data[pos]
+            if c in WHITESPACE:
+                pos += 1
+            elif c == 0x25:  # '%' comment to EOL
+                while pos < n and data[pos] not in b"\r\n":
+                    pos += 1
+            else:
+                break
+        self.pos = pos
+
+    def next_token(self):
+        """Return (kind, value) with kind in
+        {'num','name','str','dict_open','dict_close','arr_open',
+         'arr_close','kw','eof'}."""
+        self.skip_ws()
+        data, n = self.data, len(self.data)
+        if self.pos >= n:
+            return ("eof", None)
+        c = data[self.pos]
+        if c == 0x2F:  # '/'
+            return ("name", self._read_name())
+        if c in b"0123456789+-.":
+            return ("num", self._read_number())
+        if c == 0x28:  # '('
+            return ("str", self._read_literal_string())
+        if c == 0x3C:  # '<'
+            if self.pos + 1 < n and data[self.pos + 1] == 0x3C:
+                self.pos += 2
+                return ("dict_open", None)
+            return ("str", self._read_hex_string())
+        if c == 0x3E:  # '>'
+            if self.pos + 1 < n and data[self.pos + 1] == 0x3E:
+                self.pos += 2
+                return ("dict_close", None)
+            raise PDFSyntaxError(f"stray '>' at {self.pos}")
+        if c == 0x5B:  # '['
+            self.pos += 1
+            return ("arr_open", None)
+        if c == 0x5D:  # ']'
+            self.pos += 1
+            return ("arr_close", None)
+        if c == 0x7B:  # '{' (PostScript calculator — tokenized, unused)
+            self.pos += 1
+            return ("kw", "{")
+        if c == 0x7D:
+            self.pos += 1
+            return ("kw", "}")
+        if c == 0x29:
+            raise PDFSyntaxError(f"stray ')' at {self.pos}")
+        # regular keyword: obj endobj stream R true false null BT Tj ...
+        start = self.pos
+        pos = start
+        while pos < n and data[pos] not in WHITESPACE and data[pos] not in DELIMITERS:
+            pos += 1
+        self.pos = pos
+        return ("kw", data[start:pos].decode("latin-1"))
+
+    def _read_name(self) -> Name:
+        data, n = self.data, len(self.data)
+        pos = self.pos + 1
+        out = bytearray()
+        while pos < n:
+            c = data[pos]
+            if c in WHITESPACE or c in DELIMITERS:
+                break
+            if c == 0x23 and pos + 2 < n:  # '#' hex escape
+                try:
+                    out.append(int(data[pos + 1 : pos + 3], 16))
+                    pos += 3
+                    continue
+                except ValueError:
+                    pass
+            out.append(c)
+            pos += 1
+        self.pos = pos
+        return Name(out.decode("utf-8", "replace"))
+
+    def _read_number(self):
+        m = re.compile(rb"[+-]?\d*\.?\d*").match(self.data, self.pos)
+        tok = m.group()
+        self.pos = m.end()
+        if tok in (b"", b"+", b"-", b"."):
+            raise PDFSyntaxError(f"bad number at {self.pos}")
+        if b"." in tok:
+            return float(tok)
+        return int(tok)
+
+    def _read_literal_string(self) -> bytes:
+        data, n = self.data, len(self.data)
+        pos = self.pos + 1
+        depth = 1
+        out = bytearray()
+        while pos < n:
+            c = data[pos]
+            if c == 0x5C:  # backslash
+                pos += 1
+                if pos >= n:
+                    break
+                e = data[pos]
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+                    pos += 1
+                elif e in b"01234567":  # octal, up to 3 digits
+                    oct_digits = bytearray([e])
+                    pos += 1
+                    for _ in range(2):
+                        if pos < n and data[pos] in b"01234567":
+                            oct_digits.append(data[pos])
+                            pos += 1
+                        else:
+                            break
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    pos += 1
+                    if e == 0x0D and pos < n and data[pos] == 0x0A:
+                        pos += 1
+                else:
+                    out.append(e)
+                    pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                pos += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    pos += 1
+                    break
+                out.append(c)
+                pos += 1
+            else:
+                out.append(c)
+                pos += 1
+        self.pos = pos
+        return bytes(out)
+
+    def _read_hex_string(self) -> bytes:
+        data, n = self.data, len(self.data)
+        pos = self.pos + 1
+        nibbles = []
+        while pos < n and data[pos] != 0x3E:
+            c = data[pos]
+            if c not in WHITESPACE:
+                nibbles.append(chr(c))
+            pos += 1
+        self.pos = pos + 1
+        if len(nibbles) % 2:
+            nibbles.append("0")
+        try:
+            return bytes(int(nibbles[i] + nibbles[i + 1], 16) for i in range(0, len(nibbles), 2))
+        except ValueError as exc:
+            raise PDFSyntaxError("bad hex string") from exc
+
+
+class Parser:
+    """Recursive-descent object parser on top of :class:`Lexer`."""
+
+    def __init__(self, data: bytes, pos: int = 0, doc: "PDFDocument | None" = None):
+        self.lexer = Lexer(data, pos)
+        self.doc = doc
+
+    @property
+    def pos(self) -> int:
+        return self.lexer.pos
+
+    def parse_object(self, tok=None):
+        if tok is None:
+            tok = self.lexer.next_token()
+        kind, value = tok
+        if kind == "num":
+            # lookahead for "<num> <gen> R" indirect reference
+            if isinstance(value, int):
+                save = self.lexer.pos
+                t2 = self.lexer.next_token()
+                if t2[0] == "num" and isinstance(t2[1], int):
+                    t3 = self.lexer.next_token()
+                    if t3 == ("kw", "R"):
+                        return Ref(value, t2[1])
+                self.lexer.pos = save
+            return value
+        if kind in ("name", "str"):
+            return value
+        if kind == "arr_open":
+            arr = []
+            while True:
+                t = self.lexer.next_token()
+                if t[0] == "arr_close":
+                    return arr
+                if t[0] == "eof":
+                    raise PDFSyntaxError("EOF in array")
+                arr.append(self.parse_object(t))
+        if kind == "dict_open":
+            d = {}
+            while True:
+                t = self.lexer.next_token()
+                if t[0] == "dict_close":
+                    break
+                if t[0] == "eof":
+                    raise PDFSyntaxError("EOF in dict")
+                if t[0] != "name":
+                    raise PDFSyntaxError(f"dict key is not a name: {t}")
+                d[t[1].name] = self.parse_object()
+            # stream?
+            save = self.lexer.pos
+            t = self.lexer.next_token()
+            if t == ("kw", "stream"):
+                return self._read_stream(d)
+            self.lexer.pos = save
+            return d
+        if kind == "kw":
+            if value == "true":
+                return True
+            if value == "false":
+                return False
+            if value == "null":
+                return None
+            raise PDFSyntaxError(f"unexpected keyword {value!r}")
+        raise PDFSyntaxError(f"unexpected token {tok}")
+
+    def _read_stream(self, d: dict) -> Stream:
+        data = self.lexer.data
+        pos = self.lexer.pos
+        # after 'stream': CRLF or LF
+        if data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif data[pos : pos + 1] in (b"\n", b"\r"):
+            pos += 1
+        length = d.get("Length")
+        if isinstance(length, Ref) and self.doc is not None:
+            length = self.doc.resolve(length)
+        if isinstance(length, int) and 0 <= length <= len(data) - pos:
+            raw = data[pos : pos + length]
+            endpos = pos + length
+            # tolerate off-by-a-bit Length by syncing to endstream
+            m = re.compile(rb"endstream").search(data, endpos)
+            if m is not None and m.start() - endpos > 2:
+                m2 = re.compile(rb"\s*endstream").match(data, endpos)
+                if m2 is None:
+                    raw = data[pos : m.start()].rstrip(b"\r\n")
+            self.lexer.pos = (m.end() if m else endpos)
+        else:  # broken /Length: scan for endstream
+            m = re.compile(rb"endstream").search(data, pos)
+            if m is None:
+                raise PDFSyntaxError("unterminated stream")
+            raw = data[pos : m.start()].rstrip(b"\r\n")
+            self.lexer.pos = m.end()
+        return Stream(d, raw, self.doc)
+
+
+@dataclass
+class XrefEntry:
+    kind: int  # 0 free, 1 offset, 2 in-object-stream
+    a: int  # offset (kind 1) | objstm number (kind 2)
+    b: int  # generation (kind 1) | index in objstm (kind 2)
+
+
+@dataclass
+class PDFDocument:
+    """A parsed PDF: xref map + object cache + catalog accessors.
+
+    Mirrors what ``PDFDocFactory().createPDFDoc`` +
+    ``doc->isOk()`` give the reference (``src/pdf_utils.cpp:478,500``).
+    """
+
+    data: bytes
+    version: str = ""
+    xref: dict[int, XrefEntry] = field(default_factory=dict)
+    trailer: dict = field(default_factory=dict)
+    _cache: dict[int, object] = field(default_factory=dict)
+
+    # ---------------- construction ----------------
+
+    @classmethod
+    def open(cls, data: bytes) -> "PDFDocument":
+        """Parse header + xref chain.  Raises PDFSyntaxError /
+        PDFEncryptedError on documents the reference would reject
+        (``doc->isOk()`` false → ``"{}"`` at ``src/pdf_utils.cpp:500-505``)."""
+        m = re.compile(rb"%PDF-(\d+\.\d+)").search(data[:1024])
+        if m is None:
+            raise PDFSyntaxError("missing %PDF header")
+        doc = cls(data=data, version=m.group(1).decode())
+        doc._load_xref()
+        if "Encrypt" in doc.trailer:
+            raise PDFEncryptedError("document has /Encrypt")
+        return doc
+
+    def _load_xref(self) -> None:
+        m = None
+        for m in re.compile(rb"startxref\s+(\d+)").finditer(self.data):
+            pass
+        if m is None:
+            # no startxref: reconstruct by scanning for "N G obj"
+            self._reconstruct_xref()
+            return
+        offset = int(m.group(1))
+        seen = set()
+        while offset and offset not in seen and 0 <= offset < len(self.data):
+            seen.add(offset)
+            offset = self._load_xref_section(offset)
+        if not self.xref or "Root" not in self.trailer:
+            self._reconstruct_xref()
+        if "Root" not in self.trailer:
+            raise PDFSyntaxError("no /Root in trailer")
+
+    def _load_xref_section(self, offset: int) -> int:
+        lex = Lexer(self.data, offset)
+        lex.skip_ws()
+        if self.data[lex.pos : lex.pos + 4] == b"xref":
+            return self._load_xref_table(lex.pos + 4)
+        return self._load_xref_stream(offset)
+
+    def _load_xref_table(self, pos: int) -> int:
+        lex = Lexer(self.data, pos)
+        while True:
+            save = lex.pos
+            tok = lex.next_token()
+            if tok == ("kw", "trailer"):
+                break
+            if tok[0] != "num":
+                raise PDFSyntaxError("malformed xref table")
+            start = tok[1]
+            count = lex.next_token()[1]
+            lex.skip_ws()
+            for i in range(count):
+                line = self.data[lex.pos : lex.pos + 20]
+                mm = re.compile(rb"(\d{10})\s+(\d{5})\s+([nf])").match(line)
+                if mm is None:
+                    raise PDFSyntaxError("malformed xref entry")
+                num = start + i
+                if mm.group(3) == b"n" and num not in self.xref:
+                    self.xref[num] = XrefEntry(1, int(mm.group(1)), int(mm.group(2)))
+                lex.pos += mm.end()
+                lex.skip_ws()
+            _ = save
+        parser = Parser(self.data, lex.pos, self)
+        trailer = parser.parse_object()
+        if not isinstance(trailer, dict):
+            raise PDFSyntaxError("malformed trailer")
+        for k, v in trailer.items():
+            self.trailer.setdefault(k, v)
+        # hybrid files: /XRefStm points at an xref stream with more entries
+        if "XRefStm" in trailer:
+            try:
+                self._load_xref_stream(int(trailer["XRefStm"]))
+            except (PDFSyntaxError, FilterError):
+                pass
+        prev = trailer.get("Prev")
+        return int(prev) if isinstance(prev, (int, float)) else 0
+
+    def _load_xref_stream(self, offset: int) -> int:
+        parser = Parser(self.data, offset, self)
+        tok = parser.lexer.next_token()
+        obj = parser.parse_object(tok)
+        if isinstance(obj, (int, float)):  # "N G obj" header
+            parser.lexer.next_token()  # gen (already consumed by R-lookahead? keep safe)
+        # Re-parse robustly: find "obj" then the stream object
+        lex = Lexer(self.data, offset)
+        t1 = lex.next_token()
+        if t1[0] != "num":
+            raise PDFSyntaxError("not an xref stream")
+        t2 = lex.next_token()
+        t3 = lex.next_token()
+        if t2[0] != "num" or t3 != ("kw", "obj"):
+            raise PDFSyntaxError("not an xref stream")
+        parser = Parser(self.data, lex.pos, self)
+        stm = parser.parse_object()
+        if not isinstance(stm, Stream) or stm.dict.get("Type") != Name("XRef"):
+            raise PDFSyntaxError("not an xref stream")
+        d = stm.dict
+        size = int(d["Size"])
+        w = [int(x) for x in d["W"]]
+        index = d.get("Index", [0, size])
+        index = [int(x) for x in index]
+        payload = stm.data()
+        rowlen = sum(w)
+        pos = 0
+
+        def read_field(row: bytes, start: int, width: int, default: int) -> int:
+            if width == 0:
+                return default
+            return int.from_bytes(row[start : start + width], "big")
+
+        for i in range(0, len(index), 2):
+            start, count = index[i], index[i + 1]
+            for j in range(count):
+                row = payload[pos : pos + rowlen]
+                pos += rowlen
+                if len(row) < rowlen:
+                    break
+                f1 = read_field(row, 0, w[0], 1)
+                f2 = read_field(row, w[0], w[1], 0)
+                f3 = read_field(row, w[0] + w[1], w[2], 0)
+                num = start + j
+                if num in self.xref:
+                    continue
+                if f1 == 1:
+                    self.xref[num] = XrefEntry(1, f2, f3)
+                elif f1 == 2:
+                    self.xref[num] = XrefEntry(2, f2, f3)
+        for k, v in d.items():
+            if k in ("Type", "W", "Index", "Filter", "DecodeParms", "Length"):
+                continue
+            self.trailer.setdefault(k, v)
+        prev = d.get("Prev")
+        return int(prev) if isinstance(prev, (int, float)) else 0
+
+    def _reconstruct_xref(self) -> None:
+        """Salvage path for damaged xref: scan for `N G obj` headers,
+        like poppler's XRef::constructXRef."""
+        for m in re.compile(rb"(?m)^\s*(\d+)\s+(\d+)\s+obj\b").finditer(self.data):
+            self.xref[int(m.group(1))] = XrefEntry(1, m.start(), int(m.group(2)))
+        t = re.compile(rb"trailer").search(self.data)
+        if t is not None:
+            parser = Parser(self.data, t.end(), self)
+            try:
+                trailer = parser.parse_object()
+                if isinstance(trailer, dict):
+                    for k, v in trailer.items():
+                        self.trailer.setdefault(k, v)
+            except PDFSyntaxError:
+                pass
+        if "Root" not in self.trailer:
+            # last resort: find an object with /Type /Catalog
+            for num in self.xref:
+                try:
+                    obj = self.get_object(num)
+                except (PDFSyntaxError, FilterError):
+                    continue
+                if isinstance(obj, dict) and obj.get("Type") == Name("Catalog"):
+                    self.trailer["Root"] = Ref(num, 0)
+                    break
+
+    # ---------------- object access ----------------
+
+    def get_object(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        entry = self.xref.get(num)
+        if entry is None:
+            return None
+        if entry.kind == 1:
+            obj = self._parse_at(entry.a, num)
+        else:  # in object stream
+            obj = self._parse_from_objstm(entry.a, entry.b, num)
+        self._cache[num] = obj
+        return obj
+
+    def _parse_at(self, offset: int, expect_num: int):
+        lex = Lexer(self.data, offset)
+        t1 = lex.next_token()
+        t2 = lex.next_token()
+        t3 = lex.next_token()
+        if t1[0] != "num" or t2[0] != "num" or t3 != ("kw", "obj"):
+            raise PDFSyntaxError(f"bad object header for obj {expect_num} at {offset}")
+        parser = Parser(self.data, lex.pos, self)
+        return parser.parse_object()
+
+    def _parse_from_objstm(self, stm_num: int, idx: int, expect_num: int):
+        stm = self.get_object(stm_num)
+        if not isinstance(stm, Stream) or stm.dict.get("Type") != Name("ObjStm"):
+            raise PDFSyntaxError(f"object {expect_num}: container {stm_num} is not /ObjStm")
+        payload = stm.data()
+        n = int(self.resolve(stm.dict["N"]))
+        first = int(self.resolve(stm.dict["First"]))
+        lex = Lexer(payload, 0)
+        pairs = []
+        for _ in range(n):
+            a = lex.next_token()
+            b = lex.next_token()
+            if a[0] != "num" or b[0] != "num":
+                raise PDFSyntaxError("malformed /ObjStm header")
+            pairs.append((a[1], b[1]))
+        if idx >= len(pairs):
+            raise PDFSyntaxError("objstm index out of range")
+        objnum, rel = pairs[idx]
+        parser = Parser(payload, first + rel, self)
+        return parser.parse_object()
+
+    def resolve(self, obj, depth: int = 0):
+        while isinstance(obj, Ref):
+            if depth > 32:
+                raise PDFSyntaxError("reference loop")
+            obj = self.get_object(obj.num)
+            depth += 1
+        return obj
+
+    def dget(self, d: dict, key: str, default=None):
+        if not isinstance(d, dict):
+            return default
+        v = d.get(key, default)
+        return self.resolve(v)
+
+    # ---------------- catalog / pages (B6) ----------------
+
+    @property
+    def catalog(self) -> dict:
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise PDFSyntaxError("bad /Root")
+        return root
+
+    def doc_info_title(self) -> str:
+        """``doc->getDocInfoTitle()`` (reference ``src/pdf_utils.cpp:581``);
+        empty string when absent."""
+        info = self.resolve(self.trailer.get("Info"))
+        if not isinstance(info, dict):
+            return ""
+        title = self.resolve(info.get("Title"))
+        if isinstance(title, bytes):
+            return decode_text_string(title)
+        return ""
+
+    def pages(self) -> list[dict]:
+        """Flatten the /Pages tree in document order, applying attribute
+        inheritance (MediaBox, Resources, Rotate) per PDF 32000 §7.7.3."""
+        out: list[dict] = []
+        seen: set[int] = set()
+
+        def walk(node_ref, inherited: dict):
+            node = self.resolve(node_ref)
+            if not isinstance(node, dict):
+                return
+            key = id(node)
+            if key in seen or len(out) > 10000:
+                return
+            seen.add(key)
+            inh = dict(inherited)
+            for attr in ("MediaBox", "Resources", "Rotate", "CropBox"):
+                if attr in node:
+                    inh[attr] = node[attr]
+            if node.get("Type") == Name("Pages") or "Kids" in node:
+                for kid in self.dget(node, "Kids", []) or []:
+                    walk(kid, inh)
+            else:
+                page = dict(node)
+                for attr, v in inh.items():
+                    page.setdefault(attr, v)
+                out.append(page)
+
+        walk(self.catalog.get("Pages"), {})
+        return out
+
+    def page_mediabox(self, page: dict) -> tuple[float, float, float, float]:
+        box = self.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
+        x1, y1, x2, y2 = (float(self.resolve(v)) for v in box)
+        if x1 > x2:
+            x1, x2 = x2, x1
+        if y1 > y2:
+            y1, y2 = y2, y1
+        return x1, y1, x2, y2
+
+    def page_content(self, page: dict) -> bytes:
+        """Concatenate the page's /Contents streams with newline glue."""
+        contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            return b""
+        if isinstance(contents, Stream):
+            return contents.data()
+        parts = []
+        for ref in contents:
+            stm = self.resolve(ref)
+            if isinstance(stm, Stream):
+                parts.append(stm.data())
+        return b"\n".join(parts)
+
+
+def decode_text_string(raw: bytes) -> str:
+    """PDF text string: UTF-16BE with BOM, else PDFDocEncoding
+    (≈ latin-1 for the printable range we generate)."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    if raw[:3] == b"\xef\xbb\xbf":
+        return raw[3:].decode("utf-8", "replace")
+    return raw.decode("latin-1")

@@ -1,0 +1,242 @@
+"""PDF stream filters (SURVEY.md B4).
+
+The reference links poppler built with DCT/JPX/external-zlib disabled
+(reference ``Jenkinsfile:32``), so the text path only ever needs
+Flate, LZW, RunLength, ASCIIHex/ASCII85 and the PNG/TIFF predictors
+(reference ``inc/pdf_utils.hpp:14`` includes ``<Stream.h>``).
+
+Pure functions over ``bytes`` — they run inside the Arrow-batched
+``mapInPandas`` kernel, never as per-row Spark UDFs.  ``zlib`` releases
+the GIL; batch-level parallelism comes from Spark partitions.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+
+class FilterError(ValueError):
+    """Raised when a stream filter cannot decode its input."""
+
+
+def flate_decode(data: bytes, params: dict | None = None) -> bytes:
+    try:
+        out = zlib.decompress(data)
+    except zlib.error:
+        # salvage truncated streams the way poppler does: inflate as far
+        # as possible instead of failing the whole document
+        d = zlib.decompressobj()
+        try:
+            out = d.decompress(data)
+        except zlib.error as exc:  # pragma: no cover - pathological input
+            raise FilterError(f"FlateDecode: {exc}") from exc
+    return _apply_predictor(out, params)
+
+
+def lzw_decode(data: bytes, params: dict | None = None) -> bytes:
+    """LZW as specified for PDF (TIFF-style, variable code width 9..12)."""
+    early = 1
+    if params and "EarlyChange" in params:
+        early = int(params["EarlyChange"])
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    width = 9
+    buf = 0
+    nbits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (buf >> nbits) & ((1 << width) - 1)
+            if code == 256:  # clear table
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return _apply_predictor(bytes(out), params)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) + early - 1 >= (1 << width) and width < 12:
+                width += 1
+    return _apply_predictor(bytes(out), params)
+
+
+def run_length_decode(data: bytes, params: dict | None = None) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:
+            break
+        if length < 128:
+            out += data[i : i + length + 1]
+            i += length + 1
+        else:
+            out += data[i : i + 1] * (257 - length)
+            i += 1
+    return bytes(out)
+
+
+def ascii_hex_decode(data: bytes, params: dict | None = None) -> bytes:
+    out = bytearray()
+    hi: int | None = None
+    for byte in data:
+        c = chr(byte)
+        if c == ">":
+            break
+        if c.isspace():
+            continue
+        try:
+            nib = int(c, 16)
+        except ValueError as exc:
+            raise FilterError(f"ASCIIHexDecode: bad char {c!r}") from exc
+        if hi is None:
+            hi = nib
+        else:
+            out.append((hi << 4) | nib)
+            hi = None
+    if hi is not None:
+        out.append(hi << 4)
+    return bytes(out)
+
+
+def ascii85_decode(data: bytes, params: dict | None = None) -> bytes:
+    body = data
+    if body.startswith(b"<~"):
+        body = body[2:]
+    end = body.find(b"~>")
+    if end != -1:
+        body = body[:end]
+    out = bytearray()
+    group: list[int] = []
+    for byte in body:
+        c = bytes([byte])
+        if c.isspace():
+            continue
+        if c == b"z" and not group:
+            out += b"\0\0\0\0"
+            continue
+        v = byte - 33
+        if not (0 <= v <= 84):
+            raise FilterError(f"ASCII85Decode: bad char {c!r}")
+        group.append(v)
+        if len(group) == 5:
+            acc = 0
+            for g in group:
+                acc = acc * 85 + g
+            out += acc.to_bytes(4, "big")
+            group = []
+    if group:
+        pad = 5 - len(group)
+        acc = 0
+        for g in group + [84] * pad:
+            acc = acc * 85 + g
+        out += acc.to_bytes(4, "big")[: 4 - pad]
+    return bytes(out)
+
+
+def _apply_predictor(data: bytes, params: dict | None) -> bytes:
+    if not params:
+        return data
+    predictor = int(params.get("Predictor", 1))
+    if predictor <= 1:
+        return data
+    colors = int(params.get("Colors", 1))
+    bpc = int(params.get("BitsPerComponent", 8))
+    columns = int(params.get("Columns", 1))
+    bpp = max(1, (colors * bpc) // 8)  # bytes per pixel
+    rowlen = (columns * colors * bpc + 7) // 8
+    if predictor == 2:  # TIFF horizontal differencing (8-bit path)
+        if bpc != 8:
+            raise FilterError("TIFF predictor only supported for 8-bit")
+        out = bytearray(data)
+        for r in range(0, len(out), rowlen):
+            for i in range(r + bpp, min(r + rowlen, len(out))):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG predictors (10..15): per-row filter byte
+    out = bytearray()
+    prior = bytearray(rowlen)
+    i = 0
+    while i + 1 <= len(data):
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        i += 1 + rowlen
+        if ft == 1:  # Sub
+            for j in range(bpp, len(row)):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(len(row)):
+                row[j] = (row[j] + prior[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(len(row)):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prior[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(len(row)):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prior[j]
+                c = prior[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        elif ft != 0:
+            raise FilterError(f"PNG predictor: bad filter type {ft}")
+        out += row
+        prior = row
+    return bytes(out)
+
+
+_FILTERS = {
+    "FlateDecode": flate_decode,
+    "Fl": flate_decode,
+    "LZWDecode": lzw_decode,
+    "LZW": lzw_decode,
+    "RunLengthDecode": run_length_decode,
+    "RL": run_length_decode,
+    "ASCIIHexDecode": ascii_hex_decode,
+    "AHx": ascii_hex_decode,
+    "ASCII85Decode": ascii85_decode,
+    "A85": ascii85_decode,
+}
+
+_UNSUPPORTED = {"DCTDecode", "DCT", "JPXDecode", "JBIG2Decode", "CCITTFaxDecode", "CCF"}
+
+
+def decode_stream(data: bytes, filters, parms) -> bytes:
+    """Apply the (possibly chained) /Filter pipeline of a stream dict.
+
+    ``filters`` is a name, list of names, or None; ``parms`` the matching
+    /DecodeParms.  Image codecs are intentionally unsupported — the
+    reference's build disables them (``Jenkinsfile:32``); callers skip
+    image XObjects entirely.
+    """
+    if filters is None:
+        return data
+    if not isinstance(filters, list):
+        filters = [filters]
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    for f, p in zip(filters, parms):
+        name = f.name if hasattr(f, "name") else str(f)
+        if name in _UNSUPPORTED:
+            raise FilterError(f"unsupported (image) filter {name}")
+        fn = _FILTERS.get(name)
+        if fn is None:
+            raise FilterError(f"unknown filter {name}")
+        data = fn(data, p if isinstance(p, dict) else None)
+    return data

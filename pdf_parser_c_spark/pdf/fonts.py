@@ -1,0 +1,339 @@
+"""Font decoding: encodings, /Differences, ToUnicode CMaps, widths.
+
+Re-expresses poppler's GfxFont/UnicodeMap/PDFDocEncoding stages the
+reference drives (SURVEY.md B8; reference includes ``<GfxFont.h>``
+``<UnicodeMap.h>`` ``<PDFDocEncoding.h>`` at ``inc/pdf_utils.hpp:21-31``).
+
+A font here is a pure-Python object built once per (document, font
+resource) and used by the content interpreter to map byte codes →
+(unicode string, advance width).  The emphasis predicate the reference
+applies per char — ``weight > W400 || isItalic()``
+(``src/pdf_utils.cpp:221,227``) — is derived from the font descriptor
+flags and name, exactly the sources poppler uses.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .cos import Name, PDFDocument, Stream
+
+# WinAnsiEncoding codepoints for 0x80..0x9F (the rest is latin-1).
+_WINANSI_HIGH = {
+    0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E, 0x85: 0x2026,
+    0x86: 0x2020, 0x87: 0x2021, 0x88: 0x02C6, 0x89: 0x2030, 0x8A: 0x0160,
+    0x8B: 0x2039, 0x8C: 0x0152, 0x8E: 0x017D, 0x91: 0x2018, 0x92: 0x2019,
+    0x93: 0x201C, 0x94: 0x201D, 0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014,
+    0x98: 0x02DC, 0x99: 0x2122, 0x9A: 0x0161, 0x9B: 0x203A, 0x9C: 0x0153,
+    0x9E: 0x017E, 0x9F: 0x0178,
+}
+
+WIN_ANSI: dict[int, str] = {}
+for _b in range(0x20, 0x100):
+    WIN_ANSI[_b] = chr(_WINANSI_HIGH.get(_b, _b))
+
+# StandardEncoding differences vs ASCII that matter for text extraction.
+_STANDARD_DIFF = {
+    0x27: 0x2019,  # quoteright
+    0x60: 0x2018,  # quoteleft
+    0xA1: 0x00A1, 0xA2: 0x00A2, 0xA3: 0x00A3, 0xA4: 0x2044, 0xA5: 0x00A5,
+    0xA7: 0x00A7, 0xA8: 0x00A4, 0xAA: 0x201C, 0xB4: 0x00B7, 0xB9: 0x2018,
+    0xBA: 0x201D, 0xBB: 0x203A, 0xBC: 0x2026, 0xBD: 0x2030,
+}
+
+STANDARD: dict[int, str] = {}
+for _b in range(0x20, 0x100):
+    if _b < 0x7F:
+        STANDARD[_b] = chr(_STANDARD_DIFF.get(_b, _b))
+    elif _b in _STANDARD_DIFF:
+        STANDARD[_b] = chr(_STANDARD_DIFF[_b])
+
+MAC_ROMAN_DIFF = {
+    0xD2: 0x201C, 0xD3: 0x201D, 0xD4: 0x2018, 0xD5: 0x2019,
+    0xA5: 0x2022, 0xD0: 0x2013, 0xD1: 0x2014, 0xC9: 0x2026,
+}
+MAC_ROMAN: dict[int, str] = {}
+for _b in range(0x20, 0x100):
+    MAC_ROMAN[_b] = chr(MAC_ROMAN_DIFF.get(_b, _b if _b < 0x80 else 0xFFFD))
+
+# Minimal Adobe Glyph List subset: everything our /Differences fixtures
+# and common documents use.  Full AGL is public; extend as needed.
+GLYPH_NAMES = {
+    "space": 0x20, "exclam": 0x21, "quotedbl": 0x22, "numbersign": 0x23,
+    "dollar": 0x24, "percent": 0x25, "ampersand": 0x26, "quotesingle": 0x27,
+    "parenleft": 0x28, "parenright": 0x29, "asterisk": 0x2A, "plus": 0x2B,
+    "comma": 0x2C, "hyphen": 0x2D, "period": 0x2E, "slash": 0x2F,
+    "zero": 0x30, "one": 0x31, "two": 0x32, "three": 0x33, "four": 0x34,
+    "five": 0x35, "six": 0x36, "seven": 0x37, "eight": 0x38, "nine": 0x39,
+    "colon": 0x3A, "semicolon": 0x3B, "less": 0x3C, "equal": 0x3D,
+    "greater": 0x3E, "question": 0x3F, "at": 0x40, "bracketleft": 0x5B,
+    "backslash": 0x5C, "bracketright": 0x5D, "asciicircum": 0x5E,
+    "underscore": 0x5F, "grave": 0x60, "braceleft": 0x7B, "bar": 0x7C,
+    "braceright": 0x7D, "asciitilde": 0x7E,
+    "quoteleft": 0x2018, "quoteright": 0x2019,
+    "quotedblleft": 0x201C, "quotedblright": 0x201D,
+    "endash": 0x2013, "emdash": 0x2014, "bullet": 0x2022,
+    "ellipsis": 0x2026, "fi": 0xFB01, "fl": 0xFB02,
+    "adieresis": 0xE4, "odieresis": 0xF6, "udieresis": 0xFC,
+    "Adieresis": 0xC4, "Odieresis": 0xD6, "Udieresis": 0xDC,
+    "eacute": 0xE9, "egrave": 0xE8, "agrave": 0xE0, "ccedilla": 0xE7,
+    "germandbls": 0xDF, "euro": 0x20AC, "degree": 0xB0,
+}
+for _c in range(0x41, 0x5B):
+    GLYPH_NAMES[chr(_c)] = _c
+for _c in range(0x61, 0x7B):
+    GLYPH_NAMES[chr(_c)] = _c
+
+
+def glyph_to_unicode(name: str) -> str:
+    if name in GLYPH_NAMES:
+        return chr(GLYPH_NAMES[name])
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4,6})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = re.fullmatch(r"u([0-9A-Fa-f]{4,6})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    if len(name) == 1:
+        return name
+    return "�"
+
+
+def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
+    """Parse a /ToUnicode CMap: ``bfchar`` + ``bfrange`` sections
+    (PDF 32000 §9.10.3).  Returns code → unicode string."""
+    out: dict[int, str] = {}
+    text = data.decode("latin-1", "replace")
+
+    def hex2int(h: str) -> int:
+        return int(h, 16)
+
+    def hex2str(h: str) -> str:
+        raw = bytes.fromhex(h)
+        if len(raw) % 2:
+            raw = b"\x00" + raw
+        return raw.decode("utf-16-be", "replace")
+
+    for m in re.finditer(r"beginbfchar(.*?)endbfchar", text, re.S):
+        for mm in re.finditer(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
+            out[hex2int(mm.group(1))] = hex2str(mm.group(2))
+    for m in re.finditer(r"beginbfrange(.*?)endbfrange", text, re.S):
+        body = m.group(1)
+        # <lo> <hi> <dst>  — incrementing range
+        for mm in re.finditer(
+            r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", body
+        ):
+            lo, hi = hex2int(mm.group(1)), hex2int(mm.group(2))
+            dst = hex2int(mm.group(3))
+            width = len(mm.group(3))
+            for i in range(hi - lo + 1):
+                out[lo + i] = hex2str(format(dst + i, f"0{width}x"))
+        # <lo> <hi> [<d0> <d1> ...] — array form
+        for mm in re.finditer(
+            r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]", body, re.S
+        ):
+            lo = hex2int(mm.group(1))
+            dsts = re.findall(r"<([0-9A-Fa-f]+)>", mm.group(3))
+            for i, d in enumerate(dsts):
+                out[lo + i] = hex2str(d)
+    return out
+
+
+_BOLD_RE = re.compile(r"bold|black|heavy|semibold|demibold|extrabold|ultra", re.I)
+_ITALIC_RE = re.compile(r"italic|oblique", re.I)
+
+FLAG_ITALIC = 1 << 6  # FontDescriptor /Flags bit 7 (PDF 32000 table 123)
+FLAG_FORCE_BOLD = 1 << 18
+
+
+@dataclass
+class Font:
+    """Resolved font resource.
+
+    ``ref_num``/``ref_gen`` mirror poppler's ``gfxFont->getID()`` used
+    for TitleFormat equality (``src/pdf_utils.cpp:235``, ``:31``).
+    ``weight``/``italic`` feed the emphasis predicate
+    (``src/pdf_utils.cpp:221``: ``getWeight() > W400 || isItalic()``).
+    Identity (``uid``) stands in for poppler's gfxFont pointer equality
+    at ``src/pdf_utils.cpp:211``: one Font object per font resource
+    object number (or per resource dict when the font is inlined).
+    """
+
+    uid: int
+    ref_num: int
+    ref_gen: int
+    name: str = ""
+    subtype: str = "Type1"
+    weight: int = 400
+    italic: bool = False
+    two_byte: bool = False
+    encoding: dict[int, str] = field(default_factory=dict)
+    to_unicode: dict[int, str] = field(default_factory=dict)
+    widths: dict[int, float] = field(default_factory=dict)
+    default_width: float = 500.0
+    ascent: float = 0.75
+    descent: float = -0.25
+
+    def decode(self, raw: bytes):
+        """Yield (code, unicode_str) per glyph in a show-text string."""
+        if self.two_byte:
+            for i in range(0, len(raw) - 1, 2):
+                code = (raw[i] << 8) | raw[i + 1]
+                yield code, self._map(code)
+        else:
+            for b in raw:
+                yield b, self._map(b)
+
+    def _map(self, code: int) -> str:
+        if code in self.to_unicode:
+            return self.to_unicode[code]
+        if code in self.encoding:
+            return self.encoding[code]
+        if not self.two_byte and 0x20 <= code < 0x7F:
+            return chr(code)
+        return "�"
+
+    def width(self, code: int) -> float:
+        return self.widths.get(code, self.default_width)
+
+    def is_emphasized(self) -> bool:
+        return self.weight > 400 or self.italic
+
+
+_BASE14_BOLD = _BOLD_RE
+_next_anon_uid = [0]
+
+
+def load_font(doc: PDFDocument, font_obj, ref_num: int, ref_gen: int) -> Font:
+    """Build a :class:`Font` from a font dict (resolved)."""
+    fd = font_obj if isinstance(font_obj, dict) else {}
+    subtype = fd.get("Subtype")
+    subtype = subtype.name if isinstance(subtype, Name) else "Type1"
+    base = doc.resolve(fd.get("BaseFont"))
+    base_name = base.name if isinstance(base, Name) else ""
+
+    font = Font(uid=ref_num if ref_num >= 0 else -(_bump_anon()),
+                ref_num=ref_num, ref_gen=ref_gen, name=base_name, subtype=subtype)
+
+    if subtype == "Type0":
+        _load_type0(doc, fd, font)
+    else:
+        _load_simple(doc, fd, font)
+
+    # ToUnicode overrides encoding-derived mapping
+    tu = doc.resolve(fd.get("ToUnicode"))
+    if isinstance(tu, Stream):
+        try:
+            font.to_unicode = parse_tounicode_cmap(tu.data())
+        except Exception:
+            font.to_unicode = {}
+
+    # weight/italic: descriptor first, then name heuristics —
+    # poppler's GfxFont does the same (StemV/Flags/name).
+    desc = doc.resolve(fd.get("FontDescriptor"))
+    if subtype == "Type0":
+        df = _descendant(doc, fd)
+        if df is not None:
+            desc = doc.resolve(df.get("FontDescriptor")) or desc
+    flags = 0
+    if isinstance(desc, dict):
+        flags = int(doc.resolve(desc.get("Flags")) or 0)
+        fw = doc.resolve(desc.get("FontWeight"))
+        if isinstance(fw, (int, float)):
+            font.weight = int(fw)
+        asc = doc.resolve(desc.get("Ascent"))
+        dsc = doc.resolve(desc.get("Descent"))
+        if isinstance(asc, (int, float)) and asc:
+            font.ascent = float(asc) / 1000.0
+        if isinstance(dsc, (int, float)) and dsc:
+            font.descent = float(dsc) / 1000.0
+    if flags & FLAG_FORCE_BOLD:
+        font.weight = max(font.weight, 700)
+    if _BOLD_RE.search(base_name):
+        font.weight = max(font.weight, 700)
+    font.italic = bool(flags & FLAG_ITALIC) or bool(_ITALIC_RE.search(base_name))
+    return font
+
+
+def _bump_anon() -> int:
+    _next_anon_uid[0] += 1
+    return _next_anon_uid[0]
+
+
+def _load_simple(doc: PDFDocument, fd: dict, font: Font) -> None:
+    enc = doc.resolve(fd.get("Encoding"))
+    base_map = STANDARD
+    if isinstance(enc, Name):
+        base_map = {"WinAnsiEncoding": WIN_ANSI, "MacRomanEncoding": MAC_ROMAN,
+                    "StandardEncoding": STANDARD}.get(enc.name, STANDARD)
+        font.encoding = dict(base_map)
+    elif isinstance(enc, dict):
+        base = doc.resolve(enc.get("BaseEncoding"))
+        if isinstance(base, Name):
+            base_map = {"WinAnsiEncoding": WIN_ANSI, "MacRomanEncoding": MAC_ROMAN,
+                        "StandardEncoding": STANDARD}.get(base.name, STANDARD)
+        font.encoding = dict(base_map)
+        diffs = doc.resolve(enc.get("Differences")) or []
+        code = 0
+        for item in diffs:
+            item = doc.resolve(item)
+            if isinstance(item, (int, float)):
+                code = int(item)
+            elif isinstance(item, Name):
+                font.encoding[code] = glyph_to_unicode(item.name)
+                code += 1
+    else:
+        font.encoding = dict(base_map)
+
+    first = doc.resolve(fd.get("FirstChar"))
+    widths = doc.resolve(fd.get("Widths"))
+    if isinstance(first, (int, float)) and isinstance(widths, list):
+        for i, w in enumerate(widths):
+            w = doc.resolve(w)
+            if isinstance(w, (int, float)):
+                font.widths[int(first) + i] = float(w)
+    desc = doc.resolve(fd.get("FontDescriptor"))
+    if isinstance(desc, dict):
+        mw = doc.resolve(desc.get("MissingWidth"))
+        if isinstance(mw, (int, float)):
+            font.default_width = float(mw)
+
+
+def _descendant(doc: PDFDocument, fd: dict):
+    desc_fonts = doc.resolve(fd.get("DescendantFonts"))
+    if isinstance(desc_fonts, list) and desc_fonts:
+        df = doc.resolve(desc_fonts[0])
+        if isinstance(df, dict):
+            return df
+    return None
+
+
+def _load_type0(doc: PDFDocument, fd: dict, font: Font) -> None:
+    font.two_byte = True  # Identity-H/V and most embedded CMaps are 2-byte
+    df = _descendant(doc, fd)
+    if df is None:
+        return
+    dw = doc.resolve(df.get("DW"))
+    font.default_width = float(dw) if isinstance(dw, (int, float)) else 1000.0
+    w = doc.resolve(df.get("W"))
+    if isinstance(w, list):
+        i = 0
+        while i < len(w):
+            c = doc.resolve(w[i])
+            if i + 1 < len(w) and isinstance(doc.resolve(w[i + 1]), list):
+                arr = doc.resolve(w[i + 1])
+                for j, wv in enumerate(arr):
+                    wv = doc.resolve(wv)
+                    if isinstance(wv, (int, float)):
+                        font.widths[int(c) + j] = float(wv)
+                i += 2
+            elif i + 2 < len(w):
+                c2 = doc.resolve(w[i + 1])
+                wv = doc.resolve(w[i + 2])
+                if all(isinstance(v, (int, float)) for v in (c, c2, wv)):
+                    for code in range(int(c), int(c2) + 1):
+                        font.widths[code] = float(wv)
+                i += 3
+            else:
+                break

@@ -1,0 +1,268 @@
+"""Layout reconstruction: glyphs → words → lines → blocks → reading order.
+
+Re-expresses poppler's ``TextOutputDev``/``TextPage`` stages that the
+reference drives via ``displayPage``+``takeText``
+(``src/pdf_utils.cpp:523,526``) and whose internals its own
+``poppler.patch`` documents:
+
+* word building with gap/rotation breaks and space handling
+  (``poppler.patch:299-370`` — TextWord, SURVEY.md B10)
+* baseline clustering — poppler pools baselines in 4-pt buckets per
+  rotation (``poppler.patch:371-379,563`` — SURVEY.md B11)
+* line/block coalesce with word-gap and line-spacing heuristics
+  (SURVEY.md B12)
+* reading order via recursive XY-cut — a public-literature stand-in for
+  poppler's ``visitDepthFirst`` before/after rules
+  (``poppler.patch:404-428`` — SURVEY.md B13)
+* per-word rotation frames (``poppler.patch:343-346`` — SURVEY.md B14)
+* combining-char normalization (NFC) (``poppler.patch:85,312-316`` —
+  SURVEY.md B15)
+
+Thresholds are expressed in em units (× font size), the same
+parameterization poppler uses; they are module constants so tests can
+pin them.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from dataclasses import dataclass, field
+
+from .content import Glyph
+from .fonts import Font
+
+MIN_WORD_BREAK_SPACE = 0.10  # horizontal gap that splits words (em)
+MAX_INTRA_LINE_DELTA = 0.20  # baseline delta within one line (em)
+MAX_INTRA_LINE_GAP = 1.50  # horizontal gap that splits line fragments (em)
+MAX_BLOCK_SPACING = 1.80  # baseline-to-baseline gap that splits blocks (em)
+BASELINE_POOL_PT = 4.0  # poppler pools baselines in 4-pt buckets
+
+
+@dataclass
+class Char:
+    text: str
+    font: Font
+    bbox: tuple[float, float, float, float]
+
+
+@dataclass
+class Word:
+    chars: list[Char] = field(default_factory=list)
+    rot: int = 0
+    base: float = 0.0  # baseline in rotation frame
+    u0: float = 0.0  # start along baseline (rotation frame)
+    u1: float = 0.0  # end along baseline
+    size: float = 0.0
+
+    def get_text(self) -> str:
+        return "".join(c.text for c in self.chars)
+
+    def bbox(self) -> tuple[float, float, float, float]:
+        xs0, ys0, xs1, ys1 = zip(*(c.bbox for c in self.chars))
+        return (min(xs0), min(ys0), max(xs1), max(ys1))
+
+
+@dataclass
+class Line:
+    words: list[Word] = field(default_factory=list)
+    rot: int = 0
+    base: float = 0.0
+
+    def bbox(self) -> tuple[float, float, float, float]:
+        xs0, ys0, xs1, ys1 = zip(*(w.bbox() for w in self.words))
+        return (min(xs0), min(ys0), max(xs1), max(ys1))
+
+    def size(self) -> float:
+        return max((w.size for w in self.words), default=0.0)
+
+
+@dataclass
+class Block:
+    lines: list[Line] = field(default_factory=list)
+    rot: int = 0
+
+    def bbox(self) -> tuple[float, float, float, float]:
+        xs0, ys0, xs1, ys1 = zip(*(ln.bbox() for ln in self.lines))
+        return (min(xs0), min(ys0), max(xs1), max(ys1))
+
+    def line_count(self) -> int:
+        return len(self.lines)
+
+
+def _frame(g: Glyph) -> tuple[float, float]:
+    """(u, v): u along the baseline direction, v the cross direction.
+
+    Matches poppler keeping one pool per rotation
+    (``poppler.patch:563``: ``TextPool *pools[4]``)."""
+    if g.rot == 0:
+        return g.x, g.y
+    if g.rot == 1:
+        return g.y, -g.x
+    if g.rot == 2:
+        return -g.x, -g.y
+    return -g.y, g.x
+
+
+def build_words(glyphs: list[Glyph]) -> list[Word]:
+    """B10: glyph stream → words.  Space glyphs delimit but are dropped
+    (poppler's addChar ends the word on 0x20 and sets spaceAfter);
+    breaks on rotation change, baseline jump, or gap >
+    ``MIN_WORD_BREAK_SPACE``·em.  Combining marks are merged via NFC
+    at word end (B15)."""
+    words: list[Word] = []
+    cur: Word | None = None
+
+    def flush() -> None:
+        nonlocal cur
+        if cur is not None and cur.chars:
+            for c in cur.chars:
+                c.text = unicodedata.normalize("NFC", c.text)
+            words.append(cur)
+        cur = None
+
+    for g in glyphs:
+        if g.is_space or g.text == "":
+            flush()
+            continue
+        u, v = _frame(g)
+        size = g.size if g.size > 0 else 1.0
+        if cur is not None:
+            gap = u - cur.u1
+            if (
+                g.rot != cur.rot
+                or abs(v - cur.base) > MAX_INTRA_LINE_DELTA * max(size, cur.size)
+                or gap > MIN_WORD_BREAK_SPACE * max(size, cur.size)
+                or gap < -MIN_WORD_BREAK_SPACE * max(size, cur.size) * 4
+            ):
+                flush()
+        if cur is None:
+            cur = Word(rot=g.rot, base=v, u0=u, u1=u, size=size)
+        cur.chars.append(Char(g.text, g.font, g.bbox()))
+        cur.u1 = u + g.adv
+        cur.size = max(cur.size, size)
+    flush()
+    return words
+
+
+def build_lines(words: list[Word]) -> list[Line]:
+    """B11+B12a: cluster words into baseline pools, then into line
+    fragments split at column-sized gaps."""
+    lines: list[Line] = []
+    by_rot: dict[int, list[Word]] = {}
+    for w in words:
+        by_rot.setdefault(w.rot, []).append(w)
+    for rot, ws in by_rot.items():
+        # pool by baseline: sort by v then cluster within em tolerance
+        ws.sort(key=lambda w: (round(w.base / BASELINE_POOL_PT), w.base, w.u0))
+        clusters: list[list[Word]] = []
+        for w in sorted(ws, key=lambda w: w.base):
+            placed = False
+            for cl in clusters:
+                ref = cl[-1]
+                if abs(w.base - ref.base) <= MAX_INTRA_LINE_DELTA * max(w.size, ref.size):
+                    cl.append(w)
+                    placed = True
+                    break
+            if not placed:
+                clusters.append([w])
+        for cl in clusters:
+            cl.sort(key=lambda w: w.u0)
+            frag: list[Word] = []
+            for w in cl:
+                if frag and (w.u0 - frag[-1].u1) > MAX_INTRA_LINE_GAP * max(w.size, frag[-1].size):
+                    lines.append(Line(frag, rot, sum(x.base for x in frag) / len(frag)))
+                    frag = []
+                frag.append(w)
+            if frag:
+                lines.append(Line(frag, rot, sum(x.base for x in frag) / len(frag)))
+    return lines
+
+
+def _uv_extent(line: Line) -> tuple[float, float]:
+    return (min(w.u0 for w in line.words), max(w.u1 for w in line.words))
+
+
+def build_blocks(lines: list[Line]) -> list[Block]:
+    """B12b: merge vertically-adjacent, horizontally-overlapping lines
+    into blocks; split at paragraph-sized leading."""
+    blocks: list[Block] = []
+    by_rot: dict[int, list[Line]] = {}
+    for ln in lines:
+        by_rot.setdefault(ln.rot, []).append(ln)
+    for rot, lns in by_rot.items():
+        lns.sort(key=lambda ln: (ln.base, _uv_extent(ln)[0]))
+        open_blocks: list[Block] = []
+        for ln in lns:
+            lu0, lu1 = _uv_extent(ln)
+            target = None
+            for blk in open_blocks:
+                last = blk.lines[-1]
+                bu0, bu1 = _uv_extent(last)
+                overlap = min(lu1, bu1) - max(lu0, bu0)
+                gap = ln.base - last.base
+                if overlap > 0 and 0 < gap <= MAX_BLOCK_SPACING * max(ln.size(), last.size()):
+                    target = blk
+                    break
+            if target is None:
+                target = Block(rot=rot)
+                open_blocks.append(target)
+                blocks.append(target)
+            target.lines.append(ln)
+    return blocks
+
+
+def _xy_cut(blocks: list[Block], vertical_first: bool = False) -> list[Block]:
+    """Recursive XY-cut ordering — public-domain document-layout
+    algorithm (Nagy & Seth 1984) standing in for poppler's
+    ``visitDepthFirst`` rules; identical results on axis-aligned
+    column layouts."""
+    if len(blocks) <= 1:
+        return list(blocks)
+    boxes = [b.bbox() for b in blocks]
+
+    def gaps(axis: int) -> list[float]:
+        # axis 0 = split on y (horizontal cut), 1 = split on x
+        lo_i, hi_i = (1, 3) if axis == 0 else (0, 2)
+        ivs = sorted((bx[lo_i], bx[hi_i]) for bx in boxes)
+        out = []
+        cur_end = ivs[0][1]
+        for lo, hi in ivs[1:]:
+            if lo > cur_end + 1e-6:
+                out.append((cur_end + lo) / 2.0)
+            cur_end = max(cur_end, hi)
+        return out
+
+    order = (0, 1) if not vertical_first else (1, 0)
+    for axis in order:
+        cuts = gaps(axis)
+        if cuts:
+            cut = cuts[0] if axis == 0 else cuts[len(cuts) // 2]
+            lo_i = 1 if axis == 0 else 0
+            first = [b for b, bx in zip(blocks, boxes) if bx[lo_i] < cut]
+            second = [b for b, bx in zip(blocks, boxes) if bx[lo_i] >= cut]
+            if first and second:
+                return _xy_cut(first, axis == 0) + _xy_cut(second, axis == 0)
+    return sorted(blocks, key=lambda b: (b.bbox()[1], b.bbox()[0]))
+
+
+def reading_order(blocks: list[Block]) -> list[Block]:
+    """B13: primary-rotation blocks first in XY-cut order, then other
+    rotations (poppler computes a primary rotation and flows the rest
+    after — ``poppler.patch:566-569``)."""
+    if not blocks:
+        return []
+    counts: dict[int, int] = {}
+    for b in blocks:
+        counts[b.rot] = counts.get(b.rot, 0) + sum(len(w.chars) for ln in b.lines for w in ln.words)
+    primary = max(counts, key=lambda r: counts[r])
+    prim = [b for b in blocks if b.rot == primary]
+    rest = [b for b in blocks if b.rot != primary]
+    out = _xy_cut(prim)
+    for rot in sorted({b.rot for b in rest}):
+        out += _xy_cut([b for b in rest if b.rot == rot])
+    return out
+
+
+def layout_page(glyphs: list[Glyph]) -> list[Block]:
+    """Full B10→B13 pipeline for one page's glyph stream."""
+    return reading_order(build_blocks(build_lines(build_words(glyphs))))

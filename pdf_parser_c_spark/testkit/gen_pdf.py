@@ -1,0 +1,257 @@
+"""Deterministic fixture-PDF writer (FIXTURES.md §2, §5).
+
+The reference ships no tests (SURVEY.md §5), so correctness is anchored
+to PDFs we generate ourselves: the writer knows exactly what text it
+embedded, making it the golden oracle for per-turn text equality.
+
+Produces spec-conformant PDF 1.7 bytes covering every payload class:
+uncompressed and Flate content streams, classic xref tables and xref
+streams + object streams, WinAnsi //Differences//ToUnicode fonts,
+TJ/Tm/Td positioning, ActualText spans, multi-column pages, footers
+with page numbers, and emphasized headings.  No randomness anywhere.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+
+
+def esc(s: str) -> str:
+    """Escape a PDF literal string (latin-1/WinAnsi byte payload)."""
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+@dataclass
+class FontSpec:
+    base: str = "Helvetica"
+    encoding: str | None = "WinAnsiEncoding"
+    differences: list | None = None  # e.g. [65, "quotedblleft", 66, "bullet"]
+    tounicode: dict[int, str] | None = None  # code -> unicode string
+    widths: float = 500.0  # uniform width for codes 32..255
+    first_char: int = 32
+    last_char: int = 255
+    flags: int | None = None
+
+    def is_bold(self) -> bool:
+        return "Bold" in self.base
+
+    def is_italic(self) -> bool:
+        return "Oblique" in self.base or "Italic" in self.base
+
+
+@dataclass
+class PageSpec:
+    content: str  # content-stream source (uncompressed text)
+    mediabox: tuple[float, float, float, float] = (0, 0, 612, 792)
+    fonts: list[str] = field(default_factory=list)  # resource names used
+
+
+def _tounicode_stream(mapping: dict[int, str]) -> bytes:
+    lines = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin begincmap",
+        "/CMapName /Adobe-Identity-UCS def /CMapType 2 def",
+        "1 begincodespacerange <00> <FF> endcodespacerange",
+        f"{len(mapping)} beginbfchar",
+    ]
+    for code, uni in sorted(mapping.items()):
+        dst = "".join(f"{ord(c):04X}" for c in uni)
+        lines.append(f"<{code:02X}> <{dst}>")
+    lines += ["endbfchar", "endcmap", "CMapName currentdict /CMap defineresource pop",
+              "end end"]
+    return "\n".join(lines).encode("latin-1")
+
+
+class PDFWriter:
+    """Assembles objects and serializes with classic or stream xref."""
+
+    def __init__(self) -> None:
+        self.objects: dict[int, bytes] = {}
+        self.streams: dict[int, tuple[bytes, bytes]] = {}  # num -> (dict body, raw)
+        self.next_num = 1
+
+    def add(self, body: str) -> int:
+        num = self.next_num
+        self.next_num += 1
+        self.objects[num] = body.encode("latin-1")
+        return num
+
+    def add_stream(self, dict_body: str, data: bytes, compress: bool = False) -> int:
+        num = self.next_num
+        self.next_num += 1
+        extra = ""
+        if compress:
+            data = zlib.compress(data)
+            extra = " /Filter /FlateDecode"
+        d = f"<< {dict_body} /Length {len(data)}{extra} >>"
+        self.streams[num] = (d.encode("latin-1"), data)
+        return num
+
+    def reserve(self) -> int:
+        num = self.next_num
+        self.next_num += 1
+        return num
+
+    def set(self, num: int, body: str) -> None:
+        self.objects[num] = body.encode("latin-1")
+
+    def serialize(self, root: int, info: int | None = None,
+                  xref_stream: bool = False, objstm: bool = False) -> bytes:
+        out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+        offsets: dict[int, int] = {}
+        in_objstm: dict[int, int] = {}  # num -> index in objstm
+
+        plain_objs = dict(self.objects)
+        objstm_num = None
+        if objstm and xref_stream:
+            # pack non-stream objects (except the root-path essentials
+            # staying plain for robustness variety) into one /ObjStm
+            packed = {n: b for n, b in plain_objs.items() if n != root}
+            if packed:
+                objstm_num = self.next_num
+                self.next_num += 1
+                header = []
+                body = bytearray()
+                for i, (n, b) in enumerate(sorted(packed.items())):
+                    header.append(f"{n} {len(body)}")
+                    body += b + b"\n"
+                    in_objstm[n] = i
+                    del plain_objs[n]
+                hdr = (" ".join(header) + "\n").encode("latin-1")
+                payload = zlib.compress(hdr + bytes(body))
+                d = (f"<< /Type /ObjStm /N {len(packed)} /First {len(hdr)} "
+                     f"/Length {len(payload)} /Filter /FlateDecode >>")
+                self.streams[objstm_num] = (d.encode("latin-1"), payload)
+
+        for num in sorted(set(plain_objs) | set(self.streams)):
+            offsets[num] = len(out)
+            if num in plain_objs:
+                out += f"{num} 0 obj\n".encode() + plain_objs[num] + b"\nendobj\n"
+            else:
+                d, data = self.streams[num]
+                out += f"{num} 0 obj\n".encode() + d + b"\nstream\n" + data + b"\nendstream\nendobj\n"
+
+        size = self.next_num + (1 if xref_stream else 0)
+        info_part = f" /Info {info} 0 R" if info else ""
+        if not xref_stream:
+            xref_off = len(out)
+            out += f"xref\n0 {size}\n".encode()
+            out += b"0000000000 65535 f \n"
+            for num in range(1, size):
+                off = offsets.get(num, 0)
+                out += f"{off:010d} 00000 n \n".encode()
+            out += (f"trailer\n<< /Size {size} /Root {root} 0 R{info_part} >>\n"
+                    f"startxref\n{xref_off}\n%%EOF\n").encode()
+        else:
+            xref_num = self.next_num
+            self.next_num += 1
+            rows = bytearray()
+            rows += (0).to_bytes(1, "big") + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+            for num in range(1, xref_num + 1):
+                if num in in_objstm:
+                    rows += (2).to_bytes(1, "big") + objstm_num.to_bytes(4, "big") + in_objstm[num].to_bytes(2, "big")
+                elif num == xref_num:
+                    pass  # filled after we know the offset
+                else:
+                    rows += (1).to_bytes(1, "big") + offsets.get(num, 0).to_bytes(4, "big") + (0).to_bytes(2, "big")
+            xref_off = len(out)
+            rows += (1).to_bytes(1, "big") + xref_off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+            payload = zlib.compress(bytes(rows))
+            d = (f"<< /Type /XRef /Size {xref_num + 1} /W [1 4 2] "
+                 f"/Root {root} 0 R{info_part} /Length {len(payload)} /Filter /FlateDecode >>")
+            out += f"{xref_num} 0 obj\n".encode() + d.encode() + b"\nstream\n" + payload + b"\nendstream\nendobj\n"
+            out += f"startxref\n{xref_off}\n%%EOF\n".encode()
+        return bytes(out)
+
+
+def build_pdf(
+    pages: list[PageSpec],
+    fonts: dict[str, FontSpec],
+    title: str | None = None,
+    compress: bool = False,
+    xref_stream: bool = False,
+    objstm: bool = False,
+) -> bytes:
+    w = PDFWriter()
+    catalog = w.reserve()
+    pages_num = w.reserve()
+    info = w.add(f"<< /Title ({esc(title)}) >>") if title is not None else None
+
+    font_nums: dict[str, int] = {}
+    for name, spec in fonts.items():
+        enc = ""
+        if spec.differences is not None:
+            items = []
+            for it in spec.differences:
+                items.append(str(it) if isinstance(it, int) else f"/{it}")
+            base = f"/BaseEncoding /{spec.encoding} " if spec.encoding else ""
+            enc = f" /Encoding << {base}/Differences [ {' '.join(items)} ] >>"
+        elif spec.encoding:
+            enc = f" /Encoding /{spec.encoding}"
+        tu = ""
+        if spec.tounicode:
+            tu_num = w.add_stream("", _tounicode_stream(spec.tounicode), compress=compress)
+            tu = f" /ToUnicode {tu_num} 0 R"
+        n_w = spec.last_char - spec.first_char + 1
+        widths = " ".join([str(int(spec.widths))] * n_w)
+        flags = spec.flags
+        if flags is None:
+            flags = 32 | (1 << 6 if spec.is_italic() else 0) | (1 << 18 if spec.is_bold() else 0)
+        fd = w.add(
+            f"<< /Type /FontDescriptor /FontName /{spec.base} /Flags {flags} "
+            f"/FontBBox [0 -250 1000 750] /ItalicAngle {-12 if spec.is_italic() else 0} "
+            f"/Ascent 750 /Descent -250 /CapHeight 700 /StemV {140 if spec.is_bold() else 80} "
+            f"{'/FontWeight 700 ' if spec.is_bold() else ''}>>"
+        )
+        font_nums[name] = w.add(
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /{spec.base} "
+            f"/FirstChar {spec.first_char} /LastChar {spec.last_char} "
+            f"/Widths [ {widths} ] /FontDescriptor {fd} 0 R{enc}{tu} >>"
+        )
+
+    page_nums = []
+    for page in pages:
+        used = page.fonts or list(fonts)
+        res = " ".join(f"/{n} {font_nums[n]} 0 R" for n in used if n in font_nums)
+        content_num = w.add_stream("", page.content.encode("latin-1"), compress=compress)
+        mb = " ".join(str(v) for v in page.mediabox)
+        pn = w.add(
+            f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [ {mb} ] "
+            f"/Resources << /Font << {res} >> >> /Contents {content_num} 0 R >>"
+        )
+        page_nums.append(pn)
+
+    kids = " ".join(f"{n} 0 R" for n in page_nums)
+    w.set(pages_num, f"<< /Type /Pages /Kids [ {kids} ] /Count {len(page_nums)} >>")
+    w.set(catalog, f"<< /Type /Catalog /Pages {pages_num} 0 R >>")
+    return w.serialize(catalog, info, xref_stream=xref_stream, objstm=objstm)
+
+
+# ---------------- content-stream helpers ----------------
+
+
+def tj(x: float, y: float, font: str, size: float, text: str) -> str:
+    return f"BT /{font} {size} Tf {x} {y} Td ({esc(text)}) Tj ET\n"
+
+
+def text_block(x: float, y: float, leading: float, runs: list[list[tuple[str, float, str]]]) -> str:
+    """Multi-line block: ``runs[line] = [(font, size, text), ...]``.
+    Uses Td/T* line stepping — the common word-processor shape."""
+    out = [f"BT {x} {y} Td {leading} TL\n"]
+    for i, line in enumerate(runs):
+        if i > 0:
+            out.append("T*\n")
+        for font, size, text in line:
+            out.append(f"/{font} {size} Tf ({esc(text)}) Tj ")
+        out.append("\n")
+    out.append("ET\n")
+    return "".join(out)
+
+
+def actual_text_span(x: float, y: float, font: str, size: float,
+                     shown: str, actual: str) -> str:
+    return (
+        f"BT /{font} {size} Tf {x} {y} Td "
+        f"/Span << /ActualText ({esc(actual)}) >> BDC ({esc(shown)}) Tj EMC ET\n"
+    )
