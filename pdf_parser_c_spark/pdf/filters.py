@@ -67,7 +67,8 @@ def lzw_decode(data: bytes, params: dict | None = None) -> bytes:
                 table.append(entry)
             out += entry
             prev = entry
-            if len(table) + early - 1 >= (1 << width) and width < 12:
+            # EarlyChange: width grows when nextCode+early hits 2^width
+            if len(table) + early >= (1 << width) and width < 12:
                 width += 1
     return _apply_predictor(bytes(out), params)
 

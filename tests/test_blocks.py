@@ -1,0 +1,217 @@
+"""A4-A12, A18: per-block kernel — footer/page-number, emphasis runs,
+paragraph assembly, title classification."""
+
+from pdf_parser_c_spark.extract.blocks import (
+    CASE_ALL_UPPER,
+    CASE_FIRST_ONLY_UPPER,
+    EMPH_DOUBLE_QUOTE,
+    EMPH_NONE,
+    EMPH_SINGLE_QUOTE,
+    PREFIX_ALPHABET,
+    PREFIX_BULLET,
+    PREFIX_NONE,
+    PREFIX_NUMBER_DOT,
+    PREFIX_ROMAN,
+    extract_text_block_information,
+    is_all_lower_case,
+    is_all_upper_case,
+)
+from tests.test_layout import blocks_of
+
+FOOTER_Y0 = 792.0 - 60.0
+
+
+def info_of(content: str, analyze=True, fonts=None):
+    from tests.test_layout import FONTS
+
+    blks = blocks_of(content, fonts or FONTS)
+    assert len(blks) == 1, [b.lines for b in blks]
+    return extract_text_block_information(blks[0], analyze, FOOTER_Y0)
+
+
+def heading(pre: str, title: str, post: str = "", y=700) -> str:
+    out = f"BT /F1 12 Tf 72 {y} Td "
+    if pre:
+        out += f"({pre}) Tj "
+    out += f"/F2 12 Tf ({title}) Tj "
+    if post:
+        out += f"/F1 12 Tf ({post}) Tj "
+    return out + "ET\n"
+
+
+# ---- A18 casing predicates (none-of semantics) ----
+
+
+def test_casing_none_of_semantics():
+    assert is_all_upper_case("ABC-123")  # digits/punct count as upper
+    assert is_all_lower_case("abc-123")
+    assert not is_all_upper_case("Abc")
+    assert not is_all_lower_case("Abc")
+    assert is_all_upper_case("")
+    assert is_all_lower_case("")
+
+
+# ---- A5 page-number classifier ----
+
+
+def test_page_number_match():
+    from pdf_parser_c_spark.testkit.gen_pdf import tj
+
+    info = info_of(tj(300, 20, "F1", 10, "- 3 -"))
+    assert info.is_page_number
+
+
+def test_page_number_full_match_anchoring():
+    from pdf_parser_c_spark.testkit.gen_pdf import tj
+
+    # "Page 3 of 10" must NOT match: regex_match anchors both ends
+    info = info_of(tj(260, 20, "F1", 10, "Page 3 of 10"))
+    assert not info.is_page_number
+
+
+def test_page_number_requires_analysis_phase():
+    from pdf_parser_c_spark.testkit.gen_pdf import tj
+
+    info = info_of(tj(300, 20, "F1", 10, "7"), analyze=False)
+    assert not info.is_page_number
+    assert info.partial_paragraph_content == ""  # footer body never scanned
+
+
+def test_body_block_not_page_number():
+    from pdf_parser_c_spark.testkit.gen_pdf import tj
+
+    info = info_of(tj(72, 400, "F1", 12, "42"))
+    assert not info.is_page_number  # not in footer region
+    assert info.partial_paragraph_content == "42 "
+
+
+# ---- A7/A8/A9 char normalize, emphasis runs, assembly ----
+
+
+def test_paragraph_space_after_every_word():
+    from pdf_parser_c_spark.testkit.gen_pdf import tj
+
+    info = info_of(tj(72, 400, "F1", 12, "one two"))
+    assert info.partial_paragraph_content == "one two "  # trailing space kept
+
+
+def test_smart_double_quotes_normalized():
+    from pdf_parser_c_spark.testkit.gen_pdf import FontSpec, tj
+
+    fonts = {
+        "F1": FontSpec("Helvetica", encoding="WinAnsiEncoding"),
+        "F2": FontSpec("Helvetica-Bold"),
+    }
+    # WinAnsi 0x93/0x94 are the smart double quotes
+    info = info_of(tj(72, 400, "F1", 12, "\x93x\x94"), fonts=fonts)
+    assert info.partial_paragraph_content == '"x" '
+
+
+def test_emphasis_run_segmentation():
+    c = heading("plain ", "Bold Words", " tail")
+    info = info_of(c)
+    assert info.emphasized_words[0] == "Bold Words"
+
+
+def test_emphasis_run_continues_while_font_same():
+    # two bold words: one run, space-joined, trimmed
+    info = info_of(heading("", "Alpha Beta"))
+    assert info.emphasized_words == ["Alpha Beta"]
+
+
+def test_two_runs_split_by_regular_font():
+    c = "BT /F1 12 Tf 72 700 Td /F2 12 Tf (One) Tj /F1 12 Tf ( mid ) Tj /F2 12 Tf (Two) Tj ET\n"
+    info = info_of(c)
+    assert info.emphasized_words == ["One", "Two"]
+
+
+# ---- A10-A12 title classification ----
+
+
+def test_title_number_dot_prefix():
+    info = info_of(heading("1.2. ", "Section Title", " content here"))
+    tf = info.title_format
+    assert tf is not None and tf.prefix == PREFIX_NUMBER_DOT
+    assert tf.emphasize_style == EMPH_NONE
+    assert tf.title_case == CASE_FIRST_ONLY_UPPER
+    assert tf.same_line_with_content is True
+    # title+prefix cut from content head
+    assert info.partial_paragraph_content == " content here "
+
+
+def test_title_bullet_prefix():
+    for b in "*+-":
+        info = info_of(heading(f"{b} ", "Bullet Title"))
+        assert info.title_format.prefix == PREFIX_BULLET
+
+
+def test_title_alphabet_vs_roman_overwrite_order():
+    # "(i)" matches both alphabet and roman; roman is applied later → wins
+    info = info_of(heading("(i) ", "Roman Wins"))
+    assert info.title_format.prefix == PREFIX_ROMAN
+    info2 = info_of(heading("(b) ", "Alpha Here"))
+    assert info2.title_format.prefix == PREFIX_ALPHABET
+    info3 = info_of(heading("(xviii) ", "Longest Roman"))
+    assert info3.title_format.prefix == PREFIX_ROMAN  # 5 letters: inside {1,5}
+    info4 = info_of(heading("(ivxivx) ", "Too Long For Roman"))
+    assert info4.title_format is None  # 6 letters: outside {1,5}
+
+
+def test_title_single_quote_style():
+    info = info_of(heading("1. '", "Quoted Title", "' rest"))
+    tf = info.title_format
+    assert tf is not None
+    assert tf.prefix == PREFIX_NUMBER_DOT and tf.emphasize_style == EMPH_SINGLE_QUOTE
+    # prefix+title+closing-quote erased from the head
+    assert info.partial_paragraph_content == " rest "
+
+
+def test_title_double_quote_no_prefix():
+    info = info_of(heading('"', "Plain Quoted", '" tail'))
+    tf = info.title_format
+    assert tf is not None
+    assert tf.prefix == PREFIX_NONE and tf.emphasize_style == EMPH_DOUBLE_QUOTE
+
+
+def test_title_no_prefix_own_block():
+    info = info_of(heading("", "Standalone Heading"))
+    tf = info.title_format
+    assert tf is not None and tf.prefix == PREFIX_NONE
+    assert info.partial_paragraph_content == ""
+
+
+def test_title_no_prefix_colon():
+    c = "BT /F1 12 Tf 72 700 Td /F2 12 Tf (Note) Tj /F1 12 Tf (: details here) Tj ET\n"
+    info = info_of(c)
+    assert info.title_format is not None
+    # substr(pos+1) removes the colon but keeps the following space
+    assert info.partial_paragraph_content == " details here "
+
+
+def test_title_all_upper_forces_same_line_false():
+    info = info_of(heading("", "ALL UPPER HEAD"))
+    tf = info.title_format
+    assert tf.title_case == CASE_ALL_UPPER and tf.same_line_with_content is False
+
+
+def test_no_title_when_first_run_all_lower():
+    info = info_of(heading("", "lowercase run"))
+    assert info.title_format is None
+
+
+def test_no_title_when_too_long():
+    info = info_of(heading("", "X" * 100))
+    assert info.title_format is None
+
+
+def test_later_run_prefix_capture_quirk():
+    """Prefix captured at a LATER run start when the first run opens the
+    block (src/pdf_utils.cpp:229-240): classification then fails on the
+    multi-word prefix — bug-compatible."""
+    c = (
+        "BT /F1 12 Tf 72 700 Td /F2 12 Tf (Head) Tj "
+        "/F1 12 Tf ( middle words ) Tj /F2 12 Tf (Tail) Tj ET\n"
+    )
+    info = info_of(c)
+    assert info.emphasized_words == ["Head", "Tail"]
+    assert info.title_format is None

@@ -1,0 +1,90 @@
+"""B7+B9: content-stream interpreter — positioning ops, kerning,
+ActualText replacement, form XObjects."""
+
+from pdf_parser_c_spark.pdf.content import ContentInterpreter
+from pdf_parser_c_spark.pdf.cos import PDFDocument
+from pdf_parser_c_spark.testkit.gen_pdf import (
+    FontSpec,
+    PageSpec,
+    actual_text_span,
+    build_pdf,
+)
+
+FONTS = {"F1": FontSpec("Helvetica")}
+
+
+def glyphs_of(content: str, fonts=FONTS):
+    pdf = build_pdf([PageSpec(content)], fonts)
+    doc = PDFDocument.open(pdf)
+    page = doc.pages()[0]
+    interp = ContentInterpreter(doc, doc.page_mediabox(page))
+    return interp.run(doc.page_content(page), doc.dget(page, "Resources"))
+
+
+def text_of(content: str, fonts=FONTS) -> str:
+    return "".join(g.text for g in glyphs_of(content, fonts))
+
+
+def test_tj_basic_and_device_flip():
+    gl = glyphs_of("BT /F1 12 Tf 72 700 Td (Hi) Tj ET\n")
+    assert [g.text for g in gl] == ["H", "i"]
+    assert gl[0].x == 72.0 and gl[0].y == 792.0 - 700  # y-down device space
+    assert gl[1].x == 72.0 + 0.5 * 12  # uniform 500/1000 widths
+
+
+def test_td_tstar_lines():
+    gl = glyphs_of("BT /F1 12 Tf 72 700 Td 14 TL (A) Tj T* (B) Tj ET\n")
+    assert gl[1].y - gl[0].y == 14.0  # next line is lower on the page
+
+
+def test_tm_and_tj_kerning():
+    gl = glyphs_of("BT /F1 10 Tf 1 0 0 1 100 100 Tm [(A) -200 (B)] TJ ET\n")
+    # advance 0.5*10 plus kerning gap 200/1000*10 = 2
+    assert abs((gl[1].x - gl[0].x) - (5.0 + 2.0)) < 1e-9
+
+
+def test_tc_tz_spacing():
+    gl = glyphs_of("BT /F1 10 Tf 2 Tc 50 Tz 72 700 Td (AB) Tj ET\n")
+    # h_scale 0.5: advance (0.5*10 + 2) * 0.5 = 3.5
+    assert abs((gl[1].x - gl[0].x) - 3.5) < 1e-9
+
+
+def test_quote_ops_and_leading():
+    gl = glyphs_of("BT /F1 12 Tf 72 700 Td 15 TL (A) Tj (B) ' ET\n")
+    assert gl[1].y - gl[0].y == 15.0
+
+
+def test_cm_q_Q():
+    gl = glyphs_of("q 2 0 0 2 0 0 cm BT /F1 12 Tf 10 10 Td (A) Tj ET Q BT /F1 12 Tf 10 10 Td (B) Tj ET\n")
+    a, b = gl
+    assert a.size == 24.0 and b.size == 12.0  # scaled inside q..Q only
+    assert a.x == 20.0 and b.x == 10.0
+
+
+def test_rotated_text_rot1():
+    # 90° CCW rotation matrix in Tm
+    gl = glyphs_of("BT /F1 12 Tf 0 1 -1 0 300 300 Tm (AB) Tj ET\n")
+    assert all(g.rot in (1, 3) for g in gl)
+    assert abs(gl[0].x - gl[1].x) < 1e-9  # advances along device y
+
+
+def test_actual_text_replacement():
+    # shown glyphs "xz" replaced by the span's ActualText
+    content = actual_text_span(72, 700, "F1", 12, "xz", "fish")
+    assert text_of(content) == "fish"
+
+
+def test_actual_text_extents_spread():
+    gl = glyphs_of(actual_text_span(72, 700, "F1", 12, "abcd", "xy"))
+    assert [g.text for g in gl] == ["x", "y"]
+    total = 4 * 0.5 * 12
+    assert abs(gl[0].adv - total / 2) < 1e-9
+    assert gl[0].x == 72.0
+
+
+def test_render_mode_invisible_skipped():
+    assert text_of("BT /F1 12 Tf 3 Tr 72 700 Td (ghost) Tj 0 Tr (seen) Tj ET\n") == "seen"
+
+
+def test_malformed_operands_tolerated():
+    assert text_of("BT /F1 12 Tf 72 700 Td (ok) Tj /Bogus garbage ET\n") == "ok"

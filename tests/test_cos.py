@@ -1,0 +1,98 @@
+"""B1-B3, B5, B6: header, lexer/parser, xref table/stream, objstm,
+encryption gate, pages tree."""
+
+import pytest
+
+from pdf_parser_c_spark.pdf.cos import (
+    Lexer,
+    Name,
+    Parser,
+    PDFDocument,
+    PDFEncryptedError,
+    PDFSyntaxError,
+    Ref,
+)
+from pdf_parser_c_spark.testkit.gen_pdf import FontSpec, PageSpec, build_pdf, tj
+
+FONTS = {"F1": FontSpec("Helvetica")}
+
+
+def one_page(**kw) -> bytes:
+    return build_pdf([PageSpec(tj(72, 700, "F1", 12, "Hello world"))], FONTS, **kw)
+
+
+def test_lexer_tokens():
+    lex = Lexer(b"/Name 42 -3.5 (str\\)x) <48656c> [1 2] << /K true >> null")
+    assert lex.next_token() == ("name", Name("Name"))
+    assert lex.next_token() == ("num", 42)
+    assert lex.next_token() == ("num", -3.5)
+    assert lex.next_token() == ("str", b"str)x")
+    assert lex.next_token() == ("str", b"Hel")
+
+
+def test_parser_nested():
+    p = Parser(b"<< /A [1 2 R 3] /B << /C (x) >> >>")
+    obj = p.parse_object()
+    assert obj["A"] == [Ref(1, 2), 3]
+    assert obj["B"]["C"] == b"x"
+
+
+def test_literal_string_escapes():
+    p = Parser(rb"(a\n\t\050\)b\\ (nested) c)")
+    assert p.parse_object() == b"a\n\t()b\\ (nested) c"
+
+
+def test_name_hex_escape():
+    p = Parser(b"/A#20B")
+    assert p.parse_object() == Name("A B")
+
+
+def test_header_and_version():
+    doc = PDFDocument.open(one_page())
+    assert doc.version == "1.7"
+    assert len(doc.pages()) == 1
+
+
+def test_bad_magic():
+    with pytest.raises(PDFSyntaxError):
+        PDFDocument.open(b"not a pdf at all")
+
+
+def test_encrypted_rejected():
+    pdf = one_page()
+    # splice an /Encrypt key into the trailer
+    broken = pdf.replace(b"/Size", b"/Encrypt 99 0 R /Size")
+    with pytest.raises(PDFEncryptedError):
+        PDFDocument.open(broken)
+
+
+def test_xref_stream_and_objstm():
+    pdf = one_page(xref_stream=True, objstm=True)
+    assert b"/ObjStm" in pdf and b"/XRef" in pdf and b"\nxref\n" not in pdf
+    doc = PDFDocument.open(pdf)
+    pages = doc.pages()
+    assert len(pages) == 1
+    assert doc.page_content(pages[0]).startswith(b"BT")
+
+
+def test_damaged_xref_reconstruction():
+    pdf = one_page()
+    # corrupt the startxref offset → forces the salvage scan
+    broken = pdf.replace(b"startxref", b"startxref\n999999\n%%EOF\nstartxref", 1)
+    doc = PDFDocument.open(broken)
+    assert len(doc.pages()) == 1
+
+
+def test_doc_info_title():
+    doc = PDFDocument.open(one_page(title="T (x)"))
+    assert doc.doc_info_title() == "T (x)"
+    doc2 = PDFDocument.open(one_page())
+    assert doc2.doc_info_title() == ""
+
+
+def test_mediabox_inheritance():
+    pdf = build_pdf(
+        [PageSpec(tj(10, 10, "F1", 8, "x"), mediabox=(0, 0, 200, 400))], FONTS
+    )
+    doc = PDFDocument.open(pdf)
+    assert doc.page_mediabox(doc.pages()[0]) == (0, 0, 200, 400)

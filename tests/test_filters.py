@@ -1,0 +1,134 @@
+"""B4: stream filters (reference Jenkinsfile:32 — text-only codecs)."""
+
+import zlib
+
+import pytest
+
+from pdf_parser_c_spark.pdf.filters import (
+    FilterError,
+    ascii85_decode,
+    ascii_hex_decode,
+    decode_stream,
+    flate_decode,
+    lzw_decode,
+    run_length_decode,
+)
+
+
+def test_flate_roundtrip():
+    data = b"BT /F1 12 Tf (Hello) Tj ET" * 20
+    assert flate_decode(zlib.compress(data)) == data
+
+
+def test_flate_truncated_salvage():
+    data = b"x" * 1000
+    comp = zlib.compress(data)
+    out = flate_decode(comp[:-4])
+    assert data.startswith(out) and len(out) > 0
+
+
+def test_ascii_hex():
+    assert ascii_hex_decode(b"48 65 6C 6C 6F>") == b"Hello"
+    assert ascii_hex_decode(b"48656C6C6F7>") == b"Hellop"  # odd nibble pads 0
+
+
+def test_ascii85():
+    assert ascii85_decode(b"87cUR") == b"Hell"
+    assert ascii85_decode(b"<~87cUR~>") == b"Hell"
+    assert ascii85_decode(b"z") == b"\0\0\0\0"
+    assert ascii85_decode(b"87cURDZ~>") == b"Hello"
+
+
+def test_run_length():
+    # literal run of 3 bytes, then 'A' repeated 4 times, then EOD
+    assert run_length_decode(b"\x02abc\xfdA\x80") == b"abcAAAA"
+
+
+def _pack_codes(codes, width=9):
+    buf = 0
+    nbits = 0
+    out = bytearray()
+    for c in codes:
+        buf = (buf << width) | c
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_spec_sequence():
+    # PDF 32000 §7.4.4 example data: 45 45 45 65 65 65 66 66 66
+    # LZW code sequence: clear, 45, [45 45], 65, [65 65], 66, [66 66], EOD
+    enc = _pack_codes([256, 45, 258, 65, 260, 66, 262, 257])
+    assert lzw_decode(enc) == bytes([45, 45, 45, 65, 65, 65, 66, 66, 66])
+
+
+def test_lzw_code_width_growth():
+    # 300 distinct-ish bytes force the table past 511 → 10-bit codes
+    data = bytes(range(256)) + bytes(range(100))
+    codes = [256] + list(data[:1]) if False else None
+    # encode with a tiny reference encoder
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width_codes = [(256, 9)]
+    cur = b""
+    width = 9
+    for b in data:
+        cand = cur + bytes([b])
+        if cand in table:
+            cur = cand
+        else:
+            width_codes.append((table[cur], width))
+            table[cand] = nxt
+            nxt += 1
+            # encoder runs one table entry ahead of the decoder, so it
+            # widens at 2^w where the (early-change) decoder widens at 2^w-1
+            if nxt >= (1 << width) and width < 12:
+                width += 1
+            cur = bytes([b])
+    width_codes.append((table[cur], width))
+    width_codes.append((257, width))
+    buf = 0
+    nbits = 0
+    out = bytearray()
+    for c, wd in width_codes:
+        buf = (buf << wd) | c
+        nbits += wd
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    assert lzw_decode(bytes(out)) == data
+
+
+def test_png_predictor_up():
+    # columns=4, predictor Up: rows delta-coded vertically
+    raw = bytes([0, 1, 2, 3, 4, 2, 1, 1, 1, 1])  # filter bytes 0 and 2
+    comp = zlib.compress(raw)
+    out = flate_decode(comp, {"Predictor": 12, "Columns": 4})
+    assert out == bytes([1, 2, 3, 4, 2, 3, 4, 5])
+
+
+def test_chained_filters():
+    data = b"payload bytes"
+    comp = zlib.compress(data)
+    hexed = comp.hex().encode() + b">"
+
+    class N:  # Name-like
+        def __init__(self, name):
+            self.name = name
+
+    assert decode_stream(hexed, [N("ASCIIHexDecode"), N("FlateDecode")], [None, None]) == data
+
+
+def test_image_filters_rejected():
+    class N:
+        def __init__(self, name):
+            self.name = name
+
+    with pytest.raises(FilterError):
+        decode_stream(b"x", N("DCTDecode"), None)

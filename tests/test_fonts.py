@@ -1,0 +1,85 @@
+"""B8: encodings, /Differences, ToUnicode CMaps, emphasis predicate."""
+
+from pdf_parser_c_spark.pdf.cos import PDFDocument
+from pdf_parser_c_spark.pdf.fonts import WIN_ANSI, parse_tounicode_cmap
+from pdf_parser_c_spark.testkit.gen_pdf import FontSpec, PageSpec, build_pdf, tj
+from tests.test_content import text_of
+
+
+def test_winansi_high_range():
+    assert WIN_ANSI[0x93] == "“" and WIN_ANSI[0x94] == "”"
+    assert WIN_ANSI[0x80] == "€"
+    assert WIN_ANSI[0xE9] == "é"
+
+
+def test_winansi_in_document():
+    fonts = {"F1": FontSpec("Helvetica", encoding="WinAnsiEncoding")}
+    # byte 0xE9 is é in WinAnsi
+    assert text_of("BT /F1 12 Tf 72 700 Td (caf\\351) Tj ET\n", fonts) == "café"
+
+
+def test_differences_encoding():
+    fonts = {"F1": FontSpec("Helvetica", differences=[65, "bullet", 66, "emdash"])}
+    assert text_of("BT /F1 12 Tf 72 700 Td (AB) Tj ET\n", fonts) == "•—"
+
+
+def test_tounicode_bfchar():
+    fonts = {"F1": FontSpec("Helvetica", tounicode={0x41: "Ж", 0x42: "ﬁ"})}
+    assert text_of("BT /F1 12 Tf 72 700 Td (AB) Tj ET\n", fonts) == "Жﬁ"
+
+
+def test_tounicode_overrides_encoding():
+    fonts = {"F1": FontSpec("Helvetica", encoding="WinAnsiEncoding", tounicode={0x41: "z"})}
+    assert text_of("BT /F1 12 Tf 72 700 Td (AB) Tj ET\n", fonts) == "zB"
+
+
+def test_cmap_bfrange_incrementing_and_array():
+    cmap = b"""
+    2 beginbfrange
+    <41> <43> <0057>
+    <50> <51> [<0058> <00590060>]
+    endbfrange
+    1 beginbfchar
+    <20> <0020>
+    endbfchar
+    """
+    m = parse_tounicode_cmap(cmap)
+    assert m[0x41] == "W" and m[0x42] == "X" and m[0x43] == "Y"
+    assert m[0x50] == "X" and m[0x51] == "Y`"
+    assert m[0x20] == " "
+
+
+def test_emphasis_predicate_from_descriptor_and_name():
+    fonts = {
+        "R": FontSpec("Helvetica"),
+        "B": FontSpec("Helvetica-Bold"),
+        "I": FontSpec("Helvetica-Oblique"),
+    }
+    pdf = build_pdf([PageSpec(tj(72, 700, "R", 12, "x"))], fonts)
+    doc = PDFDocument.open(pdf)
+    from pdf_parser_c_spark.pdf.content import ContentInterpreter
+    from pdf_parser_c_spark.pdf.cos import Name
+
+    page = doc.pages()[0]
+    interp = ContentInterpreter(doc, doc.page_mediabox(page))
+    res = doc.dget(page, "Resources")
+    r = interp._get_font(res, Name("R"))
+    b = interp._get_font(res, Name("B"))
+    i = interp._get_font(res, Name("I"))
+    assert not r.is_emphasized()
+    assert b.is_emphasized() and b.weight > 400
+    assert i.is_emphasized() and i.italic
+
+
+def test_font_identity_per_resource_object():
+    """gfxFont pointer equality analogue (src/pdf_utils.cpp:211): same
+    font ref → same Font object."""
+    fonts = {"F1": FontSpec("Helvetica")}
+    pdf = build_pdf([PageSpec(tj(72, 700, "F1", 12, "ab") + tj(72, 650, "F1", 12, "cd"))], fonts)
+    doc = PDFDocument.open(pdf)
+    from pdf_parser_c_spark.pdf.content import ContentInterpreter
+
+    page = doc.pages()[0]
+    interp = ContentInterpreter(doc, doc.page_mediabox(page))
+    glyphs = interp.run(doc.page_content(page), doc.dget(page, "Resources"))
+    assert glyphs[0].font is glyphs[-1].font

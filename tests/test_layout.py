@@ -1,0 +1,99 @@
+"""B10-B15: word building, baseline pools, line/block coalesce,
+XY-cut reading order, rotation frames."""
+
+from pdf_parser_c_spark.pdf.cos import PDFDocument
+from pdf_parser_c_spark.pdf.layout import layout_page
+from pdf_parser_c_spark.testkit.gen_pdf import FontSpec, PageSpec, build_pdf, text_block, tj
+
+FONTS = {"F1": FontSpec("Helvetica"), "F2": FontSpec("Helvetica-Bold")}
+
+
+def blocks_of(content: str, fonts=FONTS):
+    pdf = build_pdf([PageSpec(content)], fonts)
+    doc = PDFDocument.open(pdf)
+    page = doc.pages()[0]
+    from pdf_parser_c_spark.pdf.content import ContentInterpreter
+
+    interp = ContentInterpreter(doc, doc.page_mediabox(page))
+    return layout_page(interp.run(doc.page_content(page), doc.dget(page, "Resources")))
+
+
+def block_text(blk) -> str:
+    return "\n".join(" ".join(w.get_text() for w in ln.words) for ln in blk.lines)
+
+
+def test_word_break_on_space():
+    blks = blocks_of(tj(72, 700, "F1", 12, "Hello brave world"))
+    words = [w.get_text() for w in blks[0].lines[0].words]
+    assert words == ["Hello", "brave", "world"]
+
+
+def test_word_break_on_gap():
+    # two Tj fragments with a 3pt gap (> 0.1em of 12pt): separate words
+    c = "BT /F1 12 Tf 72 700 Td (AB) Tj ET\nBT /F1 12 Tf 87 700 Td (CD) Tj ET\n"
+    words = [w.get_text() for w in blocks_of(c)[0].lines[0].words]
+    assert words == ["AB", "CD"]
+
+
+def test_word_continues_across_abutting_fragments():
+    # second fragment starts exactly at the first's end (72 + 2*6 = 84)
+    c = "BT /F1 12 Tf 72 700 Td (AB) Tj ET\nBT /F1 12 Tf 84 700 Td (CD) Tj ET\n"
+    words = [w.get_text() for w in blocks_of(c)[0].lines[0].words]
+    assert words == ["ABCD"]
+
+
+def test_word_spans_font_change():
+    # poppler's TextWord keeps per-char fonts; no break on font change
+    c = "BT /F1 12 Tf 72 700 Td (ab) Tj /F2 12 Tf (CD) Tj ET\n"
+    words = [w.get_text() for w in blocks_of(c)[0].lines[0].words]
+    assert words == ["abCD"]
+
+
+def test_lines_split_into_blocks_by_leading():
+    # 14pt leading groups; a 40pt jump separates paragraphs
+    c = (
+        text_block(72, 700, 14, [[("F1", 12, "l one")], [("F1", 12, "l two")]])
+        + text_block(72, 600, 14, [[("F1", 12, "next para")]])
+    )
+    blks = blocks_of(c)
+    assert len(blks) == 2
+    assert block_text(blks[0]) == "l one\nl two"
+    assert block_text(blks[1]) == "next para"
+
+
+def test_two_columns_reading_order():
+    left = text_block(50, 700, 14, [[("F1", 12, "L1")], [("F1", 12, "L2")]])
+    right = text_block(350, 700, 14, [[("F1", 12, "R1")], [("F1", 12, "R2")]])
+    blks = blocks_of(left + right)
+    assert [block_text(b) for b in blks] == ["L1\nL2", "R1\nR2"]
+
+
+def test_title_above_two_columns():
+    title = tj(200, 750, "F1", 16, "Spanning Title")
+    left = text_block(50, 700, 14, [[("F1", 12, "La")], [("F1", 12, "Lb")]])
+    right = text_block(350, 700, 14, [[("F1", 12, "Ra")], [("F1", 12, "Rb")]])
+    blks = blocks_of(title + left + right)
+    assert [block_text(b) for b in blks] == ["Spanning Title", "La\nLb", "Ra\nRb"]
+
+
+def test_same_baseline_columns_are_separate_lines():
+    c = tj(50, 700, "F1", 12, "colA") + tj(400, 700, "F1", 12, "colB")
+    blks = blocks_of(c)
+    texts = sorted(block_text(b) for b in blks)
+    assert texts == ["colA", "colB"]
+
+
+def test_rotated_text_is_own_block_after_primary():
+    main = text_block(72, 700, 14, [[("F1", 12, "main text body")]])
+    rot = "BT /F1 10 Tf 0 1 -1 0 580 300 Tm (sidebar) Tj ET\n"
+    blks = blocks_of(main + rot)
+    assert block_text(blks[0]) == "main text body"
+    assert block_text(blks[-1]) == "sidebar"
+    assert blks[-1].rot != 0
+
+
+def test_combining_char_nfc():
+    fonts = {"F1": FontSpec("Helvetica", tounicode={0x41: "e", 0x42: "́"})}
+    blks = blocks_of("BT /F1 12 Tf 72 700 Td (AB) Tj ET\n", fonts)
+    # NFC merges e + combining acute into é
+    assert block_text(blks[0]) == "é"

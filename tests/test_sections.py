@@ -1,0 +1,108 @@
+"""A6, A13-A15: page-number gate, section fold, tree, flat ids."""
+
+from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+from pdf_parser_c_spark.testkit.gen_pdf import FontSpec, PageSpec, build_pdf, text_block, tj
+
+FONTS = {"F1": FontSpec("Helvetica"), "F2": FontSpec("Helvetica-Bold")}
+
+
+def block(y, runs):
+    return text_block(72, y, 14, runs)
+
+
+def h(y, pre, title):
+    runs = [[("F1", 12, pre), ("F2", 12, title)]] if pre else [[("F2", 12, title)]]
+    return block(y, runs)
+
+
+def p(y, text):
+    return block(y, [[("F1", 12, text)]])
+
+
+def footer(n):
+    return tj(300, 30, "F1", 10, str(n))
+
+
+def test_start_parse_gate_drops_front_matter():
+    page1 = p(700, "Front matter cover page, never numbered.")
+    page2 = h(700, "", "Chapter One") + p(660, "Body one.") + footer(1)
+    page3 = h(700, "", "Chapter Two") + p(660, "Body two.")  # no footer; gate stays open
+    pdf = build_pdf([PageSpec(page1), PageSpec(page2), PageSpec(page3)], FONTS)
+    r = parse_pdf_bytes(pdf)
+    titles = [s["title"] for s in r.sections]
+    assert titles == ["", "Chapter Two", "Chapter One"]  # reverse-sibling ids
+    assert all("Front matter" not in s["content"] for s in r.sections)
+
+
+def test_gate_flips_midpage_blocks_before_title_dropped():
+    # content before the first title on a gated page is dropped (:560-563)
+    page = p(700, "Orphan text before any title.") + h(650, "", "Title A") + p(610, "Body A.") + footer(3)
+    r = parse_pdf_bytes(build_pdf([PageSpec(page)], FONTS))
+    assert [s["title"] for s in r.sections] == ["", "Title A"]
+    assert r.sections[1]["content"] == "Body A."
+    assert all("Orphan" not in s["content"] for s in r.sections)
+
+
+def test_section_content_spans_pages_and_is_trimmed():
+    page1 = h(700, "", "Spanning") + p(660, "First half") + footer(1)
+    page2 = p(700, "second half.") + footer(2)
+    r = parse_pdf_bytes(build_pdf([PageSpec(page1), PageSpec(page2)], FONTS))
+    sec = [s for s in r.sections if s["title"] == "Spanning"][0]
+    assert sec["content"] == "First half second half."  # trimmed at flush
+
+
+def test_nested_tree_and_reverse_dfs_ids():
+    page = (
+        h(740, "1. ", "Alpha")
+        + p(700, "a-body.")
+        + h(660, "", "Deep")
+        + p(620, "d-body.")
+        + h(580, "2. ", "Beta")
+        + p(540, "b-body.")
+        + footer(1)
+    )
+    r = parse_pdf_bytes(build_pdf([PageSpec(page)], FONTS, title="Root"))
+    by_id = {s["id"]: s for s in r.sections}
+    assert by_id[0]["title"] == "Root"
+    # Alpha first child; Beta same format → sibling of Alpha; Deep nested under Alpha
+    assert by_id[1]["title"] == "Beta" and by_id[1]["parent_id"] == 0
+    assert by_id[2]["title"] == "Alpha" and by_id[2]["parent_id"] == 0
+    assert by_id[3]["title"] == "Deep" and by_id[3]["parent_id"] == 2
+
+
+def test_same_format_detection_ignores_indent():
+    # same style at different indents must be siblings (indent excluded
+    # from operator== — src/pdf_utils.cpp:37-40)
+    page = (
+        text_block(72, 740, 14, [[("F1", 12, "1. "), ("F2", 12, "One")]])
+        + p(700, "x.")
+        + text_block(144, 660, 14, [[("F1", 12, "2. "), ("F2", 12, "Two")]])
+        + p(620, "y.")
+        + footer(1)
+    )
+    r = parse_pdf_bytes(build_pdf([PageSpec(page)], FONTS))
+    by_title = {s["title"]: s for s in r.sections}
+    assert by_title["One"]["parent_id"] == by_title["Two"]["parent_id"] == 0
+
+
+def test_malformed_and_encrypted_status():
+    r = parse_pdf_bytes(b"%FDP not a pdf")
+    assert r.status == "malformed" and r.sections == []
+    pdf = build_pdf([PageSpec(p(700, "x") + footer(1))], FONTS)
+    enc = pdf.replace(b"/Size", b"/Encrypt 99 0 R /Size")
+    r2 = parse_pdf_bytes(enc)
+    assert r2.status == "encrypted"
+
+
+def test_no_page_numbers_falls_back_to_raw_text():
+    pdf = build_pdf([PageSpec(p(700, "Just some plain text here."))], FONTS)
+    r = parse_pdf_bytes(pdf)
+    assert r.sections[0]["title"] == "" and len(r.sections) == 1
+    assert "Just some plain text here." in r.text
+
+
+def test_text_and_spans_consistent():
+    page = h(700, "", "Head") + p(660, "Body words.") + footer(1)
+    r = parse_pdf_bytes(build_pdf([PageSpec(page)], FONTS))
+    for sec, (a, b) in zip(r.sections, r.spans):
+        assert r.text[a:b] == sec["content"]
