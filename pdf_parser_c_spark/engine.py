@@ -1,0 +1,335 @@
+"""Spark pipeline: transcripts table → extracted text/sections table.
+
+The distributed shape of the reference's ``main`` (``src/main.cpp:15-35``:
+one PDF → parse → JSON sink), re-expressed per SURVEY.md §1.2/§3.1:
+
+* input: table of multi-turn transcripts
+  ``(conv_id string, turn_idx int, role string, text string,
+  tool string, ts timestamp)`` (BASELINE.json ``input_hint``)
+* payload dispatch per row: raw PDF bytes (``PDFB85:`` armored),
+  HTML, or plain text — a vectorized sniff, then one Arrow-batched
+  ``mapInPandas`` kernel (never per-row Python UDFs)
+* skew: salted repartition on ``(conv_id, salt(turn_idx))`` — layout
+  never crosses turn boundaries, so salting is safe (SURVEY.md §2
+  north-rule additions)
+* resumability: work is bucketed by a stable hash; completed buckets
+  are recorded in a lineage table and skipped on re-run; bucket
+  partitions are written with dynamic partition overwrite so a retried
+  bucket replaces, not duplicates, its output
+* metrics: per-bucket row/status/wall-time records appended next to
+  the lineage table
+
+Scale notes (100 TB / 10^12 turns): the kernel is embarrassingly
+parallel — zero shuffles besides the salted repartition (one round of
+exchange, bounded by payload bytes) and the tiny metrics aggregation.
+Arrow batch size is capped by *records*, so payload-heavy rows are
+bounded via ``maxRecordsPerBatch``; executors never materialize more
+than one batch per task at a time (iterator-of-batches contract).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .extract.document import parse_pdf_bytes
+from .html.boilerplate import extract_main_text, looks_like_html
+
+PDF_B85_PREFIX = "PDFB85:"
+
+SECTION_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("keywords", T.ArrayType(T.StringType())),
+            T.StructField("parent_id", T.IntegerType()),
+        ]
+    )
+)
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [T.StructField("start", T.IntegerType()), T.StructField("end", T.IntegerType())]
+    )
+)
+
+RESULT_FIELDS = [
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("tool", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("sections", SECTION_TYPE),
+    T.StructField("spans", SPAN_TYPE),
+    T.StructField("n_pages", T.IntegerType()),
+    T.StructField("error", T.StringType()),
+]
+RESULT_SCHEMA = T.StructType(RESULT_FIELDS)
+
+
+def encode_pdf_payload(pdf: bytes) -> str:
+    """Armor raw PDF bytes for the string ``text`` column (FIXTURES.md §1)."""
+    return PDF_B85_PREFIX + base64.b85encode(pdf).decode("ascii")
+
+
+def classify_payload(s: pd.Series) -> pd.Series:
+    """Vectorized payload sniff: 'pdf' | 'html' | 'plain'."""
+    s = s.fillna("")
+    kind = pd.Series("plain", index=s.index, dtype="object")
+    kind[s.str.startswith(PDF_B85_PREFIX)] = "pdf"
+    maybe_html = (kind == "plain") & s.str.lstrip().str.startswith("<")
+    if maybe_html.any():
+        kind[maybe_html] = [
+            "html" if looks_like_html(v) else "plain" for v in s[maybe_html]
+        ]
+    return kind
+
+
+def _extract_one_pdf(payload: str) -> dict:
+    try:
+        pdf = base64.b85decode(payload[len(PDF_B85_PREFIX) :])
+    except ValueError as exc:
+        return {"status": "malformed", "text": "", "sections": [], "spans": [],
+                "n_pages": 0, "error": f"b85: {exc}"}
+    r = parse_pdf_bytes(pdf)
+    return {
+        "status": r.status,
+        "text": r.text,
+        "sections": [
+            {"id": s["id"], "title": s["title"], "content": s["content"],
+             "keywords": s["keywords"], "parent_id": s.get("parent_id")}
+            for s in r.sections
+        ],
+        "spans": [{"start": a, "end": b} for a, b in r.spans],
+        "n_pages": r.n_pages,
+        "error": r.error,
+    }
+
+
+def extract_pandas_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Kernel over one Arrow batch of transcript rows.
+
+    String-level work (sniff, strip) is vectorized; per-payload byte
+    parsing is inherently per-document (same granularity at which
+    poppler parses one file) and runs inside the batch — batch-level
+    parallelism comes from Spark partitions."""
+    n = len(pdf)
+    text = pdf["text"].fillna("").astype("object")
+    kind = classify_payload(text)
+    stripped = text.str.strip()
+
+    kind_vals = kind.to_numpy()
+    text_vals = text.to_numpy()
+    stripped_vals = stripped.to_numpy()
+
+    out_text: list[str] = [""] * n
+    status: list[str] = ["ok"] * n
+    sections: list[list] = [[] for _ in range(n)]
+    spans: list[list] = [[] for _ in range(n)]
+    n_pages = [0] * n
+    error: list[str | None] = [""] * n
+
+    for i in range(n):
+        k = kind_vals[i]
+        if k == "plain":
+            t = stripped_vals[i]
+            out_text[i] = t
+            if not t:
+                status[i] = "empty"
+            if t:
+                spans[i] = [{"start": 0, "end": len(t)}]
+        elif k == "html":
+            t = extract_main_text(text_vals[i])
+            out_text[i] = t
+            status[i] = "ok" if t else "empty"
+            if t:
+                spans[i] = [{"start": 0, "end": len(t)}]
+        else:  # pdf
+            r = _extract_one_pdf(text_vals[i])
+            out_text[i] = r["text"]
+            status[i] = r["status"]
+            sections[i] = r["sections"]
+            spans[i] = r["spans"]
+            n_pages[i] = r["n_pages"]
+            error[i] = r["error"]
+
+    return pd.DataFrame(
+        {
+            "conv_id": pdf["conv_id"].to_numpy(),
+            "turn_idx": pdf["turn_idx"].astype("int32").to_numpy(),
+            "role": (pdf["role"] if "role" in pdf else pd.Series([""] * n)).to_numpy(),
+            "tool": (pdf["tool"] if "tool" in pdf else pd.Series([None] * n)).to_numpy(),
+            "ts": (pdf["ts"] if "ts" in pdf else pd.Series([pd.NaT] * n)).to_numpy(),
+            "kind": kind_vals,
+            "status": status,
+            "text": out_text,
+            "sections": sections,
+            "spans": spans,
+            "n_pages": pd.array(n_pages, dtype="int32"),
+            "error": error,
+        }
+    )
+
+
+def _map_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in it:
+        yield extract_pandas_batch(batch)
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 64) -> DataFrame:
+    """Defuse long-conversation skew: no extraction op crosses a turn
+    boundary, so (conv_id, salt(turn_idx)) is a safe partition key."""
+    return df.repartition(
+        num_partitions,
+        F.col("conv_id"),
+        F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(salt_buckets)),
+    )
+
+
+def extract_turns(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """transcripts DataFrame → extraction results DataFrame."""
+    if num_partitions:
+        df = salted_repartition(df, num_partitions)
+    return df.mapInPandas(_map_batches, schema=RESULT_SCHEMA)
+
+
+# ---------------- resumable job runner ----------------
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx")), F.lit(n_buckets))
+    )
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    input_df: DataFrame,
+    output_path: str,
+    n_buckets: int = 64,
+    num_partitions: int | None = None,
+    job_id: str = "extract",
+) -> dict:
+    """Checkpointed, idempotent extraction run.
+
+    Layout under ``output_path``:
+      ``results/`` parquet partitioned by ``bucket``
+      ``lineage/`` one row per completed bucket (+ attempt metadata)
+      ``metrics/`` per-bucket status counts
+
+    Re-running after a failure skips buckets present in ``lineage`` and
+    overwrites (not appends) partitions for retried buckets.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    results_path = f"{output_path}/results"
+    lineage_path = f"{output_path}/lineage"
+    metrics_path = f"{output_path}/metrics"
+
+    df = with_bucket(input_df, n_buckets)
+
+    done: set[int] = set()
+    try:
+        done = {
+            r["bucket"]
+            for r in spark.read.parquet(lineage_path).select("bucket").distinct().collect()
+        }
+    except Exception:
+        pass  # no lineage yet → fresh run
+
+    pending = sorted(set(range(n_buckets)) - done)
+    t0 = time.time()
+    if pending:
+        work = df.filter(F.col("bucket").isin(pending)) if done else df
+        extracted = extract_turns(work.drop("bucket"), num_partitions)
+        extracted = with_bucket(extracted, n_buckets)
+        (
+            extracted.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(results_path)
+        )
+        out = spark.read.parquet(results_path).filter(F.col("bucket").isin(pending))
+        metrics = (
+            out.groupBy("bucket", "kind", "status")
+            .agg(F.count("*").alias("n_rows"))
+            .withColumn("job_id", F.lit(job_id))
+        )
+        metrics.write.mode("append").parquet(metrics_path)
+        lineage = (
+            out.groupBy("bucket")
+            .agg(F.count("*").alias("n_rows"))
+            .withColumn("job_id", F.lit(job_id))
+            .withColumn("wall_s", F.lit(float(time.time() - t0)))
+        )
+        lineage.write.mode("append").parquet(lineage_path)
+    return {
+        "job_id": job_id,
+        "buckets_total": n_buckets,
+        "buckets_skipped": len(done),
+        "buckets_run": len(pending),
+        "wall_s": time.time() - t0,
+    }
+
+
+def get_spark(
+    app: str = "pdf_parser_c_spark",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+    arrow_batch: int = 64,
+) -> SparkSession:
+    """Session tuned for the extraction workload: AQE on, Arrow on,
+    small record-count batches (payload-heavy rows)."""
+    import os
+
+    builder = (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    return builder.getOrCreate()
+
+
+def results_to_json(df: DataFrame) -> DataFrame:
+    """A16 analogue: the reference serializes the section list to JSON
+    (src/main.cpp:29-32); relational columns stay primary, JSON is a
+    derived column for sink parity."""
+    return df.withColumn("sections_json", F.to_json(F.col("sections")))
+
+
+__all__ = [
+    "RESULT_SCHEMA",
+    "classify_payload",
+    "encode_pdf_payload",
+    "extract_pandas_batch",
+    "extract_turns",
+    "get_spark",
+    "results_to_json",
+    "run_extraction_job",
+    "salted_repartition",
+    "with_bucket",
+]
+
+if __name__ == "__main__":  # pragma: no cover - manual smoke
+    spark = get_spark()
+    print(json.dumps({"spark": spark.version}))

@@ -114,8 +114,10 @@ def parse_pdf_bytes(data: bytes) -> ExtractionResult:
     root = build_tree(sections, doc.doc_info_title())
     flat = flatten_tree(root)
     text, spans = render_sections_text(flat)
-    if len(flat) <= 1 and not flat[0]["title"] and not flat[0]["content"]:
-        # gate never opened / nothing sectioned: fall back to raw text
+    if len(flat) <= 1 and not flat[0]["content"]:
+        # gate never opened / nothing sectioned (only the doc-info root):
+        # fall back to the raw full-text rendition; sections stay as the
+        # reference would emit them (root only)
         text = "\n\n".join(p for p in raw_pages if p)
         spans = [(0, len(text))] if text else []
     status = STATUS_OK if text or sections else STATUS_EMPTY

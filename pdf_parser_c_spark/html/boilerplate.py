@@ -1,0 +1,125 @@
+"""HTML boilerplate stripping (north rule: "HTML boilerplate strip …
+DOM heuristics").
+
+The reference handles only PDFs; the north rule extends the engine to
+HTML-wrapped transcript turns.  This is a deterministic, dependency-free
+text-density boilerplate classifier in the spirit of the published
+Boilerpipe / jusText line of work (Kohlschütter et al., WSDM 2010):
+
+1. tokenize tags with a small regex scanner (no external parser),
+2. drop non-content subtrees outright (script/style/nav/header/footer/
+   aside/form/noscript/svg/iframe/button/select/template),
+3. segment text into blocks at block-level tag boundaries,
+4. score each block: link-density (chars inside <a> / total) and
+   stopword-free length; keep content-like blocks,
+5. emit kept blocks joined by newlines, whitespace-normalized.
+
+Pure function str → str; runs inside the Arrow-batched kernel
+vectorized over a pandas Series of payloads.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+DROP_SUBTREES = {
+    "script", "style", "nav", "header", "footer", "aside", "form",
+    "noscript", "svg", "iframe", "button", "select", "template", "head",
+}
+
+BLOCK_TAGS = {
+    "p", "div", "section", "article", "main", "body", "li", "ul", "ol",
+    "table", "tr", "td", "th", "h1", "h2", "h3", "h4", "h5", "h6",
+    "blockquote", "pre", "br", "hr", "figure", "figcaption", "dl", "dt", "dd",
+}
+
+_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>")
+_WS_RE = re.compile(r"\s+")
+
+MIN_BLOCK_CHARS = 25
+MAX_LINK_DENSITY = 0.4
+
+
+def looks_like_html(payload: str) -> bool:
+    head = payload.lstrip()[:256].lower()
+    return head.startswith("<!doctype html") or head.startswith("<html") or (
+        head.startswith("<") and ("<body" in head or "<div" in head or "<p" in head
+                                  or "<head" in head or "<article" in head)
+    )
+
+
+def extract_main_text(raw: str) -> str:
+    """Strip boilerplate, return the main content text."""
+    blocks = _segment(raw)
+    kept: list[str] = []
+    for text, link_chars, tag in blocks:
+        clean = _WS_RE.sub(" ", text).strip()
+        if not clean:
+            continue
+        n = len(clean)
+        link_density = link_chars / n if n else 1.0
+        if tag.startswith("h") and tag[1:].isdigit():
+            # headings: keep short ones if not link-dominated
+            if link_density <= MAX_LINK_DENSITY:
+                kept.append(clean)
+            continue
+        if n >= MIN_BLOCK_CHARS and link_density <= MAX_LINK_DENSITY:
+            kept.append(clean)
+    return "\n".join(kept)
+
+
+def _segment(raw: str) -> list[tuple[str, int, str]]:
+    """→ [(text, chars_inside_links, dominant_tag)] per block."""
+    blocks: list[tuple[str, int, str]] = []
+    buf: list[str] = []
+    link_chars = 0
+    cur_tag = "div"
+    drop_depth = 0
+    drop_tag: list[str] = []
+    link_depth = 0
+    pos = 0
+
+    def flush() -> None:
+        nonlocal buf, link_chars
+        if buf:
+            blocks.append(("".join(buf), link_chars, cur_tag))
+        buf = []
+        link_chars = 0
+
+    for m in _TAG_RE.finditer(raw):
+        text = raw[pos : m.start()]
+        pos = m.end()
+        if drop_depth == 0 and text:
+            t = _html.unescape(text)
+            buf.append(t)
+            if link_depth > 0:
+                link_chars += len(t.strip())
+        closing, tag, attrs = m.group(1) == "/", m.group(2).lower(), m.group(3)
+        self_closing = attrs.rstrip().endswith("/") or tag in ("br", "hr", "img", "meta", "link", "input")
+        if tag in ("!--",):
+            continue
+        if tag in DROP_SUBTREES:
+            if closing:
+                if drop_tag and drop_tag[-1] == tag:
+                    drop_tag.pop()
+                    drop_depth = max(0, drop_depth - 1)
+            elif not self_closing:
+                drop_tag.append(tag)
+                drop_depth += 1
+            continue
+        if drop_depth > 0:
+            continue
+        if tag == "a":
+            link_depth = max(0, link_depth + (-1 if closing else 1))
+        if tag in BLOCK_TAGS:
+            flush()
+            if not closing:
+                cur_tag = tag
+    tail = raw[pos:]
+    if drop_depth == 0 and tail:
+        buf.append(_html.unescape(tail))
+    flush()
+    # comments: the regex above doesn't special-case <!-- -->; strip any
+    # leaked comment bodies defensively
+    return [(re.sub(r"<!--.*?-->", "", t, flags=re.S), lc, tag) for t, lc, tag in blocks]

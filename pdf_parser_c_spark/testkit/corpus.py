@@ -1,0 +1,233 @@
+"""Deterministic transcripts corpus (FIXTURES.md §1-§3).
+
+Builds the BASELINE.json ``input_hint`` table
+``(conv_id, turn_idx, role, text, tool, ts)`` at any scale with a fixed
+catalog of payload variants — every payload class from FIXTURES.md §2 —
+plus the paired expected outputs (the generator knows what it embedded;
+golden strings are frozen in tests/test_corpus_golden.py).
+
+No randomness: all variation is a deterministic function of the row
+index.  Includes "mega" conversations (100× median turns) to exercise
+skew salting.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+
+import pandas as pd
+
+from ..engine import encode_pdf_payload
+from .gen_pdf import FontSpec, PageSpec, actual_text_span, build_pdf, text_block, tj
+
+FONTS = {
+    "F1": FontSpec("Helvetica", encoding="WinAnsiEncoding"),
+    "F2": FontSpec("Helvetica-Bold", encoding="WinAnsiEncoding"),
+    "F3": FontSpec("Helvetica-Oblique", encoding="WinAnsiEncoding"),
+}
+
+
+def _block(y, runs):
+    return text_block(72, y, 14, runs)
+
+
+def _h(y, pre, title):
+    runs = [[("F1", 12, pre), ("F2", 12, title)]] if pre else [[("F2", 12, title)]]
+    return _block(y, runs)
+
+
+def _p(y, text):
+    return _block(y, [[("F1", 12, text)]])
+
+
+def _footer(n):
+    return tj(300, 30, "F1", 10, str(n))
+
+
+@dataclass(frozen=True)
+class Variant:
+    name: str
+    payload: str  # the `text` column value
+    expected_status: str
+
+
+def _pdf_simple() -> bytes:
+    page = (
+        _h(700, "", "Simple Heading")
+        + _p(660, "Body of the simple document.")
+        + _footer(1)
+    )
+    return build_pdf([PageSpec(page)], FONTS, title="Simple Doc")
+
+
+def _pdf_flate() -> bytes:
+    page = (
+        _h(700, "1. ", "Compressed Heading")
+        + _p(660, "Flate compressed content stream body.")
+        + _footer(1)
+    )
+    return build_pdf([PageSpec(page)], FONTS, title="Flate Doc", compress=True)
+
+
+def _pdf_objstm() -> bytes:
+    page = (
+        _h(700, "2. ", "ObjStm Heading")
+        + _p(660, "Body stored behind an xref stream and object stream.")
+        + _footer(1)
+    )
+    return build_pdf([PageSpec(page)], FONTS, title="ObjStm Doc",
+                     compress=True, xref_stream=True, objstm=True)
+
+
+def _pdf_tounicode() -> bytes:
+    fonts = dict(FONTS)
+    fonts["FC"] = FontSpec("CustomGlyphs", tounicode={0x41: "Ж", 0x42: "ü", 0x43: "ﬁ"})
+    page = (
+        _h(700, "", "Unicode Heading")
+        + _block(660, [[("F1", 12, "Mapped: "), ("FC", 12, "ABC")]])
+        + _footer(1)
+    )
+    return build_pdf([PageSpec(page)], fonts, title="CMap Doc")
+
+
+def _pdf_actualtext() -> bytes:
+    page = (
+        _h(700, "", "Span Heading")
+        + actual_text_span(72, 660, "F1", 12, "xz", "replaced words here")
+        + _footer(1)
+    )
+    return build_pdf([PageSpec(page)], FONTS, title="ActualText Doc")
+
+
+def _pdf_kerning() -> bytes:
+    page = (
+        _h(700, "", "Kerned Heading")
+        + "BT /F1 12 Tf 1 0 0 1 72 660 Tm [(ker) -20 (ned) -2000 (words)] TJ ET\n"
+        + _footer(1)
+    )
+    return build_pdf([PageSpec(page)], FONTS, title="Kerning Doc")
+
+
+def _pdf_multicolumn() -> bytes:
+    # no footer page number → section gate never opens → raw-text fallback
+    page = (
+        tj(200, 750, "F1", 16, "Column Title")
+        + text_block(50, 700, 14, [[("F1", 12, "left one")], [("F1", 12, "left two")]])
+        + text_block(330, 700, 14, [[("F1", 12, "right one")], [("F1", 12, "right two")]])
+    )
+    return build_pdf([PageSpec(page)], FONTS, title="Columns Doc")
+
+
+def _pdf_sections() -> bytes:
+    cover = _p(700, "Cover page front matter, unnumbered.")
+    page2 = (
+        _h(740, "1. ", "Alpha")
+        + _p(700, "Alpha body text.")
+        + _h(660, "", "Deep Dive")
+        + _p(620, "Deep body.")
+        + _footer(1)
+    )
+    page3 = (
+        _h(740, "2. ", "Beta")
+        + _p(700, "Beta body text.")
+        + _footer(2)
+    )
+    return build_pdf([PageSpec(cover), PageSpec(page2), PageSpec(page3)],
+                     FONTS, title="Sections Doc")
+
+
+def _pdf_smartquotes() -> bytes:
+    # WinAnsi 0x93/0x94 smart quotes normalize to '"'
+    page = (
+        _h(700, "", "Quote Heading")
+        + _p(660, "said \x93hello there\x94 loudly")
+        + _footer(1)
+    )
+    return build_pdf([PageSpec(page)], FONTS, title="Quotes Doc")
+
+
+def _pdf_encrypted() -> bytes:
+    pdf = _pdf_simple()
+    return pdf.replace(b"/Size", b"/Encrypt 99 0 R /Size")
+
+
+HTML_PAYLOAD = (
+    "<html><head><title>t</title><script>var x=1;</script></head><body>"
+    "<nav><a href='/'>Home</a> <a href='/x'>About</a> <a href='/y'>More</a></nav>"
+    "<div class='content'><h1>Main Article Heading</h1>"
+    "<p>This is the first real paragraph of the article body text.</p>"
+    "<p>Second paragraph with more substantive content for extraction.</p></div>"
+    "<footer>Copyright 2026 — <a href='/terms'>Terms</a></footer>"
+    "</body></html>"
+)
+
+PLAIN_PAYLOAD = "A plain text transcript turn with no markup at all."
+
+
+def build_variants() -> list[Variant]:
+    """The fixed payload catalog, index-stable."""
+    return [
+        Variant("plain", PLAIN_PAYLOAD, "ok"),
+        Variant("html", HTML_PAYLOAD, "ok"),
+        Variant("pdf_simple", encode_pdf_payload(_pdf_simple()), "ok"),
+        Variant("pdf_flate", encode_pdf_payload(_pdf_flate()), "ok"),
+        Variant("pdf_objstm", encode_pdf_payload(_pdf_objstm()), "ok"),
+        Variant("pdf_tounicode", encode_pdf_payload(_pdf_tounicode()), "ok"),
+        Variant("pdf_actualtext", encode_pdf_payload(_pdf_actualtext()), "ok"),
+        Variant("pdf_kerning", encode_pdf_payload(_pdf_kerning()), "ok"),
+        Variant("pdf_multicolumn", encode_pdf_payload(_pdf_multicolumn()), "ok"),
+        Variant("pdf_sections", encode_pdf_payload(_pdf_sections()), "ok"),
+        Variant("pdf_smartquotes", encode_pdf_payload(_pdf_smartquotes()), "ok"),
+        Variant("malformed", PDF_MALFORMED, "malformed"),
+        Variant("encrypted", encode_pdf_payload(_pdf_encrypted()), "encrypted"),
+        Variant("empty", "", "empty"),
+    ]
+
+
+PDF_MALFORMED = encode_pdf_payload(b"%PDF-1.7\ntruncated before any xref")
+
+_EPOCH = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def make_transcripts(
+    n_convs: int = 20,
+    turns_per_conv: int = 14,
+    mega_every: int = 10,
+    mega_factor: int = 20,
+) -> pd.DataFrame:
+    """Deterministic transcripts table.  Every ``mega_every``-th conv has
+    ``mega_factor``× the median turns (skew fixture).  Rows are emitted
+    in shuffled-but-deterministic order (reverse interleave) so stable
+    ``(conv_id, turn_idx)`` ordering is actually exercised."""
+    variants = build_variants()
+    rows = []
+    for c in range(n_convs):
+        n_turns = turns_per_conv * (mega_factor if mega_every and c % mega_every == mega_every - 1 else 1)
+        conv_id = f"conv{c:06d}"
+        for t in range(n_turns):
+            v = variants[(c * 7 + t) % len(variants)]
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": t,
+                    "role": ("user", "assistant", "tool")[t % 3],
+                    "text": v.payload,
+                    "tool": None if t % 3 != 2 else f"tool{t % 5}",
+                    "ts": _EPOCH + dt.timedelta(minutes=t, hours=c),
+                    "variant": v.name,
+                    "expected_status": v.expected_status,
+                }
+            )
+    df = pd.DataFrame(rows)
+    # deterministic shuffle: sort by a hash-ish derived key
+    df = df.sort_values(
+        by=["turn_idx", "conv_id"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
+
+
+def transcripts_columns_only(df: pd.DataFrame) -> pd.DataFrame:
+    """Strip oracle columns → the exact input_hint schema."""
+    return df[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]

@@ -1,0 +1,10 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pdf_parser_c_spark.engine import get_spark
+
+    s = get_spark(app="pdf_parser_c_spark-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()

@@ -1,0 +1,97 @@
+"""Golden per-variant extraction outputs (FIXTURES.md §2-§3).
+
+The corpus generator is the oracle: it knows exactly what text each
+payload embeds.  These literals freeze the expected per-turn extracted
+text for every payload class; any engine regression shows up here
+before the Spark layer is involved.
+"""
+
+import pandas as pd
+
+from pdf_parser_c_spark.engine import extract_pandas_batch
+from pdf_parser_c_spark.testkit.corpus import build_variants
+
+GOLDEN_TEXT = {
+    "plain": "A plain text transcript turn with no markup at all.",
+    "html": (
+        "Main Article Heading\n"
+        "This is the first real paragraph of the article body text.\n"
+        "Second paragraph with more substantive content for extraction."
+    ),
+    "pdf_simple": "Simple Doc\n\nSimple Heading\nBody of the simple document.",
+    "pdf_flate": "Flate Doc\n\nCompressed Heading\nFlate compressed content stream body.",
+    "pdf_objstm": (
+        "ObjStm Doc\n\nObjStm Heading\nBody stored behind an xref stream and object stream."
+    ),
+    "pdf_tounicode": "CMap Doc\n\nUnicode Heading\nMapped: Жüﬁ",
+    "pdf_actualtext": "ActualText Doc\n\nSpan Heading\nreplaced words here",
+    "pdf_kerning": "Kerning Doc\n\nKerned Heading\nkerned words",
+    # no footer page number → section gate never opens → raw-text
+    # fallback in XY-cut reading order (title, left column, right column)
+    "pdf_multicolumn": "Column Title\n\nleft one\nleft two\n\nright one\nright two",
+    # reverse-sibling DFS: Beta (id 1) precedes Alpha (id 2) and Deep (id 3)
+    "pdf_sections": (
+        "Sections Doc\n\nBeta\nBeta body text.\n\nAlpha\nAlpha body text.\n\nDeep Dive\nDeep body."
+    ),
+    "pdf_smartquotes": 'Quotes Doc\n\nQuote Heading\nsaid "hello there" loudly',
+    "malformed": "",
+    "encrypted": "",
+    "empty": "",
+}
+
+GOLDEN_KIND = {
+    "plain": "plain", "html": "html", "empty": "plain",
+    **{k: "pdf" for k in GOLDEN_TEXT if k.startswith("pdf") or k in ("malformed", "encrypted")},
+}
+
+
+def test_every_variant_matches_golden():
+    variants = build_variants()
+    assert {v.name for v in variants} == set(GOLDEN_TEXT)
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c"] * len(variants),
+            "turn_idx": range(len(variants)),
+            "role": "user",
+            "text": [v.payload for v in variants],
+            "tool": None,
+            "ts": pd.Timestamp("2026-01-01"),
+        }
+    )
+    out = extract_pandas_batch(df)
+    for v, (_, row) in zip(variants, out.iterrows()):
+        assert row["status"] == v.expected_status, v.name
+        assert row["text"] == GOLDEN_TEXT[v.name], v.name
+        assert row["kind"] == GOLDEN_KIND[v.name], v.name
+
+
+def test_sections_struct_for_sectioned_variant():
+    variants = {v.name: v for v in build_variants()}
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c"], "turn_idx": [0], "role": "user",
+            "text": [variants["pdf_sections"].payload], "tool": None,
+            "ts": pd.Timestamp("2026-01-01"),
+        }
+    )
+    out = extract_pandas_batch(df)
+    secs = out.iloc[0]["sections"]
+    assert [s["id"] for s in secs] == [0, 1, 2, 3]
+    assert [s["title"] for s in secs] == ["Sections Doc", "Beta", "Alpha", "Deep Dive"]
+    assert [s.get("parent_id") for s in secs] == [None, 0, 0, 2]
+    # spans point at section contents inside the rendered text
+    text = out.iloc[0]["text"]
+    for sec, span in zip(secs, out.iloc[0]["spans"]):
+        assert text[span["start"] : span["end"]] == sec["content"]
+
+
+def test_transcripts_table_determinism_and_skew():
+    from pdf_parser_c_spark.testkit.corpus import make_transcripts
+
+    a = make_transcripts(n_convs=10, turns_per_conv=6)
+    b = make_transcripts(n_convs=10, turns_per_conv=6)
+    pd.testing.assert_frame_equal(a, b)
+    sizes = a.groupby("conv_id").size()
+    assert sizes.max() == 20 * sizes.min()  # mega conv skew fixture
+    # shuffled on write: not already sorted by (conv_id, turn_idx)
+    assert not a["conv_id"].is_monotonic_increasing

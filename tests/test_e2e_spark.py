@@ -1,0 +1,112 @@
+"""Spark integration: per-turn text equality under stable
+(conv_id, turn_idx) ordering, payload dispatch, skew salting,
+resumable checkpointed runs (SURVEY.md §2 north-rule additions)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_c_spark.engine import (
+    extract_turns,
+    run_extraction_job,
+    salted_repartition,
+    with_bucket,
+)
+from pdf_parser_c_spark.testkit.corpus import make_transcripts, transcripts_columns_only
+from tests.test_corpus_golden import GOLDEN_TEXT
+
+
+@pytest.fixture(scope="module")
+def corpus() -> pd.DataFrame:
+    return make_transcripts(n_convs=12, turns_per_conv=8, mega_every=6, mega_factor=10)
+
+
+def test_per_turn_text_equality_stable_order(spark, corpus):
+    sdf = spark.createDataFrame(transcripts_columns_only(corpus))
+    out = (
+        extract_turns(sdf, num_partitions=8)
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "status", "text")
+        .toPandas()
+    )
+    exp = (
+        corpus.assign(expected_text=corpus["variant"].map(GOLDEN_TEXT))
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(exp)
+    assert out["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert out["turn_idx"].tolist() == exp["turn_idx"].tolist()
+    assert out["text"].tolist() == exp["expected_text"].tolist()
+    assert out["status"].tolist() == exp["expected_status"].tolist()
+
+
+def test_salted_repartition_spreads_mega_conv(spark, corpus):
+    sdf = spark.createDataFrame(transcripts_columns_only(corpus))
+    parts = (
+        salted_repartition(sdf, 8)
+        .withColumn("pid", F.spark_partition_id())
+        .filter(F.col("conv_id") == "conv000005")  # the mega conv
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert parts > 1  # without salt a conv is glued to one partition
+
+
+def test_result_schema_stable(spark, corpus):
+    sdf = spark.createDataFrame(transcripts_columns_only(corpus).head(3))
+    out = extract_turns(sdf)
+    assert [f.name for f in out.schema.fields] == [
+        "conv_id", "turn_idx", "role", "tool", "ts", "kind", "status",
+        "text", "sections", "spans", "n_pages", "error",
+    ]
+    assert out.schema["sections"].dataType.elementType["title"].dataType.typeName() == "string"
+
+
+def test_resumable_job_skips_done_buckets(spark, corpus, tmp_path):
+    sdf = spark.createDataFrame(transcripts_columns_only(corpus))
+    out_dir = str(tmp_path / "job")
+    r1 = run_extraction_job(spark, sdf, out_dir, n_buckets=8, job_id="t1")
+    assert r1["buckets_run"] == 8 and r1["buckets_skipped"] == 0
+    n1 = spark.read.parquet(f"{out_dir}/results").count()
+    assert n1 == sdf.count()
+
+    # second run: everything checkpointed → nothing recomputed, no dupes
+    r2 = run_extraction_job(spark, sdf, out_dir, n_buckets=8, job_id="t2")
+    assert r2["buckets_run"] == 0 and r2["buckets_skipped"] == 8
+    assert spark.read.parquet(f"{out_dir}/results").count() == n1
+
+
+def test_resume_after_partial_lineage(spark, corpus, tmp_path):
+    """Simulate a crash: lineage covers only some buckets → only the
+    missing ones re-run, and their partitions are replaced not duped."""
+    sdf = spark.createDataFrame(transcripts_columns_only(corpus))
+    out_dir = str(tmp_path / "job2")
+    run_extraction_job(spark, sdf, out_dir, n_buckets=8, job_id="full")
+    total = spark.read.parquet(f"{out_dir}/results").count()
+
+    # drop lineage rows for half the buckets (simulates lost progress)
+    lineage = spark.read.parquet(f"{out_dir}/lineage").toPandas()
+    kept = lineage[lineage["bucket"] < 4]
+    spark.createDataFrame(kept).write.mode("overwrite").parquet(f"{out_dir}/lineage")
+
+    r = run_extraction_job(spark, sdf, out_dir, n_buckets=8, job_id="resume")
+    assert r["buckets_skipped"] == 4 and r["buckets_run"] == 4
+    assert spark.read.parquet(f"{out_dir}/results").count() == total  # idempotent
+
+
+def test_bucket_assignment_deterministic(spark, corpus):
+    sdf = spark.createDataFrame(transcripts_columns_only(corpus))
+    a = with_bucket(sdf, 16).select("conv_id", "turn_idx", "bucket")
+    b = with_bucket(sdf, 16).select("conv_id", "turn_idx", "bucket")
+    assert a.exceptAll(b).count() == 0
+
+
+def test_sections_survive_spark_roundtrip(spark, corpus):
+    one = corpus[corpus["variant"] == "pdf_sections"].head(1)
+    sdf = spark.createDataFrame(transcripts_columns_only(one))
+    row = extract_turns(sdf).collect()[0]
+    titles = [s["title"] for s in row["sections"]]
+    assert titles == ["Sections Doc", "Beta", "Alpha", "Deep Dive"]
+    assert row["text"][row["spans"][1]["start"] : row["spans"][1]["end"]] == "Beta body text."
