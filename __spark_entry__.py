@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship end-to-end extraction: sf0.001 documents
+are deterministically armored into the transcripts shape (every payload
+class: generated PDF bytes, HTML wrapping, plain text) and pushed
+through the full engine (COS parse → content interpreter → layout →
+section extraction / boilerplate strip) via the Arrow-batched
+``mapInPandas`` kernel.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 plus the training-data-pipeline operators, each with
+a DuckDB-runnable ANSI-SQL oracle (column names aligned on both sides).
 """
 
 from __future__ import annotations
@@ -13,26 +18,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pdf_parser_c_spark import queries as Q
+from pdf_parser_c_spark.engine import extract_turns
+from pdf_parser_c_spark.flagship import build_transcripts_from_documents
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline over transcripts synthesized
+    from the sf0.001 documents table; returns one row per turn with
+    stable schema (conv_id, turn_idx, kind, status, text, ...)."""
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    transcripts = build_transcripts_from_documents(spark, docs)
+    return extract_turns(transcripts, num_partitions=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in Q.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in Q.QUERIES.items() if sql is not None}

@@ -1,0 +1,82 @@
+"""Per-round benchmark (driver contract).
+
+Runs every catalog query at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` plus an
+extraction-throughput probe over the deterministic transcripts corpus,
+and prints ONE JSON line:
+
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+The scaling-efficiency evidence (same job at N vs 4N cores) lives in
+``scripts/bench_scaling.py`` → ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pdf_parser_c_spark.engine import extract_turns, get_spark
+    from pdf_parser_c_spark.queries import QUERIES
+    from pdf_parser_c_spark.testkit.corpus import make_transcripts, transcripts_columns_only
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark(app="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/parquet reader so the first measured query isn't
+    # paying one-time costs
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    per_query: dict[str, float] = {}
+    for name, (fn, _sql) in QUERIES.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    # extraction throughput probe: deterministic transcripts corpus,
+    # payload mix per FIXTURES.md §2 (PDF-heavy)
+    corpus = transcripts_columns_only(
+        make_transcripts(n_convs=40, turns_per_conv=28, mega_every=10, mega_factor=10)
+    )
+    sdf = spark.createDataFrame(corpus)
+    n_turns = sdf.count()
+    t0 = time.perf_counter()
+    extract_turns(sdf, num_partitions=cpus * 2).count()
+    ex_sec = time.perf_counter() - t0
+    turns_per_sec = n_turns / ex_sec if ex_sec > 0 else 0.0
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "extraction": {
+                    "turns": n_turns,
+                    "sec": round(ex_sec, 3),
+                    "turns_per_sec": round(turns_per_sec, 1),
+                    "cpus": cpus,
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

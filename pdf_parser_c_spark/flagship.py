@@ -1,0 +1,95 @@
+"""Flagship input builder: armor the driver's ``documents`` table into
+the transcripts shape (BASELINE.json ``input_hint``) so the full
+extraction engine can run end-to-end on driver-provided data.
+
+Deterministic per doc_id: every third row becomes a generated PDF
+carrying the document's words as heading+body (exercising the COS/
+content/layout/section path), every third an HTML page with nav/footer
+boilerplate around the text, the rest plain text.  No randomness, no
+external data.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .engine import encode_pdf_payload
+from .testkit.gen_pdf import FontSpec, PageSpec, build_pdf, text_block, tj
+
+_FONTS = {
+    "F1": FontSpec("Helvetica", encoding="WinAnsiEncoding"),
+    "F2": FontSpec("Helvetica-Bold", encoding="WinAnsiEncoding"),
+}
+
+_EPOCH = dt.datetime(2026, 1, 1)
+
+TRANSCRIPTS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def doc_to_pdf_payload(doc_id: int, text: str) -> str:
+    words = text.split()
+    head = " ".join(words[:3]).title() or "Untitled"
+    body_lines = [" ".join(words[i : i + 8]) for i in range(3, min(len(words), 43), 8)]
+    content = text_block(72, 700, 16, [[("F2", 12, head)]])
+    y = 660
+    if body_lines:
+        content += text_block(72, y, 14, [[("F1", 11, ln)] for ln in body_lines])
+    content += tj(300, 30, "F1", 10, str(doc_id % 90 + 1))
+    pdf = build_pdf([PageSpec(content)], _FONTS, title=f"Doc {doc_id}",
+                    compress=doc_id % 2 == 0,
+                    xref_stream=doc_id % 4 == 0, objstm=doc_id % 4 == 0)
+    return encode_pdf_payload(pdf)
+
+
+def doc_to_html_payload(doc_id: int, text: str) -> str:
+    return (
+        "<html><head><script>track();</script></head><body>"
+        "<nav><a href='/a'>One</a> <a href='/b'>Two</a> <a href='/c'>Three</a></nav>"
+        f"<article><h1>Document {doc_id}</h1><p>{text}</p></article>"
+        "<footer><a href='/t'>Terms</a> fine print</footer></body></html>"
+    )
+
+
+def build_transcripts_from_documents(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, ...) → transcripts rows, one per doc.
+
+    Driver-side pandas conversion is deliberate here: the flagship runs
+    at sf0.001 (tens of rows); the production path takes transcripts
+    tables directly (see engine.run_extraction_job)."""
+    pdf = docs.select("doc_id", "text").toPandas().sort_values("doc_id")
+    rows = []
+    for _, r in pdf.iterrows():
+        doc_id = int(r["doc_id"])
+        text = str(r["text"])
+        mode = doc_id % 3
+        if mode == 0:
+            payload = doc_to_pdf_payload(doc_id, text)
+        elif mode == 1:
+            payload = doc_to_html_payload(doc_id, text)
+        else:
+            payload = text
+        rows.append(
+            {
+                "conv_id": f"conv{doc_id // 10:06d}",
+                "turn_idx": doc_id % 10,
+                "role": ("user", "assistant", "tool")[doc_id % 3],
+                "text": payload,
+                "tool": None,
+                "ts": _EPOCH + dt.timedelta(minutes=doc_id),
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows), schema=TRANSCRIPTS_SCHEMA)

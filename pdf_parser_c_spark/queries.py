@@ -1,0 +1,840 @@
+"""Driver-contract query catalog (SURVEY.md §2 driver-contract note).
+
+Each entry is an operator of the engine expressed over the driver's
+testdata substrate, paired with an ANSI-SQL DuckDB oracle.  Groups:
+
+* ``a*_/b*_`` — SQL-expressible analogues of the reference's extraction
+  stages (the mapping FIXTURES.md §4 defines: emphasis runs ≅
+  run-length sessionization of ``events.event_type``; word-gap breaks ≅
+  time-gap sessionization on ``events.ts``; baseline pools ≅
+  ``floor(value/4)`` buckets; the section fold ≅ cumulative-flag
+  sessionization; the title classifier ≅ its own regex chain)
+* ``tpch_*`` — scan/agg/join benchmarks proving the relational layer
+  (predicate pushdown, partial aggregation, broadcast joins)
+* ``dedup_* / sim_* / text_*`` — the training-data-pipeline operators a
+  100 TB corpus job needs: exact + n-gram-Jaccard + MinHash-LSH +
+  SimHash dedup, brute-force and LSH-bucketed cosine similarity,
+  language-ID, quality scoring, token counting, fingerprinting.
+
+Contract rules honored here: every computed column is aliased
+identically in the Spark plan and the oracle SQL; float aggregates are
+rounded (both sides compute in float64 with identical fold order, the
+round is belt-and-braces); bucket/floor results are cast to BIGINT on
+both sides.
+
+Scale notes are given per query — each one states why the plan holds at
+1000 executors (broadcast side sizes, shuffle keys, skew behavior).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Extraction-operator analogues (Layer A/B of SURVEY.md §2)
+# --------------------------------------------------------------------------
+
+
+def q_a4_footer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 footer-region predicate ≅ plain filter + count.
+    Scale: filter pushes to the parquet scan; partial agg map-side;
+    5-row result."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value") >= 180.0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_footer"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_A4 = """
+SELECT event_type,
+       count(*) AS n_footer,
+       round(sum(value), 2) AS sum_value
+FROM events WHERE value >= 180.0
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_a5_page_number_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 page-number regex, *full-match* anchored (src/pdf_utils.cpp:187).
+    Synthesizes the footer-line shapes from doc_id (the generator-known
+    deterministic substrate) and counts matches.
+    Scale: pure map + 2-row agg; no shuffle beyond the final exchange."""
+    d = t(spark, sf_dir, "documents")
+    line = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("- "), F.col("doc_id").cast("string"), F.lit(" -")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("Page "), F.col("doc_id").cast("string")))
+        .otherwise(F.col("doc_id").cast("string"))
+    )
+    return (
+        d.withColumn("line", line)
+        .withColumn("is_page_number", F.col("line").rlike("^.{0,2}[0-9]+.{0,2}$"))
+        .groupBy("is_page_number")
+        .agg(F.count("*").alias("n"))
+        .orderBy("is_page_number")
+    )
+
+
+SQL_A5 = """
+SELECT regexp_matches(line, '^.{0,2}[0-9]+.{0,2}$') AS is_page_number,
+       count(*) AS n
+FROM (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN '- ' || CAST(doc_id AS VARCHAR) || ' -'
+              WHEN doc_id % 3 = 1 THEN 'Page ' || CAST(doc_id AS VARCHAR)
+              ELSE CAST(doc_id AS VARCHAR) END AS line
+  FROM documents)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_a6_start_parse_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 gate ≅ per key, keep rows at/after the first marker event and
+    never reset (src/pdf_utils.cpp:516,536-539).
+    Scale: single shuffle on user_id (window + agg share it); skewed
+    users are bounded by per-user event counts."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gated = ev.withColumn(
+        "signups_so_far",
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).over(w),
+    ).filter(F.col("signups_so_far") > 0)
+    return (
+        gated.groupBy("user_id")
+        .agg(F.count("*").alias("n_after_gate"), F.round(F.sum("value"), 2).alias("gated_value"))
+        .orderBy("user_id")
+    )
+
+
+SQL_A6 = """
+SELECT user_id, count(*) AS n_after_gate, round(sum(value), 2) AS gated_value
+FROM (
+  SELECT user_id, value,
+         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS signups_so_far
+  FROM events)
+WHERE signups_so_far > 0
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_a8_emphasis_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 emphasis-run segmentation ≅ run-length sessionization:
+    lag → change flag → cumulative sum → run count
+    (src/pdf_utils.cpp:194-269).
+    Scale: one shuffle on user_id; both windows reuse the same
+    partitioning (no second exchange)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = ev.withColumn(
+        "chg",
+        F.when(F.lag("event_type").over(w).isNull()
+               | (F.col("event_type") != F.lag("event_type").over(w)), 1).otherwise(0),
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(F.sum("chg").alias("n_runs"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+SQL_A8 = """
+SELECT user_id, sum(chg) AS n_runs, count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_a9_paragraph_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 paragraph assembly ≅ order-preserving string aggregation with
+    a separator after every element (src/pdf_utils.cpp:252-263).
+    Scale: sort_array(collect_list(struct)) keeps the agg a single
+    shuffle with deterministic order — no global sort."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+                " ",
+            ).alias("assembled")
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_A9 = """
+SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS assembled
+FROM events WHERE event_id % 97 = 0
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+TITLE_PREFIX_CASE_SQL = """
+  CASE WHEN regexp_matches(prefix, '^\\d+(\\.\\d+)*\\.?$') THEN 'number_dot'
+       WHEN regexp_matches(prefix, '^\\([ivx]{1,5}\\)$') THEN 'roman'
+       WHEN regexp_matches(prefix, '^\\([a-z]\\)$') THEN 'alphabet'
+       WHEN regexp_matches(prefix, '^[*+-]$') THEN 'bullet'
+       ELSE 'none' END
+"""
+
+
+def q_a11_title_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 title-prefix classifier: the reference's regex chain applies
+    bullet→alphabet→roman→number with later matches overwriting, so the
+    effective priority is number > roman > alphabet > bullet
+    (src/pdf_utils.cpp:296-321).  Prefix shapes synthesized from doc_id.
+    Scale: pure map + 6-row agg."""
+    d = t(spark, sf_dir, "documents")
+    prefix = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("*"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("(a)"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("(i)"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("1.2."))
+        .when(F.col("doc_id") % 6 == 4, F.lit("(x)"))
+        .otherwise(F.lit("word"))
+    )
+    cls = (
+        F.when(prefix.rlike(r"^\d+(\.\d+)*\.?$"), "number_dot")
+        .when(prefix.rlike(r"^\([ivx]{1,5}\)$"), "roman")
+        .when(prefix.rlike(r"^\([a-z]\)$"), "alphabet")
+        .when(prefix.rlike(r"^[*+-]$"), "bullet")
+        .otherwise("none")
+    )
+    return (
+        d.withColumn("prefix_class", cls)
+        .groupBy("prefix_class")
+        .agg(F.count("*").alias("n"))
+        .orderBy("prefix_class")
+    )
+
+
+SQL_A11 = f"""
+SELECT {TITLE_PREFIX_CASE_SQL} AS prefix_class, count(*) AS n
+FROM (
+  SELECT CASE WHEN doc_id % 6 = 0 THEN '*'
+              WHEN doc_id % 6 = 1 THEN '(a)'
+              WHEN doc_id % 6 = 2 THEN '(i)'
+              WHEN doc_id % 6 = 3 THEN '1.2.'
+              WHEN doc_id % 6 = 4 THEN '(x)'
+              ELSE 'word' END AS prefix
+  FROM documents)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_a13_section_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 section fold ≅ cumulative-flag sessionization + per-section
+    aggregation; pre-gate rows dropped (src/pdf_utils.cpp:545-566).
+    Scale: one shuffle on user_id; section grouping reuses it (the
+    groupBy key prefixes the window key)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = ev.withColumn(
+        "section_id",
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).over(w),
+    ).filter(F.col("section_id") > 0)
+    per_section = sec.groupBy("user_id", "section_id").agg(F.count("*").alias("sz"))
+    return (
+        per_section.groupBy("user_id")
+        .agg(F.count("*").alias("n_sections"), F.max("sz").alias("max_section"))
+        .orderBy("user_id")
+    )
+
+
+SQL_A13 = """
+SELECT user_id, count(*) AS n_sections, max(sz) AS max_section
+FROM (
+  SELECT user_id, section_id, count(*) AS sz
+  FROM (
+    SELECT user_id, event_id,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS section_id
+    FROM events)
+  WHERE section_id > 0
+  GROUP BY user_id, section_id)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_b10_word_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 word building ≅ gap sessionization: break when the gap to the
+    previous element exceeds a threshold (poppler.patch:299-370).
+    Scale: one shuffle; gap flags and session counts are map-side after it."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    brk = F.when(gap.isNull() | (gap > 600_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("brk", brk)
+        .groupBy("user_id")
+        .agg(F.sum("brk").alias("n_words"), F.count("*").alias("n_chars"))
+        .orderBy("user_id")
+    )
+
+
+SQL_B10 = """
+SELECT user_id, sum(brk) AS n_words, count(*) AS n_chars
+FROM (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 600000000
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_b11_baseline_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 baseline pools: 4-pt buckets (poppler.patch:371-379).
+    Scale: partial agg map-side; bucket cardinality ~ value-range/4."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("pool", F.floor(F.col("value") / 4.0).cast("long"))
+        .groupBy("pool")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("pool")
+    )
+
+
+# sums of 2-decimal values land on 0.01 multiples — no decimal-midpoint
+# rounding hazard across engines (averages can hit exact .xx5 midpoints
+# that HALF_UP vs decimal-correct rounding resolve differently)
+SQL_B11 = """
+SELECT CAST(floor(value / 4.0) AS BIGINT) AS pool,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_a18_casing_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 none-of casing predicates (inc/pdf_utils.hpp:148-154):
+    all_upper = no lowercase anywhere; all_lower = no uppercase.
+    Scale: map + tiny agg."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("all_lower", F.col("text").rlike("^[^A-Z]*$"))
+        .withColumn("all_upper", F.col("text").rlike("^[^a-z]*$"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("all_lower").cast("long")).alias("n_all_lower"),
+            F.sum(F.col("all_upper").cast("long")).alias("n_all_upper"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_A18 = """
+SELECT lang,
+       sum(CASE WHEN regexp_matches(text, '^[^A-Z]*$') THEN 1 ELSE 0 END) AS n_all_lower,
+       sum(CASE WHEN regexp_matches(text, '^[^a-z]*$') THEN 1 ELSE 0 END) AS n_all_upper,
+       count(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational layer (TPC-H-style)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide scan → filter → 4-group agg.
+    Scale: filter + column pruning push to parquet; partial aggregation
+    makes the shuffle 4 rows per task."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_market_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered 3-way join.
+    Scale: customer is broadcast (dims ≪ fact); lineitem↔orders shuffle
+    on orderkey with AQE skew splitting; explicit broadcast() hint."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest.
+    Scale: md5 map-side; agg on digest shuffles (bounded by distinct
+    texts); per-source rollup is a second tiny shuffle."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("digest", F.md5(F.col("text")))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("digest").alias("n_unique"),
+            (F.count("*") - F.countDistinct("digest")).alias("n_dup_rows"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       count(*) - count(DISTINCT md5(text)) AS n_dup_rows
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: 4-word shingles → inverted index →
+    candidate pairs sharing a shingle → Jaccard ≥ 0.2.
+    Scale: the shingle self-join is the classic inverted-index pattern;
+    hot shingles are the skew risk — at corpus scale add a
+    document-frequency cap on shingles (standard blocking); AQE skew
+    join handles the residue.  Result: one row."""
+    d = t(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 3),"
+                    " i -> array_join(slice(split(text, ' '), i, 4), ' '))"
+                )
+            ).alias("s"),
+        )
+        .where(F.expr("size(split(text, ' ')) >= 4") if False else F.lit(True))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    joined = (
+        cand.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .withColumn("jac", F.col("common") / (F.col("sa.n") + F.col("sb.n") - F.col("common")))
+    )
+    return joined.agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("jac") >= 0.2, 1).otherwise(0)).alias("n_dup_pairs"),
+    )
+
+
+SQL_DEDUP_NGRAM = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, len(ws) - 3),
+                                    i -> array_to_string(ws[i:i+3], ' '))) AS s
+       FROM w WHERE len(ws) >= 4),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cand AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT count(*) AS n_candidate_pairs,
+       sum(CASE WHEN common * 1.0 / (sa.n + sb.n - common) >= 0.2 THEN 1 ELSE 0 END) AS n_dup_pairs
+FROM cand
+JOIN sizes sa ON cand.da = sa.doc_id
+JOIN sizes sb ON cand.db = sb.doc_id
+"""
+
+
+N_MINHASH = 8
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: per doc, min over shingle digests for K salted
+    hash functions; pairs agreeing on any band are LSH candidates.
+    Here: signature → band collision census (how many buckets hold >1
+    doc per hash function).
+    Scale: explode → K min-aggs in ONE groupBy pass (no K passes);
+    bucket census is a tiny second agg."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 3),"
+                " i -> array_join(slice(split(text, ' '), i, 4), ' '))"
+            )
+        ).alias("s"),
+    ).distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"salt{k}:"), F.col("s")))).alias(f"mh{k}")
+        for k in range(N_MINHASH)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    # band census: for each hash function, count buckets with >= 2 docs
+    parts = []
+    for k in range(N_MINHASH):
+        parts.append(
+            sig.groupBy(F.col(f"mh{k}").alias("bucket"))
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= 2)
+            .agg(
+                F.lit(k).alias("hash_fn"),
+                F.coalesce(F.count("*"), F.lit(0)).alias("n_colliding_buckets"),
+                F.coalesce(F.sum("c"), F.lit(0)).alias("n_docs_in_collisions"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("hash_fn")
+
+
+def _sql_minhash() -> str:
+    mins = ", ".join(
+        f"min(md5('salt{k}:' || s)) AS mh{k}" for k in range(N_MINHASH)
+    )
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS hash_fn,
+       coalesce(count(*), 0) AS n_colliding_buckets,
+       coalesce(sum(c), 0) AS n_docs_in_collisions
+FROM (SELECT mh{k} AS bucket, count(*) AS c FROM sig GROUP BY 1) b{k}
+WHERE c >= 2"""
+        for k in range(N_MINHASH)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, len(ws) - 3),
+                                    i -> array_to_string(ws[i:i+3], ' '))) AS s
+       FROM w WHERE len(ws) >= 4),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+SELECT * FROM ({unions}) ORDER BY hash_fn
+"""
+
+
+N_SIMHASH_BITS = 16
+
+
+def _simhash_bit_exprs() -> list[str]:
+    """Shared SQL fragments: bit j of a word's md5 = parity of hex digit
+    j+1 (identical md5 on both engines)."""
+    return [
+        f"(instr('0123456789abcdef', substr(md5(w), {j + 1}, 1)) - 1) % 2"
+        for j in range(N_SIMHASH_BITS)
+    ]
+
+
+def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint: 16-bit signature from word-hash bit
+    votes; census of signature collisions per source.
+    Scale: explode words → one agg with 16 sums → signature; no joins."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("w"))
+    bit_exprs = _simhash_bit_exprs()
+    votes = [
+        F.sum(F.expr(e) * 2 - 1).alias(f"v{j}") for j, e in enumerate(bit_exprs)
+    ]
+    sig_terms = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(N_SIMHASH_BITS)
+    )
+    sig = (
+        words.groupBy("doc_id", "source")
+        .agg(*votes)
+        .withColumn("simhash", F.expr(sig_terms).cast("long"))
+    )
+    return (
+        sig.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("simhash").alias("n_distinct_sigs"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_simhash() -> str:
+    bit_exprs = _simhash_bit_exprs()
+    votes = ", ".join(f"sum(({e}) * 2 - 1) AS v{j}" for j, e in enumerate(bit_exprs))
+    sig_terms = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(N_SIMHASH_BITS)
+    )
+    return f"""
+WITH words AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+sig AS (SELECT doc_id, source, {votes} FROM words GROUP BY doc_id, source),
+final AS (SELECT doc_id, source, CAST({sig_terms} AS BIGINT) AS simhash FROM sig)
+SELECT source, count(*) AS n_docs, count(DISTINCT simhash) AS n_distinct_sigs
+FROM final GROUP BY source ORDER BY source
+"""
+
+
+def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against vec_id=0 — the ANN baseline.
+    Scale: query vector broadcasts; dot products are a JVM-side
+    higher-order-function map (no Python); top-k via orderBy+limit uses
+    Spark's per-partition top-k (TakeOrdered), not a global sort."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    dot = "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(q AS ARRAY<DOUBLE>), (x, y) -> x * y), 0D, (a, b) -> a + b)"
+    nv = "aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D, (a, x) -> a + x * x)"
+    nq = "aggregate(CAST(q AS ARRAY<DOUBLE>), 0D, (a, x) -> a + x * x)"
+    return (
+        e.crossJoin(F.broadcast(q))
+        .withColumn("cos", F.expr(f"round({dot} / sqrt(({nv}) * ({nq})), 4)"))
+        .select("vec_id", "label", "cos")
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+SQL_SIM_BRUTEFORCE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(list_dot_product(embedding::DOUBLE[], qe) /
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) *
+                  list_dot_product(qe, qe)), 4) AS cos
+FROM embeddings, q
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN scale path: sign-of-first-4-dims hyperplane
+    bucket (16 cells); census of bucket sizes.
+    Scale: bucketing is a map; at 100 TB the same bucket column becomes
+    the partition/bucket key so a query probes 1/16 of the data."""
+    e = t(spark, sf_dir, "embeddings")
+    bucket = F.expr(
+        "CAST(CASE WHEN element_at(embedding, 1) > 0 THEN 8 ELSE 0 END"
+        " + CASE WHEN element_at(embedding, 2) > 0 THEN 4 ELSE 0 END"
+        " + CASE WHEN element_at(embedding, 3) > 0 THEN 2 ELSE 0 END"
+        " + CASE WHEN element_at(embedding, 4) > 0 THEN 1 ELSE 0 END AS BIGINT)"
+    )
+    return (
+        e.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"), F.countDistinct("label").alias("n_labels"))
+        .orderBy("bucket")
+    )
+
+
+SQL_SIM_LSH = """
+SELECT CAST(CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+     + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+     + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket,
+       count(*) AS n_vectors, count(DISTINCT label) AS n_labels
+FROM embeddings GROUP BY 1 ORDER BY 1
+"""
+
+
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it")
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword ratio per doc, averaged per lang.
+    Scale: pure map with higher-order functions (JVM-side), tiny agg."""
+    d = t(spark, sf_dir, "documents")
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    frac = F.expr(
+        f"size(filter(split(text, ' '), w -> array_contains({stop_arr}, w)))"
+        " / CAST(size(split(text, ' ')) AS DOUBLE)"
+    )
+    return (
+        d.withColumn("stop_frac", frac)
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("stop_frac"), 4).alias("avg_stop_frac"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TEXT_LANG_ID = f"""
+SELECT lang,
+       round(avg(len(list_filter(string_split(text, ' '), w -> w IN {_STOP_SQL}))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_stop_frac,
+       count(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length saturation + stopword signal, per source.
+    Scale: map + tiny agg."""
+    d = t(spark, sf_dir, "documents")
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    score = F.expr(
+        "0.5 * least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) + 0.5 * ("
+        f"size(filter(split(text, ' '), w -> array_contains({stop_arr}, w)))"
+        " / CAST(size(split(text, ' ')) AS DOUBLE))"
+    )
+    return (
+        d.withColumn("quality", score)
+        .groupBy("source")
+        .agg(F.round(F.avg("quality"), 4).alias("avg_quality"), F.count("*").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+SELECT source,
+       round(avg(0.5 * least(CAST(n_chars AS DOUBLE) / 400.0, 1.0)
+               + 0.5 * (len(list_filter(string_split(text, ' '), w -> w IN {_STOP_SQL}))
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE))), 4) AS avg_quality,
+       count(*) AS n_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokens + chars) per lang.
+    Scale: map + tiny agg; at corpus scale this is the canonical
+    map-side-combine aggregation."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("n_tokens", F.size(F.split("text", " ")).cast("long"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TEXT_TOKENS = """
+SELECT lang,
+       sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+       sum(n_chars) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: digest of a normalized 64-char head +
+    length bucket; distinct census per source.
+    Scale: map + agg on digest."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat(F.substring("text", 1, 64), F.lit("#"),
+                        F.floor(F.col("n_chars") / 100).cast("string")))
+    return (
+        d.withColumn("fp", fp)
+        .groupBy("source")
+        .agg(F.countDistinct("fp").alias("n_fingerprints"), F.count("*").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+SQL_TEXT_FINGERPRINT = """
+SELECT source,
+       count(DISTINCT md5(substr(text, 1, 64) || '#' ||
+                          CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR))) AS n_fingerprints,
+       count(*) AS n_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "a4_footer_filter": (q_a4_footer_filter, SQL_A4),
+    "a5_page_number_classify": (q_a5_page_number_classify, SQL_A5),
+    "a6_start_parse_gate": (q_a6_start_parse_gate, SQL_A6),
+    "a8_emphasis_runs": (q_a8_emphasis_runs, SQL_A8),
+    "a9_paragraph_assembly": (q_a9_paragraph_assembly, SQL_A9),
+    "a11_title_classifier": (q_a11_title_classifier, SQL_A11),
+    "a13_section_segmentation": (q_a13_section_segmentation, SQL_A13),
+    "b10_word_gap_sessionize": (q_b10_word_gap_sessionize, SQL_B10),
+    "b11_baseline_buckets": (q_b11_baseline_buckets, SQL_B11),
+    "a18_casing_predicates": (q_a18_casing_predicates, SQL_A18),
+    "tpch_pricing_summary": (q_tpch_pricing_summary, SQL_TPCH_Q1),
+    "tpch_market_join": (q_tpch_market_join, SQL_TPCH_Q3),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+    "dedup_minhash_lsh": (q_dedup_minhash, _sql_minhash()),
+    "text_simhash": (q_text_simhash, _sql_simhash()),
+    "sim_bruteforce_topk": (q_sim_bruteforce_topk, SQL_SIM_BRUTEFORCE),
+    "sim_lsh_bucketed": (q_sim_lsh_bucketed, SQL_SIM_LSH),
+    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
+    "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY),
+    "text_token_count": (q_text_token_count, SQL_TEXT_TOKENS),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+}

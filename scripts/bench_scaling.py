@@ -1,0 +1,109 @@
+"""Scaling-efficiency evidence for the north rule (BASELINE.json):
+throughput scaling efficiency ≥ 0.8 from N to 4N executors, proxied in
+this sandbox by running the identical extraction job on identical input
+at two parallelism levels (local[8] vs local[32]).
+
+Each level runs in its own subprocess (fresh JVM) against the same
+on-disk parquet corpus; throughput is measured around the extraction
+action only (session/scan warmup excluded on both sides, symmetric).
+
+Writes the measured table to BENCH/BASELINE.md.
+
+Usage: python scripts/bench_scaling.py [n_convs] [turns_per_conv]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pdf_parser_c_spark.engine import extract_turns, get_spark
+cores = int(sys.argv[1]); path = sys.argv[2]
+spark = get_spark(app=f"scale-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.read.parquet(path)
+n = df.count()  # warm scan + JVM
+# warm python workers with a tiny slice so worker fork cost is excluded
+extract_turns(df.limit(64), num_partitions=cores).count()
+t0 = time.perf_counter()
+extract_turns(df, num_partitions=cores * 4).count()
+sec = time.perf_counter() - t0
+print(json.dumps({{"cores": cores, "rows": n, "sec": sec,
+                   "rows_per_sec": n / sec}}))
+spark.stop()
+"""
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from pdf_parser_c_spark.testkit.corpus import make_transcripts, transcripts_columns_only
+
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    turns = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = transcripts_columns_only(
+        make_transcripts(n_convs=n_convs, turns_per_conv=turns, mega_every=10, mega_factor=10)
+    )
+    tmp = tempfile.mkdtemp(prefix="scale_corpus_")
+    pq.write_table(pa.Table.from_pandas(corpus, preserve_index=False),
+                   f"{tmp}/transcripts.parquet")
+    print(f"corpus: {len(corpus)} turns at {tmp}", file=sys.stderr)
+
+    runner_path = f"{tmp}/runner.py"
+    with open(runner_path, "w") as f:
+        f.write(RUNNER.format(repo=repo))
+
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, runner_path, str(cores), f"{tmp}/transcripts.parquet"],
+            capture_output=True, text=True, check=True,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cores] = json.loads(line)
+        print(line, file=sys.stderr)
+
+    r8, r32 = results[8], results[32]
+    eff = (r32["rows_per_sec"] / r8["rows_per_sec"]) / 4.0
+    md = f"""# BENCH — measured scaling evidence
+
+North-rule criterion (BASELINE.json): throughput scaling efficiency
+>= 0.8 from N to 4N executors.  Sandbox proxy per driver instruction:
+the identical extraction job on identical input at `local[8]` vs
+`local[32]` (fresh JVM per level, action-only timing, python workers
+pre-warmed symmetrically).
+
+Input: deterministic transcripts corpus ({len(corpus)} turns, payload mix
+per FIXTURES.md §2 — PDF-heavy with mega-conversation skew), written
+once to parquet and read identically by both runs.
+Job: `extract_turns` (salted repartition -> Arrow-batched mapInPandas
+extraction kernel) -> count.
+
+| cores (N) | rows | wall s | turns/sec |
+|---|---|---|---|
+| 8 | {r8['rows']} | {r8['sec']:.2f} | {r8['rows_per_sec']:.1f} |
+| 32 | {r32['rows']} | {r32['sec']:.2f} | {r32['rows_per_sec']:.1f} |
+
+**Scaling efficiency (N → 4N): {eff:.3f}** (criterion: ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
+
+Reproduce: `python scripts/bench_scaling.py`
+"""
+    os.makedirs(f"{repo}/BENCH", exist_ok=True)
+    with open(f"{repo}/BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+    print(json.dumps({"efficiency": eff, "r8": r8, "r32": r32}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Mimic the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() on DuckDB at the same sf, compare row count,
+column names, and order-insensitive values (column-name-sorted, like
+the driver's value hash).
+
+Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from pdf_parser_c_spark.engine import get_spark  # noqa: E402
+from pdf_parser_c_spark.queries import QUERIES, TABLES  # noqa: E402
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    spark = get_spark(app="oracle-check", master="local[8]", shuffle_partitions=8)
+    failures = 0
+    for name, (fn, sql) in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            print(f"FAIL {name}: spark error: {exc}")
+            failures += 1
+            continue
+        if sql is None:
+            print(f"ok   {name}: rows-only ({len(s_rows)} rows)")
+            continue
+        try:
+            rel = con.sql(sql)
+            d_cols = [c for c in rel.columns]
+            d_rows = rel.fetchall()
+        except Exception as exc:
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL {name}: columns spark={s_cols} duckdb={d_cols}")
+            failures += 1
+            continue
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+            failures += 1
+            continue
+        a = norm_rows(s_cols, s_rows)
+        b = norm_rows(d_cols, d_rows)
+        if a != b:
+            diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
+            failures += 1
+            continue
+        print(f"ok   {name}: {len(s_rows)} rows match")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,58 @@
+"""Driver-contract parity: every queries() entry must match its DuckDB
+oracle at sf0.001 (row count, column names, order-insensitive values) —
+the same comparison the driver runs at sf0.01."""
+
+import math
+
+import duckdb
+import pytest
+
+from pdf_parser_c_spark.queries import QUERIES, TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    fn, sql = QUERIES[name]
+    sdf = fn(spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if sql is None:
+        assert len(s_rows) >= 0  # rows-only contract
+        return
+    rel = duck.sql(sql)
+    d_cols = list(rel.columns)
+    d_rows = rel.fetchall()
+    assert sorted(s_cols) == sorted(d_cols), name
+    assert len(s_rows) == len(d_rows), name
+    assert _norm(s_cols, s_rows) == _norm(d_cols, d_rows), name
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as E
+
+    q = E.queries()
+    o = E.oracle_sql()
+    assert set(o) <= set(q) and len(q) >= 20
