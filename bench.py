@@ -52,6 +52,9 @@ def main() -> None:
     )
     sdf = spark.createDataFrame(corpus)
     n_turns = sdf.count()
+    # warm the Python workers so the probe measures steady-state
+    # throughput, not fork/import cost
+    extract_turns(sdf.limit(64), num_partitions=cpus).count()
     t0 = time.perf_counter()
     extract_turns(sdf, num_partitions=cpus * 2).count()
     ex_sec = time.perf_counter() - t0

@@ -97,7 +97,8 @@ class ContentInterpreter:
         # device flip: dev_x = x - x1 ; dev_y = y2 - y  (72 dpi)
         self.base_ctm: Matrix = (1.0, 0.0, 0.0, -1.0, -x1, y2)
         self.glyphs: list[Glyph] = []
-        self._font_cache: dict[object, Font] = {}
+        # font objects live on the document so the cache spans pages
+        self._font_cache: dict[object, Font] = doc.font_cache
 
     # ---------------- public ----------------
 

@@ -19,7 +19,25 @@ from dataclasses import dataclass, field
 from .filters import FilterError, decode_stream
 
 WHITESPACE = b"\x00\t\n\x0c\r "
+_NUM_RE = re.compile(rb"[+-]?\d*\.?\d*")
+_ENDSTREAM_RE = re.compile(rb"endstream")
+_WS_ENDSTREAM_RE = re.compile(rb"\s*endstream")
+_XREF_ENTRY_RE = re.compile(rb"(\d{10})\s+(\d{5})\s+([nf])")
 DELIMITERS = b"()<>[]{}/%"
+
+# master lexer regex: skip ws/comments, then capture one simple token.
+# Literal '(' and lone-'<' strings are handled by the stateful readers
+# (this pattern deliberately fails to match there).
+_TOKEN_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    rb"(?:"
+    rb"(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
+    rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<punct><<|>>|[\[\]{}>)])"
+    rb"|(?P<kw>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"
+    rb")"
+)
+_NAME_HEX_RE = re.compile(rb"#([0-9A-Fa-f]{2})")
 
 
 class PDFSyntaxError(ValueError):
@@ -87,79 +105,52 @@ class Lexer:
     def next_token(self):
         """Return (kind, value) with kind in
         {'num','name','str','dict_open','dict_close','arr_open',
-         'arr_close','kw','eof'}."""
-        self.skip_ws()
-        data, n = self.data, len(self.data)
-        if self.pos >= n:
-            return ("eof", None)
-        c = data[self.pos]
-        if c == 0x2F:  # '/'
-            return ("name", self._read_name())
-        if c in b"0123456789+-.":
-            return ("num", self._read_number())
-        if c == 0x28:  # '('
-            return ("str", self._read_literal_string())
-        if c == 0x3C:  # '<'
-            if self.pos + 1 < n and data[self.pos + 1] == 0x3C:
-                self.pos += 2
-                return ("dict_open", None)
-            return ("str", self._read_hex_string())
-        if c == 0x3E:  # '>'
-            if self.pos + 1 < n and data[self.pos + 1] == 0x3E:
-                self.pos += 2
-                return ("dict_close", None)
-            raise PDFSyntaxError(f"stray '>' at {self.pos}")
-        if c == 0x5B:  # '['
-            self.pos += 1
-            return ("arr_open", None)
-        if c == 0x5D:  # ']'
-            self.pos += 1
-            return ("arr_close", None)
-        if c == 0x7B:  # '{' (PostScript calculator — tokenized, unused)
-            self.pos += 1
-            return ("kw", "{")
-        if c == 0x7D:
-            self.pos += 1
-            return ("kw", "}")
-        if c == 0x29:
-            raise PDFSyntaxError(f"stray ')' at {self.pos}")
-        # regular keyword: obj endobj stream R true false null BT Tj ...
-        start = self.pos
-        pos = start
-        while pos < n and data[pos] not in WHITESPACE and data[pos] not in DELIMITERS:
-            pos += 1
-        self.pos = pos
-        return ("kw", data[start:pos].decode("latin-1"))
+         'arr_close','kw','eof'}.
 
-    def _read_name(self) -> Name:
-        data, n = self.data, len(self.data)
-        pos = self.pos + 1
-        out = bytearray()
-        while pos < n:
-            c = data[pos]
-            if c in WHITESPACE or c in DELIMITERS:
-                break
-            if c == 0x23 and pos + 2 < n:  # '#' hex escape
-                try:
-                    out.append(int(data[pos + 1 : pos + 3], 16))
-                    pos += 3
-                    continue
-                except ValueError:
-                    pass
-            out.append(c)
-            pos += 1
-        self.pos = pos
-        return Name(out.decode("utf-8", "replace"))
-
-    def _read_number(self):
-        m = re.compile(rb"[+-]?\d*\.?\d*").match(self.data, self.pos)
-        tok = m.group()
+        Fast path: one compiled master regex recognizes
+        whitespace/comments + the simple token classes in a single
+        match; strings fall back to the stateful readers."""
+        m = _TOKEN_RE.match(self.data, self.pos)
+        if m is None:
+            # only strings '(' , hex '<', or EOF reach here
+            self.skip_ws()
+            data, n = self.data, len(self.data)
+            if self.pos >= n:
+                return ("eof", None)
+            c = data[self.pos]
+            if c == 0x28:  # '('
+                return ("str", self._read_literal_string())
+            if c == 0x3C:  # '<' (single: hex string)
+                return ("str", self._read_hex_string())
+            raise PDFSyntaxError(f"stray {chr(c)!r} at {self.pos}")
+        kind = m.lastgroup
         self.pos = m.end()
-        if tok in (b"", b"+", b"-", b"."):
-            raise PDFSyntaxError(f"bad number at {self.pos}")
-        if b"." in tok:
-            return float(tok)
-        return int(tok)
+        if kind == "num":
+            tok = m.group("num")
+            return ("num", float(tok) if b"." in tok else int(tok))
+        if kind == "name":
+            raw = m.group("name")[1:]
+            if b"#" in raw:
+                raw = _NAME_HEX_RE.sub(lambda mm: bytes([int(mm.group(1), 16)]), raw)
+            return ("name", Name(raw.decode("utf-8", "replace")))
+        if kind == "kw":
+            return ("kw", m.group("kw").decode("latin-1"))
+        if kind == "punct":
+            p = m.group("punct")
+            if p == b"<<":
+                return ("dict_open", None)
+            if p == b">>":
+                return ("dict_close", None)
+            if p == b"[":
+                return ("arr_open", None)
+            if p == b"]":
+                return ("arr_close", None)
+            if p == b">":
+                raise PDFSyntaxError(f"stray '>' at {self.pos}")
+            if p == b")":
+                raise PDFSyntaxError(f"stray ')' at {self.pos}")
+            return ("kw", p.decode("latin-1"))  # { }
+        return ("eof", None)
 
     def _read_literal_string(self) -> bytes:
         data, n = self.data, len(self.data)
@@ -308,14 +299,14 @@ class Parser:
             raw = data[pos : pos + length]
             endpos = pos + length
             # tolerate off-by-a-bit Length by syncing to endstream
-            m = re.compile(rb"endstream").search(data, endpos)
+            m = _ENDSTREAM_RE.search(data, endpos)
             if m is not None and m.start() - endpos > 2:
-                m2 = re.compile(rb"\s*endstream").match(data, endpos)
+                m2 = _WS_ENDSTREAM_RE.match(data, endpos)
                 if m2 is None:
                     raw = data[pos : m.start()].rstrip(b"\r\n")
             self.lexer.pos = (m.end() if m else endpos)
         else:  # broken /Length: scan for endstream
-            m = re.compile(rb"endstream").search(data, pos)
+            m = _ENDSTREAM_RE.search(data, pos)
             if m is None:
                 raise PDFSyntaxError("unterminated stream")
             raw = data[pos : m.start()].rstrip(b"\r\n")
@@ -343,6 +334,7 @@ class PDFDocument:
     xref: dict[int, XrefEntry] = field(default_factory=dict)
     trailer: dict = field(default_factory=dict)
     _cache: dict[int, object] = field(default_factory=dict)
+    font_cache: dict = field(default_factory=dict)  # loaded Font objects, doc-lifetime
 
     # ---------------- construction ----------------
 
@@ -399,7 +391,7 @@ class PDFDocument:
             lex.skip_ws()
             for i in range(count):
                 line = self.data[lex.pos : lex.pos + 20]
-                mm = re.compile(rb"(\d{10})\s+(\d{5})\s+([nf])").match(line)
+                mm = _XREF_ENTRY_RE.match(line)
                 if mm is None:
                     raise PDFSyntaxError("malformed xref entry")
                 num = start + i

@@ -475,9 +475,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("s"),
         )
-        .where(F.expr("size(split(text, ' ')) >= 4") if False else F.lit(True))
         .distinct()
     )
+    # the inverted index feeds three consumers (sizes + both join sides);
+    # persist so the explode+distinct shuffle happens once
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -525,8 +527,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash functions; pairs agreeing on any band are LSH candidates.
     Here: signature → band collision census (how many buckets hold >1
     doc per hash function).
-    Scale: explode → K min-aggs in ONE groupBy pass (no K passes);
-    bucket census is a tiny second agg."""
+    Scale: explode → K min-aggs in ONE groupBy pass, then ONE unpivot
+    (stack) + census agg — the signature frame is never recomputed per
+    hash function."""
     d = t(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id",
@@ -542,23 +545,21 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(N_MINHASH)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
-    # band census: for each hash function, count buckets with >= 2 docs
-    parts = []
-    for k in range(N_MINHASH):
-        parts.append(
-            sig.groupBy(F.col(f"mh{k}").alias("bucket"))
-            .agg(F.count("*").alias("c"))
-            .filter(F.col("c") >= 2)
-            .agg(
-                F.lit(k).alias("hash_fn"),
-                F.coalesce(F.count("*"), F.lit(0)).alias("n_colliding_buckets"),
-                F.coalesce(F.sum("c"), F.lit(0)).alias("n_docs_in_collisions"),
-            )
+    stack_args = ", ".join(f"{k}, mh{k}" for k in range(N_MINHASH))
+    long = sig.select(
+        F.expr(f"stack({N_MINHASH}, {stack_args}) AS (hash_fn, bucket)")
+    )
+    buckets = long.groupBy("hash_fn", "bucket").agg(F.count("*").alias("c"))
+    return (
+        buckets.filter(F.col("c") >= 2)
+        .groupBy("hash_fn")
+        .agg(
+            F.count("*").alias("n_colliding_buckets"),
+            F.sum("c").alias("n_docs_in_collisions"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.orderBy("hash_fn")
+        .withColumn("hash_fn", F.col("hash_fn").cast("int"))
+        .orderBy("hash_fn")
+    )
 
 
 def _sql_minhash() -> str:
@@ -566,12 +567,7 @@ def _sql_minhash() -> str:
         f"min(md5('salt{k}:' || s)) AS mh{k}" for k in range(N_MINHASH)
     )
     unions = "\nUNION ALL\n".join(
-        f"""SELECT {k} AS hash_fn,
-       coalesce(count(*), 0) AS n_colliding_buckets,
-       coalesce(sum(c), 0) AS n_docs_in_collisions
-FROM (SELECT mh{k} AS bucket, count(*) AS c FROM sig GROUP BY 1) b{k}
-WHERE c >= 2"""
-        for k in range(N_MINHASH)
+        f"SELECT {k} AS hash_fn, mh{k} AS bucket FROM sig" for k in range(N_MINHASH)
     )
     return f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -579,8 +575,14 @@ sh AS (SELECT DISTINCT doc_id,
               unnest(list_transform(generate_series(1, len(ws) - 3),
                                     i -> array_to_string(ws[i:i+3], ' '))) AS s
        FROM w WHERE len(ws) >= 4),
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
-SELECT * FROM ({unions}) ORDER BY hash_fn
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+long AS ({unions}),
+buckets AS (SELECT hash_fn, bucket, count(*) AS c FROM long GROUP BY 1, 2)
+SELECT CAST(hash_fn AS INTEGER) AS hash_fn,
+       count(*) AS n_colliding_buckets,
+       sum(c) AS n_docs_in_collisions
+FROM buckets WHERE c >= 2
+GROUP BY hash_fn ORDER BY hash_fn
 """
 
 

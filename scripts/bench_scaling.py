@@ -55,6 +55,10 @@ def main() -> None:
     corpus = transcripts_columns_only(
         make_transcripts(n_convs=n_convs, turns_per_conv=turns, mega_every=10, mega_factor=10)
     )
+    # Spark cannot read parquet TIMESTAMP(NANOS); write microseconds
+    corpus = corpus.assign(
+        ts=corpus["ts"].dt.tz_localize(None).astype("datetime64[us]")
+    )
     tmp = tempfile.mkdtemp(prefix="scale_corpus_")
     pq.write_table(pa.Table.from_pandas(corpus, preserve_index=False),
                    f"{tmp}/transcripts.parquet")
