@@ -1,0 +1,89 @@
+"""Font inventory scan (SURVEY.md A17).
+
+The reference ships ``print_all_fonts`` (``src/pdf_utils.cpp:646-674``,
+dead code): a ``FontInfoScanner`` over all pages printing
+name/type/encoding/embedded/ToUnicode/ref per font.  Here it is a live
+diagnostic operator: transcripts → one row per (turn, font resource),
+via the same Arrow-batched kernel pattern as extraction.
+"""
+
+from __future__ import annotations
+
+import base64
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..engine import PDF_B85_PREFIX
+from ..pdf.content import ContentInterpreter
+from ..pdf.cos import PDFDocument
+
+FONT_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("font_name", T.StringType()),
+        T.StructField("subtype", T.StringType()),
+        T.StructField("ref_num", T.IntegerType()),
+        T.StructField("weight", T.IntegerType()),
+        T.StructField("italic", T.BooleanType()),
+        T.StructField("emphasized", T.BooleanType()),
+        T.StructField("has_tounicode", T.BooleanType()),
+    ]
+)
+
+
+def _fonts_of_payload(payload: str) -> list[dict]:
+    try:
+        pdf = base64.b85decode(payload[len(PDF_B85_PREFIX) :])
+        doc = PDFDocument.open(pdf)
+        pages = doc.pages()
+    except Exception:
+        return []
+    out = []
+    seen: set[int] = set()
+    from ..pdf.cos import Name
+
+    for page in pages:
+        res = doc.dget(page, "Resources") or {}
+        fonts = doc.dget(res, "Font", {}) or {}
+        interp = ContentInterpreter(doc, doc.page_mediabox(page))
+        for rname in fonts:
+            f = interp._get_font(res, Name(rname))
+            if f is None or f.uid in seen:
+                continue
+            seen.add(f.uid)
+            out.append(
+                {
+                    "font_name": f.name,
+                    "subtype": f.subtype,
+                    "ref_num": f.ref_num,
+                    "weight": f.weight,
+                    "italic": f.italic,
+                    "emphasized": f.is_emphasized(),
+                    "has_tounicode": bool(f.to_unicode),
+                }
+            )
+    return out
+
+
+def font_inventory(df: DataFrame) -> DataFrame:
+    """transcripts DataFrame → one row per distinct font per PDF turn."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            rows = []
+            for _, r in batch.iterrows():
+                text = r.get("text") or ""
+                if not isinstance(text, str) or not text.startswith(PDF_B85_PREFIX):
+                    continue
+                for f in _fonts_of_payload(text):
+                    rows.append({"conv_id": r["conv_id"], "turn_idx": int(r["turn_idx"]), **f})
+            yield pd.DataFrame(
+                rows,
+                columns=[fld.name for fld in FONT_ROW_SCHEMA.fields],
+            )
+
+    return df.mapInPandas(gen, schema=FONT_ROW_SCHEMA)

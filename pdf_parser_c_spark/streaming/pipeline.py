@@ -1,0 +1,59 @@
+"""Structured Streaming wrapper (SURVEY.md §1.2 model decision: the
+batch kernel is a pure function of one turn, so streaming is a thin
+wrapper — same kernel, same schema, exactly-once via checkpointing).
+
+The reference is strictly batch (one file in, one JSON out —
+``src/main.cpp``); this is the engine-level extension a transcript
+firehose needs: new turns appended to the input table are extracted
+incrementally, with Spark's checkpoint directory providing resume
+semantics (complementing the bucket-lineage scheme of
+``engine.run_extraction_job`` for batch backfills).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..engine import RESULT_SCHEMA, _map_batches
+from ..flagship import TRANSCRIPTS_SCHEMA
+
+
+def read_transcripts_stream(spark: SparkSession, input_path: str) -> DataFrame:
+    """File-source stream of transcript turns (parquet directory).
+    On a cluster this is the Iceberg/Kafka source with the same schema."""
+    return (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_path)
+    )
+
+
+def extract_stream(df: DataFrame) -> DataFrame:
+    """Streaming extraction: identical kernel, streaming plan.
+    mapInPandas is a stateless projection, so it composes with any
+    trigger and needs no watermark."""
+    return df.mapInPandas(_map_batches, schema=RESULT_SCHEMA)
+
+
+def start_extraction_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """readStream → extract → writeStream with exactly-once checkpointing.
+
+    ``available_now=True`` drains everything currently in the source and
+    stops — the backfill/test mode; ``False`` runs continuously."""
+    out = extract_stream(read_transcripts_stream(spark, input_path))
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -60,8 +60,11 @@ def main() -> None:
         ts=corpus["ts"].dt.tz_localize(None).astype("datetime64[us]")
     )
     tmp = tempfile.mkdtemp(prefix="scale_corpus_")
+    # small row groups so the scan parallelizes at both levels — a
+    # single-row-group file makes the scan+shuffle-write a serial stage
+    # that caps 32-core scaling (Amdahl)
     pq.write_table(pa.Table.from_pandas(corpus, preserve_index=False),
-                   f"{tmp}/transcripts.parquet")
+                   f"{tmp}/transcripts.parquet", row_group_size=2048)
     print(f"corpus: {len(corpus)} turns at {tmp}", file=sys.stderr)
 
     runner_path = f"{tmp}/runner.py"

@@ -1,0 +1,63 @@
+"""Streaming wrapper (incremental extraction, exactly-once) and the
+A17 font-inventory operator."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdf_parser_c_spark.operators.fonts_inventory import font_inventory
+from pdf_parser_c_spark.streaming.pipeline import start_extraction_stream
+from pdf_parser_c_spark.testkit.corpus import make_transcripts, transcripts_columns_only
+
+
+def _write_corpus(path, df: pd.DataFrame) -> None:
+    df = df.assign(ts=df["ts"].dt.tz_localize(None).astype("datetime64[us]"))
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    corpus = transcripts_columns_only(make_transcripts(n_convs=6, turns_per_conv=5, mega_every=0))
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write_corpus(str(inp / "part0.parquet"), corpus)
+
+    q = start_extraction_stream(
+        spark, str(inp), str(tmp_path / "out"), str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    out1 = spark.read.parquet(str(tmp_path / "out"))
+    assert out1.count() == len(corpus)
+
+    # incremental: append a new file; only the delta is processed
+    more = transcripts_columns_only(
+        make_transcripts(n_convs=8, turns_per_conv=5, mega_every=0)
+    )
+    more = more[more["conv_id"] >= "conv000006"]
+    _write_corpus(str(inp / "part1.parquet"), more)
+    q2 = start_extraction_stream(
+        spark, str(inp), str(tmp_path / "out"), str(tmp_path / "ckpt"), available_now=True
+    )
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(str(tmp_path / "out"))
+    assert out2.count() == len(corpus) + len(more)  # no reprocessing dupes
+
+    # per-turn results identical to the batch kernel
+    from pdf_parser_c_spark.engine import extract_turns
+
+    batch = extract_turns(spark.createDataFrame(corpus)).select("conv_id", "turn_idx", "text")
+    stream = out1.select("conv_id", "turn_idx", "text")
+    assert stream.exceptAll(batch).count() == 0
+
+
+def test_font_inventory(spark):
+    corpus = make_transcripts(n_convs=3, turns_per_conv=14, mega_every=0)
+    sdf = spark.createDataFrame(transcripts_columns_only(corpus))
+    inv = font_inventory(sdf).toPandas()
+    assert len(inv) > 0
+    # the corpus fonts: Helvetica regular/bold/oblique (+ CustomGlyphs)
+    names = set(inv["font_name"])
+    assert "Helvetica" in names and "Helvetica-Bold" in names
+    bold = inv[inv["font_name"] == "Helvetica-Bold"]
+    assert (bold["emphasized"]).all() and (bold["weight"] > 400).all()
+    cmap = inv[inv["font_name"] == "CustomGlyphs"]
+    assert (cmap["has_tounicode"]).all()
