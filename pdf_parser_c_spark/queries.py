@@ -701,6 +701,55 @@ FROM embeddings GROUP BY 1 ORDER BY 1
 """
 
 
+_HYPERPLANE_BUCKET = (
+    "CAST(CASE WHEN element_at(embedding, 1) > 0 THEN 8 ELSE 0 END"
+    " + CASE WHEN element_at(embedding, 2) > 0 THEN 4 ELSE 0 END"
+    " + CASE WHEN element_at(embedding, 3) > 0 THEN 2 ELSE 0 END"
+    " + CASE WHEN element_at(embedding, 4) > 0 THEN 1 ELSE 0 END AS BIGINT)"
+)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: hyperplane-bucket blocking (16 cells)
+    → within-bucket pair search → cosine threshold.
+    Scale: blocking turns O(n²) into Σ O(n_b²); buckets are the shuffle
+    key, AQE splits skewed cells; dot products stay JVM-side
+    (higher-order functions, no Python)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("e"),
+        F.expr(_HYPERPLANE_BUCKET).alias("bucket"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    na = "aggregate(a.e, 0D, (acc, x) -> acc + x * x)"
+    nb = "aggregate(b.e, 0D, (acc, x) -> acc + x * x)"
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).withColumn("cos", F.expr(f"{dot} / sqrt(({na}) * ({nb}))"))
+    return pairs.agg(
+        F.count("*").alias("n_pairs_checked"),
+        F.sum(F.when(F.col("cos") >= 0.3, 1).otherwise(0)).alias("n_dup_pairs"),
+    )
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         CAST(CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+  FROM embeddings)
+SELECT count(*) AS n_pairs_checked,
+       sum(CASE WHEN list_dot_product(a.e, b2.e) /
+                     sqrt(list_dot_product(a.e, a.e) * list_dot_product(b2.e, b2.e))
+                >= 0.3 THEN 1 ELSE 0 END) AS n_dup_pairs
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+"""
+
+
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it")
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
@@ -767,12 +816,17 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map + tiny agg; at corpus scale this is the canonical
     map-side-combine aggregation."""
     d = t(spark, sf_dir, "documents")
+    # whitespace tokens + a BPE-ish lexical split (letter runs / digit
+    # runs / single punctuation), both JVM-side regex ops
+    bpe = F.expr(r"size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
     return (
         d.withColumn("n_tokens", F.size(F.split("text", " ")).cast("long"))
+        .withColumn("n_bpe", bpe.cast("long"))
         .groupBy("lang")
         .agg(
             F.sum("n_tokens").alias("total_tokens"),
             F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
             F.sum("n_chars").alias("total_chars"),
         )
         .orderBy("lang")
@@ -783,6 +837,7 @@ SQL_TEXT_TOKENS = """
 SELECT lang,
        sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
        round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+       sum(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)) AS total_bpe_tokens,
        sum(n_chars) AS total_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
@@ -832,6 +887,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_minhash()),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
     "text_simhash": (q_text_simhash, _sql_simhash()),
     "sim_bruteforce_topk": (q_sim_bruteforce_topk, SQL_SIM_BRUTEFORCE),
     "sim_lsh_bucketed": (q_sim_lsh_bucketed, SQL_SIM_LSH),

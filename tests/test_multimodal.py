@@ -1,0 +1,66 @@
+"""Multimodal plumbing: schemas, kernel signatures, batch shapes,
+determinism.  Decode itself is a documented deterministic stub (no
+codec libs in this container) — the Spark mechanics are real."""
+
+from pdf_parser_c_spark.operators.multimodal import (
+    AUDIO_FEATURES_SCHEMA,
+    FRAME_SAMPLE_SCHEMA,
+    IMAGE_FEATURES_SCHEMA,
+    MEDIA_SCHEMA,
+    audio_features,
+    image_features,
+    make_media_frame,
+    resize_images,
+    sample_video_frames,
+)
+
+
+def _media_df(spark, n=30):
+    return spark.createDataFrame(make_media_frame(n), schema=MEDIA_SCHEMA)
+
+
+def test_image_features_schema_and_determinism(spark):
+    df = _media_df(spark)
+    out = image_features(df)
+    assert out.schema == IMAGE_FEATURES_SCHEMA
+    a = sorted((r["conv_id"], r["turn_idx"], r["mean_luma"], r["phash"]) for r in out.collect())
+    b = sorted((r["conv_id"], r["turn_idx"], r["mean_luma"], r["phash"]) for r in image_features(df).collect())
+    assert a == b and len(a) == 10  # every 3rd row is an image
+    assert all(r[2] is not None and 0 <= r[2] <= 255 for r in a)
+
+
+def test_image_features_survive_repartition(spark):
+    df = _media_df(spark)
+    one = sorted(tuple(r) for r in image_features(df.coalesce(1)).collect())
+    many = sorted(tuple(r) for r in image_features(df.repartition(7)).collect())
+    assert one == many  # kernel is partition-shape independent
+
+
+def test_resize_stub_plumbs_payload(spark):
+    out = resize_images(_media_df(spark), 128, 128)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r["width"] == 128 and not r["resized"] for r in rows)
+    assert all(len(bytes(r["payload"])) > 0 for r in rows)
+
+
+def test_video_frame_sampling(spark):
+    out = sample_video_frames(_media_df(spark), every_n=10)
+    assert out.schema == FRAME_SAMPLE_SCHEMA
+    rows = out.collect()
+    # video rows have n_frames=30+i → 3..5 sampled frames each
+    per_turn = {}
+    for r in rows:
+        per_turn.setdefault((r["conv_id"], r["turn_idx"]), []).append(r["frame_idx"])
+    assert all(idx == sorted(idx) and idx[0] == 0 for idx in
+               (sorted(v) for v in per_turn.values()))
+    assert all(i % 10 == 0 for v in per_turn.values() for i in v)
+
+
+def test_audio_duration(spark):
+    out = audio_features(_media_df(spark))
+    assert out.schema == AUDIO_FEATURES_SCHEMA
+    for r in out.collect():
+        # PCM16 at 16kHz: duration = bytes / 32000
+        assert abs(r["duration_s"] * 32000 - 32 * (4 + 0)) < 32 * 11  # payload is 32*k bytes
+        assert r["sample_rate"] == 16000
