@@ -94,9 +94,10 @@ def parse_pdf_bytes(data: bytes) -> ExtractionResult:
     for page in pages:
         x1, y1, x2, y2 = doc.page_mediabox(page)
         y0 = y2 - PAGE_FOOTER_HEIGHT  # src/pdf_utils.cpp:522
+        rotate = doc.resolve(page.get("Rotate")) or 0
         try:
             content = doc.page_content(page)
-            interp = ContentInterpreter(doc, (x1, y1, x2, y2))
+            interp = ContentInterpreter(doc, (x1, y1, x2, y2), rotate=int(rotate))
             glyphs = interp.run(content, doc.dget(page, "Resources"))
         except (PDFSyntaxError, FilterError, ValueError):
             glyphs = []

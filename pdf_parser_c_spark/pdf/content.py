@@ -91,11 +91,27 @@ class _TextState:
 
 
 class ContentInterpreter:
-    def __init__(self, doc: PDFDocument, mediabox: tuple[float, float, float, float]):
+    def __init__(
+        self,
+        doc: PDFDocument,
+        mediabox: tuple[float, float, float, float],
+        rotate: int = 0,
+    ):
         self.doc = doc
         x1, y1, x2, y2 = mediabox
-        # device flip: dev_x = x - x1 ; dev_y = y2 - y  (72 dpi)
-        self.base_ctm: Matrix = (1.0, 0.0, 0.0, -1.0, -x1, y2)
+        # device flip at 72 dpi, composed with the page /Rotate attribute
+        # (poppler's displayPage applies page->getRotate(); the reference
+        # passes an *extra* rotation of 0 — src/pdf_utils.cpp:523)
+        rotate = rotate % 360
+        if rotate == 90:
+            # displayed width = page height: dev_x = y - y1, dev_y = x - x1
+            self.base_ctm: Matrix = (0.0, 1.0, 1.0, 0.0, -y1, -x1)
+        elif rotate == 180:
+            self.base_ctm = (-1.0, 0.0, 0.0, 1.0, x2, -y1)
+        elif rotate == 270:
+            self.base_ctm = (0.0, -1.0, -1.0, 0.0, y2, x2)
+        else:
+            self.base_ctm = (1.0, 0.0, 0.0, -1.0, -x1, y2)
         self.glyphs: list[Glyph] = []
         # font objects live on the document so the cache spans pages
         self._font_cache: dict[object, Font] = doc.font_cache

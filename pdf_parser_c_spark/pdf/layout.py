@@ -224,6 +224,19 @@ def build_blocks(lines: list[Line]) -> list[Block]:
     return blocks
 
 
+def _reading_frame_bbox(b: Block) -> tuple[float, float, float, float]:
+    """Block bbox transformed into its rotation's reading frame, so
+    XY-cut's notions of 'above' and 'left' follow the text direction."""
+    x0, y0, x1, y1 = b.bbox()
+    if b.rot == 0:
+        return (x0, y0, x1, y1)
+    if b.rot == 1:
+        return (y0, -x1, y1, -x0)
+    if b.rot == 2:
+        return (-x1, -y1, -x0, -y0)
+    return (-y1, x0, -y0, x1)
+
+
 def _xy_cut(blocks: list[Block], vertical_first: bool = False) -> list[Block]:
     """Recursive XY-cut ordering — public-domain document-layout
     algorithm (Nagy & Seth 1984) standing in for poppler's
@@ -231,7 +244,7 @@ def _xy_cut(blocks: list[Block], vertical_first: bool = False) -> list[Block]:
     column layouts."""
     if len(blocks) <= 1:
         return list(blocks)
-    boxes = [b.bbox() for b in blocks]
+    boxes = [_reading_frame_bbox(b) for b in blocks]
 
     def gaps(axis: int) -> list[float]:
         # axis 0 = split on y (horizontal cut), 1 = split on x
@@ -255,7 +268,7 @@ def _xy_cut(blocks: list[Block], vertical_first: bool = False) -> list[Block]:
             second = [b for b, bx in zip(blocks, boxes) if bx[lo_i] >= cut]
             if first and second:
                 return _xy_cut(first, axis == 0) + _xy_cut(second, axis == 0)
-    return sorted(blocks, key=lambda b: (b.bbox()[1], b.bbox()[0]))
+    return sorted(blocks, key=lambda b: (_reading_frame_bbox(b)[1], _reading_frame_bbox(b)[0]))
 
 
 def reading_order(blocks: list[Block]) -> list[Block]:

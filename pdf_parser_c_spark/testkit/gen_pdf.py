@@ -45,6 +45,7 @@ class PageSpec:
     content: str  # content-stream source (uncompressed text)
     mediabox: tuple[float, float, float, float] = (0, 0, 612, 792)
     fonts: list[str] = field(default_factory=list)  # resource names used
+    rotate: int = 0  # page /Rotate attribute
 
 
 def _tounicode_stream(mapping: dict[int, str]) -> bytes:
@@ -216,8 +217,9 @@ def build_pdf(
         res = " ".join(f"/{n} {font_nums[n]} 0 R" for n in used if n in font_nums)
         content_num = w.add_stream("", page.content.encode("latin-1"), compress=compress)
         mb = " ".join(str(v) for v in page.mediabox)
+        rot = f" /Rotate {page.rotate}" if page.rotate else ""
         pn = w.add(
-            f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [ {mb} ] "
+            f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [ {mb} ]{rot} "
             f"/Resources << /Font << {res} >> >> /Contents {content_num} 0 R >>"
         )
         page_nums.append(pn)

@@ -1,0 +1,49 @@
+"""spark-submit job entry (north rule: "run via spark-submit --py-files").
+
+Usage:
+    zip -r engine.zip pdf_parser_c_spark
+    spark-submit --py-files engine.zip scripts/run_extraction.py \
+        --input /data/transcripts --output /data/extracted \
+        --buckets 4096 --partitions 8192 [--resume]
+
+Reads the transcripts table (parquet directory; on a cluster, point it
+at the Iceberg table path or swap the reader), runs the checkpointed
+extraction job, prints a one-line JSON summary.  Re-running with the
+same --output resumes: finished buckets are skipped via the lineage
+table, retried buckets overwrite their partitions (idempotent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcripts parquet path")
+    ap.add_argument("--output", required=True, help="job output root")
+    ap.add_argument("--buckets", type=int, default=64, help="checkpoint buckets")
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="salted repartition width (default: leave to scan)")
+    ap.add_argument("--job-id", default="extract")
+    args = ap.parse_args()
+
+    from pdf_parser_c_spark.engine import get_spark, run_extraction_job
+
+    spark = get_spark(app=f"extraction-{args.job_id}")
+    df = spark.read.parquet(args.input)
+    summary = run_extraction_job(
+        spark,
+        df,
+        args.output,
+        n_buckets=args.buckets,
+        num_partitions=args.partitions,
+        job_id=args.job_id,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

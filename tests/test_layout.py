@@ -97,3 +97,20 @@ def test_combining_char_nfc():
     blks = blocks_of("BT /F1 12 Tf 72 700 Td (AB) Tj ET\n", fonts)
     # NFC merges e + combining acute into é
     assert block_text(blks[0]) == "é"
+
+
+def test_page_rotate_attribute_reading_order():
+    """/Rotate pages: poppler applies the page rotation in displayPage;
+    text must come out in natural reading order for every rotation."""
+    from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+    from pdf_parser_c_spark.testkit.gen_pdf import PageSpec, build_pdf, text_block
+
+    content = (
+        text_block(72, 700, 14, [[("F2", 12, "Rotated Heading")]])
+        + text_block(72, 660, 14, [[("F1", 12, "body one")], [("F1", 12, "body two")]])
+    )
+    texts = set()
+    for rot in (90, 180, 270):
+        pdf = build_pdf([PageSpec(content, rotate=rot)], FONTS)
+        texts.add(parse_pdf_bytes(pdf).text)
+    assert texts == {"Rotated Heading\n\nbody one\nbody two"}
