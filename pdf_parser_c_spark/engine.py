@@ -103,7 +103,13 @@ def _extract_one_pdf(payload: str) -> dict:
     except ValueError as exc:
         return {"status": "malformed", "text": "", "sections": [], "spans": [],
                 "n_pages": 0, "error": f"b85: {exc}"}
-    r = parse_pdf_bytes(pdf)
+    try:
+        r = parse_pdf_bytes(pdf)
+    except Exception as exc:  # safety net: one hostile payload must
+        # never fail a task at corpus scale (reference maps any bad doc
+        # to "{}" — src/pdf_utils.cpp:500-505)
+        return {"status": "error", "text": "", "sections": [], "spans": [],
+                "n_pages": 0, "error": f"{type(exc).__name__}: {exc}"}
     return {
         "status": r.status,
         "text": r.text,

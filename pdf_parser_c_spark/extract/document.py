@@ -92,14 +92,20 @@ def parse_pdf_bytes(data: bytes) -> ExtractionResult:
     raw_pages: list[str] = []
     start_parse = False
     for page in pages:
-        x1, y1, x2, y2 = doc.page_mediabox(page)
+        try:
+            x1, y1, x2, y2 = doc.page_mediabox(page)
+            rotate = int(doc.resolve(page.get("Rotate")) or 0)
+        except Exception:
+            x1, y1, x2, y2 = 0.0, 0.0, 612.0, 792.0
+            rotate = 0
         y0 = y2 - PAGE_FOOTER_HEIGHT  # src/pdf_utils.cpp:522
-        rotate = doc.resolve(page.get("Rotate")) or 0
         try:
             content = doc.page_content(page)
-            interp = ContentInterpreter(doc, (x1, y1, x2, y2), rotate=int(rotate))
+            interp = ContentInterpreter(doc, (x1, y1, x2, y2), rotate=rotate)
             glyphs = interp.run(content, doc.dget(page, "Resources"))
-        except (PDFSyntaxError, FilterError, ValueError):
+        except Exception:
+            # damaged page: extract nothing from it, keep the document
+            # going (poppler's per-page error recovery posture)
             glyphs = []
         blocks = layout_page(glyphs)
         raw_pages.append(page_raw_text(blocks))
@@ -112,7 +118,11 @@ def parse_pdf_bytes(data: bytes) -> ExtractionResult:
         pages_block_infos.append(infos)
 
     sections = fold_sections(pages_block_infos)
-    root = build_tree(sections, doc.doc_info_title())
+    try:
+        doc_title = doc.doc_info_title()
+    except Exception:
+        doc_title = ""
+    root = build_tree(sections, doc_title)
     flat = flatten_tree(root)
     text, spans = render_sections_text(flat)
     if len(flat) <= 1 and not flat[0]["content"]:

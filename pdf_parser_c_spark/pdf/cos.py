@@ -435,10 +435,13 @@ class PDFDocument:
         if not isinstance(stm, Stream) or stm.dict.get("Type") != Name("XRef"):
             raise PDFSyntaxError("not an xref stream")
         d = stm.dict
-        size = int(d["Size"])
-        w = [int(x) for x in d["W"]]
-        index = d.get("Index", [0, size])
-        index = [int(x) for x in index]
+        try:
+            size = int(self.resolve(d["Size"]))
+            w = [int(self.resolve(x)) for x in self.resolve(d["W"])]
+            index = self.resolve(d.get("Index")) or [0, size]
+            index = [int(self.resolve(x)) for x in index]
+        except (KeyError, TypeError, ValueError) as exc:
+            raise PDFSyntaxError(f"malformed xref stream dict: {exc}") from exc
         payload = stm.data()
         rowlen = sum(w)
         pos = 0

@@ -1,0 +1,66 @@
+"""Adversarial robustness: mutated/truncated/random payloads must come
+back as status rows, never exceptions — one hostile turn cannot fail a
+task at corpus scale (the reference maps any bad doc to "{}",
+src/pdf_utils.cpp:500-505)."""
+
+import base64
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_parser_c_spark.engine import PDF_B85_PREFIX, _extract_one_pdf
+from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+from pdf_parser_c_spark.testkit.corpus import build_variants
+
+_BASES = None
+
+
+def _bases():
+    global _BASES
+    if _BASES is None:
+        vs = {v.name: v for v in build_variants()}
+        _BASES = [
+            base64.b85decode(vs[n].payload[len(PDF_B85_PREFIX):])
+            for n in ("pdf_simple", "pdf_flate", "pdf_objstm", "pdf_sections")
+        ]
+    return _BASES
+
+
+def test_mutated_pdfs_never_crash():
+    rng = random.Random(1234)
+    for trial in range(600):
+        base = bytearray(_bases()[trial % 4])
+        kind = trial % 3
+        if kind == 0:
+            base = base[: rng.randrange(1, len(base))]
+        elif kind == 1:
+            for _ in range(rng.randrange(1, 10)):
+                base[rng.randrange(len(base))] = rng.randrange(256)
+        else:
+            i = rng.randrange(len(base))
+            del base[i : i + rng.randrange(1, 300)]
+        r = parse_pdf_bytes(bytes(base))
+        assert r.status in ("ok", "malformed", "encrypted", "empty")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=2000))
+def test_random_bytes_never_crash(data):
+    out = _extract_one_pdf(PDF_B85_PREFIX + base64.b85encode(data).decode())
+    assert out["status"] in ("ok", "malformed", "encrypted", "empty", "error")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=400))
+def test_kernel_handles_arbitrary_payload_text(s):
+    import pandas as pd
+
+    from pdf_parser_c_spark.engine import extract_pandas_batch
+
+    df = pd.DataFrame(
+        {"conv_id": ["c"], "turn_idx": [0], "role": ["u"], "text": [s],
+         "tool": [None], "ts": [pd.Timestamp("2026-01-01")]}
+    )
+    out = extract_pandas_batch(df)
+    assert len(out) == 1
