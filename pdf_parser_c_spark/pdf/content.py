@@ -202,15 +202,20 @@ class ContentInterpreter:
             font = ts.font
             if font is None:
                 return
+            # rotation/scale of Trm are constant across one show op —
+            # only the origin advances along the baseline; hoist the
+            # matrix algebra and trig out of the per-glyph loop
+            m = mat_mul(tm, ctm)
+            trm = mat_mul((ts.size * ts.h_scale, 0.0, 0.0, ts.size, 0.0, ts.rise), m)
+            ox, oy = trm[4], trm[5]
+            ang = math.atan2(trm[1], trm[0])
+            rot = int(round(ang / (math.pi / 2))) % 4
+            scale = math.hypot(trm[0], trm[1])
+            size_dev = math.hypot(trm[2], trm[3])
+            m0, m1 = m[0], m[1]  # device direction of one text-space unit
+            total_tx = 0.0
+            visible = ts.render_mode != 3
             for code, uni in font.decode(raw):
-                trm = mat_mul((ts.size * ts.h_scale, 0.0, 0.0, ts.size, 0.0, ts.rise),
-                              mat_mul(tm, ctm))
-                ox, oy = trm[4], trm[5]
-                # rotation from the device-space direction of the baseline
-                ang = math.atan2(trm[1], trm[0])
-                rot = int(round(ang / (math.pi / 2))) % 4
-                scale = math.hypot(trm[0], trm[1])
-                size_dev = math.hypot(trm[2], trm[3])
                 w0 = font.width(code) / 1000.0
                 is_space = (not font.two_byte and code == 0x20) or uni == " "
                 tx = (w0 * ts.size + ts.char_spacing
@@ -218,10 +223,12 @@ class ContentInterpreter:
                       ) * ts.h_scale
                 # trm's scale already folds in Tfs·Th·CTM, so the device
                 # advance of the glyph itself is just w0 × that scale
-                adv_dev = w0 * scale
-                if ts.render_mode != 3:  # 3 = invisible
-                    emit(Glyph(uni, ox, oy, adv_dev, size_dev, font, rot, is_space))
-                tm = mat_mul((1.0, 0.0, 0.0, 1.0, tx, 0.0), tm)
+                if visible:
+                    emit(Glyph(uni, ox, oy, w0 * scale, size_dev, font, rot, is_space))
+                ox += tx * m0
+                oy += tx * m1
+                total_tx += tx
+            tm = mat_mul((1.0, 0.0, 0.0, 1.0, total_tx, 0.0), tm)
 
         while True:
             try:

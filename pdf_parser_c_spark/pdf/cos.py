@@ -38,6 +38,13 @@ _TOKEN_RE = re.compile(
     rb")"
 )
 _NAME_HEX_RE = re.compile(rb"#([0-9A-Fa-f]{2})")
+# "<gen> R" continuation of an indirect reference, matched in one step
+# instead of two speculative next_token calls (numeric arrays would pay
+# 3× tokenizer cost otherwise)
+_REF_TAIL_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*)+(\d+)"
+    rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*)+R(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
+)
 
 
 class PDFSyntaxError(ValueError):
@@ -235,15 +242,12 @@ class Parser:
             tok = self.lexer.next_token()
         kind, value = tok
         if kind == "num":
-            # lookahead for "<num> <gen> R" indirect reference
+            # "<num> <gen> R" indirect reference — single-regex lookahead
             if isinstance(value, int):
-                save = self.lexer.pos
-                t2 = self.lexer.next_token()
-                if t2[0] == "num" and isinstance(t2[1], int):
-                    t3 = self.lexer.next_token()
-                    if t3 == ("kw", "R"):
-                        return Ref(value, t2[1])
-                self.lexer.pos = save
+                m = _REF_TAIL_RE.match(self.lexer.data, self.lexer.pos)
+                if m is not None:
+                    self.lexer.pos = m.end()
+                    return Ref(value, int(m.group(1)))
             return value
         if kind in ("name", "str"):
             return value
