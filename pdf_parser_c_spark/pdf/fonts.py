@@ -293,6 +293,14 @@ def _load_simple(doc: PDFDocument, fd: dict, font: Font) -> None:
             w = doc.resolve(w)
             if isinstance(w, (int, float)):
                 font.widths[int(first) + i] = float(w)
+    else:
+        # standard-14 fonts may legally omit /Widths; poppler falls back
+        # to the published AFM metrics — so do we
+        from .base14 import base14_widths
+
+        table = base14_widths(font.name)
+        if table is not None:
+            font.widths = table
     desc = doc.resolve(fd.get("FontDescriptor"))
     if isinstance(desc, dict):
         mw = doc.resolve(desc.get("MissingWidth"))

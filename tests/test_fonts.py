@@ -83,3 +83,48 @@ def test_font_identity_per_resource_object():
     interp = ContentInterpreter(doc, doc.page_mediabox(page))
     glyphs = interp.run(doc.page_content(page), doc.dget(page, "Resources"))
     assert glyphs[0].font is glyphs[-1].font
+
+
+def test_base14_widths_fallback():
+    """Standard-14 fonts without /Widths get AFM metrics (poppler
+    behavior), including subset-prefixed names."""
+    from pdf_parser_c_spark.pdf.base14 import base14_widths
+
+    h = base14_widths("Helvetica")
+    assert h[ord("i")] == 222 and h[ord("W")] == 944 and h[ord(" ")] == 278
+    assert base14_widths("ABCDEF+Helvetica")[ord("m")] == 833
+    assert base14_widths("Courier-Bold")[ord("x")] == 600
+    assert base14_widths("NoSuchFont") is None
+
+
+def test_no_widths_document_extracts_words():
+    """A doc that omits /Widths must still word-break sanely."""
+    from pdf_parser_c_spark.pdf.cos import PDFDocument
+    from pdf_parser_c_spark.pdf.content import ContentInterpreter
+    from pdf_parser_c_spark.pdf.layout import layout_page
+
+    # hand-build minimal PDF without Widths
+    body = (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        "/Encoding /WinAnsiEncoding >>"
+    )
+    from pdf_parser_c_spark.testkit.gen_pdf import PDFWriter, tj
+
+    w = PDFWriter()
+    cat = w.reserve()
+    pages = w.reserve()
+    fnum = w.add(body)
+    cnum = w.add_stream("", tj(72, 700, "F1", 12, "Hello wide world").encode())
+    pnum = w.add(
+        f"<< /Type /Page /Parent {pages} 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {fnum} 0 R >> >> /Contents {cnum} 0 R >>"
+    )
+    w.set(pages, f"<< /Type /Pages /Kids [{pnum} 0 R] /Count 1 >>")
+    w.set(cat, f"<< /Type /Catalog /Pages {pages} 0 R >>")
+    pdf = w.serialize(cat)
+    doc = PDFDocument.open(pdf)
+    page = doc.pages()[0]
+    interp = ContentInterpreter(doc, doc.page_mediabox(page))
+    blocks = layout_page(interp.run(doc.page_content(page), doc.dget(page, "Resources")))
+    words = [wd.get_text() for ln in blocks[0].lines for wd in ln.words]
+    assert words == ["Hello", "wide", "world"]
