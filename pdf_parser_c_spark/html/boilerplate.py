@@ -36,6 +36,7 @@ BLOCK_TAGS = {
 
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>")
 _WS_RE = re.compile(r"\s+")
+_RAWTEXT_TAGS = {"script", "style", "template", "textarea", "noscript"}
 
 MIN_BLOCK_CHARS = 25
 MAX_LINK_DENSITY = 0.4
@@ -87,9 +88,24 @@ def _segment(raw: str) -> list[tuple[str, int, str]]:
         buf = []
         link_chars = 0
 
-    for m in _TAG_RE.finditer(raw):
+    while True:
+        m = _TAG_RE.search(raw, pos)
+        if m is None:
+            break
         text = raw[pos : m.start()]
         pos = m.end()
+        tag_lower = m.group(2).lower()
+        # raw-text elements: their bodies may contain '<' (e.g. script
+        # with `a<b`); skip straight to the real closing tag
+        if m.group(1) != "/" and tag_lower in _RAWTEXT_TAGS:
+            close = re.search(rf"</{tag_lower}\s*>", raw[pos:], re.I)
+            pos = pos + close.end() if close else len(raw)
+            if drop_depth == 0 and text:
+                t = _html.unescape(text)
+                buf.append(t)
+                if link_depth > 0:
+                    link_chars += len(t.strip())
+            continue
         if drop_depth == 0 and text:
             t = _html.unescape(text)
             buf.append(t)

@@ -867,6 +867,26 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_extraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-engine end-to-end: documents armored into transcripts
+    (PDF/HTML/plain mix), pushed through the full extraction kernel.
+    Not SQL-expressible (DuckDB cannot parse PDFs) → rows-only check;
+    pytest golden fixtures carry the value-level correctness.
+    Scale: identical plan to the production job (scan → salt shuffle →
+    mapInPandas)."""
+    from .engine import extract_turns
+    from .flagship import build_transcripts_from_documents
+
+    docs = t(spark, sf_dir, "documents")
+    transcripts = build_transcripts_from_documents(spark, docs)
+    out = extract_turns(transcripts, num_partitions=16)
+    return (
+        out.select("conv_id", "turn_idx", "kind", "status",
+                   F.length("text").alias("text_len"), "n_pages")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -895,4 +915,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKENS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    # rows-only (non-SQL-expressible): the full extraction engine
+    "extraction_e2e": (q_extraction_e2e, None),
 }

@@ -1,0 +1,73 @@
+"""HTML boilerplate stripping (north rule): text-density heuristics,
+tag robustness, entity handling."""
+
+from pdf_parser_c_spark.html.boilerplate import extract_main_text, looks_like_html
+
+
+def test_sniffer():
+    assert looks_like_html("<html><body><p>x</p></body></html>")
+    assert looks_like_html("  <!DOCTYPE html><html>...")
+    assert looks_like_html("<div class='a'>hi</div>")
+    assert not looks_like_html("plain text < not html")
+    assert not looks_like_html("PDFB85:abc")
+
+
+def test_drops_script_style_nav_footer():
+    html = (
+        "<html><head><style>.x{color:red}</style><script>if(a<b){}</script></head>"
+        "<body><nav><a href='/'>Home</a><a href='/a'>Archive</a><a href='/b'>Contact</a></nav>"
+        "<p>The quick brown fox jumps over the lazy dog repeatedly today.</p>"
+        "<footer>(c) 2026 Site — <a href='/t'>Terms</a> and more legal text here</footer>"
+        "</body></html>"
+    )
+    out = extract_main_text(html)
+    assert "quick brown fox" in out
+    assert "color:red" not in out and "if(a" not in out
+    assert "Home" not in out and "Terms" not in out
+
+
+def test_link_density_filters_link_farms():
+    html = (
+        "<body><div><a href='1'>First related article link</a> "
+        "<a href='2'>Second related article link</a> <a href='3'>Third one here</a></div>"
+        "<p>Genuine article paragraph with enough characters to be kept as content.</p></body>"
+    )
+    out = extract_main_text(html)
+    assert "Genuine article paragraph" in out
+    assert "First related" not in out
+
+
+def test_headings_kept_short_blocks_dropped():
+    html = (
+        "<body><h2>Short Heading</h2><p>ok</p>"
+        "<p>A long enough paragraph that clears the minimum block length bar.</p></body>"
+    )
+    out = extract_main_text(html)
+    assert out.splitlines()[0] == "Short Heading"
+    assert "ok" not in out.splitlines()  # sub-minimum non-heading dropped
+
+
+def test_entities_and_whitespace_normalized():
+    html = "<body><p>Fish &amp; chips &#8212; tonight&nbsp;&nbsp; only, very    good deal</p></body>"
+    out = extract_main_text(html)
+    assert "Fish & chips" in out and "—" in out
+    assert "    " not in out
+
+
+def test_unclosed_and_selfclosing_tags_tolerated():
+    html = "<body><p>First paragraph of sufficient length to keep here<br/>second part<p>Another paragraph long enough to be retained too</body>"
+    out = extract_main_text(html)
+    assert "First paragraph" in out and "Another paragraph" in out
+
+
+def test_comments_stripped():
+    html = "<body><p>Kept paragraph content of adequate length for the filter<!-- hidden note --></p></body>"
+    out = extract_main_text(html)
+    assert "hidden note" not in out and "Kept paragraph" in out
+
+
+def test_table_content_kept():
+    cells = "".join(f"<tr><td>row {i} value with enough text to matter here</td></tr>" for i in range(3))
+    html = f"<body><table>{cells}</table></body>"
+    out = extract_main_text(html)
+    assert out.count("value with enough text") == 3
