@@ -226,18 +226,27 @@ class Lexer:
             raise PDFSyntaxError("bad hex string") from exc
 
 
+MAX_PARSE_DEPTH = 64  # PDF 32000 implementation limit is 28; bombs go deeper
+
+
 class Parser:
-    """Recursive-descent object parser on top of :class:`Lexer`."""
+    """Recursive-descent object parser on top of :class:`Lexer`.
+    Nesting is bounded by MAX_PARSE_DEPTH — a hostile payload with
+    thousands of nested arrays/dicts raises PDFSyntaxError instead of
+    blowing the Python stack."""
 
     def __init__(self, data: bytes, pos: int = 0, doc: "PDFDocument | None" = None):
         self.lexer = Lexer(data, pos)
         self.doc = doc
+        self._depth = 0
 
     @property
     def pos(self) -> int:
         return self.lexer.pos
 
     def parse_object(self, tok=None):
+        if self._depth > MAX_PARSE_DEPTH:
+            raise PDFSyntaxError("object nesting too deep")
         if tok is None:
             tok = self.lexer.next_token()
         kind, value = tok
@@ -253,24 +262,32 @@ class Parser:
             return value
         if kind == "arr_open":
             arr = []
-            while True:
-                t = self.lexer.next_token()
-                if t[0] == "arr_close":
-                    return arr
-                if t[0] == "eof":
-                    raise PDFSyntaxError("EOF in array")
-                arr.append(self.parse_object(t))
+            self._depth += 1
+            try:
+                while True:
+                    t = self.lexer.next_token()
+                    if t[0] == "arr_close":
+                        return arr
+                    if t[0] == "eof":
+                        raise PDFSyntaxError("EOF in array")
+                    arr.append(self.parse_object(t))
+            finally:
+                self._depth -= 1
         if kind == "dict_open":
             d = {}
-            while True:
-                t = self.lexer.next_token()
-                if t[0] == "dict_close":
-                    break
-                if t[0] == "eof":
-                    raise PDFSyntaxError("EOF in dict")
-                if t[0] != "name":
-                    raise PDFSyntaxError(f"dict key is not a name: {t}")
-                d[t[1].name] = self.parse_object()
+            self._depth += 1
+            try:
+                while True:
+                    t = self.lexer.next_token()
+                    if t[0] == "dict_close":
+                        break
+                    if t[0] == "eof":
+                        raise PDFSyntaxError("EOF in dict")
+                    if t[0] != "name":
+                        raise PDFSyntaxError(f"dict key is not a name: {t}")
+                    d[t[1].name] = self.parse_object()
+            finally:
+                self._depth -= 1
             # stream?
             save = self.lexer.pos
             t = self.lexer.next_token()
@@ -339,6 +356,7 @@ class PDFDocument:
     trailer: dict = field(default_factory=dict)
     _cache: dict[int, object] = field(default_factory=dict)
     font_cache: dict = field(default_factory=dict)  # loaded Font objects, doc-lifetime
+    _loading: set = field(default_factory=set)  # objstm/ref cycle guard
 
     # ---------------- construction ----------------
 
@@ -513,10 +531,16 @@ class PDFDocument:
         entry = self.xref.get(num)
         if entry is None:
             return None
-        if entry.kind == 1:
-            obj = self._parse_at(entry.a, num)
-        else:  # in object stream
-            obj = self._parse_from_objstm(entry.a, entry.b, num)
+        if num in self._loading:
+            raise PDFSyntaxError(f"object {num} participates in a load cycle")
+        self._loading.add(num)
+        try:
+            if entry.kind == 1:
+                obj = self._parse_at(entry.a, num)
+            else:  # in object stream
+                obj = self._parse_from_objstm(entry.a, entry.b, num)
+        finally:
+            self._loading.discard(num)
         self._cache[num] = obj
         return obj
 

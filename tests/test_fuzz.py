@@ -64,3 +64,41 @@ def test_kernel_handles_arbitrary_payload_text(s):
     )
     out = extract_pandas_batch(df)
     assert len(out) == 1
+
+
+def test_nesting_bombs_bounded():
+    """Deeply nested containers raise PDFSyntaxError, never
+    RecursionError (stack bomb defense)."""
+    from pdf_parser_c_spark.pdf.cos import Parser, PDFSyntaxError
+    import pytest
+
+    for payload in (b"[" * 4000 + b"]" * 4000,
+                    b"<< /A " * 3000 + b"1" + b" >>" * 3000):
+        with pytest.raises(PDFSyntaxError):
+            Parser(payload).parse_object()
+
+
+def test_objstm_self_reference_bounded():
+    """An xref entry claiming an object lives inside itself must not
+    recurse forever."""
+    import base64
+    from pdf_parser_c_spark.engine import PDF_B85_PREFIX, _extract_one_pdf
+    import zlib
+
+    payload = zlib.compress(b"1 0\n<< >>")
+    pdf = (
+        b"%PDF-1.7\n"
+        b"2 0 obj\n<< /Type /ObjStm /N 1 /First 4 /Length "
+        + str(len(payload)).encode() + b" /Filter /FlateDecode >>\nstream\n"
+        + payload + b"\nendstream\nendobj\n"
+        b"3 0 obj\n<< /Type /XRef /Size 4 /W [1 4 2] /Root 1 0 R /Length 28 >>\n"
+        b"stream\n" + bytes(
+            [1, 0, 0, 0, 15, 0, 0]  # obj0
+            + [2, 0, 0, 0, 2, 0, 1]  # obj1 "inside objstm 2"
+            + [2, 0, 0, 0, 2, 0, 0]  # obj2 claims to live inside ITSELF
+            + [1, 0, 0, 0, 9, 0, 0]
+        ) + b"\nendstream\nendobj\n"
+        b"startxref\n9\n%%EOF"
+    )
+    out = _extract_one_pdf(PDF_B85_PREFIX + base64.b85encode(pdf).decode())
+    assert out["status"] in ("malformed", "error", "empty", "ok")
