@@ -205,9 +205,17 @@ def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 6
 
 
 def extract_turns(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """transcripts DataFrame → extraction results DataFrame."""
-    if num_partitions:
-        df = salted_repartition(df, num_partitions)
+    """transcripts DataFrame → extraction results DataFrame.
+
+    The salted repartition always runs: it defuses conv_id skew AND
+    guarantees parallelism — compressed parquet inputs often arrive as
+    a handful of scan splits, which would serialize the kernel
+    (measured 10× slower without the exchange).  Pass
+    ``num_partitions`` to size it; default is 4× the cluster's core
+    count."""
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 4
+    df = salted_repartition(df, num_partitions)
     return df.mapInPandas(_map_batches, schema=RESULT_SCHEMA)
 
 

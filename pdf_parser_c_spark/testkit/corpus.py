@@ -147,6 +147,34 @@ def _pdf_smartquotes() -> bytes:
     return build_pdf([PageSpec(page)], FONTS, title="Quotes Doc")
 
 
+def _pdf_lzw() -> bytes:
+    page = (
+        _h(700, "", "Lzw Heading")
+        + _p(660, "Content stream behind an LZW filter.")
+        + _footer(1)
+    )
+    return build_pdf([PageSpec(page)], FONTS, title="LZW Doc",
+                     content_filters=["LZWDecode"])
+
+
+def _pdf_chained_filters() -> bytes:
+    page = (
+        _h(700, "", "Chained Heading")
+        + _p(660, "Flate then ascii85 armored content stream.")
+        + _footer(1)
+    )
+    return build_pdf([PageSpec(page)], FONTS, title="Chained Doc",
+                     content_filters=["FlateDecode", "ASCII85Decode"])
+
+
+def _pdf_rot90() -> bytes:
+    page = (
+        _h(700, "", "Sideways Heading")
+        + _p(660, "Body of a rotated page in natural order.")
+    )
+    return build_pdf([PageSpec(page, rotate=90)], FONTS, title="Rot Doc")
+
+
 def _pdf_encrypted() -> bytes:
     pdf = _pdf_simple()
     return pdf.replace(b"/Size", b"/Encrypt 99 0 R /Size")
@@ -179,6 +207,9 @@ def build_variants() -> list[Variant]:
         Variant("pdf_multicolumn", encode_pdf_payload(_pdf_multicolumn()), "ok"),
         Variant("pdf_sections", encode_pdf_payload(_pdf_sections()), "ok"),
         Variant("pdf_smartquotes", encode_pdf_payload(_pdf_smartquotes()), "ok"),
+        Variant("pdf_lzw", encode_pdf_payload(_pdf_lzw()), "ok"),
+        Variant("pdf_chained_filters", encode_pdf_payload(_pdf_chained_filters()), "ok"),
+        Variant("pdf_rot90", encode_pdf_payload(_pdf_rot90()), "ok"),
         Variant("malformed", PDF_MALFORMED, "malformed"),
         Variant("encrypted", encode_pdf_payload(_pdf_encrypted()), "encrypted"),
         Variant("empty", "", "empty"),

@@ -17,6 +17,65 @@ import zlib
 from dataclasses import dataclass, field
 
 
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF/PDF LZW encoder (EarlyChange=1), the counterpart of
+    filters.lzw_decode — used to generate LZW fixtures."""
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << w) | code
+        nbits += w
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+
+    emit(256, width)
+    cur = b""
+    for b in data:
+        cand = cur + bytes([b])
+        if cand in table:
+            cur = cand
+        else:
+            emit(table[cur], width)
+            table[cand] = nxt
+            nxt += 1
+            # encoder is one table entry ahead of the decoder: widen at
+            # 2^w where the early-change decoder widens at 2^w - 1
+            if nxt >= (1 << width) and width < 12:
+                width += 1
+            cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+    emit(257, width)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def ascii_hex_encode(data: bytes) -> bytes:
+    return data.hex().encode("ascii") + b">"
+
+
+def ascii85_encode(data: bytes) -> bytes:
+    import base64
+
+    return base64.a85encode(data) + b"~>"
+
+
+_ENCODERS = {
+    "FlateDecode": zlib.compress,
+    "LZWDecode": lzw_encode,
+    "ASCIIHexDecode": ascii_hex_encode,
+    "ASCII85Decode": ascii85_encode,
+}
+
+
 def esc(s: str) -> str:
     """Escape a PDF literal string (latin-1/WinAnsi byte payload)."""
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
@@ -78,13 +137,21 @@ class PDFWriter:
         self.objects[num] = body.encode("latin-1")
         return num
 
-    def add_stream(self, dict_body: str, data: bytes, compress: bool = False) -> int:
+    def add_stream(self, dict_body: str, data: bytes, compress: bool = False,
+                   filters: list[str] | None = None) -> int:
+        """``filters`` is an encode-order list of PDF filter names
+        (applied left→right; /Filter lists them in DECODE order, i.e.
+        reversed).  ``compress`` is shorthand for ["FlateDecode"]."""
         num = self.next_num
         self.next_num += 1
+        if filters is None and compress:
+            filters = ["FlateDecode"]
         extra = ""
-        if compress:
-            data = zlib.compress(data)
-            extra = " /Filter /FlateDecode"
+        if filters:
+            for f in filters:
+                data = _ENCODERS[f](data)
+            names = " ".join(f"/{f}" for f in reversed(filters))
+            extra = (f" /Filter [{names}]" if len(filters) > 1 else f" /Filter {names}")
         d = f"<< {dict_body} /Length {len(data)}{extra} >>"
         self.streams[num] = (d.encode("latin-1"), data)
         return num
@@ -173,6 +240,7 @@ def build_pdf(
     compress: bool = False,
     xref_stream: bool = False,
     objstm: bool = False,
+    content_filters: list[str] | None = None,
 ) -> bytes:
     w = PDFWriter()
     catalog = w.reserve()
@@ -215,7 +283,8 @@ def build_pdf(
     for page in pages:
         used = page.fonts or list(fonts)
         res = " ".join(f"/{n} {font_nums[n]} 0 R" for n in used if n in font_nums)
-        content_num = w.add_stream("", page.content.encode("latin-1"), compress=compress)
+        content_num = w.add_stream("", page.content.encode("latin-1"),
+                                   compress=compress, filters=content_filters)
         mb = " ".join(str(v) for v in page.mediabox)
         rot = f" /Rotate {page.rotate}" if page.rotate else ""
         pn = w.add(

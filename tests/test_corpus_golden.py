@@ -34,6 +34,12 @@ GOLDEN_TEXT = {
         "Sections Doc\n\nBeta\nBeta body text.\n\nAlpha\nAlpha body text.\n\nDeep Dive\nDeep body."
     ),
     "pdf_smartquotes": 'Quotes Doc\n\nQuote Heading\nsaid "hello there" loudly',
+    "pdf_lzw": "LZW Doc\n\nLzw Heading\nContent stream behind an LZW filter.",
+    "pdf_chained_filters": (
+        "Chained Doc\n\nChained Heading\nFlate then ascii85 armored content stream."
+    ),
+    # /Rotate 90 page, no footer → raw fallback in natural reading order
+    "pdf_rot90": "Sideways Heading\n\nBody of a rotated page in natural order.",
     "malformed": "",
     "encrypted": "",
     "empty": "",
