@@ -1,0 +1,75 @@
+"""Physical-plan regressions: the scale properties the query docstrings
+claim must stay true (pushdown, pruning, broadcast, exchange counts).
+A plan that silently loses its broadcast or pushdown still returns
+correct rows — only these tests catch the 100TB regression."""
+
+import re
+
+import pytest
+
+from pdf_parser_c_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, df, mode: str = "formatted") -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def n_data_exchanges(plan: str) -> int:
+    # simple-mode tree: count hash exchanges (data shuffles), excluding
+    # broadcast exchanges and the final rangepartitioning presentation sort
+    return len(re.findall(r"Exchange hashpartitioning", plan))
+
+
+def test_a4_pushdown_and_pruning(spark):
+    plan = plan_of(spark, QUERIES["a4_footer_filter"][0](spark, SF_DIR))
+    assert "GreaterThanOrEqual(value,180.0)" in plan  # filter reached the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "event_type", "value",
+    }  # column pruning: only the two needed columns are read
+
+
+def test_tpch_join_broadcasts_dimension(spark):
+    plan = plan_of(spark, QUERIES["tpch_market_join"][0](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # dim filter pushed
+
+
+def test_window_and_agg_share_one_exchange(spark):
+    plan = plan_of(spark, QUERIES["a8_emphasis_runs"][0](spark, SF_DIR), "simple")
+    # window partition + groupBy reuse the same hash exchange on user_id
+    assert n_data_exchanges(plan) == 1
+
+
+def test_extraction_plan_is_one_exchange_then_kernel(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from pdf_parser_c_spark.engine import extract_turns
+
+    tdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"conv_id": ["a"], "turn_idx": [0], "role": ["u"], "text": ["x"],
+             "tool": [None], "ts": [dt.datetime(2026, 1, 1)]}
+        )
+    )
+    plan = plan_of(spark, extract_turns(tdf, num_partitions=4), "simple")
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") == 1  # the salt repartition, nothing else
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    df = QUERIES["sim_bruteforce_topk"][0](spark, SF_DIR)
+    plan = plan_of(spark, df)
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("name", ["tpch_pricing_summary", "b11_baseline_buckets"])
+def test_partial_aggregation_present(spark, name):
+    plan = plan_of(spark, QUERIES[name][0](spark, SF_DIR))
+    # partial (map-side) + final HashAggregate pairs
+    assert plan.count("HashAggregate") >= 2
