@@ -457,13 +457,19 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+MAX_SHINGLE_DF = 200  # blocking: shingles in more docs than this are
+# stop-shingles — they generate O(df²) candidate pairs while carrying
+# no dedup signal; dropping them is the standard inverted-index cap
+# (jaccard denominators still use FULL per-doc shingle counts)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection: 4-word shingles → inverted index →
-    candidate pairs sharing a shingle → Jaccard ≥ 0.2.
-    Scale: the shingle self-join is the classic inverted-index pattern;
-    hot shingles are the skew risk — at corpus scale add a
-    document-frequency cap on shingles (standard blocking); AQE skew
-    join handles the residue.  Result: one row."""
+    """Near-dup detection: 4-word shingles → document-frequency-capped
+    inverted index → candidate pairs sharing a rare shingle →
+    Jaccard ≥ 0.2.
+    Scale: the DF cap bounds the hottest join key at MAX_SHINGLE_DF, so
+    the self-join's worst key yields ≤ df² pairs regardless of corpus
+    size; AQE skew join handles the residue.  Result: one row."""
     d = t(spark, sf_dir, "documents")
     sh = (
         d.select(
@@ -477,10 +483,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # the inverted index feeds three consumers (sizes + both join sides);
-    # persist so the explode+distinct shuffle happens once
+    # the inverted index feeds several consumers (sizes + both join
+    # sides); persist so the explode+distinct shuffle happens once
     sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (
+        sh.groupBy("s").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("s")
+    )
+    sh = sh.join(rare, "s")
     a = sh.alias("a")
     b = sh.alias("b")
     cand = (
@@ -501,15 +513,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_NGRAM = """
+SQL_DEDUP_NGRAM = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 sh AS (SELECT DISTINCT doc_id,
               unnest(list_transform(generate_series(1, len(ws) - 3),
                                     i -> array_to_string(ws[i:i+3], ' '))) AS s
        FROM w WHERE len(ws) >= 4),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
+         WHERE df <= {MAX_SHINGLE_DF}),
+shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
 cand AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
-         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
          GROUP BY 1, 2)
 SELECT count(*) AS n_candidate_pairs,
        sum(CASE WHEN common * 1.0 / (sa.n + sb.n - common) >= 0.2 THEN 1 ELSE 0 END) AS n_dup_pairs
