@@ -334,6 +334,109 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_a7_smart_quote_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 char normalization: smart double quotes → '\"' — only U+201C/
+    U+201D, exactly the reference's substitution (src/pdf_utils.cpp:
+    204-207).  Quote-wrapped text synthesized from the substrate.
+    Scale: pure map + tiny agg."""
+    d = t(spark, sf_dir, "documents")
+    wrapped = F.concat(F.lit("“"), F.col("text"), F.lit("” ‘unchanged’"))
+    normalized = F.regexp_replace(F.regexp_replace(wrapped, "“", '"'), "”", '"')
+    return (
+        d.withColumn("n_smart", F.length(wrapped) - F.length(F.regexp_replace(wrapped, "[“”]", "")))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_smart").alias("n_smart_quotes"),
+            F.sum(F.length(normalized) - F.length(wrapped)).alias("len_delta"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_A7 = """
+SELECT lang,
+       sum(length(wrapped) - length(regexp_replace(wrapped, '[“”]', '', 'g'))) AS n_smart_quotes,
+       sum(length(replace(replace(wrapped, '“', '"'), '”', '"')) - length(wrapped)) AS len_delta,
+       count(*) AS n_docs
+FROM (SELECT lang, '“' || text || '” ‘unchanged’' AS wrapped FROM documents)
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_b12_block_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 line/block coalesce ≅ two-level sessionization: tight gaps
+    merge into 'lines' (≤600s), line groups merge into 'blocks'
+    (≤3600s) — the word-gap/line-merge hierarchy (poppler TextPage
+    coalesce).  Scale: both levels reuse ONE exchange on user_id."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    line_brk = F.when(gap.isNull() | (gap > 600_000_000), 1).otherwise(0)
+    block_brk = F.when(gap.isNull() | (gap > 3_600_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("line_brk", line_brk)
+        .withColumn("block_brk", block_brk)
+        .groupBy("user_id")
+        .agg(
+            F.sum("line_brk").alias("n_lines"),
+            F.sum("block_brk").alias("n_blocks"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_B12 = """
+SELECT user_id, sum(line_brk) AS n_lines, sum(block_brk) AS n_blocks,
+       count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN gap IS NULL OR gap > 600000000 THEN 1 ELSE 0 END AS line_brk,
+         CASE WHEN gap IS NULL OR gap > 3600000000 THEN 1 ELSE 0 END AS block_brk
+  FROM (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events))
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_b13_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 reading order ≅ composite ordering key (column-major then
+    position): for each user, the first event under (pool, ts) order —
+    the 'first block of the first column' selection.
+    Scale: min_by is a plain aggregation (no sort, no window)."""
+    ev = t(spark, sf_dir, "events")
+    key = F.expr(
+        "CAST(floor(value / 50.0) AS BIGINT) * 10000000000000000"
+        " + unix_micros(CAST(ts AS TIMESTAMP))"
+    )
+    return (
+        ev.withColumn("okey", key)
+        .groupBy("user_id")
+        .agg(
+            F.expr("min_by(event_id, okey)").alias("first_event_id"),
+            F.min("okey").alias("min_okey"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_B13 = """
+SELECT user_id,
+       arg_min(event_id, okey) AS first_event_id,
+       min(okey) AS min_okey
+FROM (
+  SELECT user_id, event_id,
+         CAST(floor(value / 50.0) AS BIGINT) * 10000000000000000 + epoch_us(ts) AS okey
+  FROM events)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_a18_casing_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A18 none-of casing predicates (inc/pdf_utils.hpp:148-154):
     all_upper = no lowercase anywhere; all_lower = no uppercase.
@@ -914,8 +1017,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "a9_paragraph_assembly": (q_a9_paragraph_assembly, SQL_A9),
     "a11_title_classifier": (q_a11_title_classifier, SQL_A11),
     "a13_section_segmentation": (q_a13_section_segmentation, SQL_A13),
+    "a7_smart_quote_normalize": (q_a7_smart_quote_normalize, SQL_A7),
     "b10_word_gap_sessionize": (q_b10_word_gap_sessionize, SQL_B10),
     "b11_baseline_buckets": (q_b11_baseline_buckets, SQL_B11),
+    "b12_block_coalesce": (q_b12_block_coalesce, SQL_B12),
+    "b13_reading_order": (q_b13_reading_order, SQL_B13),
     "a18_casing_predicates": (q_a18_casing_predicates, SQL_A18),
     "tpch_pricing_summary": (q_tpch_pricing_summary, SQL_TPCH_Q1),
     "tpch_market_join": (q_tpch_market_join, SQL_TPCH_Q3),
