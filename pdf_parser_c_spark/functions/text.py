@@ -1,0 +1,86 @@
+"""Reusable Column builders for text analysis — the generic forms of
+the catalog queries, usable on any DataFrame with a text column.
+
+All JVM-side (built-in functions / higher-order functions); no Python
+in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it")
+
+
+def _stop_array_sql(stopwords) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in stopwords) + ")"
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace token array."""
+    return F.split(F.col(col), " ")
+
+
+def token_count(col: str = "text") -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_token_count(col: str = "text") -> Column:
+    """BPE-ish lexical split: letter runs / digit runs / single
+    punctuation — a cheap proxy for subword token counts."""
+    return F.expr(
+        f"size(regexp_extract_all({col}, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"
+    ).cast("long")
+
+
+def stopword_fraction(col: str = "text", stopwords=DEFAULT_STOPWORDS) -> Column:
+    arr = _stop_array_sql(stopwords)
+    return F.expr(
+        f"size(filter(split({col}, ' '), w -> array_contains({arr}, w)))"
+        f" / CAST(size(split({col}, ' ')) AS DOUBLE)"
+    )
+
+
+def quality_score(col: str = "text", length_col: str | None = None,
+                  target_len: int = 400, stopwords=DEFAULT_STOPWORDS) -> Column:
+    """Length saturation + stopword signal in [0, 1]."""
+    length = F.col(length_col) if length_col else F.length(F.col(col))
+    return (
+        0.5 * F.least(length.cast("double") / float(target_len), F.lit(1.0))
+        + 0.5 * stopword_fraction(col, stopwords)
+    )
+
+
+def is_all_lower(col: str = "text") -> Column:
+    """none-of-uppercase — the reference's predicate semantics
+    (inc/pdf_utils.hpp:152-154)."""
+    return F.col(col).rlike("^[^A-Z]*$")
+
+
+def is_all_upper(col: str = "text") -> Column:
+    """none-of-lowercase (inc/pdf_utils.hpp:148-150)."""
+    return F.col(col).rlike("^[^a-z]*$")
+
+
+def is_page_number_line(col: str) -> Column:
+    """The reference's page-number shape, full-match anchored
+    (src/pdf_utils.cpp:175,187)."""
+    return F.col(col).rlike("^.{0,2}[0-9]+.{0,2}$")
+
+
+def normalize_smart_quotes(col: str = "text") -> Column:
+    """A7: U+201C/U+201D → '\"' — only those two
+    (src/pdf_utils.cpp:204-207)."""
+    return F.regexp_replace(F.regexp_replace(F.col(col), "“", '"'), "”", '"')
+
+
+def fingerprint(col: str = "text", head: int = 64, len_bucket: int = 100) -> Column:
+    """Digest of a normalized head + length bucket — cheap doc identity."""
+    return F.md5(
+        F.concat(
+            F.substring(F.col(col), 1, head),
+            F.lit("#"),
+            F.floor(F.length(F.col(col)) / len_bucket).cast("string"),
+        )
+    )

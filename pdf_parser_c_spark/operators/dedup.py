@@ -1,0 +1,130 @@
+"""Generic deduplication operators over arbitrary DataFrames.
+
+The query-catalog entries in ``queries.py`` are census forms of these;
+this module is the user-facing API: give it (id_col, text_col), get
+back duplicate groups / near-dup pairs / signatures.
+
+Scale properties (same as the catalog forms): inverted indexes are
+document-frequency-capped so the hottest join key is bounded; MinHash
+signatures are computed in one groupBy pass; everything stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """→ (digest, n_docs, doc_ids array) for every text appearing >1×."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col).alias("doc"))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc")).alias("doc_ids"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id row per distinct text (deterministic winner)."""
+    w = F.row_number().over(
+        Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    )
+    return df.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
+    """Distinct word n-gram shingles: (doc, s)."""
+    # sequence(1, k) DESCENDS for k < 1, so texts shorter than n words
+    # must yield an empty array explicitly
+    expr = (
+        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
+        f" i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.expr(expr)).alias("s"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    threshold: float = 0.2,
+    max_shingle_df: int = 200,
+) -> DataFrame:
+    """Near-dup pairs (doc_a, doc_b, jaccard ≥ threshold) via a
+    DF-capped inverted index.  Jaccard denominators use FULL per-doc
+    shingle counts; the cap only prunes candidate generation."""
+    sh = shingles(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    rare = (
+        sh.groupBy("s").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("s")
+    )
+    shr = sh.join(rare, "s")
+    a, b = shr.alias("a"), shr.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .withColumn("jaccard", F.col("common") / (F.col("sa.n") + F.col("sb.n") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4, num_hashes: int = 8
+) -> DataFrame:
+    """(doc, mh0..mhK) MinHash signature in one groupBy pass."""
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"salt{k}:"), F.col("s")))).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4,
+    num_hashes: int = 8, bands: int = 4,
+) -> DataFrame:
+    """LSH banding over MinHash signatures → candidate pairs that agree
+    on at least one band (distinct pairs)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = []
+    for bidx in range(bands):
+        cols = [f"mh{bidx * rows_per_band + j}" for j in range(rows_per_band)]
+        band_cols.append(
+            F.md5(F.concat_ws("|", *[F.col(c) for c in cols])).alias(f"band{bidx}")
+        )
+    banded = sig.select("doc", *band_cols)
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(bands))
+    long = banded.select(
+        "doc", F.expr(f"stack({bands}, {stack_args}) AS (band_idx, bucket)")
+    )
+    a, b = long.alias("a"), long.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )

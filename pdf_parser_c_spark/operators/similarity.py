@@ -1,0 +1,94 @@
+"""Generic similarity-search operators over embedding columns
+(``array<float>``).
+
+Brute-force cosine is the exactness baseline; hyperplane-LSH bucketing
+is the scale path (the bucket column becomes the table's partition key
+at corpus scale, so a probe touches 1/2^bits of the data).  Dot
+products are JVM-side higher-order functions — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>),"
+        f" (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm2(a: str) -> str:
+    return f"aggregate(CAST({a} AS ARRAY<DOUBLE>), 0D, (acc, x) -> acc + x * x)"
+
+
+def cosine_topk(
+    df: DataFrame, id_col: str, vec_col: str, query_id, k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine against the row with ``query_id``.
+    The query vector broadcasts; top-k runs as TakeOrdered."""
+    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_q"))
+    cos = F.expr(
+        f"{_dot(vec_col, '_q')} / sqrt(({_norm2(vec_col)}) * ({_norm2('_q')}))"
+    )
+    return (
+        df.crossJoin(F.broadcast(q))
+        .withColumn("cosine", cos)
+        .drop("_q")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_bucket(vec_col: str, bits: int = 4) -> F.Column:
+    """Sign-of-first-``bits``-dims LSH cell id (0..2^bits-1).
+    Axis-aligned hyperplanes: deterministic, no trained centroids."""
+    terms = " + ".join(
+        f"CASE WHEN element_at({vec_col}, {i + 1}) > 0 THEN {1 << (bits - 1 - i)} ELSE 0 END"
+        for i in range(bits)
+    )
+    return F.expr(f"CAST({terms} AS BIGINT)")
+
+
+def cosine_topk_bucketed(
+    df: DataFrame, id_col: str, vec_col: str, query_id, k: int = 10, bits: int = 4
+) -> DataFrame:
+    """ANN: restrict scoring to the query's LSH cell (recall < 1 by
+    construction; the scale path for 10^9+ vectors)."""
+    bucketed = df.withColumn("_bucket", hyperplane_bucket(vec_col, bits))
+    q = (
+        bucketed.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("_q"), F.col("_bucket").alias("_qb"))
+    )
+    cos = F.expr(
+        f"{_dot(vec_col, '_q')} / sqrt(({_norm2(vec_col)}) * ({_norm2('_q')}))"
+    )
+    return (
+        bucketed.join(F.broadcast(q), F.col("_bucket") == F.col("_qb"))
+        .withColumn("cosine", cos)
+        .drop("_q", "_qb", "_bucket")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_cosine_dups(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float, bits: int = 4
+) -> DataFrame:
+    """Embedding near-dup pairs within LSH cells (blocked O(Σ n_b²))."""
+    b = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(vec_col, bits).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cos = F.expr(f"{_dot('l.v', 'r.v')} / sqrt(({_norm2('l.v')}) * ({_norm2('r.v')}))")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.doc") < F.col("r.doc")))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"),
+                F.round("cosine", 6).alias("cosine"))
+    )

@@ -575,7 +575,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     size; AQE skew join handles the residue.  Result: one row."""
     d = t(spark, sf_dir, "documents")
     sh = (
-        d.select(
+        d.filter(F.expr("size(split(text, ' ')) >= 4"))  # matches oracle's len(ws) >= 4
+        .select(
             "doc_id",
             F.explode(
                 F.expr(
@@ -649,7 +650,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stack) + census agg — the signature frame is never recomputed per
     hash function."""
     d = t(spark, sf_dir, "documents")
-    sh = d.select(
+    sh = d.filter(F.expr("size(split(text, ' ')) >= 4")).select(
         "doc_id",
         F.explode(
             F.expr(

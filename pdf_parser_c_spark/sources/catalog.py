@@ -1,0 +1,73 @@
+"""Table catalog abstraction: parquet directories now, Iceberg by
+configuration.
+
+The engine's job layer reads/writes named tables through this seam so
+the sandbox (no Iceberg runtime jar) and a production cluster differ by
+a constructor argument, not code.  Iceberg's atomic
+``overwritePartitions`` is the cluster-side equivalent of the dynamic
+partition overwrite used locally (see DESIGN_100TB.md §5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class ParquetCatalog:
+    """Namespace of parquet tables under a root path."""
+
+    spark: SparkSession
+    root: str
+
+    def path(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def exists(self, name: str) -> bool:
+        try:
+            self.spark.read.parquet(self.path(name)).schema
+            return True
+        except Exception:
+            return False
+
+    def append(self, df: DataFrame, name: str) -> None:
+        df.write.mode("append").parquet(self.path(name))
+
+    def overwrite_partitions(self, df: DataFrame, name: str, partition_col: str) -> None:
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(self.path(name))
+
+
+@dataclass
+class IcebergCatalog:
+    """Iceberg-backed variant (requires the iceberg-spark runtime jar,
+    absent in this sandbox — constructor raises a clear error if so)."""
+
+    spark: SparkSession
+    namespace: str  # e.g. "catalog.db"
+
+    def __post_init__(self) -> None:
+        try:
+            self.spark._jvm.org.apache.iceberg.Schema  # noqa: B018
+        except Exception as exc:  # pragma: no cover - jar absent here
+            raise RuntimeError(
+                "Iceberg runtime not on the classpath; use ParquetCatalog "
+                "or add iceberg-spark-runtime to spark.jars"
+            ) from exc
+
+    def qualified(self, name: str) -> str:
+        return f"{self.namespace}.{name}"
+
+    def read(self, name: str) -> DataFrame:  # pragma: no cover - jar absent
+        return self.spark.read.table(self.qualified(name))
+
+    def append(self, df: DataFrame, name: str) -> None:  # pragma: no cover
+        df.writeTo(self.qualified(name)).append()
+
+    def overwrite_partitions(self, df: DataFrame, name: str, partition_col: str) -> None:  # pragma: no cover
+        df.writeTo(self.qualified(name)).overwritePartitions()

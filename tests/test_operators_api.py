@@ -1,0 +1,137 @@
+"""User-facing operator APIs: dedup, similarity, text functions,
+catalog seam — generic forms of the catalog queries."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_c_spark.functions.text import (
+    bpe_token_count,
+    fingerprint,
+    is_all_lower,
+    is_page_number_line,
+    normalize_smart_quotes,
+    quality_score,
+    stopword_fraction,
+    token_count,
+)
+from pdf_parser_c_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_duplicate_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from pdf_parser_c_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_bucketed,
+    pairwise_cosine_dups,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat",  # near-dup of 0
+                "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+                "completely different words appear in this one document",
+                "numbers 123 and punctuation, appear here! ok",
+                "short",
+                "another entirely unrelated piece of text content here",
+                "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+            ],
+        }
+    )
+    return spark.createDataFrame(base)
+
+
+def test_exact_dup_groups_and_drop(spark, docs):
+    groups = exact_duplicate_groups(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 3 and groups[0]["doc_ids"] == [0, 2, 7]
+    kept = drop_exact_duplicates(docs, "doc_id", "text")
+    assert kept.count() == 6
+    assert kept.filter(F.col("doc_id").isin([2, 7])).count() == 0  # lowest id wins
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # exact dups have jaccard 1.0; the cat/dog pair shares most shingles
+    assert (0, 2) in got and (0, 7) in got and (2, 7) in got
+    assert (0, 1) in got
+    assert all(r["jaccard"] <= 1.0 for r in pairs)
+
+
+def test_minhash_and_lsh(spark, docs):
+    sig = minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=8)
+    rows = {r["doc"]: tuple(r[f"mh{k}"] for k in range(8)) for r in sig.collect()}
+    assert rows[0] == rows[2] == rows[7]  # identical docs, identical signatures
+    cands = lsh_candidate_pairs(docs, "doc_id", "text", n=3, num_hashes=8, bands=4)
+    got = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    assert (0, 2) in got and (0, 7) in got
+
+
+def test_cosine_topk_and_bucketed(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = cosine_topk(emb, "vec_id", "embedding", query_id=0, k=5).collect()
+    assert exact[0]["vec_id"] == 0 and abs(exact[0]["cosine"] - 1.0) < 1e-9
+    assert all(exact[i]["cosine"] >= exact[i + 1]["cosine"] for i in range(4))
+    approx = cosine_topk_bucketed(emb, "vec_id", "embedding", query_id=0, k=5).collect()
+    assert approx[0]["vec_id"] == 0  # query is in its own bucket
+    # ANN results are a subset of the full ranking's candidate set
+    assert {r["vec_id"] for r in approx} <= {r["vec_id"] for r in
+                                             cosine_topk(emb, "vec_id", "embedding", 0, 100).collect()}
+
+
+def test_pairwise_cosine_dups(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(100)
+    pairs = pairwise_cosine_dups(emb, "vec_id", "embedding", threshold=0.25).collect()
+    assert all(r["doc_a"] < r["doc_b"] and r["cosine"] >= 0.25 for r in pairs)
+
+
+def test_text_functions(spark, docs):
+    out = docs.select(
+        "doc_id",
+        token_count().alias("tok"),
+        bpe_token_count().alias("bpe"),
+        stopword_fraction().alias("stop"),
+        quality_score().alias("q"),
+        is_all_lower().alias("lower"),
+        fingerprint().alias("fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["tok"] == 9 and by_id[0]["lower"]
+    assert 0 <= by_id[0]["stop"] <= 1 and 0 <= by_id[0]["q"] <= 1
+    assert by_id[4]["bpe"] > by_id[4]["tok"]  # punctuation splits add tokens
+    assert by_id[0]["fp"] == by_id[2]["fp"]  # dups share fingerprints
+
+
+def test_page_number_and_quote_functions(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"s": ["- 3 -", "Page 3 of 10", "12", "x“y”z"]})
+    )
+    out = df.select(
+        is_page_number_line("s").alias("pn"), normalize_smart_quotes("s").alias("nq")
+    ).collect()
+    assert [r["pn"] for r in out] == [True, False, True, False]
+    assert out[3]["nq"] == 'x"y"z'
+
+
+def test_parquet_catalog_roundtrip(spark, tmp_path, docs):
+    from pdf_parser_c_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    assert not cat.exists("t1")
+    cat.append(docs, "t1")
+    assert cat.exists("t1") and cat.read("t1").count() == docs.count()
+    bucketed = docs.withColumn("bucket", F.col("doc_id") % 2)
+    cat.overwrite_partitions(bucketed, "t2", "bucket")
+    cat.overwrite_partitions(bucketed.filter("bucket = 0"), "t2", "bucket")
+    assert cat.read("t2").count() == docs.count()  # partition replaced, not duped
