@@ -102,3 +102,36 @@ def test_objstm_self_reference_bounded():
     )
     out = _extract_one_pdf(PDF_B85_PREFIX + base64.b85encode(pdf).decode())
     assert out["status"] in ("malformed", "error", "empty", "ok")
+
+
+def test_roundtrip_property_random_text():
+    """Generator→parser round trip: random word soups embedded in a
+    fixture PDF must extract byte-identically (the generator IS the
+    oracle)."""
+    import random
+
+    from pdf_parser_c_spark.testkit.gen_pdf import FontSpec, PageSpec, build_pdf, text_block
+
+    fonts = {"F1": FontSpec("Helvetica", encoding="WinAnsiEncoding")}
+    rng = random.Random(777)
+    alphabet = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.,;:!?()-"
+    for trial in range(40):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 12)))
+            for _ in range(rng.randrange(1, 9))
+        ]
+        lines = []
+        i = 0
+        while i < len(words):
+            take = rng.randrange(1, 4)
+            lines.append(" ".join(words[i : i + take]))
+            i += take
+        content = text_block(72, 700, 14, [[("F1", 11, ln)] for ln in lines])
+        pdf = build_pdf(
+            [PageSpec(content)], fonts,
+            compress=trial % 2 == 0,
+            xref_stream=trial % 3 == 0, objstm=trial % 3 == 0,
+        )
+        r = parse_pdf_bytes(pdf)
+        assert r.status == "ok", (trial, r.error)
+        assert r.text == "\n".join(lines), (trial, words)
