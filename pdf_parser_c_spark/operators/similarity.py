@@ -74,6 +74,41 @@ def cosine_topk_bucketed(
     )
 
 
+def cosine_scores_pandas(
+    df: DataFrame, id_col: str, vec_col: str, query_vec: list[float]
+) -> DataFrame:
+    """Arrow-batched numpy scorer: one BLAS matmul per batch instead of
+    per-row expression evaluation — the faster path for wide embedding
+    columns (north star: 'or a vectorized Pandas UDF').  Returns every
+    row with its cosine; compose with orderBy(...).limit(k) for top-k."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for batch in batches:
+            if len(batch) == 0:
+                yield pd.DataFrame({id_col: [], "cosine": []})
+                continue
+            m = np.stack(batch[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            dots = m @ q
+            norms = np.sqrt((m * m).sum(axis=1)) * qn
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where(norms > 0, dots / norms, 0.0)
+            yield pd.DataFrame({id_col: batch[id_col].to_numpy(), "cosine": cos})
+
+    return df.select(id_col, vec_col).mapInPandas(score, schema=schema)
+
+
 def pairwise_cosine_dups(
     df: DataFrame, id_col: str, vec_col: str, threshold: float, bits: int = 4
 ) -> DataFrame:

@@ -135,3 +135,20 @@ def test_parquet_catalog_roundtrip(spark, tmp_path, docs):
     cat.overwrite_partitions(bucketed, "t2", "bucket")
     cat.overwrite_partitions(bucketed.filter("bucket = 0"), "t2", "bucket")
     assert cat.read("t2").count() == docs.count()  # partition replaced, not duped
+
+
+def test_cosine_pandas_matches_jvm(spark):
+    import pyspark.sql.functions as F2
+
+    from pdf_parser_c_spark.operators.similarity import cosine_scores_pandas
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = emb.filter(F2.col("vec_id") == 0).collect()[0]["embedding"]
+    fast = (
+        cosine_scores_pandas(emb, "vec_id", "embedding", list(qvec))
+        .orderBy(F2.desc("cosine"), F2.asc("vec_id")).limit(10).collect()
+    )
+    exact = cosine_topk(emb, "vec_id", "embedding", query_id=0, k=10).collect()
+    assert [r["vec_id"] for r in fast] == [r["vec_id"] for r in exact]
+    for a, b in zip(fast, exact):
+        assert abs(a["cosine"] - b["cosine"]) < 1e-9
