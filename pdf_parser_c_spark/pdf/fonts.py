@@ -100,6 +100,75 @@ def glyph_to_unicode(name: str) -> str:
     return "�"
 
 
+@dataclass
+class CodespaceCMap:
+    """Embedded /Encoding CMap for Type0 fonts: codespace ranges give
+    the byte width of each code; cidchar/cidrange map code → CID
+    (PDF 32000 §9.7.5).  Identity when empty."""
+
+    # (n_bytes, lo, hi) sorted by byte count
+    codespaces: list[tuple[int, int, int]] = field(default_factory=list)
+    cid_single: dict[int, int] = field(default_factory=dict)
+    cid_ranges: list[tuple[int, int, int]] = field(default_factory=list)  # lo, hi, cid0
+    wmode: int = 0
+
+    def decode_codes(self, raw: bytes):
+        """Yield codes honoring the codespace byte widths (greedy,
+        shortest-match-first like poppler's CMap::getCID)."""
+        i = 0
+        n = len(raw)
+        while i < n:
+            matched = False
+            acc = 0
+            for k in range(1, 5):
+                if i + k > n:
+                    break
+                acc = (acc << 8) | raw[i + k - 1]
+                for nb, lo, hi in self.codespaces:
+                    if nb == k and lo <= acc <= hi:
+                        yield acc, k
+                        i += k
+                        matched = True
+                        break
+                if matched:
+                    break
+            if not matched:
+                # out-of-codespace byte: consume one byte (error glyph)
+                yield raw[i], 1
+                i += 1
+
+    def to_cid(self, code: int) -> int:
+        if code in self.cid_single:
+            return self.cid_single[code]
+        for lo, hi, cid0 in self.cid_ranges:
+            if lo <= code <= hi:
+                return cid0 + (code - lo)
+        return code
+
+
+def parse_encoding_cmap(data: bytes) -> CodespaceCMap:
+    """Parse an embedded CMap stream's codespace + cid sections."""
+    out = CodespaceCMap()
+    text = data.decode("latin-1", "replace")
+    m = re.search(r"/WMode\s+(\d+)", text)
+    if m:
+        out.wmode = int(m.group(1))
+    for mm in re.finditer(r"begincodespacerange(.*?)endcodespacerange", text, re.S):
+        for r in re.finditer(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", mm.group(1)):
+            lo_h, hi_h = r.group(1), r.group(2)
+            out.codespaces.append((len(lo_h) // 2, int(lo_h, 16), int(hi_h, 16)))
+    out.codespaces.sort(key=lambda c: c[0])
+    for mm in re.finditer(r"begincidchar(.*?)endcidchar", text, re.S):
+        for r in re.finditer(r"<([0-9A-Fa-f]+)>\s+(\d+)", mm.group(1)):
+            out.cid_single[int(r.group(1), 16)] = int(r.group(2))
+    for mm in re.finditer(r"begincidrange(.*?)endcidrange", text, re.S):
+        for r in re.finditer(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s+(\d+)", mm.group(1)):
+            out.cid_ranges.append(
+                (int(r.group(1), 16), int(r.group(2), 16), int(r.group(3)))
+            )
+    return out
+
+
 def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
     """Parse a /ToUnicode CMap: ``bfchar`` + ``bfrange`` sections
     (PDF 32000 §9.10.3).  Returns code → unicode string."""
@@ -168,6 +237,7 @@ class Font:
     weight: int = 400
     italic: bool = False
     two_byte: bool = False
+    cmap: CodespaceCMap | None = None  # embedded /Encoding CMap (Type0)
     encoding: dict[int, str] = field(default_factory=dict)
     to_unicode: dict[int, str] = field(default_factory=dict)
     widths: dict[int, float] = field(default_factory=dict)
@@ -176,8 +246,13 @@ class Font:
     descent: float = -0.25
 
     def decode(self, raw: bytes):
-        """Yield (code, unicode_str) per glyph in a show-text string."""
-        if self.two_byte:
+        """Yield (width_key, unicode_str) per glyph in a show-text
+        string.  width_key is the CID for CMap-encoded fonts (since /W
+        is CID-keyed), else the raw code."""
+        if self.cmap is not None:
+            for code, _nbytes in self.cmap.decode_codes(raw):
+                yield self.cmap.to_cid(code), self._map(code)
+        elif self.two_byte:
             for i in range(0, len(raw) - 1, 2):
                 code = (raw[i] << 8) | raw[i + 1]
                 yield code, self._map(code)
@@ -318,7 +393,16 @@ def _descendant(doc: PDFDocument, fd: dict):
 
 
 def _load_type0(doc: PDFDocument, fd: dict, font: Font) -> None:
-    font.two_byte = True  # Identity-H/V and most embedded CMaps are 2-byte
+    font.two_byte = True  # Identity-H/V default
+    enc = doc.resolve(fd.get("Encoding"))
+    if isinstance(enc, Stream):
+        # embedded CMap: variable code widths + code→CID mapping
+        try:
+            cmap = parse_encoding_cmap(enc.data())
+            if cmap.codespaces:
+                font.cmap = cmap
+        except Exception:
+            pass
     df = _descendant(doc, fd)
     if df is None:
         return

@@ -128,3 +128,70 @@ def test_no_widths_document_extracts_words():
     blocks = layout_page(interp.run(doc.page_content(page), doc.dget(page, "Resources")))
     words = [wd.get_text() for ln in blocks[0].lines for wd in ln.words]
     assert words == ["Hello", "wide", "world"]
+
+
+def test_type0_embedded_cmap_mixed_width():
+    """Embedded /Encoding CMap: 1-byte and 2-byte codespaces, cidrange/
+    cidchar mapping, CID-keyed /W widths, code-keyed ToUnicode."""
+    from pdf_parser_c_spark.pdf.cos import PDFDocument
+    from pdf_parser_c_spark.pdf.content import ContentInterpreter
+    from pdf_parser_c_spark.testkit.gen_pdf import PDFWriter
+
+    cmap = b"""%!PS
+/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+/CMapName /Custom def /CMapType 1 def /WMode 0 def
+2 begincodespacerange
+<00> <7F>
+<8000> <FFFF>
+endcodespacerange
+1 begincidrange
+<41> <5A> 100
+endcidrange
+1 begincidchar
+<8041> 500
+endcidchar
+endcmap end end"""
+    tounicode = b"""
+1 begincodespacerange <00> <FFFF> endcodespacerange
+4 beginbfchar
+<41> <0061>
+<42> <0062>
+<43> <0063>
+<8041> <0416>
+endbfchar
+"""
+    w = PDFWriter()
+    cat = w.reserve()
+    pages = w.reserve()
+    cmap_num = w.add_stream("", cmap)
+    tu_num = w.add_stream("", tounicode)
+    cid_font = w.add(
+        "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Custom "
+        "/CIDSystemInfo << /Registry (T) /Ordering (T) /Supplement 0 >> "
+        "/DW 400 /W [ 100 [600 600 600] 500 [1000] ] >>"
+    )
+    font = w.add(
+        f"<< /Type /Font /Subtype /Type0 /BaseFont /Custom "
+        f"/Encoding {cmap_num} 0 R /DescendantFonts [ {cid_font} 0 R ] "
+        f"/ToUnicode {tu_num} 0 R >>"
+    )
+    content = w.add_stream(
+        "", b"BT /F1 10 Tf 72 700 Td <414280414043> Tj ET"
+    )  # A B <8041> @ C  (@=0x40 outside cidrange -> cid 0x40)
+    page = w.add(
+        f"<< /Type /Page /Parent {pages} 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {font} 0 R >> >> /Contents {content} 0 R >>"
+    )
+    w.set(pages, f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>")
+    w.set(cat, f"<< /Type /Catalog /Pages {pages} 0 R >>")
+    doc = PDFDocument.open(w.serialize(cat))
+    pg = doc.pages()[0]
+    interp = ContentInterpreter(doc, doc.page_mediabox(pg))
+    glyphs = interp.run(doc.page_content(pg), doc.dget(pg, "Resources"))
+    assert "".join(g.text for g in glyphs) == "abЖ�c"
+    # widths: A,B → cid 100,101 → 600/1000*10pt = 6.0 ; <8041> → cid 500 → 10.0
+    assert abs(glyphs[0].adv - 6.0) < 1e-9
+    assert abs(glyphs[2].adv - 10.0) < 1e-9
+    # the out-of-range 0x40 fell back to default width DW=400
+    assert abs(glyphs[3].adv - 4.0) < 1e-9
