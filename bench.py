@@ -48,7 +48,7 @@ def main() -> None:
     # extraction throughput probe: deterministic transcripts corpus,
     # payload mix per FIXTURES.md §2 (PDF-heavy)
     corpus = transcripts_columns_only(
-        make_transcripts(n_convs=40, turns_per_conv=28, mega_every=10, mega_factor=10)
+        make_transcripts(n_convs=200, turns_per_conv=28, mega_every=10, mega_factor=10)
     )
     sdf = spark.createDataFrame(corpus)
     n_turns = sdf.count()

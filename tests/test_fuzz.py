@@ -135,3 +135,23 @@ def test_roundtrip_property_random_text():
         r = parse_pdf_bytes(pdf)
         assert r.status == "ok", (trial, r.error)
         assert r.text == "\n".join(lines), (trial, words)
+
+
+def test_kernel_cache_transparent(monkeypatch):
+    """SPARK_GRAFT_KERNEL_CACHE must not change results."""
+    import pandas as pd
+
+    from pdf_parser_c_spark.engine import extract_pandas_batch
+    from pdf_parser_c_spark.testkit.corpus import build_variants
+
+    vs = build_variants()
+    df = pd.DataFrame(
+        {"conv_id": ["c"] * len(vs) * 2, "turn_idx": range(len(vs) * 2),
+         "role": "u", "text": [v.payload for v in vs] * 2, "tool": None,
+         "ts": pd.Timestamp("2026-01-01")}
+    )
+    cold = extract_pandas_batch(df)["text"].tolist()
+    monkeypatch.setenv("SPARK_GRAFT_KERNEL_CACHE", "64")
+    warm = extract_pandas_batch(df)["text"].tolist()
+    monkeypatch.delenv("SPARK_GRAFT_KERNEL_CACHE")
+    assert cold == warm
