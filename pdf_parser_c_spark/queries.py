@@ -705,6 +705,95 @@ GROUP BY hash_fn ORDER BY hash_fn
 """
 
 
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash as a Jaccard ESTIMATOR: for candidate pairs (sharing a
+    rare shingle), count how many of the K hash functions agree and
+    cross-tabulate against exact Jaccard ≥ 0.2.  All-integer output —
+    the estimator-quality census (agreement k/K ≈ Jaccard).
+    Scale: signatures in one groupBy pass; pair space bounded by the
+    same DF-capped inverted index as the exact query."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.filter(F.expr("size(split(text, ' ')) >= 4")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 3),"
+                " i -> array_join(slice(split(text, ' '), i, 4), ' '))"
+            )
+        ).alias("s"),
+    ).distinct().persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (
+        sh.groupBy("s").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF).select("s")
+    )
+    shr = sh.join(rare, "s")
+    a, b = shr.alias("a"), shr.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("common"))
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"salt{k}:"), F.col("s")))).alias(f"mh{k}")
+        for k in range(N_MINHASH)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    ga, gb = sig.alias("ga"), sig.alias("gb")
+    agree = sum(
+        F.when(F.col(f"ga.mh{k}") == F.col(f"gb.mh{k}"), 1).otherwise(0)
+        for k in range(N_MINHASH)
+    )
+    joined = (
+        cand.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .join(ga, F.col("da") == F.col("ga.doc_id"))
+        .join(gb, F.col("db") == F.col("gb.doc_id"))
+        .withColumn("n_agree", agree.cast("int"))
+        .withColumn(
+            "is_dup",
+            (F.col("common") / (F.col("sa.n") + F.col("sb.n") - F.col("common")) >= 0.2),
+        )
+    )
+    return (
+        joined.groupBy("n_agree", "is_dup")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("n_agree", "is_dup")
+    )
+
+
+def _sql_minhash_estimate() -> str:
+    mins = ", ".join(f"min(md5('salt{k}:' || s)) AS mh{k}" for k in range(N_MINHASH))
+    agree = " + ".join(
+        f"CASE WHEN ga.mh{k} = gb.mh{k} THEN 1 ELSE 0 END" for k in range(N_MINHASH)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, len(ws) - 3),
+                                    i -> array_to_string(ws[i:i+3], ' '))) AS s
+       FROM w WHERE len(ws) >= 4),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
+         WHERE df <= {MAX_SHINGLE_DF}),
+shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+cand AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+         FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+SELECT CAST(({agree}) AS INTEGER) AS n_agree,
+       (common * 1.0 / (sa.n + sb.n - common) >= 0.2) AS is_dup,
+       count(*) AS n_pairs
+FROM cand
+JOIN sizes sa ON cand.da = sa.doc_id
+JOIN sizes sb ON cand.db = sb.doc_id
+JOIN sig ga ON cand.da = ga.doc_id
+JOIN sig gb ON cand.db = gb.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 N_SIMHASH_BITS = 16
 
 
@@ -1029,6 +1118,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_minhash()),
+    "dedup_minhash_estimate": (q_dedup_minhash_estimate, _sql_minhash_estimate()),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
     "text_simhash": (q_text_simhash, _sql_simhash()),
     "sim_bruteforce_topk": (q_sim_bruteforce_topk, SQL_SIM_BRUTEFORCE),
