@@ -156,7 +156,7 @@ def q_a8_emphasis_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_A8 = """
-SELECT user_id, sum(chg) AS n_runs, count(*) AS n_events
+SELECT user_id, CAST(sum(chg) AS BIGINT) AS n_runs, count(*) AS n_events
 FROM (
   SELECT user_id,
          CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -300,7 +300,7 @@ def q_b10_word_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_B10 = """
-SELECT user_id, sum(brk) AS n_words, count(*) AS n_chars
+SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_words, count(*) AS n_chars
 FROM (
   SELECT user_id,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -356,8 +356,8 @@ def q_a7_smart_quote_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_A7 = """
 SELECT lang,
-       sum(length(wrapped) - length(regexp_replace(wrapped, '[“”]', '', 'g'))) AS n_smart_quotes,
-       sum(length(replace(replace(wrapped, '“', '"'), '”', '"')) - length(wrapped)) AS len_delta,
+       CAST(sum(length(wrapped) - length(regexp_replace(wrapped, '[“”]', '', 'g'))) AS BIGINT) AS n_smart_quotes,
+       CAST(sum(length(replace(replace(wrapped, '“', '"'), '”', '"')) - length(wrapped)) AS BIGINT) AS len_delta,
        count(*) AS n_docs
 FROM (SELECT lang, '“' || text || '” ‘unchanged’' AS wrapped FROM documents)
 GROUP BY lang ORDER BY lang
@@ -390,7 +390,8 @@ def q_b12_block_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_B12 = """
-SELECT user_id, sum(line_brk) AS n_lines, sum(block_brk) AS n_blocks,
+SELECT user_id, CAST(sum(line_brk) AS BIGINT) AS n_lines,
+       CAST(sum(block_brk) AS BIGINT) AS n_blocks,
        count(*) AS n_events
 FROM (
   SELECT user_id,
@@ -457,8 +458,8 @@ def q_a18_casing_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_A18 = """
 SELECT lang,
-       sum(CASE WHEN regexp_matches(text, '^[^A-Z]*$') THEN 1 ELSE 0 END) AS n_all_lower,
-       sum(CASE WHEN regexp_matches(text, '^[^a-z]*$') THEN 1 ELSE 0 END) AS n_all_upper,
+       CAST(sum(CASE WHEN regexp_matches(text, '^[^A-Z]*$') THEN 1 ELSE 0 END) AS BIGINT) AS n_all_lower,
+       CAST(sum(CASE WHEN regexp_matches(text, '^[^a-z]*$') THEN 1 ELSE 0 END) AS BIGINT) AS n_all_upper,
        count(*) AS n_docs
 FROM documents GROUP BY lang ORDER BY lang
 """
@@ -631,7 +632,7 @@ cand AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
          FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
          GROUP BY 1, 2)
 SELECT count(*) AS n_candidate_pairs,
-       sum(CASE WHEN common * 1.0 / (sa.n + sb.n - common) >= 0.2 THEN 1 ELSE 0 END) AS n_dup_pairs
+       CAST(sum(CASE WHEN common * 1.0 / (sa.n + sb.n - common) >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs
 FROM cand
 JOIN sizes sa ON cand.da = sa.doc_id
 JOIN sizes sb ON cand.db = sb.doc_id
@@ -699,7 +700,7 @@ long AS ({unions}),
 buckets AS (SELECT hash_fn, bucket, count(*) AS c FROM long GROUP BY 1, 2)
 SELECT CAST(hash_fn AS INTEGER) AS hash_fn,
        count(*) AS n_colliding_buckets,
-       sum(c) AS n_docs_in_collisions
+       CAST(sum(c) AS BIGINT) AS n_docs_in_collisions
 FROM buckets WHERE c >= 2
 GROUP BY hash_fn ORDER BY hash_fn
 """
@@ -951,9 +952,9 @@ WITH b AS (
             + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
   FROM embeddings)
 SELECT count(*) AS n_pairs_checked,
-       sum(CASE WHEN list_dot_product(a.e, b2.e) /
+       CAST(sum(CASE WHEN list_dot_product(a.e, b2.e) /
                      sqrt(list_dot_product(a.e, a.e) * list_dot_product(b2.e, b2.e))
-                >= 0.3 THEN 1 ELSE 0 END) AS n_dup_pairs
+                >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs
 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
 """
 
@@ -1043,10 +1044,10 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TEXT_TOKENS = """
 SELECT lang,
-       sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
-       sum(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)) AS total_bpe_tokens,
-       sum(n_chars) AS total_chars
+       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_bpe_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
 
