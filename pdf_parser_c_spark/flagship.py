@@ -64,32 +64,45 @@ def doc_to_html_payload(doc_id: int, text: str) -> str:
     )
 
 
+def _armor_row(doc_id: int, text: str) -> str:
+    mode = doc_id % 3
+    if mode == 0:
+        return doc_to_pdf_payload(doc_id, text)
+    if mode == 1:
+        return doc_to_html_payload(doc_id, text)
+    return text
+
+
+def _armor_batches(batches):
+    """mapInPandas kernel: documents batch → transcripts batch.
+
+    Runs on executors (Arrow-batched); the per-document Python loop is
+    the same granularity at which the reference invokes poppler per
+    file (src/main.cpp:24).  Pure function of (doc_id, text) — safe
+    under task retry and salting."""
+    for b in batches:
+        ids = b["doc_id"].astype("int64")
+        payloads = [
+            _armor_row(int(i), str(t)) for i, t in zip(ids, b["text"])
+        ]
+        yield pd.DataFrame(
+            {
+                "conv_id": (ids // 10).map("conv{:06d}".format),
+                "turn_idx": (ids % 10).astype("int32"),
+                "role": (ids % 3).map(lambda m: ("user", "assistant", "tool")[m]),
+                "text": payloads,
+                "tool": pd.Series([None] * len(ids), dtype="object"),
+                "ts": pd.Timestamp(_EPOCH) + pd.to_timedelta(ids, unit="m"),
+            }
+        )
+
+
 def build_transcripts_from_documents(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """documents(doc_id, text, ...) → transcripts rows, one per doc.
 
-    Driver-side pandas conversion is deliberate here: the flagship runs
-    at sf0.001 (tens of rows); the production path takes transcripts
-    tables directly (see engine.run_extraction_job)."""
-    pdf = docs.select("doc_id", "text").toPandas().sort_values("doc_id")
-    rows = []
-    for _, r in pdf.iterrows():
-        doc_id = int(r["doc_id"])
-        text = str(r["text"])
-        mode = doc_id % 3
-        if mode == 0:
-            payload = doc_to_pdf_payload(doc_id, text)
-        elif mode == 1:
-            payload = doc_to_html_payload(doc_id, text)
-        else:
-            payload = text
-        rows.append(
-            {
-                "conv_id": f"conv{doc_id // 10:06d}",
-                "turn_idx": doc_id % 10,
-                "role": ("user", "assistant", "tool")[doc_id % 3],
-                "text": payload,
-                "tool": None,
-                "ts": _EPOCH + dt.timedelta(minutes=doc_id),
-            }
-        )
-    return spark.createDataFrame(pd.DataFrame(rows), schema=TRANSCRIPTS_SCHEMA)
+    Executor-side armoring: scan → mapInPandas — no driver collect, so
+    the flagship input build parallelizes with the corpus (the round-1
+    driver-side toPandas()+iterrows loop serialized at sf0.1+)."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _armor_batches, schema=TRANSCRIPTS_SCHEMA
+    )

@@ -73,3 +73,18 @@ def test_partial_aggregation_present(spark, name):
     plan = plan_of(spark, QUERIES[name][0](spark, SF_DIR))
     # partial (map-side) + final HashAggregate pairs
     assert plan.count("HashAggregate") >= 2
+
+
+def test_flagship_armoring_runs_on_executors(spark):
+    # scan -> MapInPandas(armor) -> one salted exchange -> MapInPandas
+    # (extract); the input build must not collect to the driver
+    from pdf_parser_c_spark.engine import extract_turns
+    from pdf_parser_c_spark.flagship import build_transcripts_from_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = extract_turns(build_transcripts_from_documents(spark, docs),
+                        num_partitions=4)
+    plan = plan_of(spark, out, "simple")
+    assert plan.count("MapInPandas") == 2
+    assert plan.count("Exchange") == 1
+    assert "Scan parquet" in plan  # lineage reaches the file scan
