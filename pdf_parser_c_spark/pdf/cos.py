@@ -52,9 +52,12 @@ class PDFSyntaxError(ValueError):
 
 
 class PDFEncryptedError(ValueError):
-    """Document has /Encrypt — reference passes null passwords, so
-    encrypted docs never flow through (SURVEY.md B5); rows are marked
-    status='encrypted' upstream."""
+    """Document is genuinely password-protected (or uses an unsupported
+    security handler).  Like poppler under the reference's null
+    passwords (``src/pdf_utils.cpp:457-491``), the engine first tries
+    the EMPTY user password — RC4/AES docs without a real password
+    decrypt and flow through; only the rest are marked
+    status='encrypted' upstream (SURVEY.md B5)."""
 
 
 @dataclass(frozen=True)
@@ -357,6 +360,7 @@ class PDFDocument:
     _cache: dict[int, object] = field(default_factory=dict)
     font_cache: dict = field(default_factory=dict)  # loaded Font objects, doc-lifetime
     _loading: set = field(default_factory=set)  # objstm/ref cycle guard
+    _decryptor: object = None  # StandardSecurityHandler once /Encrypt is unlocked
 
     # ---------------- construction ----------------
 
@@ -371,8 +375,57 @@ class PDFDocument:
         doc = cls(data=data, version=m.group(1).decode())
         doc._load_xref()
         if "Encrypt" in doc.trailer:
-            raise PDFEncryptedError("document has /Encrypt")
+            doc._setup_decryption()
         return doc
+
+    def _setup_decryption(self) -> None:
+        """Try the EMPTY user password, like poppler does under the
+        reference's null passwords (``src/pdf_utils.cpp:457-491``).
+        Only genuinely password-protected or unsupported-handler docs
+        raise PDFEncryptedError (→ status='encrypted' upstream)."""
+        from .crypt import PDFPasswordError, StandardSecurityHandler
+
+        enc = self.resolve(self.trailer["Encrypt"])
+        if not isinstance(enc, dict):
+            raise PDFEncryptedError("malformed /Encrypt")
+        enc = {k: self.resolve(v) for k, v in enc.items()}
+        if isinstance(enc.get("CF"), dict):
+            enc["CF"] = {
+                k: self.resolve(v) for k, v in enc["CF"].items()
+            }
+        id0 = b""
+        ids = self.trailer.get("ID")
+        if isinstance(ids, list) and ids:
+            v = self.resolve(ids[0])
+            if isinstance(v, bytes):
+                id0 = v
+        try:
+            self._decryptor = StandardSecurityHandler(enc, id0)
+        except PDFPasswordError as exc:
+            raise PDFEncryptedError(str(exc)) from None
+
+    def _decrypt_object(self, obj, num: int, gen: int):
+        """Decrypt strings / stream payloads of a just-parsed indirect
+        object (Algorithm 1 keying is per containing object).  XRef
+        streams are never encrypted; objects inside /ObjStm are covered
+        by the container stream's encryption and skip this path."""
+        dec = self._decryptor
+
+        def walk(o):
+            if isinstance(o, bytes):
+                return dec.decrypt_string(o, num, gen)
+            if isinstance(o, list):
+                return [walk(v) for v in o]
+            if isinstance(o, Stream):
+                if o.dict.get("Type") != Name("XRef"):
+                    o.raw = dec.decrypt_stream(o.raw, num, gen)
+                o.dict = walk(o.dict)
+                return o
+            if isinstance(o, dict):
+                return {k: walk(v) for k, v in o.items()}
+            return o
+
+        return walk(obj)
 
     def _load_xref(self) -> None:
         m = None
@@ -552,7 +605,10 @@ class PDFDocument:
         if t1[0] != "num" or t2[0] != "num" or t3 != ("kw", "obj"):
             raise PDFSyntaxError(f"bad object header for obj {expect_num} at {offset}")
         parser = Parser(self.data, lex.pos, self)
-        return parser.parse_object()
+        obj = parser.parse_object()
+        if self._decryptor is not None:
+            obj = self._decrypt_object(obj, expect_num, int(t2[1]))
+        return obj
 
     def _parse_from_objstm(self, stm_num: int, idx: int, expect_num: int):
         stm = self.get_object(stm_num)

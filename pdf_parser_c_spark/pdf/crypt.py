@@ -1,0 +1,388 @@
+"""PDF standard security handler: empty-user-password decryption.
+
+The reference passes null passwords (``src/pdf_utils.cpp:457-491`` —
+``'\\001'`` sentinel → ``nullptr``), and poppler's standard handler then
+still tries the *empty* user password, so RC4/AES-encrypted-but-not-
+password-protected documents extract fine in the reference.  This
+module replicates that: derive the file key from the empty user
+password per the PDF 1.7/2.0 standard security handler (/R 2-6), fail
+with :class:`PDFPasswordError` only when a real password is required.
+
+Everything here is from the public PDF spec (ISO 32000-1 §7.6,
+ISO 32000-2 §7.6.4 for /R 6).  Pure Python by design: the container
+has no crypto libs, payloads are small per turn, and the kernel is
+already process-parallel across Arrow batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+__all__ = [
+    "PDFPasswordError",
+    "StandardSecurityHandler",
+    "rc4",
+    "aes_cbc_decrypt",
+    "aes_cbc_encrypt",
+    "aes_block_encrypt",
+]
+
+
+class PDFPasswordError(ValueError):
+    """Empty user password rejected — document is truly password-protected."""
+
+
+# 32-byte padding string from ISO 32000-1 Algorithm 2
+PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (symmetric: encrypt == decrypt)."""
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# AES (FIPS-197), CBC mode — pure Python, table-driven
+# ---------------------------------------------------------------------------
+
+_SBOX = bytes.fromhex(
+    "637c777bf26b6fc53001672bfed7ab76ca82c97dfa5947f0add4a2af9ca472c0"
+    "b7fd9326363ff7cc34a5e5f171d8311504c723c31896059a071280e2eb27b275"
+    "09832c1a1b6e5aa0523bd6b329e32f8453d100ed20fcb15b6acbbe394a4c58cf"
+    "d0efaafb434d338545f9027f503c9fa851a3408f929d38f5bcb6da2110fff3d2"
+    "cd0c13ec5f974417c4a77e3d645d197360814fdc222a908846eeb814de5e0bdb"
+    "e0323a0a4906245cc2d3ac629195e479e7c8376d8dd54ea96c56f4ea657aae08"
+    "ba78252e1ca6b4c6e8dd741f4bbd8b8a703eb5664803f60e613557b986c11d9e"
+    "e1f8981169d98e949b1e87e9ce5528df8ca1890dbfe6426841992d0fb054bb16"
+)
+_INV_SBOX = bytearray(256)
+for _i, _v in enumerate(_SBOX):
+    _INV_SBOX[_v] = _i
+_INV_SBOX = bytes(_INV_SBOX)
+
+
+def _xtime(a: int) -> int:
+    a <<= 1
+    if a & 0x100:
+        a ^= 0x11B
+    return a & 0xFF
+
+def _gf_mul(a: int, b: int) -> int:
+    r = 0
+    while b:
+        if b & 1:
+            r ^= a
+        a = _xtime(a)
+        b >>= 1
+    return r
+
+_MUL2 = bytes(_gf_mul(c, 2) for c in range(256))
+_MUL3 = bytes(_gf_mul(c, 3) for c in range(256))
+_MUL9 = bytes(_gf_mul(c, 9) for c in range(256))
+_MUL11 = bytes(_gf_mul(c, 11) for c in range(256))
+_MUL13 = bytes(_gf_mul(c, 13) for c in range(256))
+_MUL14 = bytes(_gf_mul(c, 14) for c in range(256))
+
+_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36, 0x6C, 0xD8]
+
+
+def _expand_key(key: bytes) -> list[bytes]:
+    """Key schedule → list of 16-byte round keys (11 for AES-128, 15 for AES-256)."""
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [key[4 * i : 4 * i + 4] for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
+        t = w[i - 1]
+        if i % nk == 0:
+            t = bytes(
+                _SBOX[t[(j + 1) % 4]] ^ (_RCON[i // nk - 1] if j == 0 else 0)
+                for j in range(4)
+            )
+        elif nk > 6 and i % nk == 4:
+            t = bytes(_SBOX[b] for b in t)
+        w.append(bytes(a ^ b for a, b in zip(w[i - nk], t)))
+    return [b"".join(w[4 * r : 4 * r + 4]) for r in range(nr + 1)]
+
+
+def _add_rk(s: bytearray, rk: bytes) -> None:
+    for i in range(16):
+        s[i] ^= rk[i]
+
+
+_SHIFT = [0, 5, 10, 15, 4, 9, 14, 3, 8, 13, 2, 7, 12, 1, 6, 11]
+_INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
+
+
+def aes_block_encrypt(round_keys: list[bytes], block: bytes) -> bytes:
+    s = bytearray(block)
+    _add_rk(s, round_keys[0])
+    for rnd in range(1, len(round_keys) - 1):
+        # SubBytes + ShiftRows
+        t = bytes(_SBOX[s[_SHIFT[i]]] for i in range(16))
+        # MixColumns
+        s = bytearray(16)
+        for c in range(4):
+            a0, a1, a2, a3 = t[4 * c : 4 * c + 4]
+            s[4 * c] = _MUL2[a0] ^ _MUL3[a1] ^ a2 ^ a3
+            s[4 * c + 1] = a0 ^ _MUL2[a1] ^ _MUL3[a2] ^ a3
+            s[4 * c + 2] = a0 ^ a1 ^ _MUL2[a2] ^ _MUL3[a3]
+            s[4 * c + 3] = _MUL3[a0] ^ a1 ^ a2 ^ _MUL2[a3]
+        _add_rk(s, round_keys[rnd])
+    t = bytes(_SBOX[s[_SHIFT[i]]] for i in range(16))
+    s = bytearray(a ^ b for a, b in zip(t, round_keys[-1]))
+    return bytes(s)
+
+
+def _aes_block_decrypt(round_keys: list[bytes], block: bytes) -> bytes:
+    s = bytearray(block)
+    _add_rk(s, round_keys[-1])
+    for rnd in range(len(round_keys) - 2, 0, -1):
+        # InvShiftRows + InvSubBytes
+        t = bytes(_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16))
+        s = bytearray(t)
+        _add_rk(s, round_keys[rnd])
+        # InvMixColumns
+        t = bytes(s)
+        s = bytearray(16)
+        for c in range(4):
+            a0, a1, a2, a3 = t[4 * c : 4 * c + 4]
+            s[4 * c] = _MUL14[a0] ^ _MUL11[a1] ^ _MUL13[a2] ^ _MUL9[a3]
+            s[4 * c + 1] = _MUL9[a0] ^ _MUL14[a1] ^ _MUL11[a2] ^ _MUL13[a3]
+            s[4 * c + 2] = _MUL13[a0] ^ _MUL9[a1] ^ _MUL14[a2] ^ _MUL11[a3]
+            s[4 * c + 3] = _MUL11[a0] ^ _MUL13[a1] ^ _MUL9[a2] ^ _MUL14[a3]
+    t = bytes(_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16))
+    return bytes(a ^ b for a, b in zip(t, round_keys[0]))
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes, pad: bool = True) -> bytes:
+    rks = _expand_key(key)
+    if pad:
+        n = 16 - len(data) % 16
+        data = data + bytes([n]) * n
+    if len(data) % 16:
+        raise ValueError("unpadded AES data not block-aligned")
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = aes_block_encrypt(rks, blk)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes, unpad: bool = True) -> bytes:
+    rks = _expand_key(key)
+    if len(data) % 16:
+        data = data[: len(data) - len(data) % 16]  # tolerate ragged tails
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_aes_block_decrypt(rks, blk), prev))
+        prev = blk
+    if unpad and out:
+        n = out[-1]
+        if 1 <= n <= 16:
+            out = out[:-n]
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Key derivation (ISO 32000-1 §7.6.3, ISO 32000-2 §7.6.4)
+# ---------------------------------------------------------------------------
+
+
+def _pad_password(pw: bytes) -> bytes:
+    return (pw + PAD)[:32]
+
+
+def compute_key_r234(
+    pw: bytes, o: bytes, p: int, id0: bytes, length_bits: int, r: int,
+    encrypt_metadata: bool,
+) -> bytes:
+    """Algorithm 2: file encryption key for /R 2-4."""
+    h = hashlib.md5()
+    h.update(_pad_password(pw))
+    h.update(o[:32])
+    h.update(struct.pack("<i", p))
+    h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()
+    n = 5 if r == 2 else length_bits // 8
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _check_user_password_r234(
+    key: bytes, u: bytes, id0: bytes, r: int
+) -> bool:
+    """Algorithms 4/5/6: does this key reproduce /U?"""
+    if r == 2:
+        return rc4(key, PAD) == u[:32]
+    tmp = hashlib.md5(PAD + id0).digest()
+    enc = rc4(key, tmp)
+    for i in range(1, 20):
+        enc = rc4(bytes(b ^ i for b in key), enc)
+    return enc[:16] == u[:16]
+
+
+def hash_r6(pw: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the /R 6 iterated hash)."""
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        mod = sum(e[:16]) % 3
+        if mod == 0:
+            k = hashlib.sha256(e).digest()
+        elif mod == 1:
+            k = hashlib.sha384(e).digest()
+        else:
+            k = hashlib.sha512(e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+class StandardSecurityHandler:
+    """Derive the file key with the EMPTY user password; per-object
+    decryption of strings and streams.
+
+    Raises PDFPasswordError when the empty password fails (genuinely
+    password-protected document — the only case the pipeline marks
+    ``status='encrypted'``, matching poppler's behavior under the
+    reference's null passwords)."""
+
+    def __init__(self, enc: dict, id0: bytes, password: bytes = b""):
+        pw = password[:127]
+        filt = enc.get("Filter")
+        filt_name = getattr(filt, "name", filt)
+        if filt_name != "Standard":
+            raise PDFPasswordError(f"unsupported security handler {filt_name!r}")
+        self.v = int(enc.get("V", 0))
+        self.r = int(enc.get("R", 2))
+        self.p = int(enc.get("P", -1))
+        self.length_bits = int(enc.get("Length", 40))
+        o = enc.get("O", b"")
+        u = enc.get("U", b"")
+        self.o = bytes(o)
+        self.u = bytes(u)
+        self.encrypt_metadata = bool(enc.get("EncryptMetadata", True))
+        self.str_method, self.stm_method = self._crypt_filters(enc)
+
+        if self.r in (2, 3, 4):
+            key = compute_key_r234(
+                pw, self.o, self.p, id0, self.length_bits, self.r,
+                self.encrypt_metadata,
+            )
+            if not _check_user_password_r234(key, self.u, id0, self.r):
+                raise PDFPasswordError("user password rejected")
+            self.key = key
+        elif self.r in (5, 6):
+            vsalt, ksalt = self.u[32:40], self.u[40:48]
+            if self.r == 5:
+                if hashlib.sha256(pw + vsalt).digest() != self.u[:32]:
+                    raise PDFPasswordError("user password rejected")
+                ikey = hashlib.sha256(pw + ksalt).digest()
+            else:
+                if hash_r6(pw, vsalt, b"") != self.u[:32]:
+                    raise PDFPasswordError("user password rejected")
+                ikey = hash_r6(pw, ksalt, b"")
+            ue = bytes(enc.get("UE", b""))
+            if len(ue) < 32:
+                raise PDFPasswordError("missing /UE")
+            self.key = aes_cbc_decrypt(ikey, b"\x00" * 16, ue[:32], unpad=False)
+        else:
+            raise PDFPasswordError(f"unsupported /R {self.r}")
+
+    def _crypt_filters(self, enc: dict) -> tuple[str, str]:
+        """(string method, stream method): 'rc4' | 'aes' | 'aes256' | 'none'."""
+        if self.v in (1, 2):
+            return "rc4", "rc4"
+        if self.v == 5:
+            return "aes256", "aes256"
+        if self.v != 4:
+            raise PDFPasswordError(f"unsupported /V {self.v}")
+        cf = enc.get("CF", {}) or {}
+
+        def method(which: str) -> str:
+            name = enc.get(which)
+            name = getattr(name, "name", name) or "Identity"
+            if name == "Identity":
+                return "none"
+            spec = cf.get(name, {}) or {}
+            cfm = spec.get("CFM")
+            cfm = getattr(cfm, "name", cfm)
+            if cfm == "V2":
+                return "rc4"
+            if cfm == "AESV2":
+                return "aes"
+            if cfm == "AESV3":
+                return "aes256"
+            return "none"
+
+        return method("StrF"), method("StmF")
+
+    def _object_key(self, num: int, gen: int, aes: bool) -> bytes:
+        """Algorithm 1 per-object key (V < 5)."""
+        h = hashlib.md5()
+        h.update(self.key)
+        h.update(struct.pack("<i", num)[:3])
+        h.update(struct.pack("<i", gen)[:2])
+        if aes:
+            h.update(b"sAlT")
+        return h.digest()[: min(len(self.key) + 5, 16)]
+
+    def _apply(self, method: str, data: bytes, num: int, gen: int,
+               decrypt: bool) -> bytes:
+        if method == "none" or not data:
+            return data
+        if method == "rc4":
+            return rc4(self._object_key(num, gen, aes=False), data)
+        if method == "aes":
+            key = self._object_key(num, gen, aes=True)
+        else:  # aes256
+            key = self.key
+        if decrypt:
+            return aes_cbc_decrypt(key, data[:16], data[16:])
+        iv = hashlib.md5(struct.pack("<ii", num, gen) + b"iv").digest()
+        return iv + aes_cbc_encrypt(key, iv, data)
+
+    # public API -----------------------------------------------------------
+
+    def decrypt_string(self, data: bytes, num: int, gen: int) -> bytes:
+        return self._apply(self.str_method, data, num, gen, decrypt=True)
+
+    def decrypt_stream(self, data: bytes, num: int, gen: int) -> bytes:
+        return self._apply(self.stm_method, data, num, gen, decrypt=True)
+
+    def encrypt_string(self, data: bytes, num: int, gen: int) -> bytes:
+        return self._apply(self.str_method, data, num, gen, decrypt=False)
+
+    def encrypt_stream(self, data: bytes, num: int, gen: int) -> bytes:
+        return self._apply(self.stm_method, data, num, gen, decrypt=False)

@@ -1,0 +1,139 @@
+"""Fixture-side /Encrypt builder: O/U(/OE/UE/Perms) entries for every
+standard-security-handler revision the engine decrypts (/R 2,3,4,6).
+
+The generated documents are the golden oracle for the empty-user-
+password path the reference gets from poppler (``src/pdf_utils.cpp:
+457-491`` passes null passwords; poppler then tries the empty user
+password).  Deterministic: salts and the R6 file key derive from md5
+of fixed strings — no randomness, fixtures are byte-stable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from ..pdf.crypt import (
+    PAD,
+    StandardSecurityHandler,
+    aes_block_encrypt,
+    aes_cbc_encrypt,
+    _expand_key,
+    _pad_password,
+    compute_key_r234,
+    hash_r6,
+    rc4,
+)
+
+VARIANTS = ("rc4-40", "rc4-128", "aes-128", "aes-256")
+
+
+def _owner_entry_r234(owner_pw: bytes, user_pw: bytes, r: int, nbytes: int) -> bytes:
+    """Algorithm 3: the /O entry."""
+    h = hashlib.md5(_pad_password(owner_pw or user_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:nbytes]
+    o = rc4(key, _pad_password(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _user_entry_r234(key: bytes, id0: bytes, r: int) -> bytes:
+    if r == 2:
+        return rc4(key, PAD)
+    enc = rc4(key, hashlib.md5(PAD + id0).digest())
+    for i in range(1, 20):
+        enc = rc4(bytes(b ^ i for b in key), enc)
+    return enc + b"\x00" * 16
+
+
+def _hexstr(b: bytes) -> str:
+    return "<" + b.hex() + ">"
+
+
+def make_encryption(
+    variant: str,
+    id0: bytes,
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"owner",
+    p: int = -4,
+) -> tuple[str, StandardSecurityHandler]:
+    """→ (PDF source of the /Encrypt dict, handler keyed for user_pw).
+
+    The returned handler encrypts fixture strings/streams; the engine's
+    reader must reproduce it from the dict alone (with the empty user
+    password) for every variant where ``user_pw == b""``."""
+    if variant == "rc4-40":
+        r, v, bits = 2, 1, 40
+        o = _owner_entry_r234(owner_pw, user_pw, r, 5)
+        key = compute_key_r234(user_pw, o, p, id0, bits, r, True)
+        u = _user_entry_r234(key, id0, r)
+        d = (
+            f"<< /Filter /Standard /V {v} /R {r} /Length {bits} "
+            f"/P {p} /O {_hexstr(o)} /U {_hexstr(u)} >>"
+        )
+        enc = {"Filter": "Standard", "V": v, "R": r, "Length": bits,
+               "P": p, "O": o, "U": u}
+    elif variant == "rc4-128":
+        r, v, bits = 3, 2, 128
+        o = _owner_entry_r234(owner_pw, user_pw, r, 16)
+        key = compute_key_r234(user_pw, o, p, id0, bits, r, True)
+        u = _user_entry_r234(key, id0, r)
+        d = (
+            f"<< /Filter /Standard /V {v} /R {r} /Length {bits} "
+            f"/P {p} /O {_hexstr(o)} /U {_hexstr(u)} >>"
+        )
+        enc = {"Filter": "Standard", "V": v, "R": r, "Length": bits,
+               "P": p, "O": o, "U": u}
+    elif variant == "aes-128":
+        r, v, bits = 4, 4, 128
+        o = _owner_entry_r234(owner_pw, user_pw, r, 16)
+        key = compute_key_r234(user_pw, o, p, id0, bits, r, True)
+        u = _user_entry_r234(key, id0, r)
+        cf = "<< /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >>"
+        d = (
+            f"<< /Filter /Standard /V {v} /R {r} /Length {bits} /P {p} "
+            f"/O {_hexstr(o)} /U {_hexstr(u)} /CF {cf} "
+            f"/StmF /StdCF /StrF /StdCF >>"
+        )
+        enc = {"Filter": "Standard", "V": v, "R": r, "Length": bits,
+               "P": p, "O": o, "U": u,
+               "CF": {"StdCF": {"CFM": "AESV2"}},
+               "StmF": "StdCF", "StrF": "StdCF"}
+    elif variant == "aes-256":
+        r, v = 6, 5
+        file_key = hashlib.md5(b"filekey:" + id0).digest() * 2  # 32 deterministic bytes
+        uvs = hashlib.md5(b"uvs:" + id0).digest()[:8]
+        uks = hashlib.md5(b"uks:" + id0).digest()[:8]
+        u = hash_r6(user_pw[:127], uvs, b"") + uvs + uks
+        ue = aes_cbc_encrypt(hash_r6(user_pw[:127], uks, b""), b"\x00" * 16,
+                             file_key, pad=False)
+        ovs = hashlib.md5(b"ovs:" + id0).digest()[:8]
+        oks = hashlib.md5(b"oks:" + id0).digest()[:8]
+        o = hash_r6(owner_pw[:127], ovs, u[:48]) + ovs + oks
+        oe = aes_cbc_encrypt(hash_r6(owner_pw[:127], oks, u[:48]), b"\x00" * 16,
+                             file_key, pad=False)
+        perms_plain = (
+            struct.pack("<i", p) + b"\xff\xff\xff\xff" + b"Tadb"
+            + hashlib.md5(b"perms:" + id0).digest()[:4]
+        )
+        perms = aes_block_encrypt(_expand_key(file_key), perms_plain)
+        cf = "<< /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >>"
+        d = (
+            f"<< /Filter /Standard /V {v} /R {r} /Length 256 /P {p} "
+            f"/O {_hexstr(o)} /U {_hexstr(u)} /OE {_hexstr(oe)} /UE {_hexstr(ue)} "
+            f"/Perms {_hexstr(perms)} /CF {cf} /StmF /StdCF /StrF /StdCF >>"
+        )
+        enc = {"Filter": "Standard", "V": v, "R": r, "Length": 256,
+               "P": p, "O": o, "U": u, "OE": oe, "UE": ue,
+               "CF": {"StdCF": {"CFM": "AESV3"}},
+               "StmF": "StdCF", "StrF": "StdCF"}
+    else:
+        raise ValueError(f"unknown encryption variant {variant!r}")
+
+    handler = StandardSecurityHandler(enc, id0, password=user_pw)
+    return d, handler

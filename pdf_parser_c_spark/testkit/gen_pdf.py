@@ -13,6 +13,8 @@ with page numbers, and emphasized headings.  No randomness anywhere.
 
 from __future__ import annotations
 
+import hashlib
+import re as _re
 import zlib
 from dataclasses import dataclass, field
 
@@ -123,6 +125,37 @@ def _tounicode_stream(mapping: dict[int, str]) -> bytes:
     return "\n".join(lines).encode("latin-1")
 
 
+def _encrypt_strings(body: bytes, handler, num: int) -> bytes:
+    """Re-emit every literal/hex string of an object body encrypted
+    (Algorithm 1 keys on the containing object number; writer gen is
+    always 0).  Uses the engine Lexer for escape-correct reads; output
+    strings are hex-encoded."""
+    from ..pdf.cos import Lexer
+
+    out = bytearray()
+    i = 0
+    n = len(body)
+    while i < n:
+        c = body[i]
+        if c == 0x28:  # (
+            lex = Lexer(body, i)
+            s = lex._read_literal_string()
+            out += b"<" + handler.encrypt_string(s, num, 0).hex().encode() + b">"
+            i = lex.pos
+        elif c == 0x3C and i + 1 < n and body[i + 1] != 0x3C:  # < hex, not <<
+            lex = Lexer(body, i)
+            s = lex._read_hex_string()
+            out += b"<" + handler.encrypt_string(s, num, 0).hex().encode() + b">"
+            i = lex.pos
+        elif c == 0x3C:
+            out += b"<<"
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out)
+
+
 class PDFWriter:
     """Assembles objects and serializes with classic or stream xref."""
 
@@ -165,7 +198,14 @@ class PDFWriter:
         self.objects[num] = body.encode("latin-1")
 
     def serialize(self, root: int, info: int | None = None,
-                  xref_stream: bool = False, objstm: bool = False) -> bytes:
+                  xref_stream: bool = False, objstm: bool = False,
+                  encrypt: tuple[str, object] | None = None,
+                  file_id: bytes = b"") -> bytes:
+        enc_num = None
+        handler = None
+        if encrypt is not None:
+            enc_src, handler = encrypt
+            enc_num = self.add(enc_src)
         out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
         offsets: dict[int, int] = {}
         in_objstm: dict[int, int] = {}  # num -> index in objstm
@@ -174,8 +214,10 @@ class PDFWriter:
         objstm_num = None
         if objstm and xref_stream:
             # pack non-stream objects (except the root-path essentials
-            # staying plain for robustness variety) into one /ObjStm
-            packed = {n: b for n, b in plain_objs.items() if n != root}
+            # staying plain for robustness variety) into one /ObjStm;
+            # the /Encrypt dict itself must stay out of object streams
+            packed = {n: b for n, b in plain_objs.items()
+                      if n not in (root, enc_num)}
             if packed:
                 objstm_num = self.next_num
                 self.next_num += 1
@@ -192,12 +234,23 @@ class PDFWriter:
                      f"/Length {len(payload)} /Filter /FlateDecode >>")
                 self.streams[objstm_num] = (d.encode("latin-1"), payload)
 
+        enc_part = ""
+        if handler is not None:
+            hx = file_id.hex()
+            enc_part = f" /Encrypt {enc_num} 0 R /ID [<{hx}> <{hx}>]"
+
         for num in sorted(set(plain_objs) | set(self.streams)):
             offsets[num] = len(out)
             if num in plain_objs:
-                out += f"{num} 0 obj\n".encode() + plain_objs[num] + b"\nendobj\n"
+                body = plain_objs[num]
+                if handler is not None and num != enc_num:
+                    body = _encrypt_strings(body, handler, num)
+                out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
             else:
                 d, data = self.streams[num]
+                if handler is not None:
+                    data = handler.encrypt_stream(data, num, 0)
+                    d = _re.sub(rb"/Length \d+", b"/Length %d" % len(data), d)
                 out += f"{num} 0 obj\n".encode() + d + b"\nstream\n" + data + b"\nendstream\nendobj\n"
 
         size = self.next_num + (1 if xref_stream else 0)
@@ -209,7 +262,7 @@ class PDFWriter:
             for num in range(1, size):
                 off = offsets.get(num, 0)
                 out += f"{off:010d} 00000 n \n".encode()
-            out += (f"trailer\n<< /Size {size} /Root {root} 0 R{info_part} >>\n"
+            out += (f"trailer\n<< /Size {size} /Root {root} 0 R{info_part}{enc_part} >>\n"
                     f"startxref\n{xref_off}\n%%EOF\n").encode()
         else:
             xref_num = self.next_num
@@ -227,7 +280,7 @@ class PDFWriter:
             rows += (1).to_bytes(1, "big") + xref_off.to_bytes(4, "big") + (0).to_bytes(2, "big")
             payload = zlib.compress(bytes(rows))
             d = (f"<< /Type /XRef /Size {xref_num + 1} /W [1 4 2] "
-                 f"/Root {root} 0 R{info_part} /Length {len(payload)} /Filter /FlateDecode >>")
+                 f"/Root {root} 0 R{info_part}{enc_part} /Length {len(payload)} /Filter /FlateDecode >>")
             out += f"{xref_num} 0 obj\n".encode() + d.encode() + b"\nstream\n" + payload + b"\nendstream\nendobj\n"
             out += f"startxref\n{xref_off}\n%%EOF\n".encode()
         return bytes(out)
@@ -241,6 +294,9 @@ def build_pdf(
     xref_stream: bool = False,
     objstm: bool = False,
     content_filters: list[str] | None = None,
+    encrypt_variant: str | None = None,
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"owner",
 ) -> bytes:
     w = PDFWriter()
     catalog = w.reserve()
@@ -296,7 +352,18 @@ def build_pdf(
     kids = " ".join(f"{n} 0 R" for n in page_nums)
     w.set(pages_num, f"<< /Type /Pages /Kids [ {kids} ] /Count {len(page_nums)} >>")
     w.set(catalog, f"<< /Type /Catalog /Pages {pages_num} 0 R >>")
-    return w.serialize(catalog, info, xref_stream=xref_stream, objstm=objstm)
+    encrypt = None
+    file_id = b""
+    if encrypt_variant is not None:
+        from .encrypt import make_encryption
+
+        file_id = hashlib.md5(
+            b"fixture-id:" + pages[0].content.encode("latin-1")[:64]
+        ).digest()
+        encrypt = make_encryption(encrypt_variant, file_id,
+                                  user_pw=user_pw, owner_pw=owner_pw)
+    return w.serialize(catalog, info, xref_stream=xref_stream, objstm=objstm,
+                       encrypt=encrypt, file_id=file_id)
 
 
 # ---------------- content-stream helpers ----------------

@@ -1,0 +1,153 @@
+"""Standard security handler: empty-user-password decryption (B5 full).
+
+The reference passes null passwords (src/pdf_utils.cpp:457-491) and
+poppler then tries the empty user password — so RC4/AES documents that
+aren't truly password-protected extract fine.  These tests pin that
+behavior: every variant round-trips byte-identically to its
+unencrypted twin; only real passwords yield status='encrypted'.
+"""
+
+import pandas as pd
+import pytest
+
+from pdf_parser_c_spark.engine import encode_pdf_payload, extract_pandas_batch
+from pdf_parser_c_spark.pdf import cos
+from pdf_parser_c_spark.pdf.crypt import (
+    PDFPasswordError,
+    StandardSecurityHandler,
+    _aes_block_decrypt,
+    _expand_key,
+    aes_block_encrypt,
+    aes_cbc_decrypt,
+    aes_cbc_encrypt,
+    hash_r6,
+    rc4,
+)
+from pdf_parser_c_spark.testkit.encrypt import VARIANTS, make_encryption
+from pdf_parser_c_spark.testkit.gen_pdf import (
+    FontSpec,
+    PageSpec,
+    build_pdf,
+    text_block,
+    tj,
+)
+
+FONTS = {"F1": FontSpec("Helvetica"), "F2": FontSpec("Helvetica-Bold")}
+CONTENT = (
+    text_block(72, 700, 16, [[("F2", 12, "Secret Heading")]])
+    + text_block(72, 660, 14, [[("F1", 11, "body words (with) \\ escapes")]])
+    + tj(300, 30, "F1", 10, "3")
+)
+
+
+def _extract(payload: str):
+    df = pd.DataFrame(
+        {"conv_id": ["c"], "turn_idx": [0], "role": ["u"], "text": [payload],
+         "tool": [None], "ts": [pd.Timestamp("2026-01-01")]}
+    )
+    row = extract_pandas_batch(df).iloc[0]
+    return row["status"], row["text"]
+
+
+# ---------------- primitives ----------------
+
+
+def test_aes128_fips197_vector():
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = aes_block_encrypt(_expand_key(key), pt)
+    assert ct == bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    assert _aes_block_decrypt(_expand_key(key), ct) == pt
+
+
+def test_aes256_fips197_vector():
+    key = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = aes_block_encrypt(_expand_key(key), pt)
+    assert ct == bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    assert _aes_block_decrypt(_expand_key(key), ct) == pt
+
+
+def test_aes_cbc_round_trip_both_key_sizes():
+    iv = bytes(range(16))
+    msg = b"The quick brown fox jumps over the lazy dog"
+    for key in (b"k" * 16, b"k" * 32):
+        assert aes_cbc_decrypt(key, iv, aes_cbc_encrypt(key, iv, msg)) == msg
+
+
+def test_rc4_known_vector():
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+
+
+def test_hash_r6_deterministic_and_password_sensitive():
+    a = hash_r6(b"", b"salt8888", b"")
+    assert len(a) == 32
+    assert a == hash_r6(b"", b"salt8888", b"")
+    assert a != hash_r6(b"x", b"salt8888", b"")
+
+
+# ---------------- handler round trip (no PDF) ----------------
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_handler_string_stream_roundtrip(variant):
+    _src, enc = make_encryption(variant, id0=b"\x01" * 16)
+    # reader-side handler rebuilt from the dict fields alone
+    d, _ = make_encryption(variant, id0=b"\x01" * 16)
+    for num, gen in ((1, 0), (7, 0), (300, 0)):
+        s = b"literal (string) with \\ bytes \x00\xff"
+        assert enc.decrypt_string(enc.encrypt_string(s, num, gen), num, gen) == s
+        assert enc.decrypt_stream(enc.encrypt_stream(s * 40, num, gen), num, gen) == s * 40
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_wrong_password_rejected(variant):
+    _src, handler = make_encryption(variant, id0=b"\x02" * 16, user_pw=b"pw")
+    enc_fields = {
+        "Filter": "Standard", "V": handler.v, "R": handler.r,
+        "Length": handler.length_bits, "P": handler.p,
+        "O": handler.o, "U": handler.u,
+    }
+    if handler.r >= 5:
+        enc_fields["UE"] = b"\x00" * 32
+    if handler.v >= 4:
+        cfm = "AESV2" if handler.v == 4 else "AESV3"
+        enc_fields["CF"] = {"StdCF": {"CFM": cfm}}
+        enc_fields["StmF"] = "StdCF"
+        enc_fields["StrF"] = "StdCF"
+    with pytest.raises(PDFPasswordError):
+        StandardSecurityHandler(enc_fields, b"\x02" * 16)  # empty pw
+
+
+# ---------------- end-to-end through the extraction kernel ----------------
+
+
+@pytest.fixture(scope="module")
+def plain_result():
+    return _extract(encode_pdf_payload(build_pdf([PageSpec(CONTENT)], FONTS, title="T")))
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+@pytest.mark.parametrize("xs", [False, True], ids=["classic-xref", "xrefstream-objstm"])
+def test_encrypted_extracts_identically(variant, xs, plain_result):
+    pdf = build_pdf([PageSpec(CONTENT)], FONTS, title="T", compress=True,
+                    xref_stream=xs, objstm=xs, encrypt_variant=variant)
+    assert _extract(encode_pdf_payload(pdf)) == plain_result
+
+
+@pytest.mark.parametrize("variant", ["rc4-128", "aes-128", "aes-256"])
+def test_password_protected_marked_encrypted(variant):
+    pdf = build_pdf([PageSpec(CONTENT)], FONTS, title="T",
+                    encrypt_variant=variant, user_pw=b"hunter2")
+    status, _ = _extract(encode_pdf_payload(pdf))
+    assert status == "encrypted"
+
+
+def test_info_title_string_decrypted():
+    pdf = build_pdf([PageSpec(CONTENT)], FONTS, title="Classified Title",
+                    encrypt_variant="aes-128")
+    assert b"Classified Title" not in pdf  # title is actually encrypted
+    doc = cos.PDFDocument.open(pdf)
+    assert doc.doc_info_title() == "Classified Title"
