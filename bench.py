@@ -46,11 +46,26 @@ def main() -> None:
         per_query[name] = round(time.perf_counter() - t0, 3)
 
     # extraction throughput probe: deterministic transcripts corpus,
-    # payload mix per FIXTURES.md §2 (PDF-heavy)
+    # payload mix per FIXTURES.md §2 (PDF-heavy).  The corpus is written
+    # to parquet FIRST and the timed run scans it — otherwise the timed
+    # action re-ships the driver-local relation to executors and the
+    # probe measures data transfer, not kernel throughput (the round-1
+    # probe read 11x under scripts/bench_scaling.py for this reason).
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     corpus = transcripts_columns_only(
-        make_transcripts(n_convs=200, turns_per_conv=28, mega_every=10, mega_factor=10)
+        make_transcripts(n_convs=420, turns_per_conv=28, mega_every=10, mega_factor=10)
     )
-    sdf = spark.createDataFrame(corpus)
+    corpus = corpus.assign(
+        ts=corpus["ts"].dt.tz_localize(None).astype("datetime64[us]")
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_corpus_")
+    pq.write_table(pa.Table.from_pandas(corpus, preserve_index=False),
+                   f"{tmp}/transcripts.parquet", row_group_size=2048)
+    sdf = spark.read.parquet(f"{tmp}/transcripts.parquet")
     n_turns = sdf.count()
     # warm the Python workers so the probe measures steady-state
     # throughput, not fork/import cost
