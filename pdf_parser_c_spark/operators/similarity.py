@@ -109,10 +109,101 @@ def cosine_scores_pandas(
     return df.select(id_col, vec_col).mapInPandas(score, schema=schema)
 
 
+def hyperplane_coeffs(
+    dim: int, bands: int, bits: int, seed: int = 0x5EED
+) -> list[list[list[int]]]:
+    """Deterministic ±1 hyperplane coefficients, ``[band][bit][dim]``.
+    Tiny LCG — reproducible across Spark and the DuckDB oracle (both
+    sides inline the same literals), no RNG state dependency."""
+    state = seed & 0x7FFFFFFF
+    out = []
+    for _ in range(bands):
+        band = []
+        for _ in range(bits):
+            row = []
+            for _ in range(dim):
+                state = (1103515245 * state + 12345) & 0x7FFFFFFF
+                row.append(1 if state & 0x10000 else -1)
+            band.append(row)
+        out.append(band)
+    return out
+
+
+def band_code_expr(vec_col: str, band: list[list[int]]) -> str:
+    """One band's code (0..2^bits-1) as a Spark SQL expression: each
+    bit is the sign of a ±1-hyperplane dot product — JVM-side
+    higher-order functions, no Python."""
+    bits = []
+    for j, coeffs in enumerate(band):
+        arr = "array(" + ", ".join(f"{c}D" for c in coeffs) + ")"
+        dot = (
+            f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), {arr},"
+            f" (x, c) -> x * c), 0D, (acc, v) -> acc + v)"
+        )
+        bits.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def pairwise_cosine_dups_banded(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    bands: int = 4,
+    bits: int = 8,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """Scale-safe embedding near-dup pairs: B independent r-bit
+    hyperplane codes; candidate = agreement on ≥1 band (the MinHash-
+    banding pattern of operators/dedup.py applied to embeddings).
+
+    Per-band buckets have expected size N/2^bits — the shuffle key is
+    (band, code), AQE splits residual skew, and no single cell holds a
+    quadratic share of the corpus (the 1-code variant's failure mode).
+    Candidate pairs are de-duplicated across bands BEFORE cosine
+    scoring, so each surviving pair is scored once."""
+    planes = hyperplane_coeffs(dim, bands, bits, seed)
+    codes = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("v"),
+        *[F.expr(band_code_expr(vec_col, band)).alias(f"c{b}")
+          for b, band in enumerate(planes)],
+    )
+    stack_args = ", ".join(f"{b}, c{b}" for b in range(bands))
+    long = codes.select(
+        "doc", F.expr(f"stack({bands}, {stack_args}) AS (band, code)")
+    )
+    a, b_ = long.alias("a"), long.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.code") == F.col("b.code"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+        .distinct()
+    )
+    vecs = codes.select("doc", "v")
+    l, r = vecs.alias("l"), vecs.alias("r")
+    cos = F.expr(f"{_dot('l.v', 'r.v')} / sqrt(({_norm2('l.v')}) * ({_norm2('r.v')}))")
+    return (
+        cand.join(l, F.col("da") == F.col("l.doc"))
+        .join(r, F.col("db") == F.col("r.doc"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
+                F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def pairwise_cosine_dups(
     df: DataFrame, id_col: str, vec_col: str, threshold: float, bits: int = 4
 ) -> DataFrame:
-    """Embedding near-dup pairs within LSH cells (blocked O(Σ n_b²))."""
+    """Embedding near-dup pairs within LSH cells (blocked O(Σ n_b²)).
+
+    Small-scale variant: one ``bits``-wide code means each cell holds
+    ~N/2^bits rows and the within-cell join is quadratic in that.  At
+    corpus scale use :func:`pairwise_cosine_dups_banded`, which bounds
+    buckets with B independent codes and unions candidates."""
     b = df.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("v"),

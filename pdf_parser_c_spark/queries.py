@@ -959,6 +959,108 @@ FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
 """
 
 
+EMB_DIM = 64
+EMB_BANDS = 8
+EMB_BITS = 6  # 64 buckets/band at sf-test scale; scale rule: bits ≈ log2(N / target_bucket_rows)
+
+
+def _emb_planes():
+    from .operators.similarity import hyperplane_coeffs
+
+    return hyperplane_coeffs(EMB_DIM, EMB_BANDS, EMB_BITS)
+
+
+def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, banded multi-code blocking — the 100 TB
+    variant of dedup_embedding_cosine.  B independent r-bit hyperplane
+    codes (MinHash-banding pattern, operators/dedup.py:100 analogue);
+    candidate = agreement on ≥1 band, de-duplicated across bands before
+    ONE cosine scoring per pair.
+    Scale: per-band bucket E[n_b] = N/2^r so the join cost is
+    Σ n_b² ≈ B·N²/2^r — tunable via r; shuffle key (band, code); AQE
+    splits residual skew; max_bucket is reported as evidence."""
+    from .operators.similarity import band_code_expr
+
+    planes = _emb_planes()
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("e"),
+        *[F.expr(band_code_expr("embedding", band)).alias(f"c{b}")
+          for b, band in enumerate(planes)],
+    )
+    stack_args = ", ".join(f"{b}, c{b}" for b in range(EMB_BANDS))
+    long = e.select("vec_id", F.expr(f"stack({EMB_BANDS}, {stack_args}) AS (band, code)"))
+    a, b = long.alias("a"), long.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.code") == F.col("b.code"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("da"), F.col("b.vec_id").alias("db"))
+        .distinct()
+    )
+    vecs = e.select("vec_id", "e")
+    l, r = vecs.alias("l"), vecs.alias("r")
+    dot = "aggregate(zip_with(l.e, r.e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    nl = "aggregate(l.e, 0D, (acc, x) -> acc + x * x)"
+    nr = "aggregate(r.e, 0D, (acc, x) -> acc + x * x)"
+    pairs = (
+        cand.join(l, F.col("da") == F.col("l.vec_id"))
+        .join(r, F.col("db") == F.col("r.vec_id"))
+        .withColumn("cos", F.expr(f"{dot} / sqrt(({nl}) * ({nr}))"))
+    )
+    pair_stats = pairs.agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("cos") >= 0.3, 1).otherwise(0))
+        .cast("long").alias("n_dup_pairs"),
+    )
+    bucket_stats = (
+        long.groupBy("band", "code").count()
+        .agg(F.max("count").alias("max_bucket"))
+    )
+    return pair_stats.crossJoin(bucket_stats)
+
+
+def _sql_dedup_embedding_banded() -> str:
+    planes = _emb_planes()
+    band_exprs = []
+    for band in planes:
+        bits = []
+        for j, coeffs in enumerate(band):
+            arr = "[" + ", ".join(f"{c}.0" for c in coeffs) + "]"
+            bits.append(
+                f"CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) > 0"
+                f" THEN {1 << j} ELSE 0 END"
+            )
+        band_exprs.append("CAST(" + " + ".join(bits) + " AS BIGINT)")
+    code_cols = ", ".join(f"{e} AS c{b}" for b, e in enumerate(band_exprs))
+    unions = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, c{b} AS code FROM codes"
+        for b in range(EMB_BANDS)
+    )
+    return f"""
+WITH codes AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {code_cols} FROM embeddings),
+long AS ({unions}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+  FROM long a JOIN long b ON a.band = b.band AND a.code = b.code
+                         AND a.vec_id < b.vec_id),
+pairs AS (
+  SELECT list_dot_product(l.e, r.e) /
+         sqrt(list_dot_product(l.e, l.e) * list_dot_product(r.e, r.e)) AS cos
+  FROM cand JOIN codes l ON cand.da = l.vec_id
+            JOIN codes r ON cand.db = r.vec_id),
+pair_stats AS (
+  SELECT count(*) AS n_candidate_pairs,
+         CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs
+  FROM pairs),
+bucket_stats AS (
+  SELECT CAST(max(c) AS BIGINT) AS max_bucket
+  FROM (SELECT band, code, count(*) AS c FROM long GROUP BY 1, 2))
+SELECT * FROM pair_stats CROSS JOIN bucket_stats
+"""
+
+
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it")
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
@@ -1121,6 +1223,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_minhash()),
     "dedup_minhash_estimate": (q_dedup_minhash_estimate, _sql_minhash_estimate()),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
+    "dedup_embedding_banded": (q_dedup_embedding_banded, _sql_dedup_embedding_banded()),
     "text_simhash": (q_text_simhash, _sql_simhash()),
     "sim_bruteforce_topk": (q_sim_bruteforce_topk, SQL_SIM_BRUTEFORCE),
     "sim_lsh_bucketed": (q_sim_lsh_bucketed, SQL_SIM_LSH),

@@ -152,3 +152,39 @@ def test_cosine_pandas_matches_jvm(spark):
     assert [r["vec_id"] for r in fast] == [r["vec_id"] for r in exact]
     for a, b in zip(fast, exact):
         assert abs(a["cosine"] - b["cosine"]) < 1e-9
+
+
+def test_banded_embedding_dedup_bounded_and_correct(spark):
+    from pdf_parser_c_spark.operators.similarity import (
+        band_code_expr,
+        hyperplane_coeffs,
+        pairwise_cosine_dups_banded,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    pairs = pairwise_cosine_dups_banded(
+        emb, "vec_id", "embedding", 0.3, dim=64, bands=8, bits=6
+    ).collect()
+    assert pairs  # finds real near-dups on the substrate
+    # every reported pair clears the threshold and ids are ordered
+    for r in pairs:
+        assert r["cosine"] >= 0.3 and r["doc_a"] < r["doc_b"]
+    # pairs are unique (cross-band dedup happened before scoring)
+    keys = [(r["doc_a"], r["doc_b"]) for r in pairs]
+    assert len(keys) == len(set(keys))
+    # per-band buckets are bounded ~N/2^bits, not N/2^4-style cells
+    planes = hyperplane_coeffs(64, 8, 6)
+    code0 = emb.selectExpr(f"{band_code_expr('embedding', planes[0])} AS c")
+    max_bucket = code0.groupBy("c").count().agg(F.max("count")).collect()[0][0]
+    assert max_bucket < n / 4  # far below one-cell blowup
+
+
+def test_banded_coeffs_deterministic():
+    from pdf_parser_c_spark.operators.similarity import hyperplane_coeffs
+
+    a = hyperplane_coeffs(16, 2, 4)
+    b = hyperplane_coeffs(16, 2, 4)
+    assert a == b
+    assert all(c in (1, -1) for band in a for row in band for c in row)
+    assert a != hyperplane_coeffs(16, 2, 4, seed=99)
