@@ -215,6 +215,32 @@ class ContentInterpreter:
             m0, m1 = m[0], m[1]  # device direction of one text-space unit
             total_tx = 0.0
             visible = ts.render_mode != 3
+            if font.wmode == 1:
+                # vertical writing (B14, poppler.patch:343-346): glyphs
+                # advance along -y in text space by w1 (/DW2|/W2, no Th,
+                # no word spacing — vertical fonts are CID/2-byte); the
+                # glyph origin centers on the vertical baseline (v ≈
+                # (w0/2, ·)); rot derives from the ADVANCE direction so
+                # layout pools these words with the matching rotation
+                vang = math.atan2(-trm[3], -trm[2])
+                vrot = int(round(vang / (math.pi / 2))) % 4
+                vm2, vm3 = m[2], m[3]  # device direction of text-space +y
+                for code, uni in font.decode(raw):
+                    w1 = font.v_advance(code) / 1000.0
+                    w0 = font.width(code) / 1000.0
+                    ty = w1 * ts.size + ts.char_spacing
+                    if visible and uni:
+                        # v-origin shift: glyph centers on the vertical
+                        # baseline — text-space (-w0/2, 0) through Trm
+                        gx = ox - (w0 / 2.0) * trm[0]
+                        gy = oy - (w0 / 2.0) * trm[1]
+                        emit(Glyph(uni, gx, gy, w1 * size_dev, size_dev, font,
+                                   vrot, uni == " "))
+                    ox -= ty * vm2
+                    oy -= ty * vm3
+                    total_tx += ty
+                tm = mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -total_tx), tm)
+                return
             for code, uni in font.decode(raw):
                 w0 = font.width(code) / 1000.0
                 is_space = (not font.two_byte and code == 0x20) or uni == " "
@@ -334,12 +360,20 @@ class ContentInterpreter:
                     tm = tlm
                     show_text(stack[-1])
                 elif op == "TJ" and stack and isinstance(stack[-1], list):
+                    vertical = ts.font is not None and ts.font.wmode == 1
                     for item in stack[-1]:
                         if isinstance(item, bytes):
                             show_text(item)
                         elif isinstance(item, (int, float)):
-                            tx = -float(item) / 1000.0 * ts.size * ts.h_scale
-                            tm = mat_mul((1, 0, 0, 1, tx, 0.0), tm)
+                            if vertical:
+                                # adjustment is SUBTRACTED from the
+                                # vertical coordinate, no Th
+                                # (PDF 32000 §9.4.3)
+                                tyj = -float(item) / 1000.0 * ts.size
+                                tm = mat_mul((1, 0, 0, 1, 0.0, tyj), tm)
+                            else:
+                                tx = -float(item) / 1000.0 * ts.size * ts.h_scale
+                                tm = mat_mul((1, 0, 0, 1, tx, 0.0), tm)
                 elif op == "BDC" and len(stack) >= 2:
                     props = stack[-1]
                     if isinstance(props, Name):

@@ -244,6 +244,12 @@ class Font:
     default_width: float = 500.0
     ascent: float = 0.75
     descent: float = -0.25
+    wmode: int = 0  # 1 = vertical (Identity-V / CMap /WMode 1) — B14
+    v_default: float = 1000.0  # default vertical advance (-DW2[1]), font units
+    v_widths: dict[int, float] = field(default_factory=dict)  # CID → v advance (/W2)
+
+    def v_advance(self, code: int) -> float:
+        return self.v_widths.get(code, self.v_default)
 
     def decode(self, raw: bytes):
         """Yield (width_key, unicode_str) per glyph in a show-text
@@ -395,12 +401,16 @@ def _descendant(doc: PDFDocument, fd: dict):
 def _load_type0(doc: PDFDocument, fd: dict, font: Font) -> None:
     font.two_byte = True  # Identity-H/V default
     enc = doc.resolve(fd.get("Encoding"))
+    if isinstance(enc, Name) and enc.name.endswith("-V"):
+        # predefined vertical CMaps (Identity-V, UniJIS-UCS2-V, ...)
+        font.wmode = 1
     if isinstance(enc, Stream):
         # embedded CMap: variable code widths + code→CID mapping
         try:
             cmap = parse_encoding_cmap(enc.data())
             if cmap.codespaces:
                 font.cmap = cmap
+            font.wmode = cmap.wmode
         except Exception:
             pass
     df = _descendant(doc, fd)
@@ -408,6 +418,35 @@ def _load_type0(doc: PDFDocument, fd: dict, font: Font) -> None:
         return
     dw = doc.resolve(df.get("DW"))
     font.default_width = float(dw) if isinstance(dw, (int, float)) else 1000.0
+    dw2 = doc.resolve(df.get("DW2"))
+    if isinstance(dw2, list) and len(dw2) == 2:
+        w1y = doc.resolve(dw2[1])
+        if isinstance(w1y, (int, float)):
+            font.v_default = abs(float(w1y))
+    w2 = doc.resolve(df.get("W2"))
+    if isinstance(w2, list):
+        # /W2 forms (PDF 32000 §9.7.4.3): `c [w1y vx vy ...]` or
+        # `c_first c_last w1y vx vy`; only the advance magnitude feeds
+        # text extraction
+        i = 0
+        while i < len(w2):
+            c = doc.resolve(w2[i])
+            nxt = doc.resolve(w2[i + 1]) if i + 1 < len(w2) else None
+            if isinstance(nxt, list):
+                for j in range(0, len(nxt) - 2, 3):
+                    wv = doc.resolve(nxt[j])
+                    if isinstance(wv, (int, float)) and isinstance(c, (int, float)):
+                        font.v_widths[int(c) + j // 3] = abs(float(wv))
+                i += 2
+            elif i + 4 < len(w2):
+                c2 = doc.resolve(w2[i + 1])
+                wv = doc.resolve(w2[i + 2])
+                if all(isinstance(v, (int, float)) for v in (c, c2, wv)):
+                    for code in range(int(c), int(c2) + 1):
+                        font.v_widths[code] = abs(float(wv))
+                i += 5
+            else:
+                break
     w = doc.resolve(df.get("W"))
     if isinstance(w, list):
         i = 0

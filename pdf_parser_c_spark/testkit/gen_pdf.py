@@ -93,6 +93,10 @@ class FontSpec:
     first_char: int = 32
     last_char: int = 255
     flags: int | None = None
+    type0: bool = False  # composite font (2-byte CIDs)
+    cid_encoding: str = "Identity-H"  # or Identity-V (vertical, B14)
+    dw: int = 1000  # CID default width
+    dw2: tuple[int, int] | None = None  # vertical metrics (vy, w1y)
 
     def is_bold(self) -> bool:
         return "Bold" in self.base
@@ -109,17 +113,19 @@ class PageSpec:
     rotate: int = 0  # page /Rotate attribute
 
 
-def _tounicode_stream(mapping: dict[int, str]) -> bytes:
+def _tounicode_stream(mapping: dict[int, str], two_byte: bool = False) -> bytes:
+    space = "<0000> <FFFF>" if two_byte else "<00> <FF>"
+    width = 4 if two_byte else 2
     lines = [
         "/CIDInit /ProcSet findresource begin",
         "12 dict begin begincmap",
         "/CMapName /Adobe-Identity-UCS def /CMapType 2 def",
-        "1 begincodespacerange <00> <FF> endcodespacerange",
+        f"1 begincodespacerange {space} endcodespacerange",
         f"{len(mapping)} beginbfchar",
     ]
     for code, uni in sorted(mapping.items()):
         dst = "".join(f"{ord(c):04X}" for c in uni)
-        lines.append(f"<{code:02X}> <{dst}>")
+        lines.append(f"<{code:0{width}X}> <{dst}>")
     lines += ["endbfchar", "endcmap", "CMapName currentdict /CMap defineresource pop",
               "end end"]
     return "\n".join(lines).encode("latin-1")
@@ -305,6 +311,33 @@ def build_pdf(
 
     font_nums: dict[str, int] = {}
     for name, spec in fonts.items():
+        if spec.type0:
+            tu = ""
+            if spec.tounicode:
+                tu_num = w.add_stream(
+                    "", _tounicode_stream(spec.tounicode, two_byte=True),
+                    compress=compress,
+                )
+                tu = f" /ToUnicode {tu_num} 0 R"
+            flags = spec.flags if spec.flags is not None else 4  # symbolic
+            fd = w.add(
+                f"<< /Type /FontDescriptor /FontName /{spec.base} /Flags {flags} "
+                f"/FontBBox [0 -250 1000 750] /ItalicAngle 0 "
+                f"/Ascent 750 /Descent -250 /CapHeight 700 /StemV 80 >>"
+            )
+            dw2 = f" /DW2 [{spec.dw2[0]} {spec.dw2[1]}]" if spec.dw2 else ""
+            cid = w.add(
+                f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /{spec.base} "
+                f"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+                f"/Supplement 0 >> /DW {spec.dw}{dw2} /CIDToGIDMap /Identity "
+                f"/FontDescriptor {fd} 0 R >>"
+            )
+            font_nums[name] = w.add(
+                f"<< /Type /Font /Subtype /Type0 /BaseFont /{spec.base} "
+                f"/Encoding /{spec.cid_encoding} "
+                f"/DescendantFonts [ {cid} 0 R ]{tu} >>"
+            )
+            continue
         enc = ""
         if spec.differences is not None:
             items = []
@@ -371,6 +404,12 @@ def build_pdf(
 
 def tj(x: float, y: float, font: str, size: float, text: str) -> str:
     return f"BT /{font} {size} Tf {x} {y} Td ({esc(text)}) Tj ET\n"
+
+
+def tj_hex(x: float, y: float, font: str, size: float, codes: list[int]) -> str:
+    """Show 2-byte CID codes (Type0 fonts) as a hex string."""
+    hx = "".join(f"{c:04X}" for c in codes)
+    return f"BT /{font} {size} Tf {x} {y} Td <{hx}> Tj ET\n"
 
 
 def text_block(x: float, y: float, leading: float, runs: list[list[tuple[str, float, str]]]) -> str:

@@ -1,0 +1,73 @@
+"""Vertical writing mode (B14 full): Identity-V / CMap /WMode 1.
+
+The reference's layout engine pools vertical words per rotation
+(poppler.patch:343-346,563); these fixtures pin column order (top to
+bottom within a column, right-to-left across columns — the CJK
+convention that falls out of the rot-1 frame) and the /DW2 /W2
+vertical metrics.
+"""
+
+from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+from pdf_parser_c_spark.pdf import cos
+from pdf_parser_c_spark.pdf.content import ContentInterpreter
+from pdf_parser_c_spark.pdf.fonts import load_font
+from pdf_parser_c_spark.testkit.gen_pdf import (
+    FontSpec,
+    PageSpec,
+    build_pdf,
+    tj_hex,
+)
+
+TEXT = "縦書きテスト"
+TOUNICODE = {i + 1: ch for i, ch in enumerate(TEXT)}
+
+
+def vfont(**kw) -> FontSpec:
+    return FontSpec("Fixture-CJK", type0=True, cid_encoding="Identity-V",
+                    tounicode=TOUNICODE, **kw)
+
+
+def test_single_vertical_column_reads_top_to_bottom():
+    content = tj_hex(300, 700, "FV", 24, [1, 2, 3, 4, 5, 6])
+    doc = parse_pdf_bytes(build_pdf([PageSpec(content)], {"FV": vfont(dw2=(880, -1000))}))
+    assert doc.status == "ok"
+    assert doc.text == TEXT
+
+
+def test_vertical_columns_read_right_to_left():
+    content = (tj_hex(400, 700, "FV", 24, [1, 2, 3])
+               + tj_hex(300, 700, "FV", 24, [4, 5, 6]))
+    doc = parse_pdf_bytes(build_pdf([PageSpec(content)], {"FV": vfont()}))
+    assert doc.text == "縦書き\n\nテスト"
+
+
+def test_vertical_glyphs_advance_downward():
+    content = tj_hex(300, 700, "FV", 24, [1, 2, 3])
+    pdf = build_pdf([PageSpec(content)], {"FV": vfont(dw2=(880, -1000))})
+    d = cos.PDFDocument.open(pdf)
+    page = d.pages()[0]
+    interp = ContentInterpreter(d, d.page_mediabox(page))
+    glyphs = interp.run(d.page_content(page), d.dget(page, "Resources"))
+    ys = [g.y for g in glyphs]
+    assert ys == sorted(ys) and ys[1] - ys[0] == 24.0  # 1 em per glyph down
+    assert all(g.rot == 1 for g in glyphs)  # pooled with the rot-1 frame
+
+
+def test_wmode_from_name_encoding_and_dw2():
+    pdf = build_pdf([PageSpec(tj_hex(300, 700, "FV", 24, [1]))],
+                    {"FV": vfont(dw2=(880, -500))})
+    d = cos.PDFDocument.open(pdf)
+    page = d.pages()[0]
+    fonts = d.dget(d.dget(page, "Resources"), "Font")
+    raw = fonts["FV"]
+    f = load_font(d, d.resolve(raw), getattr(raw, "num", -1), 0)
+    assert f.wmode == 1
+    assert f.v_default == 500.0  # |DW2[1]|
+
+
+def test_horizontal_type0_unaffected():
+    h = FontSpec("Fixture-CJK", type0=True, cid_encoding="Identity-H",
+                 tounicode=TOUNICODE)
+    content = tj_hex(100, 700, "FH", 24, [1, 2, 3, 4, 5, 6])
+    doc = parse_pdf_bytes(build_pdf([PageSpec(content)], {"FH": h}))
+    assert doc.text == TEXT
