@@ -299,6 +299,8 @@ def load_font(doc: PDFDocument, font_obj, ref_num: int, ref_gen: int) -> Font:
 
     if subtype == "Type0":
         _load_type0(doc, fd, font)
+    elif subtype == "Type3":
+        _load_type3(doc, fd, font)
     else:
         _load_simple(doc, fd, font)
 
@@ -387,6 +389,38 @@ def _load_simple(doc: PDFDocument, fd: dict, font: Font) -> None:
         mw = doc.resolve(desc.get("MissingWidth"))
         if isinstance(mw, (int, float)):
             font.default_width = float(mw)
+
+
+def _load_type3(doc: PDFDocument, fd: dict, font: Font) -> None:
+    """Type3: user-defined glyph programs (B8; reference expectation
+    table ``inc/pdf_utils.hpp:38-51`` lists fontType3).  /CharProcs are
+    content streams — irrelevant to TEXT extraction, so they are
+    ignored; what matters for word boundaries is that /Widths are in
+    GLYPH space and scale through /FontMatrix (PDF 32000 §9.6.5),
+    unlike every other simple font's 1/1000 text-space units."""
+    _load_simple(doc, fd, font)
+    fm = doc.resolve(fd.get("FontMatrix"))
+    if not (isinstance(fm, list) and len(fm) == 6):
+        fm = [0.001, 0, 0, 0.001, 0, 0]
+    fm = [float(doc.resolve(v) or 0.0) for v in fm]
+    # store widths so that width()/1000 yields text-space units — the
+    # contract the interpreter's advance math assumes
+    sx = fm[0] * 1000.0
+    font.widths = {c: w * sx for c, w in font.widths.items()}
+    # missing Type3 glyphs advance 0 (poppler) unless /MissingWidth says
+    # otherwise — the simple-font 500 fallback would be in glyph space
+    desc = doc.resolve(fd.get("FontDescriptor"))
+    mw = doc.resolve(desc.get("MissingWidth")) if isinstance(desc, dict) else None
+    font.default_width = float(mw) * sx if isinstance(mw, (int, float)) else 0.0
+    bbox = doc.resolve(fd.get("FontBBox"))
+    if isinstance(bbox, list) and len(bbox) == 4:
+        y0 = float(doc.resolve(bbox[1]) or 0.0)
+        y1 = float(doc.resolve(bbox[3]) or 0.0)
+        sy = fm[3]
+        if y1 * sy:
+            font.ascent = y1 * sy
+        if y0 * sy:
+            font.descent = y0 * sy
 
 
 def _descendant(doc: PDFDocument, fd: dict):

@@ -97,6 +97,8 @@ class FontSpec:
     cid_encoding: str = "Identity-H"  # or Identity-V (vertical, B14)
     dw: int = 1000  # CID default width
     dw2: tuple[int, int] | None = None  # vertical metrics (vy, w1y)
+    type3: bool = False  # user-defined glyph procs; widths in GLYPH space
+    font_matrix: tuple = (0.001, 0, 0, 0.001, 0, 0)
 
     def is_bold(self) -> bool:
         return "Bold" in self.base
@@ -311,6 +313,50 @@ def build_pdf(
 
     font_nums: dict[str, int] = {}
     for name, spec in fonts.items():
+        if spec.type3:
+            # glyph programs are d0-only streams: text extraction must
+            # ignore /CharProcs and take widths (glyph space) through
+            # /FontMatrix
+            diffs = spec.differences or []
+            items = " ".join(
+                str(it) if isinstance(it, int) else f"/{it}" for it in diffs
+            )
+            names = [it for it in diffs if not isinstance(it, int)]
+            procs = {
+                gname: w.add_stream("", f"{int(spec.widths)} 0 d0\n".encode("latin-1"))
+                for gname in names
+            }
+            cp = " ".join(f"/{g} {n} 0 R" for g, n in procs.items())
+            tu = ""
+            if spec.tounicode:
+                tu_num = w.add_stream("", _tounicode_stream(spec.tounicode),
+                                      compress=compress)
+                tu = f" /ToUnicode {tu_num} 0 R"
+            # walk the Differences segments to find each glyph's code
+            codes = []
+            c = 0
+            for it in diffs:
+                if isinstance(it, int):
+                    c = it
+                else:
+                    codes.append(c)
+                    c += 1
+            first = min(codes, default=0)
+            last = max(codes, default=0)
+            covered = set(codes)
+            widths = " ".join(
+                str(int(spec.widths)) if cc in covered else "0"
+                for cc in range(first, last + 1)
+            )
+            fm = " ".join(str(v) for v in spec.font_matrix)
+            bbox_hi = int(round(1.0 / spec.font_matrix[0])) if spec.font_matrix[0] else 1000
+            font_nums[name] = w.add(
+                f"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 {bbox_hi} {bbox_hi}] "
+                f"/FontMatrix [{fm}] /CharProcs << {cp} >> "
+                f"/Encoding << /Differences [ {items} ] >> "
+                f"/FirstChar {first} /LastChar {last} /Widths [ {widths} ]{tu} >>"
+            )
+            continue
         if spec.type0:
             tu = ""
             if spec.tounicode:

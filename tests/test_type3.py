@@ -1,0 +1,56 @@
+"""Type3 fonts (B8): /Widths are in GLYPH space and scale through
+/FontMatrix (PDF 32000 §9.6.5); /CharProcs are ignored for text.
+Reference coverage expectation: font-type table inc/pdf_utils.hpp:38-51
+lists fontType3 as a first-class type poppler resolves.
+"""
+
+from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+from pdf_parser_c_spark.pdf import cos
+from pdf_parser_c_spark.pdf.content import ContentInterpreter
+from pdf_parser_c_spark.pdf.fonts import load_font
+from pdf_parser_c_spark.testkit.gen_pdf import FontSpec, PageSpec, build_pdf, tj
+
+T3 = FontSpec("T3F", type3=True, font_matrix=(0.01, 0, 0, 0.01, 0, 0),
+              widths=60, differences=[65, "A", "B", "C", "D", 32, "space"])
+
+
+def _glyphs(pdf: bytes):
+    d = cos.PDFDocument.open(pdf)
+    page = d.pages()[0]
+    interp = ContentInterpreter(d, d.page_mediabox(page))
+    return interp.run(d.page_content(page), d.dget(page, "Resources"))
+
+
+def test_type3_extracts_with_wordbreaks():
+    pdf = build_pdf([PageSpec(tj(72, 700, "F3", 10, "AB CD"))], {"F3": T3})
+    doc = parse_pdf_bytes(pdf)
+    assert doc.status == "ok"
+    assert doc.text == "AB CD"
+
+
+def test_type3_widths_scale_through_font_matrix():
+    # 60 glyph units x FontMatrix 0.01 x size 10 = 6pt per glyph;
+    # unscaled (the simple-font 1/1000 reading) would be 0.6pt and every
+    # word boundary would collapse
+    pdf = build_pdf([PageSpec(tj(72, 700, "F3", 10, "ABCD"))], {"F3": T3})
+    glyphs = _glyphs(pdf)
+    assert [round(g.adv, 6) for g in glyphs] == [6.0] * 4
+    assert [round(g.x, 1) for g in glyphs] == [72.0, 78.0, 84.0, 90.0]
+
+
+def test_type3_missing_glyph_advances_zero():
+    pdf = build_pdf([PageSpec(tj(72, 700, "F3", 10, "AZ"))], {"F3": T3})
+    glyphs = _glyphs(pdf)
+    assert round(glyphs[0].adv, 6) == 6.0
+    assert glyphs[1].adv == 0.0  # no /Widths entry, no /MissingWidth
+
+
+def test_type3_font_loads_as_type3_with_bbox_metrics():
+    pdf = build_pdf([PageSpec(tj(72, 700, "F3", 10, "A"))], {"F3": T3})
+    d = cos.PDFDocument.open(pdf)
+    page = d.pages()[0]
+    fonts = d.dget(d.dget(page, "Resources"), "Font")
+    raw = fonts["F3"]
+    f = load_font(d, d.resolve(raw), getattr(raw, "num", -1), 0)
+    assert f.subtype == "Type3"
+    assert abs(f.ascent - 1.0) < 1e-9  # FontBBox y1=100 x FM 0.01
