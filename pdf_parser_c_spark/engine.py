@@ -308,19 +308,23 @@ def run_extraction_job(
             .parquet(results_path)
         )
         out = spark.read.parquet(results_path).filter(F.col("bucket").isin(pending))
+        # metrics/lineage use the SAME dynamic-partition-overwrite path
+        # as results: a crash between the results write and these
+        # writes makes the retry REPLACE the bucket's rows instead of
+        # appending duplicates (ADVICE r1 — idempotent metrics)
         metrics = (
             out.groupBy("bucket", "kind", "status")
             .agg(F.count("*").alias("n_rows"))
             .withColumn("job_id", F.lit(job_id))
         )
-        metrics.write.mode("append").parquet(metrics_path)
+        metrics.write.mode("overwrite").partitionBy("bucket").parquet(metrics_path)
         lineage = (
             out.groupBy("bucket")
             .agg(F.count("*").alias("n_rows"))
             .withColumn("job_id", F.lit(job_id))
             .withColumn("wall_s", F.lit(float(time.time() - t0)))
         )
-        lineage.write.mode("append").parquet(lineage_path)
+        lineage.write.mode("overwrite").partitionBy("bucket").parquet(lineage_path)
     return {
         "job_id": job_id,
         "buckets_total": n_buckets,

@@ -322,13 +322,20 @@ class Parser:
         if isinstance(length, int) and 0 <= length <= len(data) - pos:
             raw = data[pos : pos + length]
             endpos = pos + length
-            # tolerate off-by-a-bit Length by syncing to endstream
             m = _ENDSTREAM_RE.search(data, endpos)
-            if m is not None and m.start() - endpos > 2:
-                m2 = _WS_ENDSTREAM_RE.match(data, endpos)
-                if m2 is None:
-                    raw = data[pos : m.start()].rstrip(b"\r\n")
-            self.lexer.pos = (m.end() if m else endpos)
+            if m is None:
+                self.lexer.pos = endpos
+            elif m.start() - endpos <= 32 or _WS_ENDSTREAM_RE.match(data, endpos):
+                # trust a valid /Length: whitespace, a %comment, or a few
+                # stray bytes before 'endstream' do NOT extend the raw
+                # stream (the old resync silently appended garbage —
+                # ADVICE r1); poppler likewise keeps the declared bytes
+                self.lexer.pos = m.end()
+            else:
+                # endstream is far from the declared end: /Length is
+                # provably wrong (e.g. truncated by an editor) — resync
+                raw = data[pos : m.start()].rstrip(b"\r\n")
+                self.lexer.pos = m.end()
         else:  # broken /Length: scan for endstream
             m = _ENDSTREAM_RE.search(data, pos)
             if m is None:
@@ -470,8 +477,14 @@ class PDFDocument:
                 if mm is None:
                     raise PDFSyntaxError("malformed xref entry")
                 num = start + i
-                if mm.group(3) == b"n" and num not in self.xref:
-                    self.xref[num] = XrefEntry(1, int(mm.group(1)), int(mm.group(2)))
+                if num not in self.xref:
+                    # free ('f') rows occupy their slot so an older
+                    # /Prev section cannot resurrect a freed object —
+                    # poppler XRef semantics (ADVICE r1)
+                    if mm.group(3) == b"n":
+                        self.xref[num] = XrefEntry(1, int(mm.group(1)), int(mm.group(2)))
+                    else:
+                        self.xref[num] = XrefEntry(0, 0, 0)
                 lex.pos += mm.end()
                 lex.skip_ws()
             _ = save
@@ -543,6 +556,8 @@ class PDFDocument:
                     self.xref[num] = XrefEntry(1, f2, f3)
                 elif f1 == 2:
                     self.xref[num] = XrefEntry(2, f2, f3)
+                elif f1 == 0:
+                    self.xref[num] = XrefEntry(0, f2, f3)  # free: shadows older sections
         for k, v in d.items():
             if k in ("Type", "W", "Index", "Filter", "DecodeParms", "Length"):
                 continue
@@ -582,8 +597,8 @@ class PDFDocument:
         if num in self._cache:
             return self._cache[num]
         entry = self.xref.get(num)
-        if entry is None:
-            return None
+        if entry is None or entry.kind == 0:
+            return None  # absent or freed (kind 0)
         if num in self._loading:
             raise PDFSyntaxError(f"object {num} participates in a load cycle")
         self._loading.add(num)

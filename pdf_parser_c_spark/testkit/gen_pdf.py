@@ -51,6 +51,13 @@ def lzw_encode(data: bytes) -> bytes:
             # 2^w where the early-change decoder widens at 2^w - 1
             if nxt >= (1 << width) and width < 12:
                 width += 1
+            elif nxt >= 4095:
+                # table full at the early-change point: emit Clear and
+                # reset, else codes would overflow the 12-bit max width
+                emit(256, width)
+                table = {bytes([i]): i for i in range(256)}
+                nxt = 258
+                width = 9
             cur = bytes([b])
     if cur:
         emit(table[cur], width)

@@ -10,6 +10,7 @@ from pdf_parser_c_spark.pdf.cos import (
     PDFDocument,
     PDFEncryptedError,
     PDFSyntaxError,
+    Stream,
     Ref,
 )
 from pdf_parser_c_spark.testkit.gen_pdf import FontSpec, PageSpec, build_pdf, tj
@@ -96,3 +97,61 @@ def test_mediabox_inheritance():
     )
     doc = PDFDocument.open(pdf)
     assert doc.page_mediabox(doc.pages()[0]) == (0, 0, 200, 400)
+
+
+def _mk_incremental_free_pdf() -> bytes:
+    """Original defines obj 4; an incremental update FREES it.  The
+    newer section's free entry must shadow the older 'n' entry
+    (poppler XRef semantics — ADVICE r1)."""
+    body = bytearray(b"%PDF-1.7\n")
+    offs = {}
+    def add(num, src):
+        offs[num] = len(body)
+        body.extend(f"{num} 0 obj\n{src}\nendobj\n".encode())
+    add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    add(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    add(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>")
+    add(4, "(old payload)")
+    x1 = len(body)
+    body.extend(b"xref\n0 5\n0000000000 65535 f \n")
+    for n in range(1, 5):
+        body.extend(f"{offs[n]:010d} 00000 n \n".encode())
+    body.extend(f"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n{x1}\n%%EOF\n".encode())
+    # incremental update: free object 4
+    x2 = len(body)
+    body.extend(b"xref\n4 1\n0000000000 00001 f \n")
+    body.extend(
+        f"trailer\n<< /Size 5 /Root 1 0 R /Prev {x1} >>\nstartxref\n{x2}\n%%EOF\n".encode()
+    )
+    return bytes(body)
+
+
+def test_freed_object_not_resurrected_by_older_section():
+    doc = PDFDocument.open(_mk_incremental_free_pdf())
+    assert doc.get_object(4) is None  # freed in the newest section
+    assert isinstance(doc.get_object(1), dict)  # live objects unaffected
+
+
+def test_valid_length_not_extended_by_junk_before_endstream():
+    data = b"REALDATA"
+    pdf = (
+        b"%PDF-1.7\n"
+        b"1 0 obj\n<< /Length 8 >>\nstream\n" + data +
+        b"\n% stray comment here\nendstream\nendobj\n"
+    )
+    p = Parser(pdf, pdf.index(b"<<"))
+    stm = p.parse_object()
+    assert isinstance(stm, Stream)
+    assert stm.raw == data  # junk between end and endstream NOT appended
+
+
+def test_provably_wrong_length_resyncs_to_endstream():
+    data = b"A" * 100
+    pdf = (
+        b"%PDF-1.7\n"
+        b"1 0 obj\n<< /Length 10 >>\nstream\n" + data +
+        b"\nendstream\nendobj\n"
+    )
+    p = Parser(pdf, pdf.index(b"<<"))
+    stm = p.parse_object()
+    assert stm.raw == data  # declared 10 provably wrong -> full payload

@@ -95,6 +95,13 @@ def test_resume_after_partial_lineage(spark, corpus, tmp_path):
     assert r["buckets_skipped"] == 4 and r["buckets_run"] == 4
     assert spark.read.parquet(f"{out_dir}/results").count() == total  # idempotent
 
+    # metrics are partition-overwritten per bucket, so the retried
+    # buckets did NOT append duplicate rows (ADVICE r1)
+    metrics = spark.read.parquet(f"{out_dir}/metrics")
+    keys = metrics.groupBy("bucket", "kind", "status").count()
+    assert keys.filter("count > 1").count() == 0
+    assert metrics.agg({"n_rows": "sum"}).collect()[0][0] == total
+
 
 def test_bucket_assignment_deterministic(spark, corpus):
     sdf = spark.createDataFrame(transcripts_columns_only(corpus))
