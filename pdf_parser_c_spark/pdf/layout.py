@@ -31,10 +31,17 @@ from dataclasses import dataclass, field
 from .content import Glyph
 from .fonts import Font
 
-MIN_WORD_BREAK_SPACE = 0.10  # horizontal gap that splits words (em)
-MAX_INTRA_LINE_DELTA = 0.20  # baseline delta within one line (em)
+# Constants mirror poppler's TextOutputDev.cc coalesce heuristics
+# (public source; the reference drives that engine via displayPage —
+# src/pdf_utils.cpp:523).  All are font-RELATIVE: each threshold scales
+# by the fontSize of the word/line being extended, not a flat max.
+MIN_WORD_BREAK_SPACE = 0.10  # gap that splits words (× open word's em)
+MIN_DUP_BREAK_OVERLAP = 0.20  # backward overlap that splits words (fake bold / dup draws)
+WORD_BASE_EPS = 0.04  # word-level baseline tolerance (Ts rise rounding)
+MAX_INTRA_LINE_DELTA = 0.50  # line-pool baseline delta (superscripts stay in-line)
 MAX_INTRA_LINE_GAP = 1.50  # horizontal gap that splits line fragments (em)
-MAX_BLOCK_SPACING = 1.80  # baseline-to-baseline gap that splits blocks (em)
+MAX_LINE_SPACING_DELTA = 1.50  # baseline-to-baseline gap that splits blocks
+MAX_BLOCK_SPACING = MAX_LINE_SPACING_DELTA  # back-compat alias
 BASELINE_POOL_PT = 4.0  # poppler pools baselines in 4-pt buckets
 
 
@@ -140,12 +147,16 @@ def build_words(glyphs: list[Glyph]) -> list[Word]:
         u, v = _frame(g)
         size = g.size if g.size > 0 else 1.0
         if cur is not None:
+            # thresholds scale by the OPEN word's size (poppler's
+            # curWord->fontSize), not max of the pair; word-level
+            # baseline tolerance is tight — superscripts join at the
+            # LINE level (MAX_INTRA_LINE_DELTA), not mid-word
             gap = u - cur.u1
             if (
                 g.rot != cur.rot
-                or abs(v - cur.base) > MAX_INTRA_LINE_DELTA * max(size, cur.size)
-                or gap > MIN_WORD_BREAK_SPACE * max(size, cur.size)
-                or gap < -MIN_WORD_BREAK_SPACE * max(size, cur.size) * 4
+                or abs(v - cur.base) > WORD_BASE_EPS * cur.size
+                or gap > MIN_WORD_BREAK_SPACE * cur.size
+                or gap < -MIN_DUP_BREAK_OVERLAP * cur.size
             ):
                 flush()
         if cur is None:
@@ -172,6 +183,9 @@ def build_lines(words: list[Word]) -> list[Line]:
             placed = False
             for cl in clusters:
                 ref = cl[-1]
+                # poppler compares against the pooled word's fontSize
+                # (word0->fontSize), so a small superscript raised
+                # ≤0.5 em of the BASE font stays on the base line
                 if abs(w.base - ref.base) <= MAX_INTRA_LINE_DELTA * max(w.size, ref.size):
                     cl.append(w)
                     placed = True
@@ -182,6 +196,11 @@ def build_lines(words: list[Word]) -> list[Line]:
             cl.sort(key=lambda w: w.u0)
             frag: list[Word] = []
             for w in cl:
+                if frag and _is_duplicate_draw(frag[-1], w):
+                    # fake bold: the same word drawn again at a tiny
+                    # offset (poppler's minDupBreakOverlap path) — keep
+                    # the first draw only
+                    continue
                 if frag and (w.u0 - frag[-1].u1) > MAX_INTRA_LINE_GAP * max(w.size, frag[-1].size):
                     lines.append(Line(frag, rot, sum(x.base for x in frag) / len(frag)))
                     frag = []
@@ -189,6 +208,16 @@ def build_lines(words: list[Word]) -> list[Line]:
             if frag:
                 lines.append(Line(frag, rot, sum(x.base for x in frag) / len(frag)))
     return lines
+
+
+def _is_duplicate_draw(a: Word, b: Word) -> bool:
+    """Same text re-drawn over itself (fake-bold double strike): texts
+    equal and the along-baseline extents overlap ≥70%."""
+    if a.get_text() != b.get_text():
+        return False
+    span = max(a.u1, b.u1) - min(a.u0, b.u0)
+    overlap = min(a.u1, b.u1) - max(b.u0, a.u0)
+    return span > 0 and overlap / span >= 0.7
 
 
 def _uv_extent(line: Line) -> tuple[float, float]:
@@ -213,7 +242,7 @@ def build_blocks(lines: list[Line]) -> list[Block]:
                 bu0, bu1 = _uv_extent(last)
                 overlap = min(lu1, bu1) - max(lu0, bu0)
                 gap = ln.base - last.base
-                if overlap > 0 and 0 < gap <= MAX_BLOCK_SPACING * max(ln.size(), last.size()):
+                if overlap > 0 and 0 < gap <= MAX_LINE_SPACING_DELTA * max(ln.size(), last.size()):
                     target = blk
                     break
             if target is None:

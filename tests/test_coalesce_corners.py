@@ -1,0 +1,60 @@
+"""Coalesce corner cases (B12 tightening, round-2): poppler-aligned
+font-relative thresholds from the public TextOutputDev.cc heuristics
+the reference drives (src/pdf_utils.cpp:523).
+
+Pinned behaviors: superscripts stay in-line (maxIntraLineDelta 0.5 em),
+fake-bold double draws dedupe (minDupBreakOverlap path), tight leading
+merges blocks while paragraph leading splits them (maxLineSpacingDelta
+1.5 em)."""
+
+from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+from pdf_parser_c_spark.testkit.gen_pdf import FontSpec, PageSpec, build_pdf
+
+FONTS = {"F1": FontSpec("Helvetica")}
+
+
+def _extract(content: str) -> str:
+    return parse_pdf_bytes(build_pdf([PageSpec(content)], FONTS)).text
+
+
+def test_superscript_stays_on_base_line():
+    # a size-7 exponent raised 4pt above a size-12 base line: within
+    # 0.5 em of the base font -> same line, not a stray one-char line
+    content = ("BT /F1 12 Tf 72 700 Td (E=mc) Tj ET\n"
+               "BT /F1 7 Tf 103.7 704 Td (2) Tj ET\n")
+    assert _extract(content) == "E=mc 2"
+
+
+def test_fake_bold_double_draw_dedupes():
+    content = ("BT /F1 12 Tf 72 650 Td (Bold) Tj ET\n"
+               "BT /F1 12 Tf 72.15 650 Td (Bold) Tj ET\n")
+    assert _extract(content) == "Bold"
+
+
+def test_fake_bold_different_words_not_dropped():
+    # overlap rule must require equal text — adjacent different words
+    # at nearby positions survive
+    content = ("BT /F1 12 Tf 72 650 Td (Bold) Tj ET\n"
+               "BT /F1 12 Tf 100 650 Td (Face) Tj ET\n")
+    assert "Bold" in _extract(content) and "Face" in _extract(content)
+
+
+def test_tight_leading_single_block():
+    content = ("BT /F1 10 Tf 72 600 Td (first line here) Tj ET\n"
+               "BT /F1 10 Tf 72 588 Td (second line here) Tj ET\n")
+    assert _extract(content) == "first line here\nsecond line here"
+
+
+def test_paragraph_leading_splits_blocks():
+    content = ("BT /F1 10 Tf 72 500 Td (para one) Tj ET\n"
+               "BT /F1 10 Tf 72 480 Td (para two) Tj ET\n")
+    assert _extract(content) == "para one\n\npara two"
+
+
+def test_word_level_baseline_is_tight():
+    # a 3pt baseline jump mid-run must break the word (Ts-style rise),
+    # even though the line-level tolerance would absorb it
+    content = ("BT /F1 12 Tf 72 700 Td (ab) Tj ET\n"
+               "BT /F1 12 Tf 85.2 703 Td (cd) Tj ET\n")
+    out = _extract(content)
+    assert "ab" in out and "cd" in out and "abcd" not in out
