@@ -3,11 +3,13 @@ metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched kernels.
 
 The Spark-side plumbing — schemas, mapInPandas signatures, batch
-shapes, partitioning — is real and tested.  The codec step itself is
-STUBBED: this container has no image/audio libraries, so decode is a
-clearly-marked deterministic fake (content-hash-derived statistics)
-behind an import-try; dropping in Pillow/PyAV turns the same kernels
-into real decoders without touching the plan.
+shapes, partitioning — is real and tested.  PNG images decode for REAL
+through the pure-Python codec (``png_codec.py``: zlib + the shared PDF
+predictor stack) — ``decoder='png'`` rows carry true pixel statistics
+and resizes actually resample.  Other formats (JPEG, audio, video)
+remain clearly-marked deterministic stubs behind an import-try;
+dropping in Pillow/PyAV turns those kernels real without touching the
+plan.
 
 At 100 TB the shape matters more than the codec: media bytes ride an
 opaque ``binary`` column (never exploded), metadata is a typed struct
@@ -67,23 +69,65 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 def _stub_image_stats(payload: bytes) -> tuple[float, str]:
     """Deterministic FAKE decode: statistics derived from the content
-    digest.  Replaces pixel decoding until a codec library is present;
-    stable across runs/partitions so tests can assert values."""
+    digest.  Fallback for non-PNG payloads until a codec library is
+    present; stable across runs/partitions so tests can assert values."""
     h = hashlib.sha256(payload).digest()
     mean_luma = int.from_bytes(h[:4], "big") / 0xFFFFFFFF * 255.0
     return round(mean_luma, 4), h[4:12].hex()
 
 
+def _luma_plane(w: int, h: int, ch: int, px: bytes) -> "list[list[float]]":
+    import numpy as np
+
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+    if ch == 3:
+        return 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    return arr[:, :, 0].astype("float64")
+
+
+def _ahash(luma) -> str:
+    """8×8 average hash over the luma plane (nearest-neighbor sample)."""
+    import numpy as np
+
+    h, w = luma.shape
+    ys = np.linspace(0, h - 1, 8).round().astype(int)
+    xs = np.linspace(0, w - 1, 8).round().astype(int)
+    small = luma[np.ix_(ys, xs)]
+    bits = (small > small.mean()).flatten()
+    return int("".join("1" if b else "0" for b in bits), 2).to_bytes(8, "big").hex()
+
+
 def image_features(df: DataFrame) -> DataFrame:
-    """Decode+feature-extract kernel over image rows."""
+    """Decode+feature-extract kernel over image rows.  PNG payloads
+    decode for real (pure-Python codec); others use the labeled stub
+    (or PIL when a future environment provides it)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png_codec import PNGError, decode_png
+
         for batch in it:
             img = batch[batch["media_type"] == "image"]
             rows = []
             for _, r in img.iterrows():
                 payload = bytes(r["payload"])
                 meta = r["meta"]
+                try:
+                    w, h, ch, px = decode_png(payload)
+                    luma = _luma_plane(w, h, ch, px)
+                    rows.append(
+                        {
+                            "conv_id": r["conv_id"],
+                            "turn_idx": int(r["turn_idx"]),
+                            "width": w,
+                            "height": h,
+                            "mean_luma": round(float(luma.mean()), 4),
+                            "phash": _ahash(luma),
+                            "decoder": "png",
+                        }
+                    )
+                    continue
+                except PNGError:
+                    pass
                 if HAVE_PIL:  # pragma: no cover - not in this container
                     raise NotImplementedError(
                         "real decode path: PIL present but wiring reserved "
@@ -119,21 +163,46 @@ RESIZE_SCHEMA = T.StructType(
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize kernel: real plumbing, stub transform (payload passes
-    through, target dims recorded; PIL drop-in point marked)."""
+    """Resize kernel: PNG payloads genuinely resample (nearest-neighbor
+    via numpy index grids) and re-encode; non-PNG payloads pass through
+    with ``resized=False`` (PIL drop-in point marked)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .png_codec import PNGError, decode_png, encode_png
+
         for batch in it:
             img = batch[batch["media_type"] == "image"]
             rows = []
             for _, r in img.iterrows():
+                payload = bytes(r["payload"])
+                try:
+                    w0, h0, ch, px = decode_png(payload)
+                    arr = np.frombuffer(px, dtype=np.uint8).reshape(h0, w0, ch)
+                    ys = np.linspace(0, h0 - 1, height).round().astype(int)
+                    xs = np.linspace(0, w0 - 1, width).round().astype(int)
+                    out = arr[np.ix_(ys, xs)].tobytes()
+                    rows.append(
+                        {
+                            "conv_id": r["conv_id"],
+                            "turn_idx": int(r["turn_idx"]),
+                            "payload": encode_png(width, height, out, ch),
+                            "width": width,
+                            "height": height,
+                            "resized": True,
+                        }
+                    )
+                    continue
+                except PNGError:
+                    pass
                 if HAVE_PIL:  # pragma: no cover
                     raise NotImplementedError("real resize needs PIL wiring")
                 rows.append(
                     {
                         "conv_id": r["conv_id"],
                         "turn_idx": int(r["turn_idx"]),
-                        "payload": bytes(r["payload"]),  # stub: pass-through
+                        "payload": payload,  # stub: pass-through
                         "width": width,
                         "height": height,
                         "resized": False,  # truthful: stub did not resample
@@ -219,12 +288,23 @@ def audio_features(df: DataFrame) -> DataFrame:
 
 
 def make_media_frame(n: int = 30) -> pd.DataFrame:
-    """Deterministic media fixture rows (no external data): payload
-    bytes are a seeded function of the row index."""
+    """Deterministic media fixture rows (no external data): image
+    payloads are REAL PNGs (seeded gradient through the pure codec);
+    audio/video payloads are seeded opaque bytes."""
+    from .png_codec import encode_png
+
     rows = []
     for i in range(n):
         mt = ("image", "audio", "video")[i % 3]
-        payload = hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 7)
+        if mt == "image":
+            import numpy as np
+
+            w, h = 640, 480
+            ys, xs = np.mgrid[0:h, 0:w]
+            px = ((xs * 3 + ys * 5 + i * 7) % 256).astype(np.uint8).tobytes()
+            payload = encode_png(w, h, px, 1)
+        else:
+            payload = hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 7)
         rows.append(
             {
                 "conv_id": f"conv{i // 5:06d}",

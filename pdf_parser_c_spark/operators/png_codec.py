@@ -1,0 +1,91 @@
+"""Pure-Python PNG codec for the multimodal fixture path.
+
+The container ships no image libraries, but PNG's text-era subset
+(8-bit grayscale/RGB, no interlace) is just zlib + the same per-row
+predictors the PDF filter stack already implements
+(``pdf/filters.py:_apply_predictor`` — PNG filter types 0-4 incl.
+Paeth).  This gives the multimodal kernels a REAL decode path
+(``decoder='png'``) exercised in tests, while exotic formats still
+fall back to the labeled stub.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from binascii import crc32
+
+from ..pdf.filters import _apply_predictor
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+class PNGError(ValueError):
+    pass
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 1) -> bytes:
+    """8-bit grayscale (channels=1) or RGB (channels=3), filter 0 rows."""
+    if len(pixels) != width * height * channels:
+        raise PNGError("pixel buffer does not match dimensions")
+    color_type = {1: 0, 3: 2}.get(channels)
+    if color_type is None:
+        raise PNGError(f"unsupported channel count {channels}")
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + tag + body
+            + crc32(tag + body).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """→ (width, height, channels, pixel bytes).  Supports the subset
+    encode_png emits plus any 8-bit gray/RGB non-interlaced PNG (all
+    five row filters via the shared predictor)."""
+    if not data.startswith(PNG_SIG):
+        raise PNGError("not a PNG")
+    pos = len(PNG_SIG)
+    width = height = channels = -1
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        length = int.from_bytes(data[pos : pos + 4], "big")
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+                raise PNGError("unsupported PNG variant")
+            channels = {0: 1, 2: 3}.get(color, -1)
+            if channels < 0:
+                raise PNGError(f"unsupported color type {color}")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width < 0 or not idat:
+        raise PNGError("truncated PNG")
+    raw = zlib.decompress(bytes(idat))
+    pixels = _apply_predictor(
+        raw,
+        {"Predictor": 15, "Colors": channels, "BitsPerComponent": 8,
+         "Columns": width},
+    )
+    if len(pixels) != width * height * channels:
+        raise PNGError("pixel payload size mismatch")
+    return width, height, channels, pixels

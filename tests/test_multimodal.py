@@ -1,7 +1,11 @@
 """Multimodal plumbing: schemas, kernel signatures, batch shapes,
-determinism.  Decode itself is a documented deterministic stub (no
-codec libs in this container) — the Spark mechanics are real."""
+determinism.  PNG images decode for REAL via the pure-Python codec
+(decoder='png'); other formats remain documented deterministic stubs
+(no codec libs in this container) — the Spark mechanics are real."""
 
+import hashlib
+
+from pdf_parser_c_spark.operators.png_codec import decode_png, encode_png
 from pdf_parser_c_spark.operators.multimodal import (
     AUDIO_FEATURES_SCHEMA,
     FRAME_SAMPLE_SCHEMA,
@@ -36,12 +40,49 @@ def test_image_features_survive_repartition(spark):
     assert one == many  # kernel is partition-shape independent
 
 
-def test_resize_stub_plumbs_payload(spark):
+def test_resize_png_really_resamples(spark):
     out = resize_images(_media_df(spark), 128, 128)
     rows = out.collect()
     assert len(rows) == 10
-    assert all(r["width"] == 128 and not r["resized"] for r in rows)
-    assert all(len(bytes(r["payload"])) > 0 for r in rows)
+    assert all(r["width"] == 128 and r["resized"] for r in rows)
+    for r in rows:
+        w, h, ch, px = decode_png(bytes(r["payload"]))
+        assert (w, h, ch) == (128, 128, 1)
+        assert len(px) == 128 * 128
+
+
+def test_image_features_real_png_decode(spark):
+    rows = image_features(_media_df(spark)).collect()
+    assert all(r["decoder"] == "png" for r in rows)
+    # fixture gradient (x*3+y*5+7i) mod 256 has a near-uniform luma
+    # histogram: true mean must sit near 127.5, far from any digest fake
+    assert all(abs(r["mean_luma"] - 127.5) < 8 for r in rows)
+    assert all(r["width"] == 640 and r["height"] == 480 for r in rows)
+
+
+def test_non_png_payload_falls_back_to_stub(spark):
+    import pandas as pd
+
+    frame = make_media_frame(3)
+    # replace the image payload with non-PNG bytes
+    mask = frame["media_type"] == "image"
+    frame.loc[mask, "payload"] = frame.loc[mask, "payload"].map(
+        lambda _: hashlib.sha256(b"not a png").digest() * 8
+    )
+    df = spark.createDataFrame(frame, schema=MEDIA_SCHEMA)
+    rows = image_features(df).collect()
+    assert len(rows) == 1 and rows[0]["decoder"] == "stub"
+    out = resize_images(df, 64, 64).collect()
+    assert len(out) == 1 and not out[0]["resized"]
+
+
+def test_png_codec_roundtrip_and_filters():
+    w, h = 32, 24
+    px = bytes((x * 3 + y * 5) % 256 for y in range(h) for x in range(w))
+    assert decode_png(encode_png(w, h, px, 1)) == (w, h, 1, px)
+    px3 = bytes((x + y + c * 40) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    assert decode_png(encode_png(w, h, px3, 3)) == (w, h, 3, px3)
 
 
 def test_video_frame_sampling(spark):
