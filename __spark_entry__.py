@@ -30,8 +30,10 @@ def entry(spark: SparkSession) -> DataFrame:
     from the sf0.001 documents table; returns one row per turn with
     stable schema (conv_id, turn_idx, kind, status, text, ...)."""
     docs = spark.read.parquet(f"{SF0001}/documents.parquet")
-    transcripts = build_transcripts_from_documents(spark, docs)
-    return extract_turns(transcripts, num_partitions=8)
+    transcripts = build_transcripts_from_documents(spark, docs, num_partitions=8)
+    # the doc_id exchange above IS the per-turn salt (one doc = one
+    # turn): armor + extract chain in one stage, one total shuffle
+    return extract_turns(transcripts, repartition=False)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

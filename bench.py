@@ -35,9 +35,17 @@ def main() -> None:
     spark = get_spark(app="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/parquet reader so the first measured query isn't
-    # paying one-time costs
+    # warm the JVM/parquet reader AND the Python workers (the
+    # extraction kernel's module imports fork-load once per worker) so
+    # measured queries reflect steady state, not one-time costs
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from pdf_parser_c_spark.flagship import build_transcripts_from_documents
+
+    tiny = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(64)
+    extract_turns(
+        build_transcripts_from_documents(spark, tiny, num_partitions=cpus),
+        repartition=False,
+    ).count()
 
     per_query: dict[str, float] = {}
     for name, (fn, _sql) in QUERIES.items():

@@ -238,18 +238,25 @@ def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 6
     )
 
 
-def extract_turns(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def extract_turns(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    repartition: bool = True,
+) -> DataFrame:
     """transcripts DataFrame → extraction results DataFrame.
 
-    The salted repartition always runs: it defuses conv_id skew AND
+    The salted repartition runs by default: it defuses conv_id skew AND
     guarantees parallelism — compressed parquet inputs often arrive as
     a handful of scan splits, which would serialize the kernel
     (measured 10× slower without the exchange).  Pass
     ``num_partitions`` to size it; default is 4× the cluster's core
-    count."""
-    if num_partitions is None:
-        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 4
-    df = salted_repartition(df, num_partitions)
+    count.  ``repartition=False`` lets a caller that already placed an
+    equivalent exchange upstream (e.g. the flagship's armor stage)
+    chain this kernel in the SAME stage — no second shuffle."""
+    if repartition:
+        if num_partitions is None:
+            num_partitions = df.sparkSession.sparkContext.defaultParallelism * 4
+        df = salted_repartition(df, num_partitions)
     return df.mapInPandas(_map_batches, schema=RESULT_SCHEMA)
 
 

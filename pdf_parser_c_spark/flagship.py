@@ -97,12 +97,22 @@ def _armor_batches(batches):
         )
 
 
-def build_transcripts_from_documents(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def build_transcripts_from_documents(
+    spark: SparkSession, docs: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
     """documents(doc_id, text, ...) → transcripts rows, one per doc.
 
     Executor-side armoring: scan → mapInPandas — no driver collect, so
     the flagship input build parallelizes with the corpus (the round-1
-    driver-side toPandas()+iterrows loop serialized at sf0.1+)."""
-    return docs.select("doc_id", "text").mapInPandas(
-        _armor_batches, schema=TRANSCRIPTS_SCHEMA
-    )
+    driver-side toPandas()+iterrows loop serialized at sf0.1+).
+
+    ``num_partitions`` adds ONE exchange on doc_id before the kernel:
+    small parquet inputs arrive as a single scan split, which would
+    serialize PDF generation.  One doc = one turn, so hashing doc_id is
+    exactly the turn-level salt the downstream extraction kernel needs
+    — pass ``repartition=False`` to extract_turns and both kernels run
+    back-to-back in the SAME stage with one total shuffle."""
+    d = docs.select("doc_id", "text")
+    if num_partitions is not None:
+        d = d.repartition(num_partitions, "doc_id")
+    return d.mapInPandas(_armor_batches, schema=TRANSCRIPTS_SCHEMA)

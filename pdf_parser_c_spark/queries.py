@@ -1189,8 +1189,8 @@ def q_extraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .flagship import build_transcripts_from_documents
 
     docs = t(spark, sf_dir, "documents")
-    transcripts = build_transcripts_from_documents(spark, docs)
-    out = extract_turns(transcripts, num_partitions=16)
+    transcripts = build_transcripts_from_documents(spark, docs, num_partitions=16)
+    out = extract_turns(transcripts, repartition=False)
     return (
         out.select("conv_id", "turn_idx", "kind", "status",
                    F.length("text").alias("text_len"), "n_pages")

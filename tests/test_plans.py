@@ -82,9 +82,11 @@ def test_flagship_armoring_runs_on_executors(spark):
     from pdf_parser_c_spark.flagship import build_transcripts_from_documents
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    out = extract_turns(build_transcripts_from_documents(spark, docs),
-                        num_partitions=4)
+    out = extract_turns(
+        build_transcripts_from_documents(spark, docs, num_partitions=4),
+        repartition=False,
+    )
     plan = plan_of(spark, out, "simple")
     assert plan.count("MapInPandas") == 2
-    assert plan.count("Exchange") == 1
+    assert plan.count("Exchange") == 1  # doc_id exchange doubles as the salt
     assert "Scan parquet" in plan  # lineage reaches the file scan
