@@ -95,9 +95,15 @@ _BY_FAMILY = {
 _COURIER_FAMILIES = ("Courier", "Symbol-ish-mono")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
 def base14_widths(base_name: str) -> dict[int, float] | None:
     """Code→width map for a standard-14 base font name, or None.
-    Subset prefixes ('ABCDEF+Helvetica') are stripped."""
+    Subset prefixes ('ABCDEF+Helvetica') are stripped.  Cached and
+    shared — callers must treat the dict as read-only (the Type3 path
+    rebuilds its own dict rather than scaling in place)."""
     name = base_name.split("+", 1)[-1]
     if name.startswith("Courier"):
         return {c: 600.0 for c in range(0x20, 0x7F)}

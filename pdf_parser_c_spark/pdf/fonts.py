@@ -348,9 +348,10 @@ def _load_simple(doc: PDFDocument, fd: dict, font: Font) -> None:
     enc = doc.resolve(fd.get("Encoding"))
     base_map = STANDARD
     if isinstance(enc, Name):
-        base_map = {"WinAnsiEncoding": WIN_ANSI, "MacRomanEncoding": MAC_ROMAN,
-                    "StandardEncoding": STANDARD}.get(enc.name, STANDARD)
-        font.encoding = dict(base_map)
+        # no /Differences → share the module table read-only (fonts
+        # load once per document; the 200-entry copy was a hot spot)
+        font.encoding = {"WinAnsiEncoding": WIN_ANSI, "MacRomanEncoding": MAC_ROMAN,
+                         "StandardEncoding": STANDARD}.get(enc.name, STANDARD)
     elif isinstance(enc, dict):
         base = doc.resolve(enc.get("BaseEncoding"))
         if isinstance(base, Name):
@@ -367,7 +368,7 @@ def _load_simple(doc: PDFDocument, fd: dict, font: Font) -> None:
                 font.encoding[code] = glyph_to_unicode(item.name)
                 code += 1
     else:
-        font.encoding = dict(base_map)
+        font.encoding = base_map  # shared read-only default table
 
     first = doc.resolve(fd.get("FirstChar"))
     widths = doc.resolve(fd.get("Widths"))
