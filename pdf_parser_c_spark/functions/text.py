@@ -84,3 +84,20 @@ def fingerprint(col: str = "text", head: int = 64, len_bucket: int = 100) -> Col
             F.floor(F.length(F.col(col)) / len_bucket).cast("string"),
         )
     )
+
+
+def lang_ngram_prediction(profiles: dict[str, tuple[str, ...]], col: str = "text") -> Column:
+    """Language-ID via char n-gram profiles: argmax of per-language
+    trigram-hit counts, deterministic first-wins tiebreak.  The second
+    heuristic beside stopword ratio (queries.q_text_lang_ngram)."""
+    langs = list(profiles)
+    scores = {
+        lang: sum((F.col(col).contains(g)).cast("int") for g in grams)
+        for lang, grams in profiles.items()
+    }
+    pred = F.lit(langs[0])
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, scores[lang])
+    return pred

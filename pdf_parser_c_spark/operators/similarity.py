@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _dot(a: str, b: str) -> str:
@@ -192,6 +193,114 @@ def pairwise_cosine_dups_banded(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
                 F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _sqdist(a: str, b: str) -> str:
+    """Σ(aᵢ−bᵢ)² — left-to-right fold in index order, the same order
+    the DuckDB oracle sums, so distances agree bitwise on equal input."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        f" 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _ivf_train(
+    df: DataFrame, id_col: str, vec_col: str, k: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """k-means training, fully declarative (no driver-side loop):
+
+    * init: the first ``k`` vectors by id (deterministic, no RNG);
+    * assign: broadcast the k-row centroid frame, cross-join, keep the
+      argmin by (distance, centroid id) via one window — N×k rows,
+      k is tiny, so the join is a broadcast nested loop;
+    * update: posexplode to (cluster, dim, value), one groupBy avg,
+      re-pack with transform(array_sort(collect_list(struct))).
+
+    At corpus scale every step is a narrow shuffle on cluster/dim keys;
+    the centroid frame stays k×dim rows regardless of N.  Returns
+    (assignments ``(vid, v, cluster)``, centroids ``(cid, c)``)."""
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("v"),
+    )
+    cents = (
+        base.orderBy("vid").limit(k)
+        .select(F.row_number().over(Window.orderBy("vid")).alias("cid"), "v")
+        .select((F.col("cid") - 1).alias("cid"), F.col("v").alias("c"))
+    )
+    assign = None
+    for it in range(iters):
+        d = F.expr(_sqdist("v", "c"))
+        w = Window.partitionBy("vid").orderBy("d", "cid")
+        assign = (
+            base.crossJoin(F.broadcast(cents))
+            .withColumn("d", d)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vid", "v", F.col("cid").alias("cluster"))
+        )
+        if it < iters - 1:
+            cents = (
+                assign.select("cluster", F.posexplode("v").alias("dim", "x"))
+                .groupBy("cluster", "dim")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cluster")
+                .agg(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(dim, m))),"
+                        " s -> s.m)"
+                    ).alias("c")
+                )
+                .select(F.col("cluster").alias("cid"), "c")
+            )
+    return assign, cents
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """IVF coarse quantizer: (id, cluster) after ``iters`` assignment
+    steps with ``iters − 1`` centroid updates (see _ivf_train)."""
+    assign, _ = _ivf_train(df, id_col, vec_col, k, iters)
+    return assign.select(F.col("vid").alias(id_col), "cluster")
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id,
+    k: int = 10,
+    n_clusters: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF probe: score only the ``nprobe`` clusters whose trained
+    centroids are nearest the query vector — the centroid ANN path
+    beside hyperplane LSH.  At scale the assignment column is the
+    table's partition key, so a probe scans nprobe/k of the corpus."""
+    assigned, cents = _ivf_train(df, id_col, vec_col, n_clusters, iters)
+    scored = df.join(assigned.withColumnRenamed("vid", id_col), id_col)
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("_q")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("qd", F.expr(_sqdist("c", "_q")))
+        .orderBy("qd", "cid")
+        .limit(nprobe)
+        .select(F.col("cid").alias("cluster"))
+    )
+    cand = scored.join(F.broadcast(probe), "cluster").crossJoin(F.broadcast(q))
+    cos = F.expr(
+        f"{_dot(vec_col, '_q')} / sqrt(({_norm2(vec_col)}) * ({_norm2('_q')}))"
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .drop("_q")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
     )
 
 

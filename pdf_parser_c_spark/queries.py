@@ -1061,6 +1061,79 @@ SELECT * FROM pair_stats CROSS JOIN bucket_stats
 """
 
 
+IVF_K = 8
+
+
+def q_ann_ivf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer census: k-means with deterministic init
+    (first K vectors), two assignment steps, one centroid update —
+    per-cluster sizes and how many vectors switched clusters after the
+    update.  The trained-centroid ANN path beside hyperplane LSH
+    (operators/similarity.py ivf_assign/ivf_topk).
+    Scale: assignment is a broadcast nested-loop against a K-row
+    centroid frame (K constant); the update is one narrow shuffle on
+    (cluster, dim) with K·dim output rows regardless of N."""
+    from .operators.similarity import _ivf_train
+
+    e = t(spark, sf_dir, "embeddings")
+    a1, _ = _ivf_train(e, "vec_id", "embedding", IVF_K, 1)
+    a2, _ = _ivf_train(e, "vec_id", "embedding", IVF_K, 2)
+    joined = a2.select("vid", F.col("cluster").alias("c2")).join(
+        a1.select("vid", F.col("cluster").alias("c1")), "vid"
+    )
+    return (
+        joined.groupBy(F.col("c2").cast("int").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum((F.col("c1") != F.col("c2")).cast("long")).alias("n_changed"),
+        )
+        .orderBy("cluster")
+    )
+
+
+_IVF_DIST = (
+    "list_sum(list_transform(generate_series(1, 64),"
+    " i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+)
+
+SQL_ANN_IVF = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+       FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {IVF_K})),
+a1 AS (
+  SELECT vec_id, v, cid AS cluster FROM (
+    SELECT b.vec_id, b.v, c.cid,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {_IVF_DIST.format(v='b.v', c='c.c')}, c.cid) AS rn
+    FROM base b CROSS JOIN c0 c)
+  WHERE rn = 1),
+c1 AS (
+  SELECT cluster AS cid, list(m ORDER BY dim) AS c
+  FROM (
+    SELECT cluster, dim, avg(x) AS m
+    FROM (SELECT cluster, unnest(v) AS x,
+                 unnest(generate_series(1, len(v))) AS dim
+          FROM a1)
+    GROUP BY cluster, dim)
+  GROUP BY cluster),
+a2 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT b.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {_IVF_DIST.format(v='b.v', c='c.c')}, c.cid) AS rn
+    FROM base b CROSS JOIN c1 c)
+  WHERE rn = 1)
+SELECT CAST(a2.cluster AS INTEGER) AS cluster,
+       count(*) AS n_vectors,
+       CAST(sum(CASE WHEN a1.cluster != a2.cluster THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed
+FROM a2 JOIN a1 USING (vec_id)
+GROUP BY a2.cluster ORDER BY cluster
+"""
+
+
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it")
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
@@ -1091,6 +1164,60 @@ SELECT lang,
                  / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_stop_frac,
        count(*) AS n_docs
 FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+LANG_NGRAM_PROFILES = {
+    "en": ("the", "and", "ing", "ion", "ent"),
+    "fr": ("les", "de ", "que", "ait", "eur"),
+    "de": ("der", "ein", "sch", "ich", "und"),
+}
+
+
+def q_text_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via char n-gram profiles (the second heuristic
+    beside stopword ratio): count how many of each language's
+    characteristic trigrams occur in the doc, argmax with deterministic
+    tiebreak, confusion census against the substrate's lang column.
+    Scale: pure map (substring containment, JVM-side) + tiny agg."""
+    d = t(spark, sf_dir, "documents")
+    scores = {
+        lang: sum(
+            (F.col("text").contains(g)).cast("int") for g in grams
+        )
+        for lang, grams in LANG_NGRAM_PROFILES.items()
+    }
+    langs = list(LANG_NGRAM_PROFILES)
+    pred = F.lit(langs[0])
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, scores[lang])
+    return (
+        d.withColumn("predicted", pred)
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def _sql_lang_ngram() -> str:
+    def score(lang: str) -> str:
+        return " + ".join(
+            f"CASE WHEN contains(text, '{g}') THEN 1 ELSE 0 END"
+            for g in LANG_NGRAM_PROFILES[lang]
+        )
+
+    langs = list(LANG_NGRAM_PROFILES)
+    pred = f"'{langs[0]}'"
+    best = f"({score(langs[0])})"
+    for lang in langs[1:]:
+        s = f"({score(lang)})"
+        pred = f"CASE WHEN {s} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"greatest({best}, {s})"
+    return f"""
+SELECT lang, {pred} AS predicted, count(*) AS n_docs
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -1224,6 +1351,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_minhash_estimate": (q_dedup_minhash_estimate, _sql_minhash_estimate()),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
     "dedup_embedding_banded": (q_dedup_embedding_banded, _sql_dedup_embedding_banded()),
+    "ann_ivf_census": (q_ann_ivf_census, SQL_ANN_IVF),
+    "text_lang_ngram": (q_text_lang_ngram, _sql_lang_ngram()),
     "text_simhash": (q_text_simhash, _sql_simhash()),
     "sim_bruteforce_topk": (q_sim_bruteforce_topk, SQL_SIM_BRUTEFORCE),
     "sim_lsh_bucketed": (q_sim_lsh_bucketed, SQL_SIM_LSH),

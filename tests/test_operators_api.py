@@ -188,3 +188,41 @@ def test_banded_coeffs_deterministic():
     assert a == b
     assert all(c in (1, -1) for band in a for row in band for c in row)
     assert a != hyperplane_coeffs(16, 2, 4, seed=99)
+
+
+def test_ivf_assign_and_topk(spark):
+    from pdf_parser_c_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    a = ivf_assign(emb, "vec_id", "embedding", k=8, iters=2)
+    assert a.count() == n  # every vector assigned exactly once
+    sizes = dict(
+        (r["cluster"], r["count"]) for r in a.groupBy("cluster").count().collect()
+    )
+    assert len(sizes) == 8 and max(sizes.values()) < n / 2  # trained, not degenerate
+    # probe recall vs exact top-k
+    exact = {r["vec_id"] for r in cosine_topk(emb, "vec_id", "embedding", 0, 10).collect()}
+    probed = {r["vec_id"] for r in
+              ivf_topk(emb, "vec_id", "embedding", 0, k=10, nprobe=3).collect()}
+    assert len(exact & probed) >= 7  # >=0.7 recall at nprobe 3/8
+    full = {r["vec_id"] for r in
+            ivf_topk(emb, "vec_id", "embedding", 0, k=10, nprobe=8).collect()}
+    assert full == exact  # probing every cluster is exhaustive
+
+
+def test_lang_ngram_prediction_function(spark):
+    from pdf_parser_c_spark.functions.text import lang_ngram_prediction
+    from pdf_parser_c_spark.queries import LANG_NGRAM_PROFILES
+
+    df = spark.createDataFrame(
+        [("the thing and more",), ("der einzige schnell",), ("zzz",)], ["text"]
+    )
+    out = [r[0] for r in
+           df.select(lang_ngram_prediction(LANG_NGRAM_PROFILES)).collect()]
+    assert out[0] == "en" and out[1] == "de"
+    assert out[2] == "en"  # zero-score tie resolves to the first profile
