@@ -57,3 +57,63 @@ def start_extraction_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(df: DataFrame, fingerprint_col: str = "text") -> DataFrame:
+    """Streaming exact dedup: the first turn with a given content
+    fingerprint passes, every later duplicate (same micro-batch or any
+    later one) is dropped.  State = one boolean per fingerprint via
+    ``applyInPandasWithState`` — the custom stateful operator the
+    north star reserves streaming for.
+
+    Scale: state is partitioned by the fingerprint hash (the natural
+    shuffle key); per-key state is one row, so state store size is
+    O(distinct docs).  Production would add a TTL timeout for bounded
+    retention — kept NoTimeout here for deterministic tests."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = df.withColumn("fp", F.md5(F.col(fingerprint_col)))
+    out_schema = T.StructType(keyed.schema.fields)
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def first_only(key, pdfs, state):
+        emitted = state.exists  # fingerprint seen in an earlier batch
+        for pdf in pdfs:
+            if len(pdf) == 0 or emitted:
+                continue
+            yield pdf.head(1)
+            emitted = True
+        if not state.exists:
+            state.update((True,))
+
+    return keyed.groupBy("fp").applyInPandasWithState(
+        first_only,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """readStream → stateful dedup → writeStream; the state store rides
+    the same checkpoint dir, so duplicates are suppressed across
+    restarts too (exactly-once first-occurrence semantics)."""
+    out = dedup_stream(read_transcripts_stream(spark, input_path))
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

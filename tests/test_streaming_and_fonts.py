@@ -61,3 +61,42 @@ def test_font_inventory(spark):
     assert (bold["emphasized"]).all() and (bold["weight"] > 400).all()
     cmap = inv[inv["font_name"] == "CustomGlyphs"]
     assert (cmap["has_tounicode"]).all()
+
+def test_streaming_dedup_suppresses_across_batches(spark, tmp_path):
+    """Stateful dedup (applyInPandasWithState): the first turn with a
+    fingerprint passes; duplicates drop within AND across micro-batches
+    (state rides the checkpoint, so a restarted stream still knows)."""
+    import datetime as dt
+
+    from pdf_parser_c_spark.streaming.pipeline import start_dedup_stream
+
+    def rows(specs):
+        df = pd.DataFrame(
+            [
+                {"conv_id": c, "turn_idx": i, "role": "user", "text": t,
+                 "tool": None, "ts": dt.datetime(2026, 1, 1, 0, m)}
+                for m, (c, i, t) in enumerate(specs)
+            ]
+        )
+        return df.assign(turn_idx=df["turn_idx"].astype("int32"),
+                         tool=pd.array([None] * len(df), dtype="string"))
+
+    inp = tmp_path / "din"
+    inp.mkdir()
+    # batch 1: A, B, and an in-batch duplicate of A
+    _write_corpus(str(inp / "b0.parquet"),
+                  rows([("c0", 0, "doc A"), ("c0", 1, "doc B"), ("c1", 0, "doc A")]))
+    q = start_dedup_stream(spark, str(inp), str(tmp_path / "dout"),
+                           str(tmp_path / "dckpt"), available_now=True)
+    q.awaitTermination(120)
+    out1 = spark.read.parquet(str(tmp_path / "dout"))
+    assert sorted(r["text"] for r in out1.collect()) == ["doc A", "doc B"]
+
+    # batch 2 (new run, same checkpoint): cross-batch dup of B + new C
+    _write_corpus(str(inp / "b1.parquet"),
+                  rows([("c2", 0, "doc B"), ("c2", 1, "doc C")]))
+    q2 = start_dedup_stream(spark, str(inp), str(tmp_path / "dout"),
+                            str(tmp_path / "dckpt"), available_now=True)
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(str(tmp_path / "dout"))
+    assert sorted(r["text"] for r in out2.collect()) == ["doc A", "doc B", "doc C"]
