@@ -49,6 +49,29 @@ for _b in range(0x20, 0x100):
     elif _b in _STANDARD_DIFF:
         STANDARD[_b] = chr(_STANDARD_DIFF[_b])
 
+# Symbol font built-in encoding — the Greek-alphabet core (letters sit
+# on their phonetic Latin positions) plus the few specials we can pin
+# reliably; the long tail of math operators keeps the replacement-char
+# fallback.  Symbol has NO /Encoding entry in the wild — the font's
+# built-in encoding applies (PDF 32000 §9.6.6.2, Appendix D.5).
+_SYMBOL_UPPER = {
+    "A": "Α", "B": "Β", "G": "Γ", "D": "Δ", "E": "Ε", "Z": "Ζ",
+    "H": "Η", "Q": "Θ", "I": "Ι", "K": "Κ", "L": "Λ", "M": "Μ",
+    "N": "Ν", "X": "Ξ", "O": "Ο", "P": "Π", "R": "Ρ", "S": "Σ",
+    "T": "Τ", "U": "Υ", "F": "Φ", "C": "Χ", "Y": "Ψ", "W": "Ω",
+}
+SYMBOL: dict[int, str] = {}
+for _b in range(0x20, 0x40):  # space, digits, most punctuation = ASCII
+    SYMBOL[_b] = chr(_b)
+for _lat, _grk in _SYMBOL_UPPER.items():
+    SYMBOL[ord(_lat)] = _grk
+    # lowercase Greek sits on the lowercase Latin position
+    SYMBOL[ord(_lat.lower())] = chr(ord(_grk) + 0x20)
+SYMBOL[0x56] = "ς"  # V → sigma1 (final sigma)
+SYMBOL[0x4A] = "ϑ"  # J → theta1
+SYMBOL[0x6A] = "ϕ"  # j → phi1
+SYMBOL[0x76] = "ϖ"  # v → omega1
+
 MAC_ROMAN_DIFF = {
     0xD2: 0x201C, 0xD3: 0x201D, 0xD4: 0x2018, 0xD5: 0x2019,
     0xA5: 0x2022, 0xD0: 0x2013, 0xD1: 0x2014, 0xC9: 0x2026,
@@ -347,6 +370,14 @@ def _bump_anon() -> int:
 def _load_simple(doc: PDFDocument, fd: dict, font: Font) -> None:
     enc = doc.resolve(fd.get("Encoding"))
     base_map = STANDARD
+    if font.name.split("+", 1)[-1] == "Symbol":
+        # symbolic fonts use their built-in encoding; /Encoding is
+        # normally absent (PDF 32000 §9.6.6.2)
+        base_map = SYMBOL
+        if enc is None:
+            font.encoding = SYMBOL
+            _load_simple_widths(doc, fd, font)
+            return
     if isinstance(enc, Name):
         # no /Differences → share the module table read-only (fonts
         # load once per document; the 200-entry copy was a hot spot)
@@ -370,6 +401,10 @@ def _load_simple(doc: PDFDocument, fd: dict, font: Font) -> None:
     else:
         font.encoding = base_map  # shared read-only default table
 
+    _load_simple_widths(doc, fd, font)
+
+
+def _load_simple_widths(doc: PDFDocument, fd: dict, font: Font) -> None:
     first = doc.resolve(fd.get("FirstChar"))
     widths = doc.resolve(fd.get("Widths"))
     if isinstance(first, (int, float)) and isinstance(widths, list):

@@ -195,3 +195,20 @@ endbfchar
     assert abs(glyphs[2].adv - 10.0) < 1e-9
     # the out-of-range 0x40 fell back to default width DW=400
     assert abs(glyphs[3].adv - 4.0) < 1e-9
+
+
+def test_symbol_font_builtin_greek_encoding():
+    """Symbol uses its built-in encoding when /Encoding is absent
+    (PDF 32000 §9.6.6.2): Greek letters on phonetic Latin positions."""
+    from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+    from pdf_parser_c_spark.testkit.gen_pdf import FontSpec, PageSpec, build_pdf, tj
+
+    fonts = {"FS": FontSpec("Symbol", encoding=None),
+             "F1": FontSpec("Helvetica")}
+    content = (tj(72, 700, "F1", 12, "E equals ")
+               + tj(140, 700, "FS", 12, "a b g")   # alpha beta gamma
+               + tj(72, 660, "FS", 12, "SWQ JjVv"))
+    doc = parse_pdf_bytes(build_pdf([PageSpec(content)], fonts))
+    assert "α β γ" in doc.text
+    assert "ΣΩΘ" in doc.text          # uppercase positions
+    assert "ϑϕςϖ" in doc.text        # theta1/phi1/sigma1/omega1 slots
