@@ -91,6 +91,12 @@ class Stream:
         return decode_stream(self.raw, filters, parms)
 
 
+# interned (kind, value) tuples for the tokens that dominate real
+# streams; capped so hostile inputs cannot grow them unboundedly
+_NAME_TOKEN_CACHE: dict[bytes, tuple] = {}
+_KW_TOKEN_CACHE: dict[bytes, tuple] = {}
+
+
 class Lexer:
     """Tokenizer for PDF syntax (numbers, names, strings, delimiters)."""
 
@@ -139,12 +145,28 @@ class Lexer:
             tok = m.group("num")
             return ("num", float(tok) if b"." in tok else int(tok))
         if kind == "name":
-            raw = m.group("name")[1:]
-            if b"#" in raw:
-                raw = _NAME_HEX_RE.sub(lambda mm: bytes([int(mm.group(1), 16)]), raw)
-            return ("name", Name(raw.decode("utf-8", "replace")))
+            raw = m.group("name")
+            # names and keywords repeat heavily (/Type, /Font, Tj, Td);
+            # intern the token objects instead of re-decoding per hit
+            tok = _NAME_TOKEN_CACHE.get(raw)
+            if tok is None:
+                body = raw[1:]
+                if b"#" in body:
+                    body = _NAME_HEX_RE.sub(
+                        lambda mm: bytes([int(mm.group(1), 16)]), body
+                    )
+                tok = ("name", Name(body.decode("utf-8", "replace")))
+                if len(_NAME_TOKEN_CACHE) < 4096:
+                    _NAME_TOKEN_CACHE[raw] = tok
+            return tok
         if kind == "kw":
-            return ("kw", m.group("kw").decode("latin-1"))
+            raw = m.group("kw")
+            tok = _KW_TOKEN_CACHE.get(raw)
+            if tok is None:
+                tok = ("kw", raw.decode("latin-1"))
+                if len(_KW_TOKEN_CACHE) < 4096:
+                    _KW_TOKEN_CACHE[raw] = tok
+            return tok
         if kind == "punct":
             p = m.group("punct")
             if p == b"<<":
