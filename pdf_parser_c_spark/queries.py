@@ -850,6 +850,94 @@ FROM final GROUP BY source ORDER BY source
 """
 
 
+SIMHASH_BANDS = 4  # 4 bands × 4 bits over the 16-bit signature
+SIMHASH_MAX_HAMMING = 3
+
+
+def _simhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    votes = [
+        F.sum(F.expr(e) * 2 - 1).alias(f"v{j}")
+        for j, e in enumerate(_simhash_bit_exprs())
+    ]
+    sig_terms = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(N_SIMHASH_BITS)
+    )
+    return (
+        words.groupBy("doc_id").agg(*votes)
+        .withColumn("sig", F.expr(sig_terms).cast("long"))
+        .select("doc_id", "sig")
+    )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: split each 16-bit signature into 4
+    4-bit bands; candidates agree on ≥1 band (pigeonhole: any pair
+    within hamming 3 shares at least one intact band), then confirm
+    popcount(xor) ≤ 3.  The SimHash analogue of MinHash banding —
+    candidate generation is equi-join on (band, value), never all-pairs.
+    Scale: band values are the shuffle key; bucket sizes are bounded by
+    signature entropy, and AQE splits residual skew.  The 16-bit/4-band
+    shape matches the catalog's 16-bit signature; production uses
+    64-bit signatures with 16-bit bands (2^16 buckets/band), same
+    plan."""
+    sig = _simhash_sig_df(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", "sig",
+        F.expr(
+            f"explode(transform(sequence(0, {SIMHASH_BANDS - 1}),"
+            f" b -> named_struct('band', b,"
+            f" 'val', CAST(floor(sig / power(16, b)) AS BIGINT) % 16)))"
+        ).alias("bv"),
+    ).select("doc_id", "sig", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"), F.col("a.sig").alias("sa"),
+                F.col("b.doc_id").alias("db"), F.col("b.sig").alias("sb"))
+        .distinct()
+    )
+    ham = F.expr("bit_count(CAST(sa AS BIGINT) ^ CAST(sb AS BIGINT))")
+    return cand.withColumn("ham", ham).agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("ham") <= SIMHASH_MAX_HAMMING, 1).otherwise(0))
+        .cast("long").alias("n_near_dups"),
+        F.sum(F.when(F.col("ham") == 0, 1).otherwise(0))
+        .cast("long").alias("n_exact_sig_dups"),
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    bit_exprs = _simhash_bit_exprs()
+    votes = ", ".join(f"sum(({e}) * 2 - 1) AS v{j}" for j, e in enumerate(bit_exprs))
+    sig_terms = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(N_SIMHASH_BITS)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, sig, {b} AS band,"
+        f" CAST(floor(sig / power(16, {b})) AS BIGINT) % 16 AS val FROM final"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+sigv AS (SELECT doc_id, {votes} FROM words GROUP BY doc_id),
+final AS (SELECT doc_id, CAST({sig_terms} AS BIGINT) AS sig FROM sigv),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, a.sig AS sa, b.doc_id AS db, b.sig AS sb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
+SELECT count(*) AS n_candidate_pairs,
+       CAST(sum(CASE WHEN bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
+       CAST(sum(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_sig_dups
+FROM cand
+"""
+
+
 def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against vec_id=0 — the ANN baseline.
     Scale: query vector broadcasts; dot products are a JVM-side
@@ -1353,6 +1441,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_embedding_banded": (q_dedup_embedding_banded, _sql_dedup_embedding_banded()),
     "ann_ivf_census": (q_ann_ivf_census, SQL_ANN_IVF),
     "text_lang_ngram": (q_text_lang_ngram, _sql_lang_ngram()),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
     "text_simhash": (q_text_simhash, _sql_simhash()),
     "sim_bruteforce_topk": (q_sim_bruteforce_topk, SQL_SIM_BRUTEFORCE),
     "sim_lsh_bucketed": (q_sim_lsh_bucketed, SQL_SIM_LSH),
