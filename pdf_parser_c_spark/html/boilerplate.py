@@ -53,8 +53,8 @@ def looks_like_html(payload: str) -> bool:
 def extract_main_text(raw: str) -> str:
     """Strip boilerplate, return the main content text."""
     blocks = _segment(raw)
-    kept: list[str] = []
-    for text, link_chars, tag in blocks:
+    kept: list[tuple[str, bool]] = []
+    for text, link_chars, tag, in_main in blocks:
         clean = _WS_RE.sub(" ", text).strip()
         if not clean:
             continue
@@ -63,28 +63,39 @@ def extract_main_text(raw: str) -> str:
         if tag.startswith("h") and tag[1:].isdigit():
             # headings: keep short ones if not link-dominated
             if link_density <= MAX_LINK_DENSITY:
-                kept.append(clean)
+                kept.append((clean, in_main))
             continue
         if n >= MIN_BLOCK_CHARS and link_density <= MAX_LINK_DENSITY:
-            kept.append(clean)
-    return "\n".join(kept)
+            kept.append((clean, in_main))
+    # main-container preference (DOM heuristic): when the page declares
+    # an <article>/<main> with substantial kept content, everything
+    # outside it (sidebars, related-links columns) is boilerplate even
+    # if individually content-like
+    main_chars = sum(len(t) for t, im in kept if im)
+    if main_chars >= MIN_BLOCK_CHARS:
+        kept = [(t, im) for t, im in kept if im]
+    return "\n".join(t for t, _ in kept)
 
 
-def _segment(raw: str) -> list[tuple[str, int, str]]:
-    """→ [(text, chars_inside_links, dominant_tag)] per block."""
-    blocks: list[tuple[str, int, str]] = []
+MAIN_TAGS = {"article", "main"}
+
+
+def _segment(raw: str) -> list[tuple[str, int, str, bool]]:
+    """→ [(text, chars_inside_links, dominant_tag, inside_main)] per block."""
+    blocks: list[tuple[str, int, str, bool]] = []
     buf: list[str] = []
     link_chars = 0
     cur_tag = "div"
     drop_depth = 0
     drop_tag: list[str] = []
     link_depth = 0
+    main_depth = 0
     pos = 0
 
     def flush() -> None:
         nonlocal buf, link_chars
         if buf:
-            blocks.append(("".join(buf), link_chars, cur_tag))
+            blocks.append(("".join(buf), link_chars, cur_tag, main_depth > 0))
         buf = []
         link_chars = 0
 
@@ -128,6 +139,9 @@ def _segment(raw: str) -> list[tuple[str, int, str]]:
             continue
         if tag == "a":
             link_depth = max(0, link_depth + (-1 if closing else 1))
+        if tag in MAIN_TAGS and not self_closing:
+            flush()  # a block open/close boundary too
+            main_depth = max(0, main_depth + (-1 if closing else 1))
         if tag in BLOCK_TAGS:
             flush()
             if not closing:
@@ -138,4 +152,5 @@ def _segment(raw: str) -> list[tuple[str, int, str]]:
     flush()
     # comments: the regex above doesn't special-case <!-- -->; strip any
     # leaked comment bodies defensively
-    return [(re.sub(r"<!--.*?-->", "", t, flags=re.S), lc, tag) for t, lc, tag in blocks]
+    return [(re.sub(r"<!--.*?-->", "", t, flags=re.S), lc, tag, im)
+            for t, lc, tag, im in blocks]

@@ -71,3 +71,29 @@ def test_table_content_kept():
     html = f"<body><table>{cells}</table></body>"
     out = extract_main_text(html)
     assert out.count("value with enough text") == 3
+
+
+def test_main_container_scoping():
+    """DOM heuristic: with an <article>/<main> present, content-like
+    blocks OUTSIDE it (long sidebars) are boilerplate; without one,
+    density heuristics alone decide."""
+    from pdf_parser_c_spark.html.boilerplate import extract_main_text
+
+    page = (
+        "<html><body><nav><a href='/a'>Home</a></nav>"
+        "<div>This promotional sidebar paragraph is long enough to pass"
+        " the length filter and contains no links at all.</div>"
+        "<article><h1>Real Title</h1><p>The actual article body text"
+        " which should be the only surviving content.</p></article>"
+        "<footer>fine print</footer></body></html>"
+    )
+    out = extract_main_text(page)
+    assert "Real Title" in out and "actual article body" in out
+    assert "promotional sidebar" not in out
+
+    no_article = page.replace("<article>", "<div>").replace("</article>", "</div>")
+    out2 = extract_main_text(no_article)
+    assert "promotional sidebar" in out2 and "actual article body" in out2
+
+    as_main = page.replace("article>", "main>")
+    assert "promotional sidebar" not in extract_main_text(as_main)
