@@ -155,3 +155,41 @@ def test_kernel_cache_transparent(monkeypatch):
     warm = extract_pandas_batch(df)["text"].tolist()
     monkeypatch.delenv("SPARK_GRAFT_KERNEL_CACHE")
     assert cold == warm
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=600),
+       st.sampled_from(["rc4-40", "rc4-128", "aes-128", "aes-256"]))
+def test_crypt_string_roundtrip_any_bytes(data, variant):
+    """Handler encrypt→decrypt is the identity for arbitrary bytes."""
+    from pdf_parser_c_spark.testkit.encrypt import make_encryption
+
+    _src, h = make_encryption(variant, id0=b"\x07" * 16)
+    assert h.decrypt_string(h.encrypt_string(data, 9, 0), 9, 0) == data
+    assert h.decrypt_stream(h.encrypt_stream(data, 9, 0), 9, 0) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=800))
+def test_mutated_encrypted_pdf_never_crashes(junk):
+    """Splicing junk into an encrypted PDF must yield a status row,
+    never an exception (quarantine contract extends to crypt paths)."""
+    from pdf_parser_c_spark.testkit.gen_pdf import FontSpec, PageSpec, build_pdf, tj
+
+    pdf = build_pdf([PageSpec(tj(72, 700, "F1", 12, "secret"))],
+                    {"F1": FontSpec("Helvetica")}, encrypt_variant="aes-128")
+    pos = (sum(junk) * 131) % max(1, len(pdf) - 1)
+    mutated = pdf[:pos] + junk + pdf[pos + len(junk):]
+    r = parse_pdf_bytes(mutated)
+    assert r.status in ("ok", "malformed", "encrypted", "empty"), r.status
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=500))
+def test_png_decoder_never_crashes(data):
+    from pdf_parser_c_spark.operators.png_codec import PNGError, decode_png
+
+    try:
+        decode_png(b"\x89PNG\r\n\x1a\n" + data)
+    except PNGError:
+        pass  # the only allowed failure mode
