@@ -17,6 +17,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# direct invocation (python scripts/run_extraction.py) without
+# spark-submit --py-files: make the repo importable
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -28,6 +34,13 @@ def main() -> None:
                     help="salted repartition width (default: leave to scan)")
     ap.add_argument("--job-id", default="extract")
     args = ap.parse_args()
+
+    in_abs = os.path.abspath(args.input)
+    out_abs = os.path.abspath(args.output)
+    if out_abs == in_abs or out_abs.startswith(in_abs + os.sep):
+        # otherwise the resume run's input scan sweeps up results/
+        # lineage parquet and fails on conflicting roots
+        ap.error("--output must not be inside --input")
 
     from pdf_parser_c_spark.engine import get_spark, run_extraction_job
 
