@@ -286,16 +286,32 @@ class Parser:
         if kind in ("name", "str"):
             return value
         if kind == "arr_open":
+            # scalars are handled inline (no recursion): width tables
+            # and kerning arrays are hundreds of numbers, and one
+            # Python call per element dominated the parse profile
             arr = []
+            append = arr.append
+            next_token = self.lexer.next_token
             self._depth += 1
             try:
                 while True:
-                    t = self.lexer.next_token()
-                    if t[0] == "arr_close":
+                    k, v = t = next_token()
+                    if k == "num":
+                        if isinstance(v, int):
+                            m = _REF_TAIL_RE.match(self.lexer.data, self.lexer.pos)
+                            if m is not None:
+                                self.lexer.pos = m.end()
+                                append(Ref(v, int(m.group(1))))
+                                continue
+                        append(v)
+                    elif k in ("name", "str"):
+                        append(v)
+                    elif k == "arr_close":
                         return arr
-                    if t[0] == "eof":
+                    elif k == "eof":
                         raise PDFSyntaxError("EOF in array")
-                    arr.append(self.parse_object(t))
+                    else:
+                        append(self.parse_object(t))
             finally:
                 self._depth -= 1
         if kind == "dict_open":
