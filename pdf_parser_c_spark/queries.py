@@ -561,6 +561,85 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_tpch_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (3 broadcast dims + 3 fact-side keys)
+    with the local-supplier predicate (customer and supplier in the
+    same nation).
+    Scale: region/nation/supplier/customer broadcast; the
+    orders⋈lineitem fact join shuffles on the order key with AQE;
+    aggregation is map-side partial."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), (li["l_suppkey"] == s["s_suppkey"])
+              & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q_tpch_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact aggregate, semi-joined back
+    to orders and customers, deterministic top-k.
+    Scale: the qualifying-order set is small after the HAVING filter,
+    so the join back is a broadcast of the aggregate side; top-k is
+    TakeOrdered, not a global sort."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("c_name", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q18 = """
+SELECT c_name, o_orderkey, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 2) > 150) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20
+"""
+
+
 MAX_SHINGLE_DF = 200  # blocking: shingles in more docs than this are
 # stop-shingles — they generate O(df²) candidate pairs while carrying
 # no dedup signal; dropping them is the standard inverted-index cap
@@ -1433,6 +1512,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "a18_casing_predicates": (q_a18_casing_predicates, SQL_A18),
     "tpch_pricing_summary": (q_tpch_pricing_summary, SQL_TPCH_Q1),
     "tpch_market_join": (q_tpch_market_join, SQL_TPCH_Q3),
+    "tpch_region_volume": (q_tpch_region_volume, SQL_TPCH_Q5),
+    "tpch_big_orders": (q_tpch_big_orders, SQL_TPCH_Q18),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_minhash()),
