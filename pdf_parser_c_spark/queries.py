@@ -247,6 +247,93 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_a10_prefix_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 title-prefix capture ≅ per key, the content accumulated
+    BEFORE the first marker element plus the marker's own attribute
+    (src/pdf_utils.cpp:229-240 records the prefix, the first emphasized
+    char's indent and font).  Analogue: per user, the number of events
+    before the first 'signup' and that first signup's value.
+    Scale: one shuffle on user_id; both windows share it."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "signups_so_far",
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).over(w),
+    )
+    prefix_len = marked.filter(F.col("signups_so_far") == 0).groupBy("user_id").agg(
+        F.count("*").alias("prefix_len")
+    )
+    first_mark = (
+        marked.filter((F.col("event_type") == "signup") & (F.col("signups_so_far") == 1))
+        .groupBy("user_id")
+        .agg(F.round(F.min("value"), 2).alias("marker_value"))
+    )
+    return (
+        first_mark.join(prefix_len, "user_id", "left")
+        .withColumn("prefix_len", F.coalesce("prefix_len", F.lit(0)))
+        .select("user_id", "prefix_len", "marker_value")
+        .orderBy("user_id")
+    )
+
+
+SQL_A10 = """
+WITH marked AS (
+  SELECT user_id, event_type, value,
+         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS signups_so_far
+  FROM events),
+plen AS (
+  SELECT user_id, count(*) AS prefix_len FROM marked
+  WHERE signups_so_far = 0 GROUP BY user_id),
+fmark AS (
+  SELECT user_id, round(min(value), 2) AS marker_value FROM marked
+  WHERE event_type = 'signup' AND signups_so_far = 1 GROUP BY user_id)
+SELECT fmark.user_id, coalesce(plen.prefix_len, 0) AS prefix_len, marker_value
+FROM fmark LEFT JOIN plen ON fmark.user_id = plen.user_id
+ORDER BY fmark.user_id
+"""
+
+
+def q_a12_title_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 title/content split ≅ erase the recognized head from the
+    content at a computed offset (src/pdf_utils.cpp:404-433).
+    Analogue: title = first 3 words, content = remainder; census of
+    the split lengths per lang.  Scale: pure map + tiny agg."""
+    d = t(spark, sf_dir, "documents")
+    title = F.expr("array_join(slice(split(text, ' '), 1, 3), ' ')")
+    content = F.expr(
+        "CASE WHEN size(split(text, ' ')) > 3"
+        " THEN substring(text, length(array_join(slice(split(text, ' '), 1, 3), ' ')) + 2)"
+        " ELSE '' END"
+    )
+    return (
+        d.withColumn("title_len", F.length(title).cast("long"))
+        .withColumn("content_len", F.length(content).cast("long"))
+        .groupBy("lang")
+        .agg(
+            F.sum("title_len").alias("total_title_chars"),
+            F.sum("content_len").alias("total_content_chars"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_A12 = """
+WITH sp AS (
+  SELECT lang, text,
+         array_to_string(string_split(text, ' ')[1:3], ' ') AS title
+  FROM documents)
+SELECT lang,
+       CAST(sum(length(title)) AS BIGINT) AS total_title_chars,
+       CAST(sum(CASE WHEN len(string_split(text, ' ')) > 3
+                THEN length(substring(text, length(title) + 2))
+                ELSE 0 END) AS BIGINT) AS total_content_chars,
+       count(*) AS n_docs
+FROM sp GROUP BY lang ORDER BY lang
+"""
+
+
 def q_a13_section_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 section fold ≅ cumulative-flag sessionization + per-section
     aggregation; pre-gate rows dropped (src/pdf_utils.cpp:545-566).
@@ -1472,6 +1559,36 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_section_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14/A15 driver-visible output: armored PDF transcripts through
+    the full kernel, sections exploded to (id, parent_id) adjacency
+    rows — the format-stack tree (src/pdf_utils.cpp:579-627) and
+    reverse-sibling-DFS ids (:133-163) as relational rows.
+    Inherently sequential per document → rows-only check (pytest golden
+    fixtures pin the values; DuckDB cannot parse PDFs).
+    Scale: identical plan to extraction plus one explode."""
+    from .engine import extract_turns
+    from .flagship import build_transcripts_from_documents
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0).limit(60)
+    out = extract_turns(
+        build_transcripts_from_documents(spark, docs, num_partitions=8),
+        repartition=False,
+    )
+    sec = out.filter(F.col("kind") == "pdf").select(
+        "conv_id", "turn_idx", F.explode("sections").alias("s")
+    )
+    return (
+        sec.select(
+            "conv_id", "turn_idx",
+            F.col("s.id").alias("section_id"),
+            F.col("s.parent_id").alias("parent_id"),
+            F.length("s.title").cast("long").alias("title_len"),
+        )
+        .orderBy("conv_id", "turn_idx", "section_id")
+    )
+
+
 def q_extraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-engine end-to-end: documents armored into transcripts
     (PDF/HTML/plain mix), pushed through the full extraction kernel.
@@ -1502,7 +1619,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "a6_start_parse_gate": (q_a6_start_parse_gate, SQL_A6),
     "a8_emphasis_runs": (q_a8_emphasis_runs, SQL_A8),
     "a9_paragraph_assembly": (q_a9_paragraph_assembly, SQL_A9),
+    "a10_prefix_capture": (q_a10_prefix_capture, SQL_A10),
     "a11_title_classifier": (q_a11_title_classifier, SQL_A11),
+    "a12_title_split": (q_a12_title_split, SQL_A12),
     "a13_section_segmentation": (q_a13_section_segmentation, SQL_A13),
     "a7_smart_quote_normalize": (q_a7_smart_quote_normalize, SQL_A7),
     "b10_word_gap_sessionize": (q_b10_word_gap_sessionize, SQL_B10),
@@ -1531,5 +1650,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKENS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     # rows-only (non-SQL-expressible): the full extraction engine
+    "section_tree": (q_section_tree, None),
     "extraction_e2e": (q_extraction_e2e, None),
 }
