@@ -176,8 +176,29 @@ def _pdf_rot90() -> bytes:
 
 
 def _pdf_encrypted() -> bytes:
+    # dangling /Encrypt ref: models an undecryptable encrypted doc
     pdf = _pdf_simple()
     return pdf.replace(b"/Size", b"/Encrypt 99 0 R /Size")
+
+
+def _pdf_encrypted_rc4() -> bytes:
+    page = (
+        _h(700, "", "Rc4 Heading")
+        + _p(660, "Body behind RC4 with an empty user password.")
+        + _footer(1)
+    )
+    return build_pdf([PageSpec(page)], FONTS, title="RC4 Doc",
+                     compress=True, encrypt_variant="rc4-128")
+
+
+def _pdf_encrypted_aes() -> bytes:
+    page = (
+        _h(700, "", "Aes Heading")
+        + _p(660, "Body behind AES-128 with an empty user password.")
+        + _footer(1)
+    )
+    return build_pdf([PageSpec(page)], FONTS, title="AES Doc",
+                     compress=True, encrypt_variant="aes-128")
 
 
 HTML_PAYLOAD = (
@@ -213,6 +234,10 @@ def build_variants() -> list[Variant]:
         Variant("malformed", PDF_MALFORMED, "malformed"),
         Variant("encrypted", encode_pdf_payload(_pdf_encrypted()), "encrypted"),
         Variant("empty", "", "empty"),
+        # round 2: empty-user-password encryption DECRYPTS (B5 full) —
+        # these keep the bench/scaling corpus honest about crypt cost
+        Variant("pdf_encrypted_rc4", encode_pdf_payload(_pdf_encrypted_rc4()), "ok"),
+        Variant("pdf_encrypted_aes", encode_pdf_payload(_pdf_encrypted_aes()), "ok"),
     ]
 
 

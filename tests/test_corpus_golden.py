@@ -43,6 +43,13 @@ GOLDEN_TEXT = {
     "malformed": "",
     "encrypted": "",
     "empty": "",
+    # round 2: empty-user-password encryption decrypts (B5 full)
+    "pdf_encrypted_rc4": (
+        "RC4 Doc\n\nRc4 Heading\nBody behind RC4 with an empty user password."
+    ),
+    "pdf_encrypted_aes": (
+        "AES Doc\n\nAes Heading\nBody behind AES-128 with an empty user password."
+    ),
 }
 
 GOLDEN_KIND = {
