@@ -59,7 +59,9 @@ def start_extraction_stream(
     return writer.start()
 
 
-def dedup_stream(df: DataFrame, fingerprint_col: str = "text") -> DataFrame:
+def dedup_stream(
+    df: DataFrame, fingerprint_col: str = "text", ttl_minutes: int | None = None
+) -> DataFrame:
     """Streaming exact dedup: the first turn with a given content
     fingerprint passes, every later duplicate (same micro-batch or any
     later one) is dropped.  State = one boolean per fingerprint via
@@ -68,8 +70,15 @@ def dedup_stream(df: DataFrame, fingerprint_col: str = "text") -> DataFrame:
 
     Scale: state is partitioned by the fingerprint hash (the natural
     shuffle key); per-key state is one row, so state store size is
-    O(distinct docs).  Production would add a TTL timeout for bounded
-    retention — kept NoTimeout here for deterministic tests."""
+    O(distinct docs).  ``ttl_minutes`` bounds retention at corpus scale
+    (DESIGN_100TB §4): a fingerprint idle longer than the TTL is
+    evicted, so dedup is exact within the retention window; None keeps
+    state forever (deterministic tests).
+
+    Operational note (observed): with ``trigger(availableNow=True)``
+    a pending processing-time timeout keeps the query spinning empty
+    micro-batches until it fires before terminating — use the TTL with
+    continuous triggers; batch drains should pass ``ttl_minutes=None``."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -77,23 +86,36 @@ def dedup_stream(df: DataFrame, fingerprint_col: str = "text") -> DataFrame:
     keyed = df.withColumn("fp", F.md5(F.col(fingerprint_col)))
     out_schema = T.StructType(keyed.schema.fields)
     state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if ttl_minutes else GroupStateTimeout.NoTimeout)
 
     def first_only(key, pdfs, state):
+        if ttl_minutes and state.hasTimedOut:
+            # idle fingerprint evicted; the data iterator is empty by
+            # contract on timeout invocations
+            state.remove()
+            return
         emitted = state.exists  # fingerprint seen in an earlier batch
+        saw_rows = False
         for pdf in pdfs:
-            if len(pdf) == 0 or emitted:
+            if len(pdf) == 0:
                 continue
-            yield pdf.head(1)
-            emitted = True
-        if not state.exists:
-            state.update((True,))
+            saw_rows = True
+            if not emitted:
+                yield pdf.head(1)
+                emitted = True
+        if saw_rows:
+            if not state.exists:
+                state.update((True,))
+            if ttl_minutes:
+                state.setTimeoutDuration(ttl_minutes * 60_000)
 
     return keyed.groupBy("fp").applyInPandasWithState(
         first_only,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
