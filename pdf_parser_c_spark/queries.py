@@ -1535,6 +1535,128 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021, public): flag docs
+    failing word-count bounds, mean-word-length bounds, or a symbol
+    ratio cap; census of pass/fail per rule and overall per source.
+    Scale: pure JVM-side map + tiny agg — the canonical corpus-filter
+    shape at 100 TB.
+
+    The substrate is uniformly clean, so rule-violating shapes are
+    synthesized deterministically: every 4th doc gets a symbol-heavy
+    tail, every 7th collapses to two words — both failure branches
+    execute on real rows."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.expr("array_join(slice(split(text, ' '), 1, 2), ' ')"))
+        .when(F.col("doc_id") % 4 == 0,
+              F.concat(F.col("text"), F.lit(" ###$$$%%%&&&***@@@!!!^^^~~~")))
+        .otherwise(F.col("text")),
+    )
+    words = "split(text, ' ')"
+    n_words = F.expr(f"size({words})")
+    mean_wlen = F.expr(
+        f"aggregate({words}, 0, (a, w) -> a + length(w)) / CAST(size({words}) AS DOUBLE)"
+    )
+    sym_ratio = F.expr(
+        "length(regexp_replace(text, '[a-z0-9 ]', '')) / CAST(length(text) AS DOUBLE)"
+    )
+    ok_words = (n_words >= 5) & (n_words <= 1000)
+    ok_wlen = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+    ok_sym = sym_ratio <= 0.1
+    return (
+        d.withColumn("f_words", (~ok_words).cast("long"))
+        .withColumn("f_wlen", (~ok_wlen).cast("long"))
+        .withColumn("f_sym", (~ok_sym).cast("long"))
+        .withColumn("passes", (ok_words & ok_wlen & ok_sym).cast("long"))
+        .groupBy("source")
+        .agg(
+            F.sum("f_words").alias("fail_word_count"),
+            F.sum("f_wlen").alias("fail_mean_wlen"),
+            F.sum("f_sym").alias("fail_symbol_ratio"),
+            F.sum("passes").alias("n_pass"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TEXT_GOPHER = """
+WITH armored AS (
+  SELECT source,
+         CASE WHEN doc_id % 7 = 0
+              THEN array_to_string(string_split(text, ' ')[1:2], ' ')
+              WHEN doc_id % 4 = 0
+              THEN text || ' ###$$$%%%&&&***@@@!!!^^^~~~'
+              ELSE text END AS text
+  FROM documents),
+m AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_words,
+         list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_wlen,
+         length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+           / CAST(length(text) AS DOUBLE) AS sym_ratio
+  FROM armored)
+SELECT source,
+       CAST(sum(CASE WHEN n_words < 5 OR n_words > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+       CAST(sum(CASE WHEN mean_wlen < 2.0 OR mean_wlen > 12.0 THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_wlen,
+       CAST(sum(CASE WHEN sym_ratio > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio,
+       CAST(sum(CASE WHEN n_words BETWEEN 5 AND 1000
+                 AND mean_wlen BETWEEN 2.0 AND 12.0
+                 AND sym_ratio <= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       count(*) AS n_docs
+FROM m GROUP BY source ORDER BY source
+"""
+
+
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after canonical normalization (casefold + whitespace
+    collapse + punctuation strip) — catches trivially-reformatted
+    copies that byte-exact digests miss.
+    Scale: digest groupBy, shuffle bounded by distinct normal forms.
+
+    Byte-distinct copies are synthesized (every 5th doc re-enters
+    UPPERCASED with punctuation noise) so the normalizer provably
+    collapses what a byte-exact digest cannot."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.concat(F.lit("** "), F.upper("text"), F.lit(" //")).alias("text")
+    )
+    both = d.unionByName(variants)
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")),
+        " +", " ",
+    )
+    return (
+        both.withColumn("nf", F.md5(norm))
+        .groupBy("nf").agg(F.count("*").alias("c"))
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_normal_forms"),
+            F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
+            .cast("long").alias("n_redundant_docs"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT_NORM = """
+WITH allrows AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT '** ' || upper(text) || ' //' FROM documents WHERE doc_id % 5 = 0),
+nfs AS (
+  SELECT md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')),
+                            ' +', ' ', 'g')) AS nf
+  FROM allrows),
+c AS (SELECT nf, count(*) AS c FROM nfs GROUP BY nf)
+SELECT count(*) AS n_normal_forms,
+       CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS n_redundant_docs
+FROM c
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: digest of a normalized 64-char head +
     length bucket; distinct census per source.
@@ -1649,6 +1771,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKENS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_quality_gopher": (q_text_quality_gopher, SQL_TEXT_GOPHER),
+    "dedup_exact_normalized": (q_dedup_exact_normalized, SQL_DEDUP_EXACT_NORM),
     # rows-only (non-SQL-expressible): the full extraction engine
     "section_tree": (q_section_tree, None),
     "extraction_e2e": (q_extraction_e2e, None),
