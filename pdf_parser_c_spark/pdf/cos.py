@@ -315,18 +315,33 @@ class Parser:
             finally:
                 self._depth -= 1
         if kind == "dict_open":
+            # scalar values handled inline, mirroring the array loop
             d = {}
+            next_token = self.lexer.next_token
             self._depth += 1
             try:
                 while True:
-                    t = self.lexer.next_token()
+                    t = next_token()
                     if t[0] == "dict_close":
                         break
                     if t[0] == "eof":
                         raise PDFSyntaxError("EOF in dict")
                     if t[0] != "name":
                         raise PDFSyntaxError(f"dict key is not a name: {t}")
-                    d[t[1].name] = self.parse_object()
+                    key = t[1].name
+                    vk, vv = vt = next_token()
+                    if vk == "num":
+                        if isinstance(vv, int):
+                            m = _REF_TAIL_RE.match(self.lexer.data, self.lexer.pos)
+                            if m is not None:
+                                self.lexer.pos = m.end()
+                                d[key] = Ref(vv, int(m.group(1)))
+                                continue
+                        d[key] = vv
+                    elif vk in ("name", "str"):
+                        d[key] = vv
+                    else:
+                        d[key] = self.parse_object(vt)
             finally:
                 self._depth -= 1
             # stream?

@@ -408,10 +408,17 @@ def _load_simple_widths(doc: PDFDocument, fd: dict, font: Font) -> None:
     first = doc.resolve(fd.get("FirstChar"))
     widths = doc.resolve(fd.get("Widths"))
     if isinstance(first, (int, float)) and isinstance(widths, list):
+        base = int(first)
+        table = font.widths
         for i, w in enumerate(widths):
-            w = doc.resolve(w)
+            # widths are almost always literal numbers; resolve() per
+            # element was a measured hot spot (224 entries per font)
             if isinstance(w, (int, float)):
-                font.widths[int(first) + i] = float(w)
+                table[base + i] = float(w)
+            else:
+                w = doc.resolve(w)
+                if isinstance(w, (int, float)):
+                    table[base + i] = float(w)
     else:
         # standard-14 fonts may legally omit /Widths; poppler falls back
         # to the published AFM metrics — so do we
