@@ -253,25 +253,25 @@ def q_a10_prefix_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/pdf_utils.cpp:229-240 records the prefix, the first emphasized
     char's indent and font).  Analogue: per user, the number of events
     before the first 'signup' and that first signup's value.
-    Scale: one shuffle on user_id; both windows share it."""
+    Scale: ONE shuffle on user_id — the window and the conditional
+    aggregation share the exchange (no duplicated subtree, no join)."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = ev.withColumn(
         "signups_so_far",
         F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).over(w),
     )
-    prefix_len = marked.filter(F.col("signups_so_far") == 0).groupBy("user_id").agg(
-        F.count("*").alias("prefix_len")
-    )
-    first_mark = (
-        marked.filter((F.col("event_type") == "signup") & (F.col("signups_so_far") == 1))
-        .groupBy("user_id")
-        .agg(F.round(F.min("value"), 2).alias("marker_value"))
+    first_val = F.min(
+        F.when((F.col("event_type") == "signup") & (F.col("signups_so_far") == 1),
+               F.col("value"))
     )
     return (
-        first_mark.join(prefix_len, "user_id", "left")
-        .withColumn("prefix_len", F.coalesce("prefix_len", F.lit(0)))
-        .select("user_id", "prefix_len", "marker_value")
+        marked.groupBy("user_id")
+        .agg(
+            F.sum((F.col("signups_so_far") == 0).cast("long")).alias("prefix_len"),
+            F.round(first_val, 2).alias("marker_value"),
+        )
+        .filter(F.col("marker_value").isNotNull())  # users with a signup
         .orderBy("user_id")
     )
 
@@ -281,16 +281,15 @@ WITH marked AS (
   SELECT user_id, event_type, value,
          sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS signups_so_far
-  FROM events),
-plen AS (
-  SELECT user_id, count(*) AS prefix_len FROM marked
-  WHERE signups_so_far = 0 GROUP BY user_id),
-fmark AS (
-  SELECT user_id, round(min(value), 2) AS marker_value FROM marked
-  WHERE event_type = 'signup' AND signups_so_far = 1 GROUP BY user_id)
-SELECT fmark.user_id, coalesce(plen.prefix_len, 0) AS prefix_len, marker_value
-FROM fmark LEFT JOIN plen ON fmark.user_id = plen.user_id
-ORDER BY fmark.user_id
+  FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN signups_so_far = 0 THEN 1 ELSE 0 END) AS BIGINT) AS prefix_len,
+       round(min(CASE WHEN event_type = 'signup' AND signups_so_far = 1
+                 THEN value END), 2) AS marker_value
+FROM marked GROUP BY user_id
+HAVING min(CASE WHEN event_type = 'signup' AND signups_so_far = 1
+           THEN value END) IS NOT NULL
+ORDER BY user_id
 """
 
 
