@@ -90,3 +90,21 @@ def test_flagship_armoring_runs_on_executors(spark):
     assert plan.count("MapInPandas") == 2
     assert plan.count("Exchange") == 1  # doc_id exchange doubles as the salt
     assert "Scan parquet" in plan  # lineage reaches the file scan
+
+
+def test_a10_single_exchange(spark):
+    # window + conditional aggregation share ONE hash exchange —
+    # the round-2 restructure (no duplicated subtree, no join)
+    plan = plan_of(spark, QUERIES["a10_prefix_capture"][0](spark, SF_DIR), "simple")
+    assert n_data_exchanges(plan) == 1
+
+
+def test_tpch_q5_broadcasts_dims_no_cartesian(spark):
+    plan = plan_of(spark, QUERIES["tpch_region_volume"][0](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # c/s/n/r at least
+
+
+def test_tpch_q18_topk_is_take_ordered(spark):
+    plan = plan_of(spark, QUERIES["tpch_big_orders"][0](spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan
