@@ -66,6 +66,12 @@ def norm_rows(cols, rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    unknown = only - set(QUERIES)
+    if unknown:
+        # a typo'd filter used to pass vacuously (exit 0, zero checks)
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        print(f"     known: {sorted(QUERIES)}")
+        return 1
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
