@@ -1,0 +1,81 @@
+"""Transcript source readers: parquet (canonical), JSONL, and CSV —
+each normalized to the canonical transcripts schema
+``(conv_id string, turn_idx int, role string, text string,
+tool string, ts timestamp)`` so the extraction kernel is
+source-agnostic (A1: the reference's CLI source generalized to the
+table world; SURVEY.md §1.2).
+
+Normalization rules: ``turn_idx`` casts to int, ``ts`` parses from
+ISO-8601 strings when the source carries text timestamps, missing
+``tool`` becomes NULL, and extra columns are dropped.  Schema is
+ENFORCED (explicit, never inferred) so a malformed source fails at
+read time, not mid-kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..flagship import TRANSCRIPTS_SCHEMA
+
+# string-typed variant for text formats (JSONL/CSV carry ts as text)
+_TEXT_SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.LongType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.StringType()),
+    ]
+)
+
+
+def _normalize(df: DataFrame) -> DataFrame:
+    # rows without a (conv_id, turn_idx) key are unkeyable — they can
+    # never be checkpointed, deduped, or compared, and a NULL turn_idx
+    # breaks the kernel's int32 Arrow contract; drop them at the source
+    # boundary (count the drop via the metrics table if it matters)
+    return (
+        df.select(
+            F.col("conv_id").cast("string").alias("conv_id"),
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            F.col("role").cast("string").alias("role"),
+            F.coalesce(F.col("text").cast("string"), F.lit("")).alias("text"),
+            F.col("tool").cast("string").alias("tool"),
+            F.to_timestamp("ts").alias("ts"),
+        )
+        .filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+    )
+
+
+def read_transcripts(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Read a transcripts table in ``fmt`` ∈ {parquet, jsonl, csv},
+    normalized to TRANSCRIPTS_SCHEMA.  Scale note: all three readers
+    are splittable scans (JSONL and CSV split by line), so the salted
+    repartition downstream sees the same parallelism contract."""
+    if fmt == "parquet":
+        return _normalize(
+            spark.read.schema(
+                T.StructType(
+                    TRANSCRIPTS_SCHEMA.fields  # enforced, not inferred
+                )
+            ).parquet(path)
+        )
+    if fmt == "jsonl":
+        return _normalize(
+            spark.read.schema(_TEXT_SOURCE_SCHEMA).json(path)
+        )
+    if fmt == "csv":
+        return _normalize(
+            spark.read.schema(_TEXT_SOURCE_SCHEMA)
+            .option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .csv(path)
+        )
+    raise ValueError(f"unknown transcripts format {fmt!r}")

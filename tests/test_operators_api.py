@@ -226,3 +226,83 @@ def test_lang_ngram_prediction_function(spark):
            df.select(lang_ngram_prediction(LANG_NGRAM_PROFILES)).collect()]
     assert out[0] == "en" and out[1] == "de"
     assert out[2] == "en"  # zero-score tie resolves to the first profile
+
+
+def test_transcript_readers_normalize_all_formats(spark, tmp_path):
+    """JSONL and CSV sources normalize to the canonical transcripts
+    schema and extract identically to the parquet path."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_c_spark.engine import extract_turns
+    from pdf_parser_c_spark.sources.readers import read_transcripts
+
+    rows = [
+        {"conv_id": "c0", "turn_idx": 0, "role": "user",
+         "text": "plain body text here", "tool": None,
+         "ts": "2026-01-01T00:00:00"},
+        {"conv_id": "c0", "turn_idx": 1, "role": "assistant",
+         "text": "<html><body><article><p>an html article body that is long"
+                 " enough to keep</p></article></body></html>",
+         "tool": "browser", "ts": "2026-01-01T00:01:00"},
+    ]
+    # jsonl
+    jl = tmp_path / "t.jsonl"
+    jl.write_text("\n".join(json.dumps(r) for r in rows))
+    # csv
+    cv = tmp_path / "t.csv"
+    pd.DataFrame(rows).to_csv(cv, index=False)
+    # parquet (canonical types)
+    pdf = pd.DataFrame(rows).assign(
+        turn_idx=lambda d: d["turn_idx"].astype("int32"),
+        tool=lambda d: d["tool"].astype("object"),
+        ts=lambda d: pd.to_datetime(d["ts"]).astype("datetime64[us]"),
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   str(tmp_path / "t.parquet"))
+
+    outs = {}
+    for fmt, path in (("parquet", tmp_path / "t.parquet"),
+                      ("jsonl", jl), ("csv", cv)):
+        df = read_transcripts(spark, str(path), fmt)
+        assert [f.name for f in df.schema.fields] == [
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        assert df.schema["turn_idx"].dataType.typeName() == "integer"
+        assert df.schema["ts"].dataType.typeName() == "timestamp"
+        got = extract_turns(df, num_partitions=2).orderBy("turn_idx").collect()
+        outs[fmt] = [(r["conv_id"], r["turn_idx"], r["kind"], r["text"]) for r in got]
+    assert outs["jsonl"] == outs["parquet"]
+    assert outs["csv"] == outs["parquet"]
+    assert outs["parquet"][1][2] == "html"  # boilerplate path exercised
+
+
+def test_transcript_reader_rejects_unknown_format(spark):
+    import pytest as _pytest
+
+    from pdf_parser_c_spark.sources.readers import read_transcripts
+
+    with _pytest.raises(ValueError, match="unknown transcripts format"):
+        read_transcripts(spark, "/nonexistent", "xml")
+
+
+def test_transcript_reader_drops_unkeyable_rows(spark, tmp_path):
+    """Malformed source rows (no conv_id/turn_idx key) drop at the
+    reader boundary — a NULL turn_idx would break the kernel's int32
+    Arrow contract mid-job."""
+    from pdf_parser_c_spark.engine import extract_turns
+    from pdf_parser_c_spark.sources.readers import read_transcripts
+
+    jl = tmp_path / "bad.jsonl"
+    jl.write_text(
+        '{"conv_id":"a","turn_idx":0,"role":"u","text":"good body",'
+        '"tool":null,"ts":"2026-01-01T00:00:00"}\n'
+        '{"conv_id":"b","text":"missing key fields"}\n'
+        "not json at all\n"
+    )
+    df = read_transcripts(spark, str(jl), "jsonl")
+    assert [(r["conv_id"], r["turn_idx"]) for r in df.collect()] == [("a", 0)]
+    out = extract_turns(df, num_partitions=2).collect()
+    assert [(r["conv_id"], r["status"]) for r in out] == [("a", "ok")]
