@@ -27,7 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="transcripts parquet path")
+    ap.add_argument("--input", required=True, help="transcripts table path")
+    ap.add_argument("--format", default="parquet",
+                    choices=("parquet", "jsonl", "csv"),
+                    help="source format (normalized to the canonical schema)")
     ap.add_argument("--output", required=True, help="job output root")
     ap.add_argument("--buckets", type=int, default=64, help="checkpoint buckets")
     ap.add_argument("--partitions", type=int, default=None,
@@ -43,9 +46,10 @@ def main() -> None:
         ap.error("--output must not be inside --input")
 
     from pdf_parser_c_spark.engine import get_spark, run_extraction_job
+    from pdf_parser_c_spark.sources.readers import read_transcripts
 
     spark = get_spark(app=f"extraction-{args.job_id}")
-    df = spark.read.parquet(args.input)
+    df = read_transcripts(spark, args.input, args.format)
     summary = run_extraction_job(
         spark,
         df,
