@@ -497,9 +497,16 @@ class PDFDocument:
             return
         offset = int(m.group(1))
         seen = set()
-        while offset and offset not in seen and 0 <= offset < len(self.data):
-            seen.add(offset)
-            offset = self._load_xref_section(offset)
+        try:
+            while offset and offset not in seen and 0 <= offset < len(self.data):
+                seen.add(offset)
+                offset = self._load_xref_section(offset)
+        except (PDFSyntaxError, FilterError):
+            # corrupt xref section: fall through to reconstruction, the
+            # poppler XRef::constructXRef salvage (a parse error here
+            # previously rejected docs poppler recovers)
+            self.xref.clear()
+            self.trailer.clear()
         if not self.xref or "Root" not in self.trailer:
             self._reconstruct_xref()
         if "Root" not in self.trailer:
@@ -519,10 +526,16 @@ class PDFDocument:
             tok = lex.next_token()
             if tok == ("kw", "trailer"):
                 break
-            if tok[0] != "num":
+            if tok[0] != "num" or not isinstance(tok[1], int):
                 raise PDFSyntaxError("malformed xref table")
             start = tok[1]
-            count = lex.next_token()[1]
+            cnt_tok = lex.next_token()
+            if cnt_tok[0] != "num" or not isinstance(cnt_tok[1], int):
+                # fuzz-found: a mutated count token (keyword/float) made
+                # range() throw TypeError instead of the syntax error
+                # the quarantine net expects
+                raise PDFSyntaxError("malformed xref table")
+            count = cnt_tok[1]
             lex.skip_ws()
             for i in range(count):
                 line = self.data[lex.pos : lex.pos + 20]

@@ -155,3 +155,26 @@ def test_provably_wrong_length_resyncs_to_endstream():
     p = Parser(pdf, pdf.index(b"<<"))
     stm = p.parse_object()
     assert stm.raw == data  # declared 10 provably wrong -> full payload
+
+
+def test_corrupt_xref_table_salvages_via_reconstruction():
+    """A parse error inside an xref section falls back to the
+    constructXRef-style scan (poppler salvage) instead of rejecting a
+    document whose objects are intact — fuzz-found in round 2."""
+    from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+
+    body = (
+        b"%PDF-1.7\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+        b"5 0 obj\n<< /Length 44 >>\nstream\n"
+        b"BT /F1 12 Tf 72 700 Td (salvaged text) Tj ET\nendstream\nendobj\n"
+    )
+    pdf = (body + b"xref\n0 trailer\n"
+           b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n"
+           + str(len(body)).encode() + b"\n%%EOF\n")
+    r = parse_pdf_bytes(pdf)
+    assert r.status == "ok"
+    assert "salvaged text" in r.text

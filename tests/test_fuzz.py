@@ -22,7 +22,8 @@ def _bases():
         vs = {v.name: v for v in build_variants()}
         _BASES = [
             base64.b85decode(vs[n].payload[len(PDF_B85_PREFIX):])
-            for n in ("pdf_simple", "pdf_flate", "pdf_objstm", "pdf_sections")
+            for n in ("pdf_simple", "pdf_flate", "pdf_objstm", "pdf_sections",
+                      "pdf_encrypted_rc4", "pdf_encrypted_aes")
         ]
     return _BASES
 
@@ -30,7 +31,7 @@ def _bases():
 def test_mutated_pdfs_never_crash():
     rng = random.Random(1234)
     for trial in range(600):
-        base = bytearray(_bases()[trial % 4])
+        base = bytearray(_bases()[trial % 6])
         kind = trial % 3
         if kind == 0:
             base = base[: rng.randrange(1, len(base))]
