@@ -696,8 +696,14 @@ class PDFDocument:
         if not isinstance(stm, Stream) or stm.dict.get("Type") != Name("ObjStm"):
             raise PDFSyntaxError(f"object {expect_num}: container {stm_num} is not /ObjStm")
         payload = stm.data()
-        n = int(self.resolve(stm.dict["N"]))
-        first = int(self.resolve(stm.dict["First"]))
+        n_raw = self.resolve(stm.dict.get("N"))
+        first_raw = self.resolve(stm.dict.get("First"))
+        if not isinstance(n_raw, (int, float)) or not isinstance(first_raw, (int, float)):
+            # fuzz-found: a corrupted ObjStm dict missing /First escaped
+            # as KeyError instead of the quarantine net's syntax error
+            raise PDFSyntaxError("malformed /ObjStm header")
+        n = int(n_raw)
+        first = int(first_raw)
         lex = Lexer(payload, 0)
         pairs = []
         for _ in range(n):

@@ -178,3 +178,30 @@ def test_corrupt_xref_table_salvages_via_reconstruction():
     r = parse_pdf_bytes(pdf)
     assert r.status == "ok"
     assert "salvaged text" in r.text
+
+
+def test_objstm_missing_first_is_syntax_error():
+    """A corrupted /ObjStm header (no /First) raises PDFSyntaxError,
+    never KeyError — fuzz-found escape from the quarantine net."""
+    import zlib
+
+    import pytest
+
+    from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+
+    payload = zlib.compress(b"1 0\n<< /Type /Catalog >>")
+    pdf = (
+        b"%PDF-1.7\n"
+        b"2 0 obj\n<< /Type /ObjStm /N 1 /Length "
+        + str(len(payload)).encode() + b" /Filter /FlateDecode >>\nstream\n"
+        + payload + b"\nendstream\nendobj\n"
+        b"3 0 obj\n<< /Type /XRef /Size 4 /W [1 4 2] /Root 1 0 R /Length 21 >>\n"
+        b"stream\n" + bytes(
+            [1, 0, 0, 0, 15, 0, 0]
+            + [2, 0, 0, 0, 2, 0, 0]   # obj1 inside objstm 2 (no /First!)
+            + [1, 0, 0, 0, 9, 0, 0]
+        ) + b"\nendstream\nendobj\n"
+        b"startxref\n9\n%%EOF"
+    )
+    r = parse_pdf_bytes(pdf)  # must be a status row, not an exception
+    assert r.status in ("malformed", "empty", "ok", "error")
