@@ -151,3 +151,29 @@ def test_info_title_string_decrypted():
     assert b"Classified Title" not in pdf  # title is actually encrypted
     doc = cos.PDFDocument.open(pdf)
     assert doc.doc_info_title() == "Classified Title"
+
+
+def test_fast_and_pure_cipher_paths_agree(monkeypatch):
+    """The OpenSSL-backed fast path (when the cryptography wheel is
+    present) must be byte-identical to the pure-Python reference path."""
+    from pdf_parser_c_spark.pdf import crypt
+
+    if not crypt._HAVE_CRYPTO:
+        pytest.skip("cryptography wheel not available in this environment")
+
+    iv = bytes(range(16))
+    msg = bytes(range(256)) * 11 + b"ragged-tail"
+    fast = {}
+    for key in (b"k" * 16, b"K" * 32):
+        fast[(key, "enc")] = crypt.aes_cbc_encrypt(key, iv, msg)
+        fast[(key, "dec")] = crypt.aes_cbc_decrypt(key, iv, fast[(key, "enc")])
+        fast[(key, "raw")] = crypt.aes_cbc_encrypt(key, iv, msg[:512], pad=False)
+    rc4_key = b"0123456789"  # 80-bit: taken by the ARC4 fast path
+    fast_rc4 = crypt.rc4(rc4_key, msg)
+
+    monkeypatch.setattr(crypt, "_HAVE_CRYPTO", False)
+    for key in (b"k" * 16, b"K" * 32):
+        assert crypt.aes_cbc_encrypt(key, iv, msg) == fast[(key, "enc")]
+        assert crypt.aes_cbc_decrypt(key, iv, fast[(key, "enc")]) == fast[(key, "dec")] == msg
+        assert crypt.aes_cbc_encrypt(key, iv, msg[:512], pad=False) == fast[(key, "raw")]
+    assert crypt.rc4(rc4_key, msg) == fast_rc4 == crypt._rc4_py(rc4_key, msg)
