@@ -30,6 +30,7 @@ than one batch per task at a time (iterator-of-batches contract).
 from __future__ import annotations
 
 import base64
+import binascii
 import json
 import time
 from typing import Iterator
@@ -42,7 +43,8 @@ from pyspark.sql import types as T
 from .extract.document import parse_pdf_bytes
 from .html.boilerplate import extract_main_text, looks_like_html
 
-PDF_B85_PREFIX = "PDFB85:"
+PDF_B85_PREFIX = "PDFB85:"  # legacy armor, decode-only
+PDF_B64_PREFIX = "PDFB64:"
 
 SECTION_TYPE = T.ArrayType(
     T.StructType(
@@ -80,15 +82,27 @@ RESULT_SCHEMA = T.StructType(RESULT_FIELDS)
 
 
 def encode_pdf_payload(pdf: bytes) -> str:
-    """Armor raw PDF bytes for the string ``text`` column (FIXTURES.md §1)."""
-    return PDF_B85_PREFIX + base64.b85encode(pdf).decode("ascii")
+    """Armor raw PDF bytes for the string ``text`` column (FIXTURES.md §1).
+
+    base64, not base85: CPython's b85 codec is pure Python and measured
+    at ~20% of the whole extraction kernel; ``binascii``'s base64 is C.
+    Legacy ``PDFB85:`` payloads still decode (see :func:`_decode_armor`).
+    """
+    return PDF_B64_PREFIX + base64.b64encode(pdf).decode("ascii")
+
+
+def _decode_armor(payload: str) -> bytes:
+    """Reverse :func:`encode_pdf_payload`; accepts both armor versions."""
+    if payload.startswith(PDF_B64_PREFIX):
+        return base64.b64decode(payload[len(PDF_B64_PREFIX) :], validate=True)
+    return base64.b85decode(payload[len(PDF_B85_PREFIX) :])
 
 
 def classify_payload(s: pd.Series) -> pd.Series:
     """Vectorized payload sniff: 'pdf' | 'html' | 'plain'."""
     s = s.fillna("")
     kind = pd.Series("plain", index=s.index, dtype="object")
-    kind[s.str.startswith(PDF_B85_PREFIX)] = "pdf"
+    kind[s.str.startswith(PDF_B64_PREFIX) | s.str.startswith(PDF_B85_PREFIX)] = "pdf"
     maybe_html = (kind == "plain") & s.str.lstrip().str.startswith("<")
     if maybe_html.any():
         kind[maybe_html] = [
@@ -133,10 +147,10 @@ def _extract_one_pdf_cached(payload: str) -> dict:
 
 def _extract_one_pdf(payload: str) -> dict:
     try:
-        pdf = base64.b85decode(payload[len(PDF_B85_PREFIX) :])
-    except ValueError as exc:
+        pdf = _decode_armor(payload)
+    except (ValueError, binascii.Error) as exc:
         return {"status": "malformed", "text": "", "sections": [], "spans": [],
-                "n_pages": 0, "error": f"b85: {exc}"}
+                "n_pages": 0, "error": f"armor: {exc}"}
     try:
         r = parse_pdf_bytes(pdf)
     except Exception as exc:  # safety net: one hostile payload must

@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from ..engine import PDF_B85_PREFIX
+from ..engine import PDF_B64_PREFIX, PDF_B85_PREFIX, _decode_armor
 from ..pdf.content import ContentInterpreter
 from ..pdf.cos import PDFDocument
 
@@ -37,7 +37,7 @@ FONT_ROW_SCHEMA = T.StructType(
 
 def _fonts_of_payload(payload: str) -> list[dict]:
     try:
-        pdf = base64.b85decode(payload[len(PDF_B85_PREFIX) :])
+        pdf = _decode_armor(payload)
         doc = PDFDocument.open(pdf)
         pages = doc.pages()
     except Exception:
@@ -77,7 +77,8 @@ def font_inventory(df: DataFrame) -> DataFrame:
             rows = []
             for _, r in batch.iterrows():
                 text = r.get("text") or ""
-                if not isinstance(text, str) or not text.startswith(PDF_B85_PREFIX):
+                if not isinstance(text, str) or not (
+                    text.startswith(PDF_B64_PREFIX) or text.startswith(PDF_B85_PREFIX)):
                     continue
                 for f in _fonts_of_payload(text):
                     rows.append({"conv_id": r["conv_id"], "turn_idx": int(r["turn_idx"]), **f})

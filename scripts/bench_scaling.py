@@ -68,10 +68,11 @@ def calibrate_hardware(levels: list[int], docs_per_level: int = 2400) -> dict[in
     global _CAL_PDF
     from multiprocessing import Pool
 
+    from pdf_parser_c_spark.engine import _decode_armor
     from pdf_parser_c_spark.testkit.corpus import build_variants
 
     vs = {v.name: v for v in build_variants()}
-    _CAL_PDF = base64.b85decode(vs["pdf_sections"].payload[7:])
+    _CAL_PDF = _decode_armor(vs["pdf_sections"].payload)
     rates: dict[int, float] = {}
     for procs in levels:
         with Pool(procs) as p:

@@ -20,8 +20,9 @@ def _bases():
     global _BASES
     if _BASES is None:
         vs = {v.name: v for v in build_variants()}
+        from pdf_parser_c_spark.engine import _decode_armor
         _BASES = [
-            base64.b85decode(vs[n].payload[len(PDF_B85_PREFIX):])
+            _decode_armor(vs[n].payload)
             for n in ("pdf_simple", "pdf_flate", "pdf_objstm", "pdf_sections",
                       "pdf_encrypted_rc4", "pdf_encrypted_aes")
         ]
