@@ -45,6 +45,15 @@ _REF_TAIL_RE = re.compile(
     rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*)+(\d+)"
     rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*)+R(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
 )
+# all-numeric array tail "278 355 ... ]": /Widths and CID /W tables are
+# hundreds of plain numbers — recognizing the whole run in one C-level
+# match (then splitting with findall) beats one next_token call per
+# element.  Deliberately fails on refs/names/strings → normal loop.
+_NUM_ARR_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]*[+-]?(?:\d+\.?\d*|\.\d+)(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]))*"
+    rb"[\x00\t\n\x0c\r ]*\]"
+)
+_NUM_TOK_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 
 
 class PDFSyntaxError(ValueError):
@@ -286,6 +295,14 @@ class Parser:
         if kind in ("name", "str"):
             return value
         if kind == "arr_open":
+            # all-numeric arrays resolve in two C-level regex calls
+            m = _NUM_ARR_RE.match(self.lexer.data, self.lexer.pos)
+            if m is not None:
+                self.lexer.pos = m.end()
+                return [
+                    float(t) if b"." in t else int(t)
+                    for t in _NUM_TOK_RE.findall(m.group(0))
+                ]
             # scalars are handled inline (no recursion): width tables
             # and kerning arrays are hundreds of numbers, and one
             # Python call per element dominated the parse profile

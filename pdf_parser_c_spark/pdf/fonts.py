@@ -410,15 +410,21 @@ def _load_simple_widths(doc: PDFDocument, fd: dict, font: Font) -> None:
     if isinstance(first, (int, float)) and isinstance(widths, list):
         base = int(first)
         table = font.widths
-        for i, w in enumerate(widths):
-            # widths are almost always literal numbers; resolve() per
-            # element was a measured hot spot (224 entries per font)
-            if isinstance(w, (int, float)):
-                table[base + i] = float(w)
-            else:
-                w = doc.resolve(w)
+        try:
+            # widths are almost always a plain numeric list (the parser's
+            # bulk numeric-array path guarantees floats/ints): one update
+            # instead of a per-element isinstance loop.  ``w + 0.0``
+            # coerces to float and raises TypeError on any non-number
+            # (Ref, bytes), routing mixed arrays to the resolving loop.
+            table.update((base + i, w + 0.0) for i, w in enumerate(widths))
+        except TypeError:
+            for i, w in enumerate(widths):
                 if isinstance(w, (int, float)):
                     table[base + i] = float(w)
+                else:
+                    w = doc.resolve(w)
+                    if isinstance(w, (int, float)):
+                        table[base + i] = float(w)
     else:
         # standard-14 fonts may legally omit /Widths; poppler falls back
         # to the published AFM metrics — so do we
