@@ -4,9 +4,12 @@ files for the base-14 PostScript fonts.
 Poppler loads these metrics for non-embedded standard fonts; without
 them, word-gap detection (B10) on documents that omit /Widths — legal
 for the standard 14 — degrades to a uniform guess.  Values are the
-public AFM advance widths (1000-unit em).  Only the ASCII range is
-carried; codes outside fall back to the font's default width, which
-only affects gap heuristics, not decoded text.
+public AFM advance widths (1000-unit em).  The ASCII range is carried
+for the text families, plus the Symbol core (Greek alphabet, digits,
+operators on ASCII positions — see ``fonts.SYMBOL``); codes outside
+fall back to the font's default width, which only affects gap
+heuristics, not decoded text.  ZapfDingbats stays on the default-width
+fallback (ROADMAP).
 """
 
 from __future__ import annotations
@@ -78,6 +81,39 @@ _TIMES_BOLD = {
 }
 # fmt: on
 
+# Symbol built-in encoding, keyed by CHAR CODE (the font has no
+# Unicode-keyed lookup — codes map to Greek/math glyphs, see
+# fonts.SYMBOL).  Core subset of the public Symbol.afm: ASCII-position
+# punctuation/digits, the full Greek alphabet on its phonetic Latin
+# positions, and the variant letterforms; the math-operator long tail
+# (0x80+) falls back to the font default width, which only affects gap
+# heuristics on glyphs we decode as U+FFFD anyway.
+# fmt: off
+_SYMBOL_CODE_WIDTHS = {
+    0x20: 250, 0x21: 333, 0x22: 713, 0x23: 500, 0x24: 549, 0x25: 833,
+    0x26: 778, 0x27: 439, 0x28: 333, 0x29: 333, 0x2A: 500, 0x2B: 549,
+    0x2C: 250, 0x2D: 549, 0x2E: 250, 0x2F: 278,
+    0x30: 500, 0x31: 500, 0x32: 500, 0x33: 500, 0x34: 500,
+    0x35: 500, 0x36: 500, 0x37: 500, 0x38: 500, 0x39: 500,
+    0x3A: 278, 0x3B: 278, 0x3C: 549, 0x3D: 549, 0x3E: 549, 0x3F: 444,
+    0x40: 549,
+    # uppercase Greek on phonetic Latin positions (A=Alpha, Q=Theta, …)
+    0x41: 722, 0x42: 667, 0x43: 722, 0x44: 612, 0x45: 611, 0x46: 763,
+    0x47: 603, 0x48: 722, 0x49: 333, 0x4A: 631, 0x4B: 722, 0x4C: 686,
+    0x4D: 889, 0x4E: 722, 0x4F: 722, 0x50: 768, 0x51: 741, 0x52: 556,
+    0x53: 592, 0x54: 611, 0x55: 690, 0x56: 439, 0x57: 768, 0x58: 645,
+    0x59: 795, 0x5A: 611,
+    0x5B: 333, 0x5C: 863, 0x5D: 333, 0x5E: 658, 0x5F: 500, 0x60: 500,
+    # lowercase Greek
+    0x61: 631, 0x62: 549, 0x63: 549, 0x64: 494, 0x65: 439, 0x66: 521,
+    0x67: 411, 0x68: 603, 0x69: 329, 0x6A: 603, 0x6B: 549, 0x6C: 549,
+    0x6D: 576, 0x6E: 521, 0x6F: 549, 0x70: 549, 0x71: 521, 0x72: 549,
+    0x73: 603, 0x74: 439, 0x75: 576, 0x76: 713, 0x77: 686, 0x78: 493,
+    0x79: 686, 0x7A: 494,
+    0x7B: 480, 0x7C: 200, 0x7D: 480, 0x7E: 549,
+}
+# fmt: on
+
 _BY_FAMILY = {
     "Helvetica": _HELVETICA,
     "Helvetica-Bold": _HELVETICA_BOLD,
@@ -107,6 +143,8 @@ def base14_widths(base_name: str) -> dict[int, float] | None:
     name = base_name.split("+", 1)[-1]
     if name.startswith("Courier"):
         return {c: 600.0 for c in range(0x20, 0x7F)}
+    if name == "Symbol":
+        return {c: float(w) for c, w in _SYMBOL_CODE_WIDTHS.items()}
     table = _BY_FAMILY.get(name)
     if table is None:
         return None

@@ -95,6 +95,12 @@ def test_base14_widths_fallback():
     assert base14_widths("ABCDEF+Helvetica")[ord("m")] == 833
     assert base14_widths("Courier-Bold")[ord("x")] == 600
     assert base14_widths("NoSuchFont") is None
+    # Symbol widths are keyed by CODE in the built-in encoding:
+    # 0x61 = alpha (631), 0x53 = Sigma (592), digits 500, space 250
+    s = base14_widths("Symbol")
+    assert s[0x61] == 631 and s[0x53] == 592
+    assert s[0x30] == 500 and s[0x20] == 250
+    assert 0x7F not in s  # math-operator tail → default width
 
 
 def test_no_widths_document_extracts_words():
