@@ -6,10 +6,12 @@ them, word-gap detection (B10) on documents that omit /Widths — legal
 for the standard 14 — degrades to a uniform guess.  Values are the
 public AFM advance widths (1000-unit em).  The ASCII range is carried
 for the text families, plus the Symbol core (Greek alphabet, digits,
-operators on ASCII positions — see ``fonts.SYMBOL``); codes outside
-fall back to the font's default width, which only affects gap
-heuristics, not decoded text.  ZapfDingbats stays on the default-width
-fallback (ROADMAP).
+operators on ASCII positions — see ``fonts.SYMBOL``) and typographic
+punctuation; accented non-ASCII codes are extended per-encoding via
+``base14_extend_widths`` (composite glyphs in the published AFMs reuse
+the base letter's advance).  Codes still uncovered fall back to the
+font's default width, which only affects gap heuristics, not decoded
+text.  ZapfDingbats stays on the default-width fallback (ROADMAP).
 """
 
 from __future__ import annotations
@@ -30,6 +32,11 @@ _HELVETICA = {
     "m": 833, "n": 556, "o": 556, "p": 556, "q": 556, "r": 333, "s": 500,
     "t": 278, "u": 556, "v": 500, "w": 722, "x": 500, "y": 500, "z": 500,
     "{": 334, "|": 260, "}": 334, "~": 584,
+    # typographic punctuation (AFM names quoteleft/right, quotedbl*,
+    # endash/emdash, bullet, ellipsis) keyed by their Unicode char so
+    # encoding-aware extension (base14_extend_widths) can find them
+    "‘": 222, "’": 222, "“": 333, "”": 333,
+    "–": 556, "—": 1000, "•": 350, "…": 1000,
 }
 _HELVETICA_BOLD = {
     " ": 278, "!": 333, '"': 474, "#": 556, "$": 556, "%": 889, "&": 722,
@@ -46,6 +53,8 @@ _HELVETICA_BOLD = {
     "m": 889, "n": 611, "o": 611, "p": 611, "q": 611, "r": 389, "s": 556,
     "t": 333, "u": 611, "v": 556, "w": 778, "x": 556, "y": 556, "z": 500,
     "{": 389, "|": 280, "}": 389, "~": 584,
+    "‘": 278, "’": 278, "“": 500, "”": 500,
+    "–": 556, "—": 1000, "•": 350, "…": 1000,
 }
 _TIMES_ROMAN = {
     " ": 250, "!": 333, '"': 408, "#": 500, "$": 500, "%": 833, "&": 778,
@@ -62,6 +71,8 @@ _TIMES_ROMAN = {
     "m": 778, "n": 500, "o": 500, "p": 500, "q": 500, "r": 333, "s": 389,
     "t": 278, "u": 500, "v": 500, "w": 722, "x": 500, "y": 500, "z": 444,
     "{": 480, "|": 200, "}": 480, "~": 541,
+    "‘": 333, "’": 333, "“": 444, "”": 444,
+    "–": 500, "—": 1000, "•": 350, "…": 1000,
 }
 _TIMES_BOLD = {
     " ": 250, "!": 333, '"': 555, "#": 500, "$": 500, "%": 1000, "&": 833,
@@ -78,6 +89,8 @@ _TIMES_BOLD = {
     "m": 833, "n": 556, "o": 500, "p": 556, "q": 556, "r": 444, "s": 389,
     "t": 333, "u": 556, "v": 500, "w": 722, "x": 500, "y": 500, "z": 444,
     "{": 394, "|": 220, "}": 394, "~": 520,
+    "‘": 333, "’": 333, "“": 500, "”": 500,
+    "–": 500, "—": 1000, "•": 350, "…": 1000,
 }
 # fmt: on
 
@@ -149,3 +162,30 @@ def base14_widths(base_name: str) -> dict[int, float] | None:
     if table is None:
         return None
     return {ord(ch): float(w) for ch, w in table.items()}
+
+
+def base14_extend_widths(
+    base_name: str,
+    widths: dict[int, float],
+    encoding: dict[int, str],
+) -> dict[int, float]:
+    """Extend an AFM code→width map across the encoding's non-ASCII
+    range: each code whose Unicode char is not covered gets (a) the
+    direct width when the table carries that char (smart quotes,
+    dashes), else (b) its NFD base letter's advance — accented
+    composites in the published text-family AFMs reuse the base
+    letter's advance width (eacute == e, Udieresis == U).  Returns a
+    NEW dict; the input (an lru_cache-shared table) is not mutated."""
+    import unicodedata
+
+    out = dict(widths)
+    for code, ch in encoding.items():
+        if code in out or not ch or ch == "�":
+            continue
+        w = widths.get(ord(ch))
+        if w is None:
+            base = unicodedata.normalize("NFD", ch)[0]
+            w = widths.get(ord(base))
+        if w is not None:
+            out[code] = w
+    return out

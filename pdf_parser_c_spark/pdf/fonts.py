@@ -428,10 +428,14 @@ def _load_simple_widths(doc: PDFDocument, fd: dict, font: Font) -> None:
     else:
         # standard-14 fonts may legally omit /Widths; poppler falls back
         # to the published AFM metrics — so do we
-        from .base14 import base14_widths
+        from .base14 import base14_extend_widths, base14_widths
 
         table = base14_widths(font.name)
         if table is not None:
+            if font.encoding and font.name.split("+", 1)[-1] != "Symbol":
+                # non-ASCII codes (WinAnsi/MacRoman accents, smart
+                # quotes) take their base letter's AFM advance
+                table = base14_extend_widths(font.name, table, font.encoding)
             font.widths = table
     desc = doc.resolve(fd.get("FontDescriptor"))
     if isinstance(desc, dict):

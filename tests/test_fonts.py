@@ -103,6 +103,22 @@ def test_base14_widths_fallback():
     assert 0x7F not in s  # math-operator tail → default width
 
 
+def test_base14_nonascii_extension():
+    """Accented WinAnsi codes inherit the base letter's AFM advance;
+    typographic punctuation gets its published width; the cached base
+    table is never mutated."""
+    from pdf_parser_c_spark.pdf.base14 import base14_extend_widths, base14_widths
+    from pdf_parser_c_spark.pdf.fonts import WIN_ANSI
+
+    t = base14_widths("Helvetica")
+    e = base14_extend_widths("Helvetica", t, WIN_ANSI)
+    assert e[0xE9] == 556  # eacute == e
+    assert e[0xDC] == 722  # Udieresis == U
+    assert e[0x91] == 222 and e[0x93] == 333  # quoteleft, quotedblleft
+    assert e[0x96] == 556 and e[0x97] == 1000  # endash, emdash
+    assert 0xE9 not in t  # shared cache untouched
+
+
 def test_no_widths_document_extracts_words():
     """A doc that omits /Widths must still word-break sanely."""
     from pdf_parser_c_spark.pdf.cos import PDFDocument
