@@ -61,12 +61,22 @@ class Word:
     u1: float = 0.0  # end along baseline
     size: float = 0.0
 
+    _bbox: tuple[float, float, float, float] | None = field(
+        default=None, repr=False, compare=False
+    )
+
     def get_text(self) -> str:
         return "".join(c.text for c in self.chars)
 
     def bbox(self) -> tuple[float, float, float, float]:
-        xs0, ys0, xs1, ys1 = zip(*(c.bbox for c in self.chars))
-        return (min(xs0), min(ys0), max(xs1), max(ys1))
+        # chars are final once build_words flushes the word; line/block
+        # assembly and the footer predicate re-read bboxes many times,
+        # so compute once (profiled hot spot)
+        b = self._bbox
+        if b is None:
+            xs0, ys0, xs1, ys1 = zip(*(c.bbox for c in self.chars))
+            b = self._bbox = (min(xs0), min(ys0), max(xs1), max(ys1))
+        return b
 
 
 @dataclass
@@ -74,23 +84,45 @@ class Line:
     words: list[Word] = field(default_factory=list)
     rot: int = 0
     base: float = 0.0
+    # words are final at construction (build_lines hands over the frag
+    # list and rebinds); block assembly probes bbox/size/extent per
+    # candidate pair, so memoize
+    _bbox: tuple[float, float, float, float] | None = field(
+        default=None, repr=False, compare=False
+    )
+    _uv: tuple[float, float] | None = field(default=None, repr=False, compare=False)
+    _size: float | None = field(default=None, repr=False, compare=False)
 
     def bbox(self) -> tuple[float, float, float, float]:
-        xs0, ys0, xs1, ys1 = zip(*(w.bbox() for w in self.words))
-        return (min(xs0), min(ys0), max(xs1), max(ys1))
+        b = self._bbox
+        if b is None:
+            xs0, ys0, xs1, ys1 = zip(*(w.bbox() for w in self.words))
+            b = self._bbox = (min(xs0), min(ys0), max(xs1), max(ys1))
+        return b
 
     def size(self) -> float:
-        return max((w.size for w in self.words), default=0.0)
+        s = self._size
+        if s is None:
+            s = self._size = max((w.size for w in self.words), default=0.0)
+        return s
 
 
 @dataclass
 class Block:
     lines: list[Line] = field(default_factory=list)
     rot: int = 0
+    _bbox: tuple[float, float, float, float] | None = field(
+        default=None, repr=False, compare=False
+    )
 
     def bbox(self) -> tuple[float, float, float, float]:
-        xs0, ys0, xs1, ys1 = zip(*(ln.bbox() for ln in self.lines))
-        return (min(xs0), min(ys0), max(xs1), max(ys1))
+        # callers (footer predicate, XY-cut) only read bbox after
+        # assembly; build_blocks resets the cache when it appends
+        b = self._bbox
+        if b is None:
+            xs0, ys0, xs1, ys1 = zip(*(ln.bbox() for ln in self.lines))
+            b = self._bbox = (min(xs0), min(ys0), max(xs1), max(ys1))
+        return b
 
     def line_count(self) -> int:
         return len(self.lines)
@@ -221,7 +253,13 @@ def _is_duplicate_draw(a: Word, b: Word) -> bool:
 
 
 def _uv_extent(line: Line) -> tuple[float, float]:
-    return (min(w.u0 for w in line.words), max(w.u1 for w in line.words))
+    uv = line._uv
+    if uv is None:
+        uv = line._uv = (
+            min(w.u0 for w in line.words),
+            max(w.u1 for w in line.words),
+        )
+    return uv
 
 
 def build_blocks(lines: list[Line]) -> list[Block]:
@@ -250,6 +288,7 @@ def build_blocks(lines: list[Line]) -> list[Block]:
                 open_blocks.append(target)
                 blocks.append(target)
             target.lines.append(ln)
+            target._bbox = None  # growing block: drop any stale cache
     return blocks
 
 
