@@ -49,7 +49,7 @@ def mat_apply(m: Matrix, x: float, y: float) -> tuple[float, float]:
     return (a * x + c * y + e, b * x + d * y + f)
 
 
-@dataclass
+@dataclass(slots=True)
 class Glyph:
     """One displayed glyph in device space (y down, 72 dpi)."""
 
@@ -78,7 +78,7 @@ class Glyph:
                 self.x - self.font.descent * self.size, self.y)
 
 
-@dataclass
+@dataclass(slots=True)
 class _TextState:
     font: Font | None = None
     size: float = 0.0

@@ -45,14 +45,14 @@ MAX_BLOCK_SPACING = MAX_LINE_SPACING_DELTA  # back-compat alias
 BASELINE_POOL_PT = 4.0  # poppler pools baselines in 4-pt buckets
 
 
-@dataclass
+@dataclass(slots=True)
 class Char:
     text: str
     font: Font
     bbox: tuple[float, float, float, float]
 
 
-@dataclass
+@dataclass(slots=True)
 class Word:
     chars: list[Char] = field(default_factory=list)
     rot: int = 0
@@ -79,7 +79,7 @@ class Word:
         return b
 
 
-@dataclass
+@dataclass(slots=True)
 class Line:
     words: list[Word] = field(default_factory=list)
     rot: int = 0
@@ -107,7 +107,7 @@ class Line:
         return s
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     lines: list[Line] = field(default_factory=list)
     rot: int = 0
