@@ -27,9 +27,13 @@ DELIMITERS = b"()<>[]{}/%"
 
 # master lexer regex: skip ws/comments, then capture one simple token.
 # Literal '(' and lone-'<' strings are handled by the stateful readers
-# (this pattern deliberately fails to match there).
+# (this pattern deliberately fails to match there).  The ws/comment
+# prefixes here and below are POSSESSIVE (*+/++): with a backtrackable
+# nested quantifier, a failing match after a long whitespace run is
+# exponential (measured: 28 ws bytes -> 19 s) — a corrupt document
+# could pin an executor core for hours (ReDoS).
 _TOKEN_RE = re.compile(
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*)*+"
     rb"(?:"
     rb"(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
     rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
@@ -42,16 +46,16 @@ _NAME_HEX_RE = re.compile(rb"#([0-9A-Fa-f]{2})")
 # instead of two speculative next_token calls (numeric arrays would pay
 # 3× tokenizer cost otherwise)
 _REF_TAIL_RE = re.compile(
-    rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*)+(\d+)"
-    rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*)+R(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
+    rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*)++(\d+)"
+    rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*)++R(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
 )
 # all-numeric array tail "278 355 ... ]": /Widths and CID /W tables are
 # hundreds of plain numbers — recognizing the whole run in one C-level
 # match (then splitting with findall) beats one next_token call per
 # element.  Deliberately fails on refs/names/strings → normal loop.
 _NUM_ARR_RE = re.compile(
-    rb"(?:[\x00\t\n\x0c\r ]*[+-]?(?:\d+\.?\d*|\.\d+)(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]))*"
-    rb"[\x00\t\n\x0c\r ]*\]"
+    rb"(?:[\x00\t\n\x0c\r ]*+[+-]?(?:\d+\.?\d*|\.\d+)(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]))*+"
+    rb"[\x00\t\n\x0c\r ]*+\]"
 )
 _NUM_TOK_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 

@@ -205,3 +205,33 @@ def test_objstm_missing_first_is_syntax_error():
     )
     r = parse_pdf_bytes(pdf)  # must be a status row, not an exception
     assert r.status in ("malformed", "empty", "ok", "error")
+
+
+def test_lexer_linear_on_pathological_whitespace():
+    """ReDoS regression: the master-token / ref-tail / numeric-array
+    regexes must stay LINEAR when a match fails after a long
+    whitespace or digit run (the backtrackable nested-quantifier
+    versions were exponential — 28 ws bytes took ~19 s; a corrupt doc
+    could pin an executor core for hours)."""
+    import time
+
+    from pdf_parser_c_spark.pdf.cos import Lexer, Parser
+
+    t0 = time.perf_counter()
+    # 1: long ws run then a literal string → _TOKEN_RE fails, falls to
+    # the stateful reader
+    lex = Lexer(b" " * 50_000 + b"(hi)")
+    assert lex.next_token() == ("str", b"hi")
+    # 2: array of many numbers NOT ending with ']' → _NUM_ARR_RE fails,
+    # falls to the token loop, hits EOF
+    import pytest
+
+    from pdf_parser_c_spark.pdf.cos import PDFSyntaxError
+
+    p = Parser(b"[" + b"1 " * 50_000 + b"R", 0)
+    with pytest.raises(PDFSyntaxError):
+        p.parse_object()
+    # 3: number + huge ws + non-'R' → _REF_TAIL_RE fails fast
+    p2 = Parser(b"7" + b" " * 50_000 + b"(s)", 0)
+    assert p2.parse_object() == 7
+    assert time.perf_counter() - t0 < 2.0
