@@ -1015,8 +1015,29 @@ FROM final GROUP BY source ORDER BY source
 """
 
 
-SIMHASH_BANDS = 4  # 4 bands × 4 bits over the 16-bit signature
+SIMHASH_BANDS = 4
 SIMHASH_MAX_HAMMING = 3
+# Manku et al. (WWW'07) shape: wide signature split into 4 bands so any
+# pair within hamming 3 shares an intact band (pigeonhole).  60 bits
+# (not 64) keeps every literal and band value inside a signed BIGINT on
+# both engines; 15-bit bands give 2^15 buckets per band — bucket
+# population stays bounded at corpus scale where a 4-bit band's 16
+# buckets would collapse candidate generation into all-pairs.
+N_SIMHASH_WIDE_BITS = 60
+SIMHASH_WIDE_BAND_BITS = 15
+
+
+def _simhash_wide_bit_exprs() -> list[str]:
+    """Bit j of a word: parity of hex digit (j%32)+1 of md5(w) for the
+    low 32 bits, of md5(w || '#') for the high bits — two independent
+    digests, identical on Spark and DuckDB."""
+    out = []
+    for j in range(N_SIMHASH_WIDE_BITS):
+        src = "md5(w)" if j < 32 else "md5(concat(w, '#'))"
+        out.append(
+            f"(instr('0123456789abcdef', substr({src}, {(j % 32) + 1}, 1)) - 1) % 2"
+        )
+    return out
 
 
 def _simhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1024,10 +1045,11 @@ def _simhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     votes = [
         F.sum(F.expr(e) * 2 - 1).alias(f"v{j}")
-        for j, e in enumerate(_simhash_bit_exprs())
+        for j, e in enumerate(_simhash_wide_bit_exprs())
     ]
     sig_terms = " + ".join(
-        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(N_SIMHASH_BITS)
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_SIMHASH_WIDE_BITS)
     )
     return (
         words.groupBy("doc_id").agg(*votes)
@@ -1037,23 +1059,23 @@ def _simhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup PAIRS: split each 16-bit signature into 4
-    4-bit bands; candidates agree on ≥1 band (pigeonhole: any pair
-    within hamming 3 shares at least one intact band), then confirm
-    popcount(xor) ≤ 3.  The SimHash analogue of MinHash banding —
-    candidate generation is equi-join on (band, value), never all-pairs.
-    Scale: band values are the shuffle key; bucket sizes are bounded by
-    signature entropy, and AQE splits residual skew.  The 16-bit/4-band
-    shape matches the catalog's 16-bit signature; production uses
-    64-bit signatures with 16-bit bands (2^16 buckets/band), same
-    plan."""
+    """SimHash near-dup PAIRS, Manku et al. (WWW'07) style: 60-bit
+    signature split into 4 15-bit bands; candidates agree on ≥1 band
+    (pigeonhole: any pair within hamming 3 shares at least one intact
+    band), then confirm popcount(xor) ≤ 3.  The SimHash analogue of
+    MinHash banding — candidate generation is equi-join on
+    (band, value), never all-pairs.  Scale: band values are the shuffle
+    key with 2^15 buckets per band, so per-bucket population — and the
+    within-bucket join — stays bounded as the corpus grows; AQE splits
+    residual skew."""
+    mask = (1 << SIMHASH_WIDE_BAND_BITS) - 1
     sig = _simhash_sig_df(spark, sf_dir)
     bands = sig.select(
         "doc_id", "sig",
         F.expr(
             f"explode(transform(sequence(0, {SIMHASH_BANDS - 1}),"
             f" b -> named_struct('band', b,"
-            f" 'val', CAST(floor(sig / power(16, b)) AS BIGINT) % 16)))"
+            f" 'val', shiftright(sig, b * {SIMHASH_WIDE_BAND_BITS}) & {mask})))"
         ).alias("bv"),
     ).select("doc_id", "sig", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
     a, b = bands.alias("a"), bands.alias("b")
@@ -1076,14 +1098,16 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_simhash_pairs() -> str:
-    bit_exprs = _simhash_bit_exprs()
+    bit_exprs = _simhash_wide_bit_exprs()
     votes = ", ".join(f"sum(({e}) * 2 - 1) AS v{j}" for j, e in enumerate(bit_exprs))
     sig_terms = " + ".join(
-        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(N_SIMHASH_BITS)
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_SIMHASH_WIDE_BITS)
     )
+    mask = (1 << SIMHASH_WIDE_BAND_BITS) - 1
     band_rows = "\nUNION ALL\n".join(
         f"SELECT doc_id, sig, {b} AS band,"
-        f" CAST(floor(sig / power(16, {b})) AS BIGINT) % 16 AS val FROM final"
+        f" (sig >> {b * SIMHASH_WIDE_BAND_BITS}) & {mask} AS val FROM final"
         for b in range(SIMHASH_BANDS)
     )
     return f"""
