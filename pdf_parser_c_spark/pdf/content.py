@@ -241,6 +241,32 @@ class ContentInterpreter:
                     total_tx += ty
                 tm = mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -total_tx), tm)
                 return
+            if font.cmap is None and not font.two_byte:
+                # simple-font fast path: byte-indexed precomputed
+                # (unicode, width, is_space) — skips the decode
+                # generator and per-char width dict lookups
+                table = font.simple_table()
+                size, cs = ts.size, ts.char_spacing
+                wsp, hs = ts.word_spacing, ts.h_scale
+                for b in raw:
+                    e = table[b]
+                    if e is None:
+                        u = font._map(b)
+                        e = table[b] = (
+                            u,
+                            font.widths.get(b, font.default_width) / 1000.0,
+                            b == 0x20 or u == " ",
+                        )
+                    uni, w0, is_space = e
+                    tx = (w0 * size + cs + (wsp if b == 0x20 else 0.0)) * hs
+                    if visible:
+                        emit(Glyph(uni, ox, oy, w0 * scale, size_dev, font,
+                                   rot, is_space))
+                    ox += tx * m0
+                    oy += tx * m1
+                    total_tx += tx
+                tm = mat_mul((1.0, 0.0, 0.0, 1.0, total_tx, 0.0), tm)
+                return
             for code, uni in font.decode(raw):
                 w0 = font.width(code) / 1000.0
                 is_space = (not font.two_byte and code == 0x20) or uni == " "

@@ -265,6 +265,9 @@ class Font:
     to_unicode: dict[int, str] = field(default_factory=dict)
     widths: dict[int, float] = field(default_factory=dict)
     default_width: float = 500.0
+    _simple_table: list[tuple[str, float, bool]] | None = field(
+        default=None, repr=False, compare=False
+    )
     ascent: float = 0.75
     descent: float = -0.25
     wmode: int = 0  # 1 = vertical (Identity-V / CMap /WMode 1) — B14
@@ -300,6 +303,17 @@ class Font:
 
     def width(self, code: int) -> float:
         return self.widths.get(code, self.default_width)
+
+    def simple_table(self) -> list[tuple[str, float, bool] | None]:
+        """256-slot (unicode, width/1000, is_space) cache for the
+        simple-font show-text fast path.  Slots fill lazily as codes
+        are first shown (an eager 256-entry build costs more than it
+        saves on short documents); encoding/widths never change after
+        font load, so filled entries stay valid."""
+        t = self._simple_table
+        if t is None:
+            t = self._simple_table = [None] * 256
+        return t
 
     def is_emphasized(self) -> bool:
         return self.weight > 400 or self.italic
