@@ -38,7 +38,9 @@ def main() -> None:
     # warm the JVM/parquet reader AND the Python workers (the
     # extraction kernel's module imports fork-load once per worker) so
     # measured queries reflect steady state, not one-time costs
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    for tbl in ("lineitem", "orders", "customer", "events", "documents",
+                "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
     from pdf_parser_c_spark.flagship import build_transcripts_from_documents
 
     tiny = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(64)
