@@ -195,3 +195,33 @@ def test_png_decoder_never_crashes(data):
         decode_png(b"\x89PNG\r\n\x1a\n" + data)
     except PNGError:
         pass  # the only allowed failure mode
+
+
+def test_content_operator_soup_never_crashes():
+    """Fuzz the content-stream INTERPRETER directly: the byte-level
+    mutations above mostly die at the filter/xref layer (Flate
+    checksums), so feed syntactically wild but uncompressed operator
+    soup straight through a minimal valid PDF shell.  Every document
+    must come back as a status row, fast (no pathological loops)."""
+    import time
+
+    from pdf_parser_c_spark.testkit.corpus import FONTS
+    from pdf_parser_c_spark.testkit.gen_pdf import PageSpec, build_pdf
+
+    rng = random.Random(99)
+    atoms = [
+        "BT", "ET", "q", "Q", "Tf", "Td", "TD", "Tm", "T*", "Tj", "TJ",
+        "'", '"', "Tc", "Tw", "Tz", "TL", "Ts", "Tr", "cm", "Do", "gs",
+        "re", "W", "n", "BMC", "BDC", "EMC", "BI", "ID", "EI",
+        "/F1", "/Nope", "(text)", "(un\\closed", "<48656C>", "<4>",
+        "[", "]", "<<", ">>", "0", "1", "-3.5", ".5", "1e9", "999999",
+        "%comment", "(", ")", "\\", "\x00", "   ", "\n",
+    ]
+    t0 = time.perf_counter()
+    for trial in range(120):
+        n = rng.randrange(5, 60)
+        body = " ".join(rng.choice(atoms) for _ in range(n))
+        pdf = build_pdf([PageSpec(body)], FONTS, title="Soup")
+        r = parse_pdf_bytes(pdf)
+        assert r.status in ("ok", "malformed", "empty", "error")
+    assert time.perf_counter() - t0 < 30.0
