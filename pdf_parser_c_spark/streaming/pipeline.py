@@ -139,3 +139,50 @@ def start_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def metrics_stream(
+    df: DataFrame, watermark: str = "2 minutes", window: str = "1 minute"
+) -> DataFrame:
+    """Watermarked event-time extraction metrics: per (window, kind,
+    status) turn counts with late-data handling.  ``withWatermark`` on
+    the turn timestamp bounds aggregation state and lets append-mode
+    sinks FINALIZE windows once the watermark passes them; turns
+    arriving later than the watermark are dropped (Structured
+    Streaming late-data semantics).  The streaming counterpart of the
+    batch job's per-bucket metrics table
+    (``engine.run_extraction_job``)."""
+    from pyspark.sql import functions as F
+
+    ex = extract_stream(df)
+    return (
+        ex.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "kind", "status")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+    )
+
+
+def start_metrics_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """readStream → extract → watermarked windowed agg → writeStream.
+    Append mode emits each window exactly once, after the watermark
+    passes its end (with ``availableNow`` the trailing no-data
+    micro-batch performs the final emission)."""
+    out = metrics_stream(read_transcripts_stream(spark, input_path))
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

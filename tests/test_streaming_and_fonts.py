@@ -100,3 +100,59 @@ def test_streaming_dedup_suppresses_across_batches(spark, tmp_path):
     q2.awaitTermination(120)
     out2 = spark.read.parquet(str(tmp_path / "dout"))
     assert sorted(r["text"] for r in out2.collect()) == ["doc A", "doc B", "doc C"]
+
+
+def test_windowed_metrics_stream_with_watermark(spark, tmp_path):
+    """Watermarked windowed metrics: finalized event-time windows emit
+    exactly once in append mode; rows later than the watermark are
+    dropped on the next run."""
+    from pdf_parser_c_spark.streaming.pipeline import start_metrics_stream
+
+    corpus = transcripts_columns_only(
+        make_transcripts(n_convs=4, turns_per_conv=5, mega_every=0)
+    )
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    # all turns inside the 10:00 window, plus one sentinel at 10:30 to
+    # push the watermark (2 min) far past the 10:00 window's end
+    ts = [base + pd.Timedelta(seconds=i % 60) for i in range(len(corpus))]
+    corpus = corpus.assign(ts=pd.Series(ts, index=corpus.index))
+    sentinel = corpus.tail(1).assign(ts=base + pd.Timedelta(minutes=30))
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write_corpus(str(inp / "part0.parquet"), corpus)
+
+    def _write_like(path, df):
+        # 1-row slices lose the all-null tool column's string dtype;
+        # pin the schema to the full corpus file's
+        ref = pq.read_schema(str(inp / "part0.parquet"))
+        d = df.assign(ts=df["ts"].dt.tz_localize(None).astype("datetime64[us]"))
+        pq.write_table(
+            pa.Table.from_pandas(d, preserve_index=False).cast(ref), path
+        )
+
+    _write_like(str(inp / "part1.parquet"), sentinel)
+
+    q = start_metrics_stream(
+        spark, str(inp), str(tmp_path / "met"), str(tmp_path / "ck"),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "met")).toPandas()
+    # the 10:00 window finalized and emitted; the 10:30 window is still
+    # open (watermark = 10:30 - 2 min < its end) so it must NOT appear
+    assert len(out) > 0
+    starts = set(out["win"].map(lambda w: w["start"]))
+    assert pd.Timestamp("2026-01-01 10:00:00") in starts
+    assert all(s < pd.Timestamp("2026-01-01 10:30:00") for s in starts)
+    assert int(out["n_turns"].sum()) == len(corpus)
+
+    # late arrival BEYOND the watermark: dropped, window not re-emitted
+    late = corpus.head(1).assign(ts=base + pd.Timedelta(seconds=30))
+    _write_like(str(inp / "part2.parquet"), late)
+    q2 = start_metrics_stream(
+        spark, str(inp), str(tmp_path / "met"), str(tmp_path / "ck"),
+        available_now=True,
+    )
+    q2.awaitTermination(180)
+    out2 = spark.read.parquet(str(tmp_path / "met")).toPandas()
+    assert int(out2["n_turns"].sum()) == len(corpus)  # unchanged
