@@ -108,3 +108,31 @@ def test_tpch_q5_broadcasts_dims_no_cartesian(spark):
 def test_tpch_q18_topk_is_take_ordered(spark):
     plan = plan_of(spark, QUERIES["tpch_big_orders"][0](spark, SF_DIR), "simple")
     assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_minhash_estimate",
+        "dedup_simhash_pairs",
+        "dedup_embedding_cosine",
+        "dedup_embedding_banded",
+        "sim_lsh_bucketed",
+    ],
+)
+def test_dedup_family_never_all_pairs(spark, name):
+    """The scale property of every near-dup/ANN query: candidate
+    generation is an EQUI-join on a blocking key (band/bucket/shingle),
+    never a cartesian or nested-loop product — the difference between
+    O(n·b) and O(n²) at corpus scale.  Exception: a single
+    nested-loop join of two 1-row AGGREGATE results (final stats
+    assembly) is O(1) and allowed."""
+    plan = plan_of(spark, QUERIES[name][0](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    if name == "dedup_embedding_banded":
+        assert n_bnlj == 1  # pair_stats × bucket_stats, both 1 row
+    else:
+        assert n_bnlj == 0
