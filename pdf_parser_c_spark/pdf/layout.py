@@ -154,21 +154,24 @@ def build_words(glyphs: list[Glyph]) -> list[Word]:
     def flush() -> None:
         nonlocal cur
         if cur is not None and cur.chars:
-            # B15: fold combining marks into the preceding char
-            # (poppler's addCombining), then compose via NFC
-            merged: list[Char] = []
-            for c in cur.chars:
-                if merged and c.text and unicodedata.combining(c.text[0]):
-                    prev = merged[-1]
-                    prev.text += c.text
-                    pb, cb = prev.bbox, c.bbox
-                    prev.bbox = (min(pb[0], cb[0]), min(pb[1], cb[1]),
-                                 max(pb[2], cb[2]), max(pb[3], cb[3]))
-                else:
-                    merged.append(c)
-            for c in merged:
-                c.text = unicodedata.normalize("NFC", c.text)
-            cur.chars = merged
+            # ASCII words (the overwhelming majority) have no combining
+            # marks and are NFC-invariant — skip both passes
+            if any(not c.text.isascii() for c in cur.chars):
+                # B15: fold combining marks into the preceding char
+                # (poppler's addCombining), then compose via NFC
+                merged: list[Char] = []
+                for c in cur.chars:
+                    if merged and c.text and unicodedata.combining(c.text[0]):
+                        prev = merged[-1]
+                        prev.text += c.text
+                        pb, cb = prev.bbox, c.bbox
+                        prev.bbox = (min(pb[0], cb[0]), min(pb[1], cb[1]),
+                                     max(pb[2], cb[2]), max(pb[3], cb[3]))
+                    else:
+                        merged.append(c)
+                for c in merged:
+                    c.text = unicodedata.normalize("NFC", c.text)
+                cur.chars = merged
             words.append(cur)
         cur = None
 
@@ -195,7 +198,8 @@ def build_words(glyphs: list[Glyph]) -> list[Word]:
             cur = Word(rot=g.rot, base=v, u0=u, u1=u, size=size)
         cur.chars.append(Char(g.text, g.font, g.bbox()))
         cur.u1 = u + g.adv
-        cur.size = max(cur.size, size)
+        if size > cur.size:
+            cur.size = size
     flush()
     return words
 
