@@ -64,9 +64,15 @@ class Word:
     _bbox: tuple[float, float, float, float] | None = field(
         default=None, repr=False, compare=False
     )
+    _text: str | None = field(default=None, repr=False, compare=False)
 
     def get_text(self) -> str:
-        return "".join(c.text for c in self.chars)
+        # chars are final once the word is flushed; dup-draw detection
+        # and block extraction re-read the text repeatedly
+        s = self._text
+        if s is None:
+            s = self._text = "".join(c.text for c in self.chars)
+        return s
 
     def bbox(self) -> tuple[float, float, float, float]:
         # chars are final once build_words flushes the word; line/block
