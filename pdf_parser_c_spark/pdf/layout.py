@@ -221,32 +221,40 @@ def build_lines(words: list[Word]) -> list[Line]:
         # pool by baseline: sort by v then cluster within em tolerance
         ws.sort(key=lambda w: (round(w.base / BASELINE_POOL_PT), w.base, w.u0))
         clusters: list[list[Word]] = []
-        for w in sorted(ws, key=lambda w: w.base):
+        delta = MAX_INTRA_LINE_DELTA  # hoisted with per-word locals:
+        for w in sorted(ws, key=lambda w: w.base):  # the probe loop is
+            wb, wsz = w.base, w.size  # the hottest layout-stage scan
             placed = False
             for cl in clusters:
                 ref = cl[-1]
                 # poppler compares against the pooled word's fontSize
                 # (word0->fontSize), so a small superscript raised
                 # ≤0.5 em of the BASE font stays on the base line
-                if abs(w.base - ref.base) <= MAX_INTRA_LINE_DELTA * max(w.size, ref.size):
+                rsz = ref.size
+                if abs(wb - ref.base) <= delta * (rsz if rsz > wsz else wsz):
                     cl.append(w)
                     placed = True
                     break
             if not placed:
                 clusters.append([w])
+        gap_em = MAX_INTRA_LINE_GAP
         for cl in clusters:
             cl.sort(key=lambda w: w.u0)
             frag: list[Word] = []
+            last: Word | None = None
             for w in cl:
-                if frag and _is_duplicate_draw(frag[-1], w):
+                if last is not None and _is_duplicate_draw(last, w):
                     # fake bold: the same word drawn again at a tiny
                     # offset (poppler's minDupBreakOverlap path) — keep
                     # the first draw only
                     continue
-                if frag and (w.u0 - frag[-1].u1) > MAX_INTRA_LINE_GAP * max(w.size, frag[-1].size):
+                if last is not None and (w.u0 - last.u1) > gap_em * (
+                    last.size if last.size > w.size else w.size
+                ):
                     lines.append(Line(frag, rot, sum(x.base for x in frag) / len(frag)))
                     frag = []
                 frag.append(w)
+                last = w
             if frag:
                 lines.append(Line(frag, rot, sum(x.base for x in frag) / len(frag)))
     return lines
