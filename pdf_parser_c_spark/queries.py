@@ -1754,6 +1754,44 @@ def q_extraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extraction_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn TEXT EQUALITY through the driver's value hash: the
+    HTML-armored third of the documents table (flagship mode
+    ``doc_id % 3 == 1``) is armored on executors, pushed through the
+    full extraction kernel (payload classify → boilerplate strip), and
+    the extracted text must equal the SQL-reconstructible
+    normalization ``'Document {id}\\n' + ws-collapsed source text``
+    (nav/footer boilerplate dropped, <h1>+<p> kept).  This turns the
+    north rule's per-turn text-equality invariant into a hard
+    DuckDB-checked driver signal for the HTML path; the PDF path has
+    no SQL oracle (DuckDB cannot parse PDFs) and stays rows-only in
+    ``extraction_e2e`` + value-checked by the golden pytest corpus.
+    Scale: identical plan to the production job (scan → one exchange →
+    mapInPandas kernels back-to-back)."""
+    from .engine import extract_turns
+    from .flagship import build_transcripts_from_documents
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    transcripts = build_transcripts_from_documents(spark, docs, num_partitions=16)
+    out = extract_turns(transcripts, repartition=False)
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
+    return (
+        out.select(doc_id, "text")
+        .orderBy("doc_id")
+    )
+
+
+SQL_EXTRACTION_HTML_ROUNDTRIP = r"""
+SELECT doc_id,
+       'Document ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+       trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
+FROM documents WHERE doc_id % 3 = 1
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1799,4 +1837,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # rows-only (non-SQL-expressible): the full extraction engine
     "section_tree": (q_section_tree, None),
     "extraction_e2e": (q_extraction_e2e, None),
+    "extraction_html_roundtrip": (
+        q_extraction_html_roundtrip, SQL_EXTRACTION_HTML_ROUNDTRIP
+    ),
 }
