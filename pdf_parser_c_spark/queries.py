@@ -1763,9 +1763,8 @@ def q_extraction_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization ``'Document {id}\\n' + ws-collapsed source text``
     (nav/footer boilerplate dropped, <h1>+<p> kept).  This turns the
     north rule's per-turn text-equality invariant into a hard
-    DuckDB-checked driver signal for the HTML path; the PDF path has
-    no SQL oracle (DuckDB cannot parse PDFs) and stays rows-only in
-    ``extraction_e2e`` + value-checked by the golden pytest corpus.
+    DuckDB-checked driver signal for the HTML path; see
+    ``extraction_pdf_roundtrip`` for the PDF-path analogue.
     Scale: identical plan to the production job (scan → one exchange →
     mapInPandas kernels back-to-back)."""
     from .engine import extract_turns
@@ -1789,6 +1788,48 @@ SELECT doc_id,
        trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
 FROM documents WHERE doc_id % 3 = 1
 ORDER BY doc_id
+"""
+
+
+def q_extraction_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn TEXT EQUALITY for the PDF path, through the driver's
+    value hash: the PDF-armored third of the documents table
+    (``doc_id % 3 == 0``) goes source text → executor-side PDF
+    generation (Flate/xref-stream/objstm variants by doc_id) → the FULL
+    parse stack (COS → filters → content interpreter → fonts → layout →
+    blocks → sections → flat ids) — and the extracted text must equal
+    the SQL-reconstructible armor template
+    ``'Doc {id}\\n\\n' + Title-Cased first-3-words + '\\n' + words
+    [3:43]`` (title case == per-word upper-first because the synthetic
+    corpus is all-lowercase ASCII — verified per sf).  DuckDB cannot
+    parse PDFs, but it CAN reconstruct what the armorer embedded, so
+    the equality closes the loop end-to-end.
+    Scale: identical plan to the production job (scan → one exchange →
+    armor + extract kernels in the same stage)."""
+    from .engine import extract_turns
+    from .flagship import build_transcripts_from_documents
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    transcripts = build_transcripts_from_documents(spark, docs, num_partitions=16)
+    out = extract_turns(transcripts, repartition=False)
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
+    return out.select(doc_id, "text").orderBy("doc_id")
+
+
+SQL_EXTRACTION_PDF_ROUNDTRIP = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+       array_to_string(
+         list_transform(ws[1:3], x -> upper(x[1]) || x[2:]), ' ') ||
+       chr(10) || array_to_string(ws[4:43], ' ') AS text
+FROM w ORDER BY doc_id
 """
 
 
@@ -1839,5 +1880,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "extraction_e2e": (q_extraction_e2e, None),
     "extraction_html_roundtrip": (
         q_extraction_html_roundtrip, SQL_EXTRACTION_HTML_ROUNDTRIP
+    ),
+    "extraction_pdf_roundtrip": (
+        q_extraction_pdf_roundtrip, SQL_EXTRACTION_PDF_ROUNDTRIP
     ),
 }
