@@ -1833,6 +1833,33 @@ FROM w ORDER BY doc_id
 """
 
 
+def q_extraction_plain_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn TEXT EQUALITY for the plain-text path (flagship mode
+    ``doc_id % 3 == 2``): payload classification must route plain turns
+    around the PDF/HTML decoders and emit stripped text unchanged —
+    the oracle is ``trim(text)`` (equivalent to Python ``str.strip``
+    here because the synthetic corpus contains no non-space
+    whitespace).  Completes driver-checked text equality across all
+    three armor modes (PDF / HTML / plain)."""
+    from .engine import extract_turns
+    from .flagship import build_transcripts_from_documents
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    transcripts = build_transcripts_from_documents(spark, docs, num_partitions=16)
+    out = extract_turns(transcripts, repartition=False)
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
+    return out.select(doc_id, "text").orderBy("doc_id")
+
+
+SQL_EXTRACTION_PLAIN_ROUNDTRIP = r"""
+SELECT doc_id, trim(text) AS text
+FROM documents WHERE doc_id % 3 = 2
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1883,5 +1910,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_pdf_roundtrip": (
         q_extraction_pdf_roundtrip, SQL_EXTRACTION_PDF_ROUNDTRIP
+    ),
+    "extraction_plain_roundtrip": (
+        q_extraction_plain_roundtrip, SQL_EXTRACTION_PLAIN_ROUNDTRIP
     ),
 }
