@@ -6,12 +6,13 @@ them, word-gap detection (B10) on documents that omit /Widths — legal
 for the standard 14 — degrades to a uniform guess.  Values are the
 public AFM advance widths (1000-unit em).  The ASCII range is carried
 for the text families, plus the Symbol core (Greek alphabet, digits,
-operators on ASCII positions — see ``fonts.SYMBOL``) and typographic
-punctuation; accented non-ASCII codes are extended per-encoding via
-``base14_extend_widths`` (composite glyphs in the published AFMs reuse
-the base letter's advance).  Codes still uncovered fall back to the
-font's default width, which only affects gap heuristics, not decoded
-text.  ZapfDingbats stays on the default-width fallback (ROADMAP).
+operators on ASCII positions — see ``fonts.SYMBOL``) and the
+ZapfDingbats low range (codes 0x20-0x7E, per-glyph advances from the
+published ZapfDingbats.afm), and typographic punctuation; accented
+non-ASCII codes are extended per-encoding via ``base14_extend_widths``
+(composite glyphs in the published AFMs reuse the base letter's
+advance).  Codes still uncovered fall back to the font's default
+width, which only affects gap heuristics, not decoded text.
 """
 
 from __future__ import annotations
@@ -125,6 +126,27 @@ _SYMBOL_CODE_WIDTHS = {
     0x79: 686, 0x7A: 494,
     0x7B: 480, 0x7C: 200, 0x7D: 480, 0x7E: 549,
 }
+_ZAPF_CODE_WIDTHS = {
+    0x20: 278, 0x21: 974, 0x22: 961, 0x23: 974, 0x24: 980, 0x25: 719,
+    0x26: 789, 0x27: 790, 0x28: 791, 0x29: 690, 0x2A: 960, 0x2B: 939,
+    0x2C: 549, 0x2D: 855, 0x2E: 911, 0x2F: 933,
+    0x30: 911, 0x31: 945, 0x32: 974, 0x33: 755, 0x34: 846,
+    0x35: 762, 0x36: 761, 0x37: 571, 0x38: 677, 0x39: 763,
+    0x3A: 760, 0x3B: 759, 0x3C: 754, 0x3D: 494, 0x3E: 552, 0x3F: 537,
+    0x40: 577,
+    0x41: 692, 0x42: 786, 0x43: 788, 0x44: 788, 0x45: 790, 0x46: 793,
+    0x47: 794, 0x48: 816, 0x49: 823, 0x4A: 789, 0x4B: 841, 0x4C: 823,
+    0x4D: 833, 0x4E: 816, 0x4F: 831, 0x50: 923, 0x51: 744, 0x52: 723,
+    0x53: 749, 0x54: 790, 0x55: 792, 0x56: 695, 0x57: 776, 0x58: 768,
+    0x59: 792, 0x5A: 759,
+    0x5B: 707, 0x5C: 708, 0x5D: 682, 0x5E: 701, 0x5F: 826, 0x60: 815,
+    0x61: 789, 0x62: 789, 0x63: 707, 0x64: 687, 0x65: 696, 0x66: 689,
+    0x67: 786, 0x68: 787, 0x69: 713, 0x6A: 791, 0x6B: 785, 0x6C: 791,
+    0x6D: 873, 0x6E: 761, 0x6F: 762, 0x70: 762, 0x71: 759, 0x72: 759,
+    0x73: 892, 0x74: 892, 0x75: 788, 0x76: 784, 0x77: 438, 0x78: 138,
+    0x79: 277, 0x7A: 415,
+    0x7B: 392, 0x7C: 392, 0x7D: 668, 0x7E: 668,
+}
 # fmt: on
 
 _BY_FAMILY = {
@@ -158,6 +180,8 @@ def base14_widths(base_name: str) -> dict[int, float] | None:
         return {c: 600.0 for c in range(0x20, 0x7F)}
     if name == "Symbol":
         return {c: float(w) for c, w in _SYMBOL_CODE_WIDTHS.items()}
+    if name == "ZapfDingbats":
+        return {c: float(w) for c, w in _ZAPF_CODE_WIDTHS.items()}
     table = _BY_FAMILY.get(name)
     if table is None:
         return None

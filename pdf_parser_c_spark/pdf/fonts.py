@@ -446,7 +446,7 @@ def _load_simple_widths(doc: PDFDocument, fd: dict, font: Font) -> None:
 
         table = base14_widths(font.name)
         if table is not None:
-            if font.encoding and font.name.split("+", 1)[-1] != "Symbol":
+            if font.encoding and font.name.split("+", 1)[-1] not in ("Symbol", "ZapfDingbats"):
                 # non-ASCII codes (WinAnsi/MacRoman accents, smart
                 # quotes) take their base letter's AFM advance
                 table = base14_extend_widths(font.name, table, font.encoding)

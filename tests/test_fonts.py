@@ -101,6 +101,11 @@ def test_base14_widths_fallback():
     assert s[0x61] == 631 and s[0x53] == 592
     assert s[0x30] == 500 and s[0x20] == 250
     assert 0x7F not in s  # math-operator tail → default width
+    # ZapfDingbats is likewise CODE-keyed from its published AFM:
+    # 0x21 = a1 scissors (974), 0x78 = a82 thin flourish (138)
+    z = base14_widths("ZapfDingbats")
+    assert z[0x21] == 974 and z[0x78] == 138 and z[0x20] == 278
+    assert 0x7F not in z  # high ornaments range → default width
 
 
 def test_base14_nonascii_extension():
