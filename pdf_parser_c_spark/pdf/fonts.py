@@ -234,6 +234,9 @@ def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
 
 _BOLD_RE = re.compile(r"bold|black|heavy|semibold|demibold|extrabold|ultra", re.I)
 _ITALIC_RE = re.compile(r"italic|oblique", re.I)
+# Predefined Unicode-valued CMaps (PDF 32000 §9.7.5.2 table 118):
+# UniJIS-UCS2-H, UniGB-UTF16-V, UniCNS-UCS2-HW-H, UniKS-UTF16-H, ...
+_PREDEF_UNICODE_CMAP_RE = re.compile(r"^Uni[A-Za-z]+-(?:UCS2|UTF16)(?:-HW)?-[HV]$")
 
 FLAG_ITALIC = 1 << 6  # FontDescriptor /Flags bit 7 (PDF 32000 table 123)
 FLAG_FORCE_BOLD = 1 << 18
@@ -271,6 +274,12 @@ class Font:
     ascent: float = 0.75
     descent: float = -0.25
     wmode: int = 0  # 1 = vertical (Identity-V / CMap /WMode 1) — B14
+    # Predefined Uni*-UCS2/UTF16 CMaps (UniGB-UCS2-H, UniJIS-UTF16-V,
+    # ...): the CODE is the UCS-2 / UTF-16BE value by construction, so
+    # text decodes with no Adobe character-collection data.  CIDs (for
+    # /W width lookup) are collection-specific and unavailable — width
+    # falls back to /DW, degrading gap heuristics only (ROADMAP).
+    code_is_unicode: bool = False
     v_default: float = 1000.0  # default vertical advance (-DW2[1]), font units
     v_widths: dict[int, float] = field(default_factory=dict)  # CID → v advance (/W2)
 
@@ -285,9 +294,25 @@ class Font:
             for code, _nbytes in self.cmap.decode_codes(raw):
                 yield self.cmap.to_cid(code), self._map(code)
         elif self.two_byte:
-            for i in range(0, len(raw) - 1, 2):
+            i, n = 0, len(raw) - 1
+            while i < n:
                 code = (raw[i] << 8) | raw[i + 1]
+                if (
+                    self.code_is_unicode
+                    and 0xD800 <= code <= 0xDBFF
+                    and i + 3 < len(raw)
+                ):
+                    low = (raw[i + 2] << 8) | raw[i + 3]
+                    if 0xDC00 <= low <= 0xDFFF:
+                        # UTF-16 surrogate pair (Uni*-UTF16 CMaps): one
+                        # glyph beyond the BMP; width key = codepoint
+                        # (CID unknown → /DW fallback either way)
+                        cp = 0x10000 + ((code - 0xD800) << 10) + (low - 0xDC00)
+                        yield cp, chr(cp)
+                        i += 4
+                        continue
                 yield code, self._map(code)
+                i += 2
         else:
             for b in raw:
                 yield b, self._map(b)
@@ -298,6 +323,10 @@ class Font:
         if code in self.encoding:
             return self.encoding[code]
         if not self.two_byte and 0x20 <= code < 0x7F:
+            return chr(code)
+        if self.code_is_unicode and not (0xD800 <= code <= 0xDFFF):
+            # Uni*-UCS2/UTF16 predefined CMaps: code == BMP codepoint
+            # (unpaired surrogates stay replacement chars)
             return chr(code)
         return "�"
 
@@ -502,9 +531,15 @@ def _descendant(doc: PDFDocument, fd: dict):
 def _load_type0(doc: PDFDocument, fd: dict, font: Font) -> None:
     font.two_byte = True  # Identity-H/V default
     enc = doc.resolve(fd.get("Encoding"))
-    if isinstance(enc, Name) and enc.name.endswith("-V"):
-        # predefined vertical CMaps (Identity-V, UniJIS-UCS2-V, ...)
-        font.wmode = 1
+    if isinstance(enc, Name):
+        if enc.name.endswith("-V"):
+            # predefined vertical CMaps (Identity-V, UniJIS-UCS2-V, ...)
+            font.wmode = 1
+        if _PREDEF_UNICODE_CMAP_RE.match(enc.name):
+            # Uni<collection>-UCS2/UTF16: code == Unicode by the CMaps'
+            # published construction — decode needs no Adobe collection
+            # data (CID-keyed /W widths do, so widths fall to /DW)
+            font.code_is_unicode = True
     if isinstance(enc, Stream):
         # embedded CMap: variable code widths + code→CID mapping
         try:

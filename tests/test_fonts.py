@@ -224,6 +224,47 @@ endbfchar
     assert abs(glyphs[3].adv - 4.0) < 1e-9
 
 
+def test_predefined_unicode_cmaps():
+    """Predefined Uni*-UCS2/UTF16 CMaps decode with no Adobe collection
+    data: the code IS the UCS-2 / UTF-16BE value (PDF 32000 §9.7.5.2).
+    CIDs stay unknown, so widths fall back to /DW (gap heuristics only)."""
+    from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+    from pdf_parser_c_spark.pdf.fonts import _PREDEF_UNICODE_CMAP_RE
+    from pdf_parser_c_spark.testkit.gen_pdf import (
+        FontSpec, PageSpec, build_pdf, tj_hex)
+
+    for name in ("UniGB-UCS2-H", "UniJIS-UTF16-V", "UniCNS-UCS2-HW-H",
+                 "UniKS-UTF16-H"):
+        assert _PREDEF_UNICODE_CMAP_RE.match(name), name
+    for name in ("Identity-H", "Identity-V", "UniJIS-UCS2", "90ms-RKSJ-H",
+                 "UniGB-UCS2-X"):
+        assert not _PREDEF_UNICODE_CMAP_RE.match(name), name
+
+    # UCS2: codes are the BMP codepoints of 你好世界
+    fonts = {"FC": FontSpec("STSong-Light", type0=True,
+                            cid_encoding="UniGB-UCS2-H")}
+    codes = [ord(c) for c in "你好世界"]
+    doc = parse_pdf_bytes(build_pdf(
+        [PageSpec(tj_hex(72, 700, "FC", 12, codes))], fonts))
+    assert "你好世界" in doc.text
+
+    # UTF16: a surrogate pair (U+20BB7 𠮷) decodes as ONE glyph
+    fonts = {"FJ": FontSpec("KozMin", type0=True,
+                            cid_encoding="UniJIS-UTF16-H")}
+    codes = [0xD842, 0xDFB7, ord("野")]
+    doc = parse_pdf_bytes(build_pdf(
+        [PageSpec(tj_hex(72, 700, "FJ", 12, codes))], fonts))
+    assert "\U00020BB7野" in doc.text
+
+    # -V variant keeps vertical mode AND Unicode decoding together
+    fonts = {"FV": FontSpec("KozMin", type0=True,
+                            cid_encoding="UniJIS-UCS2-V")}
+    codes = [ord(c) for c in "縦書き"]
+    doc = parse_pdf_bytes(build_pdf(
+        [PageSpec(tj_hex(300, 700, "FV", 12, codes))], fonts))
+    assert "縦書き" in doc.text
+
+
 def test_symbol_font_builtin_greek_encoding():
     """Symbol uses its built-in encoding when /Encoding is absent
     (PDF 32000 §9.6.6.2): Greek letters on phonetic Latin positions."""
