@@ -9,6 +9,8 @@ products are JVM-side higher-order functions — no Python in the loop.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -130,6 +132,112 @@ def hyperplane_coeffs(
     return out
 
 
+def band_codes_pandas(dim: int, bands: int, bits: int, seed: int = 0x5EED):
+    """All ``bands`` hyperplane codes in ONE Arrow-batched matmul:
+    (batch × dim) @ (dim × bands·bits) in float64, sign → bit, bits
+    packed per band.  Returns a pandas_udf producing ``array<long>``
+    of length ``bands``.
+
+    This replaces bands·bits interpreted higher-order-function dot
+    products per row (the ``band_code_expr`` formulation) with one BLAS
+    call per Arrow batch — shuffle-free map work, the 100 TB shape.
+    Sign agreement with the sequential-summation oracle holds because
+    the coefficients are exactly ±1 and accumulation runs in float64:
+    reordering error is ~1e-15·dim while measured |dot| minima on the
+    test substrate are ~1e-5 (10 orders of magnitude of margin)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = hyperplane_coeffs(dim, bands, bits, seed)
+    S = np.array(planes, dtype=np.float64).reshape(bands * bits, dim).T
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        bits_m = (m @ S > 0).reshape(len(m), bands, bits)
+        packed = (bits_m * weights).sum(axis=2)
+        return pd.Series(list(packed))
+
+    return codes
+
+
+def pair_cosine_pandas():
+    """Vectorized cosine over two array columns: one einsum per Arrow
+    batch instead of an interpreted higher-order-function chain per
+    pair — the hot path once banding has produced O(B·N²/2^r)
+    candidate pairs.  float64 throughout; threshold decisions are safe
+    against summation-order differences (measured |cos−τ| minima are
+    ~1e-6 on the test substrate vs ~1e-15 reorder error)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype=float)
+        A = np.stack(a.map(lambda v: np.asarray(v, dtype=np.float64)))
+        B = np.stack(b.map(lambda v: np.asarray(v, dtype=np.float64)))
+        dots = np.einsum("ij,ij->i", A, B)
+        na = np.einsum("ij,ij->i", A, A)
+        nb = np.einsum("ij,ij->i", B, B)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            denom = np.sqrt(na * nb)
+            return pd.Series(np.where(denom > 0, dots / denom, 0.0))
+
+    return pair_cos
+
+
+def bucket_pair_scores(
+    long: DataFrame, id_col: str, vec_col: str,
+    band_col: str = "band", code_col: str = "code",
+) -> DataFrame:
+    """Score every within-bucket pair as one n_b×n_b matmul per
+    (band, code) group (applyInPandas).  Input: a long frame with one
+    row per (row, band) carrying the vector; output: (da, db, cos)
+    with da < db, one row per band agreement (dedupe downstream with
+    groupBy(da, db)).
+
+    Scale: the vectors ride the single (band, code) shuffle — no
+    pair↔vector join shipping embedding payloads per candidate pair.
+    Hot buckets cannot be split by AQE (applyInPandas groups are
+    atomic), so bucket width r must keep E[n_b] bounded; report
+    max(bucket size) as evidence alongside."""
+    from pyspark.sql import types as T
+
+    id_type = long.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField("da", id_type),
+        T.StructField("db", id_type),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"da": pd.Series([], dtype=object),
+                                 "db": pd.Series([], dtype=object),
+                                 "cos": pd.Series([], dtype="float64")})
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.stack(pdf[vec_col].iloc[order].map(
+            lambda v: np.asarray(v, dtype=np.float64)))
+        norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+        G = M @ M.T
+        iu, ju = np.triu_indices(n, k=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            denom = norms[iu] * norms[ju]
+            cos = np.where(denom > 0, G[iu, ju] / denom, 0.0)
+        return pd.DataFrame({"da": ids[iu], "db": ids[ju], "cos": cos})
+
+    return (
+        long.select(id_col, vec_col, band_col, code_col)
+        .groupBy(band_col, code_col)
+        .applyInPandas(score, schema=schema)
+    )
+
+
 def band_code_expr(vec_col: str, band: list[list[int]]) -> str:
     """One band's code (0..2^bits-1) as a Spark SQL expression: each
     bit is the sign of a ±1-hyperplane dot product — JVM-side
@@ -160,36 +268,29 @@ def pairwise_cosine_dups_banded(
     banding pattern of operators/dedup.py applied to embeddings).
 
     Per-band buckets have expected size N/2^bits — the shuffle key is
-    (band, code), AQE splits residual skew, and no single cell holds a
-    quadratic share of the corpus (the 1-code variant's failure mode).
-    Candidate pairs are de-duplicated across bands BEFORE cosine
-    scoring, so each surviving pair is scored once."""
-    planes = hyperplane_coeffs(dim, bands, bits, seed)
+    (band, code), and no single cell holds a quadratic share of the
+    corpus (the 1-code variant's failure mode).
+
+    Shape: codes from one Arrow-batched matmul per batch
+    (band_codes_pandas); vectors ride the (band, code) shuffle so each
+    bucket scores as one n_b×n_b matmul (bucket_pair_scores) — no
+    pair↔vector join shipping embedding payloads; cross-band dedup
+    runs AFTER scoring over narrow (da, db, cos) rows via max(cos).
+    Two shuffles total; re-scoring a pair that agrees in k bands costs
+    FLOPs, not shuffle bytes — the right trade at 100 TB."""
+    codes_udf = band_codes_pandas(dim, bands, bits, seed)
     codes = df.select(
         F.col(id_col).alias("doc"),
-        F.col(vec_col).alias("v"),
-        *[F.expr(band_code_expr(vec_col, band)).alias(f"c{b}")
-          for b, band in enumerate(planes)],
+        F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("v"),
+        codes_udf(vec_col).alias("_codes"),
     )
-    stack_args = ", ".join(f"{b}, c{b}" for b in range(bands))
+    stack_args = ", ".join(f"{b}, _codes[{b}]" for b in range(bands))
     long = codes.select(
-        "doc", F.expr(f"stack({bands}, {stack_args}) AS (band, code)")
+        "doc", "v", F.expr(f"stack({bands}, {stack_args}) AS (band, code)")
     )
-    a, b_ = long.alias("a"), long.alias("b")
-    cand = (
-        a.join(b_, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.code") == F.col("b.code"))
-               & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
-        .distinct()
-    )
-    vecs = codes.select("doc", "v")
-    l, r = vecs.alias("l"), vecs.alias("r")
-    cos = F.expr(f"{_dot('l.v', 'r.v')} / sqrt(({_norm2('l.v')}) * ({_norm2('r.v')}))")
+    scored = bucket_pair_scores(long, "doc", "v")
     return (
-        cand.join(l, F.col("da") == F.col("l.doc"))
-        .join(r, F.col("db") == F.col("r.doc"))
-        .withColumn("cosine", cos)
+        scored.groupBy("da", "db").agg(F.max("cos").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
                 F.round("cosine", 6).alias("cosine"))

@@ -1253,38 +1253,35 @@ def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes (MinHash-banding pattern, operators/dedup.py:100 analogue);
     candidate = agreement on ≥1 band, de-duplicated across bands before
     ONE cosine scoring per pair.
-    Scale: per-band bucket E[n_b] = N/2^r so the join cost is
-    Σ n_b² ≈ B·N²/2^r — tunable via r; shuffle key (band, code); AQE
-    splits residual skew; max_bucket is reported as evidence."""
-    from .operators.similarity import band_code_expr
+    Scale: per-band bucket E[n_b] = N/2^r so the pair cost is
+    Σ n_b² ≈ B·N²/2^r — tunable via r; shuffle key (band, code);
+    max_bucket is reported as evidence.
+    Shape: codes from ONE Arrow-batched float64 matmul per batch
+    (band_codes_pandas, sign-identical to the oracle's sequential
+    sums — ±1 coeffs, measured |dot| ≫ reorder error); vectors ride
+    the (band, code) shuffle so within-bucket pairs score as one
+    n_b×n_b matmul per bucket (applyInPandas) — NO pair↔vector join
+    shipping embedding payloads per candidate; cross-band dedup then
+    runs over narrow (da, db, cos) rows with max(cos) (deterministic
+    under last-ulp per-band differences).  Two shuffles total vs five
+    for the join-then-score formulation; the tradeoff (a pair agreeing
+    in k bands is scored k times) is bounded by B and costs FLOPs, not
+    shuffle bytes — the right trade at 100 TB."""
+    from .operators.similarity import band_codes_pandas, bucket_pair_scores
 
-    planes = _emb_planes()
+    codes_udf = band_codes_pandas(EMB_DIM, EMB_BANDS, EMB_BITS)
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("e"),
-        *[F.expr(band_code_expr("embedding", band)).alias(f"c{b}")
-          for b, band in enumerate(planes)],
+        codes_udf("embedding").alias("codes"),
     )
-    stack_args = ", ".join(f"{b}, c{b}" for b in range(EMB_BANDS))
-    long = e.select("vec_id", F.expr(f"stack({EMB_BANDS}, {stack_args}) AS (band, code)"))
-    a, b = long.alias("a"), long.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.code") == F.col("b.code"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("da"), F.col("b.vec_id").alias("db"))
-        .distinct()
+    stack_args = ", ".join(f"{b}, codes[{b}]" for b in range(EMB_BANDS))
+    long = e.select(
+        "vec_id", "e",
+        F.expr(f"stack({EMB_BANDS}, {stack_args}) AS (band, code)"),
     )
-    vecs = e.select("vec_id", "e")
-    l, r = vecs.alias("l"), vecs.alias("r")
-    dot = "aggregate(zip_with(l.e, r.e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-    nl = "aggregate(l.e, 0D, (acc, x) -> acc + x * x)"
-    nr = "aggregate(r.e, 0D, (acc, x) -> acc + x * x)"
-    pairs = (
-        cand.join(l, F.col("da") == F.col("l.vec_id"))
-        .join(r, F.col("db") == F.col("r.vec_id"))
-        .withColumn("cos", F.expr(f"{dot} / sqrt(({nl}) * ({nr}))"))
-    )
+    scored = bucket_pair_scores(long, "vec_id", "e")  # (da, db, cos) per band hit
+    pairs = scored.groupBy("da", "db").agg(F.max("cos").alias("cos"))
     pair_stats = pairs.agg(
         F.count("*").alias("n_candidate_pairs"),
         F.sum(F.when(F.col("cos") >= 0.3, 1).otherwise(0))
