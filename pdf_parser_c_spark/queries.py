@@ -732,31 +732,39 @@ MAX_SHINGLE_DF = 200  # blocking: shingles in more docs than this are
 # (jaccard denominators still use FULL per-doc shingle counts)
 
 
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles: array<string>) — per-doc DISTINCT 4-word
+    shingles computed entirely map-side (split once, transform,
+    array_distinct).  Shared by the shingle-dedup family so distinct-
+    shingle sets, set sizes, and MinHash signatures are array ops with
+    NO shuffle; only the inverted index (global DF + candidate join)
+    shuffles shingle keys."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.expr("size(ws) >= 4"))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(1, size(ws) - 3),"
+                " i -> array_join(slice(ws, i, 4), ' ')))"
+            ).alias("shingles"),
+        )
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: 4-word shingles → document-frequency-capped
     inverted index → candidate pairs sharing a rare shingle →
     Jaccard ≥ 0.2.
     Scale: the DF cap bounds the hottest join key at MAX_SHINGLE_DF, so
     the self-join's worst key yields ≤ df² pairs regardless of corpus
-    size; AQE skew join handles the residue.  Result: one row."""
-    d = t(spark, sf_dir, "documents")
-    sh = (
-        d.filter(F.expr("size(split(text, ' ')) >= 4"))  # matches oracle's len(ws) >= 4
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 3),"
-                    " i -> array_join(slice(split(text, ' '), i, 4), ' '))"
-                )
-            ).alias("s"),
-        )
-        .distinct()
-    )
-    # the inverted index feeds several consumers (sizes + both join
-    # sides); persist so the explode+distinct shuffle happens once
-    sh = sh.persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    size; AQE skew join handles the residue.  Result: one row.
+    Per-doc distinct shingles and set sizes are map-side array ops
+    (_shingled) — the old explode+distinct shuffle is gone."""
+    docs = _shingled(spark, sf_dir)
+    sizes = docs.select("doc_id", F.expr("size(shingles)").alias("n"))
+    sh = docs.select("doc_id", F.explode("shingles").alias("s"))
     rare = (
         sh.groupBy("s").agg(F.count("*").alias("df"))
         .filter(F.col("df") <= MAX_SHINGLE_DF)
@@ -812,24 +820,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash functions; pairs agreeing on any band are LSH candidates.
     Here: signature → band collision census (how many buckets hold >1
     doc per hash function).
-    Scale: explode → K min-aggs in ONE groupBy pass, then ONE unpivot
-    (stack) + census agg — the signature frame is never recomputed per
-    hash function."""
-    d = t(spark, sf_dir, "documents")
-    sh = d.filter(F.expr("size(split(text, ' ')) >= 4")).select(
+    Scale: signatures are map-side array ops (_shingled +
+    array_min(transform(...)) per hash fn — NO shuffle to build them),
+    then ONE unpivot (stack) + census agg; the only shuffle is the
+    (hash_fn, bucket) census itself."""
+    docs = _shingled(spark, sf_dir)
+    sig = docs.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 3),"
-                " i -> array_join(slice(split(text, ' '), i, 4), ' '))"
-            )
-        ).alias("s"),
-    ).distinct()
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"salt{k}:"), F.col("s")))).alias(f"mh{k}")
-        for k in range(N_MINHASH)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+        *[F.expr(
+            f"array_min(transform(shingles, x -> md5(concat('salt{k}:', x))))"
+        ).alias(f"mh{k}") for k in range(N_MINHASH)],
+    )
     stack_args = ", ".join(f"{k}, mh{k}" for k in range(N_MINHASH))
     long = sig.select(
         F.expr(f"stack({N_MINHASH}, {stack_args}) AS (hash_fn, bucket)")
@@ -876,19 +877,12 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare shingle), count how many of the K hash functions agree and
     cross-tabulate against exact Jaccard ≥ 0.2.  All-integer output —
     the estimator-quality census (agreement k/K ≈ Jaccard).
-    Scale: signatures in one groupBy pass; pair space bounded by the
-    same DF-capped inverted index as the exact query."""
-    d = t(spark, sf_dir, "documents")
-    sh = d.filter(F.expr("size(split(text, ' ')) >= 4")).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 3),"
-                " i -> array_join(slice(split(text, ' '), i, 4), ' '))"
-            )
-        ).alias("s"),
-    ).distinct().persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    Scale: per-doc shingle sets, sizes, AND signatures are map-side
+    array ops (_shingled) — no shuffle to build any of them; pair space
+    bounded by the same DF-capped inverted index as the exact query."""
+    docs = _shingled(spark, sf_dir)
+    sizes = docs.select("doc_id", F.expr("size(shingles)").alias("n"))
+    sh = docs.select("doc_id", F.explode("shingles").alias("s"))
     rare = (
         sh.groupBy("s").agg(F.count("*").alias("df"))
         .filter(F.col("df") <= MAX_SHINGLE_DF).select("s")
@@ -900,11 +894,12 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .agg(F.count("*").alias("common"))
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"salt{k}:"), F.col("s")))).alias(f"mh{k}")
-        for k in range(N_MINHASH)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig = docs.select(
+        "doc_id",
+        *[F.expr(
+            f"array_min(transform(shingles, x -> md5(concat('salt{k}:', x))))"
+        ).alias(f"mh{k}") for k in range(N_MINHASH)],
+    )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     ga, gb = sig.alias("ga"), sig.alias("gb")
     agree = sum(
