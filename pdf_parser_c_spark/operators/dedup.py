@@ -5,8 +5,9 @@ this module is the user-facing API: give it (id_col, text_col), get
 back duplicate groups / near-dup pairs / signatures.
 
 Scale properties (same as the catalog forms): inverted indexes are
-document-frequency-capped so the hottest join key is bounded; MinHash
-signatures are computed in one groupBy pass; everything stays JVM-side.
+document-frequency-capped so the hottest join key is bounded; per-doc
+shingle sets, set sizes, and MinHash signatures are map-side array ops
+(shingle_sets) with no shuffle; everything stays JVM-side.
 """
 
 from __future__ import annotations
@@ -34,19 +35,30 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
     return df.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
-    """Distinct word n-gram shingles: (doc, s)."""
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
+    """(doc, shingles: array<string>) — per-doc DISTINCT word n-gram
+    shingles, computed entirely map-side (split once, transform,
+    array_distinct): the distinct-per-doc shuffle of the exploded form
+    is free here, and set sizes / MinHash signatures derive as array
+    ops with no shuffle at all."""
     # sequence(1, k) DESCENDS for k < 1, so texts shorter than n words
     # must yield an empty array explicitly
     expr = (
-        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
-        f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
-        f" i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')) "
+        f"CASE WHEN size(ws) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(ws) - {n - 1}),"
+        f" i -> array_join(slice(ws, i, {n}), ' '))) "
         f"ELSE array() END"
     )
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(F.expr(expr)).alias("s"))
-        .distinct()
+        df.select(F.col(id_col).alias("doc"), F.split(text_col, " ").alias("ws"))
+        .select("doc", F.expr(expr).alias("shingles"))
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
+    """Distinct word n-gram shingles: (doc, s)."""
+    return shingle_sets(df, id_col, text_col, n).select(
+        "doc", F.explode("shingles").alias("s")
     )
 
 
@@ -61,8 +73,9 @@ def ngram_jaccard_pairs(
     """Near-dup pairs (doc_a, doc_b, jaccard ≥ threshold) via a
     DF-capped inverted index.  Jaccard denominators use FULL per-doc
     shingle counts; the cap only prunes candidate generation."""
-    sh = shingles(df, id_col, text_col, n).persist()
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    sets = shingle_sets(df, id_col, text_col, n)
+    sizes = sets.select("doc", F.expr("size(shingles)").alias("n"))
+    sh = sets.select("doc", F.explode("shingles").alias("s"))
     rare = (
         sh.groupBy("s").agg(F.count("*").alias("df"))
         .filter(F.col("df") <= max_shingle_df)
@@ -88,13 +101,17 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 4, num_hashes: int = 8
 ) -> DataFrame:
-    """(doc, mh0..mhK) MinHash signature in one groupBy pass."""
-    sh = shingles(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"salt{k}:"), F.col("s")))).alias(f"mh{k}")
-        for k in range(num_hashes)
-    ]
-    return sh.groupBy("doc").agg(*aggs)
+    """(doc, mh0..mhK) MinHash signature — map-side array ops, no
+    shuffle (docs shorter than ``n`` words are dropped, matching the
+    exploded form where they produce no shingle rows)."""
+    return shingle_sets(df, id_col, text_col, n).filter(
+        F.expr("size(shingles) >= 1")
+    ).select(
+        "doc",
+        *[F.expr(
+            f"array_min(transform(shingles, x -> md5(concat('salt{k}:', x))))"
+        ).alias(f"mh{k}") for k in range(num_hashes)],
+    )
 
 
 def lsh_candidate_pairs(
