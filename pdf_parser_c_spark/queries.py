@@ -1037,10 +1037,22 @@ def _simhash_wide_bit_exprs() -> list[str]:
 
 def _simhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    # hoist the two digests into ONE projection: aggregate expressions
+    # don't share subexpression elimination, so inlining md5(w) into
+    # each of the 60 vote sums would hash every word 60 times
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).select(
+        "doc_id",
+        F.md5("w").alias("h1"),
+        F.md5(F.concat(F.col("w"), F.lit("#"))).alias("h2"),
+    )
     votes = [
-        F.sum(F.expr(e) * 2 - 1).alias(f"v{j}")
-        for j, e in enumerate(_simhash_wide_bit_exprs())
+        F.sum(F.expr(
+            f"(instr('0123456789abcdef', substr({'h1' if j < 32 else 'h2'},"
+            f" {(j % 32) + 1}, 1)) - 1) % 2"
+        ) * 2 - 1).alias(f"v{j}")
+        for j in range(N_SIMHASH_WIDE_BITS)
     ]
     sig_terms = " + ".join(
         f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
