@@ -180,6 +180,25 @@ def test_banded_embedding_dedup_bounded_and_correct(spark):
     assert max_bucket < n / 4  # far below one-cell blowup
 
 
+def test_banded_dedup_string_ids(spark):
+    """bucket_pair_scores inherits the id column's type — string doc
+    ids survive the banded pipeline (da < db is lexicographic)."""
+    from pdf_parser_c_spark.operators.similarity import pairwise_cosine_dups_banded
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .selectExpr("concat('doc-', lpad(CAST(vec_id AS STRING), 6, '0')) AS sid",
+                    "embedding")
+    )
+    pairs = pairwise_cosine_dups_banded(
+        emb, "sid", "embedding", 0.3, dim=64, bands=8, bits=6
+    ).collect()
+    assert pairs
+    for r in pairs:
+        assert isinstance(r["doc_a"], str) and r["doc_a"] < r["doc_b"]
+        assert r["cosine"] >= 0.3
+
+
 def test_banded_coeffs_deterministic():
     from pdf_parser_c_spark.operators.similarity import hyperplane_coeffs
 
