@@ -738,7 +738,13 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_distinct).  Shared by the shingle-dedup family so distinct-
     shingle sets, set sizes, and MinHash signatures are array ops with
     NO shuffle; only the inverted index (global DF + candidate join)
-    shuffles shingle keys."""
+    shuffles shingle keys.
+
+    The sets frame is persisted: every consumer (sizes, signatures,
+    both sides of the candidate join, the DF count) would otherwise
+    re-run the ~N·L shingle construction per plan branch — measured 3×
+    the whole query's useful work at sf0.1.  At 100 TB the same role
+    is played by materializing the shingle table once per dedup run."""
     return (
         t(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("ws"))
@@ -750,6 +756,7 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> array_join(slice(ws, i, 4), ' ')))"
             ).alias("shingles"),
         )
+        .persist()
     )
 
 
