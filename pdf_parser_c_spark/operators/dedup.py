@@ -73,7 +73,10 @@ def ngram_jaccard_pairs(
     """Near-dup pairs (doc_a, doc_b, jaccard ≥ threshold) via a
     DF-capped inverted index.  Jaccard denominators use FULL per-doc
     shingle counts; the cap only prunes candidate generation."""
-    sets = shingle_sets(df, id_col, text_col, n)
+    # persisted: sizes, the DF count, and both candidate-join sides all
+    # consume the sets frame — uncached, the shingle construction
+    # re-runs per plan branch
+    sets = shingle_sets(df, id_col, text_col, n).persist()
     sizes = sets.select("doc", F.expr("size(shingles)").alias("n"))
     sh = sets.select("doc", F.explode("shingles").alias("s"))
     rare = (
