@@ -17,6 +17,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+import numpy as _np
+
 from .cos import Name, PDFDocument, Stream
 
 # WinAnsiEncoding codepoints for 0x80..0x9F (the rest is latin-1).
@@ -455,16 +457,17 @@ def _load_simple_widths(doc: PDFDocument, fd: dict, font: Font) -> None:
         table = font.widths
         try:
             # widths are almost always a plain numeric list (the parser's
-            # bulk numeric-array path guarantees floats/ints): validate
-            # with one C-level scan, then build in one dict() call —
-            # measurably cheaper than a generator update with per-element
-            # float coercion.  Mixed arrays (Ref, bytes) route to the
-            # resolving loop below.
-            if all(type(w) is float or type(w) is int for w in widths):
+            # bulk numeric-array path guarantees floats/ints): one
+            # C-level dtype probe (np.asarray of a mixed list yields
+            # object dtype), then one bulk dict update — cheaper than
+            # either a per-element validation scan or a generator update
+            # with per-element float coercion.  Mixed arrays (Ref,
+            # bytes) route to the resolving loop below.
+            if _np.asarray(widths).dtype.kind in "if":
                 table.update(enumerate(widths, base))
             else:
                 raise TypeError
-        except TypeError:
+        except (TypeError, ValueError):
             for i, w in enumerate(widths):
                 if isinstance(w, (int, float)):
                     table[base + i] = float(w)
