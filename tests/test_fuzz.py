@@ -197,6 +197,22 @@ def test_png_decoder_never_crashes(data):
         pass  # the only allowed failure mode
 
 
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=80))
+def test_predefined_unicode_cmap_decode_roundtrip(s):
+    """Uni*-UTF16 decode property: UTF-16BE bytes of ANY text decode
+    back to the text itself (surrogate pairs handled; lone-surrogate
+    halves are unrepresentable in st.text so codes == codepoints)."""
+    from pdf_parser_c_spark.pdf.fonts import Font
+
+    f = Font(uid=1, ref_num=1, ref_gen=0, name="T", subtype="Type0")
+    f.two_byte = True
+    f.code_is_unicode = True
+    raw = s.encode("utf-16-be")
+    out = "".join(u for _, u in f.decode(raw))
+    assert out == s
+
+
 def test_content_operator_soup_never_crashes():
     """Fuzz the content-stream INTERPRETER directly: the byte-level
     mutations above mostly die at the filter/xref layer (Flate
