@@ -77,6 +77,36 @@ def cosine_topk_bucketed(
     )
 
 
+def cosine_topk_multiprobe(
+    df: DataFrame, id_col: str, vec_col: str, query_id, k: int = 10, bits: int = 4
+) -> DataFrame:
+    """Multi-probe ANN: score the query's LSH cell PLUS every cell at
+    Hamming distance 1 from it (bits+1 cells of 2^bits).  Recovers most
+    of the recall the single-probe variant loses to boundary vectors —
+    near-neighbors that disagree with the query on exactly one
+    hyperplane sign — while still scanning only (bits+1)/2^bits of the
+    corpus at scale."""
+    bucketed = df.withColumn("_bucket", hyperplane_bucket(vec_col, bits))
+    q = (
+        bucketed.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("_q"), F.col("_bucket").alias("_qb"))
+    )
+    probes = ", ".join(str(1 << i) for i in range(bits))
+    cos = F.expr(
+        f"{_dot(vec_col, '_q')} / sqrt(({_norm2(vec_col)}) * ({_norm2('_q')}))"
+    )
+    return (
+        bucketed.join(
+            F.broadcast(q),
+            F.expr(f"_bucket = _qb OR (_bucket ^ _qb) IN ({probes})"),
+        )
+        .withColumn("cosine", cos)
+        .drop("_q", "_qb", "_bucket")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_scores_pandas(
     df: DataFrame, id_col: str, vec_col: str, query_vec: list[float]
 ) -> DataFrame:

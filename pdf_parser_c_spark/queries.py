@@ -1209,6 +1209,39 @@ _HYPERPLANE_BUCKET = (
 )
 
 
+def q_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: top-k by cosine against vec_id=0, scanning
+    the query's hyperplane cell plus its bits Hamming-1 neighbors
+    (5 of 16 cells) — the recall-repair step over single-probe LSH.
+    Scale: probe set is (bits+1)/2^bits of the corpus; the query row
+    broadcasts; top-k is TakeOrdered, no global sort."""
+    from .operators.similarity import cosine_topk_multiprobe
+
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        cosine_topk_multiprobe(e, "vec_id", "embedding", query_id=0, k=10, bits=4)
+        .select("vec_id", "label", F.round("cosine", 4).alias("cos"))
+    )
+
+
+SQL_SIM_MULTIPROBE = """
+WITH b AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         CAST(CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+  FROM embeddings),
+q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(list_dot_product(e, qe) /
+             sqrt(list_dot_product(e, e) * list_dot_product(qe, qe)), 4) AS cos
+FROM b, q
+WHERE bucket = qb OR xor(bucket, qb) IN (1, 2, 4, 8)
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: hyperplane-bucket blocking (16 cells)
     → within-bucket pair search → cosine threshold.
@@ -1905,6 +1938,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_simhash": (q_text_simhash, _sql_simhash()),
     "sim_bruteforce_topk": (q_sim_bruteforce_topk, SQL_SIM_BRUTEFORCE),
     "sim_lsh_bucketed": (q_sim_lsh_bucketed, SQL_SIM_LSH),
+    "sim_lsh_multiprobe": (q_sim_lsh_multiprobe, SQL_SIM_MULTIPROBE),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKENS),
