@@ -86,6 +86,35 @@ def fingerprint(col: str = "text", head: int = 64, len_bucket: int = 100) -> Col
     )
 
 
+# PII patterns shared with the DuckDB oracle: plain character classes
+# only (no lookaround, no \b ambiguity) so Java regex and RE2 agree.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+PII_URL = "https?://[^ \\t\\r\\n]+"
+_PII_ORDERED = (("url", PII_URL), ("email", PII_EMAIL), ("ipv4", PII_IPV4))
+
+
+def pii_counts(col: str = "text") -> dict[str, Column]:
+    """Per-kind PII match counts, each pattern counted independently
+    (an email embedded in a URL shows up under both; the scrub order
+    decides which placeholder it becomes).  Column-API patterns (no
+    SQL string literals) so backslashes survive verbatim."""
+    return {
+        kind: F.size(F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(0)))
+        for kind, pat in _PII_ORDERED
+    }
+
+
+def scrub_pii(col: str = "text") -> Column:
+    """Redact URLs → emails → IPv4s with typed placeholders, in that
+    order (URL first so its embedded host/credentials never surface as
+    a partial email/IP match).  Pure regexp_replace chain — JVM-side,
+    order-deterministic, safe to run idempotently."""
+    out = F.regexp_replace(F.col(col), PII_URL, "<URL>")
+    out = F.regexp_replace(out, PII_EMAIL, "<EMAIL>")
+    return F.regexp_replace(out, PII_IPV4, "<IP>")
+
+
 def lang_ngram_prediction(profiles: dict[str, tuple[str, ...]], col: str = "text") -> Column:
     """Language-ID via char n-gram profiles: argmax of per-language
     trigram-hit counts, deterministic first-wins tiebreak.  The second

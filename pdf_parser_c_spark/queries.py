@@ -1746,6 +1746,91 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing census: deterministic PII injection from doc_id
+    (email / URL-with-embedded-email / IPv4 / none), then typed-
+    placeholder redaction (functions.text.scrub_pii: URL → email → IP
+    so URL-embedded credentials never leak a partial match) and
+    per-kind counts before/after.  residual == 0 proves idempotent
+    full-coverage scrubbing.
+    Scale: pure regexp map + 4-row agg, no shuffle beyond the final
+    exchange."""
+    from .functions.text import pii_counts, scrub_pii
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    injected = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"), did, F.lit("@example.com")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.col("text"), F.lit(" see https://host"), did,
+                       F.lit(".example/u?e=a@b.co x")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.col("text"), F.lit(" from 10.0."),
+                       (F.col("doc_id") % 250).cast("string"), F.lit(".1")))
+        .otherwise(F.col("text"))
+    )
+    base = d.select((F.col("doc_id") % 4).cast("int").alias("kind"),
+                    injected.alias("text"))
+    counts = pii_counts("text")
+    scrubbed = base.select(
+        "kind",
+        counts["url"].alias("n_url"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        scrub_pii("text").alias("clean"),
+    )
+    res = pii_counts("clean")
+    return (
+        scrubbed.withColumn(
+            "residual", res["url"] + res["email"] + res["ipv4"])
+        .groupBy("kind")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_url").cast("long").alias("urls"),
+             F.sum("n_email").cast("long").alias("emails"),
+             F.sum("n_ipv4").cast("long").alias("ipv4s"),
+             F.sum("residual").cast("long").alias("residual"))
+        .orderBy("kind")
+    )
+
+
+def _sql_pii_scrub() -> str:
+    from .functions.text import PII_EMAIL, PII_IPV4, PII_URL
+
+    def n(col, pat):
+        return f"len(regexp_extract_all({col}, '{pat}'))"
+
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(text,"
+        f" '{PII_URL}', '<URL>', 'g'),"
+        f" '{PII_EMAIL}', '<EMAIL>', 'g'),"
+        f" '{PII_IPV4}', '<IP>', 'g')"
+    )
+    return f"""
+WITH inj AS (
+  SELECT CAST(doc_id % 4 AS INTEGER) AS kind,
+         CASE WHEN doc_id % 4 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              WHEN doc_id % 4 = 1 THEN text || ' see https://host' || CAST(doc_id AS VARCHAR) || '.example/u?e=a@b.co x'
+              WHEN doc_id % 4 = 2 THEN text || ' from 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.1'
+              ELSE text END AS text
+  FROM documents),
+s AS (
+  SELECT kind,
+         {n('text', PII_URL)} AS n_url,
+         {n('text', PII_EMAIL)} AS n_email,
+         {n('text', PII_IPV4)} AS n_ipv4,
+         {scrub} AS clean
+  FROM inj)
+SELECT kind, count(*) AS n_docs,
+       CAST(sum(n_url) AS BIGINT) AS urls,
+       CAST(sum(n_email) AS BIGINT) AS emails,
+       CAST(sum(n_ipv4) AS BIGINT) AS ipv4s,
+       CAST(sum({n('clean', PII_URL)} + {n('clean', PII_EMAIL)}
+              + {n('clean', PII_IPV4)}) AS BIGINT) AS residual
+FROM s GROUP BY kind ORDER BY kind
+"""
+
+
 def q_section_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14/A15 driver-visible output: armored PDF transcripts through
     the full kernel, sections exploded to (id, parent_id) adjacency
@@ -1943,6 +2028,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKENS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_pii_scrub": (q_text_pii_scrub, _sql_pii_scrub()),
     "text_quality_gopher": (q_text_quality_gopher, SQL_TEXT_GOPHER),
     "dedup_exact_normalized": (q_dedup_exact_normalized, SQL_DEDUP_EXACT_NORM),
     # rows-only (non-SQL-expressible): the full extraction engine

@@ -180,6 +180,34 @@ def test_banded_embedding_dedup_bounded_and_correct(spark):
     assert max_bucket < n / 4  # far below one-cell blowup
 
 
+def test_pii_scrub(spark):
+    """scrub_pii: URL → email → IP order; an email inside a URL is
+    redacted as part of the URL, never leaks as a partial match;
+    idempotent (scrubbing clean text is a no-op)."""
+    from pdf_parser_c_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [("mail bob@corp.io now",),
+         ("go to https://u.example/login?email=a@b.co then stop",),
+         ("peer 192.168.1.254 up",),
+         ("nothing here",)],
+        ["text"],
+    )
+    out = [r["clean"] for r in
+           df.select(scrub_pii("text").alias("clean")).collect()]
+    assert out[0] == "mail <EMAIL> now"
+    assert out[1] == "go to <URL> then stop"
+    assert out[2] == "peer <IP> up"
+    assert out[3] == "nothing here"
+    # idempotent + zero residual
+    clean = df.select(scrub_pii("text").alias("text"))
+    counts = pii_counts("text")
+    row = clean.select(
+        (counts["url"] + counts["email"] + counts["ipv4"]).alias("n")
+    ).groupBy().sum("n").collect()[0][0]
+    assert row == 0
+
+
 def test_multiprobe_recall_beats_single_probe(spark):
     """Hamming-1 multi-probe recovers boundary neighbors that
     single-probe LSH loses: on the substrate, top-10 recall vs exact
