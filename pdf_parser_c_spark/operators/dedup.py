@@ -117,6 +117,34 @@ def minhash_signatures(
     )
 
 
+def contamination_overlap(
+    corpus: DataFrame, benchmark: DataFrame,
+    id_col: str, text_col: str, n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, how many of its
+    distinct word n-grams appear anywhere in the benchmark set —
+    (doc, n_overlap) for docs with ≥1 hit.  Filter the corpus with an
+    anti-join on the result to decontaminate.
+
+    Scale: the benchmark's distinct shingle set is tiny next to the
+    corpus (eval suites vs training data) — Spark broadcasts it, so
+    the probe is a map-side hash join over the corpus's exploded
+    shingles; no corpus-sized shuffle.  (At extreme benchmark sizes
+    the same shape degrades gracefully to a shuffle join.)"""
+    bench = (
+        shingle_sets(benchmark, id_col, text_col, n)
+        .select(F.explode("shingles").alias("s")).distinct()
+    )
+    corp = shingle_sets(corpus, id_col, text_col, n).select(
+        "doc", F.explode("shingles").alias("s")
+    )
+    return (
+        corp.join(F.broadcast(bench), "s")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 4,
     num_hashes: int = 8, bands: int = 4,

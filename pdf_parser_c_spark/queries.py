@@ -1831,6 +1831,54 @@ FROM s GROUP BY kind ORDER BY kind
 """
 
 
+def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination census: docs with doc_id < 40 act as
+    the held-out benchmark; for the rest, count docs sharing ≥1
+    distinct 4-word shingle with it, bucketed by overlap depth.
+    Scale: the benchmark shingle set broadcasts (eval suites are tiny
+    next to training corpora), so the probe is a map-side hash join
+    over the corpus's exploded shingles — no corpus-sized shuffle."""
+    from .operators.dedup import contamination_overlap
+
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 40)
+    corpus = d.filter(F.col("doc_id") >= 40)
+    hits = contamination_overlap(corpus, bench, "doc_id", "text", 4)
+    bucket = (
+        F.when(F.col("n_overlap") >= 20, F.lit("20+"))
+        .when(F.col("n_overlap") >= 5, F.lit("5-19"))
+        .otherwise(F.lit("1-4"))
+    )
+    return (
+        hits.withColumn("overlap_bucket", bucket)
+        .groupBy("overlap_bucket")
+        .agg(F.count("*").alias("n_contaminated_docs"),
+             F.sum("n_overlap").cast("long").alias("total_overlaps"))
+        .orderBy("overlap_bucket")
+    )
+
+
+SQL_DEDUP_CONTAMINATION = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, len(ws) - 3),
+                                    i -> array_to_string(ws[i:i+3], ' '))) AS s
+       FROM w WHERE len(ws) >= 4),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 40),
+hits AS (
+  SELECT sh.doc_id, count(*) AS n_overlap
+  FROM sh JOIN bench USING (s)
+  WHERE sh.doc_id >= 40
+  GROUP BY sh.doc_id)
+SELECT CASE WHEN n_overlap >= 20 THEN '20+'
+            WHEN n_overlap >= 5 THEN '5-19'
+            ELSE '1-4' END AS overlap_bucket,
+       count(*) AS n_contaminated_docs,
+       CAST(sum(n_overlap) AS BIGINT) AS total_overlaps
+FROM hits GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_section_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14/A15 driver-visible output: armored PDF transcripts through
     the full kernel, sections exploded to (id, parent_id) adjacency
@@ -2029,6 +2077,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKENS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_pii_scrub": (q_text_pii_scrub, _sql_pii_scrub()),
+    "dedup_contamination": (q_dedup_contamination, SQL_DEDUP_CONTAMINATION),
     "text_quality_gopher": (q_text_quality_gopher, SQL_TEXT_GOPHER),
     "dedup_exact_normalized": (q_dedup_exact_normalized, SQL_DEDUP_EXACT_NORM),
     # rows-only (non-SQL-expressible): the full extraction engine

@@ -180,6 +180,23 @@ def test_banded_embedding_dedup_bounded_and_correct(spark):
     assert max_bucket < n / 4  # far below one-cell blowup
 
 
+def test_contamination_overlap(spark):
+    """Docs sharing 4-grams with the benchmark are flagged with exact
+    overlap counts; clean docs are absent (anti-join = decontaminate)."""
+    from pdf_parser_c_spark.operators.dedup import contamination_overlap
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"),   # shares 2 shingles
+         (2, "totally novel words only here now"),
+         (3, "over the lazy dog sleeps")],        # shares 1 shingle
+        ["doc_id", "text"])
+    rows = {r["doc"]: r["n_overlap"] for r in
+            contamination_overlap(corpus, bench, "doc_id", "text").collect()}
+    assert rows == {1: 2, 3: 1}
+
+
 def test_pii_scrub(spark):
     """scrub_pii: URL → email → IP order; an email inside a URL is
     redacted as part of the URL, never leaks as a partial match;
