@@ -232,7 +232,8 @@ def bucket_pair_scores(
     pair↔vector join shipping embedding payloads per candidate pair.
     Hot buckets cannot be split by AQE (applyInPandas groups are
     atomic), so bucket width r must keep E[n_b] bounded; report
-    max(bucket size) as evidence alongside."""
+    max(bucket size) as evidence alongside.  Null vectors are dropped
+    (they can score against nothing)."""
     from pyspark.sql import types as T
 
     id_type = long.schema[id_col].dataType
@@ -263,6 +264,7 @@ def bucket_pair_scores(
 
     return (
         long.select(id_col, vec_col, band_col, code_col)
+        .filter(F.col(vec_col).isNotNull())
         .groupBy(band_col, code_col)
         .applyInPandas(score, schema=schema)
     )
@@ -309,7 +311,7 @@ def pairwise_cosine_dups_banded(
     Two shuffles total; re-scoring a pair that agrees in k bands costs
     FLOPs, not shuffle bytes — the right trade at 100 TB."""
     codes_udf = band_codes_pandas(dim, bands, bits, seed)
-    codes = df.select(
+    codes = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("doc"),
         F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("v"),
         codes_udf(vec_col).alias("_codes"),
