@@ -39,6 +39,8 @@ def main() -> None:
         "tpch_market_join": "broadcast joins (dims), pushed c_mktsegment filter",
         "dedup_ngram_jaccard": "inverted-index self-join; shuffle on shingle key",
         "sim_bruteforce_topk": "broadcast query vector; TakeOrdered top-k (no global sort)",
+        "dedup_embedding_banded": "one (band, code) exchange feeding ArrowEvalPython + FlatMapGroupsInPandas; no pair-vector join",
+        "dedup_contamination": "benchmark shingles broadcast; map-side hash join over exploded corpus shingles",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]
