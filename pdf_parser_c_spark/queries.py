@@ -1746,6 +1746,55 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_text_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: duplicate-word fraction
+    (1 − distinct/total words) and duplicate-bigram fraction per doc,
+    flagged above thresholds; census per source.
+    Scale: pure map-side array math (split once, array_distinct) + one
+    small agg — no explode, no per-doc shuffle."""
+    d = t(spark, sf_dir, "documents")
+    ws = d.select("source", F.split("text", " ").alias("ws")).filter(
+        F.expr("size(ws) >= 2")
+    )
+    grams = (
+        "array_distinct(transform(sequence(1, size(ws) - 1),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))"
+    )
+    scored = ws.select(
+        "source",
+        (1.0 - F.expr("size(array_distinct(ws))") / F.expr("size(ws)")).alias("dup_word"),
+        (1.0 - F.expr(f"size({grams})") / F.expr("size(ws) - 1")).alias("dup_bigram"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("dup_word") > 0.6).cast("long")).alias("flagged_word"),
+            F.sum((F.col("dup_bigram") > 0.08).cast("long")).alias("flagged_bigram"),
+            F.round(F.avg("dup_word"), 4).alias("avg_dup_word"),
+            F.round(F.avg("dup_bigram"), 4).alias("avg_dup_bigram"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TEXT_REPETITION = """
+WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+s AS (
+  SELECT source,
+         1.0 - len(list_distinct(ws)) * 1.0 / len(ws) AS dup_word,
+         1.0 - len(list_distinct(list_transform(generate_series(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1]))) * 1.0 / (len(ws) - 1) AS dup_bigram
+  FROM w WHERE len(ws) >= 2)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN dup_word > 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_word,
+       CAST(sum(CASE WHEN dup_bigram > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_bigram,
+       round(avg(dup_word), 4) AS avg_dup_word,
+       round(avg(dup_bigram), 4) AS avg_dup_bigram
+FROM s GROUP BY source ORDER BY source
+"""
+
+
 def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing census: deterministic PII injection from doc_id
     (email / URL-with-embedded-email / IPv4 / none), then typed-
@@ -2078,6 +2127,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_pii_scrub": (q_text_pii_scrub, _sql_pii_scrub()),
     "dedup_contamination": (q_dedup_contamination, SQL_DEDUP_CONTAMINATION),
+    "text_quality_repetition": (q_text_quality_repetition, SQL_TEXT_REPETITION),
     "text_quality_gopher": (q_text_quality_gopher, SQL_TEXT_GOPHER),
     "dedup_exact_normalized": (q_dedup_exact_normalized, SQL_DEDUP_EXACT_NORM),
     # rows-only (non-SQL-expressible): the full extraction engine
