@@ -2057,6 +2057,62 @@ FROM w ORDER BY doc_id
 """
 
 
+def q_extraction_spans_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn CHARACTER-SPAN equality for the PDF path — the other
+    half of the north star's invariant ("extracted text and character
+    spans per turn exactly").  PDF-armored docs go through the full
+    stack; each section's (start, end) content span inside the
+    extracted text must equal the SQL-reconstruction: the title-only
+    head section spans (len(head), len(head)) — empty content — and
+    the body section starts after head + '\\n\\n' + title + '\\n'.
+    Scale: same plan as the text roundtrips (scan → one exchange →
+    armor + extract kernels in one stage) plus a posexplode map."""
+    from .engine import extract_turns
+    from .flagship import build_transcripts_from_documents
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    transcripts = build_transcripts_from_documents(spark, docs, num_partitions=16)
+    out = extract_turns(transcripts, repartition=False)
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
+    return (
+        out.select(doc_id, F.posexplode("spans").alias("span_idx", "span"))
+        .select(
+            "doc_id",
+            F.col("span_idx").cast("int").alias("span_idx"),
+            F.col("span.start").alias("span_start"),
+            F.col("span.end").alias("span_end"),
+        )
+        .orderBy("doc_id", "span_idx")
+    )
+
+
+SQL_EXTRACTION_SPANS_ROUNDTRIP = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents WHERE doc_id % 3 = 0
+),
+parts AS (
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) AS head,
+         array_to_string(list_transform(ws[1:3], x -> upper(x[1]) || x[2:]), ' ') AS t3,
+         array_to_string(ws[4:43], ' ') AS rest
+  FROM w)
+SELECT doc_id, 0 AS span_idx,
+       CAST(len(head) AS INTEGER) AS span_start,
+       CAST(len(head) AS INTEGER) AS span_end
+FROM parts
+UNION ALL
+SELECT doc_id, 1,
+       CAST(len(head) + 2 + len(t3) + 1 AS INTEGER),
+       CAST(len(head) + 2 + len(t3) + 1 + len(rest) AS INTEGER)
+FROM parts
+ORDER BY doc_id, span_idx
+"""
+
+
 def q_extraction_plain_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn TEXT EQUALITY for the plain-text path (flagship mode
     ``doc_id % 3 == 2``): payload classification must route plain turns
@@ -2141,5 +2197,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_plain_roundtrip": (
         q_extraction_plain_roundtrip, SQL_EXTRACTION_PLAIN_ROUNDTRIP
+    ),
+    "extraction_spans_roundtrip": (
+        q_extraction_spans_roundtrip, SQL_EXTRACTION_SPANS_ROUNDTRIP
     ),
 }
