@@ -1,0 +1,528 @@
+"""Pure-Python baseline JPEG codec (ITU-T T.81 / JFIF), numpy-backed.
+
+Completes the multimodal decode story next to ``png_codec.py``: the
+container ships no Pillow, so DCT-family payloads get a real decoder
+built from the public spec — baseline sequential DCT, 8-bit, grayscale
+or YCbCr without chroma subsampling (the shape our encoder emits).
+Progressive scans, 12-bit precision, and subsampled chroma raise
+:class:`JPEGError` so callers fall back (image_features → stub row).
+
+Tables are the T.81 Annex K examples (quantization K.1/K.2, Huffman
+K.3.3) — the de-facto defaults every baseline codec ships.
+
+Note the scope: the reference's own build DISABLES DCT decoding
+(Jenkinsfile:32, ENABLE_DCTDECODER=none), so the PDF text path never
+needs this module; it exists for the multimodal operator family.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["JPEGError", "encode_jpeg", "decode_jpeg"]
+
+
+class JPEGError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- tables
+
+# T.81 Annex K.1 / K.2 example quantization tables (natural order)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# T.81 Annex K.3.3 typical Huffman tables: (bits[1..16], huffval)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# 8x8 DCT-II basis (orthonormal)
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos(np.pi * (2 * _n + 1) * _k / 16.0) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value → (code, length) per T.81 C.2 canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_lookup(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → value, for decoding."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(ssss category, appended bits) per F.1.2.1.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    ssss = a.bit_length()
+    bits = v if v > 0 else v + (1 << ssss) - 1
+    return ssss, bits
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing (B.1.1.5)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1s
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """Entropy-segment reader: the whole scan is de-stuffed up front
+    (0xFF00 → 0xFF, restart markers byte-align) and bits are served
+    from one running int — no per-bit byte handling."""
+
+    def __init__(self, data: bytes, pos: int):
+        chunks: list[bytes] = []
+        i = pos
+        n = len(data)
+        while i < n:
+            j = data.find(b"\xff", i)
+            if j == -1:
+                chunks.append(data[i:])
+                i = n
+                break
+            chunks.append(data[i:j])
+            if j + 1 >= n:
+                break
+            nxt = data[j + 1]
+            if nxt == 0x00:
+                chunks.append(b"\xff")
+                i = j + 2
+            elif 0xD0 <= nxt <= 0xD7:
+                i = j + 2  # restart marker: drop, stream stays aligned
+            else:
+                i = j  # real marker (EOI/next segment) ends the scan
+                break
+        self.data = b"".join(chunks)
+        self.bitpos = 0
+        self.total = len(self.data) * 8
+
+    def peek16(self) -> int:
+        bp = self.bitpos
+        byte = bp >> 3
+        window = self.data[byte:byte + 4]
+        window += b"\xff" * (4 - len(window))  # pad past EOF with 1s
+        v = int.from_bytes(window, "big")
+        return (v >> (16 - (bp & 7))) & 0xFFFF
+
+    def drop(self, nbits: int) -> None:
+        self.bitpos += nbits
+        if self.bitpos > self.total + 16:
+            raise JPEGError("truncated entropy stream")
+
+    def receive(self, nbits: int) -> int:
+        v = self.peek16() >> (16 - nbits)
+        self.drop(nbits)
+        return v
+
+
+def _extend(v: int, ssss: int) -> int:
+    """F.2.2.1 sign extension of magnitude bits."""
+    if ssss == 0:
+        return 0
+    return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+
+
+# ---------------------------------------------------------------- encode
+
+def _quantized_zigzag(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(n_blocks, 64) int zigzag coefficients for a whole padded plane
+    — one batched DCT + quantize (the per-block Python loop only does
+    Huffman emission)."""
+    h8, w8 = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (
+        plane.reshape(h8, 8, w8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+    coefs = np.einsum("ab,nbc,dc->nad", _C, blocks, _C)
+    q = qt.reshape(8, 8).astype(np.float64)
+    quant = np.round(coefs / q).astype(np.int64)
+    return quant.reshape(-1, 64)[:, _ZIGZAG]
+
+
+def _emit_block(zz, dc_codes, ac_codes, w: _BitWriter, pred: int) -> int:
+    dc = int(zz[0])
+    diff = dc - pred
+    ssss, bits = _magnitude(diff)
+    code, length = dc_codes[ssss]
+    w.put(code, length)
+    if ssss:
+        w.put(bits, ssss)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            w.put(code, length)
+            run -= 16
+        ssss, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | ssss]
+        w.put(code, length)
+        w.put(bits, ssss)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]  # EOB
+        w.put(code, length)
+    return dc
+
+
+def _pad_to_8(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _dht_segment(cls: int, ident: int, bits: list[int], vals: list[int]) -> bytes:
+    body = bytes([cls << 4 | ident]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1) -> bytes:
+    """Baseline JFIF bytes for 8-bit grayscale (channels=1) or RGB
+    (channels=3, encoded as YCbCr 4:4:4)."""
+    if channels not in (1, 3):
+        raise JPEGError("channels must be 1 or 3")
+    if len(pixels) != width * height * channels:
+        raise JPEGError("pixel buffer size mismatch")
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    arr = arr.astype(np.float64)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        planes = [arr[..., 0]]
+    planes = [np.clip(_pad_to_8(p), 0, 255) for p in planes]
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for ident, qt in ((0, _QT_LUMA), (1, _QT_CHROMA))[: 1 if channels == 1 else 2]:
+        body = bytes([ident]) + bytes(int(v) for v in qt[_ZIGZAG])
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    # SOF0
+    comps = b""
+    for cid in range(1, channels + 1):
+        qtab = 0 if cid == 1 else 1
+        comps += bytes([cid, 0x11, qtab])  # 1x1 sampling = 4:4:4
+    body = bytes([8]) + struct.pack(">HH", height, width) + bytes([channels]) + comps
+    out += b"\xff\xc0" + struct.pack(">H", len(body) + 2) + body
+    out += _dht_segment(0, 0, *_DC_LUMA)
+    out += _dht_segment(1, 0, *_AC_LUMA)
+    if channels == 3:
+        out += _dht_segment(0, 1, *_DC_CHROMA)
+        out += _dht_segment(1, 1, *_AC_CHROMA)
+    # SOS
+    sos = bytes([channels])
+    for cid in range(1, channels + 1):
+        tabs = 0x00 if cid == 1 else 0x11
+        sos += bytes([cid, tabs])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    w = _BitWriter()
+    dc_l, ac_l = _huff_codes(*_DC_LUMA), _huff_codes(*_AC_LUMA)
+    dc_c, ac_c = _huff_codes(*_DC_CHROMA), _huff_codes(*_AC_CHROMA)
+    # non-interleaved would need one scan per component; interleave MCUs
+    qts = [_QT_LUMA] + [_QT_CHROMA] * (channels - 1)
+    zzs = [
+        _quantized_zigzag(planes[ci], qts[ci]).tolist()
+        for ci in range(channels)
+    ]
+    n_blocks = len(zzs[0])
+    preds = [0] * channels
+    for bi in range(n_blocks):
+        for ci in range(channels):
+            dc = dc_l if ci == 0 else dc_c
+            ac = ac_l if ci == 0 else ac_c
+            preds[ci] = _emit_block(zzs[ci][bi], dc, ac, w, preds[ci])
+    out += w.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decode
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """→ (width, height, channels, pixels).  Baseline sequential only;
+    grayscale or YCbCr 4:4:4 (all sampling factors 1x1).  Raises ONLY
+    :class:`JPEGError` on malformed input — truncated segments surface
+    as index/struct errors internally and are converted here so the
+    mapInPandas kernels' fallback logic stays a single except clause."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error, ValueError) as exc:
+        if isinstance(exc, JPEGError):
+            raise
+        raise JPEGError(f"malformed JPEG: {exc}") from exc
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise JPEGError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None  # (h, w, [(cid, qtab)])
+    scan_comps = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise JPEGError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        body = data[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise JPEGError("16-bit quant tables unsupported")
+                tbl = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8).astype(np.int32)
+                qts[tq] = tbl[_UNZIGZAG]
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, ident = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                huff[(cls, ident)] = _huff_lookup(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = body[0]
+            if prec != 8:
+                raise JPEGError("only 8-bit precision supported")
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid, samp, qtab = body[6 + 3 * c:9 + 3 * c]
+                if samp != 0x11:
+                    raise JPEGError("chroma subsampling unsupported")
+                comps.append((cid, qtab))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JPEGError("non-baseline JPEG unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c:3 + 2 * c]
+                scan_comps.append((cid, tabs >> 4, tabs & 0xF))
+            entropy_start = pos
+            break
+    if frame is None or scan_comps is None:
+        raise JPEGError("missing SOF/SOS")
+    h, w, comps = frame
+    if len(scan_comps) != len(comps):
+        raise JPEGError("non-interleaved scans unsupported")
+    nch = len(comps)
+    if nch not in (1, 3):
+        raise JPEGError("component count unsupported")
+
+    r = _BitReader(data, entropy_start)
+    ph, pw = h + (-h % 8), w + (-w % 8)
+    qtabs = []
+    for (cid, qtab) in comps:
+        if qtab not in qts:
+            raise JPEGError("missing quant table")
+        qtabs.append(qts[qtab].reshape(8, 8).astype(np.float64))
+
+    # 16-bit-peek lookup: every (length, code) entry owns the
+    # 2^(16-length) prefixes starting at code << (16-length)
+    fast_cache: dict[int, list] = {}
+
+    def fast_table(table: dict) -> list:
+        key = id(table)
+        ft = fast_cache.get(key)
+        if ft is None:
+            ft = [None] * 65536
+            for (length, code), val in table.items():
+                base = code << (16 - length)
+                ft[base:base + (1 << (16 - length))] = \
+                    [(val, length)] * (1 << (16 - length))
+            fast_cache[key] = ft
+        return ft
+
+    def read_code(ft: list) -> int:
+        hit = ft[r.peek16()]
+        if hit is None:
+            raise JPEGError("bad Huffman code")
+        val, length = hit
+        r.drop(length)
+        return val
+
+    ftabs = []
+    for (cid, dc_id, ac_id) in scan_comps:
+        dct = huff.get((0, dc_id))
+        act = huff.get((1, ac_id))
+        if dct is None or act is None:
+            raise JPEGError("missing Huffman table")
+        ftabs.append((fast_table(dct), fast_table(act)))
+
+    nby, nbx = ph // 8, pw // 8
+    zz_rows: list[list[list[float]]] = [[] for _ in range(nch)]
+    preds = [0] * nch
+    for _by in range(nby):
+        for _bx in range(nbx):
+            for ci in range(nch):
+                dct_ft, act_ft = ftabs[ci]
+                zz = [0.0] * 64
+                ssss = read_code(dct_ft)
+                diff = _extend(r.receive(ssss), ssss) if ssss else 0
+                preds[ci] += diff
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = read_code(act_ft)
+                    rrrr, ssss = rs >> 4, rs & 0xF
+                    if ssss == 0:
+                        if rrrr == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += rrrr
+                    if k > 63:
+                        raise JPEGError("AC run past block end")
+                    zz[k] = _extend(r.receive(ssss), ssss)
+                    k += 1
+                zz_rows[ci].append(zz)
+
+    # batched dequantize + IDCT per component, then block scatter
+    out_planes = []
+    for ci in range(nch):
+        coefs = np.asarray(zz_rows[ci], dtype=np.float64)[:, _UNZIGZAG]
+        coefs = coefs.reshape(-1, 8, 8) * qtabs[ci]
+        blocks = np.einsum("ab,nbc,cd->nad", _C.T, coefs, _C) + 128.0
+        plane = (
+            blocks.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(ph, pw)
+        )
+        out_planes.append(plane)
+    planes = [p[:h, :w] for p in out_planes]
+    if nch == 3:
+        y, cb, cr = planes
+        rch = y + 1.402 * (cr - 128.0)
+        gch = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bch = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([rch, gch, bch], axis=-1)
+        px = np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
+    else:
+        px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8).tobytes()
+    return w, h, nch, px

@@ -5,11 +5,11 @@ Arrow-batched kernels.
 The Spark-side plumbing — schemas, mapInPandas signatures, batch
 shapes, partitioning — is real and tested.  PNG images decode for REAL
 through the pure-Python codec (``png_codec.py``: zlib + the shared PDF
-predictor stack) — ``decoder='png'`` rows carry true pixel statistics
-and resizes actually resample.  Other formats (JPEG, audio, video)
-remain clearly-marked deterministic stubs behind an import-try;
-dropping in Pillow/PyAV turns those kernels real without touching the
-plan.
+predictor stack), and baseline JPEGs through ``jpeg_codec.py`` (ITU
+T.81 DCT + Huffman, Annex-K tables) — ``decoder='png'/'jpeg'`` rows
+carry true pixel statistics and resizes actually resample.  Audio and
+video remain clearly-marked deterministic stubs behind an import-try;
+dropping in PyAV turns those kernels real without touching the plan.
 
 At 100 TB the shape matters more than the codec: media bytes ride an
 opaque ``binary`` column (never exploded), metadata is a typed struct
@@ -98,11 +98,12 @@ def _ahash(luma) -> str:
 
 
 def image_features(df: DataFrame) -> DataFrame:
-    """Decode+feature-extract kernel over image rows.  PNG payloads
-    decode for real (pure-Python codec); others use the labeled stub
-    (or PIL when a future environment provides it)."""
+    """Decode+feature-extract kernel over image rows.  PNG and baseline
+    JPEG payloads decode for real (pure-Python codecs); others use the
+    labeled stub (or PIL when a future environment provides it)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg_codec import JPEGError, decode_jpeg
         from .png_codec import PNGError, decode_png
 
         for batch in it:
@@ -111,8 +112,16 @@ def image_features(df: DataFrame) -> DataFrame:
             for _, r in img.iterrows():
                 payload = bytes(r["payload"])
                 meta = r["meta"]
+                decoded = None
                 try:
-                    w, h, ch, px = decode_png(payload)
+                    decoded = (*decode_png(payload), "png")
+                except PNGError:
+                    try:
+                        decoded = (*decode_jpeg(payload), "jpeg")
+                    except JPEGError:
+                        pass
+                if decoded is not None:
+                    w, h, ch, px, dec = decoded
                     luma = _luma_plane(w, h, ch, px)
                     rows.append(
                         {
@@ -122,12 +131,10 @@ def image_features(df: DataFrame) -> DataFrame:
                             "height": h,
                             "mean_luma": round(float(luma.mean()), 4),
                             "phash": _ahash(luma),
-                            "decoder": "png",
+                            "decoder": dec,
                         }
                     )
                     continue
-                except PNGError:
-                    pass
                 if HAVE_PIL:  # pragma: no cover - not in this container
                     raise NotImplementedError(
                         "real decode path: PIL present but wiring reserved "
@@ -163,13 +170,15 @@ RESIZE_SCHEMA = T.StructType(
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize kernel: PNG payloads genuinely resample (nearest-neighbor
-    via numpy index grids) and re-encode; non-PNG payloads pass through
-    with ``resized=False`` (PIL drop-in point marked)."""
+    """Resize kernel: PNG and baseline-JPEG payloads genuinely resample
+    (nearest-neighbor via numpy index grids) and re-encode in their own
+    format; undecodable payloads pass through with ``resized=False``
+    (PIL drop-in point marked)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from .jpeg_codec import JPEGError, decode_jpeg, encode_jpeg
         from .png_codec import PNGError, decode_png, encode_png
 
         for batch in it:
@@ -177,8 +186,16 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             rows = []
             for _, r in img.iterrows():
                 payload = bytes(r["payload"])
+                decoded = None
                 try:
-                    w0, h0, ch, px = decode_png(payload)
+                    decoded = (*decode_png(payload), encode_png)
+                except PNGError:
+                    try:
+                        decoded = (*decode_jpeg(payload), encode_jpeg)
+                    except JPEGError:
+                        pass
+                if decoded is not None:
+                    w0, h0, ch, px, encode = decoded
                     arr = np.frombuffer(px, dtype=np.uint8).reshape(h0, w0, ch)
                     ys = np.linspace(0, h0 - 1, height).round().astype(int)
                     xs = np.linspace(0, w0 - 1, width).round().astype(int)
@@ -187,15 +204,13 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                         {
                             "conv_id": r["conv_id"],
                             "turn_idx": int(r["turn_idx"]),
-                            "payload": encode_png(width, height, out, ch),
+                            "payload": encode(width, height, out, ch),
                             "width": width,
                             "height": height,
                             "resized": True,
                         }
                     )
                     continue
-                except PNGError:
-                    pass
                 if HAVE_PIL:  # pragma: no cover
                     raise NotImplementedError("real resize needs PIL wiring")
                 rows.append(
@@ -289,11 +304,14 @@ def audio_features(df: DataFrame) -> DataFrame:
 
 def make_media_frame(n: int = 30) -> pd.DataFrame:
     """Deterministic media fixture rows (no external data): image
-    payloads are REAL PNGs (seeded gradient through the pure codec);
-    audio/video payloads are seeded opaque bytes."""
+    payloads are REAL PNGs and baseline JPEGs, alternating (seeded
+    gradients through the pure codecs); audio/video payloads are
+    seeded opaque bytes."""
+    from .jpeg_codec import encode_jpeg
     from .png_codec import encode_png
 
     rows = []
+    img_i = 0
     for i in range(n):
         mt = ("image", "audio", "video")[i % 3]
         if mt == "image":
@@ -302,8 +320,11 @@ def make_media_frame(n: int = 30) -> pd.DataFrame:
             w, h = 640, 480
             ys, xs = np.mgrid[0:h, 0:w]
             px = ((xs * 3 + ys * 5 + i * 7) % 256).astype(np.uint8).tobytes()
-            payload = encode_png(w, h, px, 1)
+            codec = "png" if img_i % 2 == 0 else "jpeg"
+            payload = (encode_png if codec == "png" else encode_jpeg)(w, h, px, 1)
+            img_i += 1
         else:
+            codec = {"audio": "pcm16", "video": "h264"}[mt]
             payload = hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 7)
         rows.append(
             {
@@ -316,7 +337,7 @@ def make_media_frame(n: int = 30) -> pd.DataFrame:
                     "height": 480 if mt == "image" else None,
                     "sample_rate": 16000 if mt == "audio" else None,
                     "n_frames": 30 + i if mt == "video" else None,
-                    "codec": {"image": "png", "audio": "pcm16", "video": "h264"}[mt],
+                    "codec": codec,
                 },
             }
         )

@@ -197,6 +197,20 @@ def test_png_decoder_never_crashes(data):
         pass  # the only allowed failure mode
 
 
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=500))
+def test_jpeg_decoder_never_crashes(data):
+    """decode_jpeg on arbitrary bytes: JPEGError or success, never an
+    uncaught exception (the multimodal kernels catch only JPEGError)."""
+    from pdf_parser_c_spark.operators.jpeg_codec import JPEGError, decode_jpeg
+
+    for payload in (data, b"\xff\xd8" + data):
+        try:
+            decode_jpeg(payload)
+        except JPEGError:
+            pass
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.text(max_size=80))
 def test_predefined_unicode_cmap_decode_roundtrip(s):

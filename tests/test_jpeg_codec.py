@@ -1,0 +1,78 @@
+"""Pure-Python baseline JPEG codec (operators/jpeg_codec.py)."""
+
+import numpy as np
+import pytest
+
+from pdf_parser_c_spark.operators.jpeg_codec import (
+    JPEGError,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def test_rgb_roundtrip_smooth_gradient():
+    w, h = 24, 17  # non-multiple-of-8 exercises edge padding
+    x = np.linspace(0, 255, w)[None, :].repeat(h, 0)
+    y = np.linspace(0, 255, h)[:, None].repeat(w, 1)
+    rgb = np.stack([x, y, (x + y) / 2], axis=-1).astype(np.uint8)
+    data = encode_jpeg(w, h, rgb.tobytes(), 3)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    w2, h2, ch, px = decode_jpeg(data)
+    assert (w2, h2, ch) == (w, h, 3)
+    out = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(float)
+    err = np.abs(out - rgb.astype(float))
+    assert err.mean() < 4 and err.max() < 40  # quantization-scale loss
+
+
+def test_gray_roundtrip_tight_bound():
+    w, h = 64, 48
+    ys, xs = np.mgrid[0:h, 0:w]
+    g = (128 + 100 * np.sin(xs / 40) * np.cos(ys / 40)).astype(np.uint8)
+    data = encode_jpeg(w, h, g.tobytes(), 1)
+    w2, h2, ch, px = decode_jpeg(data)
+    assert (w2, h2, ch) == (w, h, 1)
+    out = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(float)
+    # smooth content survives the Annex-K tables almost exactly
+    assert np.abs(out - g.astype(float)).max() <= 6
+
+
+def test_sharp_edges_ring_but_preserve_dc():
+    """A wrap-around sawtooth has hard 255→0 edges: real JPEG rings
+    locally there, but block means (DC) survive — pin both behaviors
+    so the codec can't silently become a pass-through fake."""
+    w, h = 160, 120
+    ys, xs = np.mgrid[0:h, 0:w]
+    g = ((xs * 3 + ys * 5) % 256).astype(np.uint8)
+    data = encode_jpeg(w, h, g.tobytes(), 1)
+    _, _, _, px = decode_jpeg(data)
+    out = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(float)
+    err = np.abs(out - g.astype(float))
+    assert err.mean() < 6
+    assert abs(out.mean() - g.mean()) < 1.0
+    assert err.max() > 10  # it IS lossy — not a stub copying pixels
+
+
+def test_bad_inputs_rejected():
+    for junk in (b"", b"\x89PNG\r\n", b"\xff\xd8\x00\x00", b"\xff\xd8\xff\xd9"):
+        with pytest.raises(JPEGError):
+            decode_jpeg(junk)
+    with pytest.raises(JPEGError):
+        encode_jpeg(4, 4, b"\x00" * 7, 1)  # size mismatch
+    with pytest.raises(JPEGError):
+        encode_jpeg(2, 2, b"\x00" * 8, 2)  # channels
+
+
+def test_truncated_stream_raises():
+    g = np.full((16, 16), 200, dtype=np.uint8)
+    data = encode_jpeg(16, 16, g.tobytes(), 1)
+    with pytest.raises(JPEGError):
+        decode_jpeg(data[: len(data) // 2])
+
+
+def test_progressive_marker_rejected():
+    g = np.zeros((8, 8), dtype=np.uint8)
+    data = bytearray(encode_jpeg(8, 8, g.tobytes(), 1))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
+    with pytest.raises(JPEGError):
+        decode_jpeg(bytes(data))
