@@ -3,13 +3,16 @@ metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched kernels.
 
 The Spark-side plumbing — schemas, mapInPandas signatures, batch
-shapes, partitioning — is real and tested.  PNG images decode for REAL
-through the pure-Python codec (``png_codec.py``: zlib + the shared PDF
-predictor stack), and baseline JPEGs through ``jpeg_codec.py`` (ITU
-T.81 DCT + Huffman, Annex-K tables) — ``decoder='png'/'jpeg'`` rows
-carry true pixel statistics and resizes actually resample.  Audio and
-video remain clearly-marked deterministic stubs behind an import-try;
-dropping in PyAV turns those kernels real without touching the plan.
+shapes, partitioning — is real and tested, and so are the codecs: PNG
+images decode through ``png_codec.py`` (zlib + the shared PDF
+predictor stack), baseline JPEGs through ``jpeg_codec.py`` (ITU T.81
+DCT + Huffman, Annex-K tables), PCM16 WAV audio and MJPEG-AVI video
+through ``riff_codec.py`` — every ``decoder`` column value other than
+``'stub'`` means true sample/pixel statistics.  Payloads outside those
+formats (compressed audio, H.264, progressive JPEG) fall back to the
+clearly-labeled deterministic stubs behind the same except clauses;
+dropping in Pillow/PyAV widens format coverage without touching the
+plan.
 
 At 100 TB the shape matters more than the codec: media bytes ride an
 opaque ``binary`` column (never exploded), metadata is a typed struct
@@ -234,22 +237,44 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
         T.StructField("turn_idx", T.IntegerType()),
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("frame_digest", T.StringType()),
+        T.StructField("decoder", T.StringType()),
     ]
 )
 
 
 def sample_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Frame-sampling kernel: emits one row per sampled frame index.
-    Stub 'frame' = digest of (payload, frame_idx); a PyAV decoder slots
-    into the same row shape."""
+    """Frame-sampling kernel: one row per sampled frame index.  MJPEG
+    AVI payloads decode for REAL (riff_codec walks the movi list,
+    jpeg_codec decodes the sampled frame; the digest is of the decoded
+    PIXELS).  Undecodable payloads fall back to the labeled stub
+    (digest of payload+index); PyAV slots in for other containers."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg_codec import JPEGError, decode_jpeg
+        from .riff_codec import RIFFError, decode_avi_mjpeg
+
         for batch in it:
             vid = batch[batch["media_type"] == "video"]
             rows = []
             for _, r in vid.iterrows():
-                n_frames = int(r["meta"]["n_frames"] or 0)
                 payload = bytes(r["payload"])
+                try:
+                    _w, _h, _fps, frames = decode_avi_mjpeg(payload)
+                    for fi in range(0, len(frames), every_n):
+                        _, _, _, px = decode_jpeg(frames[fi])
+                        rows.append(
+                            {
+                                "conv_id": r["conv_id"],
+                                "turn_idx": int(r["turn_idx"]),
+                                "frame_idx": fi,
+                                "frame_digest": hashlib.sha256(px).hexdigest()[:16],
+                                "decoder": "mjpeg-avi",
+                            }
+                        )
+                    continue
+                except (RIFFError, JPEGError):
+                    pass
+                n_frames = int(r["meta"]["n_frames"] or 0)
                 for fi in range(0, n_frames, every_n):
                     digest = hashlib.sha256(payload + fi.to_bytes(4, "big")).hexdigest()[:16]
                     rows.append(
@@ -258,6 +283,7 @@ def sample_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
                             "turn_idx": int(r["turn_idx"]),
                             "frame_idx": fi,
                             "frame_digest": digest,
+                            "decoder": "stub",
                         }
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields])
@@ -271,21 +297,45 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("turn_idx", T.IntegerType()),
         T.StructField("duration_s", T.DoubleType()),
         T.StructField("sample_rate", T.IntegerType()),
-        T.StructField("rms_stub", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("decoder", T.StringType()),
     ]
 )
 
 
 def audio_features(df: DataFrame) -> DataFrame:
-    """Audio feature kernel: duration from byte length + sample rate
-    (PCM16 assumption), stub RMS from the digest."""
+    """Audio feature kernel: WAV payloads parse for REAL (riff_codec
+    fmt/data chunks → true sample rate, duration, and RMS of the
+    normalized samples).  Undecodable payloads fall back to the labeled
+    stub (PCM16-assumption duration, digest-derived RMS)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .riff_codec import RIFFError, decode_wav
+
         for batch in it:
             aud = batch[batch["media_type"] == "audio"]
             rows = []
             for _, r in aud.iterrows():
                 payload = bytes(r["payload"])
+                try:
+                    sr, samples = decode_wav(payload)
+                    x = samples.astype(np.float64) / 32768.0
+                    rows.append(
+                        {
+                            "conv_id": r["conv_id"],
+                            "turn_idx": int(r["turn_idx"]),
+                            "duration_s": round(len(samples) / sr, 6),
+                            "sample_rate": sr,
+                            "rms": round(float(np.sqrt((x ** 2).mean())), 6)
+                            if len(samples) else 0.0,
+                            "decoder": "wav",
+                        }
+                    )
+                    continue
+                except RIFFError:
+                    pass
                 sr = int(r["meta"]["sample_rate"] or 16000)
                 h = hashlib.sha256(payload).digest()
                 rows.append(
@@ -294,7 +344,8 @@ def audio_features(df: DataFrame) -> DataFrame:
                         "turn_idx": int(r["turn_idx"]),
                         "duration_s": round(len(payload) / (sr * 2), 6),
                         "sample_rate": sr,
-                        "rms_stub": round(int.from_bytes(h[:2], "big") / 0xFFFF, 6),
+                        "rms": round(int.from_bytes(h[:2], "big") / 0xFFFF, 6),
+                        "decoder": "stub",
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
@@ -304,28 +355,40 @@ def audio_features(df: DataFrame) -> DataFrame:
 
 def make_media_frame(n: int = 30) -> pd.DataFrame:
     """Deterministic media fixture rows (no external data): image
-    payloads are REAL PNGs and baseline JPEGs, alternating (seeded
-    gradients through the pure codecs); audio/video payloads are
-    seeded opaque bytes."""
+    payloads are REAL PNGs and baseline JPEGs, alternating; audio rows
+    are REAL PCM16 WAVs (seeded sine); video rows are REAL MJPEG AVIs
+    (tiny per-frame JPEG gradients) — all through the pure codecs."""
+    import numpy as np
+
     from .jpeg_codec import encode_jpeg
     from .png_codec import encode_png
+    from .riff_codec import encode_avi_mjpeg, encode_wav
 
     rows = []
     img_i = 0
     for i in range(n):
         mt = ("image", "audio", "video")[i % 3]
         if mt == "image":
-            import numpy as np
-
             w, h = 640, 480
             ys, xs = np.mgrid[0:h, 0:w]
             px = ((xs * 3 + ys * 5 + i * 7) % 256).astype(np.uint8).tobytes()
             codec = "png" if img_i % 2 == 0 else "jpeg"
             payload = (encode_png if codec == "png" else encode_jpeg)(w, h, px, 1)
             img_i += 1
+        elif mt == "audio":
+            codec = "wav"
+            n_samples = 160 * (4 + i % 7)
+            t = np.arange(n_samples)
+            amp = 3000 + 500 * (i % 7)
+            s = (amp * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+            payload = encode_wav(16000, s)
         else:
-            codec = {"audio": "pcm16", "video": "h264"}[mt]
-            payload = hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 7)
+            codec = "mjpeg-avi"
+            frames = []
+            for fi in range(30 + i):
+                g = np.full((16, 16), (fi * 9 + i) % 256, dtype=np.uint8)
+                frames.append(encode_jpeg(16, 16, g.tobytes(), 1))
+            payload = encode_avi_mjpeg(16, 16, frames, fps=25)
         rows.append(
             {
                 "conv_id": f"conv{i // 5:06d}",

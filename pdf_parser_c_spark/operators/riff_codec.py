@@ -1,0 +1,152 @@
+"""Pure-Python RIFF containers: WAV (PCM16) and minimal MJPEG AVI.
+
+Closes the audio/video halves of the multimodal seam with real
+parsers, the way ``png_codec``/``jpeg_codec`` closed images: WAV gives
+true sample rate / duration / RMS from the ``fmt ``+``data`` chunks,
+and the AVI reader walks the RIFF tree to the ``movi`` list and hands
+each ``00dc`` MJPEG chunk to :mod:`jpeg_codec` for a REAL frame
+decode.  Both formats are the public Microsoft/IBM RIFF layouts.
+
+Scope is the honest subset the fixtures exercise: PCM16 WAV (mono or
+interleaved stereo), AVI with ONE MJPEG video stream.  Compressed
+audio, multi-stream AVIs, and index chunks raise :class:`RIFFError`
+so the kernels fall back to their labeled stubs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "RIFFError",
+    "encode_wav", "decode_wav",
+    "encode_avi_mjpeg", "decode_avi_mjpeg",
+]
+
+
+class RIFFError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------------ WAV
+
+def encode_wav(sample_rate: int, samples: "np.ndarray") -> bytes:
+    """PCM16 mono WAV from an int16 sample vector."""
+    pcm = np.asarray(samples, dtype=np.int16).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body_end = pos + 8 + size
+        if body_end > end:
+            raise RIFFError("chunk overruns container")
+        yield tag, pos + 8, body_end
+        pos = body_end + (size & 1)  # chunks are word-aligned
+
+
+def decode_wav(data: bytes) -> tuple[int, "np.ndarray"]:
+    """→ (sample_rate, samples[n, channels] int16).  PCM16 only."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise RIFFError("not a WAV")
+    sr = None
+    nch = None
+    pcm = None
+    for tag, s, e in _riff_chunks(data, 12, len(data)):
+        if tag == b"fmt ":
+            if e - s < 16:
+                raise RIFFError("short fmt chunk")
+            audio_fmt, nch, sr, _, _, bits = struct.unpack("<HHIIHH", data[s:s + 16])
+            if audio_fmt != 1 or bits != 16:
+                raise RIFFError("only PCM16 supported")
+        elif tag == b"data":
+            pcm = data[s:e]
+    if sr is None or pcm is None or not nch:
+        raise RIFFError("missing fmt/data chunk")
+    n = len(pcm) // (2 * nch)
+    samples = np.frombuffer(pcm[: n * 2 * nch], dtype="<i2").reshape(n, nch)
+    return sr, samples
+
+
+# ------------------------------------------------------------------ AVI
+
+def encode_avi_mjpeg(
+    width: int, height: int, frames: list[bytes], fps: int = 25
+) -> bytes:
+    """Minimal single-stream MJPEG AVI: hdrl(avih + strl) + movi."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIIi4H", 0, 0, 0, 0, 1, fps, 0,
+                      len(frames), 0, 0xFFFFFFFF - (1 << 31), 0, 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """→ (width, height, fps, mjpeg_frames).  One MJPEG stream only."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise RIFFError("not an AVI")
+    width = height = None
+    fps = 25
+    frames: list[bytes] = []
+    handler = None
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, fps, handler
+        for tag, s, e in _riff_chunks(data, pos, end):
+            if tag == b"LIST":
+                walk(s + 4, e)
+            elif tag == b"avih":
+                if e - s < 40:
+                    raise RIFFError("short avih")
+                usec, _, _, _, _, _, streams, _, w, h = struct.unpack(
+                    "<IIIIIIIIII", data[s:s + 40]
+                )
+                if streams != 1:
+                    raise RIFFError("multi-stream AVI unsupported")
+                width, height = w, h
+                if usec:
+                    fps = max(1, round(1_000_000 / usec))
+            elif tag == b"strh":
+                if data[s:s + 4] != b"vids":
+                    raise RIFFError("non-video stream unsupported")
+                handler = data[s + 4:s + 8]
+                if handler != b"MJPG":
+                    raise RIFFError("only MJPG streams supported")
+            elif tag == b"00dc":
+                frames.append(data[s:e])
+
+    walk(12, len(data))
+    if width is None or handler is None:
+        raise RIFFError("missing avih/strh")
+    return width, height, fps, frames

@@ -1,8 +1,8 @@
 """Multimodal plumbing: schemas, kernel signatures, batch shapes,
-determinism.  PNG and baseline-JPEG images decode for REAL via the
-pure-Python codecs (decoder='png'/'jpeg'); audio/video remain
-documented deterministic stubs (no codec libs in this container) — the
-Spark mechanics are real."""
+determinism.  All four fixture formats decode for REAL via the
+pure-Python codecs — PNG/baseline-JPEG images, PCM16 WAV audio,
+MJPEG-AVI video (decoder='png'/'jpeg'/'wav'/'mjpeg-avi'); payloads
+outside those formats fall back to documented deterministic stubs."""
 
 import hashlib
 
@@ -96,23 +96,51 @@ def test_png_codec_roundtrip_and_filters():
     assert decode_png(encode_png(w, h, px3, 3)) == (w, h, 3, px3)
 
 
-def test_video_frame_sampling(spark):
+def test_video_frame_sampling_real_mjpeg(spark):
     out = sample_video_frames(_media_df(spark), every_n=10)
     assert out.schema == FRAME_SAMPLE_SCHEMA
     rows = out.collect()
-    # video rows have n_frames=30+i → 3..5 sampled frames each
+    assert rows and all(r["decoder"] == "mjpeg-avi" for r in rows)
+    # video rows have 30+i frames → 3..5 sampled frames each
     per_turn = {}
     for r in rows:
         per_turn.setdefault((r["conv_id"], r["turn_idx"]), []).append(r["frame_idx"])
     assert all(idx == sorted(idx) and idx[0] == 0 for idx in
                (sorted(v) for v in per_turn.values()))
     assert all(i % 10 == 0 for v in per_turn.values() for i in v)
+    # digests come from DECODED pixels: a flat gray frame decodes to a
+    # deterministic plane, so digests repeat across rows that share the
+    # same (fi*9+i)%256 level but differ across levels
+    assert len({r["frame_digest"] for r in rows}) > 1
 
 
-def test_audio_duration(spark):
+def test_audio_features_real_wav(spark):
+    import math
+
     out = audio_features(_media_df(spark))
     assert out.schema == AUDIO_FEATURES_SCHEMA
-    for r in out.collect():
-        # PCM16 at 16kHz: duration = bytes / 32000
-        assert abs(r["duration_s"] * 32000 - 32 * (4 + 0)) < 32 * 11  # payload is 32*k bytes
+    rows = out.collect()
+    assert rows and all(r["decoder"] == "wav" for r in rows)
+    for r in rows:
         assert r["sample_rate"] == 16000
+        # fixture: 160*(4+i%7) samples at 16 kHz → 10 ms multiples
+        assert abs(r["duration_s"] * 100 - round(r["duration_s"] * 100)) < 1e-6
+        assert 0.04 <= r["duration_s"] <= 0.10
+        # true RMS of an amp*sin wave ≈ amp/32768/√2 (amp 3000..6000)
+        assert 2900 / 32768 / math.sqrt(2) < r["rms"] < 6100 / 32768 / math.sqrt(2)
+
+
+def test_stub_fallback_for_opaque_av_payloads(spark):
+    """Non-RIFF payloads still flow: labeled decoder='stub' rows with
+    the documented deterministic fallback stats."""
+    import pandas as pd
+
+    frame = make_media_frame(6)
+    mask = frame["media_type"] != "image"
+    frame.loc[mask, "payload"] = frame.loc[mask, "payload"].map(
+        lambda b: b"\x00opaque" + bytes(b)[:16])
+    df = spark.createDataFrame(frame, schema=MEDIA_SCHEMA)
+    arows = audio_features(df).collect()
+    assert arows and all(r["decoder"] == "stub" for r in arows)
+    vrows = sample_video_frames(df, every_n=10).collect()
+    assert vrows and all(r["decoder"] == "stub" for r in vrows)

@@ -1,0 +1,65 @@
+"""RIFF containers (operators/riff_codec.py): WAV PCM16 + MJPEG AVI."""
+
+import numpy as np
+import pytest
+
+from pdf_parser_c_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+from pdf_parser_c_spark.operators.riff_codec import (
+    RIFFError,
+    decode_avi_mjpeg,
+    decode_wav,
+    encode_avi_mjpeg,
+    encode_wav,
+)
+
+
+def test_wav_roundtrip_exact():
+    t = np.arange(1600)
+    s = (10000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+    sr, out = decode_wav(encode_wav(16000, s))
+    assert sr == 16000 and out.shape == (1600, 1)
+    assert np.array_equal(out[:, 0], s)  # PCM roundtrip is lossless
+
+
+def test_avi_mjpeg_roundtrip_frames_decode():
+    frames = [
+        encode_jpeg(16, 16, np.full((16, 16), 40 * i, dtype=np.uint8).tobytes(), 1)
+        for i in range(5)
+    ]
+    w, h, fps, out = decode_avi_mjpeg(encode_avi_mjpeg(16, 16, frames, fps=10))
+    assert (w, h, fps, len(out)) == (16, 16, 10, 5)
+    for i, f in enumerate(out):
+        _, _, _, px = decode_jpeg(f)
+        assert abs(np.frombuffer(px, dtype=np.uint8).mean() - 40 * i) < 3
+
+
+def test_bad_riff_rejected():
+    for junk in (b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE",
+                 b"RIFF\x04\x00\x00\x00AVI ", b"\x89PNG\r\n"):
+        with pytest.raises(RIFFError):
+            decode_wav(junk)
+        with pytest.raises(RIFFError):
+            decode_avi_mjpeg(junk)
+
+
+def test_wav_rejects_non_pcm16():
+    wav = bytearray(encode_wav(8000, np.zeros(16, dtype=np.int16)))
+    i = wav.find(b"fmt ")
+    wav[i + 8] = 3  # audio format → IEEE float
+    with pytest.raises(RIFFError):
+        decode_wav(bytes(wav))
+
+
+def test_avi_rejects_non_mjpg_stream():
+    frames = [encode_jpeg(8, 8, bytes(64), 1)]
+    avi = bytearray(encode_avi_mjpeg(8, 8, frames))
+    i = avi.find(b"vidsMJPG")
+    avi[i + 4:i + 8] = b"H264"
+    with pytest.raises(RIFFError):
+        decode_avi_mjpeg(bytes(avi))
+
+
+def test_chunk_overrun_rejected():
+    wav = encode_wav(8000, np.zeros(16, dtype=np.int16))
+    with pytest.raises(RIFFError):
+        decode_wav(wav[:-10])  # data chunk shorter than declared
