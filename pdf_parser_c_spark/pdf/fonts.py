@@ -125,6 +125,15 @@ def glyph_to_unicode(name: str) -> str:
     return "�"
 
 
+def _in_codespace(code: int, nb: int, lo: int, hi: int) -> bool:
+    """Byte-wise codespace-range test (PDF 32000 §9.7.6.2)."""
+    for shift in range(0, nb * 8, 8):
+        b = (code >> shift) & 0xFF
+        if not ((lo >> shift) & 0xFF) <= b <= ((hi >> shift) & 0xFF):
+            return False
+    return True
+
+
 @dataclass
 class CodespaceCMap:
     """Embedded /Encoding CMap for Type0 fonts: codespace ranges give
@@ -139,7 +148,11 @@ class CodespaceCMap:
 
     def decode_codes(self, raw: bytes):
         """Yield codes honoring the codespace byte widths (greedy,
-        shortest-match-first like poppler's CMap::getCID)."""
+        shortest-match-first like poppler's CMap::getCID).  Range
+        membership is BYTE-WISE (PDF 32000 §9.7.6.2: each byte of the
+        code must lie within the corresponding byte of lo/hi) — an
+        integer compare would misfile e.g. GB18030 4-byte sequences
+        (second byte 0x30–0x39) into the 2-byte 8140–FEFE space."""
         i = 0
         n = len(raw)
         while i < n:
@@ -150,7 +163,7 @@ class CodespaceCMap:
                     break
                 acc = (acc << 8) | raw[i + k - 1]
                 for nb, lo, hi in self.codespaces:
-                    if nb == k and lo <= acc <= hi:
+                    if nb == k and _in_codespace(acc, k, lo, hi):
                         yield acc, k
                         i += k
                         matched = True
@@ -243,6 +256,58 @@ _PREDEF_UNICODE_CMAP_RE = re.compile(r"^Uni[A-Za-z]+-(?:UCS2|UTF16)(?:-HW)?-[HV]
 FLAG_ITALIC = 1 << 6  # FontDescriptor /Flags bit 7 (PDF 32000 table 123)
 FLAG_FORCE_BOLD = 1 << 18
 
+# Legacy byte-oriented predefined CMaps (PDF 32000 §9.7.5.2 table 118).
+# Their code→CID mapping needs Adobe character-collection data we don't
+# ship, but the code BYTES are a standard national charset, so TEXT
+# decodes exactly through the stdlib codec; widths fall back to /DW
+# like the Uni* family (the CID-keyed /W array is unusable without the
+# collection tables).  Codespace ranges follow each charset's published
+# lead-byte structure and match BYTE-WISE (spec semantics).
+_CS_SJIS = [(1, 0x00, 0x80), (1, 0xA0, 0xDF),
+            (2, 0x8140, 0x9FFC), (2, 0xE040, 0xFCFC)]
+_CS_EUCJP = [(1, 0x00, 0x80), (2, 0x8EA1, 0x8EDF), (2, 0xA1A1, 0xFEFE)]
+_CS_EUC94 = [(1, 0x00, 0x80), (2, 0xA1A1, 0xFEFE)]  # GB2312 / KSC EUC plane
+_CS_GBK = [(1, 0x00, 0x80), (2, 0x8140, 0xFEFE)]
+_CS_GB18030 = [(1, 0x00, 0x80), (2, 0x8140, 0xFEFE),
+               (4, 0x81308130, 0xFE39FE39)]
+_CS_BIG5 = [(1, 0x00, 0x80), (2, 0xA140, 0xFCFE)]
+_CS_UHC = [(1, 0x00, 0x80), (2, 0x8141, 0xFEFE)]
+
+# base name (H/V and HW suffixes stripped) → (python codec, codespaces)
+_LEGACY_CMAPS: dict[str, tuple[str, list[tuple[int, int, int]]]] = {
+    "90ms-RKSJ": ("cp932", _CS_SJIS),
+    "90msp-RKSJ": ("cp932", _CS_SJIS),
+    "90pv-RKSJ": ("cp932", _CS_SJIS),
+    "83pv-RKSJ": ("cp932", _CS_SJIS),
+    "Add-RKSJ": ("cp932", _CS_SJIS),
+    "Ext-RKSJ": ("cp932", _CS_SJIS),
+    "EUC": ("euc_jp", _CS_EUCJP),
+    "GB-EUC": ("gb2312", _CS_EUC94),
+    "GBpc-EUC": ("gb2312", _CS_EUC94),
+    "GBK-EUC": ("gbk", _CS_GBK),
+    "GBKp-EUC": ("gbk", _CS_GBK),
+    "GBK2K": ("gb18030", _CS_GB18030),
+    "B5pc": ("big5", _CS_BIG5),
+    "B5": ("big5", _CS_BIG5),
+    "ETen-B5": ("cp950", _CS_BIG5),
+    "ETenms-B5": ("cp950", _CS_BIG5),
+    "HKscs-B5": ("big5hkscs", _CS_BIG5),
+    "KSC-EUC": ("euc_kr", _CS_EUC94),
+    "KSCpc-EUC": ("euc_kr", _CS_EUC94),
+    "KSCms-UHC": ("cp949", _CS_UHC),
+}
+
+
+def lookup_legacy_cmap(name: str) -> tuple[str, list[tuple[int, int, int]]] | None:
+    """Resolve a predefined CMap name like ``90ms-RKSJ-H`` or
+    ``KSCms-UHC-HW-V`` to (codec, codespaces), or None."""
+    base = name
+    if base.endswith(("-H", "-V")):
+        base = base[:-2]
+    if base.endswith("-HW"):
+        base = base[:-3]
+    return _LEGACY_CMAPS.get(base)
+
 
 @dataclass
 class Font:
@@ -282,6 +347,11 @@ class Font:
     # /W width lookup) are collection-specific and unavailable — width
     # falls back to /DW, degrading gap heuristics only (ROADMAP).
     code_is_unicode: bool = False
+    # Legacy byte-oriented predefined CMaps (90ms-RKSJ-H, GBK-EUC-H,
+    # ...): codes decode through this stdlib codec (see _LEGACY_CMAPS);
+    # /W stays unusable (CID-keyed, collection data absent) so the
+    # width key is pinned to -1 → /DW fallback, never a CID collision.
+    legacy_codec: str | None = None
     v_default: float = 1000.0  # default vertical advance (-DW2[1]), font units
     v_widths: dict[int, float] = field(default_factory=dict)  # CID → v advance (/W2)
 
@@ -293,6 +363,10 @@ class Font:
         string.  width_key is the CID for CMap-encoded fonts (since /W
         is CID-keyed), else the raw code."""
         if self.cmap is not None:
+            if self.legacy_codec is not None:
+                for code, _nbytes in self.cmap.decode_codes(raw):
+                    yield -1, self._map(code)
+                return
             for code, _nbytes in self.cmap.decode_codes(raw):
                 yield self.cmap.to_cid(code), self._map(code)
         elif self.two_byte:
@@ -330,6 +404,14 @@ class Font:
             # Uni*-UCS2/UTF16 predefined CMaps: code == BMP codepoint
             # (unpaired surrogates stay replacement chars)
             return chr(code)
+        if self.legacy_codec is not None:
+            # legacy byte-oriented CMap: the code IS a national-charset
+            # byte sequence — round it back to bytes and run the codec
+            nb = max(1, (code.bit_length() + 7) // 8)
+            try:
+                return code.to_bytes(nb, "big").decode(self.legacy_codec)
+            except (UnicodeDecodeError, OverflowError):
+                return "�"
         return "�"
 
     def width(self, code: int) -> float:
@@ -547,6 +629,12 @@ def _load_type0(doc: PDFDocument, fd: dict, font: Font) -> None:
             # published construction — decode needs no Adobe collection
             # data (CID-keyed /W widths do, so widths fall to /DW)
             font.code_is_unicode = True
+        else:
+            legacy = lookup_legacy_cmap(enc.name)
+            if legacy is not None:
+                codec, codespaces = legacy
+                font.legacy_codec = codec
+                font.cmap = CodespaceCMap(codespaces=list(codespaces))
     if isinstance(enc, Stream):
         # embedded CMap: variable code widths + code→CID mapping
         try:

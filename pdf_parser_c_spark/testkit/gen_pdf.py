@@ -465,6 +465,12 @@ def tj_hex(x: float, y: float, font: str, size: float, codes: list[int]) -> str:
     return f"BT /{font} {size} Tf {x} {y} Td <{hx}> Tj ET\n"
 
 
+def tj_bytes(x: float, y: float, font: str, size: float, raw: bytes) -> str:
+    """Show an arbitrary byte string (variable-width codes — legacy
+    byte-oriented CMaps like 90ms-RKSJ-H) as a hex string."""
+    return f"BT /{font} {size} Tf {x} {y} Td <{raw.hex().upper()}> Tj ET\n"
+
+
 def text_block(x: float, y: float, leading: float, runs: list[list[tuple[str, float, str]]]) -> str:
     """Multi-line block: ``runs[line] = [(font, size, text), ...]``.
     Uses Td/T* line stepping — the common word-processor shape."""

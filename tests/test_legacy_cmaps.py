@@ -1,0 +1,126 @@
+"""Legacy byte-oriented predefined CMaps (PDF 32000 §9.7.5.2 table 118).
+
+The reference links poppler, whose CMap machinery loads Adobe's
+character-collection tables for 90ms-RKSJ-H / GBK-EUC-H / ... — we
+don't ship those tables, but for TEXT extraction they are not needed:
+the code bytes of each legacy CMap are a standard national charset
+(Shift-JIS, EUC-JP, GBK, GB18030, Big5, EUC-KR, UHC), so decode runs
+through the stdlib codec.  Widths fall back to /DW (the CID-keyed /W
+array is unusable without collection data) — layout degrades to the
+gap heuristics exactly like the Uni*-UCS2 family, text is exact.
+
+Codespace membership is BYTE-WISE per spec §9.7.6.2 — pinned here via
+GB18030, whose 4-byte sequences (second byte 0x30–0x39) would misfile
+into the 2-byte 8140–FEFE space under an integer-range compare.
+"""
+
+from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+from pdf_parser_c_spark.pdf import cos
+from pdf_parser_c_spark.pdf.fonts import (
+    CodespaceCMap,
+    _in_codespace,
+    load_font,
+    lookup_legacy_cmap,
+)
+from pdf_parser_c_spark.testkit.gen_pdf import (
+    FontSpec,
+    PageSpec,
+    build_pdf,
+    tj_bytes,
+)
+
+
+def legacy_font(cmap_name: str) -> FontSpec:
+    return FontSpec("Fixture-CJK", type0=True, cid_encoding=cmap_name)
+
+
+def roundtrip(cmap_name: str, text: str, codec: str) -> str:
+    content = tj_bytes(100, 700, "FL", 18, text.encode(codec))
+    doc = parse_pdf_bytes(
+        build_pdf([PageSpec(content)], {"FL": legacy_font(cmap_name)})
+    )
+    assert doc.status == "ok"
+    return doc.text
+
+
+def test_shift_jis_90ms_rksj():
+    # mixed 1-byte ASCII, 2-byte kanji, 1-byte halfwidth katakana
+    assert roundtrip("90ms-RKSJ-H", "A日本語テスト ｱｲｳ", "cp932") == "A日本語テスト ｱｲｳ"
+
+
+def test_euc_jp_with_ss2_halfwidth():
+    assert roundtrip("EUC-H", "日本語ﾃｽﾄ", "euc_jp") == "日本語ﾃｽﾄ"
+
+
+def test_gbk_euc():
+    assert roundtrip("GBK-EUC-H", "中文测试abc", "gbk") == "中文测试abc"
+
+
+def test_gb18030_four_byte_codes():
+    # U+20000 encodes as a 4-byte GB18030 sequence (2nd byte 0x30-0x39)
+    assert roundtrip("GBK2K-H", "中文a\U00020000", "gb18030") == "中文a\U00020000"
+
+
+def test_big5_eten():
+    assert roundtrip("ETen-B5-H", "中文測試", "cp950") == "中文測試"
+
+
+def test_uhc_kscms():
+    assert roundtrip("KSCms-UHC-H", "한국어 test", "cp949") == "한국어 test"
+
+
+def test_vertical_variant_sets_wmode_and_hw_strips():
+    assert lookup_legacy_cmap("KSCms-UHC-HW-V") == lookup_legacy_cmap("KSCms-UHC-H")
+    pdf = build_pdf(
+        [PageSpec(tj_bytes(300, 700, "FL", 18, "縦".encode("cp932")))],
+        {"FL": legacy_font("90ms-RKSJ-V")},
+    )
+    d = cos.PDFDocument.open(pdf)
+    page = d.pages()[0]
+    fonts = d.dget(d.dget(page, "Resources"), "Font")
+    raw = fonts["FL"]
+    f = load_font(d, d.resolve(raw), getattr(raw, "num", -1), 0)
+    assert f.wmode == 1
+    assert f.legacy_codec == "cp932"
+
+
+def test_width_key_pinned_to_dw():
+    # /W is CID-keyed; without collection data a raw SJIS code must not
+    # collide with it — the decode width key is -1 → /DW fallback
+    pdf = build_pdf(
+        [PageSpec(tj_bytes(100, 700, "FL", 18, "日".encode("cp932")))],
+        {"FL": legacy_font("90ms-RKSJ-H")},
+    )
+    d = cos.PDFDocument.open(pdf)
+    page = d.pages()[0]
+    fonts = d.dget(d.dget(page, "Resources"), "Font")
+    raw = fonts["FL"]
+    f = load_font(d, d.resolve(raw), getattr(raw, "num", -1), 0)
+    keys = [k for k, _u in f.decode("日本".encode("cp932"))]
+    assert keys == [-1, -1]
+    assert f.width(-1) == f.default_width
+
+
+def test_codespace_membership_is_bytewise():
+    assert not _in_codespace(0x8230, 2, 0x8140, 0xFEFE)  # 2nd byte below lo
+    assert _in_codespace(0x8250, 2, 0x8140, 0xFEFE)
+    assert _in_codespace(0x81308130, 4, 0x81308130, 0xFE39FE39)
+    assert not _in_codespace(0x81308140, 4, 0x81308130, 0xFE39FE39)
+
+
+def test_out_of_codespace_byte_consumes_one_byte():
+    cmap = CodespaceCMap(codespaces=[(1, 0x00, 0x80), (2, 0xA1A1, 0xFEFE)])
+    # 0x90 matches no space → consumed alone as an error glyph, stream
+    # stays in sync for the following valid 2-byte code
+    codes = list(cmap.decode_codes(bytes([0x90, 0xA1, 0xA1])))
+    assert codes == [(0x90, 1), (0xA1A1, 2)]
+
+
+def test_unknown_predefined_cmap_still_identity():
+    # names outside the table (e.g. a collection we don't map) keep the
+    # Identity-H 2-byte default rather than crashing
+    content = tj_bytes(100, 700, "FL", 18, bytes([0x00, 0x41]))
+    doc = parse_pdf_bytes(
+        build_pdf([PageSpec(content)], {"FL": legacy_font("Unknown-CMap-H")})
+    )
+    assert doc.status == "ok"
