@@ -19,7 +19,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .engine import encode_pdf_payload
-from .testkit.gen_pdf import FontSpec, PageSpec, build_pdf, text_block, tj
+from .testkit.gen_pdf import (
+    FontSpec,
+    PageSpec,
+    build_pdf,
+    text_block,
+    tj,
+    tj_bytes,
+)
 
 _FONTS = {
     "F1": FontSpec("Helvetica", encoding="WinAnsiEncoding"),
@@ -52,6 +59,44 @@ def doc_to_pdf_payload(doc_id: int, text: str) -> str:
     pdf = build_pdf([PageSpec(content)], _FONTS, title=f"Doc {doc_id}",
                     compress=doc_id % 2 == 0,
                     xref_stream=doc_id % 4 == 0, objstm=doc_id % 4 == 0)
+    return encode_pdf_payload(pdf)
+
+
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+# 26-char target alphabets, one per legacy-CMap family; each encodes in
+# its family codec (pinned by tests/test_legacy_cmaps.py) and maps a-z
+# char-wise so DuckDB's translate() reconstructs the exact same text
+CJK_FAMILIES: tuple[tuple[str, str, str, str], ...] = (
+    ("FJ", "90ms-RKSJ-H", "cp932", "アイウエオカキクケコサシスセソタチツテトナニヌネノハ"),
+    ("FG", "GBK-EUC-H", "gbk", "安波次德俄法格海意杰克林米奈欧派奇仁思特五为西雅意志"),
+    ("FK", "KSCms-UHC-H", "cp949", "가나다라마바사아자차카타파하거너더러머버서어저처커터"),
+    ("FB", "ETen-B5-H", "cp950", "的一是不了人我在有他這中大來上國個到說們為子和你地出"),
+)
+
+
+def doc_to_cjk_pdf_payload(doc_id: int, text: str) -> str:
+    """PDF armor whose BODY renders through a legacy byte-oriented CMap
+    font (family by doc_id % 4): words[3:23] are translated a-z →
+    national alphabet, encoded with the family codec, and shown as raw
+    hex strings — the full Shift-JIS/GBK/UHC/Big5 decode path runs on
+    every extraction.  Head stays ASCII bold (CJK has no case, so a CJK
+    head would fail the reference's title-case gate — A11)."""
+    res, cmap, codec, alphabet = CJK_FAMILIES[doc_id % 4]
+    trans = str.maketrans(_ASCII_LOWER, alphabet)
+    words = text.split()
+    head = " ".join(words[:3]).title() or "Untitled"
+    body = [w.translate(trans) for w in words[3:23]]
+    parts = [text_block(72, 700, 16, [[("F2", 12, head)]])]
+    y = 660
+    for i in range(0, len(body), 4):
+        line = " ".join(body[i : i + 4])
+        parts.append(tj_bytes(72, y, res, 11, line.encode(codec)))
+        y -= 14
+    parts.append(tj(300, 30, "F1", 10, str(doc_id % 90 + 1)))
+    fonts = dict(_FONTS)
+    fonts[res] = FontSpec("Fixture-CJK", type0=True, cid_encoding=cmap)
+    pdf = build_pdf([PageSpec("".join(parts))], fonts, title=f"Doc {doc_id}",
+                    compress=doc_id % 2 == 0)
     return encode_pdf_payload(pdf)
 
 
@@ -95,6 +140,38 @@ def _armor_batches(batches):
                 "ts": pd.Timestamp(_EPOCH) + pd.to_timedelta(ids, unit="m"),
             }
         )
+
+
+def _cjk_armor_batches(batches):
+    """mapInPandas kernel: every document becomes a legacy-CMap PDF
+    transcript (family rotates by doc_id % 4)."""
+    for b in batches:
+        ids = b["doc_id"].astype("int64")
+        payloads = [
+            doc_to_cjk_pdf_payload(int(i), str(t)) for i, t in zip(ids, b["text"])
+        ]
+        yield pd.DataFrame(
+            {
+                "conv_id": (ids // 10).map("conv{:06d}".format),
+                "turn_idx": (ids % 10).astype("int32"),
+                "role": (ids % 3).map(lambda m: ("user", "assistant", "tool")[m]),
+                "text": payloads,
+                "tool": pd.Series([None] * len(ids), dtype="object"),
+                "ts": pd.Timestamp(_EPOCH) + pd.to_timedelta(ids, unit="m"),
+            }
+        )
+
+
+def build_cjk_transcripts_from_documents(
+    spark: SparkSession, docs: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """documents → transcripts where every row is a legacy-CMap PDF
+    (see doc_to_cjk_pdf_payload); same one-exchange plan as
+    build_transcripts_from_documents."""
+    d = docs.select("doc_id", "text")
+    if num_partitions is not None:
+        d = d.repartition(num_partitions, "doc_id")
+    return d.mapInPandas(_cjk_armor_batches, schema=TRANSCRIPTS_SCHEMA)
 
 
 def build_transcripts_from_documents(

@@ -2113,6 +2113,58 @@ ORDER BY doc_id, span_idx
 """
 
 
+def q_extraction_cjk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn TEXT EQUALITY for the legacy-CMap CJK PDF path: every
+    sampled document is armored into a PDF whose body renders through
+    one of four legacy byte-oriented predefined CMaps (90ms-RKSJ-H /
+    GBK-EUC-H / KSCms-UHC-H / ETen-B5-H by doc_id % 4 — Shift-JIS,
+    GBK, UHC, Big5 bytes), pushed through the FULL parse stack, and
+    the extracted text must equal the SQL reconstruction: body words
+    are the a-z → national-alphabet translate() of words[3:23], which
+    DuckDB reproduces char-for-char.  Closes the driver-visible loop
+    on fonts._LEGACY_CMAPS (poppler gets these via Adobe collection
+    tables; we decode the charset bytes directly).
+    Scale: identical plan to the other roundtrips (scan → one exchange
+    → armor + extract kernels in one stage)."""
+    from .engine import extract_turns
+    from .flagship import build_cjk_transcripts_from_documents
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
+    transcripts = build_cjk_transcripts_from_documents(
+        spark, docs, num_partitions=16
+    )
+    out = extract_turns(transcripts, repartition=False)
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
+    return out.select(doc_id, "text").orderBy("doc_id")
+
+
+_CJK_ALPHABET_SQL_CASE = """CASE doc_id % 4
+           WHEN 0 THEN 'アイウエオカキクケコサシスセソタチツテトナニヌネノハ'
+           WHEN 1 THEN '安波次德俄法格海意杰克林米奈欧派奇仁思特五为西雅意志'
+           WHEN 2 THEN '가나다라마바사아자차카타파하거너더러머버서어저처커터'
+           ELSE '的一是不了人我在有他這中大來上國個到說們為子和你地出'
+         END"""
+
+SQL_EXTRACTION_CJK_ROUNDTRIP = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents WHERE doc_id % 5 = 1
+)
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+       array_to_string(
+         list_transform(ws[1:3], x -> upper(x[1]) || x[2:]), ' ') ||
+       chr(10) ||
+       translate(array_to_string(ws[4:23], ' '),
+                 'abcdefghijklmnopqrstuvwxyz',
+                 __ALPHABET__) AS text
+FROM w ORDER BY doc_id
+""".replace("__ALPHABET__", _CJK_ALPHABET_SQL_CASE)
+
+
 def q_extraction_plain_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn TEXT EQUALITY for the plain-text path (flagship mode
     ``doc_id % 3 == 2``): payload classification must route plain turns
@@ -2197,6 +2249,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_plain_roundtrip": (
         q_extraction_plain_roundtrip, SQL_EXTRACTION_PLAIN_ROUNDTRIP
+    ),
+    "extraction_cjk_roundtrip": (
+        q_extraction_cjk_roundtrip, SQL_EXTRACTION_CJK_ROUNDTRIP
     ),
     "extraction_spans_roundtrip": (
         q_extraction_spans_roundtrip, SQL_EXTRACTION_SPANS_ROUNDTRIP

@@ -124,3 +124,40 @@ def test_unknown_predefined_cmap_still_identity():
         build_pdf([PageSpec(content)], {"FL": legacy_font("Unknown-CMap-H")})
     )
     assert doc.status == "ok"
+
+
+def test_cjk_armor_roundtrip_all_families():
+    """Flagship CJK armorer → full kernel → exact text equality, one
+    document per legacy-CMap family (the no-Spark core of the
+    extraction_cjk_roundtrip driver query)."""
+    from pdf_parser_c_spark.engine import _extract_one_pdf
+    from pdf_parser_c_spark.flagship import (
+        _ASCII_LOWER,
+        CJK_FAMILIES,
+        doc_to_cjk_pdf_payload,
+    )
+
+    text = ("the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew magic potions under ancient oak trees near "
+            "quiet rivers flowing gently through green valleys")
+    words = text.split()
+    for doc_id in range(4):
+        _res, cmap, _codec, alphabet = CJK_FAMILIES[doc_id % 4]
+        trans = str.maketrans(_ASCII_LOWER, alphabet)
+        head = " ".join(words[:3]).title()
+        body = " ".join(w.translate(trans) for w in words[3:23])
+        out = _extract_one_pdf(doc_to_cjk_pdf_payload(doc_id, text))
+        assert out["status"] == "ok"
+        assert out["text"] == f"Doc {doc_id}\n\n{head}\n{body}", cmap
+
+
+def test_cjk_sql_alphabets_match_python():
+    """The oracle SQL's CASE alphabets must stay in lockstep with the
+    armorer's CJK_FAMILIES tuple."""
+    from pdf_parser_c_spark.flagship import CJK_FAMILIES
+    from pdf_parser_c_spark.queries import _CJK_ALPHABET_SQL_CASE
+
+    for idx, (_r, _c, codec, alphabet) in enumerate(CJK_FAMILIES):
+        assert len(alphabet) == 26
+        alphabet.encode(codec)  # must be representable in its family
+        assert f"'{alphabet}'" in _CJK_ALPHABET_SQL_CASE, idx
