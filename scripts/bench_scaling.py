@@ -16,9 +16,15 @@ Two confound controls make the proxy honest:
   this confound does not exist.  The Spark-layer efficiency is the job
   efficiency normalized by that measured hardware ceiling.
 
+Host-noise control: neighbor load on this shared VM swings single
+wall-clocks 2-8x, and noise only ever *slows* a run, so every probe
+(kernel, full job, hw calibration) runs R times per level (default 2)
+and reports the best — the closest observable to the machine's true
+capability at that concurrency.
+
 Writes the measured table to BENCH/BASELINE.md.
 
-Usage: python scripts/bench_scaling.py [n_convs] [turns_per_conv]
+Usage: python scripts/bench_scaling.py [n_convs] [turns_per_conv] [runs]
 """
 
 from __future__ import annotations
@@ -51,6 +57,27 @@ print(json.dumps({{"cores": cores, "rows": n, "sec": sec,
 spark.stop()
 """
 
+RUNNER_JOB = r"""
+import json, sys, time, tempfile
+sys.path.insert(0, {repo!r})
+from pdf_parser_c_spark.engine import run_extraction_job, extract_turns, get_spark
+cores = int(sys.argv[1]); path = sys.argv[2]
+spark = get_spark(app=f"scale-job-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.read.parquet(path)
+n = df.count()  # warm scan + JVM
+extract_turns(df.limit(64), num_partitions=cores).count()  # warm workers
+out = tempfile.mkdtemp(prefix=f"scale_job_{{cores}}_")
+t0 = time.perf_counter()
+run_extraction_job(spark, df, out, n_buckets=64, num_partitions=cores * 4,
+                   job_id=f"scale{{cores}}")
+sec = time.perf_counter() - t0
+print(json.dumps({{"cores": cores, "rows": n, "sec": sec,
+                   "rows_per_sec": n / sec}}))
+spark.stop()
+"""
+
 _CAL_PDF: bytes = b""
 
 
@@ -62,9 +89,12 @@ def _cal_work(n: int) -> int:
     return n
 
 
-def calibrate_hardware(levels: list[int], docs_per_level: int = 2400) -> dict[int, float]:
+def calibrate_hardware(
+    levels: list[int], docs_per_level: int = 2400, runs: int = 2
+) -> dict[int, float]:
     """Same kernel, plain multiprocessing — measures what this VM can
-    physically deliver at each concurrency (docs/sec aggregate)."""
+    physically deliver at each concurrency (docs/sec aggregate).
+    Best of ``runs`` attempts per level (noise only slows a run)."""
     global _CAL_PDF
     from multiprocessing import Pool
 
@@ -75,10 +105,13 @@ def calibrate_hardware(levels: list[int], docs_per_level: int = 2400) -> dict[in
     _CAL_PDF = _decode_armor(vs["pdf_sections"].payload)
     rates: dict[int, float] = {}
     for procs in levels:
-        with Pool(procs) as p:
-            t0 = time.perf_counter()
-            p.map(_cal_work, [docs_per_level // procs] * procs)
-            rates[procs] = docs_per_level / (time.perf_counter() - t0)
+        best = 0.0
+        for _ in range(runs):
+            with Pool(procs) as p:
+                t0 = time.perf_counter()
+                p.map(_cal_work, [docs_per_level // procs] * procs)
+                best = max(best, docs_per_level / (time.perf_counter() - t0))
+        rates[procs] = best
     return rates
 
 
@@ -89,6 +122,7 @@ def main() -> None:
 
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
     turns = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -111,25 +145,38 @@ def main() -> None:
     runner_path = f"{tmp}/runner.py"
     with open(runner_path, "w") as f:
         f.write(RUNNER.format(repo=repo))
+    job_runner_path = f"{tmp}/runner_job.py"
+    with open(job_runner_path, "w") as f:
+        f.write(RUNNER_JOB.format(repo=repo))
+
+    def run_best(path: str, cores: int, tag: str) -> dict:
+        best: dict | None = None
+        for _ in range(runs):
+            out = subprocess.run(
+                [sys.executable, path, str(cores), f"{tmp}/transcripts.parquet"],
+                capture_output=True, text=True, check=True,
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            print(f"{tag}: {json.dumps(r)}", file=sys.stderr)
+            if best is None or r["rows_per_sec"] > best["rows_per_sec"]:
+                best = r
+        return best
 
     levels = [2, 8, 32]
     results = {}
+    job_results = {}
     for cores in levels:
-        out = subprocess.run(
-            [sys.executable, runner_path, str(cores), f"{tmp}/transcripts.parquet"],
-            capture_output=True, text=True, check=True,
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        results[cores] = json.loads(line)
-        print(line, file=sys.stderr)
+        results[cores] = run_best(runner_path, cores, "kernel")
+        job_results[cores] = run_best(job_runner_path, cores, "job")
 
-    hw = calibrate_hardware(levels)
+    hw = calibrate_hardware(levels, runs=runs)
     print(json.dumps({"hw_docs_per_sec": hw}), file=sys.stderr)
 
     def eff(lo: int, hi: int, rates: dict) -> float:
         return (rates[hi] / rates[lo]) / (hi / lo)
 
     job = {c: results[c]["rows_per_sec"] for c in levels}
+    fulljob = {c: job_results[c]["rows_per_sec"] for c in levels}
     rows = "\n".join(
         f"| {c} | {results[c]['rows']} | {results[c]['sec']:.2f} | "
         f"{job[c]:.1f} | {hw[c]:.1f} |"
@@ -139,6 +186,15 @@ def main() -> None:
     pair_rows = "\n".join(
         f"| {lo}→{hi} | {eff(lo, hi, job):.3f} | {eff(lo, hi, hw):.3f} | "
         f"{min(1.0, eff(lo, hi, job) / eff(lo, hi, hw)):.3f} |"
+        for lo, hi in pairs
+    )
+    fulljob_rows = "\n".join(
+        f"| {c} | {job_results[c]['sec']:.2f} | {fulljob[c]:.1f} |"
+        for c in levels
+    )
+    fulljob_pair_rows = "\n".join(
+        f"| {lo}→{hi} | {eff(lo, hi, fulljob):.3f} | "
+        f"{min(1.0, eff(lo, hi, fulljob) / eff(lo, hi, hw)):.3f} |"
         for lo, hi in pairs
     )
     e28 = eff(2, 8, job)
@@ -163,7 +219,9 @@ down as more go busy (even a pure-register arithmetic loop only reaches
 parse kernel through plain multiprocessing with no Spark — it is the
 physical ceiling of the box at that concurrency.  On a real cluster 4N
 executors are 4× machines, so the cluster-faithful number is the job
-efficiency normalized by that ceiling.
+efficiency normalized by that ceiling.  Neighbor load swings single
+wall-clocks 2-8× and only ever slows a run, so every cell is the best
+of {runs} independent runs at that level.
 
 | cores (N) | rows | wall s | job turns/sec | hw kernel docs/sec |
 |---|---|---|---|---|
@@ -179,13 +237,36 @@ efficiency normalized by that ceiling.
 the Spark layer adds no material scaling loss on top of the VM's own
 frequency/oversubscription behavior.)
 
+## Full production job (checkpointed write path)
+
+Same corpus and levels, but the complete `run_extraction_job`: salted
+repartition → extraction kernel → bucket-aligned shuffle → parquet
+results partitioned by bucket → metrics + lineage writes.  This is
+the job the north rule describes, including the exchange and the sink.
+Sandbox caveat: all levels share ONE local disk, so the write adds a
+fixed-bandwidth component a real cluster (per-node disks / object
+store) does not have — the normalized column still uses the CPU
+ceiling, making it a conservative lower bound for the job path.
+
+| cores (N) | wall s | job turns/sec |
+|---|---|---|
+{fulljob_rows}
+
+| scale-up | full-job efficiency | normalized (job/hw) |
+|---|---|---|
+{fulljob_pair_rows}
+
 Reproduce: `python scripts/bench_scaling.py`
 """
     os.makedirs(f"{repo}/BENCH", exist_ok=True)
     with open(f"{repo}/BENCH/BASELINE.md", "w") as f:
         f.write(md)
     print(json.dumps({"eff_2_8": e28, "eff_8_32_normalized": e832_norm,
-                      "job": job, "hw": hw, "verdict": verdict}))
+                      "job": job, "fulljob": fulljob, "hw": hw,
+                      "fulljob_eff_2_8": eff(2, 8, fulljob),
+                      "fulljob_eff_8_32_normalized":
+                          eff(8, 32, fulljob) / eff(8, 32, hw),
+                      "verdict": verdict}))
 
 
 if __name__ == "__main__":
