@@ -100,6 +100,87 @@ def doc_to_cjk_pdf_payload(doc_id: int, text: str) -> str:
     return encode_pdf_payload(pdf)
 
 
+# Sectioned armor (section_tree oracle): reading-order layout
+#   A (H1/F2) -> B (H2/F3) -> C (H2/F3) -> D (H1/F2)
+# exercises the reference tree-builder's seen-format sibling pop (C pops
+# back to A's child level) and the multi-level pop (D pops back to root)
+# — src/pdf_utils.cpp:589-627.  Reverse-sibling DFS ids
+# (src/pdf_utils.cpp:133-163): root=0, D=1, A=2, C=3, B=4.
+# (title_word_slice, content_word_slice, font) in reading order:
+SECTION_SLICES: tuple[tuple[tuple[int, int], tuple[int, int], str], ...] = (
+    ((0, 2), (2, 6), "F2"),     # A  (H1)
+    ((6, 8), (8, 12), "F3"),    # B  (H2, child of A)
+    ((12, 14), (14, 18), "F3"),  # C  (H2 — same format as B: sibling pop)
+    ((18, 20), (20, 24), "F2"),  # D  (H1 — same format as A: pop to root)
+)
+SECTION_TITLE_PREFIX = "Part "  # fixed mixed-case word: guarantees the
+# title keeps a lowercase byte, so the classifier's none-of(islower)
+# check (inc/pdf_utils.hpp:148-150) never flips a doc to CASE_ALL_UPPER
+# and every doc produces the SAME two TitleFormats
+SECTION_MIN_WORDS = 24  # callers must filter docs to >= this many words
+
+_FONTS3 = dict(_FONTS)
+_FONTS3["F3"] = FontSpec("Times-Bold", encoding="WinAnsiEncoding")
+
+
+def doc_to_sectioned_pdf_payload(doc_id: int, text: str) -> str:
+    """PDF armor with a 2-level section hierarchy (see SECTION_SLICES).
+
+    Layout: each section is a bold single-line title block followed
+    40 pt below by a regular content line (40 pt >> the poppler-style
+    line-merge threshold, so title and content stay separate blocks);
+    sections are 100 pt apart.  Footer page number gates start_parse
+    (A6).  Deterministic per (doc_id, text)."""
+    words = text.split()
+    parts: list[str] = []
+    y = 720.0
+    for (t0, t1), (c0, c1), font in SECTION_SLICES:
+        title = SECTION_TITLE_PREFIX + " ".join(words[t0:t1]).title()
+        content = " ".join(words[c0:c1])
+        parts.append(tj(72, y, font, 12, title))
+        parts.append(tj(72, y - 40, "F1", 11, content))
+        y -= 100
+    parts.append(tj(300, 30, "F1", 10, str(doc_id % 90 + 1)))
+    pdf = build_pdf([PageSpec("".join(parts))], _FONTS3, title=f"Doc {doc_id}",
+                    compress=doc_id % 2 == 0,
+                    xref_stream=doc_id % 4 == 0, objstm=doc_id % 4 == 0)
+    return encode_pdf_payload(pdf)
+
+
+def _sectioned_armor_batches(batches):
+    """mapInPandas kernel: every document becomes a sectioned PDF
+    transcript (see doc_to_sectioned_pdf_payload); callers pre-filter
+    to docs with >= SECTION_MIN_WORDS words."""
+    for b in batches:
+        ids = b["doc_id"].astype("int64")
+        payloads = [
+            doc_to_sectioned_pdf_payload(int(i), str(t))
+            for i, t in zip(ids, b["text"])
+        ]
+        yield pd.DataFrame(
+            {
+                "conv_id": (ids // 10).map("conv{:06d}".format),
+                "turn_idx": (ids % 10).astype("int32"),
+                "role": (ids % 3).map(lambda m: ("user", "assistant", "tool")[m]),
+                "text": payloads,
+                "tool": pd.Series([None] * len(ids), dtype="object"),
+                "ts": pd.Timestamp(_EPOCH) + pd.to_timedelta(ids, unit="m"),
+            }
+        )
+
+
+def build_sectioned_transcripts_from_documents(
+    spark: SparkSession, docs: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """documents → transcripts where every row is a 2-level sectioned
+    PDF (see SECTION_SLICES); same one-exchange plan as
+    build_transcripts_from_documents."""
+    d = docs.select("doc_id", "text")
+    if num_partitions is not None:
+        d = d.repartition(num_partitions, "doc_id")
+    return d.mapInPandas(_sectioned_armor_batches, schema=TRANSCRIPTS_SCHEMA)
+
+
 def doc_to_html_payload(doc_id: int, text: str) -> str:
     return (
         "<html><head><script>track();</script></head><body>"

@@ -1929,40 +1929,100 @@ FROM hits GROUP BY 1 ORDER BY 1
 
 
 def q_section_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A14/A15 driver-visible output: armored PDF transcripts through
-    the full kernel, sections exploded to (id, parent_id) adjacency
-    rows — the format-stack tree (src/pdf_utils.cpp:579-627) and
-    reverse-sibling-DFS ids (:133-163) as relational rows.
-    Inherently sequential per document → rows-only check (pytest golden
-    fixtures pin the values; DuckDB cannot parse PDFs).
+    """A14/A15 with a FULL hash-checked oracle: every sampled document
+    is armored into a 2-level sectioned PDF (flagship.SECTION_SLICES —
+    H1 A, H2 B, H2 C, H1 D, exercising the tree-builder's seen-format
+    sibling pop for C and the multi-level pop for D,
+    src/pdf_utils.cpp:589-627), pushed through the FULL parse stack,
+    and the exploded (section_id, parent_id, title, content) adjacency
+    must equal the DuckDB reconstruction of the armor template —
+    reverse-sibling-DFS ids (src/pdf_utils.cpp:133-163) give
+    root=0(null), D=1(0), A=2(0), C=3(2), B=4(2) for every doc.
     Scale: identical plan to extraction plus one explode."""
     from .engine import extract_turns
-    from .flagship import build_transcripts_from_documents
+    from .flagship import (
+        SECTION_MIN_WORDS,
+        build_sectioned_transcripts_from_documents,
+    )
 
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0).limit(60)
+    docs = t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 0)
+        & (
+            F.size(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " "))
+            >= SECTION_MIN_WORDS
+        )
+    )
     out = extract_turns(
-        build_transcripts_from_documents(spark, docs, num_partitions=8),
+        build_sectioned_transcripts_from_documents(spark, docs, num_partitions=16),
         repartition=False,
     )
-    sec = out.filter(F.col("kind") == "pdf").select(
-        "conv_id", "turn_idx", F.explode("sections").alias("s")
-    )
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
+    sec = out.select(doc_id, F.explode("sections").alias("s"))
     return (
         sec.select(
-            "conv_id", "turn_idx",
+            "doc_id",
             F.col("s.id").alias("section_id"),
             F.col("s.parent_id").alias("parent_id"),
-            F.length("s.title").cast("long").alias("title_len"),
+            F.col("s.title").alias("title"),
+            F.col("s.content").alias("content"),
         )
-        .orderBy("conv_id", "turn_idx", "section_id")
+        .orderBy("doc_id", "section_id")
     )
+
+
+# Expected flat ids per doc (reverse-sibling DFS over root->[A,D],
+# A->[B,C]): root=0, D=1, A=2, C=3, B=4.  Slices mirror
+# flagship.SECTION_SLICES (python words[a:b] == duckdb ws[a+1:b]).
+SQL_SECTION_TREE = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents WHERE doc_id % 3 = 0
+), s AS (
+  SELECT doc_id, ws FROM w WHERE len(ws) >= 24
+)
+SELECT doc_id, section_id, parent_id, title, content FROM (
+  SELECT doc_id, 0 AS section_id, CAST(NULL AS INTEGER) AS parent_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) AS title, '' AS content
+  FROM s
+  UNION ALL
+  SELECT doc_id, 1, 0,
+         'Part ' || array_to_string(
+            list_transform(ws[19:20], x -> upper(x[1]) || x[2:]), ' '),
+         array_to_string(ws[21:24], ' ')
+  FROM s
+  UNION ALL
+  SELECT doc_id, 2, 0,
+         'Part ' || array_to_string(
+            list_transform(ws[1:2], x -> upper(x[1]) || x[2:]), ' '),
+         array_to_string(ws[3:6], ' ')
+  FROM s
+  UNION ALL
+  SELECT doc_id, 3, 2,
+         'Part ' || array_to_string(
+            list_transform(ws[13:14], x -> upper(x[1]) || x[2:]), ' '),
+         array_to_string(ws[15:18], ' ')
+  FROM s
+  UNION ALL
+  SELECT doc_id, 4, 2,
+         'Part ' || array_to_string(
+            list_transform(ws[7:8], x -> upper(x[1]) || x[2:]), ' '),
+         array_to_string(ws[9:12], ' ')
+  FROM s
+)
+ORDER BY doc_id, section_id
+"""
 
 
 def q_extraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whole-engine end-to-end: documents armored into transcripts
-    (PDF/HTML/plain mix), pushed through the full extraction kernel.
-    Not SQL-expressible (DuckDB cannot parse PDFs) → rows-only check;
-    pytest golden fixtures carry the value-level correctness.
+    """Whole-engine end-to-end, now hash-checked: ALL documents armored
+    into transcripts (PDF/HTML/plain mix by doc_id % 3), pushed through
+    the full extraction kernel; (kind, status, text_len, n_pages) per
+    turn must equal the DuckDB reconstruction, whose text_len reuses the
+    same armor-template reconstructions the three per-mode text
+    roundtrips hash-check character-for-character.
     Scale: identical plan to the production job (scan → salt shuffle →
     mapInPandas)."""
     from .engine import extract_turns
@@ -1971,11 +2031,40 @@ def q_extraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     transcripts = build_transcripts_from_documents(spark, docs, num_partitions=16)
     out = extract_turns(transcripts, repartition=False)
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
     return (
-        out.select("conv_id", "turn_idx", "kind", "status",
+        out.select(doc_id, "kind", "status",
                    F.length("text").alias("text_len"), "n_pages")
-        .orderBy("conv_id", "turn_idx")
+        .orderBy("doc_id")
     )
+
+
+SQL_EXTRACTION_E2E = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS collapsed,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'pdf' WHEN 1 THEN 'html'
+            ELSE 'plain' END AS kind,
+       CASE WHEN doc_id % 3 = 2 AND length(trim(text)) = 0
+            THEN 'empty' ELSE 'ok' END AS status,
+       CAST(CASE doc_id % 3
+         WHEN 0 THEN length('Doc ' || CAST(doc_id AS VARCHAR)) + 2
+                     + length(array_to_string(ws[1:3], ' ')) + 1
+                     + length(array_to_string(ws[4:43], ' '))
+         WHEN 1 THEN length('Document ' || CAST(doc_id AS VARCHAR)) + 1
+                     + length(collapsed)
+         ELSE length(trim(text))
+       END AS INTEGER) AS text_len,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_pages
+FROM w
+ORDER BY doc_id
+"""
 
 
 def q_extraction_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2238,9 +2327,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality_repetition": (q_text_quality_repetition, SQL_TEXT_REPETITION),
     "text_quality_gopher": (q_text_quality_gopher, SQL_TEXT_GOPHER),
     "dedup_exact_normalized": (q_dedup_exact_normalized, SQL_DEDUP_EXACT_NORM),
-    # rows-only (non-SQL-expressible): the full extraction engine
-    "section_tree": (q_section_tree, None),
-    "extraction_e2e": (q_extraction_e2e, None),
+    "section_tree": (q_section_tree, SQL_SECTION_TREE),
+    "extraction_e2e": (q_extraction_e2e, SQL_EXTRACTION_E2E),
     "extraction_html_roundtrip": (
         q_extraction_html_roundtrip, SQL_EXTRACTION_HTML_ROUNDTRIP
     ),

@@ -106,3 +106,34 @@ def test_text_and_spans_consistent():
     r = parse_pdf_bytes(build_pdf([PageSpec(page)], FONTS))
     for sec, (a, b) in zip(r.sections, r.spans):
         assert r.text[a:b] == sec["content"]
+
+
+def test_sectioned_armor_adjacency():
+    # flagship sectioned armor: H1 A -> H2 B -> H2 C (seen-format
+    # sibling pop) -> H1 D (multi-level pop back to root); reverse-
+    # sibling DFS ids root=0, D=1, A=2, C=3, B=4
+    # (src/pdf_utils.cpp:589-627, :133-163)
+    import base64
+
+    from pdf_parser_c_spark.flagship import doc_to_sectioned_pdf_payload
+    from pdf_parser_c_spark.engine import PDF_B64_PREFIX
+
+    words = [f"word{i:02d}" for i in range(24)]
+    payload = doc_to_sectioned_pdf_payload(7, " ".join(words))
+    assert payload.startswith(PDF_B64_PREFIX)
+    pdf = base64.b64decode(payload[len(PDF_B64_PREFIX):])
+    r = parse_pdf_bytes(pdf)
+    assert r.status == "ok"
+    got = sorted(
+        (s["id"], s.get("parent_id"), s["title"], s["content"])
+        for s in r.sections
+    )
+    def tc(ws):
+        return "Part " + " ".join(w[:1].upper() + w[1:] for w in ws)
+    assert got == [
+        (0, None, "Doc 7", ""),
+        (1, 0, tc(words[18:20]), " ".join(words[20:24])),
+        (2, 0, tc(words[0:2]), " ".join(words[2:6])),
+        (3, 2, tc(words[12:14]), " ".join(words[14:18])),
+        (4, 2, tc(words[6:8]), " ".join(words[8:12])),
+    ]
