@@ -62,6 +62,9 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame
     )
 
 
+_SETS_SLOT: list[DataFrame] = []
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -72,11 +75,22 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs (doc_a, doc_b, jaccard ≥ threshold) via a
     DF-capped inverted index.  Jaccard denominators use FULL per-doc
-    shingle counts; the cap only prunes candidate generation."""
-    # persisted: sizes, the DF count, and both candidate-join sides all
-    # consume the sets frame — uncached, the shingle construction
-    # re-runs per plan branch
+    shingle counts; the cap only prunes candidate generation.
+
+    The sets frame is persisted (sizes, the DF count, and both
+    candidate-join sides all consume it; uncached, shingle construction
+    re-runs per plan branch) with single-slot eviction: a new call
+    unpersists the previous call's frame, so repeated invocations in a
+    long-lived session hold at most one cached copy — an older result
+    still pending collection just recomputes."""
+    while _SETS_SLOT:
+        old = _SETS_SLOT.pop()
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # frame from a stopped session
     sets = shingle_sets(df, id_col, text_col, n).persist()
+    _SETS_SLOT.append(sets)
     sizes = sets.select("doc", F.expr("size(shingles)").alias("n"))
     sh = sets.select("doc", F.explode("shingles").alias("s"))
     rare = (

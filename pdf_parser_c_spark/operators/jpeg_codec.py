@@ -161,20 +161,33 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_byte(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
-            self.put((1 << pad) - 1, pad)  # pad with 1s
+            self.put((1 << pad) - 1, pad)  # pad with 1s (F.1.2.3)
+
+    def raw_marker(self, marker: bytes) -> None:
+        """Append marker bytes verbatim (markers are never stuffed);
+        caller must pad_byte() first."""
+        self.buf += marker
+
+    def flush(self) -> bytes:
+        self.pad_byte()
         return bytes(self.buf)
 
 
 class _BitReader:
     """Entropy-segment reader: the whole scan is de-stuffed up front
-    (0xFF00 → 0xFF, restart markers byte-align) and bits are served
-    from one running int — no per-bit byte handling."""
+    (0xFF00 → 0xFF) and bits are served from one running int — no
+    per-bit byte handling.  Restart markers are stripped from the data
+    but their de-stuffed byte offsets (and sequence numbers) are kept
+    so :meth:`restart` can verify alignment and RST0-7 cycling."""
 
     def __init__(self, data: bytes, pos: int):
         chunks: list[bytes] = []
+        self.restarts: list[tuple[int, int]] = []  # (bit offset, n)
+        self._next_restart = 0
+        dlen = 0  # de-stuffed bytes so far
         i = pos
         n = len(data)
         while i < n:
@@ -184,20 +197,40 @@ class _BitReader:
                 i = n
                 break
             chunks.append(data[i:j])
+            dlen += j - i
             if j + 1 >= n:
                 break
             nxt = data[j + 1]
             if nxt == 0x00:
                 chunks.append(b"\xff")
+                dlen += 1
                 i = j + 2
             elif 0xD0 <= nxt <= 0xD7:
-                i = j + 2  # restart marker: drop, stream stays aligned
+                # RSTn contributes no entropy bytes; the next interval
+                # resumes byte-aligned exactly at this offset (F.2.1.3.1)
+                self.restarts.append((dlen * 8, nxt - 0xD0))
+                i = j + 2
             else:
                 i = j  # real marker (EOI/next segment) ends the scan
                 break
         self.data = b"".join(chunks)
         self.bitpos = 0
         self.total = len(self.data) * 8
+
+    def restart(self) -> None:
+        """Consume one expected RSTn boundary: byte-align past the pad
+        bits and verify the marker was present, in cycle, exactly
+        there.  Caller resets its DC predictors (F.2.1.3.1)."""
+        if self._next_restart >= len(self.restarts):
+            raise JPEGError("missing restart marker")
+        off, seq = self.restarts[self._next_restart]
+        if seq != self._next_restart % 8:
+            raise JPEGError("restart marker out of sequence")
+        self._next_restart += 1
+        aligned = (self.bitpos + 7) & ~7
+        if aligned != off:
+            raise JPEGError("restart marker misaligned")
+        self.bitpos = aligned
 
     def peek16(self) -> int:
         bp = self.bitpos
@@ -284,9 +317,12 @@ def _dht_segment(cls: int, ident: int, bits: list[int], vals: list[int]) -> byte
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1) -> bytes:
+def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
+                restart_interval: int = 0) -> bytes:
     """Baseline JFIF bytes for 8-bit grayscale (channels=1) or RGB
-    (channels=3, encoded as YCbCr 4:4:4)."""
+    (channels=3, encoded as YCbCr 4:4:4).  ``restart_interval`` > 0
+    emits a DRI segment and RST0-7 markers every that many MCUs
+    (byte-aligned, DC predictors reset — T.81 B.2.4.4/E.2.4)."""
     if channels not in (1, 3):
         raise JPEGError("channels must be 1 or 3")
     if len(pixels) != width * height * channels:
@@ -322,6 +358,8 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1) -> by
     if channels == 3:
         out += _dht_segment(0, 1, *_DC_CHROMA)
         out += _dht_segment(1, 1, *_AC_CHROMA)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
     # SOS
     sos = bytes([channels])
     for cid in range(1, channels + 1):
@@ -341,7 +379,13 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1) -> by
     ]
     n_blocks = len(zzs[0])
     preds = [0] * channels
+    rst = 0
     for bi in range(n_blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            w.pad_byte()
+            w.raw_marker(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+            preds = [0] * channels
         for ci in range(channels):
             dc = dc_l if ci == 0 else dc_c
             ac = ac_l if ci == 0 else ac_c
@@ -375,6 +419,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     huff: dict[tuple[int, int], dict] = {}
     frame = None  # (h, w, [(cid, qtab)])
     scan_comps = None
+    restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise JPEGError("marker expected")
@@ -418,6 +463,8 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JPEGError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:  # DRI (B.2.4.4)
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan_comps = []
@@ -478,8 +525,13 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     nby, nbx = ph // 8, pw // 8
     zz_rows: list[list[list[float]]] = [[] for _ in range(nch)]
     preds = [0] * nch
+    mcu = 0
     for _by in range(nby):
         for _bx in range(nbx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                r.restart()  # byte-align + verify RSTn cycle
+                preds = [0] * nch
+            mcu += 1
             for ci in range(nch):
                 dct_ft, act_ft = ftabs[ci]
                 zz = [0.0] * 64
@@ -502,6 +554,11 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     zz[k] = _extend(r.receive(ssss), ssss)
                     k += 1
                 zz_rows[ci].append(zz)
+    if r._next_restart != len(r.restarts):
+        # RSTn present where none was expected (DRI absent/0, or more
+        # markers than intervals): decoding them as entropy data would
+        # emit corrupt pixels — refuse instead (module contract)
+        raise JPEGError("unexpected restart markers in scan")
 
     # batched dequantize + IDCT per component, then block scatter
     out_planes = []

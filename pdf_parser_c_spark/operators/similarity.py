@@ -85,23 +85,32 @@ def cosine_topk_multiprobe(
     of the recall the single-probe variant loses to boundary vectors —
     near-neighbors that disagree with the query on exactly one
     hyperplane sign — while still scanning only (bits+1)/2^bits of the
-    corpus at scale."""
+    corpus at scale.
+
+    The query row is exploded into its bits+1 probe codes and
+    equi-joined on the bucket id, so the plan is a BroadcastHashJoin
+    that touches only the probed cells — a non-equi OR/IN predicate
+    would degrade to a nested-loop scan of every corpus row (round-2
+    ADVICE).  Probe codes are pairwise distinct, so no corpus row
+    matches twice."""
     bucketed = df.withColumn("_bucket", hyperplane_bucket(vec_col, bits))
     q = (
         bucketed.filter(F.col(id_col) == query_id)
         .select(F.col(vec_col).alias("_q"), F.col("_bucket").alias("_qb"))
     )
-    probes = ", ".join(str(1 << i) for i in range(bits))
+    probes = q.select(
+        "_q",
+        F.explode(
+            F.array(F.col("_qb"), *[F.expr(f"_qb ^ {1 << i}") for i in range(bits)])
+        ).alias("_probe"),
+    )
     cos = F.expr(
         f"{_dot(vec_col, '_q')} / sqrt(({_norm2(vec_col)}) * ({_norm2('_q')}))"
     )
     return (
-        bucketed.join(
-            F.broadcast(q),
-            F.expr(f"_bucket = _qb OR (_bucket ^ _qb) IN ({probes})"),
-        )
+        bucketed.join(F.broadcast(probes), F.col("_bucket") == F.col("_probe"))
         .withColumn("cosine", cos)
-        .drop("_q", "_qb", "_bucket")
+        .drop("_q", "_qb", "_probe", "_bucket")
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )

@@ -546,7 +546,9 @@ def _load_simple_widths(doc: PDFDocument, fd: dict, font: Font) -> None:
             # with per-element float coercion.  Mixed arrays (Ref,
             # bytes) route to the resolving loop below.
             if _np.asarray(widths).dtype.kind in "if":
-                table.update(enumerate(widths, base))
+                # map(float, ...) keeps the dict[int, float] contract
+                # the resolving loop below maintains
+                table.update(enumerate(map(float, widths), base))
             else:
                 raise TypeError
         except (TypeError, ValueError):

@@ -732,6 +732,9 @@ MAX_SHINGLE_DF = 200  # blocking: shingles in more docs than this are
 # (jaccard denominators still use FULL per-doc shingle counts)
 
 
+_SHINGLE_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles: array<string>) — per-doc DISTINCT 4-word
     shingles computed entirely map-side (split once, transform,
@@ -744,8 +747,21 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides of the candidate join, the DF count) would otherwise
     re-run the ~N·L shingle construction per plan branch — measured 3×
     the whole query's useful work at sf0.1.  At 100 TB the same role
-    is played by materializing the shingle table once per dedup run."""
-    return (
+    is played by materializing the shingle table once per dedup run.
+    Memoized per (application, sf_dir) with single-slot eviction: the
+    three shingle queries share one cached frame instead of each
+    leaving its own persisted copy resident (round-2 ADVICE leak)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SHINGLE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    while _SHINGLE_MEMO:
+        _, old = _SHINGLE_MEMO.popitem()
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # stale entry from a stopped session
+    df = (
         t(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("ws"))
         .filter(F.expr("size(ws) >= 4"))
@@ -758,6 +774,8 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    _SHINGLE_MEMO[key] = df
+    return df
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -76,3 +76,37 @@ def test_progressive_marker_rejected():
     data[i + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
     with pytest.raises(JPEGError):
         decode_jpeg(bytes(data))
+
+
+def test_restart_interval_roundtrip_matches_plain():
+    # DRI + RST0-7: decode must byte-align and reset DC predictors at
+    # each boundary — pixels must equal the no-restart encoding's
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)  # 15 MCUs
+    plain = decode_jpeg(encode_jpeg(40, 24, g.tobytes(), 1))
+    for interval in (1, 2, 7):
+        data = encode_jpeg(40, 24, g.tobytes(), 1, restart_interval=interval)
+        assert b"\xff\xdd" in data  # DRI emitted
+        assert any(bytes([0xFF, 0xD0 + k]) in data for k in range(8))
+        assert decode_jpeg(data) == plain
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    plain3 = decode_jpeg(encode_jpeg(16, 16, rgb.tobytes(), 3))
+    data3 = encode_jpeg(16, 16, rgb.tobytes(), 3, restart_interval=2)
+    assert decode_jpeg(data3) == plain3
+
+
+def test_restart_marker_corruption_raises():
+    g = np.arange(24 * 40, dtype=np.uint8).reshape(24, 40) % 251
+    data = encode_jpeg(40, 24, g.tobytes(), 1, restart_interval=2)
+    # strip the first RSTn → stream misaligns at the first boundary
+    for k in range(8):
+        i = data.find(bytes([0xFF, 0xD0 + k]))
+        if i != -1:
+            break
+    assert i != -1
+    with pytest.raises(JPEGError):
+        decode_jpeg(data[:i] + data[i + 2:])
+    # RSTn without DRI must refuse, not emit corrupt pixels
+    j = data.find(b"\xff\xdd")
+    with pytest.raises(JPEGError):
+        decode_jpeg(data[:j] + data[j + 6:])
