@@ -117,3 +117,21 @@ def test_sections_survive_spark_roundtrip(spark, corpus):
     titles = [s["title"] for s in row["sections"]]
     assert titles == ["Sections Doc", "Beta", "Alpha", "Deep Dive"]
     assert row["text"][row["spans"][1]["start"] : row["spans"][1]["end"]] == "Beta body text."
+
+
+def test_empty_buckets_get_lineage_and_skip(spark, corpus, tmp_path):
+    """More buckets than rows can fill: empty pending buckets still get
+    lineage rows (n_rows=0), so a resume skips them instead of
+    re-running them forever; metrics sum stays exact."""
+    small = corpus.head(10)
+    sdf = spark.createDataFrame(transcripts_columns_only(small))
+    out_dir = str(tmp_path / "job3")
+    r1 = run_extraction_job(spark, sdf, out_dir, n_buckets=64, job_id="e1")
+    assert r1["buckets_run"] == 64
+    lineage = spark.read.parquet(f"{out_dir}/lineage")
+    assert lineage.select("bucket").distinct().count() == 64
+    assert lineage.agg({"n_rows": "sum"}).collect()[0][0] == 10
+    metrics = spark.read.parquet(f"{out_dir}/metrics")
+    assert metrics.agg({"n_rows": "sum"}).collect()[0][0] == 10
+    r2 = run_extraction_job(spark, sdf, out_dir, n_buckets=64, job_id="e2")
+    assert r2["buckets_run"] == 0 and r2["buckets_skipped"] == 64
