@@ -14,6 +14,7 @@ flags and name, exactly the sources poppler uses.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -184,10 +185,23 @@ class CodespaceCMap:
         return code
 
 
-def parse_encoding_cmap(data: bytes) -> CodespaceCMap:
-    """Parse an embedded CMap stream's codespace + cid sections."""
+def parse_encoding_cmap(data: bytes, resolve_usecmap=None) -> CodespaceCMap:
+    """Parse an embedded CMap stream's codespace + cid sections.
+
+    ``resolve_usecmap(name) -> CodespaceCMap | None`` lets predefined
+    CMap files chain via ``/Parent usecmap`` (PDF 32000 §9.7.5.2 —
+    vertical variants inherit the horizontal table); the parent's
+    codespaces/cid tables load first, the child's entries override.
+    """
     out = CodespaceCMap()
     text = data.decode("latin-1", "replace")
+    parent: CodespaceCMap | None = None
+    if resolve_usecmap is not None:
+        m = re.search(r"/([\w-]+)\s+usecmap", text)
+        if m:
+            parent = resolve_usecmap(m.group(1))
+            if parent is not None:
+                out.wmode = parent.wmode
     m = re.search(r"/WMode\s+(\d+)", text)
     if m:
         out.wmode = int(m.group(1))
@@ -204,6 +218,14 @@ def parse_encoding_cmap(data: bytes) -> CodespaceCMap:
             out.cid_ranges.append(
                 (int(r.group(1), 16), int(r.group(2), 16), int(r.group(3)))
             )
+    if parent is not None:
+        # child entries override: to_cid checks cid_single first, then
+        # scans cid_ranges in order — child ranges stay in front
+        out.codespaces = sorted(
+            set(out.codespaces) | set(parent.codespaces), key=lambda c: c[0]
+        )
+        out.cid_single = {**parent.cid_single, **out.cid_single}
+        out.cid_ranges = out.cid_ranges + parent.cid_ranges
     return out
 
 
@@ -309,6 +331,74 @@ def lookup_legacy_cmap(name: str) -> tuple[str, list[tuple[int, int, int]]] | No
     return _LEGACY_CMAPS.get(base)
 
 
+# ---------------- predefined CMap data directory ----------------
+#
+# Poppler resolves predefined CMap names against on-disk Adobe CMap
+# files (GlobalParams::addCMapDir; the cmap table evidence in the
+# reference is its <GfxFont.h>/<CharTypes.h> includes at
+# inc/pdf_utils.hpp:21,31).  We mirror that seam: point
+# PDF_PARSER_CMAP_DIR (or set_cmap_dir()) at a directory of Adobe
+# CMap-format files named exactly like the CMap (UniJIS-UCS2-H, ...)
+# and the code→CID tables load, making the CID-keyed /W and /W2
+# arrays apply.  Without the directory, Uni*-UCS2/UTF16 fonts keep
+# the identity code→CID width lookup and legacy byte-oriented fonts
+# keep the /DW fallback (see Font.decode).  Adobe publishes these
+# files (cmap-resources, BSD-licensed) — we ship none, only the
+# loader; tests exercise it with synthetic tables.
+_cmap_dirs: list[str] = []
+_predef_cmap_cache: dict[str, CodespaceCMap | None] = {}
+_CMAP_NAME_RE = re.compile(r"^[\w-]+$")
+
+
+def set_cmap_dir(path: str | None) -> None:
+    """Set (or clear, with None) the predefined-CMap search directory.
+    Clears the parse cache so tests can swap tables."""
+    _cmap_dirs.clear()
+    _predef_cmap_cache.clear()
+    if path:
+        _cmap_dirs.append(path)
+
+
+def load_predefined_cid_cmap(
+    name: str, _seen: frozenset[str] = frozenset()
+) -> CodespaceCMap | None:
+    """Load a predefined CMap's code→CID table from the configured
+    data directory (``set_cmap_dir`` / $PDF_PARSER_CMAP_DIR).
+    Follows ``usecmap`` chains within the same directory (bounded by
+    ``_seen`` against cycles).  Returns None when no table is
+    available — callers keep their no-data fallbacks."""
+    if name in _seen or not _CMAP_NAME_RE.match(name):
+        return None
+    if name in _predef_cmap_cache:
+        return _predef_cmap_cache[name]
+    dirs = _cmap_dirs or (
+        [os.environ["PDF_PARSER_CMAP_DIR"]]
+        if os.environ.get("PDF_PARSER_CMAP_DIR")
+        else []
+    )
+    out: CodespaceCMap | None = None
+    for d in dirs:
+        fp = os.path.join(d, name)
+        if not os.path.isfile(fp):
+            continue
+        try:
+            with open(fp, "rb") as f:
+                data = f.read()
+            out = parse_encoding_cmap(
+                data,
+                resolve_usecmap=lambda parent: load_predefined_cid_cmap(
+                    parent, _seen | {name}
+                ),
+            )
+            if name.endswith("-V") and out.wmode == 0:
+                out.wmode = 1
+        except OSError:
+            out = None
+        break
+    _predef_cmap_cache[name] = out
+    return out
+
+
 @dataclass
 class Font:
     """Resolved font resource.
@@ -364,8 +454,13 @@ class Font:
         is CID-keyed), else the raw code."""
         if self.cmap is not None:
             if self.legacy_codec is not None:
+                # /W is CID-keyed: with a loaded code→CID table the
+                # real CID is the width key; without one, -1 pins the
+                # lookup to /DW (a raw charset code must never collide
+                # with a CID by accident)
+                has_cid = bool(self.cmap.cid_single or self.cmap.cid_ranges)
                 for code, _nbytes in self.cmap.decode_codes(raw):
-                    yield -1, self._map(code)
+                    yield (self.cmap.to_cid(code) if has_cid else -1), self._map(code)
                 return
             for code, _nbytes in self.cmap.decode_codes(raw):
                 yield self.cmap.to_cid(code), self._map(code)
@@ -402,7 +497,14 @@ class Font:
             return chr(code)
         if self.code_is_unicode and not (0xD800 <= code <= 0xDFFF):
             # Uni*-UCS2/UTF16 predefined CMaps: code == BMP codepoint
-            # (unpaired surrogates stay replacement chars)
+            # (unpaired surrogates stay replacement chars).  A 4-byte
+            # code (UTF16 surrogate-pair codespace from a CMap data
+            # file) is the UTF-16BE byte sequence itself.
+            if code > 0xFFFF:
+                try:
+                    return code.to_bytes(4, "big").decode("utf-16-be")
+                except (UnicodeDecodeError, OverflowError):
+                    return "�"
             return chr(code)
         if self.legacy_codec is not None:
             # legacy byte-oriented CMap: the code IS a national-charset
@@ -629,7 +731,9 @@ def _load_type0(doc: PDFDocument, fd: dict, font: Font) -> None:
         if _PREDEF_UNICODE_CMAP_RE.match(enc.name):
             # Uni<collection>-UCS2/UTF16: code == Unicode by the CMaps'
             # published construction — decode needs no Adobe collection
-            # data (CID-keyed /W widths do, so widths fall to /DW)
+            # data.  CID-keyed /W widths need the collection's code→CID
+            # table: loaded from the CMap data dir when configured,
+            # identity code→CID lookup otherwise (see Font.decode).
             font.code_is_unicode = True
         else:
             legacy = lookup_legacy_cmap(enc.name)
@@ -637,6 +741,17 @@ def _load_type0(doc: PDFDocument, fd: dict, font: Font) -> None:
                 codec, codespaces = legacy
                 font.legacy_codec = codec
                 font.cmap = CodespaceCMap(codespaces=list(codespaces))
+        if enc.name not in ("Identity-H", "Identity-V"):
+            # predefined CMap data file (poppler CMap-dir analogue):
+            # real code→CID table makes /W and /W2 apply by CID
+            pre = load_predefined_cid_cmap(enc.name)
+            if pre is not None:
+                if font.legacy_codec is not None and not pre.codespaces:
+                    # keep the charset codespaces if the file has none
+                    pre.codespaces = list(font.cmap.codespaces)
+                font.cmap = pre
+                if pre.wmode:
+                    font.wmode = 1
     if isinstance(enc, Stream):
         # embedded CMap: variable code widths + code→CID mapping
         try:

@@ -104,6 +104,8 @@ class FontSpec:
     cid_encoding: str = "Identity-H"  # or Identity-V (vertical, B14)
     dw: int = 1000  # CID default width
     dw2: tuple[int, int] | None = None  # vertical metrics (vy, w1y)
+    w_array: str | None = None  # raw /W payload, e.g. "1000 [500 250] 2000 2005 600"
+    w2_array: str | None = None  # raw /W2 payload (vertical, CID-keyed)
     type3: bool = False  # user-defined glyph procs; widths in GLYPH space
     font_matrix: tuple = (0.001, 0, 0, 0.001, 0, 0)
 
@@ -379,10 +381,12 @@ def build_pdf(
                 f"/Ascent 750 /Descent -250 /CapHeight 700 /StemV 80 >>"
             )
             dw2 = f" /DW2 [{spec.dw2[0]} {spec.dw2[1]}]" if spec.dw2 else ""
+            warr = f" /W [ {spec.w_array} ]" if spec.w_array else ""
+            w2arr = f" /W2 [ {spec.w2_array} ]" if spec.w2_array else ""
             cid = w.add(
                 f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /{spec.base} "
                 f"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
-                f"/Supplement 0 >> /DW {spec.dw}{dw2} /CIDToGIDMap /Identity "
+                f"/Supplement 0 >> /DW {spec.dw}{dw2}{warr}{w2arr} /CIDToGIDMap /Identity "
                 f"/FontDescriptor {fd} 0 R >>"
             )
             font_nums[name] = w.add(

@@ -58,17 +58,18 @@ spark.stop()
 """
 
 RUNNER_JOB = r"""
-import json, sys, time, tempfile
+import json, shutil, sys, time, tempfile
 sys.path.insert(0, {repo!r})
 from pdf_parser_c_spark.engine import run_extraction_job, extract_turns, get_spark
 cores = int(sys.argv[1]); path = sys.argv[2]
+sink_base = sys.argv[3] if len(sys.argv) > 3 else None
 spark = get_spark(app=f"scale-job-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
 df = spark.read.parquet(path)
 n = df.count()  # warm scan + JVM
 extract_turns(df.limit(64), num_partitions=cores).count()  # warm workers
-out = tempfile.mkdtemp(prefix=f"scale_job_{{cores}}_")
+out = tempfile.mkdtemp(prefix=f"scale_job_{{cores}}_", dir=sink_base)
 t0 = time.perf_counter()
 run_extraction_job(spark, df, out, n_buckets=64, num_partitions=cores * 4,
                    job_id=f"scale{{cores}}")
@@ -76,6 +77,7 @@ sec = time.perf_counter() - t0
 print(json.dumps({{"cores": cores, "rows": n, "sec": sec,
                    "rows_per_sec": n / sec}}))
 spark.stop()
+shutil.rmtree(out, ignore_errors=True)  # keep tmpfs/disk from filling
 """
 
 _CAL_PDF: bytes = b""
@@ -149,11 +151,19 @@ def main() -> None:
     with open(job_runner_path, "w") as f:
         f.write(RUNNER_JOB.format(repo=repo))
 
-    def run_best(path: str, cores: int, tag: str) -> dict:
+    # half-size corpus for the size decomposition (does the write-side
+    # residual shrink relative to kernel as the corpus grows?)
+    half = corpus.iloc[: len(corpus) // 2]
+    pq.write_table(pa.Table.from_pandas(half, preserve_index=False),
+                   f"{tmp}/transcripts_half.parquet", row_group_size=2048)
+
+    def run_best(path: str, cores: int, tag: str, *extra: str,
+                 corpus_file: str = "transcripts.parquet") -> dict:
         best: dict | None = None
         for _ in range(runs):
             out = subprocess.run(
-                [sys.executable, path, str(cores), f"{tmp}/transcripts.parquet"],
+                [sys.executable, path, str(cores), f"{tmp}/{corpus_file}",
+                 *extra],
                 capture_output=True, text=True, check=True,
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
@@ -162,12 +172,28 @@ def main() -> None:
                 best = r
         return best
 
+    shm_ok = os.access("/dev/shm", os.W_OK)
     levels = [2, 8, 32]
     results = {}
     job_results = {}
+    shm_results = {}
     for cores in levels:
         results[cores] = run_best(runner_path, cores, "kernel")
-        job_results[cores] = run_best(job_runner_path, cores, "job")
+        job_results[cores] = run_best(job_runner_path, cores, "job-disk")
+        if shm_ok:
+            shm_results[cores] = run_best(
+                job_runner_path, cores, "job-shm", "/dev/shm"
+            )
+    half_results = {}
+    half_kernel = {}
+    if shm_ok:
+        for cores in (8, 32):
+            half_kernel[cores] = run_best(
+                runner_path, cores, "kernel-half",
+                corpus_file="transcripts_half.parquet")
+            half_results[cores] = run_best(
+                job_runner_path, cores, "job-shm-half", "/dev/shm",
+                corpus_file="transcripts_half.parquet")
 
     hw = calibrate_hardware(levels, runs=runs)
     print(json.dumps({"hw_docs_per_sec": hw}), file=sys.stderr)
@@ -177,6 +203,7 @@ def main() -> None:
 
     job = {c: results[c]["rows_per_sec"] for c in levels}
     fulljob = {c: job_results[c]["rows_per_sec"] for c in levels}
+    shmjob = {c: shm_results[c]["rows_per_sec"] for c in shm_results}
     rows = "\n".join(
         f"| {c} | {results[c]['rows']} | {results[c]['sec']:.2f} | "
         f"{job[c]:.1f} | {hw[c]:.1f} |"
@@ -189,14 +216,41 @@ def main() -> None:
         for lo, hi in pairs
     )
     fulljob_rows = "\n".join(
-        f"| {c} | {job_results[c]['sec']:.2f} | {fulljob[c]:.1f} |"
+        f"| {c} | {job_results[c]['sec']:.2f} | {fulljob[c]:.1f} | "
+        + (f"{shm_results[c]['sec']:.2f} | {shmjob[c]:.1f} |"
+           if c in shm_results else "n/a | n/a |")
         for c in levels
     )
     fulljob_pair_rows = "\n".join(
         f"| {lo}→{hi} | {eff(lo, hi, fulljob):.3f} | "
-        f"{min(1.0, eff(lo, hi, fulljob) / eff(lo, hi, hw)):.3f} |"
+        f"{min(1.0, eff(lo, hi, fulljob) / eff(lo, hi, hw)):.3f} | "
+        + (f"{eff(lo, hi, shmjob):.3f} | "
+           f"{min(1.0, eff(lo, hi, shmjob) / eff(lo, hi, hw)):.3f} |"
+           if shmjob else "n/a | n/a |")
         for lo, hi in pairs
     )
+    # write-side decomposition: job wall minus kernel wall at the same
+    # level (independent best-of-R probes, same corpus)
+    decomp_rows = "\n".join(
+        f"| {c} | {results[c]['sec']:.2f} | "
+        f"{job_results[c]['sec'] - results[c]['sec']:.2f} | "
+        + (f"{shm_results[c]['sec'] - results[c]['sec']:.2f} |"
+           if c in shm_results else "n/a |")
+        for c in levels
+    )
+    half_rows = "| n/a | | | | |"
+    half_eff = half_kernel_eff = float("nan")
+    if half_results:
+        half_rows = "\n".join(
+            f"| {c} | {half_kernel[c]['rows']} | {half_kernel[c]['sec']:.2f} | "
+            f"{half_results[c]['sec']:.2f} | "
+            f"{half_results[c]['sec'] - half_kernel[c]['sec']:.2f} |"
+            for c in sorted(half_results)
+        )
+        half_eff = eff(8, 32, {c: half_results[c]["rows_per_sec"]
+                               for c in half_results})
+        half_kernel_eff = eff(8, 32, {c: half_kernel[c]["rows_per_sec"]
+                                      for c in half_kernel})
     e28 = eff(2, 8, job)
     e832_norm = eff(8, 32, job) / eff(8, 32, hw)
     verdict = "PASS" if (e28 >= 0.8 or e832_norm >= 0.8) else "FAIL"
@@ -240,33 +294,60 @@ frequency/oversubscription behavior.)
 ## Full production job (checkpointed write path)
 
 Same corpus and levels, but the complete `run_extraction_job`: salted
-repartition → extraction kernel → bucket-aligned shuffle → parquet
-results partitioned by bucket → metrics + lineage writes.  This is
-the job the north rule describes, including the exchange and the sink.
-Sandbox caveat: all levels share ONE local disk, so the write adds a
-fixed-bandwidth component a real cluster (per-node disks / object
-store) does not have — the normalized column still uses the CPU
-ceiling, making it a conservative lower bound for the job path.
+repartition → extraction kernel (with in-kernel metrics accumulator) →
+bucket-aligned shuffle → parquet results partitioned by bucket →
+metrics + lineage writes.  This is the job the north rule describes,
+including the exchange and the sink.  Sandbox caveat: all levels share
+ONE virtual disk, so the disk-sink write adds a fixed-bandwidth
+component a real cluster (per-node disks / object store) does not
+have.  The **shm sink** columns rerun the identical job with the sink
+on /dev/shm (tmpfs) — same CPU, no disk in the path — which removes
+that confound and is the cluster-faithful number for the write side.
 
-| cores (N) | wall s | job turns/sec |
-|---|---|---|
+| cores (N) | disk wall s | disk turns/sec | shm wall s | shm turns/sec |
+|---|---|---|---|---|
 {fulljob_rows}
 
-| scale-up | full-job efficiency | normalized (job/hw) |
-|---|---|---|
+| scale-up | disk efficiency | disk norm (job/hw) | shm efficiency | shm norm (job/hw) |
+|---|---|---|---|---|
 {fulljob_pair_rows}
+
+### Write-side decomposition (job wall − kernel wall, best-of-{runs} each)
+
+| cores (N) | kernel s | disk write side s | shm write side s |
+|---|---|---|---|
+{decomp_rows}
+
+### Size scaling (half corpus, shm sink)
+
+| cores (N) | rows | kernel s | job s | write side s |
+|---|---|---|---|---|
+{half_rows}
+
+Half-corpus 8→32: kernel efficiency {half_kernel_eff:.3f}, full-job
+(shm) efficiency {half_eff:.3f}.
 
 Reproduce: `python scripts/bench_scaling.py`
 """
     os.makedirs(f"{repo}/BENCH", exist_ok=True)
     with open(f"{repo}/BENCH/BASELINE.md", "w") as f:
         f.write(md)
-    print(json.dumps({"eff_2_8": e28, "eff_8_32_normalized": e832_norm,
-                      "job": job, "fulljob": fulljob, "hw": hw,
-                      "fulljob_eff_2_8": eff(2, 8, fulljob),
-                      "fulljob_eff_8_32_normalized":
-                          eff(8, 32, fulljob) / eff(8, 32, hw),
-                      "verdict": verdict}))
+    summary = {"eff_2_8": e28, "eff_8_32_normalized": e832_norm,
+               "job": job, "fulljob": fulljob, "hw": hw,
+               "fulljob_eff_2_8": eff(2, 8, fulljob),
+               "fulljob_eff_8_32_normalized":
+                   eff(8, 32, fulljob) / eff(8, 32, hw),
+               "verdict": verdict}
+    if shmjob:
+        summary["shmjob"] = shmjob
+        summary["shmjob_eff_2_8"] = eff(2, 8, shmjob)
+        summary["shmjob_eff_8_32"] = eff(8, 32, shmjob)
+        summary["shmjob_eff_8_32_normalized"] = (
+            eff(8, 32, shmjob) / eff(8, 32, hw))
+    if half_results:
+        summary["half_kernel_eff_8_32"] = half_kernel_eff
+        summary["half_shmjob_eff_8_32"] = half_eff
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

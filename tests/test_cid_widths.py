@@ -1,0 +1,240 @@
+"""CID-keyed /W /W2 widths for predefined CJK CMaps (VERDICT r2 #4).
+
+Poppler resolves predefined CMap names (UniJIS-UCS2-H, 90ms-RKSJ-H,
+...) against Adobe's on-disk CMap files and applies the CID-keyed /W
+array through the resulting code→CID table (the reference inherits
+this via its <GfxFont.h> include, inc/pdf_utils.hpp:31).  We mirror
+the data-directory seam (``set_cmap_dir`` / $PDF_PARSER_CMAP_DIR):
+with a table present the real CIDs key /W and /W2, so word breaks
+follow the glyph advances the author intended (poppler.patch:299-370
+word-break semantics); without one, Uni* fonts fall back to identity
+code→CID lookup and legacy byte-oriented fonts to /DW.
+
+The CMap files written here are SYNTHETIC test tables in the Adobe
+CMap file format — not Adobe's published data (we ship the loader,
+never the collection data).
+"""
+
+import pytest
+
+from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+from pdf_parser_c_spark.pdf import cos
+from pdf_parser_c_spark.pdf.content import ContentInterpreter
+from pdf_parser_c_spark.pdf.fonts import load_font, set_cmap_dir
+from pdf_parser_c_spark.testkit.gen_pdf import (
+    FontSpec,
+    PageSpec,
+    build_pdf,
+    tj_hex,
+)
+
+# hiragana あいうえお = U+3042/44/46/48/4A → CIDs 1002/1004/1006/1008/100A
+_CMAP_H = """%!PS-Adobe-3.0 Resource-CMap
+/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CIDSystemInfo << /Registry (Fixture) /Ordering (Japan1) /Supplement 0 >> def
+/CMapName /UniJIS-UCS2-H def
+/CMapType 1 def
+/WMode 0 def
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 begincidrange
+<3040> <309F> 1000
+<30A0> <30FF> 2000
+endcidrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end
+"""
+
+_CMAP_V = """%!PS-Adobe-3.0 Resource-CMap
+/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/UniJIS-UCS2-H usecmap
+/CMapName /UniJIS-UCS2-V def
+/CMapType 1 def
+/WMode 1 def
+1 begincidrange
+<30FC> <30FC> 9000
+endcidrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end
+"""
+
+# Shift-JIS 亜(0x889F)..啞 row → CIDs starting at 1125 (synthetic)
+_CMAP_SJIS = """%!PS-Adobe-3.0 Resource-CMap
+begincmap
+/CMapName /90ms-RKSJ-H def
+1 begincidrange
+<889F> <88FC> 1125
+endcidrange
+endcmap
+"""
+
+
+@pytest.fixture()
+def cmap_dir(tmp_path):
+    for name, body in (
+        ("UniJIS-UCS2-H", _CMAP_H),
+        ("UniJIS-UCS2-V", _CMAP_V),
+        ("90ms-RKSJ-H", _CMAP_SJIS),
+    ):
+        (tmp_path / name).write_text(body)
+    set_cmap_dir(str(tmp_path))
+    yield str(tmp_path)
+    set_cmap_dir(None)
+
+
+def _font_of(pdf: bytes, res_name: str):
+    d = cos.PDFDocument.open(pdf)
+    page = d.pages()[0]
+    fonts = d.dget(d.dget(page, "Resources"), "Font")
+    raw = fonts[res_name]
+    return d, page, load_font(d, d.resolve(raw), getattr(raw, "num", -1), 0)
+
+
+def ucs2_font(enc: str, **kw) -> FontSpec:
+    return FontSpec("Fixture-CJK", type0=True, cid_encoding=enc, **kw)
+
+
+def codes(s: str) -> list[int]:
+    return [ord(c) for c in s]
+
+
+def test_cmap_table_maps_codes_to_cids(cmap_dir):
+    pdf = build_pdf(
+        [PageSpec(tj_hex(100, 700, "FU", 20, codes("あいう")))],
+        {"FU": ucs2_font("UniJIS-UCS2-H", w_array="1002 1006 250")},
+    )
+    _d, _p, f = _font_of(pdf, "FU")
+    out = list(f.decode("あいう".encode("utf-16-be")))
+    assert [k for k, _u in out] == [1002, 1004, 1006]
+    assert "".join(u for _k, u in out) == "あいう"
+    assert [f.width(k) for k, _u in out] == [250.0, 250.0, 250.0]
+
+
+def test_without_table_identity_cid_fallback():
+    # no cmap dir: Uni* width key is the code itself (identity CID
+    # approximation) — the CID-keyed /W range 1002..1006 must NOT match
+    pdf = build_pdf(
+        [PageSpec(tj_hex(100, 700, "FU", 20, codes("あいう")))],
+        {"FU": ucs2_font("UniJIS-UCS2-H", w_array="1002 1006 250", dw=1000)},
+    )
+    _d, _p, f = _font_of(pdf, "FU")
+    out = list(f.decode("あいう".encode("utf-16-be")))
+    assert [k for k, _u in out] == [0x3042, 0x3044, 0x3046]
+    assert all(f.width(k) == 1000.0 for k, _u in out)
+    assert "".join(u for _k, u in out) == "あいう"  # text unaffected
+
+
+def test_w_array_drives_word_breaks(cmap_dir):
+    """Non-uniform /W via the CMap table: the second show string lands
+    1pt after the first run's true extent (< 0.1 em → same word, the
+    poppler.patch:299-370 break rule).  Under the /DW fallback the run
+    would be 4× wider and the fixture would split."""
+    content = (
+        tj_hex(100, 700, "FU", 20, codes("あいう"))   # 3 × 250/1000 × 20 = 15pt
+        + tj_hex(116, 700, "FU", 20, codes("えお"))   # gap 1pt < 2pt (0.1 em)
+    )
+    pdf = build_pdf(
+        [PageSpec(content)],
+        {"FU": ucs2_font("UniJIS-UCS2-H", w_array="1002 1010 250", dw=1000)},
+    )
+    doc = parse_pdf_bytes(pdf)
+    assert doc.status == "ok"
+    assert doc.text == "あいうえお"  # one word — no synthesized space
+
+
+def test_w_array_fallback_breaks_word():
+    # same fixture, no table: /DW advances overshoot the second Td →
+    # the overlap rule splits the word (layout degrades, text survives)
+    content = (
+        tj_hex(100, 700, "FU", 20, codes("あいう"))
+        + tj_hex(116, 700, "FU", 20, codes("えお"))
+    )
+    pdf = build_pdf(
+        [PageSpec(content)],
+        {"FU": ucs2_font("UniJIS-UCS2-H", w_array="1002 1010 250", dw=1000)},
+    )
+    doc = parse_pdf_bytes(pdf)
+    assert doc.status == "ok"
+    assert doc.text.replace(" ", "").replace("\n", "") == "あいうえお"
+    assert doc.text != "あいうえお"
+
+
+def test_vertical_usecmap_and_w2(cmap_dir):
+    """UniJIS-UCS2-V chains /UniJIS-UCS2-H usecmap (code→CID inherited)
+    and sets /WMode 1; the CID-keyed /W2 gives あ a half-em vertical
+    advance."""
+    content = tj_hex(300, 700, "FV", 24, codes("あい"))
+    pdf = build_pdf(
+        [PageSpec(content)],
+        {"FV": ucs2_font("UniJIS-UCS2-V",
+                         w2_array="1002 1002 -500 0 440", dw2=(880, -1000))},
+    )
+    d, page, f = _font_of(pdf, "FV")
+    assert f.wmode == 1
+    assert f.cmap is not None and f.cmap.to_cid(0x3042) == 1002
+    assert f.v_advance(1002) == 500.0
+    assert f.v_advance(1004) == 1000.0  # DW2 default
+    interp = ContentInterpreter(d, d.page_mediabox(page))
+    glyphs = interp.run(d.page_content(page), d.dget(page, "Resources"))
+    ys = [g.y for g in glyphs]
+    # あ advances 500/1000 × 24 = 12pt down, then the next glyph
+    assert ys[1] - ys[0] == pytest.approx(12.0)
+    assert all(g.rot == 1 for g in glyphs)
+
+
+def test_vertical_child_overrides_parent_range(cmap_dir):
+    # the V file remaps <30FC> (chōonpu) to CID 9000 over the parent's
+    # katakana range (2000 + 0x5C) — child cidrange wins
+    pdf = build_pdf(
+        [PageSpec(tj_hex(300, 700, "FV", 24, [0x30FC, 0x30A1]))],
+        {"FV": ucs2_font("UniJIS-UCS2-V")},
+    )
+    _d, _p, f = _font_of(pdf, "FV")
+    assert f.cmap.to_cid(0x30FC) == 9000
+    assert f.cmap.to_cid(0x30A1) == 2001  # parent range still live
+
+
+def test_legacy_cmap_gains_cid_width_keys(cmap_dir):
+    """With a 90ms-RKSJ-H table the SJIS codes map to real CIDs, so the
+    CID-keyed /W applies; text still decodes through the charset."""
+    raw = "亜唖".encode("cp932")  # 0x889F 0x889F+1
+    pdf = build_pdf(
+        [PageSpec(tj_hex(100, 700, "FL", 18, []) .replace("<>", f"<{raw.hex().upper()}>"))],
+        {"FL": FontSpec("Fixture-CJK", type0=True, cid_encoding="90ms-RKSJ-H",
+                        w_array="1125 1126 500")},
+    )
+    _d, _p, f = _font_of(pdf, "FL")
+    out = list(f.decode(raw))
+    assert [k for k, _u in out] == [1125, 1126]
+    assert "".join(u for _k, u in out) == "亜唖"
+    assert [f.width(k) for k, _u in out] == [500.0, 500.0]
+
+
+def test_legacy_cmap_without_table_keeps_dw_pin():
+    raw = "亜".encode("cp932")
+    pdf = build_pdf(
+        [PageSpec(tj_hex(100, 700, "FL", 18, []).replace("<>", f"<{raw.hex().upper()}>"))],
+        {"FL": FontSpec("Fixture-CJK", type0=True, cid_encoding="90ms-RKSJ-H",
+                        w_array="1125 1126 500")},
+    )
+    _d, _p, f = _font_of(pdf, "FL")
+    assert [k for k, _u in f.decode(raw)] == [-1]
+
+
+def test_missing_dir_entry_is_none_and_cached(cmap_dir, tmp_path):
+    from pdf_parser_c_spark.pdf.fonts import load_predefined_cid_cmap
+
+    assert load_predefined_cid_cmap("UniKS-UCS2-H") is None
+    assert load_predefined_cid_cmap("../evil") is None  # path chars rejected
+    got = load_predefined_cid_cmap("UniJIS-UCS2-H")
+    assert got is not None and got.to_cid(0x3042) == 1002
+    assert load_predefined_cid_cmap("UniJIS-UCS2-H") is got  # cache hit
