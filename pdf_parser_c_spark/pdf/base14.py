@@ -5,10 +5,10 @@ Poppler loads these metrics for non-embedded standard fonts; without
 them, word-gap detection (B10) on documents that omit /Widths — legal
 for the standard 14 — degrades to a uniform guess.  Values are the
 public AFM advance widths (1000-unit em).  The ASCII range is carried
-for the text families, plus the Symbol core (Greek alphabet, digits,
-operators on ASCII positions — see ``fonts.SYMBOL``) and the
-ZapfDingbats low range (codes 0x20-0x7E, per-glyph advances from the
-published ZapfDingbats.afm), and typographic punctuation; accented
+for the text families, plus the full Symbol table (Greek alphabet,
+digits, operators on ASCII positions, the 0xA0+ math tail — see
+``fonts.SYMBOL``) and the full ZapfDingbats table (per-glyph advances
+from the published ZapfDingbats.afm), and typographic punctuation; accented
 non-ASCII codes are extended per-encoding via ``base14_extend_widths``
 (composite glyphs in the published AFMs reuse the base letter's
 advance).  Codes still uncovered fall back to the font's default
@@ -97,11 +97,10 @@ _TIMES_BOLD = {
 
 # Symbol built-in encoding, keyed by CHAR CODE (the font has no
 # Unicode-keyed lookup — codes map to Greek/math glyphs, see
-# fonts.SYMBOL).  Core subset of the public Symbol.afm: ASCII-position
+# fonts.SYMBOL).  From the public Symbol.afm: ASCII-position
 # punctuation/digits, the full Greek alphabet on its phonetic Latin
-# positions, and the variant letterforms; the math-operator long tail
-# (0x80+) falls back to the font default width, which only affects gap
-# heuristics on glyphs we decode as U+FFFD anyway.
+# positions, the variant letterforms, and the 0xA0+ math-operator /
+# arrow / bracket-piece tail.
 # fmt: off
 _SYMBOL_CODE_WIDTHS = {
     0x20: 250, 0x21: 333, 0x22: 713, 0x23: 500, 0x24: 549, 0x25: 833,
@@ -125,6 +124,23 @@ _SYMBOL_CODE_WIDTHS = {
     0x73: 603, 0x74: 439, 0x75: 576, 0x76: 713, 0x77: 686, 0x78: 493,
     0x79: 686, 0x7A: 494,
     0x7B: 480, 0x7C: 200, 0x7D: 480, 0x7E: 549,
+    # 0xA0+ tail (Euro, math operators, arrows, bracket pieces)
+    0xA0: 750, 0xA1: 620, 0xA2: 247, 0xA3: 549, 0xA4: 167, 0xA5: 713,
+    0xA6: 500, 0xA7: 753, 0xA8: 753, 0xA9: 753, 0xAA: 753, 0xAB: 1042,
+    0xAC: 987, 0xAD: 603, 0xAE: 987, 0xAF: 603, 0xB0: 400, 0xB1: 549,
+    0xB2: 411, 0xB3: 549, 0xB4: 549, 0xB5: 713, 0xB6: 494, 0xB7: 460,
+    0xB8: 549, 0xB9: 549, 0xBA: 549, 0xBB: 549, 0xBC: 1000, 0xBD: 603,
+    0xBE: 1000, 0xBF: 658, 0xC0: 823, 0xC1: 686, 0xC2: 795, 0xC3: 987,
+    0xC4: 768, 0xC5: 768, 0xC6: 823, 0xC7: 768, 0xC8: 768, 0xC9: 713,
+    0xCA: 713, 0xCB: 713, 0xCC: 713, 0xCD: 713, 0xCE: 713, 0xCF: 713,
+    0xD0: 768, 0xD1: 713, 0xD2: 790, 0xD3: 790, 0xD4: 890, 0xD5: 823,
+    0xD6: 549, 0xD7: 250, 0xD8: 713, 0xD9: 603, 0xDA: 603, 0xDB: 1042,
+    0xDC: 987, 0xDD: 603, 0xDE: 987, 0xDF: 603, 0xE0: 494, 0xE1: 329,
+    0xE2: 790, 0xE3: 790, 0xE4: 786, 0xE5: 713, 0xE6: 384, 0xE7: 384,
+    0xE8: 384, 0xE9: 384, 0xEA: 384, 0xEB: 384, 0xEC: 494, 0xED: 494,
+    0xEE: 494, 0xEF: 494, 0xF0: 790, 0xF1: 329, 0xF2: 274, 0xF3: 686,
+    0xF4: 686, 0xF5: 686, 0xF6: 384, 0xF7: 384, 0xF8: 384, 0xF9: 384,
+    0xFA: 384, 0xFB: 384, 0xFC: 494, 0xFD: 494, 0xFE: 494,
 }
 _ZAPF_CODE_WIDTHS = {
     0x20: 278, 0x21: 974, 0x22: 961, 0x23: 974, 0x24: 980, 0x25: 719,
@@ -146,6 +162,28 @@ _ZAPF_CODE_WIDTHS = {
     0x73: 892, 0x74: 892, 0x75: 788, 0x76: 784, 0x77: 438, 0x78: 138,
     0x79: 277, 0x7A: 415,
     0x7B: 392, 0x7C: 392, 0x7D: 668, 0x7E: 668,
+    # 0x80-0x8D ornate brackets (code order a89 a90 a93 a94 a91 a92
+    # a205 a85 a206 a86 a87 a88 a95 a96)
+    0x80: 390, 0x81: 390, 0x82: 317, 0x83: 317, 0x84: 276, 0x85: 276,
+    0x86: 509, 0x87: 509, 0x88: 410, 0x89: 410, 0x8A: 234, 0x8B: 234,
+    0x8C: 334, 0x8D: 334,
+    # 0xA1+ ornaments, suits, circled digits, arrows
+    0xA1: 732, 0xA2: 544, 0xA3: 544, 0xA4: 910, 0xA5: 667, 0xA6: 760,
+    0xA7: 760, 0xA8: 776, 0xA9: 595, 0xAA: 694, 0xAB: 626, 0xAC: 788,
+    0xAD: 788, 0xAE: 788, 0xAF: 788, 0xB0: 788, 0xB1: 788, 0xB2: 788,
+    0xB3: 788, 0xB4: 788, 0xB5: 788, 0xB6: 788, 0xB7: 788, 0xB8: 788,
+    0xB9: 788, 0xBA: 788, 0xBB: 788, 0xBC: 788, 0xBD: 788, 0xBE: 788,
+    0xBF: 788, 0xC0: 788, 0xC1: 788, 0xC2: 788, 0xC3: 788, 0xC4: 788,
+    0xC5: 788, 0xC6: 788, 0xC7: 788, 0xC8: 788, 0xC9: 788, 0xCA: 788,
+    0xCB: 788, 0xCC: 788, 0xCD: 788, 0xCE: 788, 0xCF: 788, 0xD0: 788,
+    0xD1: 788, 0xD2: 788, 0xD3: 788, 0xD4: 894, 0xD5: 838, 0xD6: 1016,
+    0xD7: 458, 0xD8: 748, 0xD9: 924, 0xDA: 748, 0xDB: 918, 0xDC: 927,
+    0xDD: 928, 0xDE: 928, 0xDF: 834, 0xE0: 873, 0xE1: 828, 0xE2: 924,
+    0xE3: 924, 0xE4: 917, 0xE5: 930, 0xE6: 931, 0xE7: 463, 0xE8: 883,
+    0xE9: 836, 0xEA: 836, 0xEB: 867, 0xEC: 867, 0xED: 696, 0xEE: 696,
+    0xEF: 874, 0xF1: 874, 0xF2: 760, 0xF3: 946, 0xF4: 771, 0xF5: 865,
+    0xF6: 771, 0xF7: 888, 0xF8: 967, 0xF9: 888, 0xFA: 831, 0xFB: 873,
+    0xFC: 927, 0xFD: 970, 0xFE: 918,
 }
 # fmt: on
 

@@ -74,6 +74,69 @@ SYMBOL[0x56] = "ς"  # V → sigma1 (final sigma)
 SYMBOL[0x4A] = "ϑ"  # J → theta1
 SYMBOL[0x6A] = "ϕ"  # j → phi1
 SYMBOL[0x76] = "ϖ"  # v → omega1
+# 0x80+ tail: math operators / arrows / bracket pieces, per the
+# published Adobe Symbol↔Unicode mapping (Unicode's SYMBOL.TXT).  The
+# serif/sans ®©™ variants and the apple glyph are PUA in the strict
+# mapping; like poppler's unicode map we emit the real characters
+# (apple stays U+F8FF — it has no non-PUA codepoint).
+_SYMBOL_UPPER_TAIL = {
+    0xA0: 0x20AC, 0xA1: 0x03D2, 0xA2: 0x2032, 0xA3: 0x2264, 0xA4: 0x2044,
+    0xA5: 0x221E, 0xA6: 0x0192, 0xA7: 0x2663, 0xA8: 0x2666, 0xA9: 0x2665,
+    0xAA: 0x2660, 0xAB: 0x2194, 0xAC: 0x2190, 0xAD: 0x2191, 0xAE: 0x2192,
+    0xAF: 0x2193, 0xB0: 0x00B0, 0xB1: 0x00B1, 0xB2: 0x2033, 0xB3: 0x2265,
+    0xB4: 0x00D7, 0xB5: 0x221D, 0xB6: 0x2202, 0xB7: 0x2022, 0xB8: 0x00F7,
+    0xB9: 0x2260, 0xBA: 0x2261, 0xBB: 0x2248, 0xBC: 0x2026, 0xBD: 0x23D0,
+    0xBE: 0x23AF, 0xBF: 0x21B5, 0xC0: 0x2135, 0xC1: 0x2111, 0xC2: 0x211C,
+    0xC3: 0x2118, 0xC4: 0x2297, 0xC5: 0x2295, 0xC6: 0x2205, 0xC7: 0x2229,
+    0xC8: 0x222A, 0xC9: 0x2283, 0xCA: 0x2287, 0xCB: 0x2284, 0xCC: 0x2282,
+    0xCD: 0x2286, 0xCE: 0x2208, 0xCF: 0x2209, 0xD0: 0x2220, 0xD1: 0x2207,
+    0xD2: 0x00AE, 0xD3: 0x00A9, 0xD4: 0x2122, 0xD5: 0x220F, 0xD6: 0x221A,
+    0xD7: 0x22C5, 0xD8: 0x00AC, 0xD9: 0x2227, 0xDA: 0x2228, 0xDB: 0x21D4,
+    0xDC: 0x21D0, 0xDD: 0x21D1, 0xDE: 0x21D2, 0xDF: 0x21D3, 0xE0: 0x25CA,
+    0xE1: 0x2329, 0xE2: 0x00AE, 0xE3: 0x00A9, 0xE4: 0x2122, 0xE5: 0x2211,
+    0xE6: 0x239B, 0xE7: 0x239C, 0xE8: 0x239D, 0xE9: 0x23A1, 0xEA: 0x23A2,
+    0xEB: 0x23A3, 0xEC: 0x23A7, 0xED: 0x23A8, 0xEE: 0x23A9, 0xEF: 0x23AA,
+    0xF0: 0xF8FF, 0xF1: 0x232A, 0xF2: 0x222B, 0xF3: 0x2320, 0xF4: 0x23AE,
+    0xF5: 0x2321, 0xF6: 0x239E, 0xF7: 0x239F, 0xF8: 0x23A0, 0xF9: 0x23A4,
+    0xFA: 0x23A5, 0xFB: 0x23A6, 0xFC: 0x23AB, 0xFD: 0x23AC, 0xFE: 0x23AD,
+}
+for _b, _cp in _SYMBOL_UPPER_TAIL.items():
+    SYMBOL[_b] = chr(_cp)
+
+# ZapfDingbats built-in encoding → Unicode, per the published Adobe
+# mapping (Unicode's ZDINGBAT.TXT).  The U+2700 Dingbats block encodes
+# the font in code order; the holes in the block correspond exactly to
+# the glyphs unified elsewhere (phone/pointing hands at 0x25/2A/2B,
+# card suits, circled digits, arrows) — those are the irregular
+# entries below.  0x7F, 0x8E-0xA0 and 0xFF are unassigned.
+ZAPF_DINGBATS: dict[int, str] = {0x20: " "}
+for _b in range(0x21, 0x7F):
+    ZAPF_DINGBATS[_b] = chr(0x2700 + _b - 0x20)
+ZAPF_DINGBATS[0x25] = "☎"  # a4  telephone
+ZAPF_DINGBATS[0x2A] = "☛"  # a11 black right pointing index
+ZAPF_DINGBATS[0x2B] = "☞"  # a12 white right pointing index
+for _i in range(14):  # 0x80-0x8D: ornate brackets a89-a96/a205/a85/...
+    ZAPF_DINGBATS[0x80 + _i] = chr(0x2768 + _i)
+for _i in range(7):  # 0xA1-0xA7: heart/floral ornaments
+    ZAPF_DINGBATS[0xA1 + _i] = chr(0x2761 + _i)
+ZAPF_DINGBATS[0xA8] = "♣"  # club
+ZAPF_DINGBATS[0xA9] = "♦"  # diamond
+ZAPF_DINGBATS[0xAA] = "♥"  # heart
+ZAPF_DINGBATS[0xAB] = "♠"  # spade
+for _i in range(10):  # 0xAC-0xB5: circled digits 1-10
+    ZAPF_DINGBATS[0xAC + _i] = chr(0x2460 + _i)
+for _i in range(20):  # 0xB6-0xC9: negative/sans circled 1-10 ×2
+    ZAPF_DINGBATS[0xB6 + _i] = chr(0x2776 + _i)
+for _i in range(10):  # 0xCA-0xD3: negative sans-serif circled 1-10
+    ZAPF_DINGBATS[0xCA + _i] = chr(0x278A + _i)
+ZAPF_DINGBATS[0xD4] = "➔"  # a151 heavy wide-headed arrow
+ZAPF_DINGBATS[0xD5] = "→"  # a160 rightwards arrow
+ZAPF_DINGBATS[0xD6] = "↔"  # a161 left right arrow
+ZAPF_DINGBATS[0xD7] = "↕"  # a163 up down arrow
+for _b in range(0xD8, 0xFF):  # 0xD8-0xFE: arrow ornaments
+    ZAPF_DINGBATS[_b] = chr(0x2798 + _b - 0xD8)
+# 0xF0 has no glyph — the U+27B0 hole sits at exactly that offset
+del ZAPF_DINGBATS[0xF0]
 
 MAC_ROMAN_DIFF = {
     0xD2: 0x201C, 0xD3: 0x201D, 0xD4: 0x2018, 0xD5: 0x2019,
@@ -599,12 +662,15 @@ def _bump_anon() -> int:
 def _load_simple(doc: PDFDocument, fd: dict, font: Font) -> None:
     enc = doc.resolve(fd.get("Encoding"))
     base_map = STANDARD
-    if font.name.split("+", 1)[-1] == "Symbol":
+    builtin = {"Symbol": SYMBOL, "ZapfDingbats": ZAPF_DINGBATS}.get(
+        font.name.split("+", 1)[-1]
+    )
+    if builtin is not None:
         # symbolic fonts use their built-in encoding; /Encoding is
         # normally absent (PDF 32000 §9.6.6.2)
-        base_map = SYMBOL
+        base_map = builtin
         if enc is None:
-            font.encoding = SYMBOL
+            font.encoding = builtin
             _load_simple_widths(doc, fd, font)
             return
     if isinstance(enc, Name):

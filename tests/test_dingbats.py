@@ -1,0 +1,90 @@
+"""ZapfDingbats built-in encoding + Symbol 0x80+ tail (VERDICT r2 #6).
+
+Poppler's built-in encodings map ZapfDingbats codes to real Unicode
+dingbats (the U+2700 block encodes the font in code order — the
+block's holes sit exactly where glyphs were unified elsewhere: the
+telephone, pointing hands, card suits, circled digits and arrows).
+The reference inherits those tables through poppler's text output;
+mapping sources are the published Adobe↔Unicode files (ZDINGBAT.TXT /
+SYMBOL.TXT).
+"""
+
+from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+from pdf_parser_c_spark.pdf.base14 import base14_widths
+from pdf_parser_c_spark.pdf.fonts import SYMBOL, ZAPF_DINGBATS
+from pdf_parser_c_spark.testkit.gen_pdf import FontSpec, PageSpec, build_pdf
+
+
+def _show(codes: list[int], base: str) -> str:
+    hx = "".join(f"{c:02X}" for c in codes)
+    content = f"BT /F1 18 Tf 100 700 Td <{hx}> Tj ET\n"
+    spec = FontSpec(base, encoding=None)
+    doc = parse_pdf_bytes(build_pdf([PageSpec(content)], {"F1": spec}))
+    assert doc.status == "ok"
+    return doc.text
+
+
+def test_dingbats_block_is_code_ordered():
+    assert ZAPF_DINGBATS[0x21] == "✁"   # U+2701
+    assert ZAPF_DINGBATS[0x33] == "✓"   # check mark
+    assert ZAPF_DINGBATS[0x7E] == "❞"   # U+275E
+    # holes in U+2700 block ↔ unified irregulars
+    assert ZAPF_DINGBATS[0x25] == "☎"
+    assert ZAPF_DINGBATS[0x2A] == "☛"
+    assert ZAPF_DINGBATS[0x2B] == "☞"
+    # no assigned code maps into the block's unified holes
+    holes = {0x2705, 0x270A, 0x270B, 0x2795, 0x2796, 0x2797, 0x27BF}
+    assert not holes & {ord(c) for c in ZAPF_DINGBATS.values()}
+
+
+def test_dingbats_upper_ranges():
+    assert ZAPF_DINGBATS[0x80] == "❨"           # ornate parenthesis
+    assert ZAPF_DINGBATS[0x8D] == "❵"
+    assert ZAPF_DINGBATS[0xA4] == "❤"           # heavy black heart
+    assert [ZAPF_DINGBATS[c] for c in (0xA8, 0xA9, 0xAA, 0xAB)] == ["♣", "♦", "♥", "♠"]
+    assert ZAPF_DINGBATS[0xAC] == "①" and ZAPF_DINGBATS[0xB5] == "⑩"
+    assert ZAPF_DINGBATS[0xB6] == "❶" and ZAPF_DINGBATS[0xC0] == "➀"
+    assert ZAPF_DINGBATS[0xCA] == "➊" and ZAPF_DINGBATS[0xD3] == "➓"
+    assert [ZAPF_DINGBATS[c] for c in (0xD5, 0xD6, 0xD7)] == ["→", "↔", "↕"]
+    assert ZAPF_DINGBATS[0xD8] == "➘" and ZAPF_DINGBATS[0xFE] == "➾"
+    # unassigned codes absent, never U+FFFD (0xF0 ↔ the U+27B0 hole)
+    for c in (0x7F, 0x8E, 0xA0, 0xF0, 0xFF):
+        assert c not in ZAPF_DINGBATS, hex(c)
+
+
+def test_dingbats_decode_through_kernel():
+    assert _show([0x33, 0x25, 0xA8, 0xD5], "ZapfDingbats") == "✓☎♣→"
+
+
+def test_dingbats_with_explicit_winansi_unchanged():
+    # a (pathological) /Encoding name still overrides the builtin
+    content = "BT /F1 18 Tf 100 700 Td (A) Tj ET\n"
+    spec = FontSpec("ZapfDingbats", encoding="WinAnsiEncoding")
+    doc = parse_pdf_bytes(build_pdf([PageSpec(content)], {"F1": spec}))
+    assert doc.text == "A"
+
+
+def test_symbol_tail_decodes():
+    assert SYMBOL[0xB9] == "≠"
+    assert SYMBOL[0xD6] == "√"
+    assert SYMBOL[0xF2] == "∫"
+    assert SYMBOL[0xC6] == "∅"
+    assert SYMBOL[0xDE] == "⇒"
+    assert SYMBOL[0xA0] == "€"
+    assert _show([0x61, 0xB9, 0x62], "Symbol") == "α≠β"
+
+
+def test_symbol_and_dingbats_afm_widths_cover_tail():
+    sw = base14_widths("Symbol")
+    zw = base14_widths("ZapfDingbats")
+    assert sw[0xB9] == 549.0    # notequal
+    assert sw[0xAB] == 1042.0   # arrowboth
+    assert sw[0xE6] == 384.0    # parenlefttp
+    assert zw[0xA4] == 910.0    # a104 heart
+    assert zw[0xAC] == 788.0    # circled one
+    assert 0xFF not in zw and 0x7F not in sw
+    # every decodable code carries an advance (gap heuristics never
+    # fall to the default width on a real glyph)
+    from pdf_parser_c_spark.pdf.fonts import ZAPF_DINGBATS as ZD
+
+    assert set(ZD) <= set(zw)
