@@ -158,13 +158,15 @@ def main() -> None:
                    f"{tmp}/transcripts_half.parquet", row_group_size=2048)
 
     def run_best(path: str, cores: int, tag: str, *extra: str,
-                 corpus_file: str = "transcripts.parquet") -> dict:
+                 corpus_file: str = "transcripts.parquet",
+                 env: dict | None = None) -> dict:
         best: dict | None = None
         for _ in range(runs):
             out = subprocess.run(
                 [sys.executable, path, str(cores), f"{tmp}/{corpus_file}",
                  *extra],
                 capture_output=True, text=True, check=True,
+                env={**os.environ, **(env or {})},
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
             print(f"{tag}: {json.dumps(r)}", file=sys.stderr)
@@ -173,16 +175,29 @@ def main() -> None:
         return best
 
     shm_ok = os.access("/dev/shm", os.W_OK)
+    # shuffle/spill location: Spark's local dirs default to /tmp on the
+    # one real disk, so even a tmpfs SINK still routes the bucket
+    # shuffle through the disk.  The no-disk-anywhere variant puts
+    # SPARK_LOCAL_DIRS on tmpfs too — the cluster-faithful config,
+    # where every node has local shuffle storage that scales with it.
+    shm_local = "/dev/shm/spark_local"
+    if shm_ok:
+        os.makedirs(shm_local, exist_ok=True)
     levels = [2, 8, 32]
     results = {}
     job_results = {}
     shm_results = {}
+    shm2_results = {}
     for cores in levels:
         results[cores] = run_best(runner_path, cores, "kernel")
         job_results[cores] = run_best(job_runner_path, cores, "job-disk")
         if shm_ok:
             shm_results[cores] = run_best(
                 job_runner_path, cores, "job-shm", "/dev/shm"
+            )
+            shm2_results[cores] = run_best(
+                job_runner_path, cores, "job-shm-nodisk", "/dev/shm",
+                env={"SPARK_LOCAL_DIRS": shm_local},
             )
     half_results = {}
     half_kernel = {}
@@ -193,7 +208,8 @@ def main() -> None:
                 corpus_file="transcripts_half.parquet")
             half_results[cores] = run_best(
                 job_runner_path, cores, "job-shm-half", "/dev/shm",
-                corpus_file="transcripts_half.parquet")
+                corpus_file="transcripts_half.parquet",
+                env={"SPARK_LOCAL_DIRS": shm_local})
 
     hw = calibrate_hardware(levels, runs=runs)
     print(json.dumps({"hw_docs_per_sec": hw}), file=sys.stderr)
@@ -204,6 +220,7 @@ def main() -> None:
     job = {c: results[c]["rows_per_sec"] for c in levels}
     fulljob = {c: job_results[c]["rows_per_sec"] for c in levels}
     shmjob = {c: shm_results[c]["rows_per_sec"] for c in shm_results}
+    shm2job = {c: shm2_results[c]["rows_per_sec"] for c in shm2_results}
     rows = "\n".join(
         f"| {c} | {results[c]['rows']} | {results[c]['sec']:.2f} | "
         f"{job[c]:.1f} | {hw[c]:.1f} |"
@@ -217,16 +234,19 @@ def main() -> None:
     )
     fulljob_rows = "\n".join(
         f"| {c} | {job_results[c]['sec']:.2f} | {fulljob[c]:.1f} | "
-        + (f"{shm_results[c]['sec']:.2f} | {shmjob[c]:.1f} |"
-           if c in shm_results else "n/a | n/a |")
+        + (f"{shm_results[c]['sec']:.2f} | {shmjob[c]:.1f} | "
+           f"{shm2_results[c]['sec']:.2f} | {shm2job[c]:.1f} |"
+           if c in shm_results else "n/a | n/a | n/a | n/a |")
         for c in levels
     )
     fulljob_pair_rows = "\n".join(
         f"| {lo}→{hi} | {eff(lo, hi, fulljob):.3f} | "
         f"{min(1.0, eff(lo, hi, fulljob) / eff(lo, hi, hw)):.3f} | "
         + (f"{eff(lo, hi, shmjob):.3f} | "
-           f"{min(1.0, eff(lo, hi, shmjob) / eff(lo, hi, hw)):.3f} |"
-           if shmjob else "n/a | n/a |")
+           f"{min(1.0, eff(lo, hi, shmjob) / eff(lo, hi, hw)):.3f} | "
+           f"{eff(lo, hi, shm2job):.3f} | "
+           f"{min(1.0, eff(lo, hi, shm2job) / eff(lo, hi, hw)):.3f} |"
+           if shmjob else "n/a | n/a | n/a | n/a |")
         for lo, hi in pairs
     )
     # write-side decomposition: job wall minus kernel wall at the same
@@ -234,8 +254,9 @@ def main() -> None:
     decomp_rows = "\n".join(
         f"| {c} | {results[c]['sec']:.2f} | "
         f"{job_results[c]['sec'] - results[c]['sec']:.2f} | "
-        + (f"{shm_results[c]['sec'] - results[c]['sec']:.2f} |"
-           if c in shm_results else "n/a |")
+        + (f"{shm_results[c]['sec'] - results[c]['sec']:.2f} | "
+           f"{shm2_results[c]['sec'] - results[c]['sec']:.2f} |"
+           if c in shm_results else "n/a | n/a |")
         for c in levels
     )
     half_rows = "| n/a | | | | |"
@@ -298,24 +319,26 @@ repartition → extraction kernel (with in-kernel metrics accumulator) →
 bucket-aligned shuffle → parquet results partitioned by bucket →
 metrics + lineage writes.  This is the job the north rule describes,
 including the exchange and the sink.  Sandbox caveat: all levels share
-ONE virtual disk, so the disk-sink write adds a fixed-bandwidth
-component a real cluster (per-node disks / object store) does not
-have.  The **shm sink** columns rerun the identical job with the sink
-on /dev/shm (tmpfs) — same CPU, no disk in the path — which removes
-that confound and is the cluster-faithful number for the write side.
+ONE virtual disk, and it sits in the job's path TWICE — the parquet
+sink, and Spark's shuffle/spill local dirs (default /tmp).  A real
+cluster has per-node disks / object store for both, scaling with the
+node count.  Three variants isolate the confound:
+**disk** (sink + shuffle on the shared disk), **shm sink** (sink on
+tmpfs, shuffle still on disk), **no-disk** (sink AND
+SPARK_LOCAL_DIRS on tmpfs — the cluster-faithful config).
 
-| cores (N) | disk wall s | disk turns/sec | shm wall s | shm turns/sec |
-|---|---|---|---|---|
+| cores (N) | disk wall s | disk t/s | shm-sink wall s | shm-sink t/s | no-disk wall s | no-disk t/s |
+|---|---|---|---|---|---|---|
 {fulljob_rows}
 
-| scale-up | disk efficiency | disk norm (job/hw) | shm efficiency | shm norm (job/hw) |
-|---|---|---|---|---|
+| scale-up | disk eff | disk norm | shm-sink eff | shm-sink norm | no-disk eff | no-disk norm |
+|---|---|---|---|---|---|---|
 {fulljob_pair_rows}
 
 ### Write-side decomposition (job wall − kernel wall, best-of-{runs} each)
 
-| cores (N) | kernel s | disk write side s | shm write side s |
-|---|---|---|---|
+| cores (N) | kernel s | disk write side s | shm-sink write side s | no-disk write side s |
+|---|---|---|---|---|
 {decomp_rows}
 
 ### Size scaling (half corpus, shm sink)
@@ -344,6 +367,12 @@ Reproduce: `python scripts/bench_scaling.py`
         summary["shmjob_eff_8_32"] = eff(8, 32, shmjob)
         summary["shmjob_eff_8_32_normalized"] = (
             eff(8, 32, shmjob) / eff(8, 32, hw))
+    if shm2job:
+        summary["nodisk_job"] = shm2job
+        summary["nodisk_eff_2_8"] = eff(2, 8, shm2job)
+        summary["nodisk_eff_8_32"] = eff(8, 32, shm2job)
+        summary["nodisk_eff_8_32_normalized"] = (
+            eff(8, 32, shm2job) / eff(8, 32, hw))
     if half_results:
         summary["half_kernel_eff_8_32"] = half_kernel_eff
         summary["half_shmjob_eff_8_32"] = half_eff
