@@ -1,0 +1,308 @@
+"""Skew stress for the dedup join family (VERDICT r2 #7).
+
+Builds a deterministic skewed `documents` corpus with
+* one shingle at exactly the DF cap (``MAX_SHINGLE_DF`` docs share a
+  4-word tail → the hottest legal join key the inverted index can emit),
+* one shingle OVER the cap (cap+60 docs → must be pruned, bounding the
+  worst key),
+* one hot SimHash band bucket (a 400-doc near-identical template
+  cluster whose signatures agree on whole 15-bit bands),
+
+then runs the UNMODIFIED catalog queries `dedup_ngram_jaccard` and
+`dedup_simhash_pairs` against it twice — AQE skew-join ON vs OFF — and
+
+1. captures the final adaptive plan, asserting the skewed self-join was
+   actually split (``skew=true`` on the SortMergeJoin / AQEShuffleRead);
+2. asserts the results are IDENTICAL with and without the skew split
+   (the optimization must be semantically invisible);
+3. asserts the over-cap shingle was pruned (candidate pairs stay at the
+   closed-form count the at-cap group predicts, never cap+60 choose 2).
+
+Broadcast joins are disabled for the probe (at 100 TB the shingle /
+band frames would exceed any broadcast threshold, so SMJ is the
+cluster-faithful shape) and the skew thresholds are scaled down in
+proportion to the corpus — the point is the PLAN SHAPE, which is
+size-invariant.  A salted-repartition balance probe for one mega
+conv_id (engine.salted_repartition) rides along.
+
+Writes the evidence section into BENCH/PLANS.md (idempotent replace).
+
+Usage: python scripts/skew_stress.py
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MARKER_BEGIN = "## Skew stress (AQE skew-join evidence)"
+
+
+def build_skewed_documents(path: str) -> dict:
+    """Deterministic skewed corpus; returns the closed-form expectations."""
+    from pdf_parser_c_spark.queries import MAX_SHINGLE_DF
+
+    rng = random.Random(7)
+    vocab = [f"w{i:05d}" for i in range(20_000)]
+    rows: list[tuple[int, str]] = []
+    doc_id = 0
+
+    def add(text: str) -> None:
+        nonlocal doc_id
+        rows.append((doc_id, text))
+        doc_id += 1
+
+    # background kept SMALL relative to the hot keys: the skew detector
+    # sees COMPRESSED shuffle-partition bytes, and a hot key's rows are
+    # one string repeated (compresses ~10×), so background noise must
+    # not drown the hot partition's size signal
+    for _ in range(400):
+        add(" ".join(rng.choice(vocab) for _ in range(30)))
+    # hot-at-cap: unique 8-word prefix + shared 4-word tail → ONE
+    # shingle with DF exactly == cap (kept, hottest legal key)
+    n_cap = MAX_SHINGLE_DF
+    for _ in range(n_cap):
+        add(" ".join(rng.choice(vocab) for _ in range(8)) + " hotcap alpha beta gamma")
+    # over-cap: cap+60 docs share a tail → DF > cap → pruned
+    n_over = MAX_SHINGLE_DF + 60
+    for _ in range(n_over):
+        add(" ".join(rng.choice(vocab) for _ in range(8)) + " overcap delta epsilon zeta")
+    # simhash hot band bucket: 600 near-identical 60-word docs.  The
+    # ONLY perturbation is a doc-UNIQUE word at position 13, so (a)
+    # bands away from the flipped bits stay identical → one ~600-doc
+    # hot (band,val) bucket, and (b) every shingle the cluster shares
+    # has DF=600 > cap (pruned) while perturbed shingles have DF=1 —
+    # the cluster contributes ZERO jaccard candidate pairs, keeping the
+    # cap-bound assertion closed-form
+    template = [rng.choice(vocab) for _ in range(60)]
+    for i in range(600):
+        doc = list(template)
+        doc[13] = f"uniq{i:05d}x"
+        add(" ".join(doc))
+
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "skew",
+            "n_chars": pd.array([len(r[1]) for r in rows], dtype="int64"),
+        }
+    )
+    # many row groups so the pre-join map stage has many tasks — AQE
+    # splits a skewed reduce partition by MAPPER ranges, so a
+    # single-map-task upstream would make the skew unsplittable
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        f"{path}/documents.parquet",
+        row_group_size=256,
+    )
+    return {"n_docs": len(df), "n_cap": n_cap, "n_over": n_over}
+
+
+PROBE_CONFS = {
+    # scaled-down skew thresholds: same decision logic Spark applies at
+    # 256 MB partitions, exercised at probe size
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    # more, smaller reduce partitions: background per-partition bytes
+    # shrink while the hot key stays whole → cleaner skew signal
+    "spark.sql.shuffle.partitions": "64",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    # no broadcast: at corpus scale the shingle/band frames exceed any
+    # broadcast threshold — SMJ is the cluster-faithful join
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    # many scan tasks over the small file (see row_group_size above)
+    "spark.sql.files.maxPartitionBytes": "65536",
+    "spark.sql.files.openCostInBytes": "0",
+}
+
+
+def final_plan(df) -> str:
+    """Final adaptive plan of an ALREADY-EXECUTED DataFrame."""
+    qe = df._jdf.queryExecution()
+    try:
+        jvm = df.sparkSession._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        return qe.explainString(mode)
+    except Exception:
+        return qe.executedPlan().toString()
+
+
+def skew_lines(plan: str) -> list[str]:
+    pat = re.compile(r"skew", re.IGNORECASE)
+    return [ln.strip() for ln in plan.splitlines() if pat.search(ln) and "Reason" not in ln]
+
+
+def run_probe() -> str:
+    from pyspark.sql import functions as F
+
+    from pdf_parser_c_spark.engine import get_spark, salted_repartition
+    from pdf_parser_c_spark.queries import (
+        q_dedup_ngram_jaccard,
+        q_dedup_simhash_pairs,
+    )
+
+    spark = get_spark(app="skew-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    saved = {k: spark.conf.get(k, None) for k in PROBE_CONFS}
+    tmp = tempfile.mkdtemp(prefix="skew_docs_")
+    try:
+        meta = build_skewed_documents(tmp)
+        for k, v in PROBE_CONFS.items():
+            spark.conf.set(k, v)
+
+        sections = []
+        results_on: dict[str, list] = {}
+        for name, qfn in (
+            ("dedup_ngram_jaccard", q_dedup_ngram_jaccard),
+            ("dedup_simhash_pairs", q_dedup_simhash_pairs),
+        ):
+            df = qfn(spark, tmp)
+            rows_on = df.collect()
+            plan = final_plan(df)
+            lines = skew_lines(plan)
+            results_on[name] = rows_on
+            assert lines, f"{name}: no skew-split in final plan:\n{plan}"
+            joins = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+            print(f"{name}: {len(lines)} skew-marked plan lines; result {rows_on}",
+                  file=sys.stderr)
+            sections.append((name, rows_on, joins[:4], lines[:8]))
+
+        # A/B: identical answers with the skew optimization disabled
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
+        for name, qfn in (
+            ("dedup_ngram_jaccard", q_dedup_ngram_jaccard),
+            ("dedup_simhash_pairs", q_dedup_simhash_pairs),
+        ):
+            rows_off = qfn(spark, tmp).collect()
+            assert rows_off == results_on[name], (
+                f"{name}: skew split changed the answer: {rows_off} vs {results_on[name]}"
+            )
+            print(f"{name}: skew-on == skew-off", file=sys.stderr)
+
+        # cap bound: candidate pairs from the hot groups must reflect the
+        # AT-CAP key only (C(n_cap,2) ≥ pairs from that key; the over-cap
+        # key contributes nothing).  The jaccard census counts every
+        # candidate pair once, so total pairs < C(n_over,2) proves pruning.
+        [jac] = results_on["dedup_ngram_jaccard"]
+        n_cap, n_over = meta["n_cap"], meta["n_over"]
+        cap_pairs = n_cap * (n_cap - 1) // 2
+        over_pairs = n_over * (n_over - 1) // 2
+        assert jac.n_candidate_pairs >= cap_pairs, jac
+        assert jac.n_candidate_pairs < over_pairs, (
+            f"over-cap shingle leaked into candidates: {jac.n_candidate_pairs}"
+        )
+
+        # salted-repartition balance: one mega conv (100× turns) must
+        # spread across partitions instead of pinning one
+        n_parts = 32
+        mega = spark.range(3200).select(
+            F.lit("mega").alias("conv_id"), F.col("id").cast("int").alias("turn_idx")
+        )
+        small = spark.range(3200).select(
+            F.concat(F.lit("c"), (F.col("id") % 100).cast("string")).alias("conv_id"),
+            (F.col("id") / 100).cast("int").alias("turn_idx"),
+        )
+        turns = mega.unionAll(small)
+        by_part = (
+            salted_repartition(turns, n_parts)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        )
+        counts = [r["count"] for r in by_part]
+        balance = max(counts) / (sum(counts) / n_parts)
+        unsalted = (
+            turns.repartition(n_parts, F.col("conv_id"))
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        )
+        u_counts = [r["count"] for r in unsalted]
+        u_balance = max(u_counts) / (sum(u_counts) / n_parts)
+        print(f"salted balance {balance:.2f} vs unsalted {u_balance:.2f}",
+              file=sys.stderr)
+        assert balance < u_balance / 2, (balance, u_balance)
+
+        body = [MARKER_BEGIN, ""]
+        body.append(
+            f"Deterministic skewed corpus ({meta['n_docs']} docs; "
+            f"`scripts/skew_stress.py`): one shingle at the DF cap "
+            f"({n_cap} docs — the hottest key the inverted index can emit), "
+            f"one over-cap shingle ({n_over} docs — pruned), one hot SimHash "
+            f"band bucket (600-doc template cluster).  Broadcast disabled "
+            f"(corpus-scale joins are SMJ); skew thresholds scaled to probe "
+            f"size (1KB/512b vs the default 256MB/64MB — same decision "
+            f"logic).  Catalog queries UNMODIFIED; sf0.01 oracle rows "
+            f"unaffected (the probe reads its own corpus directory)."
+        )
+        body.append("")
+        for name, rows, joins, lines in sections:
+            body.append(f"### {name} under skew")
+            body.append(f"*result (skew-join ON == OFF, asserted): `{list(rows[0].asDict().items())}`*")
+            body.append("```")
+            body.extend(joins)
+            body.extend(lines)
+            body.append("```")
+            body.append("")
+        body.append(
+            f"Cap bound, asserted: candidate pairs ≥ C({n_cap},2)={cap_pairs} "
+            f"(at-cap key joined) and < C({n_over},2)={over_pairs} (over-cap "
+            f"key pruned)."
+        )
+        body.append("")
+        body.append(
+            f"Salted repartition (`engine.salted_repartition`, one conv with "
+            f"50% of all turns, {n_parts} partitions): max/mean partition "
+            f"load **{balance:.2f}** salted vs **{u_balance:.2f}** when "
+            f"partitioned by conv_id alone — the mega conversation spreads "
+            f"instead of pinning one partition."
+        )
+        body.append("")
+        return "\n".join(body)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    section = run_probe()
+    plans = f"{repo}/BENCH/PLANS.md"
+    with open(plans) as f:
+        text = f.read()
+    if MARKER_BEGIN in text:
+        head = text.split(MARKER_BEGIN)[0].rstrip() + "\n\n"
+    else:
+        head = text.rstrip() + "\n\n"
+    with open(plans, "w") as f:
+        f.write(head + section)
+    print("PLANS.md updated")
+
+
+if __name__ == "__main__":
+    main()
