@@ -2,10 +2,12 @@
 
 Completes the multimodal decode story next to ``png_codec.py``: the
 container ships no Pillow, so DCT-family payloads get a real decoder
-built from the public spec — baseline sequential DCT, 8-bit, grayscale
-or YCbCr without chroma subsampling (the shape our encoder emits).
-Progressive scans, 12-bit precision, and subsampled chroma raise
-:class:`JPEGError` so callers fall back (image_features → stub row).
+built from the public spec — baseline sequential DCT and progressive
+DCT (T.81 Annex G spectral selection + successive approximation),
+8-bit, grayscale or YCbCr without chroma subsampling (the shapes our
+encoder emits).  12-bit precision, arithmetic coding, and subsampled
+chroma raise :class:`JPEGError` so callers fall back (image_features →
+stub row).
 
 Tables are the T.81 Annex K examples (quantization K.1/K.2, Huffman
 K.3.3) — the de-facto defaults every baseline codec ships.
@@ -96,6 +98,15 @@ _AC_CHROMA = (
      0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
      0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
      0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# Progressive AC table: the 162 baseline symbols plus the EOBn run
+# symbols (n=1..14, codes 0x10..0xE0) that baseline never uses but
+# EOB-run coding requires (G.1.2.2).  Flat 9-bit canonical: 176 codes
+# in a 512-slot space, all-ones code unused — valid per C.2.
+_AC_PROG = (
+    [0] * 8 + [176] + [0] * 7,
+    sorted(set(_AC_LUMA[1]) | {r << 4 for r in range(1, 15)}),
+)
 
 # 8x8 DCT-II basis (orthonormal)
 _C = np.zeros((8, 8))
@@ -199,6 +210,7 @@ class _BitReader:
             chunks.append(data[i:j])
             dlen += j - i
             if j + 1 >= n:
+                i = j
                 break
             nxt = data[j + 1]
             if nxt == 0x00:
@@ -213,6 +225,7 @@ class _BitReader:
             else:
                 i = j  # real marker (EOI/next segment) ends the scan
                 break
+        self.end = i  # absolute offset of the scan-terminating marker
         self.data = b"".join(chunks)
         self.bitpos = 0
         self.total = len(self.data) * 8
@@ -318,11 +331,16 @@ def _dht_segment(cls: int, ident: int, bits: list[int], vals: list[int]) -> byte
 
 
 def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
-                restart_interval: int = 0) -> bytes:
-    """Baseline JFIF bytes for 8-bit grayscale (channels=1) or RGB
-    (channels=3, encoded as YCbCr 4:4:4).  ``restart_interval`` > 0
-    emits a DRI segment and RST0-7 markers every that many MCUs
-    (byte-aligned, DC predictors reset — T.81 B.2.4.4/E.2.4)."""
+                restart_interval: int = 0, progressive: bool = False) -> bytes:
+    """JFIF bytes for 8-bit grayscale (channels=1) or RGB (channels=3,
+    encoded as YCbCr 4:4:4).  ``restart_interval`` > 0 emits a DRI
+    segment and RST0-7 markers every that many MCUs (byte-aligned, DC
+    predictors reset — T.81 B.2.4.4/E.2.4).  ``progressive`` emits
+    SOF2 with a spectral-selection + successive-approximation scan
+    script (DC first at Al=1, per-component AC first at Al=1, DC
+    refinement, per-component AC refinement — T.81 Annex G encoder);
+    the quantized coefficients are identical to baseline, so both
+    modes decode to the same pixels."""
     if channels not in (1, 3):
         raise JPEGError("channels must be 1 or 3")
     if len(pixels) != width * height * channels:
@@ -352,14 +370,25 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
         qtab = 0 if cid == 1 else 1
         comps += bytes([cid, 0x11, qtab])  # 1x1 sampling = 4:4:4
     body = bytes([8]) + struct.pack(">HH", height, width) + bytes([channels]) + comps
-    out += b"\xff\xc0" + struct.pack(">H", len(body) + 2) + body
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + \
+        struct.pack(">H", len(body) + 2) + body
     out += _dht_segment(0, 0, *_DC_LUMA)
-    out += _dht_segment(1, 0, *_AC_LUMA)
+    out += _dht_segment(1, 0, *(_AC_PROG if progressive else _AC_LUMA))
     if channels == 3:
         out += _dht_segment(0, 1, *_DC_CHROMA)
-        out += _dht_segment(1, 1, *_AC_CHROMA)
+        if not progressive:  # progressive AC scans share table 0
+            out += _dht_segment(1, 1, *_AC_CHROMA)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
+    if progressive:
+        qts = [_QT_LUMA] + [_QT_CHROMA] * (channels - 1)
+        zzs = [
+            _quantized_zigzag(planes[ci], qts[ci]).tolist()
+            for ci in range(channels)
+        ]
+        _emit_progressive_scans(out, zzs, channels, restart_interval)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
     # SOS
     sos = bytes([channels])
     for cid in range(1, channels + 1):
@@ -393,6 +422,208 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
     out += w.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _emit_progressive_scans(out: bytearray, zzs, channels: int,
+                            restart_interval: int) -> None:
+    """T.81 Annex G encoder: DC first (Al=1, interleaved), per-component
+    AC first (Al=1) with EOB-run coding, DC refinement, per-component
+    AC refinement with buffered correction bits.  Two pending-bit
+    buffers mirror the decoder's read order: the current block's
+    correction bits follow the next run/size symbol; prior blocks'
+    bits ride the next EOBn flush."""
+    dc_codes = [_huff_codes(*_DC_LUMA)] + \
+        [_huff_codes(*_DC_CHROMA)] * (channels - 1)
+    ac_codes = _huff_codes(*_AC_PROG)
+    n_blocks = len(zzs[0])
+
+    def sos_header(comp_idxs, ss, se, ah, al):
+        sos = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            dc_id = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (dc_id << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos)
+
+    def at_restart(bi):
+        return restart_interval and bi and bi % restart_interval == 0
+
+    def dc_first(al):
+        sos_header(list(range(channels)), 0, 0, 0, al)
+        w = _BitWriter()
+        preds = [0] * channels
+        rst = 0
+        for bi in range(n_blocks):
+            if at_restart(bi):
+                w.pad_byte()
+                w.raw_marker(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                preds = [0] * channels
+            for ci in range(channels):
+                v = int(zzs[ci][bi][0]) >> al  # arithmetic: 2's complement
+                diff = v - preds[ci]
+                preds[ci] = v
+                ssss, bits = _magnitude(diff)
+                code, ln = dc_codes[ci][ssss]
+                w.put(code, ln)
+                if ssss:
+                    w.put(bits, ssss)
+        out.extend(w.flush())
+
+    def dc_refine(al):
+        sos_header(list(range(channels)), 0, 0, al + 1, al)
+        w = _BitWriter()
+        rst = 0
+        for bi in range(n_blocks):
+            if at_restart(bi):
+                w.pad_byte()
+                w.raw_marker(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+            for ci in range(channels):
+                w.put((int(zzs[ci][bi][0]) >> al) & 1, 1)
+        out.extend(w.flush())
+
+    def ac_first(ci, al):
+        sos_header([ci], 1, 63, 0, al)
+        w = _BitWriter()
+        eobrun = 0
+        rst = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            while eobrun:
+                rr = min(14, eobrun.bit_length() - 1)
+                cnt = min(eobrun, (1 << (rr + 1)) - 1)
+                code, ln = ac_codes[rr << 4]
+                w.put(code, ln)
+                if rr:
+                    w.put(cnt - (1 << rr), rr)
+                eobrun -= cnt
+
+        for bi in range(n_blocks):
+            if at_restart(bi):
+                flush_eob()
+                w.pad_byte()
+                w.raw_marker(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+            band = zzs[ci][bi]
+            # point transform: sign-preserving divide toward zero (G.1.2.1)
+            tv = [0] * 64
+            kend = 0
+            for k in range(1, 64):
+                z = int(band[k])
+                t = abs(z) >> al
+                if t:
+                    tv[k] = -t if z < 0 else t
+                    kend = k
+            if kend == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for k in range(1, kend + 1):
+                t = tv[k]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    w.put(code, ln)
+                    run -= 16
+                ssss, bits = _magnitude(t)
+                code, ln = ac_codes[(run << 4) | ssss]
+                w.put(code, ln)
+                w.put(bits, ssss)
+                run = 0
+            if kend < 63:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        out.extend(w.flush())
+
+    def ac_refine(ci, al):
+        sos_header([ci], 1, 63, al + 1, al)
+        w = _BitWriter()
+        eobrun = 0
+        pending: list[int] = []  # prior blocks' correction bits
+        rst = 0
+
+        def flush_eob():
+            nonlocal eobrun, pending
+            while eobrun:
+                rr = min(14, eobrun.bit_length() - 1)
+                cnt = min(eobrun, (1 << (rr + 1)) - 1)
+                code, ln = ac_codes[rr << 4]
+                w.put(code, ln)
+                if rr:
+                    w.put(cnt - (1 << rr), rr)
+                for b in pending:
+                    w.put(b, 1)
+                pending = []
+                eobrun -= cnt
+
+        for bi in range(n_blocks):
+            if at_restart(bi):
+                flush_eob()
+                w.pad_byte()
+                w.raw_marker(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+            band = zzs[ci][bi]
+            cur: list[int] = []  # this block's bits since last symbol
+            run = 0
+            # ZRLs may only be emitted while a newly-significant
+            # coefficient still lies ahead — beyond it, runs (and any
+            # correction bits) fold into the EOB.  The check must fire
+            # at EVERY nonzero coefficient, old or new: the decoder's
+            # run walk consumes correction bits in stream order, so an
+            # over-15 run has to be split exactly where the decoder
+            # will split it.
+            last_new = 0
+            for k in range(1, 64):
+                if (abs(int(band[k])) >> al) == 1:
+                    last_new = k
+            for k in range(1, 64):
+                z = int(band[k])
+                temp = abs(z) >> al
+                if temp == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= last_new:
+                    flush_eob()
+                    code, ln = ac_codes[0xF0]
+                    w.put(code, ln)
+                    run -= 16
+                    for b in cur:
+                        w.put(b, 1)
+                    cur = []
+                if temp > 1:  # already significant → one correction bit
+                    cur.append(temp & 1)
+                    continue
+                flush_eob()
+                code, ln = ac_codes[(run << 4) | 1]
+                w.put(code, ln)
+                w.put(1 if z > 0 else 0, 1)
+                for b in cur:
+                    w.put(b, 1)
+                cur = []
+                run = 0
+            if run or cur:
+                eobrun += 1
+                pending.extend(cur)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        out.extend(w.flush())
+
+    dc_first(1)
+    for ci in range(channels):
+        ac_first(ci, 1)
+    dc_refine(0)
+    for ci in range(channels):
+        ac_refine(ci, 0)
 
 
 # ---------------------------------------------------------------- decode
@@ -447,7 +678,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(body[i + 17:i + 17 + n])
                 huff[(cls, ident)] = _huff_lookup(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec = body[0]
             if prec != 8:
                 raise JPEGError("only 8-bit precision supported")
@@ -460,7 +691,11 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     raise JPEGError("chroma subsampling unsupported")
                 comps.append((cid, qtab))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if marker == 0xC2:
+                return _decode_progressive(
+                    data, pos, frame, qts, huff, restart_interval
+                )
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JPEGError("non-baseline JPEG unsupported")
         elif marker == 0xDD:  # DRI (B.2.4.4)
@@ -560,7 +795,15 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         # emit corrupt pixels — refuse instead (module contract)
         raise JPEGError("unexpected restart markers in scan")
 
-    # batched dequantize + IDCT per component, then block scatter
+    return _reconstruct(zz_rows, qtabs, nby, nbx, h, w, nch)
+
+
+def _reconstruct(zz_rows, qtabs, nby, nbx, h, w, nch):
+    """Batched dequantize + IDCT per component, block scatter, and
+    colorspace conversion — shared by the baseline and progressive
+    paths (``zz_rows[ci]``: (n_blocks, 64) coefficients in zigzag
+    order)."""
+    ph, pw = nby * 8, nbx * 8
     out_planes = []
     for ci in range(nch):
         coefs = np.asarray(zz_rows[ci], dtype=np.float64)[:, _UNZIGZAG]
@@ -583,3 +826,219 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     else:
         px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8).tobytes()
     return w, h, nch, px
+
+
+# ------------------------------------------------------- progressive decode
+
+def _fast_tables(huff_needed):
+    """(length, code)→val dicts → 16-bit-peek lookup lists."""
+    out = []
+    for table in huff_needed:
+        if table is None:
+            out.append(None)
+            continue
+        ft = [None] * 65536
+        for (length, code), val in table.items():
+            base = code << (16 - length)
+            ft[base:base + (1 << (16 - length))] = \
+                [(val, length)] * (1 << (16 - length))
+        out.append(ft)
+    return out
+
+
+def _read_code(r: _BitReader, ft: list) -> int:
+    hit = ft[r.peek16()]
+    if hit is None:
+        raise JPEGError("bad Huffman code")
+    val, length = hit
+    r.drop(length)
+    return val
+
+
+def _decode_progressive(data, pos, frame, qts, huff, restart_interval):
+    """SOF2 spectral-selection + successive-approximation decoding
+    (T.81 Annex G, decoder side).  Sampling constraint matches the
+    baseline path (grayscale or YCbCr 4:4:4), so every scan walks the
+    same full-resolution block grid and an interleaved MCU is one
+    block per component.  Coefficients accumulate across scans in
+    zigzag order; reconstruction is shared with baseline."""
+    h, w, comps = frame
+    nch = len(comps)
+    if nch not in (1, 3):
+        raise JPEGError("component count unsupported")
+    ph, pw = h + (-h % 8), w + (-w % 8)
+    nby, nbx = ph // 8, pw // 8
+    nblocks = nby * nbx
+    cidx = {cid: i for i, (cid, _q) in enumerate(comps)}
+    coef = [[[0] * 64 for _ in range(nblocks)] for _ in range(nch)]
+
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise JPEGError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        body = data[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xC4:  # DHT (tables may be redefined mid-stream)
+            i = 0
+            while i < len(body):
+                cls, ident = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17:i + 17 + nv])
+                huff[(cls, ident)] = _huff_lookup(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise JPEGError("16-bit quant tables unsupported")
+                tbl = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8).astype(np.int32)
+                qts[tq] = tbl[_UNZIGZAG]
+                i += 65
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c:3 + 2 * c]
+                if cid not in cidx:
+                    raise JPEGError("scan component not in frame")
+                scan.append((cidx[cid], tabs >> 4, tabs & 0xF))
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            r = _BitReader(data, pos)
+            _decode_prog_scan(r, scan, ss, se, ah, al, huff, coef,
+                              restart_interval)
+            if r._next_restart != len(r.restarts):
+                raise JPEGError("unexpected restart markers in scan")
+            pos = r.end
+        # other segments (APPn, COM, DNL) skip via seglen
+
+    qtabs = []
+    for (cid, qtab) in comps:
+        if qtab not in qts:
+            raise JPEGError("missing quant table")
+        qtabs.append(qts[qtab].reshape(8, 8).astype(np.float64))
+    return _reconstruct(coef, qtabs, nby, nbx, h, w, nch)
+
+
+def _decode_prog_scan(r, scan, ss, se, ah, al, huff, coef, restart_interval):
+    """One progressive scan into the persistent coefficient arrays.
+
+    DC scans (Ss=Se=0) may interleave components; AC scans are
+    single-component by construction (G.1.1.1.1).  First scans (Ah=0)
+    set ``value << Al``; refinement scans (Ah=Al+1) restore one more
+    magnitude bit — two's-complement for DC, sign-magnitude correction
+    bits for AC (G.2)."""
+    nblocks = len(coef[0])
+    if ss == 0:
+        if se != 0:
+            raise JPEGError("progressive scan mixes DC and AC")
+        fts = []
+        for (ci, dc_id, _ac_id) in scan:
+            t = huff.get((0, dc_id)) if ah == 0 else None
+            if ah == 0 and t is None:
+                raise JPEGError("missing Huffman table")
+            fts.append(t)
+        fts = _fast_tables(fts)
+        preds = [0] * len(scan)
+        for bi in range(nblocks):
+            if restart_interval and bi and bi % restart_interval == 0:
+                r.restart()
+                preds = [0] * len(scan)
+            for si, (ci, _dc_id, _ac_id) in enumerate(scan):
+                block = coef[ci][bi]
+                if ah == 0:
+                    ssss = _read_code(r, fts[si])
+                    diff = _extend(r.receive(ssss), ssss) if ssss else 0
+                    preds[si] += diff
+                    block[0] = preds[si] << al
+                elif r.receive(1):
+                    block[0] |= 1 << al
+        return
+
+    if len(scan) != 1:
+        raise JPEGError("AC progressive scan must be single-component")
+    ci, _dc_id, ac_id = scan[0]
+    act = huff.get((1, ac_id))
+    if act is None:
+        raise JPEGError("missing Huffman table")
+    [ft] = _fast_tables([act])
+    blocks = coef[ci]
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    for bi in range(nblocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            r.restart()
+            eobrun = 0
+        block = blocks[bi]
+        if ah == 0:  # AC first scan (G.2.2)
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _read_code(r, ft)
+                rr, sz = rs >> 4, rs & 0xF
+                if sz == 0:
+                    if rr == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << rr) - 1
+                    if rr:
+                        eobrun += r.receive(rr)
+                    break
+                k += rr
+                if k > se:
+                    raise JPEGError("AC run past band end")
+                block[k] = _extend(r.receive(sz), sz) << al
+                k += 1
+            continue
+
+        # AC refinement scan (G.2.3): newly-significant coefficients
+        # arrive as run/size symbols whose runs count ZERO-HISTORY
+        # positions only; every nonzero-history position passed over —
+        # including the EOB tail — consumes one correction bit.
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _read_code(r, ft)
+                rr, sz = rs >> 4, rs & 0xF
+                if sz == 0:
+                    if rr < 15:
+                        eobrun = 1 << rr
+                        if rr:
+                            eobrun += r.receive(rr)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history positions
+                else:
+                    if sz != 1:
+                        raise JPEGError("refinement size must be 1")
+                    val = p1 if r.receive(1) else m1
+                while k <= se:
+                    c = block[k]
+                    if c:
+                        if r.receive(1) and (c & p1) == 0:
+                            block[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if val and k <= se:
+                    block[k] = val
+                k += 1
+        if eobrun:
+            while k <= se:
+                c = block[k]
+                if c and r.receive(1) and (c & p1) == 0:
+                    block[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1

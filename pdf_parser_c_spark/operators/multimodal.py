@@ -9,7 +9,7 @@ predictor stack), baseline JPEGs through ``jpeg_codec.py`` (ITU T.81
 DCT + Huffman, Annex-K tables), PCM16 WAV audio and MJPEG-AVI video
 through ``riff_codec.py`` — every ``decoder`` column value other than
 ``'stub'`` means true sample/pixel statistics.  Payloads outside those
-formats (compressed audio, H.264, progressive JPEG) fall back to the
+formats (compressed audio, H.264, arithmetic-coded JPEG) fall back to the
 clearly-labeled deterministic stubs behind the same except clauses;
 dropping in Pillow/PyAV widens format coverage without touching the
 plan.

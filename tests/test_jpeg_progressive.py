@@ -1,0 +1,85 @@
+"""Progressive JPEG (SOF2) decode — T.81 Annex G.
+
+The reference's poppler link carries a full DCT decoder family (its
+build disables it — Jenkinsfile:32 — so this module serves the
+multimodal operators, not the PDF text path).  Strategy: the
+progressive encoder emits the SAME quantized coefficients as baseline
+through a successive-approximation scan script (DC first Al=1 →
+per-component AC first Al=1 → DC refine → AC refine), so
+``decode(progressive) == decode(baseline)`` must hold bit-for-bit.
+That exercises every scan kind on the decode side: interleaved DC
+first/refine, AC first with EOB runs and ZRL, AC refinement with
+buffered correction bits, and restart markers inside progressive
+scans.
+"""
+
+import numpy as np
+import pytest
+
+from pdf_parser_c_spark.operators.jpeg_codec import (
+    JPEGError,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _cases():
+    rng = np.random.default_rng(42)
+    for (wd, ht, ch) in [(8, 8, 1), (16, 12, 1), (24, 17, 3), (33, 9, 3)]:
+        yield wd, ht, ch, "random", rng.integers(
+            0, 256, size=wd * ht * ch, dtype=np.uint8
+        ).tobytes()
+        # flat: every AC band empty → maximal EOB runs
+        yield wd, ht, ch, "flat", bytes([137]) * (wd * ht * ch)
+        # gradient: long zero runs inside bands → ZRL + refinement
+        yield wd, ht, ch, "gradient", (
+            np.arange(wd * ht * ch) % 256
+        ).astype(np.uint8).tobytes()
+
+
+@pytest.mark.parametrize(
+    "wd,ht,ch,px",
+    [pytest.param(*c[:3], c[4], id=f"{c[0]}x{c[1]}x{c[2]}-{c[3]}") for c in _cases()],
+)
+def test_progressive_matches_baseline(wd, ht, ch, px):
+    base = decode_jpeg(encode_jpeg(wd, ht, px, ch))
+    prog = decode_jpeg(encode_jpeg(wd, ht, px, ch, progressive=True))
+    assert prog == base
+
+
+def test_progressive_marker_is_sof2():
+    px = bytes(64)
+    data = encode_jpeg(8, 8, px, 1, progressive=True)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    # multi-scan: one SOS per script entry (DC, AC, DC refine, AC refine)
+    assert data.count(b"\xff\xda") == 4
+
+
+@pytest.mark.parametrize("ri", [1, 3, 7])
+def test_progressive_restart_intervals(ri):
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=48 * 24 * 3, dtype=np.uint8).tobytes()
+    base = decode_jpeg(encode_jpeg(48, 24, px, 3))
+    prog = decode_jpeg(
+        encode_jpeg(48, 24, px, 3, progressive=True, restart_interval=ri)
+    )
+    assert prog == base
+
+
+def test_progressive_truncated_scan_raises():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=32 * 32, dtype=np.uint8).tobytes()
+    data = encode_jpeg(32, 32, px, 1, progressive=True)
+    # cut inside the last scan's entropy data: a refinement bit stream
+    # that runs dry must surface as JPEGError, not garbage pixels
+    with pytest.raises(JPEGError):
+        decode_jpeg(data[: len(data) - 40] + b"\xff\xd9")
+
+
+def test_arithmetic_coded_still_rejected():
+    px = bytes(64)
+    data = bytearray(encode_jpeg(8, 8, px, 1, progressive=True))
+    i = data.index(b"\xff\xc2")
+    data[i + 1] = 0xCA  # SOF10: progressive, arithmetic coding
+    with pytest.raises(JPEGError):
+        decode_jpeg(bytes(data))
