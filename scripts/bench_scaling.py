@@ -17,21 +17,26 @@ Two confound controls make the proxy honest:
   efficiency normalized by that measured hardware ceiling.
 
 Host-noise control: neighbor load on this shared VM swings single
-wall-clocks 2-8x, and noise only ever *slows* a run, so every probe
-(kernel, full job, hw calibration) runs R times per level (default 2)
-and reports the best — the closest observable to the machine's true
-capability at that concurrency.
+wall-clocks 2-8x — and the swing hits WIDE runs hardest (a 32-way run
+needs 32 simultaneously-quiet vCPUs).  Noise only ever *slows* a run,
+so the honest estimate of the machine's capability at a concurrency is
+the BEST observation across a long sampling window:
 
-Writes the measured table to BENCH/BASELINE.md.
+  # sample every cell in a loop for hours (Ctrl-C / SIGTERM to stop)
+  SCALE_SAMPLES=/tmp/scaling_samples.jsonl \
+      python scripts/bench_scaling.py --loop [n_convs] [turns]
+  # reduce: best-per-cell across the window → BENCH/BASELINE.md
+  python scripts/bench_scaling.py --reduce /tmp/scaling_samples.jsonl
 
-Usage: python scripts/bench_scaling.py [n_convs] [turns_per_conv] [runs]
+One-shot mode (best-of-R, R=runs arg) remains:
+  python scripts/bench_scaling.py [n_convs] [turns_per_conv] [runs]
 """
 
 from __future__ import annotations
 
-import base64
 import json
 import os
+import signal
 import subprocess
 import sys
 import tempfile
@@ -80,7 +85,25 @@ spark.stop()
 shutil.rmtree(out, ignore_errors=True)  # keep tmpfs/disk from filling
 """
 
+LEVELS = [2, 8, 32]
+PAIRS = [(2, 8), (8, 32)]
+SHM_LOCAL = "/dev/shm/spark_local"
+
 _CAL_PDF: bytes = b""
+
+
+def _sample_file():
+    return os.environ.get("SCALE_SAMPLES")
+
+
+def _record(tag: str, cores: int, r: dict) -> None:
+    path = _sample_file()
+    if not path:
+        return
+    row = {"tag": tag, "cores": cores, **r,
+           "load1": round(os.getloadavg()[0], 2), "t": round(time.time(), 1)}
+    with open(path, "a") as f:
+        f.write(json.dumps(row) + "\n")
 
 
 def _cal_work(n: int) -> int:
@@ -112,25 +135,25 @@ def calibrate_hardware(
             with Pool(procs) as p:
                 t0 = time.perf_counter()
                 p.map(_cal_work, [docs_per_level // procs] * procs)
-                best = max(best, docs_per_level / (time.perf_counter() - t0))
+                rate = docs_per_level / (time.perf_counter() - t0)
+            _record("hw", procs, {"rows_per_sec": rate})
+            best = max(best, rate)
         rates[procs] = best
     return rates
 
 
-def main() -> None:
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sys.path.insert(0, repo)
-    from pdf_parser_c_spark.testkit.corpus import make_transcripts, transcripts_columns_only
-
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
-    turns = int(sys.argv[2]) if len(sys.argv) > 2 else 40
-    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-
+def prepare_corpus(n_convs: int, turns: int, repo: str) -> tuple[str, int]:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from pdf_parser_c_spark.testkit.corpus import (
+        make_transcripts,
+        transcripts_columns_only,
+    )
+
     corpus = transcripts_columns_only(
-        make_transcripts(n_convs=n_convs, turns_per_conv=turns, mega_every=10, mega_factor=10)
+        make_transcripts(n_convs=n_convs, turns_per_conv=turns,
+                         mega_every=10, mega_factor=10)
     )
     # Spark cannot read parquet TIMESTAMP(NANOS); write microseconds.
     # Small row groups so the scan parallelizes at every level — a
@@ -142,102 +165,134 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="scale_corpus_")
     pq.write_table(pa.Table.from_pandas(corpus, preserve_index=False),
                    f"{tmp}/transcripts.parquet", row_group_size=2048)
-    print(f"corpus: {len(corpus)} turns at {tmp}", file=sys.stderr)
-
-    runner_path = f"{tmp}/runner.py"
-    with open(runner_path, "w") as f:
-        f.write(RUNNER.format(repo=repo))
-    job_runner_path = f"{tmp}/runner_job.py"
-    with open(job_runner_path, "w") as f:
-        f.write(RUNNER_JOB.format(repo=repo))
-
     # half-size corpus for the size decomposition (does the write-side
     # residual shrink relative to kernel as the corpus grows?)
     half = corpus.iloc[: len(corpus) // 2]
     pq.write_table(pa.Table.from_pandas(half, preserve_index=False),
                    f"{tmp}/transcripts_half.parquet", row_group_size=2048)
+    with open(f"{tmp}/runner.py", "w") as f:
+        f.write(RUNNER.format(repo=repo))
+    with open(f"{tmp}/runner_job.py", "w") as f:
+        f.write(RUNNER_JOB.format(repo=repo))
+    print(f"corpus: {len(corpus)} turns at {tmp}", file=sys.stderr)
+    return tmp, len(corpus)
 
-    def run_best(path: str, cores: int, tag: str, *extra: str,
-                 corpus_file: str = "transcripts.parquet",
-                 env: dict | None = None) -> dict:
-        best: dict | None = None
+
+def run_cell(tmp: str, runner: str, cores: int, tag: str, *extra: str,
+             corpus_file: str = "transcripts.parquet",
+             env: dict | None = None) -> dict:
+    out = subprocess.run(
+        [sys.executable, f"{tmp}/{runner}", str(cores),
+         f"{tmp}/{corpus_file}", *extra],
+        capture_output=True, text=True, check=True,
+        env={**os.environ, **(env or {})},
+    )
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    print(f"{tag}: {json.dumps(r)}", file=sys.stderr)
+    _record(tag, cores, r)
+    return r
+
+
+def sample_cycle(tmp: str, runs: int) -> dict:
+    """One full pass over every (variant, level) cell, best-of-``runs``.
+    Returns the per-cell dicts the report needs."""
+
+    def best(runner, cores, tag, *extra, **kw):
+        b = None
         for _ in range(runs):
-            out = subprocess.run(
-                [sys.executable, path, str(cores), f"{tmp}/{corpus_file}",
-                 *extra],
-                capture_output=True, text=True, check=True,
-                env={**os.environ, **(env or {})},
-            )
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            print(f"{tag}: {json.dumps(r)}", file=sys.stderr)
-            if best is None or r["rows_per_sec"] > best["rows_per_sec"]:
-                best = r
-        return best
+            r = run_cell(tmp, runner, cores, tag, *extra, **kw)
+            if b is None or r["rows_per_sec"] > b["rows_per_sec"]:
+                b = r
+        return b
 
     shm_ok = os.access("/dev/shm", os.W_OK)
-    # shuffle/spill location: Spark's local dirs default to /tmp on the
-    # one real disk, so even a tmpfs SINK still routes the bucket
-    # shuffle through the disk.  The no-disk-anywhere variant puts
-    # SPARK_LOCAL_DIRS on tmpfs too — the cluster-faithful config,
-    # where every node has local shuffle storage that scales with it.
-    shm_local = "/dev/shm/spark_local"
     if shm_ok:
-        os.makedirs(shm_local, exist_ok=True)
-    levels = [2, 8, 32]
-    results = {}
-    job_results = {}
-    shm_results = {}
-    shm2_results = {}
-    for cores in levels:
-        results[cores] = run_best(runner_path, cores, "kernel")
-        job_results[cores] = run_best(job_runner_path, cores, "job-disk")
+        os.makedirs(SHM_LOCAL, exist_ok=True)
+    results, job_results, shm_results, shm2_results = {}, {}, {}, {}
+    for cores in LEVELS:
+        results[cores] = best("runner.py", cores, "kernel")
+        job_results[cores] = best("runner_job.py", cores, "job-disk")
         if shm_ok:
-            shm_results[cores] = run_best(
-                job_runner_path, cores, "job-shm", "/dev/shm"
-            )
-            shm2_results[cores] = run_best(
-                job_runner_path, cores, "job-shm-nodisk", "/dev/shm",
-                env={"SPARK_LOCAL_DIRS": shm_local},
-            )
-    half_results = {}
-    half_kernel = {}
+            shm_results[cores] = best(
+                "runner_job.py", cores, "job-shm", "/dev/shm")
+            shm2_results[cores] = best(
+                "runner_job.py", cores, "job-shm-nodisk", "/dev/shm",
+                env={"SPARK_LOCAL_DIRS": SHM_LOCAL})
+    half_results, half_kernel = {}, {}
     if shm_ok:
         for cores in (8, 32):
-            half_kernel[cores] = run_best(
-                runner_path, cores, "kernel-half",
+            half_kernel[cores] = best(
+                "runner.py", cores, "kernel-half",
                 corpus_file="transcripts_half.parquet")
-            half_results[cores] = run_best(
-                job_runner_path, cores, "job-shm-half", "/dev/shm",
+            half_results[cores] = best(
+                "runner_job.py", cores, "job-shm-half", "/dev/shm",
                 corpus_file="transcripts_half.parquet",
-                env={"SPARK_LOCAL_DIRS": shm_local})
-
-    hw = calibrate_hardware(levels, runs=runs)
+                env={"SPARK_LOCAL_DIRS": SHM_LOCAL})
+    hw = calibrate_hardware(LEVELS, runs=runs)
     print(json.dumps({"hw_docs_per_sec": hw}), file=sys.stderr)
+    return {"kernel": results, "job-disk": job_results,
+            "job-shm": shm_results, "job-shm-nodisk": shm2_results,
+            "kernel-half": half_kernel, "job-shm-half": half_results,
+            "hw": hw}
+
+
+def reduce_samples(path: str) -> dict:
+    """Best rows_per_sec per (tag, cores) across the sampling window."""
+    cells: dict[str, dict[int, dict]] = {}
+    n = 0
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            r = json.loads(line)
+            n += 1
+            tag, cores = r["tag"], int(r["cores"])
+            cur = cells.setdefault(tag, {}).get(cores)
+            if cur is None or r["rows_per_sec"] > cur["rows_per_sec"]:
+                cells[tag][cores] = r
+    hw = {c: r["rows_per_sec"] for c, r in cells.get("hw", {}).items()}
+    out = {t: cells.get(t, {}) for t in
+           ("kernel", "job-disk", "job-shm", "job-shm-nodisk",
+            "kernel-half", "job-shm-half")}
+    out["hw"] = hw
+    out["n_samples"] = n
+    return out
+
+
+def write_report(repo: str, cells: dict, corpus_len: int,
+                 noise_note: str) -> dict:
+    results = cells["kernel"]
+    job_results = cells["job-disk"]
+    shm_results = cells["job-shm"]
+    shm2_results = cells["job-shm-nodisk"]
+    half_kernel = cells["kernel-half"]
+    half_results = cells["job-shm-half"]
+    hw = cells["hw"]
 
     def eff(lo: int, hi: int, rates: dict) -> float:
         return (rates[hi] / rates[lo]) / (hi / lo)
 
-    job = {c: results[c]["rows_per_sec"] for c in levels}
-    fulljob = {c: job_results[c]["rows_per_sec"] for c in levels}
+    job = {c: results[c]["rows_per_sec"] for c in LEVELS}
+    fulljob = {c: job_results[c]["rows_per_sec"] for c in LEVELS}
     shmjob = {c: shm_results[c]["rows_per_sec"] for c in shm_results}
     shm2job = {c: shm2_results[c]["rows_per_sec"] for c in shm2_results}
     rows = "\n".join(
         f"| {c} | {results[c]['rows']} | {results[c]['sec']:.2f} | "
         f"{job[c]:.1f} | {hw[c]:.1f} |"
-        for c in levels
+        for c in LEVELS
     )
-    pairs = [(2, 8), (8, 32)]
     pair_rows = "\n".join(
         f"| {lo}→{hi} | {eff(lo, hi, job):.3f} | {eff(lo, hi, hw):.3f} | "
         f"{min(1.0, eff(lo, hi, job) / eff(lo, hi, hw)):.3f} |"
-        for lo, hi in pairs
+        for lo, hi in PAIRS
     )
     fulljob_rows = "\n".join(
         f"| {c} | {job_results[c]['sec']:.2f} | {fulljob[c]:.1f} | "
         + (f"{shm_results[c]['sec']:.2f} | {shmjob[c]:.1f} | "
            f"{shm2_results[c]['sec']:.2f} | {shm2job[c]:.1f} |"
            if c in shm_results else "n/a | n/a | n/a | n/a |")
-        for c in levels
+        for c in LEVELS
     )
     fulljob_pair_rows = "\n".join(
         f"| {lo}→{hi} | {eff(lo, hi, fulljob):.3f} | "
@@ -247,17 +302,17 @@ def main() -> None:
            f"{eff(lo, hi, shm2job):.3f} | "
            f"{min(1.0, eff(lo, hi, shm2job) / eff(lo, hi, hw)):.3f} |"
            if shmjob else "n/a | n/a | n/a | n/a |")
-        for lo, hi in pairs
+        for lo, hi in PAIRS
     )
     # write-side decomposition: job wall minus kernel wall at the same
-    # level (independent best-of-R probes, same corpus)
+    # level (independent best-per-cell probes, same corpus)
     decomp_rows = "\n".join(
         f"| {c} | {results[c]['sec']:.2f} | "
         f"{job_results[c]['sec'] - results[c]['sec']:.2f} | "
         + (f"{shm_results[c]['sec'] - results[c]['sec']:.2f} | "
            f"{shm2_results[c]['sec'] - results[c]['sec']:.2f} |"
            if c in shm_results else "n/a | n/a |")
-        for c in levels
+        for c in LEVELS
     )
     half_rows = "| n/a | | | | |"
     half_eff = half_kernel_eff = float("nan")
@@ -283,7 +338,7 @@ the identical extraction job on identical input at two parallelism
 levels (fresh JVM per level, action-only timing, python workers
 pre-warmed symmetrically, parallel parquet scan).
 
-Input: deterministic transcripts corpus ({len(corpus)} turns, payload mix
+Input: deterministic transcripts corpus ({corpus_len} turns, payload mix
 per FIXTURES.md §2 — PDF-heavy with mega-conversation skew).
 Job: `extract_turns` (salted repartition → Arrow-batched mapInPandas
 extraction kernel) → count.
@@ -294,9 +349,7 @@ down as more go busy (even a pure-register arithmetic loop only reaches
 parse kernel through plain multiprocessing with no Spark — it is the
 physical ceiling of the box at that concurrency.  On a real cluster 4N
 executors are 4× machines, so the cluster-faithful number is the job
-efficiency normalized by that ceiling.  Neighbor load swings single
-wall-clocks 2-8× and only ever slows a run, so every cell is the best
-of {runs} independent runs at that level.
+efficiency normalized by that ceiling.  {noise_note}
 
 | cores (N) | rows | wall s | job turns/sec | hw kernel docs/sec |
 |---|---|---|---|---|
@@ -335,22 +388,23 @@ SPARK_LOCAL_DIRS on tmpfs — the cluster-faithful config).
 |---|---|---|---|---|---|---|
 {fulljob_pair_rows}
 
-### Write-side decomposition (job wall − kernel wall, best-of-{runs} each)
+### Write-side decomposition (job wall − kernel wall, best-per-cell)
 
 | cores (N) | kernel s | disk write side s | shm-sink write side s | no-disk write side s |
 |---|---|---|---|---|
 {decomp_rows}
 
-### Size scaling (half corpus, shm sink)
+### Size scaling (half corpus, no-disk config)
 
 | cores (N) | rows | kernel s | job s | write side s |
 |---|---|---|---|---|
 {half_rows}
 
 Half-corpus 8→32: kernel efficiency {half_kernel_eff:.3f}, full-job
-(shm) efficiency {half_eff:.3f}.
+(no-disk) efficiency {half_eff:.3f}.
 
-Reproduce: `python scripts/bench_scaling.py`
+Reproduce: `SCALE_SAMPLES=/tmp/s.jsonl python scripts/bench_scaling.py --loop`
+(hours, Ctrl-C), then `python scripts/bench_scaling.py --reduce /tmp/s.jsonl`
 """
     os.makedirs(f"{repo}/BENCH", exist_ok=True)
     with open(f"{repo}/BENCH/BASELINE.md", "w") as f:
@@ -376,7 +430,51 @@ Reproduce: `python scripts/bench_scaling.py`
     if half_results:
         summary["half_kernel_eff_8_32"] = half_kernel_eff
         summary["half_shmjob_eff_8_32"] = half_eff
-    print(json.dumps(summary))
+    return summary
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--reduce":
+        cells = reduce_samples(sys.argv[2])
+        note = (f"Neighbor load swings single wall-clocks 2-8× — widest "
+                f"runs hardest — and only ever slows a run, so every cell "
+                f"is the BEST across a multi-hour sampling window "
+                f"({cells.pop('n_samples')} samples; per-sample load "
+                f"recorded in the samples file).")
+        corpus_len = next(iter(cells["kernel"].values()))["rows"]
+        print(json.dumps(write_report(repo, cells, corpus_len, note)))
+        return
+
+    loop = len(sys.argv) > 1 and sys.argv[1] == "--loop"
+    args = sys.argv[2:] if loop else sys.argv[1:]
+    n_convs = int(args[0]) if len(args) > 0 else 1500
+    turns = int(args[1]) if len(args) > 1 else 40
+    runs = int(args[2]) if len(args) > 2 else 2
+
+    tmp, corpus_len = prepare_corpus(n_convs, turns, repo)
+
+    if loop:
+        stop = {"v": False}
+
+        def _stop(*_a):
+            stop["v"] = True
+
+        signal.signal(signal.SIGTERM, _stop)
+        cycle = 0
+        while not stop["v"]:
+            cycle += 1
+            print(f"--- sampling cycle {cycle} ---", file=sys.stderr)
+            sample_cycle(tmp, runs=1)
+        return
+
+    cells = sample_cycle(tmp, runs)
+    note = ("Neighbor load swings single wall-clocks 2-8× and only ever "
+            f"slows a run, so every cell is the best of {runs} "
+            "independent runs at that level.")
+    print(json.dumps(write_report(repo, cells, corpus_len, note)))
 
 
 if __name__ == "__main__":
