@@ -4,10 +4,10 @@ Completes the multimodal decode story next to ``png_codec.py``: the
 container ships no Pillow, so DCT-family payloads get a real decoder
 built from the public spec — baseline sequential DCT and progressive
 DCT (T.81 Annex G spectral selection + successive approximation),
-8-bit, grayscale or YCbCr without chroma subsampling (the shapes our
-encoder emits).  12-bit precision, arithmetic coding, and subsampled
-chroma raise :class:`JPEGError` so callers fall back (image_features →
-stub row).
+8-bit, grayscale or YCbCr, including subsampled chroma (4:2:0 / 4:2:2
+/ any integer-ratio factors; replication upsampling).  12-bit
+precision, arithmetic coding, and lossless modes raise
+:class:`JPEGError` so callers fall back (image_features → stub row).
 
 Tables are the T.81 Annex K examples (quantization K.1/K.2, Huffman
 K.3.3) — the de-facto defaults every baseline codec ships.
@@ -331,32 +331,50 @@ def _dht_segment(cls: int, ident: int, bits: list[int], vals: list[int]) -> byte
 
 
 def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
-                restart_interval: int = 0, progressive: bool = False) -> bytes:
+                restart_interval: int = 0, progressive: bool = False,
+                subsampling: str = "444") -> bytes:
     """JFIF bytes for 8-bit grayscale (channels=1) or RGB (channels=3,
-    encoded as YCbCr 4:4:4).  ``restart_interval`` > 0 emits a DRI
-    segment and RST0-7 markers every that many MCUs (byte-aligned, DC
-    predictors reset — T.81 B.2.4.4/E.2.4).  ``progressive`` emits
-    SOF2 with a spectral-selection + successive-approximation scan
-    script (DC first at Al=1, per-component AC first at Al=1, DC
-    refinement, per-component AC refinement — T.81 Annex G encoder);
-    the quantized coefficients are identical to baseline, so both
-    modes decode to the same pixels."""
+    encoded as YCbCr).  ``subsampling`` picks the chroma shape: "444"
+    (1×1), "422" (luma 2×1), or "420" (luma 2×2, chroma box-mean
+    downsampled) — ignored for grayscale.  ``restart_interval`` > 0
+    emits a DRI segment and RST0-7 markers every that many MCUs
+    (byte-aligned, DC predictors reset — T.81 B.2.4.4/E.2.4).
+    ``progressive`` emits SOF2 with a spectral-selection +
+    successive-approximation scan script (DC first at Al=1,
+    per-component AC first at Al=1, DC refinement, per-component AC
+    refinement — T.81 Annex G encoder); the quantized coefficients are
+    identical to baseline, so both modes decode to the same pixels."""
     if channels not in (1, 3):
         raise JPEGError("channels must be 1 or 3")
     if len(pixels) != width * height * channels:
         raise JPEGError("pixel buffer size mismatch")
+    samp_shapes = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if subsampling not in samp_shapes:
+        raise JPEGError("subsampling must be 444, 422 or 420")
+    hmax, vmax = samp_shapes[subsampling] if channels == 3 else (1, 1)
+    samps = [(hmax, vmax)] + [(1, 1)] * (channels - 1)
+
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
     arr = arr.astype(np.float64)
     if channels == 3:
         r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
-        planes = [
+        full = [
             0.299 * r + 0.587 * g + 0.114 * b,
             128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
             128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
         ]
     else:
-        planes = [arr[..., 0]]
-    planes = [np.clip(_pad_to_8(p), 0, 255) for p in planes]
+        full = [arr[..., 0]]
+    _hm, _vm, mcu_rows, mcu_cols, geoms = _geometry(width, height, samps)
+    planes = []
+    for ci, g in enumerate(geoms):
+        ph, pw = mcu_rows * 8 * vmax, mcu_cols * 8 * hmax
+        p = np.pad(full[ci],
+                   ((0, ph - height), (0, pw - width)), mode="edge")
+        fy, fx = vmax // g["vi"], hmax // g["hi"]
+        if fy > 1 or fx > 1:  # box-mean downsample to component res
+            p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        planes.append(np.clip(p, 0, 255))
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -364,11 +382,12 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
     for ident, qt in ((0, _QT_LUMA), (1, _QT_CHROMA))[: 1 if channels == 1 else 2]:
         body = bytes([ident]) + bytes(int(v) for v in qt[_ZIGZAG])
         out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
-    # SOF0
+    # SOF
     comps = b""
     for cid in range(1, channels + 1):
         qtab = 0 if cid == 1 else 1
-        comps += bytes([cid, 0x11, qtab])  # 1x1 sampling = 4:4:4
+        hi, vi = samps[cid - 1]
+        comps += bytes([cid, (hi << 4) | vi, qtab])
     body = bytes([8]) + struct.pack(">HH", height, width) + bytes([channels]) + comps
     out += (b"\xff\xc2" if progressive else b"\xff\xc0") + \
         struct.pack(">H", len(body) + 2) + body
@@ -380,13 +399,14 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
             out += _dht_segment(1, 1, *_AC_CHROMA)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
+    qts = [_QT_LUMA] + [_QT_CHROMA] * (channels - 1)
+    zzs = [
+        _quantized_zigzag(planes[ci], qts[ci]).tolist()
+        for ci in range(channels)
+    ]
     if progressive:
-        qts = [_QT_LUMA] + [_QT_CHROMA] * (channels - 1)
-        zzs = [
-            _quantized_zigzag(planes[ci], qts[ci]).tolist()
-            for ci in range(channels)
-        ]
-        _emit_progressive_scans(out, zzs, channels, restart_interval)
+        _emit_progressive_scans(out, zzs, channels, restart_interval,
+                                geoms, mcu_rows, mcu_cols)
         out += b"\xff\xd9"  # EOI
         return bytes(out)
     # SOS
@@ -400,32 +420,44 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
     w = _BitWriter()
     dc_l, ac_l = _huff_codes(*_DC_LUMA), _huff_codes(*_AC_LUMA)
     dc_c, ac_c = _huff_codes(*_DC_CHROMA), _huff_codes(*_AC_CHROMA)
-    # non-interleaved would need one scan per component; interleave MCUs
-    qts = [_QT_LUMA] + [_QT_CHROMA] * (channels - 1)
-    zzs = [
-        _quantized_zigzag(planes[ci], qts[ci]).tolist()
-        for ci in range(channels)
-    ]
-    n_blocks = len(zzs[0])
     preds = [0] * channels
     rst = 0
-    for bi in range(n_blocks):
-        if restart_interval and bi and bi % restart_interval == 0:
-            w.pad_byte()
-            w.raw_marker(bytes([0xFF, 0xD0 + rst]))
-            rst = (rst + 1) % 8
-            preds = [0] * channels
-        for ci in range(channels):
-            dc = dc_l if ci == 0 else dc_c
-            ac = ac_l if ci == 0 else ac_c
-            preds[ci] = _emit_block(zzs[ci][bi], dc, ac, w, preds[ci])
+
+    def restart_boundary():
+        nonlocal rst, preds
+        w.pad_byte()
+        w.raw_marker(bytes([0xFF, 0xD0 + rst]))
+        rst = (rst + 1) % 8
+        preds = [0] * channels
+
+    if channels == 1:
+        # single-component scans are non-interleaved: true grid only
+        g = geoms[0]
+        for mcu, bi in enumerate(_true_grid_order(g)):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                restart_boundary()
+            preds[0] = _emit_block(zzs[0][bi], dc_l, ac_l, w, preds[0])
+    else:
+        for mcu in range(mcu_rows * mcu_cols):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                restart_boundary()
+            my, mx = divmod(mcu, mcu_cols)
+            for ci, g in enumerate(geoms):
+                dc = dc_l if ci == 0 else dc_c
+                ac = ac_l if ci == 0 else ac_c
+                for by in range(g["vi"]):
+                    for bx in range(g["hi"]):
+                        idx = (my * g["vi"] + by) * g["cols"] + \
+                            mx * g["hi"] + bx
+                        preds[ci] = _emit_block(zzs[ci][idx], dc, ac, w, preds[ci])
     out += w.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
 def _emit_progressive_scans(out: bytearray, zzs, channels: int,
-                            restart_interval: int) -> None:
+                            restart_interval: int, geoms,
+                            mcu_rows: int, mcu_cols: int) -> None:
     """T.81 Annex G encoder: DC first (Al=1, interleaved), per-component
     AC first (Al=1) with EOB-run coding, DC refinement, per-component
     AC refinement with buffered correction bits.  Two pending-bit
@@ -435,7 +467,6 @@ def _emit_progressive_scans(out: bytearray, zzs, channels: int,
     dc_codes = [_huff_codes(*_DC_LUMA)] + \
         [_huff_codes(*_DC_CHROMA)] * (channels - 1)
     ac_codes = _huff_codes(*_AC_PROG)
-    n_blocks = len(zzs[0])
 
     def sos_header(comp_idxs, ss, se, ah, al):
         sos = bytes([len(comp_idxs)])
@@ -448,39 +479,61 @@ def _emit_progressive_scans(out: bytearray, zzs, channels: int,
     def at_restart(bi):
         return restart_interval and bi and bi % restart_interval == 0
 
+    def dc_units():
+        """DC coding order: (is_mcu_start, ci, storage_idx) triples —
+        interleaved MCU walk for multi-component frames, true grid for
+        single-component (A.2)."""
+        if channels == 1:
+            for idx in _true_grid_order(geoms[0]):
+                yield True, 0, idx
+            return
+        for mcu in range(mcu_rows * mcu_cols):
+            my, mx = divmod(mcu, mcu_cols)
+            first = True
+            for ci, g in enumerate(geoms):
+                for by in range(g["vi"]):
+                    for bx in range(g["hi"]):
+                        yield first, ci, (my * g["vi"] + by) * g["cols"] + \
+                            mx * g["hi"] + bx
+                        first = False
+
     def dc_first(al):
         sos_header(list(range(channels)), 0, 0, 0, al)
         w = _BitWriter()
         preds = [0] * channels
         rst = 0
-        for bi in range(n_blocks):
-            if at_restart(bi):
-                w.pad_byte()
-                w.raw_marker(bytes([0xFF, 0xD0 + rst]))
-                rst = (rst + 1) % 8
-                preds = [0] * channels
-            for ci in range(channels):
-                v = int(zzs[ci][bi][0]) >> al  # arithmetic: 2's complement
-                diff = v - preds[ci]
-                preds[ci] = v
-                ssss, bits = _magnitude(diff)
-                code, ln = dc_codes[ci][ssss]
-                w.put(code, ln)
-                if ssss:
-                    w.put(bits, ssss)
+        mcu = -1
+        for is_start, ci, bi in dc_units():
+            if is_start:
+                mcu += 1
+                if at_restart(mcu):
+                    w.pad_byte()
+                    w.raw_marker(bytes([0xFF, 0xD0 + rst]))
+                    rst = (rst + 1) % 8
+                    preds = [0] * channels
+            v = int(zzs[ci][bi][0]) >> al  # arithmetic: 2's complement
+            diff = v - preds[ci]
+            preds[ci] = v
+            ssss, bits = _magnitude(diff)
+            code, ln = dc_codes[ci][ssss]
+            w.put(code, ln)
+            if ssss:
+                w.put(bits, ssss)
         out.extend(w.flush())
 
     def dc_refine(al):
         sos_header(list(range(channels)), 0, 0, al + 1, al)
         w = _BitWriter()
         rst = 0
-        for bi in range(n_blocks):
-            if at_restart(bi):
-                w.pad_byte()
-                w.raw_marker(bytes([0xFF, 0xD0 + rst]))
-                rst = (rst + 1) % 8
-            for ci in range(channels):
-                w.put((int(zzs[ci][bi][0]) >> al) & 1, 1)
+        mcu = -1
+        for is_start, ci, bi in dc_units():
+            if is_start:
+                mcu += 1
+                if at_restart(mcu):
+                    w.pad_byte()
+                    w.raw_marker(bytes([0xFF, 0xD0 + rst]))
+                    rst = (rst + 1) % 8
+            w.put((int(zzs[ci][bi][0]) >> al) & 1, 1)
         out.extend(w.flush())
 
     def ac_first(ci, al):
@@ -500,8 +553,8 @@ def _emit_progressive_scans(out: bytearray, zzs, channels: int,
                     w.put(cnt - (1 << rr), rr)
                 eobrun -= cnt
 
-        for bi in range(n_blocks):
-            if at_restart(bi):
+        for pos, bi in enumerate(_true_grid_order(geoms[ci])):
+            if at_restart(pos):
                 flush_eob()
                 w.pad_byte()
                 w.raw_marker(bytes([0xFF, 0xD0 + rst]))
@@ -565,8 +618,8 @@ def _emit_progressive_scans(out: bytearray, zzs, channels: int,
                 pending = []
                 eobrun -= cnt
 
-        for bi in range(n_blocks):
-            if at_restart(bi):
+        for pos, bi in enumerate(_true_grid_order(geoms[ci])):
+            if at_restart(pos):
                 flush_eob()
                 w.pad_byte()
                 w.raw_marker(bytes([0xFF, 0xD0 + rst]))
@@ -629,11 +682,13 @@ def _emit_progressive_scans(out: bytearray, zzs, channels: int,
 # ---------------------------------------------------------------- decode
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """→ (width, height, channels, pixels).  Baseline sequential only;
-    grayscale or YCbCr 4:4:4 (all sampling factors 1x1).  Raises ONLY
-    :class:`JPEGError` on malformed input — truncated segments surface
-    as index/struct errors internally and are converted here so the
-    mapInPandas kernels' fallback logic stays a single except clause."""
+    """→ (width, height, channels, pixels).  Baseline sequential and
+    progressive Huffman JPEG; grayscale or YCbCr with any
+    integer-ratio sampling factors (4:4:4 / 4:2:2 / 4:2:0 / …).
+    Raises ONLY :class:`JPEGError` on malformed input — truncated
+    segments surface as index/struct errors internally and are
+    converted here so the mapInPandas kernels' fallback logic stays a
+    single except clause."""
     try:
         return _decode_jpeg(data)
     except (IndexError, struct.error, ValueError) as exc:
@@ -642,13 +697,38 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         raise JPEGError(f"malformed JPEG: {exc}") from exc
 
 
+def _geometry(w: int, h: int, samps: list[tuple[int, int]]):
+    """Per-component block geometry under sampling factors (T.81 A.1.1
+    / A.2).  Interleaved scans code the MCU-padded grid (rows×cols);
+    non-interleaved scans code only the true grid (bh×bw), indexed into
+    the same storage with stride ``cols``."""
+    hmax = max(hi for hi, _ in samps)
+    vmax = max(vi for _, vi in samps)
+    for hi, vi in samps:
+        if hmax % hi or vmax % vi:
+            raise JPEGError("fractional sampling unsupported")
+    mcu_cols = -(-w // (8 * hmax))
+    mcu_rows = -(-h // (8 * vmax))
+    geoms = []
+    for hi, vi in samps:
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        geoms.append({
+            "hi": hi, "vi": vi,
+            "cols": mcu_cols * hi, "rows": mcu_rows * vi,
+            "bw": -(-cw // 8), "bh": -(-ch // 8),
+            "cw": cw, "ch": ch,
+        })
+    return hmax, vmax, mcu_rows, mcu_cols, geoms
+
+
 def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise JPEGError("not a JPEG (missing SOI)")
     pos = 2
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
-    frame = None  # (h, w, [(cid, qtab)])
+    frame = None  # (h, w, [(cid, samp, qtab)])
     scan_comps = None
     restart_interval = 0
     while pos + 4 <= len(data):
@@ -687,9 +767,10 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for c in range(nc):
                 cid, samp, qtab = body[6 + 3 * c:9 + 3 * c]
-                if samp != 0x11:
-                    raise JPEGError("chroma subsampling unsupported")
-                comps.append((cid, qtab))
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise JPEGError("bad sampling factors")
+                comps.append((cid, hi, vi, qtab))
             frame = (h, w, comps)
             if marker == 0xC2:
                 return _decode_progressive(
@@ -718,9 +799,11 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         raise JPEGError("component count unsupported")
 
     r = _BitReader(data, entropy_start)
-    ph, pw = h + (-h % 8), w + (-w % 8)
+    hmax, vmax, mcu_rows, mcu_cols, geoms = _geometry(
+        w, h, [(hi, vi) for (_cid, hi, vi, _q) in comps]
+    )
     qtabs = []
-    for (cid, qtab) in comps:
+    for (cid, _hi, _vi, qtab) in comps:
         if qtab not in qts:
             raise JPEGError("missing quant table")
         qtabs.append(qts[qtab].reshape(8, 8).astype(np.float64))
@@ -757,65 +840,91 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             raise JPEGError("missing Huffman table")
         ftabs.append((fast_table(dct), fast_table(act)))
 
-    nby, nbx = ph // 8, pw // 8
-    zz_rows: list[list[list[float]]] = [[] for _ in range(nch)]
+    zz_rows: list[list[list[float]]] = [
+        [[0.0] * 64 for _ in range(g["rows"] * g["cols"])] for g in geoms
+    ]
+
+    def read_block(ci: int, zz: list, pred: int) -> int:
+        dct_ft, act_ft = ftabs[ci]
+        ssss = read_code(dct_ft)
+        diff = _extend(r.receive(ssss), ssss) if ssss else 0
+        pred += diff
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            rs = read_code(act_ft)
+            rrrr, ssss = rs >> 4, rs & 0xF
+            if ssss == 0:
+                if rrrr == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += rrrr
+            if k > 63:
+                raise JPEGError("AC run past block end")
+            zz[k] = _extend(r.receive(ssss), ssss)
+            k += 1
+        return pred
+
     preds = [0] * nch
     mcu = 0
-    for _by in range(nby):
-        for _bx in range(nbx):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                r.restart()  # byte-align + verify RSTn cycle
-                preds = [0] * nch
-            mcu += 1
-            for ci in range(nch):
-                dct_ft, act_ft = ftabs[ci]
-                zz = [0.0] * 64
-                ssss = read_code(dct_ft)
-                diff = _extend(r.receive(ssss), ssss) if ssss else 0
-                preds[ci] += diff
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = read_code(act_ft)
-                    rrrr, ssss = rs >> 4, rs & 0xF
-                    if ssss == 0:
-                        if rrrr == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += rrrr
-                    if k > 63:
-                        raise JPEGError("AC run past block end")
-                    zz[k] = _extend(r.receive(ssss), ssss)
-                    k += 1
-                zz_rows[ci].append(zz)
+    if nch == 1:
+        # single-component frames are non-interleaved (A.2): only the
+        # true block grid is coded, whatever sampling SOF declares
+        g = geoms[0]
+        for by in range(g["bh"]):
+            for bx in range(g["bw"]):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    r.restart()
+                    preds = [0]
+                mcu += 1
+                preds[0] = read_block(
+                    0, zz_rows[0][by * g["cols"] + bx], preds[0])
+    else:
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    r.restart()  # byte-align + verify RSTn cycle
+                    preds = [0] * nch
+                mcu += 1
+                for ci, g in enumerate(geoms):
+                    for by in range(g["vi"]):
+                        for bx in range(g["hi"]):
+                            idx = (my * g["vi"] + by) * g["cols"] + \
+                                mx * g["hi"] + bx
+                            preds[ci] = read_block(
+                                ci, zz_rows[ci][idx], preds[ci])
     if r._next_restart != len(r.restarts):
         # RSTn present where none was expected (DRI absent/0, or more
         # markers than intervals): decoding them as entropy data would
         # emit corrupt pixels — refuse instead (module contract)
         raise JPEGError("unexpected restart markers in scan")
 
-    return _reconstruct(zz_rows, qtabs, nby, nbx, h, w, nch)
+    return _reconstruct(zz_rows, qtabs, geoms, hmax, vmax, h, w, nch)
 
 
-def _reconstruct(zz_rows, qtabs, nby, nbx, h, w, nch):
-    """Batched dequantize + IDCT per component, block scatter, and
-    colorspace conversion — shared by the baseline and progressive
-    paths (``zz_rows[ci]``: (n_blocks, 64) coefficients in zigzag
-    order)."""
-    ph, pw = nby * 8, nbx * 8
-    out_planes = []
+def _reconstruct(zz_rows, qtabs, geoms, hmax, vmax, h, w, nch):
+    """Batched dequantize + IDCT per component, block scatter,
+    replication upsampling to full resolution, and colorspace
+    conversion — shared by the baseline and progressive paths
+    (``zz_rows[ci]``: (n_storage_blocks, 64) coefficients in zigzag
+    order over the MCU-aligned grid)."""
+    planes = []
     for ci in range(nch):
+        g = geoms[ci]
         coefs = np.asarray(zz_rows[ci], dtype=np.float64)[:, _UNZIGZAG]
         coefs = coefs.reshape(-1, 8, 8) * qtabs[ci]
         blocks = np.einsum("ab,nbc,cd->nad", _C.T, coefs, _C) + 128.0
         plane = (
-            blocks.reshape(nby, nbx, 8, 8)
+            blocks.reshape(g["rows"], g["cols"], 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(ph, pw)
-        )
-        out_planes.append(plane)
-    planes = [p[:h, :w] for p in out_planes]
+            .reshape(g["rows"] * 8, g["cols"] * 8)
+        )[: g["ch"], : g["cw"]]
+        if g["vi"] != vmax:
+            plane = np.repeat(plane, vmax // g["vi"], axis=0)
+        if g["hi"] != hmax:
+            plane = np.repeat(plane, hmax // g["hi"], axis=1)
+        planes.append(plane[:h, :w])
     if nch == 3:
         y, cb, cr = planes
         rch = y + 1.402 * (cr - 128.0)
@@ -866,11 +975,13 @@ def _decode_progressive(data, pos, frame, qts, huff, restart_interval):
     nch = len(comps)
     if nch not in (1, 3):
         raise JPEGError("component count unsupported")
-    ph, pw = h + (-h % 8), w + (-w % 8)
-    nby, nbx = ph // 8, pw // 8
-    nblocks = nby * nbx
-    cidx = {cid: i for i, (cid, _q) in enumerate(comps)}
-    coef = [[[0] * 64 for _ in range(nblocks)] for _ in range(nch)]
+    hmax, vmax, mcu_rows, mcu_cols, geoms = _geometry(
+        w, h, [(hi, vi) for (_cid, hi, vi, _q) in comps]
+    )
+    cidx = {cid: i for i, (cid, _hi, _vi, _q) in enumerate(comps)}
+    coef = [
+        [[0] * 64 for _ in range(g["rows"] * g["cols"])] for g in geoms
+    ]
 
     n = len(data)
     while pos + 4 <= n:
@@ -914,29 +1025,37 @@ def _decode_progressive(data, pos, frame, qts, huff, restart_interval):
             ah, al = ahal >> 4, ahal & 0xF
             r = _BitReader(data, pos)
             _decode_prog_scan(r, scan, ss, se, ah, al, huff, coef,
-                              restart_interval)
+                              restart_interval, geoms, mcu_rows, mcu_cols)
             if r._next_restart != len(r.restarts):
                 raise JPEGError("unexpected restart markers in scan")
             pos = r.end
         # other segments (APPn, COM, DNL) skip via seglen
 
     qtabs = []
-    for (cid, qtab) in comps:
+    for (cid, _hi, _vi, qtab) in comps:
         if qtab not in qts:
             raise JPEGError("missing quant table")
         qtabs.append(qts[qtab].reshape(8, 8).astype(np.float64))
-    return _reconstruct(coef, qtabs, nby, nbx, h, w, nch)
+    return _reconstruct(coef, qtabs, geoms, hmax, vmax, h, w, nch)
 
 
-def _decode_prog_scan(r, scan, ss, se, ah, al, huff, coef, restart_interval):
+def _true_grid_order(g: dict) -> list[int]:
+    """Non-interleaved coding order: row-major over the TRUE block grid
+    (bh×bw), as storage indices into the MCU-aligned grid (A.2.2)."""
+    return [by * g["cols"] + bx
+            for by in range(g["bh"]) for bx in range(g["bw"])]
+
+
+def _decode_prog_scan(r, scan, ss, se, ah, al, huff, coef,
+                      restart_interval, geoms, mcu_rows, mcu_cols):
     """One progressive scan into the persistent coefficient arrays.
 
-    DC scans (Ss=Se=0) may interleave components; AC scans are
-    single-component by construction (G.1.1.1.1).  First scans (Ah=0)
-    set ``value << Al``; refinement scans (Ah=Al+1) restore one more
-    magnitude bit — two's-complement for DC, sign-magnitude correction
-    bits for AC (G.2)."""
-    nblocks = len(coef[0])
+    DC scans (Ss=Se=0) may interleave components (MCU order, hi×vi
+    blocks per component); AC scans are single-component by
+    construction (G.1.1.1.1) and walk the component's true block grid.
+    First scans (Ah=0) set ``value << Al``; refinement scans (Ah=Al+1)
+    restore one more magnitude bit — two's-complement for DC,
+    sign-magnitude correction bits for AC (G.2)."""
     if ss == 0:
         if se != 0:
             raise JPEGError("progressive scan mixes DC and AC")
@@ -948,19 +1067,37 @@ def _decode_prog_scan(r, scan, ss, se, ah, al, huff, coef, restart_interval):
             fts.append(t)
         fts = _fast_tables(fts)
         preds = [0] * len(scan)
-        for bi in range(nblocks):
-            if restart_interval and bi and bi % restart_interval == 0:
-                r.restart()
-                preds = [0] * len(scan)
-            for si, (ci, _dc_id, _ac_id) in enumerate(scan):
-                block = coef[ci][bi]
-                if ah == 0:
-                    ssss = _read_code(r, fts[si])
-                    diff = _extend(r.receive(ssss), ssss) if ssss else 0
-                    preds[si] += diff
-                    block[0] = preds[si] << al
-                elif r.receive(1):
-                    block[0] |= 1 << al
+
+        def dc_unit(si: int, block: list) -> None:
+            if ah == 0:
+                ssss = _read_code(r, fts[si])
+                diff = _extend(r.receive(ssss), ssss) if ssss else 0
+                preds[si] += diff
+                block[0] = preds[si] << al
+            elif r.receive(1):
+                block[0] |= 1 << al
+
+        if len(scan) == 1:
+            # non-interleaved DC scan: true grid, MCU = one data unit
+            ci = scan[0][0]
+            for mcu, idx in enumerate(_true_grid_order(geoms[ci])):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    r.restart()
+                    preds = [0]
+                dc_unit(0, coef[ci][idx])
+        else:
+            for mcu in range(mcu_rows * mcu_cols):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    r.restart()
+                    preds = [0] * len(scan)
+                my, mx = divmod(mcu, mcu_cols)
+                for si, (ci, _dc_id, _ac_id) in enumerate(scan):
+                    g = geoms[ci]
+                    for by in range(g["vi"]):
+                        for bx in range(g["hi"]):
+                            idx = (my * g["vi"] + by) * g["cols"] + \
+                                mx * g["hi"] + bx
+                            dc_unit(si, coef[ci][idx])
         return
 
     if len(scan) != 1:
@@ -974,11 +1111,11 @@ def _decode_prog_scan(r, scan, ss, se, ah, al, huff, coef, restart_interval):
     eobrun = 0
     p1, m1 = 1 << al, -1 << al
 
-    for bi in range(nblocks):
+    for bi, idx in enumerate(_true_grid_order(geoms[ci])):
         if restart_interval and bi and bi % restart_interval == 0:
             r.restart()
             eobrun = 0
-        block = blocks[bi]
+        block = blocks[idx]
         if ah == 0:  # AC first scan (G.2.2)
             if eobrun:
                 eobrun -= 1

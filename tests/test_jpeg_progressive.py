@@ -83,3 +83,67 @@ def test_arithmetic_coded_still_rejected():
     data[i + 1] = 0xCA  # SOF10: progressive, arithmetic coding
     with pytest.raises(JPEGError):
         decode_jpeg(bytes(data))
+
+
+# ---------------------------------------------------------- subsampling
+
+def _smooth_rgb(wd, ht):
+    y, x = np.mgrid[0:ht, 0:wd]
+    r = x * 255 / max(wd - 1, 1)
+    g = y * 255 / max(ht - 1, 1)
+    b = (x + y) * 255 / max(wd + ht - 2, 1)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8).tobytes()
+
+
+@pytest.mark.parametrize("sub", ["420", "422"])
+@pytest.mark.parametrize("wd,ht", [(16, 16), (24, 17), (33, 9), (8, 8)])
+def test_subsampled_progressive_matches_baseline(sub, wd, ht):
+    # same quantized coefficients through two entirely different entropy
+    # layouts (interleaved MCU walk vs per-component true-grid scans) —
+    # pins the sub-block geometry on both sides
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=wd * ht * 3, dtype=np.uint8).tobytes()
+    base = decode_jpeg(encode_jpeg(wd, ht, px, 3, subsampling=sub))
+    prog = decode_jpeg(
+        encode_jpeg(wd, ht, px, 3, subsampling=sub, progressive=True)
+    )
+    assert base == prog
+
+
+@pytest.mark.parametrize("sub", ["420", "422"])
+def test_subsampled_quality_on_smooth_content(sub):
+    px = _smooth_rgb(33, 25)
+    _w, _h, _c, out = decode_jpeg(encode_jpeg(33, 25, px, 3, subsampling=sub))
+    err = np.abs(
+        np.frombuffer(out, np.uint8).astype(int)
+        - np.frombuffer(px, np.uint8).astype(int)
+    ).mean()
+    assert err < 12.0, err
+
+
+@pytest.mark.parametrize("prog", [False, True])
+def test_subsampled_restart_intervals(prog):
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=48 * 32 * 3, dtype=np.uint8).tobytes()
+    a = decode_jpeg(
+        encode_jpeg(48, 32, px, 3, subsampling="420", progressive=prog)
+    )
+    b = decode_jpeg(
+        encode_jpeg(48, 32, px, 3, subsampling="420", progressive=prog,
+                    restart_interval=3)
+    )
+    assert a == b
+
+
+def test_gray_sampling_factors_are_irrelevant():
+    # single-component frames are non-interleaved (T.81 A.2): whatever
+    # sampling SOF declares, only the true block grid is coded — some
+    # real encoders emit 2x2 factors on grayscale
+    rng = np.random.default_rng(17)
+    px = rng.integers(0, 256, size=24 * 24, dtype=np.uint8).tobytes()
+    data = bytearray(encode_jpeg(24, 24, px, 1))
+    i = data.index(b"\xff\xc0")
+    # SOF0 comp spec: [marker 2][len 2][prec 1][h 2][w 2][nc 1][cid samp qtab]
+    assert data[i + 11] == 0x11
+    patched = bytes(data[: i + 11]) + b"\x22" + bytes(data[i + 12:])
+    assert decode_jpeg(patched) == decode_jpeg(bytes(data))
