@@ -464,7 +464,11 @@ class PDFDocument:
         reference's null passwords (``src/pdf_utils.cpp:457-491``).
         Only genuinely password-protected or unsupported-handler docs
         raise PDFEncryptedError (→ status='encrypted' upstream)."""
-        from .crypt import PDFPasswordError, StandardSecurityHandler
+        from .crypt import (
+            PDFPasswordError,
+            PubSecSecurityHandler,
+            StandardSecurityHandler,
+        )
 
         enc = self.resolve(self.trailer["Encrypt"])
         if not isinstance(enc, dict):
@@ -480,8 +484,14 @@ class PDFDocument:
             v = self.resolve(ids[0])
             if isinstance(v, bytes):
                 id0 = v
+        filt = enc.get("Filter")
+        handler_cls = (
+            PubSecSecurityHandler
+            if getattr(filt, "name", filt) == "Adobe.PubSec"
+            else StandardSecurityHandler
+        )
         try:
-            self._decryptor = StandardSecurityHandler(enc, id0)
+            self._decryptor = handler_cls(enc, id0)
         except PDFPasswordError as exc:
             raise PDFEncryptedError(str(exc)) from None
 

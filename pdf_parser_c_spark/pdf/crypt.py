@@ -422,3 +422,233 @@ class StandardSecurityHandler:
 
     def encrypt_stream(self, data: bytes, num: int, gen: int) -> bytes:
         return self._apply(self.stm_method, data, num, gen, decrypt=False)
+
+
+# ------------------------------------------------- public-key handler
+
+# The reference links poppler, whose /Adobe.PubSec handler decrypts
+# documents addressed to a recipient certificate (ISO 32000-1 §7.6.5;
+# evidence of handler breadth: <SecurityHandler.h> reachable from the
+# poppler headers the reference builds against).  Key derivation: the
+# CMS-enveloped 20-byte seed, hashed with every /Recipients blob.
+# RSA key transport is implemented directly on the parsed key numbers
+# (pure python pow) so the handler has no hard dependency.
+
+_OID_ENVELOPED = "1.2.840.113549.1.7.3"
+_OID_RSA = "1.2.840.113549.1.1.1"
+_CBC_CIPHERS = {
+    "2.16.840.1.101.3.4.1.2": ("aes", 16),   # aes128-CBC
+    "2.16.840.1.101.3.4.1.22": ("aes", 24),  # aes192-CBC
+    "2.16.840.1.101.3.4.1.42": ("aes", 32),  # aes256-CBC
+    "1.2.840.113549.3.7": ("des3", 24),      # des-ede3-cbc
+}
+
+_PUBSEC_KEY: "tuple[int, int, int] | None" = None  # (n, e, d)
+
+
+def _parse_rsa_private_key(data: bytes) -> tuple[int, int, int]:
+    """(n, e, d) from PKCS#1 or PKCS#8 DER, or their PEM armors."""
+    import base64
+    import re
+
+    from . import der
+
+    if b"-----BEGIN" in data:
+        b64 = b"".join(
+            ln for ln in data.splitlines() if ln and b"-----" not in ln
+        )
+        data = base64.b64decode(b64)
+    body, _ = der.expect(data, 0, 0x30)
+    kids = list(der.iter_children(body))
+    if len(kids) >= 3 and kids[1][0] == 0x30 and kids[2][0] == 0x04:
+        # PKCS#8 wrapper: version, AlgorithmIdentifier, OCTET STRING
+        alg_kids = list(der.iter_children(kids[1][1]))
+        if der.parse_oid(alg_kids[0][1]) != _OID_RSA:
+            raise PDFPasswordError("not an RSA private key")
+        body, _ = der.expect(kids[2][1], 0, 0x30)
+        kids = list(der.iter_children(body))
+    ints = [der.parse_int(b) for t, b in kids if t == 0x02]
+    if len(ints) < 4:
+        raise PDFPasswordError("malformed RSA private key")
+    _version, n, e, d = ints[:4]
+    return n, e, d
+
+
+def set_pubsec_key(key: "bytes | str | None") -> None:
+    """Configure the recipient RSA private key for /Adobe.PubSec
+    documents (PEM or DER, PKCS#1 or PKCS#8).  None clears it.
+    Deployments can also point $PDF_PARSER_PUBSEC_KEY at a key file —
+    the env var is read worker-side, so on a cluster ship it via
+    ``spark.executorEnv.PDF_PARSER_PUBSEC_KEY`` (plus ``--files`` for
+    the PEM itself)."""
+    global _PUBSEC_KEY
+    if key is None:
+        _PUBSEC_KEY = None
+        return
+    if isinstance(key, str):
+        key = key.encode()
+    _PUBSEC_KEY = _parse_rsa_private_key(key)
+
+
+def _load_pubsec_key() -> "tuple[int, int, int] | None":
+    import os
+
+    if _PUBSEC_KEY is not None:
+        return _PUBSEC_KEY
+    path = os.environ.get("PDF_PARSER_PUBSEC_KEY")
+    if path:
+        try:
+            with open(path, "rb") as f:
+                return _parse_rsa_private_key(f.read())
+        except OSError as exc:
+            raise PDFPasswordError(f"cannot read $PDF_PARSER_PUBSEC_KEY: {exc}")
+    return None
+
+
+def _rsa_decrypt_pkcs1v15(key: tuple[int, int, int], c: bytes) -> bytes:
+    n, _e, d = key
+    k = (n.bit_length() + 7) // 8
+    m = pow(int.from_bytes(c, "big"), d, n)
+    em = m.to_bytes(k, "big")
+    # EME-PKCS1-v1_5: 00 02 PS(>=8 nonzero) 00 M  (RFC 8017 §7.2.2)
+    if len(em) < 11 or em[0] != 0 or em[1] != 2:
+        raise PDFPasswordError("RSA decryption failed (wrong recipient key?)")
+    sep = em.find(b"\x00", 2)
+    if sep < 10:
+        raise PDFPasswordError("RSA padding invalid")
+    return em[sep + 1:]
+
+
+def _des3_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    if not _HAVE_CRYPTO:
+        raise PDFPasswordError("3DES recipient blob needs the cryptography wheel")
+    try:
+        from cryptography.hazmat.decrepit.ciphers.algorithms import (
+            TripleDES as _TDES,
+        )
+    except ImportError:  # older wheels
+        _TDES = getattr(_algorithms, "TripleDES", None)
+        if _TDES is None:
+            raise PDFPasswordError("3DES unavailable")
+    dec = _Cipher(_TDES(key), _modes.CBC(iv)).decryptor()
+    out = dec.update(data) + dec.finalize()
+    return out[: -out[-1]] if out and 1 <= out[-1] <= 8 else out
+
+
+def _unwrap_cms_seed(blobs: list[bytes], key: tuple[int, int, int]) -> bytes:
+    """Try the recipient key against every KeyTransRecipientInfo of
+    every /Recipients blob; → decrypted content (20-byte seed + 4-byte
+    permissions)."""
+    from . import der
+
+    last_err: Exception | None = None
+    for blob in blobs:
+        try:
+            ci, _ = der.expect(blob, 0, 0x30)  # ContentInfo
+            kids = list(der.iter_children(ci))
+            if der.parse_oid(kids[0][1]) != _OID_ENVELOPED:
+                continue
+            env, _ = der.expect(kids[1][1], 0, 0x30)  # [0] → EnvelopedData
+            ekids = list(der.iter_children(env))
+            i = 1
+            if ekids[i][0] == 0xA0:  # optional originatorInfo
+                i += 1
+            if ekids[i][0] != 0x31:
+                raise der.DerError("missing recipientInfos")
+            rinfos = [b for t, b in der.iter_children(ekids[i][1]) if t == 0x30]
+            eci = ekids[i + 1][1]  # encryptedContentInfo SEQUENCE body
+            ckids = list(der.iter_children(eci))
+            alg = list(der.iter_children(ckids[1][1]))
+            alg_oid = der.parse_oid(alg[0][1])
+            if alg_oid not in _CBC_CIPHERS:
+                raise PDFPasswordError(f"unsupported content cipher {alg_oid}")
+            kind, klen = _CBC_CIPHERS[alg_oid]
+            iv_tag, iv = alg[1]
+            if iv_tag != 0x04:
+                raise der.DerError("missing CBC IV parameter")
+            enc_content = None
+            for t, b in ckids[2:]:
+                if t in (0x80, 0xA0):
+                    enc_content = b if t == 0x80 else b"".join(
+                        bb for tt, bb in der.iter_children(b) if tt == 0x04
+                    )
+            if enc_content is None:
+                raise der.DerError("missing encryptedContent")
+            for ri in rinfos:  # KeyTransRecipientInfo
+                rkids = list(der.iter_children(ri))
+                ekey = next(b for t, b in reversed(rkids) if t == 0x04)
+                try:
+                    cek = _rsa_decrypt_pkcs1v15(key, ekey)
+                except PDFPasswordError as exc:
+                    last_err = exc
+                    continue
+                if len(cek) != klen:
+                    last_err = PDFPasswordError("content key length mismatch")
+                    continue
+                if kind == "aes":
+                    return aes_cbc_decrypt(cek, iv, enc_content, unpad=True)
+                return _des3_cbc_decrypt(cek, iv, enc_content)
+        except (der.DerError, IndexError, StopIteration) as exc:
+            last_err = exc
+            continue
+    raise PDFPasswordError(
+        f"no recipient blob decryptable with the configured key ({last_err})"
+    )
+
+
+class PubSecSecurityHandler(StandardSecurityHandler):
+    """/Adobe.PubSec (adbe.pkcs7.s3/s4/s5): unwrap the 20-byte seed
+    from the CMS recipient blobs with the configured RSA key, then
+    derive the file key as SHA-1/SHA-256 over seed ‖ all /Recipients
+    strings (‖ FFFFFFFF when metadata is unencrypted) — ISO 32000-1
+    §7.6.5.  Per-object keying and crypt-filter dispatch are inherited
+    from the standard handler (Algorithm 1 applies unchanged)."""
+
+    def __init__(self, enc: dict, id0: bytes, password: bytes = b""):
+        filt = enc.get("Filter")
+        if getattr(filt, "name", filt) != "Adobe.PubSec":
+            raise PDFPasswordError("not a public-key security handler")
+        self.v = int(enc.get("V", 0))
+        self.r = 0
+        self.p = -1
+        self.length_bits = int(enc.get("Length", 40))
+        self.o = self.u = b""
+        if self.v in (1, 2):
+            self.str_method = self.stm_method = "rc4"
+            cf_spec = {}
+        else:
+            self.str_method, self.stm_method = self._crypt_filters(enc)
+            cf = enc.get("CF", {}) or {}
+            stmf = enc.get("StmF")
+            cf_spec = cf.get(getattr(stmf, "name", stmf), {}) or {}
+        em = enc.get("EncryptMetadata")
+        if em is None:  # s5 keeps it in the crypt filter dict
+            em = cf_spec.get("EncryptMetadata", True)
+        self.encrypt_metadata = bool(em)
+
+        blobs = enc.get("Recipients")
+        if blobs is None:
+            blobs = cf_spec.get("Recipients")
+        if blobs is None:
+            raise PDFPasswordError("missing /Recipients")
+        if isinstance(blobs, (bytes, bytearray)):
+            blobs = [blobs]
+        blobs = [bytes(b) for b in blobs]
+
+        key = _load_pubsec_key()
+        if key is None:
+            raise PDFPasswordError(
+                "public-key encrypted document and no recipient key "
+                "configured (crypt.set_pubsec_key / $PDF_PARSER_PUBSEC_KEY)"
+            )
+        seed = _unwrap_cms_seed(blobs, key)[:20]
+        digest_in = seed + b"".join(blobs)
+        if self.v >= 4 and not self.encrypt_metadata:
+            digest_in += b"\xff\xff\xff\xff"
+        if self.stm_method == "aes256":
+            self.key = hashlib.sha256(digest_in).digest()
+        elif self.stm_method == "aes":
+            self.key = hashlib.sha1(digest_in).digest()[:16]
+        else:
+            nbytes = max(5, min(16, self.length_bits // 8))
+            self.key = hashlib.sha1(digest_in).digest()[:nbytes]

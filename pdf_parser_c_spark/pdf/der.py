@@ -1,0 +1,120 @@
+"""Minimal DER (ITU-T X.690) reader/writer for the CMS structures the
+public-key security handler needs (RFC 5652 EnvelopedData) and for
+PKCS#1/PKCS#8 RSA private keys (RFC 8017/5958).
+
+Only the subset those structures use is implemented: definite lengths,
+SEQUENCE/SET, INTEGER, OCTET STRING, OBJECT IDENTIFIER, NULL, and
+context-specific tags.  The writer is fixture-side (testkit builds
+recipient blobs); the reader is the decode path.
+"""
+
+from __future__ import annotations
+
+
+class DerError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------------ read
+
+def read_tlv(data: bytes, pos: int) -> tuple[int, bytes, int]:
+    """→ (tag, content, next_pos).  Definite-length DER only."""
+    if pos + 2 > len(data):
+        raise DerError("truncated TLV")
+    tag = data[pos]
+    if tag & 0x1F == 0x1F:
+        raise DerError("multi-byte tags unsupported")
+    ln = data[pos + 1]
+    pos += 2
+    if ln & 0x80:
+        n = ln & 0x7F
+        if n == 0 or n > 4 or pos + n > len(data):
+            raise DerError("bad length")
+        ln = int.from_bytes(data[pos:pos + n], "big")
+        pos += n
+    if pos + ln > len(data):
+        raise DerError("content past end")
+    return tag, data[pos:pos + ln], pos + ln
+
+
+def iter_children(content: bytes):
+    """Children of a constructed value, in order."""
+    pos = 0
+    while pos < len(content):
+        tag, body, pos = read_tlv(content, pos)
+        yield tag, body
+
+
+def expect(data: bytes, pos: int, want: int) -> tuple[bytes, int]:
+    tag, body, nxt = read_tlv(data, pos)
+    if tag != want:
+        raise DerError(f"expected tag 0x{want:02x}, got 0x{tag:02x}")
+    return body, nxt
+
+
+def parse_int(body: bytes) -> int:
+    return int.from_bytes(body, "big", signed=True)
+
+
+def parse_oid(body: bytes) -> str:
+    if not body:
+        raise DerError("empty OID")
+    out = [str(body[0] // 40), str(body[0] % 40)]
+    v = 0
+    for b in body[1:]:
+        v = (v << 7) | (b & 0x7F)
+        if not b & 0x80:
+            out.append(str(v))
+            v = 0
+    return ".".join(out)
+
+
+# ----------------------------------------------------------------- write
+
+def _len_bytes(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    raw = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    return bytes([0x80 | len(raw)]) + raw
+
+
+def tlv(tag: int, content: bytes) -> bytes:
+    return bytes([tag]) + _len_bytes(len(content)) + content
+
+
+def seq(*parts: bytes) -> bytes:
+    return tlv(0x30, b"".join(parts))
+
+
+def set_of(*parts: bytes) -> bytes:
+    return tlv(0x31, b"".join(parts))
+
+
+def integer(n: int) -> bytes:
+    raw = n.to_bytes(max(1, (n.bit_length() + 8) // 8), "big", signed=True)
+    return tlv(0x02, raw)
+
+
+def octets(b: bytes) -> bytes:
+    return tlv(0x04, b)
+
+
+def null() -> bytes:
+    return tlv(0x05, b"")
+
+
+def oid(dotted: str) -> bytes:
+    parts = [int(p) for p in dotted.split(".")]
+    body = bytearray([parts[0] * 40 + parts[1]])
+    for v in parts[2:]:
+        chunk = [v & 0x7F]
+        v >>= 7
+        while v:
+            chunk.append(0x80 | (v & 0x7F))
+            v >>= 7
+        body.extend(reversed(chunk))
+    return tlv(0x06, bytes(body))
+
+
+def ctx(n: int, content: bytes, constructed: bool = True) -> bytes:
+    return tlv(0x80 | (0x20 if constructed else 0) | n, content)

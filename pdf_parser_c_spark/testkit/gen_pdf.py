@@ -445,13 +445,16 @@ def build_pdf(
     encrypt = None
     file_id = b""
     if encrypt_variant is not None:
-        from .encrypt import make_encryption
+        from .encrypt import make_encryption, make_pubsec_encryption
 
         file_id = hashlib.md5(
             b"fixture-id:" + pages[0].content.encode("latin-1")[:64]
         ).digest()
-        encrypt = make_encryption(encrypt_variant, file_id,
-                                  user_pw=user_pw, owner_pw=owner_pw)
+        if encrypt_variant.startswith("pubsec-"):
+            encrypt = make_pubsec_encryption(encrypt_variant, file_id)
+        else:
+            encrypt = make_encryption(encrypt_variant, file_id,
+                                      user_pw=user_pw, owner_pw=owner_pw)
     return w.serialize(catalog, info, xref_stream=xref_stream, objstm=objstm,
                        encrypt=encrypt, file_id=file_id)
 

@@ -1,0 +1,133 @@
+"""Public-key (/Adobe.PubSec, PKCS#7) security handler.
+
+Poppler-breadth item (ROADMAP → closed): documents key-addressed to a
+recipient certificate decrypt when the recipient's RSA key is
+configured (``crypt.set_pubsec_key`` / $PDF_PARSER_PUBSEC_KEY), and
+stay ``status='encrypted'`` when it is not — matching the engine's
+empty-password posture for the standard handler.  All structures are
+public-spec: ISO 32000-1 §7.6.5 key derivation, RFC 5652 EnvelopedData,
+RFC 8017 RSAES-PKCS1-v1_5, X.690 DER.
+"""
+
+import hashlib
+
+import pytest
+
+from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+from pdf_parser_c_spark.pdf import der
+from pdf_parser_c_spark.pdf.crypt import (
+    PDFPasswordError,
+    PubSecSecurityHandler,
+    _parse_rsa_private_key,
+    _rsa_decrypt_pkcs1v15,
+    _unwrap_cms_seed,
+    set_pubsec_key,
+)
+from pdf_parser_c_spark.testkit.encrypt import (
+    TEST_PUBSEC_KEY,
+    _rsa_encrypt_det,
+    make_pubsec_encryption,
+    make_recipient_blob,
+)
+from pdf_parser_c_spark.testkit.gen_pdf import FontSpec, PageSpec, build_pdf
+
+CONTENT = "BT /F1 12 Tf 72 700 Td (Confidential quarterly report) Tj ET\n"
+FONTS = {"F1": FontSpec("Helvetica")}
+
+
+@pytest.fixture(autouse=True)
+def _clean_key():
+    yield
+    set_pubsec_key(None)
+
+
+def test_der_roundtrip_units():
+    blob = der.seq(der.integer(-129), der.oid("1.2.840.113549.1.7.3"),
+                   der.octets(b"\x00\xff" * 70))
+    body, end = der.expect(blob, 0, 0x30)
+    assert end == len(blob)
+    kids = list(der.iter_children(body))
+    assert [t for t, _ in kids] == [0x02, 0x06, 0x04]
+    assert der.parse_int(kids[0][1]) == -129
+    assert der.parse_oid(kids[1][1]) == "1.2.840.113549.1.7.3"
+    assert kids[2][1] == b"\x00\xff" * 70
+
+
+def test_rsa_key_parse_and_transport():
+    n, e, d = _parse_rsa_private_key(TEST_PUBSEC_KEY)
+    assert e == 65537 and n.bit_length() == 1024
+    msg = b"\x01" * 16
+    c = _rsa_encrypt_det(n, e, msg, b"t")
+    assert _rsa_decrypt_pkcs1v15((n, e, d), c) == msg
+
+
+def test_cms_seed_unwrap():
+    seed = hashlib.sha1(b"seed:x").digest()
+    blob = make_recipient_blob(seed, -4, b"x")
+    key = _parse_rsa_private_key(TEST_PUBSEC_KEY)
+    out = _unwrap_cms_seed([blob], key)
+    assert out[:20] == seed
+    assert out[20:24] == b"\xff\xff\xff\xfc"  # P = -4 big-endian
+
+
+def test_wrong_key_rejected():
+    blob = make_recipient_blob(b"\x00" * 20, -4, b"x")
+    n, e, d = _parse_rsa_private_key(TEST_PUBSEC_KEY)
+    with pytest.raises(PDFPasswordError):
+        _unwrap_cms_seed([blob], (n, e, d + 2))
+
+
+@pytest.mark.parametrize("variant", ["pubsec-aes128", "pubsec-rc4-128"])
+@pytest.mark.parametrize("xs", [False, True])
+def test_pubsec_document_extracts(variant, xs):
+    data = build_pdf([PageSpec(CONTENT)], FONTS, encrypt_variant=variant,
+                     xref_stream=xs)
+    set_pubsec_key(TEST_PUBSEC_KEY)
+    doc = parse_pdf_bytes(data)
+    assert doc.status == "ok"
+    assert "Confidential quarterly report" in doc.text
+
+
+@pytest.mark.parametrize("variant", ["pubsec-aes128", "pubsec-rc4-128"])
+def test_pubsec_without_key_marks_encrypted(variant):
+    data = build_pdf([PageSpec(CONTENT)], FONTS, encrypt_variant=variant)
+    set_pubsec_key(None)
+    doc = parse_pdf_bytes(data)
+    assert doc.status == "encrypted"
+
+
+def test_pubsec_env_var_key(tmp_path, monkeypatch):
+    data = build_pdf([PageSpec(CONTENT)], FONTS,
+                     encrypt_variant="pubsec-aes128")
+    set_pubsec_key(None)
+    p = tmp_path / "recipient.pem"
+    p.write_bytes(TEST_PUBSEC_KEY)
+    monkeypatch.setenv("PDF_PARSER_PUBSEC_KEY", str(p))
+    doc = parse_pdf_bytes(data)
+    assert doc.status == "ok"
+    assert "Confidential quarterly report" in doc.text
+
+
+def test_pubsec_handler_key_derivation_matches_spec():
+    # independent recomputation of §7.6.5: SHA-1(seed ‖ recipients)
+    id0 = b"kd-check"
+    seed = hashlib.sha1(b"seed:" + id0).digest()
+    blob = make_recipient_blob(seed, -4, id0)
+    _d, handler = make_pubsec_encryption("pubsec-aes128", id0)
+    assert handler.key == hashlib.sha1(seed + blob).digest()[:16]
+
+
+def test_pkcs8_wrapped_key_accepted():
+    # re-wrap the PKCS#1 body in a PKCS#8 PrivateKeyInfo by hand
+    import base64
+
+    raw = base64.b64decode(
+        b"".join(ln for ln in TEST_PUBSEC_KEY.splitlines()
+                 if ln and b"-----" not in ln)
+    )
+    p8 = der.seq(
+        der.integer(0),
+        der.seq(der.oid("1.2.840.113549.1.1.1"), der.null()),
+        der.octets(raw),
+    )
+    assert _parse_rsa_private_key(p8) == _parse_rsa_private_key(TEST_PUBSEC_KEY)
