@@ -190,3 +190,77 @@ def lsh_candidate_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(doc, component) for every vertex in ``edges``; the component id
+    is the MINIMUM vertex id reachable from the vertex.
+
+    Hash-min label propagation: each round every vertex takes the min
+    label across itself and its neighbors; converges in graph-diameter
+    rounds.  Near-dup graphs (LSH/jaccard pair output) are dense
+    little cliques with single-digit diameters, so rounds stay few;
+    each round is one join + one groupBy (two shuffles on the vertex
+    key), and ``localCheckpoint`` truncates the lineage so the plan
+    does not grow with iterations.  Convergence is detected exactly
+    (any label changed → one more round).  For adversarial long-chain
+    graphs swap in large-star/small-star (same join shape, O(log n)
+    rounds) — near-dup clustering never needs it.
+
+    The reference's pipeline has no clustering stage (it stops at
+    per-document extraction); this completes the dedup family the way
+    a production corpus pipeline consumes it: pairs → components →
+    one survivor per component.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.localCheckpoint(eager=False)
+    labels = sym.select(F.col("u").alias("vid")).distinct().select(
+        "vid", F.col("vid").alias("label")
+    )
+    for _ in range(max_iters):
+        nbr = sym.join(
+            labels.withColumnRenamed("vid", "v"), "v"
+        ).select(F.col("u").alias("vid"), "label")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("vid")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vid")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("vid").alias("doc"), F.col("label").alias("component"))
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    threshold: float = 0.2,
+    max_shingle_df: int = 200,
+) -> DataFrame:
+    """Keep one document per near-duplicate CLUSTER (not per pair):
+    jaccard-confirmed pairs → connected components → the minimum-id
+    member of each component survives, plus every unclustered doc."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold, max_shingle_df)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    dropped = comp.filter(F.col("doc") != F.col("component")).select(
+        F.col("doc").alias(id_col)
+    )
+    return df.join(dropped, id_col, "left_anti")

@@ -2299,6 +2299,104 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER census: jaccard-confirmed pairs → connected
+    components (hash-min label propagation, the dedup family's missing
+    production stage: pairs alone can't answer "keep one per group") →
+    component-size distribution.
+    Scale: pair generation is the DF-capped inverted index (bounded
+    hottest key); each propagation round is one join + one groupBy on
+    the vertex key and near-dup graphs converge in single-digit rounds
+    (tight cliques).  Result: a handful of rows."""
+    from .operators.dedup import connected_components, ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=4, threshold=0.2, max_shingle_df=MAX_SHINGLE_DF
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").alias("n_components"))
+        .select(F.col("size").cast("long").alias("size"),
+                F.col("n_components").cast("long").alias("n_components"))
+        .orderBy("size")
+    )
+
+
+# the jaccard-pair CTEs shared by both component queries; the recursive
+# term closes reachability and min(r) per vertex is the component id
+_SQL_COMPONENT_CTES = f"""
+WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, len(ws) - 3),
+                                    i -> array_to_string(ws[i:i+3], ' '))) AS s
+       FROM w WHERE len(ws) >= 4),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
+         WHERE df <= {MAX_SHINGLE_DF}),
+shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+cand AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+         FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+dup AS (SELECT da, db FROM cand
+        JOIN sizes sa ON cand.da = sa.doc_id
+        JOIN sizes sb ON cand.db = sb.doc_id
+        WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.2),
+sym AS (SELECT da AS u, db AS v FROM dup UNION SELECT db, da FROM dup),
+reach(v, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+                UNION
+                SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.v),
+comp AS (SELECT v AS doc, min(r) AS component FROM reach GROUP BY v)
+"""
+
+SQL_DEDUP_COMPONENTS = _SQL_COMPONENT_CTES + """
+SELECT CAST(size AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM (SELECT component, count(*) AS size FROM comp GROUP BY component)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection over the clusters: the minimum-id member of
+    each component is kept, every other member dropped, unclustered
+    docs kept — the shape a training-corpus dedup job actually ships.
+    Scale: the dropped set is a left-anti join on doc_id; one row out."""
+    from .operators.dedup import connected_components, ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=4, threshold=0.2, max_shingle_df=MAX_SHINGLE_DF
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    dropped = comp.filter(F.col("doc") != F.col("component")).select(
+        F.col("doc").alias("doc_id"), F.lit(1).alias("_d")
+    )
+    return (
+        d.select("doc_id")
+        .join(dropped, "doc_id", "left")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("_d").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_survivors"),
+            F.sum(F.coalesce(F.col("_d"), F.lit(0)))
+            .cast("long").alias("n_dropped"),
+        )
+    )
+
+
+SQL_DEDUP_SURVIVORS = _SQL_COMPONENT_CTES + """
+, dropped AS (SELECT doc FROM comp WHERE doc != component)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN dr.doc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       CAST(sum(CASE WHEN dr.doc IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2345,6 +2443,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality_repetition": (q_text_quality_repetition, SQL_TEXT_REPETITION),
     "text_quality_gopher": (q_text_quality_gopher, SQL_TEXT_GOPHER),
     "dedup_exact_normalized": (q_dedup_exact_normalized, SQL_DEDUP_EXACT_NORM),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "section_tree": (q_section_tree, SQL_SECTION_TREE),
     "extraction_e2e": (q_extraction_e2e, SQL_EXTRACTION_E2E),
     "extraction_html_roundtrip": (

@@ -387,3 +387,38 @@ def test_transcript_reader_drops_unkeyable_rows(spark, tmp_path):
     assert [(r["conv_id"], r["turn_idx"]) for r in df.collect()] == [("a", 0)]
     out = extract_turns(df, num_partitions=2).collect()
     assert [(r["conv_id"], r["status"]) for r in out] == [("a", "ok")]
+
+
+def test_connected_components_shapes(spark):
+    from pdf_parser_c_spark.operators.dedup import connected_components
+
+    # triangle + chain + pair; ids deliberately not contiguous
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (5, 9), (20, 21), (21, 22), (40, 41)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r.doc: r.component for r in connected_components(edges).collect()}
+    assert comp == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 22: 20, 40: 40, 41: 40}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from pdf_parser_c_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "doc_a long, doc_b long"
+    )
+    comp = {r.doc: r.component for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {100} and len(comp) == 13
+
+
+def test_drop_near_duplicates_keeps_one_per_cluster(spark, docs):
+    from pdf_parser_c_spark.operators.dedup import drop_near_duplicates
+
+    kept = drop_near_duplicates(docs, "doc_id", "text")
+    ids = sorted(r.doc_id for r in kept.collect())
+    # docs 0/1/2/7 form one near-dup cluster (exact dups + the cat
+    # variant share 4-gram shingles); min id 0 survives
+    assert 0 in ids
+    assert not {1, 2, 7} & set(ids)
+    # unclustered docs all survive
+    assert {3, 4, 5, 6} <= set(ids)
