@@ -41,6 +41,7 @@ def main() -> None:
         "sim_bruteforce_topk": "broadcast query vector; TakeOrdered top-k (no global sort)",
         "dedup_embedding_banded": "one (band, code) exchange feeding ArrowEvalPython + FlatMapGroupsInPandas; no pair-vector join",
         "dedup_contamination": "benchmark shingles broadcast; map-side hash join over exploded corpus shingles",
+        "dedup_components": "hash-min rounds collapsed into localCheckpoint scans; final census is one exchange + partial/final HashAggregate",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]
@@ -73,13 +74,24 @@ def main() -> None:
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    with open(f"{repo}/BENCH/PLANS.md", "w") as f:
+    plans_path = f"{repo}/BENCH/PLANS.md"
+    # preserve the skew-stress evidence section scripts/skew_stress.py owns
+    skew_tail = ""
+    try:
+        with open(plans_path) as f:
+            prev = f.read()
+        marker = "## Skew stress"
+        if marker in prev:
+            skew_tail = "\n\n" + prev[prev.index(marker):].rstrip() + "\n"
+    except OSError:
+        pass
+    with open(plans_path, "w") as f:
         f.write(
             "# PLANS — physical-plan audit (explain evidence)\n\n"
             "Key lines from `.explain('formatted')` for representative plans, "
             "captured by `scripts/audit_plans.py`.  Each section states the "
             "scale expectation its query docstring makes and the plan lines "
-            "that prove it.\n\n" + "\n\n".join(sections) + "\n"
+            "that prove it.\n\n" + "\n\n".join(sections) + "\n" + skew_tail
         )
     print("wrote BENCH/PLANS.md")
     spark.stop()
