@@ -1,0 +1,95 @@
+"""spark-submit --py-files packaging (north rule: "run via
+spark-submit --py-files").
+
+The job entry (`scripts/run_extraction.py`) is copied into a foreign
+working directory and launched through the REAL spark-submit with the
+package shipped ONLY as a zip — if the zip packaging were broken, the
+import would fail (the entry's sys.path fallback points at the foreign
+dir's parent, not the repo).  One end-to-end run: tiny transcripts
+parquet in → extracted results parquet out, text equality checked.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pyspark
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = os.path.join(pyspark.__path__[0], "bin", "spark-submit")
+
+
+@pytest.mark.timeout(300)
+def test_spark_submit_py_files_end_to_end(tmp_path):
+    # package the engine the way the docstring tells operators to
+    zip_path = tmp_path / "engine.zip"
+    pkg_root = os.path.join(REPO, "pdf_parser_c_spark")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_root):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, REPO))
+
+    # input: tiny transcripts parquet (built with the repo import,
+    # which the SUBPROCESS will not have)
+    sys.path.insert(0, REPO)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_c_spark.engine import encode_pdf_payload
+    from pdf_parser_c_spark.testkit.gen_pdf import FontSpec, PageSpec, build_pdf
+
+    pdf = build_pdf(
+        [PageSpec("BT /F1 12 Tf 72 700 Td (Shipped via py-files) Tj ET\n")],
+        {"F1": FontSpec("Helvetica")},
+    )
+    tbl = pa.table(
+        {
+            "conv_id": ["c1", "c1"],
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "role": ["user", "assistant"],
+            "text": [encode_pdf_payload(pdf), "plain answer text"],
+        }
+    )
+    inp = tmp_path / "transcripts"
+    inp.mkdir()
+    pq.write_table(tbl, str(inp / "part-0.parquet"))
+
+    # foreign cwd: the entry script alone, away from the repo
+    work = tmp_path / "work"
+    work.mkdir()
+    entry = work / "run_extraction.py"
+    shutil.copy(os.path.join(REPO, "scripts", "run_extraction.py"), entry)
+
+    out = tmp_path / "job_out"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[2]",
+            "--py-files", str(zip_path),
+            str(entry),
+            "--input", str(inp),
+            "--output", str(out),
+            "--buckets", "8",
+            "--partitions", "4",
+        ],
+        capture_output=True, text=True, timeout=280, cwd=str(work), env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["buckets_run"] == 8
+
+    from pdf_parser_c_spark.engine import get_spark
+
+    spark = get_spark()
+    rows = {(r.conv_id, r.turn_idx): r
+            for r in spark.read.parquet(str(out / "results")).collect()}
+    assert rows[("c1", 0)].text == "Shipped via py-files"
+    assert rows[("c1", 0)].status == "ok"
+    assert rows[("c1", 1)].text == "plain answer text"
