@@ -255,3 +255,75 @@ def test_content_operator_soup_never_crashes():
         r = parse_pdf_bytes(pdf)
         assert r.status in ("ok", "malformed", "empty", "error")
     assert time.perf_counter() - t0 < 30.0
+
+
+def test_fuzz_jpeg_decoder_error_contract():
+    """Mutated/truncated JPEGs (baseline + progressive + subsampled)
+    must raise JPEGError only — the multimodal kernels' fallback is a
+    single except clause (labeled stub row), and any other exception
+    class would kill a task at corpus scale."""
+    import numpy as np
+
+    from pdf_parser_c_spark.operators.jpeg_codec import (
+        JPEGError,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=32 * 16 * 3, dtype=np.uint8).tobytes()
+    seeds = [
+        encode_jpeg(32, 16, px, 3, subsampling="420"),
+        encode_jpeg(32, 16, px, 3, subsampling="420", progressive=True),
+        encode_jpeg(32, 16, px, 3, progressive=True, restart_interval=2),
+    ]
+    for data in seeds:
+        for _ in range(40):
+            m = bytearray(data)
+            mode = rng.integers(0, 3)
+            if mode == 0:
+                m = m[: int(rng.integers(4, len(m)))]
+            elif mode == 1:
+                for _ in range(int(rng.integers(1, 6))):
+                    m[int(rng.integers(2, len(m)))] = int(rng.integers(0, 256))
+            else:
+                a = int(rng.integers(2, len(m) - 10))
+                del m[a:a + int(rng.integers(1, 50))]
+            try:
+                decode_jpeg(bytes(m))
+            except JPEGError:
+                pass  # the one allowed escape
+
+
+def test_fuzz_pubsec_documents_quarantine():
+    """Mutated public-key-encrypted PDFs always land as status rows
+    (ok/empty/malformed/encrypted/error), never exceptions — the
+    PubSec handler's DER/CMS/RSA parsing sits inside the same
+    quarantine net as everything else."""
+    import numpy as np
+
+    from pdf_parser_c_spark.pdf.crypt import set_pubsec_key
+    from pdf_parser_c_spark.testkit.encrypt import TEST_PUBSEC_KEY
+    from pdf_parser_c_spark.testkit.gen_pdf import FontSpec, PageSpec, build_pdf
+
+    data = bytearray(build_pdf(
+        [PageSpec("BT /F1 12 Tf 72 700 Td (secret) Tj ET\n")],
+        {"F1": FontSpec("Helvetica")}, encrypt_variant="pubsec-aes128"))
+    set_pubsec_key(TEST_PUBSEC_KEY)
+    try:
+        rng = np.random.default_rng(3)
+        for _ in range(80):
+            m = bytearray(data)
+            mode = rng.integers(0, 3)
+            if mode == 0:
+                m = m[: int(rng.integers(20, len(m)))]
+            elif mode == 1:
+                for _ in range(int(rng.integers(1, 8))):
+                    m[int(rng.integers(0, len(m)))] = int(rng.integers(0, 256))
+            else:
+                a = int(rng.integers(0, len(m) - 60))
+                del m[a:a + int(rng.integers(1, 50))]
+            r = parse_pdf_bytes(bytes(m))
+            assert r.status in ("ok", "empty", "malformed", "encrypted", "error")
+    finally:
+        set_pubsec_key(None)
