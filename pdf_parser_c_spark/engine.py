@@ -32,6 +32,7 @@ from __future__ import annotations
 import base64
 import binascii
 import json
+import os
 import time
 from typing import Iterator
 
@@ -332,6 +333,74 @@ def _job_map_batches(accum):
     return fn
 
 
+def _is_local_path(path: str) -> bool:
+    return "://" not in path or path.startswith("file:")
+
+
+def _strip_file_scheme(path: str) -> str:
+    return path[len("file:"):] if path.startswith("file:") else path
+
+
+def _write_control_dirs(base: str, per_bucket_rows: "dict[int, dict]") -> None:
+    """Driver-side writer for the O(n_buckets)-row control tables:
+    one ``bucket=N/part-0.parquet`` per bucket, written with pyarrow
+    and an atomic rename.  The layout is byte-compatible with a Spark
+    ``partitionBy('bucket')`` write (the partition value lives in the
+    directory name), so readers are unchanged — but the write costs
+    milliseconds instead of a Spark job + task wave + commit protocol
+    per table.  Using a distributed engine to emit 64 driver-local
+    rows was the full job's fixed overhead once the kernel scaled.
+    Retries REPLACE a bucket's dir contents (stale files removed
+    before the rename lands), preserving the dynamic-overwrite
+    semantics the resume path relies on."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = _strip_file_scheme(base)
+    for bucket, columns in per_bucket_rows.items():
+        d = f"{base}/bucket={bucket}"
+        os.makedirs(d, exist_ok=True)
+        tmp = f"{d}/.part-0.parquet.tmp"
+        pq.write_table(pa.table(columns), tmp)
+        for old in os.listdir(d):
+            if old.endswith(".parquet"):
+                try:
+                    os.unlink(f"{d}/{old}")
+                except OSError:
+                    pass
+        os.replace(tmp, f"{d}/part-0.parquet")
+
+
+def _has_flat_parquet(path: str) -> bool:
+    """True when the directory holds parquet files OUTSIDE ``bucket=``
+    partition dirs — i.e. a flat lineage table written by something
+    other than this job (an external tool, or an old-layout run).
+    Such a table carries ``bucket`` as a data column, invisible to the
+    directory listing, so the caller must fall back to a Spark read."""
+    try:
+        return any(
+            f.endswith(".parquet")
+            for f in os.listdir(_strip_file_scheme(path))
+        )
+    except OSError:
+        return False
+
+
+def _list_done_buckets(lineage_path: str) -> "set[int]":
+    """Completed buckets = lineage partition dirs that contain data —
+    a filesystem listing, not a Spark job + collect."""
+    done: set[int] = set()
+    try:
+        for name in os.listdir(_strip_file_scheme(lineage_path)):
+            if name.startswith("bucket="):
+                d = f"{_strip_file_scheme(lineage_path)}/{name}"
+                if any(f.endswith(".parquet") for f in os.listdir(d)):
+                    done.add(int(name.split("=", 1)[1]))
+    except (OSError, ValueError):
+        pass  # no lineage yet → fresh run
+    return done
+
+
 def run_extraction_job(
     spark: SparkSession,
     input_df: DataFrame,
@@ -354,17 +423,24 @@ def run_extraction_job(
     results_path = f"{output_path}/results"
     lineage_path = f"{output_path}/lineage"
     metrics_path = f"{output_path}/metrics"
+    local = _is_local_path(output_path)
 
     df = with_bucket(input_df, n_buckets)
 
     done: set[int] = set()
-    try:
-        done = {
-            r["bucket"]
-            for r in spark.read.parquet(lineage_path).select("bucket").distinct().collect()
-        }
-    except Exception:
-        pass  # no lineage yet → fresh run
+    if local:
+        done = _list_done_buckets(lineage_path)
+    if (not local) or _has_flat_parquet(lineage_path):
+        # object store / non-posix, or an externally-written flat
+        # lineage table: fall back to a Spark read
+        try:
+            done |= {
+                r["bucket"]
+                for r in spark.read.parquet(lineage_path)
+                .select("bucket").distinct().collect()
+            }
+        except Exception:
+            pass  # no lineage yet → fresh run
 
     pending = sorted(set(range(n_buckets)) - done)
     t0 = time.time()
@@ -390,38 +466,56 @@ def run_extraction_job(
         )
         # metrics/lineage come from the kernel's accumulator tally —
         # no second scan of the just-written results (round-2 VERDICT);
-        # both still use dynamic partition overwrite so a crash between
-        # the results write and these writes makes the retry REPLACE
-        # the bucket's rows instead of appending duplicates (ADVICE r1)
+        # replace-per-bucket semantics hold so a crash between the
+        # results write and these writes makes the retry REPLACE the
+        # bucket's rows instead of appending duplicates (ADVICE r1)
         tally: dict[tuple[int, str, str], int] = {}
         for part_counts in accum.value.values():
             for key, n in part_counts.items():
                 tally[key] = tally.get(key, 0) + n
-        metrics = spark.createDataFrame(
-            [(b, k, s, n, job_id) for (b, k, s), n in sorted(tally.items())],
-            "bucket long, kind string, status string, n_rows long, job_id string",
-        )
-        # control tables are O(n_buckets) rows: one task writing all 64
-        # partition dirs beats a shuffle + full task wave (measured
-        # 4.2 s → sub-second at 32 cores); per-bucket dynamic overwrite
-        # semantics are unchanged
-        metrics.coalesce(1).write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(metrics_path)
         per_bucket: dict[int, int] = {}
         for (b, _k, _s), n in tally.items():
             per_bucket[b] = per_bucket.get(b, 0) + n
         wall = float(time.time() - t0)
-        lineage = spark.createDataFrame(
-            # every pending bucket gets a lineage row — including empty
-            # ones (an empty bucket IS complete; without a row it would
-            # re-run on every resume)
-            [(b, per_bucket.get(b, 0), job_id, wall) for b in pending],
-            "bucket long, n_rows long, job_id string, wall_s double",
-        )
-        lineage.coalesce(1).write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(lineage_path)
+        if local:
+            # control tables are O(n_buckets) driver-local rows: write
+            # them from the driver (pyarrow + atomic rename, identical
+            # partitioned layout) instead of scheduling two Spark jobs
+            # — the fixed seconds those jobs cost dominated the full
+            # job's wall once the kernel scaled (BENCH/BASELINE.md)
+            metric_rows: dict[int, dict] = {}
+            for (b, k, s), n in sorted(tally.items()):
+                row = metric_rows.setdefault(
+                    b, {"kind": [], "status": [], "n_rows": [], "job_id": []}
+                )
+                row["kind"].append(k)
+                row["status"].append(s)
+                row["n_rows"].append(n)
+                row["job_id"].append(job_id)
+            _write_control_dirs(metrics_path, metric_rows)
+            _write_control_dirs(lineage_path, {
+                # every pending bucket gets a lineage row — including
+                # empty ones (an empty bucket IS complete; without a
+                # row it would re-run on every resume)
+                b: {"n_rows": [per_bucket.get(b, 0)], "job_id": [job_id],
+                    "wall_s": [wall]}
+                for b in pending
+            })
+        else:
+            metrics = spark.createDataFrame(
+                [(b, k, s, n, job_id) for (b, k, s), n in sorted(tally.items())],
+                "bucket long, kind string, status string, n_rows long, job_id string",
+            )
+            metrics.coalesce(1).write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(metrics_path)
+            lineage = spark.createDataFrame(
+                [(b, per_bucket.get(b, 0), job_id, wall) for b in pending],
+                "bucket long, n_rows long, job_id string, wall_s double",
+            )
+            lineage.coalesce(1).write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(lineage_path)
     return {
         "job_id": job_id,
         "buckets_total": n_buckets,

@@ -86,10 +86,13 @@ def test_resume_after_partial_lineage(spark, corpus, tmp_path):
     run_extraction_job(spark, sdf, out_dir, n_buckets=8, job_id="full")
     total = spark.read.parquet(f"{out_dir}/results").count()
 
-    # drop lineage rows for half the buckets (simulates lost progress)
-    lineage = spark.read.parquet(f"{out_dir}/lineage").toPandas()
-    kept = lineage[lineage["bucket"] < 4]
-    spark.createDataFrame(kept).write.mode("overwrite").parquet(f"{out_dir}/lineage")
+    # drop lineage for half the buckets (simulates lost progress: a
+    # crash mid-lineage-write leaves some bucket dirs present, others
+    # absent — the partitioned layout IS the progress record)
+    import shutil
+
+    for b in range(4, 8):
+        shutil.rmtree(f"{out_dir}/lineage/bucket={b}", ignore_errors=True)
 
     r = run_extraction_job(spark, sdf, out_dir, n_buckets=8, job_id="resume")
     assert r["buckets_skipped"] == 4 and r["buckets_run"] == 4
