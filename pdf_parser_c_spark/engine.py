@@ -449,18 +449,30 @@ def run_extraction_job(
         if num_partitions is None:
             num_partitions = spark.sparkContext.defaultParallelism * 4
         accum = spark.sparkContext.accumulator({}, _ReplacePerKeyDict())
-        extracted = salted_repartition(work, num_partitions).mapInPandas(
+        # ONE exchange for the whole job: ``bucket`` is a per-TURN hash
+        # (xxhash64(conv_id, turn_idx) % n_buckets), so keying the
+        # kernel's input by (bucket, salt) is just as skew-free as the
+        # plain salted repartition — long conversations still scatter —
+        # while ALSO pre-aligning rows with the sink's partitionBy.
+        # Each of the n_buckets*k partitions holds ~one (bucket, salt)
+        # combo, so the write emits ≤ n_buckets*k files with NO second
+        # shuffle of the extracted payloads (the previous
+        # repartition(n_buckets, bucket) after the kernel re-shuffled
+        # every output row just for file hygiene; fusing the keys
+        # removed it — kernel and parquet writer now run in the SAME
+        # stage).  k keeps partitions ≫ cores so combo-granularity
+        # lumpiness amortizes across scheduler waves.
+        k = -(-num_partitions // n_buckets)  # ceil
+        aligned = work.repartition(
+            n_buckets * k,
+            F.col("bucket"),
+            F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(k)),
+        )
+        extracted = aligned.mapInPandas(
             _job_map_batches(accum), schema=JOB_RESULT_SCHEMA
         )
         (
-            # align the frame's partitioning with the write's
-            # partitionBy: one task owns one bucket, so the sink gets
-            # n_buckets files instead of tasks × buckets small files
-            # (measured 24 s → 6 s for the write at 22k turns locally;
-            # at 100 TB this shuffle is the price of file hygiene and
-            # keeps per-bucket dynamic overwrite atomic per task)
-            extracted.repartition(n_buckets, F.col("bucket"))
-            .write.mode("overwrite")
+            extracted.write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(results_path)
         )
