@@ -62,6 +62,44 @@ def test_extraction_plan_is_one_exchange_then_kernel(spark):
     assert plan.count("Exchange") == 1  # the salt repartition, nothing else
 
 
+def test_job_pipeline_is_one_exchange_fused_with_sink(spark):
+    """The checkpointed job's kernel input is keyed by (bucket, salt),
+    so the partitionBy('bucket') write needs NO post-kernel shuffle:
+    scan → one exchange → MapInPandas → sink, all in one stage."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pdf_parser_c_spark.engine import (
+        JOB_RESULT_SCHEMA,
+        _ReplacePerKeyDict,
+        _job_map_batches,
+        with_bucket,
+    )
+
+    tdf = with_bucket(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"conv_id": ["a"], "turn_idx": [0], "role": ["u"],
+                 "text": ["x"], "tool": [None],
+                 "ts": [dt.datetime(2026, 1, 1)]}
+            )
+        ),
+        8,
+    )
+    accum = spark.sparkContext.accumulator({}, _ReplacePerKeyDict())
+    aligned = tdf.repartition(
+        16, F.col("bucket"), F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(2))
+    )
+    extracted = aligned.mapInPandas(
+        _job_map_batches(accum), schema=JOB_RESULT_SCHEMA
+    )
+    plan = plan_of(spark, extracted, "simple")
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") == 1  # bucket+salt exchange, nothing else
+
+
 def test_topk_uses_take_ordered_not_global_sort(spark):
     df = QUERIES["sim_bruteforce_topk"][0](spark, SF_DIR)
     plan = plan_of(spark, df)
