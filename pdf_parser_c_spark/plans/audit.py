@@ -73,6 +73,35 @@ def main() -> None:
         "```\n" + "\n".join(lines) + "\n```"
     )
 
+    from pyspark.sql import functions as F
+
+    from pdf_parser_c_spark.engine import (
+        JOB_RESULT_SCHEMA,
+        _ReplacePerKeyDict,
+        _job_map_batches,
+        with_bucket,
+    )
+
+    accum = spark.sparkContext.accumulator({}, _ReplacePerKeyDict())
+    aligned = with_bucket(tdf, 64).repartition(
+        128, F.col("bucket"), F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(2))
+    )
+    lines = [
+        ln.strip()[:160]
+        for ln in plan_of(
+            aligned.mapInPandas(_job_map_batches(accum), schema=JOB_RESULT_SCHEMA)
+        ).splitlines()
+        if KEY_LINES.search(ln)
+    ]
+    sections.append(
+        "### run_extraction_job pipeline (checkpointed write path)\n"
+        "*expectation: ONE (bucket, salt) exchange feeding MapInPandas; the\n"
+        "partitionBy('bucket') sink consumes it in the same stage — no\n"
+        "post-kernel shuffle (bucket is a per-turn hash, so this keying is\n"
+        "skew-free AND sink-aligned)*\n"
+        "```\n" + "\n".join(lines) + "\n```"
+    )
+
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     plans_path = f"{repo}/BENCH/PLANS.md"
     # preserve the skew-stress evidence section scripts/skew_stress.py owns

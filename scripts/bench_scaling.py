@@ -367,10 +367,11 @@ frequency/oversubscription behavior.)
 
 ## Full production job (checkpointed write path)
 
-Same corpus and levels, but the complete `run_extraction_job`: salted
-repartition → extraction kernel (with in-kernel metrics accumulator) →
-bucket-aligned shuffle → parquet results partitioned by bucket →
-metrics + lineage writes.  This is the job the north rule describes,
+Same corpus and levels, but the complete `run_extraction_job`: ONE
+(bucket, salt) exchange → extraction kernel (with in-kernel metrics
+accumulator) → parquet results partitioned by bucket, fused in the
+same stage (no post-kernel shuffle) → driver-written O(n_buckets)
+metrics + lineage tables.  This is the job the north rule describes,
 including the exchange and the sink.  Sandbox caveat: all levels share
 ONE virtual disk, and it sits in the job's path TWICE — the parquet
 sink, and Spark's shuffle/spill local dirs (default /tmp).  A real
