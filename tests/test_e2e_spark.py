@@ -106,6 +106,26 @@ def test_resume_after_partial_lineage(spark, corpus, tmp_path):
     assert metrics.agg({"n_rows": "sum"}).collect()[0][0] == total
 
 
+def test_resume_reads_externally_written_flat_lineage(spark, corpus, tmp_path):
+    """An external tool (or an old-layout run) may record lineage as a
+    FLAT parquet table with `bucket` as a data column.  The directory
+    lister can't see those rows — the job must fall back to a Spark
+    read and still skip the recorded buckets."""
+    sdf = spark.createDataFrame(transcripts_columns_only(corpus))
+    out_dir = str(tmp_path / "job_flat")
+    # externally-written flat lineage claiming buckets 0-3 are done
+    spark.createDataFrame(
+        [(b, 0, "external", 0.0) for b in range(4)],
+        "bucket long, n_rows long, job_id string, wall_s double",
+    ).coalesce(1).write.parquet(f"{out_dir}/lineage")
+
+    r = run_extraction_job(spark, sdf, out_dir, n_buckets=8, job_id="resume")
+    assert r["buckets_skipped"] == 4 and r["buckets_run"] == 4
+    done = spark.read.parquet(f"{out_dir}/results")
+    assert done.filter("bucket < 4").count() == 0  # skipped buckets absent
+    assert done.filter("bucket >= 4").count() > 0
+
+
 def test_bucket_assignment_deterministic(spark, corpus):
     sdf = spark.createDataFrame(transcripts_columns_only(corpus))
     a = with_bucket(sdf, 16).select("conv_id", "turn_idx", "bucket")
