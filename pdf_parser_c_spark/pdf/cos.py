@@ -303,10 +303,13 @@ class Parser:
             m = _NUM_ARR_RE.match(self.lexer.data, self.lexer.pos)
             if m is not None:
                 self.lexer.pos = m.end()
-                return [
-                    float(t) if b"." in t else int(t)
-                    for t in _NUM_TOK_RE.findall(m.group(0))
-                ]
+                g = m.group(0)
+                toks = _NUM_TOK_RE.findall(g)
+                if b"." not in g:
+                    # width/kerning tables are overwhelmingly integer:
+                    # one C-level map beats a per-token membership test
+                    return list(map(int, toks))
+                return [float(t) if b"." in t else int(t) for t in toks]
             # scalars are handled inline (no recursion): width tables
             # and kerning arrays are hundreds of numbers, and one
             # Python call per element dominated the parse profile
