@@ -99,8 +99,36 @@ def _segment(raw: str) -> list[tuple[str, int, str, bool]]:
         buf = []
         link_chars = 0
 
+    def emit(text: str) -> None:
+        nonlocal link_chars
+        if drop_depth == 0 and text:
+            t = _html.unescape(text)
+            buf.append(t)
+            if link_depth > 0:
+                link_chars += len(t.strip())
+
     while True:
         m = _TAG_RE.search(raw, pos)
+        # markup declarations / PIs come BEFORE tag handling: a comment
+        # body may contain real-looking tags (`<!-- <footer> -->`), and
+        # letting those reach the tag path leaks commented-out text and
+        # poisons the drop/main/link stacks.  HTML5 §13.2.5: `<!--`
+        # opens a comment closed by `-->` (with `<!-->`/`<!--->`
+        # abruptly-closed forms); any other `<!` or `<?` is a bogus
+        # comment / doctype / CDATA consumed through the next `>`.
+        decl = raw.find("<!", pos)
+        pi = raw.find("<?", pos)
+        if pi != -1 and (decl == -1 or pi < decl):
+            decl = pi
+        if decl != -1 and (m is None or decl < m.start()):
+            emit(raw[pos:decl])
+            if raw.startswith("<!--", decl):
+                close = raw.find("-->", decl + 2)  # +2 not +4: <!--> / <!---> close abruptly
+                pos = len(raw) if close == -1 else close + 3
+            else:
+                close = raw.find(">", decl + 2)
+                pos = len(raw) if close == -1 else close + 1
+            continue
         if m is None:
             break
         text = raw[pos : m.start()]
@@ -111,21 +139,11 @@ def _segment(raw: str) -> list[tuple[str, int, str, bool]]:
         if m.group(1) != "/" and tag_lower in _RAWTEXT_TAGS:
             close = re.search(rf"</{tag_lower}\s*>", raw[pos:], re.I)
             pos = pos + close.end() if close else len(raw)
-            if drop_depth == 0 and text:
-                t = _html.unescape(text)
-                buf.append(t)
-                if link_depth > 0:
-                    link_chars += len(t.strip())
+            emit(text)
             continue
-        if drop_depth == 0 and text:
-            t = _html.unescape(text)
-            buf.append(t)
-            if link_depth > 0:
-                link_chars += len(t.strip())
+        emit(text)
         closing, tag, attrs = m.group(1) == "/", m.group(2).lower(), m.group(3)
         self_closing = attrs.rstrip().endswith("/") or tag in ("br", "hr", "img", "meta", "link", "input")
-        if tag in ("!--",):
-            continue
         if tag in DROP_SUBTREES:
             if closing:
                 if drop_tag and drop_tag[-1] == tag:
@@ -146,11 +164,6 @@ def _segment(raw: str) -> list[tuple[str, int, str, bool]]:
             flush()
             if not closing:
                 cur_tag = tag
-    tail = raw[pos:]
-    if drop_depth == 0 and tail:
-        buf.append(_html.unescape(tail))
+    emit(raw[pos:])
     flush()
-    # comments: the regex above doesn't special-case <!-- -->; strip any
-    # leaked comment bodies defensively
-    return [(re.sub(r"<!--.*?-->", "", t, flags=re.S), lc, tag, im)
-            for t, lc, tag, im in blocks]
+    return blocks

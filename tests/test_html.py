@@ -97,3 +97,76 @@ def test_main_container_scoping():
 
     as_main = page.replace("article>", "main>")
     assert "promotional sidebar" not in extract_main_text(as_main)
+
+
+def test_commented_out_markup_invisible():
+    """Tags inside <!-- --> must neither emit text nor touch the
+    tag-state stacks (a commented-out <footer> once dropped the whole
+    visible document)."""
+    page = (
+        "<html><body>"
+        "<p>Real paragraph content that is long enough to keep for sure.</p>"
+        "<!-- <p>hidden commented paragraph that must never appear</p> -->"
+        "<p>Second real paragraph with plenty of characters to satisfy it.</p>"
+        "</body></html>"
+    )
+    out = extract_main_text(page)
+    assert "hidden commented" not in out
+    assert "Real paragraph" in out and "Second real paragraph" in out
+
+
+def test_comment_cannot_poison_drop_stack():
+    page = (
+        "<html><body><!-- <footer> -->"
+        "<p>Visible paragraph long enough to be kept by the classifier.</p>"
+        "<!-- </footer> --></body></html>"
+    )
+    assert "Visible paragraph" in extract_main_text(page)
+
+
+def test_conditional_comment_junk_dropped():
+    page = (
+        "<html><body>"
+        "<!--[if IE]><div>IE only junk text that should never be emitted</div><![endif]-->"
+        "<p>Main content paragraph long enough to pass the minimum length.</p>"
+        "</body></html>"
+    )
+    out = extract_main_text(page)
+    assert "IE only junk" not in out and "Main content paragraph" in out
+
+
+def test_doctype_cdata_pi_do_not_leak():
+    for decl in ("<!DOCTYPE html>", "<?xml version='1.0' encoding='utf-8'?>",
+                 "<![CDATA[raw cdata junk that is definitely long enough to pass]]>"):
+        page = f"{decl}<html><body><p>Content paragraph long enough to keep after the decl.</p></body></html>"
+        out = extract_main_text(page)
+        assert "Content paragraph" in out
+        assert "cdata junk" not in out and "DOCTYPE" not in out and "version=" not in out
+
+
+def test_escaped_comment_entities_are_text():
+    """&lt;!-- ... --&gt; unescapes to literal text, not markup; the old
+    defensive post-strip deleted it."""
+    page = ("<html><body><p>Escaped entity text &lt;!-- not a comment --&gt;"
+            " stays visible in the kept block.</p></body></html>")
+    assert "<!-- not a comment -->" in extract_main_text(page)
+
+
+def test_unterminated_and_abrupt_comments():
+    unterminated = ("<html><body><p>Unterminated comment swallows the rest"
+                    " of the document.</p><!-- trailing junk")
+    out = extract_main_text(unterminated)
+    assert "swallows the rest" in out and "trailing junk" not in out
+    # HTML5 abruptly-closed empty comment <!--> closes immediately
+    abrupt = ("<html><body><p>Abrupt empty comment here <!--> then the"
+              " paragraph keeps flowing to the end fine.</p></body></html>")
+    out2 = extract_main_text(abrupt)
+    assert "keeps flowing" in out2 and "-->" not in out2
+
+
+def test_comment_opener_inside_rawtext_body():
+    page = ("<html><body><script>var s = 'contains <!-- inside string';</script>"
+            "<p>Paragraph after a script whose body contains an opener,"
+            " long enough to keep.</p></body></html>")
+    out = extract_main_text(page)
+    assert "Paragraph after a script" in out and "contains <!--" not in out
