@@ -205,10 +205,11 @@ def connected_components(
     label across itself and its neighbors; converges in graph-diameter
     rounds.  Near-dup graphs (LSH/jaccard pair output) are dense
     little cliques with single-digit diameters, so rounds stay few;
-    each round is one join + one groupBy (two shuffles on the vertex
-    key), and ``localCheckpoint`` truncates the lineage so the plan
-    does not grow with iterations.  Convergence is detected exactly
-    (any label changed → one more round).  For adversarial long-chain
+    each round is one neighbor join + one min-groupBy + one label fold
+    on the vertex key, and ``localCheckpoint`` truncates the lineage so
+    the plan does not grow with iterations.  Convergence is detected
+    exactly (any label changed → one more round) by an ``Observation``
+    riding the round's own materialization — zero extra jobs.  For adversarial long-chain
     graphs swap in large-star/small-star (same join shape, O(log n)
     rounds) — near-dup clustering never needs it.
 
@@ -217,6 +218,8 @@ def connected_components(
     a production corpus pipeline consumes it: pairs → components →
     one survivor per component.
     """
+    from pyspark.sql import Observation
+
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -225,24 +228,34 @@ def connected_components(
         "vid", F.col("vid").alias("label")
     )
     for _ in range(max_iters):
-        nbr = sym.join(
-            labels.withColumnRenamed("vid", "v"), "v"
-        ).select(F.col("u").alias("vid"), "label")
-        new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("vid")
-            .agg(F.min("label").alias("label"))
+        # min label among neighbors, then fold into the vertex's own —
+        # carrying the old label through lets an Observation count the
+        # changes DURING the checkpoint materialization, so convergence
+        # detection costs zero extra jobs (it used to be a second
+        # join + count over both label frames per round)
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("vid", "v"), "v")
+            .groupBy(F.col("u").alias("vid"))
+            .agg(F.min("label").alias("_nbr"))
+        )
+        obs = Observation()
+        labels = (
+            labels.join(nbr_min, "vid", "left")
+            .select(
+                "vid",
+                F.col("label").alias("_old"),
+                F.least("label", F.coalesce("_nbr", "label")).alias("label"),
+            )
+            .observe(
+                obs,
+                F.sum((F.col("label") != F.col("_old")).cast("long")).alias(
+                    "changed"
+                ),
+            )
+            .select("vid", "label")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vid")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if not obs.get["changed"]:
             break
     return labels.select(F.col("vid").alias("doc"), F.col("label").alias("component"))
 

@@ -2299,6 +2299,33 @@ ORDER BY doc_id
 """
 
 
+_COMPONENT_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _jaccard_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, component) over the jaccard near-dup graph, memoized per
+    (application, sf_dir): the components and survivors census queries
+    consume the identical graph, and the label-propagation result is
+    already materialized by its final ``localCheckpoint`` — sharing it
+    avoids re-running pair generation plus every propagation round.
+    Single-slot like ``_SHINGLE_MEMO``; the checkpoint RDD is freed by
+    GC once the old entry is dropped."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _COMPONENT_MEMO.get(key)
+    if hit is not None:
+        return hit
+    _COMPONENT_MEMO.clear()
+    from .operators.dedup import connected_components, ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=4, threshold=0.2, max_shingle_df=MAX_SHINGLE_DF
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    _COMPONENT_MEMO[key] = comp
+    return comp
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER census: jaccard-confirmed pairs → connected
     components (hash-min label propagation, the dedup family's missing
@@ -2308,13 +2335,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     hottest key); each propagation round is one join + one groupBy on
     the vertex key and near-dup graphs converge in single-digit rounds
     (tight cliques).  Result: a handful of rows."""
-    from .operators.dedup import connected_components, ngram_jaccard_pairs
-
-    d = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        d, "doc_id", "text", n=4, threshold=0.2, max_shingle_df=MAX_SHINGLE_DF
-    )
-    comp = connected_components(pairs, "doc_a", "doc_b")
+    comp = _jaccard_components(spark, sf_dir)
     return (
         comp.groupBy("component")
         .agg(F.count("*").alias("size"))
@@ -2365,13 +2386,8 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     each component is kept, every other member dropped, unclustered
     docs kept — the shape a training-corpus dedup job actually ships.
     Scale: the dropped set is a left-anti join on doc_id; one row out."""
-    from .operators.dedup import connected_components, ngram_jaccard_pairs
-
     d = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        d, "doc_id", "text", n=4, threshold=0.2, max_shingle_df=MAX_SHINGLE_DF
-    )
-    comp = connected_components(pairs, "doc_a", "doc_b")
+    comp = _jaccard_components(spark, sf_dir)
     dropped = comp.filter(F.col("doc") != F.col("component")).select(
         F.col("doc").alias("doc_id"), F.lit(1).alias("_d")
     )
