@@ -35,30 +35,50 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
     return df.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def _shingle_expr(n: int) -> str:
+    return (
+        f"array_distinct(transform(sequence(1, size(ws) - {n - 1}),"
+        f" i -> array_join(slice(ws, i, {n}), ' ')))"
+    )
+
+
+def _with_words(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    # the size filter guards sequence(1, k), which DESCENDS for k < 1;
+    # docs shorter than n words have no shingles and are dropped (the
+    # old empty-array rows vanished at every consumer's explode/filter
+    # anyway)
+    return df.select(
+        F.col(id_col).alias("doc"), F.split(text_col, " ").alias("ws")
+    ).filter(F.expr(f"size(ws) >= {n}"))
+
+
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
     """(doc, shingles: array<string>) — per-doc DISTINCT word n-gram
     shingles, computed entirely map-side (split once, transform,
     array_distinct): the distinct-per-doc shuffle of the exploded form
     is free here, and set sizes / MinHash signatures derive as array
-    ops with no shuffle at all."""
-    # sequence(1, k) DESCENDS for k < 1, so texts shorter than n words
-    # must yield an empty array explicitly
-    expr = (
-        f"CASE WHEN size(ws) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size(ws) - {n - 1}),"
-        f" i -> array_join(slice(ws, i, {n}), ' '))) "
-        f"ELSE array() END"
-    )
-    return (
-        df.select(F.col(id_col).alias("doc"), F.split(text_col, " ").alias("ws"))
-        .select("doc", F.expr(expr).alias("shingles"))
+    ops with no shuffle at all.  Docs shorter than ``n`` words are
+    dropped (they have no shingles)."""
+    return _with_words(df, id_col, text_col, n).select(
+        "doc", F.expr(_shingle_expr(n)).alias("shingles")
     )
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
-    """Distinct word n-gram shingles: (doc, s)."""
-    return shingle_sets(df, id_col, text_col, n).select(
-        "doc", F.explode("shingles").alias("s")
+    """Distinct word n-gram shingles: (doc, s).
+
+    The explode is built INLINE over the array expression, never over a
+    projected column: with a projected attribute as the generator
+    child, InferFiltersFromGenerate infers ``size(c) > 0 AND
+    isnotnull(c)`` and predicate pushdown substitutes the WHOLE array
+    construction through the Project — the shingling then runs three
+    times per row (measured 4.5 s vs 1.2 s on the sf0.1 corpus side of
+    the contamination probe).  An inline generator child skips the
+    inference (SPARK-33544 expensive-expression guard).  Persisted
+    frames (ngram_jaccard_pairs) are equally safe — the cache boundary
+    blocks the substitution."""
+    return _with_words(df, id_col, text_col, n).select(
+        "doc", F.explode(F.expr(_shingle_expr(n))).alias("s")
     )
 
 
@@ -119,11 +139,11 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 4, num_hashes: int = 8
 ) -> DataFrame:
     """(doc, mh0..mhK) MinHash signature — map-side array ops, no
-    shuffle (docs shorter than ``n`` words are dropped, matching the
-    exploded form where they produce no shingle rows)."""
-    return shingle_sets(df, id_col, text_col, n).filter(
-        F.expr("size(shingles) >= 1")
-    ).select(
+    shuffle (docs shorter than ``n`` words are dropped by
+    ``shingle_sets``; every surviving doc has ≥1 shingle, so no size
+    filter — a filter on the projected array would get the whole
+    construction substituted into it by predicate pushdown)."""
+    return shingle_sets(df, id_col, text_col, n).select(
         "doc",
         *[F.expr(
             f"array_min(transform(shingles, x -> md5(concat('salt{k}:', x))))"
@@ -145,13 +165,8 @@ def contamination_overlap(
     the probe is a map-side hash join over the corpus's exploded
     shingles; no corpus-sized shuffle.  (At extreme benchmark sizes
     the same shape degrades gracefully to a shuffle join.)"""
-    bench = (
-        shingle_sets(benchmark, id_col, text_col, n)
-        .select(F.explode("shingles").alias("s")).distinct()
-    )
-    corp = shingle_sets(corpus, id_col, text_col, n).select(
-        "doc", F.explode("shingles").alias("s")
-    )
+    bench = shingles(benchmark, id_col, text_col, n).select("s").distinct()
+    corp = shingles(corpus, id_col, text_col, n)
     return (
         corp.join(F.broadcast(bench), "s")
         .groupBy("doc")
