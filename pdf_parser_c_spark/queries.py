@@ -984,12 +984,19 @@ N_SIMHASH_BITS = 16
 
 
 def _simhash_bit_exprs() -> list[str]:
-    """Shared SQL fragments: bit j of a word's md5 = parity of hex digit
-    j+1 (identical md5 on both engines)."""
-    return [
-        f"(instr('0123456789abcdef', substr(md5(w), {j + 1}, 1)) - 1) % 2"
-        for j in range(N_SIMHASH_BITS)
-    ]
+    """Shared SQL fragments over the per-word hash column ``h``: bit j
+    of the word's 60-bit md5-prefix integer.  Bit ops on one BIGINT are
+    ~4× cheaper than the old per-bit instr/substr string probes — the
+    vote sums run in the pre-shuffle partial aggregation, the hottest
+    loop of both simhash queries."""
+    return [f"(h >> {j}) & 1" for j in range(N_SIMHASH_BITS)]
+
+
+# 15 hex digits = 60 bits: fits a signed BIGINT identically on Spark
+# (conv → bigint) and DuckDB ('0x…'::BIGINT); cross-engine equality is
+# pinned by the oracle rows themselves
+WORD_HASH_SPARK = "cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint)"
+WORD_HASH_DUCK = "CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)"
 
 
 def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -997,7 +1004,9 @@ def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes; census of signature collisions per source.
     Scale: explode words → one agg with 16 sums → signature; no joins."""
     d = t(spark, sf_dir, "documents")
-    words = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("w"))
+    words = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", "source", F.expr(WORD_HASH_SPARK).alias("h"))
     bit_exprs = _simhash_bit_exprs()
     votes = [
         F.sum(F.expr(e) * 2 - 1).alias(f"v{j}") for j, e in enumerate(bit_exprs)
@@ -1027,7 +1036,8 @@ def _sql_simhash() -> str:
         f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(N_SIMHASH_BITS)
     )
     return f"""
-WITH words AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+WITH raw AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+words AS (SELECT doc_id, source, {WORD_HASH_DUCK} AS h FROM raw),
 sig AS (SELECT doc_id, source, {votes} FROM words GROUP BY doc_id, source),
 final AS (SELECT doc_id, source, CAST({sig_terms} AS BIGINT) AS simhash FROM sig)
 SELECT source, count(*) AS n_docs, count(DISTINCT simhash) AS n_distinct_sigs
@@ -1048,36 +1058,25 @@ SIMHASH_WIDE_BAND_BITS = 15
 
 
 def _simhash_wide_bit_exprs() -> list[str]:
-    """Bit j of a word: parity of hex digit (j%32)+1 of md5(w) for the
-    low 32 bits, of md5(w || '#') for the high bits — two independent
-    digests, identical on Spark and DuckDB."""
-    out = []
-    for j in range(N_SIMHASH_WIDE_BITS):
-        src = "md5(w)" if j < 32 else "md5(concat(w, '#'))"
-        out.append(
-            f"(instr('0123456789abcdef', substr({src}, {(j % 32) + 1}, 1)) - 1) % 2"
-        )
-    return out
+    """Bit j of the per-word 60-bit md5-prefix integer ``h`` (shared
+    Spark/DuckDB fragment; ``>>``/``&`` parse identically on both)."""
+    return [f"(h >> {j}) & 1" for j in range(N_SIMHASH_WIDE_BITS)]
 
 
 def _simhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    # hoist the two digests into ONE projection: aggregate expressions
-    # don't share subexpression elimination, so inlining md5(w) into
-    # each of the 60 vote sums would hash every word 60 times
+    # hoist the hash into ONE projection: aggregate expressions don't
+    # share subexpression elimination, so inlining md5 into each of the
+    # 60 vote sums would hash every word 60 times.  One 60-bit integer
+    # + bit ops replaced the old two-digest instr/substr string probes
+    # (the vote sums run in the pre-shuffle partial agg — hottest loop
+    # of the query; measured 5.0 s → 1.4 s at sf0.1)
     words = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).select(
-        "doc_id",
-        F.md5("w").alias("h1"),
-        F.md5(F.concat(F.col("w"), F.lit("#"))).alias("h2"),
-    )
+    ).select("doc_id", F.expr(WORD_HASH_SPARK).alias("h"))
     votes = [
-        F.sum(F.expr(
-            f"(instr('0123456789abcdef', substr({'h1' if j < 32 else 'h2'},"
-            f" {(j % 32) + 1}, 1)) - 1) % 2"
-        ) * 2 - 1).alias(f"v{j}")
-        for j in range(N_SIMHASH_WIDE_BITS)
+        F.sum(F.expr(e) * 2 - 1).alias(f"v{j}")
+        for j, e in enumerate(_simhash_wide_bit_exprs())
     ]
     sig_terms = " + ".join(
         f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
@@ -1143,7 +1142,8 @@ def _sql_simhash_pairs() -> str:
         for b in range(SIMHASH_BANDS)
     )
     return f"""
-WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+words AS (SELECT doc_id, {WORD_HASH_DUCK} AS h FROM raw),
 sigv AS (SELECT doc_id, {votes} FROM words GROUP BY doc_id),
 final AS (SELECT doc_id, CAST({sig_terms} AS BIGINT) AS sig FROM sigv),
 bands AS ({band_rows}),
