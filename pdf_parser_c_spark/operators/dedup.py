@@ -135,6 +135,19 @@ def ngram_jaccard_pairs(
     )
 
 
+# K hash functions from ONE md5 per shingle: h = 32-bit md5 prefix,
+# mh_k = min (A_k*h + B_k) % P.  A_k < 2^23 keeps the product < 2^56
+# (no BIGINT overflow); one string digest instead of K per shingle.
+_MINHASH_P = (1 << 61) - 1
+_MINHASH_AB = [
+    (1000003, 12289), (1500007, 24593), (2000003, 49157), (2500009, 98317),
+    (3000017, 196613), (3500017, 393241), (4000037, 786433), (4500007, 1572869),
+    (5000011, 3145739), (5500003, 6291469), (6000011, 12582917),
+    (6500003, 25165843), (7000003, 50331653), (7500013, 100663319),
+    (8000009, 201326611), (8500007, 402653189),
+]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 4, num_hashes: int = 8
 ) -> DataFrame:
@@ -142,12 +155,24 @@ def minhash_signatures(
     shuffle (docs shorter than ``n`` words are dropped by
     ``shingle_sets``; every surviving doc has ≥1 shingle, so no size
     filter — a filter on the projected array would get the whole
-    construction substituted into it by predicate pushdown)."""
-    return shingle_sets(df, id_col, text_col, n).select(
+    construction substituted into it by predicate pushdown).  The
+    shingles are digested ONCE into a 32-bit int array in a projection
+    of their own (CollapseProject declines to inline an expensive alias
+    referenced K times), then the K salted mins are integer maps."""
+    if num_hashes > len(_MINHASH_AB):
+        raise ValueError(f"num_hashes > {len(_MINHASH_AB)} not supported")
+    hashed = shingle_sets(df, id_col, text_col, n).select(
+        "doc",
+        F.expr(
+            "transform(shingles, x ->"
+            " cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint))"
+        ).alias("hs"),
+    )
+    return hashed.select(
         "doc",
         *[F.expr(
-            f"array_min(transform(shingles, x -> md5(concat('salt{k}:', x))))"
-        ).alias(f"mh{k}") for k in range(num_hashes)],
+            f"array_min(transform(hs, h -> ({a} * h + {b}) % {_MINHASH_P}))"
+        ).alias(f"mh{k}") for k, (a, b) in enumerate(_MINHASH_AB[:num_hashes])],
     )
 
 

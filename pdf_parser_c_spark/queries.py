@@ -839,6 +839,52 @@ JOIN sizes sb ON cand.db = sb.doc_id
 
 N_MINHASH = 8
 
+# K salted hash functions derived from ONE md5 per shingle: h = the
+# 32-bit md5 prefix, mh_k = min over shingles of (A_k*h + B_k) % P.
+# One string digest instead of K per shingle — the signature transforms
+# become integer array ops (measured the dominant cost of the minhash
+# census family).  A_k < 2^23 keeps A*h + B < 2^56: no BIGINT overflow
+# on either engine.  P = 2^61-1 (Mersenne).  Cross-engine equality is
+# pinned by the oracle rows.
+MINHASH_P = (1 << 61) - 1
+MINHASH_AB = [
+    (1000003, 12289), (1500007, 24593), (2000003, 49157), (2500009, 98317),
+    (3000017, 196613), (3500017, 393241), (4000037, 786433), (4500007, 1572869),
+]
+SHINGLE_HASH_SPARK = "cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint)"
+SHINGLE_HASH_DUCK = "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)"
+
+
+def _minhash_sig_cols() -> list:
+    """mh0..mhK column expressions over a pre-hashed int array ``hs``
+    (built once per doc in its own projection so CollapseProject keeps
+    the md5 pass single — it declines to inline an expensive alias
+    referenced K times)."""
+    return [
+        F.expr(
+            f"array_min(transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        ).alias(f"mh{k}")
+        for k, (a, b) in enumerate(MINHASH_AB)
+    ]
+
+
+def _with_hashed_shingles(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.expr(f"transform(shingles, x -> {SHINGLE_HASH_SPARK})").alias("hs"),
+    )
+
+
+def _sql_minhash_sig_cte() -> str:
+    """DuckDB: sig AS (doc_id, mh0..mhK) over the exploded shingle CTE
+    ``sh`` (one md5 per shingle, K affine mins)."""
+    hs = f"SELECT doc_id, {SHINGLE_HASH_DUCK} AS h FROM sh"
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{k}"
+        for k, (a, b) in enumerate(MINHASH_AB)
+    )
+    return f"sig AS (SELECT doc_id, {mins} FROM ({hs}) GROUP BY doc_id)"
+
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures: per doc, min over shingle digests for K salted
@@ -850,12 +896,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     then ONE unpivot (stack) + census agg; the only shuffle is the
     (hash_fn, bucket) census itself."""
     docs = _shingled(spark, sf_dir)
-    sig = docs.select(
-        "doc_id",
-        *[F.expr(
-            f"array_min(transform(shingles, x -> md5(concat('salt{k}:', x))))"
-        ).alias(f"mh{k}") for k in range(N_MINHASH)],
-    )
+    sig = _with_hashed_shingles(docs).select("doc_id", *_minhash_sig_cols())
     stack_args = ", ".join(f"{k}, mh{k}" for k in range(N_MINHASH))
     long = sig.select(
         F.expr(f"stack({N_MINHASH}, {stack_args}) AS (hash_fn, bucket)")
@@ -874,9 +915,6 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash() -> str:
-    mins = ", ".join(
-        f"min(md5('salt{k}:' || s)) AS mh{k}" for k in range(N_MINHASH)
-    )
     unions = "\nUNION ALL\n".join(
         f"SELECT {k} AS hash_fn, mh{k} AS bucket FROM sig" for k in range(N_MINHASH)
     )
@@ -886,7 +924,7 @@ sh AS (SELECT DISTINCT doc_id,
               unnest(list_transform(generate_series(1, len(ws) - 3),
                                     i -> array_to_string(ws[i:i+3], ' '))) AS s
        FROM w WHERE len(ws) >= 4),
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+{_sql_minhash_sig_cte()},
 long AS ({unions}),
 buckets AS (SELECT hash_fn, bucket, count(*) AS c FROM long GROUP BY 1, 2)
 SELECT CAST(hash_fn AS INTEGER) AS hash_fn,
@@ -919,12 +957,7 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .agg(F.count("*").alias("common"))
     )
-    sig = docs.select(
-        "doc_id",
-        *[F.expr(
-            f"array_min(transform(shingles, x -> md5(concat('salt{k}:', x))))"
-        ).alias(f"mh{k}") for k in range(N_MINHASH)],
-    )
+    sig = _with_hashed_shingles(docs).select("doc_id", *_minhash_sig_cols())
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     ga, gb = sig.alias("ga"), sig.alias("gb")
     agree = sum(
@@ -950,7 +983,6 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_estimate() -> str:
-    mins = ", ".join(f"min(md5('salt{k}:' || s)) AS mh{k}" for k in range(N_MINHASH))
     agree = " + ".join(
         f"CASE WHEN ga.mh{k} = gb.mh{k} THEN 1 ELSE 0 END" for k in range(N_MINHASH)
     )
@@ -967,7 +999,7 @@ shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
 cand AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
          FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
          GROUP BY 1, 2),
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+{_sql_minhash_sig_cte()}
 SELECT CAST(({agree}) AS INTEGER) AS n_agree,
        (common * 1.0 / (sa.n + sb.n - common) >= 0.2) AS is_dup,
        count(*) AS n_pairs
