@@ -82,6 +82,40 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame
     )
 
 
+# 15 hex digits of md5 = 60 bits: fits a signed BIGINT, so every
+# downstream exchange/join/groupBy hashes and ships an 8-byte key
+# instead of a ~(6n)-byte string — the join-key shape you'd want at
+# 100 TB.  Collision p ≈ n²/2^61 per key space; where both sides of a
+# comparison hash the same way, a collision shifts both identically.
+_SHINGLE_HASH = "cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)"
+
+
+def _hashed_shingle_expr(n: int) -> str:
+    return f"transform({_shingle_expr(n)}, x -> {_SHINGLE_HASH})"
+
+
+def hashed_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4
+) -> DataFrame:
+    """(doc, shingles: array<bigint>) — ``shingle_sets`` with each
+    distinct string shingle replaced by its 60-bit md5-prefix int in
+    the same map stage.  ``size(shingles)`` still equals the distinct
+    STRING shingle count (transform preserves length), so Jaccard
+    denominators are exact."""
+    return _with_words(df, id_col, text_col, n).select(
+        "doc", F.expr(_hashed_shingle_expr(n)).alias("shingles")
+    )
+
+
+def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
+    """Distinct word n-gram shingles as 60-bit ints: (doc, s: bigint).
+    Inline generator child for the same InferFiltersFromGenerate
+    reason as ``shingles``."""
+    return _with_words(df, id_col, text_col, n).select(
+        "doc", F.explode(F.expr(_hashed_shingle_expr(n))).alias("s")
+    )
+
+
 _SETS_SLOT: list[DataFrame] = []
 
 
@@ -109,7 +143,7 @@ def ngram_jaccard_pairs(
             old.unpersist()
         except Exception:
             pass  # frame from a stopped session
-    sets = shingle_sets(df, id_col, text_col, n).persist()
+    sets = hashed_shingle_sets(df, id_col, text_col, n).persist()
     _SETS_SLOT.append(sets)
     sizes = sets.select("doc", F.expr("size(shingles)").alias("n"))
     sh = sets.select("doc", F.explode("shingles").alias("s"))
@@ -135,10 +169,12 @@ def ngram_jaccard_pairs(
     )
 
 
-# K hash functions from ONE md5 per shingle: h = 32-bit md5 prefix,
+# K hash functions from the ONE md5 already paid for by the shingle
+# keys: h = the 60-bit shingle int masked to its low 32 bits,
 # mh_k = min (A_k*h + B_k) % P.  A_k < 2^23 keeps the product < 2^56
-# (no BIGINT overflow); one string digest instead of K per shingle.
+# (no BIGINT overflow); one string digest per shingle, total.
 _MINHASH_P = (1 << 61) - 1
+_MINHASH_MASK = (1 << 32) - 1
 _MINHASH_AB = [
     (1000003, 12289), (1500007, 24593), (2000003, 49157), (2500009, 98317),
     (3000017, 196613), (3500017, 393241), (4000037, 786433), (4500007, 1572869),
@@ -153,25 +189,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc, mh0..mhK) MinHash signature — map-side array ops, no
     shuffle (docs shorter than ``n`` words are dropped by
-    ``shingle_sets``; every surviving doc has ≥1 shingle, so no size
-    filter — a filter on the projected array would get the whole
+    ``hashed_shingle_sets``; every surviving doc has ≥1 shingle, so no
+    size filter — a filter on the projected array would get the whole
     construction substituted into it by predicate pushdown).  The
-    shingles are digested ONCE into a 32-bit int array in a projection
-    of their own (CollapseProject declines to inline an expensive alias
-    referenced K times), then the K salted mins are integer maps."""
+    shingles carry their md5 hash already (hashed_shingle_sets), so
+    the K salted mins are pure integer maps."""
     if num_hashes > len(_MINHASH_AB):
         raise ValueError(f"num_hashes > {len(_MINHASH_AB)} not supported")
-    hashed = shingle_sets(df, id_col, text_col, n).select(
-        "doc",
-        F.expr(
-            "transform(shingles, x ->"
-            " cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint))"
-        ).alias("hs"),
-    )
-    return hashed.select(
+    return hashed_shingle_sets(df, id_col, text_col, n).select(
         "doc",
         *[F.expr(
-            f"array_min(transform(hs, h -> ({a} * h + {b}) % {_MINHASH_P}))"
+            f"array_min(transform(shingles,"
+            f" h -> ({a} * (h & {_MINHASH_MASK}) + {b}) % {_MINHASH_P}))"
         ).alias(f"mh{k}") for k, (a, b) in enumerate(_MINHASH_AB[:num_hashes])],
     )
 
@@ -189,9 +218,11 @@ def contamination_overlap(
     corpus (eval suites vs training data) — Spark broadcasts it, so
     the probe is a map-side hash join over the corpus's exploded
     shingles; no corpus-sized shuffle.  (At extreme benchmark sizes
-    the same shape degrades gracefully to a shuffle join.)"""
-    bench = shingles(benchmark, id_col, text_col, n).select("s").distinct()
-    corp = shingles(corpus, id_col, text_col, n)
+    the same shape degrades gracefully to a shuffle join.)  Shingles
+    probe as 60-bit md5-prefix ints: the broadcast set and the join
+    hashing are fixed-width, not string-keyed."""
+    bench = hashed_shingles(benchmark, id_col, text_col, n).select("s").distinct()
+    corp = hashed_shingles(corpus, id_col, text_col, n)
     return (
         corp.join(F.broadcast(bench), "s")
         .groupBy("doc")

@@ -736,12 +736,19 @@ _SHINGLE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles: array<string>) — per-doc DISTINCT 4-word
+    """(doc_id, shingles: array<bigint>) — per-doc DISTINCT 4-word
     shingles computed entirely map-side (split once, transform,
-    array_distinct).  Shared by the shingle-dedup family so distinct-
+    array_distinct) and hashed to 60-bit md5-prefix integers in the
+    same map stage.  Shared by the shingle-dedup family so distinct-
     shingle sets, set sizes, and MinHash signatures are array ops with
     NO shuffle; only the inverted index (global DF + candidate join)
-    shuffles shingle keys.
+    shuffles shingle keys — and those keys are now 8-byte ints, not
+    ~30-byte strings, so every downstream exchange/join/groupBy hashes
+    and ships a fixed-width key (the shape you'd want at 100 TB).  The
+    array length still equals the DISTINCT STRING count (transform
+    preserves length), so Jaccard denominators are exact; the DuckDB
+    oracles apply the identical md5-prefix hash, so even a collision
+    (p ≈ n²/2^61) changes both engines the same way.
 
     The sets frame is persisted: every consumer (sizes, signatures,
     both sides of the candidate join, the DF count) would otherwise
@@ -770,12 +777,71 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "array_distinct(transform(sequence(1, size(ws) - 3),"
                 " i -> array_join(slice(ws, i, 4), ' ')))"
-            ).alias("shingles"),
+            ).alias("sstr"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"transform(sstr, x -> {SHINGLE_HASH_SPARK})").alias("shingles"),
         )
         .persist()
     )
     _SHINGLE_MEMO[key] = df
     return df
+
+
+# K salted hash functions derived from the ONE md5 already paid for by
+# the shingle keys (_shingled): h = the shingle's 60-bit md5-prefix
+# int, mh_k = min over shingles of (A_k*(h & 0xFFFFFFFF) + B_k) % P.
+# The mask keeps the affine input 32-bit so A_k < 2^23 bounds the
+# product under 2^56: no BIGINT overflow on either engine.  P = 2^61-1
+# (Mersenne).  Cross-engine equality is pinned by the oracle rows.
+MINHASH_P = (1 << 61) - 1
+MINHASH_MASK = (1 << 32) - 1
+MINHASH_AB = [
+    (1000003, 12289), (1500007, 24593), (2000003, 49157), (2500009, 98317),
+    (3000017, 196613), (3500017, 393241), (4000037, 786433), (4500007, 1572869),
+]
+# 15 hex digits = 60 bits: fits a signed BIGINT identically on Spark
+# (conv → bigint) and DuckDB ('0x…'::BIGINT)
+SHINGLE_HASH_SPARK = "cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)"
+SHINGLE_HASH_DUCK = "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)"
+
+
+def _minhash_sig_cols() -> list:
+    """mh0..mhK column expressions over the pre-hashed ``shingles``
+    int array — pure integer maps, no string digest left to pay."""
+    return [
+        F.expr(
+            f"array_min(transform(shingles,"
+            f" h -> ({a} * (h & {MINHASH_MASK}) + {b}) % {MINHASH_P}))"
+        ).alias(f"mh{k}")
+        for k, (a, b) in enumerate(MINHASH_AB)
+    ]
+
+
+def _sql_shingle_ctes() -> str:
+    """DuckDB CTEs mirroring ``_shingled``: ``sstr`` is the per-doc
+    DISTINCT string shingle set, ``sh`` its 60-bit md5-prefix int form
+    (the exact hash the Spark side joins on — collisions mirrored),
+    ``sizes`` the distinct-STRING count per doc (Spark's
+    size(shingles), which hashing preserves)."""
+    return f"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sstr AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 3),
+                                     i -> array_to_string(ws[i:i+3], ' '))) AS s
+        FROM w WHERE len(ws) >= 4),
+sh AS (SELECT doc_id, {SHINGLE_HASH_DUCK} AS s FROM sstr),
+sizes AS (SELECT doc_id, count(*) AS n FROM sstr GROUP BY doc_id)"""
+
+
+def _sql_minhash_sig_cte() -> str:
+    """DuckDB: sig AS (doc_id, mh0..mhK) over the hashed shingle CTE
+    ``sh`` (K affine mins on the masked low 32 bits)."""
+    mins = ", ".join(
+        f"min(({a} * (s & {MINHASH_MASK}) + {b}) % {MINHASH_P}) AS mh{k}"
+        for k, (a, b) in enumerate(MINHASH_AB)
+    )
+    return f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,12 +883,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_NGRAM = f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-sh AS (SELECT DISTINCT doc_id,
-              unnest(list_transform(generate_series(1, len(ws) - 3),
-                                    i -> array_to_string(ws[i:i+3], ' '))) AS s
-       FROM w WHERE len(ws) >= 4),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+WITH {_sql_shingle_ctes()},
 rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
          WHERE df <= {MAX_SHINGLE_DF}),
 shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
@@ -839,52 +900,6 @@ JOIN sizes sb ON cand.db = sb.doc_id
 
 N_MINHASH = 8
 
-# K salted hash functions derived from ONE md5 per shingle: h = the
-# 32-bit md5 prefix, mh_k = min over shingles of (A_k*h + B_k) % P.
-# One string digest instead of K per shingle — the signature transforms
-# become integer array ops (measured the dominant cost of the minhash
-# census family).  A_k < 2^23 keeps A*h + B < 2^56: no BIGINT overflow
-# on either engine.  P = 2^61-1 (Mersenne).  Cross-engine equality is
-# pinned by the oracle rows.
-MINHASH_P = (1 << 61) - 1
-MINHASH_AB = [
-    (1000003, 12289), (1500007, 24593), (2000003, 49157), (2500009, 98317),
-    (3000017, 196613), (3500017, 393241), (4000037, 786433), (4500007, 1572869),
-]
-SHINGLE_HASH_SPARK = "cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint)"
-SHINGLE_HASH_DUCK = "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)"
-
-
-def _minhash_sig_cols() -> list:
-    """mh0..mhK column expressions over a pre-hashed int array ``hs``
-    (built once per doc in its own projection so CollapseProject keeps
-    the md5 pass single — it declines to inline an expensive alias
-    referenced K times)."""
-    return [
-        F.expr(
-            f"array_min(transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
-        ).alias(f"mh{k}")
-        for k, (a, b) in enumerate(MINHASH_AB)
-    ]
-
-
-def _with_hashed_shingles(docs: DataFrame) -> DataFrame:
-    return docs.select(
-        "doc_id",
-        F.expr(f"transform(shingles, x -> {SHINGLE_HASH_SPARK})").alias("hs"),
-    )
-
-
-def _sql_minhash_sig_cte() -> str:
-    """DuckDB: sig AS (doc_id, mh0..mhK) over the exploded shingle CTE
-    ``sh`` (one md5 per shingle, K affine mins)."""
-    hs = f"SELECT doc_id, {SHINGLE_HASH_DUCK} AS h FROM sh"
-    mins = ", ".join(
-        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{k}"
-        for k, (a, b) in enumerate(MINHASH_AB)
-    )
-    return f"sig AS (SELECT doc_id, {mins} FROM ({hs}) GROUP BY doc_id)"
-
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures: per doc, min over shingle digests for K salted
@@ -896,7 +911,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     then ONE unpivot (stack) + census agg; the only shuffle is the
     (hash_fn, bucket) census itself."""
     docs = _shingled(spark, sf_dir)
-    sig = _with_hashed_shingles(docs).select("doc_id", *_minhash_sig_cols())
+    sig = docs.select("doc_id", *_minhash_sig_cols())
     stack_args = ", ".join(f"{k}, mh{k}" for k in range(N_MINHASH))
     long = sig.select(
         F.expr(f"stack({N_MINHASH}, {stack_args}) AS (hash_fn, bucket)")
@@ -919,11 +934,7 @@ def _sql_minhash() -> str:
         f"SELECT {k} AS hash_fn, mh{k} AS bucket FROM sig" for k in range(N_MINHASH)
     )
     return f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-sh AS (SELECT DISTINCT doc_id,
-              unnest(list_transform(generate_series(1, len(ws) - 3),
-                                    i -> array_to_string(ws[i:i+3], ' '))) AS s
-       FROM w WHERE len(ws) >= 4),
+WITH {_sql_shingle_ctes()},
 {_sql_minhash_sig_cte()},
 long AS ({unions}),
 buckets AS (SELECT hash_fn, bucket, count(*) AS c FROM long GROUP BY 1, 2)
@@ -957,7 +968,7 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .agg(F.count("*").alias("common"))
     )
-    sig = _with_hashed_shingles(docs).select("doc_id", *_minhash_sig_cols())
+    sig = docs.select("doc_id", *_minhash_sig_cols())
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     ga, gb = sig.alias("ga"), sig.alias("gb")
     agree = sum(
@@ -987,12 +998,7 @@ def _sql_minhash_estimate() -> str:
         f"CASE WHEN ga.mh{k} = gb.mh{k} THEN 1 ELSE 0 END" for k in range(N_MINHASH)
     )
     return f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-sh AS (SELECT DISTINCT doc_id,
-              unnest(list_transform(generate_series(1, len(ws) - 3),
-                                    i -> array_to_string(ws[i:i+3], ' '))) AS s
-       FROM w WHERE len(ws) >= 4),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+WITH {_sql_shingle_ctes()},
 rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
          WHERE df <= {MAX_SHINGLE_DF}),
 shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
@@ -1957,12 +1963,8 @@ def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_CONTAMINATION = """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-sh AS (SELECT DISTINCT doc_id,
-              unnest(list_transform(generate_series(1, len(ws) - 3),
-                                    i -> array_to_string(ws[i:i+3], ' '))) AS s
-       FROM w WHERE len(ws) >= 4),
+SQL_DEDUP_CONTAMINATION = f"""
+WITH {_sql_shingle_ctes()},
 bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 40),
 hits AS (
   SELECT sh.doc_id, count(*) AS n_overlap
@@ -2382,12 +2384,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the jaccard-pair CTEs shared by both component queries; the recursive
 # term closes reachability and min(r) per vertex is the component id
 _SQL_COMPONENT_CTES = f"""
-WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-sh AS (SELECT DISTINCT doc_id,
-              unnest(list_transform(generate_series(1, len(ws) - 3),
-                                    i -> array_to_string(ws[i:i+3], ' '))) AS s
-       FROM w WHERE len(ws) >= 4),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+WITH RECURSIVE {_sql_shingle_ctes()},
 rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
          WHERE df <= {MAX_SHINGLE_DF}),
 shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
