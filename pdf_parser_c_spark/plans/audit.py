@@ -37,10 +37,10 @@ def main() -> None:
         "a8_emphasis_runs": "single data exchange shared by window and aggregation",
         "tpch_pricing_summary": "pushed l_shipdate filter, pruned schema, partial+final HashAggregate",
         "tpch_market_join": "broadcast joins (dims), pushed c_mktsegment filter",
-        "dedup_ngram_jaccard": "inverted-index self-join; shuffle on shingle key",
+        "dedup_ngram_jaccard": "inverted-index self-join; shuffle on 8-byte int shingle key (60-bit md5 prefix), not strings",
         "sim_bruteforce_topk": "broadcast query vector; TakeOrdered top-k (no global sort)",
         "dedup_embedding_banded": "one (band, code) exchange feeding ArrowEvalPython + FlatMapGroupsInPandas; no pair-vector join",
-        "dedup_contamination": "benchmark shingles broadcast; map-side hash join over exploded corpus shingles",
+        "dedup_contamination": "benchmark shingles broadcast as 8-byte ints; map-side hash join over exploded corpus shingles",
         "dedup_components": "hash-min rounds collapsed into localCheckpoint scans; final census is one exchange + partial/final HashAggregate",
     }
     for name, note in audit.items():

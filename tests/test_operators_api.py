@@ -18,9 +18,12 @@ from pdf_parser_c_spark.functions.text import (
 from pdf_parser_c_spark.operators.dedup import (
     drop_exact_duplicates,
     exact_duplicate_groups,
+    hashed_shingle_sets,
+    hashed_shingles,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    shingle_sets,
 )
 from pdf_parser_c_spark.operators.similarity import (
     cosine_topk,
@@ -67,6 +70,28 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert (0, 2) in got and (0, 7) in got and (2, 7) in got
     assert (0, 1) in got
     assert all(r["jaccard"] <= 1.0 for r in pairs)
+
+
+def test_hashed_shingles_match_string_shingles(spark, docs):
+    """The int form is exactly md5-prefix(string form): same per-doc
+    count (Jaccard denominators preserved), 60-bit non-negative values,
+    and equal docs hash to equal sets."""
+    import hashlib
+
+    strs = {r["doc"]: r["shingles"]
+            for r in shingle_sets(docs, "doc_id", "text", n=3).collect()}
+    ints = {r["doc"]: r["shingles"]
+            for r in hashed_shingle_sets(docs, "doc_id", "text", n=3).collect()}
+    assert set(strs) == set(ints)
+    for doc, ss in strs.items():
+        expect = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in ss]
+        assert ints[doc] == expect
+        assert all(0 <= h < (1 << 60) for h in ints[doc])
+    assert ints[0] == ints[2] == ints[7]
+    exploded = hashed_shingles(docs, "doc_id", "text", n=3)
+    per_doc = {r["doc"]: r["n"] for r in
+               exploded.groupBy("doc").agg(F.count("*").alias("n")).collect()}
+    assert per_doc == {d: len(v) for d, v in ints.items()}
 
 
 def test_minhash_and_lsh(spark, docs):
