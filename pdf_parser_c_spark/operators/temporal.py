@@ -1,0 +1,151 @@
+"""Temporal join operators: as-of join and bucketed range join.
+
+Spark has no native ASOF/range join (DuckDB and kdb do); the naive
+encodings are a nested-loop inequality join (BroadcastNestedLoopJoin —
+quadratic, never acceptable at corpus scale) or a per-key collect.
+These operators express both joins as ONE equi-keyed exchange each, so
+Catalyst plans ordinary hash/sort-merge shuffles that scale linearly:
+
+* ``asof_join``: union-tag + running ``last(ignorenulls)`` window —
+  the classic log-structured merge: right rows become "state updates",
+  left rows read the latest state at or before their timestamp.  One
+  shuffle on the join key; within a key, sort by (ts, side).
+* ``range_join_bucketed``: quantize time into ``width``-sized integer
+  buckets (exact integer µs arithmetic, no float floor drift), probe
+  the ≤2 covering buckets per left row, equi-join on (key, bucket),
+  then apply the exact range predicate.  The inequality only ever
+  evaluates inside a (key, bucket) hash cell, never across the corpus.
+
+Skew note (100 TB): both shuffles key on the join key; a pathological
+hot key (one user with 10^9 events) concentrates in one task.  The
+standard salting used elsewhere in this repo (engine.salted_repartition)
+does not compose with a running window, so for hot-key corpora pre-split
+the key by coarse time epoch (key, epoch) and as-of join within epochs,
+carrying each epoch's closing state forward — same shape TimescaleDB
+uses for continuous aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _epoch_us(col: str) -> str:
+    """Microseconds since epoch as an NTZ-safe SQL fragment:
+    unix_micros() rejects TIMESTAMP_NTZ (the type parquet timestamps
+    load as), timestampdiff() takes both kinds."""
+    return f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: "list[str]",
+    tolerance_seconds: "float | None" = None,
+) -> DataFrame:
+    """For every left row, attach ``right_cols`` from the LAST right
+    row with the same key and ``right_ts <= left_ts`` (backward as-of,
+    inclusive — DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` semantics).
+    Unmatched left rows keep NULLs (left as-of join).
+
+    Left and right column names must be disjoint for ``right_cols``.
+    If several right rows share (key, ts), which one wins is undefined
+    — pre-aggregate the right side to one row per (key, ts) for
+    deterministic output.
+
+    ``tolerance_seconds`` drops matches older than the given horizon
+    (pandas ``merge_asof(tolerance=...)`` semantics): state older than
+    the tolerance reads as NULL, not as a stale match.
+    """
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+    lcols = list(left.columns)
+    l = left.select(
+        F.col(left_on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *lcols,
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        F.col(right_on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+        *right_cols,
+    )
+    # right (side 0) sorts before left (side 1) at equal ts, so an
+    # exactly-simultaneous right row is visible to the left row
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).select(
+        "_side",
+        "_ts",
+        *lcols,
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in right_cols],
+        F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True)
+        .over(w)
+        .alias("_rts"),
+    )
+    out = filled.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        stale = (
+            F.col("_rts").isNull()
+            | (F.expr(_epoch_us("_ts")) - F.expr(_epoch_us("_rts"))
+               > int(tolerance_seconds * 1_000_000))
+        )
+        out = out.select(
+            *lcols,
+            *[F.when(stale, F.lit(None).cast(rtypes[c]))
+              .otherwise(F.col(c)).alias(c) for c in right_cols],
+        )
+        return out
+    return out.select(*lcols, *right_cols)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    width_seconds: int,
+    inclusive_start: bool = False,
+) -> DataFrame:
+    """Equi-keyed range join: pairs (l, r) with the same key and
+    ``r.ts ∈ (l.ts, l.ts + width]`` (set ``inclusive_start`` for
+    ``[l.ts, ...``).  Returns the joined frame with both sides'
+    columns (names must be disjoint).
+
+    The window spans at most 2 integer time buckets of ``width``
+    (computed on integer microseconds — ``unix_micros(ts) div w``, no
+    float floor drift), so each left row probes exactly 2 (key,
+    bucket) cells and the exact predicate runs only inside matching
+    hash cells.  One shuffle each side; candidate volume is bounded by
+    per-(key, 2·width) density, never corpus².
+    """
+    w_us = int(width_seconds) * 1_000_000
+    lb = F.expr(f"{_epoch_us(left_ts)} div {w_us}")
+    l = left.withColumn("_lb", F.explode(F.array(lb, lb + F.lit(1))))
+    r = right.withColumn("_rb", F.expr(f"{_epoch_us(right_ts)} div {w_us}"))
+    lo = (
+        F.col(right_ts) >= F.col(left_ts)
+        if inclusive_start
+        else F.col(right_ts) > F.col(left_ts)
+    )
+    hi = F.expr(_epoch_us(right_ts)) <= F.expr(_epoch_us(left_ts)) + F.lit(w_us)
+    return (
+        l.join(r, (F.col(left_on) == F.col(right_on)) & (F.col("_lb") == F.col("_rb")))
+        .filter(lo & hi)
+        .drop("_lb", "_rb")
+    )

@@ -2443,6 +2443,159 @@ FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc
 
 
 # --------------------------------------------------------------------------
+# Temporal joins (as-of / range / cascade rollup) — operators Spark
+# lacks natively, expressed as single equi-keyed exchanges
+# --------------------------------------------------------------------------
+
+
+def q_temporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join census: every event reads its user's most recent
+    purchase value at-or-before its timestamp (backward inclusive —
+    the "latest state visible at t" lookup every event pipeline
+    needs).  Oracle: DuckDB's NATIVE ``ASOF LEFT JOIN``.
+    Scale: union-tag + running last() — ONE shuffle on user_id, no
+    inequality join anywhere (operators/temporal.py:asof_join); the
+    right side is pre-aggregated to one row per (user, ts) so the
+    match is deterministic."""
+    from .operators.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts"))
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    j = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        "user_id", "p_uid", "ts", "p_ts",
+        ["last_purchase_value"],
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("last_purchase_value").alias("n_matched"),
+            F.round(F.sum("last_purchase_value"), 2).alias("sum_last_purchase"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_TEMPORAL_ASOF = """
+WITH p AS (SELECT user_id AS p_uid, ts AS p_ts, max(value) AS last_purchase_value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+j AS (SELECT e.event_type, p.last_purchase_value
+      FROM events e ASOF LEFT JOIN p
+      ON e.user_id = p.p_uid AND e.ts >= p.p_ts)
+SELECT event_type,
+       count(*) AS n_events,
+       count(last_purchase_value) AS n_matched,
+       round(sum(last_purchase_value), 2) AS sum_last_purchase
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join census: events of the same user within the hour
+    AFTER each error event ("what follows an error?").  Oracle: plain
+    inequality join in DuckDB.
+    Scale: both sides quantized to integer-µs hour buckets; each error
+    probes its 2 covering buckets and the exact range predicate only
+    runs inside matching (user, bucket) hash cells — equi-join shape,
+    never BroadcastNestedLoopJoin (operators/temporal.py:
+    range_join_bucketed)."""
+    from .operators.temporal import range_join_bucketed
+
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    follows = ev.select(
+        F.col("user_id").alias("r_uid"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("follow_type"),
+    )
+    j = range_join_bucketed(
+        errors, follows, "user_id", "r_uid", "ts", "r_ts", width_seconds=3600
+    )
+    return (
+        j.groupBy("follow_type")
+        .agg(
+            F.count("*").alias("n_follow_events"),
+            F.countDistinct("event_id").alias("n_errors_with_follow"),
+        )
+        .orderBy("follow_type")
+    )
+
+
+SQL_TEMPORAL_RANGE = """
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+SELECT r.event_type AS follow_type,
+       count(*) AS n_follow_events,
+       CAST(count(DISTINCT e.event_id) AS BIGINT) AS n_errors_with_follow
+FROM e JOIN events r
+  ON e.user_id = r.user_id AND r.ts > e.ts
+ AND r.ts <= e.ts + INTERVAL 1 HOUR
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_temporal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade (hypertable-style) rollup: hourly partials fold into
+    daily partials — events are scanned ONCE and every coarser grain
+    derives from the next finer one, the TimescaleDB continuous-
+    aggregate shape.  Census bounds the output: per (grain,
+    event_type), bucket count, hottest bucket, totals.
+    Scale: the hourly groupBy is the only full-data exchange; the
+    daily fold runs over ~n_buckets rows.  At 10^12 events the hourly
+    table IS the materialized rollup you'd persist."""
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("bucket")).alias("bucket"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+    u = hourly.select(F.lit("hour").alias("grain"), "event_type", "n", "sv").unionByName(
+        daily.select(F.lit("day").alias("grain"), "event_type", "n", "sv")
+    )
+    return (
+        u.groupBy("grain", "event_type")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("n").cast("long").alias("max_bucket_n"),
+            F.sum("n").cast("long").alias("total_n"),
+            F.round(F.sum("sv"), 2).alias("sum_value"),
+        )
+        .orderBy("grain", "event_type")
+    )
+
+
+SQL_TEMPORAL_ROLLUP = """
+WITH hourly AS (SELECT date_trunc('hour', ts) AS bucket, event_type,
+                       count(*) AS n, sum(value) AS sv
+                FROM events GROUP BY 1, 2),
+daily AS (SELECT date_trunc('day', bucket) AS bucket, event_type,
+                 CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv
+          FROM hourly GROUP BY 1, 2),
+u AS (SELECT 'hour' AS grain, event_type, n, sv FROM hourly
+      UNION ALL
+      SELECT 'day', event_type, n, sv FROM daily)
+SELECT grain, event_type,
+       count(*) AS n_buckets,
+       CAST(max(n) AS BIGINT) AS max_bucket_n,
+       CAST(sum(n) AS BIGINT) AS total_n,
+       round(sum(sv), 2) AS sum_value
+FROM u GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2490,6 +2643,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact_normalized": (q_dedup_exact_normalized, SQL_DEDUP_EXACT_NORM),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
+    "temporal_asof_join": (q_temporal_asof, SQL_TEMPORAL_ASOF),
+    "temporal_range_join": (q_temporal_range_join, SQL_TEMPORAL_RANGE),
+    "temporal_rollup_cascade": (q_temporal_rollup, SQL_TEMPORAL_ROLLUP),
     "section_tree": (q_section_tree, SQL_SECTION_TREE),
     "extraction_e2e": (q_extraction_e2e, SQL_EXTRACTION_E2E),
     "extraction_html_roundtrip": (

@@ -1,0 +1,155 @@
+"""Temporal operators: as-of join and bucketed range join semantics."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_c_spark.operators.temporal import asof_join, range_join_bucketed
+
+
+def _ts(minute: int, second: int = 0, micro: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 3, 1, 12, minute, second, micro)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "lid": [0, 1, 2, 3, 4],
+                "k": [1, 1, 1, 2, 3],
+                "ts": [_ts(0), _ts(10), _ts(30), _ts(10), _ts(10)],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rk": [1, 1, 2],
+                "rts": [_ts(10), _ts(20), _ts(25)],
+                "price": [10.0, 20.0, 99.0],
+            }
+        )
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark, frames):
+    left, right = frames
+    out = {
+        r["lid"]: r["price"]
+        for r in asof_join(left, right, "k", "rk", "ts", "rts", ["price"]).collect()
+    }
+    assert out[0] is None          # before any right row
+    assert out[1] == 10.0          # exactly-simultaneous right row matches
+    assert out[2] == 20.0          # latest at-or-before wins
+    assert out[3] is None          # right row for k=2 is later than the left ts
+    assert out[4] is None          # key never appears on the right
+
+
+def test_asof_tolerance(spark, frames):
+    left, right = frames
+    out = {
+        r["lid"]: r["price"]
+        for r in asof_join(
+            left, right, "k", "rk", "ts", "rts", ["price"],
+            tolerance_seconds=5 * 60,
+        ).collect()
+    }
+    assert out[1] == 10.0          # 0 s old: inside tolerance
+    assert out[2] is None          # 10 min old: stale match dropped
+    assert out[0] is None and out[3] is None and out[4] is None
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    left = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 2, 1, 3] * 4,
+            "ts": [_ts(m, s) for m, s in zip(range(24), range(0, 48, 2))],
+            "lid": range(24),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": [1, 2, 1, 2, 3],
+            "rts": [_ts(3), _ts(5), _ts(14), _ts(15), _ts(22, 30)],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    expect = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("rts"),
+        left_on="ts", right_on="rts", left_by="k", right_by="rk",
+    ).set_index("lid")["v"]
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            "k", "rk", "ts", "rts", ["v"],
+        ).collect()
+    }
+    for lid, v in expect.items():
+        if pd.isna(v):
+            assert got[lid] is None, lid
+        else:
+            assert got[lid] == v, lid
+
+
+def test_range_join_window_and_bucket_boundaries(spark):
+    # width 60 s; right rows straddle the bucket edge so a match in the
+    # NEXT bucket must still be found via the 2-bucket probe
+    left = spark.createDataFrame(
+        pd.DataFrame({"lid": [0], "k": [7], "ts": [_ts(0, 50)]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rk": [7, 7, 7, 7, 7],
+                "rts": [
+                    _ts(0, 50),              # == l.ts: excluded (strict start)
+                    _ts(0, 59),              # same bucket
+                    _ts(1, 30),              # next bucket, inside width
+                    _ts(1, 50),              # exactly l.ts + 60 s: included
+                    _ts(1, 50, 1),           # 1 µs past the window
+                ],
+                "rid": [0, 1, 2, 3, 4],
+            }
+        )
+    )
+    got = {
+        r["rid"]
+        for r in range_join_bucketed(
+            left, right, "k", "rk", "ts", "rts", width_seconds=60
+        ).collect()
+    }
+    assert got == {1, 2, 3}
+    inclusive = {
+        r["rid"]
+        for r in range_join_bucketed(
+            left, right, "k", "rk", "ts", "rts", width_seconds=60,
+            inclusive_start=True,
+        ).collect()
+    }
+    assert inclusive == {0, 1, 2, 3}
+
+
+def test_range_join_key_isolation(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"lid": [0, 1], "k": [1, 2], "ts": [_ts(0), _ts(0)]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"rk": [1], "rts": [_ts(0, 30)], "rid": [0]})
+    )
+    rows = range_join_bucketed(
+        left, right, "k", "rk", "ts", "rts", width_seconds=60
+    ).collect()
+    assert [(r["lid"], r["rid"]) for r in rows] == [(0, 0)]
+
+
+def test_no_nested_loop_join(spark, frames):
+    left, right = frames
+    plan = range_join_bucketed(
+        left, right, "k", "rk", "ts", "rts", width_seconds=60
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
