@@ -16,13 +16,14 @@ Catalyst plans ordinary hash/sort-merge shuffles that scale linearly:
   then apply the exact range predicate.  The inequality only ever
   evaluates inside a (key, bucket) hash cell, never across the corpus.
 
-Skew note (100 TB): both shuffles key on the join key; a pathological
-hot key (one user with 10^9 events) concentrates in one task.  The
-standard salting used elsewhere in this repo (engine.salted_repartition)
-does not compose with a running window, so for hot-key corpora pre-split
-the key by coarse time epoch (key, epoch) and as-of join within epochs,
-carrying each epoch's closing state forward — same shape TimescaleDB
-uses for continuous aggregates.
+Skew note (100 TB): ``asof_join``'s shuffle keys on the join key alone,
+so a pathological hot key (one user with 10^9 events) concentrates in
+one task.  The standard salting used elsewhere in this repo
+(engine.salted_repartition) does not compose with a running window —
+``asof_join_epoch_split`` is the hot-key-safe form: it windows within
+(key, epoch) cells and carries each epoch's closing state forward
+through an epoch-granularity pass that is smaller by the per-epoch
+density factor.  Same results, bounded partitions.
 """
 
 from __future__ import annotations
@@ -110,6 +111,132 @@ def asof_join(
         )
         return out
     return out.select(*lcols, *right_cols)
+
+
+def asof_join_epoch_split(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: "list[str]",
+    epoch_seconds: int,
+    tolerance_seconds: "float | None" = None,
+) -> DataFrame:
+    """``asof_join`` with bounded window partitions: identical output,
+    hot-key-safe plan.
+
+    The key is pre-split by coarse time epoch, so the running-state
+    window runs inside (key, epoch) cells — a key with 10^9 rows
+    spread over 10^4 epochs never concentrates in one task.  Epoch
+    hand-off (a left row whose latest state lives in an EARLIER epoch)
+    goes through a second, epoch-granularity pass over one closing
+    state per (key, epoch) — smaller than the data by the per-epoch
+    density factor, and windowed per key only at that reduced size.
+    Within an epoch, a left probe must NOT see its own epoch's closing
+    state (it may postdate the probe): the hand-off window orders left
+    probes BEFORE closing states at equal epoch.
+
+    Choose ``epoch_seconds`` ≫ typical right-row spacing (so most left
+    rows resolve within their epoch) and ≪ hot-key span (so the hot
+    key splits): a day works for event streams.
+    """
+    w_us = int(epoch_seconds) * 1_000_000
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+    lcols = list(left.columns)
+
+    l = left.select(
+        F.col(left_on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.expr(f"{_epoch_us(left_ts)} div {w_us}").alias("_e"),
+        F.lit(1).alias("_side"),
+        *lcols,
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        F.col(right_on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.expr(f"{_epoch_us(right_ts)} div {w_us}").alias("_e"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+        *right_cols,
+    )
+
+    # pass 1 — within (key, epoch): the plain union-tag running last,
+    # but the window partition is (key, epoch), never the whole key
+    w_in = (
+        Window.partitionBy("_k", "_e")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = (
+        l.unionByName(r)
+        .select(
+            "_k", "_e", "_ts", "_side", *lcols,
+            *[F.last(F.col(c), ignorenulls=True).over(w_in).alias(c)
+              for c in right_cols],
+            F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True)
+            .over(w_in)
+            .alias("_rts"),
+        )
+        .filter(F.col("_side") == 1)
+    )
+
+    # pass 2 — epoch granularity: one closing state per (key, epoch),
+    # running last per key over epochs.  Left probes (side 0) sort
+    # BEFORE closing states (side 1) at equal epoch so a probe only
+    # sees strictly-earlier epochs.
+    closing = (
+        r.groupBy("_k", "_e")
+        .agg(
+            F.max_by(
+                F.struct(*right_cols, F.col("_ts").alias("_rts")), F.col("_ts")
+            ).alias("_st")
+        )
+        .select("_k", "_e", F.lit(1).alias("_eside"), "_st")
+    )
+    probes = within.select("_k", "_e").distinct().select(
+        "_k", "_e", F.lit(0).alias("_eside"),
+        F.lit(None).cast(closing.schema["_st"].dataType).alias("_st"),
+    )
+    w_ep = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_e").asc(), F.col("_eside").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    handoff = (
+        closing.unionByName(probes)
+        .select(
+            "_k", "_e", "_eside",
+            F.last(F.col("_st"), ignorenulls=True).over(w_ep).alias("_prev"),
+        )
+        .filter(F.col("_eside") == 0)
+        .select("_k", "_e", "_prev")
+    )
+
+    merged = within.join(handoff, ["_k", "_e"], "left").select(
+        "_ts",
+        *lcols,
+        *[
+            F.coalesce(F.col(c), F.col(f"_prev.{c}")).alias(c)
+            for c in right_cols
+        ],
+        F.coalesce(F.col("_rts"), F.col("_prev._rts")).alias("_rts"),
+    )
+    if tolerance_seconds is not None:
+        stale = (
+            F.col("_rts").isNull()
+            | (F.expr(_epoch_us("_ts")) - F.expr(_epoch_us("_rts"))
+               > int(tolerance_seconds * 1_000_000))
+        )
+        return merged.select(
+            *lcols,
+            *[F.when(stale, F.lit(None).cast(rtypes[c]))
+              .otherwise(F.col(c)).alias(c) for c in right_cols],
+        )
+    return merged.select(*lcols, *right_cols)
 
 
 def range_join_bucketed(

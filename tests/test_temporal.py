@@ -6,7 +6,11 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from pdf_parser_c_spark.operators.temporal import asof_join, range_join_bucketed
+from pdf_parser_c_spark.operators.temporal import (
+    asof_join,
+    asof_join_epoch_split,
+    range_join_bucketed,
+)
 
 
 def _ts(minute: int, second: int = 0, micro: int = 0) -> dt.datetime:
@@ -94,6 +98,53 @@ def test_asof_matches_pandas_merge_asof(spark):
             assert got[lid] is None, lid
         else:
             assert got[lid] == v, lid
+
+
+def test_asof_epoch_split_equivalence(spark):
+    """The hot-key-safe epoch-split form returns exactly what the plain
+    as-of join returns, across epoch hand-offs: seeded random rows, a
+    60 s epoch, rights clustered so many left rows must reach back one
+    or more epochs (including across EMPTY epochs)."""
+    import random
+
+    rng = random.Random(421)
+    left = pd.DataFrame(
+        {
+            "lid": range(300),
+            "k": [rng.randrange(4) for _ in range(300)],
+            "ts": [_ts(rng.randrange(40), rng.randrange(60), rng.randrange(10) * 7)
+                   for _ in range(300)],
+        }
+    )
+    # rights only in minutes 0-5 and 20-25: epochs 6..19 and 26+ are
+    # empty, so hand-off must skip over them
+    right = pd.DataFrame(
+        {
+            "rk": [rng.randrange(4) for _ in range(60)],
+            "rts": [_ts(rng.choice([0, 1, 2, 3, 4, 5, 20, 21, 22, 23, 24, 25]),
+                        rng.randrange(60), rng.randrange(10) * 11 + i)
+                    for i in range(60)],
+            "v": [float(i) for i in range(60)],
+        }
+    )
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    for tol in (None, 10 * 60):
+        plain = {
+            r["lid"]: r["v"]
+            for r in asof_join(ldf, rdf, "k", "rk", "ts", "rts", ["v"],
+                               tolerance_seconds=tol).collect()
+        }
+        split = {
+            r["lid"]: r["v"]
+            for r in asof_join_epoch_split(
+                ldf, rdf, "k", "rk", "ts", "rts", ["v"],
+                epoch_seconds=60, tolerance_seconds=tol,
+            ).collect()
+        }
+        assert split == plain
+        assert len(split) == len(left)
+    assert any(v is not None for v in plain.values())
+    assert any(v is None for v in plain.values())
 
 
 def test_range_join_window_and_bucket_boundaries(spark):
