@@ -353,15 +353,19 @@ def _ivf_train(
     """k-means training, fully declarative (no driver-side loop):
 
     * init: the first ``k`` vectors by id (deterministic, no RNG);
-    * assign: broadcast the k-row centroid frame, cross-join, keep the
-      argmin by (distance, centroid id) via one window — N×k rows,
-      k is tiny, so the join is a broadcast nested loop;
+    * assign: pack the k centroids into ONE broadcast array row and
+      take ``array_min(transform(...))`` over it — the argmin by
+      (distance, centroid id) as a pure MAP-SIDE fold: no N×k row
+      blow-up, no per-vid window sort, no exchange (the old windowed
+      form shuffled and sorted N×k rows per iteration);
     * update: posexplode to (cluster, dim, value), one groupBy avg,
       re-pack with transform(array_sort(collect_list(struct))).
 
-    At corpus scale every step is a narrow shuffle on cluster/dim keys;
-    the centroid frame stays k×dim rows regardless of N.  Returns
-    (assignments ``(vid, v, cluster)``, centroids ``(cid, c)``)."""
+    At corpus scale the only per-row-volume exchange left is the
+    update's (cluster, dim) aggregation, which partial-aggregates
+    map-side; the centroid frame stays k×dim rows regardless of N.
+    Returns (assignments ``(vid, v, cluster)``, centroids
+    ``(cid, c)``)."""
     base = df.select(
         F.col(id_col).alias("vid"),
         F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("v"),
@@ -371,16 +375,20 @@ def _ivf_train(
         .select(F.row_number().over(Window.orderBy("vid")).alias("cid"), "v")
         .select((F.col("cid") - 1).alias("cid"), F.col("v").alias("c"))
     )
+    # struct(d, cid) compares lexicographically, so array_min is the
+    # exact (distance, centroid-id) tie-break of the windowed form
+    argmin = (
+        f"array_min(transform(cs,"
+        f" ct -> struct({_sqdist('v', 'ct.c')} AS d, ct.cid AS cid))).cid"
+    )
     assign = None
     for it in range(iters):
-        d = F.expr(_sqdist("v", "c"))
-        w = Window.partitionBy("vid").orderBy("d", "cid")
+        cents_arr = cents.agg(
+            F.expr("array_sort(collect_list(struct(cid, c)))").alias("cs")
+        )
         assign = (
-            base.crossJoin(F.broadcast(cents))
-            .withColumn("d", d)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vid", "v", F.col("cid").alias("cluster"))
+            base.crossJoin(F.broadcast(cents_arr))
+            .select("vid", "v", F.expr(argmin).alias("cluster"))
         )
         if it < iters - 1:
             cents = (
