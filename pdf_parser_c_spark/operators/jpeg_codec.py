@@ -681,6 +681,9 @@ def _emit_progressive_scans(out: bytearray, zzs, channels: int,
 
 # ---------------------------------------------------------------- decode
 
+MAX_DECODE_PIXELS = 1 << 26  # 67M px (192 MB RGB): decode-side DoS guard
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """→ (width, height, channels, pixels).  Baseline sequential and
     progressive Huffman JPEG; grayscale or YCbCr with any
@@ -688,7 +691,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     Raises ONLY :class:`JPEGError` on malformed input — truncated
     segments surface as index/struct errors internally and are
     converted here so the mapInPandas kernels' fallback logic stays a
-    single except clause."""
+    single except clause.  Frames larger than ``MAX_DECODE_PIXELS``
+    raise instead of allocating header-driven gigabytes."""
     try:
         return _decode_jpeg(data)
     except (IndexError, struct.error, ValueError) as exc:
@@ -763,6 +767,11 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             if prec != 8:
                 raise JPEGError("only 8-bit precision supported")
             h, w = struct.unpack(">HH", body[1:5])
+            if h == 0 or w == 0 or h * w > MAX_DECODE_PIXELS:
+                # a mutated SOF claiming 65535×65535 would allocate
+                # ~17 GB of block storage before any entropy data is
+                # read; one hostile payload must never stall a task
+                raise JPEGError(f"frame {w}x{h} outside decode bounds")
             nc = body[5]
             comps = []
             for c in range(nc):

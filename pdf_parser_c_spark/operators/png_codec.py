@@ -51,10 +51,15 @@ def encode_png(width: int, height: int, pixels: bytes, channels: int = 1) -> byt
     )
 
 
+MAX_DECODE_PIXELS = 1 << 26  # 67M px: decode-side DoS guard
+
+
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """→ (width, height, channels, pixel bytes).  Supports the subset
     encode_png emits plus any 8-bit gray/RGB non-interlaced PNG (all
-    five row filters via the shared predictor)."""
+    five row filters via the shared predictor).  Raises ONLY
+    :class:`PNGError` on malformed input; inflate output is capped at
+    the header-declared size so decompression bombs raise too."""
     if not data.startswith(PNG_SIG):
         raise PNGError("not a PNG")
     pos = len(PNG_SIG)
@@ -66,26 +71,43 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + tag + body + crc
         if tag == b"IHDR":
+            if len(body) < 13:
+                raise PNGError("short IHDR")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
+                ">IIBBBBB", body[:13]
             )
             if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
                 raise PNGError("unsupported PNG variant")
             channels = {0: 1, 2: 3}.get(color, -1)
             if channels < 0:
                 raise PNGError(f"unsupported color type {color}")
+            if width == 0 or height == 0 or width * height > MAX_DECODE_PIXELS:
+                raise PNGError(f"image {width}x{height} outside decode bounds")
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
     if width < 0 or not idat:
         raise PNGError("truncated PNG")
-    raw = zlib.decompress(bytes(idat))
-    pixels = _apply_predictor(
-        raw,
-        {"Predictor": 15, "Colors": channels, "BitsPerComponent": 8,
-         "Columns": width},
-    )
+    # bounded inflate: cap output at the exact filtered-pixel size so a
+    # decompression bomb raises instead of allocating; zlib's own
+    # errors convert so the kernels' fallback stays one except clause
+    expected = (width * channels + 1) * height
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise PNGError(f"bad zlib stream: {exc}") from exc
+    if len(raw) > expected:
+        raise PNGError("pixel payload exceeds declared dimensions")
+    try:
+        pixels = _apply_predictor(
+            raw,
+            {"Predictor": 15, "Colors": channels, "BitsPerComponent": 8,
+             "Columns": width},
+        )
+    except Exception as exc:
+        raise PNGError(f"bad filter data: {exc}") from exc
     if len(pixels) != width * height * channels:
         raise PNGError("pixel payload size mismatch")
     return width, height, channels, pixels

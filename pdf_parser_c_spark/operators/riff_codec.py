@@ -121,11 +121,13 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
     frames: list[bytes] = []
     handler = None
 
-    def walk(pos: int, end: int) -> None:
+    def walk(pos: int, end: int, depth: int = 0) -> None:
         nonlocal width, height, fps, handler
+        if depth > 32:  # crafted LIST nesting must raise, not blow the stack
+            raise RIFFError("LIST nesting too deep")
         for tag, s, e in _riff_chunks(data, pos, end):
             if tag == b"LIST":
-                walk(s + 4, e)
+                walk(s + 4, e, depth + 1)
             elif tag == b"avih":
                 if e - s < 40:
                     raise RIFFError("short avih")

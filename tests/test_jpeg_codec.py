@@ -110,3 +110,24 @@ def test_restart_marker_corruption_raises():
     j = data.find(b"\xff\xdd")
     with pytest.raises(JPEGError):
         decode_jpeg(data[:j] + data[j + 6:])
+
+
+def test_giant_sof_rejected_fast():
+    """A mutated SOF claiming 65500x65500 must raise JPEGError before
+    allocating header-driven block storage (decode-side DoS guard)."""
+    import struct
+    import time
+
+    from pdf_parser_c_spark.operators.jpeg_codec import JPEGError, decode_jpeg
+
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 65500, 65500) + b"\x01" + b"\x01\x11\x00"
+        + b"\xff\xd9"
+    )
+    t0 = time.time()
+    with pytest.raises(JPEGError, match="outside decode bounds"):
+        decode_jpeg(data)
+    assert time.time() - t0 < 1.0

@@ -6,6 +6,8 @@ outside those formats fall back to documented deterministic stubs."""
 
 import hashlib
 
+import pytest
+
 from pdf_parser_c_spark.operators.jpeg_codec import JPEGError, decode_jpeg
 from pdf_parser_c_spark.operators.png_codec import PNGError, decode_png, encode_png
 
@@ -144,3 +146,45 @@ def test_stub_fallback_for_opaque_av_payloads(spark):
     assert arows and all(r["decoder"] == "stub" for r in arows)
     vrows = sample_video_frames(df, every_n=10).collect()
     assert vrows and all(r["decoder"] == "stub" for r in vrows)
+
+
+def test_png_guards_raise_pngerror_only():
+    """zlib errors, decompression bombs, giant headers and bad filter
+    bytes must all surface as PNGError (the kernels' single fallback
+    clause), never zlib.error/struct.error or a giant allocation."""
+    import struct
+    import zlib
+    from binascii import crc32
+
+    from pdf_parser_c_spark.operators.png_codec import PNG_SIG
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", crc32(tag + body))
+
+    def ihdr(w, h, color=0):
+        return chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+
+    # corrupt zlib stream
+    bad = PNG_SIG + ihdr(4, 4) + chunk(b"IDAT", b"\x00garbage") + chunk(b"IEND", b"")
+    with pytest.raises(PNGError, match="zlib"):
+        decode_png(bad)
+    # decompression bomb: tiny IDAT inflating far past declared dims
+    bomb = PNG_SIG + ihdr(16, 16) + chunk(
+        b"IDAT", zlib.compress(bytes(10_000_000), 9)) + chunk(b"IEND", b"")
+    with pytest.raises(PNGError, match="exceeds declared"):
+        decode_png(bomb)
+    # header-driven giant allocation
+    giant = PNG_SIG + ihdr(60000, 60000, color=2) + chunk(b"IDAT", b"x") + chunk(
+        b"IEND", b"")
+    with pytest.raises(PNGError, match="outside decode bounds"):
+        decode_png(giant)
+    # bad filter byte
+    raw = zlib.compress(b"\x09" + bytes(4))  # filter type 9 invalid
+    badf = PNG_SIG + ihdr(4, 1) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
+    with pytest.raises(PNGError):
+        decode_png(badf)
+    # short IHDR
+    short = PNG_SIG + chunk(b"IHDR", b"\x00\x00") + chunk(b"IEND", b"")
+    with pytest.raises(PNGError):
+        decode_png(short)

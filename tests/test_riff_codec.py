@@ -63,3 +63,16 @@ def test_chunk_overrun_rejected():
     wav = encode_wav(8000, np.zeros(16, dtype=np.int16))
     with pytest.raises(RIFFError):
         decode_wav(wav[:-10])  # data chunk shorter than declared
+
+
+def test_deep_list_nesting_raises_not_recurses():
+    import struct
+
+    from pdf_parser_c_spark.operators.riff_codec import RIFFError, decode_avi_mjpeg
+
+    nested = b"AVI "
+    for _ in range(200):
+        nested = b"LIST" + struct.pack("<I", len(nested) + 4) + b"hdrl" + nested
+    avi = b"RIFF" + struct.pack("<I", len(nested) + 4) + b"AVI " + nested
+    with pytest.raises(RIFFError, match="nesting too deep"):
+        decode_avi_mjpeg(avi)
