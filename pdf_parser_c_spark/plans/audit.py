@@ -42,6 +42,9 @@ def main() -> None:
         "dedup_embedding_banded": "one (band, code) exchange feeding ArrowEvalPython + FlatMapGroupsInPandas; no pair-vector join",
         "dedup_contamination": "benchmark shingles broadcast as 8-byte ints; map-side hash join over exploded corpus shingles",
         "dedup_components": "hash-min rounds collapsed into localCheckpoint scans; final census is one exchange + partial/final HashAggregate",
+        "temporal_asof_join": "ONE running-state window on the join key; no inequality join anywhere",
+        "temporal_range_join": "bucketed equi-join (key, time-bucket); exact range predicate inside hash cells, no BroadcastNestedLoopJoin",
+        "temporal_rollup_cascade": "daily folds from hourly partials; AQE ReusedExchange merges the two hourly consumers at runtime",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

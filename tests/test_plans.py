@@ -174,3 +174,30 @@ def test_dedup_family_never_all_pairs(spark, name):
         assert n_bnlj == 1  # pair_stats × bucket_stats, both 1 row
     else:
         assert n_bnlj == 0
+
+
+@pytest.mark.parametrize("name", ["temporal_asof_join", "temporal_range_join"])
+def test_temporal_joins_never_inequality_join(spark, name):
+    """As-of and range joins must plan as equi-keyed shuffles (window /
+    bucketed hash join) — a BroadcastNestedLoopJoin here is the O(n²)
+    encoding these operators exist to avoid."""
+    plan = plan_of(spark, QUERIES[name][0](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_one_keyed_window(spark):
+    plan = plan_of(spark, QUERIES["temporal_asof_join"][0](spark, SF_DIR), "simple")
+    assert plan.count("Window") == 1  # the running-state window, once
+
+
+def test_rollup_cascade_computes_hourly_once(spark):
+    """The daily grain folds from hourly partials: both union branches
+    consume the SAME hourly exchange.  Statically the plan prints two
+    identical subtrees; at runtime AQE must merge them (ReusedExchange)
+    so events are scanned and hour-aggregated once."""
+    df = QUERIES["temporal_rollup_cascade"][0](spark, SF_DIR)
+    df.collect()
+    plan = plan_of(spark, df, "simple")
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
