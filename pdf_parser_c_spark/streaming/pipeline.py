@@ -186,3 +186,71 @@ def start_metrics_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def asof_enrich_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    is_state_col: str,
+    out_col: str = "last_value",
+    ttl_minutes: "int | None" = None,
+) -> DataFrame:
+    """Streaming as-of enrichment: every row gains ``out_col`` = the
+    ``value_col`` of the latest row with ``is_state_col`` true for the
+    same key at-or-before its timestamp — the streaming counterpart of
+    ``operators.temporal.asof_join`` (inclusive semantics: a state row
+    sees its own value).  State = one (value, ts) pair per key.
+
+    Within a micro-batch rows sort by event time and the fill is a
+    vectorized ffill; across batches the last state rides
+    ``applyInPandasWithState``.  Semantics are exact when each key's
+    rows arrive in event-time order across batches (the usual log
+    ordering); a row arriving after a LATER row was already processed
+    reads the newest processed state — standard streaming-enrichment
+    prefix semantics, unlike the batch operator which sees all data.
+
+    ``ttl_minutes`` evicts idle keys (state reads as NULL afterwards);
+    ``value_col`` must be numeric (DoubleType state)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.DoubleType())]
+    )
+    state_schema = T.StructType([T.StructField("v", T.DoubleType())])
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if ttl_minutes else GroupStateTimeout.NoTimeout)
+
+    def enrich(key, pdfs, state):
+        if ttl_minutes and state.hasTimedOut:
+            state.remove()
+            return
+        cur = state.get[0] if state.exists else None
+        batches = [p for p in pdfs if len(p)]
+        if not batches:
+            return
+        pdf = pd.concat(batches).sort_values(ts_col, kind="mergesort")
+        updates = pdf[value_col].astype("float64").where(pdf[is_state_col])
+        filled = updates.ffill()
+        if cur is not None:
+            filled = filled.fillna(cur)
+        pdf[out_col] = filled
+        last = updates.dropna()
+        if len(last):
+            cur = float(last.iloc[-1])
+        if cur is not None:
+            state.update((cur,))
+            if ttl_minutes:
+                state.setTimeoutDuration(ttl_minutes * 60_000)
+        yield pdf
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        enrich,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -156,3 +156,67 @@ def test_windowed_metrics_stream_with_watermark(spark, tmp_path):
     q2.awaitTermination(180)
     out2 = spark.read.parquet(str(tmp_path / "met")).toPandas()
     assert int(out2["n_turns"].sum()) == len(corpus)  # unchanged
+
+
+def test_streaming_asof_enrich_across_batches(spark, tmp_path):
+    """Streaming as-of enrichment: each event reads the latest 'state'
+    value for its key at-or-before its timestamp; the running state
+    crosses micro-batches via the checkpointed state store."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from pdf_parser_c_spark.streaming.pipeline import asof_enrich_stream
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("is_state", T.BooleanType()),
+        T.StructField("eid", T.LongType()),
+    ])
+
+    def rows(specs, eid0=0):
+        return pd.DataFrame(
+            [{"k": k, "ts": dt.datetime(2026, 1, 1, 0, m), "v": float(v),
+              "is_state": st, "eid": eid}
+             for eid, (k, m, v, st) in enumerate(specs, eid0)]
+        )
+
+    inp = tmp_path / "ain"
+    inp.mkdir()
+    # batch 1: key 1 gets state 10 at t1, reads at t0 (before: null)
+    # and t2 (10); key 2 has no state yet
+    _write_corpus(str(inp / "b0.parquet"), rows([
+        (1, 0, 0, False), (1, 1, 10, True), (1, 2, 0, False),
+        (2, 2, 0, False),
+    ]))
+
+    def run():
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(str(inp)))
+        q = (asof_enrich_stream(src, "k", "ts", "v", "is_state")
+             .writeStream.format("parquet")
+             .option("path", str(tmp_path / "aout"))
+             .option("checkpointLocation", str(tmp_path / "ackpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {r["eid"]: r["last_value"]
+                for r in spark.read.parquet(str(tmp_path / "aout")).collect()}
+
+    out1 = run()
+    assert out1[0] is None          # before any state
+    assert out1[1] == 10.0          # a state row sees its own value
+    assert out1[2] == 10.0
+    assert out1[3] is None          # key 2: no state
+
+    # batch 2 (new run, same checkpoint): key 1 reads carry the batch-1
+    # state, then a newer state supersedes it; key 2 gains state
+    _write_corpus(str(inp / "b1.parquet"), rows([
+        (1, 3, 0, False), (1, 4, 20, True), (1, 5, 0, False),
+        (2, 4, 7, True), (2, 5, 0, False),
+    ], eid0=4))
+    out2 = run()
+    assert out2[4] == 10.0          # cross-batch carry
+    assert out2[5] == 20.0 and out2[6] == 20.0
+    assert out2[7] == 7.0 and out2[8] == 7.0
