@@ -2595,6 +2595,41 @@ FROM u GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_sequence_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-stable sequence assembly: each user's event types concat
+    in (ts, event_id) order — the per-turn → per-document fold a
+    transcript pipeline ships downstream (north rule: "per-turn text
+    equality under STABLE turn ordering"; same shape as assembling a
+    conversation document from its turns).
+    Scale: one exchange on the key; the sort is per-group array_sort
+    over collected structs (bounded by per-key cardinality — for
+    mega-keys, sessionize first).  Output pinned by md5 so the oracle
+    hashes the exact assembled string, not a truncation."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list("
+                    "struct(ts, event_id, event_type))),"
+                    " s -> s.event_type), '>')"
+                )
+            ).alias("seq_md5"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_SEQUENCE_ASSEMBLY = """
+SELECT user_id,
+       count(*) AS n_events,
+       md5(string_agg(event_type, '>' ORDER BY ts, event_id)) AS seq_md5
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2646,6 +2681,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "temporal_asof_join": (q_temporal_asof, SQL_TEMPORAL_ASOF),
     "temporal_range_join": (q_temporal_range_join, SQL_TEMPORAL_RANGE),
     "temporal_rollup_cascade": (q_temporal_rollup, SQL_TEMPORAL_ROLLUP),
+    "sequence_assembly": (q_sequence_assembly, SQL_SEQUENCE_ASSEMBLY),
     "section_tree": (q_section_tree, SQL_SECTION_TREE),
     "extraction_e2e": (q_extraction_e2e, SQL_EXTRACTION_E2E),
     "extraction_html_roundtrip": (
