@@ -274,6 +274,7 @@ def run_probe() -> str:
             f"instead of pinning one partition."
         )
         body.append("")
+        body.extend(asof_hot_key_probe(spark))
         return "\n".join(body)
     finally:
         for k, v in saved.items():
@@ -287,6 +288,82 @@ def run_probe() -> str:
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def asof_hot_key_probe(spark) -> list[str]:
+    """One hot key owning most of an as-of join's rows: the plain form
+    windows the whole key in one task; the epoch-split form must (a)
+    return the identical result and (b) bound its window cells by the
+    per-epoch density.  Deterministic data (spark.range, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_c_spark.operators.temporal import (
+        asof_join,
+        asof_join_epoch_split,
+    )
+
+    base = "TIMESTAMP'2024-01-01 00:00:00'"
+    # hot key: 160k reads over ~100 hours; 50 cold keys with 800 each
+    hot = spark.range(160_000).select(
+        F.lit("hot").alias("k"),
+        F.expr(f"{base} + make_interval(0,0,0,0,0,0, id * 2.25)").alias("ts"),
+        F.col("id").alias("lid"),
+    )
+    cold = spark.range(40_000).select(
+        F.concat(F.lit("c"), (F.col("id") % 50).cast("string")).alias("k"),
+        F.expr(f"{base} + make_interval(0,0,0,0,0,0, id * 9.0)").alias("ts"),
+        (F.col("id") + 1_000_000).alias("lid"),
+    )
+    left = hot.unionAll(cold)
+    upd = spark.range(2_000).select(
+        F.lit("hot").alias("rk"),
+        F.expr(f"{base} + make_interval(0,0,0,0,0,0, id * 180.0)").alias("rts"),
+        (F.col("id") * 1.0).alias("v"),
+    ).unionAll(
+        spark.range(2_000).select(
+            F.concat(F.lit("c"), (F.col("id") % 50).cast("string")).alias("rk"),
+            F.expr(f"{base} + make_interval(0,0,0,0,0,0, id * 180.0)").alias("rts"),
+            (F.col("id") * -1.0).alias("v"),
+        )
+    )
+    epoch_s = 3600
+    plain = asof_join(left, upd, "k", "rk", "ts", "rts", ["v"])
+    split = asof_join_epoch_split(
+        left, upd, "k", "rk", "ts", "rts", ["v"], epoch_seconds=epoch_s
+    )
+    import time
+
+    t0 = time.time(); n_plain = plain.count(); t_plain = time.time() - t0
+    t0 = time.time(); n_split = split.count(); t_split = time.time() - t0
+    assert n_plain == n_split == 200_000
+    assert plain.exceptAll(split).count() == 0
+    assert split.exceptAll(plain).count() == 0
+    print("asof plain == epoch-split on the hot-key corpus", file=sys.stderr)
+
+    # window-cell bounds, computed from the data the windows partition on
+    u = left.select("k", "ts").unionAll(upd.select(
+        F.col("rk").alias("k"), F.col("rts").alias("ts")))
+    per_key = u.groupBy("k").count().agg(F.max("count")).collect()[0][0]
+    per_cell = (
+        u.groupBy("k", F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            f" div {epoch_s * 1_000_000}"
+        )).count().agg(F.max("count")).collect()[0][0]
+    )
+    return [
+        "### as-of join hot key (plain vs epoch-split)",
+        "",
+        f"One key owns 160k of 200k left rows (+2k state updates).  The "
+        f"plain `asof_join` windows **{per_key:,}** rows in one cell (one "
+        f"task at any cluster size); `asof_join_epoch_split` "
+        f"(epoch = {epoch_s} s) bounds the largest window cell at "
+        f"**{per_cell:,}** rows — a {per_key / per_cell:.0f}× split — and "
+        f"returns the IDENTICAL result (exceptAll both ways = 0, asserted; "
+        f"probe walls {t_plain:.1f}s vs {t_split:.1f}s at local[32], where "
+        f"one 160k-row sort doesn't yet hurt — the bound is what matters "
+        f"at 10^9 rows/key).",
+        "",
+    ]
 
 
 def main() -> None:
