@@ -2630,6 +2630,73 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (p50/p90/p99 of event value) — the
+    everyday distribution census.  Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share linear-interpolation semantics, so the
+    oracle matches to the rounded digit.
+    Scale: exact percentile sorts per group — fine for bounded group
+    counts (5 event types); at unbounded cardinality swap in
+    ``percentile_approx`` (sketch-mergeable, no sort) and drop the
+    oracle to rows-only."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_QUANTILES = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix (long → wide).  The
+    explicit value list keeps the plan a single groupBy — no extra
+    distinct-values collection job — which is also the 100 TB shape
+    (pivot columns must be known/bounded; unbounded pivots stay long).
+    Census: per-user totals bucketed by dominant column."""
+    ev = t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+    return (
+        wide.select(
+            "user_id",
+            *[F.col(c).alias(f"n_{c}") for c in EVENT_TYPES],
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2682,6 +2749,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "temporal_range_join": (q_temporal_range_join, SQL_TEMPORAL_RANGE),
     "temporal_rollup_cascade": (q_temporal_rollup, SQL_TEMPORAL_ROLLUP),
     "sequence_assembly": (q_sequence_assembly, SQL_SEQUENCE_ASSEMBLY),
+    "events_quantiles": (q_quantiles, SQL_QUANTILES),
+    "events_pivot": (q_pivot_events, SQL_PIVOT_EVENTS),
     "section_tree": (q_section_tree, SQL_SECTION_TREE),
     "extraction_e2e": (q_extraction_e2e, SQL_EXTRACTION_E2E),
     "extraction_html_roundtrip": (
