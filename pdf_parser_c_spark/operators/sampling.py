@@ -1,0 +1,126 @@
+"""Deterministic dataset-shaping operators for training-data pipelines:
+stratified sampling, per-class capping, leakage-safe splits, sequence
+packing.
+
+Everything keys on md5-prefix integer hashes of stable ids — never
+``rand()`` — so results are reproducible run-to-run, independent of
+partitioning, and exactly mirrorable in the DuckDB oracles (same md5,
+same arithmetic).  At 100 TB that determinism is what makes dataset
+builds auditable: re-running a sample/split yields byte-identical
+membership, and a row's split assignment can be recomputed from its id
+alone (no stored lookup table).
+
+Scale notes per operator:
+* ``hash_sample`` — pure map-side filter; pushes to the scan.
+* ``cap_per_class`` — one exchange on the class key; the window ranks
+  by hash (deterministic winner set).  A pathologically hot class
+  concentrates its rank in one task: cap k ≪ class size makes the sort
+  cheap, or pre-filter with ``hash_sample`` to ~2k/|class| first.
+* ``assign_splits`` — map-side; split by the GROUP id (conv/doc), not
+  the row, so correlated rows can never straddle train/test (leakage).
+* ``pack_sequences`` — running token cumsum per shard → pack id; one
+  exchange on the shard key.  Greedy sequential packing (what
+  streaming tokenizer pipelines do), not bin-packing — fragmentation
+  is bounded by max_doc_tokens/budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 60-bit md5 prefix of the stringified id — same recipe as the shingle
+# keys; DuckDB mirror: CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+_ID_HASH = "cast(conv(substr(md5(cast({col} as string)), 1, 15), 16, 10) as bigint)"
+_HASH_SPACE = 1 << 60
+
+
+def id_hash(col: str) -> "F.Column":
+    return F.expr(_ID_HASH.format(col=col))
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by id hash — deterministic,
+    map-side, and stable under re-runs and repartitioning (rand()-based
+    sampling is none of those)."""
+    threshold = int(fraction * _HASH_SPACE)
+    return df.filter(id_hash(id_col) < F.lit(threshold))
+
+
+def cap_per_class(
+    df: DataFrame, class_col: str, id_col: str, cap: int
+) -> DataFrame:
+    """At most ``cap`` rows per class — the dominant-class down-sampler.
+    The kept set is the ``cap`` lowest id hashes per class: a
+    deterministic uniform subsample, not "first arrived"."""
+    w = Window.partitionBy(class_col).orderBy(id_hash(id_col), F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def assign_splits(
+    df: DataFrame,
+    group_col: str,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+) -> DataFrame:
+    """Add a ``split`` column ('train' | 'val' | 'test') keyed on the
+    GROUP id hash, so every row of a conversation/document lands in the
+    same split — the leakage guarantee row-level sampling can't give."""
+    h = id_hash(group_col)
+    val_t = int(val_fraction * _HASH_SPACE)
+    test_t = int((val_fraction + test_fraction) * _HASH_SPACE)
+    return df.withColumn(
+        "split",
+        F.when(h < F.lit(val_t), F.lit("val"))
+        .when(h < F.lit(test_t), F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Greedy sequential packing of documents into ~``budget``-token
+    context windows: docs are sharded by id hash, ordered
+    deterministically within the shard, and cut into packs wherever the
+    running token total crosses a budget boundary.  Adds
+    ``shard``, ``pack_id`` (unique within shard), and ``pack_pos``.
+
+    The pack boundary is ``floor((cumsum - tokens) / budget)`` — the
+    window a doc STARTS in — so every pack holds ≥1 doc and overflow
+    beyond the budget is carried, never split (documents stay whole;
+    oversized docs own their packs).  One exchange on the shard key;
+    shard count bounds the window state."""
+    h = id_hash(id_col)
+    shard = F.pmod(h, F.lit(n_shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(h, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("shard", shard).withColumn(
+        "_cum", F.sum(F.col(token_count_col)).over(w)
+    )
+    return (
+        out.withColumn(
+            "pack_id",
+            ((F.col("_cum") - F.col(token_count_col)) / F.lit(budget))
+            .cast("long"),
+        )
+        .withColumn(
+            "pack_pos",
+            F.row_number().over(
+                Window.partitionBy("shard", "pack_id").orderBy(h, F.col(id_col))
+            ),
+        )
+        .drop("_cum")
+    )

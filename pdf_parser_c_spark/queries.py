@@ -2698,6 +2698,178 @@ FROM events GROUP BY user_id ORDER BY user_id
 
 
 # --------------------------------------------------------------------------
+# Dataset shaping (training-data pipeline): deterministic sampling,
+# class capping, leakage-safe splits, sequence packing
+# --------------------------------------------------------------------------
+
+# DuckDB mirror of operators/sampling.id_hash (same md5-prefix recipe
+# as the shingle keys)
+ID_HASH_DUCK = "CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+SAMPLE_FRACTION = 0.25
+SAMPLE_THRESHOLD = int(SAMPLE_FRACTION * (1 << 60))
+CLASS_CAP = 100
+SPLIT_VAL_T = int(0.1 * (1 << 60))
+SPLIT_TEST_T = int(0.2 * (1 << 60))
+PACK_BUDGET = 512
+PACK_SHARDS = 8
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling, audited per stratum: keep ~25% of
+    documents by doc_id hash and report per-language kept/total.
+    Scale: the sample predicate is a map-side filter on a hash of the
+    id — reproducible run-to-run and partition-independent, unlike
+    rand()-based sampling (operators/sampling.hash_sample)."""
+    from .operators.sampling import hash_sample
+
+    d = t(spark, sf_dir, "documents")
+    kept = (
+        hash_sample(d, "doc_id", SAMPLE_FRACTION)
+        .groupBy("lang").agg(F.count("*").alias("n_kept"))
+    )
+    total = d.groupBy("lang").agg(F.count("*").alias("n_total"))
+    return (
+        total.join(kept, "lang", "left")
+        .select("lang", "n_total", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+WITH h AS (SELECT lang, {ID_HASH_DUCK.format(col='doc_id')} AS hv FROM documents)
+SELECT lang, count(*) AS n_total,
+       CAST(sum(CASE WHEN hv < {SAMPLE_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM h GROUP BY lang ORDER BY lang
+"""
+
+
+def q_sample_class_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-class down-sampling: at most {cap} events per type, the
+    kept set being the lowest id hashes (a deterministic uniform
+    subsample, membership pinned by md5 over the kept id list).
+    Scale: one exchange on the class key
+    (operators/sampling.cap_per_class)."""
+    from .operators.sampling import cap_per_class
+
+    ev = t(spark, sf_dir, "events")
+    capped = cap_per_class(ev, "event_type", "event_id", CLASS_CAP)
+    return (
+        capped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list(event_id)),"
+                    " x -> cast(x as string)), ',')"
+                )
+            ).alias("kept_md5"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SAMPLE_CLASS_CAP = f"""
+WITH h AS (SELECT event_type, event_id,
+                  {ID_HASH_DUCK.format(col='event_id')} AS hv
+           FROM events),
+r AS (SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv, event_id)
+               AS rn
+      FROM h)
+SELECT event_type, count(*) AS n_kept,
+       md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id))
+         AS kept_md5
+FROM r WHERE rn <= {CLASS_CAP}
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split keys on the USER's
+    id hash, so every event of a user shares a split — correlated rows
+    can never straddle train/test.  Census: per (split, event_type)
+    row and user counts.  Scale: map-side split column; a row's split
+    is recomputable from its id alone (operators/sampling.assign_splits)."""
+    from .operators.sampling import assign_splits
+
+    ev = t(spark, sf_dir, "events")
+    return (
+        assign_splits(ev, "user_id", 0.1, 0.1)
+        .groupBy("split", "event_type")
+        .agg(F.count("*").alias("n_rows"),
+             F.countDistinct("user_id").alias("n_users"))
+        .orderBy("split", "event_type")
+    )
+
+
+SQL_SPLIT_ASSIGN = f"""
+WITH h AS (SELECT event_type, user_id,
+                  {ID_HASH_DUCK.format(col='user_id')} AS hv
+           FROM events),
+s AS (SELECT event_type, user_id,
+             CASE WHEN hv < {SPLIT_VAL_T} THEN 'val'
+                  WHEN hv < {SPLIT_TEST_T} THEN 'test'
+                  ELSE 'train' END AS split
+      FROM h)
+SELECT split, event_type, count(*) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: documents shard by id hash, order
+    deterministically within the shard, and cut into ~512-token packs
+    at running-cumsum boundaries (docs stay whole; oversized docs own
+    their packs) — the context-window assembly step of an LLM data
+    pipeline.  Census: per shard, docs / packs / largest pack.
+    Scale: ONE exchange on the shard key; shard count bounds window
+    state (operators/sampling.pack_sequences)."""
+    from .operators.sampling import pack_sequences
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("size(split(text, ' '))").alias("n_tokens")
+    )
+    packed = pack_sequences(d, "doc_id", "n_tokens", PACK_BUDGET, PACK_SHARDS)
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tok")
+    )
+    return (
+        per_pack.groupBy("shard")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.count("*").alias("n_packs"),
+            F.max("tok").cast("long").alias("max_pack_tokens"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                  {ID_HASH_DUCK.format(col='doc_id')} AS hv
+           FROM documents),
+sh AS (SELECT doc_id, n_tokens, hv, CAST(hv % {PACK_SHARDS} AS INTEGER) AS shard
+       FROM d),
+cum AS (SELECT shard, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY shard ORDER BY hv, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS c
+        FROM sh),
+packs AS (SELECT shard, n_tokens, (c - n_tokens) // {PACK_BUDGET} AS pack_id
+          FROM cum),
+per_pack AS (SELECT shard, pack_id, count(*) AS n_docs, sum(n_tokens) AS tok
+             FROM packs GROUP BY 1, 2)
+SELECT shard, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       count(*) AS n_packs,
+       CAST(max(tok) AS BIGINT) AS max_pack_tokens,
+       CAST(sum(tok) AS BIGINT) AS total_tokens
+FROM per_pack GROUP BY shard ORDER BY shard
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2751,6 +2923,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sequence_assembly": (q_sequence_assembly, SQL_SEQUENCE_ASSEMBLY),
     "events_quantiles": (q_quantiles, SQL_QUANTILES),
     "events_pivot": (q_pivot_events, SQL_PIVOT_EVENTS),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "sample_class_cap": (q_sample_class_cap, SQL_SAMPLE_CLASS_CAP),
+    "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "section_tree": (q_section_tree, SQL_SECTION_TREE),
     "extraction_e2e": (q_extraction_e2e, SQL_EXTRACTION_E2E),
     "extraction_html_roundtrip": (

@@ -1,0 +1,80 @@
+"""Dataset-shaping operators: determinism, leakage guarantee, packing
+invariants."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_c_spark.operators.sampling import (
+    assign_splits,
+    cap_per_class,
+    hash_sample,
+    pack_sequences,
+)
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    base = pd.DataFrame(
+        {
+            "rid": range(1000),
+            "grp": [i % 37 for i in range(1000)],
+            "cls": [("a", "b", "c")[i % 3] for i in range(1000)],
+            "tokens": [(i * 97) % 300 + 1 for i in range(1000)],
+        }
+    )
+    return spark.createDataFrame(base)
+
+
+def test_hash_sample_deterministic_and_proportional(spark, rows):
+    a = {r["rid"] for r in hash_sample(rows, "rid", 0.3).collect()}
+    b = {r["rid"] for r in hash_sample(rows, "rid", 0.3).collect()}
+    assert a == b                                  # re-run: identical set
+    assert 0.2 < len(a) / 1000 < 0.4               # ~fraction
+    sub = {r["rid"] for r in hash_sample(rows, "rid", 0.1).collect()}
+    assert sub <= a                                # nested fractions nest
+
+
+def test_cap_per_class(spark, rows):
+    capped = cap_per_class(rows, "cls", "rid", 50)
+    per = {r["cls"]: r["n"] for r in
+           capped.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert per == {"a": 50, "b": 50, "c": 50}
+    again = cap_per_class(rows, "cls", "rid", 50)
+    assert {r["rid"] for r in capped.collect()} == {
+        r["rid"] for r in again.collect()}         # deterministic winners
+
+
+def test_assign_splits_no_group_leakage(spark, rows):
+    split = assign_splits(rows, "grp", 0.2, 0.2)
+    per_grp = (
+        split.groupBy("grp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_grp)  # a group never straddles
+    names = {r["split"] for r in split.select("split").distinct().collect()}
+    assert names <= {"train", "val", "test"} and "train" in names
+
+
+def test_pack_sequences_invariants(spark, rows):
+    budget = 400
+    packed = pack_sequences(rows, "rid", "tokens", budget, n_shards=4)
+    assert packed.count() == 1000                  # every doc packed, whole
+    per_pack = (
+        packed.groupBy("shard", "pack_id")
+        .agg(F.sum("tokens").alias("tok"), F.count("*").alias("n"),
+             F.min("tokens").alias("min_tok"))
+        .collect()
+    )
+    for r in per_pack:
+        assert r["n"] >= 1
+        # a pack only exceeds the budget by its final carried doc: the
+        # pre-overflow prefix is < budget, so tok < budget + max_doc
+        assert r["tok"] < budget + 300
+    # pack ids are dense per shard (0..n-1): the cut rule can't skip
+    ids = {}
+    for r in per_pack:
+        ids.setdefault(r["shard"], set()).add(r["pack_id"])
+    for got in ids.values():
+        assert got == set(range(len(got)))
