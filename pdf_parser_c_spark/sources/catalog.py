@@ -42,6 +42,29 @@ class ParquetCatalog:
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         df.write.mode("overwrite").partitionBy(partition_col).parquet(self.path(name))
 
+    def write_bucketed(
+        self, df: DataFrame, name: str, key: str, n_buckets: int,
+        database: str = "bucketed",
+    ) -> str:
+        """Persist ``df`` hash-bucketed (and sorted) by ``key`` as a
+        managed table, so joins/aggregations on ``key`` between
+        co-bucketed tables plan with ZERO exchanges (pinned by
+        tests/test_bucketing.py) — pre-shuffling once at write time is
+        the 100 TB lever for dimension tables joined repeatedly on the
+        same key.  Returns the qualified table name.  Iceberg's
+        equivalent is a ``bucket(n, key)`` partition transform plus
+        storage-partitioned joins."""
+        self.spark.sql(
+            f"CREATE DATABASE IF NOT EXISTS {database} "
+            f"LOCATION '{self.root}/{database}'"
+        )
+        qualified = f"{database}.{name}"
+        (
+            df.write.bucketBy(n_buckets, key).sortBy(key)
+            .mode("overwrite").saveAsTable(qualified)
+        )
+        return qualified
+
 
 @dataclass
 class IcebergCatalog:

@@ -1,0 +1,49 @@
+"""Bucketed tables: co-located joins and aggregations plan with ZERO
+exchanges — the pre-shuffle-once-at-write-time lever for keys joined
+repeatedly at 100 TB."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from pdf_parser_c_spark.sources.catalog import ParquetCatalog
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df) -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_cobucketed_join_and_agg_have_zero_exchanges(spark, tmp_path):
+    cat = ParquetCatalog(spark, str(tmp_path))
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    t1 = cat.write_bucketed(ev, "ev_by_user", "user_id", 8)
+    t2 = cat.write_bucketed(
+        ev.selectExpr("user_id AS u2", "value AS v2"), "ev2_by_user", "u2", 8
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(t1).join(spark.table(t2), F.col("user_id") == F.col("u2"))
+        plan = _plan(spark, j)
+        assert "SortMergeJoin" in plan
+        assert not re.search(r"Exchange hashpartitioning", plan), plan
+        # bucketing also feeds aggregation: groupBy on the bucket key
+        # needs no shuffle either
+        agg = spark.table(t1).groupBy("user_id").agg(F.sum("value"))
+        aplan = _plan(spark, agg)
+        assert not re.search(r"Exchange hashpartitioning", aplan), aplan
+        # and the answers match the unbucketed join
+        n_b = j.count()
+        n_p = ev.join(
+            ev.selectExpr("user_id AS u2", "value AS v2"),
+            F.col("user_id") == F.col("u2"),
+        ).count()
+        assert n_b == n_p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bucketed.ev_by_user")
+        spark.sql("DROP TABLE IF EXISTS bucketed.ev2_by_user")
+        spark.sql("DROP DATABASE IF EXISTS bucketed")
