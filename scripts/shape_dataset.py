@@ -1,0 +1,122 @@
+"""Dataset-shaping CLI: extraction output (or any keyed text table) →
+deduplicated, decontaminated, sampled, split, packed training shards.
+
+Usage:
+    python scripts/shape_dataset.py \
+        --input /data/corpus.parquet --output /data/shards \
+        --id-col doc_id --text-col text \
+        [--drop-exact-dups] [--benchmark /data/eval.parquet] \
+        [--sample 0.5] [--cap-per-class 100000 --class-col lang] \
+        [--val 0.01 --test 0.01 --group-col doc_id] \
+        [--pack-budget 2048 --shards 1024]
+
+Chains the engine's dataset operators in the order a training-data
+build runs them: exact dedup → benchmark decontamination → stratified
+hash sample → per-class cap → leakage-safe split → greedy sequence
+packing → parquet partitioned by (split, shard).  Every stage is
+deterministic (md5-prefix id hashes, never rand()), so re-running
+reproduces byte-identical membership.  Prints one JSON line of stage
+row counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--drop-exact-dups", action="store_true")
+    ap.add_argument("--benchmark", default=None,
+                    help="eval-set parquet; docs sharing >= --contam-overlap "
+                         "distinct 4-gram shingles with it are dropped")
+    ap.add_argument("--contam-overlap", type=int, default=1)
+    ap.add_argument("--sample", type=float, default=None)
+    ap.add_argument("--cap-per-class", type=int, default=None)
+    ap.add_argument("--class-col", default=None)
+    ap.add_argument("--val", type=float, default=0.0)
+    ap.add_argument("--test", type=float, default=0.0)
+    ap.add_argument("--group-col", default=None,
+                    help="split key (default: --id-col); use the conversation/"
+                         "source id to keep correlated docs in one split")
+    ap.add_argument("--pack-budget", type=int, default=None,
+                    help="token budget per pack (whitespace token count)")
+    ap.add_argument("--shards", type=int, default=64)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_c_spark.engine import get_spark
+    from pdf_parser_c_spark.operators.dedup import (
+        contamination_overlap,
+        drop_exact_duplicates,
+    )
+    from pdf_parser_c_spark.operators.sampling import (
+        assign_splits,
+        cap_per_class,
+        hash_sample,
+        pack_sequences,
+    )
+
+    spark = get_spark(app="shape-dataset")
+    df = spark.read.parquet(args.input)
+    counts = {"input": df.count()}
+
+    if args.drop_exact_dups:
+        df = drop_exact_duplicates(df, args.id_col, args.text_col)
+        counts["after_exact_dedup"] = df.count()
+
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        hits = contamination_overlap(df, bench, args.id_col, args.text_col)
+        contaminated = hits.filter(
+            F.col("n_overlap") >= args.contam_overlap
+        ).select(F.col("doc").alias(args.id_col))
+        df = df.join(contaminated, args.id_col, "left_anti")
+        counts["after_decontamination"] = df.count()
+
+    if args.sample is not None:
+        df = hash_sample(df, args.id_col, args.sample)
+        counts["after_sample"] = df.count()
+
+    if args.cap_per_class is not None:
+        if not args.class_col:
+            ap.error("--cap-per-class requires --class-col")
+        df = cap_per_class(df, args.class_col, args.id_col, args.cap_per_class)
+        counts["after_class_cap"] = df.count()
+
+    if args.val or args.test:
+        df = assign_splits(df, args.group_col or args.id_col, args.val, args.test)
+    else:
+        df = df.withColumn("split", F.lit("train"))
+
+    partition_cols = ["split"]
+    if args.pack_budget is not None:
+        df = df.withColumn(
+            "_tok", F.expr(f"size(split({args.text_col}, ' '))")
+        )
+        df = pack_sequences(df, args.id_col, "_tok", args.pack_budget,
+                            args.shards).drop("_tok")
+        partition_cols.append("shard")
+
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(args.output)
+    out = spark.read.parquet(args.output)
+    counts["written"] = out.count()
+    counts["splits"] = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    print(json.dumps(counts))
+
+
+if __name__ == "__main__":
+    main()

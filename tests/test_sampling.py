@@ -78,3 +78,28 @@ def test_pack_sequences_invariants(spark, rows):
         ids.setdefault(r["shard"], set()).add(r["pack_id"])
     for got in ids.values():
         assert got == set(range(len(got)))
+
+
+def test_shape_dataset_cli(tmp_path):
+    """The shaping CLI chains dedup → sample → split → pack and writes
+    (split, shard)-partitioned parquet with a JSON count summary."""
+    import json
+    import subprocess
+    import sys
+
+    repo = "/root/repo"
+    r = subprocess.run(
+        [sys.executable, f"{repo}/scripts/shape_dataset.py",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", str(tmp_path / "shards"),
+         "--id-col", "doc_id", "--text-col", "text",
+         "--sample", "0.6", "--val", "0.2", "--test", "0.2",
+         "--pack-budget", "256", "--shards", "4"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    counts = json.loads(r.stdout.strip().splitlines()[-1])
+    assert counts["written"] == counts["after_sample"] > 0
+    assert set(counts["splits"]) <= {"train", "val", "test"}
+    parts = {p.name for p in (tmp_path / "shards").iterdir() if p.is_dir()}
+    assert any(p.startswith("split=") for p in parts)
