@@ -1,0 +1,77 @@
+"""Character n-gram language-model quality scoring (CCNet-style):
+train trigram counts on a trusted seed corpus, score every document by
+its negative log likelihood — low-perplexity text reads like the seed,
+high-perplexity text is noise/boilerplate/garble.  The model-based
+complement to the rule-based quality filters (Gopher word stats,
+repetition, stopword ratios).
+
+Fully declarative: the model IS a DataFrame (ngram → count), scoring
+is one broadcast hash join over the corpus's exploded n-grams plus one
+per-doc aggregation — no driver-side model object, no per-row Python.
+Additive (+1) smoothing, so unseen n-grams cost ln(total + V), not ∞.
+
+Scale: a char-trigram vocabulary is bounded (≤ charset³; tens of
+thousands in practice) — Spark broadcasts it; the n-gram explode is
+map-side and the per-doc NLL is the single exchange.  At 100 TB the
+model builds once from a fixed seed and persists as a tiny table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, t): every OVERLAPPING character n-gram, multiset (counts
+    matter for the likelihood, unlike the dedup shingles)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {n - 1},"
+                f" 0)), i -> substring({text_col}, i, {n}))"
+            )
+        ).alias("t"),
+    )
+
+
+def char_ngram_model(
+    seed: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> "tuple[DataFrame, DataFrame]":
+    """→ (model ``(t, c)``, stats ``(total, v)``): n-gram counts over
+    the seed corpus plus the two scalars smoothing needs."""
+    tri = _ngrams(seed, id_col, text_col, n)
+    model = tri.groupBy("t").agg(F.count("*").alias("c"))
+    stats = model.agg(
+        F.sum("c").cast("long").alias("total"), F.count("*").alias("v")
+    )
+    return model, stats
+
+
+def score_documents(
+    corpus: DataFrame,
+    model: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """→ (doc, n_ngrams, nll): mean negative log likelihood per doc
+    under the smoothed model — lower reads more like the seed.  Docs
+    shorter than ``n`` chars have no n-grams and drop (score them by
+    length rules instead)."""
+    tri = _ngrams(corpus, id_col, text_col, n)
+    scored = (
+        tri.join(F.broadcast(model), "t", "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "lp",
+            F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1))
+                  / (F.col("total") + F.col("v"))),
+        )
+    )
+    return scored.groupBy("doc").agg(
+        F.count("*").alias("n_ngrams"),
+        (-F.avg("lp")).alias("nll"),
+    )

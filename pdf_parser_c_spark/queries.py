@@ -2869,6 +2869,65 @@ FROM per_pack GROUP BY shard ORDER BY shard
 """
 
 
+LM_SEED_DOCS = 100
+
+
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram LM perplexity quality filter (CCNet-style): docs
+    with doc_id < {seed} train the model; the rest score by mean
+    negative log likelihood, censused per language (seed-language text
+    should score lower than the others — the model-based quality
+    signal the rule-based filters can't give).
+    Scale: model broadcast (trigram vocab is bounded), n-gram explode
+    map-side, ONE exchange for the per-doc NLL
+    (operators/quality_lm.py)."""
+    from .operators.quality_lm import char_ngram_model, score_documents
+
+    d = t(spark, sf_dir, "documents")
+    seed = d.filter(F.col("doc_id") < LM_SEED_DOCS)
+    rest = d.filter(F.col("doc_id") >= LM_SEED_DOCS)
+    model, stats = char_ngram_model(seed, "doc_id", "text", 3)
+    nll = score_documents(rest, model, stats, "doc_id", "text", 3)
+    joined = nll.join(
+        rest.select(F.col("doc_id").alias("doc"), "lang"), "doc"
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+            F.round(F.min("nll"), 4).alias("min_nll"),
+            F.round(F.max("nll"), 4).alias("max_nll"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TEXT_LM_SCORE = f"""
+WITH tri_seed AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(text) - 2, 0)),
+                               i -> text[i:i+2])) AS t
+  FROM documents WHERE doc_id < {LM_SEED_DOCS}),
+model AS (SELECT t, count(*) AS c FROM tri_seed GROUP BY t),
+stats AS (SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS v FROM model),
+tri AS (
+  SELECT doc_id AS doc, lang,
+         unnest(list_transform(generate_series(1, greatest(len(text) - 2, 0)),
+                               i -> text[i:i+2])) AS t
+  FROM documents WHERE doc_id >= {LM_SEED_DOCS}),
+scored AS (
+  SELECT tri.doc, tri.lang,
+         ln((COALESCE(model.c, 0) + 1) * 1.0 / (stats.total + stats.v)) AS lp
+  FROM tri LEFT JOIN model USING (t) CROSS JOIN stats),
+nll AS (SELECT doc, lang, -avg(lp) AS nll FROM scored GROUP BY 1, 2)
+SELECT lang, count(*) AS n_docs,
+       round(avg(nll), 4) AS avg_nll,
+       round(min(nll), 4) AS min_nll,
+       round(max(nll), 4) AS max_nll
+FROM nll GROUP BY lang ORDER BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2927,6 +2986,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sample_class_cap": (q_sample_class_cap, SQL_SAMPLE_CLASS_CAP),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "text_lm_score": (q_text_lm_score, SQL_TEXT_LM_SCORE),
     "section_tree": (q_section_tree, SQL_SECTION_TREE),
     "extraction_e2e": (q_extraction_e2e, SQL_EXTRACTION_E2E),
     "extraction_html_roundtrip": (

@@ -103,3 +103,35 @@ def test_shape_dataset_cli(tmp_path):
     assert set(counts["splits"]) <= {"train", "val", "test"}
     parts = {p.name for p in (tmp_path / "shards").iterdir() if p.is_dir()}
     assert any(p.startswith("split=") for p in parts)
+
+
+def test_char_ngram_lm_separates_seed_like_text(spark):
+    """The LM scorer's point: text drawn from the seed distribution
+    scores lower NLL than shuffled-alphabet noise."""
+    from pdf_parser_c_spark.operators.quality_lm import (
+        char_ngram_model,
+        score_documents,
+    )
+
+    seed = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(20),
+        "text": ["the quick brown fox jumps over the lazy dog again and again"
+                 for _ in range(20)],
+    }))
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100, 101],
+        "text": [
+            "the quick brown fox jumps over the dog",   # seed-like
+            "zq xv jj qq kk zz ww yy xx vv qq zz jj kk",  # noise
+        ],
+    }))
+    model, stats = char_ngram_model(seed, "doc_id", "text", 3)
+    nll = {r["doc"]: r["nll"]
+           for r in score_documents(corpus, model, stats, "doc_id", "text", 3)
+           .collect()}
+    assert nll[100] < nll[101]
+    # determinism: same inputs, same scores
+    nll2 = {r["doc"]: r["nll"]
+            for r in score_documents(corpus, model, stats, "doc_id", "text", 3)
+            .collect()}
+    assert nll == nll2
