@@ -2869,6 +2869,61 @@ FROM per_pack GROUP BY shard ORDER BY shard
 """
 
 
+def q_tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape on the synthetic schema: per order priority,
+    orders in a date window split by EXISTS / NOT EXISTS of a returned
+    lineitem — the semi-join and anti-join operators in one census.
+    Scale: both plan as LeftSemi/LeftAnti hash joins on l_orderkey
+    (the EXISTS subquery never materializes matches, so the probe side
+    carries one bit per order, not a fan-out); the returnflag filter
+    pushes to the lineitem scan."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    ret = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    semi = (
+        o.join(ret, o["o_orderkey"] == ret["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_with_returns"))
+    )
+    anti = (
+        o.join(ret, o["o_orderkey"] == ret["l_orderkey"], "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_without_returns"))
+    )
+    return (
+        semi.join(anti, "o_orderpriority", "full")
+        .select(
+            "o_orderpriority",
+            F.coalesce("n_with_returns", F.lit(0)).alias("n_with_returns"),
+            F.coalesce("n_without_returns", F.lit(0)).alias("n_without_returns"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_TPCH_ORDER_PRIORITY = """
+WITH o AS (SELECT * FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01')
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM lineitem l
+                                  WHERE l.l_orderkey = o.o_orderkey
+                                    AND l.l_returnflag = 'R')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_returns,
+       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM lineitem l
+                                  WHERE l.l_orderkey = o.o_orderkey
+                                    AND l.l_returnflag = 'R')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_without_returns
+FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 LM_SEED_DOCS = 100
 
 
@@ -2987,6 +3042,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "text_lm_score": (q_text_lm_score, SQL_TEXT_LM_SCORE),
+    "tpch_order_priority": (q_tpch_order_priority, SQL_TPCH_ORDER_PRIORITY),
     "section_tree": (q_section_tree, SQL_SECTION_TREE),
     "extraction_e2e": (q_extraction_e2e, SQL_EXTRACTION_E2E),
     "extraction_html_roundtrip": (

@@ -201,3 +201,9 @@ def test_rollup_cascade_computes_hourly_once(spark):
     plan = plan_of(spark, df, "simple")
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan
+
+
+def test_q4_shape_plans_semi_and_anti_joins(spark):
+    plan = plan_of(spark, QUERIES["tpch_order_priority"][0](spark, SF_DIR), "simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
