@@ -135,3 +135,39 @@ def test_char_ngram_lm_separates_seed_like_text(spark):
             for r in score_documents(corpus, model, stats, "doc_id", "text", 3)
             .collect()}
     assert nll == nll2
+
+
+def test_pack_sequences_matches_pandas_reference(spark):
+    """Randomized equivalence with a plain-pandas reference of the same
+    rule: shard by hash, order by (hash, id), cut where the running
+    cumsum crosses a budget boundary."""
+    import hashlib
+    import random
+
+    rng = random.Random(77)
+    base = pd.DataFrame(
+        {
+            "rid": range(400),
+            "tokens": [rng.randrange(1, 600) for _ in range(400)],
+        }
+    )
+    budget, shards = 512, 4
+
+    def h(rid):
+        return int(hashlib.md5(str(rid).encode()).hexdigest()[:15], 16)
+
+    ref = base.assign(h=base["rid"].map(h))
+    ref["shard"] = ref["h"] % shards
+    ref = ref.sort_values(["shard", "h", "rid"])
+    ref["cum"] = ref.groupby("shard")["tokens"].cumsum()
+    ref["pack_id"] = (ref["cum"] - ref["tokens"]) // budget
+    expect = {
+        (r.shard, r.rid): r.pack_id for r in ref.itertuples()
+    }
+    got = {
+        (r["shard"], r["rid"]): r["pack_id"]
+        for r in pack_sequences(
+            spark.createDataFrame(base), "rid", "tokens", budget, shards
+        ).collect()
+    }
+    assert got == expect
