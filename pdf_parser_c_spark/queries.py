@@ -2995,6 +2995,236 @@ FROM nll GROUP BY lang ORDER BY lang
 
 
 # --------------------------------------------------------------------------
+# OLAP census (window range frames, grouping sets) and vocabulary
+# induction (top-k vocab, BPE pair counts, TF-IDF) — operator families
+# the catalog didn't pin yet
+# --------------------------------------------------------------------------
+
+
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling time-range aggregate: per event, the trailing-1-hour
+    count and value sum for its user (RANGE frame over epoch-µs order),
+    censused per event type.  The sliding-window shape every rate-limit
+    / burst-detection pass over a transcript firehose needs.
+    Scale: one exchange on user_id; the frame is evaluated in a single
+    per-partition sort pass (no self-join range lookup), and the census
+    re-agg is partial map-side."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    rolled = ev.select(
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("rn"),
+        F.sum("value").over(w).alias("rs"),
+    )
+    return (
+        rolled.groupBy("event_type")
+        .agg(
+            F.max("rn").alias("max_rolling_n"),
+            F.round(F.avg("rn"), 4).alias("avg_rolling_n"),
+            F.round(F.max("rs"), 2).alias("max_rolling_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_ROLLING = """
+SELECT event_type,
+       max(rn) AS max_rolling_n,
+       round(avg(rn), 4) AS avg_rolling_n,
+       round(max(rs), 2) AS max_rolling_sum
+FROM (
+  SELECT event_type,
+         count(*) OVER w AS rn,
+         sum(value) OVER w AS rs
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical census via ROLLUP: (event_type, day-of-week) cells
+    plus per-type subtotals plus the grand total in ONE aggregation —
+    Catalyst's Expand operator emits the grouping-set rows map-side, so
+    the subtotal levels ride the same single shuffle instead of one
+    job per level.  dow is 0=Sunday..6 on both engines (Spark
+    dayofweek()-1 ≡ DuckDB date_part('dow')).  The subtotal rows'
+    NULL indicators are folded to sentinels ('ALL' / -1) so every
+    output cell is non-null (driver compare sorts mixed tuples)."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "dow", (F.dayofweek("ts") - 1).cast("int")
+    )
+    return (
+        ev.rollup("event_type", "dow")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("dow", F.lit(-1)).alias("dow"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(dow, -1) AS dow,
+       n, sum_value
+FROM (
+  SELECT event_type, CAST(date_part('dow', ts) AS INT) AS dow,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+  FROM events GROUP BY ROLLUP(event_type, dow))
+ORDER BY event_type, dow
+"""
+
+# Shared tokenizer fragment for the vocabulary family: lowercase,
+# split on non-letter runs, drop empties.  Spark split() and DuckDB
+# string_split_regex() agree on '[^a-z]+' (no engine-specific classes).
+_TOK_SPARK = "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"
+_TOK_DUCK = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+VOCAB_TOPK = 50
+BPE_TOPK = 30
+TFIDF_TOPK = 3
+
+
+def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary induction: top-{k} tokens by DOCUMENT
+    frequency (each doc votes once per token — array_distinct before
+    the explode keeps the exploded row count at distinct-tokens, not
+    token occurrences).  Ties broken by token so the cut is stable.
+    Scale: one shuffle on token with map-side partial counts; the
+    top-k is a TakeOrdered over the agg output (vocabulary-sized,
+    never corpus-sized)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.expr(f"array_distinct({_TOK_SPARK})")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "token")
+        .limit(VOCAB_TOPK)
+    )
+
+
+SQL_TEXT_VOCAB = f"""
+SELECT token, count(*) AS doc_freq
+FROM (SELECT unnest(list_distinct({_TOK_DUCK})) AS token FROM documents)
+GROUP BY token ORDER BY doc_freq DESC, token LIMIT {VOCAB_TOPK}
+"""
+
+
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pair counting — the inner loop of tokenizer vocabulary
+    training: count adjacent token pairs corpus-wide, report the top
+    merge candidates.  Pairs are built map-side with zip_with over two
+    shifted slices (no self-join, no posexplode+lag window).
+    Scale: the only shuffle is the pair-count agg (map-side partial);
+    pair cardinality is bounded by corpus bigram diversity, and the
+    top-k again reads agg output only."""
+    d = t(spark, sf_dir, "documents")
+    pairs = (
+        d.selectExpr(f"{_TOK_SPARK} AS tk")
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                    " slice(tk, 2, greatest(size(tk) - 1, 0)),"
+                    " (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("pair_freq"))
+        .orderBy(F.desc("pair_freq"), "pair")
+        .limit(BPE_TOPK)
+    )
+
+
+SQL_TEXT_BPE_PAIRS = f"""
+SELECT pair, count(*) AS pair_freq
+FROM (
+  SELECT unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS pair
+  FROM (SELECT {_TOK_DUCK} AS tk FROM documents))
+GROUP BY pair ORDER BY pair_freq DESC, pair LIMIT {BPE_TOPK}
+"""
+
+
+def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{k} TF-IDF terms (keyword extraction):
+    tf = in-doc term count, idf = ln(N/df) with df = document
+    frequency.  tfidf is rounded BEFORE ranking so a last-ulp ln()
+    difference between engines cannot flip the rank order; residual
+    ties break on token.
+    Scale: tf is the corpus-sized side and shuffles once on
+    (doc_id, token); df is vocabulary-sized and broadcast back, as is
+    the 1-row corpus count — no second corpus shuffle.  The rank
+    window reuses the doc_id clustering."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.expr(_TOK_SPARK)).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tok.select("doc_id", "token").distinct()
+        .groupBy("token").agg(F.count("*").alias("df"))
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "rnk", "token", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+SQL_TEXT_TFIDF = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK_DUCK}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (
+  SELECT token, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf, df,
+         round(tf * ln(n_docs / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, token) AS INT) AS rnk,
+         token, tf, df, tfidf
+  FROM scored)
+SELECT doc_id, rnk, token, tf, df, tfidf
+FROM ranked WHERE rnk <= {TFIDF_TOPK} ORDER BY doc_id, rnk
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3048,6 +3278,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sequence_assembly": (q_sequence_assembly, SQL_SEQUENCE_ASSEMBLY),
     "events_quantiles": (q_quantiles, SQL_QUANTILES),
     "events_pivot": (q_pivot_events, SQL_PIVOT_EVENTS),
+    "events_rolling": (q_events_rolling, SQL_EVENTS_ROLLING),
+    "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
+    "text_vocab_topk": (q_text_vocab_topk, SQL_TEXT_VOCAB),
+    "text_bpe_pairs": (q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),
+    "text_tfidf_topterms": (q_text_tfidf_topterms, SQL_TEXT_TFIDF),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_class_cap": (q_sample_class_cap, SQL_SAMPLE_CLASS_CAP),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
