@@ -3172,8 +3172,10 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties break on token.
     Scale: tf is the corpus-sized side and shuffles once on
     (doc_id, token); df is vocabulary-sized and broadcast back, as is
-    the 1-row corpus count — no second corpus shuffle.  The rank
-    window reuses the doc_id clustering."""
+    the 1-row corpus count.  The rank window's doc_id exchange is
+    bounded, not corpus-sized: Spark plans a partial WindowGroupLimit
+    BEFORE the exchange, so at most k rows per (doc_id, input
+    partition) cross the wire (pinned in test_plans)."""
     d = t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.expr(_TOK_SPARK)).alias("token")

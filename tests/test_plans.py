@@ -207,3 +207,43 @@ def test_q4_shape_plans_semi_and_anti_joins(spark):
     plan = plan_of(spark, QUERIES["tpch_order_priority"][0](spark, SF_DIR), "simple")
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rollup_census_is_one_expand_one_exchange(spark):
+    """ROLLUP's three grouping-set levels must ride ONE shuffle via the
+    Expand operator — not one aggregation job per subtotal level."""
+    plan = plan_of(spark, QUERIES["events_rollup"][0](spark, SF_DIR), "simple")
+    assert "Expand" in plan
+    assert n_data_exchanges(plan) == 1
+
+
+def test_rolling_range_frame_no_self_join(spark):
+    """The trailing-1h aggregate is a RangeFrame window (one sorted pass
+    per user partition), never a range self-join; window key + census
+    key are distinct so exactly two data exchanges exist."""
+    plan = plan_of(spark, QUERIES["events_rolling"][0](spark, SF_DIR), "simple")
+    assert "RangeFrame" in plan
+    assert "Join" not in plan
+    assert n_data_exchanges(plan) == 2
+
+
+@pytest.mark.parametrize("name", ["text_vocab_topk", "text_bpe_pairs"])
+def test_vocab_family_single_exchange_pruned_topk(spark, name):
+    """Vocabulary counting: pairs/tokens are built map-side (Generate
+    over array ops), counted with a partial agg on ONE exchange, and the
+    top-k never global-sorts.  Only the text column is read."""
+    plan = plan_of(spark, QUERIES[name][0](spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert n_data_exchanges(plan) == 1
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1) == "text:string"
+
+
+def test_tfidf_rank_is_group_limited_before_exchange(spark):
+    """Per-doc top-k rank must push a partial WindowGroupLimit below the
+    doc_id exchange (bounding shuffled rows at k per doc per input
+    partition) and attach df/n_docs by broadcast, not shuffle."""
+    plan = plan_of(spark, QUERIES["text_tfidf_topterms"][0](spark, SF_DIR), "simple")
+    assert plan.count("WindowGroupLimit") == 2  # Partial + Final
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
