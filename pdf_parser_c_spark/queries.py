@@ -3226,6 +3226,201 @@ FROM ranked WHERE rnk <= {TFIDF_TOPK} ORDER BY doc_id, rnk
 """
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization — the canonical transcript/clickstream
+    islands problem: a new session starts after a >30-min silence.
+    Declarative two-window shape: lag() marks session starts, a running
+    sum over the SAME (user_id, ts, event_id) ordering numbers them —
+    both windows and the per-session rollup reuse ONE user_id exchange.
+    Ties on ts break on event_id so lag() is deterministic on both
+    engines.  Census is per-user (row count scales with users, not
+    events)."""
+    gap_us = 30 * 60 * 1_000_000
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        ev.withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sess_idx", F.sum("new_sess").over(run))
+        .groupBy("user_id", "sess_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            ((F.max("ts_us") - F.min("ts_us")) / 1_000_000.0).alias("span_s"),
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+            F.round(F.max("span_s"), 3).alias("max_session_span_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+marked AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+numbered AS (
+  SELECT user_id, ts_us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM marked),
+sess AS (
+  SELECT user_id, sess_idx, count(*) AS n_events,
+         (max(ts_us) - min(ts_us)) / 1000000.0 AS span_s
+  FROM numbered GROUP BY user_id, sess_idx)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(max(n_events) AS BIGINT) AS max_session_events,
+       round(avg(n_events), 4) AS avg_session_events,
+       round(max(span_s), 3) AS max_session_span_s
+FROM sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_tpch_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many
+    qualifying orders they placed, INCLUDING zero-order customers —
+    the left-outer-join + two-level aggregation census.
+    Scale: the urgent-priority exclusion is pushed to the orders scan
+    BEFORE the join; the join shuffles both sides on custkey and the
+    per-customer count reuses that clustering (no second corpus
+    exchange); the distribution agg is order-count-sized."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_TPCH_CUST_ORDER_DIST = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-stage conversion funnel (signup -> view -> purchase):
+    a stage counts only if it happens AT OR AFTER the user's previous
+    stage.  Single-pass declarative shape: running conditional mins
+    over one (user_id, ts, event_id) window mark, at every row, the
+    earliest qualifying timestamp of each stage so far; the per-user
+    flags then ride the same user_id clustering and the census is one
+    final 1-row reduce.  No self-joins, no corpus re-scan per stage.
+    Scale: ONE corpus exchange on user_id total."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    first_signup = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts_us"))
+    ).over(run)
+    staged = ev.withColumn("sig_us", first_signup)
+    qual_view = F.min(
+        F.when(
+            (F.col("event_type") == "view")
+            & F.col("sig_us").isNotNull(),
+            F.col("ts_us"),
+        )
+    ).over(run)
+    staged = staged.withColumn("view_us", qual_view)
+    qual_purchase = F.when(
+        (F.col("event_type") == "purchase") & F.col("view_us").isNotNull(),
+        1,
+    ).otherwise(0)
+    per_user = (
+        staged.withColumn("pur", qual_purchase)
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("sig_us").isNotNull(), 1).otherwise(0)).alias("s1"),
+            F.max(F.when(F.col("view_us").isNotNull(), 1).otherwise(0)).alias("s2"),
+            F.max("pur").alias("s3"),
+        )
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum("s1").alias("reached_signup"),
+        F.sum("s2").alias("reached_view_after_signup"),
+        F.sum("s3").alias("reached_purchase_after_view"),
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events),
+sig AS (
+  SELECT user_id, event_type, event_id, ts_us,
+         min(CASE WHEN event_type = 'signup' THEN ts_us END) OVER w AS sig_us
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING)),
+staged AS (
+  SELECT user_id, event_type, ts_us, sig_us,
+         min(CASE WHEN event_type = 'view' AND sig_us IS NOT NULL
+                  THEN ts_us END) OVER w AS view_us
+  FROM sig
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING)),
+per_user AS (
+  SELECT user_id,
+         max(CASE WHEN sig_us IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+         max(CASE WHEN view_us IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+         max(CASE WHEN event_type = 'purchase' AND view_us IS NOT NULL
+                  THEN 1 ELSE 0 END) AS s3
+  FROM staged GROUP BY user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(s1) AS BIGINT) AS reached_signup,
+       CAST(sum(s2) AS BIGINT) AS reached_view_after_signup,
+       CAST(sum(s3) AS BIGINT) AS reached_purchase_after_view
+FROM per_user
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3285,6 +3480,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_vocab_topk": (q_text_vocab_topk, SQL_TEXT_VOCAB),
     "text_bpe_pairs": (q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),
     "text_tfidf_topterms": (q_text_tfidf_topterms, SQL_TEXT_TFIDF),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
+    "tpch_cust_order_dist": (q_tpch_cust_order_dist, SQL_TPCH_CUST_ORDER_DIST),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_class_cap": (q_sample_class_cap, SQL_SAMPLE_CLASS_CAP),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),

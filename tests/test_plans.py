@@ -247,3 +247,32 @@ def test_tfidf_rank_is_group_limited_before_exchange(spark):
     assert plan.count("WindowGroupLimit") == 2  # Partial + Final
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_windows_and_rollups_share_one_exchange(spark):
+    """lag(), the running session-number sum, the per-session rollup and
+    the per-user census must all reuse ONE user_id exchange."""
+    plan = plan_of(spark, QUERIES["events_sessionize"][0](spark, SF_DIR), "simple")
+    assert n_data_exchanges(plan) == 1
+    assert plan.count("Window [") == 2  # lag + running sum, no extras
+
+
+def test_funnel_is_one_exchange_no_self_join(spark):
+    """All three funnel stages resolve via running conditional mins on
+    one user_id exchange — never a per-stage self-join or re-scan."""
+    plan = plan_of(spark, QUERIES["events_funnel"][0](spark, SF_DIR), "simple")
+    assert "Join" not in plan
+    assert n_data_exchanges(plan) == 1  # + the 1-row SinglePartition reduce
+    assert plan.count("FileScan") == 1
+
+
+def test_q13_outer_join_pushes_exclusion_and_prunes(spark):
+    """Q13 shape: the priority exclusion must reach the orders scan
+    BEFORE the outer join, and the customer side reads only custkey.
+    At this SF the filtered orders side broadcasts (map-side outer
+    join); at scale it degrades to a custkey-clustered SMJ whose
+    clustering the per-customer count reuses."""
+    plan = plan_of(spark, QUERIES["tpch_cust_order_dist"][0](spark, SF_DIR), "simple")
+    assert "LeftOuter" in plan and "BroadcastHashJoin" in plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+    assert "ReadSchema: struct<c_custkey:bigint>" in plan
