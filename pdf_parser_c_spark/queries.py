@@ -3170,24 +3170,28 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency.  tfidf is rounded BEFORE ranking so a last-ulp ln()
     difference between engines cannot flip the rank order; residual
     ties break on token.
-    Scale: tf is the corpus-sized side and shuffles once on
-    (doc_id, token); df is vocabulary-sized and broadcast back, as is
-    the 1-row corpus count.  The rank window's doc_id exchange is
-    bounded, not corpus-sized: Spark plans a partial WindowGroupLimit
-    BEFORE the exchange, so at most k rows per (doc_id, input
-    partition) cross the wire (pinned in test_plans)."""
+    Scale: the corpus token stream is scanned and shuffled exactly
+    once, into the (doc_id, token) tf agg; df attaches as a window
+    count over the tf-sized output (no df join, no second corpus
+    pass) and the 1-row corpus count broadcasts from a zero-column
+    metadata scan.  The rank window's doc_id exchange is bounded, not
+    corpus-sized: Spark plans a partial WindowGroupLimit BEFORE the
+    exchange, so at most k rows per (doc_id, input partition) cross
+    the wire (all pinned in test_plans)."""
     d = t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.expr(_TOK_SPARK)).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dfreq = (
-        tok.select("doc_id", "token").distinct()
-        .groupBy("token").agg(F.count("*").alias("df"))
-    )
+    # df = rows per token IN tf (tf is already one row per (doc,
+    # token)), attached as a window count — no df/tf join and no second
+    # computation of the tf subtree, so the corpus-sized token stream
+    # is scanned and shuffled exactly once.
     n_docs = d.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -3207,14 +3211,13 @@ SQL_TEXT_TFIDF = f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOK_DUCK}) AS token FROM documents),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-dfreq AS (
-  SELECT token, count(*) AS df
-  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
 n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
-  SELECT doc_id, token, tf, df,
-         round(tf * ln(n_docs / df), 6) AS tfidf
-  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+  SELECT doc_id, token, tf,
+         count(*) OVER (PARTITION BY token) AS df,
+         round(tf * ln(n_docs / (count(*) OVER (PARTITION BY token))), 6)
+           AS tfidf
+  FROM tf CROSS JOIN n),
 ranked AS (
   SELECT doc_id,
          CAST(row_number() OVER (PARTITION BY doc_id

@@ -242,11 +242,14 @@ def test_vocab_family_single_exchange_pruned_topk(spark, name):
 def test_tfidf_rank_is_group_limited_before_exchange(spark):
     """Per-doc top-k rank must push a partial WindowGroupLimit below the
     doc_id exchange (bounding shuffled rows at k per doc per input
-    partition) and attach df/n_docs by broadcast, not shuffle."""
+    partition); df attaches as a window over the tf agg — never a
+    df/tf join that would re-compute the corpus subtree — and n_docs
+    broadcasts from a zero-column metadata count."""
     plan = plan_of(spark, QUERIES["text_tfidf_topterms"][0](spark, SF_DIR), "simple")
     assert plan.count("WindowGroupLimit") == 2  # Partial + Final
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("FileScan") == 2  # corpus once + n_docs count
+    assert "ReadSchema: struct<>" in plan  # the count scan reads no columns
 
 
 def test_sessionize_windows_and_rollups_share_one_exchange(spark):
