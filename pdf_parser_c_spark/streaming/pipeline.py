@@ -188,6 +188,62 @@ def start_metrics_stream(
     return writer.start()
 
 
+def session_stream(
+    df: DataFrame, watermark: str = "2 minutes", gap: str = "30 minutes"
+) -> DataFrame:
+    """Event-time sessionization: turns group into per-conversation
+    sessions that close after ``gap`` of silence —
+    ``F.session_window`` keeps candidate windows in the state store
+    and MERGES them when a later micro-batch bridges two (the
+    cross-batch behavior the batch ``events_sessionize`` query cannot
+    have).  A session's span is [first turn, last turn + gap); append
+    mode emits it exactly once, after the watermark passes its end,
+    and turns later than the watermark are dropped.  The streaming
+    counterpart of the batch gap-sessionization census."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("session"), "conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "conv_id",
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_turns",
+            "n_chars",
+        )
+    )
+
+
+def start_session_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+    watermark: str = "2 minutes",
+    gap: str = "30 minutes",
+) -> StreamingQuery:
+    """readStream → session_window agg → writeStream (append: each
+    closed session exactly once)."""
+    out = session_stream(
+        read_transcripts_stream(spark, input_path), watermark, gap
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def asof_enrich_stream(
     df: DataFrame,
     key_col: str,

@@ -220,3 +220,71 @@ def test_streaming_asof_enrich_across_batches(spark, tmp_path):
     assert out2[4] == 10.0          # cross-batch carry
     assert out2[5] == 20.0 and out2[6] == 20.0
     assert out2[7] == 7.0 and out2[8] == 7.0
+
+
+def test_streaming_session_windows_merge_across_batches(spark, tmp_path):
+    """session_window sessions: (1) a later micro-batch extends an open
+    session (cross-batch state merge), (2) append emits a session
+    exactly once after the watermark passes last-turn + gap, (3) turns
+    later than the watermark are dropped without re-emitting."""
+    from pdf_parser_c_spark.streaming.pipeline import start_session_stream
+
+    corpus = transcripts_columns_only(
+        make_transcripts(n_convs=2, turns_per_conv=2, mega_every=0)
+    )
+    convs = sorted(corpus["conv_id"].unique())
+    a, b = convs[0], convs[1]
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    rows_a = corpus[corpus["conv_id"] == a].reset_index(drop=True)
+    rows_b = corpus[corpus["conv_id"] == b].reset_index(drop=True)
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    # batch 1: conv a turns at 10:00 and 10:10 — one open session
+    b1 = rows_a.assign(
+        ts=[base, base + pd.Timedelta(minutes=10)][: len(rows_a)]
+    )
+    _write_corpus(str(inp / "part0.parquet"), b1)
+    args = lambda: (  # noqa: E731
+        spark, str(inp), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    q = start_session_stream(*args(), gap="30 minutes")
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert len(out) == 0  # watermark (10:08) hasn't passed 10:40 yet
+
+    def _write_like(path, df):
+        ref = pq.read_schema(str(inp / "part0.parquet"))
+        d = df.assign(ts=df["ts"].dt.tz_localize(None).astype("datetime64[us]"))
+        pq.write_table(
+            pa.Table.from_pandas(d, preserve_index=False).cast(ref), path
+        )
+
+    # batch 2: conv a at 10:20 must MERGE into the open session (new
+    # span end 10:50); conv b at 13:00 pushes the watermark to 12:58,
+    # finalizing a's merged session but leaving b's open
+    b2 = pd.concat(
+        [
+            rows_a.head(1).assign(ts=base + pd.Timedelta(minutes=20)),
+            rows_b.head(1).assign(ts=base + pd.Timedelta(hours=3)),
+        ]
+    )
+    _write_like(str(inp / "part1.parquet"), b2)
+    q2 = start_session_stream(*args(), gap="30 minutes")
+    q2.awaitTermination(180)
+    out2 = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert len(out2) == 1  # ONE merged session, emitted once
+    s = out2.iloc[0]
+    assert s["conv_id"] == a and int(s["n_turns"]) == 3
+    assert s["session_start"] == base
+    assert s["session_end"] == base + pd.Timedelta(minutes=50)  # 10:20+gap
+
+    # batch 3: a turn for conv a at 10:05 is beyond the watermark —
+    # dropped, the closed session is NOT re-emitted or double-counted
+    late = rows_a.head(1).assign(ts=base + pd.Timedelta(minutes=5))
+    _write_like(str(inp / "part2.parquet"), late)
+    q3 = start_session_stream(*args(), gap="30 minutes")
+    q3.awaitTermination(180)
+    out3 = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert len(out3[out3["conv_id"] == a]) == 1
+    assert int(out3[out3["conv_id"] == a]["n_turns"].iloc[0]) == 3
