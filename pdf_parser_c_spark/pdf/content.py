@@ -438,8 +438,18 @@ class ContentInterpreter:
                                 pass
                         # image XObjects skipped (codecs disabled in reference build)
                 elif op == "BI":
-                    # inline image: skip to EI
-                    m = re.compile(rb"\bEI\b").search(content, lex.pos)
+                    # inline image: skip to the EI terminator, which must
+                    # be whitespace-delimited (poppler semantics — a bare
+                    # \bEI\b stops at "EI" embedded in the binary sample
+                    # data, e.g. "(EI)", and then feeds image bytes to the
+                    # lexer, injecting phantom show-text ops)
+                    m = re.compile(
+                        rb"[\x00\t\n\f\r ]EI(?=[\x00\t\n\f\r ]|$)"
+                    ).search(content, lex.pos)
+                    if m is None:
+                        # unterminated/odd framing: fall back to the loose
+                        # match rather than dropping the page tail
+                        m = re.compile(rb"\bEI\b").search(content, lex.pos)
                     lex.pos = m.end() if m else len(content)
             except (ValueError, TypeError, IndexError):
                 pass  # tolerate malformed operands like poppler's error recovery

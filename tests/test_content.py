@@ -88,3 +88,23 @@ def test_render_mode_invisible_skipped():
 
 def test_malformed_operands_tolerated():
     assert text_of("BT /F1 12 Tf 72 700 Td (ok) Tj /Bogus garbage ET\n") == "ok"
+
+
+def test_inline_image_ei_lookalike_in_data_not_lexed():
+    """Binary inline-image data containing "EI" next to delimiter bytes
+    must not terminate the skip early: with a bare \\bEI\\b the lexer
+    resumes inside the sample data and "(fake) Tj" becomes phantom
+    output text.  The terminator is the whitespace-delimited EI."""
+    content = (
+        "BT /F1 12 Tf 72 700 Td "
+        "BI /W 2 /H 2 /BPC 8 /CS /G ID (EI)(fake) Tj \nEI "
+        "(real) Tj ET\n"
+    )
+    assert text_of(content) == "real"
+
+
+def test_inline_image_unterminated_tolerated():
+    """A BI with no EI anywhere skips the rest of the stream without
+    crashing (poppler-style tolerance) — preceding text survives."""
+    content = "BT /F1 12 Tf 72 700 Td (ok) Tj BI /W 1 /H 1 ID \x01\x02"
+    assert text_of(content) == "ok"
