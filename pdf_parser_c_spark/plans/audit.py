@@ -15,7 +15,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspa
 
 KEY_LINES = re.compile(
     r"PushedFilters|ReadSchema|BroadcastHashJoin|SortMergeJoin|BroadcastExchange"
-    r"|^\s*\(\d+\) (Exchange|HashAggregate|Window|MapInPandas|Sort)\b"
+    r"|BroadcastNestedLoopJoin|CartesianProduct"
+    r"|^\s*\(\d+\) (Exchange|HashAggregate|Window|WindowGroupLimit|MapInPandas"
+    r"|Sort|Expand|Generate|TakeOrderedAndProject)\b"
 )
 
 
@@ -45,6 +47,14 @@ def main() -> None:
         "temporal_asof_join": "ONE running-state window on the join key; no inequality join anywhere",
         "temporal_range_join": "bucketed equi-join (key, time-bucket); exact range predicate inside hash cells, no BroadcastNestedLoopJoin",
         "temporal_rollup_cascade": "daily folds from hourly partials; AQE ReusedExchange merges the two hourly consumers at runtime",
+        "events_rolling": "trailing-1h RANGE-frame window (one sorted pass per user partition, no range self-join); window + census keys differ → exactly two data exchanges",
+        "events_rollup": "all three ROLLUP grouping-set levels ride ONE Expand-fed exchange, not one job per subtotal level",
+        "events_sessionize": "lag + running session-number sum + per-session rollup + per-user census all reuse ONE user_id exchange",
+        "events_funnel": "three ordered funnel stages as running conditional mins on one user_id exchange; no per-stage self-join, one FileScan",
+        "tpch_cust_order_dist": "Q13: priority exclusion pushed to the orders scan BEFORE the left-outer join; customer pruned to c_custkey; filtered orders broadcast at this SF (custkey SMJ at scale, reused by the per-customer count)",
+        "text_vocab_topk": "tokens built map-side (Generate over array ops), partial agg on ONE exchange, TakeOrdered top-k; only text read",
+        "text_bpe_pairs": "pairs built map-side with zip_with over shifted slices, partial agg on ONE exchange, TakeOrdered top-k",
+        "text_tfidf_topterms": "corpus scanned+shuffled ONCE into the tf agg; df as a window over tf (no df/tf join: that re-planned the corpus subtree twice, 2.46 s vs 1.2 s); partial WindowGroupLimit bounds the doc_id rank shuffle; n_docs from a zero-column count",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]
