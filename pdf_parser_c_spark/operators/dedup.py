@@ -348,3 +348,43 @@ def drop_near_duplicates(
         F.col("doc").alias(id_col)
     )
     return df.join(dropped, id_col, "left_anti")
+
+
+def editdist1_pairs(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
+    """All pairs of rows whose ``key_col`` strings are within edit
+    distance 1 (FastSS): every string is blocked by its deletion-1
+    neighborhood (the string itself plus each single-character
+    deletion), candidates equi-join on a shared variant, and the exact
+    ``levenshtein`` check confirms — substitutions share a deletion,
+    insert/delete pairs share the shorter string, so depth-1 recall is
+    complete.  → (id_a, id_b, key_a, key_b) with id_a < id_b.
+
+    Scale: the only corpus-sized shuffle is the variant equi-join
+    ((len+1)× map-side amplification); the quadratic levenshtein
+    verify runs per candidate bucket, never all-pairs — the same
+    block-then-verify shape as the shingle/LSH family."""
+    variants = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).alias("_key"),
+        F.explode(
+            F.expr(
+                f"array_union(array({key_col}), "
+                f"transform(sequence(1, length({key_col})), "
+                f"i -> concat(substring({key_col}, 1, i - 1), "
+                f"substring({key_col}, i + 1, length({key_col})))))"
+            )
+        ).alias("_var"),
+    )
+    a = variants.select(
+        F.col("_id").alias("id_a"), F.col("_key").alias("key_a"), "_var"
+    )
+    b = variants.select(
+        F.col("_id").alias("id_b"), F.col("_key").alias("key_b"), "_var"
+    )
+    return (
+        a.join(b, "_var")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "key_a", "key_b")
+        .distinct()
+        .filter(F.levenshtein("key_a", "key_b") <= 1)
+    )

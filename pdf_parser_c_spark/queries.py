@@ -3424,6 +3424,80 @@ FROM per_user
 """
 
 
+def q_dedup_editdist1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 near-duplicate census over customer names via
+    FastSS deletion-neighborhood blocking (operators/dedup.
+    editdist1_pairs): candidates equi-join on shared deletion-1
+    variants, exact levenshtein confirms.  Census = confirmed pair
+    count + distinct names involved (the pair list itself is dense for
+    serial-numbered names).
+    Scale: blocking is (len+1)× map-side amplification into ONE
+    equi-join; the quadratic verify runs only inside candidate
+    buckets.  The oracle is the brute-force all-pairs levenshtein —
+    recall completeness of the blocking IS what the hash check
+    proves."""
+    from .operators.dedup import editdist1_pairs
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = editdist1_pairs(cust, "c_custkey", "c_name")
+    n_pairs = pairs.agg(F.count("*").alias("n_pairs"))
+    n_names = (
+        pairs.select(F.col("id_a").alias("k"))
+        .union(pairs.select(F.col("id_b").alias("k")))
+        .distinct()
+        .agg(F.count("*").alias("n_names_involved"))
+    )
+    return n_pairs.crossJoin(n_names)
+
+
+SQL_DEDUP_EDITDIST1 = """
+WITH p AS (
+  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND levenshtein(a.c_name, b.c_name) <= 1)
+SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_pairs,
+       CAST((SELECT count(DISTINCT k)
+             FROM (SELECT ka AS k FROM p UNION ALL SELECT kb FROM p))
+            AS BIGINT) AS n_names_involved
+"""
+
+
+def q_audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: lineitems whose order is missing
+    (orphans, LeftAnti), orders with no lineitems (childless,
+    LeftAnti the other way), plus totals — the data-quality gate a
+    pipeline runs before trusting a join.
+    Scale: two anti-joins on the same key; broadcast at this SF,
+    key-clustered SMJ at scale; census rows are O(1)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey")
+    orphans = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "left_anti"
+    ).agg(F.count("*").alias("n_orphan_lineitems"))
+    childless = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    ).agg(F.count("*").alias("n_childless_orders"))
+    totals = li.agg(F.count("*").alias("n_lineitems")).crossJoin(
+        orders.agg(F.count("*").alias("n_orders"))
+    )
+    return totals.crossJoin(orphans).crossJoin(childless)
+
+
+SQL_AUDIT_FK_ORPHANS = """
+SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_lineitems,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_orphan_lineitems,
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                               WHERE l.l_orderkey = o.o_orderkey))
+            AS BIGINT) AS n_childless_orders
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3486,6 +3560,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "tpch_cust_order_dist": (q_tpch_cust_order_dist, SQL_TPCH_CUST_ORDER_DIST),
+    "dedup_editdist1": (q_dedup_editdist1, SQL_DEDUP_EDITDIST1),
+    "audit_fk_orphans": (q_audit_fk_orphans, SQL_AUDIT_FK_ORPHANS),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_class_cap": (q_sample_class_cap, SQL_SAMPLE_CLASS_CAP),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),

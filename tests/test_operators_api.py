@@ -447,3 +447,42 @@ def test_drop_near_duplicates_keeps_one_per_cluster(spark, docs):
     assert not {1, 2, 7} & set(ids)
     # unclustered docs all survive
     assert {3, 4, 5, 6} <= set(ids)
+
+
+def test_editdist1_pairs_fastss_recall_and_precision(spark):
+    """FastSS deletion-1 blocking: substitution / insertion / deletion
+    pairs are all found; a distance-2 pair that SHARES a deletion
+    variant ("ax"/"ya" both delete to "a") is blocked as a candidate
+    but must be rejected by the exact levenshtein verify."""
+    from pdf_parser_c_spark.operators.dedup import editdist1_pairs
+
+    rows = [
+        (0, "abc"),   # base
+        (1, "abd"),   # substitution of 0
+        (2, "abcd"),  # insertion into 0
+        (3, "ab"),    # deletion from 0
+        (4, "xyz"),   # unrelated
+        (5, "ax"),    # shares variant "a" with 6 but distance 2
+        (6, "ya"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.id_a, r.id_b) for r in editdist1_pairs(df, "id", "name").collect()
+    }
+    assert (0, 1) in got and (0, 2) in got and (0, 3) in got
+    assert (2, 3) not in got  # "abcd" vs "ab" is distance 2
+    assert (5, 6) not in got  # candidate via shared "a", verify rejects
+    assert not any(4 in p for p in got)
+    # every reported pair is genuinely within distance 1
+    names = dict(rows)
+    import itertools
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[-1]
+
+    assert all(lev(names[a], names[b]) <= 1 for a, b in got)

@@ -158,6 +158,7 @@ def test_tpch_q18_topk_is_take_ordered(spark):
         "dedup_embedding_cosine",
         "dedup_embedding_banded",
         "sim_lsh_bucketed",
+        "dedup_editdist1",
     ],
 )
 def test_dedup_family_never_all_pairs(spark, name):
@@ -170,8 +171,8 @@ def test_dedup_family_never_all_pairs(spark, name):
     plan = plan_of(spark, QUERIES[name][0](spark, SF_DIR), "simple")
     assert "CartesianProduct" not in plan
     n_bnlj = plan.count("BroadcastNestedLoopJoin")
-    if name == "dedup_embedding_banded":
-        assert n_bnlj == 1  # pair_stats × bucket_stats, both 1 row
+    if name in ("dedup_embedding_banded", "dedup_editdist1"):
+        assert n_bnlj == 1  # final census assembly of two 1-row aggs
     else:
         assert n_bnlj == 0
 
@@ -279,3 +280,11 @@ def test_q13_outer_join_pushes_exclusion_and_prunes(spark):
     assert "LeftOuter" in plan and "BroadcastHashJoin" in plan
     assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
     assert "ReadSchema: struct<c_custkey:bigint>" in plan
+
+
+def test_fk_audit_plans_anti_joins_no_cartesian(spark):
+    """Both integrity probes must be LeftAnti hash joins; the census
+    assembly of 1-row aggregates is the only nested-loop allowed."""
+    plan = plan_of(spark, QUERIES["audit_fk_orphans"][0](spark, SF_DIR), "simple")
+    assert plan.count("LeftAnti") == 2
+    assert "CartesianProduct" not in plan
