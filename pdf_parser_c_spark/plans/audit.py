@@ -57,6 +57,7 @@ def main() -> None:
         "text_tfidf_topterms": "corpus scanned+shuffled ONCE into the tf agg; df as a window over tf (no df/tf join: that re-planned the corpus subtree twice, 2.46 s vs 1.2 s); partial WindowGroupLimit bounds the doc_id rank shuffle; n_docs from a zero-column count",
         "dedup_editdist1": "FastSS: deletion-1 variants equi-join (block), exact levenshtein verifies inside buckets; only nested loop is the 1-row census assembly",
         "audit_fk_orphans": "both integrity probes are LeftAnti hash joins on the key; census rows are O(1)",
+        "events_rolling_split": "hot-key-safe rolling: ghost-carry union, RANGE frame inside (user, epoch) cells — hash-identical to events_rolling per the shared oracle",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

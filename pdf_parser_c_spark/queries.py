@@ -3049,6 +3049,35 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_events_rolling_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME trailing-1h census as `events_rolling`, computed with
+    the hot-key-safe epoch-split rolling aggregate
+    (operators/temporal.rolling_range_agg): rows carry into the next
+    epoch as frame-only ghosts and the RANGE frame runs inside
+    (user, epoch) cells, so a hot user spreads across tasks.  The
+    oracle is the PLAIN form's SQL — the driver hash-match is the
+    proof the split form is identical on real data."""
+    from .operators.temporal import rolling_range_agg
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "value")
+    rolled = rolling_range_agg(
+        ev, "user_id", "ts", "value", range_seconds=3600
+    ).select(
+        "event_type",
+        F.col("rolling_n").alias("rn"),
+        F.col("rolling_sum").alias("rs"),
+    )
+    return (
+        rolled.groupBy("event_type")
+        .agg(
+            F.max("rn").alias("max_rolling_n"),
+            F.round(F.avg("rn"), 4).alias("avg_rolling_n"),
+            F.round(F.max("rs"), 2).alias("max_rolling_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical census via ROLLUP: (event_type, day-of-week) cells
     plus per-type subtotals plus the grand total in ONE aggregation —
@@ -3553,6 +3582,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_quantiles": (q_quantiles, SQL_QUANTILES),
     "events_pivot": (q_pivot_events, SQL_PIVOT_EVENTS),
     "events_rolling": (q_events_rolling, SQL_EVENTS_ROLLING),
+    "events_rolling_split": (q_events_rolling_split, SQL_EVENTS_ROLLING),
     "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
     "text_vocab_topk": (q_text_vocab_topk, SQL_TEXT_VOCAB),
     "text_bpe_pairs": (q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),

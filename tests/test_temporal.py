@@ -204,3 +204,61 @@ def test_no_nested_loop_join(spark, frames):
         left, right, "k", "rk", "ts", "rts", width_seconds=60
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_rolling_range_agg_equals_plain_window(spark):
+    """The epoch-split trailing-range aggregate returns exactly what
+    the plain per-key RangeFrame window returns: seeded random rows
+    with a hot key, duplicate timestamps, and rows landing exactly on
+    epoch boundaries; checked at epoch == range and epoch == 2x range."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pdf_parser_c_spark.operators.temporal import _epoch_us, rolling_range_agg
+
+    rng = random.Random(97)
+    rows = [
+        {
+            "rid": i,
+            "k": 0 if i < 200 else rng.randrange(1, 4),  # k=0 is hot
+            "ts": _ts(rng.randrange(40), rng.choice([0, 15, 30, 59]),
+                      rng.choice([0, 0, 123456, 999999])),
+            "v": float(rng.randrange(100)),
+        }
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    r_s = 600  # 10-minute trailing window
+    wp = (
+        Window.partitionBy("k")
+        .orderBy(F.expr(_epoch_us("ts")))
+        .rangeBetween(-r_s * 1_000_000, 0)
+    )
+    plain = {
+        r["rid"]: (r["n"], round(r["s"], 6))
+        for r in df.select(
+            "rid",
+            F.count(F.lit(1)).over(wp).alias("n"),
+            F.sum("v").over(wp).alias("s"),
+        ).collect()
+    }
+    for epoch_s in (r_s, 2 * r_s):
+        got = {
+            r["rid"]: (r["rolling_n"], round(r["rolling_sum"], 6))
+            for r in rolling_range_agg(
+                df, "k", "ts", "v", r_s, epoch_seconds=epoch_s
+            ).collect()
+        }
+        assert got == plain and len(got) == len(rows)
+
+
+def test_rolling_range_agg_rejects_small_epoch(spark):
+    import pytest as _pytest
+
+    from pdf_parser_c_spark.operators.temporal import rolling_range_agg
+
+    df = spark.createDataFrame(pd.DataFrame({"k": [1], "ts": [_ts(0, 0, 0)], "v": [1.0]}))
+    with _pytest.raises(ValueError):
+        rolling_range_agg(df, "k", "ts", "v", 600, epoch_seconds=60)
