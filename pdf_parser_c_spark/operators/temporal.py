@@ -331,3 +331,92 @@ def rolling_range_agg(
         .filter(F.col("_carry") == 0)
         .drop("_ts_us", "_e0", "_e", "_carry")
     )
+
+
+def sessionize_epoch_split(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: float,
+    epoch_seconds: float,
+) -> DataFrame:
+    """Gap-based sessionization (a new session starts after
+    ``gap_seconds`` of silence) computed HOT-KEY-SAFELY: per-row
+    windows run inside (key, epoch) cells, and sessions that straddle
+    epochs — including chains spanning MANY epochs and empty ones —
+    are stitched by an epoch-granularity pass.
+
+    Pass 1, within (key, epoch): lag marks gap starts, a running sum
+    numbers local sessions 1..n.  Pass 2, over one summary row per
+    (key, epoch): ``merge_e`` = the epoch's first event continues the
+    previous non-empty epoch's last session (boundary gap <= gap), and
+    the exclusive running sum of (local sessions - merge) gives each
+    epoch its global numbering offset; a local session s resolves to
+    ``offset + s - merge_e`` (merging shifts the whole epoch down by
+    one).  The summary side is smaller than the data by the per-epoch
+    row density, so no window ever sees a whole hot key.
+
+    Returns the input rows plus ``session_id`` (1-based per key, time
+    order).  Label-identical to the plain one-window-per-key form
+    (randomized equivalence in test_temporal; the
+    `events_sessionize_split` catalog entry hash-matches the plain
+    form's oracle).  Session membership depends only on time DELTAS,
+    so equal-timestamp ordering cannot change labels."""
+    g_us = int(gap_seconds * 1_000_000)
+    e_us = int(epoch_seconds * 1_000_000)
+    base = df.withColumn("_ts_us", F.expr(_epoch_us(ts))).withColumn(
+        "_e", F.floor(F.col("_ts_us") / e_us)
+    )
+    w_cell = Window.partitionBy(key, "_e").orderBy("_ts_us")
+    loc = (
+        base.withColumn("_prev", F.lag("_ts_us").over(w_cell))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("_ts_us") - F.col("_prev") > g_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_loc",
+            F.sum("_new").over(
+                w_cell.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .drop("_prev", "_new")
+    )
+    summ = loc.groupBy(key, "_e").agg(
+        F.min("_ts_us").alias("_first"),
+        F.max("_ts_us").alias("_last"),
+        F.max("_loc").alias("_nloc"),
+    )
+    w_key = Window.partitionBy(key).orderBy("_e")
+    summ = (
+        summ.withColumn("_prev_last", F.lag("_last").over(w_key))
+        .withColumn(
+            "_merge",
+            F.when(
+                F.col("_prev_last").isNotNull()
+                & (F.col("_first") - F.col("_prev_last") <= g_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum(F.col("_nloc") - F.col("_merge")).over(
+                    w_key.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(key, "_e", "_merge", "_offset")
+    )
+    return (
+        loc.join(summ, [key, "_e"])
+        .withColumn(
+            "session_id", F.col("_loc") + F.col("_offset") - F.col("_merge")
+        )
+        .drop("_ts_us", "_e", "_loc", "_merge", "_offset")
+    )

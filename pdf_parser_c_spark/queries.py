@@ -3333,6 +3333,36 @@ FROM sess GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_events_sessionize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME per-user session census as `events_sessionize`,
+    computed with the hot-key-safe epoch-split sessionizer
+    (operators/temporal.sessionize_epoch_split): local sessions inside
+    (user, epoch) window cells, boundary merges and global renumbering
+    in an epoch-granularity second pass.  The oracle is the PLAIN
+    form's SQL — the driver hash-match proves the split form labels
+    identically on real data."""
+    from .operators.temporal import sessionize_epoch_split
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    labeled = sessionize_epoch_split(
+        ev, "user_id", "ts", gap_seconds=1800, epoch_seconds=3600
+    ).withColumn("ts_us", F.expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+    sess = labeled.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        ((F.max("ts_us") - F.min("ts_us")) / 1_000_000.0).alias("span_s"),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+            F.round(F.max("span_s"), 3).alias("max_session_span_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_tpch_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: distribution of customers by how many
     qualifying orders they placed, INCLUDING zero-order customers —
@@ -3588,6 +3618,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_bpe_pairs": (q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),
     "text_tfidf_topterms": (q_text_tfidf_topterms, SQL_TEXT_TFIDF),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "events_sessionize_split": (q_events_sessionize_split, SQL_EVENTS_SESSIONIZE),
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "tpch_cust_order_dist": (q_tpch_cust_order_dist, SQL_TPCH_CUST_ORDER_DIST),
     "dedup_editdist1": (q_dedup_editdist1, SQL_DEDUP_EDITDIST1),

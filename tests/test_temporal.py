@@ -262,3 +262,68 @@ def test_rolling_range_agg_rejects_small_epoch(spark):
     df = spark.createDataFrame(pd.DataFrame({"k": [1], "ts": [_ts(0, 0, 0)], "v": [1.0]}))
     with _pytest.raises(ValueError):
         rolling_range_agg(df, "k", "ts", "v", 600, epoch_seconds=60)
+
+
+def test_sessionize_epoch_split_equals_plain_window(spark):
+    """Epoch-split session labels match the plain one-window-per-key
+    form exactly: seeded random rows with a hot key, sessions chaining
+    across SEVERAL epochs, empty epochs between activity bursts, and
+    boundary-exact gaps; checked at two epoch widths (one smaller than
+    the gap — sessions must still stitch across many epochs)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pdf_parser_c_spark.operators.temporal import (
+        _epoch_us,
+        sessionize_epoch_split,
+    )
+
+    rng = random.Random(1312)
+    # bursts of closely-spaced events + long silences; minute 0-9,
+    # 30-34, 120-121 — epochs of 60 s put whole bursts across cells
+    rows = []
+    rid = 0
+    for k in range(3):
+        n = 220 if k == 0 else 30  # k=0 is hot
+        for _ in range(n):
+            burst = rng.choice([0, 0, 1, 2])
+            minute = {0: rng.randrange(10), 1: 30 + rng.randrange(5),
+                      2: 120 + rng.randrange(2)}[burst]
+            rows.append({
+                "rid": rid, "k": k,
+                "ts": _ts(0)
+                + dt.timedelta(
+                    minutes=minute,
+                    seconds=rng.randrange(60),
+                    microseconds=rng.choice([0, 0, 500000, 999999]),
+                ),
+            })
+            rid += 1
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    gap_s = 90
+    wp = Window.partitionBy("k").orderBy(F.expr(_epoch_us("ts")))
+    run = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    plain = {
+        r["rid"]: r["sid"]
+        for r in df.withColumn("_t", F.expr(_epoch_us("ts")))
+        .withColumn("_p", F.lag("_t").over(wp))
+        .withColumn(
+            "_n",
+            F.when(
+                F.col("_p").isNull() | (F.col("_t") - F.col("_p") > gap_s * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("_n").over(run))
+        .collect()
+    }
+    for epoch_s in (60, 600):  # 60 s < gap: stitching must chain
+        got = {
+            r["rid"]: r["session_id"]
+            for r in sessionize_epoch_split(df, "k", "ts", gap_s, epoch_s).collect()
+        }
+        assert got == plain and len(got) == len(rows)
+    # sanity: the data actually exercises multiple sessions per key
+    assert max(plain.values()) >= 3
