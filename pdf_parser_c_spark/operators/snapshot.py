@@ -1,0 +1,63 @@
+"""Snapshot reconciliation: row-level diff between two versions of a
+keyed table — the CDC / backfill-audit primitive ("what changed between
+yesterday's corpus build and today's?").
+
+Scale: both sides reduce map-side to (key, row-hash) before the single
+full-outer equi-join on the key, so payload columns never shuffle; the
+join is broadcast when one side is small, key-clustered SMJ otherwise.
+Never all-pairs, never a payload-wide exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_US = "\x1f"  # unit separator: unambiguous column joiner
+_NULL = "\x00"  # distinguishes NULL from empty string
+
+
+def _row_hash(df: DataFrame, key_cols: "list[str]", compare_cols: "list[str]", alias: str) -> DataFrame:
+    cols = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in compare_cols
+    ]
+    return df.select(*key_cols, F.md5(F.concat_ws(_US, *cols)).alias(alias))
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: "list[str]",
+    compare_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """→ one row per key present in either snapshot, with ``status`` in
+    {'added', 'removed', 'changed', 'unchanged'}.  ``compare_cols``
+    defaults to every non-key column of ``new`` (both sides must carry
+    them).  NULL and empty string hash differently."""
+    compare = compare_cols or [c for c in new.columns if c not in key_cols]
+    oh = _row_hash(old, key_cols, compare, "_h_old")
+    nh = _row_hash(new, key_cols, compare, "_h_new")
+    joined = oh.join(nh, key_cols, "full_outer")
+    return joined.select(
+        *key_cols,
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def diff_census(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: "list[str]",
+    compare_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """→ (status, n) — the reconciliation summary a pipeline gates on."""
+    return (
+        table_diff(old, new, key_cols, compare_cols)
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+        .orderBy("status")
+    )

@@ -59,6 +59,7 @@ def main() -> None:
         "audit_fk_orphans": "both integrity probes are LeftAnti hash joins on the key; census rows are O(1)",
         "events_rolling_split": "hot-key-safe rolling: ghost-carry union, RANGE frame inside (user, epoch) cells — hash-identical to events_rolling per the shared oracle",
         "events_sessionize_split": "hot-key-safe sessions: (user, epoch) cell windows + epoch-granularity merge/renumber pass — hash-identical to events_sessionize per the shared oracle",
+        "snapshot_diff": "both snapshots reduce map-side to (key, md5); ONE full-outer key join, payloads never shuffle",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

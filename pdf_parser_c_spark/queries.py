@@ -3557,6 +3557,54 @@ SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_lineitems,
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot reconciliation census
+    (operators/snapshot.diff_census): the 'new' snapshot is derived
+    from orders deterministically — drop keys % 97 == 0, bump
+    o_totalprice by 1.0 on keys % 101 == 0, append keys % 103 == 0
+    re-keyed +10^8 — then diffed against the original on o_orderkey.
+    Census = count per status (added/removed/changed/unchanged).
+    Scale: both sides reduce map-side to (key, row-hash); ONE
+    full-outer equi-join on the key; payloads never shuffle."""
+    from .operators.snapshot import diff_census
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    old = orders
+    kept = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    appended = orders.filter(F.col("o_orderkey") % 103 == 0).select(
+        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+        "o_totalprice",
+    )
+    new = kept.unionByName(appended)
+    return diff_census(old, new, ["o_orderkey"])
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice
+  FROM orders WHERE o_orderkey % 103 = 0),
+d AS (
+  SELECT CASE WHEN old.k IS NULL THEN 'added'
+              WHEN new.k IS NULL THEN 'removed'
+              WHEN old.p <> new.p THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old FULL OUTER JOIN new ON old.k = new.k)
+SELECT status, CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY status ORDER BY status
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3623,6 +3671,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tpch_cust_order_dist": (q_tpch_cust_order_dist, SQL_TPCH_CUST_ORDER_DIST),
     "dedup_editdist1": (q_dedup_editdist1, SQL_DEDUP_EDITDIST1),
     "audit_fk_orphans": (q_audit_fk_orphans, SQL_AUDIT_FK_ORPHANS),
+    "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_class_cap": (q_sample_class_cap, SQL_SAMPLE_CLASS_CAP),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),

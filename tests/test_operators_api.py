@@ -486,3 +486,22 @@ def test_editdist1_pairs_fastss_recall_and_precision(spark):
         return d[-1]
 
     assert all(lev(names[a], names[b]) <= 1 for a, b in got)
+
+
+def test_table_diff_statuses_and_null_semantics(spark):
+    """added/removed/changed/unchanged classification, with NULL and
+    empty string hashing differently (a NULL->'' change IS a change)."""
+    from pdf_parser_c_spark.operators.snapshot import diff_census, table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, ""), (5, "e")], ["k", "v"]
+    )
+    got = {r.k: r.status for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: "unchanged", 2: "changed", 3: "changed", 4: "removed", 5: "added",
+    }
+    census = {r.status: r.n for r in diff_census(old, new, ["k"]).collect()}
+    assert census == {"added": 1, "removed": 1, "changed": 2, "unchanged": 1}

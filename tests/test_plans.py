@@ -288,3 +288,19 @@ def test_fk_audit_plans_anti_joins_no_cartesian(spark):
     plan = plan_of(spark, QUERIES["audit_fk_orphans"][0](spark, SF_DIR), "simple")
     assert plan.count("LeftAnti") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_hashes_before_the_join(spark):
+    """Both snapshots must reduce to (key, md5 row-hash) BELOW the one
+    full-outer join — payload columns never cross the exchange — and
+    the scans read only key + compared columns."""
+    plan = plan_of(spark, QUERIES["snapshot_diff"][0](spark, SF_DIR), "simple")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("md5(") >= 2  # hash projected on both sides pre-join
+    import re as _re
+    reads = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert reads and all(
+        set(r.split(",")) <= {"o_orderkey:bigint", "o_totalprice:double"}
+        for r in reads
+    )
