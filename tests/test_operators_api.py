@@ -505,3 +505,37 @@ def test_table_diff_statuses_and_null_semantics(spark):
     }
     census = {r.status: r.n for r in diff_census(old, new, ["k"]).collect()}
     assert census == {"added": 1, "removed": 1, "changed": 2, "unchanged": 1}
+
+
+def test_editdist1_pairs_randomized_bruteforce_equivalence(spark):
+    """Seeded random short strings over a 2-letter alphabet (dense
+    distance-1 space, duplicates, EMPTY strings): the FastSS blocking
+    result must equal the brute-force all-pairs scan exactly — recall
+    AND precision."""
+    import itertools
+    import random
+
+    from pdf_parser_c_spark.operators.dedup import editdist1_pairs
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[-1]
+
+    rng = random.Random(2718)
+    names = [
+        "".join(rng.choice("ab") for _ in range(rng.randrange(5)))
+        for _ in range(60)
+    ]  # includes "" and many exact duplicates
+    rows = list(enumerate(names))
+    expected = {
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= 1
+    }
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {(r.id_a, r.id_b) for r in editdist1_pairs(df, "id", "name").collect()}
+    assert got == expected and len(expected) > 100
