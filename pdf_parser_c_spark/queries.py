@@ -3499,14 +3499,15 @@ def q_dedup_editdist1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     pairs = editdist1_pairs(cust, "c_custkey", "c_name")
-    n_pairs = pairs.agg(F.count("*").alias("n_pairs"))
-    n_names = (
-        pairs.select(F.col("id_a").alias("k"))
-        .union(pairs.select(F.col("id_b").alias("k")))
-        .distinct()
-        .agg(F.count("*").alias("n_names_involved"))
+    # both census stats in ONE pass over the pair pipeline (exploding
+    # each pair into its two members halves to n_pairs exactly) — two
+    # separate aggregates would re-plan the whole join subtree twice
+    return pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("k")
+    ).agg(
+        (F.count("*") / 2).cast("long").alias("n_pairs"),
+        F.count_distinct("k").alias("n_names_involved"),
     )
-    return n_pairs.crossJoin(n_names)
 
 
 SQL_DEDUP_EDITDIST1 = """

@@ -171,7 +171,7 @@ def test_dedup_family_never_all_pairs(spark, name):
     plan = plan_of(spark, QUERIES[name][0](spark, SF_DIR), "simple")
     assert "CartesianProduct" not in plan
     n_bnlj = plan.count("BroadcastNestedLoopJoin")
-    if name in ("dedup_embedding_banded", "dedup_editdist1"):
+    if name == "dedup_embedding_banded":
         assert n_bnlj == 1  # final census assembly of two 1-row aggs
     else:
         assert n_bnlj == 0
