@@ -396,3 +396,71 @@ def editdist1_pairs(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
         .select("id_a", "id_b", "key_a", "key_b")
         .distinct()
     )
+
+
+def substring_dup_coverage(
+    df: DataFrame, id_col: str, text_col: str, width: int = 8
+) -> DataFrame:
+    """Exact-substring duplication coverage (the window form of the
+    suffix-array dedup in Lee et al. 2021, *Deduplicating Training
+    Data Makes Language Models Better*): every ``width``-word window
+    of every document is hashed; a window occurring ≥2 times ANYWHERE
+    in the corpus (another doc, or elsewhere in the same doc) is
+    duplicated; a document's duplicated-token count is the size of the
+    UNION of its duplicated windows' [pos, pos+width) intervals —
+    overlapping hits never double-count a token.
+
+    → (id_col, n_tok, dup_tokens), SPARSE: docs with no duplicated
+    window are absent (left-join back and coalesce 0 for a dense
+    frame) — at corpus scale the sparse contract keeps the interval
+    merge's input to the duplicated subset only.
+
+    Scale: two exchanges, never all-pairs.  (1) a count window over
+    the 60-bit window hash — count-only, so a boilerplate window
+    repeated across the whole corpus is a linear hot key, not a pair
+    blowup; (2) the per-doc interval union is ONE running-max window
+    over the duplicated-position subset, and the final groupBy reuses
+    that exchange's doc partitioning.  The interval merge is the
+    sessionize trick inverted: covered = max(0, (pos+width) -
+    max(pos, max_prev_end)).  The hash is the family's 60-bit
+    md5-prefix int (collisions mirrored by the DuckDB oracle).
+    """
+    win_hash = (
+        f"cast(conv(substr(md5(array_join(slice(ws, i, {width}), ' ')),"
+        f" 1, 15), 16, 10) as bigint)"
+    )
+    wins = (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
+        .withColumn("n_tok", F.size("ws"))
+        .filter(F.col("n_tok") >= width)
+        .select(
+            id_col,
+            "n_tok",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {width - 1}),"
+                    f" i -> {win_hash})"
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    dup = wins.withColumn(
+        "_cnt", F.count("*").over(Window.partitionBy("h"))
+    ).filter(F.col("_cnt") >= 2)
+    w_doc = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + width).over(w_doc)
+    covered = F.greatest(
+        F.lit(0),
+        F.col("pos")
+        + width
+        - F.greatest(F.col("pos"), F.coalesce(prev_end, F.col("pos"))),
+    )
+    return (
+        dup.withColumn("_cov", covered)
+        .groupBy(id_col, "n_tok")
+        .agg(F.sum("_cov").cast("long").alias("dup_tokens"))
+    )

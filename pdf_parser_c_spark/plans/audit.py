@@ -55,7 +55,8 @@ def main() -> None:
         "text_vocab_topk": "tokens built map-side (Generate over array ops), partial agg on ONE exchange, TakeOrdered top-k; only text read",
         "text_bpe_pairs": "pairs built map-side with zip_with over shifted slices, partial agg on ONE exchange, TakeOrdered top-k",
         "text_tfidf_topterms": "corpus scanned+shuffled ONCE into the tf agg; df as a window over tf (no df/tf join: that re-planned the corpus subtree twice, 2.46 s vs 1.2 s); partial WindowGroupLimit bounds the doc_id rank shuffle; n_docs from a zero-column count",
-        "dedup_editdist1": "FastSS: deletion-1 variants equi-join (block), exact levenshtein verifies inside buckets; only nested loop is the 1-row census assembly",
+        "dedup_editdist1": "FastSS: deletion-1 variants equi-join (block), thresholded levenshtein confirms BEFORE the distinct; no nested loop anywhere",
+        "dedup_substring": "window-hash count window (one exchange, count-only so hot windows are linear), per-doc interval merge + groupBy share one doc exchange; zero-attach join is doc-sized",
         "audit_fk_orphans": "both integrity probes are LeftAnti hash joins on the key; census rows are O(1)",
         "events_rolling_split": "hot-key-safe rolling: ghost-carry union, RANGE frame inside (user, epoch) cells — hash-identical to events_rolling per the shared oracle",
         "events_sessionize_split": "hot-key-safe sessions: (user, epoch) cell windows + epoch-granularity merge/renumber pass — hash-identical to events_sessionize per the shared oracle",

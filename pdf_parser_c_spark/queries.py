@@ -3523,6 +3523,85 @@ SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_pairs,
 """
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication census (the Lee et al. 2021 window
+    form, operators/dedup.substring_dup_coverage): per-doc
+    duplicated-token fraction from the interval UNION of repeated
+    8-word windows, bucketed corpus-wide.  Buckets compare
+    4·dup_tokens against n_tok in exact integer math — no float
+    boundary hazard between engines.
+    Scale: the coverage kernel is 2 exchanges (count window on the
+    60-bit window hash, per-doc interval merge + groupBy on one doc
+    exchange); the zero-attach left join is doc-count-sized, orders of
+    magnitude below the window tables it summarizes."""
+    from .operators.dedup import substring_dup_coverage
+
+    width = 8
+    d = t(spark, sf_dir, "documents")
+    cov = substring_dup_coverage(d, "doc_id", "text", width=width)
+    eligible = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    ).filter(F.col("n_tok") >= width)
+    j = eligible.join(
+        cov.select("doc_id", "dup_tokens"), "doc_id", "left"
+    ).withColumn("dup_tokens", F.coalesce("dup_tokens", F.lit(0)))
+    bucket = (
+        F.when(F.col("dup_tokens") == 0, "none")
+        .when(F.col("dup_tokens") * 4 < F.col("n_tok"), "q1_low")
+        .when(F.col("dup_tokens") * 4 < F.col("n_tok") * 3, "q2_mid")
+        .otherwise("q3_high")
+    )
+    return (
+        j.withColumn("dup_bucket", bucket)
+        .groupBy("dup_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dup_tokens").cast("long").alias("dup_tokens"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .orderBy("dup_bucket")
+    )
+
+
+SQL_DEDUP_SUBSTRING = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+dd AS (SELECT doc_id, len(ws) AS n_tok, ws FROM d WHERE len(ws) >= 8),
+wins AS (
+  SELECT doc_id, n_tok, u.pos, u.h FROM (
+    SELECT doc_id, n_tok,
+           unnest(list_transform(generate_series(1, n_tok - 7),
+             i -> struct_pack(
+               pos := i - 1,
+               h := CAST(('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')),
+                          1, 15)) AS BIGINT)))) AS u
+    FROM dd)),
+dup AS (
+  SELECT doc_id, n_tok, pos, count(*) OVER (PARTITION BY h) AS cnt
+  FROM wins QUALIFY cnt >= 2),
+cov AS (
+  SELECT doc_id, pos,
+         max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM dup),
+perdoc AS (
+  SELECT doc_id,
+         CAST(sum(greatest(0, pos + 8 - greatest(pos, coalesce(prev_end, pos))))
+              AS BIGINT) AS dup_tokens
+  FROM cov GROUP BY doc_id),
+j AS (
+  SELECT dd.doc_id, dd.n_tok, coalesce(p.dup_tokens, 0) AS dup_tokens
+  FROM dd LEFT JOIN perdoc p USING (doc_id))
+SELECT CASE WHEN dup_tokens = 0 THEN 'none'
+            WHEN dup_tokens * 4 < n_tok THEN 'q1_low'
+            WHEN dup_tokens * 4 < n_tok * 3 THEN 'q2_mid'
+            ELSE 'q3_high' END AS dup_bucket,
+       count(*) AS n_docs,
+       CAST(sum(dup_tokens) AS BIGINT) AS dup_tokens,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: lineitems whose order is missing
     (orphans, LeftAnti), orders with no lineitems (childless,
@@ -3671,6 +3750,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "tpch_cust_order_dist": (q_tpch_cust_order_dist, SQL_TPCH_CUST_ORDER_DIST),
     "dedup_editdist1": (q_dedup_editdist1, SQL_DEDUP_EDITDIST1),
+    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "audit_fk_orphans": (q_audit_fk_orphans, SQL_AUDIT_FK_ORPHANS),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),

@@ -539,3 +539,31 @@ def test_editdist1_pairs_randomized_bruteforce_equivalence(spark):
     df = spark.createDataFrame(rows, ["id", "name"])
     got = {(r.id_a, r.id_b) for r in editdist1_pairs(df, "id", "name").collect()}
     assert got == expected and len(expected) > 100
+
+
+def test_substring_dup_coverage_interval_union(spark):
+    """Pins the Lee-et-al window-dedup semantics the census query
+    relies on: overlapping duplicated windows merge into ONE interval
+    (no double counting), a window repeated WITHIN one doc counts,
+    and clean docs are absent (sparse contract)."""
+    from pdf_parser_c_spark.operators.dedup import substring_dup_coverage
+
+    rows = [
+        # docs 1/2 share the 6-token run "a b c d e f" -> three
+        # overlapping width-4 dup windows; union covers 6 tokens each
+        (1, "a b c d e f q1 q2 q3 q4"),
+        (2, "z1 z2 a b c d e f z3 z4"),
+        # doc 3 repeats "m n o p" within itself at pos 0 and 4 ->
+        # dup intervals [0,4) and [4,8): adjacent, union = 8
+        (3, "m n o p m n o p"),
+        # doc 4 is clean -> absent
+        (4, "u1 u2 u3 u4 u5 u6 u7 u8"),
+        # doc 5 is below width -> filtered out entirely
+        (5, "v1 v2 v3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["dup_tokens"])
+        for r in substring_dup_coverage(df, "doc_id", "text", width=4).collect()
+    }
+    assert got == {1: (10, 6), 2: (10, 6), 3: (8, 8)}

@@ -159,6 +159,7 @@ def test_tpch_q18_topk_is_take_ordered(spark):
         "dedup_embedding_banded",
         "sim_lsh_bucketed",
         "dedup_editdist1",
+        "dedup_substring",
     ],
 )
 def test_dedup_family_never_all_pairs(spark, name):
