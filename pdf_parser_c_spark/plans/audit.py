@@ -61,6 +61,7 @@ def main() -> None:
         "events_rolling_split": "hot-key-safe rolling: ghost-carry union, RANGE frame inside (user, epoch) cells — hash-identical to events_rolling per the shared oracle",
         "events_sessionize_split": "hot-key-safe sessions: (user, epoch) cell windows + epoch-granularity merge/renumber pass — hash-identical to events_sessionize per the shared oracle",
         "snapshot_diff": "both snapshots reduce map-side to (key, md5); ONE full-outer key join, payloads never shuffle",
+        "curation_funnel": "end-to-end curation: map-side gates, conditional-min window per digest, DF-capped jaccard graph on survivors, broadcast benchmark probe; census is a 6-row reverse cumsum",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

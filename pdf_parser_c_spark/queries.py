@@ -3602,6 +3602,207 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end corpus-curation job, as one funnel census:
+    quality gate (normalized token count) → language gate (stopword
+    fraction) → exact dedup (min-id winner per normalized digest) →
+    near-dup dedup (jaccard components over the survivors, min-id
+    survivor) → benchmark decontamination (≥5 shared 4-gram shingles
+    with the held-out set) — each stage composed from the SAME
+    operators the standalone catalog entries use, proving they chain.
+    Byte-distinct copies are synthesized (every 5th corpus doc
+    re-enters uppercased with punctuation noise, as in
+    dedup_exact_normalized) so the exact stage provably drops rows.
+    Output: one row per stage with surviving docs + tokens
+    (reverse-cumulative over a per-doc stage_reached histogram — the
+    whole funnel is ONE pass over the corpus plus the same bounded
+    shuffles the standalone stages pay).
+    Scale: gates 1-2 are map-side; the exact-winner window is a
+    conditional min per digest (linear in dup-group size, never a
+    pair blowup); near-dup reuses the DF-capped inverted index +
+    label propagation; decontamination broadcasts the benchmark
+    shingles; the census is a ≤6-row aggregate."""
+    from .operators.dedup import (
+        connected_components,
+        contamination_overlap,
+        ngram_jaccard_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus0 = d.filter(F.col("doc_id") >= 40)
+    variants = corpus0.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("** "), F.upper("text"), F.lit(" //")).alias("text"),
+    )
+    corpus = corpus0.unionByName(variants)
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")), " +", " "
+    )
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    f = (
+        corpus.withColumn("norm", norm)
+        .withColumn("n_tok", F.size(F.split("norm", " ")))
+        .withColumn(
+            "stop_frac",
+            F.expr(
+                f"size(filter(split(norm, ' '), w -> array_contains({stop_arr}, w)))"
+                " / cast(size(split(norm, ' ')) as double)"
+            ),
+        )
+        .withColumn("q_ok", (F.col("n_tok") >= 24) & (F.col("n_tok") <= 10000))
+        .withColumn("l_ok", F.col("stop_frac") >= 0.03)
+    )
+    f = f.withColumn(
+        "e_ok",
+        F.col("doc_id")
+        == F.min(F.when(F.col("q_ok") & F.col("l_ok"), F.col("doc_id"))).over(
+            Window.partitionBy(F.md5("norm"))
+        ),
+    )
+    s3 = f.filter("q_ok and l_ok and e_ok").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(
+        s3, "doc_id", "text", n=4, threshold=0.2, max_shingle_df=MAX_SHINGLE_DF
+    )
+    nd_losers = (
+        connected_components(pairs, "doc_a", "doc_b")
+        .filter(F.col("doc") != F.col("component"))
+        .select(F.col("doc").alias("doc_id"), F.lit(True).alias("_nd"))
+    )
+    contam = (
+        contamination_overlap(corpus, d.filter(F.col("doc_id") < 40), "doc_id", "text", 4)
+        .filter(F.col("n_overlap") >= 5)
+        .select(F.col("doc").alias("doc_id"), F.lit(True).alias("_ct"))
+    )
+    staged = (
+        f.join(nd_losers, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            F.when(~F.col("q_ok"), 0)
+            .when(~F.col("l_ok"), 1)
+            .when(~F.col("e_ok"), 2)
+            .when(F.col("_nd").isNotNull(), 3)
+            .when(F.col("_ct").isNotNull(), 4)
+            .otherwise(5)
+            .alias("sr"),
+            "n_tok",
+        )
+    )
+    hist = staged.groupBy("sr").agg(
+        F.count("*").alias("n"), F.sum("n_tok").alias("tok")
+    )
+    stages = spark.range(6).select(F.col("id").cast("int").alias("st"))
+    labels = ", ".join(f"'{s}'" for s in CURATION_STAGES)
+    w_rev = Window.orderBy(F.desc("st")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        stages.join(hist, stages["st"] == hist["sr"], "left")
+        .select(
+            "st",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("tok", F.lit(0)).alias("tok"),
+        )
+        .select(
+            F.element_at(F.expr(f"array({labels})"), F.col("st") + 1).alias("stage"),
+            F.sum("n").over(w_rev).cast("long").alias("n_docs"),
+            F.sum("tok").over(w_rev).cast("long").alias("n_tokens"),
+        )
+        .orderBy("stage")
+    )
+
+
+CURATION_STAGES = (
+    "0_corpus", "1_quality", "2_lang", "3_exact_dedup", "4_near_dedup",
+    "5_decontam",
+)
+
+
+def _sql_curation_funnel() -> str:
+    labels = ", ".join(f"'{s}'" for s in CURATION_STAGES)
+    return f"""
+WITH RECURSIVE
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 40
+  UNION ALL
+  SELECT doc_id + 100000, '** ' || upper(text) || ' //'
+  FROM documents WHERE doc_id >= 40 AND doc_id % 5 = 0),
+nf AS (
+  SELECT doc_id, text,
+         regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')),
+                        ' +', ' ', 'g') AS norm
+  FROM corpus),
+g AS (
+  SELECT doc_id, text, norm, len(string_split(norm, ' ')) AS n_tok,
+         len(list_filter(string_split(norm, ' '), w -> w IN {_STOP_SQL}))
+           / CAST(len(string_split(norm, ' ')) AS DOUBLE) AS stop_frac
+  FROM nf),
+flags1 AS (
+  SELECT doc_id, text, norm, n_tok,
+         (n_tok >= 24 AND n_tok <= 10000) AS q_ok,
+         (stop_frac >= 0.03) AS l_ok
+  FROM g),
+flags2 AS (
+  SELECT *, (doc_id = min(CASE WHEN q_ok AND l_ok THEN doc_id END)
+             OVER (PARTITION BY md5(norm))) AS e_ok
+  FROM flags1),
+s3 AS (SELECT doc_id, text FROM flags2 WHERE q_ok AND l_ok AND e_ok),
+w3 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s3),
+sstr3 AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(ws) - 3),
+                                       i -> array_to_string(ws[i:i+3], ' '))) AS s
+          FROM w3 WHERE len(ws) >= 4),
+sh3 AS (SELECT doc_id, {SHINGLE_HASH_DUCK} AS s FROM sstr3),
+sizes3 AS (SELECT doc_id, count(*) AS n FROM sstr3 GROUP BY doc_id),
+rare3 AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh3 GROUP BY s)
+          WHERE df <= {MAX_SHINGLE_DF}),
+shr3 AS (SELECT sh3.doc_id, sh3.s FROM sh3 JOIN rare3 USING (s)),
+cand3 AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+          FROM shr3 a JOIN shr3 b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+dup3 AS (SELECT da, db FROM cand3
+         JOIN sizes3 sa ON cand3.da = sa.doc_id
+         JOIN sizes3 sb ON cand3.db = sb.doc_id
+         WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.2),
+sym3 AS (SELECT da AS u, db AS v FROM dup3 UNION SELECT db, da FROM dup3),
+reach3(v, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym3) t
+                 UNION
+                 SELECT s.v, reach3.r FROM reach3 JOIN sym3 s ON s.u = reach3.v),
+ndlosers AS (SELECT v AS doc_id FROM (SELECT v, min(r) AS component
+                                      FROM reach3 GROUP BY v)
+             WHERE v != component),
+wb AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       WHERE doc_id < 40),
+benchstr AS (SELECT
+                 unnest(list_transform(generate_series(1, len(ws) - 3),
+                                       i -> array_to_string(ws[i:i+3], ' '))) AS s
+             FROM wb WHERE len(ws) >= 4),
+bench AS (SELECT DISTINCT {SHINGLE_HASH_DUCK} AS s FROM benchstr),
+wc AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+shcstr AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(ws) - 3),
+                                        i -> array_to_string(ws[i:i+3], ' '))) AS s
+           FROM wc WHERE len(ws) >= 4),
+shc AS (SELECT DISTINCT doc_id, {SHINGLE_HASH_DUCK} AS s FROM shcstr),
+contam AS (SELECT doc_id FROM (SELECT shc.doc_id, count(*) AS n
+                               FROM shc JOIN bench USING (s) GROUP BY 1)
+           WHERE n >= 5),
+staged AS (
+  SELECT CASE WHEN NOT q_ok THEN 0 WHEN NOT l_ok THEN 1 WHEN NOT e_ok THEN 2
+              WHEN nd.doc_id IS NOT NULL THEN 3
+              WHEN c.doc_id IS NOT NULL THEN 4 ELSE 5 END AS sr,
+         n_tok
+  FROM flags2 f
+  LEFT JOIN ndlosers nd ON f.doc_id = nd.doc_id
+  LEFT JOIN contam c ON f.doc_id = c.doc_id),
+hist AS (SELECT sr, count(*) AS n, sum(n_tok) AS tok FROM staged GROUP BY sr)
+SELECT [{labels}][st + 1] AS stage,
+       CAST((SELECT coalesce(sum(n), 0) FROM hist WHERE sr >= st) AS BIGINT)
+         AS n_docs,
+       CAST((SELECT coalesce(sum(tok), 0) FROM hist WHERE sr >= st) AS BIGINT)
+         AS n_tokens
+FROM (SELECT unnest(generate_series(0, 5)) AS st)
+ORDER BY stage
+"""
+
+
 def q_audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: lineitems whose order is missing
     (orphans, LeftAnti), orders with no lineitems (childless,
@@ -3751,6 +3952,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tpch_cust_order_dist": (q_tpch_cust_order_dist, SQL_TPCH_CUST_ORDER_DIST),
     "dedup_editdist1": (q_dedup_editdist1, SQL_DEDUP_EDITDIST1),
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     "audit_fk_orphans": (q_audit_fk_orphans, SQL_AUDIT_FK_ORPHANS),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
