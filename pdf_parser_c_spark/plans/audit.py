@@ -62,6 +62,9 @@ def main() -> None:
         "events_sessionize_split": "hot-key-safe sessions: (user, epoch) cell windows + epoch-granularity merge/renumber pass — hash-identical to events_sessionize per the shared oracle",
         "snapshot_diff": "both snapshots reduce map-side to (key, md5); ONE full-outer key join, payloads never shuffle",
         "curation_funnel": "end-to-end curation: map-side gates, conditional-min window per digest, DF-capped jaccard graph on survivors, broadcast benchmark probe; census is a 6-row reverse cumsum",
+        "tpch_forecast_revenue": "Q6: every predicate pushed to the parquet scan, 4-column ReadSchema, 1-row partial/final agg, zero joins",
+        "tpch_promo_share": "Q14: part broadcast, conditional share rides the partial agg, shipdate pushed",
+        "tpch_disjunctive_filter": "Q19 shape: dim broadcast, per-side residuals pushed, cross-side disjunction map-side post-join",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

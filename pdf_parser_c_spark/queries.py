@@ -726,6 +726,115 @@ ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20
 """
 
 
+def q_tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg, the pushdown litmus test —
+    every predicate (date range, discount band, quantity cap) must
+    reach the parquet scan and the aggregate is ONE row.
+    Scale: zero shuffles beyond the 1-row partial/final agg; the scan
+    reads 4 columns of the fact table and row groups outside the
+    shipdate range are skipped by min/max stats."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact↔dim join feeding a conditional-share
+    aggregate (promo revenue as % of total).
+    Scale: part broadcasts (dim ≪ fact) so the join is map-side; the
+    CASE rides the partial aggregation — one row out, no extra pass."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-09-01"))
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                2,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-09-01'
+"""
+
+
+def q_tpch_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted to this substrate's columns):
+    a disjunction of correlated (brand, size-range, quantity-range)
+    predicate triplets spanning BOTH sides of a fact↔dim join.
+    Scale: the per-side residuals (p_size ≤ 30, l_quantity ≤ 30 —
+    implied by the disjunction) are pushed to each scan, the dim
+    broadcasts, and the cross-side disjunction evaluates map-side
+    after the join — no shuffle anywhere but the 1-row agg."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q, s, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 10) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 20) & q.between(10, 20))
+        | ((b == "Brand#4") & s.between(1, 30) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 MAX_SHINGLE_DF = 200  # blocking: shingles in more docs than this are
 # stop-shingles — they generate O(df²) candidate pairs while carrying
 # no dedup signal; dropping them is the standard inverted-index cap
@@ -3910,6 +4019,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tpch_market_join": (q_tpch_market_join, SQL_TPCH_Q3),
     "tpch_region_volume": (q_tpch_region_volume, SQL_TPCH_Q5),
     "tpch_big_orders": (q_tpch_big_orders, SQL_TPCH_Q18),
+    "tpch_forecast_revenue": (q_tpch_forecast_revenue, SQL_TPCH_Q6),
+    "tpch_promo_share": (q_tpch_promo_share, SQL_TPCH_Q14),
+    "tpch_disjunctive_filter": (q_tpch_disjunctive_filter, SQL_TPCH_Q19),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_minhash()),
