@@ -567,3 +567,45 @@ def test_substring_dup_coverage_interval_union(spark):
         for r in substring_dup_coverage(df, "doc_id", "text", width=4).collect()
     }
     assert got == {1: (10, 6), 2: (10, 6), 3: (8, 8)}
+
+
+def test_substring_dup_coverage_randomized_bruteforce_equivalence(spark):
+    """Seeded random word streams over a 3-word vocabulary (dense
+    window-collision space): per-doc duplicated-token coverage must
+    equal a brute-force recount — every width-4 window checked against
+    a corpus-wide occurrence dict, covered positions collected into a
+    plain Python set (the interval union, computed the slow way)."""
+    import random
+    from collections import Counter
+
+    from pdf_parser_c_spark.operators.dedup import substring_dup_coverage
+
+    rng = random.Random(31415)
+    width = 4
+    docs = {
+        i: [rng.choice(("x", "y", "z")) for _ in range(rng.randrange(2, 14))]
+        for i in range(40)
+    }
+    occ = Counter(
+        tuple(ws[p : p + width])
+        for ws in docs.values()
+        for p in range(len(ws) - width + 1)
+    )
+    expected = {}
+    for i, ws in docs.items():
+        if len(ws) < width:
+            continue
+        covered = set()
+        for p in range(len(ws) - width + 1):
+            if occ[tuple(ws[p : p + width])] >= 2:
+                covered.update(range(p, p + width))
+        if covered:
+            expected[i] = (len(ws), len(covered))
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs.items()], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["dup_tokens"])
+        for r in substring_dup_coverage(df, "doc_id", "text", width=width).collect()
+    }
+    assert got == expected and len(expected) >= 20
