@@ -230,12 +230,15 @@ def contamination_overlap(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_index(
     df: DataFrame, id_col: str, text_col: str, n: int = 4,
     num_hashes: int = 8, bands: int = 4,
 ) -> DataFrame:
-    """LSH banding over MinHash signatures → candidate pairs that agree
-    on at least one band (distinct pairs)."""
+    """(doc, band_idx, bucket) — the LSH band index a continuous-ingest
+    dedup maintains as a TABLE: each new batch probes it with an
+    equi-join (incremental_lsh_pairs) instead of re-banding the whole
+    corpus.  Map-side end to end (signatures are array ops, banding is
+    md5-of-concat, the unpivot is a stack)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
@@ -247,9 +250,60 @@ def lsh_candidate_pairs(
         )
     banded = sig.select("doc", *band_cols)
     stack_args = ", ".join(f"{b}, band{b}" for b in range(bands))
-    long = banded.select(
+    return banded.select(
         "doc", F.expr(f"stack({bands}, {stack_args}) AS (band_idx, bucket)")
     )
+
+
+def incremental_lsh_pairs(
+    new_index: DataFrame, old_index: DataFrame
+) -> DataFrame:
+    """Candidate pairs INTRODUCED by a new ingest batch against a
+    maintained band index (both sides in lsh_band_index's
+    (doc, band_idx, bucket) shape): new×indexed pairs
+    (is_cross=true) plus new×new pairs within the batch
+    (is_cross=false), distinct — indexed×indexed pairs are never
+    re-derived, which is the whole point of keeping the index.
+    Scale: both probes are equi-joins on (band_idx, bucket); the new
+    side is ingest-batch-sized, so the cross probe is
+    batch × bucket-width, never corpus × corpus."""
+    nw, old = new_index.alias("n"), old_index.alias("o")
+    cross = (
+        nw.join(
+            old,
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.bucket") == F.col("o.bucket")),
+        )
+        .select(
+            F.col("n.doc").alias("doc_new"),
+            F.col("o.doc").alias("doc_other"),
+            F.lit(True).alias("is_cross"),
+        )
+    )
+    a, b = new_index.alias("a"), new_index.alias("b")
+    intra = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_new"),
+            F.col("b.doc").alias("doc_other"),
+            F.lit(False).alias("is_cross"),
+        )
+    )
+    return cross.unionByName(intra).distinct()
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4,
+    num_hashes: int = 8, bands: int = 4,
+) -> DataFrame:
+    """LSH banding over MinHash signatures → candidate pairs that agree
+    on at least one band (distinct pairs)."""
+    long = lsh_band_index(df, id_col, text_col, n, num_hashes, bands)
     a, b = long.alias("a"), long.alias("b")
     return (
         a.join(

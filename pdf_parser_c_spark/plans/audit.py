@@ -65,6 +65,7 @@ def main() -> None:
         "tpch_forecast_revenue": "Q6: every predicate pushed to the parquet scan, 4-column ReadSchema, 1-row partial/final agg, zero joins",
         "tpch_promo_share": "Q14: part broadcast, conditional share rides the partial agg, shipdate pushed",
         "tpch_disjunctive_filter": "Q19 shape: dim broadcast, per-side residuals pushed, cross-side disjunction map-side post-join",
+        "dedup_incremental": "continuous-ingest probe: map-side band index both sides, two (band_idx,bucket) equi-joins, batch-sized new side; census is one agg over the union",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

@@ -3711,6 +3711,60 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (continuous-ingest) dedup census: docs with
+    doc_id % 10 == 7 are the NEW ingest batch, the rest the already-
+    indexed corpus; the batch's LSH band rows probe the maintained
+    index (operators/dedup.lsh_band_index + incremental_lsh_pairs) —
+    new×indexed and new×new candidate pairs come back, indexed×indexed
+    pairs are never re-derived.  Census = cross pairs, intra pairs,
+    distinct new docs with ≥1 candidate.
+    Scale: THE shape for dedup at 10^12 turns — the index is a stored
+    table keyed (band_idx, bucket), the per-batch probe is
+    batch-sized, and the equi-join hits only the batch's buckets."""
+    from .operators.dedup import incremental_lsh_pairs, lsh_band_index
+
+    d = t(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 7
+    new_idx = lsh_band_index(d.filter(is_new), "doc_id", "text")
+    old_idx = lsh_band_index(d.filter(~is_new), "doc_id", "text")
+    pairs = incremental_lsh_pairs(new_idx, old_idx)
+    return pairs.agg(
+        F.sum(F.when(F.col("is_cross"), 1).otherwise(0))
+        .cast("long").alias("n_cross_pairs"),
+        F.sum(F.when(F.col("is_cross"), 0).otherwise(1))
+        .cast("long").alias("n_intra_pairs"),
+        F.count_distinct("doc_new").alias("n_new_docs_with_candidates"),
+    )
+
+
+def _sql_dedup_incremental() -> str:
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx,"
+        f" md5(CAST(mh{2 * b} AS VARCHAR) || '|' || CAST(mh{2 * b + 1} AS VARCHAR))"
+        f" AS bucket FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH {_sql_shingle_ctes()},
+{_sql_minhash_sig_cte()},
+bands AS ({band_rows}),
+newb AS (SELECT * FROM bands WHERE doc_id % 10 = 7),
+oldb AS (SELECT * FROM bands WHERE doc_id % 10 != 7),
+cross_p AS (SELECT DISTINCT n.doc_id AS dn, o.doc_id AS do_
+            FROM newb n JOIN oldb o USING (band_idx, bucket)),
+intra_p AS (SELECT DISTINCT a.doc_id AS dn, b.doc_id AS do_
+            FROM newb a JOIN newb b
+              ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id)
+SELECT CAST((SELECT count(*) FROM cross_p) AS BIGINT) AS n_cross_pairs,
+       CAST((SELECT count(*) FROM intra_p) AS BIGINT) AS n_intra_pairs,
+       CAST((SELECT count(DISTINCT dn) FROM
+             (SELECT dn FROM cross_p UNION ALL SELECT dn FROM intra_p))
+            AS BIGINT) AS n_new_docs_with_candidates
+"""
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE end-to-end corpus-curation job, as one funnel census:
     quality gate (normalized token count) → language gate (stopword
@@ -4065,6 +4119,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_editdist1": (q_dedup_editdist1, SQL_DEDUP_EDITDIST1),
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
+    "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
     "audit_fk_orphans": (q_audit_fk_orphans, SQL_AUDIT_FK_ORPHANS),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),

@@ -609,3 +609,40 @@ def test_substring_dup_coverage_randomized_bruteforce_equivalence(spark):
         for r in substring_dup_coverage(df, "doc_id", "text", width=width).collect()
     }
     assert got == expected and len(expected) >= 20
+
+
+def test_incremental_lsh_pairs_equals_restricted_full_banding(spark):
+    """The incremental contract: probing a maintained band index with
+    a new batch yields EXACTLY the full-corpus LSH candidate pairs
+    that touch a new doc — cross pairs oriented (new, indexed), intra
+    pairs (a<b within the batch), and never an indexed×indexed pair."""
+    from pdf_parser_c_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        lsh_band_index,
+        lsh_candidate_pairs,
+    )
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    new = d.filter(d.doc_id % 10 == 7)
+    old = d.filter(d.doc_id % 10 != 7)
+    got = {
+        (r.doc_new, r.doc_other, r.is_cross)
+        for r in incremental_lsh_pairs(
+            lsh_band_index(new, "doc_id", "text"),
+            lsh_band_index(old, "doc_id", "text"),
+        ).collect()
+    }
+    full = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(d, "doc_id", "text").collect()}
+    expected = set()
+    for a, b in full:
+        a_new, b_new = a % 10 == 7, b % 10 == 7
+        if a_new and b_new:
+            expected.add((a, b, False))
+        elif a_new:
+            expected.add((a, b, True))
+        elif b_new:
+            expected.add((b, a, True))
+    assert got == expected and any(c for *_ , c in got) and len(got) > 0

@@ -160,6 +160,7 @@ def test_tpch_q18_topk_is_take_ordered(spark):
         "sim_lsh_bucketed",
         "dedup_editdist1",
         "dedup_substring",
+        "dedup_incremental",
     ],
 )
 def test_dedup_family_never_all_pairs(spark, name):
