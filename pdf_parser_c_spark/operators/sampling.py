@@ -62,6 +62,47 @@ def cap_per_class(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    class_col: str,
+    tokens_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+) -> DataFrame:
+    """Dataset-mixture sampling to a token budget: each class's
+    keep-rate is min(1, budget·share / class_tokens) — classes whose
+    corpus already undershoots their target mixture share keep
+    everything (rate 1), overrepresented classes are thinned.
+    Membership is the deterministic id hash, so the built dataset is
+    reproducible and a row's inclusion is recomputable from its id.
+    A class absent from ``weights`` gets share 0 and is dropped.
+
+    Scale: the rate table is ONE tiny aggregate (|classes| rows,
+    broadcast back); the sample itself is a map-side hash filter —
+    the corpus is scanned once, nothing corpus-sized shuffles."""
+    total_w = float(sum(weights.values()))
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    rates = (
+        df.groupBy(class_col)
+        .agg(F.sum(tokens_col).alias("_cls_tokens"))
+        .withColumn(
+            "_share", F.coalesce(wmap[F.col(class_col)], F.lit(0.0)) / total_w
+        )
+        .withColumn(
+            "_rate",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(token_budget)) * F.col("_share") / F.col("_cls_tokens"),
+            ),
+        )
+        .select(class_col, "_rate")
+    )
+    return df.join(F.broadcast(rates), class_col).filter(
+        id_hash(id_col).cast("double") < F.col("_rate") * float(_HASH_SPACE)
+    )
+
+
 def assign_splits(
     df: DataFrame,
     group_col: str,

@@ -2905,6 +2905,77 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# targets ∝ (source index % 4 + 1): sources deliberately over/under
+# their corpus share so both branches of least(1, ·) are exercised —
+# the sum over src0..src19 is 50
+MIXTURE_WEIGHTS = {f"src{k}": float(k % 4 + 1) for k in range(20)}
+MIXTURE_BUDGET = 20_000
+
+
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture build to a token budget: per-source keep-rates
+    derive from ONE tiny aggregate (min(1, budget·share/source_tokens)
+    — under-represented sources keep everything, over-represented thin
+    deterministically by id hash); census = per source, total vs kept
+    docs/tokens and the applied rate (operators/sampling.
+    mixture_sample).
+    Scale: the rate table is |sources| rows broadcast back; the sample
+    is a map-side filter — ONE corpus scan, no corpus-sized shuffle."""
+    from .operators.sampling import mixture_sample
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split("text", " "))
+    )
+    kept = mixture_sample(
+        d, "doc_id", "source", "n_tok", MIXTURE_WEIGHTS, MIXTURE_BUDGET
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tok").cast("long").alias("tokens_kept"),
+        F.round(F.max("_rate"), 6).alias("rate"),
+    )
+    totals = d.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum("n_tok").cast("long").alias("tokens_total"),
+    )
+    return (
+        totals.join(kept_agg, "source", "left")
+        .select(
+            "source", "n_total", "tokens_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+            F.coalesce("rate", F.lit(0.0)).alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_SAMPLE_MIXTURE = f"""
+WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+w AS (SELECT source,
+             CAST((CAST(substr(source, 4) AS INTEGER) % 4 + 1) AS DOUBLE) AS wt,
+             sum(n_tok) AS cls_tokens,
+             count(*) AS n_total,
+             CAST(sum(n_tok) AS BIGINT) AS tokens_total
+      FROM d GROUP BY source),
+r AS (SELECT source, n_total, tokens_total,
+             least(1.0, ({MIXTURE_BUDGET}.0 * (wt / 50.0)) / cls_tokens) AS rate
+      FROM w),
+k AS (SELECT d.source, count(*) AS n_kept,
+             CAST(sum(d.n_tok) AS BIGINT) AS tokens_kept
+      FROM d JOIN r USING (source)
+      WHERE CAST({ID_HASH_DUCK.format(col='d.doc_id')} AS DOUBLE)
+            < rate * {1 << 60}.0
+      GROUP BY d.source)
+SELECT r.source, r.n_total, r.tokens_total,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+       coalesce(round(r.rate, 6), 0.0) AS rate
+FROM r LEFT JOIN k USING (source) ORDER BY source
+"""
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: the split keys on the USER's
     id hash, so every event of a user shares a split — correlated rows
@@ -4120,6 +4191,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
+    "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
     "audit_fk_orphans": (q_audit_fk_orphans, SQL_AUDIT_FK_ORPHANS),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
