@@ -3581,6 +3581,51 @@ GROUP BY c_count ORDER BY custdist DESC, c_count DESC
 """
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort census: each user's cohort is their first
+    activity week (Monday-truncated); the matrix counts distinct
+    active users per (cohort_week, week_offset) — offset 0 is the
+    cohort size, so retention rates divide out of the same frame.
+    Scale: cohort assignment is ONE min-window on user_id, the
+    (user, cohort, offset) distinct rides a second bounded exchange,
+    and the matrix is weeks² rows regardless of event volume.  The
+    day-difference of two Monday-aligned weeks is always a multiple
+    of 7, so /7 is exact in both engines."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    e = ev.withColumn(
+        "cohort_week",
+        F.to_date(
+            F.date_trunc("week", F.min("ts").over(Window.partitionBy("user_id")))
+        ),
+    ).withColumn("week", F.to_date(F.date_trunc("week", "ts")))
+    a = e.select(
+        "user_id",
+        "cohort_week",
+        (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+    ).distinct()
+    return (
+        a.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH e AS (
+  SELECT user_id,
+         CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS DATE)
+           AS cohort_week,
+         CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events),
+a AS (SELECT DISTINCT user_id, cohort_week,
+             CAST(date_diff('day', cohort_week, week) / 7 AS INTEGER)
+               AS week_offset
+      FROM e)
+SELECT cohort_week, week_offset, count(*) AS n_active_users
+FROM a GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-stage conversion funnel (signup -> view -> purchase):
     a stage counts only if it happens AT OR AFTER the user's previous
@@ -4192,6 +4237,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
+    "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
     "audit_fk_orphans": (q_audit_fk_orphans, SQL_AUDIT_FK_ORPHANS),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
