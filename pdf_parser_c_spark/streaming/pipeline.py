@@ -310,3 +310,101 @@ def asof_enrich_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def near_dedup_candidates_stream(
+    df: DataFrame, id_col: str = "conv_id", text_col: str = "text"
+) -> DataFrame:
+    """Streaming NEAR-dup candidate generation: each incoming doc's
+    MinHash band buckets (operators/dedup.lsh_band_index — a stateless
+    projection, so it composes with the streaming plan) probe a state
+    store keyed by (band_idx, bucket).  The first doc to claim a
+    bucket becomes its OWNER; every later doc colliding there emits a
+    candidate event (doc_owner, doc_new, band_idx, bucket).  This is
+    the streaming half of the incremental-dedup contract
+    (operators/dedup.incremental_lsh_pairs): candidates stream out
+    continuously, exact similarity verification runs as the async
+    batch stage — exactly how production ingest pipelines split it.
+
+    Within one micro-batch the owner is the MINIMUM doc id in the
+    bucket's arriving group (deterministic under partition order);
+    across batches the checkpointed owner wins.  State is ONE id per
+    occupied bucket — O(occupied buckets), independent of stream
+    length — and a doc colliding with the same owner in k bands
+    yields k events (downstream distinct, same as the batch form).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.dedup import lsh_band_index
+
+    keyed = df.select(
+        F.col(id_col).cast("string").alias("doc"), F.col(text_col).alias("text")
+    )
+    bands = lsh_band_index(keyed, "doc", "text")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_owner", T.StringType()),
+            T.StructField("doc_new", T.StringType()),
+            T.StructField("band_idx", T.IntegerType()),
+            T.StructField("bucket", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("owner", T.StringType())])
+
+    def probe(key, pdfs, state):
+        import pandas as pd
+
+        band_idx, bucket = key
+        docs: list[str] = []
+        for pdf in pdfs:
+            docs.extend(pdf["doc"].tolist())
+        if not docs:
+            return
+        docs = sorted(set(docs))
+        if state.exists:
+            owner = state.get[0]
+            newcomers = [d for d in docs if d != owner]
+        else:
+            owner, newcomers = docs[0], docs[1:]
+            state.update((owner,))
+        if newcomers:
+            yield pd.DataFrame(
+                {
+                    "doc_owner": owner,
+                    "doc_new": newcomers,
+                    "band_idx": int(band_idx),
+                    "bucket": bucket,
+                }
+            )
+
+    return bands.groupBy("band_idx", "bucket").applyInPandasWithState(
+        probe,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_near_dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """readStream → band-index probe → candidate-event sink; bucket
+    ownership rides the checkpoint, so candidates keep pointing at the
+    original owner across restarts."""
+    out = near_dedup_candidates_stream(read_transcripts_stream(spark, input_path))
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -288,3 +288,50 @@ def test_streaming_session_windows_merge_across_batches(spark, tmp_path):
     out3 = spark.read.parquet(str(tmp_path / "out")).toPandas()
     assert len(out3[out3["conv_id"] == a]) == 1
     assert int(out3[out3["conv_id"] == a]["n_turns"].iloc[0]) == 3
+
+
+def test_streaming_near_dedup_candidates_across_batches(spark, tmp_path):
+    """Stateful LSH band-index probe: the first doc claiming a bucket
+    owns it; later colliders (same or later micro-batch, and across a
+    checkpoint restart) emit candidate events pointing at the ORIGINAL
+    owner.  Docs with disjoint shingles emit nothing."""
+    import datetime as dt
+
+    from pdf_parser_c_spark.streaming.pipeline import start_near_dedup_stream
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_b = "one two three four five six seven eight nine ten"
+
+    def rows(specs):
+        df = pd.DataFrame(
+            [
+                {"conv_id": c, "turn_idx": 0, "role": "user", "text": t,
+                 "tool": None, "ts": dt.datetime(2026, 1, 1, 0, m)}
+                for m, (c, t) in enumerate(specs)
+            ]
+        )
+        return df.assign(turn_idx=df["turn_idx"].astype("int32"),
+                         tool=pd.array([None] * len(df), dtype="string"))
+
+    inp = tmp_path / "nin"
+    inp.mkdir()
+    # batch 1: A and B disjoint; C shares A's text -> C collides with A
+    # in all 4 bands, owner is min("cA","cC") = cA
+    _write_corpus(str(inp / "b0.parquet"),
+                  rows([("cA", text_a), ("cB", text_b), ("cC", text_a)]))
+    q = start_near_dedup_stream(spark, str(inp), str(tmp_path / "nout"),
+                                str(tmp_path / "nckpt"), available_now=True)
+    q.awaitTermination(120)
+    out1 = spark.read.parquet(str(tmp_path / "nout"))
+    got1 = {(r.doc_owner, r.doc_new, r.band_idx) for r in out1.collect()}
+    assert got1 == {("cA", "cC", b) for b in range(4)}
+
+    # batch 2 (restart, same checkpoint): D repeats A's text -> events
+    # still point at the checkpointed owner cA, never at cC
+    _write_corpus(str(inp / "b1.parquet"), rows([("cD", text_a)]))
+    q2 = start_near_dedup_stream(spark, str(inp), str(tmp_path / "nout"),
+                                 str(tmp_path / "nckpt"), available_now=True)
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(str(tmp_path / "nout"))
+    got2 = {(r.doc_owner, r.doc_new, r.band_idx) for r in out2.collect()}
+    assert got2 == got1 | {("cA", "cD", b) for b in range(4)}
