@@ -68,6 +68,7 @@ def main() -> None:
         "dedup_incremental": "continuous-ingest probe: map-side band index both sides, two (band_idx,bucket) equi-joins, batch-sized new side; census is one agg over the union",
         "sample_mixture": "token-budget mixture build: one tiny rate aggregate broadcast back, map-side hash filter, one corpus scan",
         "events_retention": "cohort matrix: one min-window on user_id, distinct + matrix agg on bounded exchanges; output is weeks^2 rows",
+        "audit_source_overlap": "mixture audit: map-side per-source shingle sets, shingle-keyed self-join with |sources|^2 max fanout per key; output <= sources^2 rows",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

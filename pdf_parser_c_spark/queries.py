@@ -3827,6 +3827,73 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+def q_audit_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix — the audit a mixture build
+    runs before weighting sources: for every source pair, how many
+    distinct 4-gram shingles they share, plus each side's set size
+    (so Jaccard divides out of the same row).  Census keeps pairs
+    sharing ≥3 shingles.
+    Scale: per-source distinct shingle sets reduce map-side into ONE
+    (source, shingle) exchange; the self-join key is the shingle,
+    whose worst-case fanout is |sources|² pairs per shingle — a
+    constant (20² here), never corpus-sized.  Output is ≤ sources²
+    rows."""
+    d = t(spark, sf_dir, "documents")
+    sh = (
+        d.select("source", F.split("text", " ").alias("ws"))
+        .filter(F.expr("size(ws) >= 4"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, size(ws) - 3),"
+                    " i -> array_join(slice(ws, i, 4), ' ')))"
+                )
+            ).alias("sstr"),
+        )
+        .select("source", F.expr(f"{SHINGLE_HASH_SPARK.replace('x', 'sstr')}").alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "s")
+    b = sh.select(F.col("source").alias("src_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= SOURCE_OVERLAP_MIN)
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(sa, "src_a").join(sb, "src_b")
+        .select("src_a", "src_b", "n_shared", "n_a", "n_b")
+        .orderBy("src_a", "src_b")
+    )
+
+
+SOURCE_OVERLAP_MIN = 3
+
+SQL_AUDIT_SOURCE_OVERLAP = f"""
+WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+sstr AS (SELECT DISTINCT source,
+                unnest(list_transform(generate_series(1, len(ws) - 3),
+                                      i -> array_to_string(ws[i:i+3], ' '))) AS s
+         FROM w WHERE len(ws) >= 4),
+sh AS (SELECT DISTINCT source, {SHINGLE_HASH_DUCK} AS s FROM sstr),
+sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+      HAVING count(*) >= {SOURCE_OVERLAP_MIN})
+SELECT src_a, src_b, n_shared, sa.n AS n_a, sb.n AS n_b
+FROM p JOIN sizes sa ON p.src_a = sa.source
+       JOIN sizes sb ON p.src_b = sb.source
+ORDER BY src_a, src_b
+"""
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (continuous-ingest) dedup census: docs with
     doc_id % 10 == 7 are the NEW ingest batch, the rest the already-
@@ -4238,6 +4305,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
+    "audit_source_overlap": (q_audit_source_overlap, SQL_AUDIT_SOURCE_OVERLAP),
     "audit_fk_orphans": (q_audit_fk_orphans, SQL_AUDIT_FK_ORPHANS),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
