@@ -276,6 +276,7 @@ def run_probe() -> str:
         body.append("")
         body.extend(asof_hot_key_probe(spark))
         body.extend(rolling_session_hot_key_probe(spark))
+        body.extend(substring_hot_window_probe(spark))
         return "\n".join(body)
     finally:
         for k, v in saved.items():
@@ -468,6 +469,63 @@ def rolling_session_hot_key_probe(spark) -> list[str]:
         f"asserted; rolling probe walls {t_plain:.1f}s vs {t_split:.1f}s "
         f"at local[32]).  The hot key stays ONE session stitched across "
         f"~100 epochs (asserted) — the worst boundary-chaining case.",
+        "",
+    ]
+
+
+def substring_hot_window_probe(spark) -> list[str]:
+    """One 8-word window shared by 5,000 docs: the hottest key a
+    boilerplate footer produces.  A pair-join formulation would emit
+    5000²/2 ≈ 12.5M pairs from that single key; the coverage kernel's
+    count window keeps it ONE linear key — asserted by closed-form
+    results (every hot doc: unique 8-word prefix + the shared 8-word
+    tail → exactly the tail window duplicates → dup_tokens = 8) and a
+    wall clock that stays flat."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_c_spark.operators.dedup import substring_dup_coverage
+
+    hot = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.expr(
+                "array_join(transform(sequence(0, 7),"
+                " j -> concat('u', cast(id * 8 + j as string))), ' ')"
+            ),
+            F.lit(" hotw0 hotw1 hotw2 hotw3 hotw4 hotw5 hotw6 hotw7"),
+        ).alias("text"),
+    )
+    clean = spark.range(1_000).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "array_join(transform(sequence(0, 15),"
+            " j -> concat('c', cast(id * 16 + j as string))), ' ')"
+        ).alias("text"),
+    )
+    docs = hot.unionAll(clean)
+    t0 = time.time()
+    cov = substring_dup_coverage(docs, "doc_id", "text", width=8)
+    agg = cov.agg(
+        F.count("*").alias("n"),
+        F.sum("dup_tokens").alias("dup"),
+        F.min("dup_tokens").alias("mn"),
+        F.max("dup_tokens").alias("mx"),
+    ).collect()[0]
+    wall = time.time() - t0
+    assert (agg["n"], agg["dup"], agg["mn"], agg["mx"]) == (5_000, 40_000, 8, 8), agg
+    print("substring hot-window closed form holds", file=sys.stderr)
+    return [
+        "### exact-substring coverage hot window (count-only key)",
+        "",
+        f"5,000 docs share ONE 8-word window (the boilerplate-footer "
+        f"case).  A pair-join candidate generator would emit ≈12.5M "
+        f"pairs from that key; `substring_dup_coverage`'s count window "
+        f"processes it as one LINEAR 5,000-row key — closed-form result "
+        f"asserted (every hot doc reports exactly its 8 duplicated tail "
+        f"tokens; clean docs absent) in **{wall:.1f} s** at local[32], "
+        f"6,000-doc probe.",
         "",
     ]
 
