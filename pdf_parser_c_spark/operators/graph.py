@@ -1,0 +1,77 @@
+"""Fixed-iteration PageRank as a declarative DataFrame loop — the
+iterative-algorithm complement to the dedup family's connected
+components (operators/dedup.py): components answers "which docs are
+the same", PageRank answers "which nodes matter" over a link/citation
+graph — a standard quality prior for web-scale training corpora
+(e.g. harmonic-centrality / PageRank filters in Common Crawl curation).
+
+Shape per iteration (the 100 TB story):
+* ``contrib``: edges ⋈ ranks on ``src`` (one equi-shuffle; ranks is
+  node-sized, edges edge-sized), then a ``dst`` agg with map-side
+  partial sums — two exchanges per iteration, both on graph keys.
+* dangling mass: ranks ⋈ anti out-degree → 1-row aggregate,
+  cross-joined back (the broadcast-scalar pattern).
+* The iteration count is FIXED (census semantics, and what lets a SQL
+  oracle unroll the loop); convergence-driven variants would wrap the
+  same body in a driver loop with a delta check.
+
+At real scale each iteration's result should be checkpointed
+(``localCheckpoint``) to truncate lineage; for the census's 3
+iterations the composed plan is fine and keeps the whole job lazily
+optimizable, so checkpointing is opt-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """→ (v, pr): PageRank after ``iters`` synchronous iterations.
+
+    ``nodes``: one column ``v`` (every vertex, including isolated and
+    dangling ones).  ``edges``: columns ``src, dst`` (directed, should
+    be distinct; self-loops allowed but conventionally removed by the
+    caller).  Dangling-node mass is redistributed uniformly, so
+    ``sum(pr) == 1`` is an invariant after every iteration.
+    """
+    n_df = nodes.agg(F.count("*").cast("double").alias("_n"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    ranks = nodes.join(n_df).select("v", (F.lit(1.0) / F.col("_n")).alias("pr"))
+
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("v", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("od")).alias("contrib"))
+            .withColumnRenamed("dst", "v")
+        )
+        dangling = (
+            ranks.join(outdeg.withColumnRenamed("src", "v"), "v", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm"))
+        )
+        ranks = (
+            nodes.join(contrib, "v", "left")
+            .join(n_df)
+            .join(dangling)
+            .select(
+                "v",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                       + F.col("_dm") / F.col("_n"))
+                ).alias("pr"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

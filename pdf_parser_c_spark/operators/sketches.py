@@ -1,0 +1,271 @@
+"""Deterministic distributed sketches: HyperLogLog-style registers,
+count-min, K-minimum-values (theta), and Bloom membership — the
+bounded-state summaries a 100 TB corpus job uses where exact answers
+would shuffle corpus-sized key sets.
+
+Every sketch here is built from the repo's portable 60-bit md5-prefix
+hash (queries.SHINGLE_HASH_* convention), so a plain SQL engine can
+reproduce each register / cell / bit *bit-for-bit* — which is what lets
+the driver's DuckDB oracle hash-check an *approximate* structure: the
+estimate is approximate w.r.t. the true count, but the sketch contents
+are a pure deterministic function of the input.
+
+Scale notes (the reason sketches exist at 10^12 rows):
+
+* HLL: per-group state is ``m`` registers (here 2^p, p=8 → 256 rows
+  per group ceiling) regardless of input size; the only shuffle is the
+  (group, bucket) partial-max agg, which map-side combines to ≤ m rows
+  per group per task.  Exact countDistinct would shuffle every
+  distinct item.
+* CMS: global state is depth×width cells (3×1024 here); frequency
+  estimates for ANY item come from a broadcast-sized table.  The
+  corpus-side cost is one map-side explode + one bounded agg.
+* KMV: per-group state is the k smallest hashes (k=64) — union /
+  intersection / Jaccard across groups becomes metadata-scale work on
+  S×k rows, never a corpus join.
+* Bloom: the membership side compresses to ≤ k·|set| bit positions
+  (bounded by m) and broadcasts; probing is a map-side hash join.
+  One-sided error only (no false negatives), mirrored exactly by the
+  oracle.
+
+Reference parity: the reference engine (pdf_parser_c) has no sketch
+layer — this module is part of the training-data-pipeline surface the
+task brief adds on top of the reference's extraction semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 15 hex digits of md5 → 60-bit non-negative BIGINT, identical on
+# Spark (conv) and DuckDB ('0x…'::BIGINT).  2^60 as a float divisor.
+HASH60_SPARK = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+TWO60 = float(1 << 60)
+
+
+def hash60(expr: str) -> Column:
+    """60-bit portable hash of a string SQL expression."""
+    return F.expr(HASH60_SPARK.format(x=expr))
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (registers + estimate)
+# --------------------------------------------------------------------------
+
+HLL_P = 8                       # 2^8 = 256 registers per group
+HLL_M = 1 << HLL_P
+# alpha_m for m >= 128 (Flajolet et al. 2007 §4); kept as the exact
+# arithmetic expression so both engines evaluate the same value.
+# e-notation forces DOUBLE on both engines (a bare 1.079 parses as
+# DECIMAL on both Spark and DuckDB, whose division rules then differ).
+HLL_ALPHA_EXPR = f"(0.7213e0 / (1e0 + 1.079e0 / {HLL_M}))"
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], item_expr: str
+) -> DataFrame:
+    """→ (``*group_cols``, bucket, r): the occupied HLL registers.
+
+    bucket = low p bits of the hash; r = max over items of
+    (1 + leading-zero count of the remaining 60-p bits), computed as
+    ``53 - bit_length(w)`` via ``length(bin(w))`` — ``bin`` prints the
+    minimal binary form on both Spark and DuckDB, so bit_length is
+    portable.  ``w = 0`` (all 52 payload bits zero) caps at 53.
+    Map-side combine reduces each task's contribution to ≤ m rows per
+    group before the shuffle."""
+    base = df.select(*group_cols, hash60(item_expr).alias("_h"))
+    w = F.expr(f"_h div {HLL_M}")  # the 52 payload bits, non-negative
+    rho = F.when(w == F.lit(0), F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.expr(f"bin(_h div {HLL_M})"))
+    )
+    return (
+        base.select(
+            *group_cols, (F.col("_h") % HLL_M).alias("bucket"), rho.alias("rho")
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """→ (``*group_cols``, n_occupied, est): the HLL cardinality
+    estimate with the small-range linear-counting correction
+    (E ≤ 2.5m and empty registers exist → m·ln(m/V₀))."""
+    m = HLL_M
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("n_occupied"),
+        F.sum(F.expr("power(2.0, -r)")).alias("sum_inv_occ"),
+    )
+    raw = F.expr(
+        f"{HLL_ALPHA_EXPR} * {m} * {m} / (sum_inv_occ + ({m} - n_occupied))"
+    )
+    est = F.when(
+        (raw <= F.expr(f"2.5e0 * {m}")) & (F.col("n_occupied") < m),
+        F.expr(f"{m} * ln({m} / cast({m} - n_occupied as double))"),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        "n_occupied",
+        F.round(est, 2).alias("est"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 3
+CMS_WIDTH = 1024
+
+
+def cms_cells(items: DataFrame, item_col: str) -> DataFrame:
+    """→ (row, bucket, c): the depth×width count table over the item
+    MULTISET (one input row = one occurrence).  Each occurrence lands
+    in one bucket per hash row; the agg output is ≤ depth·width rows —
+    broadcast-sized whatever the corpus size."""
+    rows = items.select(
+        F.col(item_col).alias("item"),
+        F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("r"),
+    )
+    bucket = hash60("concat(r, ':', item)") % CMS_WIDTH
+    return (
+        rows.select("r", bucket.alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_point_estimates(cells: DataFrame, candidates: DataFrame,
+                        item_col: str) -> DataFrame:
+    """→ (item, est_count): min over the depth rows of the candidate's
+    cell counts.  ``cells`` is tiny → broadcast; the probe is map-side."""
+    probes = candidates.select(
+        F.col(item_col).alias("item"),
+        F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("r"),
+    ).select(
+        "item", "r",
+        (hash60("concat(r, ':', item)") % CMS_WIDTH).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("item")
+        .agg(F.min("c").alias("est_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# K-minimum-values (theta) sketch
+# --------------------------------------------------------------------------
+
+KMV_K = 64
+
+
+def kmv_sketches(
+    df: DataFrame, group_col: str, item_expr: str, k: int = KMV_K
+) -> DataFrame:
+    """→ (``group_col``, h, rk): per group, the k smallest DISTINCT
+    item hashes with their rank.  This IS the sketch — S×k rows total,
+    the only corpus-sized step is the distinct-hash agg."""
+    hashes = (
+        df.select(F.col(group_col), hash60(item_expr).alias("h"))
+        .groupBy(group_col, "h")
+        .agg(F.lit(1).alias("_one"))
+    )
+    rk = F.row_number().over(Window.partitionBy(group_col).orderBy("h"))
+    return (
+        hashes.select(group_col, "h", rk.alias("rk"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def kmv_estimate_col(n_col: str, kth_col: str, k: int = KMV_K) -> Column:
+    """Distinct-count estimate from a sketch's size and its k-th
+    minimum hash: exact when the group holds fewer than k distinct
+    values (the sketch stores them all), else (k-1)·2^60 / h_(k)."""
+    return F.when(
+        F.col(n_col) < k, F.col(n_col).cast("double")
+    ).otherwise(F.lit(k - 1) * F.lit(TWO60) / F.col(kth_col))
+
+
+def kmv_union_pairs(sketches: DataFrame, group_col: str,
+                    k: int = KMV_K) -> DataFrame:
+    """→ (ga, gb, n_a, kth_a, n_b, kth_b, n_u, kth_u): for every
+    unordered group pair, the two per-group sketch summaries plus the
+    summary of the MERGED sketch (k smallest distinct hashes of the
+    union).  Union/intersection/Jaccard estimates derive from these
+    via :func:`kmv_estimate_col` — pure metadata-scale work on S×k
+    rows."""
+    groups = sketches.select(F.col(group_col).alias("g")).distinct()
+    pairs = (
+        groups.alias("x")
+        .join(groups.withColumnRenamed("g", "g2").alias("y"),
+              F.col("x.g") < F.col("y.g2"))
+        .select(F.col("x.g").alias("ga"), F.col("y.g2").alias("gb"))
+    )
+    per = sketches.groupBy(group_col).agg(
+        F.count("*").alias("n"), F.max("h").alias("kth")
+    )
+    sk = sketches.select(F.col(group_col).alias("g"), "h")
+    members = (
+        pairs.join(sk, F.col("ga") == F.col("g")).select("ga", "gb", "h")
+        .unionByName(
+            pairs.join(sk, F.col("gb") == F.col("g")).select("ga", "gb", "h")
+        )
+        .distinct()
+    )
+    rk = F.row_number().over(Window.partitionBy("ga", "gb").orderBy("h"))
+    merged = (
+        members.select("ga", "gb", "h", rk.alias("rk"))
+        .filter(F.col("rk") <= k)
+        .groupBy("ga", "gb")
+        .agg(F.count("*").alias("n_u"), F.max("h").alias("kth_u"))
+    )
+    a = per.select(F.col(group_col).alias("ga"), F.col("n").alias("n_a"),
+                   F.col("kth").alias("kth_a"))
+    b = per.select(F.col(group_col).alias("gb"), F.col("n").alias("n_b"),
+                   F.col("kth").alias("kth_b"))
+    return merged.join(a, "ga").join(b, "gb")
+
+
+# --------------------------------------------------------------------------
+# Bloom filter
+# --------------------------------------------------------------------------
+
+BLOOM_K = 3
+BLOOM_M = 8192
+
+
+def bloom_bits(items: DataFrame, item_col: str) -> DataFrame:
+    """→ (pos): the DISTINCT set bit positions for the item set —
+    ≤ min(k·|set|, m) rows, broadcastable."""
+    pos = hash60(f"concat(j, '#', {item_col})") % BLOOM_M
+    return (
+        items.select(
+            F.col(item_col),
+            F.explode(F.expr(f"sequence(0, {BLOOM_K - 1})")).alias("j"),
+        )
+        .select(pos.alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(probes: DataFrame, bits: DataFrame, key_cols: list[str],
+                item_col: str) -> DataFrame:
+    """→ (``*key_cols``, item, bloom_hit): an item tests positive iff
+    ALL k of its positions are set.  ``bits`` broadcasts; the join is
+    map-side; one-sided error (a true member always hits)."""
+    pos = hash60(f"concat(j, '#', {item_col})") % BLOOM_M
+    expanded = probes.select(
+        *key_cols, F.col(item_col).alias("item"),
+        F.explode(F.expr(f"sequence(0, {BLOOM_K - 1})")).alias("j"),
+    ).select(*key_cols, "item", pos.alias("pos"))
+    hits = (
+        expanded.join(F.broadcast(bits.withColumn("_set", F.lit(1))),
+                      "pos", "left")
+        .groupBy(*key_cols, "item")
+        .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0)))
+              == BLOOM_K).alias("bloom_hit"))
+    )
+    return hits

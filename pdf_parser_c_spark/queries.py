@@ -4233,6 +4233,380 @@ FROM d GROUP BY status ORDER BY status
 
 
 # --------------------------------------------------------------------------
+# Sketch family (operators/sketches.py): bounded-state approximate
+# structures whose CONTENTS are deterministic functions of the input —
+# which is what lets a SQL oracle hash-check an approximate answer.
+# --------------------------------------------------------------------------
+
+# DuckDB form of the 60-bit portable hash over an arbitrary expression
+_H60_DUCK = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+# the raw (non-distinct) 4-word shingle stream per source — the item
+# stream the HLL/KMV sketches summarize.  Spark + DuckDB forms kept
+# adjacent so drift is visible in review.
+_SHINGLE_STREAM_SPARK = (
+    "transform(sequence(1, size(ws) - 3), i -> array_join(slice(ws, i, 4), ' '))"
+)
+_SQL_SHINGLE_STREAM = """w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+       FROM documents WHERE len(string_split(text, ' ')) >= 4),
+shs AS (SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(ws) - 3),
+                                     i -> array_to_string(ws[i:i+3], ' '))) AS s
+        FROM w)"""
+
+
+def _shingle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("ws"))
+        .filter(F.expr("size(ws) >= 4"))
+    )
+    return d.select(
+        "doc_id", "source",
+        F.explode(F.expr(_SHINGLE_STREAM_SPARK)).alias("s"),
+    )
+
+
+def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-shingle census per source: 256 registers
+    per group vs the exact countDistinct, with the relative error as
+    an output column — the estimate is approximate, the REGISTERS are
+    a deterministic function of the input, so the oracle reproduces
+    them bit-for-bit (md5-prefix bucket + bin()-length rank).
+    Scale: per-group state is ≤256 rows with map-side partial max —
+    the exact column shuffles every distinct shingle and exists here
+    only as the audit; a 100 TB run keeps the register agg alone."""
+    from .operators.sketches import hll_estimate, hll_registers
+
+    sh = _shingle_stream(spark, sf_dir)
+    est = hll_estimate(hll_registers(sh, ["source"], "s"), ["source"])
+    exact = sh.groupBy("source").agg(F.countDistinct("s").alias("n_exact"))
+    return (
+        est.join(exact, "source")
+        .select(
+            "source", "n_exact", "n_occupied", "est",
+            F.round(
+                F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_SKETCH_HLL = f"""
+WITH {_SQL_SHINGLE_STREAM},
+h AS (SELECT source, {_H60_DUCK.format(x='s')} AS h FROM shs),
+regs AS (SELECT source, h % 256 AS bucket,
+                max(CASE WHEN h // 256 = 0 THEN 53
+                         ELSE 53 - length(bin(h // 256)) END) AS r
+         FROM h GROUP BY 1, 2),
+agg AS (SELECT source, count(*) AS n_occupied,
+               sum(power(2.0, -r)) AS sinv
+        FROM regs GROUP BY 1),
+est AS (SELECT source, n_occupied,
+               CASE WHEN (0.7213e0 / (1e0 + 1.079e0 / 256)) * 256 * 256
+                         / (sinv + (256 - n_occupied)) <= 2.5e0 * 256
+                         AND n_occupied < 256
+                    THEN 256 * ln(256 / CAST(256 - n_occupied AS DOUBLE))
+                    ELSE (0.7213e0 / (1e0 + 1.079e0 / 256)) * 256 * 256
+                         / (sinv + (256 - n_occupied)) END AS e
+        FROM agg),
+exact AS (SELECT source, count(DISTINCT s) AS n_exact FROM shs GROUP BY 1)
+SELECT est.source, n_exact, n_occupied, round(e, 2) AS est,
+       round(abs(round(e, 2) - n_exact) / n_exact, 4) AS rel_err
+FROM est JOIN exact ON est.source = exact.source
+ORDER BY est.source
+"""
+
+
+def q_sketch_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters: global 3×1024 cell table over the
+    token MULTISET (armored with a synthetic long tail — 3 rare
+    tokens per doc — so the substrate's tiny vocabulary actually
+    exercises bucket collisions), point-estimate per candidate =
+    min over the 3 hash rows, report tokens whose ESTIMATE clears
+    n_docs with the exact count and overcount as audit columns.
+    CMS never underestimates, so the report provably contains every
+    true heavy hitter.
+    Scale: the cell table is ≤3072 rows whatever the corpus size and
+    broadcasts to the probe; corpus-side cost is one map-side explode
+    plus one bounded agg."""
+    from .operators.sketches import cms_cells, cms_point_estimates
+
+    d = t(spark, sf_dir, "documents")
+    real = d.select(F.explode(F.expr(_TOK_SPARK)).alias("token"))
+    tail = d.select(
+        F.explode(
+            F.expr("transform(sequence(0, 2), i -> concat('t', doc_id % 250, '_', i))")
+        ).alias("token")
+    )
+    toks = real.unionByName(tail)
+    est = cms_point_estimates(cms_cells(toks, "token"), toks.distinct(), "token")
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    n_docs = d.agg(F.count("*").alias("_nd"))
+    return (
+        est.join(exact, est["item"] == exact["token"]).drop("item")
+        .join(n_docs)
+        .filter(F.col("est_count") >= F.col("_nd"))
+        .select(
+            "token", "est_count", "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy("token")
+    )
+
+
+SQL_SKETCH_CMS = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+  UNION ALL
+  SELECT 't' || (doc_id % 250) || '_' || i
+  FROM documents, unnest([0, 1, 2]) AS u(i)),
+occ AS (SELECT token, r FROM toks, unnest([0, 1, 2]) AS v(r)),
+cells AS (SELECT r, {_H60_DUCK.format(x="r || ':' || token")} % 1024 AS bucket,
+                 count(*) AS c
+          FROM occ GROUP BY 1, 2),
+cand AS (SELECT DISTINCT token FROM toks),
+probe AS (SELECT token, r,
+                 {_H60_DUCK.format(x="r || ':' || token")} % 1024 AS bucket
+          FROM cand, unnest([0, 1, 2]) AS v(r)),
+est AS (SELECT token, min(c) AS est_count
+        FROM probe JOIN cells USING (r, bucket) GROUP BY 1),
+exact AS (SELECT token, count(*) AS exact_count FROM toks GROUP BY 1)
+SELECT token, est_count, exact_count, est_count - exact_count AS overcount
+FROM est JOIN exact USING (token)
+WHERE est_count >= (SELECT count(*) FROM documents)
+ORDER BY token
+"""
+
+
+def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values (theta) sketch set operations: per-source
+    64-hash sketches of the distinct-shingle sets, then for every
+    source pair the union / intersection / Jaccard ESTIMATES from the
+    merged sketch — the metadata-scale complement to
+    audit_source_overlap's exact join (S×k sketch rows replace a
+    corpus-sized shingle join; at 100 TB sketches persist per source
+    and pairwise overlap becomes a driver-sized computation).
+    Exactness rule mirrored by the oracle: a group with < k distinct
+    values stores them all, so its estimate IS the exact count."""
+    from .operators.sketches import (
+        kmv_estimate_col,
+        kmv_sketches,
+        kmv_union_pairs,
+    )
+
+    sh = _shingle_stream(spark, sf_dir)
+    pairs = kmv_union_pairs(kmv_sketches(sh, "source", "s"), "source")
+    e_a = kmv_estimate_col("n_a", "kth_a")
+    e_b = kmv_estimate_col("n_b", "kth_b")
+    e_u = kmv_estimate_col("n_u", "kth_u")
+    inter = F.greatest(F.lit(0.0), e_a + e_b - e_u)
+    return pairs.select(
+        F.col("ga").alias("source_a"),
+        F.col("gb").alias("source_b"),
+        F.round(e_a, 2).alias("est_a"),
+        F.round(e_b, 2).alias("est_b"),
+        F.round(e_u, 2).alias("est_union"),
+        F.round(inter, 2).alias("est_intersection"),
+        F.round(inter / e_u, 4).alias("est_jaccard"),
+    ).orderBy("source_a", "source_b")
+
+
+def _sql_kmv_setops() -> str:
+    est = (
+        "CASE WHEN {n} < 64 THEN CAST({n} AS DOUBLE) "
+        "ELSE 63 * CAST(1152921504606846976 AS DOUBLE) / {kth} END"
+    )
+    return f"""
+WITH {_SQL_SHINGLE_STREAM},
+dh AS (SELECT DISTINCT source, {_H60_DUCK.format(x='s')} AS h FROM shs),
+rk AS (SELECT source, h,
+              row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+       FROM dh),
+sk AS (SELECT source, h FROM rk WHERE rk <= 64),
+per AS (SELECT source, count(*) AS n, max(h) AS kth FROM sk GROUP BY 1),
+pairs AS (SELECT a.source AS ga, b.source AS gb
+          FROM per a JOIN per b ON a.source < b.source),
+members AS (SELECT DISTINCT ga, gb, h FROM (
+    SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.source = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.source = p.gb)),
+mrk AS (SELECT ga, gb, h,
+               row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+        FROM members),
+merged AS (SELECT ga, gb, count(*) AS n_u, max(h) AS kth_u
+           FROM mrk WHERE rk <= 64 GROUP BY 1, 2),
+est AS (SELECT ga, gb,
+               {est.format(n='a.n', kth='a.kth')} AS e_a,
+               {est.format(n='b.n', kth='b.kth')} AS e_b,
+               {est.format(n='m.n_u', kth='m.kth_u')} AS e_u
+        FROM merged m JOIN per a ON m.ga = a.source
+                      JOIN per b ON m.gb = b.source)
+SELECT ga AS source_a, gb AS source_b,
+       round(e_a, 2) AS est_a, round(e_b, 2) AS est_b,
+       round(e_u, 2) AS est_union,
+       round(greatest(0.0, e_a + e_b - e_u), 2) AS est_intersection,
+       round(greatest(0.0, e_a + e_b - e_u) / e_u, 4) AS est_jaccard
+FROM est ORDER BY 1, 2
+"""
+
+
+def q_sketch_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: the benchmark (doc_id < 40)
+    shingle set compresses to ≤ min(3·|bench|, 8192) bit positions
+    which BROADCAST; a corpus doc is flagged when any of its shingles
+    hits all 3 positions.  One-sided error — the census proves it:
+    n_flagged_bloom ≥ n_flagged_exact per source (no false
+    negatives), n_false_pos is the price of the compression.
+    Scale: vs dedup_contamination's broadcast of the full shingle
+    set, the Bloom side is FIXED-size (m bits) however large the
+    benchmark grows; the probe stays a map-side hash join + one
+    (doc, shingle) agg."""
+    from .operators.sketches import BLOOM_K, BLOOM_M, bloom_bits, hash60
+
+    sh = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("ws"))
+        .filter(F.expr("size(ws) >= 4"))
+        .select(
+            "doc_id", "source",
+            F.explode(F.expr(f"array_distinct({_SHINGLE_STREAM_SPARK})")).alias("s"),
+        )
+    )
+    bench = sh.filter(F.col("doc_id") < 40).select("s").distinct()
+    bits = bloom_bits(bench, "s")
+    probe = sh.filter(F.col("doc_id") >= 40)
+    exp = probe.select(
+        "doc_id", "source", "s",
+        F.explode(F.expr(f"sequence(0, {BLOOM_K - 1})")).alias("j"),
+    ).select(
+        "doc_id", "source", "s",
+        (hash60("concat(j, '#', s)") % BLOOM_M).alias("pos"),
+    )
+    per_sh = (
+        exp.join(F.broadcast(bits.withColumn("_set", F.lit(1))), "pos", "left")
+        .join(F.broadcast(bench.withColumn("_in", F.lit(1))), "s", "left")
+        .groupBy("doc_id", "source", "s")
+        .agg(
+            (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == BLOOM_K)
+            .cast("int").alias("bloom_hit"),
+            F.max(F.coalesce(F.col("_in"), F.lit(0))).alias("exact_hit"),
+        )
+    )
+    per_doc = per_sh.groupBy("doc_id", "source").agg(
+        F.max("bloom_hit").alias("bf"), F.max("exact_hit").alias("ef")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("bf").cast("long").alias("n_flagged_bloom"),
+            F.sum("ef").cast("long").alias("n_flagged_exact"),
+            (F.sum("bf") - F.sum("ef")).cast("long").alias("n_false_pos"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_SKETCH_BLOOM = f"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+           FROM documents WHERE len(string_split(text, ' ')) >= 4),
+sstr AS (SELECT DISTINCT doc_id, source,
+                unnest(list_transform(generate_series(1, len(ws) - 3),
+                                      i -> array_to_string(ws[i:i+3], ' '))) AS s
+         FROM w),
+bench AS (SELECT DISTINCT s FROM sstr WHERE doc_id < 40),
+bits AS (SELECT DISTINCT {_H60_DUCK.format(x="j || '#' || s")} % 8192 AS pos
+         FROM bench, unnest([0, 1, 2]) AS u(j)),
+exp AS (SELECT doc_id, source, s,
+               {_H60_DUCK.format(x="j || '#' || s")} % 8192 AS pos
+        FROM sstr, unnest([0, 1, 2]) AS u(j) WHERE doc_id >= 40),
+per_sh AS (SELECT doc_id, source, exp.s,
+                  CASE WHEN sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) = 3
+                       THEN 1 ELSE 0 END AS bloom_hit,
+                  max(CASE WHEN bn.s IS NOT NULL THEN 1 ELSE 0 END) AS exact_hit
+           FROM exp LEFT JOIN bits b ON exp.pos = b.pos
+                    LEFT JOIN bench bn ON exp.s = bn.s
+           GROUP BY 1, 2, 3),
+per_doc AS (SELECT doc_id, source, max(bloom_hit) AS bf, max(exact_hit) AS ef
+            FROM per_sh GROUP BY 1, 2)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(bf) AS BIGINT) AS n_flagged_bloom,
+       CAST(sum(ef) AS BIGINT) AS n_flagged_exact,
+       CAST(sum(bf) - sum(ef) AS BIGINT) AS n_false_pos
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py) over a
+    deterministic 3-out-regular citation graph on doc_ids (edges
+    (v·31 + j·53 + 11) mod n for j∈1..3; docs ≡0 mod 97 keep NO
+    out-edges so the dangling-mass branch is exercised; self-loops
+    removed).  3 synchronous iterations, damping 0.85, uniform-
+    redistributed dangling mass — sum(pr)=1 invariant.
+    Scale: two graph-keyed exchanges per iteration (src join, dst
+    agg); the oracle unrolls the identical three iterations in SQL.
+    Ranks round to 6 (final values ~1/n; intermediate sums differ
+    only in the last ulp across engines)."""
+    from .operators.graph import pagerank
+
+    d = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("v"))
+    n_df = d.agg(F.count("*").alias("_n"))
+    edges = (
+        d.withColumnRenamed("v", "src")
+        .join(n_df)
+        .select(
+            "src",
+            F.explode(
+                F.expr("transform(sequence(1, 3), j -> (src * 31 + j * 53 + 11) % _n)")
+            ).alias("dst"),
+        )
+        .filter((F.col("src") % 97 != 0) & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    pr = pagerank(d, edges, iters=3, damping=0.85)
+    return pr.select("v", F.round("pr", 6).alias("pr")).orderBy("v")
+
+
+def _sql_graph_pagerank() -> str:
+    body = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS v FROM documents),
+edges AS (SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src,
+           (doc_id * 31 + j * 53 + 11) % (SELECT n FROM nn) AS dst
+    FROM documents, unnest([1, 2, 3]) AS u(j)
+    WHERE doc_id % 97 <> 0)
+  WHERE src <> dst),
+outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+r0 AS (SELECT v, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes)"""
+    for k in range(1, 4):
+        p = k - 1
+        body += f""",
+c{k} AS (SELECT e.dst AS v, sum(p.pr / o.od) AS contrib
+         FROM edges e JOIN r{p} p ON e.src = p.v
+                      JOIN outdeg o ON e.src = o.src
+         GROUP BY 1),
+d{k} AS (SELECT coalesce(sum(p.pr), CAST(0 AS DOUBLE)) AS dm
+         FROM r{p} p LEFT JOIN outdeg o ON p.v = o.src
+         WHERE o.src IS NULL),
+r{k} AS (SELECT nodes.v,
+                (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                + CAST(0.85 AS DOUBLE)
+                  * (coalesce(c{k}.contrib, CAST(0 AS DOUBLE))
+                     + (SELECT dm FROM d{k}) / (SELECT n FROM nn)) AS pr
+         FROM nodes LEFT JOIN c{k} ON nodes.v = c{k}.v)"""
+    body += """
+SELECT v, round(pr, 6) AS pr FROM r3 ORDER BY v
+"""
+    return body
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4308,6 +4682,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "audit_source_overlap": (q_audit_source_overlap, SQL_AUDIT_SOURCE_OVERLAP),
     "audit_fk_orphans": (q_audit_fk_orphans, SQL_AUDIT_FK_ORPHANS),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "sketch_hll_distinct": (q_sketch_hll_distinct, SQL_SKETCH_HLL),
+    "sketch_cms_heavy": (q_sketch_cms_heavy, SQL_SKETCH_CMS),
+    "sketch_kmv_setops": (q_sketch_kmv_setops, _sql_kmv_setops()),
+    "sketch_bloom_contamination": (
+        q_sketch_bloom_contamination, SQL_SKETCH_BLOOM
+    ),
+    "graph_pagerank": (q_graph_pagerank, _sql_graph_pagerank()),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_class_cap": (q_sample_class_cap, SQL_SAMPLE_CLASS_CAP),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),

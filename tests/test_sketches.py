@@ -1,0 +1,222 @@
+"""Property tests for the sketch family (operators/sketches.py) and
+fixed-iteration PageRank (operators/graph.py).
+
+The catalog queries hash-check the sketch CONTENTS against DuckDB;
+these tests pin the sketches' mathematical guarantees — the things an
+oracle that reproduces the same construction cannot itself prove:
+
+* HLL: estimate within the published error envelope of the exact
+  count; exact in the linear-counting regime's trivial case.
+* CMS: NEVER underestimates (one-sided error), and is exact when the
+  item set is collision-free.
+* KMV: exact below k; within tolerance above; union ≥ max(sides).
+* Bloom: zero false negatives by construction.
+* PageRank: ranks sum to 1 after every iteration (dangling mass is
+  conserved), uniform on a symmetric cycle, and correct against a
+  hand-computed 3-node graph.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_c_spark.operators import sketches as sk
+from pdf_parser_c_spark.operators.graph import pagerank
+
+
+def _items(spark, n, tag="x"):
+    return spark.range(n).select(
+        F.concat(F.lit(tag), F.col("id")).alias("item"),
+        (F.col("id") % 2).alias("g"),
+    )
+
+
+# --------------------------------------------------------------------------
+# HLL
+# --------------------------------------------------------------------------
+
+
+def test_hll_within_error_envelope(spark):
+    n = 5000
+    df = _items(spark, n)
+    est = sk.hll_estimate(
+        sk.hll_registers(df, [], "item"), []
+    ).collect()[0]
+    # 3 sigma of the 1.04/sqrt(m) standard error for m=256
+    tol = 3 * 1.04 / math.sqrt(sk.HLL_M) * n
+    assert abs(est["est"] - n) < tol
+    assert 0 < est["n_occupied"] <= sk.HLL_M
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    df = _items(spark, 400)
+    est1 = sk.hll_estimate(sk.hll_registers(df, [], "item"), []).collect()[0]
+    est3 = sk.hll_estimate(
+        sk.hll_registers(df.unionAll(df).unionAll(df), [], "item"), []
+    ).collect()[0]
+    assert est1["est"] == est3["est"]
+    assert est1["n_occupied"] == est3["n_occupied"]
+
+
+def test_hll_grouped(spark):
+    df = _items(spark, 2000)
+    rows = sk.hll_estimate(sk.hll_registers(df, ["g"], "item"), ["g"]).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert abs(r["est"] - 1000) < 3 * 1.04 / math.sqrt(sk.HLL_M) * 1000
+
+
+# --------------------------------------------------------------------------
+# CMS
+# --------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates(spark):
+    # skewed multiset: item i appears (i % 17 + 1) times, 2000 distinct
+    base = spark.range(2000).select(
+        F.concat(F.lit("w"), F.col("id")).alias("item"),
+        (F.col("id") % 17 + 1).alias("c"),
+    )
+    multi = base.select(
+        F.explode(F.expr("sequence(1, c)")).alias("_"), "item"
+    ).select("item")
+    cells = sk.cms_cells(multi, "item")
+    est = sk.cms_point_estimates(cells, base.select("item"), "item")
+    joined = (
+        est.join(multi.groupBy("item").count(), "item")
+        .select((F.col("est_count") >= F.col("count")).alias("ok"))
+        .agg(F.min("ok"))
+        .collect()[0][0]
+    )
+    assert joined is True
+
+
+def test_cms_exact_when_collision_free(spark):
+    # 5 items in 3x1024 cells: collisions essentially impossible; if
+    # one ever appeared the min over 3 rows still removes it here
+    multi = spark.createDataFrame(
+        [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1, ["item"]
+    )
+    cells = sk.cms_cells(multi, "item")
+    rows = sk.cms_point_estimates(
+        cells, multi.distinct(), "item"
+    ).collect()
+    got = {r["item"]: r["est_count"] for r in rows}
+    assert got == {"a": 7, "b": 3, "c": 1}
+
+
+# --------------------------------------------------------------------------
+# KMV
+# --------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    df = _items(spark, 40).select(F.lit("s").alias("g"), "item")
+    sketch = sk.kmv_sketches(df, "g", "item")
+    per = sketch.groupBy("g").agg(
+        F.count("*").alias("n"), F.max("h").alias("kth")
+    )
+    est = per.select(sk.kmv_estimate_col("n", "kth").alias("e")).collect()[0]["e"]
+    assert est == 40.0
+
+
+def test_kmv_estimate_and_union(spark):
+    # two groups, 600 distinct each, 200 shared
+    a = spark.range(600).select(
+        F.lit("a").alias("g"), F.concat(F.lit("i"), F.col("id")).alias("item")
+    )
+    b = spark.range(400, 1000).select(
+        F.lit("b").alias("g"), F.concat(F.lit("i"), F.col("id")).alias("item")
+    )
+    sketch = sk.kmv_sketches(a.unionAll(b), "g", "item")
+    pairs = sk.kmv_union_pairs(sketch, "g").collect()[0]
+    e_a = (sk.KMV_K - 1) * sk.TWO60 / pairs["kth_a"]
+    e_u = (sk.KMV_K - 1) * sk.TWO60 / pairs["kth_u"]
+    assert abs(e_a - 600) < 0.5 * 600      # k=64 → ~12.5% sigma; 4x slack
+    assert abs(e_u - 1000) < 0.5 * 1000
+    assert e_u >= max(e_a, (sk.KMV_K - 1) * sk.TWO60 / pairs["kth_b"]) - 1e-9
+
+
+# --------------------------------------------------------------------------
+# Bloom
+# --------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    members = spark.range(500).select(
+        F.concat(F.lit("m"), F.col("id")).alias("item")
+    )
+    bits = sk.bloom_bits(members, "item")
+    hits = sk.bloom_probe(
+        members.withColumn("k", F.lit(1)), bits, ["k"], "item"
+    )
+    n_miss = hits.filter(~F.col("bloom_hit")).count()
+    assert n_miss == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    members = spark.range(500).select(
+        F.concat(F.lit("m"), F.col("id")).alias("item")
+    )
+    outsiders = spark.range(2000).select(
+        F.concat(F.lit("o"), F.col("id")).alias("item")
+    )
+    bits = sk.bloom_bits(members, "item")
+    fp = (
+        sk.bloom_probe(outsiders.withColumn("k", F.lit(1)), bits, ["k"], "item")
+        .filter(F.col("bloom_hit"))
+        .count()
+    )
+    # theoretical fp ≈ (1 - e^{-kn/m})^k ≈ 0.4% here; allow 10x
+    assert fp / 2000 < 0.04
+
+
+# --------------------------------------------------------------------------
+# PageRank
+# --------------------------------------------------------------------------
+
+
+def _pr(spark, nodes, edges, **kw):
+    ndf = spark.createDataFrame([(v,) for v in nodes], ["v"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        r["v"]: r["pr"] for r in pagerank(ndf, edf, **kw).collect()
+    }
+
+
+def test_pagerank_mass_conserved_with_dangling(spark):
+    # node 3 dangles; node 4 is isolated
+    ranks = _pr(
+        spark, [0, 1, 2, 3, 4],
+        [(0, 1), (1, 2), (2, 0), (0, 3), (2, 3)],
+        iters=4,
+    )
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    n = 8
+    ranks = _pr(spark, list(range(n)), [(i, (i + 1) % n) for i in range(n)])
+    for v in ranks.values():
+        assert abs(v - 1.0 / n) < 1e-12
+
+
+def test_pagerank_hand_computed_3_nodes(spark):
+    # 0→1, 1→2, 2 dangles.  One iteration from uniform 1/3, d=0.85:
+    # dm = 1/3; base = 0.05 + 0.85*(1/9)
+    ranks = _pr(spark, [0, 1, 2], [(0, 1), (1, 2)], iters=1)
+    base = 0.15 / 3 + 0.85 * ((1 / 3) / 3)
+    assert abs(ranks[0] - base) < 1e-12
+    assert abs(ranks[1] - (base + 0.85 * (1 / 3))) < 1e-12
+    assert abs(ranks[2] - (base + 0.85 * (1 / 3))) < 1e-12
+
+
+def test_pagerank_sink_attracts_mass(spark):
+    # star into node 0 (which cycles back to 1 only)
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    ranks = _pr(spark, list(range(6)), edges, iters=5)
+    assert ranks[0] == max(ranks.values())
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
