@@ -76,14 +76,34 @@ def hll_registers(
     Map-side combine reduces each task's contribution to ≤ m rows per
     group before the shuffle."""
     base = df.select(*group_cols, hash60(item_expr).alias("_h"))
-    w = F.expr(f"_h div {HLL_M}")  # the 52 payload bits, non-negative
+    return hll_registers_hashed(base, group_cols, "_h")
+
+
+def hll_bucket_rho(
+    df: DataFrame, keep_cols: list[str], hash_col: str
+) -> DataFrame:
+    """→ (``*keep_cols``, bucket, rho): the map-side HLL projection of
+    an already-hashed 60-bit column — the piece a STREAMING windowed
+    aggregation groups by (window, bucket) with max(rho), since the
+    registers (not the estimate) are the mergeable state."""
+    w = F.expr(f"{hash_col} div {HLL_M}")  # the 52 payload bits
     rho = F.when(w == F.lit(0), F.lit(53)).otherwise(
-        F.lit(53) - F.length(F.expr(f"bin(_h div {HLL_M})"))
+        F.lit(53) - F.length(F.expr(f"bin({hash_col} div {HLL_M})"))
     )
+    return df.select(
+        *keep_cols, (F.col(hash_col) % HLL_M).alias("bucket"),
+        rho.alias("rho"),
+    )
+
+
+def hll_registers_hashed(
+    df: DataFrame, group_cols: list[str], hash_col: str
+) -> DataFrame:
+    """Registers from an ALREADY-hashed 60-bit column — lets a query
+    that needs the distinct-hash frame anyway (e.g. for an exact audit
+    column) pay the md5 once and share one exchange."""
     return (
-        base.select(
-            *group_cols, (F.col("_h") % HLL_M).alias("bucket"), rho.alias("rho")
-        )
+        hll_bucket_rho(df, group_cols, hash_col)
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("r"))
     )
@@ -121,19 +141,33 @@ CMS_WIDTH = 1024
 
 
 def cms_cells(items: DataFrame, item_col: str) -> DataFrame:
-    """→ (row, bucket, c): the depth×width count table over the item
+    """→ (r, bucket, c): the depth×width count table over the item
     MULTISET (one input row = one occurrence).  Each occurrence lands
     in one bucket per hash row; the agg output is ≤ depth·width rows —
-    broadcast-sized whatever the corpus size."""
-    rows = items.select(
-        F.col(item_col).alias("item"),
+    broadcast-sized whatever the corpus size.
+
+    Implemented as token-count partial agg → cell agg: CMS cells are
+    additive, so hashing the DISTINCT tokens after a count groupBy is
+    identical to hashing every occurrence — and pays |vocab|·depth
+    md5s instead of |corpus|·depth."""
+    counts = items.groupBy(F.col(item_col).alias("item")).agg(
+        F.count("*").alias("_c")
+    )
+    return cms_cells_from_counts(counts, "item", "_c")
+
+
+def cms_cells_from_counts(counts: DataFrame, item_col: str,
+                          count_col: str) -> DataFrame:
+    """→ (r, bucket, c) from a pre-aggregated (item, count) frame."""
+    rows = counts.select(
+        F.col(item_col).alias("item"), F.col(count_col).alias("_c"),
         F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("r"),
     )
     bucket = hash60("concat(r, ':', item)") % CMS_WIDTH
     return (
-        rows.select("r", bucket.alias("bucket"))
+        rows.select("r", bucket.alias("bucket"), "_c")
         .groupBy("r", "bucket")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("_c").alias("c"))
     )
 
 

@@ -4275,12 +4275,18 @@ def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     them bit-for-bit (md5-prefix bucket + bin()-length rank).
     Scale: per-group state is ≤256 rows with map-side partial max —
     the exact column shuffles every distinct shingle and exists here
-    only as the audit; a 100 TB run keeps the register agg alone."""
-    from .operators.sketches import hll_estimate, hll_registers
+    only as the audit; a 100 TB run keeps the register agg alone.
+    The audit's distinct-hash exchange is the shared subtree of both
+    branches (registers are a map-side agg over it), so the corpus is
+    scanned and hashed once; n_exact counts distinct 60-bit HASHES
+    (collisions mirrored by the oracle, the minhash-family
+    convention)."""
+    from .operators.sketches import hash60, hll_estimate, hll_registers_hashed
 
     sh = _shingle_stream(spark, sf_dir)
-    est = hll_estimate(hll_registers(sh, ["source"], "s"), ["source"])
-    exact = sh.groupBy("source").agg(F.countDistinct("s").alias("n_exact"))
+    dh = sh.select("source", hash60("s").alias("_h")).distinct()
+    est = hll_estimate(hll_registers_hashed(dh, ["source"], "_h"), ["source"])
+    exact = dh.groupBy("source").agg(F.count("*").alias("n_exact"))
     return (
         est.join(exact, "source")
         .select(
@@ -4311,7 +4317,7 @@ est AS (SELECT source, n_occupied,
                     ELSE (0.7213e0 / (1e0 + 1.079e0 / 256)) * 256 * 256
                          / (sinv + (256 - n_occupied)) END AS e
         FROM agg),
-exact AS (SELECT source, count(DISTINCT s) AS n_exact FROM shs GROUP BY 1)
+exact AS (SELECT source, count(DISTINCT h) AS n_exact FROM h GROUP BY 1)
 SELECT est.source, n_exact, n_occupied, round(e, 2) AS est,
        round(abs(round(e, 2) - n_exact) / n_exact, 4) AS rel_err
 FROM est JOIN exact ON est.source = exact.source
@@ -4331,7 +4337,7 @@ def q_sketch_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the cell table is ≤3072 rows whatever the corpus size and
     broadcasts to the probe; corpus-side cost is one map-side explode
     plus one bounded agg."""
-    from .operators.sketches import cms_cells, cms_point_estimates
+    from .operators.sketches import cms_cells_from_counts, cms_point_estimates
 
     d = t(spark, sf_dir, "documents")
     real = d.select(F.explode(F.expr(_TOK_SPARK)).alias("token"))
@@ -4341,8 +4347,19 @@ def q_sketch_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token")
     )
     toks = real.unionByName(tail)
-    est = cms_point_estimates(cms_cells(toks, "token"), toks.distinct(), "token")
-    exact = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    # ONE corpus pass: cells/candidates/audit all derive from the
+    # token-count agg (CMS cells are additive), paying |vocab|·depth
+    # md5s instead of |corpus|·depth.  Column pruning specializes the
+    # agg per consumer (no ReuseExchange), so the vocab-sized count
+    # frame is lazily localCheckpoint-ed — corpus explode runs once,
+    # blocks are freed by the ContextCleaner with the DataFrame.
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_count"))
+        .localCheckpoint(eager=False)
+    )
+    cells = cms_cells_from_counts(exact, "token", "exact_count")
+    est = cms_point_estimates(cells, exact.select("token"), "token")
     n_docs = d.agg(F.count("*").alias("_nd"))
     return (
         est.join(exact, est["item"] == exact["token"]).drop("item")

@@ -408,3 +408,69 @@ def start_near_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def hll_distinct_stream(
+    df: DataFrame,
+    watermark: str = "2 minutes",
+    window: str = "1 minute",
+    item_expr: str = "conv_id",
+) -> DataFrame:
+    """Windowed distinct census as MERGEABLE HLL register state
+    (operators/sketches.py): per finalized event-time window, the
+    occupied (bucket, r) registers of the items seen in that window.
+
+    The stream emits REGISTERS, not estimates: registers are the
+    mergeable form — max-combining across micro-batches in the state
+    store (duplicates across batches cannot inflate them, unlike a
+    count), across reruns/backfills at the sink, and across windows at
+    read time for coarser rollups.  The estimate is a cheap read-side
+    fold (``sketches.hll_estimate`` grouped by window) over a sink
+    that is ≤256 rows per window whatever the stream volume.
+    Append mode + watermark: each window's registers emit exactly
+    once, after the watermark passes its end; later items are dropped.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import hash60, hll_bucket_rho
+
+    hashed = df.select("ts", hash60(item_expr).alias("_h"))
+    parts = hll_bucket_rho(hashed, ["ts"], "_h")
+    return (
+        parts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "bucket")
+        .agg(F.max("rho").alias("r"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "bucket",
+            "r",
+        )
+    )
+
+
+def start_hll_distinct_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+    watermark: str = "2 minutes",
+    window: str = "1 minute",
+    item_expr: str = "conv_id",
+) -> StreamingQuery:
+    """readStream → windowed HLL registers → writeStream (append:
+    each finalized window's register set exactly once)."""
+    out = hll_distinct_stream(
+        read_transcripts_stream(spark, input_path), watermark, window,
+        item_expr,
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

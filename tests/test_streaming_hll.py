@@ -1,0 +1,92 @@
+"""Streaming HLL distinct census: registers are mergeable state —
+cross-restart max-combining in the state store, duplicate-proof counts,
+and a read-side estimate identical to the batch sketch."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from pdf_parser_c_spark.streaming.pipeline import start_hll_distinct_stream
+from pdf_parser_c_spark.testkit.corpus import (
+    make_transcripts,
+    transcripts_columns_only,
+)
+
+
+def _write_corpus(path, df: pd.DataFrame) -> None:
+    df = df.assign(ts=df["ts"].dt.tz_localize(None).astype("datetime64[us]"))
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+
+
+def test_hll_stream_merges_across_restarts_and_matches_batch(spark, tmp_path):
+    corpus = transcripts_columns_only(
+        make_transcripts(n_convs=12, turns_per_conv=4, mega_every=0)
+    )
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    # every turn lands in the 10:00 window; each conv contributes
+    # multiple turns, so the distinct census must dedupe within AND
+    # across micro-batches
+    corpus = corpus.assign(
+        ts=pd.Series(
+            [base + pd.Timedelta(seconds=i % 50) for i in range(len(corpus))],
+            index=corpus.index,
+        )
+    )
+    half = corpus["conv_id"] < "conv000006"
+    first, second = corpus[half], corpus[~half]
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    args = (
+        spark, str(inp), str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+
+    # run 1: first half only — watermark never passes the window's
+    # end, so NOTHING finalizes; registers wait in the state store
+    _write_corpus(str(inp / "b0.parquet"), first)
+    q = start_hll_distinct_stream(*args, available_now=True)
+    q.awaitTermination(180)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 0
+
+    # run 2 (same checkpoint): second half + a sentinel 30 min later
+    # that pushes the watermark past the window — the window emits
+    # ONCE, with registers merged across both runs
+    sentinel = corpus.tail(1).assign(ts=base + pd.Timedelta(minutes=30))
+    _write_corpus(str(inp / "b1.parquet"),
+                  pd.concat([second, sentinel], ignore_index=True))
+    q2 = start_hll_distinct_stream(*args, available_now=True)
+    q2.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = out.filter(F.col("win_start") == base.to_pydatetime())
+
+    # streaming registers == batch registers over the SAME rows
+    from pdf_parser_c_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    batch_regs = hll_registers(
+        spark.createDataFrame(corpus), [], "conv_id"
+    )
+    want = {(r["bucket"], r["r"]) for r in batch_regs.collect()}
+    have = {(r["bucket"], r["r"]) for r in got.collect()}
+    assert have == want
+
+    # read-side estimate over the sink == batch estimate; and with 12
+    # distinct convs the linear-counting branch is EXACT
+    est = hll_estimate(
+        got.select("win_start", "bucket", "r"), ["win_start"]
+    ).collect()[0]
+    batch_est = hll_estimate(batch_regs, []).collect()[0]
+    assert est["est"] == batch_est["est"]
+    assert est["n_occupied"] == batch_est["n_occupied"]
+
+    # duplicate-proof: replaying the first half beyond the watermark
+    # changes nothing (late rows dropped, window already finalized)
+    _write_corpus(str(inp / "b2.parquet"), first)
+    q3 = start_hll_distinct_stream(*args, available_now=True)
+    q3.awaitTermination(180)
+    out3 = spark.read.parquet(str(tmp_path / "out"))
+    assert out3.filter(F.col("win_start") == base.to_pydatetime()).count() \
+        == len(want)
