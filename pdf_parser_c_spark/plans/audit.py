@@ -74,6 +74,7 @@ def main() -> None:
         "sketch_kmv_setops": "KMV: one distinct-hash exchange builds the sketches; everything pairwise runs on S*k sketch rows (windows + joins at metadata scale)",
         "sketch_bloom_contamination": "Bloom: bit positions and benchmark set both BroadcastExchange; probe is map-side joins + ONE (doc, shingle) agg",
         "graph_pagerank": "PageRank: per iteration one src-keyed join + one dst-keyed partial agg; dangling mass is a 1-row broadcast scalar; 3 iterations compose lazily",
+        "sketch_hll_rolling": "HLL rollup cascade: hourly registers bound the exchange at groups*256 rows; daily max-merge + estimate never rescan the fact table (exact column is the audit)",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

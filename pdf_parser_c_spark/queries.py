@@ -4299,29 +4299,88 @@ def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SKETCH_HLL = f"""
-WITH {_SQL_SHINGLE_STREAM},
-h AS (SELECT source, {_H60_DUCK.format(x='s')} AS h FROM shs),
-regs AS (SELECT source, h % 256 AS bucket,
-                max(CASE WHEN h // 256 = 0 THEN 53
-                         ELSE 53 - length(bin(h // 256)) END) AS r
-         FROM h GROUP BY 1, 2),
-agg AS (SELECT source, count(*) AS n_occupied,
+# DuckDB mirror of sketches.hll_registers' rho (register rank) term
+_SQL_HLL_RHO = (
+    "CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END"
+)
+
+
+def _sql_hll_est(group: str, src: str) -> str:
+    """agg+est CTEs mirroring sketches.hll_estimate over a registers
+    relation ``src(group, bucket, r)`` (e-notation literals keep both
+    engines in DOUBLE; the CASE is the linear-counting correction)."""
+    return f"""agg AS (SELECT {group}, count(*) AS n_occupied,
                sum(power(2.0, -r)) AS sinv
-        FROM regs GROUP BY 1),
-est AS (SELECT source, n_occupied,
+        FROM {src} GROUP BY 1),
+est AS (SELECT {group}, n_occupied,
                CASE WHEN (0.7213e0 / (1e0 + 1.079e0 / 256)) * 256 * 256
                          / (sinv + (256 - n_occupied)) <= 2.5e0 * 256
                          AND n_occupied < 256
                     THEN 256 * ln(256 / CAST(256 - n_occupied AS DOUBLE))
                     ELSE (0.7213e0 / (1e0 + 1.079e0 / 256)) * 256 * 256
                          / (sinv + (256 - n_occupied)) END AS e
-        FROM agg),
+        FROM agg)"""
+
+
+SQL_SKETCH_HLL = f"""
+WITH {_SQL_SHINGLE_STREAM},
+h AS (SELECT source, {_H60_DUCK.format(x='s')} AS h FROM shs),
+regs AS (SELECT source, h % 256 AS bucket, max({_SQL_HLL_RHO}) AS r
+         FROM h GROUP BY 1, 2),
+{_sql_hll_est('source', 'regs')},
 exact AS (SELECT source, count(DISTINCT h) AS n_exact FROM h GROUP BY 1)
 SELECT est.source, n_exact, n_occupied, round(e, 2) AS est,
        round(abs(round(e, 2) - n_exact) / n_exact, 4) AS rel_err
 FROM est JOIN exact ON est.source = exact.source
 ORDER BY est.source
+"""
+
+
+def q_sketch_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register ROLLUP cascade: hourly distinct-user registers over
+    events max-merge into daily estimates — the rollup exact distinct
+    counts cannot do (distincts don't add across hours; registers
+    max-combine losslessly).  The streaming sibling
+    (streaming/pipeline.hll_distinct_stream) emits the same registers
+    per window; this is the batch read-side fold at a coarser grain.
+    Scale: hourly partial registers bound every exchange at
+    groups×256 rows; the daily merge and estimate never touch the
+    fact table again.  The exact column is the audit (one extra
+    distinct shuffle a production run drops)."""
+    from .operators.sketches import hll_estimate, hll_registers
+
+    e = t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hr"), "user_id"
+    )
+    hourly = hll_registers(e, ["day", "hr"], "cast(user_id as string)")
+    daily = hourly.groupBy("day", "bucket").agg(F.max("r").alias("r"))
+    est = hll_estimate(daily, ["day"])
+    exact = e.groupBy("day").agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        est.join(exact, "day")
+        .select(
+            "day", "n_exact", "n_occupied", "est",
+            F.round(
+                F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_SKETCH_HLL_ROLLING = f"""
+WITH e AS (SELECT CAST(ts AS DATE) AS day, hour(ts) AS hr, user_id,
+                  {_H60_DUCK.format(x='CAST(user_id AS VARCHAR)')} AS h
+           FROM events),
+hourly AS (SELECT day, hr, h % 256 AS bucket, max({_SQL_HLL_RHO}) AS r
+           FROM e GROUP BY 1, 2, 3),
+daily AS (SELECT day, bucket, max(r) AS r FROM hourly GROUP BY 1, 2),
+{_sql_hll_est('day', 'daily')},
+exact AS (SELECT day, count(DISTINCT user_id) AS n_exact FROM e GROUP BY 1)
+SELECT est.day, n_exact, n_occupied, round(e, 2) AS est,
+       round(abs(round(e, 2) - n_exact) / n_exact, 4) AS rel_err
+FROM est JOIN exact ON est.day = exact.day
+ORDER BY est.day
 """
 
 
@@ -4700,6 +4759,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "audit_fk_orphans": (q_audit_fk_orphans, SQL_AUDIT_FK_ORPHANS),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "sketch_hll_distinct": (q_sketch_hll_distinct, SQL_SKETCH_HLL),
+    "sketch_hll_rolling": (q_sketch_hll_rolling, SQL_SKETCH_HLL_ROLLING),
     "sketch_cms_heavy": (q_sketch_cms_heavy, SQL_SKETCH_CMS),
     "sketch_kmv_setops": (q_sketch_kmv_setops, _sql_kmv_setops()),
     "sketch_bloom_contamination": (
