@@ -1,0 +1,398 @@
+"""Pure-Python GIF87a/89a codec for the multimodal fixture path.
+
+GIF's LZW is NOT the PDF/TIFF LZW the filter stack implements
+(``pdf/filters.py``): codes pack LSB-first into the byte stream (TIFF
+packs MSB-first), the code width grows WITHOUT the EarlyChange
+off-by-one, the initial width comes from a per-image "minimum code
+size" byte, and compressed bytes arrive in ≤255-byte sub-blocks.  So
+this is a third real decoder next to PNG and baseline JPEG, covering:
+
+* global + local color tables, interlaced images (4-pass row order)
+* GIF89a graphic-control extensions: transparency index and disposal
+  methods 0/1 (draw over) and 2 (restore to background) — multi-frame
+  animations composite on the logical screen the way a viewer would
+* deferred clear codes (dictionary pinned at 4096 until the encoder
+  sends CLEAR — the case single-shot decoders get wrong)
+
+Disposal 3 (restore-to-previous) raises ``GIFError`` so the multimodal
+kernels fall back to the *labeled* stub rather than emit wrong pixels
+(the module contract ``multimodal.py`` states).
+
+Everything here decodes to 8-bit RGB; ``decode_gif`` returns the first
+composited frame in the shared ``(w, h, channels, pixels)`` codec
+contract, ``decode_gif_frames`` every composited frame.
+"""
+
+from __future__ import annotations
+
+import struct
+
+MAX_DECODE_PIXELS = 1 << 26  # 67M px across all frames: DoS guard
+
+
+class GIFError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# LZW (LSB-first, variable width, 12-bit max)
+# --------------------------------------------------------------------------
+
+
+def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
+    if not 2 <= min_code_size <= 8:
+        raise GIFError(f"bad LZW minimum code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    out = bytearray()
+    prev: int | None = None
+    bitpos = 0
+    nbits = len(data) * 8
+    while bitpos + width <= nbits:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            del table[eoi + 1 :]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table) or code >= clear:
+                raise GIFError("LZW stream starts with a non-literal code")
+            out += table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # KwKwK
+                entry = table[prev] + table[prev][:1]
+            else:
+                raise GIFError(f"LZW code {code} beyond table")
+            out += entry
+            if len(table) < 4096:
+                table.append(table[prev] + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        if len(out) > max_pixels:
+            raise GIFError("LZW output exceeds declared image size")
+        prev = code
+    raise GIFError("LZW stream ended without EOI")
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    acc_bits = 0
+
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, acc_bits
+        acc |= code << acc_bits
+        acc_bits += width
+        while acc_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            acc_bits -= 8
+
+    emit(clear)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table full: reset (decoder's deferred-clear path)
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([k])
+    if w:
+        emit(table[w])
+        # the decoder appends one entry after EVERY data code — also
+        # the last one, which the encoder has nothing to add for.  If
+        # that phantom entry crosses a width boundary the decoder reads
+        # EOI one bit wider; mirror it so EOI lands on the same width.
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+    emit(eoi)
+    if acc_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Container
+# --------------------------------------------------------------------------
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(indices: bytes, w: int, h: int) -> bytes:
+    rows = [b""] * h
+    src = 0
+    for start, step in _INTERLACE_PASSES:
+        for y in range(start, h, step):
+            rows[y] = indices[src * w : (src + 1) * w]
+            src += 1
+    return b"".join(rows)
+
+
+def _interlace(indices: bytes, w: int, h: int) -> bytes:
+    out = []
+    for start, step in _INTERLACE_PASSES:
+        for y in range(start, h, step):
+            out.append(indices[y * w : (y + 1) * w])
+    return b"".join(out)
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def take(self, n: int) -> bytes:
+        if self.pos + n > len(self.data):
+            raise GIFError("truncated GIF")
+        b = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def u8(self) -> int:
+        return self.take(1)[0]
+
+    def sub_blocks(self) -> bytes:
+        out = bytearray()
+        while True:
+            n = self.u8()
+            if n == 0:
+                return bytes(out)
+            out += self.take(n)
+
+
+def _color_table(r: _Reader, packed_size: int) -> list[bytes]:
+    n = 2 << packed_size
+    raw = r.take(3 * n)
+    return [raw[i : i + 3] for i in range(0, 3 * n, 3)]
+
+
+def decode_gif_frames(data: bytes) -> tuple[int, int, list[bytes]]:
+    """→ (width, height, [RGB frame bytes, ...]): every frame
+    composited on the logical screen (draw-over / restore-background
+    disposal; transparency honored).  Raises ``GIFError`` on anything
+    outside the supported subset — never wrong pixels."""
+    r = _Reader(data)
+    if r.take(6) not in (b"GIF87a", b"GIF89a"):
+        raise GIFError("not a GIF signature")
+    sw, sh, packed, bg, _aspect = struct.unpack("<HHBBB", r.take(7))
+    if sw == 0 or sh == 0:
+        raise GIFError("zero logical screen")
+    if sw * sh > MAX_DECODE_PIXELS:  # before the canvas allocation
+        raise GIFError("logical screen exceeds pixel budget")
+    gct = _color_table(r, packed & 0x07) if packed & 0x80 else None
+
+    bg_rgb = gct[bg] if gct and bg < len(gct) else b"\x00\x00\x00"
+    canvas = bytearray(bg_rgb * (sw * sh))
+    frames: list[bytes] = []
+    transparent: int | None = None
+    disposal = 0
+    budget = MAX_DECODE_PIXELS
+
+    while True:
+        block = r.u8()
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = r.u8()
+            body = r.sub_blocks()
+            if label == 0xF9:  # graphic control
+                if len(body) < 4:
+                    raise GIFError("short graphic-control extension")
+                flags = body[0]
+                disposal = (flags >> 2) & 0x07
+                transparent = body[3] if flags & 0x01 else None
+                if disposal == 3:
+                    raise GIFError("disposal 3 (restore previous) unsupported")
+                if disposal > 3:
+                    raise GIFError(f"reserved disposal {disposal}")
+            continue  # comment/app/plain-text: skipped
+        if block != 0x2C:
+            raise GIFError(f"unknown block 0x{block:02x}")
+
+        left, top, iw, ih, ipacked = struct.unpack("<HHHHB", r.take(9))
+        if iw == 0 or ih == 0 or left + iw > sw or top + ih > sh:
+            raise GIFError("image descriptor outside logical screen")
+        lct = _color_table(r, ipacked & 0x07) if ipacked & 0x80 else None
+        palette = lct or gct
+        if palette is None:
+            raise GIFError("no color table for image")
+        budget -= iw * ih
+        if budget < 0:
+            raise GIFError("pixel budget exceeded")
+
+        mcs = r.u8()
+        indices = _lzw_decode(mcs, r.sub_blocks(), iw * ih)
+        if len(indices) < iw * ih:
+            raise GIFError("LZW data shorter than image")
+        indices = indices[: iw * ih]
+        if ipacked & 0x40:
+            indices = _deinterlace(bytes(indices), iw, ih)
+        npal = len(palette)
+
+        for y in range(ih):
+            base = ((top + y) * sw + left) * 3
+            row = indices[y * iw : (y + 1) * iw]
+            for x, idx in enumerate(row):
+                if idx == transparent:
+                    continue
+                if idx >= npal:
+                    raise GIFError(f"index {idx} beyond color table")
+                canvas[base + 3 * x : base + 3 * x + 3] = palette[idx]
+        frames.append(bytes(canvas))
+
+        if disposal == 2:  # restore the frame's rect to background
+            for y in range(ih):
+                base = ((top + y) * sw + left) * 3
+                canvas[base : base + 3 * iw] = bg_rgb * iw
+        disposal = 0
+        transparent = None
+    if not frames:
+        raise GIFError("GIF contains no image")
+    return sw, sh, frames
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
+    """First composited frame in the shared codec contract
+    ``(width, height, channels=3, RGB pixels)``."""
+    w, h, frames = decode_gif_frames(data)
+    return w, h, 3, frames[0]
+
+
+def _grayscale_palette() -> bytes:
+    return b"".join(bytes([v, v, v]) for v in range(256))
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    frames: "list[bytes] | bytes",
+    palette: bytes | None = None,
+    interlace: bool = False,
+    transparent: int | None = None,
+    disposal: int = 0,
+    reset_on_full: bool = True,
+) -> bytes:
+    """GIF89a encoder over 8-bit palette indices (default palette:
+    256-level grayscale).  ``frames`` is one index buffer or a list of
+    them (full-screen frames).  Real variable-width LZW; fixtures for
+    the decoder and ``multimodal.make_media_frame``."""
+    if isinstance(frames, bytes):
+        frames = [frames]
+    if not frames:
+        raise GIFError("no frames")
+    for f in frames:
+        if len(f) != width * height:
+            raise GIFError("frame does not match dimensions")
+    palette = palette if palette is not None else _grayscale_palette()
+    if len(palette) % 3 or not 6 <= len(palette) <= 768:
+        raise GIFError("palette must hold 2..256 RGB entries")
+    n = len(palette) // 3
+    size_pow = max((n - 1).bit_length(), 1)
+    pal = palette + b"\x00" * (3 * (1 << size_pow) - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (size_pow - 1), 0, 0)
+    out += pal
+    mcs = max(size_pow, 2)
+    for fi, f in enumerate(frames):
+        if transparent is not None or len(frames) > 1:
+            flags = (disposal & 0x07) << 2
+            tindex = 0
+            if transparent is not None:
+                flags |= 0x01
+                tindex = transparent
+            out += bytes([0x21, 0xF9, 0x04, flags, 0x04, 0x00, tindex, 0x00])
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0x00
+        )
+        data = _interlace(f, width, height) if interlace else f
+        out += bytes([mcs])
+        lzw = _lzw_encode_opts(mcs, data, reset_on_full)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _lzw_encode_opts(min_code_size: int, indices: bytes,
+                     reset_on_full: bool) -> bytes:
+    if reset_on_full:
+        return _lzw_encode(min_code_size, indices)
+    return _lzw_encode_deferred(min_code_size, indices)
+
+
+def _lzw_encode_deferred(min_code_size: int, indices: bytes) -> bytes:
+    """Variant that NEVER sends a mid-stream clear: once the table is
+    full it keeps emitting existing codes (the 'deferred clear' streams
+    some encoders produce, which decoders must not choke on)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    acc_bits = 0
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, acc_bits
+        acc |= code << acc_bits
+        acc_bits += width
+        while acc_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            acc_bits -= 8
+
+    emit(clear)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = bytes([k])
+    if w:
+        emit(table[w])
+        if next_code < 4096:  # phantom add: see _lzw_encode
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+    emit(eoi)
+    if acc_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)

@@ -6,9 +6,11 @@ The Spark-side plumbing — schemas, mapInPandas signatures, batch
 shapes, partitioning — is real and tested, and so are the codecs: PNG
 images decode through ``png_codec.py`` (zlib + the shared PDF
 predictor stack), baseline JPEGs through ``jpeg_codec.py`` (ITU T.81
-DCT + Huffman, Annex-K tables), PCM16 WAV audio and MJPEG-AVI video
-through ``riff_codec.py`` — every ``decoder`` column value other than
-``'stub'`` means true sample/pixel statistics.  Payloads outside those
+DCT + Huffman, Annex-K tables), GIF87a/89a stills AND animations
+through ``gif_codec.py`` (LSB-first variable-width LZW, interlace,
+transparency, disposal compositing), PCM16 WAV audio and MJPEG-AVI
+video through ``riff_codec.py`` — every ``decoder`` column value other
+than ``'stub'`` means true sample/pixel statistics.  Payloads outside those
 formats (compressed audio, H.264, arithmetic-coded JPEG) fall back to the
 clearly-labeled deterministic stubs behind the same except clauses;
 dropping in Pillow/PyAV widens format coverage without touching the
@@ -106,6 +108,7 @@ def image_features(df: DataFrame) -> DataFrame:
     labeled stub (or PIL when a future environment provides it)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif_codec import GIFError, decode_gif
         from .jpeg_codec import JPEGError, decode_jpeg
         from .png_codec import PNGError, decode_png
 
@@ -122,7 +125,10 @@ def image_features(df: DataFrame) -> DataFrame:
                     try:
                         decoded = (*decode_jpeg(payload), "jpeg")
                     except JPEGError:
-                        pass
+                        try:
+                            decoded = (*decode_gif(payload), "gif")
+                        except GIFError:
+                            pass
                 if decoded is not None:
                     w, h, ch, px, dec = decoded
                     luma = _luma_plane(w, h, ch, px)
@@ -173,14 +179,18 @@ RESIZE_SCHEMA = T.StructType(
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize kernel: PNG and baseline-JPEG payloads genuinely resample
-    (nearest-neighbor via numpy index grids) and re-encode in their own
-    format; undecodable payloads pass through with ``resized=False``
-    (PIL drop-in point marked)."""
+    """Resize kernel: PNG, baseline-JPEG, and GIF payloads genuinely
+    resample (nearest-neighbor via numpy index grids); PNG/JPEG
+    re-encode in their own format, GIFs re-encode as RGB PNG (palette
+    re-quantization is out of scope, and the schema carries no format
+    column — truthful resample, lossless container swap).  Undecodable
+    payloads pass through with ``resized=False`` (PIL drop-in point
+    marked)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from .gif_codec import GIFError, decode_gif
         from .jpeg_codec import JPEGError, decode_jpeg, encode_jpeg
         from .png_codec import PNGError, decode_png, encode_png
 
@@ -196,7 +206,10 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                     try:
                         decoded = (*decode_jpeg(payload), encode_jpeg)
                     except JPEGError:
-                        pass
+                        try:
+                            decoded = (*decode_gif(payload), encode_png)
+                        except GIFError:
+                            pass
                 if decoded is not None:
                     w0, h0, ch, px, encode = decoded
                     arr = np.frombuffer(px, dtype=np.uint8).reshape(h0, w0, ch)
@@ -245,11 +258,14 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 def sample_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling kernel: one row per sampled frame index.  MJPEG
     AVI payloads decode for REAL (riff_codec walks the movi list,
-    jpeg_codec decodes the sampled frame; the digest is of the decoded
-    PIXELS).  Undecodable payloads fall back to the labeled stub
-    (digest of payload+index); PyAV slots in for other containers."""
+    jpeg_codec decodes the sampled frame), as do animated GIFs
+    (gif_codec composites frames with disposal/transparency); the
+    digest is of the decoded PIXELS.  Undecodable payloads fall back
+    to the labeled stub (digest of payload+index); PyAV slots in for
+    other containers."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif_codec import GIFError, decode_gif_frames
         from .jpeg_codec import JPEGError, decode_jpeg
         from .riff_codec import RIFFError, decode_avi_mjpeg
 
@@ -273,6 +289,22 @@ def sample_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
                         )
                     continue
                 except (RIFFError, JPEGError):
+                    pass
+                try:
+                    _w, _h, gframes = decode_gif_frames(payload)
+                    for fi in range(0, len(gframes), every_n):
+                        rows.append(
+                            {
+                                "conv_id": r["conv_id"],
+                                "turn_idx": int(r["turn_idx"]),
+                                "frame_idx": fi,
+                                "frame_digest":
+                                    hashlib.sha256(gframes[fi]).hexdigest()[:16],
+                                "decoder": "gif",
+                            }
+                        )
+                    continue
+                except GIFError:
                     pass
                 n_frames = int(r["meta"]["n_frames"] or 0)
                 for fi in range(0, n_frames, every_n):
@@ -355,25 +387,32 @@ def audio_features(df: DataFrame) -> DataFrame:
 
 def make_media_frame(n: int = 30) -> pd.DataFrame:
     """Deterministic media fixture rows (no external data): image
-    payloads are REAL PNGs and baseline JPEGs, alternating; audio rows
-    are REAL PCM16 WAVs (seeded sine); video rows are REAL MJPEG AVIs
-    (tiny per-frame JPEG gradients) — all through the pure codecs."""
+    payloads rotate REAL PNG / baseline JPEG / GIF (grayscale palette);
+    audio rows are REAL PCM16 WAVs (seeded sine); video rows alternate
+    REAL MJPEG AVIs and animated GIFs — all through the pure codecs."""
     import numpy as np
 
+    from .gif_codec import encode_gif
     from .jpeg_codec import encode_jpeg
     from .png_codec import encode_png
     from .riff_codec import encode_avi_mjpeg, encode_wav
 
     rows = []
     img_i = 0
+    vid_i = 0
     for i in range(n):
         mt = ("image", "audio", "video")[i % 3]
         if mt == "image":
             w, h = 640, 480
             ys, xs = np.mgrid[0:h, 0:w]
             px = ((xs * 3 + ys * 5 + i * 7) % 256).astype(np.uint8).tobytes()
-            codec = "png" if img_i % 2 == 0 else "jpeg"
-            payload = (encode_png if codec == "png" else encode_jpeg)(w, h, px, 1)
+            codec = ("png", "jpeg", "gif")[img_i % 3]
+            if codec == "png":
+                payload = encode_png(w, h, px, 1)
+            elif codec == "jpeg":
+                payload = encode_jpeg(w, h, px, 1)
+            else:  # grayscale palette: the gradient bytes ARE indices
+                payload = encode_gif(w, h, px, interlace=img_i % 2 == 1)
             img_i += 1
         elif mt == "audio":
             codec = "wav"
@@ -382,13 +421,22 @@ def make_media_frame(n: int = 30) -> pd.DataFrame:
             amp = 3000 + 500 * (i % 7)
             s = (amp * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
             payload = encode_wav(16000, s)
-        else:
+        elif vid_i % 2 == 0:
             codec = "mjpeg-avi"
             frames = []
             for fi in range(30 + i):
                 g = np.full((16, 16), (fi * 9 + i) % 256, dtype=np.uint8)
                 frames.append(encode_jpeg(16, 16, g.tobytes(), 1))
             payload = encode_avi_mjpeg(16, 16, frames, fps=25)
+            vid_i += 1
+        else:
+            codec = "gif"
+            gframes = [
+                bytes([(fi * 9 + i) % 256]) * (16 * 16)
+                for fi in range(30 + i)
+            ]
+            payload = encode_gif(16, 16, gframes)
+            vid_i += 1
         rows.append(
             {
                 "conv_id": f"conv{i // 5:06d}",

@@ -1,0 +1,223 @@
+"""GIF codec: LSB-first variable-width LZW (incl. the phantom-EOI
+width boundary and deferred clear), interlace, transparency, animation
+compositing, and the GIFError-only error contract the multimodal
+kernels rely on."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_parser_c_spark.operators.gif_codec import (
+    GIFError,
+    _interlace,
+    _deinterlace,
+    _lzw_decode,
+    _lzw_encode,
+    _lzw_encode_deferred,
+    decode_gif,
+    decode_gif_frames,
+    encode_gif,
+)
+
+# --------------------------------------------------------------------------
+# LZW
+# --------------------------------------------------------------------------
+
+
+def test_lzw_hand_computed_vector():
+    # mcs=2: codes clear(100) 1(001) 6(011) 6(011) eoi(0101, 4-bit after
+    # the decoder's final-code phantom append) → LSB-first bytes 8C 5D
+    enc = _lzw_encode(2, bytes([1, 1, 1, 1, 1]))
+    assert enc == bytes.fromhex("8c5d")
+    assert bytes(_lzw_decode(2, enc, 5)) == bytes([1, 1, 1, 1, 1])
+
+
+def test_lzw_phantom_eoi_width_sweep():
+    """[v]*k for k across width boundaries: the decoder appends a table
+    entry after the FINAL data code too; without the encoder's phantom
+    add the EOI width mismatches and ~0.7% of streams fail (measured).
+    The sweep crosses every 2^w boundary up to 12 bits."""
+    for mcs in (2, 3, 8):
+        for k in list(range(1, 130)) + [255, 256, 257, 511, 513, 1025]:
+            data = bytes([1]) * k
+            assert bytes(_lzw_decode(mcs, _lzw_encode(mcs, data), k)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(2, 8),
+    st.integers(1, 4000),
+    st.randoms(use_true_random=False),
+)
+def test_lzw_roundtrip_randomized(mcs, n, rnd):
+    data = bytes(rnd.randrange(1 << mcs) for _ in range(n))
+    for enc in (_lzw_encode, _lzw_encode_deferred):
+        assert bytes(_lzw_decode(mcs, enc(mcs, data), n)) == data
+
+
+def test_lzw_table_overflow_both_strategies():
+    # 9000 symbols of low-entropy data overflow the 4096-entry table:
+    # _lzw_encode resets with CLEAR, the deferred variant pins the
+    # table (the stream single-shot decoders choke on); both decode
+    data = bytes((i * 7 + (i >> 3)) % 4 for i in range(9000))
+    for enc in (_lzw_encode, _lzw_encode_deferred):
+        assert bytes(_lzw_decode(2, enc(2, data), 9000)) == data
+
+
+def test_lzw_rejects_garbage():
+    with pytest.raises(GIFError):
+        _lzw_decode(1, b"\x00", 10)  # bad min code size
+    with pytest.raises(GIFError):
+        _lzw_decode(2, b"", 10)  # no EOI
+    with pytest.raises(GIFError):
+        # output longer than declared image: budget guard
+        _lzw_decode(2, _lzw_encode(2, bytes(100)), 10)
+
+
+# --------------------------------------------------------------------------
+# Container round-trips
+# --------------------------------------------------------------------------
+
+
+def _gray(v):
+    return bytes([v, v, v])
+
+
+def test_gif_roundtrip_grayscale():
+    w, h = 33, 21  # non-multiple-of-8 dims
+    px = bytes((x * 3 + y * 5) % 256 for y in range(h) for x in range(w))
+    gw, gh, ch, rgb = decode_gif(encode_gif(w, h, px))
+    assert (gw, gh, ch) == (w, h, 3)
+    assert rgb == b"".join(_gray(v) for v in px)
+
+
+def test_gif_roundtrip_interlaced():
+    for h in (1, 2, 3, 5, 8, 9, 17):  # every interlace-pass shape
+        w = 7
+        px = bytes((x + 11 * y) % 256 for y in range(h) for x in range(w))
+        plain = decode_gif(encode_gif(w, h, px, interlace=False))
+        inter = decode_gif(encode_gif(w, h, px, interlace=True))
+        assert inter == plain
+
+
+def test_interlace_is_permutation_inverse():
+    w, h = 5, 13
+    px = bytes(range(w * h))
+    assert _deinterlace(_interlace(px, w, h), w, h) == px
+
+
+def test_gif_custom_palette_and_87a_colors():
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    px = bytes([0, 1, 2, 3, 3, 2, 1, 0])
+    w, h, ch, rgb = decode_gif(encode_gif(4, 2, px, palette=palette))
+    want = b"".join(palette[3 * i : 3 * i + 3] for i in px)
+    assert rgb == want
+
+
+def test_gif_animation_compositing_disposal_and_transparency():
+    # 4x2 screen, gray palette.  Frame 1 fills with 10; frame 2 draws
+    # 200 but marks index 200 transparent... instead: frame 2 uses
+    # transparent index 99 for its left half, so the left half shows
+    # frame 1's pixels through.
+    f1 = bytes([10]) * 8
+    f2 = bytes([99, 99, 200, 200, 99, 99, 200, 200])
+    data = encode_gif(4, 2, [f1, f2], transparent=99)
+    w, h, frames = decode_gif_frames(data)
+    assert (w, h) == (4, 2) and len(frames) == 2
+    assert frames[0] == _gray(10) * 8
+    want2 = (_gray(10) * 2 + _gray(200) * 2) * 2
+    assert frames[1] == want2
+
+
+def test_gif_disposal_2_restores_background():
+    # bg color index 0 (=black under the gray palette); disposal 2
+    # clears frame 1's rect before frame 2 composites
+    f1 = bytes([100]) * 4
+    f2 = bytes([99, 99, 99, 50])  # transparent except last pixel
+    data = encode_gif(2, 2, [f1, f2], transparent=99, disposal=2)
+    _, _, frames = decode_gif_frames(data)
+    assert frames[0] == _gray(100) * 4
+    # disposal 2 after frame 1 → canvas back to bg (index 0 → black),
+    # then frame 2's one opaque pixel lands
+    assert frames[1] == _gray(0) * 3 + _gray(50)
+
+
+def test_gif_disposal_3_raises():
+    f = bytes([1]) * 4
+    data = bytearray(encode_gif(2, 2, [f, f], transparent=None, disposal=1))
+    # patch the graphic-control disposal bits (byte after 0x21 0xF9 0x04)
+    i = data.index(bytes([0x21, 0xF9, 0x04]))
+    data[i + 3] = (data[i + 3] & ~0x1C) | (3 << 2)
+    with pytest.raises(GIFError, match="disposal 3"):
+        decode_gif_frames(bytes(data))
+
+
+def test_gif_guards():
+    with pytest.raises(GIFError):
+        decode_gif(b"GIF89a")  # truncated
+    with pytest.raises(GIFError):
+        decode_gif(b"JIF89a" + b"\x00" * 20)  # bad signature
+    ok = encode_gif(4, 2, bytes(8))
+    with pytest.raises(GIFError):
+        decode_gif(ok[:-2])  # missing trailer path → truncated
+    # index beyond a short palette must raise, not read OOB
+    bad = encode_gif(2, 1, bytes([0, 3]), palette=bytes(6))  # 2 colors
+    with pytest.raises(GIFError):
+        decode_gif(bad)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_gif_decoder_never_crashes(data):
+    """decode_gif on arbitrary bytes: GIFError or success, never an
+    uncaught exception (the multimodal kernels catch only GIFError)."""
+    for payload in (data, b"GIF89a" + data):
+        try:
+            decode_gif(payload)
+        except GIFError:
+            pass
+
+
+def test_fuzz_gif_decoder_error_contract():
+    """Mutated/truncated GIFs (plain, interlaced, animated+transparent)
+    raise GIFError only — any other exception class would kill a task
+    at corpus scale (same contract as the JPEG/PNG codecs)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=24 * 16, dtype=np.uint8).tobytes()
+    seeds = [
+        encode_gif(24, 16, px),
+        encode_gif(24, 16, px, interlace=True),
+        encode_gif(24, 16, [px, px[::-1]], transparent=7, disposal=2),
+    ]
+    for data in seeds:
+        for _ in range(60):
+            m = bytearray(data)
+            mode = rng.integers(0, 3)
+            if mode == 0:
+                m = m[: int(rng.integers(4, len(m)))]
+            elif mode == 1:
+                for _ in range(int(rng.integers(1, 6))):
+                    m[int(rng.integers(2, len(m)))] = int(rng.integers(0, 256))
+            else:
+                a = int(rng.integers(2, len(m) - 10))
+                del m[a : a + int(rng.integers(1, 50))]
+            try:
+                decode_gif_frames(bytes(m))
+            except GIFError:
+                pass  # the one allowed escape
+
+
+def test_gif_pixel_budget_guard():
+    # a 0xFFFF x 0xFFFF logical screen with a matching image would be
+    # 4 Gpx: the budget guard must fire before any allocation of that
+    # size (the encoder refuses to build one, so hand-craft the header)
+    import struct
+
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 0xFFFF, 0xFFFF, 0x80, 0, 0)
+    hdr += bytes(6)  # 2-entry color table
+    hdr += b"\x2c" + struct.pack("<HHHHB", 0, 0, 0xFFFF, 0xFFFF, 0)
+    hdr += bytes([2, 1, 0x44, 0])  # mcs + a token sub-block
+    with pytest.raises(GIFError):
+        decode_gif_frames(hdr + b"\x3b")
