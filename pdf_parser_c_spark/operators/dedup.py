@@ -518,3 +518,122 @@ def substring_dup_coverage(
         .groupBy(id_col, "n_tok")
         .agg(F.sum("_cov").cast("long").alias("dup_tokens"))
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    window: int = 4,
+    carry_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """→ (doc, ``*carry_cols``, fp): per-doc DISTINCT winnowed
+    fingerprints — the MOSS local fingerprinting scheme (Schleimer,
+    Wilkerson & Aiken 2003, *Winnowing: Local Algorithms for Document
+    Fingerprinting*): hash every POSITIONED ``n``-word shingle (the
+    multiset, not the set — position matters), then keep the minimum
+    of every ``window`` consecutive hashes.  Guarantee: any shared
+    substring of ≥ n+window-1 words yields at least one shared
+    fingerprint, at ~2/(window+1) the volume of full shingling.
+
+    Scale: the positioned explode is map-side; the selection is ONE
+    (doc)-keyed window (min over a ``window``-row frame) and the
+    distinct reuses its exchange.  Fingerprint density — not corpus
+    size — drives everything downstream (inverted index, pair
+    generation), which is the point of winnowing."""
+    base = df.select(
+        F.col(id_col).alias("doc"), *carry_cols,
+        F.split(text_col, " ").alias("ws"),
+    ).filter(F.expr(f"size(ws) >= {n}"))
+    sh = f"array_join(slice(ws, i, {n}), ' ')"
+    pos = base.select(
+        "doc", *carry_cols,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {n - 1}),"
+                f" i -> cast(conv(substr(md5({sh}), 1, 15), 16, 10) as bigint))"
+            )
+        ).alias("pos", "h"),
+    )
+    w = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    return (
+        pos.withColumn("fp", F.min("h").over(w))
+        .filter(F.col("pos") >= window - 1)  # complete windows only
+        .select("doc", *carry_cols, "fp")
+        .distinct()
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 4,
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """→ (id_a, id_b): DISTINCT candidate pairs from sorted-
+    neighborhood blocking (Hernández & Stolfo 1995) — the SORT-based
+    complement to the family's hash blocking (LSH bands, deletion
+    variants): rows sort by ``key_col``, every pair within ``window``
+    positions is a candidate.
+
+    Scale shape: a single-partition global sort would be the naive
+    form; instead the sort runs INSIDE key-prefix buckets
+    (``bucket_chars`` chars → bounded fan-out, one bucket-keyed
+    exchange), and boundary pairs are recovered by GHOST-CARRY: each
+    bucket's last window-1 rows are duplicated into the next bucket
+    (the events_rolling_split trick).  The bucket-successor table is
+    a window over the DISTINCT bucket ids — metadata-sized.
+    Ghost-ghost pairs are suppressed (their home bucket already
+    produced them); the trailing DISTINCT canonicalizes the rest.
+
+    Key design is the caller's lever: for serial identifiers, pass a
+    REVERSED key so the varying tail sorts adjacently AND the prefix
+    buckets stay balanced."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(key_col).alias("k")
+    ).withColumn("b", F.substring("k", 1, bucket_chars))
+    bseq = base.select("b").distinct()
+    nxt = bseq.select(
+        "b", F.lead("b", 1).over(Window.orderBy("b")).alias("nb")
+    )
+    wd = Window.partitionBy("b").orderBy(F.desc("k"), F.desc("id"))
+    ghosts = (
+        base.withColumn("_r", F.row_number().over(wd))
+        .filter(F.col("_r") <= window - 1)
+        .join(nxt, "b")
+        .filter(F.col("nb").isNotNull())
+        .select("id", "k", F.col("nb").alias("b"), F.lit(True).alias("ghost"))
+    )
+    allr = base.withColumn("ghost", F.lit(False)).unionByName(ghosts)
+    ws = Window.partitionBy("b").orderBy("k", "id")
+    # windows must sit in a Project, not inside the Generate: compute
+    # the lead columns first, then stack them with explode
+    led = allr.select(
+        "id", "ghost",
+        *[F.lead("id", j).over(ws).alias(f"_i{j}") for j in range(1, window)],
+        *[F.lead("ghost", j).over(ws).alias(f"_g{j}")
+          for j in range(1, window)],
+    )
+    leads = F.array(
+        *[
+            F.struct(
+                F.col(f"_i{j}").alias("id2"), F.col(f"_g{j}").alias("g2")
+            )
+            for j in range(1, window)
+        ]
+    )
+    return (
+        led.select("id", "ghost", F.explode(leads).alias("p"))
+        .filter(F.col("p.id2").isNotNull() & ~(F.col("ghost") & F.col("p.g2")))
+        .select(
+            F.least("id", "p.id2").alias("id_a"),
+            F.greatest("id", "p.id2").alias("id_b"),
+        )
+        .distinct()
+    )

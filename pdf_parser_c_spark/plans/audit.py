@@ -75,6 +75,8 @@ def main() -> None:
         "sketch_bloom_contamination": "Bloom: bit positions and benchmark set both BroadcastExchange; probe is map-side joins + ONE (doc, shingle) agg",
         "graph_pagerank": "PageRank: per iteration one src-keyed join + one dst-keyed partial agg; dangling mass is a 1-row broadcast scalar; 3 iterations compose lazily",
         "sketch_hll_rolling": "HLL rollup cascade: hourly registers bound the exchange at groups*256 rows; daily max-merge + estimate never rescan the fact table (exact column is the audit)",
+        "text_winnowing": "winnowing: map-side positioned shingles, ONE doc-keyed window (4-row min) + distinct on the same exchange; census aggregates fingerprint-sized frames",
+        "dedup_sorted_neighborhood": "SNM: bucket-keyed exchange carries sort+leads (no single-partition global sort); bucket-successor window runs on DISTINCT bucket ids; verify join is candidate-sized",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

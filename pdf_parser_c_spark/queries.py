@@ -4682,6 +4682,158 @@ SELECT v, round(pr, 6) AS pr FROM r3 ORDER BY v
     return body
 
 
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint census (operators/dedup.
+    winnow_fingerprints — the MOSS scheme): per source, how many
+    positioned 4-word shingles exist, how many survive the 4-hash
+    window-min selection (theory: ~2/(w+1) = 40%), and how many
+    selected fingerprints recur across ≥2 docs (the near-dup
+    candidate volume downstream stages see).
+    Scale: selection is map-side explode + one doc-keyed window; the
+    census aggregates fingerprint-table-sized frames.  The whole
+    point of winnowing is that downstream pair generation scales with
+    SELECTED density, not shingle volume."""
+    from .operators.dedup import winnow_fingerprints
+
+    d = t(spark, sf_dir, "documents")
+    sel = winnow_fingerprints(d, "doc_id", "text", n=4, window=4,
+                              carry_cols=("source",))
+    npos = (
+        d.select("source", F.split("text", " ").alias("ws"))
+        .filter(F.expr("size(ws) >= 4"))
+        .groupBy("source")
+        .agg(F.sum(F.expr("size(ws) - 3")).cast("long").alias("n_positions"))
+    )
+    per = sel.groupBy("source").agg(F.count("*").alias("n_selected"))
+    shared = (
+        sel.groupBy("source", "fp")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_shared_fp"))
+    )
+    return (
+        npos.join(per, "source")
+        .join(shared, "source", "left")
+        .select(
+            "source", "n_positions", "n_selected",
+            F.round(
+                F.col("n_selected").cast("double") / F.col("n_positions"), 4
+            ).alias("sel_ratio"),
+            F.coalesce("n_shared_fp", F.lit(0)).cast("long")
+            .alias("n_shared_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TEXT_WINNOWING = f"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+           FROM documents WHERE len(string_split(text, ' ')) >= 4),
+p AS (SELECT doc_id, source, i AS pos,
+             {_H60_DUCK.format(x="array_to_string(ws[i:i+3], ' ')")} AS h
+      FROM w, unnest(generate_series(1, len(ws) - 3)) AS u(i)),
+mins AS (SELECT doc_id, source, pos,
+                min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+         FROM p),
+sel AS (SELECT DISTINCT doc_id, source, fp FROM mins WHERE pos >= 4),
+npos AS (SELECT source, CAST(sum(len(ws) - 3) AS BIGINT) AS n_positions
+         FROM w GROUP BY 1),
+per AS (SELECT source, count(*) AS n_selected FROM sel GROUP BY 1),
+shared AS (SELECT source, count(*) AS n_shared_fp FROM (
+    SELECT source, fp FROM sel GROUP BY source, fp HAVING count(*) >= 2)
+  GROUP BY 1)
+SELECT npos.source, n_positions, n_selected,
+       round(CAST(n_selected AS DOUBLE) / n_positions, 4) AS sel_ratio,
+       CAST(coalesce(n_shared_fp, 0) AS BIGINT) AS n_shared_fp
+FROM npos JOIN per ON npos.source = per.source
+          LEFT JOIN shared ON npos.source = shared.source
+ORDER BY npos.source
+"""
+
+
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup census (operators/dedup.
+    sorted_neighborhood_pairs): customers sort by REVERSED name (the
+    serial tail becomes the sort prefix, so lev-1 neighbors cluster
+    AND the 2-char buckets stay balanced), window-4 candidates with
+    ghost-carry across bucket boundaries, exact levenshtein ≤ 1
+    confirms.  Census = candidates, confirmed pairs, names involved.
+    The oracle reproduces the whole blocking construction, so bucket
+    boundaries and ghost suppression are hash-checked — recall vs
+    brute force is pinned separately in tests.
+    Scale: one bucket-keyed exchange carries sort + leads; the
+    metadata window runs over distinct bucket ids only; the verify
+    join is candidate-sized."""
+    from .operators.dedup import sorted_neighborhood_pairs
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cand = sorted_neighborhood_pairs(
+        cust.withColumn("k", F.reverse("c_name")), "c_custkey", "k",
+        window=4, bucket_chars=2,
+    )
+    names = cust.select(
+        F.col("c_custkey").alias("_id"), F.col("c_name").alias("_nm")
+    )
+    withlev = (
+        cand.join(names.withColumnRenamed("_id", "id_a")
+                  .withColumnRenamed("_nm", "name_a"), "id_a")
+        .join(names.withColumnRenamed("_id", "id_b")
+              .withColumnRenamed("_nm", "name_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.levenshtein("name_a", "name_b") <= 1).cast("int").alias("ok"),
+        )
+    )
+    ex = withlev.select(
+        "ok", F.explode(F.array("id_a", "id_b")).alias("m")
+    )
+    return ex.agg(
+        (F.count("*") / 2).cast("long").alias("n_candidate_pairs"),
+        (F.sum("ok") / 2).cast("long").alias("n_confirmed_pairs"),
+        F.count_distinct(F.when(F.col("ok") == 1, F.col("m")))
+        .alias("n_names_involved"),
+    )
+
+
+SQL_DEDUP_SNM = """
+WITH base AS (SELECT c_custkey AS id, reverse(c_name) AS k,
+                     substr(reverse(c_name), 1, 2) AS b
+              FROM customer),
+bseq AS (SELECT b, lead(b) OVER (ORDER BY b) AS nb
+         FROM (SELECT DISTINCT b FROM base)),
+ghosts AS (SELECT id, k, nb AS b, TRUE AS ghost FROM (
+    SELECT id, k, b,
+           row_number() OVER (PARTITION BY b ORDER BY k DESC, id DESC) AS r
+    FROM base) g JOIN bseq USING (b)
+  WHERE r <= 3 AND nb IS NOT NULL),
+allr AS (SELECT id, k, b, FALSE AS ghost FROM base
+         UNION ALL SELECT id, k, b, ghost FROM ghosts),
+led AS (SELECT id, ghost,
+               lead(id, 1) OVER w AS i1, lead(ghost, 1) OVER w AS g1,
+               lead(id, 2) OVER w AS i2, lead(ghost, 2) OVER w AS g2,
+               lead(id, 3) OVER w AS i3, lead(ghost, 3) OVER w AS g3
+        FROM allr WINDOW w AS (PARTITION BY b ORDER BY k, id)),
+cand AS (SELECT DISTINCT least(id, j) AS id_a, greatest(id, j) AS id_b
+         FROM (SELECT id, ghost, i1 AS j, g1 AS gj FROM led
+               UNION ALL SELECT id, ghost, i2, g2 FROM led
+               UNION ALL SELECT id, ghost, i3, g3 FROM led)
+         WHERE j IS NOT NULL AND NOT (ghost AND gj)),
+conf AS (SELECT id_a, id_b,
+                CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+                     THEN 1 ELSE 0 END AS ok
+         FROM cand JOIN customer a ON id_a = a.c_custkey
+                   JOIN customer b ON id_b = b.c_custkey)
+SELECT CAST((SELECT count(*) FROM conf) AS BIGINT) AS n_candidate_pairs,
+       CAST((SELECT sum(ok) FROM conf) AS BIGINT) AS n_confirmed_pairs,
+       CAST((SELECT count(DISTINCT m) FROM (
+                SELECT id_a AS m FROM conf WHERE ok = 1
+                UNION ALL SELECT id_b FROM conf WHERE ok = 1))
+            AS BIGINT) AS n_names_involved
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4766,6 +4918,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_sketch_bloom_contamination, SQL_SKETCH_BLOOM
     ),
     "graph_pagerank": (q_graph_pagerank, _sql_graph_pagerank()),
+    "text_winnowing": (q_text_winnowing, SQL_TEXT_WINNOWING),
+    "dedup_sorted_neighborhood": (
+        q_dedup_sorted_neighborhood, SQL_DEDUP_SNM
+    ),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_class_cap": (q_sample_class_cap, SQL_SAMPLE_CLASS_CAP),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),

@@ -1,0 +1,122 @@
+"""Blocking-strategy guarantees the mirrored oracles cannot prove:
+winnowing's shared-substring detection guarantee and density bound,
+and sorted-neighborhood's equivalence to a GLOBAL sliding window when
+ghost-carry stitches the bucket boundaries."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from pdf_parser_c_spark.operators.dedup import (
+    sorted_neighborhood_pairs,
+    winnow_fingerprints,
+)
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+         "iota", "kappa", "lam", "mu", "nu", "xi", "omi", "pi"]
+
+
+def _doc(rnd, n):
+    return " ".join(rnd.choice(WORDS) for _ in range(n))
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Any shared run of >= n + window - 1 = 7 words yields at least
+    one shared fingerprint (Schleimer et al. theorem 1) — for every
+    planted pair, whatever the surrounding text."""
+    rnd = random.Random(42)
+    rows = []
+    for i in range(20):
+        shared = _doc(rnd, 7)
+        rows.append((2 * i, _doc(rnd, 30) + " " + shared + " " + _doc(rnd, 9)))
+        rows.append((2 * i + 1, shared + " " + _doc(rnd, 25)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = winnow_fingerprints(df, "doc_id", "text", n=4, window=4)
+    pairs = (
+        fp.alias("a")
+        .join(fp.alias("b"),
+              (F.col("a.fp") == F.col("b.fp"))
+              & (F.col("a.doc") + 1 == F.col("b.doc"))
+              & (F.col("a.doc") % 2 == 0))
+        .select(F.col("a.doc").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert pairs == 20  # every planted pair detected
+
+
+def test_winnowing_density_near_theory(spark):
+    """Expected selected density is ~2/(w+1) = 40% for random hashes;
+    the fixture's 16-word vocabulary repeats shingles so the DISTINCT
+    set dips below — assert a generous band around theory on a long
+    high-entropy doc."""
+    rnd = random.Random(7)
+    text = " ".join(
+        rnd.choice(WORDS) + str(rnd.randrange(1000)) for _ in range(4000)
+    )
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    n_sel = winnow_fingerprints(df, "doc_id", "text", n=4, window=4).count()
+    n_pos = 4000 - 3
+    assert 0.25 < n_sel / n_pos < 0.55
+
+
+def test_snm_equals_global_sliding_window(spark):
+    """With every bucket holding >= window-1 rows, bucket-local leads
+    + ghost-carry reproduce EXACTLY the global sliding-window pair
+    set — the single-partition sort the bucketing avoids."""
+    rnd = random.Random(3)
+    rows = []
+    for i in range(400):
+        # 2-char prefixes from a 4-letter alphabet → 16 dense buckets
+        key = (rnd.choice("abcd") + rnd.choice("abcd")
+               + "".join(rnd.choice("abcdefgh") for _ in range(6)))
+        rows.append((i, key))
+    df = spark.createDataFrame(rows, ["id", "key"])
+    W = 4
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(df, "id", "key", window=W,
+                                           bucket_chars=2).collect()
+    }
+    ordered = [i for i, _ in sorted(rows, key=lambda r: (r[1], r[0]))]
+    want = {
+        (min(a, b), max(a, b))
+        for x in range(len(ordered))
+        for a, b in [(ordered[x], ordered[y])
+                     for y in range(x + 1, min(x + W, len(ordered)))]
+    }
+    assert got == want
+
+
+def test_snm_confirmed_subset_of_bruteforce(spark):
+    cust = (
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        .select("c_custkey", "c_name")
+    )
+    cand = sorted_neighborhood_pairs(
+        cust.withColumn("k", F.reverse("c_name")), "c_custkey", "k",
+        window=4, bucket_chars=2,
+    )
+    names = cust.collect()
+    byid = {r["c_custkey"]: r["c_name"] for r in names}
+
+    def lev1(a, b):
+        if a == b:
+            return True
+        if len(a) == len(b):
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        return False  # serial names share length
+
+    confirmed = {
+        (r["id_a"], r["id_b"])
+        for r in cand.collect()
+        if lev1(byid[r["id_a"]], byid[r["id_b"]])
+    }
+    brute = {
+        (a["c_custkey"], b["c_custkey"])
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if lev1(a["c_name"], b["c_name"])
+    }
+    assert confirmed <= brute
+    assert confirmed  # the reversed-key design finds real lev-1 pairs
