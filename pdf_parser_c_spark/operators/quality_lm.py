@@ -24,15 +24,21 @@ from pyspark.sql import functions as F
 
 def _ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(doc, t): every OVERLAPPING character n-gram, multiset (counts
-    matter for the likelihood, unlike the dedup shingles)."""
-    return df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(length({text_col}) - {n - 1},"
-                f" 0)), i -> substring({text_col}, i, {n}))"
-            )
-        ).alias("t"),
+    matter for the likelihood, unlike the dedup shingles).  The length
+    filter guards sequence(1, k), which DESCENDS for k < 1 — without
+    it an empty doc mints [1, 0] → two phantom empty n-grams (a SQL
+    engine's generate_series(1, 0) is empty, so the oracle diverges)."""
+    return (
+        df.filter(F.length(text_col) >= n)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {n - 1}),"
+                    f" i -> substring({text_col}, i, {n}))"
+                )
+            ).alias("t"),
+        )
     )
 
 

@@ -1789,8 +1789,11 @@ def q_text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_wlen = F.expr(
         f"aggregate({words}, 0, (a, w) -> a + length(w)) / CAST(size({words}) AS DOUBLE)"
     )
+    # greatest(.,1): empty docs score sym_ratio 0 (they fail the word
+    # count anyway) instead of ANSI divide-by-zero killing the job
     sym_ratio = F.expr(
-        "length(regexp_replace(text, '[a-z0-9 ]', '')) / CAST(length(text) AS DOUBLE)"
+        "length(regexp_replace(text, '[a-z0-9 ]', ''))"
+        " / CAST(greatest(length(text), 1) AS DOUBLE)"
     )
     ok_words = (n_words >= 5) & (n_words <= 1000)
     ok_wlen = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
@@ -1827,7 +1830,7 @@ m AS (
          list_sum(list_transform(string_split(text, ' '), w -> length(w)))
            / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_wlen,
          length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
-           / CAST(length(text) AS DOUBLE) AS sym_ratio
+           / CAST(greatest(length(text), 1) AS DOUBLE) AS sym_ratio
   FROM armored)
 SELECT source,
        CAST(sum(CASE WHEN n_words < 5 OR n_words > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
