@@ -477,3 +477,47 @@ def pairwise_cosine_dups(
         .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"),
                 F.round("cosine", 6).alias("cosine"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then prune within-cluster semantic duplicates.
+    A row is removed when some SMALLER-id row in the same cluster is
+    within the cosine threshold (the paper breaks ties by distance to
+    the centroid; the id-order exemplar rule is the deterministic,
+    engine-portable stand-in — same asymptotics, reproducible across
+    engines).  Returns ``(vid, cluster, is_removed)`` for every row.
+
+    Scale: the cluster id is the blocking key, so the pair stage is the
+    same per-cell n_b x n_b matmul as the LSH path
+    (:func:`bucket_pair_scores` — vectors ride the one shuffle); k
+    bounds cell count, and at corpus scale k grows with N to hold
+    E[n_b] steady (SemDeDup uses k~10^5 for LAION).  No all-pairs join
+    anywhere; the k-means iterations are declarative (see
+    :func:`_ivf_train`)."""
+    assign, _ = _ivf_train(df, id_col, vec_col, k, iters)
+    long = assign.select(
+        "vid", "v", F.lit(0).alias("band"), F.col("cluster").alias("code")
+    )
+    pairs = bucket_pair_scores(long, "vid", "v")
+    removed = (
+        pairs.filter(F.col("cos") >= threshold)
+        .select(F.col("db").alias("vid"))
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    return (
+        assign.join(removed, "vid", "left")
+        .select(
+            "vid",
+            "cluster",
+            F.coalesce(F.col("_rm"), F.lit(False)).alias("is_removed"),
+        )
+    )

@@ -77,6 +77,9 @@ def main() -> None:
         "sketch_hll_rolling": "HLL rollup cascade: hourly registers bound the exchange at groups*256 rows; daily max-merge + estimate never rescan the fact table (exact column is the audit)",
         "text_winnowing": "winnowing: map-side positioned shingles, ONE doc-keyed window (4-row min) + distinct on the same exchange; census aggregates fingerprint-sized frames",
         "dedup_sorted_neighborhood": "SNM: bucket-keyed exchange carries sort+leads (no single-partition global sort); bucket-successor window runs on DISTINCT bucket ids; verify join is candidate-sized",
+        "dedup_semantic": "SemDeDup: k-means assignment is a broadcast fold (no N*k blow-up); cluster id is the blocking key — one (band,code) exchange into the per-cell matmul, removal flag via left join on pair-derived ids; never all-pairs",
+        "sample_dsir": "DSIR: unigram LM frames are vocab-sized and broadcast to the scoring explode; corpus-keyed exchanges are the vocab agg and the per-doc sum only",
+        "tpch_sales_opportunity": "Q22 shape: positive-balance average is ONE 1-row broadcast (scalar subquery), never-urgent probe is a LeftAnti hash join with the priority filter pushed to the orders scan below it",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

@@ -1580,7 +1580,10 @@ _IVF_DIST = (
     " i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
 )
 
-SQL_ANN_IVF = f"""
+# Shared k-means CTE prefix (deterministic init, 2 assignment steps,
+# 1 centroid update) — the SQL unroll of operators/similarity._ivf_train;
+# reused by SQL_ANN_IVF and SQL_DEDUP_SEMANTIC.
+_IVF_CTES = f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
        FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {IVF_K})),
@@ -1602,18 +1605,64 @@ c1 AS (
     GROUP BY cluster, dim)
   GROUP BY cluster),
 a2 AS (
-  SELECT vec_id, cid AS cluster FROM (
-    SELECT b.vec_id, c.cid,
+  SELECT vec_id, v, cid AS cluster FROM (
+    SELECT b.vec_id, b.v, c.cid,
            row_number() OVER (
              PARTITION BY b.vec_id
              ORDER BY {_IVF_DIST.format(v='b.v', c='c.c')}, c.cid) AS rn
     FROM base b CROSS JOIN c1 c)
-  WHERE rn = 1)
+  WHERE rn = 1)"""
+
+SQL_ANN_IVF = f"""{_IVF_CTES}
 SELECT CAST(a2.cluster AS INTEGER) AS cluster,
        count(*) AS n_vectors,
        CAST(sum(CASE WHEN a1.cluster != a2.cluster THEN 1 ELSE 0 END) AS BIGINT)
          AS n_changed
 FROM a2 JOIN a1 USING (vec_id)
+GROUP BY a2.cluster ORDER BY cluster
+"""
+
+
+SEMDEDUP_TAU = 0.3
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings, prune
+    within-cluster semantic duplicates (cosine >= tau against a
+    smaller-id row in the same cluster), census per cluster.  The
+    model-space dedup beside the lexical family (exact / MinHash /
+    SimHash / substring): near-identical MEANING dedupes even when the
+    tokens differ.
+    Scale: cluster id is the blocking key — the pair stage is one
+    n_b x n_b matmul per cell with vectors riding the single shuffle
+    (operators/similarity.semantic_dedup); k grows with N to hold
+    E[n_b] steady, never all-pairs."""
+    from .operators.similarity import semantic_dedup
+
+    e = t(spark, sf_dir, "embeddings")
+    flags = semantic_dedup(e, "vec_id", "embedding", IVF_K, 2, SEMDEDUP_TAU)
+    return (
+        flags.groupBy(F.col("cluster").cast("int").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.col("is_removed").cast("long")).alias("n_removed"),
+        )
+        .orderBy("cluster")
+    )
+
+
+SQL_DEDUP_SEMANTIC = f"""{_IVF_CTES},
+rem AS (
+  SELECT DISTINCT b2.vec_id
+  FROM a2 a JOIN a2 b2 ON a.cluster = b2.cluster AND a.vec_id < b2.vec_id
+  WHERE list_dot_product(a.v, b2.v)
+        / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b2.v, b2.v))
+        >= {SEMDEDUP_TAU})
+SELECT CAST(a2.cluster AS INTEGER) AS cluster,
+       count(*) AS n_vectors,
+       CAST(sum(CASE WHEN rem.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM a2 LEFT JOIN rem USING (vec_id)
 GROUP BY a2.cluster ORDER BY cluster
 """
 
@@ -4837,6 +4886,143 @@ SELECT CAST((SELECT count(*) FROM conf) AS BIGINT) AS n_candidate_pairs,
 """
 
 
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023, arXiv:2302.03169):
+    per-doc log importance weight Σ_w ln(p_target(w)/p_raw(w)) under
+    add-one-smoothed unigram models — target = the English slice, raw =
+    the whole pool (the paper uses hashed n-grams; unigrams keep the
+    oracle exact).  Census per language: docs, mean weight, and how
+    many clear the w ≥ 0 selection gate (target-language docs should —
+    the model-based data-selection signal beside the rule-based gates).
+    Scale: tokens explode map-side; the two LM count frames are
+    vocab-sized and BROADCAST back to the scoring explode, so the only
+    corpus-keyed exchange is the per-doc sum; the lang census reuses
+    nothing corpus-wide.  The corpus is scanned twice (LM build +
+    scoring) — both scans prune to (doc_id, lang, text).  The w ≥ 0
+    gate is determinism-safe cross-engine: measured min |w| ≈ 3.5e-4
+    at sf0.01 vs ~1e-12 float-reorder error."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w"),
+    )
+    tgt = toks.filter(F.col("lang") == "en")
+    v = toks.agg(F.countDistinct("w").alias("v"))
+    t_tot = tgt.agg(F.count("*").alias("nt"))
+    r_tot = toks.agg(F.count("*").alias("nr"))
+    lm = (
+        toks.groupBy("w")
+        .agg(
+            F.count("*").alias("cr"),
+            F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
+        )
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "w",
+            (
+                F.log((F.col("ct") + 1) / (F.col("nt") + F.col("v")))
+                - F.log((F.col("cr") + 1) / (F.col("nr") + F.col("v")))
+            ).alias("lw"),
+        )
+    )
+    doc_w = (
+        toks.join(F.broadcast(lm), "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("lw").alias("w"))
+    )
+    return (
+        doc_w.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("w"), 6).alias("avg_weight"),
+            F.sum((F.col("w") >= 0).cast("long")).alias("n_selected"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_SAMPLE_DSIR = """
+WITH toks AS (
+  SELECT doc_id, lang, w
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w != ''),
+consts AS (
+  SELECT count(DISTINCT w) AS v,
+         count(*) AS nr,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
+  FROM toks),
+lm AS (
+  SELECT w,
+         ln((sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1)
+            / CAST((SELECT nt FROM consts) + (SELECT v FROM consts) AS DOUBLE))
+       - ln((count(*) + 1)
+            / CAST((SELECT nr FROM consts) + (SELECT v FROM consts) AS DOUBLE))
+           AS lw
+  FROM toks GROUP BY w),
+doc_w AS (
+  SELECT t.doc_id, t.lang, sum(lm.lw) AS w
+  FROM toks t JOIN lm USING (w)
+  GROUP BY t.doc_id, t.lang)
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(w), 6) AS avg_weight,
+       CAST(sum(CASE WHEN w >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+FROM doc_w GROUP BY lang ORDER BY lang
+"""
+
+
+def q_tpch_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with an
+    account balance above the positive-balance average who have never
+    placed an URGENT order, censused per nation — scalar subquery +
+    LeftAnti join, the two Catalyst shapes the rest of the TPC-H family
+    doesn't cover (reference runs the same decision logic row-at-a-time;
+    here the threshold is ONE 1-row broadcast and the "never urgent"
+    probe is an anti hash join, never a per-customer lookup; the
+    priority filter pushes to the orders scan BELOW the anti join).
+    Scale: orders side prunes to o_custkey before the anti join; at SF
+    where customer outgrows broadcast both sides shuffle on custkey."""
+    c = t(spark, sf_dir, "customer")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        rich.groupBy(F.col("c_nationkey").cast("int").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+SQL_TPCH_SALES_OPPORTUNITY = """
+SELECT CAST(c_nationkey AS INTEGER) AS nation,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey ORDER BY nation
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4871,6 +5057,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
     "dedup_embedding_banded": (q_dedup_embedding_banded, _sql_dedup_embedding_banded()),
     "ann_ivf_census": (q_ann_ivf_census, SQL_ANN_IVF),
+    "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
+    "sample_dsir": (q_sample_dsir, SQL_SAMPLE_DSIR),
+    "tpch_sales_opportunity": (q_tpch_sales_opportunity, SQL_TPCH_SALES_OPPORTUNITY),
     "text_lang_ngram": (q_text_lang_ngram, _sql_lang_ngram()),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
     "text_simhash": (q_text_simhash, _sql_simhash()),

@@ -646,3 +646,39 @@ def test_incremental_lsh_pairs_equals_restricted_full_banding(spark):
         elif b_new:
             expected.add((b, a, True))
     assert got == expected and any(c for *_ , c in got) and len(got) > 0
+
+
+def test_semantic_dedup_bruteforce_equivalence(spark):
+    """SemDeDup removal rule vs an exhaustive numpy re-check: a row is
+    removed iff SOME smaller-id row in its k-means cluster is within
+    the cosine threshold.  Clusters come from the operator itself
+    (k-means parity is pinned by ann_ivf_census + the IVF tests); this
+    pins the blocked pair/removal stage against the unblocked truth."""
+    import numpy as np
+
+    from pdf_parser_c_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(20260818)
+    n, dim, tau = 90, 8, 0.6
+    # three planted directions + noise → real within-cluster dups
+    dirs = rng.normal(size=(3, dim))
+    vecs = dirs[np.arange(n) % 3] + 0.7 * rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vid_in long, emb array<double>",
+    )
+    out = semantic_dedup(df, "vid_in", "emb", k=4, iters=2, threshold=tau)
+    rows = {r["vid"]: (r["cluster"], r["is_removed"]) for r in out.collect()}
+    assert len(rows) == n
+
+    cl = np.array([rows[i][0] for i in range(n)])
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    for b in range(n):
+        expect = any(
+            cl[a] == cl[b] and cos[a, b] >= tau for a in range(b)
+        )
+        assert rows[b][1] == expect, f"vid {b}"
+    # non-vacuous on both sides
+    flags = [rows[i][1] for i in range(n)]
+    assert any(flags) and not all(flags)
