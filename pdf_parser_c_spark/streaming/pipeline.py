@@ -474,3 +474,80 @@ def start_hll_distinct_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cms_cells_stream(
+    df: DataFrame,
+    watermark: str = "2 minutes",
+    window: str = "1 minute",
+    items_expr: str = "filter(split(text, ' '), w -> w != '')",
+) -> DataFrame:
+    """Windowed token-frequency census as ADDITIVE count-min cell
+    state (operators/sketches.py) — the second mergeable-sketch
+    stream beside :func:`hll_distinct_stream`'s max-merged registers.
+
+    The stream emits CELLS, not estimates: CMS cells are additive, so
+    summing in the state store across micro-batches, and summing
+    across windows at read time, is exactly the sketch of the union —
+    a coarser rollup never rescans the stream.  The sink is ≤
+    depth·width rows per window whatever the token volume; point
+    estimates are a read-side min-over-depth probe
+    (``sketches.cms_point_estimates``), never an undercount.
+    Append mode + watermark: each window's cells emit exactly once.
+
+    Cost note: the stream hashes every token OCCURRENCE depth times
+    (batch :func:`~..operators.sketches.cms_cells` pre-counts the
+    vocab first; chaining that second stateful aggregation into the
+    windowed one is not worth the restriction — the map-side md5s are
+    linear in the micro-batch)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, hash60
+
+    toks = df.select("ts", F.explode(F.expr(items_expr)).alias("item"))
+    rows = toks.select(
+        "ts",
+        F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("r"),
+        "item",
+    ).select(
+        "ts", "r", (hash60("concat(r, ':', item)") % CMS_WIDTH).alias("bucket")
+    )
+    return (
+        rows.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "r", "bucket")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "r",
+            "bucket",
+            "c",
+        )
+    )
+
+
+def start_cms_cells_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+    watermark: str = "2 minutes",
+    window: str = "1 minute",
+    items_expr: str = "filter(split(text, ' '), w -> w != '')",
+) -> StreamingQuery:
+    """readStream → windowed count-min cells → writeStream (append:
+    each finalized window's cell table exactly once)."""
+    out = cms_cells_stream(
+        read_transcripts_stream(spark, input_path), watermark, window,
+        items_expr,
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

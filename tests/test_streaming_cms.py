@@ -1,0 +1,107 @@
+"""Streaming count-min cells: ADDITIVE mergeable state — sum-combining
+across micro-batches in the state store, sum-combining across windows
+at read time, point estimates that never undercount, and exact batch
+parity over the same rows."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from pdf_parser_c_spark.streaming.pipeline import start_cms_cells_stream
+from pdf_parser_c_spark.testkit.corpus import (
+    make_transcripts,
+    transcripts_columns_only,
+)
+
+
+def _write_corpus(path, df: pd.DataFrame) -> None:
+    df = df.assign(ts=df["ts"].dt.tz_localize(None).astype("datetime64[us]"))
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+
+
+def test_cms_stream_sums_across_restarts_windows_and_matches_batch(
+    spark, tmp_path
+):
+    corpus = transcripts_columns_only(
+        make_transcripts(n_convs=10, turns_per_conv=4, mega_every=0)
+    )
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    # rows straddle TWO 1-minute windows so the read-side sum across
+    # windows is exercised, not just the within-window sum
+    corpus = corpus.assign(
+        ts=pd.Series(
+            [base + pd.Timedelta(seconds=(i % 2) * 60 + i % 40)
+             for i in range(len(corpus))],
+            index=corpus.index,
+        )
+    )
+    half = corpus["conv_id"] < "conv000005"
+    first, second = corpus[half], corpus[~half]
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    args = (spark, str(inp), str(tmp_path / "out"), str(tmp_path / "ck"))
+
+    # run 1: watermark never passes either window's end — nothing emits;
+    # partial cell counts wait in the state store
+    _write_corpus(str(inp / "b0.parquet"), first)
+    q = start_cms_cells_stream(*args, available_now=True)
+    q.awaitTermination(180)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 0
+
+    # run 2 (same checkpoint): second half + a sentinel 30 min later —
+    # both windows finalize ONCE, cells summed across the two runs
+    sentinel = corpus.tail(1).assign(ts=base + pd.Timedelta(minutes=30))
+    _write_corpus(str(inp / "b1.parquet"),
+                  pd.concat([second, sentinel], ignore_index=True))
+    q2 = start_cms_cells_stream(*args, available_now=True)
+    q2.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "out")).filter(
+        F.col("win_start") < (base + pd.Timedelta(minutes=5)).to_pydatetime()
+    )
+
+    from pdf_parser_c_spark.operators.sketches import (
+        cms_cells,
+        cms_point_estimates,
+    )
+
+    # summed-across-windows cells == batch cells over ALL rows
+    # (additivity is the merge law; the sentinel rides window 3 and is
+    # excluded from both sides)
+    summed = out.groupBy("r", "bucket").agg(F.sum("c").alias("c"))
+    batch_items = (
+        spark.createDataFrame(corpus)
+        .select(F.explode(F.expr("filter(split(text, ' '), w -> w != '')"))
+                .alias("item"))
+    )
+    want = {(r["r"], r["bucket"], r["c"])
+            for r in cms_cells(batch_items, "item").collect()}
+    have = {(r["r"], r["bucket"], r["c"]) for r in summed.collect()}
+    assert have == want
+
+    # point estimates from the summed sink: >= true count (one-sided),
+    # and equal to the batch sketch's estimates for the same candidates
+    truth = (
+        batch_items.groupBy("item").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "item").limit(5)
+    )
+    cand = truth.select("item")
+    est = {r["item"]: r["est_count"]
+           for r in cms_point_estimates(summed, cand, "item").collect()}
+    for r in truth.collect():
+        assert est[r["item"]] >= r["n"]
+    batch_est = {
+        r["item"]: r["est_count"]
+        for r in cms_point_estimates(
+            cms_cells(batch_items, "item"), cand, "item").collect()
+    }
+    assert est == batch_est
+
+    # duplicate-proof: replaying the first half after finalization
+    # changes nothing (late rows dropped)
+    n_rows = spark.read.parquet(str(tmp_path / "out")).count()
+    _write_corpus(str(inp / "b2.parquet"), first)
+    q3 = start_cms_cells_stream(*args, available_now=True)
+    q3.awaitTermination(180)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == n_rows
