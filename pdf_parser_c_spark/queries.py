@@ -3771,7 +3771,10 @@ def q_dedup_editdist1(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join; the quadratic verify runs only inside candidate
     buckets.  The oracle is the brute-force all-pairs levenshtein —
     recall completeness of the blocking IS what the hash check
-    proves."""
+    proves.  Caveat: DuckDB's levenshtein counts BYTES on non-ASCII
+    (Spark counts codepoints), so the oracle is exact on ASCII keys;
+    the unicode codepoint contract is pinned python-side
+    (test_editdist1_unicode_codepoint_semantics)."""
     from .operators.dedup import editdist1_pairs
 
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")

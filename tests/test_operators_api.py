@@ -682,3 +682,51 @@ def test_semantic_dedup_bruteforce_equivalence(spark):
     # non-vacuous on both sides
     flags = [rows[i][1] for i in range(n)]
     assert any(flags) and not all(flags)
+
+
+def test_editdist1_unicode_codepoint_semantics(spark):
+    """Spark's levenshtein (and the FastSS deletion variants built from
+    substring/length) count CODEPOINTS: 'muller' vs 'müller' is one
+    edit even though ü is two UTF-8 bytes.  DuckDB's levenshtein counts
+    bytes on non-ASCII, so the adversarial oracle suite keeps names
+    ASCII and THIS test owns the unicode contract via a python
+    brute force."""
+    from pdf_parser_c_spark.operators.dedup import editdist1_pairs
+
+    names = ["müller", "muller", "Müller", "mxller", "mülle", "müllers",
+             "光data", "光date", "光 data", "", "ü", "u"]
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j)
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 1
+    }
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "nid long, name string"
+    )
+    got = {(r["id_a"], r["id_b"])
+           for r in editdist1_pairs(df, "nid", "name").collect()}
+    assert got == want
+    # the unicode pairs specifically (codepoint, not byte, distances)
+    i = {n: k for k, n in enumerate(names)}
+
+    def pair(a, b):
+        return (min(i[a], i[b]), max(i[a], i[b]))
+
+    assert pair("muller", "müller") in got
+    assert pair("müller", "Müller") in got
+    assert pair("光data", "光date") in got
+    assert pair("u", "ü") in got

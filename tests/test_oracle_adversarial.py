@@ -134,16 +134,182 @@ def _norm(cols, rows):
     return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
-@pytest.mark.parametrize("name", ADVERSARIAL_SET)
-def test_query_matches_oracle_on_adversarial_data(spark, adv_duck, adv_dir,
-                                                  name):
+def _compare(spark, duck, sf_dir, name):
     fn, sql = QUERIES[name]
-    sdf = fn(spark, adv_dir)
+    sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
-    rel = adv_duck.sql(sql)
+    rel = duck.sql(sql)
     d_cols = list(rel.columns)
     d_rows = rel.fetchall()
     assert sorted(s_cols) == sorted(d_cols), name
     assert len(s_rows) == len(d_rows), f"{name}: {len(s_rows)} vs {len(d_rows)}"
     assert _norm(s_cols, s_rows) == _norm(d_cols, d_rows), name
+
+
+@pytest.mark.parametrize("name", ADVERSARIAL_SET)
+def test_query_matches_oracle_on_adversarial_data(spark, adv_duck, adv_dir,
+                                                  name):
+    _compare(spark, adv_duck, adv_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Adversarial TPC-H: tie-heavy relational data.  Coarse value grids force
+# equal aggregates at LIMIT/HAVING boundaries, duplicate dimension names
+# merge groups, FK orphans feed the anti-join audits, and near-identical /
+# empty / unicode customer names stress the name-blocking dedups.  Dates
+# sit EXACTLY on every filter boundary the queries use.
+# --------------------------------------------------------------------------
+
+TPCH_ADVERSARIAL_SET = [
+    n for n in sorted(QUERIES)
+    if n.startswith("tpch_")
+] + ["audit_fk_orphans", "snapshot_diff",
+     "dedup_editdist1", "dedup_sorted_neighborhood"]
+
+# ASCII only: DuckDB's levenshtein counts BYTES on non-ASCII while
+# Spark counts codepoints, so unicode names cannot share a DuckDB
+# oracle; codepoint semantics are pinned in
+# test_operators_api.test_editdist1_unicode_codepoint_semantics.
+_NAMES = ["smith", "smyth", "smit", "smiths", "smith", "jones", "janes",
+          "jone", "", "a", "ab", "light", "might", "night", "sight",
+          "Muller", "muller", "m?ller", "mu?ler", "  smith"]
+_BALS = [-317.42, 0.0, 812.77, 812.77, 4812.33, 9211.19, 9211.19]
+_DATES = ["1996-01-01", "1996-03-01", "1996-08-31", "1996-09-01",
+          "1996-12-31", "1997-01-01", "1998-09-02", "1998-09-03"]
+
+
+def _adversarial_tpch(rnd):
+    regions = pd.DataFrame(
+        {"r_regionkey": [0, 1, 2], "r_name": ["ASIA", "EUROPE", "ASIA "]}
+    )
+    nations = pd.DataFrame(
+        {
+            "n_nationkey": list(range(10)),
+            # duplicate names across keys: GROUP BY n_name must merge
+            "n_name": [("CHINA", "JAPAN", "CHINA", "INDIA", "FRANCE")[i % 5]
+                       for i in range(10)],
+            "n_regionkey": [i % 3 for i in range(10)],
+        }
+    )
+    customers = pd.DataFrame(
+        {
+            "c_custkey": list(range(80)),
+            "c_name": [_NAMES[i % len(_NAMES)] for i in range(80)],
+            "c_nationkey": [i % 10 for i in range(80)],
+            "c_acctbal": [_BALS[i % len(_BALS)] for i in range(80)],
+            "c_mktsegment": [("BUILDING", "AUTO", "MACHINE")[i % 3]
+                             for i in range(80)],
+        }
+    )
+    suppliers = pd.DataFrame(
+        {
+            "s_suppkey": list(range(20)),
+            "s_name": [f"sup{i % 6}" for i in range(20)],
+            "s_nationkey": [i % 10 for i in range(20)],
+            "s_acctbal": [_BALS[i % len(_BALS)] for i in range(20)],
+        }
+    )
+    parts = pd.DataFrame(
+        {
+            "p_partkey": list(range(40)),
+            "p_name": [f"part {i % 7}" for i in range(40)],
+            "p_brand": [("Brand#12", "Brand#23", "Brand#4", "Brand#55")[i % 4]
+                        for i in range(40)],
+            "p_type": [("PROMO BURNISHED", "PROMO PLATED", "STANDARD BRASS",
+                        "ECONOMY ANODIZED")[i % 4] for i in range(40)],
+            # sizes sit on the Q19 BETWEEN edges 1/10/20/30
+            "p_size": [(1, 10, 11, 20, 21, 30, 31, 5)[i % 8]
+                       for i in range(40)],
+            "p_retailprice": [round(100.0 + (i % 4) * 250.25, 2)
+                              for i in range(40)],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": list(range(200)),
+            # skew: customer 0 owns 1 in 4 orders; custkeys 70-79 never
+            # order (Q22 anti-join non-empty); 9990+ are FK orphans
+            "o_custkey": [0 if i % 4 == 0
+                          else (9990 + i % 3 if i % 31 == 0 else i % 70)
+                          for i in range(200)],
+            "o_orderstatus": [("F", "O", "P")[i % 3] for i in range(200)],
+            # coarse grid -> heavy totalprice ties
+            "o_totalprice": [(1000.0, 1000.0, 25000.5, 144449.04)[i % 4]
+                             for i in range(200)],
+            "o_orderdate": [pd.Timestamp(_DATES[i % len(_DATES)])
+                            for i in range(200)],
+            "o_orderpriority": [
+                ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                 "5-LOW")[i % 5] if i % 7 else "3-MEDIUM"
+                for i in range(200)
+            ],
+        }
+    )
+    li = []
+    for i in range(600):
+        # first 40 orders: 6 heavy lines each -> identical total_qty
+        # (6*27=162 > 150) so the Q18 LIMIT-20 boundary is ALL ties
+        if i < 240:
+            okey, qty = i % 40, 27.0
+        else:
+            okey = 40 + (i % 150)  # some orderkeys > 199 = FK orphans
+            qty = float((1, 10, 11, 20, 24, 30, 50)[i % 7])
+        li.append(
+            {
+                "l_orderkey": okey if okey < 190 else okey + 100000,
+                "l_partkey": i % 40,
+                "l_suppkey": i % 20,
+                "l_linenumber": i % 7,
+                "l_quantity": qty,
+                "l_extendedprice": (100.0, 100.0, 5000.25, 901.17)[i % 4],
+                "l_discount": (0.04, 0.05, 0.06, 0.07, 0.08)[i % 5],
+                "l_tax": (0.0, 0.02)[i % 2],
+                "l_returnflag": ("R", "A", "N")[i % 3],
+                "l_linestatus": ("O", "F")[i % 2],
+                "l_shipdate": pd.Timestamp(_DATES[i % len(_DATES)]),
+            }
+        )
+    lineitem = pd.DataFrame(li)
+    for df, col in ((orders, "o_orderdate"), (lineitem, "l_shipdate")):
+        df[col] = df[col].astype("datetime64[us]")
+    return {
+        "region": regions, "nation": nations, "customer": customers,
+        "supplier": suppliers, "part": parts, "orders": orders,
+        "lineitem": lineitem,
+    }
+
+
+@pytest.fixture(scope="module")
+def adv_tpch_dir(tmp_path_factory):
+    import random
+
+    rnd = random.Random(20260819)
+    d = tmp_path_factory.mktemp("adv_tpch")
+    frames = _adversarial_tpch(rnd)
+    for t in TABLES:
+        if t in frames:
+            ref = pq.read_schema(f"{SRC}/{t}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(frames[t], preserve_index=False).cast(ref),
+                d / f"{t}.parquet",
+            )
+        else:
+            shutil.copy(f"{SRC}/{t}.parquet", d / f"{t}.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def adv_tpch_duck(adv_tpch_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{adv_tpch_dir}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", TPCH_ADVERSARIAL_SET)
+def test_query_matches_oracle_on_adversarial_tpch(spark, adv_tpch_duck,
+                                                  adv_tpch_dir, name):
+    _compare(spark, adv_tpch_duck, adv_tpch_dir, name)
