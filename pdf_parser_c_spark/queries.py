@@ -2292,9 +2292,16 @@ SQL_EXTRACTION_E2E = r"""
 WITH w AS (
   SELECT doc_id, text,
          trim(regexp_replace(text, '\s+', ' ', 'g')) AS collapsed,
-         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
   FROM documents
-)
+),
+parts AS (
+  SELECT *,
+         CASE WHEN len(ws) = 0 THEN 'Untitled'
+              ELSE array_to_string(ws[1:3], ' ') END AS t3,
+         array_to_string(ws[4:43], ' ') AS rest
+  FROM w)
 SELECT doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'pdf' WHEN 1 THEN 'html'
             ELSE 'plain' END AS kind,
@@ -2302,14 +2309,15 @@ SELECT doc_id,
             THEN 'empty' ELSE 'ok' END AS status,
        CAST(CASE doc_id % 3
          WHEN 0 THEN length('Doc ' || CAST(doc_id AS VARCHAR)) + 2
-                     + length(array_to_string(ws[1:3], ' ')) + 1
-                     + length(array_to_string(ws[4:43], ' '))
-         WHEN 1 THEN length('Document ' || CAST(doc_id AS VARCHAR)) + 1
-                     + length(collapsed)
+                     + length(t3)
+                     + CASE WHEN rest <> '' THEN 1 + length(rest) ELSE 0 END
+         WHEN 1 THEN length('Document ' || CAST(doc_id AS VARCHAR))
+                     + CASE WHEN length(collapsed) >= 25
+                            THEN 1 + length(collapsed) ELSE 0 END
          ELSE length(trim(text))
        END AS INTEGER) AS text_len,
        CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_pages
-FROM w
+FROM parts
 ORDER BY doc_id
 """
 
@@ -2337,9 +2345,11 @@ def q_extraction_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EXTRACTION_HTML_ROUNDTRIP = r"""
 SELECT doc_id,
-       'Document ' || CAST(doc_id AS VARCHAR) || chr(10) ||
-       trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
-FROM documents WHERE doc_id % 3 = 1
+       'Document ' || CAST(doc_id AS VARCHAR) ||
+       CASE WHEN len(collapsed) >= 25 THEN chr(10) || collapsed ELSE '' END
+         AS text
+FROM (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS collapsed
+      FROM documents WHERE doc_id % 3 = 1)
 ORDER BY doc_id
 """
 
@@ -2369,15 +2379,22 @@ def q_extraction_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EXTRACTION_PDF_ROUNDTRIP = r"""
 WITH w AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
   FROM documents WHERE doc_id % 3 = 0
-)
+),
+parts AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) = 0 THEN 'Untitled'
+              ELSE array_to_string(
+                list_transform(ws[1:3], x -> upper(x[1]) || x[2:]), ' ')
+         END AS t3,
+         array_to_string(ws[4:43], ' ') AS rest
+  FROM w)
 SELECT doc_id,
-       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
-       array_to_string(
-         list_transform(ws[1:3], x -> upper(x[1]) || x[2:]), ' ') ||
-       chr(10) || array_to_string(ws[4:43], ' ') AS text
-FROM w ORDER BY doc_id
+       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || t3 ||
+       CASE WHEN rest <> '' THEN chr(10) || rest ELSE '' END AS text
+FROM parts ORDER BY doc_id
 """
 
 
@@ -2407,13 +2424,17 @@ def q_extraction_spans_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EXTRACTION_SPANS_ROUNDTRIP = r"""
 WITH w AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
   FROM documents WHERE doc_id % 3 = 0
 ),
 parts AS (
   SELECT doc_id,
          'Doc ' || CAST(doc_id AS VARCHAR) AS head,
-         array_to_string(list_transform(ws[1:3], x -> upper(x[1]) || x[2:]), ' ') AS t3,
+         CASE WHEN len(ws) = 0 THEN 'Untitled'
+              ELSE array_to_string(
+                list_transform(ws[1:3], x -> upper(x[1]) || x[2:]), ' ')
+         END AS t3,
          array_to_string(ws[4:43], ' ') AS rest
   FROM w)
 SELECT doc_id, 0 AS span_idx,
@@ -2422,8 +2443,10 @@ SELECT doc_id, 0 AS span_idx,
 FROM parts
 UNION ALL
 SELECT doc_id, 1,
-       CAST(len(head) + 2 + len(t3) + 1 AS INTEGER),
-       CAST(len(head) + 2 + len(t3) + 1 + len(rest) AS INTEGER)
+       CAST(len(head) + 2 + len(t3)
+            + CASE WHEN rest <> '' THEN 1 ELSE 0 END AS INTEGER),
+       CAST(len(head) + 2 + len(t3)
+            + CASE WHEN rest <> '' THEN 1 + len(rest) ELSE 0 END AS INTEGER)
 FROM parts
 ORDER BY doc_id, span_idx
 """
@@ -2466,18 +2489,24 @@ _CJK_ALPHABET_SQL_CASE = """CASE doc_id % 4
 SQL_EXTRACTION_CJK_ROUNDTRIP = r"""
 WITH w AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
   FROM documents WHERE doc_id % 5 = 1
-)
+),
+parts AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) = 0 THEN 'Untitled'
+              ELSE array_to_string(
+                list_transform(ws[1:3], x -> upper(x[1]) || x[2:]), ' ')
+         END AS t3,
+         translate(array_to_string(ws[4:23], ' '),
+                   'abcdefghijklmnopqrstuvwxyz',
+                   __ALPHABET__) AS rest
+  FROM w)
 SELECT doc_id,
-       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
-       array_to_string(
-         list_transform(ws[1:3], x -> upper(x[1]) || x[2:]), ' ') ||
-       chr(10) ||
-       translate(array_to_string(ws[4:23], ' '),
-                 'abcdefghijklmnopqrstuvwxyz',
-                 __ALPHABET__) AS text
-FROM w ORDER BY doc_id
+       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || t3 ||
+       CASE WHEN rest <> '' THEN chr(10) || rest ELSE '' END AS text
+FROM parts ORDER BY doc_id
 """.replace("__ALPHABET__", _CJK_ALPHABET_SQL_CASE)
 
 

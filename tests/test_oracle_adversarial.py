@@ -313,3 +313,83 @@ def adv_tpch_duck(adv_tpch_dir):
 def test_query_matches_oracle_on_adversarial_tpch(spark, adv_tpch_duck,
                                                   adv_tpch_dir, name):
     _compare(spark, adv_tpch_duck, adv_tpch_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Adversarial EXTRACTION substrate: the armor generators' charset domain
+# is fixed by the payload format (latin-1 page streams, CJK translate
+# alphabets), so the hostile axis here is STRUCTURE — empty docs,
+# one-word docs, whitespace runs, exact duplicates, very long docs —
+# pushed through the FULL armor → parse → extract stack with the same
+# per-turn text/span equality oracle the driver runs.
+# --------------------------------------------------------------------------
+
+EXTRACTION_ADVERSARIAL_SET = [
+    n for n in sorted(QUERIES)
+    if n.startswith(("extraction_", "section_"))
+]
+
+_ASCII_WORDS = [w for w in WORDS if w.isascii()]
+
+
+def _extraction_documents(rnd):
+    rows = []
+    texts = []
+    for i in range(120):
+        kind = i % 8
+        if kind == 0:
+            t = ""
+        elif kind == 1:
+            t = "solo"
+        elif kind == 2:
+            t = "a  b   c    d     e"
+        elif kind == 3 and texts:
+            t = texts[rnd.randrange(len(texts))]
+        elif kind == 4:
+            t = " ".join(rnd.choice(_ASCII_WORDS) for _ in range(600))
+        else:
+            t = " ".join(
+                rnd.choice(_ASCII_WORDS)
+                for _ in range(rnd.randrange(5, 80))
+            )
+        texts.append(t)
+        rows.append(
+            {"doc_id": i, "text": t, "lang": ("en", "zh", "de")[i % 3],
+             "source": f"src{i % 8}", "n_chars": len(t)}
+        )
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def adv_extract_dir(tmp_path_factory):
+    import random
+
+    rnd = random.Random(20260820)
+    d = tmp_path_factory.mktemp("adv_extract")
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{SRC}/{t}.parquet", d / f"{t}.parquet")
+    ref = pq.read_schema(f"{SRC}/documents.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(_extraction_documents(rnd),
+                             preserve_index=False).cast(ref),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def adv_extract_duck(adv_extract_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{adv_extract_dir}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", EXTRACTION_ADVERSARIAL_SET)
+def test_query_matches_oracle_on_adversarial_extraction(
+    spark, adv_extract_duck, adv_extract_dir, name
+):
+    _compare(spark, adv_extract_duck, adv_extract_dir, name)
