@@ -303,3 +303,81 @@ def bloom_probe(probes: DataFrame, bits: DataFrame, key_cols: list[str],
               == BLOOM_K).alias("bloom_hit"))
     )
     return hits
+
+
+# --------------------------------------------------------------------------
+# Fixed-bin histogram quantiles (mergeable, no per-group sort)
+# --------------------------------------------------------------------------
+
+HIST_BINS = 64
+
+
+def hist_cells(df: DataFrame, group_cols: list[str], value_col: str,
+               stats: DataFrame) -> DataFrame:
+    """→ (``*group_cols``, bin, c): fixed-width bin counts of
+    ``value_col`` over the [mn, mx] range carried by the 1-row
+    ``stats`` frame (columns mn, mx — broadcast).
+
+    Like CMS cells, bin counts are ADDITIVE: per-partition partials
+    merge map-side, per-day tables sum into per-month tables, and a
+    streaming window can emit them as state — percentiles over 10^12
+    rows without a per-group sort.  Estimate error is bounded by one
+    bin width; exact `percentile` needs the sort
+    (see ``events_quantiles``)."""
+    bin_expr = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col(value_col) - F.col("mn"))
+                    / (F.col("mx") - F.col("mn")) * HIST_BINS
+                ),
+                F.lit(HIST_BINS - 1),
+            )
+        )
+        .cast("int")
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .select(*group_cols, bin_expr.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def hist_quantile_estimates(
+    cells: DataFrame, group_cols: list[str], stats: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """→ (``*group_cols``, q, est): linear-interpolated quantile
+    estimates from bin counts — cumulative-sum window over ≤ HIST_BINS
+    rows per group, never the raw values.  For each q the bracketing
+    bin is the unique nonzero bin with cum_prev < q·n ≤ cum."""
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    wn = Window.partitionBy(*group_cols)
+    k = (
+        cells.withColumn("cum", F.sum("c").over(w))
+        .withColumn("cum_prev", F.col("cum") - F.col("c"))
+        .withColumn("n", F.sum("c").over(wn))
+    )
+    qlit = F.array(*[F.lit(float(q)) for q in qs])
+    est = (
+        F.col("mn")
+        + (F.col("bin") + (F.col("q") * F.col("n") - F.col("cum_prev"))
+           / F.col("c"))
+        * (F.col("mx") - F.col("mn")) / HIST_BINS
+    )
+    return (
+        k.select(*group_cols, "bin", "c", "cum", "cum_prev", "n",
+                 F.explode(qlit).alias("q"))
+        .filter(
+            (F.col("cum") >= F.col("q") * F.col("n"))
+            & (F.col("cum_prev") < F.col("q") * F.col("n"))
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            *group_cols, "q", "n",
+            F.when(F.col("mx") == F.col("mn"), F.col("mn"))
+            .otherwise(est).alias("est"),
+        )
+    )

@@ -80,6 +80,7 @@ def main() -> None:
         "dedup_semantic": "SemDeDup: k-means assignment is a broadcast fold (no N*k blow-up); cluster id is the blocking key — one (band,code) exchange into the per-cell matmul, removal flag via left join on pair-derived ids; never all-pairs",
         "sample_dsir": "DSIR: unigram LM frames are vocab-sized and broadcast to the scoring explode; corpus-keyed exchanges are the vocab agg and the per-doc sum only",
         "tpch_sales_opportunity": "Q22 shape: positive-balance average is ONE 1-row broadcast (scalar subquery), never-urgent probe is a LeftAnti hash join with the priority filter pushed to the orders scan below it",
+        "sketch_hist_quantiles": "histogram quantiles: 1-row min/max broadcast, ONE (type, bin) exchange bounded at groups*64 rows; cumsum windows and the quantile bracket run on the cell frame, raw values never sort",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

@@ -2862,6 +2862,68 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles: p50/p95/p99 of event value per type
+    from 64 FIXED-WIDTH bin counts — the mergeable, no-sort scale form
+    of `events_quantiles` (exact percentile sorts each group; bin
+    counts are additive like CMS cells, so per-partition partials
+    map-side-combine and per-day tables sum into per-month tables).
+    Estimate error ≤ one bin width, pinned by test against the exact
+    sort.  Oracle reproduces bins, cumsums, and the interpolation
+    bit-for-bit (operators/sketches.hist_cells).
+    Scale: one tiny min/max aggregate broadcast back, ONE (type, bin)
+    exchange bounded at groups×64 rows, cumsum windows on that frame."""
+    from .operators.sketches import hist_cells, hist_quantile_estimates
+
+    ev = t(spark, sf_dir, "events")
+    stats = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    cells = hist_cells(ev, ["event_type"], "value", stats)
+    est = hist_quantile_estimates(cells, ["event_type"], stats)
+    return (
+        est.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max(F.when(F.col("q") == 0.5, F.col("est"))), 6)
+            .alias("p50_est"),
+            F.round(F.max(F.when(F.col("q") == 0.95, F.col("est"))), 6)
+            .alias("p95_est"),
+            F.round(F.max(F.when(F.col("q") == 0.99, F.col("est"))), 6)
+            .alias("p99_est"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_HIST_QUANTILES = """
+WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+b AS (
+  SELECT event_type,
+         CAST(CASE WHEN mx = mn THEN 0
+              ELSE least(floor((value - mn) / (mx - mn) * 64), 63)
+              END AS INTEGER) AS bin
+  FROM events, s),
+c AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+k AS (
+  SELECT event_type, bin, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin) - c AS cum_prev,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM c),
+e AS (
+  SELECT event_type, q, n,
+         CASE WHEN mx = mn THEN mn
+              ELSE mn + (bin + (q * n - cum_prev) / c) * (mx - mn) / 64
+         END AS est
+  FROM k, s, (VALUES (0.5), (0.95), (0.99)) AS t(q)
+  WHERE cum >= q * n AND cum_prev < q * n)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       round(max(CASE WHEN q = 0.5  THEN est END), 6) AS p50_est,
+       round(max(CASE WHEN q = 0.95 THEN est END), 6) AS p95_est,
+       round(max(CASE WHEN q = 0.99 THEN est END), 6) AS p99_est
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -5114,6 +5176,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "temporal_rollup_cascade": (q_temporal_rollup, SQL_TEMPORAL_ROLLUP),
     "sequence_assembly": (q_sequence_assembly, SQL_SEQUENCE_ASSEMBLY),
     "events_quantiles": (q_quantiles, SQL_QUANTILES),
+    "sketch_hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
     "events_pivot": (q_pivot_events, SQL_PIVOT_EVENTS),
     "events_rolling": (q_events_rolling, SQL_EVENTS_ROLLING),
     "events_rolling_split": (q_events_rolling_split, SQL_EVENTS_ROLLING),

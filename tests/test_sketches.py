@@ -220,3 +220,46 @@ def test_pagerank_sink_attracts_mass(spark):
     ranks = _pr(spark, list(range(6)), edges, iters=5)
     assert ranks[0] == max(ranks.values())
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_hist_quantiles_within_one_bin_of_exact(spark):
+    """The fixed-bin estimate's error envelope: every histogram
+    quantile is within one bin width of the exact sorted percentile
+    (the property the mirrored oracle cannot pin — it reproduces the
+    estimate, not its quality)."""
+    import pyspark.sql.functions as F
+
+    from pdf_parser_c_spark.operators.sketches import (
+        HIST_BINS,
+        hist_cells,
+        hist_quantile_estimates,
+    )
+
+    vals = [(f"t{i % 3}", float(((i * 7919) % 997) / 10 - 40.0))
+            for i in range(900)]
+    df = spark.createDataFrame(vals, "grp string, v double")
+    stats = df.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    mn, mx = stats.collect()[0]
+    width = (mx - mn) / HIST_BINS
+    cells = hist_cells(df, ["grp"], "v", stats)
+    est = {(r["grp"], r["q"]): r["est"]
+           for r in hist_quantile_estimates(cells, ["grp"], stats).collect()}
+    exact = {
+        (r["grp"], q): r[f"e{int(q * 100)}"]
+        for r in df.groupBy("grp").agg(
+            F.expr("percentile(v, 0.5)").alias("e50"),
+            F.expr("percentile(v, 0.95)").alias("e95"),
+            F.expr("percentile(v, 0.99)").alias("e99"),
+        ).collect()
+        for q in (0.5, 0.95, 0.99)
+    }
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= width + 1e-9, (k, est[k], exact[k])
+
+    # degenerate range: all values equal -> estimate IS the value
+    one = spark.createDataFrame([("a", 5.0)] * 10, "grp string, v double")
+    s1 = one.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    c1 = hist_cells(one, ["grp"], "v", s1)
+    for r in hist_quantile_estimates(c1, ["grp"], s1).collect():
+        assert r["est"] == 5.0
