@@ -40,12 +40,18 @@ def id_hash(col: str) -> "F.Column":
     return F.expr(_ID_HASH.format(col=col))
 
 
+def sample_threshold(fraction: float) -> int:
+    """The ``id_hash`` cutoff below which ~``fraction`` of ids fall —
+    exposed so audits can count membership as a conditional sum
+    instead of re-joining the filtered frame."""
+    return int(fraction * _HASH_SPACE)
+
+
 def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by id hash — deterministic,
     map-side, and stable under re-runs and repartitioning (rand()-based
     sampling is none of those)."""
-    threshold = int(fraction * _HASH_SPACE)
-    return df.filter(id_hash(id_col) < F.lit(threshold))
+    return df.filter(id_hash(id_col) < F.lit(sample_threshold(fraction)))
 
 
 def cap_per_class(

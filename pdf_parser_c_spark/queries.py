@@ -2982,18 +2982,22 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents by doc_id hash and report per-language kept/total.
     Scale: the sample predicate is a map-side filter on a hash of the
     id — reproducible run-to-run and partition-independent, unlike
-    rand()-based sampling (operators/sampling.hash_sample)."""
-    from .operators.sampling import hash_sample
+    rand()-based sampling (operators/sampling.hash_sample).  The audit
+    rides ONE aggregation (kept as a conditional sum) rather than a
+    kept-vs-total join: a join on the stratum key silently DROPS the
+    NULL-lang stratum (NULL keys never equi-join), which the
+    adversarial fixture caught."""
+    from .operators.sampling import id_hash, sample_threshold
 
     d = t(spark, sf_dir, "documents")
-    kept = (
-        hash_sample(d, "doc_id", SAMPLE_FRACTION)
-        .groupBy("lang").agg(F.count("*").alias("n_kept"))
-    )
-    total = d.groupBy("lang").agg(F.count("*").alias("n_total"))
+    kept = (id_hash("doc_id") < F.lit(sample_threshold(SAMPLE_FRACTION)))
     return (
-        total.join(kept, "lang", "left")
-        .select("lang", "n_total", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+        )
+        .select("lang", "n_total", "n_kept")
         .orderBy("lang")
     )
 

@@ -61,7 +61,10 @@ def _adversarial_documents(rnd):
             t = " ".join(rnd.choice(WORDS) for _ in range(rnd.randrange(5, 80)))
         texts.append(t)
         rows.append(
-            {"doc_id": i, "text": t, "lang": ("en", "zh", "de")[i % 3],
+            {"doc_id": i, "text": t,
+             # NULL lang every 11th row: grouping/target-slice queries
+             # must agree on NULL-group semantics cross-engine
+             "lang": None if i % 11 == 7 else ("en", "zh", "de")[i % 3],
              "source": f"src{i % 8}", "n_chars": len(t)}
         )
     return pd.DataFrame(rows)
@@ -75,13 +78,19 @@ def _adversarial_events(rnd):
             {
                 "event_id": i,
                 # coarse 30s grid → heavy timestamp ties, including
-                # exact (user, ts) duplicates
+                # exact (user, ts) duplicates.  ts itself stays NOT
+                # NULL (the one column an event pipeline guarantees;
+                # Spark windows sort NULLS FIRST, DuckDB NULLS LAST,
+                # so a null event time has no portable order).
                 "ts": base + pd.Timedelta(seconds=30 * (i % 40)),
                 "user_id": i % 7,
                 "event_type": ("view", "click", "signup", "purchase",
                                "error")[i % 5],
-                "value": (-1.5, 0.0, 2.25, 100.0, 0.125)[i % 5],
-                "props": f"p{i % 4}",
+                # NULL value/props every 13th row: sums/avgs/quantiles
+                # must skip them identically on both engines
+                "value": None if i % 13 == 5
+                else (-1.5, 0.0, 2.25, 100.0, 0.125)[i % 5],
+                "props": None if i % 13 == 8 else f"p{i % 4}",
             }
         )
     df = pd.DataFrame(rows)
@@ -129,9 +138,17 @@ def _norm_cell(v):
     return v
 
 
+def _row_key(row):
+    # NULL-safe sort: None sorts after every value of its column's type
+    # without ever being compared against one
+    return tuple((c is None, "" if c is None else c) for c in row)
+
+
 def _norm(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    return sorted(
+        (tuple(_norm_cell(r[i]) for i in order) for r in rows), key=_row_key
+    )
 
 
 def _compare(spark, duck, sf_dir, name):
@@ -197,7 +214,10 @@ def _adversarial_tpch(rnd):
             "c_custkey": list(range(80)),
             "c_name": [_NAMES[i % len(_NAMES)] for i in range(80)],
             "c_nationkey": [i % 10 for i in range(80)],
-            "c_acctbal": [_BALS[i % len(_BALS)] for i in range(80)],
+            # NULL balances: avg/sum must skip them and `bal > avg`
+            # must be NULL-false identically on both engines
+            "c_acctbal": [None if i % 17 == 3 else _BALS[i % len(_BALS)]
+                          for i in range(80)],
             "c_mktsegment": [("BUILDING", "AUTO", "MACHINE")[i % 3]
                              for i in range(80)],
         }
