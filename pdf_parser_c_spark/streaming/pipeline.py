@@ -551,3 +551,92 @@ def start_cms_cells_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def hist_cells_stream(
+    df: DataFrame,
+    stats: "DataFrame",
+    watermark: str = "2 minutes",
+    window: str = "1 minute",
+    value_expr: str = "CAST(length(text) AS DOUBLE)",
+) -> DataFrame:
+    """Windowed value-distribution census as ADDITIVE histogram cell
+    state — the third mergeable-sketch stream (HLL registers
+    max-merge, CMS and histogram cells sum-merge).  ``stats`` is the
+    1-row (mn, mx) frame fixing the bin grid; at production scale it
+    comes from yesterday's batch profile, so every window (and every
+    backfill) bins on the SAME grid and cells stay mergeable forever.
+
+    The sink is ≤ HIST_BINS rows per window; read-side,
+    ``sketches.hist_quantile_estimates`` turns any window union —
+    hour, day, backfill+live — into p50/p95/p99 without ever sorting
+    raw values.  Append mode + watermark: each window's cells emit
+    exactly once."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import HIST_BINS
+
+    binned = (
+        df.select("ts", F.expr(value_expr).alias("v"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "ts",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("v") - F.col("mn"))
+                            / (F.col("mx") - F.col("mn")) * HIST_BINS),
+                    F.lit(HIST_BINS - 1),
+                )
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+    )
+    return (
+        binned.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "bin")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "bin",
+            "c",
+        )
+    )
+
+
+def start_hist_cells_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    mn: float,
+    mx: float,
+    available_now: bool = True,
+    watermark: str = "2 minutes",
+    window: str = "1 minute",
+    value_expr: str = "CAST(length(text) AS DOUBLE)",
+) -> StreamingQuery:
+    """readStream → windowed histogram cells → writeStream (append:
+    each finalized window's cell table exactly once).  The (mn, mx)
+    grid is pinned by the caller so restarts and backfills bin
+    identically."""
+    from pyspark.sql import functions as F
+
+    stats = spark.range(1).select(
+        F.lit(float(mn)).alias("mn"), F.lit(float(mx)).alias("mx")
+    )
+    out = hist_cells_stream(
+        read_transcripts_stream(spark, input_path), stats, watermark,
+        window, value_expr,
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

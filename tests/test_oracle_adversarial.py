@@ -63,7 +63,10 @@ def _adversarial_documents(rnd):
         rows.append(
             {"doc_id": i, "text": t,
              # NULL lang every 11th row: grouping/target-slice queries
-             # must agree on NULL-group semantics cross-engine
+             # must agree on NULL-group semantics cross-engine.  source
+             # stays NOT NULL: it is lineage metadata the pipeline
+             # derives/defaults (like ts), and several mixture/audit
+             # queries key broadcasts and joins on it by contract.
              "lang": None if i % 11 == 7 else ("en", "zh", "de")[i % 3],
              "source": f"src{i % 8}", "n_chars": len(t)}
         )

@@ -1,0 +1,103 @@
+"""Streaming histogram cells: additive mergeable state on a PINNED bin
+grid — cross-restart sum, cross-window sum at read time, and read-side
+quantile estimates equal to the batch sketch over the same rows."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from pdf_parser_c_spark.streaming.pipeline import start_hist_cells_stream
+from pdf_parser_c_spark.testkit.corpus import (
+    make_transcripts,
+    transcripts_columns_only,
+)
+
+
+def _write_corpus(path, df: pd.DataFrame) -> None:
+    df = df.assign(ts=df["ts"].dt.tz_localize(None).astype("datetime64[us]"))
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+
+
+def test_hist_stream_pinned_grid_matches_batch(spark, tmp_path):
+    corpus = transcripts_columns_only(
+        make_transcripts(n_convs=10, turns_per_conv=4, mega_every=0)
+    )
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    corpus = corpus.assign(
+        ts=pd.Series(
+            [base + pd.Timedelta(seconds=(i % 2) * 60 + i % 40)
+             for i in range(len(corpus))],
+            index=corpus.index,
+        )
+    )
+    # the grid is pinned UP FRONT (production: yesterday's batch
+    # profile) so every window and restart bins identically
+    mn = float(corpus["text"].str.len().min())
+    mx = float(corpus["text"].str.len().max())
+    half = corpus["conv_id"] < "conv000005"
+    first, second = corpus[half], corpus[~half]
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    args = (spark, str(inp), str(tmp_path / "out"), str(tmp_path / "ck"),
+            mn, mx)
+
+    # run 1: nothing finalizes (watermark never passes the windows)
+    _write_corpus(str(inp / "b0.parquet"), first)
+    q = start_hist_cells_stream(*args, available_now=True)
+    q.awaitTermination(180)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 0
+
+    # run 2 (same checkpoint): both windows finalize once, cells summed
+    # across the two runs
+    sentinel = corpus.tail(1).assign(ts=base + pd.Timedelta(minutes=30))
+    _write_corpus(str(inp / "b1.parquet"),
+                  pd.concat([second, sentinel], ignore_index=True))
+    q2 = start_hist_cells_stream(*args, available_now=True)
+    q2.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "out")).filter(
+        F.col("win_start") < (base + pd.Timedelta(minutes=5)).to_pydatetime()
+    )
+
+    from pdf_parser_c_spark.operators.sketches import (
+        hist_cells,
+        hist_quantile_estimates,
+    )
+
+    stats = spark.range(1).select(
+        F.lit(mn).alias("mn"), F.lit(mx).alias("mx")
+    )
+    batch = (
+        spark.createDataFrame(corpus)
+        .select(F.expr("CAST(length(text) AS DOUBLE)").alias("v"),
+                F.lit("all").alias("grp"))
+    )
+    want_cells = {(r["bin"], r["c"])
+                  for r in hist_cells(batch, ["grp"], "v", stats).collect()}
+    summed = (
+        out.groupBy("bin").agg(F.sum("c").alias("c"))
+        .select(F.lit("all").alias("grp"), "bin", "c")
+    )
+    have_cells = {(r["bin"], r["c"]) for r in summed.collect()}
+    assert have_cells == want_cells
+
+    # read-side quantiles over the summed sink == batch sketch's
+    est_stream = {
+        (r["q"]): r["est"]
+        for r in hist_quantile_estimates(summed, ["grp"], stats).collect()
+    }
+    est_batch = {
+        (r["q"]): r["est"]
+        for r in hist_quantile_estimates(
+            hist_cells(batch, ["grp"], "v", stats), ["grp"], stats
+        ).collect()
+    }
+    assert est_stream == est_batch
+
+    # late replay after finalization changes nothing
+    n_rows = spark.read.parquet(str(tmp_path / "out")).count()
+    _write_corpus(str(inp / "b2.parquet"), first)
+    q3 = start_hist_cells_stream(*args, available_now=True)
+    q3.awaitTermination(180)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == n_rows
