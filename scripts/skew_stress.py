@@ -277,6 +277,7 @@ def run_probe() -> str:
         body.extend(asof_hot_key_probe(spark))
         body.extend(rolling_session_hot_key_probe(spark))
         body.extend(substring_hot_window_probe(spark))
+        body.extend(embedding_hot_cell_probe(spark))
         return "\n".join(body)
     finally:
         for k, v in saved.items():
@@ -526,6 +527,95 @@ def substring_hot_window_probe(spark) -> list[str]:
         f"asserted (every hot doc reports exactly its 8 duplicated tail "
         f"tokens; clean docs absent) in **{wall:.1f} s** at local[32], "
         f"6,000-doc probe.",
+        "",
+    ]
+
+
+
+
+def embedding_hot_cell_probe(spark) -> list[str]:
+    """Hot cell in the embedding-dedup family.  bucket_pair_scores /
+    semantic_dedup score each blocking cell as ONE applyInPandas group
+    — atomic, so AQE cannot split it and the per-cell cost is n_b^2.
+    A duplicate-dominated cell is the pathological case (no blocking
+    function can separate identical vectors — the hot cell IS the
+    duplicate set), and the production mitigation is the curation
+    funnel\'s stage ORDER: exact dedup collapses the clones BEFORE the
+    embedding stage ever shuffles a vector.  This probe measures both
+    sides of that ordering and asserts the semantic answer is right on
+    the hot cloud."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_c_spark.operators.similarity import semantic_dedup
+
+    n_hot, n_spread, dim = 600, 400, 16
+    rows = []
+    hot_vec = [1.0] + [0.25] * (dim - 1)
+    for i in range(n_hot):
+        rows.append((i, hot_vec))
+    for j in range(n_spread):
+        # deterministic spread: sign pattern from the id bits
+        v = [1.0 if (j >> (b % 10)) & 1 else -1.0 for b in range(dim)]
+        rows.append((n_hot + j, [x * (1.0 + 0.001 * (j % 7)) for x in v]))
+    df = spark.createDataFrame(rows, "vid long, emb array<double>").cache()
+    df.count()
+
+    t0 = time.time()
+    flags = semantic_dedup(df, "vid", "emb", k=8, iters=2, threshold=0.9)
+    by_cluster = (
+        flags.groupBy("cluster")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("is_removed").cast("long")).alias("rm"))
+        .collect()
+    )
+    wall_naive = time.time() - t0
+    max_cell = max(r["n"] for r in by_cluster)
+    hot_removed = (
+        flags.filter((F.col("vid") < n_hot) & F.col("is_removed")).count()
+    )
+    # every clone except the exemplar is flagged, whatever cell it rode
+    assert hot_removed == n_hot - 1, hot_removed
+    assert max_cell >= n_hot, max_cell
+
+    # mitigation: exact dedup FIRST (funnel stage order) — clones
+    # collapse to one representative before any vector shuffles
+    t0 = time.time()
+    distinct = (
+        df.groupBy(F.expr("cast(emb as string)").alias("_k"))
+        .agg(F.min("vid").alias("vid"), F.first("emb").alias("emb"))
+        .drop("_k")
+    )
+    flags2 = semantic_dedup(distinct, "vid", "emb", k=8, iters=2,
+                            threshold=0.9)
+    by2 = flags2.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    wall_dedup = time.time() - t0
+    max_cell2 = max(r["n"] for r in by2)
+    assert max_cell2 < n_hot // 4, max_cell2
+    df.unpersist()
+
+    pairs_naive = max_cell * (max_cell - 1) // 2
+    pairs_dedup = max_cell2 * (max_cell2 - 1) // 2
+    print(f"embedding hot cell: {max_cell} -> {max_cell2} after exact "
+          f"prededup ({wall_naive:.1f}s -> {wall_dedup:.1f}s)",
+          file=__import__("sys").stderr)
+    return [
+        "### embedding hot cell (atomic applyInPandas group)",
+        "",
+        f"{n_hot} exact-clone vectors + {n_spread} spread vectors.  The "
+        f"clone cloud rides ONE k-means cell whatever k is (identical "
+        f"points cannot be split by any blocking function), so the "
+        f"pair-stage matmul for that cell is quadratic: max cell "
+        f"**{max_cell}** rows (~{pairs_naive:,} scored pairs), "
+        f"{wall_naive:.1f} s; `semantic_dedup` still answers exactly "
+        f"(all {n_hot - 1} clones flagged, asserted) because AQE "
+        f"atomicity affects COST, not correctness.  The production "
+        f"mitigation is the curation funnel\'s stage order — exact "
+        f"dedup collapses clones BEFORE the embedding stage: max cell "
+        f"**{max_cell2}** (~{pairs_dedup:,} pairs), {wall_dedup:.1f} s, "
+        f"asserted < n_hot/4.  At 100 TB the same ordering holds; k then "
+        f"scales with the POST-dedup corpus to bound E[n_b].",
         "",
     ]
 
