@@ -306,3 +306,43 @@ def test_snapshot_diff_hashes_before_the_join(spark):
         set(r.split(",")) <= {"o_orderkey:bigint", "o_totalprice:double"}
         for r in reads
     )
+
+
+def test_q22_anti_join_and_pushdown(spark):
+    plan = plan_of(
+        spark, QUERIES["tpch_sales_opportunity"][0](spark, SF_DIR), "simple"
+    )
+    fplan = plan_of(spark, QUERIES["tpch_sales_opportunity"][0](spark, SF_DIR))
+    assert "LeftAnti" in plan  # never-urgent probe is an anti hash join
+    # priority filter pushed to the orders scan BELOW the anti join
+    assert "EqualTo(o_orderpriority,1-URGENT)" in fplan
+    # scalar subquery costs zero data shuffles; the census agg is the one
+    assert n_data_exchanges(plan) == 1
+
+
+def test_semantic_dedup_blocked_never_allpairs(spark):
+    plan = plan_of(spark, QUERIES["dedup_semantic"][0](spark, SF_DIR), "simple")
+    # pair stage is the per-cell matmul, not a pair self-join
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # k-means folds are broadcast
+
+
+def test_dsir_lm_broadcast(spark):
+    plan = plan_of(spark, QUERIES["sample_dsir"][0](spark, SF_DIR), "simple")
+    # vocab-sized LM frame reaches the scoring explode as a broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # corpus-keyed shuffles only: vocab agg, per-doc sum, lang census (+1
+    # partial) — a corpus-sized join would add more
+    assert n_data_exchanges(plan) <= 4
+
+
+def test_hist_quantiles_no_value_sort(spark):
+    plan = plan_of(
+        spark, QUERIES["sketch_hist_quantiles"][0](spark, SF_DIR), "simple"
+    )
+    # raw values never sort/join: one (type, bin) exchange + the window
+    # pass on the bounded cell frame
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert n_data_exchanges(plan) <= 2
