@@ -100,6 +100,31 @@ def _adversarial_events(rnd):
     return df.assign(ts=df["ts"].astype("datetime64[us]"))
 
 
+def _adversarial_embeddings(rnd):
+    """Hostile vectors: the all-zero vector (0/0 cosine — both engines
+    must agree on the guard), exact clones (cos exactly 1), scaled
+    copies (cos 1 at different norms), antipodes (cos −1), and a
+    deterministic spread."""
+    import math
+
+    dim, rows = 64, []
+    base = [math.sin(0.7 * k + 1.3) for k in range(dim)]
+    for i in range(200):
+        kind = i % 10
+        if kind == 0:
+            v = [0.0] * dim
+        elif kind == 1:
+            v = list(base)                       # exact clone family
+        elif kind == 2:
+            v = [2.5 * x for x in base]          # scaled copy: cos = 1
+        elif kind == 3:
+            v = [-x for x in base]               # antipode: cos = -1
+        else:
+            v = [math.sin(0.31 * k * (i + 2) + 0.17 * i) for k in range(dim)]
+        rows.append({"vec_id": i, "embedding": v, "label": i % 8})
+    return pd.DataFrame(rows)
+
+
 @pytest.fixture(scope="module")
 def adv_dir(tmp_path_factory):
     import random
@@ -107,11 +132,12 @@ def adv_dir(tmp_path_factory):
     rnd = random.Random(20260818)
     d = tmp_path_factory.mktemp("adv_sf")
     for t in TABLES:
-        if t in ("documents", "events"):
+        if t in ("documents", "events", "embeddings"):
             continue
         shutil.copy(f"{SRC}/{t}.parquet", d / f"{t}.parquet")
     ref_doc = pq.read_schema(f"{SRC}/documents.parquet")
     ref_ev = pq.read_schema(f"{SRC}/events.parquet")
+    ref_emb = pq.read_schema(f"{SRC}/embeddings.parquet")
     pq.write_table(
         pa.Table.from_pandas(_adversarial_documents(rnd),
                              preserve_index=False).cast(ref_doc),
@@ -121,6 +147,11 @@ def adv_dir(tmp_path_factory):
         pa.Table.from_pandas(_adversarial_events(rnd),
                              preserve_index=False).cast(ref_ev),
         d / "events.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(_adversarial_embeddings(rnd),
+                             preserve_index=False).cast(ref_emb),
+        d / "embeddings.parquet",
     )
     return str(d)
 
