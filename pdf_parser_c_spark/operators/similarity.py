@@ -27,6 +27,18 @@ def _norm2(a: str) -> str:
     return f"aggregate(CAST({a} AS ARRAY<DOUBLE>), 0D, (acc, x) -> acc + x * x)"
 
 
+def _cos_guarded(a: str, b: str) -> str:
+    """Cosine with the zero-norm guard (cos := 0 when either norm is 0)
+    — the same convention as :func:`bucket_pair_scores`.  Without it,
+    ANSI mode aborts the whole job on one degenerate all-zero vector
+    (and DuckDB's NULL-on-divide-by-zero would silently disagree)."""
+    return (
+        f"CASE WHEN ({_norm2(a)}) * ({_norm2(b)}) > 0"
+        f" THEN {_dot(a, b)} / sqrt(({_norm2(a)}) * ({_norm2(b)}))"
+        f" ELSE 0D END"
+    )
+
+
 def cosine_topk(
     df: DataFrame, id_col: str, vec_col: str, query_id, k: int = 10
 ) -> DataFrame:
@@ -34,7 +46,7 @@ def cosine_topk(
     The query vector broadcasts; top-k runs as TakeOrdered."""
     q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_q"))
     cos = F.expr(
-        f"{_dot(vec_col, '_q')} / sqrt(({_norm2(vec_col)}) * ({_norm2('_q')}))"
+        f"{_cos_guarded(vec_col, '_q')}"
     )
     return (
         df.crossJoin(F.broadcast(q))
@@ -66,7 +78,7 @@ def cosine_topk_bucketed(
         .select(F.col(vec_col).alias("_q"), F.col("_bucket").alias("_qb"))
     )
     cos = F.expr(
-        f"{_dot(vec_col, '_q')} / sqrt(({_norm2(vec_col)}) * ({_norm2('_q')}))"
+        f"{_cos_guarded(vec_col, '_q')}"
     )
     return (
         bucketed.join(F.broadcast(q), F.col("_bucket") == F.col("_qb"))
@@ -105,7 +117,7 @@ def cosine_topk_multiprobe(
         ).alias("_probe"),
     )
     cos = F.expr(
-        f"{_dot(vec_col, '_q')} / sqrt(({_norm2(vec_col)}) * ({_norm2('_q')}))"
+        f"{_cos_guarded(vec_col, '_q')}"
     )
     return (
         bucketed.join(F.broadcast(probes), F.col("_bucket") == F.col("_probe"))
@@ -444,7 +456,7 @@ def ivf_topk(
     )
     cand = scored.join(F.broadcast(probe), "cluster").crossJoin(F.broadcast(q))
     cos = F.expr(
-        f"{_dot(vec_col, '_q')} / sqrt(({_norm2(vec_col)}) * ({_norm2('_q')}))"
+        f"{_cos_guarded(vec_col, '_q')}"
     )
     return (
         cand.withColumn("cosine", cos)
@@ -469,7 +481,7 @@ def pairwise_cosine_dups(
         hyperplane_bucket(vec_col, bits).alias("bucket"),
     )
     l, r = b.alias("l"), b.alias("r")
-    cos = F.expr(f"{_dot('l.v', 'r.v')} / sqrt(({_norm2('l.v')}) * ({_norm2('r.v')}))")
+    cos = F.expr(f"{_cos_guarded('l.v', 'r.v')}")
     return (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.doc") < F.col("r.doc")))
         .withColumn("cosine", cos)

@@ -1316,9 +1316,15 @@ def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(q AS ARRAY<DOUBLE>), (x, y) -> x * y), 0D, (a, b) -> a + b)"
     nv = "aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D, (a, x) -> a + x * x)"
     nq = "aggregate(CAST(q AS ARRAY<DOUBLE>), 0D, (a, x) -> a + x * x)"
+    # zero-norm guard: one degenerate all-zero vector must score 0, not
+    # abort the job under ANSI division (operators/similarity._cos_guarded)
+    cos = (
+        f"CASE WHEN ({nv}) * ({nq}) > 0"
+        f" THEN {dot} / sqrt(({nv}) * ({nq})) ELSE 0D END"
+    )
     return (
         e.crossJoin(F.broadcast(q))
-        .withColumn("cos", F.expr(f"round({dot} / sqrt(({nv}) * ({nq})), 4)"))
+        .withColumn("cos", F.expr(f"round({cos}, 4)"))
         .select("vec_id", "label", "cos")
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(10)
@@ -1328,9 +1334,12 @@ def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SIM_BRUTEFORCE = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, label,
-       round(list_dot_product(embedding::DOUBLE[], qe) /
-             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) *
-                  list_dot_product(qe, qe)), 4) AS cos
+       round(CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+                       * list_dot_product(qe, qe) > 0
+             THEN list_dot_product(embedding::DOUBLE[], qe) /
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) *
+                       list_dot_product(qe, qe))
+             ELSE 0 END, 4) AS cos
 FROM embeddings, q
 ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
@@ -1399,8 +1408,10 @@ WITH b AS (
   FROM embeddings),
 q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
 SELECT vec_id, label,
-       round(list_dot_product(e, qe) /
-             sqrt(list_dot_product(e, e) * list_dot_product(qe, qe)), 4) AS cos
+       round(CASE WHEN list_dot_product(e, e) * list_dot_product(qe, qe) > 0
+             THEN list_dot_product(e, qe) /
+                  sqrt(list_dot_product(e, e) * list_dot_product(qe, qe))
+             ELSE 0 END, 4) AS cos
 FROM b, q
 WHERE bucket = qb OR xor(bucket, qb) IN (1, 2, 4, 8)
 ORDER BY cos DESC, vec_id ASC LIMIT 10
