@@ -67,19 +67,28 @@ def asof_join(
     rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
     lcols = list(left.columns)
+    # right values ride as ONE struct (non-null for every right row,
+    # whatever its fields hold): the running last() must pick the last
+    # right ROW, not the last non-null VALUE — per-column
+    # last(ignorenulls) would skip a state row whose value is genuinely
+    # NULL and let an older state show through (caught by the NULL-value
+    # adversarial events; DuckDB ASOF attaches the row, value and all)
+    struct_ddl = "struct<" + ", ".join(
+        f"{c}: {rtypes[c]}" for c in right_cols
+    ) + ">"
     l = left.select(
         F.col(left_on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *lcols,
-        *[F.lit(None).cast(rtypes[c]).alias(c) for c in right_cols],
+        F.lit(None).cast(struct_ddl).alias("_rv"),
     )
     r = right.select(
         F.col(right_on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
-        *right_cols,
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rv"),
     )
     # right (side 0) sorts before left (side 1) at equal ts, so an
     # exactly-simultaneous right row is visible to the left row
@@ -92,7 +101,10 @@ def asof_join(
         "_side",
         "_ts",
         *lcols,
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in right_cols],
+        *[
+            F.last(F.col("_rv"), ignorenulls=True).over(w)[c].alias(c)
+            for c in right_cols
+        ],
         F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True)
         .over(w)
         .alias("_rts"),
@@ -147,13 +159,19 @@ def asof_join_epoch_split(
     ltypes = dict(left.dtypes)
     lcols = list(left.columns)
 
+    # same struct trick as asof_join: the running last() must track the
+    # last right ROW, not per-column last non-null VALUES (a state row
+    # with a genuinely NULL field must win, NULL and all)
+    struct_ddl = "struct<" + ", ".join(
+        f"{c}: {rtypes[c]}" for c in right_cols
+    ) + ">"
     l = left.select(
         F.col(left_on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.expr(f"{_epoch_us(left_ts)} div {w_us}").alias("_e"),
         F.lit(1).alias("_side"),
         *lcols,
-        *[F.lit(None).cast(rtypes[c]).alias(c) for c in right_cols],
+        F.lit(None).cast(struct_ddl).alias("_rv"),
     )
     r = right.select(
         F.col(right_on).alias("_k"),
@@ -161,7 +179,7 @@ def asof_join_epoch_split(
         F.expr(f"{_epoch_us(right_ts)} div {w_us}").alias("_e"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
-        *right_cols,
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rv"),
     )
 
     # pass 1 — within (key, epoch): the plain union-tag running last,
@@ -175,8 +193,10 @@ def asof_join_epoch_split(
         l.unionByName(r)
         .select(
             "_k", "_e", "_ts", "_side", *lcols,
-            *[F.last(F.col(c), ignorenulls=True).over(w_in).alias(c)
-              for c in right_cols],
+            *[
+                F.last(F.col("_rv"), ignorenulls=True).over(w_in)[c].alias(c)
+                for c in right_cols
+            ],
             F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True)
             .over(w_in)
             .alias("_rts"),
@@ -192,7 +212,11 @@ def asof_join_epoch_split(
         r.groupBy("_k", "_e")
         .agg(
             F.max_by(
-                F.struct(*right_cols, F.col("_ts").alias("_rts")), F.col("_ts")
+                F.struct(
+                    *[F.col(f"_rv.{c}").alias(c) for c in right_cols],
+                    F.col("_ts").alias("_rts"),
+                ),
+                F.col("_ts"),
             ).alias("_st")
         )
         .select("_k", "_e", F.lit(1).alias("_eside"), "_st")
@@ -216,11 +240,16 @@ def asof_join_epoch_split(
         .select("_k", "_e", "_prev")
     )
 
+    # row-presence merge: a within-epoch match (non-null _rts) wins even
+    # when its VALUE fields are NULL — per-column coalesce would let the
+    # previous epoch's state bleed through a genuinely-NULL field
     merged = within.join(handoff, ["_k", "_e"], "left").select(
         "_ts",
         *lcols,
         *[
-            F.coalesce(F.col(c), F.col(f"_prev.{c}")).alias(c)
+            F.when(F.col("_rts").isNotNull(), F.col(c))
+            .otherwise(F.col(f"_prev.{c}"))
+            .alias(c)
             for c in right_cols
         ],
         F.coalesce(F.col("_rts"), F.col("_prev._rts")).alias("_rts"),

@@ -26,11 +26,11 @@ ADVERSARIAL_SET = [
     n for n, _ in sorted(QUERIES.items())
     if n.startswith(("a", "b1", "text_", "dedup_", "sketch_", "sample_",
                      "events_", "graph_", "split_", "pack_", "curation_",
-                     "sequence_", "sim_"))
+                     "sequence_", "sim_", "temporal_"))
     and not n.startswith("audit")
-    and n != "dedup_editdist1"  # customer-based (unperturbed)
-    and n != "dedup_sorted_neighborhood"  # customer-based (unperturbed)
-]
+    and n != "dedup_editdist1"  # customer-based → TPC-H set
+    and n != "dedup_sorted_neighborhood"  # customer-based → TPC-H set
+] + ["audit_source_overlap"]  # documents-based (audit_fk_orphans → TPC-H set)
 
 WORDS = ("the quick brown fox jumps lazy dog spark oracle duck table "
          "scan shuffle window agg join 光 数据 処理 émigré naïve").split()

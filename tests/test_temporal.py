@@ -327,3 +327,40 @@ def test_sessionize_epoch_split_equals_plain_window(spark):
         assert got == plain and len(got) == len(rows)
     # sanity: the data actually exercises multiple sessions per key
     assert max(plain.values()) >= 3
+
+
+def test_asof_attaches_null_valued_state_row(spark):
+    """A state row whose VALUE is NULL is still the as-of match — the
+    running last() must track the last right ROW, not the last non-null
+    value (else an older state bleeds through).  Both forms, same
+    contract; DuckDB ASOF attaches the row, value and all."""
+    import datetime as dt
+
+    from pdf_parser_c_spark.operators.temporal import (
+        asof_join,
+        asof_join_epoch_split,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, "u", ts(5)), (2, "u", ts(15)), (3, "u", ts(25))],
+        "eid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", ts(0), 10.0), ("u", ts(10), None), ("u", ts(20), 30.0)],
+        "rk string, rts timestamp, v double",
+    )
+    for fn, kw in ((asof_join, {}),
+                   (asof_join_epoch_split, {"epoch_seconds": 8})):
+        got = {
+            r["eid"]: r["v"]
+            for r in fn(left, right, "k", "rk", "ts", "rts", ["v"],
+                        **kw).collect()
+        }
+        # eid 2's latest state (ts=10) has v NULL: that NULL is the
+        # answer, not the ts=0 value 10.0
+        assert got == {1: 10.0, 2: None, 3: 30.0}, (fn.__name__, got)
