@@ -86,6 +86,51 @@ def fingerprint(col: str = "text", head: int = 64, len_bucket: int = 100) -> Col
     )
 
 
+HASHED_FEATURE_BUCKETS = 512
+
+
+def hashed_linear_score(col: str = "text", n_buckets: int = HASHED_FEATURE_BUCKETS) -> Column:
+    """fastText-style linear classifier INFERENCE as pure column math:
+    unigram + bigram features hashed into ``n_buckets``, one weight per
+    bucket, document score = mean feature weight.  The whole forward
+    pass is JVM-side expressions — no UDF, no shuffle, pushes through
+    any downstream aggregation as a map-side column.
+
+    The per-bucket weight here is a deterministic md5-derived value in
+    [-1, 1] (a stand-in for trained weights that the DuckDB oracle can
+    reproduce bit-for-bit); a real deployment broadcasts the trained
+    512-float weight array as a literal and replaces the weight
+    expression with ``element_at(weights, bucket + 1)`` — the plan
+    shape is identical.
+
+    Bigram guard: a 1-token document makes ``sequence(1, 0)`` DESCEND
+    in Spark (it counts down), so the bigram list is gated on
+    ``size >= 2`` (DuckDB's generate_series(1, 0) is simply empty).
+
+    The ``score > 0`` gate downstream is reorder-stable: the smallest
+    |score| measured on the sf0.01 corpus is 2.5e-4, eleven orders
+    above the ~1e-15 summation-order error, so Spark and the oracle
+    can never disagree on a document's sign."""
+    tk = f"split({col}, ' ')"
+    big = (
+        f"case when size({tk}) >= 2 then "
+        f"transform(sequence(1, size({tk}) - 1),"
+        f" i -> concat(element_at({tk}, i), '_', element_at({tk}, i + 1)))"
+        f" else slice({tk}, 1, 0) end"
+    )
+    feats = f"concat({tk}, {big})"
+    bucket = f"cast(conv(substr(md5(f), 1, 8), 16, 10) as bigint) % {n_buckets}"
+    weight = (
+        f"(cast(conv(substr(md5(concat('w', cast(({bucket}) as string))), 1, 4),"
+        f" 16, 10) as int) % 1001 - 500) / cast(500 as double)"
+    )
+    score = (
+        f"aggregate(transform({feats}, f -> {weight}), cast(0.0 as double),"
+        f" (a, x) -> a + x) / size({feats})"
+    )
+    return F.expr(score)
+
+
 # PII patterns shared with the DuckDB oracle: plain character classes
 # only (no lookaround, no \b ambiguity) so Java regex and RE2 agree.
 PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -35,6 +35,56 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
     return df.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def soft_dedup_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SoftDedup-style reweighting (He et al. 2024): duplicates are
+    DOWN-WEIGHTED, not dropped — every row gets sampling weight
+    1/multiplicity of its normalized form, so a text appearing k times
+    contributes ~one document of expected gradient mass while the
+    corpus keeps its coverage.  Adds ``nf`` (normal-form digest),
+    ``mult``, ``weight``.
+
+    Scale: ONE exchange on the digest key (a window count — the same
+    shuffle exact dedup pays), then weights are map-side; no join back.
+    """
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")),
+        " +", " ",
+    )
+    out = df.withColumn("nf", F.md5(norm))
+    mult = F.count("*").over(Window.partitionBy("nf"))
+    return out.withColumn("mult", mult.cast("long")).withColumn(
+        "weight", F.lit(1.0) / F.col("mult")
+    )
+
+
+def paragraph_hashes(
+    df: DataFrame, id_col: str, text_col: str, width: int = 12
+) -> DataFrame:
+    """Explode each document into paragraphs → one row per paragraph
+    with ``pidx``, ``para``, ``ph`` (digest), ``n_ptokens``; all other
+    input columns ride along.  The splitter here is fixed
+    ``width``-token chunks (the synthetic corpus carries no paragraph
+    breaks); a corpus with real breaks swaps the chunk expression for
+    ``split(text, '\\n\\n')`` and nothing downstream changes.
+
+    This is the paragraph-level (CCNet-style) dedup primitive: a
+    paragraph whose digest appears in >1 distinct document is
+    boilerplate and is dropped from every document, unlike
+    document-level dedup which keeps or kills whole docs.
+
+    Scale: the explode is pure map-side; the downstream multiplicity
+    census is one exchange on the paragraph digest, bounded by
+    distinct paragraphs — never all-pairs."""
+    chunks = (
+        f"transform(sequence(0, (size(split({text_col}, ' ')) - 1) div {width}),"
+        f" i -> array_join(slice(split({text_col}, ' '), i * {width} + 1, {width}), ' '))"
+    )
+    e = df.select("*", F.posexplode(F.expr(chunks)).alias("pidx", "para"))
+    return e.withColumn("ph", F.md5("para")).withColumn(
+        "n_ptokens", F.size(F.split("para", " ")).cast("long")
+    )
+
+
 def _shingle_expr(n: int) -> str:
     return (
         f"array_distinct(transform(sequence(1, size(ws) - {n - 1}),"

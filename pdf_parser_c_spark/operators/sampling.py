@@ -11,6 +11,9 @@ membership, and a row's split assignment can be recomputed from its id
 alone (no stored lookup table).
 
 Scale notes per operator:
+* ``global_shuffle`` — one exchange on a FIXED-range hash bucket plus
+  an n_buckets-row broadcast; global training order without a global
+  window.
 * ``hash_sample`` — pure map-side filter; pushes to the scan.
 * ``cap_per_class`` — one exchange on the class key; the window ranks
   by hash (deterministic winner set).  A pathologically hot class
@@ -45,6 +48,58 @@ def sample_threshold(fraction: float) -> int:
     exposed so audits can count membership as a conditional sum
     instead of re-joining the filtered frame."""
     return int(fraction * _HASH_SPACE)
+
+
+def global_shuffle(df: DataFrame, id_col: str, n_buckets: int = 16) -> DataFrame:
+    """Deterministic global training-order shuffle WITHOUT a
+    single-partition window: every row gets a contiguous global
+    position 1..N in id-hash order.  Adds ``_bucket`` and ``_pos``.
+
+    The naive form — ``row_number() OVER (ORDER BY hash)`` — moves the
+    entire corpus through ONE task.  Here the 60-bit hash space is cut
+    into ``n_buckets`` FIXED ranges (no sampled boundaries, unlike
+    repartitionByRange, so the cut is reproducible and
+    input-independent); ranks are local to a bucket, and the only
+    global structure is an ``n_buckets``-row offsets frame (exclusive
+    prefix-sum of bucket counts) broadcast back.  Because buckets are
+    hash RANGES in ascending order, the concatenation of bucket-local
+    ranks + offsets IS the global (hash, id) order.
+
+    Scale: one exchange on the range key + one tiny broadcast; md5
+    output is uniform, so bucket sizes are balanced (~N/n_buckets)
+    regardless of id distribution — set ``n_buckets`` to the shuffle
+    parallelism at real scale."""
+    width = _HASH_SPACE // n_buckets
+    # The explicit isNotNull mirrors the constraint the join would
+    # infer on its key anyway (a NULL id has no hash, hence no
+    # position); stating it on the SHARED frame makes both branches'
+    # shuffle subtrees canonically identical, so AQE reuses ONE scan +
+    # ONE exchange instead of re-reading the source for the counts.
+    h = (
+        df.withColumn("_h", id_hash(id_col))
+        .withColumn("_bucket", F.expr(f"_h div {width}").cast("long"))
+        .filter(F.col("_bucket").isNotNull())
+    )
+    local = F.row_number().over(
+        Window.partitionBy("_bucket").orderBy("_h", id_col)
+    )
+    ranked = h.withColumn("_lrank", local)
+    # Bucket counts come from the RANKED frame (max local rank), not a
+    # second pass over the source: both branches share the identical
+    # scan→exchange→sort→window subtree, so Catalyst's ReuseExchange
+    # turns this into ONE scan + ONE shuffle of the corpus.
+    counts = ranked.groupBy("_bucket").agg(
+        F.max("_lrank").cast("long").alias("_n")
+    )
+    off_w = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).cast("long")
+    ).select("_bucket", "_off")
+    return (
+        ranked.join(F.broadcast(offsets), "_bucket")
+        .withColumn("_pos", (F.col("_off") + F.col("_lrank")).cast("long"))
+        .drop("_h", "_lrank", "_off")
+    )
 
 
 def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:

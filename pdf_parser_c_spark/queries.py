@@ -5132,6 +5132,242 @@ GROUP BY c_nationkey ORDER BY nation
 """
 
 
+def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDedup-style reweighting census (He et al. 2024): duplicates
+    are DOWN-WEIGHTED (w = 1/multiplicity of the normalized form), not
+    dropped — the corpus keeps its coverage while each duplicated text
+    contributes ~one document of expected gradient mass.  The corpus
+    has no byte duplicates, so copies are synthesized (every 4th doc
+    re-enters verbatim, every 8th twice → multiplicities 2 and 3, both
+    division branches exercised).
+    Scale: ONE exchange on the digest (window count), then weights are
+    map-side — no join back (operators/dedup.soft_dedup_weights)."""
+    from .operators.dedup import soft_dedup_weights
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    v1 = d.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    v2 = d.filter(F.col("doc_id") % 8 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    )
+    w = soft_dedup_weights(d.unionByName(v1).unionByName(v2), "doc_id", "text")
+    return (
+        w.withColumn("n_tokens", F.size(F.split("text", " ")).cast("long"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("mult") > 1).cast("long")).alias("n_duplicated"),
+            F.sum("n_tokens").alias("raw_tokens"),
+            F.round(F.sum(F.col("n_tokens") * F.col("weight")), 4)
+            .alias("effective_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DEDUP_SOFT_WEIGHTS = """
+WITH allrows AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, source, text FROM documents WHERE doc_id % 8 = 0),
+nfs AS (
+  SELECT source,
+         md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')),
+                            ' +', ' ', 'g')) AS nf,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM allrows),
+m AS (SELECT *, count(*) OVER (PARTITION BY nf) AS mult FROM nfs)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN mult > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicated,
+       CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+       round(sum(CAST(n_tokens AS DOUBLE) / mult), 4) AS effective_tokens
+FROM m GROUP BY source ORDER BY source
+"""
+
+
+PARA_WIDTH = 12
+
+
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup census (CCNet-style): a paragraph whose
+    digest appears in >1 DISTINCT document is boilerplate and would be
+    dropped from every document — finer-grained than document-level
+    dedup, which keeps or kills whole docs.  The synthetic corpus has
+    no paragraph breaks, so fixed 12-token chunks stand in as the
+    splitter; head-copy variants (every 6th doc's first 2 paragraphs
+    re-enter as a new 'boiler' doc) synthesize cross-doc boilerplate
+    the way template headers repeat across a crawl.
+    Scale: map-side chunk explode; multiplicity is one exchange on the
+    paragraph digest, bounded by distinct paragraphs — never all-pairs
+    (operators/dedup.paragraph_hashes)."""
+    from .operators.dedup import paragraph_hashes
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    heads = d.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("boiler").alias("source"),
+        F.array_join(
+            F.slice(F.split("text", " "), 1, 2 * PARA_WIDTH), " "
+        ).alias("text"),
+    )
+    paras = paragraph_hashes(d.unionByName(heads), "doc_id", "text", PARA_WIDTH)
+    m = paras.groupBy("ph").agg(F.countDistinct("doc_id").alias("n_docs_with"))
+    return (
+        paras.join(m, "ph")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_paragraphs"),
+            F.sum((F.col("n_docs_with") > 1).cast("long")).alias("n_dup_paragraphs"),
+            F.round(
+                F.sum(
+                    F.when(F.col("n_docs_with") > 1, F.col("n_ptokens")).otherwise(0)
+                ).cast("double")
+                / F.sum("n_ptokens"),
+                6,
+            ).alias("dup_token_fraction"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DEDUP_PARAGRAPH = f"""
+WITH base AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 'boiler',
+         array_to_string((string_split(text, ' '))[1:{2 * PARA_WIDTH}], ' ')
+  FROM documents WHERE doc_id % 6 = 0),
+tk AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM base),
+paras AS (
+  SELECT doc_id, source,
+         array_to_string(tk[(i * {PARA_WIDTH} + 1):(i * {PARA_WIDTH} + {PARA_WIDTH})], ' ') AS para
+  FROM tk, unnest(generate_series(0, (len(tk) - 1) // {PARA_WIDTH})) AS u(i)),
+ph AS (SELECT doc_id, source, md5(para) AS ph,
+              len(string_split(para, ' ')) AS n_ptokens FROM paras),
+m AS (SELECT ph, count(DISTINCT doc_id) AS n_docs_with FROM ph GROUP BY ph)
+SELECT source,
+       count(*) AS n_paragraphs,
+       CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_paragraphs,
+       round(sum(CASE WHEN n_docs_with > 1 THEN CAST(n_ptokens AS DOUBLE) ELSE 0 END)
+             / sum(n_ptokens), 6) AS dup_token_fraction
+FROM ph JOIN m USING (ph)
+GROUP BY source ORDER BY source
+"""
+
+
+SHUFFLE_BUCKETS = 16
+_SHUFFLE_WIDTH = (1 << 60) // SHUFFLE_BUCKETS
+
+
+def q_sample_shuffle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    a contiguous global position 1..N in id-hash order — the 'shuffle
+    the corpus before training' step, reproducible run-to-run.  The
+    oracle pins the FULL permutation, not just counts: each range
+    bucket reports an md5 over its ordered '(pos:doc_id)' pairs.
+    Scale: the naive row_number() over a global window moves every row
+    through ONE task; here the hash space is cut into FIXED ranges,
+    ranks are bucket-local, and the only global structure is an
+    n_buckets-row offsets frame broadcast back
+    (operators/sampling.global_shuffle)."""
+    from .operators.sampling import global_shuffle
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    pos = global_shuffle(d, "doc_id", SHUFFLE_BUCKETS)
+    return (
+        pos.groupBy(F.col("_bucket").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("_pos").alias("min_pos"),
+            F.max("_pos").alias("max_pos"),
+            F.md5(
+                F.expr(
+                    "array_join(array_sort(collect_list("
+                    "lpad(cast(_pos as string), 8, '0') || ':' ||"
+                    " cast(doc_id as string))), ',')"
+                )
+            ).alias("order_md5"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_SAMPLE_SHUFFLE_GLOBAL = f"""
+WITH h AS (SELECT doc_id, {ID_HASH_DUCK.format(col='doc_id')} AS hv FROM documents),
+p AS (SELECT doc_id, CAST(hv // {_SHUFFLE_WIDTH} AS BIGINT) AS bucket,
+             row_number() OVER (ORDER BY hv, doc_id) AS pos FROM h)
+SELECT bucket, count(*) AS n_rows,
+       CAST(min(pos) AS BIGINT) AS min_pos,
+       CAST(max(pos) AS BIGINT) AS max_pos,
+       md5(string_agg(lpad(CAST(pos AS VARCHAR), 8, '0') || ':' ||
+                      CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS order_md5
+FROM p GROUP BY bucket ORDER BY bucket
+"""
+
+
+HASHED_CLS_BUCKETS = 512
+
+
+def q_text_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style classifier INFERENCE at corpus scale: unigram +
+    bigram features hashed into 512 buckets, one weight per bucket
+    (deterministic md5-derived stand-in the oracle reproduces
+    bit-for-bit; a trained model broadcasts its weight array and
+    element_at's it — same plan), document score = mean feature
+    weight; census per lang.
+    Scale: the entire forward pass is JVM column math — no UDF, no
+    shuffle before the tiny final agg
+    (functions/text.hashed_linear_score)."""
+    from .functions.text import hashed_linear_score
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("score", hashed_linear_score("text", HASHED_CLS_BUCKETS))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("score") > 0).cast("long")).alias("n_positive"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+_HCLS_BUCKET = (
+    f"(CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % {HASHED_CLS_BUCKETS})"
+)
+_HCLS_WEIGHT = (
+    f"(CAST(('0x' || substr(md5('w' || CAST({_HCLS_BUCKET} AS VARCHAR)), 1, 4))"
+    f" AS INTEGER) % 1001 - 500) / CAST(500 AS DOUBLE)"
+)
+
+SQL_TEXT_HASHED_CLASSIFIER = f"""
+WITH tk AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
+feats AS (
+  SELECT lang,
+         list_concat(
+           tk,
+           CASE WHEN len(tk) >= 2
+             THEN list_transform(generate_series(1, len(tk) - 1),
+                                 i -> tk[i] || '_' || tk[i + 1])
+             ELSE [] END) AS fs
+  FROM tk),
+scores AS (
+  SELECT lang,
+         list_sum(list_transform(fs, f -> {_HCLS_WEIGHT})) / len(fs) AS score
+  FROM feats)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+       round(avg(score), 4) AS avg_score
+FROM scores GROUP BY lang ORDER BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5184,6 +5420,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality_repetition": (q_text_quality_repetition, SQL_TEXT_REPETITION),
     "text_quality_gopher": (q_text_quality_gopher, SQL_TEXT_GOPHER),
     "dedup_exact_normalized": (q_dedup_exact_normalized, SQL_DEDUP_EXACT_NORM),
+    "dedup_soft_weights": (q_dedup_soft_weights, SQL_DEDUP_SOFT_WEIGHTS),
+    "dedup_paragraph": (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
+    "sample_shuffle_global": (q_sample_shuffle_global, SQL_SAMPLE_SHUFFLE_GLOBAL),
+    "text_hashed_classifier": (q_text_hashed_classifier, SQL_TEXT_HASHED_CLASSIFIER),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "temporal_asof_join": (q_temporal_asof, SQL_TEMPORAL_ASOF),

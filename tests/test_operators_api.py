@@ -730,3 +730,102 @@ def test_editdist1_unicode_codepoint_semantics(spark):
     assert pair("müller", "Müller") in got
     assert pair("光data", "光date") in got
     assert pair("u", "ü") in got
+
+
+def test_soft_dedup_weights_multiplicity_and_mass(spark):
+    from pdf_parser_c_spark.operators.dedup import soft_dedup_weights
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta"),
+            (1, "alpha beta"),          # exact dup of 0
+            (2, "ALPHA, beta!!"),       # normalizes to the same form
+            (3, "gamma delta"),
+            (4, "unique text here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = soft_dedup_weights(df, "doc_id", "text").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # rows 0,1,2 share one normal form → mult 3, weight 1/3
+    for i in (0, 1, 2):
+        assert by_id[i]["mult"] == 3
+        assert abs(by_id[i]["weight"] - 1 / 3) < 1e-12
+    assert by_id[3]["mult"] == 1 and by_id[3]["weight"] == 1.0
+    # expected gradient mass per GROUP is exactly 1 (weights sum to 1)
+    import collections
+
+    mass = collections.defaultdict(float)
+    for r in out:
+        mass[r["nf"]] += r["weight"]
+    assert all(abs(v - 1.0) < 1e-9 for v in mass.values())
+
+
+def test_paragraph_hashes_chunking_and_ridealong(spark):
+    from pdf_parser_c_spark.operators.dedup import paragraph_hashes
+
+    df = spark.createDataFrame(
+        [(1, "srcA", "a b c d e f g"), (2, "srcB", "x")],
+        "doc_id long, source string, text string",
+    )
+    rows = paragraph_hashes(df, "doc_id", "text", width=3).collect()
+    one = sorted(
+        [(r["pidx"], r["para"]) for r in rows if r["doc_id"] == 1]
+    )
+    # 7 tokens / width 3 → chunks of 3, 3, 1 (last partial kept)
+    assert one == [(0, "a b c"), (1, "d e f"), (2, "g")]
+    toks = {r["pidx"]: r["n_ptokens"] for r in rows if r["doc_id"] == 1}
+    assert toks == {0: 3, 1: 3, 2: 1}
+    # single-token doc → one 1-token paragraph; ride-along column kept
+    two = [r for r in rows if r["doc_id"] == 2]
+    assert len(two) == 1 and two[0]["para"] == "x"
+    assert two[0]["source"] == "srcB"
+    # identical chunks hash identically across docs
+    df2 = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    hs = {r["ph"] for r in paragraph_hashes(df2, "doc_id", "text", 3).collect()}
+    assert len(hs) == 1
+
+
+def test_global_shuffle_is_the_global_hash_permutation(spark):
+    import hashlib
+
+    from pdf_parser_c_spark.operators.sampling import global_shuffle
+
+    ids = [3, 17, 42, 99, 100, 258, 1000, 12345, 7, 8, 9, 55]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r["doc_id"]: (r["_bucket"], r["_pos"])
+           for r in global_shuffle(df, "doc_id", n_buckets=4).collect()}
+    # reference: global row_number over (60-bit md5 prefix, id)
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    ref = sorted(ids, key=lambda i: (h(i), i))
+    for pos, i in enumerate(ref, 1):
+        assert out[i][1] == pos, (i, out[i], pos)
+    # positions are a contiguous permutation and buckets are hash ranges
+    assert sorted(p for _, p in out.values()) == list(range(1, len(ids) + 1))
+    width = (1 << 60) // 4
+    for i in ids:
+        assert out[i][0] == h(i) // width
+
+
+def test_hashed_linear_score_guards_and_determinism(spark):
+    from pdf_parser_c_spark.functions.text import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(0, "solo"), (1, ""), (2, "two words"), (3, "two words")],
+        "doc_id long, text string",
+    )
+    rows = df.select("doc_id", hashed_linear_score("text").alias("s")).collect()
+    s = {r["doc_id"]: r["s"] for r in rows}
+    # 1-token and empty docs hit the bigram guard, score still finite
+    for v in s.values():
+        assert v is not None and abs(v) <= 1.002
+    # deterministic: same text → identical score
+    assert s[2] == s[3]
+    # weights live in [-1, 1.002] and the score is their mean, so a
+    # 2-token doc has 3 features (2 uni + 1 bigram)
+    # (sanity: distinct texts should not all collide on one score)
+    assert len({round(v, 9) for v in s.values()}) >= 3

@@ -346,3 +346,48 @@ def test_hist_quantiles_no_value_sort(spark):
     # pass on the bounded cell frame
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert n_data_exchanges(plan) <= 2
+
+
+def test_global_shuffle_no_corpus_global_window(spark):
+    df = QUERIES["sample_shuffle_global"][0](spark, SF_DIR)
+    plan = plan_of(spark, df, "simple")
+    # offsets frame is broadcast back; the corpus never sort-merge joins
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # the ONLY single-partition exchanges are the n_buckets-row offsets
+    # prefix-sum and the final presentation sort — the corpus itself is
+    # hash-partitioned by bucket
+    assert "Exchange hashpartitioning(_bucket" in plan
+    # runtime: AQE must collapse the counts branch onto the join
+    # branch's scan+exchange (ReusedExchange/Stage), keeping ONE pass
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "Reused" in final
+
+
+def test_hashed_classifier_is_mapside_column_math(spark):
+    plan = plan_of(spark, QUERIES["text_hashed_classifier"][0](spark, SF_DIR),
+                   "simple")
+    # the forward pass is JVM expressions: no Python eval, no joins,
+    # one lang-keyed exchange (partial+final agg)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert n_data_exchanges(plan) == 1
+
+
+def test_soft_weights_single_digest_exchange(spark):
+    plan = plan_of(spark, QUERIES["dedup_soft_weights"][0](spark, SF_DIR),
+                   "simple")
+    # window count rides ONE nf exchange; census adds the source agg —
+    # a join-back design would add a third corpus-sized exchange
+    assert "Join" not in plan
+    assert n_data_exchanges(plan) == 2
+
+
+def test_paragraph_dedup_digest_bounded(spark):
+    plan = plan_of(spark, QUERIES["dedup_paragraph"][0](spark, SF_DIR),
+                   "simple")
+    # multiplicity attaches by equi-join on the paragraph digest —
+    # bucketed by content hash, never a pair self-join on docs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
