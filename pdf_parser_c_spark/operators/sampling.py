@@ -109,6 +109,30 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     return df.filter(id_hash(id_col) < F.lit(sample_threshold(fraction)))
 
 
+def weighted_sample_topk(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis–Spirakis A-Res scheme with the randomness replaced by
+    the id hash: key = ln(u)/w for u = hash-uniform in (0, 1], keep the
+    k LARGEST keys.  P(row in sample) ∝ its weight, membership is
+    reproducible from ids alone, and the whole thing is one map +
+    TakeOrdered (per-partition top-k, then a k-row merge on the driver
+    — never a global sort).  ``weight_col`` must be > 0.
+
+    Adds ``_wkey``.  (ln(u)/w is the monotone log form of the paper's
+    u^(1/w) — same ranking, better FP behavior at tiny u.)"""
+    u = (id_hash(id_col).cast("double") + F.lit(1.0)) / F.lit(
+        float(_HASH_SPACE + 1)
+    )
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("_wkey", key)
+        .orderBy(F.col("_wkey").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cap_per_class(
     df: DataFrame, class_col: str, id_col: str, cap: int
 ) -> DataFrame:

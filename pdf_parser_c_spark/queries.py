@@ -5368,6 +5368,129 @@ FROM scores GROUP BY lang ORDER BY lang
 """
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census with degree-ordered orientation (Suri &
+    Vassilvitskii WWW'11) over a deterministic graph on doc_ids: a
+    ring lattice (v → v+1..3, guaranteeing triangles at every sf) plus
+    a hash-scatter family (v·31 + 53j + 11 mod n, irregular degrees).
+    Beside PageRank (who matters) and connected components (who is the
+    same), this is the third graph primitive: how CLUSTERED the
+    near-dup/link graph is.
+    Scale: orienting each edge from its (degree, id)-smaller endpoint
+    caps the wedge join's per-key fanout at O(√m) — the celebrity-node
+    d² blowup lands on the LOW-degree endpoint instead; wedge and
+    closing joins are both equi-keyed, never a cross join
+    (operators/graph.count_triangles)."""
+    from .operators.graph import count_triangles
+
+    d = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("v"))
+    n_df = d.agg(F.count("*").alias("_n"))
+    raw = (
+        d.join(n_df)
+        .select(
+            F.col("v").alias("src"),
+            F.explode(
+                F.expr(
+                    "concat(transform(sequence(1, 3), j -> (v + j) % _n),"
+                    " transform(sequence(1, 3), j -> (v * 31 + j * 53 + 11) % _n))"
+                )
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return count_triangles(raw)
+
+
+SQL_GRAPH_TRIANGLES = """
+WITH d AS (SELECT doc_id AS v FROM documents),
+nn AS (SELECT count(*) AS n FROM d),
+raw AS (
+  SELECT v AS src, (v + j) % n AS dst
+  FROM d, nn, unnest(generate_series(1, 3)) AS t(j)
+  UNION ALL
+  SELECT v, (v * 31 + j * 53 + 11) % n
+  FROM d, nn, unnest(generate_series(1, 3)) AS t(j)),
+sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM raw WHERE src != dst
+    UNION ALL
+    SELECT dst, src FROM raw WHERE src != dst)),
+deg AS (SELECT src AS v, count(*) AS deg FROM sym GROUP BY src),
+oriented AS (
+  SELECT s.src AS a, s.dst AS b, dd.deg AS db
+  FROM sym s
+  JOIN deg ds ON ds.v = s.src
+  JOIN deg dd ON dd.v = s.dst
+  WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND s.src < s.dst)),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM oriented x
+  JOIN oriented y ON x.a = y.a
+   AND (x.db < y.db OR (x.db = y.db AND x.b < y.b))
+  JOIN oriented z ON z.a = x.b AND z.b = y.b),
+stats AS (
+  SELECT count(*) AS n_vertices,
+         CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+         CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM deg)
+SELECT CAST(n_vertices AS BIGINT) AS n_vertices, n_edges, n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       round(3.0 * n_triangles / n_wedges, 6) AS clustering
+FROM stats CROSS JOIN tri
+"""
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def q_sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res with hash-uniform randomness): keep the
+    100 documents with the largest ln(u)/w keys, weight = char length
+    — longer documents proportionally likelier, membership
+    reproducible from ids alone and md5-pinned per source.
+    Scale: one map + TakeOrdered (per-partition top-k, k-row driver
+    merge — never a global sort)
+    (operators/sampling.weighted_sample_topk)."""
+    from .operators.sampling import weighted_sample_topk
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "w", F.greatest(F.col("n_chars"), F.lit(1)).cast("long")
+    )
+    top = weighted_sample_topk(d, "doc_id", "w", WEIGHTED_SAMPLE_K)
+    return (
+        top.groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("w").alias("total_chars"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list(doc_id)),"
+                    " x -> cast(x as string)), ',')"
+                )
+            ).alias("ids_md5"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_SAMPLE_WEIGHTED_ARES = f"""
+WITH h AS (
+  SELECT doc_id, source, greatest(n_chars, 1) AS w,
+         {ID_HASH_DUCK.format(col='doc_id')} AS hv
+  FROM documents),
+k AS (
+  SELECT doc_id, source, w,
+         ln((CAST(hv AS DOUBLE) + 1.0) / {float((1 << 60) + 1)!r}) / w AS wkey
+  FROM h),
+top AS (SELECT * FROM k ORDER BY wkey DESC, doc_id LIMIT {WEIGHTED_SAMPLE_K})
+SELECT source, count(*) AS n_sampled,
+       CAST(sum(w) AS BIGINT) AS total_chars,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+FROM top GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5460,6 +5583,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_sketch_bloom_contamination, SQL_SKETCH_BLOOM
     ),
     "graph_pagerank": (q_graph_pagerank, _sql_graph_pagerank()),
+    "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
+    "sample_weighted_ares": (q_sample_weighted_ares, SQL_SAMPLE_WEIGHTED_ARES),
     "text_winnowing": (q_text_winnowing, SQL_TEXT_WINNOWING),
     "dedup_sorted_neighborhood": (
         q_dedup_sorted_neighborhood, SQL_DEDUP_SNM

@@ -829,3 +829,53 @@ def test_hashed_linear_score_guards_and_determinism(spark):
     # 2-token doc has 3 features (2 uni + 1 bigram)
     # (sanity: distinct texts should not all collide on one score)
     assert len({round(v, 9) for v in s.values()}) >= 3
+
+
+def test_count_triangles_known_graphs(spark):
+    from pdf_parser_c_spark.operators.graph import count_triangles
+
+    # K4: 4 triangles, 6 edges, clustering 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    r = count_triangles(df).collect()[0]
+    assert (r["n_vertices"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    assert abs(r["clustering"] - 1.0) < 1e-9
+    # path graph: 0 triangles; duplicate/reversed/self-loop inputs tolerated
+    path = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 3), (2, 3)]
+    r = count_triangles(
+        spark.createDataFrame(path, "src long, dst long")
+    ).collect()[0]
+    assert (r["n_vertices"], r["n_edges"], r["n_triangles"]) == (4, 3, 0)
+    # star (hot vertex): orientation sends all edges INTO the hub, so
+    # the wedge join has zero fanout on it — and 0 triangles
+    star = [(0, i) for i in range(1, 9)]
+    r = count_triangles(
+        spark.createDataFrame(star, "src long, dst long")
+    ).collect()[0]
+    assert (r["n_triangles"], r["n_wedges"]) == (0, 28)
+
+
+def test_weighted_sample_topk_matches_reference_and_biases(spark):
+    import hashlib
+    import math
+
+    from pdf_parser_c_spark.operators.sampling import weighted_sample_topk
+
+    n = 60
+    rows = [(i, (i % 6 + 1) * 10) for i in range(n)]  # weights 10..60
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [r["doc_id"] for r in weighted_sample_topk(df, "doc_id", "w", 20)
+           .orderBy(F.col("_wkey").desc(), "doc_id").collect()]
+
+    def key(i, w):
+        hv = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return math.log((hv + 1.0) / float((1 << 60) + 1)) / w
+
+    ref = sorted(rows, key=lambda t: (-key(*t), t[0]))[:20]
+    assert got == [i for i, _ in ref]
+    # k >= n keeps everything
+    assert weighted_sample_topk(df, "doc_id", "w", 500).count() == n
+    # weight bias: heavy rows (w=60) overrepresented vs light (w=10)
+    heavy = sum(1 for i in got if rows[i][1] == 60)
+    light = sum(1 for i in got if rows[i][1] == 10)
+    assert heavy > light

@@ -391,3 +391,27 @@ def test_paragraph_dedup_digest_bounded(spark):
     # bucketed by content hash, never a pair self-join on docs
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangles_equikeyed_never_cartesian(spark):
+    plan = plan_of(spark, QUERIES["graph_triangles"][0](spark, SF_DIR),
+                   "simple")
+    # wedge + closing joins are HASH equi-joins on vertex/pair keys —
+    # the closing join must key on the (b, c) pair, not filter a loop
+    assert "CartesianProduct" not in plan
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[b#\d+L, c#\d+L\]",
+        plan,
+    )
+    # nested-loop joins appear ONLY as 1-row-build count/stat frames
+    # (the d × count(_n) generator and the 1×1 rollup), i.e. every one
+    # is Inner/Cross with a BuildRight scalar — never a Filter-fed
+    # pair loop over the edge set
+    assert "BuildLeft" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    plan = plan_of(spark, QUERIES["sample_weighted_ares"][0](spark, SF_DIR),
+                   "simple")
+    # per-partition top-k + k-row merge, not a global sort of the corpus
+    assert "TakeOrderedAndProject" in plan
