@@ -175,3 +175,50 @@ def lang_ngram_prediction(profiles: dict[str, tuple[str, ...]], col: str = "text
         pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
         best = F.greatest(best, scores[lang])
     return pred
+
+
+def url_host_parts(url_col: str = "url") -> Column:
+    """Parse a URL into its filtering keys — struct(host, regdom, tld):
+    the lowercased authority with any leading ``www.`` stripped, the
+    registered domain (last two labels — the eTLD+1 approximation a
+    public-suffix list refines in deployment), and the TLD.  The
+    C4/RefinedWeb URL-filter preamble; pure regex + array math, so the
+    classification stays inside whole-stage codegen and the blocklist
+    probe downstream is an equi-key broadcast join."""
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host_nw = F.regexp_replace(host, r"^www\.", "")
+    labels = F.split(host_nw, r"\.")
+    regdom = F.concat_ws(
+        ".", F.slice(labels, F.greatest(F.size(labels) - 1, F.lit(1)), F.lit(2))
+    )
+    tld = F.element_at(labels, -1)
+    return F.struct(
+        host_nw.alias("host"), regdom.alias("regdom"), tld.alias("tld")
+    )
+
+
+def chunk_windows(tokens_col: str = "tk", width: int = 64, stride: int = 48) -> Column:
+    """Sliding-window chunking for embedding / context-window
+    pipelines: over a token-array column, emit
+    ``array<struct<idx:int, n_tokens:bigint, chunk:string>>`` — windows
+    of `width` tokens advancing by `stride` (width−stride tokens of
+    overlap), 1-based index; a doc at or under `width` tokens yields
+    exactly one chunk, and the final window keeps the tail (never
+    dropped, never padded).  All map-side array math: explode the
+    result and the corpus chunks without any shuffle."""
+    if not (0 < stride <= width):
+        raise ValueError("need 0 < stride <= width")
+    n = f"size({tokens_col})"
+    n_chunks = (
+        f"1 + CASE WHEN {n} > {width} THEN"
+        f" CAST(ceil(({n} - {width}) / {stride}.0) AS INT) ELSE 0 END"
+    )
+    win = f"slice({tokens_col}, 1 + (i - 1) * {stride}, {width})"
+    return F.expr(
+        f"transform(sequence(1, {n_chunks}), i -> struct("
+        f"i AS idx,"
+        f" CAST(size({win}) AS BIGINT) AS n_tokens,"
+        f" array_join({win}, ' ') AS chunk))"
+    )

@@ -5492,6 +5492,285 @@ FROM top GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# URL filtering, perplexity buckets, sliding-window chunking — the
+# C4/RefinedWeb front gate, the CCNet head/middle/tail split, and the
+# embedding-pipeline chunker
+# --------------------------------------------------------------------------
+
+# deterministic synthetic URLs (the documents table carries no url
+# column): host picked from a fixed 8-entry table by an md5 digit of
+# doc_id, optional www. prefix by a second digit — the oracle derives
+# the identical urls, so the FILTERING logic (parse, normalize,
+# blocklist precedence) is what the hash-match proves.
+URL_HOSTS = (
+    "en.wikipedia.org", "docs.python.org", "github.com", "arxiv.org",
+    "spam-mill.biz", "tracker.adnet.xyz", "casino-wins.top",
+    "news.example.com",
+)
+URL_BLOCKED_HOSTS = ("spam-mill.biz", "news.example.com")
+URL_BLOCKED_DOMAINS = ("adnet.xyz",)
+URL_BLOCKED_TLDS = ("top",)
+
+
+def _synthetic_url_expr() -> str:
+    hosts = ", ".join(f"'{h}'" for h in URL_HOSTS)
+    return (
+        "concat('https://',"
+        " CASE WHEN CAST(conv(substr(md5(cast(doc_id as string)), 2, 1), 16, 10)"
+        "      AS INT) % 2 = 0 THEN 'www.' ELSE '' END,"
+        f" element_at(array({hosts}),"
+        " CAST(conv(substr(md5(cast(doc_id as string)), 1, 1), 16, 10) AS INT)"
+        f" % {len(URL_HOSTS)} + 1),"
+        " '/p/', cast(doc_id as string))"
+    )
+
+
+def q_filter_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style URL front gate: parse the authority out of
+    each document's URL, normalize (lowercase, strip www.), derive the
+    registered domain and TLD, then classify against a blocklist with
+    first-match precedence exact-host > registered-domain > TLD —
+    censused per source.
+    Scale: parse/normalize is whole-stage-codegen column math
+    (functions/text.url_host_parts); the blocklists broadcast (real
+    ones are 10^5-10^6 hosts — far under the broadcast threshold) and
+    probe as equi-key hash joins, so the corpus never shuffles; the
+    TLD list is a literal IN.  A public-suffix list would replace the
+    last-two-labels registered-domain rule in deployment, same shape."""
+    from .functions.text import url_host_parts
+
+    d = t(spark, sf_dir, "documents")
+    parsed = (
+        d.select("doc_id", "source", F.expr(_synthetic_url_expr()).alias("url"))
+        .withColumn("p", url_host_parts("url"))
+        .select("source", "p.host", "p.regdom", "p.tld")
+    )
+    host_bl = F.broadcast(
+        spark.createDataFrame([(h,) for h in URL_BLOCKED_HOSTS], ["bl_host"])
+    )
+    dom_bl = F.broadcast(
+        spark.createDataFrame([(x,) for x in URL_BLOCKED_DOMAINS], ["bl_dom"])
+    )
+    flagged = (
+        parsed.join(host_bl, parsed.host == host_bl.bl_host, "left")
+        .join(dom_bl, parsed.regdom == dom_bl.bl_dom, "left")
+        .withColumn(
+            "reason",
+            F.when(F.col("bl_host").isNotNull(), F.lit("host"))
+            .when(F.col("bl_dom").isNotNull(), F.lit("domain"))
+            .when(F.col("tld").isin(*URL_BLOCKED_TLDS), F.lit("tld")),
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("reason") == "host").cast("long")).alias("n_blocked_host"),
+            F.sum((F.col("reason") == "domain").cast("long")).alias("n_blocked_domain"),
+            F.sum((F.col("reason") == "tld").cast("long")).alias("n_blocked_tld"),
+            F.sum(F.col("reason").isNull().cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_filter_url() -> str:
+    hosts = ", ".join(f"'{h}'" for h in URL_HOSTS)
+    bl_hosts = ", ".join(f"'{h}'" for h in URL_BLOCKED_HOSTS)
+    bl_doms = ", ".join(f"'{x}'" for x in URL_BLOCKED_DOMAINS)
+    bl_tlds = ", ".join(f"'{x}'" for x in URL_BLOCKED_TLDS)
+    return f"""
+WITH u AS (
+  SELECT source,
+         'https://' ||
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))
+                   AS BIGINT) % 2 = 0 THEN 'www.' ELSE '' END ||
+         ([{hosts}])[CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                     AS BIGINT) % {len(URL_HOSTS)} + 1] ||
+         '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+p AS (
+  SELECT source,
+         regexp_replace(lower(regexp_extract(url,
+             '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', '') AS host
+  FROM u),
+parts AS (
+  SELECT source, host, string_split(host, '.') AS ls FROM p),
+cls AS (
+  SELECT source,
+         CASE
+           WHEN host IN ({bl_hosts}) THEN 'host'
+           WHEN ls[-2] || '.' || ls[-1] IN ({bl_doms}) THEN 'domain'
+           WHEN ls[-1] IN ({bl_tlds}) THEN 'tld'
+         END AS reason
+  FROM parts)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN reason = 'host' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blocked_host,
+       CAST(sum(CASE WHEN reason = 'domain' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blocked_domain,
+       CAST(sum(CASE WHEN reason = 'tld' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blocked_tld,
+       CAST(sum(CASE WHEN reason IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM cls GROUP BY source ORDER BY source
+"""
+
+
+def q_text_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity split: per-language terciles
+    of the char-trigram LM NLL (text_lm_score's model), the bucketing
+    CCNet uses to keep/deprioritize/drop web text by LM quality.
+    nll is rounded to 4 decimals BEFORE ranking and ties break on
+    doc_id, so the tercile order is engine-portable (a float-sum ulp
+    cannot reorder it unless a doc sits exactly on a rounding edge;
+    measured min distance from an edge: 2.1e-9 nll at sf0.001 vs
+    ~1e-15 cross-engine reorder error).
+    Scale: model broadcast, one exchange for per-doc NLL, then ntile
+    inside per-language window partitions — the global sort is per
+    lang, and a skewed language splits with the same epoch trick as
+    events_rolling_split if one lang dominates."""
+    from .operators.quality_lm import char_ngram_model, score_documents
+
+    d = t(spark, sf_dir, "documents")
+    seed = d.filter(F.col("doc_id") < LM_SEED_DOCS)
+    rest = d.filter(F.col("doc_id") >= LM_SEED_DOCS)
+    model, stats = char_ngram_model(seed, "doc_id", "text", 3)
+    nll = score_documents(rest, model, stats, "doc_id", "text", 3)
+    joined = nll.join(
+        rest.select(F.col("doc_id").alias("doc"), "lang"), "doc"
+    ).withColumn("r_nll", F.round("nll", 4))
+    w = Window.partitionBy("lang").orderBy("r_nll", "doc")
+    return (
+        joined.withColumn("tercile", F.ntile(3).over(w))
+        .groupBy("lang", "tercile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("r_nll"), 4).alias("avg_nll"),
+            F.min("r_nll").alias("min_nll"),
+            F.max("r_nll").alias("max_nll"),
+        )
+        .orderBy("lang", "tercile")
+    )
+
+
+SQL_TEXT_LM_BUCKETS = f"""
+WITH tri_seed AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(text) - 2, 0)),
+                               i -> text[i:i+2])) AS t
+  FROM documents WHERE doc_id < {LM_SEED_DOCS}),
+model AS (SELECT t, count(*) AS c FROM tri_seed GROUP BY t),
+stats AS (SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS v FROM model),
+tri AS (
+  SELECT doc_id AS doc, lang,
+         unnest(list_transform(generate_series(1, greatest(len(text) - 2, 0)),
+                               i -> text[i:i+2])) AS t
+  FROM documents WHERE doc_id >= {LM_SEED_DOCS}),
+scored AS (
+  SELECT tri.doc, tri.lang,
+         ln((COALESCE(model.c, 0) + 1) * 1.0 / (stats.total + stats.v)) AS lp
+  FROM tri LEFT JOIN model USING (t) CROSS JOIN stats),
+nll AS (SELECT doc, lang, round(-avg(lp), 4) AS r_nll FROM scored GROUP BY 1, 2),
+b AS (
+  SELECT lang, r_nll,
+         CAST(ntile(3) OVER (PARTITION BY lang ORDER BY r_nll, doc)
+              AS INTEGER) AS tercile
+  FROM nll)
+SELECT lang, tercile, count(*) AS n_docs,
+       round(avg(r_nll), 4) AS avg_nll,
+       min(r_nll) AS min_nll,
+       max(r_nll) AS max_nll
+FROM b GROUP BY lang, tercile ORDER BY lang, tercile
+"""
+
+
+CHUNK_W, CHUNK_S = 64, 48
+
+
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking census: every document split into
+    64-token windows advancing by 48 (16-token overlap) —
+    the chunker every embedding/RAG indexing pipeline runs before
+    vectorizing.  The per-source md5 over ordered (doc:idx:digest)
+    triples pins EVERY chunk's exact text, not just counts.
+    Scale: chunk boundaries are pure map-side array math over the
+    token array (functions/text.chunk_windows) — the corpus never
+    shuffles to chunk; the only exchange is the final tiny census."""
+    from .functions.text import chunk_windows
+
+    d = t(spark, sf_dir, "documents")
+    chunks = (
+        d.select("doc_id", "source", F.split("text", " ").alias("tk"))
+        .select(
+            "doc_id", "source",
+            F.explode(chunk_windows("tk", CHUNK_W, CHUNK_S)).alias("c"),
+        )
+        .select(
+            "doc_id", "source",
+            F.col("c.idx").alias("idx"),
+            F.col("c.n_tokens").alias("clen"),
+            F.md5("c.chunk").alias("dg"),
+        )
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            # every doc emits exactly one idx=1 chunk, so this IS the
+            # distinct doc count — without the extra (source, doc_id)
+            # expand-exchange a count(distinct) plans
+            F.sum((F.col("idx") == 1).cast("long")).alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("clen").alias("total_chunk_tokens"),
+            F.max("clen").alias("max_chunk_tokens"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list("
+                    "struct(doc_id, idx, dg))),"
+                    " s -> cast(s.doc_id as string) || ':' ||"
+                    " cast(s.idx as string) || ':' || s.dg), ',')"
+                )
+            ).alias("chunks_md5"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TEXT_CHUNK_WINDOWS = f"""
+WITH tk AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, source, tk,
+         1 + CASE WHEN n > {CHUNK_W}
+             THEN CAST(ceil((n - {CHUNK_W}) / {CHUNK_S}.0) AS INT)
+             ELSE 0 END AS n_chunks
+  FROM tk),
+ex AS (
+  SELECT doc_id, source, tk,
+         unnest(generate_series(1, n_chunks)) AS idx
+  FROM c),
+ch AS (
+  SELECT doc_id, source, idx,
+         CAST(len(list_slice(tk, 1 + (idx - 1) * {CHUNK_S},
+                             (idx - 1) * {CHUNK_S} + {CHUNK_W})) AS BIGINT)
+           AS clen,
+         md5(array_to_string(list_slice(tk, 1 + (idx - 1) * {CHUNK_S},
+                                        (idx - 1) * {CHUNK_S} + {CHUNK_W}),
+                             ' ')) AS dg
+  FROM ex)
+SELECT source,
+       CAST(sum(CASE WHEN idx = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       count(*) AS n_chunks,
+       CAST(sum(clen) AS BIGINT) AS total_chunk_tokens,
+       max(clen) AS max_chunk_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(idx AS VARCHAR)
+                      || ':' || dg, ',' ORDER BY doc_id, idx)) AS chunks_md5
+FROM ch GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5594,6 +5873,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "text_lm_score": (q_text_lm_score, SQL_TEXT_LM_SCORE),
+    "text_lm_buckets": (q_text_lm_buckets, SQL_TEXT_LM_BUCKETS),
+    "text_chunk_windows": (q_text_chunk_windows, SQL_TEXT_CHUNK_WINDOWS),
+    "filter_url_blocklist": (q_filter_url_blocklist, _sql_filter_url()),
     "tpch_order_priority": (q_tpch_order_priority, SQL_TPCH_ORDER_PRIORITY),
     "section_tree": (q_section_tree, SQL_SECTION_TREE),
     "extraction_e2e": (q_extraction_e2e, SQL_EXTRACTION_E2E),

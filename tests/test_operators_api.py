@@ -879,3 +879,59 @@ def test_weighted_sample_topk_matches_reference_and_biases(spark):
     heavy = sum(1 for i in got if rows[i][1] == 60)
     light = sum(1 for i in got if rows[i][1] == 10)
     assert heavy > light
+
+
+def test_url_host_parts_normalization(spark):
+    from pdf_parser_c_spark.functions.text import url_host_parts
+
+    rows = [
+        ("https://WWW.Example.COM/path?q=1",),
+        ("http://tracker.adnet.xyz/p/1",),
+        ("https://localhost/x",),
+        ("ftp://www.sub.deep.example.co/file",),
+        ("not a url",),
+    ]
+    df = spark.createDataFrame(rows, ["url"]).select(url_host_parts("url").alias("p"))
+    got = [(r.p.host, r.p.regdom, r.p.tld) for r in df.collect()]
+    assert got[0] == ("example.com", "example.com", "com")
+    assert got[1] == ("tracker.adnet.xyz", "adnet.xyz", "xyz")
+    # single-label host: regdom and tld degrade to the label itself
+    assert got[2] == ("localhost", "localhost", "localhost")
+    # www. stripped only as a LEADING label; regdom is last two labels
+    assert got[3] == ("sub.deep.example.co", "example.co", "co")
+    # non-URL input parses to empty parts, never raises
+    assert got[4] == ("", "", "")
+
+
+def test_chunk_windows_boundaries_and_overlap(spark):
+    import pytest as _pytest
+
+    from pdf_parser_c_spark.functions.text import chunk_windows
+
+    def chunks_of(n_tokens):
+        text = " ".join(f"t{i}" for i in range(1, n_tokens + 1))
+        df = (
+            spark.createDataFrame([(text,)], ["text"])
+            .select(F.split("text", " ").alias("tk"))
+            .select(F.explode(chunk_windows("tk", 64, 48)).alias("c"))
+        )
+        return [(r.c.idx, r.c.n_tokens, r.c.chunk) for r in df.collect()]
+
+    # at the width: exactly one chunk, never an empty second window
+    one = chunks_of(64)
+    assert len(one) == 1 and one[0][1] == 64
+    # one past the width: second chunk starts at token 49 (16 overlap)
+    two = chunks_of(65)
+    assert [c[1] for c in two] == [64, 17]
+    assert two[1][2].split(" ")[0] == "t49"
+    # the tail window is kept, not dropped: 113 = 64 + 48 + 1
+    three = chunks_of(113)
+    assert [c[1] for c in three] == [64, 64, 17]
+    assert three[2][2].split(" ")[0] == "t97"
+    # empty text is one chunk of the single empty token
+    empty = spark.createDataFrame([("",)], ["text"]).select(
+        F.split("text", " ").alias("tk")
+    ).select(F.explode(chunk_windows("tk", 64, 48)).alias("c")).collect()
+    assert len(empty) == 1 and empty[0].c.n_tokens == 1
+    with _pytest.raises(ValueError):
+        chunk_windows("tk", 64, 65)

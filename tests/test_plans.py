@@ -415,3 +415,34 @@ def test_weighted_sample_is_take_ordered(spark):
                    "simple")
     # per-partition top-k + k-row merge, not a global sort of the corpus
     assert "TakeOrderedAndProject" in plan
+
+
+def test_url_blocklist_broadcasts_both_lists(spark):
+    plan = plan_of(spark, QUERIES["filter_url_blocklist"][0](spark, SF_DIR),
+                   "simple")
+    # both blocklist probes are broadcast hash joins on the corpus
+    # side; the corpus itself never shuffles before the tiny census
+    assert len(re.findall(r"BroadcastHashJoin", plan)) == 2
+    assert "SortMergeJoin" not in plan
+    assert n_data_exchanges(plan) == 1  # the census groupBy only
+
+
+def test_chunk_windows_maps_then_one_census_exchange(spark):
+    plan = plan_of(spark, QUERIES["text_chunk_windows"][0](spark, SF_DIR),
+                   "simple")
+    # chunking is generate/project over the scan — the corpus never
+    # shuffles to chunk; the one hash exchange is the census groupBy
+    assert "Generate explode" in plan
+    assert n_data_exchanges(plan) == 1
+    assert "Join" not in plan
+
+
+def test_lm_buckets_windows_inside_lang_partitions(spark):
+    plan = plan_of(spark, QUERIES["text_lm_buckets"][0](spark, SF_DIR),
+                   "simple")
+    # ntile runs inside per-language partitions (no global single-task
+    # window), and the trigram model attaches as a broadcast
+    assert re.search(r"Window \[.*ntile.*partitionBy.*lang",
+                     plan.replace("\n", " ")) or "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert not re.search(r"Window \[[^\]]*\]\s*$", plan)
