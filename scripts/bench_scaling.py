@@ -327,6 +327,8 @@ def write_report(repo: str, cells: dict, corpus_len: int,
                                for c in half_results})
         half_kernel_eff = eff(8, 32, {c: half_kernel[c]["rows_per_sec"]
                                       for c in half_kernel})
+    half_eff_norm = half_eff / eff(8, 32, hw)
+    half_kernel_eff_norm = half_kernel_eff / eff(8, 32, hw)
     e28 = eff(2, 8, job)
     e832_norm = eff(8, 32, job) / eff(8, 32, hw)
     verdict = "PASS" if (e28 >= 0.8 or e832_norm >= 0.8) else "FAIL"
@@ -426,8 +428,13 @@ not at 32 where it introduces its own confound.
 |---|---|---|---|---|
 {half_rows}
 
-Half-corpus 8→32: kernel efficiency {half_kernel_eff:.3f}, full-job
-(no-disk) efficiency {half_eff:.3f}.
+Half-corpus 8→32: kernel efficiency {half_kernel_eff:.3f} raw
+({half_kernel_eff_norm:.3f} against the {hw832:.3f} hw ceiling),
+full-job (no-disk) {half_eff:.3f} raw ({half_eff_norm:.3f}
+normalized) — at half the rows the per-level fixed overhead (JVM+scan
+setup, ~1.5 s) is twice the fraction of an 8-core run, so the raw
+numbers sit below the full-corpus cells by construction; the
+normalized values track them within noise.
 
 Reproduce: `SCALE_SAMPLES=/tmp/s.jsonl python scripts/bench_scaling.py --loop`
 (hours, Ctrl-C), then `python scripts/bench_scaling.py --reduce /tmp/s.jsonl`
