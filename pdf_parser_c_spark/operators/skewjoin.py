@@ -1,0 +1,58 @@
+"""Skew-defused equi-join: salt the big side, replicate the small side.
+
+The canonical hot-key join fix (SURVEY.md §2 north-rule additions list
+"salting for skew" beside AQE): a shuffle equi-join sends every row of
+a key to ONE task, so a celebrity key becomes a straggler that caps the
+whole stage.  Salting spreads it — the big side gets a deterministic
+salt in [0, n_salt), the small side is replicated once per salt value,
+and the join key becomes (key, salt): a hot key's rows land on n_salt
+tasks instead of one.  Cost: the small side shuffles n_salt× its size —
+cheap exactly when the sides are asymmetric, which is the skew case.
+
+This complements AQE's skew-split (which halves oversized partitions
+AFTER materializing the map output): salting bounds the per-task key
+fanout BEFORE the shuffle, works for stateful consumers AQE cannot
+split, and composes with it.  The engine uses the same trick for the
+extraction kernel (`engine.salted_repartition`); this is the general
+join form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_equi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salt: int = 16,
+    how: str = "inner",
+    force_shuffle: bool = True,
+) -> DataFrame:
+    """Join ``big`` to ``small`` on ``key`` with the big side salted
+    n_salt ways and the small side replicated n_salt times.
+
+    Result rows are identical to ``big.join(small, key, how)`` — the
+    salt is an internal column, dropped on the way out.  ``how`` is
+    restricted to inner/left: replicating the small side would
+    duplicate ITS unmatched rows under right/full semantics.
+
+    ``force_shuffle`` (default) hints shuffle_hash on the replicated
+    side: the operator exists for small sides past the broadcast
+    threshold, and without the hint a local test corpus would broadcast
+    and hide the salted exchange this operator is about.  The salt is
+    a deterministic hash of the whole big row, so runs reproduce."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_equi_join supports how='inner'/'left' only")
+    if n_salt < 1:
+        raise ValueError("n_salt must be >= 1")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salt))
+    b = big.withColumn("_salt", salt.cast("int"))
+    # sequence of int literals is already array<int>, matching the cast
+    # on the big side's salt (a generator cannot nest inside a cast)
+    s = small.withColumn("_salt", F.explode(F.expr(f"sequence(0, {n_salt - 1})")))
+    if force_shuffle:
+        s = s.hint("shuffle_hash")
+    return b.join(s, [key, "_salt"], how).drop("_salt")

@@ -84,6 +84,7 @@ def main() -> None:
         "filter_url_blocklist": "URL gate: parse/normalize in codegen column math; BOTH blocklist probes BroadcastHashJoin, TLD is a literal IN — the corpus's only exchange is the census groupBy",
         "text_lm_buckets": "perplexity terciles: trigram model BroadcastHashJoin onto the n-gram explode, per-doc NLL on one exchange, ntile window inside per-lang partitions (never a global single-task window)",
         "text_chunk_windows": "chunking: Generate explode over map-side array math — corpus never shuffles to chunk; idx=1 count stands in for count(distinct doc), so the census is ONE exchange and no Expand",
+        "events_salted_enrich": "skew-defused join: ShuffledHashJoin keyed on (user_id, _salt) — a hot user's rows spread over n_salt tasks BEFORE the shuffle; the profile side pays n_salt x its own small size",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

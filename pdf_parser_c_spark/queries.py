@@ -5770,6 +5770,50 @@ FROM ch GROUP BY source ORDER BY source
 """
 
 
+def q_events_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defused dimension enrichment: every event joins its user's
+    profile (per-user avg value + event count, derived here from the
+    same table), with the join salted 8 ways — a hot user's events
+    spread over 8 tasks instead of one straggler.  The DuckDB oracle is
+    the PLAIN join, so the hash-match proves salting changes nothing
+    but the physical plan.
+    Scale: the big side shuffles once on (user_id, salt); the profile
+    side pays 8× its own (small) size; per-task key fanout is bounded
+    BEFORE the shuffle, where AQE's skew-split can only halve
+    partitions after the map output exists
+    (operators/skewjoin.salted_equi_join)."""
+    from .operators.skewjoin import salted_equi_join
+
+    ev = t(spark, sf_dir, "events")
+    profile = ev.groupBy("user_id").agg(
+        F.avg("value").alias("u_avg"), F.count("*").alias("u_n")
+    )
+    enriched = salted_equi_join(
+        ev.select("user_id", "event_type", "value"), profile, "user_id", 8
+    )
+    return (
+        enriched.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg(F.col("value") - F.col("u_avg")), 4).alias("avg_gap"),
+            F.max("u_n").alias("max_user_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_SALTED_ENRICH = """
+WITH prof AS (
+  SELECT user_id, avg(value) AS u_avg, count(*) AS u_n
+  FROM events GROUP BY user_id)
+SELECT event_type, count(*) AS n_events,
+       round(avg(value - u_avg), 4) AS avg_gap,
+       CAST(max(u_n) AS BIGINT) AS max_user_events
+FROM events JOIN prof USING (user_id)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5876,6 +5920,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_lm_buckets": (q_text_lm_buckets, SQL_TEXT_LM_BUCKETS),
     "text_chunk_windows": (q_text_chunk_windows, SQL_TEXT_CHUNK_WINDOWS),
     "filter_url_blocklist": (q_filter_url_blocklist, _sql_filter_url()),
+    "events_salted_enrich": (q_events_salted_enrich, SQL_EVENTS_SALTED_ENRICH),
     "tpch_order_priority": (q_tpch_order_priority, SQL_TPCH_ORDER_PRIORITY),
     "section_tree": (q_section_tree, SQL_SECTION_TREE),
     "extraction_e2e": (q_extraction_e2e, SQL_EXTRACTION_E2E),

@@ -935,3 +935,35 @@ def test_chunk_windows_boundaries_and_overlap(spark):
     assert len(empty) == 1 and empty[0].c.n_tokens == 1
     with _pytest.raises(ValueError):
         chunk_windows("tk", 64, 65)
+
+
+def test_salted_equi_join_equals_plain_join(spark):
+    import random
+
+    import pytest as _pytest
+
+    from pdf_parser_c_spark.operators.skewjoin import salted_equi_join
+
+    rnd = random.Random(7)
+    # hot key 0 carries half the rows; keys 90+ have no dim row (left
+    # semantics must keep them, inner must drop them)
+    big_rows = [(0 if rnd.random() < 0.5 else rnd.randrange(100),
+                 rnd.randrange(1000)) for _ in range(600)]
+    dim_rows = [(k, f"d{k}") for k in range(90)]
+    big = spark.createDataFrame(big_rows, ["k", "v"])
+    dim = spark.createDataFrame(dim_rows, ["k", "d"])
+
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r) for r in salted_equi_join(big, dim, "k", 8, how).collect()
+        )
+        want = sorted(tuple(r) for r in big.join(dim, "k", how).collect())
+        assert got == want, how
+    # n_salt=1 degenerates to the plain join
+    got1 = sorted(tuple(r) for r in salted_equi_join(big, dim, "k", 1).collect())
+    want1 = sorted(tuple(r) for r in big.join(dim, "k", "inner").collect())
+    assert got1 == want1
+    with _pytest.raises(ValueError):
+        salted_equi_join(big, dim, "k", 8, "full")
+    with _pytest.raises(ValueError):
+        salted_equi_join(big, dim, "k", 0)

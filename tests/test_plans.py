@@ -446,3 +446,14 @@ def test_lm_buckets_windows_inside_lang_partitions(spark):
                      plan.replace("\n", " ")) or "Window" in plan
     assert "BroadcastHashJoin" in plan
     assert not re.search(r"Window \[[^\]]*\]\s*$", plan)
+
+
+def test_salted_enrich_joins_on_key_and_salt(spark):
+    plan = plan_of(spark, QUERIES["events_salted_enrich"][0](spark, SF_DIR),
+                   "simple")
+    # the join must be a shuffle join keyed on (user_id, _salt) — a
+    # broadcast would hide the salted exchange the operator exists for
+    assert "ShuffledHashJoin" in plan
+    assert re.search(r"ShuffledHashJoin \[user_id#\d+L, _salt#\d+\]", plan)
+    assert "BroadcastHashJoin" not in plan
+    assert re.search(r"Exchange hashpartitioning\(user_id#\d+L, _salt#\d+", plan)
