@@ -278,6 +278,7 @@ def run_probe() -> str:
         body.extend(rolling_session_hot_key_probe(spark))
         body.extend(substring_hot_window_probe(spark))
         body.extend(embedding_hot_cell_probe(spark))
+        body.extend(salted_join_hot_key_probe(spark))
         return "\n".join(body)
     finally:
         for k, v in saved.items():
@@ -616,6 +617,61 @@ def embedding_hot_cell_probe(spark) -> list[str]:
         f"**{max_cell2}** (~{pairs_dedup:,} pairs), {wall_dedup:.1f} s, "
         f"asserted < n_hot/4.  At 100 TB the same ordering holds; k then "
         f"scales with the POST-dedup corpus to bound E[n_b].",
+        "",
+    ]
+
+
+def salted_join_hot_key_probe(spark) -> list[str]:
+    """One celebrity key owning most of a fact side: the plain shuffle
+    join lands every one of its rows on ONE reducer; the salted join
+    must (a) return the identical result and (b) bound the largest
+    (key, salt) cell at ~1/n_salt of the hot key.  Deterministic data
+    (spark.range, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_c_spark.operators.skewjoin import salted_equi_join
+
+    n_salt = 8
+    hot = spark.range(400_000).select(
+        F.lit(0).cast("long").alias("k"), F.col("id").alias("v")
+    )
+    cold = spark.range(200_000).select(
+        (F.col("id") % 50 + 1).alias("k"), (F.col("id") + 1_000_000).alias("v")
+    )
+    fact = hot.unionAll(cold)
+    dim = spark.range(64).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("d")
+    )
+    plain = fact.hint("shuffle_hash").join(dim, "k", "inner")
+    salted = salted_equi_join(fact, dim, "k", n_salt)
+    import time
+
+    t0 = time.time(); n_plain = plain.count(); t_plain = time.time() - t0
+    t0 = time.time(); n_salted = salted.count(); t_salted = time.time() - t0
+    assert n_plain == n_salted == 600_000
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+    print("plain join == salted join on the hot-key corpus", file=sys.stderr)
+
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt))
+    per_key = fact.groupBy("k").count().agg(F.max("count")).collect()[0][0]
+    per_cell = (
+        fact.withColumn("_salt", salt)
+        .groupBy("k", "_salt").count().agg(F.max("count")).collect()[0][0]
+    )
+    return [
+        "### salted equi-join hot key (plain vs salted)",
+        "",
+        f"One key owns 400k of 600k fact rows.  The plain shuffle join "
+        f"sends **{per_key:,}** rows to one reducer (one task at any "
+        f"cluster size); `salted_equi_join` (n_salt = {n_salt}) bounds "
+        f"the largest (key, salt) cell at **{per_cell:,}** rows — a "
+        f"{per_key / per_cell:.1f}× split, the whole-row hash spreading "
+        f"the hot key near-uniformly — and returns the IDENTICAL result "
+        f"(exceptAll both ways = 0, asserted; probe walls {t_plain:.1f}s "
+        f"vs {t_salted:.1f}s at local[32], where one 400k-row cell "
+        f"doesn't yet hurt — the bound is what matters at 10^9 "
+        f"rows/key).",
         "",
     ]
 
