@@ -1,4 +1,4 @@
-"""Transcript source readers: parquet (canonical), JSONL, and CSV —
+"""Transcript source readers: parquet (canonical), ORC, JSONL, CSV —
 each normalized to the canonical transcripts schema
 ``(conv_id string, turn_idx int, role string, text string,
 tool string, ts timestamp)`` so the extraction kernel is
@@ -65,6 +65,15 @@ def read_transcripts(
                     TRANSCRIPTS_SCHEMA.fields  # enforced, not inferred
                 )
             ).parquet(path)
+        )
+    if fmt == "orc":
+        # ORC ships in Spark core (no extra jar); typed like parquet,
+        # same enforced schema — the second columnar lake format a
+        # migration source commonly arrives in
+        return _normalize(
+            spark.read.schema(
+                T.StructType(TRANSCRIPTS_SCHEMA.fields)
+            ).orc(path)
         )
     if fmt == "jsonl":
         return _normalize(

@@ -29,7 +29,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="transcripts table path")
     ap.add_argument("--format", default="parquet",
-                    choices=("parquet", "jsonl", "csv"),
+                    choices=("parquet", "orc", "jsonl", "csv"),
                     help="source format (normalized to the canonical schema)")
     ap.add_argument("--output", required=True, help="job output root")
     ap.add_argument("--buckets", type=int, default=64, help="checkpoint buckets")

@@ -370,9 +370,15 @@ def test_transcript_readers_normalize_all_formats(spark, tmp_path):
     pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
                    str(tmp_path / "t.parquet"))
 
+    # orc (second columnar format, Spark-native jars): canonical types
+    orc_dir = tmp_path / "t.orc"
+    read_transcripts(spark, str(tmp_path / "t.parquet"), "parquet").write.orc(
+        str(orc_dir)
+    )
+
     outs = {}
     for fmt, path in (("parquet", tmp_path / "t.parquet"),
-                      ("jsonl", jl), ("csv", cv)):
+                      ("orc", orc_dir), ("jsonl", jl), ("csv", cv)):
         df = read_transcripts(spark, str(path), fmt)
         assert [f.name for f in df.schema.fields] == [
             "conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -382,6 +388,7 @@ def test_transcript_readers_normalize_all_formats(spark, tmp_path):
         outs[fmt] = [(r["conv_id"], r["turn_idx"], r["kind"], r["text"]) for r in got]
     assert outs["jsonl"] == outs["parquet"]
     assert outs["csv"] == outs["parquet"]
+    assert outs["orc"] == outs["parquet"]
     assert outs["parquet"][1][2] == "html"  # boilerplate path exercised
 
 
