@@ -30,6 +30,7 @@ def salted_equi_join(
     n_salt: int = 16,
     how: str = "inner",
     force_shuffle: bool = True,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Join ``big`` to ``small`` on ``key`` with the big side salted
     n_salt ways and the small side replicated n_salt times.
@@ -43,12 +44,17 @@ def salted_equi_join(
     side: the operator exists for small sides past the broadcast
     threshold, and without the hint a local test corpus would broadcast
     and hide the salted exchange this operator is about.  The salt is
-    a deterministic hash of the whole big row, so runs reproduce."""
+    a deterministic hash of the whole big row (or of ``salt_cols`` —
+    pass them when the big side carries map-typed columns, which
+    xxhash64 cannot hash), so runs reproduce."""
     if how not in ("inner", "left"):
         raise ValueError("salted_equi_join supports how='inner'/'left' only")
     if n_salt < 1:
         raise ValueError("n_salt must be >= 1")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salt))
+    if "_salt" in big.columns or "_salt" in small.columns:
+        raise ValueError("'_salt' is reserved by salted_equi_join")
+    cols = salt_cols if salt_cols is not None else big.columns
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salt))
     b = big.withColumn("_salt", salt.cast("int"))
     # sequence of int literals is already array<int>, matching the cast
     # on the big side's salt (a generator cannot nest inside a cast)
