@@ -1,0 +1,186 @@
+"""Results-table maintenance: small-file compaction + clustered
+(sorted) rewrite of the partitioned parquet sink.
+
+The extraction job (``engine.run_extraction_job``) writes
+``results/bucket=NN/`` with ≤ ``n_buckets * k`` files per run, but a
+long-lived table accumulates fragments anyway — resumed runs overwrite
+one bucket at a time, incremental jobs append new corpora, retries
+land extra files.  At 100 TB the read side then pays per-file open
+cost and loses row-group locality, which is why every production lake
+runs a compactor (Iceberg's ``rewriteDataFiles`` is the managed
+analogue; ``DESIGN_100TB.md`` §5 maps this module onto it).
+
+Design — one distributed pass, driver work is metadata-only:
+
+* ``plan_compaction`` lists the partition dirs (posix listing here;
+  the table manifest on a real lake) and flags a bucket when its
+  fragment count exceeds what its bytes justify at ``target_bytes``
+  per file.  O(files) metadata on the driver, no data read.
+* ``compact_results`` reads ONLY the flagged buckets (partition
+  pruning — the scan's PartitionFilters line shows the bucket
+  predicate), keys every row to an explicit output file
+  ``(bucket, file_id)`` with ``file_id = xxhash64(conv_id) %
+  target_files[bucket]`` (the per-bucket quota is a driver-built
+  literal map from the plan — O(flagged buckets) bytes), does ONE
+  hash exchange on that key, sorts within partitions by
+  ``(bucket, *sort_cols)``, and rewrites via dynamic partition
+  overwrite so untouched buckets keep their files byte-identical.
+
+Why the explicit file key rather than ``repartitionByRange`` or
+``coalesce``: exact file-count control makes the pass idempotent by
+construction (after a rewrite ``n_files ≤ target_files``, so the
+planner can never re-flag what it just wrote — a range partitioner's
+sampled boundaries can split a 1-file-target bucket and churn
+forever), it skips the range sampler's extra job, and hashing on
+``conv_id`` gives conv→file locality: all turns of a conv that share
+a bucket land in ONE file, sorted, so a conv-targeted read prunes to
+a single file + row group per bucket on the ``conv_id`` zone maps
+(pinned by ``tests/test_maintenance.py::test_zone_maps``).  The
+rewrite is the one chance to fix data LAYOUT, not just file count.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class BucketStat:
+    bucket: int
+    n_files: int
+    total_bytes: int
+    target_files: int
+
+    @property
+    def needs_compaction(self) -> bool:
+        return self.n_files > self.target_files
+
+
+def _strip_file_scheme(path: str) -> str:
+    return path[7:] if path.startswith("file://") else path
+
+
+def plan_compaction(
+    results_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> list[BucketStat]:
+    """Flag ``bucket=`` partitions whose parquet fragment count exceeds
+    ``ceil(total_bytes / target_bytes)`` (never flags a single-file
+    bucket; ``min_files`` floors the trigger).  Driver-side metadata
+    listing only — on a manifest-backed table this becomes a manifest
+    scan with identical math."""
+    root = _strip_file_scheme(results_path)
+    stats: list[BucketStat] = []
+    try:
+        names = sorted(os.listdir(root))
+    except OSError:
+        return []
+    for name in names:
+        if not name.startswith("bucket="):
+            continue
+        try:
+            bucket = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        d = os.path.join(root, name)
+        sizes = [
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+        if not sizes:
+            continue
+        total = sum(sizes)
+        target_files = max(1, -(-total // target_bytes))  # ceil
+        if len(sizes) >= min_files and len(sizes) > target_files:
+            stats.append(BucketStat(bucket, len(sizes), total, target_files))
+    return stats
+
+
+def compact_results(
+    spark: SparkSession,
+    results_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    min_files: int = 2,
+) -> dict:
+    """Compact + cluster the flagged buckets of a ``partitionBy
+    ("bucket")`` parquet results table in one distributed job.
+
+    Returns ``{"rewritten_buckets": [...], "files_before": n,
+    "files_after": m}``; a no-op plan returns immediately without
+    starting a Spark job.  Idempotent: a second call right after a
+    successful one finds nothing to flag."""
+    plan = plan_compaction(results_path, target_bytes, min_files)
+    if not plan:
+        return {"rewritten_buckets": [], "files_before": 0, "files_after": 0}
+
+    buckets = [s.bucket for s in plan]
+    files_before = sum(s.n_files for s in plan)
+    n_groups = sum(s.target_files for s in plan)
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # basePath keeps `bucket` as a column; reading only the flagged
+        # partition dirs prunes the scan to them
+        df = (
+            spark.read.option("basePath", results_path)
+            .parquet(*[f"{results_path}/bucket={b}" for b in buckets])
+        )
+        # per-bucket file quota as a literal map — conv-hash mod quota
+        # names each row's output file deterministically
+        quota = F.create_map(
+            *[F.lit(x) for s in plan for x in (s.bucket, s.target_files)]
+        )
+        file_id = F.pmod(
+            F.xxhash64(F.col(sort_cols[0])),
+            F.element_at(quota, F.col("bucket").cast("long")),
+        )
+        keys = [F.col("bucket")] + [F.col(c) for c in sort_cols]
+        (
+            df.withColumn("_file", file_id)
+            # 2× groups so hash collisions rarely merge two file
+            # groups into one task (merging only ever yields FEWER,
+            # larger files — never re-flaggable fragmentation)
+            .repartition(max(2 * n_groups, 1), F.col("bucket"), F.col("_file"))
+            .drop("_file")
+            .sortWithinPartitions(*keys)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(results_path)
+        )
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+
+    after = {
+        s.bucket: s.n_files
+        for s in plan_compaction(results_path, target_bytes, min_files=1)
+        if s.bucket in set(buckets)
+    }
+    root = _strip_file_scheme(results_path)
+    files_after = 0
+    for b in buckets:
+        d = os.path.join(root, f"bucket={b}")
+        try:
+            files_after += sum(
+                1 for f in os.listdir(d) if f.endswith(".parquet")
+            )
+        except OSError:
+            pass
+    return {
+        "rewritten_buckets": buckets,
+        "files_before": files_before,
+        "files_after": files_after,
+        "still_flagged": sorted(after),
+    }

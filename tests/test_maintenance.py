@@ -1,0 +1,150 @@
+"""Results-table maintenance: compaction planning, clustered rewrite,
+content preservation, idempotency, and zone-map layout evidence
+(sources/maintenance.py; DESIGN_100TB.md §5 maps it to Iceberg's
+rewriteDataFiles at real scale)."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_parser_c_spark.engine import run_extraction_job
+from pdf_parser_c_spark.sources.maintenance import (
+    compact_results,
+    plan_compaction,
+)
+from pdf_parser_c_spark.testkit.corpus import (
+    make_transcripts,
+    transcripts_columns_only,
+)
+
+N_BUCKETS = 4
+
+
+def _write_fake_bucket(root: str, bucket: int, sizes: list[int]) -> None:
+    d = os.path.join(root, f"bucket={bucket}")
+    os.makedirs(d, exist_ok=True)
+    for i, n in enumerate(sizes):
+        with open(os.path.join(d, f"part-{i:05d}.parquet"), "wb") as f:
+            f.write(b"\0" * n)
+
+
+def test_plan_compaction_flags_only_fragmented(tmp_path):
+    root = str(tmp_path / "results")
+    _write_fake_bucket(root, 0, [100] * 8)        # 8 tiny files → flag
+    _write_fake_bucket(root, 1, [100])            # single file → never
+    _write_fake_bucket(root, 2, [4096, 4096])     # 2 files but bytes
+    # justify 2 at target 4096 → not flagged
+    _write_fake_bucket(root, 3, [4000, 4000, 10])  # 3 files, 2 justified
+    plan = plan_compaction(root, target_bytes=4096)
+    flagged = {s.bucket: s for s in plan}
+    assert set(flagged) == {0, 3}
+    assert flagged[0].target_files == 1
+    assert flagged[3].n_files == 3 and flagged[3].target_files == 2
+    # min_files floor suppresses even fragmented buckets
+    assert plan_compaction(root, target_bytes=4096, min_files=9) == []
+
+
+@pytest.fixture(scope="module")
+def job_out(spark, tmp_path_factory):
+    corpus = transcripts_columns_only(
+        make_transcripts(n_convs=30, turns_per_conv=10,
+                         mega_every=10, mega_factor=5)
+    )
+    out = str(tmp_path_factory.mktemp("maint") / "job")
+    sdf = spark.createDataFrame(corpus)
+    # num_partitions ≫ n_buckets → k files per bucket (fragmented sink)
+    run_extraction_job(spark, sdf, out, n_buckets=N_BUCKETS,
+                       num_partitions=32, job_id="maint")
+    return out
+
+
+def _listing(results: str) -> dict[int, list[str]]:
+    out: dict[int, list[str]] = {}
+    for name in os.listdir(results):
+        if name.startswith("bucket="):
+            b = int(name.split("=")[1])
+            out[b] = sorted(
+                f for f in os.listdir(os.path.join(results, name))
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def _content(spark, results):
+    rows = (
+        spark.read.option("basePath", results).parquet(results)
+        .select("conv_id", "turn_idx", "kind", "status", "text", "bucket")
+        .collect()
+    )
+    return sorted(map(tuple, rows))
+
+
+def test_compact_preserves_content_and_reduces_files(spark, job_out):
+    results = f"{job_out}/results"
+    before_files = _listing(results)
+    assert sum(len(v) for v in before_files.values()) > N_BUCKETS
+    before = _content(spark, results)
+
+    # a no-op pass first: nothing flagged at a tiny target must not
+    # touch the sink (min_files high enough that no bucket qualifies)
+    noop = compact_results(spark, results, min_files=10_000)
+    assert noop["rewritten_buckets"] == []
+    assert _listing(results) == before_files
+
+    res = compact_results(spark, results, target_bytes=256 * 1024 * 1024)
+    assert sorted(res["rewritten_buckets"]) == sorted(before_files)
+    after_files = _listing(results)
+    assert sum(len(v) for v in after_files.values()) < sum(
+        len(v) for v in before_files.values()
+    )
+    # quota is 1 file per bucket at this target — exact, not approximate
+    assert all(len(v) == 1 for v in after_files.values())
+    assert _content(spark, results) == before
+    # lineage/metrics untouched → resume still sees the job as done
+    assert os.path.isdir(f"{job_out}/lineage/bucket=0")
+
+    # idempotent: immediately recompacting finds nothing
+    res2 = compact_results(spark, results, target_bytes=256 * 1024 * 1024)
+    assert res2["rewritten_buckets"] == []
+    assert _listing(results) == after_files
+
+
+def test_zone_maps(spark, job_out):
+    """After the clustered rewrite each file covers a narrow sorted
+    conv_id range, so a conv-targeted read prunes almost everything;
+    before it, every fragment of every bucket straddles the whole
+    conv range (per-turn hash scatter)."""
+    results = f"{job_out}/results"
+    compact_results(spark, results, target_bytes=256 * 1024 * 1024)
+
+    probe = "conv000017"
+    covering = total = 0
+    for name in sorted(os.listdir(results)):
+        if not name.startswith("bucket="):
+            continue
+        d = os.path.join(results, name)
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, fn)).metadata
+            ci = next(
+                i for i in range(len(md.schema))
+                if md.schema.column(i).name == "conv_id"
+            )
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                assert st is not None and st.has_min_max
+                mins.append(st.min)
+                maxs.append(st.max)
+            # in-file sort → row groups are range-ordered
+            assert mins == sorted(mins) and maxs == sorted(maxs)
+            total += md.num_row_groups
+            covering += sum(
+                1 for lo, hi in zip(mins, maxs) if lo <= probe <= hi
+            )
+    assert total >= N_BUCKETS
+    # the probe conv lands in ≤1 covering row-group range per bucket
+    # (+1 slack for a range-boundary split)
+    assert covering <= N_BUCKETS + 1
