@@ -5814,6 +5814,431 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: an aggregated revenue view rejoined against its
+    own scalar max — tie-PRESERVING (every supplier at the max survives,
+    unlike a LIMIT 1).  Revenue is integer ten-thousandths-of-a-dollar
+    (floor(x*100+0.5) cents × discount points), so the max-equality join
+    compares exact BIGINTs — a float sum's last-ulp reorder noise across
+    engines could otherwise flip which row equals the max.
+    Scale: the revenue agg is ONE lineitem exchange; the max is a 1-row
+    broadcast, and supplier is a broadcast dim — the rejoin never
+    reshuffles the agg output."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long") * (
+        100 - F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    )
+    # explicit isNotNull: the supplier equi-join null-filters l_suppkey
+    # in the rejoin branch only; stating it on the shared frame keeps
+    # both branches canonically identical so AQE's ReusedExchange plans
+    # the revenue agg ONCE (same pattern as sample_shuffle_global)
+    rev = (
+        li.filter(F.col("l_suppkey").isNotNull())
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents).alias("revenue_c"))
+    )
+    mx = rev.agg(F.max("revenue_c").alias("_mx"))
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("revenue_c") == F.col("_mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "revenue_c")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT)))
+              AS BIGINT) AS revenue_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-07-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, revenue_c
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE revenue_c = (SELECT max(revenue_c) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count aggregate fed by an anti-join —
+    suppliers per (brand, type, size) over the lineitem bridge (the
+    schema's part↔supplier relation), excluding delinquent suppliers
+    (s_acctbal < 0, the NOT IN subquery).
+    Scale: the exclusion list and the filtered part dim both broadcast
+    (LeftAnti + inner BroadcastHashJoin — no fact shuffle before the
+    agg); countDistinct plans a two-phase partial_agg / distinct-expand
+    so the one exchange carries (group, suppkey) pairs, not raw lines.
+    The top-20 order is fully tie-broken (cnt, brand, type, size)."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pt = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(20)
+    )
+
+
+SQL_TPCH_SUPPLIER_CNT = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  -- NOT EXISTS, not NOT IN: a NULL l_suppkey must behave like the
+  -- Spark LeftAnti (kept when unmatched), not vanish the whole row set
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 20
+"""
+
+
+def q_tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar-aggregate subquery
+    (l_quantity < 0.2 * per-part avg) in its decorrelated form — the
+    per-part avg computed once as an aggregate and rejoined on the same
+    key.  The threshold is deterministic across engines because
+    l_quantity is integral: integer-valued doubles sum exactly, so
+    0.2 * avg is bit-identical regardless of reduction order.
+    Scale: the brand-filtered part dim broadcasts; the avg-rejoin is
+    equi-keyed on l_partkey so AQE can reuse the agg's exchange; the
+    final result is a 1-row global agg (partial map-side)."""
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    # the rejoin key is renamed: both sides descend from the same scan,
+    # so an un-aliased l_partkey == l_partkey would resolve to a
+    # trivially-true self-comparison instead of the equi key
+    avgq = (
+        li.groupBy("l_partkey")
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_thresh"))
+        .withColumnRenamed("l_partkey", "ap_partkey")
+    )
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(avgq, F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+SQL_TPCH_SMALL_QTY_REVENUE = """
+WITH avgq AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+              FROM lineitem GROUP BY l_partkey)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN avgq ON avgq.l_partkey = lineitem.l_partkey
+WHERE p_brand = 'Brand#3' AND l_quantity < qty_thresh
+"""
+
+
+def q_tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS and NOT EXISTS correlated on the SAME
+    table with different predicates — suppliers whose returned lineitem
+    sits in a multi-supplier order where NO other supplier had a return
+    (the lone-culprit census).  The semi and anti joins each carry an
+    equi key (orderkey) plus a non-equi residual (suppkey <>), which is
+    Catalyst's hash-join-with-extra-condition shape, not a nested loop.
+    Scale: both probes key on l_orderkey, so the two joins and the
+    distinct before them share one partitioning; the count agg output is
+    supplier-sized and the name join broadcasts."""
+    li = t(spark, sf_dir, "lineitem")
+    r1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    alls = (
+        li.select(
+            F.col("l_orderkey").alias("a_orderkey"),
+            F.col("l_suppkey").alias("a_suppkey"),
+        ).distinct()
+    )
+    r2 = r1.select(
+        F.col("l_orderkey").alias("b_orderkey"),
+        F.col("l_suppkey").alias("b_suppkey"),
+    )
+    multi = r1.join(
+        alls,
+        (r1.l_orderkey == alls.a_orderkey)
+        & (r1.l_suppkey != alls.a_suppkey),
+        "left_semi",
+    )
+    lone = multi.join(
+        r2,
+        (multi.l_orderkey == r2.b_orderkey)
+        & (multi.l_suppkey != r2.b_suppkey),
+        "left_anti",
+    )
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lone.join(F.broadcast(sup), lone.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+SQL_TPCH_WAITING_SUPPLIERS = """
+WITH r1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_returnflag = 'R'),
+alls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM r1 JOIN supplier ON s_suppkey = r1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM alls a
+              WHERE a.l_orderkey = r1.l_orderkey
+                AND a.l_suppkey <> r1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM r1 b
+                  WHERE b.l_orderkey = r1.l_orderkey
+                    AND b.l_suppkey <> r1.l_suppkey)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+
+SQ8_COARSE = 50
+SQ8_K = 10
+
+
+def q_sim_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN with int8 scalar quantization: stage 1 ranks the
+    corpus by cosine over per-vector-scaled int8 codes (symmetric
+    max-abs quantization, floor(x/s*127+0.5) — floor+0.5 instead of
+    round() so both engines share one rounding rule) and keeps the top
+    {C}; stage 2 joins ONLY those candidates back to the full-precision
+    store and reranks exactly to top {k} — the compressed-scan /
+    precise-rerank architecture of a production vector index, where the
+    codes are 4× smaller than float32 (16× vs float64) and the float
+    vectors never leave their store for non-candidates.
+    Determinism: codes are integral doubles, so dots/norms are exact in
+    any summation order and the coarse ordering cannot drift between
+    engines; the exact stage orders by the ROUNDED cosine with a vec_id
+    tiebreak, same as sim_bruteforce_topk.
+    Scale: the codes scan is the only corpus-wide pass (4× less I/O and
+    shuffle than floats); the query code and the {C}-row candidate list
+    broadcast; rerank touches {C} rows.  Recall vs the exact baseline
+    is visible by diffing with sim_bruteforce_topk's output."""
+    e = t(spark, sf_dir, "embeddings")
+    absmax = (
+        "aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D,"
+        " (a, x) -> greatest(a, abs(x)))"
+    )
+    q8 = (
+        f"CASE WHEN ({absmax}) > 0 THEN"
+        " transform(CAST(embedding AS ARRAY<DOUBLE>),"
+        f" x -> CAST(floor(x / ({absmax}) * 127 + 0.5) AS DOUBLE))"
+        " ELSE transform(CAST(embedding AS ARRAY<DOUBLE>), x -> 0D) END"
+    )
+    codes = e.select("vec_id", "label", F.expr(q8).alias("q8"))
+    qcode = codes.filter(F.col("vec_id") == 0).select(
+        F.col("q8").alias("qq")
+    )
+    dotq = "aggregate(zip_with(q8, qq, (x, y) -> x * y), 0D, (a, b) -> a + b)"
+    nq8 = "aggregate(q8, 0D, (a, x) -> a + x * x)"
+    nqq = "aggregate(qq, 0D, (a, x) -> a + x * x)"
+    cos_q = (
+        f"CASE WHEN ({nq8}) * ({nqq}) > 0"
+        f" THEN {dotq} / sqrt(({nq8}) * ({nqq})) ELSE 0D END"
+    )
+    cand = (
+        codes.crossJoin(F.broadcast(qcode))
+        .withColumn("cos_q", F.expr(cos_q))
+        .select("vec_id", "cos_q")
+        .orderBy(F.desc("cos_q"), F.asc("vec_id"))
+        .limit(SQ8_COARSE)
+    )
+    qf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dot = (
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>),"
+        " CAST(qe AS ARRAY<DOUBLE>), (x, y) -> x * y), 0D, (a, b) -> a + b)"
+    )
+    nv = "aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D, (a, x) -> a + x * x)"
+    ne = "aggregate(CAST(qe AS ARRAY<DOUBLE>), 0D, (a, x) -> a + x * x)"
+    cos = (
+        f"CASE WHEN ({nv}) * ({ne}) > 0"
+        f" THEN {dot} / sqrt(({nv}) * ({ne})) ELSE 0D END"
+    )
+    return (
+        e.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(qf))
+        .withColumn("cos", F.expr(f"round({cos}, 4)"))
+        .withColumn("cos_q", F.expr("round(cos_q, 4)"))
+        .select("vec_id", "label", "cos_q", "cos")
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(SQ8_K)
+    )
+
+
+q_sim_sq8_rerank.__doc__ = q_sim_sq8_rerank.__doc__.format(
+    C=SQ8_COARSE, k=SQ8_K
+)
+
+
+SQL_SIM_SQ8_RERANK = f"""
+WITH base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)),
+                        'max') AS mx
+  FROM embeddings),
+codes AS (
+  SELECT vec_id, label,
+         CASE WHEN mx > 0
+              THEN list_transform(e, x -> floor(x / mx * 127 + 0.5))
+              ELSE list_transform(e, x -> 0.0) END AS q8
+  FROM base),
+qc AS (SELECT q8 AS qq FROM codes WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id,
+         CASE WHEN list_dot_product(q8, q8) * list_dot_product(qq, qq) > 0
+              THEN list_dot_product(q8, qq) /
+                   sqrt(list_dot_product(q8, q8) * list_dot_product(qq, qq))
+              ELSE 0 END AS cos_q
+  FROM codes, qc
+  ORDER BY cos_q DESC, vec_id ASC LIMIT {SQ8_COARSE}),
+qf AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT b.vec_id, b.label, round(cand.cos_q, 4) AS cos_q,
+       round(CASE WHEN list_dot_product(e, e) * list_dot_product(qe, qe) > 0
+                  THEN list_dot_product(e, qe) /
+                       sqrt(list_dot_product(e, e) * list_dot_product(qe, qe))
+                  ELSE 0 END, 4) AS cos
+FROM base b JOIN cand ON b.vec_id = cand.vec_id, qf
+ORDER BY cos DESC, b.vec_id ASC LIMIT {SQ8_K}
+"""
+
+
+BPE_MERGE_ITERS = 3
+
+
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge training ({iters} rounds): each round counts
+    adjacent token pairs corpus-wide, picks the most frequent (count
+    DESC, pair ASC — fully tie-broken), and REWRITES the corpus with
+    that pair fused — the actual training loop of a BPE tokenizer, not
+    just the inner pair count (text_bpe_pairs).  The rewrite is a
+    single ``replace`` over a double-space-joined token string: the
+    two-space separator donates one space to each adjacent match, so
+    left-to-right non-overlapping replace implements exactly the greedy
+    BPE merge (consecutive occurrences all fuse; overlapping ones take
+    the leftmost) — and both engines' ``replace`` share that contract,
+    so the oracle unrolls the identical {iters} rounds in SQL.
+    Scale: per round, ONE pair-count exchange (map-side partial, pair
+    cardinality bounded by bigram diversity); the winning pair is a
+    1-row broadcast into the rewrite map.  The rewritten corpus is
+    localCheckpoint-ed so round k+1 reads round k's result once instead
+    of re-deriving the whole lineage — the same role an intermediate
+    table serves in a real multi-round trainer at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    cur = d.select(F.expr(f"array_join({_TOK_SPARK}, ' ')").alias("s"))
+    toks = "filter(split(s, ' +'), x -> x <> '')"
+    out = []
+    for it in range(1, BPE_MERGE_ITERS + 1):
+        pairs = cur.select(
+            F.explode(
+                F.expr(
+                    f"zip_with(slice({toks}, 1, greatest(size({toks}) - 1, 0)),"
+                    f" slice({toks}, 2, greatest(size({toks}) - 1, 0)),"
+                    " (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("pair")
+        )
+        top1 = (
+            pairs.groupBy("pair")
+            .agg(F.count("*").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), "pair")
+            .limit(1)
+            .localCheckpoint(eager=True)  # 1 row; reused by rewrite AND census
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(top1))
+            .select(
+                F.expr(
+                    f"replace(concat(' ', array_join({toks}, '  '), ' '),"
+                    " concat(' ', replace(pair, ' ', '  '), ' '),"
+                    " concat(' ', replace(pair, ' ', '\x01'), ' '))"
+                ).alias("s")
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_after = cur.agg(
+            F.sum(F.expr(f"size({toks})")).alias("n_tokens_after")
+        )
+        out.append(
+            top1.withColumn("it", F.lit(it)).crossJoin(F.broadcast(n_after))
+        )
+    res = out[0]
+    for r in out[1:]:
+        res = res.unionByName(r)
+    return res.select("it", "pair", "pair_freq", "n_tokens_after").orderBy("it")
+
+
+q_text_bpe_merges.__doc__ = q_text_bpe_merges.__doc__.format(
+    iters=BPE_MERGE_ITERS
+)
+
+
+def _sql_bpe_merges() -> str:
+    tk = "list_filter(string_split_regex(s, ' +'), x -> x <> '')"
+    ctes = [
+        f"it0 AS (SELECT array_to_string({_TOK_DUCK}, ' ') AS s"
+        " FROM documents)"
+    ]
+    sels = []
+    for i in range(1, BPE_MERGE_ITERS + 1):
+        prev = f"it{i - 1}"
+        ctes.append(
+            f"p{i} AS (SELECT unnest(list_transform(range(1, len(tk)),"
+            " j -> tk[j] || ' ' || tk[j + 1])) AS pair"
+            f" FROM (SELECT {tk} AS tk FROM {prev}))"
+        )
+        ctes.append(
+            f"t{i} AS (SELECT pair, count(*) AS pair_freq FROM p{i}"
+            " GROUP BY pair ORDER BY pair_freq DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"it{i} AS (SELECT replace("
+            f"' ' || array_to_string({tk}, '  ') || ' ',"
+            " ' ' || replace(pair, ' ', '  ') || ' ',"
+            " ' ' || replace(pair, ' ', chr(1)) || ' ') AS s"
+            f" FROM {prev}, t{i})"
+        )
+        ctes.append(
+            f"n{i} AS (SELECT CAST(sum(len({tk})) AS BIGINT)"
+            f" AS n_tokens_after FROM it{i})"
+        )
+        sels.append(
+            f"SELECT {i} AS it, pair, pair_freq, n_tokens_after"
+            f" FROM t{i}, n{i}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(sels) + "\nORDER BY it"
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5841,6 +6266,14 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tpch_forecast_revenue": (q_tpch_forecast_revenue, SQL_TPCH_Q6),
     "tpch_promo_share": (q_tpch_promo_share, SQL_TPCH_Q14),
     "tpch_disjunctive_filter": (q_tpch_disjunctive_filter, SQL_TPCH_Q19),
+    "tpch_top_supplier": (q_tpch_top_supplier, SQL_TPCH_TOP_SUPPLIER),
+    "tpch_supplier_cnt": (q_tpch_supplier_cnt, SQL_TPCH_SUPPLIER_CNT),
+    "tpch_small_qty_revenue": (
+        q_tpch_small_qty_revenue, SQL_TPCH_SMALL_QTY_REVENUE
+    ),
+    "tpch_waiting_suppliers": (
+        q_tpch_waiting_suppliers, SQL_TPCH_WAITING_SUPPLIERS
+    ),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_minhash()),
@@ -5857,6 +6290,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sim_bruteforce_topk": (q_sim_bruteforce_topk, SQL_SIM_BRUTEFORCE),
     "sim_lsh_bucketed": (q_sim_lsh_bucketed, SQL_SIM_LSH),
     "sim_lsh_multiprobe": (q_sim_lsh_multiprobe, SQL_SIM_MULTIPROBE),
+    "sim_sq8_rerank": (q_sim_sq8_rerank, SQL_SIM_SQ8_RERANK),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKENS),
@@ -5884,6 +6318,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
     "text_vocab_topk": (q_text_vocab_topk, SQL_TEXT_VOCAB),
     "text_bpe_pairs": (q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),
+    "text_bpe_merges": (q_text_bpe_merges, _sql_bpe_merges()),
     "text_tfidf_topterms": (q_text_tfidf_topterms, SQL_TEXT_TFIDF),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_sessionize_split": (q_events_sessionize_split, SQL_EVENTS_SESSIONIZE),

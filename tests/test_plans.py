@@ -457,3 +457,77 @@ def test_salted_enrich_joins_on_key_and_salt(spark):
     assert re.search(r"ShuffledHashJoin \[user_id#\d+L, _salt#\d+\]", plan)
     assert "BroadcastHashJoin" not in plan
     assert re.search(r"Exchange hashpartitioning\(user_id#\d+L, _salt#\d+", plan)
+
+
+def test_q21_double_correlation_is_hash_joins_with_residual(spark):
+    """Q21 shape: the EXISTS/NOT EXISTS pair must plan as LeftSemi +
+    LeftAnti HASH joins keyed on orderkey with the suppkey<> residual
+    as a join condition — a nested-loop fallback would scan the
+    order×order space."""
+    plan = plan_of(spark, QUERIES["tpch_waiting_suppliers"][0](spark, SF_DIR),
+                   "simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_max_rejoin_broadcasts_scalar(spark):
+    """Q15 shape: the agg output joins its own 1-row max and the
+    supplier dim via broadcast — the revenue agg's exchange is the only
+    data shuffle."""
+    df = QUERIES["tpch_top_supplier"][0](spark, SF_DIR)
+    plan = plan_of(spark, df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the static plan derives the revenue agg twice (max branch + rejoin
+    # branch); both subtrees are canonically identical, so at runtime
+    # AQE must collapse them onto ONE l_suppkey exchange
+    assert n_data_exchanges(plan) <= 2
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "Reused" in final
+
+
+def test_q16_anti_join_broadcasts_both_sides(spark):
+    """Q16 shape: exclusion list and filtered part dim both broadcast,
+    so no fact shuffle happens before the distinct agg; the brand/size
+    filters push to the part scan."""
+    plan = plan_of(spark, QUERIES["tpch_supplier_cnt"][0](spark, SF_DIR))
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "Not(EqualTo(p_brand,Brand#1))" in plan  # pushed dim filter
+    simple = plan_of(spark, QUERIES["tpch_supplier_cnt"][0](spark, SF_DIR),
+                     "simple")
+    # two exchanges: the (group, suppkey) distinct and the final group agg
+    assert n_data_exchanges(simple) <= 2
+
+
+def test_q17_avg_rejoin_no_trivial_condition(spark):
+    """Q17 shape: the decorrelated avg rejoins on a RENAMED key — the
+    plan must carry a real equi condition (no degenerate self-compare)
+    and the brand filter must push to the part scan."""
+    plan = plan_of(spark, QUERIES["tpch_small_qty_revenue"][0](spark, SF_DIR))
+    assert "EqualTo(p_brand,Brand#3)" in plan
+    assert re.search(r"Right keys \[1\]: \[ap_partkey#\d+L\]", plan)
+    assert re.search(r"Left keys \[1\]: \[l_partkey#\d+L\]", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_sq8_rerank_touches_candidates_only(spark):
+    """SQ8 two-stage ANN: the coarse stage is a TakeOrdered over the
+    codes scan; the exact stage joins the candidate list back by
+    broadcast — no corpus-wide exchange anywhere."""
+    plan = plan_of(spark, QUERIES["sim_sq8_rerank"][0](spark, SF_DIR),
+                   "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert n_data_exchanges(plan) == 0
+
+
+def test_bpe_merges_round_is_one_pair_exchange(spark):
+    """BPE merge training: each round's only data exchange is the
+    pair-count agg; the winning pair enters the rewrite as a broadcast.
+    (The plan shows the FINAL round over the round-2 checkpoint — the
+    per-round shape is identical by construction.)"""
+    plan = plan_of(spark, QUERIES["text_bpe_merges"][0](spark, SF_DIR),
+                   "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
