@@ -85,6 +85,12 @@ def main() -> None:
         "text_lm_buckets": "perplexity terciles: trigram model BroadcastHashJoin onto the n-gram explode, per-doc NLL on one exchange, ntile window inside per-lang partitions (never a global single-task window)",
         "text_chunk_windows": "chunking: Generate explode over map-side array math — corpus never shuffles to chunk; idx=1 count stands in for count(distinct doc), so the census is ONE exchange and no Expand",
         "events_salted_enrich": "skew-defused join: ShuffledHashJoin keyed on (user_id, _salt) — a hot user's rows spread over n_salt tasks BEFORE the shuffle; the profile side pays n_salt x its own small size",
+        "tpch_top_supplier": "Q15 shape: revenue agg on ONE l_suppkey exchange; the 1-row max and the supplier dim broadcast; AQE ReusedExchange collapses the max branch onto the rejoin branch's agg at runtime",
+        "tpch_supplier_cnt": "Q16 shape: exclusion list LeftAnti-broadcast + filtered part dim broadcast (brand/size pushed to the part scan); distinct-count runs partial on the (group, suppkey) exchange",
+        "tpch_small_qty_revenue": "Q17 shape: decorrelated per-part avg rejoined on a RENAMED key (real equi condition, no degenerate self-compare); brand filter pushed to the part scan; 1-row final agg",
+        "tpch_waiting_suppliers": "Q21 shape: EXISTS/NOT EXISTS as LeftSemi + LeftAnti HASH joins keyed on orderkey with the suppkey<> residual as join condition — never a nested loop",
+        "sim_sq8_rerank": "SQ8 two-stage ANN: coarse TakeOrdered over the int8-codes scan (4x less in-flight data), candidate list broadcast back to the float store; zero corpus-wide exchanges",
+        "text_bpe_merges": "BPE training round: ONE pair-count exchange, winning pair 1-row broadcast into the rewrite; rounds chained through localCheckpoint so lineage stays linear",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

@@ -640,3 +640,83 @@ def start_hist_cells_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    within_minutes: int = 30,
+    watermark_minutes: int = 10,
+) -> DataFrame:
+    """Watermarked stream-stream INNER interval join — the
+    click→purchase attribution shape: a right-side row matches every
+    left-side row with the same ``key_col`` whose timestamp is at most
+    ``within_minutes`` before it (``l.ts <= r.ts <= l.ts + within``).
+
+    Both inputs carry a ``ts`` event-time column and get a
+    ``watermark_minutes`` watermark, and the join condition bounds
+    event time on BOTH sides — the two ingredients Spark needs to
+    evict buffered rows from the join state store.  Without the time
+    bound an inner stream-stream join still runs but buffers both
+    streams forever; at a 10^12-turn firehose that is the difference
+    between bounded state (watermark + interval) and an OOM.
+
+    Cross-batch semantics come from the buffer: a left row arriving in
+    micro-batch N joins a right row arriving in batch N+k as long as
+    neither has aged past the watermark — pinned in
+    tests/test_streaming_interval.py together with the late-drop.
+
+    Output: key, l_ts, r_ts, and the non-key payload columns of each
+    side prefixed ``l_`` / ``r_``."""
+    from pyspark.sql import functions as F
+
+    wm = f"{watermark_minutes} minutes"
+    lcols = [c for c in left.columns if c not in (key_col, "ts")]
+    rcols = [c for c in right.columns if c not in (key_col, "ts")]
+    l = left.withWatermark("ts", wm).alias("l")
+    r = right.withWatermark("ts", wm).alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(
+            f"INTERVAL {within_minutes} MINUTES"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key_col}").alias(key_col),
+        F.col("l.ts").alias("l_ts"),
+        F.col("r.ts").alias("r_ts"),
+        *[F.col(f"l.{c}").alias(f"l_{c}") for c in lcols],
+        *[F.col(f"r.{c}").alias(f"r_{c}") for c in rcols],
+    )
+
+
+def start_interval_join_stream(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    schema,
+    output_path: str,
+    checkpoint_path: str,
+    key_col: str = "user_id",
+    within_minutes: int = 30,
+    watermark_minutes: int = 10,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Two readStreams (same ``schema``, both with a ``ts`` column) →
+    interval join → append parquet sink (each matched pair exactly
+    once)."""
+    left = spark.readStream.schema(schema).parquet(left_path)
+    right = spark.readStream.schema(schema).parquet(right_path)
+    out = interval_join_stream(
+        left, right, key_col, within_minutes, watermark_minutes
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
