@@ -6020,6 +6020,116 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
 """
 
 
+def q_tpch_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: grouped aggregate filtered against a scalar
+    subquery over the SAME aggregate (parts whose nation-filtered value
+    exceeds 2× the average part value) — the HAVING-vs-global-scalar
+    pattern.  Values are integer cents, so only the threshold itself is
+    floating (exact-int sum / count — deterministic in any order).
+    Scale: supplier and the nation filter broadcast into the lineitem
+    scan; the part-value agg is the one corpus exchange, and both its
+    consumers (threshold + filter) are canonically identical so AQE
+    ReusedExchange computes it once; the threshold is a 1-row
+    broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    grp = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("value_c"))
+    )
+    thresh = grp.agg((2.0 * F.avg("value_c")).alias("_th"))
+    return (
+        grp.join(F.broadcast(thresh), F.col("value_c") > F.col("_th"))
+        .select(F.col("l_partkey").alias("partkey"), "value_c")
+        .orderBy(F.desc("value_c"), "partkey")
+        .limit(20)
+    )
+
+
+SQL_TPCH_IMPORTANT_PARTS = """
+WITH grp AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS value_c
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey)
+SELECT l_partkey AS partkey, value_c
+FROM grp, (SELECT 2.0 * avg(value_c) AS thresh FROM grp)
+WHERE value_c > thresh
+ORDER BY value_c DESC, partkey LIMIT 20
+"""
+
+
+def q_tpch_surging_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain over a correlated
+    aggregate threshold — suppliers with promo-type parts whose 1996
+    shipments exceed HALF their all-time shipments of that part (the
+    availqty > 0.5·sum(qty) correlation re-expressed on this schema).
+    Both sides of the threshold come from ONE grouped agg (conditional
+    sum beside the total), so the correlation costs no second pass;
+    quantities are integral doubles → exact sums → an exact 0.5·n
+    threshold in both engines.
+    Scale: the promo part list broadcasts; the (suppkey, partkey) agg
+    is the one corpus exchange; the supplier join consumes the
+    agg-sized qualifying list."""
+    li = t(spark, sf_dir, "lineitem")
+    pt = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_type").like("PROMO%"))
+        .select("p_partkey")
+    )
+    in96 = (F.col("l_shipdate") >= F.lit("1996-01-01")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01")
+    )
+    g = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in96, F.col("l_quantity")).otherwise(0.0))
+            .cast("long")
+            .alias("q96"),
+            F.sum("l_quantity").cast("long").alias("qall"),
+        )
+    )
+    sel = g.filter(F.col("q96") > 0.5 * F.col("qall")).select("l_suppkey")
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sup.join(sel, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("s_name")
+    )
+
+
+SQL_TPCH_SURGING_SUPPLIERS = """
+WITH g AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                        AND l_shipdate < TIMESTAMP '1997-01-01'
+                       THEN l_quantity ELSE 0 END) AS BIGINT) AS q96,
+         CAST(sum(l_quantity) AS BIGINT) AS qall
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type LIKE 'PROMO%'
+  GROUP BY l_suppkey, l_partkey)
+SELECT s_name, CAST(count(*) AS BIGINT) AS n_parts
+FROM supplier
+JOIN (SELECT l_suppkey FROM g WHERE q96 > 0.5 * qall) q
+  ON s_suppkey = q.l_suppkey
+GROUP BY s_name ORDER BY s_name
+"""
+
+
 SQ8_COARSE = 50
 SQ8_K = 10
 
@@ -6273,6 +6383,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "tpch_waiting_suppliers": (
         q_tpch_waiting_suppliers, SQL_TPCH_WAITING_SUPPLIERS
+    ),
+    "tpch_important_parts": (
+        q_tpch_important_parts, SQL_TPCH_IMPORTANT_PARTS
+    ),
+    "tpch_surging_suppliers": (
+        q_tpch_surging_suppliers, SQL_TPCH_SURGING_SUPPLIERS
     ),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),

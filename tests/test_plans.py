@@ -531,3 +531,30 @@ def test_bpe_merges_round_is_one_pair_exchange(spark):
                    "simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q11_having_scalar_reuses_group_agg(spark):
+    """Q11 shape: supplier+nation broadcast into the scan; the part
+    agg's two consumers (threshold scalar + filter) must collapse onto
+    one exchange at runtime (ReusedExchange) — the scalar itself joins
+    as a 1-row broadcast."""
+    df = QUERIES["tpch_important_parts"][0](spark, SF_DIR)
+    plan = plan_of(spark, df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "Reused" in final
+
+
+def test_q20_nested_semi_chain_one_corpus_exchange(spark):
+    """Q20 shape: promo part list broadcast; the correlated threshold
+    rides ONE (suppkey, partkey) agg — no second corpus pass; the
+    type filter pushes to the part scan."""
+    plan = plan_of(spark, QUERIES["tpch_surging_suppliers"][0](spark, SF_DIR))
+    assert "StringStartsWith(p_type,PROMO)" in plan
+    simple = plan_of(spark,
+                     QUERIES["tpch_surging_suppliers"][0](spark, SF_DIR),
+                     "simple")
+    # (suppkey,partkey) agg + the s_name census agg
+    assert n_data_exchanges(simple) <= 2
+    assert "CartesianProduct" not in simple
