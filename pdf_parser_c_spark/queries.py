@@ -6243,6 +6243,50 @@ ORDER BY cos DESC, b.vec_id ASC LIMIT {SQ8_K}
 BPE_MERGE_ITERS = 3
 
 
+_BPE_TOKS = "filter(split(s, ' +'), x -> x <> '')"
+
+
+def _bpe_rounds(cur: DataFrame, iters: int, keep_cols: tuple = ()):
+    """Run ``iters`` BPE merge rounds over ``cur`` (must carry a token
+    string column ``s``; ``keep_cols`` ride along through the rewrites).
+    Returns (final corpus, [(winning-pair frame, corpus after round)])
+    — shared by the training census (text_bpe_merges) and the
+    train-then-encode pipeline (text_tokenizer_apply)."""
+    toks = _BPE_TOKS
+    rounds = []
+    for _ in range(iters):
+        pairs = cur.select(
+            F.explode(
+                F.expr(
+                    f"zip_with(slice({toks}, 1, greatest(size({toks}) - 1, 0)),"
+                    f" slice({toks}, 2, greatest(size({toks}) - 1, 0)),"
+                    " (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("pair")
+        )
+        top1 = (
+            pairs.groupBy("pair")
+            .agg(F.count("*").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), "pair")
+            .limit(1)
+            .localCheckpoint(eager=True)  # 1 row; reused by rewrite AND census
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(top1))
+            .select(
+                *keep_cols,
+                F.expr(
+                    f"replace(concat(' ', array_join({toks}, '  '), ' '),"
+                    " concat(' ', replace(pair, ' ', '  '), ' '),"
+                    " concat(' ', replace(pair, ' ', '\x01'), ' '))"
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rounds.append((top1, cur))
+    return cur, rounds
+
+
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE merge training ({iters} rounds): each round counts
     adjacent token pairs corpus-wide, picks the most frequent (count
@@ -6263,38 +6307,11 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     table serves in a real multi-round trainer at 100 TB."""
     d = t(spark, sf_dir, "documents")
     cur = d.select(F.expr(f"array_join({_TOK_SPARK}, ' ')").alias("s"))
-    toks = "filter(split(s, ' +'), x -> x <> '')"
+    _, rounds = _bpe_rounds(cur, BPE_MERGE_ITERS)
     out = []
-    for it in range(1, BPE_MERGE_ITERS + 1):
-        pairs = cur.select(
-            F.explode(
-                F.expr(
-                    f"zip_with(slice({toks}, 1, greatest(size({toks}) - 1, 0)),"
-                    f" slice({toks}, 2, greatest(size({toks}) - 1, 0)),"
-                    " (a, b) -> concat(a, ' ', b))"
-                )
-            ).alias("pair")
-        )
-        top1 = (
-            pairs.groupBy("pair")
-            .agg(F.count("*").alias("pair_freq"))
-            .orderBy(F.desc("pair_freq"), "pair")
-            .limit(1)
-            .localCheckpoint(eager=True)  # 1 row; reused by rewrite AND census
-        )
-        cur = (
-            cur.crossJoin(F.broadcast(top1))
-            .select(
-                F.expr(
-                    f"replace(concat(' ', array_join({toks}, '  '), ' '),"
-                    " concat(' ', replace(pair, ' ', '  '), ' '),"
-                    " concat(' ', replace(pair, ' ', '\x01'), ' '))"
-                ).alias("s")
-            )
-            .localCheckpoint(eager=True)
-        )
-        n_after = cur.agg(
-            F.sum(F.expr(f"size({toks})")).alias("n_tokens_after")
+    for it, (top1, after) in enumerate(rounds, 1):
+        n_after = after.agg(
+            F.sum(F.expr(f"size({_BPE_TOKS})")).alias("n_tokens_after")
         )
         out.append(
             top1.withColumn("it", F.lit(it)).crossJoin(F.broadcast(n_after))
@@ -6308,6 +6325,88 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_text_bpe_merges.__doc__ = q_text_bpe_merges.__doc__.format(
     iters=BPE_MERGE_ITERS
 )
+
+
+def q_text_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer train-then-encode as ONE declarative job: run the
+    {iters} BPE merge rounds (same loop as text_bpe_merges) and ENCODE
+    the corpus with the learned merges, reporting the per-language
+    compression census — docs, tokens before/after, tokens saved.  This
+    is the apply half a tokenizer pipeline needs after training: the
+    encoded corpus is exactly the final rewrite, so training and
+    encoding share their passes instead of re-running the merge table
+    over the corpus separately.
+    Scale: the per-round costs are text_bpe_merges'; the census adds
+    two lang-keyed aggregates (before from the input tokenization,
+    after from the final rewrite) joined on the bounded lang key.
+    NULL langs are coalesced so the join cannot silently drop them."""
+    d = t(spark, sf_dir, "documents")
+    cur0 = d.select(
+        F.coalesce("lang", F.lit("<null>")).alias("lang"),
+        F.expr(f"array_join({_TOK_SPARK}, ' ')").alias("s"),
+    )
+    final, _ = _bpe_rounds(cur0, BPE_MERGE_ITERS, keep_cols=("lang",))
+    before = cur0.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr(f"size({_BPE_TOKS})")).alias("tok_before"),
+    )
+    after = final.groupBy("lang").agg(
+        F.sum(F.expr(f"size({_BPE_TOKS})")).alias("tok_after")
+    )
+    return (
+        before.join(after, "lang")
+        .select(
+            "lang", "n_docs", "tok_before", "tok_after",
+            (F.col("tok_before") - F.col("tok_after")).alias("saved"),
+        )
+        .orderBy("lang")
+    )
+
+
+q_text_tokenizer_apply.__doc__ = q_text_tokenizer_apply.__doc__.format(
+    iters=BPE_MERGE_ITERS
+)
+
+
+def _sql_tokenizer_apply() -> str:
+    tk = "list_filter(string_split_regex(s, ' +'), x -> x <> '')"
+    ctes = [
+        "it0 AS (SELECT coalesce(lang, '<null>') AS lang,"
+        f" array_to_string({_TOK_DUCK}, ' ') AS s FROM documents)"
+    ]
+    for i in range(1, BPE_MERGE_ITERS + 1):
+        prev = f"it{i - 1}"
+        ctes.append(
+            f"p{i} AS (SELECT unnest(list_transform(range(1, len(tk)),"
+            " j -> tk[j] || ' ' || tk[j + 1])) AS pair"
+            f" FROM (SELECT {tk} AS tk FROM {prev}))"
+        )
+        ctes.append(
+            f"t{i} AS (SELECT pair FROM p{i} GROUP BY pair"
+            " ORDER BY count(*) DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"it{i} AS (SELECT lang, replace("
+            f"' ' || array_to_string({tk}, '  ') || ' ',"
+            " ' ' || replace(pair, ' ', '  ') || ' ',"
+            " ' ' || replace(pair, ' ', chr(1)) || ' ') AS s"
+            f" FROM {prev}, t{i})"
+        )
+    ctes.append(
+        "b AS (SELECT lang, count(*) AS n_docs,"
+        f" CAST(sum(len({tk})) AS BIGINT) AS tok_before"
+        " FROM it0 GROUP BY lang)"
+    )
+    ctes.append(
+        f"a AS (SELECT lang, CAST(sum(len({tk})) AS BIGINT) AS tok_after"
+        f" FROM it{BPE_MERGE_ITERS} GROUP BY lang)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT b.lang, n_docs, tok_before, tok_after,"
+        " tok_before - tok_after AS saved\n"
+        "FROM b JOIN a ON b.lang = a.lang ORDER BY b.lang"
+    )
 
 
 def _sql_bpe_merges() -> str:
@@ -6435,6 +6534,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_vocab_topk": (q_text_vocab_topk, SQL_TEXT_VOCAB),
     "text_bpe_pairs": (q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),
     "text_bpe_merges": (q_text_bpe_merges, _sql_bpe_merges()),
+    "text_tokenizer_apply": (q_text_tokenizer_apply, _sql_tokenizer_apply()),
     "text_tfidf_topterms": (q_text_tfidf_topterms, SQL_TEXT_TFIDF),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_sessionize_split": (q_events_sessionize_split, SQL_EVENTS_SESSIONIZE),
