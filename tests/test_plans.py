@@ -558,3 +558,43 @@ def test_q20_nested_semi_chain_one_corpus_exchange(spark):
     # (suppkey,partkey) agg + the s_name census agg
     assert n_data_exchanges(simple) <= 2
     assert "CartesianProduct" not in simple
+
+
+def test_runtime_bloom_filter_prunes_selective_fact_join(spark):
+    """100 TB lever pinned at bench scale: when a selective filter sits
+    on one side of a shuffle join, Catalyst injects a runtime BLOOM
+    filter — the probe side's scan drops non-joining rows BEFORE the
+    exchange (might_contain on the join key), cutting shuffle bytes
+    without any code change.  Locally every dim fits broadcast so the
+    feature never fires in the catalog; this pins that the engine
+    setup (AQE + thresholds) leaves the path available when a join is
+    too big to broadcast."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_totalprice") > 500000
+        )
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = plan_of(spark, j, "simple")
+        assert "might_contain" in plan       # probe-side scan filter
+        assert "bloom_filter_agg" in plan    # build-side filter creation
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
