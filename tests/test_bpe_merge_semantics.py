@@ -1,0 +1,84 @@
+"""The double-space replace trick (queries._bpe_rounds / its SQL
+mirror) must implement exactly the greedy leftmost non-overlapping BPE
+merge.  A plain single-space replace gets consecutive occurrences wrong
+(the consumed trailing space hides the next match); the double-space
+separator donates one space to each adjacent match.  This pins the
+string-level rewrite against an independent list-level reference over
+hypothesis-generated token streams, including the classic traps:
+``a a a`` (overlap takes the leftmost), ``a b a b`` (consecutive
+occurrences all fuse), and merged tokens that equal a live token."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+SEP = "\x01"
+
+
+def reference_merge(tokens, a, b):
+    """Greedy leftmost non-overlapping fusion of the pair (a, b)."""
+    out, i = [], 0
+    while i < len(tokens):
+        if i + 1 < len(tokens) and tokens[i] == a and tokens[i + 1] == b:
+            out.append(a + SEP + b)
+            i += 2
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+def replace_merge(tokens, a, b):
+    """The engine's rewrite: double-space join, single replace, resplit
+    — byte-for-byte what both the Spark expression and the DuckDB CTE
+    evaluate."""
+    s = " " + "  ".join(tokens) + " "
+    s = s.replace(f" {a}  {b} ", f" {a}{SEP}{b} ")
+    return [t for t in re.split(" +", s) if t]
+
+
+TOKENS = st.lists(st.sampled_from(["a", "b", "c", "ab", "a" + SEP + "b"]),
+                  min_size=0, max_size=12)
+PAIR = st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"), ("ab", "a"),
+                        ("a" + SEP + "b", "c")])
+
+
+@settings(max_examples=500, deadline=None)
+@given(TOKENS, PAIR)
+def test_replace_rewrite_equals_greedy_merge(tokens, pair):
+    a, b = pair
+    assert replace_merge(tokens, a, b) == reference_merge(tokens, a, b)
+
+
+def test_known_traps():
+    assert replace_merge(["a", "a", "a"], "a", "a") == ["a" + SEP + "a", "a"]
+    assert replace_merge(["a", "b", "a", "b"], "a", "b") == [
+        "a" + SEP + "b", "a" + SEP + "b"
+    ]
+    assert replace_merge(["b", "a", "b"], "a", "b") == ["b", "a" + SEP + "b"]
+    assert replace_merge([], "a", "b") == []
+
+
+def test_spark_and_duckdb_agree_with_reference(spark):
+    """End to end on one engine pair: the exact expressions used by the
+    query and its oracle produce the reference merge."""
+    import duckdb
+
+    toks = ["a", "a", "a", "b", "a", "b", "c", "ab"]
+    a, b = "a", "b"
+    expected = " ".join(reference_merge(toks, a, b))
+
+    s = " " + "  ".join(toks) + " "
+    row = spark.sql(
+        "SELECT array_join(filter(split(replace('" + s + "', ' a  b ',"
+        " concat(' a', char(1), 'b ')), ' +'), x -> x <> ''), ' ') AS m"
+    ).collect()[0]
+    assert row["m"] == expected
+
+    d = duckdb.sql(
+        "SELECT array_to_string(list_filter(string_split_regex("
+        "replace('" + s + "', ' a  b ', ' a' || chr(1) || 'b '), ' +'),"
+        " x -> x <> ''), ' ') AS m"
+    ).fetchone()[0]
+    assert d == expected
