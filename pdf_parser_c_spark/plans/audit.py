@@ -89,7 +89,7 @@ def main() -> None:
         "tpch_supplier_cnt": "Q16 shape: exclusion list LeftAnti-broadcast + filtered part dim broadcast (brand/size pushed to the part scan); distinct-count runs partial on the (group, suppkey) exchange",
         "tpch_small_qty_revenue": "Q17 shape: decorrelated per-part avg rejoined on a RENAMED key (real equi condition, no degenerate self-compare); brand filter pushed to the part scan; 1-row final agg",
         "tpch_waiting_suppliers": "Q21 shape: EXISTS/NOT EXISTS as LeftSemi + LeftAnti HASH joins keyed on orderkey with the suppkey<> residual as join condition — never a nested loop",
-        "sim_sq8_rerank": "SQ8 two-stage ANN: coarse TakeOrdered over the int8-codes scan (4x less in-flight data), candidate list broadcast back to the float store; zero corpus-wide exchanges",
+        "sim_sq8_rerank": "SQ8 two-stage ANN: coarse TakeOrdered over the codes scan (int8-range values; TINYINT/BINARY at rest in a production layout), candidate list broadcast back to the float store; zero corpus-wide exchanges",
         "text_bpe_merges": "BPE training round: ONE pair-count exchange, winning pair 1-row broadcast into the rewrite; rounds chained through localCheckpoint so lineage stays linear",
         "tpch_important_parts": "Q11 shape: supplier+nation broadcast into the scan, part-value agg on ONE exchange whose two consumers (2x-avg threshold + filter) collapse via AQE ReusedExchange; threshold is a 1-row broadcast",
         "tpch_surging_suppliers": "Q20 shape: promo part list broadcast (type filter pushed), correlated threshold as conditional sum beside the total on ONE (suppkey, partkey) agg — no second corpus pass",

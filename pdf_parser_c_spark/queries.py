@@ -5859,6 +5859,9 @@ WITH rev AS (
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-07-01'
+    AND l_suppkey IS NOT NULL  -- mirror the Spark side's explicit filter:
+    -- a NULL-key group would otherwise enter the scalar max here while
+    -- the engine pre-filters it, silently skewing the contract
   GROUP BY l_suppkey)
 SELECT s_suppkey, s_name, revenue_c
 FROM rev JOIN supplier ON s_suppkey = l_suppkey
@@ -6141,9 +6144,13 @@ def q_sim_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     round() so both engines share one rounding rule) and keeps the top
     {C}; stage 2 joins ONLY those candidates back to the full-precision
     store and reranks exactly to top {k} — the compressed-scan /
-    precise-rerank architecture of a production vector index, where the
-    codes are 4× smaller than float32 (16× vs float64) and the float
-    vectors never leave their store for non-candidates.
+    precise-rerank architecture of a production vector index: the float
+    vectors never leave their store for non-candidates.  Here the codes
+    are int8-RANGE values carried as doubles so both engines share
+    exact integer arithmetic; a production layout stores them as
+    TINYINT/BINARY (4× under float32, 8× under these doubles) — the
+    demonstrated property is the two-stage architecture, not the byte
+    width.
     Determinism: codes are integral doubles, so dots/norms are exact in
     any summation order and the coarse ordering cannot drift between
     engines; the exact stage orders by the ROUNDED cosine with a vec_id
@@ -6269,19 +6276,27 @@ def _bpe_rounds(cur: DataFrame, iters: int, keep_cols: tuple = ()):
             .agg(F.count("*").alias("pair_freq"))
             .orderBy(F.desc("pair_freq"), "pair")
             .limit(1)
-            .localCheckpoint(eager=True)  # 1 row; reused by rewrite AND census
+            # lazy checkpoint: consumed by the rewrite (and, in the
+            # training census, by the output row) — materialized once at
+            # the first action, so plan-only consumers stay free
+            .localCheckpoint(eager=False)
         )
+        # LEFT join on TRUE, not crossJoin: a round with no adjacent
+        # pairs anywhere (all docs <= 1 token) yields an EMPTY top1, and
+        # a cross join would silently delete the whole corpus; the CASE
+        # keeps s unchanged instead
         cur = (
-            cur.crossJoin(F.broadcast(top1))
+            cur.join(F.broadcast(top1), F.lit(True), "left")
             .select(
                 *keep_cols,
                 F.expr(
-                    f"replace(concat(' ', array_join({toks}, '  '), ' '),"
+                    "CASE WHEN pair IS NULL THEN s ELSE"
+                    f" replace(concat(' ', array_join({toks}, '  '), ' '),"
                     " concat(' ', replace(pair, ' ', '  '), ' '),"
-                    " concat(' ', replace(pair, ' ', '\x01'), ' '))"
+                    " concat(' ', replace(pair, ' ', '\x01'), ' ')) END"
                 ).alias("s"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         rounds.append((top1, cur))
     return cur, rounds
@@ -6306,7 +6321,9 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     of re-deriving the whole lineage — the same role an intermediate
     table serves in a real multi-round trainer at 100 TB."""
     d = t(spark, sf_dir, "documents")
-    cur = d.select(F.expr(f"array_join({_TOK_SPARK}, ' ')").alias("s"))
+    cur = d.select(
+        F.expr(f"array_join({_TOK_SPARK}, ' ')").alias("s")
+    ).localCheckpoint(eager=False)  # seed shared by round-1 pairs + rewrite
     _, rounds = _bpe_rounds(cur, BPE_MERGE_ITERS)
     out = []
     for it, (top1, after) in enumerate(rounds, 1):
@@ -6344,7 +6361,7 @@ def q_text_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur0 = d.select(
         F.coalesce("lang", F.lit("<null>")).alias("lang"),
         F.expr(f"array_join({_TOK_SPARK}, ' ')").alias("s"),
-    )
+    ).localCheckpoint(eager=False)  # shared by round 1 AND the before-census
     final, _ = _bpe_rounds(cur0, BPE_MERGE_ITERS, keep_cols=("lang",))
     before = cur0.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -6372,7 +6389,8 @@ def _sql_tokenizer_apply() -> str:
     tk = "list_filter(string_split_regex(s, ' +'), x -> x <> '')"
     ctes = [
         "it0 AS (SELECT coalesce(lang, '<null>') AS lang,"
-        f" array_to_string({_TOK_DUCK}, ' ') AS s FROM documents)"
+        f" coalesce(array_to_string({_TOK_DUCK}, ' '), '') AS s"
+        " FROM documents)"
     ]
     for i in range(1, BPE_MERGE_ITERS + 1):
         prev = f"it{i - 1}"
@@ -6386,11 +6404,12 @@ def _sql_tokenizer_apply() -> str:
             " ORDER BY count(*) DESC, pair LIMIT 1)"
         )
         ctes.append(
-            f"it{i} AS (SELECT lang, replace("
+            f"it{i} AS (SELECT lang, CASE WHEN pair IS NULL THEN s"
+            " ELSE replace("
             f"' ' || array_to_string({tk}, '  ') || ' ',"
             " ' ' || replace(pair, ' ', '  ') || ' ',"
-            " ' ' || replace(pair, ' ', chr(1)) || ' ') AS s"
-            f" FROM {prev}, t{i})"
+            " ' ' || replace(pair, ' ', chr(1)) || ' ') END AS s"
+            f" FROM {prev} LEFT JOIN t{i} ON TRUE)"
         )
     ctes.append(
         "b AS (SELECT lang, count(*) AS n_docs,"
@@ -6412,7 +6431,8 @@ def _sql_tokenizer_apply() -> str:
 def _sql_bpe_merges() -> str:
     tk = "list_filter(string_split_regex(s, ' +'), x -> x <> '')"
     ctes = [
-        f"it0 AS (SELECT array_to_string({_TOK_DUCK}, ' ') AS s"
+        # coalesce: DuckDB array_to_string([]) is NULL, Spark array_join is ''
+        f"it0 AS (SELECT coalesce(array_to_string({_TOK_DUCK}, ' '), '') AS s"
         " FROM documents)"
     ]
     sels = []
@@ -6428,11 +6448,11 @@ def _sql_bpe_merges() -> str:
             " GROUP BY pair ORDER BY pair_freq DESC, pair LIMIT 1)"
         )
         ctes.append(
-            f"it{i} AS (SELECT replace("
+            f"it{i} AS (SELECT CASE WHEN pair IS NULL THEN s ELSE replace("
             f"' ' || array_to_string({tk}, '  ') || ' ',"
             " ' ' || replace(pair, ' ', '  ') || ' ',"
-            " ' ' || replace(pair, ' ', chr(1)) || ' ') AS s"
-            f" FROM {prev}, t{i})"
+            " ' ' || replace(pair, ' ', chr(1)) || ' ') END AS s"
+            f" FROM {prev} LEFT JOIN t{i} ON TRUE)"
         )
         ctes.append(
             f"n{i} AS (SELECT CAST(sum(len({tk})) AS BIGINT)"

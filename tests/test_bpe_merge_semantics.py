@@ -82,3 +82,50 @@ def test_spark_and_duckdb_agree_with_reference(spark):
         " x -> x <> ''), ' ') AS m"
     ).fetchone()[0]
     assert d == expected
+
+
+def test_pairless_round_keeps_corpus(spark, tmp_path):
+    """A corpus where no document has two tokens produces an EMPTY
+    winning-pair frame every round; the rewrite must keep the corpus
+    (LEFT join + CASE), not cross-join it away — the census survives
+    with tok_before == tok_after and the training census reports no
+    merges."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_c_spark.queries import QUERIES
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["solo", "word", ""],
+        "lang": ["en", "en", "de"],
+        "source": ["s"] * 3,
+        "n_chars": [4, 4, 0],
+    })
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+
+    apply_rows = QUERIES["text_tokenizer_apply"][0](
+        spark, str(tmp_path)
+    ).collect()
+    assert {(r["lang"], r["n_docs"], r["tok_before"], r["tok_after"],
+             r["saved"]) for r in apply_rows} == {
+        ("en", 2, 2, 2, 0), ("de", 1, 0, 0, 0),
+    }
+
+    merges = QUERIES["text_bpe_merges"][0](spark, str(tmp_path)).collect()
+    assert merges == []  # nothing to merge, nothing reported
+
+    # the oracle must agree on the degenerate group too — DuckDB's
+    # array_to_string([]) is NULL where Spark's array_join is '', so the
+    # seed carries an explicit coalesce; without it the de-group census
+    # NULLs out
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    assert sorted(con.sql(QUERIES["text_tokenizer_apply"][1]).fetchall()) == [
+        ("de", 1, 0, 0, 0), ("en", 2, 2, 2, 0),
+    ]
+    assert con.sql(QUERIES["text_bpe_merges"][1]).fetchall() == []
