@@ -77,9 +77,10 @@ def main() -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    corpus = transcripts_columns_only(
-        make_transcripts(n_convs=420, turns_per_conv=28, mega_every=10, mega_factor=10)
+    corpus_with_variant = make_transcripts(
+        n_convs=420, turns_per_conv=28, mega_every=10, mega_factor=10
     )
+    corpus = transcripts_columns_only(corpus_with_variant)
     corpus = corpus.assign(
         ts=corpus["ts"].dt.tz_localize(None).astype("datetime64[us]")
     )
@@ -95,6 +96,30 @@ def main() -> None:
     extract_turns(sdf, num_partitions=cpus * 2).count()
     ex_sec = time.perf_counter() - t0
     turns_per_sec = n_turns / ex_sec if ex_sec > 0 else 0.0
+
+    # per-turn text-equality pass rate (the other half of the
+    # BASELINE.json metric): the generator knows which variant each
+    # (conv_id, turn_idx) carries, and the golden text per variant is
+    # frozen in tests/test_corpus_golden.py — join the extracted text
+    # against it.  Un-timed: the throughput number above is unaffected.
+    try:
+        from tests.test_corpus_golden import GOLDEN_TEXT
+
+        extracted = (
+            extract_turns(sdf, num_partitions=cpus * 2)
+            .select("conv_id", "turn_idx", "text")
+            .toPandas()
+        )
+        merged = extracted.merge(
+            corpus_with_variant[["conv_id", "turn_idx", "variant"]],
+            on=["conv_id", "turn_idx"],
+            validate="one_to_one",
+        )
+        eq = merged["text"] == merged["variant"].map(GOLDEN_TEXT)
+        equality_rate = round(float(eq.mean()), 6) if len(merged) else 0.0
+        n_checked = int(len(merged))
+    except Exception:  # keep the bench JSON flowing if tests/ is absent
+        equality_rate, n_checked = None, 0
 
     # production-path probe: the FULL checkpointed job (salted extract →
     # bucket-aligned partitioned write → metrics → lineage) on the same
@@ -121,6 +146,8 @@ def main() -> None:
                     "turns": n_turns,
                     "sec": round(ex_sec, 3),
                     "turns_per_sec": round(turns_per_sec, 1),
+                    "text_equality_rate": equality_rate,
+                    "turns_checked": n_checked,
                     "cpus": cpus,
                 },
                 "production_job": {
