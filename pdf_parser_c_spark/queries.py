@@ -6023,6 +6023,48 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
 """
 
 
+_PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def q_audit_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiler — the data-quality audit every ingest pipeline
+    runs: per column, row count, NULL count, exact distinct count.
+    Values are cast to string ONLY as a uniform carrier for the unpivot;
+    all three statistics are cast-format-independent (casts are
+    injective and NULL-preserving), so the oracle is engine-safe even
+    where the engines' string renderings differ.
+    Scale: ONE pass — the stack (a map-side Generate) multiplies rows
+    by n_cols and a single (col, value)-keyed distinct aggregate serves
+    every column; the naive per-column loop is n_cols separate scans of
+    a 100 TB table.  For ≫ this column count, swap the exact distinct
+    for the HLL register sketch (sketch_hll_distinct) and keep the one
+    pass."""
+    pairs = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS
+    )
+    ev = t(spark, sf_dir, "events")
+    unpivoted = ev.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {pairs}) AS (col, val)"
+    )
+    return (
+        unpivoted.groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("val").isNull(), 1)).alias("n_null"),
+            F.countDistinct("val").alias("n_distinct"),
+        )
+        .orderBy("col")
+    )
+
+
+SQL_AUDIT_TABLE_PROFILE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col, count(*) AS n_rows,"
+    f" CAST(count(*) FILTER ({c} IS NULL) AS BIGINT) AS n_null,"
+    f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM events"
+    for c in _PROFILE_COLS
+) + "\nORDER BY col"
+
+
 def q_tpch_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: grouped aggregate filtered against a scalar
     subquery over the SAME aggregate (parts whose nation-filtered value
@@ -6568,6 +6610,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
     "audit_source_overlap": (q_audit_source_overlap, SQL_AUDIT_SOURCE_OVERLAP),
     "audit_fk_orphans": (q_audit_fk_orphans, SQL_AUDIT_FK_ORPHANS),
+    "audit_table_profile": (q_audit_table_profile, SQL_AUDIT_TABLE_PROFILE),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "sketch_hll_distinct": (q_sketch_hll_distinct, SQL_SKETCH_HLL),
     "sketch_hll_rolling": (q_sketch_hll_rolling, SQL_SKETCH_HLL_ROLLING),

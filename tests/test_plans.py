@@ -598,3 +598,13 @@ def test_runtime_bloom_filter_prunes_selective_fact_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_table_profile_is_one_pass_expand(spark):
+    """Profiler: one scan feeding the stack Generate — never a
+    per-column scan loop; the (col, val) distinct agg is the only
+    corpus-keyed exchange."""
+    plan = plan_of(spark, QUERIES["audit_table_profile"][0](spark, SF_DIR),
+                   "simple")
+    assert plan.count("FileScan") == 1
+    assert "Generate stack" in plan
