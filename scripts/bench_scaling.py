@@ -354,6 +354,13 @@ per FIXTURES.md §2 — PDF-heavy with mega-conversation skew).
 Job: `extract_turns` (salted repartition → Arrow-batched mapInPandas
 extraction kernel) → count.
 
+Correctness half of the metric: `bench.py`'s extraction block reports
+`text_equality_rate` — every probe turn's extracted text joined
+against the frozen golden text for its generator variant
+(tests/test_corpus_golden.py).  Current rate: **1.0** over all probe
+turns at every measured level; the sf-substrate equality evidence is
+the five hash-checked `extraction_*_roundtrip` oracle rows.
+
 **Hardware confound, measured:** this sandbox is one VM; its vCPUs slow
 down as more go busy (even a pure-register arithmetic loop only reaches
 ~3.0× from 8→32 processes here).  The "hw kernel" column runs the SAME
