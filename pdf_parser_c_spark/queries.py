@@ -6026,6 +6026,61 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
 _PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension) build from an event log: per
+    user, CONSECUTIVE duplicate states collapse (change detection via
+    lag), each surviving change opens a version valid from its event
+    time until the next change (lead) — the standard lakehouse dim
+    build.  Census: versions per user and the open (current) version's
+    state, chosen by the NULL valid_to (exactly one per user) so no
+    cross-engine timestamp arithmetic enters the oracle.  Both windows
+    carry the (ts, event_id) tiebreak — event-time ties are real in
+    logs and an untied window order is nondeterministic across engines.
+    Scale: change-detect, versioning, and the census all partition by
+    user_id, so the three stages share ONE exchange; version rows are
+    change-count-sized, not event-count-sized, before anything wide
+    happens."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = ev.withColumn("prev", F.lag("event_type").over(w))
+    v = ch.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    ).select("user_id", "event_type", "ts", "event_id")
+    scd = v.withColumn(
+        "valid_to",
+        F.lead("ts").over(Window.partitionBy("user_id").orderBy("ts", "event_id")),
+    )
+    return (
+        scd.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_versions"),
+            F.max(
+                F.when(F.col("valid_to").isNull(), F.col("event_type"))
+            ).alias("current_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_EVENTS_SCD2 = """
+WITH ch AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+v AS (SELECT user_id, event_type, ts, event_id FROM ch
+      WHERE prev IS NULL OR prev <> event_type),
+scd AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+  FROM v)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_versions,
+       max(CASE WHEN valid_to IS NULL THEN event_type END) AS current_type
+FROM scd GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_audit_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table profiler — the data-quality audit every ingest pipeline
     runs: per column, row count, NULL count, exact distinct count.
@@ -6611,6 +6666,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "audit_source_overlap": (q_audit_source_overlap, SQL_AUDIT_SOURCE_OVERLAP),
     "audit_fk_orphans": (q_audit_fk_orphans, SQL_AUDIT_FK_ORPHANS),
     "audit_table_profile": (q_audit_table_profile, SQL_AUDIT_TABLE_PROFILE),
+    "events_scd2": (q_events_scd2, SQL_EVENTS_SCD2),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "sketch_hll_distinct": (q_sketch_hll_distinct, SQL_SKETCH_HLL),
     "sketch_hll_rolling": (q_sketch_hll_rolling, SQL_SKETCH_HLL_ROLLING),

@@ -608,3 +608,12 @@ def test_table_profile_is_one_pass_expand(spark):
                    "simple")
     assert plan.count("FileScan") == 1
     assert "Generate stack" in plan
+
+
+def test_scd2_stages_share_one_user_exchange(spark):
+    """SCD2 build: change-detect lag, versioning lead, and the census
+    all key on user_id — ONE data exchange for the whole dim build."""
+    plan = plan_of(spark, QUERIES["events_scd2"][0](spark, SF_DIR),
+                   "simple")
+    assert n_data_exchanges(plan) == 1
+    assert plan.count("Window") >= 2
