@@ -93,6 +93,8 @@ def main() -> None:
         "text_bpe_merges": "BPE training round: ONE pair-count exchange, winning pair 1-row broadcast into the rewrite; rounds chained through localCheckpoint so lineage stays linear",
         "tpch_important_parts": "Q11 shape: supplier+nation broadcast into the scan, part-value agg on ONE exchange whose two consumers (2x-avg threshold + filter) collapse via AQE ReusedExchange; threshold is a 1-row broadcast",
         "tpch_surging_suppliers": "Q20 shape: promo part list broadcast (type filter pushed), correlated threshold as conditional sum beside the total on ONE (suppkey, partkey) agg — no second corpus pass",
+        "audit_table_profile": "profiler: ONE FileScan into a stack Generate; every column's rows/NULLs/distincts from a single (col,val)-keyed distinct agg — never a per-column scan loop",
+        "events_scd2": "SCD2 dim build: change-detect lag, versioning lead, and the census share ONE user_id exchange; version rows are change-count-sized before the agg",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]
