@@ -2,6 +2,11 @@
 keyed table — the CDC / backfill-audit primitive ("what changed between
 yesterday's corpus build and today's?").
 
+Contract: key columns must be non-NULL (the same unkeyable-row rule the
+source readers enforce at the boundary) — NULL keys never equi-join, so
+a NULL-keyed row can neither be matched, deleted, nor upserted
+coherently by ANY engine's MERGE.
+
 Scale: both sides reduce map-side to (key, row-hash) before the single
 full-outer equi-join on the key, so payload columns never shuffle; the
 join is broadcast when one side is small, key-clustered SMJ otherwise.
@@ -61,3 +66,59 @@ def diff_census(
         .agg(F.count("*").alias("n"))
         .orderBy("status")
     )
+
+
+def build_changeset(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: "list[str]",
+    compare_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """→ the MINIMAL changeset: one row per added/changed/removed key,
+    carrying ``op`` in {'upsert', 'delete'} plus the NEW payload for
+    upserts (NULL payload for deletes).  Unchanged keys are absent —
+    at 100 TB the changeset is change-sized, which is the entire point
+    of shipping a changeset instead of the next snapshot.
+    Scale: the diff side is the hash-reduced table_diff join; payload
+    columns attach AFTER the diff by an equi-join against only the
+    upserted keys, so full rows move once and only for changed keys."""
+    compare = compare_cols or [c for c in new.columns if c not in key_cols]
+    d = table_diff(old, new, key_cols, compare)
+    ups = (
+        d.filter(F.col("status").isin("added", "changed"))
+        .select(*key_cols)
+        .join(new, key_cols, "inner")
+        .select(*key_cols, *compare, F.lit("upsert").alias("op"))
+    )
+    dels = (
+        d.filter(F.col("status") == "removed")
+        .select(
+            *key_cols,
+            *[F.lit(None).cast(new.schema[c].dataType).alias(c)
+              for c in compare],
+            F.lit("delete").alias("op"),
+        )
+    )
+    return ups.unionByName(dels)
+
+
+def apply_changeset(
+    base: DataFrame,
+    changeset: DataFrame,
+    key_cols: "list[str]",
+) -> DataFrame:
+    """MERGE semantics on plain tables: delete the changeset's keys
+    from ``base`` (covers deletes AND the old versions of upserts),
+    then union the upsert payloads — so
+    ``apply_changeset(old, build_changeset(old, new), keys) ≡ new``
+    row-for-row (the CDC roundtrip invariant, pinned in
+    tests/test_operators_api.py).
+    Scale: one LeftAnti hash join on the key (changeset side builds,
+    broadcast when change-sized) plus a union — base payloads never
+    shuffle; this is exactly the shape a MERGE INTO compiles to on a
+    keyed lake table when the source is change-sized."""
+    cols = [c for c in base.columns]
+    keys_to_drop = changeset.select(*key_cols)
+    kept = base.join(F.broadcast(keys_to_drop), key_cols, "left_anti")
+    ups = changeset.filter(F.col("op") == "upsert").select(*cols)
+    return kept.unionByName(ups)

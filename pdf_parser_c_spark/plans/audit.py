@@ -95,6 +95,7 @@ def main() -> None:
         "tpch_surging_suppliers": "Q20 shape: promo part list broadcast (type filter pushed), correlated threshold as conditional sum beside the total on ONE (suppkey, partkey) agg — no second corpus pass",
         "audit_table_profile": "profiler: ONE FileScan into a stack Generate; every column's rows/NULLs/distincts from a single (col,val)-keyed distinct agg — never a per-column scan loop",
         "events_scd2": "SCD2 dim build: change-detect lag, versioning lead, and the census share ONE user_id exchange; version rows are change-count-sized before the agg",
+        "snapshot_apply": "CDC apply: changeset build = hash-reduced diff + payload attach on changed keys only; apply = ONE LeftAnti on the key + union — base payloads never shuffle; invariant census proves applied == new",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

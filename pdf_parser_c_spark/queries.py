@@ -4393,6 +4393,102 @@ FROM d GROUP BY status ORDER BY status
 """
 
 
+def q_snapshot_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (MERGE) as a query: build the minimal changeset
+    between snapshot_diff's two deterministic snapshots, apply it to
+    the old one, and census the RESULT against the new snapshot — the
+    roundtrip invariant apply(build(old,new), old) ≡ new expressed as a
+    driver-checkable row: matches must equal rows on both sides and
+    mismatches must be zero.  The changeset census rides along (upserts
+    = added+changed, deletes = removed — change-sized, unchanged keys
+    absent).
+    Scale: changeset build is the hash-reduced diff plus one
+    payload-attach join on changed keys only; apply is one LeftAnti on
+    the key + a union — base payloads never shuffle
+    (operators/snapshot.build_changeset / apply_changeset)."""
+    from .operators.snapshot import apply_changeset, build_changeset
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    old = orders
+    kept = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    appended = orders.filter(F.col("o_orderkey") % 103 == 0).select(
+        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+        "o_totalprice",
+    )
+    new = kept.unionByName(appended)
+    cs = build_changeset(old, new, ["o_orderkey"])
+    applied = apply_changeset(old, cs, ["o_orderkey"])
+    j = applied.alias("a").join(
+        new.alias("n"),
+        (F.col("a.o_orderkey") == F.col("n.o_orderkey"))
+        & (F.col("a.o_totalprice") == F.col("n.o_totalprice")),
+        "full_outer",
+    )
+    return (
+        j.agg(
+            F.count(F.when(F.col("a.o_orderkey").isNotNull()
+                           & F.col("n.o_orderkey").isNotNull(), 1))
+            .alias("n_matched"),
+            F.count(F.when(F.col("n.o_orderkey").isNull(), 1))
+            .alias("n_only_applied"),
+            F.count(F.when(F.col("a.o_orderkey").isNull(), 1))
+            .alias("n_only_new"),
+        )
+        .crossJoin(
+            F.broadcast(
+                cs.groupBy().pivot("op", ["upsert", "delete"]).count()
+                .select(
+                    F.coalesce("upsert", F.lit(0)).alias("n_upserts"),
+                    F.coalesce("delete", F.lit(0)).alias("n_deletes"),
+                )
+            )
+        )
+    )
+
+
+SQL_SNAPSHOT_APPLY = """
+WITH old AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice
+  FROM orders WHERE o_orderkey % 103 = 0),
+d AS (
+  SELECT coalesce(old.k, new.k) AS k, old.k AS ok, new.k AS nk,
+         old.p AS op_, new.p AS np
+  FROM old FULL OUTER JOIN new ON old.k = new.k),
+cs AS (
+  SELECT k, np AS p, 'upsert' AS op FROM d
+  WHERE ok IS NULL OR (nk IS NOT NULL AND op_ <> np)
+  UNION ALL
+  SELECT k, NULL, 'delete' FROM d WHERE nk IS NULL),
+applied AS (
+  SELECT * FROM old WHERE k NOT IN (SELECT k FROM cs)
+  UNION ALL
+  SELECT k, p FROM cs WHERE op = 'upsert'),
+j AS (
+  SELECT a.k AS ak, n.k AS nk
+  FROM applied a FULL OUTER JOIN new n ON a.k = n.k AND a.p = n.p)
+SELECT CAST(count(*) FILTER (ak IS NOT NULL AND nk IS NOT NULL) AS BIGINT)
+         AS n_matched,
+       CAST(count(*) FILTER (nk IS NULL) AS BIGINT) AS n_only_applied,
+       CAST(count(*) FILTER (ak IS NULL) AS BIGINT) AS n_only_new,
+       (SELECT CAST(count(*) FILTER (op = 'upsert') AS BIGINT) FROM cs)
+         AS n_upserts,
+       (SELECT CAST(count(*) FILTER (op = 'delete') AS BIGINT) FROM cs)
+         AS n_deletes
+FROM j
+"""
+
+
 # --------------------------------------------------------------------------
 # Sketch family (operators/sketches.py): bounded-state approximate
 # structures whose CONTENTS are deterministic functions of the input —
@@ -6667,6 +6763,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "audit_fk_orphans": (q_audit_fk_orphans, SQL_AUDIT_FK_ORPHANS),
     "audit_table_profile": (q_audit_table_profile, SQL_AUDIT_TABLE_PROFILE),
     "events_scd2": (q_events_scd2, SQL_EVENTS_SCD2),
+    "snapshot_apply": (q_snapshot_apply, SQL_SNAPSHOT_APPLY),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "sketch_hll_distinct": (q_sketch_hll_distinct, SQL_SKETCH_HLL),
     "sketch_hll_rolling": (q_sketch_hll_rolling, SQL_SKETCH_HLL_ROLLING),

@@ -514,6 +514,41 @@ def test_table_diff_statuses_and_null_semantics(spark):
     assert census == {"added": 1, "removed": 1, "changed": 2, "unchanged": 1}
 
 
+def test_changeset_roundtrip_applies_to_the_new_snapshot(spark):
+    """CDC roundtrip invariant: apply(build_changeset(old, new), old)
+    reproduces new row-for-row — upserts (added + changed), deletes,
+    NULL payloads, and untouched rows all covered; the changeset is
+    change-sized (unchanged keys absent)."""
+    from pdf_parser_c_spark.operators.snapshot import (
+        apply_changeset,
+        build_changeset,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, None, 30.0), (4, "d", 40.0)],
+        ["k", "v", "w"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 2.0), (5, None, None)],
+        ["k", "v", "w"],
+    )
+    cs = build_changeset(old, new, ["k"])
+    ops = {(r.k, r.op) for r in cs.collect()}
+    assert ops == {(2, "upsert"), (5, "upsert"), (3, "delete"),
+                   (4, "delete")}  # key 1 unchanged -> absent
+
+    applied = apply_changeset(old, cs, ["k"])
+    assert applied.exceptAll(new).count() == 0
+    assert new.exceptAll(applied).count() == 0
+
+    # idempotent re-application: applying the same changeset to the
+    # result is a no-op (MERGE semantics, not an append)
+    again = apply_changeset(applied, cs, ["k"])
+    assert again.exceptAll(new).count() == 0
+    assert new.exceptAll(again).count() == 0
+
+
+
 def test_editdist1_pairs_randomized_bruteforce_equivalence(spark):
     """Seeded random short strings over a 2-letter alphabet (dense
     distance-1 space, duplicates, EMPTY strings): the FastSS blocking

@@ -216,7 +216,7 @@ def test_query_matches_oracle_on_adversarial_data(spark, adv_duck, adv_dir,
 TPCH_ADVERSARIAL_SET = [
     n for n in sorted(QUERIES)
     if n.startswith("tpch_")
-] + ["audit_fk_orphans", "snapshot_diff",
+] + ["audit_fk_orphans", "snapshot_diff", "snapshot_apply",
      "dedup_editdist1", "dedup_sorted_neighborhood"]
 
 # ASCII only: DuckDB's levenshtein counts BYTES on non-ASCII while

@@ -617,3 +617,14 @@ def test_scd2_stages_share_one_user_exchange(spark):
                    "simple")
     assert n_data_exchanges(plan) == 1
     assert plan.count("Window") >= 2
+
+
+def test_snapshot_apply_anti_join_and_no_payload_shuffle(spark):
+    """CDC apply: the base-minus-changeset step is a LeftAnti hash join
+    on the key (broadcast at change size); the changeset build's diff
+    stage reduces both sides to (key, hash) before its one full-outer
+    join."""
+    plan = plan_of(spark, QUERIES["snapshot_apply"][0](spark, SF_DIR),
+                   "simple")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
