@@ -6122,6 +6122,53 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
 _PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the semi-structured props column: pluck
+    $.k with get_json_object (JVM-side JSON path, NULL on malformed
+    JSON or missing path — the engine-portable contract), gate numeric
+    interpretation behind a strict integer regex (engines disagree on
+    lossy string→int casts: DuckDB TRY_CAST rounds '3.7' to 4), and
+    census per event type.
+    Scale: single-path plucks stay get_json_object / json_tuple
+    (codegen, no schema inference job); a full-schema read would be
+    from_json with an EXPLICIT struct so pruning reaches the parser —
+    never schema inference over 10^12 rows.  One exchange (the census
+    agg); parsing is map-side."""
+    ev = t(spark, sf_dir, "events")
+    kstr = F.get_json_object(F.col("props"), "$.k")
+    k = F.when(kstr.rlike("^-?[0-9]+$"), kstr.cast("int"))
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_JSON_EXTRACT = """
+WITH parsed AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+                   AND regexp_matches(coalesce(
+                         json_extract_string(props, '$.k'), ''),
+                       '^-?[0-9]+$')
+              THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+         END AS k
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 4) AS avg_k
+FROM parsed GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 (slowly-changing-dimension) build from an event log: per
     user, CONSECUTIVE duplicate states collapse (change detection via
@@ -6763,6 +6810,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "audit_fk_orphans": (q_audit_fk_orphans, SQL_AUDIT_FK_ORPHANS),
     "audit_table_profile": (q_audit_table_profile, SQL_AUDIT_TABLE_PROFILE),
     "events_scd2": (q_events_scd2, SQL_EVENTS_SCD2),
+    "events_json_extract": (q_events_json_extract, SQL_EVENTS_JSON_EXTRACT),
     "snapshot_apply": (q_snapshot_apply, SQL_SNAPSHOT_APPLY),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "sketch_hll_distinct": (q_sketch_hll_distinct, SQL_SKETCH_HLL),

@@ -56,3 +56,43 @@ def test_entry_contract(spark):
     q = E.queries()
     o = E.oracle_sql()
     assert set(o) <= set(q) and len(q) >= 20
+
+
+def test_json_extract_hostile_props_parity(spark, tmp_path):
+    """events_json_extract on every malformed-props shape: invalid
+    JSON, NULL, missing path, float (TRY_CAST would round it — the
+    regex gate must reject), quoted non-number, nested object, boolean,
+    negative int.  Spark and the DuckDB oracle must agree cell-for-cell."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_c_spark.queries import QUERIES
+
+    props = ['{"k": 87}', '{"k": -3}', '{"k": 3.7}', '{"k": "abc"}',
+             '{"x": 1}', "not json", None, '{"k": {"a": 1}}',
+             '{"k": true}', '{"k": null}']
+    pdf = pd.DataFrame({
+        "event_id": range(len(props)),
+        # microsecond precision: Spark's parquet reader rejects NANOS
+        "ts": pd.Series([dt.datetime(2026, 1, 1)] * len(props),
+                        dtype="datetime64[us]"),
+        "user_id": [1] * len(props),
+        "event_type": ["t"] * len(props),
+        "value": [0.0] * len(props),
+        "props": props,
+    })
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    fn, sql = QUERIES["events_json_extract"]
+    srow = fn(spark, str(tmp_path)).collect()[0]
+    con = duckdb.connect()
+    con.register("events", pdf)
+    drow = con.sql(sql).fetchone()
+    assert (srow["n_events"], srow["n_with_k"], srow["sum_k"],
+            srow["avg_k"]) == (drow[1], drow[2], drow[3], drow[4])
+    assert srow["n_with_k"] == 2 and srow["sum_k"] == 84  # 87 + (-3)
