@@ -720,3 +720,40 @@ def start_interval_join_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def idempotent_batch_writer(output_path: str):
+    """foreachBatch sink function: each micro-batch OVERWRITES its own
+    ``batch=<id>`` directory.  Parquet/file sinks get exactly-once from
+    Spark's sink transaction log, but sinks without one (object-store
+    layouts consumed by other engines, JDBC staging dirs) replay the
+    last uncommitted batch after a failure — keying the write by
+    batch_id makes the replay rewrite the same directory instead of
+    appending duplicates, which IS the standard exactly-once recipe for
+    non-transactional foreachBatch sinks."""
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
+
+    return write_batch
+
+
+def start_extraction_stream_idempotent(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """readStream → extraction kernel → foreachBatch idempotent
+    batch-keyed parquet layout (see :func:`idempotent_batch_writer`).
+    Read the result as one table with
+    ``spark.read.parquet(output_path)`` (batch= is a partition
+    column)."""
+    out = extract_stream(read_transcripts_stream(spark, input_path))
+    writer = (
+        out.writeStream.foreachBatch(idempotent_batch_writer(output_path))
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
