@@ -6119,6 +6119,80 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
 """
 
 
+NEG_K = 3
+_IDH = "cast(conv(substr(md5(cast({col} as string)), 1, 15), 16, 10) as bigint)"
+
+
+def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: every
+    document probes {k} pseudo-random partners via hash-derived slots —
+    each doc owns slot md5(doc_id) mod n, each probe targets slot
+    md5(doc_id:j) mod n — so 'random' negatives come from a seedless,
+    id-agnostic, reproducible self-join instead of an RNG (rand() would
+    be partition-order-dependent and unoracleable).  Self-pairs are
+    excluded; slot collisions just yield extra valid negatives.
+    Census: pairs, anchors covered, mean |length gap|.
+    Scale: the corpus count is a 1-row broadcast; probes explode
+    map-side; the join is equi-keyed on the slot (≈1 row per slot, so
+    no hot keys by construction); ONE census exchange."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cnt = d.agg(F.count("*").alias("_n"))
+    pool = (
+        d.crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("doc_id").alias("neg_id"),
+            F.col("n_chars").alias("neg_chars"),
+            F.expr(f"pmod({_IDH.format(col='doc_id')}, _n)").alias("slot"),
+        )
+    )
+    probes = (
+        d.crossJoin(F.broadcast(cnt))
+        .select(
+            "doc_id", "n_chars", "_n",
+            F.explode(F.expr(f"sequence(1, {NEG_K})")).alias("j"),
+        )
+        .select(
+            "doc_id", "n_chars",
+            F.expr(
+                "pmod("
+                + _IDH.format(col="concat(doc_id, ':', j)")
+                + ", _n)"
+            ).alias("slot"),
+        )
+    )
+    return (
+        probes.join(pool, "slot")
+        .filter(F.col("doc_id") != F.col("neg_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("doc_id").alias("n_anchors"),
+            F.round(F.avg(F.abs(F.col("n_chars") - F.col("neg_chars"))), 2)
+            .alias("avg_len_gap"),
+        )
+    )
+
+
+q_sample_negatives.__doc__ = q_sample_negatives.__doc__.format(k=NEG_K)
+
+
+SQL_SAMPLE_NEGATIVES = f"""
+WITH n AS (SELECT count(*) AS _n FROM documents),
+pool AS (
+  SELECT doc_id AS neg_id, n_chars AS neg_chars,
+         {ID_HASH_DUCK.format(col='doc_id')} % _n AS slot
+  FROM documents, n),
+probes AS (
+  SELECT doc_id, n_chars,
+         {ID_HASH_DUCK.format(col="doc_id || ':' || j")} % _n AS slot
+  FROM documents, n, unnest(range(1, {NEG_K} + 1)) AS t(j))
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_anchors,
+       round(avg(abs(n_chars - neg_chars)), 2) AS avg_len_gap
+FROM probes JOIN pool USING (slot)
+WHERE doc_id <> neg_id
+"""
+
+
 _PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
@@ -6822,6 +6896,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "graph_pagerank": (q_graph_pagerank, _sql_graph_pagerank()),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
+    "sample_negatives": (q_sample_negatives, SQL_SAMPLE_NEGATIVES),
     "sample_weighted_ares": (q_sample_weighted_ares, SQL_SAMPLE_WEIGHTED_ARES),
     "text_winnowing": (q_text_winnowing, SQL_TEXT_WINNOWING),
     "dedup_sorted_neighborhood": (
