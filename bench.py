@@ -97,30 +97,6 @@ def main() -> None:
     ex_sec = time.perf_counter() - t0
     turns_per_sec = n_turns / ex_sec if ex_sec > 0 else 0.0
 
-    # per-turn text-equality pass rate (the other half of the
-    # BASELINE.json metric): the generator knows which variant each
-    # (conv_id, turn_idx) carries, and the golden text per variant is
-    # frozen in tests/test_corpus_golden.py — join the extracted text
-    # against it.  Un-timed: the throughput number above is unaffected.
-    try:
-        from tests.test_corpus_golden import GOLDEN_TEXT
-
-        extracted = (
-            extract_turns(sdf, num_partitions=cpus * 2)
-            .select("conv_id", "turn_idx", "text")
-            .toPandas()
-        )
-        merged = extracted.merge(
-            corpus_with_variant[["conv_id", "turn_idx", "variant"]],
-            on=["conv_id", "turn_idx"],
-            validate="one_to_one",
-        )
-        eq = merged["text"] == merged["variant"].map(GOLDEN_TEXT)
-        equality_rate = round(float(eq.mean()), 6) if len(merged) else 0.0
-        n_checked = int(len(merged))
-    except Exception:  # keep the bench JSON flowing if tests/ is absent
-        equality_rate, n_checked = None, 0
-
     # production-path probe: the FULL checkpointed job (salted extract →
     # bucket-aligned partitioned write → metrics → lineage) on the same
     # corpus — the end-to-end number resumable backfills actually see
@@ -131,6 +107,36 @@ def main() -> None:
     run_extraction_job(spark, sdf, job_out, n_buckets=64,
                        num_partitions=cpus * 2, job_id="bench")
     job_sec = time.perf_counter() - t0
+
+    # per-turn text-equality pass rate (the other half of the
+    # BASELINE.json metric): the generator knows which variant each
+    # (conv_id, turn_idx) carries, and the golden text per variant is
+    # frozen in tests/test_corpus_golden.py.  Reads the production
+    # job's ALREADY-WRITTEN results table (no extra extraction pass);
+    # the denominator is the FULL corpus — a dropped turn counts as a
+    # failure, it cannot shrink the sample.  Only a missing tests/
+    # package may skip the metric (ImportError); anything else is a
+    # real regression and must fail the bench.
+    try:
+        from tests.test_corpus_golden import GOLDEN_TEXT
+    except ImportError:
+        equality_rate, n_checked = None, 0
+    else:
+        extracted = (
+            spark.read.parquet(f"{job_out}/results")
+            .select("conv_id", "turn_idx", "text")
+            .toPandas()
+        )
+        merged = corpus_with_variant[
+            ["conv_id", "turn_idx", "variant"]
+        ].merge(
+            extracted, on=["conv_id", "turn_idx"], how="left",
+            validate="one_to_one",
+        )
+        eq = merged["text"] == merged["variant"].map(GOLDEN_TEXT)
+        equality_rate = round(float(eq.mean()), 6) if len(merged) else 0.0
+        n_checked = int(len(merged))
+        assert n_checked == n_turns, (n_checked, n_turns)
 
     total = round(sum(per_query.values()), 3)
     print(

@@ -83,19 +83,24 @@ def build_changeset(
     columns attach AFTER the diff by an equi-join against only the
     upserted keys, so full rows move once and only for changed keys."""
     compare = compare_cols or [c for c in new.columns if c not in key_cols]
+    # change DETECTION may use a column subset, but the changeset always
+    # carries the FULL new-row payload — otherwise apply_changeset's
+    # upserts would drop the non-compared columns and the roundtrip
+    # invariant would only hold for compare_cols=None
+    payload = [c for c in new.columns if c not in key_cols]
     d = table_diff(old, new, key_cols, compare)
     ups = (
         d.filter(F.col("status").isin("added", "changed"))
         .select(*key_cols)
         .join(new, key_cols, "inner")
-        .select(*key_cols, *compare, F.lit("upsert").alias("op"))
+        .select(*key_cols, *payload, F.lit("upsert").alias("op"))
     )
     dels = (
         d.filter(F.col("status") == "removed")
         .select(
             *key_cols,
             *[F.lit(None).cast(new.schema[c].dataType).alias(c)
-              for c in compare],
+              for c in payload],
             F.lit("delete").alias("op"),
         )
     )
@@ -113,12 +118,13 @@ def apply_changeset(
     ``apply_changeset(old, build_changeset(old, new), keys) ≡ new``
     row-for-row (the CDC roundtrip invariant, pinned in
     tests/test_operators_api.py).
-    Scale: one LeftAnti hash join on the key (changeset side builds,
-    broadcast when change-sized) plus a union — base payloads never
-    shuffle; this is exactly the shape a MERGE INTO compiles to on a
-    keyed lake table when the source is change-sized."""
+    Scale: one LeftAnti hash join on the key plus a union — base
+    payloads never shuffle.  The key set is NOT force-broadcast: AQE
+    broadcasts it when the changeset is change-sized and falls back to
+    a shuffle join for full-rewrite changesets, where a forced
+    broadcast of every key would OOM the driver."""
     cols = [c for c in base.columns]
     keys_to_drop = changeset.select(*key_cols)
-    kept = base.join(F.broadcast(keys_to_drop), key_cols, "left_anti")
+    kept = base.join(keys_to_drop, key_cols, "left_anti")
     ups = changeset.filter(F.col("op") == "upsert").select(*cols)
     return kept.unionByName(ups)

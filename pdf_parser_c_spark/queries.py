@@ -4345,6 +4345,24 @@ SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_lineitems,
 """
 
 
+def _snapshot_pair(spark: SparkSession, sf_dir: str):
+    """The deterministic (old, new) snapshot pair shared by
+    q_snapshot_diff and q_snapshot_apply: drop keys %97==0, bump
+    o_totalprice on %101==0, append %103==0 re-keyed +10^8."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    kept = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    appended = orders.filter(F.col("o_orderkey") % 103 == 0).select(
+        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+        "o_totalprice",
+    )
+    return orders, kept.unionByName(appended)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style snapshot reconciliation census
     (operators/snapshot.diff_census): the 'new' snapshot is derived
@@ -4356,19 +4374,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-outer equi-join on the key; payloads never shuffle."""
     from .operators.snapshot import diff_census
 
-    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    old = orders
-    kept = orders.filter(F.col("o_orderkey") % 97 != 0).select(
-        "o_orderkey",
-        F.when(
-            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
-        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
-    )
-    appended = orders.filter(F.col("o_orderkey") % 103 == 0).select(
-        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
-        "o_totalprice",
-    )
-    new = kept.unionByName(appended)
+    old, new = _snapshot_pair(spark, sf_dir)
     return diff_census(old, new, ["o_orderkey"])
 
 
@@ -4408,19 +4414,7 @@ def q_snapshot_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/snapshot.build_changeset / apply_changeset)."""
     from .operators.snapshot import apply_changeset, build_changeset
 
-    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    old = orders
-    kept = orders.filter(F.col("o_orderkey") % 97 != 0).select(
-        "o_orderkey",
-        F.when(
-            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
-        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
-    )
-    appended = orders.filter(F.col("o_orderkey") % 103 == 0).select(
-        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
-        "o_totalprice",
-    )
-    new = kept.unionByName(appended)
+    old, new = _snapshot_pair(spark, sf_dir)
     cs = build_changeset(old, new, ["o_orderkey"])
     applied = apply_changeset(old, cs, ["o_orderkey"])
     j = applied.alias("a").join(
@@ -6210,7 +6204,9 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg); parsing is map-side."""
     ev = t(spark, sf_dir, "events")
     kstr = F.get_json_object(F.col("props"), "$.k")
-    k = F.when(kstr.rlike("^-?[0-9]+$"), kstr.cast("int"))
+    # digit bound keeps the cast inside BIGINT on BOTH engines — an
+    # unbounded integer regex admits values that crash ANSI casts
+    k = F.when(kstr.rlike("^-?[0-9]{1,18}$"), kstr.cast("long"))
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -6230,8 +6226,8 @@ WITH parsed AS (
          CASE WHEN props IS NOT NULL AND json_valid(props)
                    AND regexp_matches(coalesce(
                          json_extract_string(props, '$.k'), ''),
-                       '^-?[0-9]+$')
-              THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+                       '^-?[0-9]{1,18}$')
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
          END AS k
   FROM events)
 SELECT event_type,
@@ -6311,8 +6307,12 @@ def q_audit_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB table.  For ≫ this column count, swap the exact distinct
     for the HLL register sketch (sketch_hll_distinct) and keep the one
     pass."""
+    # value + 0.0 folds -0.0 into 0.0: DuckDB's native DISTINCT treats
+    # signed zeros as equal while their string casts differ
     pairs = ", ".join(
-        f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS
+        f"'{c}', CAST({c} + 0.0 AS STRING)" if c == "value"
+        else f"'{c}', CAST({c} AS STRING)"
+        for c in _PROFILE_COLS
     )
     ev = t(spark, sf_dir, "events")
     unpivoted = ev.selectExpr(

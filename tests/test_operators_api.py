@@ -547,6 +547,13 @@ def test_changeset_roundtrip_applies_to_the_new_snapshot(spark):
     assert again.exceptAll(new).count() == 0
     assert new.exceptAll(again).count() == 0
 
+    # compare_cols SUBSET: detection keys on v only, but the changeset
+    # must still carry the FULL payload so the roundtrip holds for w too
+    cs_v = build_changeset(old, new, ["k"], compare_cols=["v"])
+    applied_v = apply_changeset(old, cs_v, ["k"])
+    assert applied_v.exceptAll(new).count() == 0
+    assert new.exceptAll(applied_v).count() == 0
+
 
 
 def test_editdist1_pairs_randomized_bruteforce_equivalence(spark):

@@ -74,7 +74,9 @@ def test_json_extract_hostile_props_parity(spark, tmp_path):
 
     props = ['{"k": 87}', '{"k": -3}', '{"k": 3.7}', '{"k": "abc"}',
              '{"x": 1}', "not json", None, '{"k": {"a": 1}}',
-             '{"k": true}', '{"k": null}']
+             '{"k": true}', '{"k": null}',
+             '{"k": 3000000000}',  # > int32: valid, must not crash
+             '{"k": 99999999999999999999}']  # > int64 digits: gated NULL
     pdf = pd.DataFrame({
         "event_id": range(len(props)),
         # microsecond precision: Spark's parquet reader rejects NANOS
@@ -95,4 +97,5 @@ def test_json_extract_hostile_props_parity(spark, tmp_path):
     drow = con.sql(sql).fetchone()
     assert (srow["n_events"], srow["n_with_k"], srow["sum_k"],
             srow["avg_k"]) == (drow[1], drow[2], drow[3], drow[4])
-    assert srow["n_with_k"] == 2 and srow["sum_k"] == 84  # 87 + (-3)
+    # 87 + (-3) + 3000000000; the 20-digit value is gated, not crashed
+    assert srow["n_with_k"] == 3 and srow["sum_k"] == 3000000084
