@@ -5,15 +5,18 @@ Usage:
     python scripts/shape_dataset.py \
         --input /data/corpus.parquet --output /data/shards \
         --id-col doc_id --text-col text \
-        [--drop-exact-dups] [--benchmark /data/eval.parquet] \
+        [--min-words 5] [--drop-exact-dups] \
+        [--near-dedup-jaccard 0.8] [--benchmark /data/eval.parquet] \
         [--sample 0.5] [--cap-per-class 100000 --class-col lang] \
         [--val 0.01 --test 0.01 --group-col doc_id] \
         [--pack-budget 2048 --shards 1024]
 
 Chains the engine's dataset operators in the order a training-data
-build runs them: exact dedup → benchmark decontamination → stratified
-hash sample → per-class cap → leakage-safe split → greedy sequence
-packing → parquet partitioned by (split, shard).  Every stage is
+build runs them: quality word-count gate → exact dedup → jaccard
+near-dedup (connected-component survivors) → benchmark
+decontamination → stratified hash sample → per-class cap →
+leakage-safe split → greedy sequence packing → parquet partitioned by
+(split, shard).  Every stage is
 deterministic (md5-prefix id hashes, never rand()), so re-running
 reproduces byte-identical membership.  Prints one JSON line of stage
 row counts.
@@ -35,7 +38,12 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument("--min-words", type=int, default=None,
+                    help="drop docs with fewer whitespace words")
     ap.add_argument("--drop-exact-dups", action="store_true")
+    ap.add_argument("--near-dedup-jaccard", type=float, default=None,
+                    help="4-gram jaccard threshold; one survivor per "
+                         "near-duplicate component is kept")
     ap.add_argument("--benchmark", default=None,
                     help="eval-set parquet; docs sharing >= --contam-overlap "
                          "distinct 4-gram shingles with it are dropped")
@@ -59,6 +67,7 @@ def main() -> None:
     from pdf_parser_c_spark.operators.dedup import (
         contamination_overlap,
         drop_exact_duplicates,
+        drop_near_duplicates,
     )
     from pdf_parser_c_spark.operators.sampling import (
         assign_splits,
@@ -71,9 +80,21 @@ def main() -> None:
     df = spark.read.parquet(args.input)
     counts = {"input": df.count()}
 
+    if args.min_words is not None:
+        df = df.filter(
+            F.size(F.split(F.col(args.text_col), r"\s+")) >= args.min_words
+        )
+        counts["after_quality_gate"] = df.count()
+
     if args.drop_exact_dups:
         df = drop_exact_duplicates(df, args.id_col, args.text_col)
         counts["after_exact_dedup"] = df.count()
+
+    if args.near_dedup_jaccard is not None:
+        df = drop_near_duplicates(
+            df, args.id_col, args.text_col, threshold=args.near_dedup_jaccard
+        )
+        counts["after_near_dedup"] = df.count()
 
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)

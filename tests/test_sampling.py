@@ -93,6 +93,8 @@ def test_shape_dataset_cli(tmp_path):
          "--input", "/root/testdata/sf0.001/documents.parquet",
          "--output", str(tmp_path / "shards"),
          "--id-col", "doc_id", "--text-col", "text",
+         "--min-words", "2", "--drop-exact-dups",
+         "--near-dedup-jaccard", "0.8",
          "--sample", "0.6", "--val", "0.2", "--test", "0.2",
          "--pack-budget", "256", "--shards", "4"],
         capture_output=True, text=True, timeout=300, cwd=repo,
@@ -100,6 +102,9 @@ def test_shape_dataset_cli(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     counts = json.loads(r.stdout.strip().splitlines()[-1])
     assert counts["written"] == counts["after_sample"] > 0
+    assert (counts["input"] >= counts["after_quality_gate"]
+            >= counts["after_exact_dedup"] >= counts["after_near_dedup"]
+            >= counts["after_sample"])
     assert set(counts["splits"]) <= {"train", "val", "test"}
     parts = {p.name for p in (tmp_path / "shards").iterdir() if p.is_dir()}
     assert any(p.startswith("split=") for p in parts)
