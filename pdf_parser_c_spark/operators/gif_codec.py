@@ -196,9 +196,10 @@ def _color_table(r: _Reader, packed_size: int) -> list[bytes]:
 
 def decode_gif_frames(data: bytes) -> tuple[int, int, list[bytes]]:
     """→ (width, height, [RGB frame bytes, ...]): every frame
-    composited on the logical screen (draw-over / restore-background
-    disposal; transparency honored).  Raises ``GIFError`` on anything
-    outside the supported subset — never wrong pixels."""
+    composited on the logical screen (draw-over / restore-background /
+    restore-previous disposal; transparency honored).  Raises
+    ``GIFError`` on anything outside the supported subset — never
+    wrong pixels."""
     r = _Reader(data)
     if r.take(6) not in (b"GIF87a", b"GIF89a"):
         raise GIFError("not a GIF signature")
@@ -229,8 +230,6 @@ def decode_gif_frames(data: bytes) -> tuple[int, int, list[bytes]]:
                 flags = body[0]
                 disposal = (flags >> 2) & 0x07
                 transparent = body[3] if flags & 0x01 else None
-                if disposal == 3:
-                    raise GIFError("disposal 3 (restore previous) unsupported")
                 if disposal > 3:
                     raise GIFError(f"reserved disposal {disposal}")
             continue  # comment/app/plain-text: skipped
@@ -247,6 +246,10 @@ def decode_gif_frames(data: bytes) -> tuple[int, int, list[bytes]]:
         budget -= iw * ih
         if budget < 0:
             raise GIFError("pixel budget exceeded")
+
+        # disposal 3 (restore-to-previous): the canvas must revert to
+        # its pre-frame state after this frame is emitted
+        prev = bytes(canvas) if disposal == 3 else None
 
         mcs = r.u8()
         indices = _lzw_decode(mcs, r.sub_blocks(), iw * ih)
@@ -272,6 +275,8 @@ def decode_gif_frames(data: bytes) -> tuple[int, int, list[bytes]]:
             for y in range(ih):
                 base = ((top + y) * sw + left) * 3
                 canvas[base : base + 3 * iw] = bg_rgb * iw
+        elif disposal == 3:  # restore the full pre-frame canvas
+            canvas[:] = prev
         disposal = 0
         transparent = None
     if not frames:

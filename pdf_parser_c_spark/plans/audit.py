@@ -96,6 +96,14 @@ def main() -> None:
         "audit_table_profile": "profiler: ONE FileScan into a stack Generate; every column's rows/NULLs/distincts from a single (col,val)-keyed distinct agg — never a per-column scan loop",
         "events_scd2": "SCD2 dim build: change-detect lag, versioning lead, and the census share ONE user_id exchange; version rows are change-count-sized before the agg",
         "snapshot_apply": "CDC apply: changeset build = hash-reduced diff + payload attach on changed keys only; apply = ONE LeftAnti on the key + union — base payloads never shuffle; invariant census proves applied == new",
+        "tpch_bilateral_volume": "Q7 shape: both nation dims pre-reduced to the pair (In-filter pushed to the nation scans) and broadcast; lineitem date filter pushed; ONE fact-side agg exchange",
+        "tpch_market_share": "Q8 shape: part/region-customer/nation-supplier all broadcast, date+type+region filters pushed; numerator and denominator share ONE 2-row agg",
+        "tpch_product_profit": "Q9 shape: widget filter pushed to the part scan (StringContains), every dim broadcast; exact-integer profit rides the partial agg",
+        "tpch_returned_items": "Q10 shape: returnflag + quarter filters pushed; customer/nation attach AFTER the per-customer agg (agg-sized probe); TakeOrdered top-20",
+        "tpch_shipmode_priority": "Q12 shape: date filter pushed; both priority counters as conditional sums on ONE lineitem⋈orders join + agg",
+        "tpch_min_cost_supplier": "Q2 shape: derived partsupp from ONE lineitem scan (part/supplier/region broadcast, filters pushed); min-per-part is a WINDOW over the agg (no corpus re-plan); TakeOrdered top-20",
+        "events_gap_fill": "densify+ffill: ONE corpus (user,day) agg; spans + day-map ride one per-user agg whose partitioning feeds both the calendar Generate and the fill window — no rejoin, no 3rd exchange",
+        "text_collocation_pmi": "PMI: unigrams and bigrams built map-side (Generate), vocab-bounded agg exchanges, agg-on-agg count-attach joins, 1-row corpus total broadcast; TakeOrdered top-k",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

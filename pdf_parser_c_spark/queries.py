@@ -6783,6 +6783,586 @@ def _sql_bpe_merges() -> str:
 
 
 # --------------------------------------------------------------------------
+# Remaining classic TPC-H join topologies (Q2/Q7/Q8/Q9/Q10/Q12 shapes,
+# adapted to the synthetic schema — no partsupp table, no l_shipmode /
+# l_commitdate / l_receiptdate columns; each docstring states the
+# adaptation).  Together with the earlier entries this covers all 22
+# canonical query shapes.
+# --------------------------------------------------------------------------
+
+
+def _nation_region(spark: SparkSession, sf_dir: str, r_name: str) -> DataFrame:
+    """Nation keys restricted to one region — a tiny broadcast dim."""
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == r_name)
+    return n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        "n_nationkey", "n_name"
+    )
+
+
+def q_tpch_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    named nations, split by (supplier nation, customer nation, year).
+    Scale: BOTH dims are pre-reduced to the two nations BEFORE touching
+    the fact (each join then acts as a filter), so the only corpus
+    exchange is lineitem⋈orders on the order key; nation-tagged
+    customer/supplier broadcast; year + revenue are map-side."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = t(spark, sf_dir, "orders")
+    pair = ["NATION_1", "NATION_2"]
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_TPCH_BILATERAL_VOLUME = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+    AND nc.n_name IN ('NATION_1', 'NATION_2')
+    AND ns.n_name <> nc.n_name
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+) GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): of the PROMO-part revenue
+    sold into ASIA-region customers in 1996-97, the share supplied by
+    NATION_3, per order year.  The share is a conditional-sum ratio —
+    numerator and denominator ride ONE aggregation.
+    Scale: part list, region-reduced customers, and nation-tagged
+    suppliers all broadcast; lineitem⋈orders is the one shuffle; the
+    year group is 2 rows."""
+    pt = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(_nation_region(spark, sf_dir, "ASIA")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)
+                )
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_TPCH_MARKET_SHARE = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         ns.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region ON nc.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+) GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q_tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit on 'widget' parts by
+    supplier nation and order year.  Adaptation: the schema has no
+    partsupp, so unit cost is proxied as 0.5·p_retailprice (profit =
+    discounted price − 0.5·retail·qty) — same join topology, same
+    grouped-profit semantics.
+    Scale: name-filtered part and nation-tagged supplier broadcast;
+    lineitem⋈orders on the order key is the single corpus shuffle;
+    profit arithmetic is map-side."""
+    pt = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    # Exact-integer money path (sum order differs between engines, so a
+    # double sum can flip a half-cent at round()): price and (1-disc)
+    # are 2-decimal → their product is exact in 1e-4 units as a BIGINT,
+    # as is 0.5·retail·qty (qty integral); sum exactly, divide once.
+    e4 = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100, 0
+    ).cast("long") - F.lit(50) * F.round(F.col("p_retailprice") * 100, 0).cast(
+        "long"
+    ) * F.col("l_quantity").cast("long")
+    return (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            t(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        # integer-space half-up to cents, then one identical division —
+        # round() on the quotient double is engine-dependent at .xx5
+        .agg(
+            (F.floor((F.sum(e4) + 50) / 100).cast("long") / 100.0).alias(
+                "sum_profit"
+            )
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+SQL_TPCH_PRODUCT_PROFIT = """
+SELECT nation, o_year,
+       CAST(floor((CAST(sum(amount_e4) AS BIGINT) + 50) / 100) AS BIGINT)
+         / 100.0 AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l_discount) * 100) AS BIGINT)
+           - 50 * CAST(round(p_retailprice * 100) AS BIGINT)
+                * CAST(l_quantity AS BIGINT) AS amount_e4
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) GROUP BY nation, o_year ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top 20 customers by
+    revenue lost to returns (l_returnflag = 'R') on orders placed in
+    1996Q1.  Deterministic top-k: ordered by rounded revenue desc with
+    c_custkey as the tiebreak in BOTH engines.
+    Scale: the quarter filter reduces orders before the fact join; the
+    per-customer agg output is customer-bounded, so the customer/nation
+    attach joins broadcast the DIMS against it; limit is driver-cheap."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    # Exact-integer revenue (see q_tpch_product_profit): the top-20 cut
+    # plus the hash compare need both engines to agree to the cent.
+    e4 = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    g = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        # half-up to cents in INTEGER space (round() on the quotient
+        # double is engine-dependent at an exact .xx5), then one
+        # identical double division
+        .agg(
+            (F.floor((F.sum(e4) + 50) / 100).cast("long") / 100.0).alias(
+                "revenue"
+            )
+        )
+    )
+    cust = t(spark, sf_dir, "customer").join(
+        F.broadcast(t(spark, sf_dir, "nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        g.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_TPCH_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name AS nation,
+       round(c_acctbal, 2) AS acctbal, revenue
+FROM (
+  SELECT o_custkey,
+         CAST(floor((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                          AS BIGINT) + 50) / 100) AS BIGINT) / 100.0 AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY o_custkey) g
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_tpch_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes vs priority): per line status
+    (the schema's stand-in for l_shipmode), how many LATE lines carried
+    urgent/high orders vs everything else.  Adaptation: the schema has
+    no commit/receipt dates, so 'late' = shipped more than 60 days
+    after the order date.
+    Scale: one lineitem⋈orders shuffle; both counters ride one agg as
+    conditional sums; 2-3 row result."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    o = t(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+SQL_TPCH_SHIPMODE_PRIORITY = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each LARGE part of
+    size ≤ 5, the EUROPE-region supplier(s) achieving the minimum unit
+    cost, top 20 by account balance.  Adaptation: no partsupp table, so
+    the (part, supplier) cost relation is DERIVED from lineitem as
+    min(l_extendedprice / l_quantity) per pair — the correlated
+    min-per-part subquery then runs against that derivation exactly as
+    Q2 runs against partsupp.  The min-cost equality join is on doubles
+    computed identically (IEEE division + exact min) in both engines.
+    Scale: the derived partsupp agg is the one corpus shuffle; the
+    per-part min is agg-sized and broadcast back; suppliers/parts
+    broadcast; deterministic top-k tiebreaks."""
+    li = t(spark, sf_dir, "lineitem")
+    eu = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_nation_region(spark, sf_dir, "EUROPE")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    pt = (
+        t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 5))
+        .select("p_partkey", "p_name")
+    )
+    ps = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "nation")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    # min-per-part as a WINDOW over the derived partsupp, not a
+    # groupBy+rejoin: the rejoin re-plans the corpus subtree twice
+    # (two lineitem scans); the window re-exchanges only the agg-sized
+    # ps frame on p_partkey.
+    return (
+        ps.withColumn(
+            "_min_cost", F.min("unit_cost").over(Window.partitionBy("p_partkey"))
+        )
+        .filter(F.col("unit_cost") == F.col("_min_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "s_name",
+            "nation",
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.col("acctbal").desc(), "nation", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+SQL_TPCH_MIN_COST_SUPPLIER = """
+WITH eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name AS nation
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+pt AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_type = 'LARGE' AND p_size <= 5),
+ps AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, nation,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN pt ON l_partkey = p_partkey
+  JOIN eu ON l_suppkey = s_suppkey
+  GROUP BY ALL),
+mins AS (
+  SELECT p_partkey AS _pk, min(unit_cost) AS _min_cost
+  FROM ps GROUP BY p_partkey)
+SELECT round(s_acctbal, 2) AS acctbal, s_name, nation, p_partkey, p_name,
+       round(unit_cost, 4) AS unit_cost
+FROM ps JOIN mins ON p_partkey = _pk AND unit_cost = _min_cost
+ORDER BY acctbal DESC, nation, s_name, p_partkey LIMIT 20
+"""
+
+
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densify + forward fill: per-user daily totals
+    resampled onto the user's full [first_day, last_day] calendar
+    (sequence + explode generates the missing days), gaps carrying the
+    last observed value forward (last(ignorenulls) running window).
+    The classic sparse→dense feature-table step.  Money rides exact
+    cents (value is 2-decimal) so both engines sum identically; the
+    final /100.0 is one identical double op.  Output subsampled to
+    every 10th user to keep the gate result bounded.
+    Scale: the ONLY corpus-sized pass is the (user, day) partial-agg
+    shuffle; spans, the dense calendar, the left join, and the
+    per-user window all run on agg-sized data (users × days).  The
+    window partitions by user_id — no global sort, no driver loop."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(cents).alias("day_cents")
+    )
+    # spans AND the active-day map ride ONE per-user agg (a
+    # spans-groupBy + dense⋈daily rejoin would re-plan the corpus
+    # subtree twice); the dense calendar explodes from the per-user
+    # row and looks its values up map-side.  The per-user agg's hash
+    # partitioning already satisfies the fill window — no 3rd exchange.
+    per_user = daily.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("day", "day_cents"))
+        ).alias("m"),
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+    )
+    dense = per_user.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+        F.col("m"),
+    ).select("user_id", "day", F.col("m")[F.col("day")].alias("day_cents"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dense.select(
+            "user_id",
+            "day",
+            F.col("day_cents").isNull().alias("was_gap"),
+            (
+                F.last("day_cents", ignorenulls=True).over(w) / 100.0
+            ).alias("value_filled"),
+        )
+        .filter(F.col("user_id") % 10 == 0)
+        .orderBy("user_id", "day")
+    )
+
+
+SQL_EVENTS_GAP_FILL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+spans AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+dense AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans)
+SELECT dense.user_id, dense.day,
+       daily.day_cents IS NULL AS was_gap,
+       last_value(daily.day_cents IGNORE NULLS) OVER (
+           PARTITION BY dense.user_id ORDER BY dense.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+         AS value_filled
+FROM dense
+LEFT JOIN daily ON dense.user_id = daily.user_id AND dense.day = daily.day
+WHERE dense.user_id % 10 = 0
+ORDER BY dense.user_id, dense.day
+"""
+
+
+COLLOC_MIN_PAIR = 3
+COLLOC_TOPK = 25
+
+
+def q_text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: rank adjacent word pairs by pointwise
+    mutual information lift n_ab·N / (n_a·n_b) — the corpus-statistics
+    step behind phrase vocabularies ("new york"-style merges).  The
+    lift is emitted as the RAW double quotient of exact BIGINT counts:
+    integer products are exact, int→double conversion and IEEE division
+    are correctly rounded, so both engines produce bit-identical
+    doubles — no log(), whose libm rounding differs across engines
+    (ordering by log(lift) ≡ ordering by lift anyway).
+    Scale: bigrams are built map-side (zip_with of shifted slices);
+    unigram and bigram counts are the two vocabulary-bounded shuffles;
+    the count-attach joins run agg-on-agg; the 1-row corpus total is a
+    broadcast crossJoin.  At 10^12 tokens n_ab·N can pass 2^53 — scale
+    deployments should keep the rational pair (num, den) instead."""
+    d = t(spark, sf_dir, "documents").selectExpr(f"{_TOK_SPARK} AS tk")
+    uni = d.select(F.explode("tk").alias("token"))
+    uc = uni.groupBy("token").agg(F.count("*").alias("n_w"))
+    n = uni.agg(F.count("*").alias("n_tok"))
+    pc = (
+        d.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                    " slice(tk, 2, greatest(size(tk) - 1, 0)),"
+                    " (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= COLLOC_MIN_PAIR)
+    )
+    a = uc.select(F.col("token").alias("_ta"), F.col("n_w").alias("n_a"))
+    b = uc.select(F.col("token").alias("_tb"), F.col("n_w").alias("n_b"))
+    return (
+        pc.join(a, F.split("pair", " ")[0] == F.col("_ta"))
+        .join(b, F.split("pair", " ")[1] == F.col("_tb"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pair",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab") * F.col("n_tok")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "pair")
+        .limit(COLLOC_TOPK)
+    )
+
+
+SQL_TEXT_COLLOCATION_PMI = f"""
+WITH tk AS (SELECT {_TOK_DUCK} AS tk FROM documents),
+uni AS (SELECT unnest(tk) AS token FROM tk),
+uc AS (SELECT token, CAST(count(*) AS BIGINT) AS n_w FROM uni GROUP BY token),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM uni),
+pc AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n_ab
+  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+                                     i -> tk[i] || ' ' || tk[i + 1])) AS pair
+        FROM tk)
+  GROUP BY pair HAVING count(*) >= {COLLOC_MIN_PAIR})
+SELECT pair, n_ab, a.n_w AS n_a, b.n_w AS n_b,
+       CAST(n_ab * n_tok AS DOUBLE) / CAST(a.n_w * b.n_w AS DOUBLE) AS lift
+FROM pc
+JOIN uc a ON split_part(pair, ' ', 1) = a.token
+JOIN uc b ON split_part(pair, ' ', 2) = b.token
+CROSS JOIN n
+ORDER BY lift DESC, pair LIMIT {COLLOC_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -6822,6 +7402,22 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "tpch_surging_suppliers": (
         q_tpch_surging_suppliers, SQL_TPCH_SURGING_SUPPLIERS
+    ),
+    "tpch_bilateral_volume": (
+        q_tpch_bilateral_volume, SQL_TPCH_BILATERAL_VOLUME
+    ),
+    "tpch_market_share": (q_tpch_market_share, SQL_TPCH_MARKET_SHARE),
+    "tpch_product_profit": (q_tpch_product_profit, SQL_TPCH_PRODUCT_PROFIT),
+    "tpch_returned_items": (q_tpch_returned_items, SQL_TPCH_RETURNED_ITEMS),
+    "tpch_shipmode_priority": (
+        q_tpch_shipmode_priority, SQL_TPCH_SHIPMODE_PRIORITY
+    ),
+    "tpch_min_cost_supplier": (
+        q_tpch_min_cost_supplier, SQL_TPCH_MIN_COST_SUPPLIER
+    ),
+    "events_gap_fill": (q_events_gap_fill, SQL_EVENTS_GAP_FILL),
+    "text_collocation_pmi": (
+        q_text_collocation_pmi, SQL_TEXT_COLLOCATION_PMI
     ),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),

@@ -142,13 +142,33 @@ def test_gif_disposal_2_restores_background():
     assert frames[1] == _gray(0) * 3 + _gray(50)
 
 
-def test_gif_disposal_3_raises():
+def test_gif_disposal_3_restores_previous():
+    # frame 2 carries disposal 3 (restore-to-previous): after it is
+    # emitted the canvas reverts to frame 1's state, so frame 3's
+    # transparent pixels show frame 1 — not frame 2 — through.
+    f1 = bytes([100]) * 4
+    f2 = bytes([200]) * 4
+    f3 = bytes([99, 99, 99, 50])  # transparent except last pixel
+    data = bytearray(
+        encode_gif(2, 2, [f1, f2, f3], transparent=99, disposal=1)
+    )
+    # patch the SECOND graphic-control disposal bits to 3
+    i = data.index(bytes([0x21, 0xF9, 0x04]))
+    i = data.index(bytes([0x21, 0xF9, 0x04]), i + 1)
+    data[i + 3] = (data[i + 3] & ~0x1C) | (3 << 2)
+    _, _, frames = decode_gif_frames(bytes(data))
+    assert frames[0] == _gray(100) * 4
+    assert frames[1] == _gray(200) * 4
+    assert frames[2] == _gray(100) * 3 + _gray(50)
+
+
+def test_gif_disposal_reserved_raises():
     f = bytes([1]) * 4
     data = bytearray(encode_gif(2, 2, [f, f], transparent=None, disposal=1))
     # patch the graphic-control disposal bits (byte after 0x21 0xF9 0x04)
     i = data.index(bytes([0x21, 0xF9, 0x04]))
-    data[i + 3] = (data[i + 3] & ~0x1C) | (3 << 2)
-    with pytest.raises(GIFError, match="disposal 3"):
+    data[i + 3] = (data[i + 3] & ~0x1C) | (5 << 2)
+    with pytest.raises(GIFError, match="reserved disposal"):
         decode_gif_frames(bytes(data))
 
 
