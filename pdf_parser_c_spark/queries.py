@@ -7284,6 +7284,73 @@ ORDER BY dense.user_id, dense.day
 """
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: per event type, flag days whose event
+    count sits more than 2 sample standard deviations from that type's
+    mean daily count — the data-quality monitor that catches a broken
+    shard or an ingestion spike.  The variance comes from EXACT integer
+    sums ((n·Σx² − (Σx)²) / (n·(n−1))) instead of stddev_samp, whose
+    engine-internal accumulation order (Welford vs naive) differs in
+    the last ulp; every double op left (+,−,×,/,sqrt) is IEEE
+    correctly-rounded, so both engines emit bit-identical z-scores.
+    Scale: ONE corpus (type, day) agg; the per-type moments are a
+    window over the type-day frame (types×days rows, never corpus);
+    count columns stay BIGINT until the final z division."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    w = Window.partitionBy("event_type")
+    n = F.count("*").over(w)
+    s1 = F.sum("n_events").over(w)
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    var = (n * s2 - s1 * s1).cast("double") / (n * (n - 1)).cast("double")
+    # guard in EXACT integer space (ANSI mode errors on /0; a 1-day
+    # type or an all-equal type has no defined z and is dropped in
+    # both engines by the NULL-rejecting filter)
+    z = F.when(
+        (n > 1) & (n * s2 - s1 * s1 > 0),
+        (F.col("n_events").cast("double") - s1.cast("double") / n.cast("double"))
+        / F.sqrt(var),
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "n_events",
+            z.alias("z"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+        .filter(F.abs(F.col("z")) > 1.0)
+        .orderBy("event_type", "day")
+    )
+
+
+SQL_EVENTS_ANOMALY = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+m AS (
+  SELECT event_type, day, n_events,
+         count(*) OVER w AS n,
+         sum(n_events) OVER w AS s1,
+         sum(n_events * n_events) OVER w AS s2
+  FROM daily WINDOW w AS (PARTITION BY event_type))
+SELECT event_type, day, n_events, z, abs(z) > 2.0 AS is_anomaly
+FROM (
+  SELECT event_type, day, n_events,
+         CASE WHEN n > 1 AND n * s2 - s1 * s1 > 0 THEN
+           (CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                    / CAST(n * (n - 1) AS DOUBLE))
+         END AS z
+  FROM m)
+WHERE abs(z) > 1.0
+ORDER BY event_type, day
+"""
+
+
 COLLOC_MIN_PAIR = 3
 COLLOC_TOPK = 25
 
@@ -7416,6 +7483,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_tpch_min_cost_supplier, SQL_TPCH_MIN_COST_SUPPLIER
     ),
     "events_gap_fill": (q_events_gap_fill, SQL_EVENTS_GAP_FILL),
+    "events_anomaly": (q_events_anomaly, SQL_EVENTS_ANOMALY),
     "text_collocation_pmi": (
         q_text_collocation_pmi, SQL_TEXT_COLLOCATION_PMI
     ),
