@@ -210,6 +210,59 @@ def url_host_parts(url_col: str = "url") -> Column:
     )
 
 
+# C4 cleaning rules (Raffel et al. 2020 §2.2, as published in the
+# tensorflow_datasets c4_utils reference implementation): line-level
+# keeps need terminal punctuation + >=5 words + none of the policy /
+# javascript phrases; page-level drops fire on a curly brace (code) or
+# "lorem ipsum" anywhere; pages keep >=3 surviving lines or drop.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+C4_TERMINAL_PUNCT_RE = '[.!?"]$'
+C4_LINE_BAD_SUBSTRINGS = (
+    "javascript", "privacy policy", "cookie policy", "terms of use",
+)
+C4_PAGE_BAD_SUBSTRINGS = ("lorem ipsum",)
+
+
+def c4_line_keep(line: Column) -> Column:
+    """C4 per-line keep predicate over a string Column: the line ends
+    in terminal punctuation (``. ! ? "``), has at least
+    ``C4_MIN_LINE_WORDS`` space-separated words, and contains none of
+    the javascript/policy phrases (case-insensitive).  Pure column
+    math — usable directly or as the lambda of ``F.filter`` over a
+    lines array, so the whole clean stays map-side."""
+    keep = line.rlike(C4_TERMINAL_PUNCT_RE) & (
+        F.size(F.split(line, " ")) >= C4_MIN_LINE_WORDS
+    )
+    low = F.lower(line)
+    for s in C4_LINE_BAD_SUBSTRINGS:
+        keep = keep & ~low.contains(s)
+    return keep
+
+
+def c4_clean_lines(lines_col) -> Column:
+    """Filter an ``array<string>`` of lines down to the C4 keepers,
+    preserving order.  Map-side array math (no explode, no shuffle)."""
+    col = F.col(lines_col) if isinstance(lines_col, str) else lines_col
+    return F.filter(col, c4_line_keep)
+
+
+def c4_page_drop(lines_col) -> Column:
+    """True when C4's PAGE-level rules drop the whole document: any
+    line contains a curly brace (code marker) or a page-bad phrase
+    ('lorem ipsum'), case-insensitive for the phrases."""
+    col = F.col(lines_col) if isinstance(lines_col, str) else lines_col
+
+    def bad(l: Column) -> Column:
+        hit = l.contains("{")
+        low = F.lower(l)
+        for s in C4_PAGE_BAD_SUBSTRINGS:
+            hit = hit | low.contains(s)
+        return hit
+
+    return F.exists(col, bad)
+
+
 def chunk_windows(tokens_col: str = "tk", width: int = 64, stride: int = 48) -> Column:
     """Sliding-window chunking for embedding / context-window
     pipelines: over a token-array column, emit

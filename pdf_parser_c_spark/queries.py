@@ -5860,6 +5860,169 @@ FROM ch GROUP BY source ORDER BY source
 """
 
 
+# C4-style line-level cleaning.  The documents substrate is a single
+# space-joined token stream (no newlines), so — like the synthetic-URL
+# trick above — each doc is deterministically reshaped into "lines" of
+# C4_LINE_TOKENS tokens and each line gets a decoration picked by an
+# md5 digit of (doc_id, line_idx): terminal punctuation variants, a
+# missing terminator, an 'enable javascript' tail, a curly brace, a
+# 'lorem ipsum' tail, a 'privacy policy' tail.  The oracle derives the
+# IDENTICAL lines, so what the hash-match proves is the FILTERING:
+# C4's line-keep rules, page-level drops, and the >=3-kept-lines gate.
+C4_LINE_TOKENS = 8
+
+
+def _c4_lines_expr() -> str:
+    raw = (
+        f"array_join(slice(tk, 1 + (i - 1) * {C4_LINE_TOKENS},"
+        f" {C4_LINE_TOKENS}), ' ')"
+    )
+    v = (
+        "CAST(conv(substr(md5(concat(cast(doc_id AS string), ':',"
+        " cast(i AS string))), 1, 1), 16, 10) AS INT)"
+    )
+    return (
+        "transform(sequence(1, greatest(1,"
+        f" CAST(ceil(size(tk) / {C4_LINE_TOKENS}.0) AS INT))), i -> "
+        f"CASE WHEN {v} <= 5 THEN concat({raw}, '.') "
+        f"WHEN {v} <= 7 THEN concat({raw}, '!') "
+        f"WHEN {v} = 8 THEN concat({raw}, '?') "
+        f"WHEN {v} = 9 THEN {raw} "
+        f"WHEN {v} = 10 THEN concat({raw}, ' enable javascript to view.') "
+        f"WHEN {v} = 11 THEN concat({raw}, ' {{') "
+        f"WHEN {v} = 12 THEN concat({raw}, ' lorem ipsum.') "
+        f"WHEN {v} = 13 THEN concat({raw}, ' privacy policy.') "
+        f"ELSE concat({raw}, '.') END)"
+    )
+
+
+def q_filter_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning census (Raffel et al. 2020 §2.2 /
+    the public tensorflow_datasets c4_utils rules): per line keep iff
+    terminal punctuation + >=5 words + no javascript/policy phrase;
+    per page drop iff a curly brace or 'lorem ipsum' appears anywhere
+    or fewer than 3 lines survive.  clean_md5 pins the EXACT cleaned
+    text of every kept doc (kept lines joined with newline, per-doc
+    md5, ordered (doc_id:digest) pairs), not just counts.
+    Scale: line forming, the keep predicate, and page-drop detection
+    are all map-side array math (functions/text.c4_clean_lines /
+    c4_page_drop) — the corpus never explodes to a lines frame and the
+    only exchange is the final tiny per-source census."""
+    from .functions.text import C4_MIN_KEPT_LINES, c4_clean_lines, c4_page_drop
+
+    d = t(spark, sf_dir, "documents")
+    docs = (
+        d.select("doc_id", "source", F.split("text", " ").alias("tk"))
+        .select("doc_id", "source", F.expr(_c4_lines_expr()).alias("lines"))
+        .select(
+            "doc_id",
+            "source",
+            F.size("lines").alias("n_lines"),
+            c4_clean_lines("lines").alias("kept"),
+            c4_page_drop("lines").alias("page_bad"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_lines",
+            "page_bad",
+            F.size("kept").alias("n_kept"),
+            F.md5(F.array_join("kept", "\n")).alias("clean_dg"),
+        )
+        .withColumn(
+            "doc_kept",
+            ~F.col("page_bad") & (F.col("n_kept") >= C4_MIN_KEPT_LINES),
+        )
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("doc_kept").cast("long")).alias("n_docs_kept"),
+            F.sum(F.col("page_bad").cast("long")).alias("n_docs_page_dropped"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum(
+                F.when(F.col("doc_kept"), F.col("n_kept")).otherwise(F.lit(0))
+            ).alias("n_lines_kept"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list("
+                    "CASE WHEN doc_kept THEN struct(doc_id, clean_dg) END)),"
+                    " s -> cast(s.doc_id AS string) || ':' || s.clean_dg),"
+                    " ',')"
+                )
+            ).alias("clean_md5"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_FILTER_C4_LINES = f"""
+WITH tk AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+ln AS (
+  SELECT doc_id, source, tk,
+         unnest(generate_series(1, greatest(1,
+             CAST(ceil(len(tk) / {C4_LINE_TOKENS}.0) AS INT)))) AS i
+  FROM tk),
+dec AS (
+  SELECT doc_id, source, i,
+         array_to_string(list_slice(tk, 1 + (i - 1) * {C4_LINE_TOKENS},
+                                    (i - 1) * {C4_LINE_TOKENS}
+                                    + {C4_LINE_TOKENS}), ' ') AS raw,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                  || CAST(i AS VARCHAR)), 1, 1))
+              AS BIGINT) AS v
+  FROM ln),
+lines AS (
+  SELECT doc_id, source, i,
+         CASE WHEN v <= 5 THEN raw || '.'
+              WHEN v <= 7 THEN raw || '!'
+              WHEN v = 8 THEN raw || '?'
+              WHEN v = 9 THEN raw
+              WHEN v = 10 THEN raw || ' enable javascript to view.'
+              WHEN v = 11 THEN raw || ' {{'
+              WHEN v = 12 THEN raw || ' lorem ipsum.'
+              WHEN v = 13 THEN raw || ' privacy policy.'
+              ELSE raw || '.' END AS line
+  FROM dec),
+cls AS (
+  SELECT doc_id, source, i, line,
+         (regexp_matches(line, '[.!?"]$')
+          AND len(string_split(line, ' ')) >= 5
+          AND NOT contains(lower(line), 'javascript')
+          AND NOT contains(lower(line), 'privacy policy')
+          AND NOT contains(lower(line), 'cookie policy')
+          AND NOT contains(lower(line), 'terms of use')) AS kept,
+         (contains(line, '{{')
+          OR contains(lower(line), 'lorem ipsum')) AS bad
+  FROM lines),
+doc AS (
+  SELECT doc_id, source,
+         CAST(count(*) AS INT) AS n_lines,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS INT) AS n_kept,
+         bool_or(bad) AS page_bad,
+         md5(coalesce(string_agg(CASE WHEN kept THEN line END, chr(10)
+                                 ORDER BY i), '')) AS clean_dg
+  FROM cls GROUP BY doc_id, source),
+d2 AS (
+  SELECT *, (NOT page_bad AND n_kept >= 3) AS doc_kept FROM doc)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN doc_kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_kept,
+       CAST(sum(CASE WHEN page_bad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_page_dropped,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN doc_kept THEN n_kept ELSE 0 END) AS BIGINT)
+         AS n_lines_kept,
+       md5(coalesce(string_agg(
+           CASE WHEN doc_kept THEN CAST(doc_id AS VARCHAR) || ':' || clean_dg
+           END, ',' ORDER BY doc_id), '')) AS clean_md5
+FROM d2 GROUP BY source ORDER BY source
+"""
+
+
 def q_events_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-defused dimension enrichment: every event joins its user's
     profile (per-user avg value + event count, derived here from the
@@ -7574,6 +7737,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_lm_buckets": (q_text_lm_buckets, SQL_TEXT_LM_BUCKETS),
     "text_chunk_windows": (q_text_chunk_windows, SQL_TEXT_CHUNK_WINDOWS),
     "filter_url_blocklist": (q_filter_url_blocklist, _sql_filter_url()),
+    "filter_c4_lines": (q_filter_c4_lines, SQL_FILTER_C4_LINES),
     "events_salted_enrich": (q_events_salted_enrich, SQL_EVENTS_SALTED_ENRICH),
     "tpch_order_priority": (q_tpch_order_priority, SQL_TPCH_ORDER_PRIORITY),
     "section_tree": (q_section_tree, SQL_SECTION_TREE),

@@ -1,0 +1,74 @@
+"""C4 line-level cleaning rules (functions/text.c4_*).
+
+Pins the public C4 semantics (Raffel et al. 2020 §2.2 / the
+tensorflow_datasets c4_utils reference rules) the `filter_c4_lines`
+catalog query applies: line keeps need terminal punctuation, >=5
+words, and none of the javascript/policy phrases; page drops fire on
+a curly brace or 'lorem ipsum' anywhere.
+"""
+
+import pyspark.sql.functions as F
+
+from pdf_parser_c_spark.functions.text import (
+    C4_MIN_KEPT_LINES,
+    c4_clean_lines,
+    c4_line_keep,
+    c4_page_drop,
+)
+
+KEEP_CASES = [
+    ("one two three four five.", True),
+    ("one two three four five!", True),
+    ("does it end in a question?", True),
+    ('he said "use more data."', True),  # closing quote terminator
+    ("one two three four five", False),  # no terminal punctuation
+    ("too short line.", False),  # < 5 words
+    ("click here to enable JavaScript right now.", False),
+    ("please read our Privacy Policy before continuing.", False),
+    ("see the cookie policy for details please.", False),
+    ("review the Terms of Use before you register.", False),
+    ("", False),
+]
+
+
+def _keep_flags(spark, lines):
+    df = spark.createDataFrame([(l,) for l in lines], ["line"])
+    rows = df.select("line", c4_line_keep(F.col("line")).alias("k")).collect()
+    return {r["line"]: r["k"] for r in rows}
+
+
+def test_line_keep_rules(spark):
+    got = _keep_flags(spark, [l for l, _ in KEEP_CASES])
+    for line, want in KEEP_CASES:
+        assert got[line] == want, line
+
+
+def test_clean_lines_preserves_order(spark):
+    lines = [
+        "first good line with enough words.",
+        "no punctuation so this line drops",
+        "second good line with enough words!",
+        "bad javascript line with enough words here.",
+        "third good line with enough words?",
+    ]
+    df = spark.createDataFrame([(lines,)], ["lines"])
+    out = df.select(c4_clean_lines("lines").alias("kept")).first()["kept"]
+    assert out == [lines[0], lines[2], lines[4]]
+
+
+def test_page_drop_rules(spark):
+    cases = [
+        (["clean line one here today ok.", "clean line two here today ok."], False),
+        (["function f() {", "clean line two here today ok."], True),
+        (["Lorem Ipsum dolor sit amet text.", "another clean line here ok."], True),
+        ([], False),
+    ]
+    df = spark.createDataFrame(cases, ["lines", "want"])
+    rows = df.select("want", c4_page_drop("lines").alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["want"]
+
+
+def test_min_kept_lines_constant():
+    # the catalog query's >=3 gate is C4's "at least 3 sentences" rule
+    assert C4_MIN_KEPT_LINES == 3
