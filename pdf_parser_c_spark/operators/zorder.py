@@ -1,0 +1,61 @@
+"""Z-order (Morton) clustering for multi-dimensional data skipping.
+
+At 100 TB the planner prunes work with FILE-level min/max statistics
+(parquet footers, Iceberg manifest ranges).  A table laid out by one
+sort key skips beautifully on that key and not at all on any other;
+interleaving the bits of two quantized keys into a Morton code and
+clustering files by code ranges bounds EVERY dimension's span within
+each file — the layout strategy behind Delta/Iceberg ``OPTIMIZE
+ZORDER BY``.  This module keeps the code computation pure column math
+(whole-stage codegen) and dialect-paired, so the DuckDB oracle can
+reproduce the interleave bit-for-bit.
+
+Reference scope note: the reference pipeline (``src/pdf_utils.cpp``)
+has no storage layout at all — single file in, single process.  This
+operator exists for the engine's own 100 TB sink/table layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+__all__ = ["zvalue", "zvalue_expr", "zvalue_sql"]
+
+
+def _terms(x: str, y: str, bits: int, dialect: str) -> list[str]:
+    """One additive term per interleaved bit; identical term ORDER in
+    both dialects so the expressions are structurally the same sum."""
+    out = []
+    for i in range(bits):
+        if dialect == "spark":
+            out.append(f"shiftleft((shiftright({x}, {i}) & 1), {2 * i})")
+            out.append(f"shiftleft((shiftright({y}, {i}) & 1), {2 * i + 1})")
+        elif dialect == "duckdb":
+            out.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            out.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+        else:  # pragma: no cover - programming error
+            raise ValueError(f"unknown dialect {dialect!r}")
+    return out
+
+
+def zvalue_expr(x: str, y: str, bits: int = 4) -> str:
+    """Spark-SQL expression string for the Morton code of two already
+    quantized integer expressions: bit i of x lands at position 2i,
+    bit i of y at 2i+1.  ``bits`` bits per dimension → code in
+    [0, 4**bits)."""
+    return " + ".join(_terms(x, y, bits, "spark"))
+
+
+def zvalue_sql(x: str, y: str, bits: int = 4) -> str:
+    """DuckDB mirror of :func:`zvalue_expr` — same terms, same order."""
+    return " + ".join(_terms(x, y, bits, "duckdb"))
+
+
+def zvalue(x: str, y: str, bits: int = 4) -> Column:
+    """Morton/Z-order code Column over two quantized integer columns
+    (each in [0, 2**bits)).  Pure integer column math — stays inside
+    whole-stage codegen; cluster with
+    ``df.repartitionByRange(n, zvalue(...))`` + a sorted write, or
+    bucket by ``zvalue(...) div cells_per_file`` for aligned blocks."""
+    return F.expr(zvalue_expr(x, y, bits))

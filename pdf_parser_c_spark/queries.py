@@ -6023,6 +6023,214 @@ FROM d2 GROUP BY source ORDER BY source
 """
 
 
+# Z-order clustering / data-skipping census.  Quantization grid and the
+# probe predicates (in quantized units) shared by query and oracle.
+ZORD_CELLS = 16          # 4 bits per dimension
+ZORD_CODES_PER_FILE = 16  # 256 codes / 16 files = aligned 4x4 blocks
+ZORD_PX = (3, 6)         # x-only probe rectangle
+ZORD_PY = (5, 9)         # y-only probe rectangle
+
+
+def q_cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs single-key clustering, measured as FILE SKIPPING —
+    what Delta/Iceberg ``OPTIMIZE ZORDER BY`` buys at 100 TB.  Events
+    are quantized to a 16x16 (value, user_id) grid; two layouts
+    cluster the same rows into 16 files: ``zorder`` by Morton-code
+    range (operators/zorder.zvalue — aligned 4x4 blocks) and
+    ``linear`` by the x key alone.  For three probe predicates
+    (x-only, y-only, x-and-y rectangles) the census reports, per
+    layout, how many files min/max pruning must scan and how many rows
+    those files hold — rows_matching is layout-invariant (sanity
+    anchor), rows_scanned is the cost a 100 TB reader pays.  The
+    expected shape: linear wins on x-only, prunes NOTHING on y-only
+    (every file spans all of y); zorder prunes every predicate.
+    Scale: quantization bounds (one tiny agg) broadcast back; the ONE
+    corpus exchange is the (zfile, lfile) cell agg with map-side
+    partials; everything after is <=256 metadata rows — exactly how
+    manifest-level planning works, where file stats are metadata, not
+    data."""
+    from .operators.zorder import zvalue_expr
+
+    x_lo, x_hi = ZORD_PX
+    y_lo, y_hi = ZORD_PY
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    b = ev.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.min("user_id").alias("umin"),
+        F.max("user_id").alias("umax"),
+    )
+    qz = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            F.expr(
+                "CASE WHEN vmax = vmin THEN 0 ELSE"
+                f" least({ZORD_CELLS - 1}, greatest(0,"
+                " CAST(floor(((value - vmin) / (vmax - vmin))"
+                f" * {ZORD_CELLS}.0) AS INT))) END"
+            ).alias("xq"),
+            F.expr(
+                "CASE WHEN umax = umin THEN 0 ELSE"
+                f" CAST(((user_id - umin) * {ZORD_CELLS})"
+                " div (umax - umin + 1) AS INT) END"
+            ).alias("yq"),
+        )
+        .withColumn("z", F.expr(zvalue_expr("xq", "yq", 4)))
+    )
+    cells = (
+        qz.withColumn("zfile", F.expr(f"z div {ZORD_CODES_PER_FILE}"))
+        .withColumn("lfile", F.col("xq").cast("long"))
+        .groupBy("zfile", "lfile")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("xq").alias("min_x"),
+            F.max("xq").alias("max_x"),
+            F.min("yq").alias("min_y"),
+            F.max("yq").alias("max_y"),
+            F.sum(F.col("xq").between(x_lo, x_hi).cast("long")).alias("m_x"),
+            F.sum(F.col("yq").between(y_lo, y_hi).cast("long")).alias("m_y"),
+            F.sum(
+                (
+                    F.col("xq").between(x_lo, x_hi)
+                    & F.col("yq").between(y_lo, y_hi)
+                ).cast("long")
+            ).alias("m_xy"),
+        )
+    )
+    files = (
+        cells.select(
+            F.explode(
+                F.expr(
+                    "array(struct('zorder' AS layout, zfile AS f),"
+                    " struct('linear' AS layout, lfile AS f))"
+                )
+            ).alias("lf"),
+            "cnt", "min_x", "max_x", "min_y", "max_y", "m_x", "m_y", "m_xy",
+        )
+        .groupBy(F.col("lf.layout").alias("layout"), F.col("lf.f").alias("f"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("min_x").alias("min_x"),
+            F.max("max_x").alias("max_x"),
+            F.min("min_y").alias("min_y"),
+            F.max("max_y").alias("max_y"),
+            F.sum("m_x").alias("m_x"),
+            F.sum("m_y").alias("m_y"),
+            F.sum("m_xy").alias("m_xy"),
+        )
+    )
+    scan_x = (F.col("min_x") <= x_hi) & (F.col("max_x") >= x_lo)
+    scan_y = (F.col("min_y") <= y_hi) & (F.col("max_y") >= y_lo)
+    preds = files.select(
+        "layout",
+        "cnt",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("x").alias("pred"),
+                    scan_x.alias("scanned"),
+                    F.col("m_x").alias("matches"),
+                ),
+                F.struct(
+                    F.lit("y").alias("pred"),
+                    scan_y.alias("scanned"),
+                    F.col("m_y").alias("matches"),
+                ),
+                F.struct(
+                    F.lit("xy").alias("pred"),
+                    (scan_x & scan_y).alias("scanned"),
+                    F.col("m_xy").alias("matches"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return (
+        preds.groupBy("layout", F.col("p.pred").alias("pred"))
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(F.col("p.scanned").cast("long")).alias("n_files_scanned"),
+            F.sum(
+                F.when(F.col("p.scanned"), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("rows_scanned"),
+            F.sum("p.matches").alias("rows_matching"),
+        )
+        .orderBy("layout", "pred")
+    )
+
+
+def _sql_cluster_zorder() -> str:
+    from .operators.zorder import zvalue_sql
+
+    x_lo, x_hi = ZORD_PX
+    y_lo, y_hi = ZORD_PY
+    return f"""
+WITH ev AS (
+  SELECT value, user_id FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL),
+b AS (
+  SELECT min(value) AS vmin, max(value) AS vmax,
+         min(user_id) AS umin, max(user_id) AS umax FROM ev),
+qz AS (
+  SELECT
+    CASE WHEN vmax = vmin THEN 0 ELSE
+      least({ZORD_CELLS - 1}, greatest(0,
+        CAST(floor(((value - vmin) / (vmax - vmin))
+                   * {ZORD_CELLS}.0) AS INT))) END AS xq,
+    CASE WHEN umax = umin THEN 0 ELSE
+      CAST(((user_id - umin) * {ZORD_CELLS})
+           // (umax - umin + 1) AS INT) END AS yq
+  FROM ev, b),
+z AS (
+  SELECT xq, yq, ({zvalue_sql("xq", "yq", 4)}) AS z FROM qz),
+cells AS (
+  SELECT z // {ZORD_CODES_PER_FILE} AS zfile, CAST(xq AS BIGINT) AS lfile,
+         count(*) AS cnt,
+         min(xq) AS min_x, max(xq) AS max_x,
+         min(yq) AS min_y, max(yq) AS max_y,
+         CAST(sum(CASE WHEN xq BETWEEN {x_lo} AND {x_hi}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS m_x,
+         CAST(sum(CASE WHEN yq BETWEEN {y_lo} AND {y_hi}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS m_y,
+         CAST(sum(CASE WHEN xq BETWEEN {x_lo} AND {x_hi}
+                   AND yq BETWEEN {y_lo} AND {y_hi}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS m_xy
+  FROM z GROUP BY 1, 2),
+stacked AS (
+  SELECT 'zorder' AS layout, zfile AS f, cnt, min_x, max_x, min_y, max_y,
+         m_x, m_y, m_xy FROM cells
+  UNION ALL
+  SELECT 'linear', lfile, cnt, min_x, max_x, min_y, max_y,
+         m_x, m_y, m_xy FROM cells),
+files AS (
+  SELECT layout, f, sum(cnt) AS cnt,
+         min(min_x) AS min_x, max(max_x) AS max_x,
+         min(min_y) AS min_y, max(max_y) AS max_y,
+         sum(m_x) AS m_x, sum(m_y) AS m_y, sum(m_xy) AS m_xy
+  FROM stacked GROUP BY layout, f),
+p AS (
+  SELECT layout, 'x' AS pred,
+         (min_x <= {x_hi} AND max_x >= {x_lo}) AS scanned,
+         cnt, m_x AS matches FROM files
+  UNION ALL
+  SELECT layout, 'y', (min_y <= {y_hi} AND max_y >= {y_lo}),
+         cnt, m_y FROM files
+  UNION ALL
+  SELECT layout, 'xy',
+         (min_x <= {x_hi} AND max_x >= {x_lo}
+          AND min_y <= {y_hi} AND max_y >= {y_lo}),
+         cnt, m_xy FROM files)
+SELECT layout, pred, count(*) AS n_files,
+       CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_files_scanned,
+       CAST(sum(CASE WHEN scanned THEN cnt ELSE 0 END) AS BIGINT)
+         AS rows_scanned,
+       CAST(sum(matches) AS BIGINT) AS rows_matching
+FROM p GROUP BY layout, pred ORDER BY layout, pred
+"""
+
+
 def q_events_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-defused dimension enrichment: every event joins its user's
     profile (per-user avg value + event count, derived here from the
@@ -7738,6 +7946,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_chunk_windows": (q_text_chunk_windows, SQL_TEXT_CHUNK_WINDOWS),
     "filter_url_blocklist": (q_filter_url_blocklist, _sql_filter_url()),
     "filter_c4_lines": (q_filter_c4_lines, SQL_FILTER_C4_LINES),
+    "cluster_zorder": (q_cluster_zorder, _sql_cluster_zorder()),
     "events_salted_enrich": (q_events_salted_enrich, SQL_EVENTS_SALTED_ENRICH),
     "tpch_order_priority": (q_tpch_order_priority, SQL_TPCH_ORDER_PRIORITY),
     "section_tree": (q_section_tree, SQL_SECTION_TREE),

@@ -1,0 +1,68 @@
+"""Morton/Z-order code math (operators/zorder).
+
+Pins the bit-interleave against a python reference over the full
+16x16 grid, the Spark/DuckDB dialect pair against each other, and the
+clustering property the data-skipping census relies on: 16-code
+blocks of a 4-bit-per-dim Morton curve are axis-aligned 4x4 quadrants,
+so BOTH dimensions' spans are bounded within every file.
+"""
+
+import duckdb
+import pyspark.sql.functions as F
+
+from pdf_parser_c_spark.operators.zorder import zvalue, zvalue_expr, zvalue_sql
+
+
+def _ref_morton(x: int, y: int, bits: int = 4) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zvalue_matches_reference_grid(spark):
+    grid = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(grid, ["xq", "yq"])
+    rows = df.select("xq", "yq", zvalue("xq", "yq", 4).alias("z")).collect()
+    assert len(rows) == 256
+    for r in rows:
+        assert r["z"] == _ref_morton(r["xq"], r["yq"]), (r["xq"], r["yq"])
+    # the 4-bit x 4-bit curve is a bijection onto [0, 256)
+    assert sorted(r["z"] for r in rows) == list(range(256))
+
+
+def test_duckdb_dialect_matches_python_reference():
+    con = duckdb.connect()
+    got = con.sql(
+        "SELECT xq, yq, " + zvalue_sql("xq", "yq", 4) + " AS z "
+        "FROM (SELECT unnest(generate_series(0, 15)) AS xq), "
+        "     (SELECT unnest(generate_series(0, 15)) AS yq)"
+    ).fetchall()
+    assert len(got) == 256
+    for x, y, z in got:
+        assert z == _ref_morton(x, y), (x, y)
+
+
+def test_expr_strings_are_structural_twins():
+    # same number of additive terms, same order of bit positions
+    sp = zvalue_expr("a", "b", 4).split(" + ")
+    du = zvalue_sql("a", "b", 4).split(" + ")
+    assert len(sp) == len(du) == 8
+
+
+def test_sixteen_code_blocks_are_aligned_quadrants():
+    # file f = z // 16 holds exactly the cells of one 4x4 quadrant:
+    # both per-file spans are 3, the property the census exploits
+    from collections import defaultdict
+
+    spans = defaultdict(lambda: [16, -1, 16, -1])  # minx maxx miny maxy
+    for x in range(16):
+        for y in range(16):
+            f = _ref_morton(x, y) // 16
+            s = spans[f]
+            s[0], s[1] = min(s[0], x), max(s[1], x)
+            s[2], s[3] = min(s[2], y), max(s[3], y)
+    assert len(spans) == 16
+    for s in spans.values():
+        assert s[1] - s[0] == 3 and s[3] - s[2] == 3
