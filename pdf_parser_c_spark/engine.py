@@ -317,6 +317,17 @@ def _job_map_batches(accum):
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
+        ctx = TaskContext.get()
+        # test-only seam (tests/test_fault_tolerance.py): the FIRST
+        # attempt of partition 0 dies after emitting one batch, so the
+        # retry must discard that partial progress and reproduce the
+        # partition exactly.  Inert unless the env var is set.
+        inject_fault = (
+            os.environ.get("PDF_PARSER_FAULT_INJECT") == "first-attempt"
+            and ctx is not None
+            and ctx.partitionId() == 0
+            and ctx.attemptNumber() == 0
+        )
         tally: dict[tuple[int, str, str], int] = {}
         for batch in it:
             buckets = batch["bucket"]
@@ -327,7 +338,10 @@ def _job_map_batches(accum):
                 key = (int(b), str(k), str(s))
                 tally[key] = tally.get(key, 0) + int(n)
             yield out
-        ctx = TaskContext.get()
+            if inject_fault:
+                raise RuntimeError(
+                    "injected transient fault after partial progress"
+                )
         accum.add({ctx.partitionId() if ctx else -1: tally})
 
     return fn

@@ -1,0 +1,73 @@
+"""Subprocess probe for tests/test_fault_tolerance.py.
+
+Runs the checkpointed extraction job in its OWN SparkContext (task
+``maxFailures`` is fixed per context, so each scenario needs a fresh
+process) and prints one JSON line summarizing the committed output:
+row count, an order-stable digest over (conv, turn, status, text), and
+the metrics table.  Exits 3 with ``{"failed": true}`` if the job
+raises — the expected outcome when the injected fault outlives the
+retry budget.
+
+usage: python fault_probe.py <master> <input_parquet> <output_dir>
+"""
+
+import hashlib
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    master, inp, outp = sys.argv[1:4]
+    from pdf_parser_c_spark.engine import get_spark, run_extraction_job
+
+    spark = get_spark(app="fault-probe", master=master, shuffle_partitions=8)
+    try:
+        df = spark.read.parquet(inp)
+        run_extraction_job(
+            spark, df, outp, n_buckets=8, num_partitions=8, job_id="probe"
+        )
+    except Exception:
+        print(json.dumps({"failed": True}))
+        return 3
+    finally:
+        spark.stop()
+
+    import pyarrow.dataset as ds
+
+    res = (
+        ds.dataset(f"{outp}/results", format="parquet", partitioning="hive")
+        .to_table()
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    lines = [
+        f"{r.conv_id}:{r.turn_idx}:{r.status}:"
+        f"{hashlib.md5((r.text or '').encode()).hexdigest()}"
+        for r in res.itertuples()
+    ]
+    digest = hashlib.md5("\n".join(lines).encode()).hexdigest()
+    met = (
+        ds.dataset(f"{outp}/metrics", format="parquet", partitioning="hive")
+        .to_table()
+        .to_pandas()
+    )
+    metrics = sorted(
+        (str(b), str(k), str(s), int(n))
+        for b, k, s, n in met[["bucket", "kind", "status", "n_rows"]].values
+    )
+    print(
+        json.dumps(
+            {"failed": False, "rows": len(res), "digest": digest,
+             "metrics": metrics}
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,85 @@
+"""Task-retry fault tolerance of the checkpointed extraction job.
+
+A 1000-executor run WILL lose task attempts (preemption, OOM kills,
+disk faults); the job's correctness story depends on Spark's task
+retry plus the kernel's own claims: partial progress of a dead attempt
+is discarded (parquet task-commit protocol), and the metrics
+accumulator adds its tally only at task END, so a mid-task death never
+double-counts (engine.py `_ReplacePerKeyDict`).
+
+This test exercises a REAL retry, not the docstring: a seam in the job
+kernel (`PDF_PARSER_FAULT_INJECT=first-attempt`) makes the first
+attempt of partition 0 die AFTER emitting one batch.  Three scenarios,
+each in its own subprocess (task ``maxFailures`` is per-context):
+
+1. clean run (`local[4]`, no injection) — the golden output;
+2. fault with no retry budget (`local[4]`, maxFailures=1) — the job
+   MUST fail, proving the injection actually fires;
+3. fault with retry (`local[4,2]`) — the job must succeed and commit
+   byte-identical results AND metrics to the clean run.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PROBE = os.path.join(REPO, "tests", "fault_probe.py")
+
+
+def _write_transcripts(path: str) -> None:
+    from pdf_parser_c_spark.testkit.corpus import (
+        make_transcripts,
+        transcripts_columns_only,
+    )
+
+    pdf = transcripts_columns_only(
+        make_transcripts(n_convs=12, turns_per_conv=8)
+    )
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    # Spark's parquet reader rejects nanosecond timestamps
+    pq.write_table(
+        tbl, path, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+
+
+def _run(master: str, inp: str, outp: str, inject: bool):
+    env = dict(os.environ)
+    env.pop("PDF_PARSER_FAULT_INJECT", None)
+    if inject:
+        env["PDF_PARSER_FAULT_INJECT"] = "first-attempt"
+    proc = subprocess.run(
+        [sys.executable, PROBE, master, inp, outp],
+        env=env, capture_output=True, text=True, timeout=240,
+    )
+    last = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+    return proc.returncode, json.loads(last)
+
+
+@pytest.mark.timeout(600)
+def test_injected_task_failure_retries_to_identical_output(tmp_path):
+    inp = str(tmp_path / "transcripts.parquet")
+    _write_transcripts(inp)
+
+    rc, clean = _run("local[4]", inp, str(tmp_path / "out_clean"), False)
+    assert rc == 0 and not clean["failed"]
+    assert clean["rows"] > 0 and clean["metrics"]
+
+    # no retry budget: the injected fault must kill the job — this is
+    # the guard that partition 0 is non-empty and the seam fires
+    rc, nofail = _run("local[4]", inp, str(tmp_path / "out_dead"), True)
+    assert rc == 3 and nofail["failed"]
+
+    # one retry: Spark reruns the dead attempt, discards its partial
+    # parquet output, and the accumulator (added only at task end)
+    # counts the partition exactly once
+    rc, healed = _run("local[4,2]", inp, str(tmp_path / "out_retry"), True)
+    assert rc == 0 and not healed["failed"]
+    assert healed["rows"] == clean["rows"]
+    assert healed["digest"] == clean["digest"]
+    assert healed["metrics"] == clean["metrics"]
