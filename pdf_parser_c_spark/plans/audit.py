@@ -104,6 +104,8 @@ def main() -> None:
         "tpch_min_cost_supplier": "Q2 shape: derived partsupp from ONE lineitem scan (part/supplier/region broadcast, filters pushed); min-per-part is a WINDOW over the agg (no corpus re-plan); TakeOrdered top-20",
         "events_gap_fill": "densify+ffill: ONE corpus (user,day) agg; spans + day-map ride one per-user agg whose partitioning feeds both the calendar Generate and the fill window — no rejoin, no 3rd exchange",
         "text_collocation_pmi": "PMI: unigrams and bigrams built map-side (Generate), vocab-bounded agg exchanges, agg-on-agg count-attach joins, 1-row corpus total broadcast; TakeOrdered top-k",
+        "filter_c4_lines": "C4 clean: line forming, keeps, page drops, and per-doc digests all map-side array math (one FileScan, no Generate) — the per-source census is the corpus's ONLY exchange",
+        "cluster_zorder": "zorder census: NULL guards pushed to both scans, quantization bounds 1-row broadcast, ONE corpus-sized (zfile, lfile) cell-agg exchange; files/predicates stages move <=512 metadata rows",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

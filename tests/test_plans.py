@@ -628,3 +628,34 @@ def test_snapshot_apply_anti_join_and_no_payload_shuffle(spark):
                    "simple")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_c4_lines_is_one_map_side_pass(spark):
+    """C4 cleaning: line forming, line keeps, page drops, and the
+    per-doc digest are all array math on the scan side — the per-source
+    census is the ONLY data exchange and the corpus is scanned once
+    (never exploded to a lines frame)."""
+    plan = plan_of(spark, QUERIES["filter_c4_lines"][0](spark, SF_DIR),
+                   "simple")
+    assert n_data_exchanges(plan) == 1
+    assert plan.count("FileScan") == 1
+    assert "Generate" not in plan  # no explode of the corpus
+
+
+def test_zorder_census_corpus_touches_one_exchange(spark):
+    """Z-order skipping census: the quantization bounds broadcast back
+    (one tiny agg — at deployment scale these come from file footers),
+    the NULL guards push to both scans, and the only corpus-sized
+    exchange is the (zfile, lfile) cell agg; the two later exchanges
+    move <=512 metadata rows (files/predicates), mirroring how manifest
+    planning is metadata-only."""
+    df = QUERIES["cluster_zorder"][0](spark, SF_DIR)
+    plan = plan_of(spark, df, "simple")
+    assert plan.count("FileScan") == 2  # bounds agg + cell agg
+    assert "CartesianProduct" not in plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+, [^,]+),", plan)
+    # first (deepest-listed last) corpus exchange keys the cell grid
+    assert any("zfile" in e and "lfile" in e for e in exchanges), exchanges
+    assert n_data_exchanges(plan) == 3
+    fmt = plan_of(spark, df, "formatted")
+    assert "PushedFilters: [IsNotNull(value), IsNotNull(user_id)]" in fmt
