@@ -570,6 +570,93 @@ def substring_dup_coverage(
     )
 
 
+def substring_dedup_rewrite(
+    df: DataFrame, id_col: str, text_col: str, width: int = 8
+) -> DataFrame:
+    """Exact-substring dedup as a REWRITE — the removal form of Lee et
+    al. 2021 (the census form is :func:`substring_dup_coverage`):
+    every ``width``-word window occurring more than once in the corpus
+    keeps only its globally-first occurrence (lowest (id, pos)); every
+    other occurrence's [pos, pos+width) token interval is erased and
+    each document's text is rebuilt from the surviving tokens.
+    Overlapping erased intervals union naturally (a token survives iff
+    NO erased window covers it).
+
+    → (id_col, n_tok, n_kept, rebuilt): token counts before/after and
+    the rebuilt text; docs shorter than ``width`` pass through
+    unchanged.  An exact-duplicate doc rebuilds to (near-)empty; a doc
+    whose own head is re-appended rebuilds to exactly its original.
+
+    Scale: the window table shuffles ONCE on the family's 60-bit
+    md5-prefix hash; the keeper is picked with two UNORDERED window
+    MINs on that one exchange (min id, then min pos within it) — no
+    per-key sort, so a corpus-wide boilerplate window is a linear hot
+    key, not a sorted straggler.  Erased starts fold to ONE per-doc
+    array (duplicate-subset sized) and the rebuild is map-side array
+    math after a doc-keyed join AQE broadcasts when the dup set is
+    small.
+    """
+    win_hash = (
+        f"cast(conv(substr(md5(array_join(slice(ws, i, {width}), ' ')),"
+        f" 1, 15), 16, 10) as bigint)"
+    )
+    wins = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.split(F.col(text_col), " ").alias("ws"),
+        )
+        .filter(F.expr(f"size(ws) >= {width}"))
+        .select(
+            "_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {width - 1}),"
+                    f" i -> {win_hash})"
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    wh = Window.partitionBy("h")
+    keyed = (
+        wins.withColumn("_min_id", F.min("_id").over(wh))
+        .withColumn(
+            "_first_pos",
+            F.min(
+                F.when(F.col("_id") == F.col("_min_id"), F.col("pos"))
+            ).over(wh),
+        )
+    )
+    rm = (
+        keyed.filter(
+            (F.col("_id") != F.col("_min_id"))
+            | (F.col("pos") != F.col("_first_pos"))
+        )
+        .groupBy("_id")
+        .agg(F.collect_set("pos").alias("_rm"))
+    )
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
+    joined = base.join(rm, base[id_col] == rm["_id"], "left").drop("_id")
+    kept_expr = (
+        "CASE WHEN _rm IS NULL THEN ws ELSE"
+        " transform(filter(sequence(0, size(ws) - 1),"
+        f" p -> NOT exists(_rm, s -> p >= s AND p < s + {width})),"
+        " p -> ws[p]) END"
+    )
+    return (
+        joined.select(
+            id_col,
+            F.size("ws").alias("n_tok"),
+            F.expr(kept_expr).alias("_kept"),
+        )
+        .select(
+            id_col,
+            "n_tok",
+            F.size("_kept").alias("n_kept"),
+            F.array_join("_kept", " ").alias("rebuilt"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,

@@ -3988,6 +3988,113 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REWRITE census (Lee et al. 2021 removal
+    form, operators/dedup.substring_dedup_rewrite): duplicated 8-word
+    windows keep their globally-first occurrence and every other
+    occurrence is erased from the rebuilt text.  To guarantee
+    WITHIN-doc repeats on the break-free substrate, one doc in four
+    (md5 digit of doc_id) gets its own first 12 tokens re-appended —
+    such a doc must rebuild to EXACTLY its original text, while exact
+    cross-doc duplicates rebuild to (near-)empty; rebuilt_md5 pins
+    every rebuilt byte, not just counts.
+    Scale: one hash-keyed window-table exchange with UNORDERED mins
+    (no per-key sort under a hot boilerplate window), erase sets fold
+    per doc, rebuild is map-side array math (see the operator
+    docstring)."""
+    from .operators.dedup import substring_dedup_rewrite
+
+    d = t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CASE WHEN CAST(conv(substr(md5(cast(doc_id AS string)), 3, 1),"
+            " 16, 10) AS INT) % 4 = 0"
+            " THEN concat(text, ' ',"
+            " array_join(slice(split(text, ' '), 1, 12), ' '))"
+            " ELSE text END"
+        ).alias("text"),
+    )
+    rw = substring_dedup_rewrite(aug, "doc_id", "text", width=8)
+    j = aug.select("doc_id", "source").join(rw, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_kept") < F.col("n_tok")).cast("long")).alias(
+                "docs_rewritten"
+            ),
+            F.sum("n_tok").alias("tokens_before"),
+            F.sum("n_kept").alias("tokens_after"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list("
+                    "struct(doc_id, md5(rebuilt)))),"
+                    " s -> cast(s.doc_id AS string) || ':' || s.col2), ',')"
+                )
+            ).alias("rebuilt_md5"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DEDUP_SUBSTRING_REWRITE = """
+WITH aug AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 1))
+                   AS BIGINT) % 4 = 0
+              THEN text || ' ' ||
+                   array_to_string(list_slice(string_split(text, ' '), 1, 12),
+                                   ' ')
+              ELSE text END AS text
+  FROM documents),
+d AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM aug),
+wins AS (
+  SELECT doc_id, u.pos, u.h FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws) - 7),
+             i -> struct_pack(
+               pos := i - 1,
+               h := CAST(('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')),
+                          1, 15)) AS BIGINT)))) AS u
+    FROM d WHERE len(ws) >= 8)),
+k1 AS (
+  SELECT doc_id, pos, min(doc_id) OVER (PARTITION BY h) AS min_id, h
+  FROM wins),
+k2 AS (
+  SELECT doc_id, pos, min_id,
+         min(CASE WHEN doc_id = min_id THEN pos END)
+           OVER (PARTITION BY h) AS first_pos
+  FROM k1),
+rm AS (
+  SELECT doc_id, list(pos) AS rm_pos FROM k2
+  WHERE doc_id <> min_id OR pos <> first_pos GROUP BY doc_id),
+reb AS (
+  SELECT d.doc_id, d.source, len(d.ws) AS n_tok,
+         CASE WHEN r.rm_pos IS NULL THEN d.ws
+              ELSE list_transform(
+                list_filter(generate_series(0, len(d.ws) - 1),
+                  p -> len(list_filter(r.rm_pos,
+                         s -> p >= s AND p < s + 8)) = 0),
+                p -> d.ws[p + 1]) END AS kept
+  FROM d LEFT JOIN rm r USING (doc_id)),
+perdoc AS (
+  SELECT doc_id, source, n_tok, len(kept) AS n_kept,
+         -- empty list: DuckDB array_to_string -> NULL, Spark -> ''
+         md5(coalesce(array_to_string(kept, ' '), '')) AS dg
+  FROM reb)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_kept < n_tok THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_rewritten,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_before,
+       CAST(sum(n_kept) AS BIGINT) AS tokens_after,
+       md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || dg, ','
+                      ORDER BY doc_id)) AS rebuilt_md5
+FROM perdoc GROUP BY source ORDER BY source
+"""
+
+
 def q_audit_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source content-overlap matrix — the audit a mixture build
     runs before weighting sources: for every source pair, how many
@@ -7947,6 +8054,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "filter_url_blocklist": (q_filter_url_blocklist, _sql_filter_url()),
     "filter_c4_lines": (q_filter_c4_lines, SQL_FILTER_C4_LINES),
     "cluster_zorder": (q_cluster_zorder, _sql_cluster_zorder()),
+    "dedup_substring_rewrite": (
+        q_dedup_substring_rewrite, SQL_DEDUP_SUBSTRING_REWRITE
+    ),
     "events_salted_enrich": (q_events_salted_enrich, SQL_EVENTS_SALTED_ENRICH),
     "tpch_order_priority": (q_tpch_order_priority, SQL_TPCH_ORDER_PRIORITY),
     "section_tree": (q_section_tree, SQL_SECTION_TREE),

@@ -660,6 +660,85 @@ def test_substring_dup_coverage_randomized_bruteforce_equivalence(spark):
     assert got == expected and len(expected) >= 20
 
 
+def test_substring_rewrite_semantics(spark):
+    """Pins the REMOVAL form (substring_dedup_rewrite): globally-first
+    occurrence survives, later occurrences erase their token spans,
+    overlaps union, head-append docs rebuild to their original, exact
+    duplicates rebuild to empty, short docs pass through."""
+    from pdf_parser_c_spark.operators.dedup import substring_dedup_rewrite
+
+    rows = [
+        (1, "a b c d e f q1 q2 q3 q4"),  # owns "a b c d e f" windows
+        (2, "z1 z2 a b c d e f z3 z4"),  # loses the shared 6-token run
+        (3, "m n o p m n o p"),  # within-doc repeat: keep first
+        (4, "a b c d e f q1 q2 q3 q4"),  # exact dup of 1 -> empty
+        (5, "v1 v2 v3"),  # below width -> untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["n_kept"], r["rebuilt"])
+        for r in substring_dedup_rewrite(df, "doc_id", "text", width=4).collect()
+    }
+    assert got[1] == (10, 10, "a b c d e f q1 q2 q3 q4")
+    assert got[2] == (10, 4, "z1 z2 z3 z4")
+    assert got[3] == (8, 4, "m n o p")
+    assert got[4] == (10, 0, "")
+    assert got[5] == (3, 3, "v1 v2 v3")
+
+
+def test_substring_rewrite_head_append_roundtrip(spark):
+    """A doc whose own head is re-appended (the catalog query's
+    within-doc synthesis) must rebuild to EXACTLY its original text —
+    the appended copy's windows all lose to the head's first
+    occurrences and their union covers precisely the copy."""
+    from pdf_parser_c_spark.operators.dedup import substring_dedup_rewrite
+
+    base = " ".join(f"w{i}" for i in range(20))
+    aug = base + " " + " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame([(1, aug)], "doc_id int, text string")
+    r = substring_dedup_rewrite(df, "doc_id", "text", width=8).first()
+    assert r["rebuilt"] == base and r["n_kept"] == 20
+
+
+def test_substring_rewrite_randomized_bruteforce_equivalence(spark):
+    """Seeded random word streams over a 3-word vocabulary: the
+    rebuilt text must equal a brute-force reference that keeps each
+    window's globally-first (doc, pos) occurrence and erases the union
+    of every other occurrence's span."""
+    import random
+
+    from pdf_parser_c_spark.operators.dedup import substring_dedup_rewrite
+
+    rng = random.Random(27182)
+    width = 4
+    docs = {
+        i: [rng.choice(("x", "y", "z")) for _ in range(rng.randrange(2, 14))]
+        for i in range(40)
+    }
+    first: dict[tuple, tuple] = {}
+    for i in sorted(docs):
+        ws = docs[i]
+        for p in range(len(ws) - width + 1):
+            first.setdefault(tuple(ws[p : p + width]), (i, p))
+    expected = {}
+    for i, ws in docs.items():
+        erased: set[int] = set()
+        for p in range(max(0, len(ws) - width + 1)):
+            if first.get(tuple(ws[p : p + width])) != (i, p):
+                erased.update(range(p, p + width))
+        kept = [w for q, w in enumerate(ws) if q not in erased]
+        expected[i] = (len(ws), len(kept), " ".join(kept))
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs.items()], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["n_kept"], r["rebuilt"])
+        for r in substring_dedup_rewrite(df, "doc_id", "text", width=width).collect()
+    }
+    assert got == expected
+    assert any(k < n for n, k, _ in expected.values())  # rewrites happened
+
+
 def test_incremental_lsh_pairs_equals_restricted_full_banding(spark):
     """The incremental contract: probing a maintained band index with
     a new batch yields EXACTLY the full-corpus LSH candidate pairs
