@@ -6338,6 +6338,77 @@ FROM p GROUP BY layout, pred ORDER BY layout, pred
 """
 
 
+def q_sample_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality-score calibration (the DCLM/FineWeb mixing
+    problem: per-source scorers emit incomparable scales, so one
+    global threshold starves whole sources).  A synthetic per-source
+    scale factor (md5 digit of source → ×1/2/4/8) distorts an exact
+    integer score (token count); the census contrasts two gates:
+    ``kept_global_mean`` (raw ≥ corpus mean — cross-multiplied as
+    raw·N ≥ Σraw, exact integer math, no float-mean edge) versus
+    ``kept_calibrated`` (per-source percent_rank ≥ 0.5).  The global
+    gate's keep-rate swings with the synthetic scale; the calibrated
+    gate holds ~half of EVERY source — the mixing-safe behavior.
+    Scale: one corpus agg (1-row broadcast back) + ONE per-source
+    window exchange that the final census reuses; percent_rank ties
+    are engine-identical so no tiebreak column is needed."""
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(size(split(text, ' '))"
+            " * element_at(array(1, 2, 4, 8),"
+            " CAST(conv(substr(md5(source), 1, 1), 16, 10) AS INT) % 4 + 1)"
+            " AS BIGINT)"
+        ).alias("raw"),
+    )
+    tot = scored.agg(
+        F.sum("raw").alias("s_all"), F.count("*").alias("n_all")
+    )
+    w = Window.partitionBy("source").orderBy("raw")
+    flagged = (
+        scored.crossJoin(F.broadcast(tot))
+        .withColumn("pct", F.percent_rank().over(w))
+        .withColumn("kept_global", F.col("raw") * F.col("n_all") >= F.col("s_all"))
+        .withColumn("kept_cal", F.col("pct") >= 0.5)
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept_global").cast("long")).alias("kept_global_mean"),
+            F.sum(F.col("kept_cal").cast("long")).alias("kept_calibrated"),
+            F.sum("raw").alias("sum_raw"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_SAMPLE_SCORE_CALIBRATION = """
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' '))
+              * ([1, 2, 4, 8])[CAST(('0x' || substr(md5(source), 1, 1))
+                               AS BIGINT) % 4 + 1] AS BIGINT) AS raw
+  FROM documents),
+tot AS (
+  SELECT CAST(sum(raw) AS BIGINT) AS s_all, count(*) AS n_all FROM scored),
+flagged AS (
+  SELECT source, raw,
+         percent_rank() OVER (PARTITION BY source ORDER BY raw) AS pct,
+         (raw * n_all >= s_all) AS kept_global
+  FROM scored, tot)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN kept_global THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_global_mean,
+       CAST(sum(CASE WHEN pct >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_calibrated,
+       CAST(sum(raw) AS BIGINT) AS sum_raw
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
 def q_events_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-defused dimension enrichment: every event joins its user's
     profile (per-user avg value + event count, derived here from the
@@ -8056,6 +8127,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cluster_zorder": (q_cluster_zorder, _sql_cluster_zorder()),
     "dedup_substring_rewrite": (
         q_dedup_substring_rewrite, SQL_DEDUP_SUBSTRING_REWRITE
+    ),
+    "sample_score_calibration": (
+        q_sample_score_calibration, SQL_SAMPLE_SCORE_CALIBRATION
     ),
     "events_salted_enrich": (q_events_salted_enrich, SQL_EVENTS_SALTED_ENRICH),
     "tpch_order_priority": (q_tpch_order_priority, SQL_TPCH_ORDER_PRIORITY),
