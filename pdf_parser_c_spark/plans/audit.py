@@ -106,6 +106,8 @@ def main() -> None:
         "text_collocation_pmi": "PMI: unigrams and bigrams built map-side (Generate), vocab-bounded agg exchanges, agg-on-agg count-attach joins, 1-row corpus total broadcast; TakeOrdered top-k",
         "filter_c4_lines": "C4 clean: line forming, keeps, page drops, and per-doc digests all map-side array math (one FileScan, no Generate) — the per-source census is the corpus's ONLY exchange",
         "cluster_zorder": "zorder census: NULL guards pushed to both scans, quantization bounds 1-row broadcast, ONE corpus-sized (zfile, lfile) cell-agg exchange; files/predicates stages move <=512 metadata rows",
+        "dedup_substring_rewrite": "substring rewrite: window hashes map-side (Generate), unordered min windows on ONE h-keyed exchange (no per-key sort under hot windows), erase-sets reduce to ONE doc-keyed collect_set then join back to the rebuild (broadcast at this SF, plain equi-key at scale); census is the only other exchange",
+        "sample_score_calibration": "score calibration: 2-column ReadSchema, corpus totals as a 1-row broadcast (cross with a single-row build), per-source percent_rank window and the final census share ONE source-keyed exchange — partial/final agg directly on the window output, no rejoin",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]
