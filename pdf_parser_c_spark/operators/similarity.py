@@ -533,3 +533,78 @@ def semantic_dedup(
             F.coalesce(F.col("_rm"), F.lit(False)).alias("is_removed"),
         )
     )
+
+
+def knn_within_buckets(
+    long: DataFrame, id_col: str, vec_col: str, k: int,
+    band_col: str = "band", code_col: str = "code",
+) -> DataFrame:
+    """All-rows kNN join: every row's top-``k`` cosine neighbors WITHIN
+    its (band, code) blocking cell, as one n_b×n_b matmul + row-wise
+    top-k per cell (applyInPandas).  Output: ``(id, rnk, nbr_id, cos)``
+    with rnk 1..k, cos rounded to 6 dp BEFORE ranking (so a last-ulp
+    matmul-vs-sequential-dot difference cannot flip a rank), residual
+    ties broken on nbr_id ascending.  Zero-norm rows score cos := 0
+    against everything (the guard :func:`cosine_topk` documents).
+
+    This is the pairwise sibling of :func:`bucket_pair_scores` — that
+    emits the half-matrix above a threshold (dedup); this emits each
+    row's best k (retrieval / graph building).  Scale: vectors ride the
+    single (band, code) shuffle, the N² pair space never materializes —
+    the kernel emits ≤ n_b·k rows per cell, so output is O(N·k).  Rows
+    alone in their cell emit nothing (no neighbor exists).  At corpus
+    scale, run one call per band and re-rank the unioned candidates per
+    id (rank window over ≤ bands·k rows/id) for multi-band recall.
+    """
+    from pyspark.sql import types as T
+
+    id_type = long.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField("id", id_type),
+        T.StructField("rnk", T.IntegerType()),
+        T.StructField("nbr_id", id_type),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({
+                "id": pd.Series([], dtype=object),
+                "rnk": pd.Series([], dtype="int32"),
+                "nbr_id": pd.Series([], dtype=object),
+                "cos": pd.Series([], dtype="float64"),
+            })
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.stack(pdf[vec_col].iloc[order].map(
+            lambda v: np.asarray(v, dtype=np.float64)))
+        norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            denom = norms[:, None] * norms[None, :]
+            C = np.where(denom > 0, (M @ M.T) / denom, 0.0)
+        # round half-away-from-zero (engine round() semantics; numpy's
+        # np.round is half-even and could disagree on exact .5e-6 ties)
+        C = np.copysign(np.floor(np.abs(C) * 1e6 + 0.5), C) / 1e6
+        np.fill_diagonal(C, -np.inf)
+        kk = min(k, n - 1)
+        # rank desc by cos, ties asc by nbr id: lexsort is stable and
+        # keys read least-significant first, so (-cos) major wins and
+        # the pre-sorted id order is the residual tiebreak.
+        nbr_rank = np.argsort(-C, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(len(ids)), kk)
+        cols = nbr_rank.ravel()
+        return pd.DataFrame({
+            "id": ids[rows],
+            "rnk": np.tile(np.arange(1, kk + 1, dtype="int32"), len(ids)),
+            "nbr_id": ids[cols],
+            "cos": C[rows, cols],
+        })
+
+    return (
+        long.select(id_col, vec_col, band_col, code_col)
+        .filter(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+        .groupBy(band_col, code_col)
+        .applyInPandas(topk, schema=schema)
+    )

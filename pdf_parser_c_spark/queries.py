@@ -1634,6 +1634,70 @@ GROUP BY a2.cluster ORDER BY cluster
 """
 
 
+KNN_K = 3
+
+
+def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-rows kNN join: every vector's top-{k} cosine neighbors
+    WITHIN its hyperplane blocking cell (16 buckets) — the retrieval /
+    graph-building sibling of dedup_embedding_cosine's half-matrix
+    (kNN graphs feed semantic clustering, re-ranking, and
+    Gao et al.-style hard-negative mining).
+    Scale: the bucket is the ONE shuffle key; vectors ride that
+    exchange into a per-cell n_b×n_b matmul whose kernel emits only
+    n_b·k rows (operators/similarity.knn_within_buckets) — the N²
+    directed-pair space never materializes, unlike the oracle's
+    self-join.  cos is rounded half-away to 6 dp BEFORE ranking and
+    residual ties break on nbr_id, so matmul-vs-sequential-dot ulp
+    noise cannot flip a rank (measured margins elsewhere in the
+    family: ~1e-5 data vs ~1e-15 reorder error).  Rows alone in their
+    cell have no neighbor and emit nothing.  The multi-band recall
+    variant is one call per band + a rank window over ≤ bands·k
+    candidates/id."""
+    from .operators.similarity import knn_within_buckets
+
+    long = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        F.lit(0).alias("band"),
+        F.expr(_HYPERPLANE_BUCKET).alias("code"),
+    )
+    out = knn_within_buckets(long, "vec_id", "e", KNN_K)
+    return (
+        out.select(
+            F.col("id").alias("vec_id"), "rnk", "nbr_id", "cos"
+        ).orderBy("vec_id", "rnk")
+    )
+
+
+SQL_SIM_KNN_JOIN = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         CAST(CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+p AS (
+  SELECT a.vec_id AS vec_id, b2.vec_id AS nbr_id,
+         round(CASE WHEN list_dot_product(a.e, a.e)
+                       * list_dot_product(b2.e, b2.e) > 0
+               THEN list_dot_product(a.e, b2.e)
+                    / sqrt(list_dot_product(a.e, a.e)
+                           * list_dot_product(b2.e, b2.e))
+               ELSE 0 END, 6) AS cos
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
+r AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, nbr_id) AS INT) AS rnk,
+         nbr_id, cos
+  FROM p)
+SELECT vec_id, rnk, nbr_id, cos FROM r WHERE rnk <= {KNN_K}
+ORDER BY vec_id, rnk
+"""
+
+
 SEMDEDUP_TAU = 0.3
 
 
@@ -8053,6 +8117,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sim_lsh_bucketed": (q_sim_lsh_bucketed, SQL_SIM_LSH),
     "sim_lsh_multiprobe": (q_sim_lsh_multiprobe, SQL_SIM_MULTIPROBE),
     "sim_sq8_rerank": (q_sim_sq8_rerank, SQL_SIM_SQ8_RERANK),
+    "sim_knn_join": (q_sim_knn_join, SQL_SIM_KNN_JOIN),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKENS),

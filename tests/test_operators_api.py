@@ -1095,3 +1095,55 @@ def test_salted_equi_join_equals_plain_join(spark):
         salted_equi_join(big, dim, "k", 8, "full")
     with _pytest.raises(ValueError):
         salted_equi_join(big, dim, "k", 0)
+
+
+def test_knn_within_buckets_bruteforce_equivalence(spark):
+    """knn_within_buckets vs an exhaustive numpy kNN inside each
+    bucket: per row the operator must return exactly the top-k
+    neighbors by (rounded cos desc, nbr_id asc).  Covers a zero-norm
+    row (cos := 0 everywhere), an exact clone pair (cos = 1 tops the
+    list), a solo bucket (emits nothing), and a bucket smaller than k
+    (ranks truncate)."""
+    import numpy as np
+
+    from pdf_parser_c_spark.operators.similarity import knn_within_buckets
+
+    rng = np.random.default_rng(20260819)
+    n, dim, k = 60, 6, 3
+    vecs = rng.normal(size=(n, dim))
+    vecs[7] = 0.0            # zero-norm row
+    vecs[12] = vecs[8]       # exact clone pair (same i%4 bucket)
+    buckets = [int(i) % 4 for i in range(n)]
+    buckets[40] = 9          # solo bucket → no output rows for id 40
+    buckets[41] = 8          # 2-row bucket → only rank 1 for 41/45
+    buckets[45] = 8
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]], 0, buckets[i])
+         for i in range(n)],
+        "myid long, emb array<double>, band int, code long",
+    )
+    out = knn_within_buckets(df, "myid", "emb", k)
+    got = {
+        (r["id"], r["rnk"]): (r["nbr_id"], r["cos"])
+        for r in out.collect()
+    }
+
+    norms = np.linalg.norm(vecs, axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        den = norms[:, None] * norms[None, :]
+        C = np.where(den > 0, (vecs @ vecs.T) / den, 0.0)
+    C = np.copysign(np.floor(np.abs(C) * 1e6 + 0.5), C) / 1e6
+    expected_total = 0
+    for i in range(n):
+        mates = [j for j in range(n) if j != i and buckets[j] == buckets[i]]
+        ranked = sorted(mates, key=lambda j: (-C[i, j], j))[:k]
+        expected_total += len(ranked)
+        for rnk, j in enumerate(ranked, start=1):
+            nbr, cos = got[(i, rnk)]
+            assert nbr == j, (i, rnk, nbr, j)
+            assert cos == C[i, j], (i, rnk, cos, C[i, j])
+    assert len(got) == expected_total
+    assert (40, 1) not in got                      # solo bucket
+    assert (41, 2) not in got and got[(41, 1)][0] == 45
+    assert got[(12, 1)] == (8, 1.0)                # clone tops at cos=1
+    assert all(got[(7, r)][1] == 0.0 for r in (1, 2, 3))  # zero-norm
