@@ -108,6 +108,8 @@ def main() -> None:
         "cluster_zorder": "zorder census: NULL guards pushed to both scans, quantization bounds 1-row broadcast, ONE corpus-sized (zfile, lfile) cell-agg exchange; files/predicates stages move <=512 metadata rows",
         "dedup_substring_rewrite": "substring rewrite: window hashes map-side (Generate), unordered min windows on ONE h-keyed exchange (no per-key sort under hot windows), erase-sets reduce to ONE doc-keyed collect_set then join back to the rebuild (broadcast at this SF, plain equi-key at scale); census is the only other exchange",
         "sample_score_calibration": "score calibration: 2-column ReadSchema, corpus totals as a 1-row broadcast (cross with a single-row build), per-source percent_rank window and the final census share ONE source-keyed exchange — partial/final agg directly on the window output, no rejoin",
+        "sim_knn_join": "kNN join: the (band, code) bucket is the ONE shuffle key feeding FlatMapGroupsInPandas (per-cell matmul emits <= n_b*k rows); no pair join, no global sort — the N^2 directed-pair space exists only in the oracle",
+        "text_bm25_topk": "BM25: corpus token stream shuffles ONCE into the localCheckpoint-ed tf agg (both consumers read the checkpoint, not a re-planned subtree); query terms + 1-row N/avgdl broadcast; df window runs on the query-matched slice; final cut is TakeOrdered",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

@@ -3660,6 +3660,121 @@ FROM ranked WHERE rnk <= {TFIDF_TOPK} ORDER BY doc_id, rnk
 """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+BM25_QTERMS = 3
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Spärck Jones): top-10 documents
+    for a query — the search side of the text family beside TF-IDF's
+    keyword-extraction side.  The query is self-derived for
+    determinism: the corpus's 3 highest-total-frequency tokens
+    (ties → token asc).  score(d) = Σ_t idf·tf(k1+1)/(tf + k1(1−b +
+    b·dl/avgdl)) with idf = ln(1 + (N−df+0.5)/(df+0.5)), k1=1.2,
+    b=0.75; rounded to 6 dp before the cut so cross-engine ulp noise
+    cannot flip the boundary, ties → doc_id.
+    Scale: the corpus token stream shuffles ONCE into the (doc, token)
+    tf agg; doc length rides map-side (size of the token array — no
+    per-doc length join); query terms and the 1-row N/avgdl aggregate
+    broadcast; df is a window over the query-matched slice only
+    (|q|·df rows, never corpus-wide); the cut is TakeOrdered, no
+    global sort."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.expr(f"size({_TOK_SPARK})").alias("dl"),
+        F.explode(F.expr(_TOK_SPARK)).alias("token"),
+    )
+    # tf feeds BOTH the query-term derivation and the scoring join;
+    # lazily localCheckpoint-ed so the corpus explode+agg runs once
+    # (without it Catalyst re-plans the whole tf subtree per consumer —
+    # a second corpus scan+shuffle, the cms/bpe-documented trap).
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    ).localCheckpoint(eager=False)
+    qterms = (
+        tf.groupBy("token")
+        .agg(F.sum("tf").alias("ttf"))
+        .orderBy(F.desc("ttf"), "token")
+        .limit(BM25_QTERMS)
+        .select("token")
+    )
+    stats = d.select(F.expr(f"size({_TOK_SPARK})").alias("dl0")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl0").alias("avgdl")
+    )
+    matched = tf.join(F.broadcast(qterms), "token")
+    scored = (
+        matched.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "tfn",
+            F.col("tf") * F.lit(BM25_K1 + 1)
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1 - BM25_B)
+                    + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("idf") * F.col("tfn")), 6).alias("score"),
+            F.count(F.lit(1)).alias("matched_terms"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+SQL_TEXT_BM25 = f"""
+WITH tok AS (
+  SELECT doc_id, len({_TOK_DUCK}) AS dl, unnest({_TOK_DUCK}) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+  FROM tok GROUP BY 1, 2),
+q AS (
+  SELECT token FROM (
+    SELECT token, sum(tf) AS ttf FROM tf GROUP BY 1)
+  ORDER BY ttf DESC, token LIMIT {BM25_QTERMS}),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len({_TOK_DUCK})) AS avgdl
+  FROM documents),
+m AS (
+  SELECT tf.*, count(*) OVER (PARTITION BY token) AS df
+  FROM tf JOIN q USING (token)),
+s AS (
+  SELECT doc_id,
+         round(sum(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE)
+                                     / (df + 0.5::DOUBLE))
+                   * (tf * {BM25_K1 + 1!r}::DOUBLE
+                      / (tf + {BM25_K1!r}::DOUBLE
+                              * ({1 - BM25_B!r}::DOUBLE
+                                 + {BM25_B!r}::DOUBLE * dl / avgdl)))),
+               6) AS score,
+         count(*) AS matched_terms
+  FROM m CROSS JOIN stats GROUP BY doc_id)
+SELECT doc_id, score, CAST(matched_terms AS BIGINT) AS matched_terms
+FROM s ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization — the canonical transcript/clickstream
     islands problem: a new session starts after a >30-min silence.
@@ -8118,6 +8233,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sim_lsh_multiprobe": (q_sim_lsh_multiprobe, SQL_SIM_MULTIPROBE),
     "sim_sq8_rerank": (q_sim_sq8_rerank, SQL_SIM_SQ8_RERANK),
     "sim_knn_join": (q_sim_knn_join, SQL_SIM_KNN_JOIN),
+    "text_bm25_topk": (q_text_bm25_topk, SQL_TEXT_BM25),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKENS),
