@@ -110,6 +110,7 @@ def main() -> None:
         "sample_score_calibration": "score calibration: 2-column ReadSchema, corpus totals as a 1-row broadcast (cross with a single-row build), per-source percent_rank window and the final census share ONE source-keyed exchange — partial/final agg directly on the window output, no rejoin",
         "sim_knn_join": "kNN join: the (band, code) bucket is the ONE shuffle key feeding FlatMapGroupsInPandas (per-cell matmul emits <= n_b*k rows); no pair join, no global sort — the N^2 directed-pair space exists only in the oracle",
         "text_bm25_topk": "BM25: corpus token stream shuffles ONCE into the localCheckpoint-ed tf agg (both consumers read the checkpoint, not a re-planned subtree); query terms + 1-row N/avgdl broadcast; df window runs on the query-matched slice; final cut is TakeOrdered",
+        "text_ngram_novelty": "novelty census: shingle build rides the memoized map-side _shingled frame (InMemoryTableScan, no new corpus explode); ONE h-keyed window exchange for df, doc-keyed agg, source attach ships 2 columns",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

@@ -3660,6 +3660,73 @@ FROM ranked WHERE rnk <= {TFIDF_TOPK} ORDER BY doc_id, rnk
 """
 
 
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty census: the share of a doc's
+    DISTINCT 4-word shingles that appear in NO other document —
+    the memorization-risk / self-containment signal (a doc whose
+    shingles all recur elsewhere is boilerplate or a duplicate; a
+    fully-novel doc contributes genuinely new text).  novelty =
+    n_unique_shingles / n_shingles as an exact integer ratio (both
+    engines divide the same longs — no float-sum ordering anywhere),
+    rounded to 6 dp; per-source census reports docs scored, mean
+    novelty, and fully-novel docs (ratio == 1.0 exactly, safe because
+    the ratio is n/n).
+    Scale: reuses the memoized `_shingled` frame (the dedup family's
+    shared map-side distinct-shingle build — corpus exploded once per
+    session, 8-byte int keys); one h-keyed window exchange computes
+    document frequency, one doc-keyed agg folds it, and the source
+    attach ships only (doc_id, source).  Docs with < 4 words have no
+    shingles and are excluded identically in both engines."""
+    pairs = _shingled(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("h")
+    )
+    per_doc = (
+        pairs.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum((F.col("df") == 1).cast("long")) / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_scored"),
+            F.sum("n_shingles").alias("n_shingles"),
+            F.round(F.avg("novelty"), 6).alias("avg_novelty"),
+            F.sum((F.col("novelty") == 1.0).cast("long")).alias("n_fully_novel"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TEXT_NGRAM_NOVELTY = f"""
+WITH {_sql_shingle_ctes()},
+dfreq AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY s) AS df FROM sh),
+perdoc AS (
+  SELECT doc_id,
+         round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               / count(*), 6) AS novelty,
+         count(*) AS n_shingles
+  FROM dfreq GROUP BY doc_id)
+SELECT d.source,
+       count(*) AS n_docs_scored,
+       CAST(sum(p.n_shingles) AS BIGINT) AS n_shingles,
+       round(avg(p.novelty), 6) AS avg_novelty,
+       CAST(sum(CASE WHEN p.novelty = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fully_novel
+FROM perdoc p JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 10
@@ -8234,6 +8301,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sim_sq8_rerank": (q_sim_sq8_rerank, SQL_SIM_SQ8_RERANK),
     "sim_knn_join": (q_sim_knn_join, SQL_SIM_KNN_JOIN),
     "text_bm25_topk": (q_text_bm25_topk, SQL_TEXT_BM25),
+    "text_ngram_novelty": (q_text_ngram_novelty, SQL_TEXT_NGRAM_NOVELTY),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKENS),
