@@ -109,7 +109,7 @@ def main() -> None:
         "dedup_substring_rewrite": "substring rewrite: window hashes map-side (Generate), unordered min windows on ONE h-keyed exchange (no per-key sort under hot windows), erase-sets reduce to ONE doc-keyed collect_set then join back to the rebuild (broadcast at this SF, plain equi-key at scale); census is the only other exchange",
         "sample_score_calibration": "score calibration: 2-column ReadSchema, corpus totals as a 1-row broadcast (cross with a single-row build), per-source percent_rank window and the final census share ONE source-keyed exchange — partial/final agg directly on the window output, no rejoin",
         "sim_knn_join": "kNN join: the (band, code) bucket is the ONE shuffle key feeding FlatMapGroupsInPandas (per-cell matmul emits <= n_b*k rows); no pair join, no global sort — the N^2 directed-pair space exists only in the oracle",
-        "text_bm25_topk": "BM25: corpus token stream shuffles ONCE into the localCheckpoint-ed tf agg (both consumers read the checkpoint, not a re-planned subtree); query terms + 1-row N/avgdl broadcast; df window runs on the query-matched slice; final cut is TakeOrdered",
+        "text_bm25_topk": "BM25: NO corpus-keyed exchange — vocab-bounded count agg derives the query terms, broadcast filter precedes the tiny (doc,token) tf agg; token array materialized in its own projection BEFORE size+explode (inline, the split re-runs per exploded row — measured 8x on the token pass); N/avgdl 1-row broadcast, TakeOrdered cut",
         "text_ngram_novelty": "novelty census: shingle build rides the memoized map-side _shingled frame (InMemoryTableScan, no new corpus explode); ONE h-keyed window exchange for df, doc-keyed agg, source attach ships 2 columns",
     }
     for name, note in audit.items():

@@ -3742,38 +3742,50 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     b·dl/avgdl)) with idf = ln(1 + (N−df+0.5)/(df+0.5)), k1=1.2,
     b=0.75; rounded to 6 dp before the cut so cross-engine ulp noise
     cannot flip the boundary, ties → doc_id.
-    Scale: the corpus token stream shuffles ONCE into the (doc, token)
-    tf agg; doc length rides map-side (size of the token array — no
-    per-doc length join); query terms and the 1-row N/avgdl aggregate
-    broadcast; df is a window over the query-matched slice only
-    (|q|·df rows, never corpus-wide); the cut is TakeOrdered, no
-    global sort."""
+    Scale: NO corpus-keyed shuffle anywhere — the query-term pass is a
+    vocab-BOUNDED total-count agg (map-side partials collapse the token
+    stream before its exchange), and the scoring pass broadcast-filters
+    the token stream to the |q| query terms BEFORE the (doc, token) tf
+    agg, so only matched rows ever shuffle.  Doc length rides map-side
+    (size of the token array — no per-doc length join); N/avgdl is a
+    1-row broadcast; df windows over the matched slice; the cut is
+    TakeOrdered, no global sort.  (The obvious alternative — one
+    corpus-sized (doc, token) tf agg feeding both consumers via
+    localCheckpoint — measured EQUAL at sf0.1 in an interleaved A/B
+    but is the wrong shape at scale: it shuffles and materializes the
+    full tf frame only to immediately discard every non-query token,
+    where this form's only corpus-wide exchange is the vocab-bounded
+    count agg.)"""
     d = t(spark, sf_dir, "documents")
-    tok = d.select(
+    # Materialize the token ARRAY in its own projection before taking
+    # size + explode from it: inlined, `size(filter(split(...)))`
+    # beside `explode(filter(split(...)))` re-splits the text per
+    # exploded ROW (measured 3.5 s vs 0.4 s for the bare token pass at
+    # sf0.1 — an 8× whole-query regression); the two-step projection
+    # pins one split per document.
+    arr = d.select("doc_id", F.expr(_TOK_SPARK).alias("_toks"))
+    tok = arr.select(
         "doc_id",
-        F.expr(f"size({_TOK_SPARK})").alias("dl"),
-        F.explode(F.expr(_TOK_SPARK)).alias("token"),
+        F.expr("size(_toks)").alias("dl"),
+        F.explode("_toks").alias("token"),
     )
-    # tf feeds BOTH the query-term derivation and the scoring join;
-    # lazily localCheckpoint-ed so the corpus explode+agg runs once
-    # (without it Catalyst re-plans the whole tf subtree per consumer —
-    # a second corpus scan+shuffle, the cms/bpe-documented trap).
-    tf = tok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
-    ).localCheckpoint(eager=False)
     qterms = (
-        tf.groupBy("token")
-        .agg(F.sum("tf").alias("ttf"))
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("ttf"))
         .orderBy(F.desc("ttf"), "token")
         .limit(BM25_QTERMS)
         .select("token")
     )
+    tf = (
+        tok.join(F.broadcast(qterms), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
     stats = d.select(F.expr(f"size({_TOK_SPARK})").alias("dl0")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl0").alias("avgdl")
     )
-    matched = tf.join(F.broadcast(qterms), "token")
     scored = (
-        matched.withColumn(
+        tf.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
         )
         .crossJoin(F.broadcast(stats))
