@@ -155,10 +155,17 @@ class ContentInterpreter:
         tm: Matrix = IDENTITY
         tlm: Matrix = IDENTITY
         in_text = False
-        # ActualText span state (poppler.patch:122-151 semantics)
-        mc_stack: list[str | None] = []  # ActualText per open BDC, None if n/a
+        # ActualText span state (poppler.patch:122-151 semantics);
+        # each BDC/BMC pushes (actual_text | None, oc_hid) so EMC can
+        # unwind both the span and the optional-content suppression
+        mc_stack: list[tuple[str | None, bool]] = []
         span_buf: list[Glyph] | None = None
         span_depth = 0
+        # optional-content state (§8.11, poppler Gfx::ocState): >0 while
+        # inside a BDC /OC span whose group is off — show-text ops are
+        # skipped entirely (no glyphs, no tm advance, no TJ shifts),
+        # matching opShowText's doIncCharCount-only branch
+        oc_hidden = 0
 
         def flush_span(actual: str) -> None:
             nonlocal span_buf
@@ -374,18 +381,28 @@ class ContentInterpreter:
                     tlm = mat_mul((1, 0, 0, 1, 0.0, -ts.leading), tlm)
                     tm = tlm
                 elif op == "Tj" and stack and isinstance(stack[-1], bytes):
-                    show_text(stack[-1])
+                    if not oc_hidden:
+                        show_text(stack[-1])
                 elif op == "'" and stack and isinstance(stack[-1], bytes):
+                    # the line move happens even when hidden (poppler
+                    # opMoveShowText moves before the ocState check)
                     tlm = mat_mul((1, 0, 0, 1, 0.0, -ts.leading), tlm)
                     tm = tlm
-                    show_text(stack[-1])
+                    if not oc_hidden:
+                        show_text(stack[-1])
                 elif op == '"' and len(stack) >= 3 and isinstance(stack[-1], bytes):
                     ts.word_spacing = float(stack[-3])
                     ts.char_spacing = float(stack[-2])
                     tlm = mat_mul((1, 0, 0, 1, 0.0, -ts.leading), tlm)
                     tm = tlm
-                    show_text(stack[-1])
+                    if not oc_hidden:
+                        show_text(stack[-1])
                 elif op == "TJ" and stack and isinstance(stack[-1], list):
+                    if oc_hidden:
+                        # hidden spans skip the kerning shifts too
+                        # (opShowSpaceText only counts chars when !ocState)
+                        stack.clear()
+                        continue
                     vertical = ts.font is not None and ts.font.wmode == 1
                     for item in stack[-1]:
                         if isinstance(item, bytes):
@@ -401,10 +418,18 @@ class ContentInterpreter:
                                 tx = -float(item) / 1000.0 * ts.size * ts.h_scale
                                 tm = mat_mul((1, 0, 0, 1, tx, 0.0), tm)
                 elif op == "BDC" and len(stack) >= 2:
+                    tag = stack[-2]
                     props = stack[-1]
                     if isinstance(props, Name):
+                        # keep the Ref: OCGs only have Ref identity
                         props = (doc.dget(resources, "Properties", {}) or {}).get(props.name)
-                        props = doc.resolve(props)
+                    raw_props = props
+                    props = doc.resolve(props)
+                    hid = False
+                    if (isinstance(tag, Name) and tag.name == "OC"
+                            and not doc.oc_visible(raw_props)):
+                        hid = True
+                        oc_hidden += 1
                     actual = None
                     if isinstance(props, dict):
                         at = doc.resolve(props.get("ActualText"))
@@ -412,21 +437,29 @@ class ContentInterpreter:
                             from .cos import decode_text_string
 
                             actual = decode_text_string(at)
-                    mc_stack.append(actual)
+                    mc_stack.append((actual, hid))
                     if actual is not None and span_buf is None:
                         span_buf = []
                         span_depth = len(mc_stack)
                 elif op == "BMC":
-                    mc_stack.append(None)
+                    mc_stack.append((None, False))
                 elif op == "EMC":
                     if mc_stack:
-                        actual = mc_stack.pop()
+                        actual, hid = mc_stack.pop()
+                        if hid:
+                            oc_hidden -= 1
                         if span_buf is not None and len(mc_stack) == span_depth - 1:
                             flush_span(actual or "")
                 elif op == "Do" and stack and isinstance(stack[-1], Name):
                     xobjs = doc.dget(resources, "XObject", {}) or {}
                     xo = doc.resolve(xobjs.get(stack[-1].name))
                     if isinstance(xo, Stream):
+                        if "OC" in xo.dict and not doc.oc_visible(xo.dict.get("OC")):
+                            stack.clear()
+                            continue  # /OC-suppressed XObject (§8.11.3.3)
+                        if oc_hidden:
+                            stack.clear()
+                            continue  # drawn inside a hidden BDC /OC span
                         st = doc.resolve(xo.dict.get("Subtype"))
                         if st == Name("Form"):
                             fm = doc.resolve(xo.dict.get("Matrix")) or [1, 0, 0, 1, 0, 0]

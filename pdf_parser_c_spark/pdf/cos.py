@@ -775,6 +775,98 @@ class PDFDocument:
             raise PDFSyntaxError("bad /Root")
         return root
 
+    # ---------------- optional content (OCG/OCMD, §8.11) ----------------
+
+    def _ocg_config(self) -> tuple[dict[int, bool], bool]:
+        """Group-visibility table from the catalog's /OCProperties
+        default configuration ``/D``: per-group state keyed by the
+        OCG's object number (groups only have Ref identity, like
+        poppler's OCGs map), plus the /BaseState fallback for groups
+        the config doesn't mention.  No /OCProperties → everything on."""
+        cached = getattr(self, "_ocg_cfg_cache", None)
+        if cached is not None:
+            return cached
+        states: dict[int, bool] = {}
+        base_on = True
+        props = self.dget(self.catalog, "OCProperties")
+        if isinstance(props, dict):
+            d = self.dget(props, "D")
+            d = d if isinstance(d, dict) else {}
+            base = self.dget(d, "BaseState")
+            base_on = not (isinstance(base, Name) and base.name == "OFF")
+            for ref in self.dget(props, "OCGs") or []:
+                if isinstance(ref, Ref):
+                    states[ref.num] = base_on
+            for key, val in (("ON", True), ("OFF", False)):
+                for ref in self.dget(d, key) or []:
+                    if isinstance(ref, Ref):
+                        states[ref.num] = val
+        self._ocg_cfg_cache = (states, base_on)
+        return states, base_on
+
+    def _ocg_on(self, ref) -> bool:
+        states, base_on = self._ocg_config()
+        if isinstance(ref, Ref):
+            return states.get(ref.num, base_on)
+        return base_on  # OCG reached by value has no identity to match
+
+    def _eval_ve(self, expr, depth: int = 0) -> bool:
+        """§8.11.2.3 visibility expression: [/And|/Or|/Not operand...]
+        where operands are OCG refs or nested expressions."""
+        if depth > 16:
+            return True
+        if isinstance(expr, Ref):
+            e = self.resolve(expr)
+            if isinstance(e, list):
+                expr = e
+            else:
+                return self._ocg_on(expr)
+        if not isinstance(expr, list) or not expr:
+            return True
+        op = expr[0]
+        opname = op.name if isinstance(op, Name) else ""
+        args = [self._eval_ve(a, depth + 1) for a in expr[1:]]
+        if opname == "Not":
+            return not args[0] if args else True
+        if opname == "And":
+            return all(args)
+        if opname == "Or":
+            return any(args)
+        return True
+
+    def oc_visible(self, oc) -> bool:
+        """Visibility of an /OC entry (BDC operand or XObject /OC):
+        an OCG Ref checks the config state; an OCMD evaluates /VE if
+        present, else the /P policy over its /OCGs (poppler's
+        ``OCGs::optContentIsHidden`` semantics).  Unresolvable or
+        malformed entries are visible."""
+        d = self.resolve(oc) if isinstance(oc, Ref) else oc
+        if not isinstance(d, dict):
+            return True
+        typ = self.dget(d, "Type")
+        if isinstance(typ, Name) and typ.name == "OCMD":
+            ve = self.dget(d, "VE")
+            if isinstance(ve, list):
+                return self._eval_ve(ve)
+            ocgs = d.get("OCGs")
+            if isinstance(ocgs, Ref) and isinstance(self.resolve(ocgs), list):
+                ocgs = self.resolve(ocgs)
+            refs = ocgs if isinstance(ocgs, list) else ([ocgs] if ocgs is not None else [])
+            on = [self._ocg_on(r) for r in refs if isinstance(r, Ref)]
+            if not on:
+                return True
+            p = self.dget(d, "P")
+            policy = p.name if isinstance(p, Name) else "AnyOn"
+            if policy == "AllOn":
+                return all(on)
+            if policy == "AnyOff":
+                return not all(on)
+            if policy == "AllOff":
+                return not any(on)
+            return any(on)  # AnyOn (default)
+        # a plain OCG: only its Ref identity can match the config
+        return self._ocg_on(oc)
+
     def doc_info_title(self) -> str:
         """``doc->getDocInfoTitle()`` (reference ``src/pdf_utils.cpp:581``);
         empty string when absent."""

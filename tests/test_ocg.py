@@ -1,0 +1,222 @@
+"""§8.11 optional content: BDC /OC spans and XObject /OC gates.
+
+Poppler parity: the reference renders through ``displayPage``
+(``src/pdf_utils.cpp:523``), whose Gfx honors the catalog's
+/OCProperties default configuration — content inside a BDC /OC span
+whose group is off is never drawn (Gfx's ``ocState``; show-text ops
+neither emit glyphs nor advance the text matrix), and Form XObjects
+with a hidden /OC entry are skipped outright.
+"""
+
+from pdf_parser_c_spark.pdf.content import ContentInterpreter
+from pdf_parser_c_spark.pdf.cos import PDFDocument
+from pdf_parser_c_spark.testkit.gen_pdf import PDFWriter
+
+
+def build_ocg_pdf(
+    content: str,
+    n_ocgs: int = 2,
+    on: list[int] | None = None,
+    off: list[int] | None = None,
+    base_state: str | None = None,
+    ocmds: dict[str, str] | None = None,
+    no_ocprops: bool = False,
+    form_content: str | None = None,
+    form_oc: int | None = None,
+) -> bytes:
+    """One-page PDF with OCGs ``/G0..`` (Properties names ``/P0..``),
+    optional OCMDs keyed by Properties name (body text with ``{Gi}``
+    placeholders replaced by the group's object ref), and an optional
+    Form XObject ``/FX`` whose /OC points at group ``form_oc``."""
+    w = PDFWriter()
+    catalog = w.reserve()
+    pages_num = w.reserve()
+    font = w.add(
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        "/FirstChar 32 /LastChar 126 /Widths [ "
+        + " ".join(["500"] * 95)
+        + " ] >>"
+    )
+    ocg_nums = [w.add(f"<< /Type /OCG /Name (Layer{i}) >>") for i in range(n_ocgs)]
+    props_entries = [f"/P{i} {n} 0 R" for i, n in enumerate(ocg_nums)]
+    for pname, body in (ocmds or {}).items():
+        for i, n in enumerate(ocg_nums):
+            body = body.replace(f"{{G{i}}}", f"{n} 0 R")
+        props_entries.append(f"/{pname} {w.add(body)} 0 R")
+    xobj = ""
+    if form_content is not None:
+        oc_entry = f" /OC {ocg_nums[form_oc]} 0 R" if form_oc is not None else ""
+        fx = w.add_stream(
+            f"/Type /XObject /Subtype /Form /BBox [0 0 612 792]{oc_entry} "
+            f"/Resources << /Font << /F1 {font} 0 R >> >>",
+            form_content.encode("latin-1"),
+        )
+        xobj = f" /XObject << /FX {fx} 0 R >>"
+    stream = w.add_stream("", content.encode("latin-1"))
+    page = w.add(
+        f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [ 0 0 612 792 ] "
+        f"/Resources << /Font << /F1 {font} 0 R >> "
+        f"/Properties << {' '.join(props_entries)} >>{xobj} >> "
+        f"/Contents {stream} 0 R >>"
+    )
+    w.set(pages_num, f"<< /Type /Pages /Kids [ {page} 0 R ] /Count 1 >>")
+    ocprops = ""
+    if not no_ocprops:
+        refs = " ".join(f"{n} 0 R" for n in ocg_nums)
+        d = []
+        if base_state:
+            d.append(f"/BaseState /{base_state}")
+        if on:
+            d.append("/ON [ " + " ".join(f"{ocg_nums[i]} 0 R" for i in on) + " ]")
+        if off:
+            d.append("/OFF [ " + " ".join(f"{ocg_nums[i]} 0 R" for i in off) + " ]")
+        ocprops = f" /OCProperties << /OCGs [ {refs} ] /D << {' '.join(d)} >> >>"
+    w.set(catalog, f"<< /Type /Catalog /Pages {pages_num} 0 R{ocprops} >>")
+    return w.serialize(catalog)
+
+
+def extract(pdf: bytes):
+    doc = PDFDocument.open(pdf)
+    page = doc.pages()[0]
+    interp = ContentInterpreter(doc, doc.page_mediabox(page))
+    return interp.run(doc.page_content(page), doc.dget(page, "Resources"))
+
+
+def text_of(pdf: bytes) -> str:
+    return "".join(g.text for g in extract(pdf))
+
+
+BODY = (
+    "BT /F1 12 Tf 72 700 Td (A) Tj "
+    "/OC /P0 BDC (hid) Tj EMC "
+    "(B) Tj ET\n"
+)
+
+
+def test_off_group_hides_span_text():
+    assert text_of(build_ocg_pdf(BODY, off=[0])) == "AB"
+
+
+def test_on_group_keeps_span_text():
+    assert text_of(build_ocg_pdf(BODY, on=[0])) == "AhidB"
+
+
+def test_unlisted_group_defaults_to_base_state_on():
+    assert text_of(build_ocg_pdf(BODY)) == "AhidB"
+
+
+def test_base_state_off_hides_unlisted_groups():
+    assert text_of(build_ocg_pdf(BODY, base_state="OFF")) == "AB"
+
+
+def test_base_state_off_on_list_overrides():
+    assert text_of(build_ocg_pdf(BODY, base_state="OFF", on=[0])) == "AhidB"
+
+
+def test_no_ocproperties_everything_visible():
+    assert text_of(build_ocg_pdf(BODY, no_ocprops=True)) == "AhidB"
+
+
+def test_hidden_show_does_not_advance_tm():
+    # poppler's opShowText only advances the text state when drawn:
+    # B lands at the same x as if the hidden span were absent
+    hidden = extract(build_ocg_pdf(BODY, off=[0]))
+    plain = extract(build_ocg_pdf("BT /F1 12 Tf 72 700 Td (A) Tj (B) Tj ET\n"))
+    assert [(g.text, g.x) for g in hidden] == [(g.text, g.x) for g in plain]
+
+
+def test_hidden_tj_array_skips_kerning_shifts():
+    body = (
+        "BT /F1 12 Tf 72 700 Td (A) Tj "
+        "/OC /P0 BDC [(hid) -500 (den)] TJ EMC "
+        "(B) Tj ET\n"
+    )
+    gl = extract(build_ocg_pdf(body, off=[0]))
+    assert "".join(g.text for g in gl) == "AB"
+    assert gl[1].x - gl[0].x == 0.5 * 12  # one glyph advance, no shifts
+
+
+def test_nested_hidden_span_stays_hidden():
+    body = (
+        "BT /F1 12 Tf 72 700 Td "
+        "/OC /P0 BDC (x) Tj /OC /P1 BDC (y) Tj EMC (z) Tj EMC "
+        "(B) Tj ET\n"
+    )
+    # outer group off, inner on: everything inside the outer span hides
+    assert text_of(build_ocg_pdf(body, off=[0], on=[1])) == "B"
+
+
+def test_ocmd_anyon_default_policy():
+    ocmd = {"M1": "<< /Type /OCMD /OCGs [ {G0} {G1} ] >>"}
+    body = "BT /F1 12 Tf 72 700 Td /OC /M1 BDC (s) Tj EMC ET\n"
+    assert text_of(build_ocg_pdf(body, off=[0], ocmds=ocmd)) == "s"
+    assert text_of(build_ocg_pdf(body, off=[0, 1], ocmds=ocmd)) == ""
+
+
+def test_ocmd_allon_and_anyoff_and_alloff():
+    body = "BT /F1 12 Tf 72 700 Td /OC /M1 BDC (s) Tj EMC ET\n"
+    allon = {"M1": "<< /Type /OCMD /OCGs [ {G0} {G1} ] /P /AllOn >>"}
+    assert text_of(build_ocg_pdf(body, off=[0], ocmds=allon)) == ""
+    assert text_of(build_ocg_pdf(body, ocmds=allon)) == "s"
+    anyoff = {"M1": "<< /Type /OCMD /OCGs [ {G0} {G1} ] /P /AnyOff >>"}
+    assert text_of(build_ocg_pdf(body, off=[0], ocmds=anyoff)) == "s"
+    assert text_of(build_ocg_pdf(body, ocmds=anyoff)) == ""
+    alloff = {"M1": "<< /Type /OCMD /OCGs [ {G0} {G1} ] /P /AllOff >>"}
+    assert text_of(build_ocg_pdf(body, off=[0], ocmds=alloff)) == ""
+    assert text_of(build_ocg_pdf(body, off=[0, 1], ocmds=alloff)) == "s"
+
+
+def test_ocmd_single_ref_ocgs():
+    ocmd = {"M1": "<< /Type /OCMD /OCGs {G0} >>"}
+    body = "BT /F1 12 Tf 72 700 Td /OC /M1 BDC (s) Tj EMC ET\n"
+    assert text_of(build_ocg_pdf(body, off=[0], ocmds=ocmd)) == ""
+    assert text_of(build_ocg_pdf(body, ocmds=ocmd)) == "s"
+
+
+def test_ocmd_visibility_expression():
+    # /VE takes precedence over /OCGs+/P: Not(off-group) = visible
+    ve = {"M1": "<< /Type /OCMD /OCGs [ {G0} ] /P /AnyOn /VE [ /Not {G0} ] >>"}
+    body = "BT /F1 12 Tf 72 700 Td /OC /M1 BDC (s) Tj EMC ET\n"
+    assert text_of(build_ocg_pdf(body, off=[0], ocmds=ve)) == "s"
+    assert text_of(build_ocg_pdf(body, on=[0], ocmds=ve)) == ""
+    both = {"M1": "<< /Type /OCMD /VE [ /And {G0} [ /Or {G1} [ /Not {G1} ] ] ] >>"}
+    assert text_of(build_ocg_pdf(body, on=[0, 1], ocmds=both)) == "s"
+    assert text_of(build_ocg_pdf(body, off=[0], ocmds=both)) == ""
+
+
+def test_form_xobject_oc_gate():
+    form = "BT /F1 12 Tf 72 600 Td (form) Tj ET\n"
+    body = "BT /F1 12 Tf 72 700 Td (A) Tj ET /FX Do\n"
+    assert text_of(build_ocg_pdf(body, off=[0], form_content=form, form_oc=0)) == "A"
+    assert text_of(build_ocg_pdf(body, on=[0], form_content=form, form_oc=0)) == "Aform"
+    assert text_of(build_ocg_pdf(body, form_content=form)) == "Aform"  # no /OC
+
+
+def test_form_inside_hidden_span_skipped():
+    form = "BT /F1 12 Tf 72 600 Td (form) Tj ET\n"
+    body = "BT /F1 12 Tf 72 700 Td (A) Tj ET /OC /P0 BDC /FX Do EMC\n"
+    assert text_of(build_ocg_pdf(body, off=[0], form_content=form)) == "A"
+
+
+def test_actualtext_inside_hidden_span_suppressed():
+    body = (
+        "BT /F1 12 Tf 72 700 Td (A) Tj "
+        "/OC /P0 BDC /Span << /ActualText (XYZ) >> BDC (g) Tj EMC EMC "
+        "(B) Tj ET\n"
+    )
+    assert text_of(build_ocg_pdf(body, off=[0])) == "AB"
+    assert text_of(build_ocg_pdf(body, on=[0])) == "AXYZB"
+
+
+def test_bmc_and_unknown_tag_unaffected():
+    body = (
+        "BT /F1 12 Tf 72 700 Td /MC1 BMC (a) Tj EMC "
+        "/Artifact /P0 BDC (b) Tj EMC ET\n"
+    )
+    # non-/OC tags never toggle visibility, even with an OCG operand
+    assert text_of(build_ocg_pdf(body, off=[0])) == "ab"
+
+
+def test_dangling_oc_ref_visible():
+    body = "BT /F1 12 Tf 72 700 Td /OC /Pmissing BDC (s) Tj EMC ET\n"
+    assert text_of(build_ocg_pdf(body, off=[0])) == "s"
