@@ -608,3 +608,106 @@ def knn_within_buckets(
         .groupBy(band_col, code_col)
         .applyInPandas(topk, schema=schema)
     )
+
+
+def pq_train_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Product quantizer (Jégou et al., PAMI 2011): split each vector
+    into ``m`` subvectors of ``dim//m`` dims and train an independent
+    ``ksub``-codeword k-means codebook per subspace — a vector encodes
+    as ``m`` small codes (m·log2(ksub) bits vs dim·32), and asymmetric
+    distance (ADC) scores a query against codes through an m×ksub
+    lookup table, never touching the float corpus.
+
+    Training is the same fully declarative k-means as :func:`_ivf_train`
+    but grouped by subspace: ALL subspaces train in one plan (the j
+    column joins subvectors to their codebook; no per-subspace driver
+    loop), init is the first ``ksub`` vectors by id, and the argmin is
+    the map-side ``array_min(transform(...))`` fold over a broadcast
+    per-subspace codeword array.  Per iteration the only corpus-volume
+    exchange is the (j, code, dim) centroid update, which partial-aggs
+    map-side to m·ksub·dsub rows.
+
+    Returns ``(codes (vid, j, code), codebooks (j, cid, c))``.
+    """
+    dsub = dim // m
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("v"),
+    )
+    slices = (
+        f"transform(sequence(0, {m - 1}),"
+        f" j -> slice(v, j * {dsub} + 1, {dsub}))"
+    )
+    sub = base.select("vid", F.posexplode(F.expr(slices)).alias("j", "sv"))
+    cents = (
+        base.orderBy("vid").limit(ksub)
+        .select(F.row_number().over(Window.orderBy("vid")).alias("rn"), "v")
+        .select((F.col("rn") - 1).alias("cid"),
+                F.posexplode(F.expr(slices)).alias("j", "c"))
+        .select("j", "cid", "c")
+    )
+    argmin = (
+        f"array_min(transform(cs,"
+        f" ct -> struct({_sqdist('sv', 'ct.c')} AS d, ct.cid AS cid))).cid"
+    )
+    assign = None
+    for it in range(iters):
+        carr = cents.groupBy("j").agg(
+            F.expr("array_sort(collect_list(struct(cid, c)))").alias("cs")
+        )
+        assign = (
+            sub.join(F.broadcast(carr), "j")
+            .select("vid", "j", "sv", F.expr(argmin).alias("code"))
+        )
+        if it < iters - 1:
+            cents = (
+                assign.select("j", "code", F.posexplode("sv").alias("dim", "x"))
+                .groupBy("j", "code", "dim")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("j", "code")
+                .agg(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(dim, m))),"
+                        " s -> s.m)"
+                    ).alias("c")
+                )
+                .select("j", F.col("code").alias("cid"), "c")
+            )
+    return assign.select("vid", "j", "code"), cents
+
+
+def pq_adc_scores(
+    codes: DataFrame, cents: DataFrame, qsub: DataFrame
+) -> DataFrame:
+    """ADC: per-subspace squared distances from the query's subvectors
+    (``qsub (j, qs)``) to every codeword build an m×ksub lookup table;
+    a row's approximate distance is the j-ordered fold of its codes'
+    table entries — one broadcast join + one groupBy on the codes
+    frame, the float corpus untouched.  Returns ``(vid, adc)``."""
+    dtab = cents.join(F.broadcast(qsub), "j").select(
+        F.col("j").alias("_dj"),
+        F.col("cid").alias("_dcid"),
+        F.expr(_sqdist("qs", "c")).alias("qd"),
+    )
+    return (
+        codes.join(
+            F.broadcast(dtab),
+            (F.col("j") == F.col("_dj")) & (F.col("code") == F.col("_dcid")),
+        )
+        .select("vid", "j", "qd")
+        .groupBy("vid")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(j, qd))),"
+                " 0D, (acc, s) -> acc + s.qd)"
+            ).alias("adc")
+        )
+    )

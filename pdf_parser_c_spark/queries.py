@@ -7368,6 +7368,126 @@ ORDER BY cos DESC, b.vec_id ASC LIMIT {SQ8_K}
 """
 
 
+PQ_M = 4  # subspaces (64 dims → 16-dim subvectors)
+PQ_KSUB = 8  # codewords per subspace
+PQ_TOPK = 10
+
+
+def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC): train
+    {m} independent {k}-codeword codebooks over 16-dim subvectors (the
+    same declarative k-means as ann_ivf_census, grouped by subspace so
+    ALL codebooks train in one plan), encode every vector as {m} codes,
+    and rank the corpus against query vec 0 by summing per-subspace
+    query→codeword distances from an {m}×{k} lookup table — the memory
+    tier below sim_sq8_rerank (m·log2(k)=9 bits/vector vs sq8's
+    8 bits/dim), completing the quantization family: IVF (coarse
+    partition), SQ8 (scalar codes), PQ (subspace codes).
+    Output: ADC top-{topk} with both the approximate and the exact
+    squared distance, so the quantization error is visible per row.
+    Determinism: ranking is by round(adc, 6) with a vec_id tiebreak;
+    each table entry is an index-order fold the oracle reproduces, and
+    the ADC sum folds in j order — reorder error (~1e-15) is far below
+    the 1e-6 rank grid.
+    Scale: the float corpus is touched only by training's centroid
+    update (map-side partial agg to m·k·16 rows) and the final
+    {topk}-row exact join; scoring scans the CODES frame once with a
+    broadcast m·k table — at 100 TB the codes are 36× narrower than
+    the float vectors, and the table build is free."""
+    from .operators.similarity import _sqdist, pq_adc_scores, pq_train_encode
+
+    e = t(spark, sf_dir, "embeddings")
+    codes, cents = pq_train_encode(
+        e, "vec_id", "embedding", 64, m=PQ_M, ksub=PQ_KSUB, iters=2
+    )
+    dsub = 64 // PQ_M
+    qslices = (
+        f"transform(sequence(0, {PQ_M - 1}),"
+        f" j -> slice(v, j * {dsub} + 1, {dsub}))"
+    )
+    qrow = e.filter(F.col("vec_id") == 0).select(
+        F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+    )
+    qsub = qrow.select(F.posexplode(F.expr(qslices)).alias("j", "qs"))
+    top = (
+        pq_adc_scores(codes, cents, qsub)
+        .orderBy(F.expr("round(adc, 6)").asc(), F.col("vid").asc())
+        .limit(PQ_TOPK)
+    )
+    return (
+        top.join(
+            e.select("vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("fv")),
+            top["vid"] == F.col("vec_id"),
+        )
+        .crossJoin(F.broadcast(qrow.select(F.col("v").alias("qv"))))
+        .select(
+            "vec_id",
+            F.expr("round(adc, 4)").alias("adc_d"),
+            F.expr(f"round({_sqdist('fv', 'qv')}, 4)").alias("exact_d"),
+        )
+        .orderBy("adc_d", "vec_id")
+    )
+
+
+q_sim_pq_adc.__doc__ = q_sim_pq_adc.__doc__.format(
+    m=PQ_M, k=PQ_KSUB, topk=PQ_TOPK
+)
+
+
+_PQ_DIST = (
+    "list_sum(list_transform(generate_series(1, 16),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+SQL_SIM_PQ_ADC = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+js AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+sub AS (SELECT vec_id, j, v[(j*16+1):(j*16+16)] AS sv FROM base, js),
+seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+         FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {PQ_KSUB})),
+c0 AS (SELECT j, cid, v[(j*16+1):(j*16+16)] AS c FROM seed, js),
+a1 AS (
+  SELECT vec_id, j, sv, cid AS code FROM (
+    SELECT s.vec_id, s.j, s.sv, c.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY {_PQ_DIST.format(a='s.sv', b='c.c')}, c.cid) AS rn
+    FROM sub s JOIN c0 c ON c.j = s.j)
+  WHERE rn = 1),
+c1 AS (
+  SELECT j, code AS cid, list(m ORDER BY dim) AS c
+  FROM (
+    SELECT j, code, dim, avg(x) AS m
+    FROM (SELECT j, code, unnest(sv) AS x,
+                 unnest(generate_series(1, len(sv))) AS dim
+          FROM a1)
+    GROUP BY j, code, dim)
+  GROUP BY j, code),
+a2 AS (
+  SELECT vec_id, j, cid AS code FROM (
+    SELECT s.vec_id, s.j, c.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY {_PQ_DIST.format(a='s.sv', b='c.c')}, c.cid) AS rn
+    FROM sub s JOIN c1 c ON c.j = s.j)
+  WHERE rn = 1),
+q AS (SELECT j, sv AS qs FROM sub WHERE vec_id = 0),
+dtab AS (SELECT c.j, c.cid, {_PQ_DIST.format(a='q.qs', b='c.c')} AS qd
+         FROM c1 c JOIN q ON q.j = c.j),
+adc AS (SELECT a.vec_id, list_sum(list(d.qd ORDER BY a.j)) AS adc
+        FROM a2 a JOIN dtab d ON d.j = a.j AND d.cid = a.code
+        GROUP BY a.vec_id),
+top AS (SELECT vec_id, adc FROM adc
+        ORDER BY round(adc, 6) ASC, vec_id ASC LIMIT {PQ_TOPK}),
+qv AS (SELECT v AS qv FROM base WHERE vec_id = 0)
+SELECT t.vec_id, round(t.adc, 4) AS adc_d,
+       round(list_sum(list_transform(generate_series(1, 64),
+             i -> (b.v[i] - qv.qv[i]) * (b.v[i] - qv.qv[i]))), 4) AS exact_d
+FROM top t JOIN base b ON b.vec_id = t.vec_id, qv
+ORDER BY adc_d, t.vec_id
+"""
+
+
 BPE_MERGE_ITERS = 3
 
 
@@ -8311,6 +8431,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sim_lsh_bucketed": (q_sim_lsh_bucketed, SQL_SIM_LSH),
     "sim_lsh_multiprobe": (q_sim_lsh_multiprobe, SQL_SIM_MULTIPROBE),
     "sim_sq8_rerank": (q_sim_sq8_rerank, SQL_SIM_SQ8_RERANK),
+    "sim_pq_adc": (q_sim_pq_adc, SQL_SIM_PQ_ADC),
     "sim_knn_join": (q_sim_knn_join, SQL_SIM_KNN_JOIN),
     "text_bm25_topk": (q_text_bm25_topk, SQL_TEXT_BM25),
     "text_ngram_novelty": (q_text_ngram_novelty, SQL_TEXT_NGRAM_NOVELTY),

@@ -1147,3 +1147,62 @@ def test_knn_within_buckets_bruteforce_equivalence(spark):
     assert (41, 2) not in got and got[(41, 1)][0] == 45
     assert got[(12, 1)] == (8, 1.0)                # clone tops at cos=1
     assert all(got[(7, r)][1] == 0.0 for r in (1, 2, 3))  # zero-norm
+
+
+def test_pq_exact_when_every_vector_is_a_codeword(spark):
+    """With ksub ≥ n the init codebook contains every vector, so each
+    subvector's nearest codeword is itself: codes reconstruct exactly
+    and ADC equals the true squared distance for every row."""
+    import numpy as np
+
+    from pdf_parser_c_spark.operators.similarity import (
+        pq_adc_scores,
+        pq_train_encode,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(6, 8).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(6)], "vid long, v array<double>"
+    )
+    codes, cents = pq_train_encode(df, "vid", "v", dim=8, m=2, ksub=6, iters=2)
+    got = {(r.vid, r.j): r.code for r in codes.collect()}
+    assert len(got) == 12  # every (vector, subspace) coded
+    qsub = spark.createDataFrame(
+        [(j, [float(x) for x in vecs[0][j * 4:(j + 1) * 4]]) for j in range(2)],
+        "j int, qs array<double>",
+    )
+    adc = {r.vid: r.adc for r in pq_adc_scores(codes, cents, qsub).collect()}
+    for i in range(6):
+        exact = float(((vecs[i] - vecs[0]) ** 2).sum())
+        assert abs(adc[i] - exact) < 1e-9, (i, adc[i], exact)
+
+
+def test_pq_adc_ranks_clustered_data(spark):
+    """Two well-separated clusters: after one update the codebooks
+    adapt and ADC must rank every same-cluster row above every
+    cross-cluster row for a cluster-0 query."""
+    import numpy as np
+
+    from pdf_parser_c_spark.operators.similarity import (
+        pq_adc_scores,
+        pq_train_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    a = rng.randn(10, 8) * 0.05
+    b = rng.randn(10, 8) * 0.05 + 10.0
+    vecs = np.vstack([a, b])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vid long, v array<double>",
+    )
+    codes, cents = pq_train_encode(df, "vid", "v", dim=8, m=2, ksub=4, iters=2)
+    qsub = spark.createDataFrame(
+        [(j, [float(x) for x in vecs[0][j * 4:(j + 1) * 4]]) for j in range(2)],
+        "j int, qs array<double>",
+    )
+    adc = {r.vid: r.adc for r in pq_adc_scores(codes, cents, qsub).collect()}
+    worst_same = max(adc[i] for i in range(10))
+    best_other = min(adc[i] for i in range(10, 20))
+    assert worst_same < best_other

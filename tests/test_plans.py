@@ -659,3 +659,14 @@ def test_zorder_census_corpus_touches_one_exchange(spark):
     assert n_data_exchanges(plan) == 3
     fmt = plan_of(spark, df, "formatted")
     assert "PushedFilters: [IsNotNull(value), IsNotNull(user_id)]" in fmt
+
+
+def test_pq_adc_scoring_broadcasts_table_no_corpus_join(spark):
+    """sim_pq_adc's scoring stage must join the codes frame against a
+    BROADCAST m×ksub distance table (never shuffle the corpus against
+    it) and cut with TakeOrdered, not a global sort."""
+    plan = plan_of(spark, QUERIES["sim_pq_adc"][0](spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan
+    # every join touching the codes/corpus side is broadcast-built;
+    # training's centroid update is the only hash exchange family left
+    assert "SortMergeJoin" not in plan
