@@ -774,3 +774,64 @@ def sorted_neighborhood_pairs(
         )
         .distinct()
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 4,
+    mask_bits: int = 4,
+) -> DataFrame:
+    """Content-defined chunking (the Gear/FastCDC boundary rule at
+    token granularity): a chunk boundary falls after token ``i``
+    whenever the 60-bit md5-prefix hash of the ``width``-token window
+    ending at ``i`` is ≡ 0 mod 2**mask_bits — so expected chunk length
+    is 2**mask_bits tokens and, unlike fixed-width chunks
+    (:func:`paragraph_hashes`' stand-in splitter), boundaries REALIGN
+    after an insertion: all chunks past the first post-edit boundary
+    hash identically again, which is what makes chunk dedup robust to
+    boilerplate drift and near-miss copies.
+
+    → ``(id_col, chunk_idx, chunk_start, chunk_len, digest)``; chunk
+    positions/starts are 1-based token indices, the final chunk runs to
+    the document end, and a document shorter than ``width`` tokens (or
+    with no matching window) is one whole-doc chunk.
+
+    Scale: entirely MAP-SIDE — the boundary set, chunk spans, and
+    digests are higher-order array functions over the token array; no
+    explode precedes the per-chunk rows, no exchange happens here at
+    all.  Consumers pay one digest-keyed exchange for the duplicate
+    census (count window — linear in a hot chunk, never pairs).
+    """
+    w, p = width, 1 << mask_bits
+    win_hash = (
+        f"cast(conv(substr(md5(array_join(slice(ws, i - {w - 1}, {w}), ' ')),"
+        f" 1, 15), 16, 10) as bigint)"
+    )
+    bpos = (
+        f"IF(size(ws) - 1 >= {w},"
+        f" filter(sequence({w}, size(ws) - 1), i -> {win_hash} % {p} = 0),"
+        f" array())"
+    )
+    chunks = (
+        f"zip_with(concat(array(1), transform(bp, b -> b + 1)),"
+        f" concat(bp, array(size(ws))),"
+        f" (s, e) -> struct(s AS cs, e - s + 1 AS cl,"
+        f" md5(array_join(slice(ws, s, e - s + 1), ' ')) AS dg))"
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.split(F.col(text_col), " ").alias("ws"),
+        )
+        .withColumn("bp", F.expr(bpos))
+        .select(id_col, "ws", F.posexplode(F.expr(chunks)).alias("chunk_idx", "c"))
+        .select(
+            id_col,
+            (F.col("chunk_idx") + 1).alias("chunk_idx"),
+            F.col("c.cs").alias("chunk_start"),
+            F.col("c.cl").alias("chunk_len"),
+            F.col("c.dg").alias("digest"),
+        )
+    )

@@ -5647,6 +5647,123 @@ FROM m GROUP BY source ORDER BY source
 PARA_WIDTH = 12
 
 
+CDC_WIDTH = 4  # rolling-window tokens for the boundary hash
+CDC_BITS = 4  # boundary mask → expected chunk length 16 tokens
+
+
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup census (FastCDC boundary rule at
+    token granularity): chunk boundaries fall where a rolling
+    {w}-token window hash ≡ 0 mod {p}, so an INSERTION only perturbs
+    chunks up to the first post-edit boundary — every later chunk
+    re-aligns and hashes identically, which fixed-width chunking
+    (dedup_paragraph's splitter) structurally cannot do.  The census
+    proves it on synthesized edits: every 5th doc re-enters with one
+    token inserted at position 3, and the edited group's duplicated-
+    chunk fraction approaches 1 while a fixed splitter would share
+    almost nothing past the edit.
+    Scale: chunking is entirely map-side (higher-order array functions
+    — no explode before the per-chunk rows, operators/dedup.cdc_chunks);
+    the census pays ONE digest-keyed exchange (distinct-doc count,
+    linear in a hot chunk, never pairs) that the multiplicity join
+    reuses, plus a tiny group agg."""
+    from .operators.dedup import cdc_chunks
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ins = (
+        "IF(size(ws) > 3,"
+        " array_join(concat(slice(ws, 1, 3), array('ins0'),"
+        " slice(ws, 4, size(ws) - 3)), ' '),"
+        " array_join(ws, ' '))"
+    )
+    edited = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.split("text", " ").alias("ws"),
+        )
+        .select("doc_id", F.expr(ins).alias("text"))
+    )
+    both = d.unionByName(edited).withColumn(
+        "grp", F.when(F.col("doc_id") >= 2000000, "edited").otherwise("original")
+    )
+    ch = cdc_chunks(both, "doc_id", "text", width=CDC_WIDTH, mask_bits=CDC_BITS)
+    ch = ch.join(both.select("doc_id", "grp"), "doc_id")
+    m = ch.groupBy("digest").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    return (
+        ch.join(m, "digest")
+        .groupBy("grp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("n_docs_with") > 1).cast("long")).alias("n_dup_chunks"),
+            F.round(
+                F.sum((F.col("n_docs_with") > 1).cast("double"))
+                / F.count("*"),
+                6,
+            ).alias("dup_chunk_frac"),
+            F.round(F.avg("chunk_len"), 4).alias("avg_chunk_len"),
+        )
+        .orderBy("grp")
+    )
+
+
+q_dedup_cdc_chunks.__doc__ = q_dedup_cdc_chunks.__doc__.format(
+    w=CDC_WIDTH, p=1 << CDC_BITS
+)
+
+
+SQL_DEDUP_CDC_CHUNKS = f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+edited AS (
+  SELECT doc_id + 2000000 AS doc_id,
+         CASE WHEN len(ws) > 3
+              THEN array_to_string(
+                     list_concat(list_concat(ws[1:3], ['ins0']),
+                                 ws[4:len(ws)]), ' ')
+              ELSE array_to_string(ws, ' ') END AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM d)
+  WHERE doc_id % 5 = 0),
+both_docs AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id >= 2000000 THEN 'edited' ELSE 'original' END AS grp
+  FROM (SELECT * FROM d UNION ALL SELECT * FROM edited)),
+tok AS (SELECT doc_id, grp, string_split(text, ' ') AS ws FROM both_docs),
+bnd AS (
+  SELECT doc_id, grp, ws,
+         CASE WHEN len(ws) - 1 >= {CDC_WIDTH}
+              THEN list_filter(generate_series({CDC_WIDTH}, len(ws) - 1),
+                i -> CAST(('0x' || substr(md5(
+                       array_to_string(ws[(i - {CDC_WIDTH - 1}):i], ' ')),
+                     1, 15)) AS BIGINT) % {1 << CDC_BITS} = 0)
+              ELSE [] END AS bp
+  FROM tok),
+chunks AS (
+  SELECT doc_id, grp, u.cl, u.dg FROM (
+    SELECT doc_id, grp,
+           unnest(list_transform(
+             list_zip(list_concat([1], list_transform(bp, b -> b + 1)),
+                      list_concat(bp, [len(ws)])),
+             z -> struct_pack(
+               cl := z[2] - z[1] + 1,
+               dg := md5(array_to_string(ws[z[1]:z[2]], ' '))))) AS u
+    FROM bnd)),
+m AS (SELECT dg, count(DISTINCT doc_id) AS n_docs_with FROM chunks GROUP BY dg)
+SELECT grp,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       round(sum(CASE WHEN n_docs_with > 1 THEN 1.0 ELSE 0.0 END) / count(*), 6)
+         AS dup_chunk_frac,
+       round(avg(cl), 4) AS avg_chunk_len
+FROM chunks JOIN m USING (dg)
+GROUP BY grp ORDER BY grp
+"""
+
+
 def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level dedup census (CCNet-style): a paragraph whose
     digest appears in >1 DISTINCT document is boilerplate and would be
@@ -8446,6 +8563,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact_normalized": (q_dedup_exact_normalized, SQL_DEDUP_EXACT_NORM),
     "dedup_soft_weights": (q_dedup_soft_weights, SQL_DEDUP_SOFT_WEIGHTS),
     "dedup_paragraph": (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
+    "dedup_cdc_chunks": (q_dedup_cdc_chunks, SQL_DEDUP_CDC_CHUNKS),
     "sample_shuffle_global": (q_sample_shuffle_global, SQL_SAMPLE_SHUFFLE_GLOBAL),
     "text_hashed_classifier": (q_text_hashed_classifier, SQL_TEXT_HASHED_CLASSIFIER),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),

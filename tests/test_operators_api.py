@@ -1206,3 +1206,71 @@ def test_pq_adc_ranks_clustered_data(spark):
     worst_same = max(adc[i] for i in range(10))
     best_other = min(adc[i] for i in range(10, 20))
     assert worst_same < best_other
+
+
+def _cdc_reference(words, width=4, mask_bits=4):
+    """Plain-python mirror of cdc_chunks' boundary rule."""
+    import hashlib
+
+    p = 1 << mask_bits
+    n = len(words)
+    bp = []
+    for i in range(width, n):  # 1-based window end in [width, n-1]
+        win = " ".join(words[i - width:i])
+        h = int(hashlib.md5(win.encode()).hexdigest()[:15], 16)
+        if h % p == 0:
+            bp.append(i)
+    starts = [1] + [b + 1 for b in bp]
+    ends = bp + [n]
+    return [(s, e - s + 1, " ".join(words[s - 1:e])) for s, e in zip(starts, ends)]
+
+
+def test_cdc_chunks_match_python_reference(spark):
+    import hashlib
+
+    from pdf_parser_c_spark.operators.dedup import cdc_chunks
+
+    docs = [
+        (1, " ".join(f"w{(i * 7) % 23}" for i in range(80))),
+        (2, " ".join(f"t{(i * 13) % 11}" for i in range(40))),
+        (3, "short doc"),          # < width tokens → one whole-doc chunk
+        (4, "a b c d"),            # exactly width tokens → no interior window
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = cdc_chunks(df, "doc_id", "text").collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_start, r.chunk_len, r.digest))
+    for doc_id, text in docs:
+        ref = [
+            (s, ln, hashlib.md5(txt.encode()).hexdigest())
+            for s, ln, txt in _cdc_reference(text.split(" "))
+        ]
+        assert by_doc[doc_id] == ref, doc_id
+        # chunks tile the doc exactly
+        n = len(text.split(" "))
+        assert sum(ln for _, ln, _ in ref) == n
+
+
+def test_cdc_realigns_after_insertion_fixed_chunks_do_not(spark):
+    """The CDC selling point: one inserted token near the head leaves
+    most chunk digests shared; fixed-width chunking shares none past
+    the edit."""
+    from pdf_parser_c_spark.operators.dedup import cdc_chunks
+
+    words = [f"w{(i * 7) % 53}x{i % 9}" for i in range(400)]
+    edited = words[:3] + ["INSERTED"] + words[3:]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(edited))], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df, "doc_id", "text").collect()
+    d1 = {r.digest for r in rows if r.doc_id == 1}
+    d2 = {r.digest for r in rows if r.doc_id == 2}
+    cdc_shared = len(d1 & d2) / len(d1)
+    # fixed 16-token chunks on the same pair
+    def fixed(ws):
+        return {" ".join(ws[i:i + 16]) for i in range(0, len(ws), 16)}
+    fx_shared = len(fixed(words) & fixed(edited)) / len(fixed(words))
+    assert cdc_shared >= 0.6, cdc_shared
+    assert fx_shared == 0.0, fx_shared  # every fixed chunk shifted by the edit
+    assert cdc_shared > fx_shared

@@ -670,3 +670,13 @@ def test_pq_adc_scoring_broadcasts_table_no_corpus_join(spark):
     # every join touching the codes/corpus side is broadcast-built;
     # training's centroid update is the only hash exchange family left
     assert "SortMergeJoin" not in plan
+
+
+def test_cdc_chunking_is_map_side(spark):
+    """dedup_cdc_chunks: chunk construction must stay in the scan's
+    projection (higher-order array funcs, no pre-chunk explode
+    shuffle); the whole census pays only the digest agg + multiplicity
+    join + group agg exchanges."""
+    plan = plan_of(spark, QUERIES["dedup_cdc_chunks"][0](spark, SF_DIR), "simple")
+    assert plan.count("Generate explode") <= 3  # chunk posexplode per branch, post-projection
+    assert n_data_exchanges(plan) <= 5
