@@ -111,6 +111,7 @@ def image_features(df: DataFrame) -> DataFrame:
         from .gif_codec import GIFError, decode_gif
         from .jpeg_codec import JPEGError, decode_jpeg
         from .png_codec import PNGError, decode_png
+        from .tiff_codec import TIFFError, decode_tiff
 
         for batch in it:
             img = batch[batch["media_type"] == "image"]
@@ -128,7 +129,10 @@ def image_features(df: DataFrame) -> DataFrame:
                         try:
                             decoded = (*decode_gif(payload), "gif")
                         except GIFError:
-                            pass
+                            try:
+                                decoded = (*decode_tiff(payload), "tiff")
+                            except TIFFError:
+                                pass
                 if decoded is not None:
                     w, h, ch, px, dec = decoded
                     luma = _luma_plane(w, h, ch, px)
@@ -193,6 +197,7 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
         from .gif_codec import GIFError, decode_gif
         from .jpeg_codec import JPEGError, decode_jpeg, encode_jpeg
         from .png_codec import PNGError, decode_png, encode_png
+        from .tiff_codec import TIFFError, decode_tiff
 
         for batch in it:
             img = batch[batch["media_type"] == "image"]
@@ -209,7 +214,10 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                         try:
                             decoded = (*decode_gif(payload), encode_png)
                         except GIFError:
-                            pass
+                            try:
+                                decoded = (*decode_tiff(payload), encode_png)
+                            except TIFFError:
+                                pass
                 if decoded is not None:
                     w0, h0, ch, px, encode = decoded
                     arr = np.frombuffer(px, dtype=np.uint8).reshape(h0, w0, ch)

@@ -1,0 +1,293 @@
+"""Pure-Python baseline-TIFF codec for the multimodal fixture path.
+
+TIFF 6.0's text-era subset reuses machinery the PDF filter stack
+already ships: TIFF-LZW is the scheme PDF's LZWDecode was lifted from
+(MSB-first codes, Clear=256/EOI=257, 9→12 bit growth, early change),
+and the horizontal-differencing predictor is PDF ``/Predictor 2``
+(``pdf/filters.py:_apply_predictor``).  Supported: 8-bit grayscale and
+RGB, strip layout, both byte orders, compression none/LZW/PackBits,
+predictor 1/2, photometric 0 (inverted), 1, and 2.  Anything outside
+that subset (tiles, 16-bit, planar, palette, fills) raises
+:class:`TIFFError` so the multimodal kernels fall back to the labeled
+stub — decoded rows carry ``decoder='tiff'`` with REAL pixel stats.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from ..pdf.filters import _apply_predictor, lzw_decode
+
+MAX_DECODE_PIXELS = 1 << 26  # decode-side DoS guard, same as PNG/JPEG
+
+
+class TIFFError(ValueError):
+    pass
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits (§9): n in 0..127 copies n+1 literals, n in
+    -127..-1 repeats the next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n != -128:
+            if i >= len(data):
+                raise TIFFError("PackBits run truncated")
+            out += bytes([data[i]]) * (1 - n)
+            i += 1
+    if len(out) < expected:
+        raise TIFFError("PackBits strip short")
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Literal-runs only (valid PackBits, not size-optimal) plus
+    repeat-runs for spans of ≥3 equal bytes."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+
+    def flush_literal(end: int) -> None:
+        j = lit_start
+        while j < end:
+            k = min(128, end - j)
+            out.append(k - 1)
+            out.extend(data[j : j + k])
+            j += k
+
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            flush_literal(i)
+            out.append((257 - run) & 0xFF)  # signed 1-run → repeat `run`×
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literal(i)
+    return bytes(out)
+
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _read_ifd_values(data: bytes, endian: str, entry: bytes) -> list[int]:
+    tag, typ, count = struct.unpack(endian + "HHI", entry[:8])
+    size = _TYPE_SIZE.get(typ)
+    if size is None:
+        return []
+    total = size * count
+    if total <= 4:
+        raw = entry[8 : 8 + total]
+    else:
+        (off,) = struct.unpack(endian + "I", entry[8:12])
+        raw = data[off : off + total]
+        if len(raw) < total:
+            raise TIFFError("IFD value outside file")
+    fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+    if fmt is None:  # rational etc. — unused by this subset
+        return []
+    return list(struct.unpack(endian + fmt * count, raw))
+
+
+def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
+    """→ (width, height, channels, 8-bit pixel bytes, row-major)."""
+    if len(data) < 8:
+        raise TIFFError("too short")
+    if data[:2] == b"II":
+        endian = "<"
+    elif data[:2] == b"MM":
+        endian = ">"
+    else:
+        raise TIFFError("not a TIFF")
+    magic, ifd_off = struct.unpack(endian + "HI", data[2:8])
+    if magic != 42:
+        raise TIFFError("bad magic")
+    if ifd_off + 2 > len(data):
+        raise TIFFError("IFD outside file")
+    (n_entries,) = struct.unpack(endian + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        e = data[ifd_off + 2 + 12 * k : ifd_off + 2 + 12 * (k + 1)]
+        if len(e) < 12:
+            raise TIFFError("IFD truncated")
+        (tag,) = struct.unpack(endian + "H", e[:2])
+        tags[tag] = _read_ifd_values(data, endian, e)
+
+    def one(tag: int, default: int | None = None) -> int:
+        v = tags.get(tag)
+        if not v:
+            if default is None:
+                raise TIFFError(f"missing tag {tag}")
+            return default
+        return v[0]
+
+    width, height = one(256), one(257)
+    if width <= 0 or height <= 0 or width * height > MAX_DECODE_PIXELS:
+        raise TIFFError("unreasonable dimensions")
+    spp = one(277, 1)
+    if spp not in (1, 3):
+        raise TIFFError(f"unsupported samples/pixel {spp}")
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise TIFFError("only 8-bit samples supported")
+    if one(284, 1) != 1:
+        raise TIFFError("planar configuration unsupported")
+    photometric = one(262, 1)
+    if photometric not in (0, 1, 2):
+        raise TIFFError(f"unsupported photometric {photometric}")
+    compression = one(259, 1)
+    if compression not in (1, 5, 32773):
+        raise TIFFError(f"unsupported compression {compression}")
+    if 322 in tags or 323 in tags:
+        raise TIFFError("tiled TIFF unsupported")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise TIFFError("missing strip layout")
+    rows_per_strip = one(278, height)
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise TIFFError(f"unsupported predictor {predictor}")
+
+    stride = width * spp
+    out = bytearray()
+    rows_done = 0
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = data[off : off + cnt]
+        if len(strip) < cnt:
+            raise TIFFError("strip outside file")
+        n_rows = min(rows_per_strip, height - rows_done)
+        expected = n_rows * stride
+        if compression == 1:
+            raw = strip[:expected]
+            if len(raw) < expected:
+                raise TIFFError("uncompressed strip short")
+        elif compression == 5:
+            raw = lzw_decode(strip)[:expected]
+            if len(raw) < expected:
+                raise TIFFError("LZW strip short")
+        else:
+            raw = _packbits_decode(strip, expected)
+        if predictor == 2:
+            raw = _apply_predictor(
+                raw, {"Predictor": 2, "Colors": spp, "Columns": width}
+            )
+        out += raw
+        rows_done += n_rows
+    if rows_done < height:
+        raise TIFFError("strips cover fewer rows than ImageLength")
+    px = bytes(out[: width * height * spp])
+    if photometric == 0:  # WhiteIsZero → invert to BlackIsZero
+        px = bytes(255 - b for b in px)
+    return width, height, spp, px
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    compression: int = 1,
+    rows_per_strip: int | None = None,
+    predictor: int = 1,
+    big_endian: bool = False,
+) -> bytes:
+    """Fixture encoder: 8-bit gray/RGB, strip layout, compression
+    1 (none) / 5 (LZW, via the testkit encoder) / 32773 (PackBits),
+    optional horizontal predictor with LZW."""
+    if channels not in (1, 3):
+        raise TIFFError("unsupported channel count")
+    if len(pixels) != width * height * channels:
+        raise TIFFError("pixel buffer does not match dimensions")
+    endian = ">" if big_endian else "<"
+    stride = width * channels
+    rps = rows_per_strip or height
+    strips: list[bytes] = []
+    for y0 in range(0, height, rps):
+        raw = pixels[y0 * stride : min(y0 + rps, height) * stride]
+        if predictor == 2:
+            buf = bytearray(raw)
+            for r in range(0, len(buf), stride):
+                for i in range(min(r + stride, len(buf)) - 1, r + channels - 1, -1):
+                    buf[i] = (buf[i] - buf[i - channels]) & 0xFF
+            raw = bytes(buf)
+        if compression == 1:
+            strips.append(raw)
+        elif compression == 5:
+            from ..testkit.gen_pdf import lzw_encode
+
+            strips.append(lzw_encode(raw))
+        elif compression == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            raise TIFFError("unsupported compression")
+
+    def val(fmt: str, *vs: int) -> bytes:
+        return struct.pack(endian + fmt * len(vs), *vs)
+
+    n_strips = len(strips)
+    tag_list: list[tuple[int, int, list[int] | None]] = [
+        (256, 4, [width]),
+        (257, 4, [height]),
+        (258, 3, [8] * channels),
+        (259, 3, [compression]),
+        (262, 3, [2 if channels == 3 else 1]),
+        (273, 4, None),  # strip offsets — filled once the layout is known
+        (277, 3, [channels]),
+        (278, 4, [rps]),
+        (279, 4, [len(s) for s in strips]),
+        (296, 3, [1]),  # ResolutionUnit: none
+    ]
+    if predictor == 2:
+        tag_list.append((317, 3, [2]))
+    tag_list.sort(key=lambda t: t[0])  # TIFF requires ascending tags
+
+    # layout: header(8) | IFD | out-of-line value arrays | strip data
+    ifd_off = 8
+    extra_off = ifd_off + 2 + 12 * len(tag_list) + 4
+    type_size = {3: 2, 4: 4}
+    extra_total = 0
+    for tag, typ, vs in tag_list:
+        count = n_strips if tag == 273 else len(vs)
+        size = type_size[typ] * count
+        if size > 4:
+            extra_total += size
+    strip_base = extra_off + extra_total
+    strip_offsets = []
+    off = strip_base
+    for s in strips:
+        strip_offsets.append(off)
+        off += len(s)
+
+    ifd = bytearray()
+    extra = bytearray()
+    ifd += val("H", len(tag_list))
+    for tag, typ, vs in tag_list:
+        if tag == 273:
+            vs = strip_offsets
+        fmt = "H" if typ == 3 else "I"
+        packed = val(fmt, *vs)
+        ifd += val("H", tag) + val("H", typ) + val("I", len(vs))
+        if len(packed) <= 4:
+            ifd += packed.ljust(4, b"\0")
+        else:
+            ifd += val("I", extra_off + len(extra))
+            extra += packed
+    ifd += val("I", 0)  # next IFD
+
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + val("H", 42) + val("I", ifd_off)
+    out += ifd + extra
+    for s in strips:
+        out += s
+    return bytes(out)

@@ -65,6 +65,8 @@ def lzw_decode(data: bytes, params: dict | None = None) -> bytes:
             if code == 257:  # EOD
                 return _apply_predictor(bytes(out), params)
             if prev is None:
+                if code >= len(table):
+                    raise FilterError("LZWDecode: code before any output")
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]

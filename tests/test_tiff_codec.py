@@ -1,0 +1,201 @@
+"""Baseline-TIFF codec: strip layout, both byte orders, compression
+none/LZW/PackBits, horizontal predictor, photometric inversion, the
+error contract (unsupported features raise TIFFError so multimodal
+kernels fall back to the labeled stub), and Spark integration."""
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_parser_c_spark.operators.tiff_codec import (
+    TIFFError,
+    _packbits_decode,
+    _packbits_encode,
+    decode_tiff,
+    encode_tiff,
+)
+
+
+def _noise(n, seed=5):
+    out = bytearray()
+    x = seed
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        out.append(x & 0xFF)
+    return bytes(out)
+
+
+# ---------------- PackBits ----------------
+
+
+def test_packbits_hand_vector():
+    # classic TIFF §9 example
+    data = bytes.fromhex(
+        "aaaaaa" "80002a" "aaaaaaaa" "80002a22" + "aa" * 10
+    )
+    enc = bytes.fromhex("feaa" "0280002a" "fdaa" "0380002a22" "f7aa")
+    assert _packbits_decode(enc, len(data)) == data
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=60, deadline=None)
+def test_packbits_roundtrip(data):
+    assert _packbits_decode(_packbits_encode(data), len(data)) == data
+
+
+def test_packbits_truncated_run_raises():
+    with pytest.raises(TIFFError):
+        _packbits_decode(bytes([0xFE]), 3)  # repeat marker, no byte
+    with pytest.raises(TIFFError):
+        _packbits_decode(b"\x02ab", 3)  # literal run short
+
+
+# ---------------- encode/decode roundtrips ----------------
+
+
+@pytest.mark.parametrize("channels", [1, 3])
+@pytest.mark.parametrize("compression", [1, 5, 32773])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_roundtrip_matrix(channels, compression, big_endian):
+    w, h = 11, 9
+    px = _noise(w * h * channels)
+    t = encode_tiff(w, h, px, channels, compression=compression,
+                    big_endian=big_endian)
+    assert decode_tiff(t) == (w, h, channels, px)
+
+
+def test_multi_strip_and_predictor():
+    w, h = 16, 20
+    px = _noise(w * h * 3)
+    t = encode_tiff(w, h, px, 3, compression=5, rows_per_strip=3, predictor=2)
+    assert decode_tiff(t) == (w, h, 3, px)
+    # multi-strip offset/count arrays live out of line (> 4 bytes)
+    assert len(t) > w * h  # sanity: compressed noise + tables
+
+
+def test_white_is_zero_inverts():
+    w, h = 4, 2
+    px = bytes(range(8))
+    t = bytearray(encode_tiff(w, h, px, 1))
+    # patch PhotometricInterpretation (tag 262, SHORT) from 1 → 0
+    i = t.find(struct.pack("<HH", 262, 3))
+    assert i > 0
+    t[i + 8] = 0
+    W, H, C, out = decode_tiff(bytes(t))
+    assert out == bytes(255 - b for b in px)
+
+
+# ---------------- error contract ----------------
+
+
+def test_rejects_non_tiff_and_bad_magic():
+    for bad in (b"", b"II", b"PK\x03\x04xxxx", b"II\x2b\x00\x08\x00\x00\x00"):
+        with pytest.raises(TIFFError):
+            decode_tiff(bad)
+
+
+def test_rejects_unsupported_features():
+    w, h = 4, 4
+    px = _noise(w * h)
+    base = encode_tiff(w, h, px, 1)
+
+    def patched(tag, new_val):
+        t = bytearray(base)
+        i = t.find(struct.pack("<HH", tag, 3))
+        if i < 0:
+            i = t.find(struct.pack("<HH", tag, 4))
+        assert i > 0, tag
+        struct.pack_into("<I", t, i + 8, new_val)
+        return bytes(t)
+
+    with pytest.raises(TIFFError):
+        decode_tiff(patched(259, 7))  # JPEG-in-TIFF compression
+    with pytest.raises(TIFFError):
+        decode_tiff(patched(262, 3))  # palette photometric
+    with pytest.raises(TIFFError):
+        decode_tiff(patched(258, 16))  # 16-bit samples
+    with pytest.raises(TIFFError):
+        decode_tiff(patched(256, 1 << 20))  # pixel-budget guard (w*h)
+
+
+def test_strip_outside_file_raises():
+    t = bytearray(encode_tiff(3, 3, _noise(9), 1))
+    i = t.find(struct.pack("<HH", 273, 4))
+    struct.pack_into("<I", t, i + 8, len(t) + 100)
+    with pytest.raises(TIFFError):
+        decode_tiff(bytes(t))
+
+
+def test_mutation_fuzz_error_contract():
+    """Stacked byte mutations either decode or raise TIFFError /
+    FilterError — never crash with anything else."""
+    from pdf_parser_c_spark.pdf.filters import FilterError
+
+    base = encode_tiff(8, 8, _noise(64 * 3), 3, compression=5,
+                       rows_per_strip=4, predictor=2)
+    x = 12345
+    for trial in range(2000):
+        t = bytearray(base)
+        x = (x * 48271) % 0x7FFFFFFF
+        n_mut = 1 + x % 4
+        for _ in range(n_mut):
+            x = (x * 48271) % 0x7FFFFFFF
+            pos = x % len(t)
+            x = (x * 48271) % 0x7FFFFFFF
+            t[pos] = x & 0xFF
+        try:
+            decode_tiff(bytes(t))
+        except (TIFFError, FilterError):
+            pass
+
+
+# ---------------- Spark integration ----------------
+
+
+def test_image_features_decodes_tiff(spark):
+    import pandas as pd
+
+    from pdf_parser_c_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_features,
+        make_media_frame,
+    )
+
+    frame = make_media_frame(6)
+    mask = frame["media_type"] == "image"
+    w, h = 8, 6
+    frame.loc[mask, "payload"] = frame.loc[mask, "payload"].map(
+        lambda _p: encode_tiff(w, h, _noise(w * h), 1, compression=32773)
+    )
+    df = spark.createDataFrame(frame, schema=MEDIA_SCHEMA)
+    rows = [r for r in image_features(df).collect() if r["decoder"] == "tiff"]
+    assert rows, "no tiff-decoded rows"
+    px = _noise(w * h)
+    expected_luma = sum(px) / len(px)
+    for r in rows:
+        assert r["width"] == w and r["height"] == h
+        assert abs(r["mean_luma"] - expected_luma) < 0.51
+
+
+def test_resize_reencodes_tiff_as_png(spark):
+    from pdf_parser_c_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        make_media_frame,
+        resize_images,
+    )
+    from pdf_parser_c_spark.operators.png_codec import decode_png
+
+    frame = make_media_frame(6)
+    mask = frame["media_type"] == "image"
+    w, h = 10, 7
+    frame.loc[mask, "payload"] = frame.loc[mask, "payload"].map(
+        lambda _p: encode_tiff(w, h, _noise(w * h * 3), 3, compression=5)
+    )
+    df = spark.createDataFrame(frame, schema=MEDIA_SCHEMA)
+    out = [r for r in resize_images(df, 4, 4).collect() if r["resized"]]
+    assert out
+    for r in out:
+        W, H, C, _px = decode_png(bytes(r["payload"]))
+        assert (W, H, C) == (4, 4, 3)
