@@ -352,7 +352,7 @@ def audio_features(df: DataFrame) -> DataFrame:
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from .riff_codec import RIFFError, decode_wav
+        from .riff_codec import RIFFError, decode_wav_ex
 
         for batch in it:
             aud = batch[batch["media_type"] == "audio"]
@@ -360,7 +360,7 @@ def audio_features(df: DataFrame) -> DataFrame:
             for _, r in aud.iterrows():
                 payload = bytes(r["payload"])
                 try:
-                    sr, samples = decode_wav(payload)
+                    sr, samples, codec = decode_wav_ex(payload)
                     x = samples.astype(np.float64) / 32768.0
                     rows.append(
                         {
@@ -370,7 +370,7 @@ def audio_features(df: DataFrame) -> DataFrame:
                             "sample_rate": sr,
                             "rms": round(float(np.sqrt((x ** 2).mean())), 6)
                             if len(samples) else 0.0,
-                            "decoder": "wav",
+                            "decoder": "wav" if codec == "pcm16" else "wav-adpcm",
                         }
                     )
                     continue

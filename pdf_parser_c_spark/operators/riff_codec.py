@@ -8,9 +8,11 @@ each ``00dc`` MJPEG chunk to :mod:`jpeg_codec` for a REAL frame
 decode.  Both formats are the public Microsoft/IBM RIFF layouts.
 
 Scope is the honest subset the fixtures exercise: PCM16 WAV (mono or
-interleaved stereo), AVI with ONE MJPEG video stream.  Compressed
-audio, multi-stream AVIs, and index chunks raise :class:`RIFFError`
-so the kernels fall back to their labeled stubs.
+interleaved stereo), IMA/DVI ADPCM WAV (format 0x0011 — the standard
+4-bit block codec, decoded with the published step/index tables), and
+AVI with ONE MJPEG video stream.  Other compressed audio,
+multi-stream AVIs, and index chunks raise :class:`RIFFError` so the
+kernels fall back to their labeled stubs.
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ import numpy as np
 
 __all__ = [
     "RIFFError",
-    "encode_wav", "decode_wav",
+    "encode_wav", "decode_wav", "decode_wav_ex", "encode_wav_adpcm",
     "encode_avi_mjpeg", "decode_avi_mjpeg",
 ]
 
@@ -55,26 +57,159 @@ def _riff_chunks(data: bytes, pos: int, end: int):
         pos = body_end + (size & 1)  # chunks are word-aligned
 
 
-def decode_wav(data: bytes) -> tuple[int, "np.ndarray"]:
-    """→ (sample_rate, samples[n, channels] int16).  PCM16 only."""
+# IMA/DVI ADPCM tables (IMA Digital Audio Pack, 1992 — the values every
+# implementation shares, e.g. RFC 3551 §4.5.1's DVI4 reference)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    step = _IMA_STEP[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX[nibble & 7]))
+    return pred, index
+
+
+def _ima_decode(pcm: bytes, nch: int, block_align: int) -> "np.ndarray":
+    """Microsoft IMA ADPCM block layout: a 4-byte per-channel header
+    (predictor int16 = the block's first output sample, step index,
+    reserved) followed by 4-byte per-channel nibble groups, low nibble
+    first.  A trailing partial block decodes what it has."""
+    out: list[list[int]] = [[] for _ in range(nch)]
+    for b0 in range(0, len(pcm), block_align):
+        blk = pcm[b0 : b0 + block_align]
+        if len(blk) < 4 * nch:
+            break
+        pred = [0] * nch
+        idx = [0] * nch
+        for c in range(nch):
+            p, i0 = struct.unpack_from("<hB", blk, 4 * c)
+            if i0 > 88:
+                raise RIFFError("ADPCM step index out of range")
+            pred[c], idx[c] = p, i0
+            out[c].append(p)
+        pos = 4 * nch
+        while pos + 4 <= len(blk):
+            for c in range(nch):
+                if pos + 4 > len(blk):
+                    break
+                for byte in blk[pos : pos + 4]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        pred[c], idx[c] = _ima_step(pred[c], idx[c], nib)
+                        out[c].append(pred[c])
+                pos += 4
+    n = min(len(ch) for ch in out)
+    return np.stack(
+        [np.asarray(ch[:n], dtype=np.int16) for ch in out], axis=1
+    )
+
+
+def encode_wav_adpcm(
+    sample_rate: int, samples: "np.ndarray", block_align: int = 256
+) -> bytes:
+    """Mono IMA ADPCM WAV (format 0x0011) from an int16 vector — the
+    fixture encoder mirroring :func:`_ima_decode`'s block layout, with
+    a ``fact`` chunk carrying the true sample count."""
+    s = np.asarray(samples, dtype=np.int16).reshape(-1)
+    spb = (block_align - 4) * 2 + 1
+    blocks = bytearray()
+    idx = 0
+    for b0 in range(0, len(s), spb):
+        blk = s[b0 : b0 + spb]
+        pred = int(blk[0])
+        blocks += struct.pack("<hBB", pred, idx, 0)
+        nibs: list[int] = []
+        for x in blk[1:]:
+            # pick the nibble whose decode lands nearest the target
+            best, best_err = 0, None
+            for nib in range(16):
+                p2, _ = _ima_step(pred, idx, nib)
+                err = abs(int(x) - p2)
+                if best_err is None or err < best_err:
+                    best, best_err = nib, err
+            pred, idx = _ima_step(pred, idx, best)
+            nibs.append(best)
+        nibs += [0] * (-len(nibs) % ((block_align - 4) * 2))
+        for i in range(0, len(nibs), 2):
+            blocks.append(nibs[i] | (nibs[i + 1] << 4))
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate,
+        (sample_rate * block_align + spb - 1) // spb, block_align, 4, 2, spb,
+    )
+    fact = struct.pack("<I", len(s))
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_ex(data: bytes) -> tuple[int, "np.ndarray", str]:
+    """→ (sample_rate, samples[n, channels] int16, codec): PCM16
+    (``'pcm16'``) or IMA/DVI ADPCM (``'ima-adpcm'``)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise RIFFError("not a WAV")
     sr = None
     nch = None
     pcm = None
+    audio_fmt = None
+    block_align = 0
+    n_fact = None
     for tag, s, e in _riff_chunks(data, 12, len(data)):
         if tag == b"fmt ":
             if e - s < 16:
                 raise RIFFError("short fmt chunk")
-            audio_fmt, nch, sr, _, _, bits = struct.unpack("<HHIIHH", data[s:s + 16])
-            if audio_fmt != 1 or bits != 16:
-                raise RIFFError("only PCM16 supported")
+            audio_fmt, nch, sr, _, block_align, bits = struct.unpack(
+                "<HHIIHH", data[s:s + 16]
+            )
+            if audio_fmt == 1:
+                if bits != 16:
+                    raise RIFFError("only PCM16 supported")
+            elif audio_fmt == 0x11:
+                if bits != 4:
+                    raise RIFFError("IMA ADPCM must be 4-bit")
+                if block_align < 4 * max(nch, 1):
+                    raise RIFFError("ADPCM block align too small")
+            else:
+                raise RIFFError(f"unsupported WAV format 0x{audio_fmt:04x}")
+        elif tag == b"fact" and e - s >= 4:
+            (n_fact,) = struct.unpack("<I", data[s:s + 4])
         elif tag == b"data":
             pcm = data[s:e]
     if sr is None or pcm is None or not nch:
         raise RIFFError("missing fmt/data chunk")
-    n = len(pcm) // (2 * nch)
-    samples = np.frombuffer(pcm[: n * 2 * nch], dtype="<i2").reshape(n, nch)
+    if audio_fmt == 1:
+        n = len(pcm) // (2 * nch)
+        return sr, np.frombuffer(pcm[: n * 2 * nch], dtype="<i2").reshape(n, nch), "pcm16"
+    samples = _ima_decode(pcm, nch, block_align)
+    if n_fact is not None:
+        samples = samples[:n_fact]
+    return sr, samples, "ima-adpcm"
+
+
+def decode_wav(data: bytes) -> tuple[int, "np.ndarray"]:
+    """→ (sample_rate, samples[n, channels] int16)."""
+    sr, samples, _codec = decode_wav_ex(data)
     return sr, samples
 
 
