@@ -164,15 +164,64 @@ GLYPH_NAMES = {
     "quotedblleft": 0x201C, "quotedblright": 0x201D,
     "endash": 0x2013, "emdash": 0x2014, "bullet": 0x2022,
     "ellipsis": 0x2026, "fi": 0xFB01, "fl": 0xFB02,
-    "adieresis": 0xE4, "odieresis": 0xF6, "udieresis": 0xFC,
-    "Adieresis": 0xC4, "Odieresis": 0xD6, "Udieresis": 0xDC,
-    "eacute": 0xE9, "egrave": 0xE8, "agrave": 0xE0, "ccedilla": 0xE7,
-    "germandbls": 0xDF, "euro": 0x20AC, "degree": 0xB0,
+    "germandbls": 0xDF, "euro": 0x20AC, "Euro": 0x20AC, "degree": 0xB0,
+    # Latin-1 punctuation / symbols (AGL)
+    "exclamdown": 0xA1, "cent": 0xA2, "sterling": 0xA3, "currency": 0xA4,
+    "yen": 0xA5, "brokenbar": 0xA6, "section": 0xA7, "dieresis": 0xA8,
+    "copyright": 0xA9, "ordfeminine": 0xAA, "guillemotleft": 0xAB,
+    "logicalnot": 0xAC, "registered": 0xAE, "macron": 0xAF,
+    "plusminus": 0xB1, "twosuperior": 0xB2, "threesuperior": 0xB3,
+    "acute": 0xB4, "mu": 0xB5, "paragraph": 0xB6, "periodcentered": 0xB7,
+    "cedilla": 0xB8, "onesuperior": 0xB9, "ordmasculine": 0xBA,
+    "guillemotright": 0xBB, "onequarter": 0xBC, "onehalf": 0xBD,
+    "threequarters": 0xBE, "questiondown": 0xBF, "multiply": 0xD7,
+    "divide": 0xF7,
+    # standard-encoding extras (AGL)
+    "florin": 0x192, "fraction": 0x2044, "dagger": 0x2020,
+    "daggerdbl": 0x2021, "perthousand": 0x2030, "guilsinglleft": 0x2039,
+    "guilsinglright": 0x203A, "quotesinglbase": 0x201A,
+    "quotedblbase": 0x201E, "circumflex": 0x2C6, "caron": 0x2C7,
+    "breve": 0x2D8, "dotaccent": 0x2D9, "ring": 0x2DA, "ogonek": 0x2DB,
+    "tilde": 0x2DC, "hungarumlaut": 0x2DD, "minus": 0x2212,
+    "trademark": 0x2122, "dotlessi": 0x131, "Lslash": 0x141,
+    "lslash": 0x142, "OE": 0x152, "oe": 0x153, "Scaron": 0x160,
+    "scaron": 0x161, "Ydieresis": 0x178, "Zcaron": 0x17D, "zcaron": 0x17E,
 }
 for _c in range(0x41, 0x5B):
     GLYPH_NAMES[chr(_c)] = _c
 for _c in range(0x61, 0x7B):
     GLYPH_NAMES[chr(_c)] = _c
+# Latin-1 accented letters: AGL name = base letter + accent name
+# (Agrave..ydieresis) — generated from the NFD decomposition
+import unicodedata as _ud  # noqa: E402
+
+_ACCENTED = "ÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ"
+_ACCENT_NAME = {
+    0x300: "grave", 0x301: "acute", 0x302: "circumflex", 0x303: "tilde",
+    0x308: "dieresis", 0x30A: "ring", 0x327: "cedilla",
+}
+for _u in _ACCENTED + _ACCENTED.lower():
+    _d = _ud.normalize("NFD", _u)
+    _acc = _ACCENT_NAME.get(ord(_d[1])) if len(_d) == 2 else None
+    if _acc:
+        GLYPH_NAMES[f"{_d[0]}{_acc}"] = ord(_u)
+GLYPH_NAMES.update({"AE": 0xC6, "ae": 0xE6, "Eth": 0xD0, "eth": 0xF0,
+                    "Thorn": 0xDE, "thorn": 0xFE, "Oslash": 0xD8,
+                    "oslash": 0xF8, "ydieresis": 0xFF})  # ÿ has no Latin-1 upper
+# Greek letters (AGL / Symbol-font names)
+_GREEK_UPPER = {
+    "Alpha": 0x391, "Beta": 0x392, "Gamma": 0x393, "Delta": 0x394,
+    "Epsilon": 0x395, "Zeta": 0x396, "Eta": 0x397, "Theta": 0x398,
+    "Iota": 0x399, "Kappa": 0x39A, "Lambda": 0x39B, "Mu": 0x39C,
+    "Nu": 0x39D, "Xi": 0x39E, "Omicron": 0x39F, "Pi": 0x3A0,
+    "Rho": 0x3A1, "Sigma": 0x3A3, "Tau": 0x3A4, "Upsilon": 0x3A5,
+    "Phi": 0x3A6, "Chi": 0x3A7, "Psi": 0x3A8, "Omega": 0x3A9,
+}
+GLYPH_NAMES.update(_GREEK_UPPER)
+GLYPH_NAMES.update({k.lower(): v + 0x20 for k, v in _GREEK_UPPER.items()})
+GLYPH_NAMES.update({"sigma1": 0x3C2, "theta1": 0x3D1, "phi1": 0x3D5,
+                    "omega1": 0x3D6, "Upsilon1": 0x3D2,
+                    "mu": 0xB5})  # AGL: mu;00B5 (micro), not 03BC
 
 
 def glyph_to_unicode(name: str) -> str:
@@ -659,12 +708,65 @@ def _bump_anon() -> int:
     return _next_anon_uid[0]
 
 
+def _parse_type1_builtin_encoding(data: bytes) -> dict[int, str] | None:
+    """Glyph names from an embedded Type1 program's built-in /Encoding
+    (the cleartext section before ``eexec``; PFB segment headers
+    unwrapped).  Poppler reads the same array via FoFiType1 so that
+    subsetted fonts with custom encodings and no /Encoding dict and no
+    ToUnicode still extract real text (§9.6.6.2: the base encoding of
+    an embedded font IS its built-in encoding).  Returns
+    ``{code: glyph_name}`` for ``dup <code> /<name> put`` entries, or
+    None for StandardEncoding / no encoding found."""
+    if data[:1] == b"\x80":  # PFB: 0x80 <type> <len32le> segments
+        clear = bytearray()
+        pos = 0
+        while pos + 6 <= len(data) and data[pos] == 0x80:
+            typ = data[pos + 1]
+            if typ == 3:
+                break
+            ln = int.from_bytes(data[pos + 2 : pos + 6], "little")
+            if typ == 1:
+                clear += data[pos + 6 : pos + 6 + ln]
+            pos += 6 + ln
+        clear = bytes(clear)
+    else:
+        clear = data
+    clear = clear.split(b"eexec", 1)[0]
+    m = re.search(rb"/Encoding\b", clear)
+    if m is None:
+        return None
+    tail = clear[m.end():]
+    if re.match(rb"\s+StandardEncoding\s+def", tail):
+        return None
+    enc: dict[int, str] = {}
+    # entries run until `readonly def` / `def`; bound the scan to the
+    # encoding block so charstring names later in the file can't leak in
+    block = tail.split(b" def", 1)[0]
+    for mm in re.finditer(rb"dup\s+(\d{1,3})\s*/([^\s/\]()<>{}]+)\s+put", block):
+        code = int(mm.group(1))
+        if 0 <= code <= 255:
+            enc[code] = mm.group(2).decode("latin-1")
+    return enc or None
+
+
 def _load_simple(doc: PDFDocument, fd: dict, font: Font) -> None:
     enc = doc.resolve(fd.get("Encoding"))
     base_map = STANDARD
     builtin = {"Symbol": SYMBOL, "ZapfDingbats": ZAPF_DINGBATS}.get(
         font.name.split("+", 1)[-1]
     )
+    if builtin is None:
+        # embedded Type1 program: its built-in encoding is the base
+        # (poppler FoFiType1::getEncoding; used when no /BaseEncoding)
+        desc = doc.dget(fd, "FontDescriptor")
+        ff = doc.resolve(desc.get("FontFile")) if isinstance(desc, dict) else None
+        if isinstance(ff, Stream):
+            try:
+                names = _parse_type1_builtin_encoding(ff.data())
+            except Exception:
+                names = None
+            if names:
+                builtin = {c: glyph_to_unicode(n) for c, n in names.items()}
     if builtin is not None:
         # symbolic fonts use their built-in encoding; /Encoding is
         # normally absent (PDF 32000 §9.6.6.2)

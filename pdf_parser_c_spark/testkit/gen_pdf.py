@@ -108,6 +108,7 @@ class FontSpec:
     w2_array: str | None = None  # raw /W2 payload (vertical, CID-keyed)
     type3: bool = False  # user-defined glyph procs; widths in GLYPH space
     font_matrix: tuple = (0.001, 0, 0, 0.001, 0, 0)
+    font_file: bytes | None = None  # embedded Type1 program → /FontFile
 
     def is_bold(self) -> bool:
         return "Bold" in self.base
@@ -413,11 +414,21 @@ def build_pdf(
         flags = spec.flags
         if flags is None:
             flags = 32 | (1 << 6 if spec.is_italic() else 0) | (1 << 18 if spec.is_bold() else 0)
+        ffile = ""
+        if spec.font_file is not None:
+            # /Length1 = cleartext portion (up to eexec), per §9.9 Table 127
+            clear = spec.font_file.split(b"eexec", 1)[0]
+            l1 = len(clear) + (len(b"eexec") if b"eexec" in spec.font_file else 0)
+            ff_num = w.add_stream(
+                f"/Length1 {l1} /Length2 {max(len(spec.font_file) - l1, 0)} /Length3 0",
+                spec.font_file, compress=compress,
+            )
+            ffile = f" /FontFile {ff_num} 0 R"
         fd = w.add(
             f"<< /Type /FontDescriptor /FontName /{spec.base} /Flags {flags} "
             f"/FontBBox [0 -250 1000 750] /ItalicAngle {-12 if spec.is_italic() else 0} "
             f"/Ascent 750 /Descent -250 /CapHeight 700 /StemV {140 if spec.is_bold() else 80} "
-            f"{'/FontWeight 700 ' if spec.is_bold() else ''}>>"
+            f"{'/FontWeight 700 ' if spec.is_bold() else ''}{ffile}>>"
         )
         font_nums[name] = w.add(
             f"<< /Type /Font /Subtype /Type1 /BaseFont /{spec.base} "

@@ -280,3 +280,109 @@ def test_symbol_font_builtin_greek_encoding():
     assert "α β γ" in doc.text
     assert "ΣΩΘ" in doc.text          # uppercase positions
     assert "ϑϕςϖ" in doc.text        # theta1/phi1/sigma1/omega1 slots
+
+
+# ---------------- embedded Type1 built-in encoding ----------------
+
+
+def _type1_program(entries, standard=False, pfb=False):
+    """Minimal Type1 cleartext with a built-in /Encoding, a fake eexec
+    tail (the parser never reads past `eexec`)."""
+    if standard:
+        enc = b"/Encoding StandardEncoding def\n"
+    else:
+        lines = b"".join(
+            b"dup %d /%s put\n" % (c, n.encode()) for c, n in entries
+        )
+        enc = (b"/Encoding 256 array\n"
+               b"0 1 255 {1 index exch /.notdef put} for\n"
+               + lines + b"readonly def\n")
+    clear = (b"%!PS-AdobeFont-1.0: Fixture 001.001\n"
+             b"/FontName /Fixture def\n" + enc +
+             b"currentdict end\ncurrentfile eexec\n")
+    body = clear + b"\xa5" * 32  # opaque "encrypted" tail
+    if not pfb:
+        return body
+    def seg(t, b):
+        return bytes([0x80, t]) + len(b).to_bytes(4, "little") + b
+    return seg(1, clear) + seg(2, b"\xa5" * 32) + seg(3, b"")
+
+
+def _glyphs_for(fonts, content):
+    from pdf_parser_c_spark.pdf.content import ContentInterpreter
+    from pdf_parser_c_spark.pdf.cos import PDFDocument
+    from pdf_parser_c_spark.testkit.gen_pdf import PageSpec, build_pdf
+
+    pdf = build_pdf([PageSpec(content)], fonts)
+    doc = PDFDocument.open(pdf)
+    page = doc.pages()[0]
+    interp = ContentInterpreter(doc, doc.page_mediabox(page))
+    return interp.run(doc.page_content(page), doc.dget(page, "Resources"))
+
+
+def test_type1_builtin_encoding_used_without_encoding_dict():
+    from pdf_parser_c_spark.testkit.gen_pdf import FontSpec
+
+    prog = _type1_program([(65, "alpha"), (66, "beta"), (67, "gamma")])
+    fonts = {"F1": FontSpec("Fixture", encoding=None, font_file=prog)}
+    gl = _glyphs_for(fonts, "BT /F1 12 Tf 72 700 Td (ABC) Tj ET\n")
+    assert "".join(g.text for g in gl) == "αβγ"
+
+
+def test_type1_builtin_encoding_pfb_segments():
+    from pdf_parser_c_spark.testkit.gen_pdf import FontSpec
+
+    prog = _type1_program([(65, "bullet")], pfb=True)
+    fonts = {"F1": FontSpec("Fixture", encoding=None, font_file=prog)}
+    gl = _glyphs_for(fonts, "BT /F1 12 Tf 72 700 Td (A) Tj ET\n")
+    assert [g.text for g in gl] == ["•"]
+
+
+def test_type1_standard_builtin_keeps_standard_table():
+    from pdf_parser_c_spark.testkit.gen_pdf import FontSpec
+
+    prog = _type1_program([], standard=True)
+    fonts = {"F1": FontSpec("Fixture", encoding=None, font_file=prog)}
+    gl = _glyphs_for(fonts, "BT /F1 12 Tf 72 700 Td (Hi) Tj ET\n")
+    assert "".join(g.text for g in gl) == "Hi"
+
+
+def test_explicit_encoding_overrides_builtin():
+    from pdf_parser_c_spark.testkit.gen_pdf import FontSpec
+
+    prog = _type1_program([(65, "alpha")])
+    fonts = {"F1": FontSpec("Fixture", encoding="WinAnsiEncoding",
+                            font_file=prog)}
+    gl = _glyphs_for(fonts, "BT /F1 12 Tf 72 700 Td (A) Tj ET\n")
+    assert [g.text for g in gl] == ["A"]  # /Encoding name wins (§9.6.6.2)
+
+
+def test_differences_overlay_builtin_base():
+    from pdf_parser_c_spark.testkit.gen_pdf import FontSpec
+
+    # /Encoding dict WITHOUT /BaseEncoding: base = font program's
+    # built-in table, Differences overlay it
+    prog = _type1_program([(65, "alpha"), (66, "beta")])
+    fonts = {"F1": FontSpec("Fixture", encoding=None,
+                            differences=[66, "bullet"], font_file=prog)}
+    gl = _glyphs_for(fonts, "BT /F1 12 Tf 72 700 Td (AB) Tj ET\n")
+    assert "".join(g.text for g in gl) == "α•"
+
+
+def test_agl_subset_coverage():
+    """The extended Adobe-Glyph-List subset: accented Latin-1, Greek,
+    standard-encoding extras — names /Differences and Type1 built-in
+    encodings use must decode to real codepoints, never U+FFFD."""
+    from pdf_parser_c_spark.pdf.fonts import glyph_to_unicode as g
+
+    expect = {
+        "aacute": "á", "Agrave": "À", "ntilde": "ñ", "ccedilla": "ç",
+        "ydieresis": "ÿ", "Ydieresis": "Ÿ", "oslash": "ø", "AE": "Æ",
+        "thorn": "þ", "Euro": "€", "mu": "µ", "alpha": "α",
+        "Omega": "Ω", "sigma1": "ς", "oe": "œ", "Scaron": "Š",
+        "zcaron": "ž", "florin": "ƒ", "trademark": "™", "minus": "−",
+        "quotesinglbase": "‚", "guilsinglleft": "‹", "perthousand": "‰",
+        "onehalf": "½", "questiondown": "¿", "copyright": "©",
+    }
+    for name, want in expect.items():
+        assert g(name) == want, (name, g(name))
