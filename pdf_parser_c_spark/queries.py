@@ -6378,6 +6378,108 @@ def _c4_lines_expr() -> str:
     )
 
 
+# license phrases (public identifying strings), precedence order:
+# an explicit grant beats a bare copyright notice
+LICENSE_SIGNALS = [
+    ("mit", "permission is hereby granted, free of charge"),
+    ("apache-2.0", "licensed under the apache license"),
+    ("gpl", "gnu general public license"),
+    ("cc-by", "creative commons attribution"),
+]
+LICENSE_PERMISSIVE = {"mit", "apache-2.0", "cc-by"}
+
+
+def q_filter_license_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-signal filter (The Stack / permissive-corpus curation
+    stage): classify each document by the license grant its header
+    carries — first match in a fixed precedence order, a bare
+    copyright line without a grant is its own class ('copyright-only',
+    restrictive by default), everything else 'none'.  The substrate
+    carries no license text, so every 4th doc deterministically gains
+    a grant header (doc_id%16 ∈ {0,4,8,12} → one per family) and the
+    %16==1 docs a bare copyright line — every class populated, shown
+    with its keep decision.
+    Scale: classification is case-folded substring math inside
+    whole-stage codegen (no regex dialect, no UDF); the census is ONE
+    group agg.  Real corpora swap the phrase table for the SPDX set —
+    same shape, still a broadcast-free map."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # %16==1 is disjoint from the %4==0 grant families (which occupy
+    # doc_id%16 ∈ {0,4,8,12}) so every class is populated
+    hdr = F.when(
+        F.col("doc_id") % 16 == 1,
+        F.lit("Copyright (c) 2026 Example Holder. All rights reserved. "),
+    )
+    for i, (_name, phrase) in enumerate(LICENSE_SIGNALS):
+        hdr = hdr.when(
+            (F.col("doc_id") % 4 == 0)
+            & (F.expr("doc_id div 4") % len(LICENSE_SIGNALS) == i),
+            F.lit(phrase.capitalize() + ". "),
+        )
+    licensed = d.select(
+        "source",
+        F.lower(F.concat(F.coalesce(hdr, F.lit("")), F.col("text"))).alias("lt"),
+    )
+    cls = F.lit("none")
+    cls = F.when(
+        F.col("lt").contains("copyright (c)")
+        & ~F.col("lt").contains(LICENSE_SIGNALS[0][1])
+        & ~F.col("lt").contains(LICENSE_SIGNALS[1][1])
+        & ~F.col("lt").contains(LICENSE_SIGNALS[2][1])
+        & ~F.col("lt").contains(LICENSE_SIGNALS[3][1]),
+        F.lit("copyright-only"),
+    ).otherwise(cls)
+    for name, phrase in reversed(LICENSE_SIGNALS):
+        cls = F.when(F.col("lt").contains(phrase), F.lit(name)).otherwise(cls)
+    return (
+        licensed.withColumn("license", cls)
+        .groupBy("source", "license")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max(
+                F.col("license").isin(*sorted(LICENSE_PERMISSIVE)).cast("int")
+            ).cast("boolean").alias("keep"),
+        )
+        .orderBy("source", "license")
+    )
+
+
+def _sql_filter_license() -> str:
+    phr = {n: p for n, p in LICENSE_SIGNALS}
+    hdr_cases = " ".join(
+        f"WHEN doc_id % 4 = 0 AND (doc_id // 4) % {len(LICENSE_SIGNALS)} = {i} "
+        f"THEN '{p.capitalize()}. '"
+        for i, (_n, p) in enumerate(LICENSE_SIGNALS)
+    )
+    not_any = " AND ".join(
+        f"lt NOT LIKE '%{p}%'" for p in phr.values()
+    )
+    cls_cases = " ".join(
+        f"WHEN lt LIKE '%{p}%' THEN '{n}'" for n, p in LICENSE_SIGNALS
+    )
+    perm = ", ".join(f"'{x}'" for x in sorted(LICENSE_PERMISSIVE))
+    return f"""
+WITH lic AS (
+  SELECT source,
+         lower(concat(
+           CASE WHEN doc_id % 16 = 1
+                THEN 'Copyright (c) 2026 Example Holder. All rights reserved. '
+                {hdr_cases}
+                ELSE '' END, text)) AS lt
+  FROM documents),
+cls AS (
+  SELECT source,
+         CASE {cls_cases}
+              WHEN lt LIKE '%copyright (c)%' AND {not_any}
+                THEN 'copyright-only'
+              ELSE 'none' END AS license
+  FROM lic)
+SELECT source, license, CAST(count(*) AS BIGINT) AS n_docs,
+       max(license IN ({perm})) AS keep
+FROM cls GROUP BY source, license ORDER BY source, license
+"""
+
+
 def q_filter_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level cleaning census (Raffel et al. 2020 §2.2 /
     the public tensorflow_datasets c4_utils rules): per line keep iff
@@ -8623,6 +8725,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_lm_buckets": (q_text_lm_buckets, SQL_TEXT_LM_BUCKETS),
     "text_chunk_windows": (q_text_chunk_windows, SQL_TEXT_CHUNK_WINDOWS),
     "filter_url_blocklist": (q_filter_url_blocklist, _sql_filter_url()),
+    "filter_license_signals": (q_filter_license_signals, _sql_filter_license()),
     "filter_c4_lines": (q_filter_c4_lines, SQL_FILTER_C4_LINES),
     "cluster_zorder": (q_cluster_zorder, _sql_cluster_zorder()),
     "dedup_substring_rewrite": (
