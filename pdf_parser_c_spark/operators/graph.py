@@ -144,3 +144,74 @@ def count_triangles(edges: DataFrame) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "v",
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 6,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., *Connected Components in MapReduce and Beyond*,
+    SoCC'14) — the log-round labeling that replaces hash-min
+    propagation's O(diameter) rounds:
+
+    * large-star: every node's strictly-larger neighbors re-attach to
+      the minimum of its closed neighborhood;
+    * small-star: orient edges large→small, then every smaller
+      neighbor (and the node itself) attaches to that minimum.
+
+    Each phase is ONE groupBy(min) + ONE equi-join on the edge frame —
+    no pair blowup, hot hubs are linear keys — and ``rounds``
+    alternations contract any path of length d in O(log d).  Edges are
+    ``localCheckpoint``-ed between rounds (the house pattern for
+    iterative lineage).  Isolated nodes label themselves.
+
+    → ``(node_col, component)`` with component = min node id reachable.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("a"),
+                     F.col(dst).cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.union(df.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+    for r in range(rounds):
+        if r % 2 == 0:  # large-star
+            sym = _sym(e)
+            mins = sym.groupBy("a").agg(F.min("b").alias("mv"))
+            mins = mins.select("a", F.least("a", "mv").alias("m"))
+            e = (
+                sym.join(mins, "a")
+                .filter(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            )
+        else:  # small-star
+            d = e.select(
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            ).distinct()
+            mins = d.groupBy("a").agg(F.min("b").alias("m"))
+            e = (
+                d.join(mins, "a")
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .union(mins.select(F.col("a"), F.col("m").alias("b")))
+            )
+        e = e.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
+
+    lab = _sym(e).groupBy("a").agg(F.min("b").alias("mv"))
+    lab = lab.select("a", F.least("a", "mv").alias("component"))
+    return (
+        nodes.select(F.col(node_col).cast("long").alias("a"))
+        .join(lab, "a", "left")
+        .select(
+            F.col("a").alias(node_col),
+            F.coalesce("component", F.col("a")).alias("component"),
+        )
+    )

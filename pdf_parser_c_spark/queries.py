@@ -5940,6 +5940,86 @@ FROM scores GROUP BY lang ORDER BY lang
 """
 
 
+CC_BLOCK = 16  # generator block size: bounds component diameter < 16
+CC_ROUNDS = 8  # star phases; a 15-node path converges at 8 (pinned in tests)
+CC_GAP_MULT = 2654435761  # Knuth multiplicative hash
+
+
+def q_graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al. SoCC'14) — the log-round labeling beside
+    dedup_components' hash-min propagation (which needs O(diameter)
+    rounds): component-size histogram over a deterministic graph whose
+    blocks of {b} doc_ids carry gap-broken chains plus sparse chords,
+    so components vary from singletons to near-block-size and the
+    bounded diameter (< {b}) provably converges within {r} phases.
+    Scale: each phase is ONE min-agg + ONE equi-join on the edge frame
+    — hot hubs are linear keys, never pair blowups; rounds grow with
+    log(diameter), not diameter, which is the entire point vs
+    propagation.  The oracle's recursive reachability is the exact
+    answer, so the hash check IS the convergence proof.
+    (operators/graph.connected_components_star)"""
+    from .operators.graph import connected_components_star
+
+    d = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("v"))
+    n_df = d.agg(F.count("*").alias("_n"))
+    dv = d.join(n_df)
+    e1 = dv.filter(
+        (F.expr(f"(v + 1) div {CC_BLOCK}") == F.expr(f"v div {CC_BLOCK}"))
+        & (F.col("v") + 1 < F.col("_n"))
+        & ((F.col("v") * CC_GAP_MULT) % 4 != 0)
+    ).select(F.col("v").alias("src"), (F.col("v") + 1).alias("dst"))
+    e2 = dv.filter(F.col("v") % 5 == 0).select(
+        F.col("v").alias("src"),
+        (F.expr(f"(v div {CC_BLOCK}) * {CC_BLOCK}")
+         + (F.col("v") * 7 + 3) % CC_BLOCK).alias("dst"),
+        F.col("_n"),
+    ).filter((F.col("dst") < F.col("_n")) & (F.col("dst") != F.col("src"))
+             ).select("src", "dst")
+    comp = connected_components_star(
+        d, e1.unionByName(e2), rounds=CC_ROUNDS
+    )
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").alias("n_components"))
+        .select(F.col("size").cast("long").alias("size"),
+                F.col("n_components").cast("long").alias("n_components"))
+        .orderBy("size")
+    )
+
+
+q_graph_components_star.__doc__ = q_graph_components_star.__doc__.format(
+    b=CC_BLOCK, r=CC_ROUNDS
+)
+
+
+SQL_GRAPH_COMPONENTS_STAR = f"""
+WITH RECURSIVE d AS (SELECT doc_id AS v FROM documents),
+nn AS (SELECT count(*) AS n FROM d),
+e1 AS (SELECT v AS a, v + 1 AS b FROM d, nn
+       WHERE (v + 1) // {CC_BLOCK} = v // {CC_BLOCK}
+         AND v + 1 < n AND (v * {CC_GAP_MULT}) % 4 != 0),
+e2 AS (SELECT v AS a,
+              (v // {CC_BLOCK}) * {CC_BLOCK} + (v * 7 + 3) % {CC_BLOCK} AS b
+       FROM d, nn
+       WHERE v % 5 = 0
+         AND (v // {CC_BLOCK}) * {CC_BLOCK} + (v * 7 + 3) % {CC_BLOCK} < n
+         AND (v // {CC_BLOCK}) * {CC_BLOCK} + (v * 7 + 3) % {CC_BLOCK} != v),
+sym AS (SELECT a, b FROM e1 UNION SELECT b, a FROM e1
+        UNION SELECT a, b FROM e2 UNION SELECT b, a FROM e2),
+reach(v, r) AS (SELECT v, v FROM d
+                UNION
+                SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.v),
+comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
+SELECT CAST(size AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM (SELECT component, count(*) AS size FROM comp GROUP BY component)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle census with degree-ordered orientation (Suri &
     Vassilvitskii WWW'11) over a deterministic graph on doc_ids: a
@@ -8711,6 +8791,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "graph_pagerank": (q_graph_pagerank, _sql_graph_pagerank()),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
+    "graph_components_star": (q_graph_components_star, SQL_GRAPH_COMPONENTS_STAR),
     "sample_negatives": (q_sample_negatives, SQL_SAMPLE_NEGATIVES),
     "sample_weighted_ares": (q_sample_weighted_ares, SQL_SAMPLE_WEIGHTED_ARES),
     "text_winnowing": (q_text_winnowing, SQL_TEXT_WINNOWING),

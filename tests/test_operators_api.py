@@ -1274,3 +1274,62 @@ def test_cdc_realigns_after_insertion_fixed_chunks_do_not(spark):
     assert cdc_shared >= 0.6, cdc_shared
     assert fx_shared == 0.0, fx_shared  # every fixed chunk shifted by the edit
     assert cdc_shared > fx_shared
+
+
+def _uf_components(n, edges):
+    p = list(range(n))
+
+    def find(x):
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            p[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in range(n)}
+
+
+def test_star_components_match_union_find(spark):
+    """Alternating large-star/small-star equals union-find on the
+    shapes that stress it: gap-broken paths (worst diameter for the
+    query's block generator), cliques, bridged stars, isolated
+    nodes."""
+    from pdf_parser_c_spark.operators.graph import connected_components_star
+
+    cases = [
+        (16, [(i, i + 1) for i in range(15)]),                    # path-16
+        (12, [(i, j) for i in range(8) for j in range(i + 1, 8)]),  # K8 + iso
+        (20, [(0, i) for i in range(1, 10)]
+             + [(10, i) for i in range(11, 20)] + [(9, 19)]),     # bridge
+        (10, [(2 * i, 2 * i + 1) for i in range(5)]),             # matchings
+    ]
+    for n, edges in cases:
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "v long")
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.v: r.component
+            for r in connected_components_star(nodes, e, rounds=8).collect()
+        }
+        assert got == _uf_components(n, edges), (n, edges[:3])
+
+
+def test_star_components_round_budget_documented(spark):
+    """The fixed-round contract: 8 phases close a 15-diameter path
+    (the query generator's bound); a 63-diameter path needs 12 —
+    production graphs with unbounded diameter must raise rounds
+    logarithmically or iterate to fixpoint."""
+    from pdf_parser_c_spark.operators.graph import connected_components_star
+
+    n = 64
+    edges = [(i, i + 1) for i in range(63)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "v long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    want = _uf_components(n, edges)
+    got12 = {
+        r.v: r.component
+        for r in connected_components_star(nodes, e, rounds=12).collect()
+    }
+    assert got12 == want
