@@ -3231,6 +3231,81 @@ FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination audit for the train/val/test split: every
+    jaccard-confirmed near-dup pair is classified by the splits its
+    two documents landed in — a near-dup of a test document sitting in
+    train IS leakage that exact-match decontamination misses (the
+    GPT-3/C4 report lesson; split_assign prevents it for same-KEY
+    correlation, this query measures the cross-key residue).  Census:
+    pair counts per (split_a ≤ split_b) cell with the crossing flag —
+    the production fix is dropping the train member of every crossing
+    pair (one anti-join on this frame).
+    Scale: the pair space is the DF-capped inverted index the whole
+    dedup family shares (bounded hottest key, never all-pairs); split
+    labels are map-side hash math recomputable from the id alone, and
+    both attach joins key on doc ids — broadcastable at any corpus
+    size since pairs ≪ corpus."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.sampling import assign_splits
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=4, threshold=0.2, max_shingle_df=MAX_SHINGLE_DF
+    ).select("doc_a", "doc_b")
+    sp = assign_splits(d.select("doc_id"), "doc_id", 0.1, 0.1).select(
+        "doc_id", "split"
+    )
+    j = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("_sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+    )
+    return (
+        j.groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumn("crosses", F.col("split_a") != F.col("split_b"))
+        .orderBy("split_a", "split_b")
+    )
+
+
+SQL_SPLIT_LEAKAGE = f"""
+WITH {_sql_shingle_ctes()},
+rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
+         WHERE df <= {MAX_SHINGLE_DF}),
+shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+cand AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+         FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+dup AS (SELECT da, db FROM cand
+        JOIN sizes sa ON cand.da = sa.doc_id
+        JOIN sizes sb ON cand.db = sb.doc_id
+        WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.2),
+sp AS (SELECT doc_id,
+              CASE WHEN hv < {SPLIT_VAL_T} THEN 'val'
+                   WHEN hv < {SPLIT_TEST_T} THEN 'test'
+                   ELSE 'train' END AS split
+       FROM (SELECT doc_id, {ID_HASH_DUCK.format(col='doc_id')} AS hv
+             FROM documents)),
+px AS (SELECT least(a.split, b.split) AS split_a,
+              greatest(a.split, b.split) AS split_b
+       FROM dup JOIN sp a ON dup.da = a.doc_id
+                JOIN sp b ON dup.db = b.doc_id)
+SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       split_a != split_b AS crosses
+FROM px GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing: documents shard by id hash, order
     deterministically within the shard, and cut into ~512-token packs
@@ -8801,6 +8876,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_class_cap": (q_sample_class_cap, SQL_SAMPLE_CLASS_CAP),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
+    "split_leakage_audit": (q_split_leakage_audit, SQL_SPLIT_LEAKAGE),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "text_lm_score": (q_text_lm_score, SQL_TEXT_LM_SCORE),
     "text_lm_buckets": (q_text_lm_buckets, SQL_TEXT_LM_BUCKETS),
