@@ -3231,6 +3231,161 @@ FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+PSI_BINS = 10
+PSI_BIN_W = 40.0  # value ∈ [0, 400) on the substrate
+PSI_SPLIT_TS = "2024-01-16"
+
+
+def q_audit_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: the event-value
+    distribution of the current half-month against the first
+    half-month as reference, on a FIXED bin grid (drift math must
+    never re-derive bins from the data being tested, or the drift
+    moves the yardstick).  Per-bin Laplace-smoothed shares p, q and
+    the PSI contribution (p−q)·ln(p/q) — the standard model-input
+    drift gate (PSI > 0.2 = action).  The smoothing keeps empty bins
+    finite and is exact rational math, so both engines agree before
+    the final round.
+    Scale: ONE conditional-count exchange on the bin key ({b} rows
+    out); the totals ride a window over those {b} rows.  At 100 TB
+    bins are the partial-agg output — the scan dominates, the math is
+    free; streaming sibling: hist_cells_stream on the same grid."""
+    ev = t(spark, sf_dir, "events")
+    binned = ev.select(
+        F.least(
+            F.floor(F.col("value") / PSI_BIN_W), F.lit(PSI_BINS - 1)
+        ).cast("int").alias("bin"),
+        (F.col("ts") < F.lit(PSI_SPLIT_TS).cast("timestamp")).alias("is_ref"),
+    )
+    # when() mirrors the oracle's CASE: a NULL ts lands in `current`
+    # on both engines (Spark ~NULL would silently count it in neither)
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("long").alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).cast("long").alias("n_cur"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sm = (
+        cells.withColumn("tr", F.sum("n_ref").over(w))
+        .withColumn("tc", F.sum("n_cur").over(w))
+        .withColumn("p", (F.col("n_ref") + 0.5) / (F.col("tr") + 0.5 * PSI_BINS))
+        .withColumn("q", (F.col("n_cur") + 0.5) / (F.col("tc") + 0.5 * PSI_BINS))
+    )
+    return sm.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6)
+        .alias("psi_contrib"),
+    ).orderBy("bin")
+
+
+q_audit_drift_psi.__doc__ = q_audit_drift_psi.__doc__.format(b=PSI_BINS)
+
+
+SQL_AUDIT_DRIFT_PSI = f"""
+WITH b AS (
+  SELECT least(CAST(floor(value / {PSI_BIN_W}) AS INTEGER), {PSI_BINS - 1})
+           AS bin,
+         ts < TIMESTAMP '{PSI_SPLIT_TS}' AS is_ref
+  FROM events),
+cells AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM b GROUP BY bin),
+sm AS (
+  SELECT bin, n_ref, n_cur,
+         (n_ref + 0.5) / (sum(n_ref) OVER () + 0.5 * {PSI_BINS}) AS p,
+         (n_cur + 0.5) / (sum(n_cur) OVER () + 0.5 * {PSI_BINS}) AS q
+  FROM cells)
+SELECT bin, n_ref, n_cur, round((p - q) * ln(p / q), 6) AS psi_contrib
+FROM sm ORDER BY bin
+"""
+
+
+def q_text_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-unwrap + dehyphenation repair (the post-extraction cleanup
+    every PDF-sourced corpus needs: hard-wrapped lines rejoined,
+    hyphenation breaks healed when the continuation starts lowercase —
+    the pdftotext/trafilatura repair rule).  The substrate has no line
+    breaks, so they are synthesized deterministically: every 7th word
+    long enough (and lowercase at the joint) splits as ``abc-\\nrest``,
+    every 11th inter-word space becomes a bare wrap — then the repair
+    must reconstruct the ORIGINAL text exactly, and the census proves
+    it with an md5 round-trip column per source beside the break
+    counts.
+    Scale: synthesis and repair are whole-stage-codegen string math
+    (transform + array_join + two regexp_replace); ONE census
+    exchange."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    wrap = (
+        "array_join(transform(sequence(1, size(ws)), i -> concat("
+        " CASE WHEN i % 7 = 3 AND length(ws[i-1]) >= 6"
+        "       AND substr(ws[i-1], 4, 1) BETWEEN 'a' AND 'z'"
+        "      THEN concat(substr(ws[i-1], 1, 3), '-\\n', substr(ws[i-1], 4))"
+        "      ELSE ws[i-1] END,"
+        " CASE WHEN i = size(ws) THEN ''"
+        "      WHEN i % 11 = 5 THEN '\\n' ELSE ' ' END)), '')"
+    )
+    wrapped = d.select(
+        "doc_id", "source", "text",
+        F.split("text", " ").alias("ws"),
+    ).select("doc_id", "source", "text", F.expr(wrap).alias("wt"))
+    repaired = wrapped.withColumn(
+        "rt",
+        F.regexp_replace(
+            F.regexp_replace(F.col("wt"), "-\\n([a-z])", "$1"), "\\n", " "
+        ),
+    )
+    return (
+        repaired.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.md5("rt") == F.md5("text")).cast("long")).alias("n_roundtrip"),
+            F.sum(
+                ((F.length("wt") - F.length(F.replace(F.col("wt"), F.lit("-\n"))))
+                 / 2).cast("long")
+            ).alias("n_hyphen_breaks"),
+            F.sum(
+                (F.length("wt")
+                 - F.length(F.replace(F.col("wt"), F.lit("\n")))).cast("long")
+            ).alias("n_line_wraps"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TEXT_DEHYPHENATE = r"""
+WITH w AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws
+           FROM documents),
+wr AS (
+  SELECT doc_id, source, text,
+         array_to_string(list_transform(generate_series(1, len(ws)),
+           i -> (CASE WHEN i % 7 = 3 AND length(ws[i]) >= 6
+                       AND substr(ws[i], 4, 1) BETWEEN 'a' AND 'z'
+                      THEN substr(ws[i], 1, 3) || '-' || chr(10)
+                           || substr(ws[i], 4)
+                      ELSE ws[i] END)
+                || (CASE WHEN i = len(ws) THEN ''
+                         WHEN i % 11 = 5 THEN chr(10) ELSE ' ' END)), '')
+           AS wt
+  FROM w),
+rp AS (
+  SELECT doc_id, source, text, wt,
+         replace(regexp_replace(wt, '-' || chr(10) || '([a-z])', '\1', 'g'),
+                 chr(10), ' ') AS rt
+  FROM wr)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN md5(rt) = md5(text) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_roundtrip,
+       CAST(sum((length(wt) - length(replace(wt, '-' || chr(10), ''))) // 2)
+            AS BIGINT) AS n_hyphen_breaks,
+       CAST(sum(length(wt) - length(replace(wt, chr(10), ''))) AS BIGINT)
+         AS n_line_wraps
+FROM rp GROUP BY source ORDER BY source
+"""
+
+
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-contamination audit for the train/val/test split: every
     jaccard-confirmed near-dup pair is classified by the splits its
@@ -8813,6 +8968,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKENS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_dehyphenate": (q_text_dehyphenate, SQL_TEXT_DEHYPHENATE),
     "text_pii_scrub": (q_text_pii_scrub, _sql_pii_scrub()),
     "dedup_contamination": (q_dedup_contamination, SQL_DEDUP_CONTAMINATION),
     "text_quality_repetition": (q_text_quality_repetition, SQL_TEXT_REPETITION),
@@ -8853,6 +9009,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "audit_source_overlap": (q_audit_source_overlap, SQL_AUDIT_SOURCE_OVERLAP),
     "audit_fk_orphans": (q_audit_fk_orphans, SQL_AUDIT_FK_ORPHANS),
     "audit_table_profile": (q_audit_table_profile, SQL_AUDIT_TABLE_PROFILE),
+    "audit_drift_psi": (q_audit_drift_psi, SQL_AUDIT_DRIFT_PSI),
     "events_scd2": (q_events_scd2, SQL_EVENTS_SCD2),
     "events_json_extract": (q_events_json_extract, SQL_EVENTS_JSON_EXTRACT),
     "snapshot_apply": (q_snapshot_apply, SQL_SNAPSHOT_APPLY),

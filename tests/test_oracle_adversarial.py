@@ -31,7 +31,8 @@ ADVERSARIAL_SET = [
     and n != "dedup_editdist1"  # customer-based → TPC-H set
     and n != "dedup_sorted_neighborhood"  # customer-based → TPC-H set
 ] + ["audit_source_overlap",  # documents-based (audit_fk_orphans → TPC-H set)
-     "audit_table_profile"]  # events-based; NULL axis exercises n_null
+     "audit_table_profile",  # events-based; NULL axis exercises n_null
+     "audit_drift_psi"]  # events-based; ties/NULL values exercise the bins
 
 WORDS = ("the quick brown fox jumps lazy dog spark oracle duck table "
          "scan shuffle window agg join 光 数据 処理 émigré naïve").split()
