@@ -381,3 +381,48 @@ def hist_quantile_estimates(
             .otherwise(est).alias("est"),
         )
     )
+
+
+def psi_between_cells(
+    ref_cells: DataFrame, cur_cells: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Population-stability index between two ADDITIVE histogram-cell
+    frames (the :func:`hist_cells` / ``hist_cells_stream`` shape,
+    ``(*group_cols, bin, c)``) — drift monitoring composed on the
+    mergeable grid: a streaming job keeps per-window cells as state,
+    and ANY two windows (or window-unions — cells sum) compare with
+    this read-side estimator without touching the raw rows again.
+
+    Per group: full outer bin alignment (missing bins = 0),
+    Laplace-smoothed shares p, q over the shared {HIST_BINS}-bin grid,
+    → ``(*group_cols, psi)`` with psi = Σ (p−q)·ln(p/q), rounded to 6
+    dp.  PINNED grid is the contract (both frames must share it) —
+    re-derived grids would move the yardstick between windows.
+    Cost: one join + one agg on frames that are bins×groups rows."""
+    g = group_cols or []
+    ref = ref_cells.select(*g, "bin", F.col("c").alias("c_ref"))
+    cur = cur_cells.select(*g, "bin", F.col("c").alias("c_cur"))
+    cells = (
+        ref.join(cur, [*g, "bin"], "full_outer")
+        .select(
+            *g,
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+    )
+    w = Window.partitionBy(*g) if g else Window.partitionBy(F.lit(1))
+    sm = (
+        cells.withColumn("tr", F.sum("c_ref").over(w))
+        .withColumn("tc", F.sum("c_cur").over(w))
+        .withColumn("p", (F.col("c_ref") + 0.5) / (F.col("tr") + 0.5 * HIST_BINS))
+        .withColumn("q", (F.col("c_cur") + 0.5) / (F.col("tc") + 0.5 * HIST_BINS))
+    )
+    return (
+        sm.groupBy(*g)
+        .agg(
+            F.round(
+                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+                6,
+            ).alias("psi")
+        )
+    )

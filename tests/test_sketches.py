@@ -263,3 +263,67 @@ def test_hist_quantiles_within_one_bin_of_exact(spark):
     c1 = hist_cells(one, ["grp"], "v", s1)
     for r in hist_quantile_estimates(c1, ["grp"], s1).collect():
         assert r["est"] == 5.0
+
+
+def test_psi_between_cells_drift_detection(spark):
+    """PSI over the mergeable histogram grid: identical windows score
+    ~0, a shifted window scores large; additivity means a window
+    UNION's psi equals the psi of summed cells."""
+    import pyspark.sql.functions as F
+
+    from pdf_parser_c_spark.operators.sketches import (
+        hist_cells,
+        psi_between_cells,
+    )
+
+    base = spark.createDataFrame(
+        [(float(i % 100),) for i in range(2000)], "value double"
+    )
+    shifted = spark.createDataFrame(
+        [(float(i % 100) + 200.0,) for i in range(2000)], "value double"
+    )
+    stats = spark.createDataFrame([(0.0, 300.0)], "mn double, mx double")
+    c_base = hist_cells(base, [], "value", stats)
+    c_shift = hist_cells(shifted, [], "value", stats)
+    same = psi_between_cells(c_base, c_base).collect()[0]["psi"]
+    drift = psi_between_cells(c_base, c_shift).collect()[0]["psi"]
+    assert same == 0.0
+    assert drift > 1.0, drift  # disjoint supports → huge PSI
+
+    # additivity: cells of a union == summed cells, identical psi
+    u = base.union(shifted)
+    c_union = hist_cells(u, [], "value", stats)
+    summed = (
+        c_base.union(c_shift).groupBy("bin").agg(F.sum("c").alias("c"))
+    )
+    psi_a = psi_between_cells(c_union, c_base).collect()[0]["psi"]
+    psi_b = psi_between_cells(summed, c_base).collect()[0]["psi"]
+    assert psi_a == psi_b
+
+
+def test_psi_between_cells_grouped_and_missing_bins(spark):
+    from pdf_parser_c_spark.operators.sketches import (
+        hist_cells,
+        psi_between_cells,
+    )
+
+    rows = [("a", float(v)) for v in range(50)] + [
+        ("b", float(v)) for v in range(50)
+    ]
+    ref = spark.createDataFrame(rows, "g string, value double")
+    cur = spark.createDataFrame(
+        [("a", float(v)) for v in range(50)]          # unchanged
+        + [("b", float(v) + 30.0) for v in range(50)],  # shifted
+        "g string, value double",
+    )
+    stats = spark.createDataFrame([(0.0, 100.0)], "mn double, mx double")
+    out = {
+        r["g"]: r["psi"]
+        for r in psi_between_cells(
+            hist_cells(ref, ["g"], "value", stats),
+            hist_cells(cur, ["g"], "value", stats),
+            ["g"],
+        ).collect()
+    }
+    assert out["a"] == 0.0
+    assert out["b"] > 0.5  # partial shift detected despite missing bins
