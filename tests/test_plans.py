@@ -680,3 +680,27 @@ def test_cdc_chunking_is_map_side(spark):
     plan = plan_of(spark, QUERIES["dedup_cdc_chunks"][0](spark, SF_DIR), "simple")
     assert plan.count("Generate explode") <= 3  # chunk posexplode per branch, post-projection
     assert n_data_exchanges(plan) <= 5
+
+
+def test_license_filter_single_exchange_no_udf(spark):
+    """filter_license_signals: classification must stay codegen string
+    math — one census exchange, no python evaluation, no joins."""
+    plan = plan_of(spark, QUERIES["filter_license_signals"][0](spark, SF_DIR), "simple")
+    assert n_data_exchanges(plan) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_psi_two_narrow_exchanges(spark):
+    """audit_drift_psi: one conditional-count exchange on the bin key,
+    one single-partition window over the 10 cell rows — never a third
+    pass over events."""
+    plan = plan_of(spark, QUERIES["audit_drift_psi"][0](spark, SF_DIR), "simple")
+    assert n_data_exchanges(plan) <= 1  # cells agg; the window is singlepartition
+    assert plan.count("FileScan") == 1
+
+
+def test_dehyphenate_single_exchange(spark):
+    plan = plan_of(spark, QUERIES["text_dehyphenate"][0](spark, SF_DIR), "simple")
+    assert n_data_exchanges(plan) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
