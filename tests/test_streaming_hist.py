@@ -101,3 +101,50 @@ def test_hist_stream_pinned_grid_matches_batch(spark, tmp_path):
     q3 = start_hist_cells_stream(*args, available_now=True)
     q3.awaitTermination(180)
     assert spark.read.parquet(str(tmp_path / "out")).count() == n_rows
+
+
+def test_psi_between_streamed_windows(spark, tmp_path):
+    """Drift monitoring composed on the streamed cells: two finalized
+    windows of the SAME pinned grid compare read-side with
+    psi_between_cells — no second pass over the raw rows.  Window 0
+    and window 1 carry different length mixes, so psi > 0; a window
+    compared against itself scores exactly 0."""
+    corpus = transcripts_columns_only(
+        make_transcripts(n_convs=10, turns_per_conv=4, mega_every=0)
+    )
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    # window 0: even rows; window 1: odd rows (different variant mix)
+    corpus = corpus.assign(
+        ts=pd.Series(
+            [base + pd.Timedelta(seconds=(i % 2) * 60 + i % 40)
+             for i in range(len(corpus))],
+            index=corpus.index,
+        )
+    )
+    mn = float(corpus["text"].str.len().min())
+    mx = float(corpus["text"].str.len().max())
+    inp = tmp_path / "in"
+    inp.mkdir()
+    sentinel = corpus.tail(1).assign(ts=base + pd.Timedelta(minutes=30))
+    _write_corpus(str(inp / "b0.parquet"),
+                  pd.concat([corpus, sentinel], ignore_index=True))
+    q = start_hist_cells_stream(
+        spark, str(inp), str(tmp_path / "out"), str(tmp_path / "ck"),
+        mn, mx, available_now=True,
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    w0 = out.filter(
+        F.col("win_start") == base.to_pydatetime()
+    ).select("bin", "c")
+    w1 = out.filter(
+        F.col("win_start") == (base + pd.Timedelta(minutes=1)).to_pydatetime()
+    ).select("bin", "c")
+    assert w0.count() > 0 and w1.count() > 0
+
+    from pdf_parser_c_spark.operators.sketches import psi_between_cells
+
+    self_psi = psi_between_cells(w0, w0).collect()[0]["psi"]
+    drift = psi_between_cells(w0, w1).collect()[0]["psi"]
+    assert self_psi == 0.0
+    assert drift > 0.0, drift
