@@ -8017,6 +8017,140 @@ ORDER BY adc_d, t.vec_id
 """
 
 
+IVFADC_NPROBE = 2
+IVFADC_COARSE = 32
+IVFADC_K = 10
+
+
+def q_sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the full production vector-index layout (Jégou et al.)
+    composed from the catalog's own stages: the IVF coarse quantizer
+    ({ik} trained centroids, nprobe={np}) prunes the corpus to the
+    probed cells, PQ/ADC ranks ONLY that slice from the codes frame,
+    and the top-{c} shortlist reranks exactly against the float store
+    for the final {k}.  Three memory tiers touch three data sizes:
+    centroids (K rows, broadcast), codes (9 bits/vector, probed slice
+    only), floats ({c} rows).
+    Determinism: probe selection orders by (round-free centroid
+    distance, cid); ADC and exact ranks round to 6 dp with vec_id
+    tiebreaks — the same margins as sim_pq_adc/ann_ivf_census, whose
+    k-means this query composes unchanged.
+    Scale: at 10^12 vectors the IVF cluster is the table's partition
+    key, so the ADC scan reads nprobe/K of the codes — the plan here
+    shows the same shape (cluster filter BEFORE ADC's code join)."""
+    from .operators.similarity import (
+        _ivf_train,
+        _sqdist,
+        pq_adc_scores,
+        pq_train_encode,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    assigned, cents = _ivf_train(e, "vec_id", "embedding", IVF_K, 2)
+    qrow = e.filter(F.col("vec_id") == 0).select(
+        F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("qv")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(qrow))
+        .withColumn("qd", F.expr(_sqdist("c", "qv")))
+        .orderBy("qd", "cid")
+        .limit(IVFADC_NPROBE)
+        .select(F.col("cid").alias("cluster"))
+    )
+    probed = assigned.join(F.broadcast(probe), "cluster").select("vid")
+    codes, books = pq_train_encode(
+        e, "vec_id", "embedding", 64, m=PQ_M, ksub=PQ_KSUB, iters=2
+    )
+    dsub = 64 // PQ_M
+    qslices = (
+        f"transform(sequence(0, {PQ_M - 1}),"
+        f" j -> slice(qv, j * {dsub} + 1, {dsub}))"
+    )
+    qsub = qrow.select(F.posexplode(F.expr(qslices)).alias("j", "qs"))
+    adc = pq_adc_scores(codes.join(probed, "vid"), books, qsub)
+    short = (
+        adc.orderBy(F.expr("round(adc, 6)").asc(), F.col("vid").asc())
+        .limit(IVFADC_COARSE)
+    )
+    return (
+        short.join(
+            e.select("vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("fv")),
+            short["vid"] == F.col("vec_id"),
+        )
+        .crossJoin(F.broadcast(qrow))
+        .withColumn("d", F.expr(_sqdist("fv", "qv")))
+        .orderBy(F.expr("round(d, 6)").asc(), F.col("vec_id").asc())
+        .limit(IVFADC_K)
+        .select(
+            "vec_id",
+            F.expr("round(adc, 4)").alias("adc_d"),
+            F.expr("round(d, 4)").alias("exact_d"),
+        )
+        .orderBy("exact_d", "vec_id")
+    )
+
+
+q_sim_ivfadc.__doc__ = q_sim_ivfadc.__doc__.format(
+    ik=IVF_K, np=IVFADC_NPROBE, c=IVFADC_COARSE, k=IVFADC_K
+)
+
+
+SQL_SIM_IVFADC = f"""{_IVF_CTES},
+qv AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+probe AS (SELECT cid AS cluster FROM c1, qv
+          ORDER BY {_IVF_DIST.format(v='c1.c', c='qv.qv')}, cid
+          LIMIT {IVFADC_NPROBE}),
+probed AS (SELECT a2.vec_id FROM a2 JOIN probe USING (cluster)),
+pjs AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+psub AS (SELECT vec_id, j, v[(j*16+1):(j*16+16)] AS sv FROM base, pjs),
+pseed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+          FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {PQ_KSUB})),
+pc0 AS (SELECT j, cid, v[(j*16+1):(j*16+16)] AS c FROM pseed, pjs),
+pa1 AS (
+  SELECT vec_id, j, sv, cid AS code FROM (
+    SELECT s.vec_id, s.j, s.sv, c.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY {_PQ_DIST.format(a='s.sv', b='c.c')}, c.cid) AS rn
+    FROM psub s JOIN pc0 c ON c.j = s.j)
+  WHERE rn = 1),
+pc1 AS (
+  SELECT j, code AS cid, list(m ORDER BY dim) AS c
+  FROM (
+    SELECT j, code, dim, avg(x) AS m
+    FROM (SELECT j, code, unnest(sv) AS x,
+                 unnest(generate_series(1, len(sv))) AS dim
+          FROM pa1)
+    GROUP BY j, code, dim)
+  GROUP BY j, code),
+pa2 AS (
+  SELECT vec_id, j, cid AS code FROM (
+    SELECT s.vec_id, s.j, c.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY {_PQ_DIST.format(a='s.sv', b='c.c')}, c.cid) AS rn
+    FROM psub s JOIN pc1 c ON c.j = s.j)
+  WHERE rn = 1),
+pq AS (SELECT j, sv AS qs FROM psub WHERE vec_id = 0),
+pdtab AS (SELECT c.j, c.cid, {_PQ_DIST.format(a='pq.qs', b='c.c')} AS qd
+          FROM pc1 c JOIN pq ON pq.j = c.j),
+adc AS (SELECT a.vec_id, list_sum(list(d.qd ORDER BY a.j)) AS adc
+        FROM pa2 a JOIN probed USING (vec_id)
+        JOIN pdtab d ON d.j = a.j AND d.cid = a.code
+        GROUP BY a.vec_id),
+short AS (SELECT vec_id, adc FROM adc
+          ORDER BY round(adc, 6) ASC, vec_id ASC LIMIT {IVFADC_COARSE}),
+fin AS (
+  SELECT s.vec_id, s.adc,
+         list_sum(list_transform(generate_series(1, 64),
+           i -> (b.v[i] - qv.qv[i]) * (b.v[i] - qv.qv[i]))) AS d
+  FROM short s JOIN base b ON b.vec_id = s.vec_id, qv)
+SELECT vec_id, round(adc, 4) AS adc_d, round(d, 4) AS exact_d
+FROM (SELECT * FROM fin ORDER BY round(d, 6) ASC, vec_id ASC LIMIT {IVFADC_K})
+ORDER BY exact_d, vec_id
+"""
+
+
 BPE_MERGE_ITERS = 3
 
 
@@ -8961,6 +9095,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sim_lsh_multiprobe": (q_sim_lsh_multiprobe, SQL_SIM_MULTIPROBE),
     "sim_sq8_rerank": (q_sim_sq8_rerank, SQL_SIM_SQ8_RERANK),
     "sim_pq_adc": (q_sim_pq_adc, SQL_SIM_PQ_ADC),
+    "sim_ivfadc": (q_sim_ivfadc, SQL_SIM_IVFADC),
     "sim_knn_join": (q_sim_knn_join, SQL_SIM_KNN_JOIN),
     "text_bm25_topk": (q_text_bm25_topk, SQL_TEXT_BM25),
     "text_ngram_novelty": (q_text_ngram_novelty, SQL_TEXT_NGRAM_NOVELTY),
