@@ -704,3 +704,12 @@ def test_dehyphenate_single_exchange(spark):
     plan = plan_of(spark, QUERIES["text_dehyphenate"][0](spark, SF_DIR), "simple")
     assert n_data_exchanges(plan) == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivfadc_prunes_before_adc(spark):
+    """sim_ivfadc: the probed-cluster filter must land BEFORE the ADC
+    code join (codes join probed ids, not the whole corpus), the m×k
+    distance table broadcasts, and both shortlist cuts are TakeOrdered."""
+    plan = plan_of(spark, QUERIES["sim_ivfadc"][0](spark, SF_DIR), "simple")
+    assert plan.count("TakeOrderedAndProject") >= 2  # ADC shortlist + exact rerank
+    assert "SortMergeJoin" not in plan
