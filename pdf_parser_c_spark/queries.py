@@ -3633,6 +3633,68 @@ FROM nll GROUP BY lang ORDER BY lang
 # --------------------------------------------------------------------------
 
 
+def q_events_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over irregular samples (the metric-store
+    aggregation plain avg() gets WRONG on uneven sampling: a value
+    held for an hour must weigh 60× one held for a minute).  Per user:
+    each sample holds until the next one (step interpolation), weight
+    = microseconds held via lead(ts); the last sample is excluded
+    (poll-until-next has no closing edge — the documented TWA
+    convention).  Integer-µs weights make the weighted sums exact
+    cross-engine before the final division; ties on ts break by
+    event_id in the window order.
+    Scale: ONE user-keyed exchange shared by the lead() window and the
+    groupBy (same partitioning); everything else is map-side
+    arithmetic."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    # zero-length holds (exact-ts ties) carry no weight by definition
+    # and excluding them guarantees span_us > 0 — no 0/0 divergence
+    held = ev.withColumn("nxt", F.lead("ts_us").over(w)).filter(
+        F.col("nxt").isNotNull() & (F.col("nxt") > F.col("ts_us"))
+    ).withColumn("hold_us", F.col("nxt") - F.col("ts_us"))
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("hold_us").cast("long").alias("span_us"),
+            F.round(
+                F.sum(F.col("value") * F.col("hold_us"))
+                / F.sum("hold_us"),
+                6,
+            ).alias("twa"),
+            F.round(F.avg("value"), 6).alias("naive_avg"),
+        )
+        .filter(F.col("n_intervals") >= 5)
+        .select(
+            "user_id",
+            F.col("n_intervals").cast("long").alias("n_intervals"),
+            "span_us", "twa", "naive_avg",
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_EVENTS_TIME_WEIGHTED = """
+WITH h AS (
+  SELECT user_id, value,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id)
+           - epoch_us(ts) AS hold_us
+  FROM events),
+k AS (SELECT * FROM h WHERE hold_us IS NOT NULL AND hold_us > 0)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(hold_us) AS BIGINT) AS span_us,
+       round(sum(value * hold_us) / sum(hold_us), 6) AS twa,
+       round(avg(value), 6) AS naive_avg
+FROM k GROUP BY user_id HAVING count(*) >= 5 ORDER BY user_id
+"""
+
+
 def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling time-range aggregate: per event, the trailing-1-hour
     count and value sum for its user (RANGE frame over epoch-µs order),
@@ -9124,6 +9186,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sketch_hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
     "events_pivot": (q_pivot_events, SQL_PIVOT_EVENTS),
     "events_rolling": (q_events_rolling, SQL_EVENTS_ROLLING),
+    "events_time_weighted": (q_events_time_weighted, SQL_EVENTS_TIME_WEIGHTED),
     "events_rolling_split": (q_events_rolling_split, SQL_EVENTS_ROLLING),
     "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
     "text_vocab_topk": (q_text_vocab_topk, SQL_TEXT_VOCAB),
