@@ -1829,6 +1829,74 @@ FROM documents GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease census (the readability gate some curation
+    stacks run beside Gopher rules): 206.835 − 1.015·(words/sentences)
+    − 84.6·(syllables/words), with syllables approximated by VOWEL
+    GROUPS (maximal [aeiouy]+ runs — the standard heuristic when no
+    dictionary is shipped) and sentences by terminal-punctuation runs
+    (min 1).  Exact integer counts feed one float formula, so the
+    engines agree far inside the 4-dp round; census = per-lang doc
+    count + avg score + share under 30 ('very difficult').
+    Scale: counts are regexp_count-style codegen math over the scan
+    (length-difference trick — no regex dialect in the hot path);
+    ONE census exchange."""
+    d = t(spark, sf_dir, "documents")
+    words = "size(filter(split(text, ' '), x -> x <> ''))"
+    # vowel-group count: collapse every [aeiouy]+ run to one char, then
+    # count survivors — identical regexp semantics in both engines
+    syl = (
+        "length(regexp_replace(regexp_replace(lower(text),"
+        " '[aeiouy]+', 'V'), '[^V]', ''))"
+    )
+    sents = (
+        "greatest(length(regexp_replace(regexp_replace(text,"
+        " '[.!?]+', 'S'), '[^S]', '')), 1)"
+    )
+    scored = d.select(
+        "lang",
+        F.expr(words).alias("nw"),
+        F.expr(syl).alias("ns"),
+        F.expr(sents).alias("nt"),
+    ).filter(F.col("nw") > 0).withColumn(
+        "flesch",
+        F.lit(206.835)
+        - 1.015 * F.col("nw") / F.col("nt")
+        - 84.6 * F.col("ns") / F.col("nw"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("flesch"), 4).alias("avg_flesch"),
+            F.round(
+                F.avg((F.col("flesch") < 30).cast("double")), 6
+            ).alias("very_difficult_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TEXT_READABILITY = """
+WITH s AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '), x -> x != '')) AS nw,
+         length(regexp_replace(regexp_replace(lower(text),
+                '[aeiouy]+', 'V', 'g'), '[^V]', '', 'g')) AS ns,
+         greatest(length(regexp_replace(regexp_replace(text,
+                '[.!?]+', 'S', 'g'), '[^S]', '', 'g')), 1) AS nt
+  FROM documents),
+f AS (SELECT lang,
+             206.835 - 1.015 * nw / nt - 84.6 * ns / nw AS flesch
+      FROM s WHERE nw > 0)
+SELECT lang, count(*) AS n_docs,
+       round(avg(flesch), 4) AS avg_flesch,
+       round(avg(CASE WHEN flesch < 30 THEN 1.0 ELSE 0.0 END), 6)
+         AS very_difficult_share
+FROM f GROUP BY lang ORDER BY lang
+"""
+
+
 def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length saturation + stopword signal, per source.
     Scale: map + tiny agg."""
@@ -9163,6 +9231,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_ngram_novelty": (q_text_ngram_novelty, SQL_TEXT_NGRAM_NOVELTY),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY),
+    "text_readability": (q_text_readability, SQL_TEXT_READABILITY),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKENS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_dehyphenate": (q_text_dehyphenate, SQL_TEXT_DEHYPHENATE),
