@@ -3701,6 +3701,78 @@ FROM nll GROUP BY lang ORDER BY lang
 # --------------------------------------------------------------------------
 
 
+def q_events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation (the MASE denominators every
+    forecasting pipeline needs before any model ships): hourly event
+    counts per type, then the two standard baselines — naive (previous
+    observed hour) and seasonal-naive (24 observed hours back) — and
+    their MAEs plus the seasonal/naive ratio (< 1 ⇒ daily seasonality
+    is real and a model must beat the SEASONAL baseline, not the naive
+    one).  Lags are positional over the observed series (documented:
+    gaps are skipped, not zero-filled — events_gap_fill is the
+    densifier when zero-fill semantics are wanted).
+    Scale: the raw log collapses to an hourly (type, hour) series in
+    the ONE corpus-volume exchange; the per-type window and census run
+    on the tiny aggregate.  Integer counts make every error exact;
+    only the final ratio rounds."""
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type", "c",
+        F.lag("c", 1).over(w).alias("p1"),
+        F.lag("c", 24).over(w).alias("p24"),
+    ).filter(F.col("p24").isNotNull())
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum(F.abs(F.col("c") - F.col("p1"))).cast("long").alias("ae_naive"),
+            F.sum(F.abs(F.col("c") - F.col("p24"))).cast("long").alias("ae_seasonal"),
+            F.when(
+                F.sum(F.abs(F.col("c") - F.col("p1"))) > 0,
+                F.round(
+                    F.sum(F.abs(F.col("c") - F.col("p24")))
+                    / F.sum(F.abs(F.col("c") - F.col("p1"))),
+                    6,
+                ),
+            ).alias("seasonal_vs_naive"),
+        )
+        .select(
+            "event_type",
+            F.col("n_hours").cast("long").alias("n_hours"),
+            "ae_naive", "ae_seasonal", "seasonal_vs_naive",
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_FORECAST_BASELINE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, c,
+         lag(c, 1) OVER (PARTITION BY event_type ORDER BY h) AS p1,
+         lag(c, 24) OVER (PARTITION BY event_type ORDER BY h) AS p24
+  FROM hourly)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(abs(c - p1)) AS BIGINT) AS ae_naive,
+       CAST(sum(abs(c - p24)) AS BIGINT) AS ae_seasonal,
+       CASE WHEN sum(abs(c - p1)) > 0
+            THEN round(sum(abs(c - p24)) * 1.0 / sum(abs(c - p1)), 6)
+            END AS seasonal_vs_naive
+FROM lagged WHERE p24 IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_events_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average over irregular samples (the metric-store
     aggregation plain avg() gets WRONG on uneven sampling: a value
@@ -9256,6 +9328,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_pivot": (q_pivot_events, SQL_PIVOT_EVENTS),
     "events_rolling": (q_events_rolling, SQL_EVENTS_ROLLING),
     "events_time_weighted": (q_events_time_weighted, SQL_EVENTS_TIME_WEIGHTED),
+    "events_forecast_baseline": (q_events_forecast_baseline, SQL_EVENTS_FORECAST_BASELINE),
     "events_rolling_split": (q_events_rolling_split, SQL_EVENTS_ROLLING),
     "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
     "text_vocab_topk": (q_text_vocab_topk, SQL_TEXT_VOCAB),
