@@ -3752,6 +3752,71 @@ def q_events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type volume trend via closed-form OLS over the hourly
+    series: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with x = the
+    hour's rank in the series and y = its count — EVERY sum is an
+    integer, so both engines compute the identical rational and only
+    the final division rounds (no iterative fitting, no float
+    accumulation-order hazard anywhere).  The census flags which
+    event types grow or decay — capacity planning's first question.
+    Scale: one corpus-volume exchange to the hourly aggregate; rank +
+    sums run per type on the tiny series (same partitioning)."""
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    xy = hourly.select(
+        "event_type",
+        F.row_number().over(w).cast("long").alias("x"),
+        F.col("c").cast("long").alias("y"),
+    )
+    agg = xy.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        agg.select(
+            "event_type",
+            "n",
+            F.when(den > 0, F.round(num / den, 8)).alias("slope_per_hour"),
+            (num > 0).alias("growing"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_TREND_OLS = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2),
+xy AS (
+  SELECT event_type,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+              AS BIGINT) AS x,
+         CAST(c AS BIGINT) AS y
+  FROM hourly),
+a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy GROUP BY event_type)
+SELECT event_type, n,
+       CASE WHEN (n * sxx - sx * sx) > 0
+            THEN round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 8)
+            END AS slope_per_hour,
+       (n * sxy - sx * sy) > 0 AS growing
+FROM a ORDER BY event_type
+"""
+
+
 SQL_EVENTS_FORECAST_BASELINE = """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
@@ -9329,6 +9394,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_rolling": (q_events_rolling, SQL_EVENTS_ROLLING),
     "events_time_weighted": (q_events_time_weighted, SQL_EVENTS_TIME_WEIGHTED),
     "events_forecast_baseline": (q_events_forecast_baseline, SQL_EVENTS_FORECAST_BASELINE),
+    "events_trend_ols": (q_events_trend_ols, SQL_EVENTS_TREND_OLS),
     "events_rolling_split": (q_events_rolling_split, SQL_EVENTS_ROLLING),
     "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
     "text_vocab_topk": (q_text_vocab_topk, SQL_TEXT_VOCAB),
