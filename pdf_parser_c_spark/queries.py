@@ -8284,6 +8284,76 @@ ORDER BY adc_d, t.vec_id
 """
 
 
+def q_sim_source_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift map: per-label embedding centroids and every label
+    pair's centroid cosine — the one-glance answer to "which data
+    sources occupy the same region of embedding space" that drives
+    mixture weights and dedup-threshold choices per domain.
+    Scale: the centroid update is the familiar (label, dim) partial
+    agg (labels·dim rows out of the ONE corpus exchange); the pair
+    stage is labels² rows of pure array math on a broadcastable frame.
+    Determinism: centroid means reorder at ~1e-16 against cosine
+    rounding at 1e-4; dots fold in index order in both engines."""
+    e = t(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode(
+            F.expr("CAST(embedding AS ARRAY<DOUBLE>)")).alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("m"), F.count("*").alias("n"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
+            ).alias("c"),
+            F.first("n").alias("n_vecs"),
+        )
+    )
+    a = cent.select(F.col("label").alias("label_a"),
+                    F.col("c").alias("ca"), F.col("n_vecs").alias("na"))
+    b = cent.select(F.col("label").alias("label_b"),
+                    F.col("c").alias("cb"), F.col("n_vecs").alias("nb"))
+    dot = "aggregate(zip_with(ca, cb, (x, y) -> x * y), 0D, (p, v) -> p + v)"
+    nrm = lambda col: f"aggregate({col}, 0D, (p, v) -> p + v * v)"
+    cos = (f"CASE WHEN ({nrm('ca')}) * ({nrm('cb')}) > 0"
+           f" THEN {dot} / sqrt(({nrm('ca')}) * ({nrm('cb')})) ELSE 0D END")
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a", "label_b",
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.expr(f"round({cos}, 4)").alias("centroid_cos"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+SQL_SIM_SOURCE_CENTROIDS = """
+WITH x AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS v,
+         unnest(generate_series(1, len(embedding))) AS dim
+  FROM embeddings),
+cent AS (
+  SELECT label, list(m ORDER BY dim) AS c, max(n) AS n_vecs
+  FROM (SELECT label, dim, avg(v) AS m, count(*) AS n
+        FROM x GROUP BY label, dim)
+  GROUP BY label),
+p AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         a.n_vecs AS n_a, b.n_vecs AS n_b,
+         list_sum(list_transform(generate_series(1, len(a.c)),
+                  i -> a.c[i] * b.c[i])) AS dot,
+         list_sum(list_transform(a.c, v -> v * v)) AS na2,
+         list_sum(list_transform(b.c, v -> v * v)) AS nb2
+  FROM cent a JOIN cent b ON a.label < b.label)
+SELECT label_a, label_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(CASE WHEN na2 * nb2 > 0 THEN dot / sqrt(na2 * nb2)
+                  ELSE 0 END, 4) AS centroid_cos
+FROM p ORDER BY label_a, label_b
+"""
+
+
 IVFADC_NPROBE = 2
 IVFADC_COARSE = 32
 IVFADC_K = 10
@@ -9363,6 +9433,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sim_sq8_rerank": (q_sim_sq8_rerank, SQL_SIM_SQ8_RERANK),
     "sim_pq_adc": (q_sim_pq_adc, SQL_SIM_PQ_ADC),
     "sim_ivfadc": (q_sim_ivfadc, SQL_SIM_IVFADC),
+    "sim_source_centroids": (q_sim_source_centroids, SQL_SIM_SOURCE_CENTROIDS),
     "sim_knn_join": (q_sim_knn_join, SQL_SIM_KNN_JOIN),
     "text_bm25_topk": (q_text_bm25_topk, SQL_TEXT_BM25),
     "text_ngram_novelty": (q_text_ngram_novelty, SQL_TEXT_NGRAM_NOVELTY),
