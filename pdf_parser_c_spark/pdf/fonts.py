@@ -222,6 +222,21 @@ GLYPH_NAMES.update({k.lower(): v + 0x20 for k, v in _GREEK_UPPER.items()})
 GLYPH_NAMES.update({"sigma1": 0x3C2, "theta1": 0x3D1, "phi1": 0x3D5,
                     "omega1": 0x3D6, "Upsilon1": 0x3D2,
                     "mu": 0xB5})  # AGL: mu;00B5 (micro), not 03BC
+# AGL symbol names symbolic (TrueType) fonts commonly carry in their
+# 'post' tables (glyphlist.txt): card suits, misc pictographs
+GLYPH_NAMES.update({
+    "heart": 0x2665, "spade": 0x2660, "club": 0x2663, "diamond": 0x2666,
+    "smileface": 0x263A, "invsmileface": 0x263B, "sun": 0x263C,
+    "female": 0x2640, "male": 0x2642, "musicalnote": 0x266A,
+    "musicalnotedbl": 0x266B, "invbullet": 0x25D8, "invcircle": 0x25D9,
+    "openbullet": 0x25E6, "blacksquare": 0x25A0, "whitesquare": 0x25A1,
+    "blackcircle": 0x25CF, "whitecircle": 0x25CB, "triagup": 0x25B2,
+    "triagdn": 0x25BC, "triaglf": 0x25C4, "triagrt": 0x25BA,
+    "arrowup": 0x2191, "arrowdown": 0x2193, "arrowleft": 0x2190,
+    "arrowright": 0x2192, "arrowboth": 0x2194, "arrowupdn": 0x2195,
+    "house": 0x2302, "checkmark": 0x2713, "ballotbox": 0x2610,
+    "ballotboxwithcheck": 0x2611,
+})
 
 
 def glyph_to_unicode(name: str) -> str:
@@ -387,7 +402,8 @@ _ITALIC_RE = re.compile(r"italic|oblique", re.I)
 # UniJIS-UCS2-H, UniGB-UTF16-V, UniCNS-UCS2-HW-H, UniKS-UTF16-H, ...
 _PREDEF_UNICODE_CMAP_RE = re.compile(r"^Uni[A-Za-z]+-(?:UCS2|UTF16)(?:-HW)?-[HV]$")
 
-FLAG_ITALIC = 1 << 6  # FontDescriptor /Flags bit 7 (PDF 32000 table 123)
+FLAG_SYMBOLIC = 1 << 2  # FontDescriptor /Flags bit 3 (PDF 32000 table 123)
+FLAG_ITALIC = 1 << 6  # FontDescriptor /Flags bit 7
 FLAG_FORCE_BOLD = 1 << 18
 
 # Legacy byte-oriented predefined CMaps (PDF 32000 §9.7.5.2 table 118).
@@ -767,6 +783,21 @@ def _load_simple(doc: PDFDocument, fd: dict, font: Font) -> None:
                 names = None
             if names:
                 builtin = {c: glyph_to_unicode(n) for c, n in names.items()}
+        elif font.subtype == "TrueType" and isinstance(desc, dict):
+            # symbolic TrueType: the built-in encoding lives in the
+            # embedded program's cmap/post tables (poppler FoFiTrueType
+            # / Gfx8BitFont; non-symbolic TrueType without /Encoding
+            # stays StandardEncoding, also poppler's rule)
+            dflags = doc.resolve(desc.get("Flags"))
+            symbolic = isinstance(dflags, (int, float)) and int(dflags) & FLAG_SYMBOLIC
+            ff2 = doc.resolve(desc.get("FontFile2")) if symbolic else None
+            if isinstance(ff2, Stream):
+                from .truetype import truetype_builtin_encoding
+
+                try:
+                    builtin = truetype_builtin_encoding(ff2.data())
+                except Exception:
+                    builtin = None
     if builtin is not None:
         # symbolic fonts use their built-in encoding; /Encoding is
         # normally absent (PDF 32000 §9.6.6.2)

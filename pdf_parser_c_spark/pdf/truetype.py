@@ -1,0 +1,351 @@
+"""Embedded TrueType (sfnt) font-program reader — built-in encoding
+recovery for symbolic TrueType fonts.
+
+Poppler parity: FoFiTrueType reads the embedded program's ``cmap`` and
+``post`` tables so that a symbolic TrueType font with no /Encoding dict
+and no ToUnicode still extracts real text (GfxFont.cc Gfx8BitFont: the
+built-in encoding of an embedded TrueType font is its (3,0) Microsoft
+Symbol cmap — with the 0xF000 offset convention — else its (1,0)
+Macintosh Roman cmap; glyph ids resolve to names through the ``post``
+table and names to Unicode through the Adobe Glyph List).  The
+reference links this behavior via poppler (font-type table evidence at
+``inc/pdf_utils.hpp:38-51``).
+
+Scope (the subset real documents hit): sfnt versions 0x00010000 /
+'true' / 'OTTO'; cmap subtable formats 0, 4, 6 and 12; post formats
+1.0 (standard Macintosh glyph order), 2.0 (name array), 3.0 (none).
+Everything is bounds-checked and size-capped — a hostile font program
+must yield ``None``/partial tables, never an exception escaping
+:func:`truetype_builtin_encoding` (same decode-side DoS posture as the
+image codecs).
+"""
+
+from __future__ import annotations
+
+import struct
+
+# Glyph-id cap: a cmap/post claiming more glyphs than this is treated
+# as hostile (largest real CJK fonts are ~65k; sfnt gids are uint16).
+_MAX_GLYPHS = 0x10000
+_MAX_SEGMENTS = 0x10000
+
+# The 258 standard Macintosh glyph names, in 'post' table format-1.0
+# glyph order (Apple TrueType Reference Manual, "The 'post' table";
+# identical list in the OpenType spec).  Format-2.0 name indices
+# 0..257 refer into this list.
+MAC_GLYPH_ORDER: tuple[str, ...] = (
+    ".notdef", ".null", "nonmarkingreturn", "space", "exclam", "quotedbl",
+    "numbersign", "dollar", "percent", "ampersand", "quotesingle",
+    "parenleft", "parenright", "asterisk", "plus", "comma", "hyphen",
+    "period", "slash", "zero", "one", "two", "three", "four", "five",
+    "six", "seven", "eight", "nine", "colon", "semicolon", "less",
+    "equal", "greater", "question", "at", "A", "B", "C", "D", "E", "F",
+    "G", "H", "I", "J", "K", "L", "M", "N", "O", "P", "Q", "R", "S",
+    "T", "U", "V", "W", "X", "Y", "Z", "bracketleft", "backslash",
+    "bracketright", "asciicircum", "underscore", "grave", "a", "b",
+    "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m", "n", "o",
+    "p", "q", "r", "s", "t", "u", "v", "w", "x", "y", "z", "braceleft",
+    "bar", "braceright", "asciitilde", "Adieresis", "Aring",
+    "Ccedilla", "Eacute", "Ntilde", "Odieresis", "Udieresis", "aacute",
+    "agrave", "acircumflex", "adieresis", "atilde", "aring",
+    "ccedilla", "eacute", "egrave", "ecircumflex", "edieresis",
+    "iacute", "igrave", "icircumflex", "idieresis", "ntilde", "oacute",
+    "ograve", "ocircumflex", "odieresis", "otilde", "uacute", "ugrave",
+    "ucircumflex", "udieresis", "dagger", "degree", "cent", "sterling",
+    "section", "bullet", "paragraph", "germandbls", "registered",
+    "copyright", "trademark", "acute", "dieresis", "notequal", "AE",
+    "Oslash", "infinity", "plusminus", "lessequal", "greaterequal",
+    "yen", "mu", "partialdiff", "summation", "product", "pi",
+    "integral", "ordfeminine", "ordmasculine", "Omega", "ae", "oslash",
+    "questiondown", "exclamdown", "logicalnot", "radical", "florin",
+    "approxequal", "Delta", "guillemotleft", "guillemotright",
+    "ellipsis", "nonbreakingspace", "Agrave", "Atilde", "Otilde", "OE",
+    "oe", "endash", "emdash", "quotedblleft", "quotedblright",
+    "quoteleft", "quoteright", "divide", "lozenge", "ydieresis",
+    "Ydieresis", "fraction", "currency", "guilsinglleft",
+    "guilsinglright", "fi", "fl", "daggerdbl", "periodcentered",
+    "quotesinglbase", "quotedblbase", "perthousand", "Acircumflex",
+    "Ecircumflex", "Aacute", "Edieresis", "Egrave", "Iacute",
+    "Icircumflex", "Idieresis", "Igrave", "Oacute", "Ocircumflex",
+    "apple", "Ograve", "Uacute", "Ucircumflex", "Ugrave", "dotlessi",
+    "circumflex", "tilde", "macron", "breve", "dotaccent", "ring",
+    "cedilla", "hungarumlaut", "ogonek", "caron", "Lslash", "lslash",
+    "Scaron", "scaron", "Zcaron", "zcaron", "brokenbar", "Eth", "eth",
+    "Yacute", "yacute", "Thorn", "thorn", "minus", "multiply",
+    "onesuperior", "twosuperior", "threesuperior", "onehalf",
+    "onequarter", "threequarters", "franc", "Gbreve", "gbreve",
+    "Idotaccent", "Scedilla", "scedilla", "Cacute", "cacute", "Ccaron",
+    "ccaron", "dcroat",
+)
+
+
+def sfnt_tables(data: bytes) -> dict[str, tuple[int, int]] | None:
+    """Parse the sfnt offset table; return ``{tag: (offset, length)}``
+    (offsets into *data*), or None if this is not an sfnt we read.
+    TrueType collections ('ttcf') expose their FIRST font — a PDF
+    FontFile2 embedding a whole collection is already out of spec."""
+    if len(data) < 12:
+        return None
+    if data[:4] == b"ttcf":
+        if len(data) < 16:
+            return None
+        first = struct.unpack(">I", data[12:16])[0]
+        if first + 12 > len(data):
+            return None
+        return _offset_table(data, first)
+    return _offset_table(data, 0)
+
+
+def _offset_table(data: bytes, base: int) -> dict[str, tuple[int, int]] | None:
+    ver = data[base : base + 4]
+    if ver not in (b"\x00\x01\x00\x00", b"true", b"OTTO"):
+        return None
+    (num_tables,) = struct.unpack(">H", data[base + 4 : base + 6])
+    if num_tables > 512:
+        return None
+    out: dict[str, tuple[int, int]] = {}
+    pos = base + 12
+    for _ in range(num_tables):
+        rec = data[pos : pos + 16]
+        if len(rec) < 16:
+            break
+        tag = rec[:4]
+        off, ln = struct.unpack(">II", rec[8:16])
+        if off < len(data):
+            try:
+                out[tag.decode("ascii")] = (off, min(ln, len(data) - off))
+            except UnicodeDecodeError:
+                pass
+        pos += 16
+    return out
+
+
+def parse_cmap(data: bytes) -> list[tuple[int, int, dict[int, int]]]:
+    """Parse a 'cmap' table → ``[(platform_id, encoding_id,
+    {code: gid}), ...]`` for subtable formats 0/4/6/12.  Unreadable
+    subtables are skipped, never fatal."""
+    out: list[tuple[int, int, dict[int, int]]] = []
+    if len(data) < 4:
+        return out
+    (n,) = struct.unpack(">H", data[2:4])
+    # two encoding records often share one subtable — parse each offset once
+    by_offset: dict[int, dict[int, int] | None] = {}
+    for i in range(min(n, 64)):
+        rec = data[4 + 8 * i : 12 + 8 * i]
+        if len(rec) < 8:
+            break
+        pid, eid, off = struct.unpack(">HHI", rec)
+        if off not in by_offset:
+            by_offset[off] = _parse_cmap_subtable(data, off)
+        sub = by_offset[off]
+        if sub is not None:
+            out.append((pid, eid, sub))
+    return out
+
+
+def _parse_cmap_subtable(data: bytes, off: int) -> dict[int, int] | None:
+    if off + 2 > len(data):
+        return None
+    (fmt,) = struct.unpack(">H", data[off : off + 2])
+    try:
+        if fmt == 0:
+            # byte encoding table: 256 glyph ids
+            tbl = data[off + 6 : off + 262]
+            if len(tbl) < 256:
+                return None
+            return {c: g for c, g in enumerate(tbl) if g}
+        if fmt == 4:
+            return _parse_cmap4(data, off)
+        if fmt == 6:
+            first, cnt = struct.unpack(">HH", data[off + 6 : off + 10])
+            if cnt > _MAX_GLYPHS:
+                return None
+            gids = struct.unpack(
+                f">{cnt}H", data[off + 10 : off + 10 + 2 * cnt]
+            )
+            return {first + i: g for i, g in enumerate(gids) if g}
+        if fmt == 12:
+            (ngroups,) = struct.unpack(">I", data[off + 12 : off + 16])
+            if ngroups > _MAX_SEGMENTS:
+                return None
+            m: dict[int, int] = {}
+            p = off + 16
+            for _ in range(ngroups):
+                rec = data[p : p + 12]
+                if len(rec) < 12:
+                    break
+                start, end, gid0 = struct.unpack(">III", rec)
+                if end < start or end - start > _MAX_GLYPHS:
+                    return None
+                for c in range(start, end + 1):
+                    if gid0 + (c - start):
+                        m[c] = gid0 + (c - start)
+                p += 12
+            return m
+    except struct.error:
+        return None
+    return None  # formats 2, 8, 10, 13, 14: not needed for this path
+
+
+def _parse_cmap4(data: bytes, off: int) -> dict[int, int] | None:
+    hdr = data[off : off + 14]
+    if len(hdr) < 14:
+        return None
+    _, _, _, seg_x2 = struct.unpack(">HHHH", hdr[:8])
+    segs = seg_x2 // 2
+    if not segs or segs > _MAX_SEGMENTS:
+        return None
+    p = off + 14
+    need = seg_x2 * 4 + 2  # end[] pad start[] delta[] (range offsets follow)
+    if p + need > len(data):
+        return None
+    ends = struct.unpack(f">{segs}H", data[p : p + seg_x2])
+    p += seg_x2 + 2  # skip reservedPad
+    starts = struct.unpack(f">{segs}H", data[p : p + seg_x2])
+    p += seg_x2
+    deltas = struct.unpack(f">{segs}h", data[p : p + seg_x2])
+    p += seg_x2
+    range_off_base = p
+    m: dict[int, int] = {}
+    for i in range(segs):
+        s, e, d = starts[i], ends[i], deltas[i]
+        if e < s or s == 0xFFFF:
+            continue
+        ro_pos = range_off_base + 2 * i
+        if ro_pos + 2 > len(data):
+            break
+        (ro,) = struct.unpack(">H", data[ro_pos : ro_pos + 2])
+        for c in range(s, e + 1):
+            if ro == 0:
+                g = (c + d) & 0xFFFF
+            else:
+                # "obscure indexing trick": gid lives at
+                # rangeOffset/2 + (c - start) words past this
+                # rangeOffset slot
+                gpos = ro_pos + ro + 2 * (c - s)
+                if gpos + 2 > len(data):
+                    continue
+                (g,) = struct.unpack(">H", data[gpos : gpos + 2])
+                if g:
+                    g = (g + d) & 0xFFFF
+            if g:
+                m[c] = g
+    return m
+
+
+def parse_post_names(data: bytes) -> dict[int, str]:
+    """Glyph names from a 'post' table → ``{gid: name}``.  Format 1.0
+    is the standard Macintosh order; format 2.0 carries an index array
+    plus Pascal-string names; format 3.0 (and anything else) has
+    none."""
+    if len(data) < 32:
+        return {}
+    (version,) = struct.unpack(">I", data[:4])
+    if version == 0x00010000:
+        return dict(enumerate(MAC_GLYPH_ORDER))
+    if version != 0x00020000:
+        return {}
+    if len(data) < 34:
+        return {}
+    (nglyphs,) = struct.unpack(">H", data[32:34])
+    if nglyphs > _MAX_GLYPHS or 34 + 2 * nglyphs > len(data):
+        return {}
+    idx = struct.unpack(f">{nglyphs}H", data[34 : 34 + 2 * nglyphs])
+    # Pascal-string pool after the index array
+    names: list[str] = []
+    p = 34 + 2 * nglyphs
+    while p < len(data) and len(names) < nglyphs:
+        ln = data[p]
+        chunk = data[p + 1 : p + 1 + ln]
+        if len(chunk) < ln:
+            break
+        names.append(chunk.decode("latin-1"))
+        p += 1 + ln
+    out: dict[int, str] = {}
+    for gid, ix in enumerate(idx):
+        if ix < 258:
+            out[gid] = MAC_GLYPH_ORDER[ix]
+        elif ix - 258 < len(names):
+            out[gid] = names[ix - 258]
+    return out
+
+
+def truetype_builtin_encoding(data: bytes) -> dict[int, str] | None:
+    """Built-in encoding of an embedded TrueType program:
+    ``{code: unicode_str}`` for the single-byte codes a symbolic
+    simple font can show, or None when the program yields nothing.
+
+    Subtable priority and code conventions follow poppler's
+    FoFiTrueType/Gfx8BitFont:
+
+    * (3,0) Microsoft Symbol — codes look up as ``0xF000|code`` first
+      (the PUA convention symbol fonts use), bare ``code`` second;
+    * (1,0) Macintosh Roman — codes are MacRoman bytes; glyph names
+      (via 'post') win, else the MacRoman codepage maps the code;
+    * (3,1)/(0,*) Unicode — a subsetted symbolic font whose cmap is
+      Unicode-keyed: a code that hits the cmap IS its codepoint.
+
+    Glyph ids resolve to names through 'post' and names to Unicode
+    through the AGL subset (:func:`..fonts.glyph_to_unicode`); a gid
+    with no name contributes nothing (caller's U+FFFD convention
+    stands for genuinely unknowable codes).
+    """
+    # local import: fonts.py imports this module at load time
+    from .fonts import glyph_to_unicode
+
+    try:
+        tables = sfnt_tables(data)
+        if not tables or "cmap" not in tables:
+            return None
+        off, ln = tables["cmap"]
+        subtables = parse_cmap(data[off : off + ln])
+        post: dict[int, str] = {}
+        if "post" in tables:
+            poff, pln = tables["post"]
+            post = parse_post_names(data[poff : poff + pln])
+    except Exception:
+        return None
+
+    def pick(pid: int, eid: int | None) -> dict[int, int] | None:
+        for p, e, m in subtables:
+            if p == pid and (eid is None or e == eid) and m:
+                return m
+        return None
+
+    enc: dict[int, str] = {}
+    sym = pick(3, 0)
+    if sym is not None:
+        for code in range(256):
+            gid = sym.get(0xF000 | code) or sym.get(code)
+            if not gid:
+                continue
+            name = post.get(gid)
+            if name:
+                u = glyph_to_unicode(name)
+                if u != "�":
+                    enc[code] = u
+        return enc or None
+
+    mac = pick(1, 0)
+    if mac is not None:
+        from .fonts import MAC_ROMAN
+
+        for code in range(256):
+            gid = mac.get(code)
+            if not gid:
+                continue
+            name = post.get(gid)
+            u = glyph_to_unicode(name) if name else "�"
+            if u == "�":
+                u = MAC_ROMAN.get(code, "�")
+            if u != "�":
+                enc[code] = u
+        return enc or None
+
+    uni = pick(3, 1) or pick(0, None)
+    if uni is not None:
+        for code in range(0x20, 256):
+            if uni.get(code):
+                enc[code] = chr(code)
+        return enc or None
+    return None

@@ -109,6 +109,7 @@ class FontSpec:
     type3: bool = False  # user-defined glyph procs; widths in GLYPH space
     font_matrix: tuple = (0.001, 0, 0, 0.001, 0, 0)
     font_file: bytes | None = None  # embedded Type1 program → /FontFile
+    font_file2: bytes | None = None  # embedded TrueType program → /FontFile2 (+ /Subtype /TrueType)
 
     def is_bold(self) -> bool:
         return "Bold" in self.base
@@ -415,7 +416,12 @@ def build_pdf(
         if flags is None:
             flags = 32 | (1 << 6 if spec.is_italic() else 0) | (1 << 18 if spec.is_bold() else 0)
         ffile = ""
-        if spec.font_file is not None:
+        if spec.font_file2 is not None:
+            ff_num = w.add_stream(
+                f"/Length1 {len(spec.font_file2)}", spec.font_file2, compress=compress
+            )
+            ffile = f" /FontFile2 {ff_num} 0 R"
+        elif spec.font_file is not None:
             # /Length1 = cleartext portion (up to eexec), per §9.9 Table 127
             clear = spec.font_file.split(b"eexec", 1)[0]
             l1 = len(clear) + (len(b"eexec") if b"eexec" in spec.font_file else 0)
@@ -430,8 +436,9 @@ def build_pdf(
             f"/Ascent 750 /Descent -250 /CapHeight 700 /StemV {140 if spec.is_bold() else 80} "
             f"{'/FontWeight 700 ' if spec.is_bold() else ''}{ffile}>>"
         )
+        simple_subtype = "TrueType" if spec.font_file2 is not None else "Type1"
         font_nums[name] = w.add(
-            f"<< /Type /Font /Subtype /Type1 /BaseFont /{spec.base} "
+            f"<< /Type /Font /Subtype /{simple_subtype} /BaseFont /{spec.base} "
             f"/FirstChar {spec.first_char} /LastChar {spec.last_char} "
             f"/Widths [ {widths} ] /FontDescriptor {fd} 0 R{enc}{tu} >>"
         )

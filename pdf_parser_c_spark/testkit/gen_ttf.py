@@ -1,0 +1,150 @@
+"""Minimal sfnt (TrueType) builder for font-program fixtures.
+
+Only the tables the extraction path reads ('cmap', 'post') carry real
+content; 'head' is a plausible filler so the file shape matches a real
+font.  Checksums are computed properly (cheap, and keeps fixtures
+honest against stricter readers)."""
+
+from __future__ import annotations
+
+import struct
+
+
+def _checksum(data: bytes) -> int:
+    pad = data + b"\x00" * (-len(data) % 4)
+    return sum(struct.unpack(f">{len(pad) // 4}I", pad)) & 0xFFFFFFFF
+
+
+def build_sfnt(tables: dict[str, bytes], version: bytes = b"\x00\x01\x00\x00") -> bytes:
+    """Assemble an sfnt from ``{tag: table_bytes}``."""
+    tags = sorted(tables)
+    n = len(tags)
+    # binary-search header fields per spec
+    mx = 1
+    log2 = 0
+    while mx * 2 <= n:
+        mx *= 2
+        log2 += 1
+    header = struct.pack(">4sHHHH", version, n, mx * 16, log2, (n - mx) * 16)
+    directory = b""
+    body = b""
+    off = 12 + 16 * n
+    for tag in tags:
+        data = tables[tag]
+        directory += struct.pack(
+            ">4sIII", tag.encode("ascii"), _checksum(data), off + len(body), len(data)
+        )
+        body += data + b"\x00" * (-len(data) % 4)
+    return header + directory + body
+
+
+def cmap_format0(code_to_gid: dict[int, int]) -> bytes:
+    arr = bytearray(256)
+    for c, g in code_to_gid.items():
+        arr[c] = g & 0xFF
+    return struct.pack(">HHH", 0, 262, 0) + bytes(arr)
+
+
+def cmap_format4(code_to_gid: dict[int, int]) -> bytes:
+    """Segment-mapped subtable; one segment per contiguous run with a
+    constant gid delta, glyphIdArray unused (idRangeOffset = 0)."""
+    codes = sorted(code_to_gid)
+    segs: list[tuple[int, int, int]] = []  # (start, end, delta)
+    for c in codes:
+        g = code_to_gid[c]
+        if segs and c == segs[-1][1] + 1 and (g - c) & 0xFFFF == segs[-1][2]:
+            segs[-1] = (segs[-1][0], c, segs[-1][2])
+        else:
+            segs.append((c, c, (g - c) & 0xFFFF))
+    segs.append((0xFFFF, 0xFFFF, 1))  # required terminator
+    n = len(segs)
+    seg_x2 = n * 2
+    search = 2 ** (n.bit_length() - 1)
+    body = struct.pack(f">{n}H", *(e for _, e, _ in segs))
+    body += b"\x00\x00"
+    body += struct.pack(f">{n}H", *(s for s, _, _ in segs))
+    body += struct.pack(f">{n}H", *(d for _, _, d in segs))
+    body += struct.pack(f">{n}H", *([0] * n))
+    length = 14 + len(body)
+    hdr = struct.pack(
+        ">HHHHHHH", 4, length, 0, seg_x2, search * 2,
+        search.bit_length() - 1, seg_x2 - search * 2,
+    )
+    return hdr + body
+
+
+def cmap_format6(first: int, gids: list[int]) -> bytes:
+    return struct.pack(
+        f">HHHHH{len(gids)}H", 6, 10 + 2 * len(gids), 0, first, len(gids), *gids
+    )
+
+
+def cmap_table(subtables: list[tuple[int, int, bytes]]) -> bytes:
+    hdr = struct.pack(">HH", 0, len(subtables))
+    off = 4 + 8 * len(subtables)
+    recs = b""
+    body = b""
+    for pid, eid, sub in subtables:
+        recs += struct.pack(">HHI", pid, eid, off + len(body))
+        body += sub
+    return hdr + recs + body
+
+
+def post_format2(gid_to_name: dict[int, str], n_glyphs: int) -> bytes:
+    from ..pdf.truetype import MAC_GLYPH_ORDER
+
+    std = {name: i for i, name in enumerate(MAC_GLYPH_ORDER)}
+    idx: list[int] = []
+    pool: list[bytes] = []
+    for gid in range(n_glyphs):
+        name = gid_to_name.get(gid)
+        if name is None:
+            idx.append(0)  # .notdef
+        elif name in std:
+            idx.append(std[name])
+        else:
+            idx.append(258 + len(pool))
+            pool.append(name.encode("latin-1"))
+    hdr = struct.pack(">IihhIIIII", 0x00020000, 0, 0, 0, 0, 0, 0, 0, 0)
+    body = struct.pack(f">H{n_glyphs}H", n_glyphs, *idx)
+    body += b"".join(bytes([len(p)]) + p for p in pool)
+    return hdr + body
+
+
+def post_format1() -> bytes:
+    return struct.pack(">IihhIIIII", 0x00010000, 0, 0, 0, 0, 0, 0, 0, 0)
+
+
+_HEAD = struct.pack(
+    ">IIIIHHQQhhhhHHhhh", 0x00010000, 0, 0, 0x5F0F3CF5, 0, 1000, 0, 0,
+    0, -250, 1000, 750, 0, 8, 2, 0, 0,
+)
+
+
+def build_symbol_ttf(code_to_name: dict[int, str], *, platform: tuple[int, int] = (3, 0),
+                     fmt: int = 4, post: str = "2") -> bytes:
+    """A symbolic TrueType program: gids 1.. assigned in code order;
+    for (3,0) the cmap keys follow the 0xF000 PUA convention."""
+    codes = sorted(code_to_name)
+    gid_of = {c: i + 1 for i, c in enumerate(codes)}
+    pua = 0xF000 if platform == (3, 0) else 0
+    cmap_keys = {pua | c: g for c, g in gid_of.items()}
+    if fmt == 4:
+        sub = cmap_format4(cmap_keys)
+    elif fmt == 6:
+        first = min(cmap_keys)
+        gids = [cmap_keys.get(k, 0) for k in range(first, max(cmap_keys) + 1)]
+        sub = cmap_format6(first, gids)
+    else:
+        sub = cmap_format0(cmap_keys)
+    tables = {
+        "cmap": cmap_table([(platform[0], platform[1], sub)]),
+        "head": _HEAD,
+    }
+    if post == "2":
+        tables["post"] = post_format2(
+            {g: code_to_name[c] for c, g in gid_of.items()}, len(codes) + 1
+        )
+    elif post == "1":
+        tables["post"] = post_format1()
+    return build_sfnt(tables)

@@ -1,0 +1,160 @@
+"""Embedded TrueType (sfnt) built-in encoding — poppler FoFiTrueType /
+Gfx8BitFont parity for symbolic TrueType fonts without /Encoding or
+ToUnicode: (3,0) Symbol cmap with the 0xF000 convention, (1,0)
+MacRoman cmap, glyph names via the 'post' table, AGL name→Unicode.
+Reference coverage: poppler resolves fontTrueType as a first-class
+type (inc/pdf_utils.hpp:38-51); this closes the last embedded-font-
+program gap beside the Type1 built-in /Encoding path.
+"""
+
+import struct
+
+from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+from pdf_parser_c_spark.pdf.truetype import (
+    parse_cmap,
+    parse_post_names,
+    sfnt_tables,
+    truetype_builtin_encoding,
+)
+from pdf_parser_c_spark.testkit.gen_pdf import FontSpec, PageSpec, build_pdf, tj_bytes
+from pdf_parser_c_spark.testkit.gen_ttf import (
+    build_sfnt,
+    build_symbol_ttf,
+    cmap_format4,
+    cmap_format6,
+    cmap_table,
+    post_format2,
+)
+
+# a symbol font whose codes 0x41.. carry pictograph glyph names
+NAMES = {0x41: "diamond", 0x42: "heart", 0x43: "spade", 0x20: "space"}
+
+
+def _font(ttf: bytes, flags: int = 4) -> FontSpec:
+    return FontSpec("SymTT", encoding=None, font_file2=ttf, flags=flags)
+
+
+def _extract(ttf: bytes, codes: list[int], flags: int = 4) -> str:
+    pdf = build_pdf(
+        [PageSpec(tj_bytes(72, 700, "F1", 12, bytes(codes)))], {"F1": _font(ttf, flags)}
+    )
+    doc = parse_pdf_bytes(pdf)
+    assert doc.status == "ok"
+    return doc.text
+
+
+def test_sfnt_directory_roundtrip():
+    ttf = build_symbol_ttf(NAMES)
+    tabs = sfnt_tables(ttf)
+    assert tabs is not None and {"cmap", "post", "head"} <= set(tabs)
+
+
+def test_cmap_format4_lookup():
+    ttf = build_symbol_ttf(NAMES, fmt=4)
+    off, ln = sfnt_tables(ttf)["cmap"]
+    subs = parse_cmap(ttf[off : off + ln])
+    assert len(subs) == 1
+    pid, eid, m = subs[0]
+    assert (pid, eid) == (3, 0)
+    # gids assigned 1.. in code order: 0x20 -> 1, 0x41 -> 2, ...
+    assert m[0xF020] == 1 and m[0xF041] == 2 and m[0xF043] == 4
+    assert 0xF044 not in m
+
+
+def test_cmap_format6_and_0_lookup():
+    for fmt in (6, 0):
+        ttf = build_symbol_ttf({0x41: "a1", 0x42: "a2"}, platform=(1, 0), fmt=fmt)
+        off, ln = sfnt_tables(ttf)["cmap"]
+        (pid, eid, m), = parse_cmap(ttf[off : off + ln])
+        assert (pid, eid) == (1, 0)
+        assert m == {0x41: 1, 0x42: 2}
+
+
+def test_post_format2_standard_and_custom_names():
+    ttf = build_symbol_ttf({0x41: "heart", 0x42: "comma"})
+    off, ln = sfnt_tables(ttf)["post"]
+    names = parse_post_names(ttf[off : off + ln])
+    assert names[1] == "heart"  # pool name (not in Mac order)
+    assert names[2] == "comma"  # standard-order index
+
+
+def test_post_format1_is_mac_order():
+    data = struct.pack(">IihhIIIII", 0x00010000, 0, 0, 0, 0, 0, 0, 0, 0)
+    names = parse_post_names(data)
+    assert names[0] == ".notdef" and names[3] == "space" and names[36] == "A"
+
+
+def test_builtin_encoding_symbol_cmap_agl():
+    # AGL symbol names decode through the 0xF000-offset (3,0) cmap
+    ttf = build_symbol_ttf(NAMES)
+    enc = truetype_builtin_encoding(ttf)
+    assert enc is not None
+    assert enc[0x41] == "♦"
+    assert enc[0x42] == "♥"
+    assert enc[0x20] == " "
+
+
+def test_builtin_encoding_macroman_fallback_without_post():
+    # (1,0) cmap, post format 3 (no names): codes decode as MacRoman
+    ttf = build_symbol_ttf({0xA5: "x"}, platform=(1, 0), fmt=0, post="none")
+    enc = truetype_builtin_encoding(ttf)
+    assert enc is not None
+    assert enc[0xA5] == "•"  # MacRoman 0xA5 = bullet
+
+
+def test_builtin_encoding_unicode_cmap_codes_are_codepoints():
+    ttf = build_symbol_ttf({0xE9: "x", 0x41: "y"}, platform=(3, 1), fmt=4, post="none")
+    enc = truetype_builtin_encoding(ttf)
+    assert enc[0xE9] == "é" and enc[0x41] == "A"
+
+
+def test_symbolic_truetype_extracts_real_text():
+    ttf = build_symbol_ttf(
+        {0x41: "H", 0x42: "i", 0x20: "space", 0x43: "exclam"}
+    )
+    text = _extract(ttf, [0x41, 0x42, 0x43, 0x20, 0x41, 0x42])
+    assert text == "Hi! Hi"
+
+
+def test_nonsymbolic_truetype_ignores_builtin_cmap():
+    # poppler rule: non-symbolic TrueType without /Encoding stays
+    # StandardEncoding — the embedded cmap must NOT remap ASCII
+    ttf = build_symbol_ttf({0x41: "heart"})
+    text = _extract(ttf, [0x41], flags=32)
+    assert text == "A"
+
+
+def test_differences_override_builtin():
+    ttf = build_symbol_ttf({0x41: "heart", 0x42: "spade"})
+    pdf = build_pdf(
+        [PageSpec(tj_bytes(72, 700, "F1", 12, b"\x41\x42"))],
+        {"F1": FontSpec("SymTT", encoding=None, font_file2=ttf, flags=4,
+                        differences=[0x41, "club"])},
+    )
+    doc = parse_pdf_bytes(pdf)
+    # /Differences wins for 0x41; builtin would have said heart.
+    # (Differences with no /BaseEncoding builds on the standard base —
+    # the builtin stays base_map for unlisted codes.)
+    assert doc.text[0] == "♣"
+    assert doc.text[1] == "♠"
+
+
+def test_hostile_sfnt_never_raises():
+    ttf = build_symbol_ttf(NAMES)
+    for cut in (0, 3, 11, 20, 40, len(ttf) // 2, len(ttf) - 1):
+        truetype_builtin_encoding(ttf[:cut])  # must not raise
+    # bit flips across the file
+    for pos in range(0, len(ttf), 7):
+        mutated = bytearray(ttf)
+        mutated[pos] ^= 0xFF
+        truetype_builtin_encoding(bytes(mutated))  # must not raise
+
+
+def test_truetype_with_tounicode_prefers_tounicode():
+    ttf = build_symbol_ttf({0x41: "heart"})
+    pdf = build_pdf(
+        [PageSpec(tj_bytes(72, 700, "F1", 12, b"\x41"))],
+        {"F1": FontSpec("SymTT", encoding=None, font_file2=ttf, flags=4,
+                        tounicode={0x41: "Z"})},
+    )
+    assert parse_pdf_bytes(pdf).text == "Z"
