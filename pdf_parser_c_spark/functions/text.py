@@ -286,3 +286,112 @@ def chunk_windows(tokens_col: str = "tk", width: int = 64, stride: int = 48) -> 
         f" CAST(size({win}) AS BIGINT) AS n_tokens,"
         f" array_join({win}, ' ') AS chunk))"
     )
+
+
+# ---------------- mojibake repair (ftfy-style, table-driven) ----------------
+
+def _w1252_decode(b: bytes) -> str:
+    """WHATWG windows-1252 decode: the browser behavior that CREATES
+    mojibake — unmapped cp1252 bytes (0x81 0x8D 0x8F 0x90 0x9D) pass
+    through as C1 controls instead of raising, exactly how UTF-8 text
+    served as 'latin-1/cp1252' gets corrupted in the wild."""
+    out = []
+    for byte in b:
+        try:
+            out.append(bytes([byte]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(byte))
+    return "".join(out)
+
+
+# The clean forms a web corpus actually hits: smart punctuation,
+# accented Latin-1, common symbols.  The damaged forms are COMPUTED
+# from the clean ones by the real corruption transform
+# (utf8-bytes → windows-1252 chars), so the repair table is provably
+# the inverse of the damage, not a hand-copied lookup.
+MOJIBAKE_CLEAN_FORMS = (
+    "’", "‘", "“", "”", "–", "—",
+    "…", "•", "é", "è", "á", "à",
+    "â", "ñ", "ü", "ö", "ä", "ó",
+    "ú", "ç", "É", "«", "»", "°",
+    "€",
+)
+
+# longest damaged form first: 3-byte mojibake ("â€™") contains the
+# 2-byte forms' lead chars, so replacement order is load-bearing
+MOJIBAKE_TABLE: tuple[tuple[str, str], ...] = tuple(
+    sorted(
+        ((_w1252_decode(c.encode("utf-8")), c) for c in MOJIBAKE_CLEAN_FORMS),
+        key=lambda p: (-len(p[0]), p[0]),
+    )
+)
+
+
+def repair_mojibake(col: str = "text") -> Column:
+    """Heal UTF-8-read-as-windows-1252 mojibake with a chained
+    JVM-side replace over :data:`MOJIBAKE_TABLE` (ftfy's most common
+    fix, table-driven so the DuckDB oracle can mirror it exactly).
+    Whole-stage-codegen string math — no UDF, no shuffle."""
+    c = F.col(col)
+    for damaged, clean in MOJIBAKE_TABLE:
+        c = F.replace(c, F.lit(damaged), F.lit(clean))
+    return c
+
+
+def nfc_normalize(col: str = "text") -> Column:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF —
+    Spark has no built-in normalizer, so this is the sanctioned slow
+    path (vectorized batches, never per-row Python).  The fast path
+    skips already-normalized strings (the overwhelming majority of
+    real text) via ``unicodedata.is_normalized``, so the per-batch
+    cost is one C-level scan + rare recompose."""
+    import pandas as pd  # noqa: F401 — resolves the PEP-563 hints below
+    from pyspark.sql.functions import pandas_udf
+
+    import unicodedata
+
+    def _nfc_map(x):
+        if x is None or unicodedata.is_normalized("NFC", x):
+            return x
+        return unicodedata.normalize("NFC", x)
+
+    # build the hints eagerly (module has `from __future__ import
+    # annotations`, which would leave 'pd.Series' strings pandas_udf
+    # can't resolve against this module's globals)
+    _nfc_kernel = lambda s: s.map(_nfc_map)  # noqa: E731
+    _nfc_kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _nfc = pandas_udf(_nfc_kernel, "string")
+
+    return _nfc(F.col(col))
+
+
+TRACKING_PARAM_PATTERNS = ("utm_%", "fbclid=%", "gclid=%", "ref=%")
+
+
+def url_canonicalize(col: str = "url") -> Column:
+    """Canonical URL form for URL-level dedup (the RefinedWeb/CCNet
+    front gate): lowercase scheme + host, strip a leading ``www.``,
+    strip explicit default ports (:80/:443), drop the fragment, drop
+    tracking params (utm_*, fbclid, gclid, ref), sort surviving query
+    params, collapse ``/index.html`` and trailing slashes.  Pure
+    whole-stage-codegen regex/array math, mirrorable in ANSI SQL."""
+    u = col
+    not_tracking = " AND ".join(
+        f"NOT p LIKE '{pat}'" for pat in TRACKING_PARAM_PATTERNS
+    )
+    q_sorted = (
+        f"array_join(array_sort(filter(split("
+        f"regexp_extract({u}, '\\\\?([^#]*)', 1), '&'),"
+        f" p -> p != '' AND {not_tracking})), '&')"
+    )
+    return F.expr(
+        f"concat("
+        f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '://',"
+        f"regexp_replace(regexp_replace(lower(regexp_extract({u},"
+        f" '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),"
+        f" '^www\\\\.', ''), ':(80|443)$', ''),"
+        f"regexp_replace(regexp_replace(regexp_extract({u},"
+        f" '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),"
+        f" '/index\\\\.html$', '/'), '(.)/$', '$1'),"
+        f"CASE WHEN {q_sorted} = '' THEN '' ELSE concat('?', {q_sorted}) END)"
+    )

@@ -111,6 +111,9 @@ def main() -> None:
         "sim_knn_join": "kNN join: the (band, code) bucket is the ONE shuffle key feeding FlatMapGroupsInPandas (per-cell matmul emits <= n_b*k rows); no pair join, no global sort — the N^2 directed-pair space exists only in the oracle",
         "text_bm25_topk": "BM25: NO corpus-keyed exchange — vocab-bounded count agg derives the query terms, broadcast filter precedes the tiny (doc,token) tf agg; token array materialized in its own projection BEFORE size+explode (inline, the split re-runs per exploded row — measured 8x on the token pass); N/avgdl 1-row broadcast, TakeOrdered cut",
         "text_ngram_novelty": "novelty census: shingle build rides the memoized map-side _shingled frame (InMemoryTableScan, no new corpus explode); ONE h-keyed window exchange for df, doc-keyed agg, source attach ships 2 columns",
+        "text_mojibake_repair": "mojibake heal: synthesis + 25-entry replace chain all map-side codegen string math (no Generate, no join); the per-source census is the corpus's ONLY exchange",
+        "text_nfc_normalize": "NFC: ONE ArrowEvalPython (vectorized pandas UDF — the catalog's sanctioned slow path, Spark has no normalizer) between the scan and the census agg; no joins, one exchange",
+        "filter_url_canonicalize": "URL dedup gate: synthesis + canonicalization map-side regex/array codegen; ONE (source, canon) exchange then the tiny source rollup rides partial/final agg",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

@@ -9356,6 +9356,292 @@ ORDER BY lift DESC, pair LIMIT {COLLOC_TOPK}
 """
 
 
+def q_text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake healing (ftfy's most common fix): UTF-8 text that was
+    decoded as windows-1252 somewhere upstream carries â€™-style
+    corruption; the repair is a table-driven replace chain whose table
+    is COMPUTED from the real corruption transform
+    (``functions.text.MOJIBAKE_TABLE``: utf8-bytes → WHATWG cp1252
+    chars), longest damaged form first.  The substrate is clean, so
+    damage is synthesized deterministically — every doc gets one
+    damaged suffix chosen by id hash — and the census proves repair
+    with an md5 round-trip against the expected clean text per source.
+    Scale: synthesis and repair are whole-stage-codegen string math
+    (chained replace); ONE census exchange, no UDFs, no joins."""
+    from .functions.text import MOJIBAKE_TABLE, repair_mojibake
+
+    k = len(MOJIBAKE_TABLE)
+    dmg_arr = F.array(*[F.lit(d) for d, _ in MOJIBAKE_TABLE])
+    cln_arr = F.array(*[F.lit(c) for _, c in MOJIBAKE_TABLE])
+    idx = F.expr(
+        "CAST(pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 15),"
+        f" 16, 10) as bigint), {k}) AS INT)"
+    )
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("_i", idx)
+        .withColumn(
+            "damaged",
+            F.concat(F.col("text"), F.lit(" "), F.element_at(dmg_arr, F.col("_i") + 1)),
+        )
+        .withColumn(
+            "expected",
+            F.concat(F.col("text"), F.lit(" "), F.element_at(cln_arr, F.col("_i") + 1)),
+        )
+        .withColumn("repaired", repair_mojibake("damaged"))
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("repaired") != F.col("damaged")).cast("long")).alias(
+                "n_changed"
+            ),
+            F.sum((F.md5("repaired") == F.md5("expected")).cast("long")).alias(
+                "n_roundtrip"
+            ),
+            F.sum(
+                (F.length("damaged") - F.length("repaired")).cast("long")
+            ).alias("chars_healed"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mojibake_sql() -> str:
+    from .functions.text import MOJIBAKE_TABLE
+
+    k = len(MOJIBAKE_TABLE)
+    dmg = ", ".join("'" + d.replace("'", "''") + "'" for d, _ in MOJIBAKE_TABLE)
+    cln = ", ".join("'" + c.replace("'", "''") + "'" for _, c in MOJIBAKE_TABLE)
+    chain = "damaged"
+    for d, c in MOJIBAKE_TABLE:
+        chain = f"replace({chain}, '{d}', '{c}')"
+    return f"""
+WITH sel AS (
+  SELECT doc_id, source, text,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {k} AS INT) AS i
+  FROM documents),
+dm AS (
+  SELECT source,
+         text || ' ' || list_extract([{dmg}], i + 1) AS damaged,
+         text || ' ' || list_extract([{cln}], i + 1) AS expected
+  FROM sel),
+rp AS (SELECT source, damaged, expected, {chain} AS repaired FROM dm)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN repaired <> damaged THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(sum(CASE WHEN md5(repaired) = md5(expected) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_roundtrip,
+       CAST(sum(length(damaged) - length(repaired)) AS BIGINT) AS chars_healed
+FROM rp GROUP BY source ORDER BY source
+"""
+
+
+SQL_TEXT_MOJIBAKE = _mojibake_sql()
+
+# NFD / mixed-form suffixes for the NFC query: combining acute,
+# diaeresis, multi-combining canonical ordering (dot-below sorts before
+# acute), A+ring → Å, an already-NFC control, and the classic
+# d-dot-above + dot-below reorder (NFC = d-dot-below + combining dot
+# above).  All old, stable codepoints so Python's unicodedata and
+# DuckDB's ICU normalizer agree.
+NFD_VARIANTS = (
+    "café",
+    "nöel",
+    "ạ́",
+    "Å",
+    "déjà",
+    "ḍ̇",
+)
+
+
+def q_text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization step upstream
+    of every exact-dedup/fingerprint stage (decomposed "é" must hash
+    like composed "é" or dedup silently misses).  Spark has no
+    built-in normalizer, so this is the catalog's one sanctioned
+    Arrow-batched pandas UDF over text (``functions.text.
+    nfc_normalize``), with an ``is_normalized`` fast path.  The oracle
+    is DuckDB's independent ``nfc_normalize`` implementation — a real
+    cross-engine pin of UAX #15, not a mirrored formula — checked by
+    an exact 48-bit md5-prefix hash SUM over every normalized string.
+    The substrate is ASCII-clean, so NFD suffixes are synthesized
+    deterministically per doc (incl. the canonical-reordering case
+    ḋ+dot-below whose NFC is ḍ+dot-above).
+    Scale: map-side UDF (one Arrow roundtrip) + ONE census exchange;
+    the 48-bit hash sum stays exact in a BIGINT up to ~30k docs per
+    group at this scale — swap to per-bucket sums at corpus scale."""
+    from .functions.text import nfc_normalize
+
+    k = len(NFD_VARIANTS)
+    arr = F.array(*[F.lit(v) for v in NFD_VARIANTS])
+    idx = F.expr(
+        "CAST(pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 15),"
+        f" 16, 10) as bigint), {k}) AS INT)"
+    )
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn(
+            "damaged",
+            F.concat(F.col("text"), F.lit(" "), F.element_at(arr, idx + 1)),
+        )
+        .withColumn("norm", nfc_normalize("damaged"))
+    )
+    h48 = "cast(conv(substr(md5(norm), 1, 12), 16, 10) as bigint)"
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("norm") != F.col("damaged")).cast("long")).alias(
+                "n_changed"
+            ),
+            F.sum(
+                (F.length("damaged") - F.length("norm")).cast("long")
+            ).alias("len_delta"),
+            F.sum(F.expr(h48)).alias("norm_hash_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+def _nfc_sql() -> str:
+    k = len(NFD_VARIANTS)
+    lits = ", ".join("'" + v + "'" for v in NFD_VARIANTS)
+    return f"""
+WITH sel AS (
+  SELECT source,
+         text || ' ' || list_extract([{lits}],
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % {k} AS INT) + 1) AS damaged
+  FROM documents),
+n AS (SELECT source, damaged, nfc_normalize(damaged) AS norm FROM sel)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN norm <> damaged THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(sum(length(damaged) - length(norm)) AS BIGINT) AS len_delta,
+       CAST(sum(CAST(('0x' || substr(md5(norm), 1, 12)) AS BIGINT)) AS BIGINT)
+         AS norm_hash_sum
+FROM n GROUP BY source ORDER BY source
+"""
+
+
+SQL_TEXT_NFC = _nfc_sql()
+
+URL_SCHEMES = ("http", "https", "HTTP", "Https")
+URL_HOSTS = (
+    "Example.COM", "www.example.com", "example.com:443",
+    "blog.example.com", "WWW.Example.Com:80", "news.site.org",
+)
+URL_PATHS = ("/a/b", "/a/b/", "/", "", "/a/index.html")
+URL_QUERIES = ("", "?utm_source=x&id=7", "?id=7",
+               "?id=7&utm_campaign=y&ref=z", "?b=2&a=1")
+URL_FRAGS = ("", "#top", "#sec-2")
+
+
+def q_filter_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup census — the cheapest
+    dedup gate a web corpus runs FIRST (RefinedWeb dedups by URL
+    before any content pass): lowercase scheme/host, strip www. and
+    default ports, drop fragments and tracking params, sort surviving
+    params, collapse /index.html and trailing slashes
+    (``functions.text.url_canonicalize``).  URLs are synthesized from
+    independent hash digits of doc_id so every collapse rule fires on
+    the substrate (case, port, slash, param-order, tracking-param
+    collisions all present by construction).
+    Scale: canonicalization is map-side regex/array codegen; the dedup
+    census pays one exchange on the canonical key, then a tiny
+    per-source rollup — the same shape exact-dedup runs at 100 TB."""
+    from .functions.text import url_canonicalize
+
+    def pick(pos: int, arr: tuple, alias: str) -> F.Column:
+        return F.element_at(
+            F.array(*[F.lit(v) for v in arr]),
+            F.expr(
+                f"CAST(CAST(conv(substr(md5(cast(doc_id as string)), {pos}, 1),"
+                f" 16, 10) AS INT) % {len(arr)} AS INT)"
+            )
+            + 1,
+        ).alias(alias)
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            pick(1, URL_SCHEMES, "s"), F.lit("://"), pick(2, URL_HOSTS, "h"),
+            pick(3, URL_PATHS, "p"), pick(4, URL_QUERIES, "q"),
+            pick(5, URL_FRAGS, "f"),
+        ).alias("url"),
+    )
+    canon = d.withColumn("canon", url_canonicalize("url"))
+    groups = canon.groupBy("source", "canon").agg(F.count("*").alias("_n"))
+    return (
+        groups.groupBy("source")
+        .agg(
+            F.sum("_n").alias("n_urls"),
+            F.count("*").alias("n_canonical"),
+            (F.sum("_n") - F.count("*")).alias("n_dup_rows"),
+            F.max("_n").alias("max_group"),
+        )
+        .orderBy("source")
+    )
+
+
+def _url_canon_sql() -> str:
+    def pick(pos: int, arr: tuple) -> str:
+        lits = ", ".join("'" + v + "'" for v in arr)
+        return (
+            f"list_extract([{lits}],"
+            f" CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), {pos}, 1))"
+            f" AS INT) % {len(arr)} AS INT) + 1)"
+        )
+
+    from .functions.text import TRACKING_PARAM_PATTERNS
+
+    not_tracking = " AND ".join(
+        f"NOT p LIKE '{pat}'" for pat in TRACKING_PARAM_PATTERNS
+    )
+    # COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join(array()) is '' (the known cross-engine trap)
+    q_sorted = (
+        "COALESCE(array_to_string(list_sort(list_filter(string_split("
+        "regexp_extract(url, '\\?([^#]*)', 1), '&'),"
+        f" p -> p <> '' AND {not_tracking})), '&'), '')"
+    )
+    return f"""
+WITH u AS (
+  SELECT source,
+         {pick(1, URL_SCHEMES)} || '://' || {pick(2, URL_HOSTS)}
+         || {pick(3, URL_PATHS)} || {pick(4, URL_QUERIES)}
+         || {pick(5, URL_FRAGS)} AS url
+  FROM documents),
+c AS (
+  SELECT source,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
+         || regexp_replace(regexp_replace(lower(regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+              '^www\\.', ''), ':(80|443)$', '')
+         || regexp_replace(regexp_replace(regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+              '/index\\.html$', '/'), '(.)/$', '\\1')
+         || CASE WHEN {q_sorted} = '' THEN ''
+                 ELSE '?' || {q_sorted} END AS canon
+  FROM u),
+g AS (SELECT source, canon, count(*) AS _n FROM c GROUP BY source, canon)
+SELECT source, CAST(sum(_n) AS BIGINT) AS n_urls,
+       CAST(count(*) AS BIGINT) AS n_canonical,
+       CAST(sum(_n) - count(*) AS BIGINT) AS n_dup_rows,
+       CAST(max(_n) AS BIGINT) AS max_group
+FROM g GROUP BY source ORDER BY source
+"""
+
+
+SQL_FILTER_URL_CANON = _url_canon_sql()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9516,6 +9802,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_lm_buckets": (q_text_lm_buckets, SQL_TEXT_LM_BUCKETS),
     "text_chunk_windows": (q_text_chunk_windows, SQL_TEXT_CHUNK_WINDOWS),
     "filter_url_blocklist": (q_filter_url_blocklist, _sql_filter_url()),
+    "filter_url_canonicalize": (q_filter_url_canonicalize, SQL_FILTER_URL_CANON),
+    "text_mojibake_repair": (q_text_mojibake_repair, SQL_TEXT_MOJIBAKE),
+    "text_nfc_normalize": (q_text_nfc_normalize, SQL_TEXT_NFC),
     "filter_license_signals": (q_filter_license_signals, _sql_filter_license()),
     "filter_c4_lines": (q_filter_c4_lines, SQL_FILTER_C4_LINES),
     "cluster_zorder": (q_cluster_zorder, _sql_cluster_zorder()),
