@@ -172,7 +172,50 @@ def connected_components_star(
 
     → ``(node_col, component)`` with component = min node id reachable.
     """
-    e = (
+    e = _cc_edge_frame(edges, src, dst)
+    for r in range(rounds):
+        e = _star_phase(e, r)
+    return _cc_labels(nodes, node_col, e)
+
+
+def connected_components_fixpoint(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "v",
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 64,
+) -> tuple[DataFrame, int]:
+    """Adaptive variant of :func:`connected_components_star` — the
+    production driver loop: alternate large-star/small-star until the
+    contracted edge frame stops changing, instead of trusting a fixed
+    round count.  Convergence is checked once per ALTERNATION (two
+    phases) with a single ``exceptAll().isEmpty()`` job over the
+    localCheckpoint-ed frames — both sides are materialized RDD scans,
+    so the check costs one light job, not a recomputation of the
+    lineage.  ``max_rounds`` bounds hostile inputs (a path of length d
+    needs ~2·log2(d) phases; 64 covers any graph that fits in storage).
+
+    Returns ``(labels, phases_run)`` so callers can record convergence
+    depth in lineage/metrics tables.
+    """
+    e = _cc_edge_frame(edges, src, dst).localCheckpoint()
+    phases = 0
+    while phases < max_rounds:
+        prev = e
+        e = _star_phase(e, 0)
+        e = _star_phase(e, 1)
+        phases += 2
+        # same-shape distinct frames: equality == empty difference both
+        # ways; one direction suffices because the star phases never
+        # grow the (a → min) mapping once stable
+        if e.exceptAll(prev).isEmpty() and prev.exceptAll(e).isEmpty():
+            break
+    return _cc_labels(nodes, node_col, e), phases
+
+
+def _cc_edge_frame(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return (
         edges.select(F.col(src).cast("long").alias("a"),
                      F.col(dst).cast("long").alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -180,32 +223,36 @@ def connected_components_star(
         .distinct()
     )
 
-    def _sym(df: DataFrame) -> DataFrame:
-        return df.union(df.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
-    for r in range(rounds):
-        if r % 2 == 0:  # large-star
-            sym = _sym(e)
-            mins = sym.groupBy("a").agg(F.min("b").alias("mv"))
-            mins = mins.select("a", F.least("a", "mv").alias("m"))
-            e = (
-                sym.join(mins, "a")
-                .filter(F.col("b") > F.col("a"))
-                .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            )
-        else:  # small-star
-            d = e.select(
-                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
-            ).distinct()
-            mins = d.groupBy("a").agg(F.min("b").alias("m"))
-            e = (
-                d.join(mins, "a")
-                .select(F.col("b").alias("a"), F.col("m").alias("b"))
-                .union(mins.select(F.col("a"), F.col("m").alias("b")))
-            )
-        e = e.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
+def _cc_sym(df: DataFrame) -> DataFrame:
+    return df.union(df.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
-    lab = _sym(e).groupBy("a").agg(F.min("b").alias("mv"))
+
+def _star_phase(e: DataFrame, r: int) -> DataFrame:
+    if r % 2 == 0:  # large-star
+        sym = _cc_sym(e)
+        mins = sym.groupBy("a").agg(F.min("b").alias("mv"))
+        mins = mins.select("a", F.least("a", "mv").alias("m"))
+        e = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+    else:  # small-star
+        d = e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).distinct()
+        mins = d.groupBy("a").agg(F.min("b").alias("m"))
+        e = (
+            d.join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mins.select(F.col("a"), F.col("m").alias("b")))
+        )
+    return e.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
+
+
+def _cc_labels(nodes: DataFrame, node_col: str, e: DataFrame) -> DataFrame:
+    lab = _cc_sym(e).groupBy("a").agg(F.min("b").alias("mv"))
     lab = lab.select("a", F.least("a", "mv").alias("component"))
     return (
         nodes.select(F.col(node_col).cast("long").alias("a"))

@@ -1333,3 +1333,43 @@ def test_star_components_round_budget_documented(spark):
         for r in connected_components_star(nodes, e, rounds=12).collect()
     }
     assert got12 == want
+
+
+def test_fixpoint_components_converge_and_report_phases(spark):
+    """The adaptive driver loop: converges on every shape without a
+    tuned round count, reports phases run, and stops EARLY on shallow
+    graphs (a star needs far fewer phases than the path-64 worst
+    case)."""
+    from pdf_parser_c_spark.operators.graph import connected_components_fixpoint
+
+    n = 64
+    path = [(i, i + 1) for i in range(63)]
+    star = [(0, i) for i in range(1, 64)]
+    phases_by_shape = {}
+    for name, edges in (("path", path), ("star", star)):
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "v long")
+        e = spark.createDataFrame(edges, "src long, dst long")
+        labels, phases = connected_components_fixpoint(nodes, e)
+        got = {r.v: r.component for r in labels.collect()}
+        assert got == _uf_components(n, edges), name
+        phases_by_shape[name] = phases
+    # log-depth contract: the deep path costs more alternations than
+    # the depth-1 star, and both converge within the backstop
+    assert phases_by_shape["star"] < phases_by_shape["path"] <= 64
+    assert phases_by_shape["star"] <= 4
+
+
+def test_fixpoint_components_match_fixed_rounds(spark):
+    from pdf_parser_c_spark.operators.graph import (
+        connected_components_fixpoint,
+        connected_components_star,
+    )
+
+    n = 20
+    edges = [(0, i) for i in range(1, 10)] + [(10, i) for i in range(11, 20)] + [(9, 19)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "v long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    fixed = {r.v: r.component
+             for r in connected_components_star(nodes, e, rounds=8).collect()}
+    labels, _ = connected_components_fixpoint(nodes, e)
+    assert {r.v: r.component for r in labels.collect()} == fixed
