@@ -1,0 +1,196 @@
+"""Embedded-image extraction from PDF transcript turns — the figure/
+scan harvesting stage of a multimodal training-data pipeline, tying
+the PDF object stack to the image-codec family.
+
+The TEXT kernel rightly skips image XObjects (the reference links
+poppler with image codecs disabled — ``pdf/content.py``); this
+operator is the opposite consumer: it walks each armored-PDF turn's
+pages, finds /Subtype /Image XObjects (one bounded level of Form
+XObject nesting included), decodes the honest subset — raw 8-bit
+DeviceGray/DeviceRGB behind the standard filter chain, and
+/DCTDecode JPEGs through ``jpeg_codec`` — and emits typed feature
+rows (dims, mean luma, 8×8 average hash).  Everything outside that
+subset becomes a LABELED row (decoder='stub' / status), never a
+crash: the multimodal contract.
+
+Scale: one mapInPandas pass, Arrow-batched; output rows are narrow
+metadata (the pixel payloads never leave the kernel).  Partitioning
+rides whatever keying the caller chose — the engine's salted
+(bucket, salt) layout drops in unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+IMAGE_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("page", T.IntegerType()),
+        T.StructField("xobj", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("colorspace", T.StringType()),
+        T.StructField("decoder", T.StringType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("phash", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+_MAX_FORM_DEPTH = 3
+
+
+def _image_rows_for_pdf(pdf: bytes) -> list[dict]:
+    from ..pdf import cos
+    from ..pdf.filters import FilterError, decode_stream
+    from .jpeg_codec import JPEGError, decode_jpeg
+    from .multimodal import _ahash, _luma_plane
+
+    rows: list[dict] = []
+    doc = cos.PDFDocument.open(pdf)  # PDFEncryptedError → caller's doc_error row
+
+    def cs_name(cs) -> str:
+        cs = doc.resolve(cs)
+        if isinstance(cs, cos.Name):
+            return cs.name
+        if isinstance(cs, list) and cs:
+            head = doc.resolve(cs[0])
+            return head.name if isinstance(head, cos.Name) else "array"
+        return "unknown"
+
+    def walk(resources, page_i: int, depth: int, seen: set[int]) -> None:
+        xobjs = doc.dget(resources, "XObject", {}) or {}
+        if not isinstance(xobjs, dict):
+            return
+        for name, ref in xobjs.items():
+            key = id(doc.resolve(ref))
+            if key in seen:
+                continue
+            seen.add(key)
+            st = doc.resolve(ref)
+            if not isinstance(st, cos.Stream):
+                continue
+            sub = doc.resolve(st.dict.get("Subtype"))
+            sub = sub.name if isinstance(sub, cos.Name) else ""
+            if sub == "Form" and depth < _MAX_FORM_DEPTH:
+                walk(doc.dget(st.dict, "Resources", {}), page_i, depth + 1, seen)
+                continue
+            if sub != "Image":
+                continue
+            w = doc.resolve(st.dict.get("Width"))
+            h = doc.resolve(st.dict.get("Height"))
+            bpc = doc.resolve(st.dict.get("BitsPerComponent"))
+            cspace = cs_name(st.dict.get("ColorSpace"))
+            row = {
+                "page": page_i,
+                "xobj": str(name),
+                "width": int(w) if isinstance(w, (int, float)) else None,
+                "height": int(h) if isinstance(h, (int, float)) else None,
+                "colorspace": cspace,
+                "decoder": "stub",
+                "mean_luma": None,
+                "phash": None,
+                "n_bytes": len(st.raw),
+                "status": "ok",
+            }
+            try:
+                filters = doc.resolve(st.dict.get("Filter"))
+                names = [
+                    f.name if isinstance(f, cos.Name) else str(f)
+                    for f in (filters if isinstance(filters, list)
+                              else [] if filters is None else [filters])
+                ]
+                if names and names[-1] in ("DCTDecode", "DCT"):
+                    parms = doc.resolve(st.dict.get("DecodeParms"))
+                    head = names[:-1]
+                    jpeg = decode_stream(
+                        st.raw, [cos.Name(n) for n in head],
+                        parms[: len(head)] if isinstance(parms, list) else parms,
+                    ) if head else st.raw
+                    jw, jh, ch, px = decode_jpeg(jpeg)
+                    row.update(width=jw, height=jh, decoder="jpeg")
+                    luma = _luma_plane(jw, jh, ch, px)
+                    row.update(
+                        mean_luma=float(sum(map(sum, luma)) / (jw * jh)),
+                        phash=_ahash(luma),
+                    )
+                elif (
+                    isinstance(bpc, (int, float)) and int(bpc) == 8
+                    and cspace in ("DeviceGray", "DeviceRGB")
+                    and row["width"] and row["height"]
+                ):
+                    px = st.data()
+                    ch = 1 if cspace == "DeviceGray" else 3
+                    need = row["width"] * row["height"] * ch
+                    if len(px) < need:
+                        row["status"] = "short_image_data"
+                    else:
+                        luma = _luma_plane(row["width"], row["height"], ch, px[:need])
+                        row.update(
+                            decoder="raw",
+                            mean_luma=float(
+                                sum(map(sum, luma)) / (row["width"] * row["height"])
+                            ),
+                            phash=_ahash(luma),
+                        )
+                else:
+                    row["status"] = "unsupported_image"
+            except (FilterError, JPEGError) as exc:
+                row["status"] = f"image_error:{type(exc).__name__}"
+            except Exception:
+                row["status"] = "image_error"
+            rows.append(row)
+
+    for i, page in enumerate(doc.pages()):
+        try:
+            walk(doc.dget(page, "Resources", {}), i, 0, set())
+        except Exception:
+            rows.append({
+                "page": i, "xobj": None, "width": None, "height": None,
+                "colorspace": None, "decoder": "stub", "mean_luma": None,
+                "phash": None, "n_bytes": 0, "status": "page_error",
+            })
+    return rows
+
+
+def extract_pdf_images(df: DataFrame, payload_col: str = "text") -> DataFrame:
+    """→ one row per image XObject found in the PDF turns of ``df``
+    (non-PDF payloads yield nothing; a broken document yields a
+    labeled error row so corpus accounting stays exact)."""
+    from ..engine import PDF_B64_PREFIX, PDF_B85_PREFIX, _decode_armor
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in IMAGE_ROW_SCHEMA.fields]
+        for batch in it:
+            out: list[dict] = []
+            for conv_id, turn_idx, payload in zip(
+                batch["conv_id"], batch["turn_idx"], batch[payload_col]
+            ):
+                if payload is None or not payload.startswith(
+                    (PDF_B64_PREFIX, PDF_B85_PREFIX)
+                ):
+                    continue
+                try:
+                    rows = _image_rows_for_pdf(_decode_armor(payload))
+                except Exception:
+                    rows = [{
+                        "page": -1, "xobj": None, "width": None,
+                        "height": None, "colorspace": None, "decoder": "stub",
+                        "mean_luma": None, "phash": None, "n_bytes": 0,
+                        "status": "doc_error",
+                    }]
+                for r in rows:
+                    r = dict(r)
+                    r["conv_id"] = conv_id
+                    r["turn_idx"] = int(turn_idx)
+                    out.append(r)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(gen, schema=IMAGE_ROW_SCHEMA)

@@ -119,6 +119,24 @@ class FontSpec:
 
 
 @dataclass
+class ImageSpec:
+    """Image XObject fixture: ``kind`` is 'gray'/'rgb' (raw 8-bit
+    samples, Flate-compressed) or 'jpeg' (pre-encoded bytes behind
+    /DCTDecode)."""
+
+    width: int
+    height: int
+    data: bytes
+    kind: str = "gray"
+
+
+def do_image(x: float, y: float, w: float, h: float, name: str) -> str:
+    """Content-stream fragment painting an image XObject at (x, y)
+    scaled to w×h (the `cm` places unit image space)."""
+    return f"q {w} 0 0 {h} {x} {y} cm /{name} Do Q\n"
+
+
+@dataclass
 class PageSpec:
     content: str  # content-stream source (uncompressed text)
     mediabox: tuple[float, float, float, float] = (0, 0, 612, 792)
@@ -316,11 +334,30 @@ def build_pdf(
     encrypt_variant: str | None = None,
     user_pw: bytes = b"",
     owner_pw: bytes = b"owner",
+    images: dict[str, "ImageSpec"] | None = None,
 ) -> bytes:
     w = PDFWriter()
     catalog = w.reserve()
     pages_num = w.reserve()
     info = w.add(f"<< /Title ({esc(title)}) >>") if title is not None else None
+
+    image_nums: dict[str, int] = {}
+    if images:
+        for iname, spec in images.items():
+            base = (
+                f"/Type /XObject /Subtype /Image /Width {spec.width} "
+                f"/Height {spec.height} /BitsPerComponent 8"
+            )
+            if spec.kind == "jpeg":
+                image_nums[iname] = w.add_stream(
+                    f"{base} /ColorSpace /DeviceRGB /Filter /DCTDecode",
+                    spec.data,
+                )
+            else:
+                cs = "/DeviceGray" if spec.kind == "gray" else "/DeviceRGB"
+                image_nums[iname] = w.add_stream(
+                    f"{base} /ColorSpace {cs}", spec.data, compress=True
+                )
 
     font_nums: dict[str, int] = {}
     for name, spec in fonts.items():
@@ -451,9 +488,13 @@ def build_pdf(
                                    compress=compress, filters=content_filters)
         mb = " ".join(str(v) for v in page.mediabox)
         rot = f" /Rotate {page.rotate}" if page.rotate else ""
+        xres = ""
+        if images:
+            xs = " ".join(f"/{n} {image_nums[n]} 0 R" for n in images)
+            xres = f" /XObject << {xs} >>"
         pn = w.add(
             f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [ {mb} ]{rot} "
-            f"/Resources << /Font << {res} >> >> /Contents {content_num} 0 R >>"
+            f"/Resources << /Font << {res} >>{xres} >> /Contents {content_num} 0 R >>"
         )
         page_nums.append(pn)
 

@@ -1,0 +1,146 @@
+"""Embedded-image extraction from PDF turns (operators/pdf_media):
+the figure-harvesting stage tying the PDF object stack to the image
+codecs.  Honest subset: raw 8-bit Gray/RGB behind standard filters +
+/DCTDecode JPEG; everything else is a labeled row, never a crash."""
+
+import pandas as pd
+import pytest
+
+from pdf_parser_c_spark.engine import encode_pdf_payload
+from pdf_parser_c_spark.operators.jpeg_codec import encode_jpeg
+from pdf_parser_c_spark.operators.pdf_media import (
+    _image_rows_for_pdf,
+    extract_pdf_images,
+)
+from pdf_parser_c_spark.testkit.gen_pdf import (
+    FontSpec,
+    ImageSpec,
+    PageSpec,
+    build_pdf,
+    do_image,
+    tj,
+)
+
+F1 = {"F1": FontSpec("Helvetica")}
+
+
+def _gray(w, h, v):
+    return bytes([v]) * (w * h)
+
+
+def _pdf_with_images(images, content_names, text="Figure 1"):
+    content = tj(72, 700, "F1", 12, text) + "".join(
+        do_image(72, 100 + 80 * i, 64, 64, n) for i, n in enumerate(content_names)
+    )
+    return build_pdf([PageSpec(content)], F1, images=images)
+
+
+def test_raw_gray_image_decodes_with_stats():
+    pdf = _pdf_with_images({"Im1": ImageSpec(8, 6, _gray(8, 6, 200))}, ["Im1"])
+    rows = _image_rows_for_pdf(pdf)
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["decoder"], r["status"]) == ("raw", "ok")
+    assert (r["width"], r["height"], r["colorspace"]) == (8, 6, "DeviceGray")
+    assert abs(r["mean_luma"] - 200.0) < 0.5
+    assert len(r["phash"]) == 16
+
+
+def test_raw_rgb_image_decodes():
+    px = bytes([255, 0, 0]) * 20  # 5x4 pure red
+    pdf = _pdf_with_images({"Im1": ImageSpec(5, 4, px, kind="rgb")}, ["Im1"])
+    (r,) = _image_rows_for_pdf(pdf)
+    assert (r["decoder"], r["colorspace"]) == ("raw", "DeviceRGB")
+    # ITU-R 601 luma of pure red ≈ 76
+    assert abs(r["mean_luma"] - 76.2) < 2.0
+
+
+def test_dct_image_decodes_via_jpeg_codec():
+    jpeg = encode_jpeg(16, 16, _gray(16, 16, 128), 1)
+    pdf = _pdf_with_images({"Im1": ImageSpec(16, 16, jpeg, kind="jpeg")}, ["Im1"])
+    (r,) = _image_rows_for_pdf(pdf)
+    assert (r["decoder"], r["status"]) == ("jpeg", "ok")
+    assert (r["width"], r["height"]) == (16, 16)
+    assert abs(r["mean_luma"] - 128.0) < 3.0
+
+
+def test_multiple_images_and_text_coexist():
+    pdf = _pdf_with_images(
+        {"Im1": ImageSpec(4, 4, _gray(4, 4, 10)),
+         "Im2": ImageSpec(4, 4, _gray(4, 4, 250))},
+        ["Im1", "Im2"],
+    )
+    rows = _image_rows_for_pdf(pdf)
+    assert {r["xobj"] for r in rows} == {"Im1", "Im2"}
+    # the text kernel still extracts the text (images never break it)
+    from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+
+    assert parse_pdf_bytes(pdf).text == "Figure 1"
+
+
+def test_truncated_image_data_is_labeled_not_fatal():
+    pdf = _pdf_with_images({"Im1": ImageSpec(64, 64, _gray(8, 8, 5))}, ["Im1"])
+    (r,) = _image_rows_for_pdf(pdf)
+    assert r["status"] == "short_image_data"
+    assert r["decoder"] == "stub"
+
+
+def test_corrupt_jpeg_is_labeled_image_error():
+    pdf = _pdf_with_images(
+        {"Im1": ImageSpec(16, 16, b"\xff\xd8\xff\xdbgarbage", kind="jpeg")},
+        ["Im1"],
+    )
+    (r,) = _image_rows_for_pdf(pdf)
+    assert r["status"].startswith("image_error")
+
+
+def test_unsupported_colorspace_is_labeled():
+    pdf = _pdf_with_images({"Im1": ImageSpec(4, 4, _gray(4, 4, 5))}, ["Im1"])
+    # rewrite the colorspace name in place: DeviceGray -> DeviceCMYK
+    pdf = pdf.replace(b"/DeviceGray", b"/DeviceCMYK", 1)
+    (r,) = _image_rows_for_pdf(pdf)
+    assert (r["status"], r["decoder"]) == ("unsupported_image", "stub")
+
+
+@pytest.mark.usefixtures("spark")
+def test_extract_pdf_images_spark_path(spark):
+    import datetime
+
+    jpeg = encode_jpeg(8, 8, _gray(8, 8, 64), 1)
+    pdfs = [
+        _pdf_with_images({"Im1": ImageSpec(6, 6, _gray(6, 6, 30))}, ["Im1"]),
+        _pdf_with_images({"Im1": ImageSpec(8, 8, jpeg, kind="jpeg")}, ["Im1"]),
+    ]
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": [0, 1, 0],
+            "text": [encode_pdf_payload(pdfs[0]), encode_pdf_payload(pdfs[1]),
+                     "plain text turn — no images expected"],
+            "ts": [datetime.datetime(2026, 1, 1)] * 3,
+        }
+    )
+    out = extract_pdf_images(spark.createDataFrame(rows)).orderBy(
+        "conv_id", "turn_idx"
+    ).collect()
+    assert [(r.conv_id, r.turn_idx, r.decoder) for r in out] == [
+        ("c1", 0, "raw"), ("c1", 1, "jpeg")
+    ]
+    assert all(r.status == "ok" for r in out)
+
+
+def test_mutation_fuzz_never_raises():
+    pdf = _pdf_with_images({"Im1": ImageSpec(8, 8, _gray(8, 8, 77))}, ["Im1"])
+    for pos in range(0, len(pdf), 23):
+        mutated = bytearray(pdf)
+        mutated[pos] ^= 0xFF
+        try:
+            rows = _image_rows_for_pdf(bytes(mutated))
+        except Exception:
+            continue  # open()-level failure → the kernel's doc_error row
+        # reached the walker: every surviving row must be labeled, and
+        # decoded stats must be finite floats
+        for r in rows:
+            assert r["status"], r
+            if r["mean_luma"] is not None:
+                assert 0.0 <= r["mean_luma"] <= 255.0
