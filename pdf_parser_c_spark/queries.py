@@ -9531,15 +9531,15 @@ FROM n GROUP BY source ORDER BY source
 
 SQL_TEXT_NFC = _nfc_sql()
 
-URL_SCHEMES = ("http", "https", "HTTP", "Https")
-URL_HOSTS = (
+CANON_URL_SCHEMES = ("http", "https", "HTTP", "Https")
+CANON_URL_HOSTS = (
     "Example.COM", "www.example.com", "example.com:443",
     "blog.example.com", "WWW.Example.Com:80", "news.site.org",
 )
-URL_PATHS = ("/a/b", "/a/b/", "/", "", "/a/index.html")
-URL_QUERIES = ("", "?utm_source=x&id=7", "?id=7",
+CANON_URL_PATHS = ("/a/b", "/a/b/", "/", "", "/a/index.html")
+CANON_URL_QUERIES = ("", "?utm_source=x&id=7", "?id=7",
                "?id=7&utm_campaign=y&ref=z", "?b=2&a=1")
-URL_FRAGS = ("", "#top", "#sec-2")
+CANON_URL_FRAGS = ("", "#top", "#sec-2")
 
 
 def q_filter_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9571,9 +9571,9 @@ def q_filter_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.concat(
-            pick(1, URL_SCHEMES, "s"), F.lit("://"), pick(2, URL_HOSTS, "h"),
-            pick(3, URL_PATHS, "p"), pick(4, URL_QUERIES, "q"),
-            pick(5, URL_FRAGS, "f"),
+            pick(1, CANON_URL_SCHEMES, "s"), F.lit("://"), pick(2, CANON_URL_HOSTS, "h"),
+            pick(3, CANON_URL_PATHS, "p"), pick(4, CANON_URL_QUERIES, "q"),
+            pick(5, CANON_URL_FRAGS, "f"),
         ).alias("url"),
     )
     canon = d.withColumn("canon", url_canonicalize("url"))
@@ -9614,9 +9614,9 @@ def _url_canon_sql() -> str:
     return f"""
 WITH u AS (
   SELECT source,
-         {pick(1, URL_SCHEMES)} || '://' || {pick(2, URL_HOSTS)}
-         || {pick(3, URL_PATHS)} || {pick(4, URL_QUERIES)}
-         || {pick(5, URL_FRAGS)} AS url
+         {pick(1, CANON_URL_SCHEMES)} || '://' || {pick(2, CANON_URL_HOSTS)}
+         || {pick(3, CANON_URL_PATHS)} || {pick(4, CANON_URL_QUERIES)}
+         || {pick(5, CANON_URL_FRAGS)} AS url
   FROM documents),
 c AS (
   SELECT source,
