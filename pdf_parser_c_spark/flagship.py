@@ -21,8 +21,10 @@ from pyspark.sql import types as T
 from .engine import encode_pdf_payload
 from .testkit.gen_pdf import (
     FontSpec,
+    ImageSpec,
     PageSpec,
     build_pdf,
+    do_image,
     text_block,
     tj,
     tj_bytes,
@@ -188,6 +190,71 @@ def doc_to_html_payload(doc_id: int, text: str) -> str:
         f"<article><h1>Document {doc_id}</h1><p>{text}</p></article>"
         "<footer><a href='/t'>Terms</a> fine print</footer></body></html>"
     )
+
+
+def doc_to_illustrated_pdf_payload(doc_id: int, text: str) -> str:
+    """PDF armor carrying 1-2 UNIFORM gray image XObjects whose
+    (width, height, value) derive from fixed md5(doc_id) hex digits —
+    uniform + DeviceGray means the image-harvest kernel's mean_luma
+    equals the synthesized value EXACTLY, so a DuckDB oracle can
+    reconstruct every emitted stat from doc_id alone (the image-family
+    analogue of the armor-template text roundtrips).
+
+    Digit map (1-based hexdigest positions, mirrored in
+    SQL_EXTRACTION_PDF_IMAGES): n_images = 1 + (d6 %% 2); image j ∈
+    {1, 2}: width = 4 + d(3j+4) %% 12, height = 3 + d(3j+5) %% 10,
+    value = 16·d(3j+6) + d(3j+7).
+    """
+    import hashlib
+
+    hx = hashlib.md5(str(doc_id).encode()).hexdigest()
+
+    def d(p: int) -> int:  # 1-based, matching SQL substr()
+        return int(hx[p - 1], 16)
+
+    n_images = 1 + d(6) % 2
+    images: dict[str, ImageSpec] = {}
+    content = tj(72, 700, "F1", 12, " ".join(text.split()[:8]) or "Figure")
+    for j in range(1, n_images + 1):
+        w = 4 + d(3 * j + 4) % 12
+        h = 3 + d(3 * j + 5) % 10
+        v = 16 * d(3 * j + 6) + d(3 * j + 7)
+        images[f"Im{j}"] = ImageSpec(w, h, bytes([v]) * (w * h))
+        content += do_image(72 + 120 * (j - 1), 400, 96, 96, f"Im{j}")
+    pdf = build_pdf([PageSpec(content)], _FONTS, title=f"Doc {doc_id}",
+                    compress=doc_id % 2 == 0, images=images)
+    return encode_pdf_payload(pdf)
+
+
+def _illustrated_armor_batches(batches):
+    for b in batches:
+        ids = b["doc_id"].astype("int64")
+        payloads = [
+            doc_to_illustrated_pdf_payload(int(i), str(t))
+            for i, t in zip(ids, b["text"])
+        ]
+        yield pd.DataFrame(
+            {
+                "conv_id": (ids // 10).map("conv{:06d}".format),
+                "turn_idx": (ids % 10).astype("int32"),
+                "role": (ids % 3).map(lambda m: ("user", "assistant", "tool")[m]),
+                "text": payloads,
+                "tool": pd.Series([None] * len(ids), dtype="object"),
+                "ts": pd.Timestamp(_EPOCH) + pd.to_timedelta(ids, unit="m"),
+            }
+        )
+
+
+def build_illustrated_transcripts_from_documents(
+    spark: SparkSession, docs: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """documents → transcripts where every row is an image-bearing PDF
+    (see doc_to_illustrated_pdf_payload); same one-exchange plan as
+    build_transcripts_from_documents."""
+    d = docs.select("doc_id", "text")
+    if num_partitions is not None:
+        d = d.repartition(num_partitions, "doc_id")
+    return d.mapInPandas(_illustrated_armor_batches, schema=TRANSCRIPTS_SCHEMA)
 
 
 def _armor_row(doc_id: int, text: str) -> str:

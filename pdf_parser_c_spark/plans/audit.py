@@ -114,6 +114,7 @@ def main() -> None:
         "text_mojibake_repair": "mojibake heal: synthesis + 25-entry replace chain all map-side codegen string math (no Generate, no join); the per-source census is the corpus's ONLY exchange",
         "text_nfc_normalize": "NFC: ONE ArrowEvalPython (vectorized pandas UDF — the catalog's sanctioned slow path, Spark has no normalizer) between the scan and the census agg; no joins, one exchange",
         "filter_url_canonicalize": "URL dedup gate: synthesis + canonicalization map-side regex/array codegen; ONE (source, canon) exchange then the tiny source rollup rides partial/final agg",
+        "extraction_pdf_images": "image harvest e2e: armor + walk/decode kernels run back-to-back after the ONE doc_id exchange (two MapInPandas, same stage — the fused production shape); census agg is the only other exchange",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

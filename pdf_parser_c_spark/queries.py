@@ -9642,6 +9642,74 @@ FROM g GROUP BY source ORDER BY source
 SQL_FILTER_URL_CANON = _url_canon_sql()
 
 
+def q_extraction_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-image harvest, hash-checked end-to-end: every document
+    armors into a PDF carrying 1-2 UNIFORM DeviceGray image XObjects
+    whose (width, height, value) derive from fixed md5(doc_id) hex
+    digits (flagship.doc_to_illustrated_pdf_payload), the
+    pdf_media.extract_pdf_images kernel walks and decodes them, and
+    the census — image counts, pixel totals, exact mean-luma sums per
+    role — must equal the DuckDB reconstruction from doc_id alone
+    (uniform gray ⇒ mean_luma == value exactly; the image-family
+    analogue of the text roundtrips).
+    Scale: armor + harvest run back-to-back in ONE stage after the
+    doc_id exchange (same fused plan as the production job); output
+    rows are narrow metadata, pixels never leave the kernel."""
+    from .flagship import build_illustrated_transcripts_from_documents
+    from .operators.pdf_media import extract_pdf_images
+
+    docs = t(spark, sf_dir, "documents")
+    tr = build_illustrated_transcripts_from_documents(spark, docs, num_partitions=16)
+    imgs = extract_pdf_images(tr)
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    )
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        F.pmod(doc_id, 3).cast("int") + 1,
+    )
+    return (
+        imgs.withColumn("doc_id", doc_id)
+        .withColumn("role", role)
+        .groupBy("role")
+        .agg(
+            F.countDistinct("doc_id").alias("n_turns"),
+            F.count("*").alias("n_images"),
+            F.sum((F.col("decoder") == "raw").cast("long")).alias("n_raw"),
+            F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
+            F.sum((F.col("width") * F.col("height")).cast("long")).alias(
+                "sum_pixels"
+            ),
+            F.sum("mean_luma").cast("long").alias("luma_sum"),
+        )
+        .orderBy("role")
+    )
+
+
+SQL_EXTRACTION_PDF_IMAGES = """
+WITH hx AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+imgs AS (
+  SELECT doc_id,
+         4 + CAST(('0x' || substr(h, 3*j + 4, 1)) AS INT) % 12 AS w,
+         3 + CAST(('0x' || substr(h, 3*j + 5, 1)) AS INT) % 10 AS ht,
+         16 * CAST(('0x' || substr(h, 3*j + 6, 1)) AS INT)
+           + CAST(('0x' || substr(h, 3*j + 7, 1)) AS INT) AS v
+  FROM hx,
+       UNNEST(CASE WHEN CAST(('0x' || substr(h, 6, 1)) AS INT) % 2 = 0
+                   THEN [1] ELSE [1, 2] END) AS t(j))
+SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'user'
+            WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_turns,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(count(*) AS BIGINT) AS n_ok,
+       CAST(sum(w * ht) AS BIGINT) AS sum_pixels,
+       CAST(sum(v) AS BIGINT) AS luma_sum
+FROM imgs GROUP BY 1 ORDER BY role
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9832,5 +9900,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_spans_roundtrip": (
         q_extraction_spans_roundtrip, SQL_EXTRACTION_SPANS_ROUNDTRIP
+    ),
+    "extraction_pdf_images": (
+        q_extraction_pdf_images, SQL_EXTRACTION_PDF_IMAGES
     ),
 }
