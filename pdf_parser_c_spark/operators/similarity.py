@@ -711,3 +711,88 @@ def pq_adc_scores(
             ).alias("adc")
         )
     )
+
+
+def dim_covariance(
+    df: DataFrame, vec_col: str = "embedding", quant_scale: int = 64
+) -> DataFrame:
+    """Exact integer covariance matrix over the embedding dimensions —
+    the dimension-collapse / redundancy audit of an embedding store
+    (a dead dimension has zero variance; a duplicated or linearly-tied
+    pair shows |cov| ≈ var, which silently halves the effective
+    dimensionality every downstream ANN/dedup stage assumes).
+
+    Method: vectors quantize JVM-side to integers with the SQ8 family's
+    shared half-away-from-zero rounding (``floor(x·scale + 0.5)``);
+    each Arrow batch contributes one numpy ``int64`` Gram partial
+    (Xᵀ X, upper triangle) through mapInPandas — integer partials
+    commute, so the merged sums are EXACT regardless of partition
+    count or fold order, and the returned scaled covariance
+    ``n·S_ij − T_i·T_j`` is reproducible bit-for-bit by any engine
+    (the DuckDB oracle does the naive quadratic explode).
+
+    Scale: ONE pass over the vectors; shuffle volume is
+    ``partitions × d(d+1)/2`` metadata rows (the N×d data never
+    shuffles).  Overflow bound: |xq| ≤ scale·max|x|+1, so
+    ``n·S ≤ n²·(scale·max|x|+1)²`` — int64-safe to ~10⁸ rows of unit
+    vectors at scale 64; shard the sum (partial groupBy) past that.
+
+    → ``(i, j, n, cov_scaled)`` for i ≤ j, cov in quantized units²·n.
+    """
+    import pandas as pd
+
+    q = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.expr(
+                f"transform({vec_col},"
+                f" x -> cast(floor(x * {quant_scale} + 0.5) as bigint))"
+            ).alias("xq")
+        )
+        .filter(F.size("xq") > 0)
+    )
+
+    part_schema = "i int, j int, s long"
+
+    def gram_partials(it):
+        import numpy as np
+
+        for batch in it:
+            vals = [v for v in batch["xq"] if v is not None and len(v)]
+            if not vals:
+                continue
+            # ragged guard: group by length so a hostile store cannot
+            # crash the stack; each length class contributes its own
+            # partial (cross-length covariance is undefined anyway)
+            by_len: dict[int, list] = {}
+            for v in vals:
+                by_len.setdefault(len(v), []).append(v)
+            for arr in by_len.values():
+                X = np.asarray(arr, dtype=np.int64)
+                G = X.T @ X
+                iu = np.triu_indices(G.shape[0])
+                yield pd.DataFrame(
+                    {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"),
+                     "s": G[iu]}
+                )
+
+    gram = (
+        q.mapInPandas(gram_partials, schema=part_schema)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+    )
+    totals = (
+        q.select(F.posexplode("xq").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("t"), F.count("*").alias("n"))
+    )
+    return (
+        gram.join(totals.select("i", F.col("t").alias("_ti"),
+                                F.col("n").alias("n")), "i")
+        .join(totals.select(F.col("i").alias("j"), F.col("t").alias("_tj")), "j")
+        .select(
+            "i", "j", "n",
+            (F.col("n") * F.col("s") - F.col("_ti") * F.col("_tj"))
+            .alias("cov_scaled"),
+        )
+    )

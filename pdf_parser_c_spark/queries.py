@@ -9710,6 +9710,54 @@ FROM imgs GROUP BY 1 ORDER BY role
 """
 
 
+def q_audit_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store dimension audit: the 10 strongest off-diagonal
+    covariance pairs over the embedding dimensions — linearly-tied or
+    duplicated dimensions silently halve the effective dimensionality
+    every ANN/dedup stage assumes (operators/similarity.dim_covariance).
+    Vectors quantize to integers (SQ8-shared rounding), each Arrow
+    batch contributes a numpy int64 Gram partial, and the merged
+    ``n·S − T_i·T_j`` is EXACT under any partitioning — the oracle's
+    naive quadratic explode reproduces it bit-for-bit.
+    Scale: one vector pass; shuffle is partitions × d(d+1)/2 metadata
+    rows.  The quadratic pair space exists only in the oracle."""
+    from .operators.similarity import dim_covariance
+
+    e = t(spark, sf_dir, "embeddings")
+    cov = dim_covariance(e, "embedding", quant_scale=64)
+    return (
+        cov.filter(F.col("i") < F.col("j"))
+        .select("i", "j", "n", "cov_scaled")
+        .orderBy(F.abs("cov_scaled").desc(), "i", "j")
+        .limit(10)
+    )
+
+
+SQL_AUDIT_DIM_COV = """
+WITH q AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(floor(x * 64 + 0.5) AS BIGINT)) AS xq
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+pairs AS (
+  SELECT ii.i AS i, jj.j AS j, SUM(xq[ii.i + 1] * xq[jj.j + 1]) AS s
+  FROM q, UNNEST(range(len(xq))) AS ii(i), UNNEST(range(len(xq))) AS jj(j)
+  WHERE jj.j >= ii.i
+  GROUP BY 1, 2),
+tot AS (
+  SELECT ii.i AS i, SUM(xq[ii.i + 1]) AS t, COUNT(*) AS n
+  FROM q, UNNEST(range(len(xq))) AS ii(i)
+  GROUP BY 1)
+SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+       CAST(ti.n AS BIGINT) AS n,
+       CAST(ti.n * p.s - ti.t * tj.t AS BIGINT) AS cov_scaled
+FROM pairs p JOIN tot ti ON p.i = ti.i JOIN tot tj ON p.j = tj.i
+WHERE p.i < p.j
+ORDER BY abs(CAST(ti.n * p.s - ti.t * tj.t AS BIGINT)) DESC, i, j
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9840,6 +9888,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "audit_source_overlap": (q_audit_source_overlap, SQL_AUDIT_SOURCE_OVERLAP),
     "audit_fk_orphans": (q_audit_fk_orphans, SQL_AUDIT_FK_ORPHANS),
     "audit_table_profile": (q_audit_table_profile, SQL_AUDIT_TABLE_PROFILE),
+    "audit_dim_covariance": (q_audit_dim_covariance, SQL_AUDIT_DIM_COV),
     "audit_drift_psi": (q_audit_drift_psi, SQL_AUDIT_DRIFT_PSI),
     "events_scd2": (q_events_scd2, SQL_EVENTS_SCD2),
     "events_json_extract": (q_events_json_extract, SQL_EVENTS_JSON_EXTRACT),

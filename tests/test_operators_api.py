@@ -1373,3 +1373,50 @@ def test_fixpoint_components_match_fixed_rounds(spark):
              for r in connected_components_star(nodes, e, rounds=8).collect()}
     labels, _ = connected_components_fixpoint(nodes, e)
     assert {r.v: r.component for r in labels.collect()} == fixed
+
+
+def test_dim_covariance_exact_and_partition_invariant(spark):
+    """The integer Gram partials must merge to the EXACT covariance
+    under any partitioning, equal to a single-machine numpy
+    reference on the quantized vectors."""
+    import numpy as np
+
+    from pdf_parser_c_spark.operators.similarity import dim_covariance
+
+    rng = [[(i * 7 + j * 13) % 29 / 17.0 - 0.8 for j in range(6)]
+           for i in range(40)]
+    df = spark.createDataFrame([(r,) for r in rng], "embedding array<float>")
+    Xq = np.floor(np.asarray(rng, dtype=np.float32) * 64 + 0.5).astype(np.int64)
+    n = Xq.shape[0]
+    C = n * (Xq.T @ Xq) - np.outer(Xq.sum(0), Xq.sum(0))
+
+    for parts in (1, 3, 8):
+        got = {
+            (r.i, r.j): (r.n, r.cov_scaled)
+            for r in dim_covariance(df.repartition(parts), "embedding").collect()
+        }
+        for i in range(6):
+            for j in range(i, 6):
+                assert got[(i, j)] == (n, int(C[i, j])), (parts, i, j)
+
+
+def test_dim_covariance_detects_duplicated_dimension(spark):
+    from pdf_parser_c_spark.operators.similarity import dim_covariance
+
+    rows = [[(i % 11) / 5.0, (i % 11) / 5.0, ((i * 3) % 7) / 3.0]
+            for i in range(30)]
+    df = spark.createDataFrame([(r,) for r in rows], "embedding array<float>")
+    cov = {(r.i, r.j): r.cov_scaled for r in dim_covariance(df).collect()}
+    # dims 0 and 1 are identical: cov(0,1) == var(0) == var(1), and it
+    # dominates the unrelated pair
+    assert cov[(0, 1)] == cov[(0, 0)] == cov[(1, 1)]
+    assert abs(cov[(0, 1)]) > abs(cov[(0, 2)])
+
+
+def test_dim_covariance_tolerates_null_and_ragged(spark):
+    from pdf_parser_c_spark.operators.similarity import dim_covariance
+
+    rows = [([0.5, 0.5],), (None,), ([],), ([0.25, 0.75, 0.1],), ([1.0, 0.0],)]
+    df = spark.createDataFrame(rows, "embedding array<float>")
+    out = dim_covariance(df).collect()  # must not raise
+    assert all(r.cov_scaled is not None for r in out)
