@@ -9710,6 +9710,60 @@ FROM imgs GROUP BY 1 ORDER BY role
 """
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE census — all four grouping sets of (event_type, dow)
+    in ONE aggregation: the OLAP-dashboard shape beside events_rollup's
+    hierarchy (ROLLUP emits 3 of the 4 sets; CUBE adds the
+    column-marginal (dow-only) slice).  Catalyst's Expand emits every
+    set map-side, so all marginals ride one exchange.  GROUPING()
+    indicators ride along explicitly, so a genuine NULL group value can
+    never be conflated with a subtotal row (the trap the coalesce
+    sentinel alone would hide).
+    Scale: Expand multiplies map output ×4 BEFORE the shuffle — at
+    corpus scale prefer two ROLLUPs or partial-agg-then-Expand if the
+    exchange dominates; the single-pass form wins while the agg state
+    (|types|×|dows|) stays tiny, which it is here by construction."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "dow", (F.dayofweek("ts") - 1).cast("int")
+    )
+    return (
+        ev.cube("event_type", "dow")
+        .agg(
+            # grouping() must be computed IN the agg (it reads the
+            # grouping-set id Expand attaches; a later projection has
+            # no grouping context)
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("dow").cast("int").alias("g_dow"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "g_type",
+            "g_dow",
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("dow", F.lit(-1)).alias("dow"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("g_type", "g_dow", "event_type", "dow")
+    )
+
+
+SQL_EVENTS_CUBE = """
+SELECT g_type, g_dow,
+       coalesce(event_type, 'ALL') AS event_type,
+       coalesce(dow, -1) AS dow,
+       n, sum_value
+FROM (
+  SELECT event_type, CAST(date_part('dow', ts) AS INT) AS dow,
+         CAST(GROUPING(event_type) AS INT) AS g_type,
+         CAST(GROUPING(CAST(date_part('dow', ts) AS INT)) AS INT) AS g_dow,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+  FROM events GROUP BY CUBE(event_type, CAST(date_part('dow', ts) AS INT)))
+ORDER BY g_type, g_dow, event_type, dow
+"""
+
+
 def q_audit_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-store dimension audit: the 10 strongest off-diagonal
     covariance pairs over the embedding dimensions — linearly-tied or
@@ -9870,6 +9924,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_trend_ols": (q_events_trend_ols, SQL_EVENTS_TREND_OLS),
     "events_rolling_split": (q_events_rolling_split, SQL_EVENTS_ROLLING),
     "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
+    "events_cube": (q_events_cube, SQL_EVENTS_CUBE),
     "text_vocab_topk": (q_text_vocab_topk, SQL_TEXT_VOCAB),
     "text_bpe_pairs": (q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),
     "text_bpe_merges": (q_text_bpe_merges, _sql_bpe_merges()),
