@@ -4,12 +4,14 @@ TIFF 6.0's text-era subset reuses machinery the PDF filter stack
 already ships: TIFF-LZW is the scheme PDF's LZWDecode was lifted from
 (MSB-first codes, Clear=256/EOI=257, 9→12 bit growth, early change),
 and the horizontal-differencing predictor is PDF ``/Predictor 2``
-(``pdf/filters.py:_apply_predictor``).  Supported: 8-bit grayscale and
-RGB, strip layout, both byte orders, compression none/LZW/PackBits,
-predictor 1/2, photometric 0 (inverted), 1, and 2.  Anything outside
-that subset (tiles, 16-bit, planar, palette, fills) raises
-:class:`TIFFError` so the multimodal kernels fall back to the labeled
-stub — decoded rows carry ``decoder='tiff'`` with REAL pixel stats.
+(``pdf/filters.py:_apply_predictor``).  Supported: 8- and 16-bit
+grayscale and RGB (16-bit downconverts to the high byte), strip AND
+tile layouts, chunky and planar sample order, both byte orders,
+compression none/LZW/PackBits, predictor 1/2 (8-bit), photometric 0
+(inverted), 1, and 2.  Anything outside that subset (palette, fills,
+float samples, predictor on 16-bit) raises :class:`TIFFError` so the
+multimodal kernels fall back to the labeled stub — decoded rows carry
+``decoder='tiff'`` with REAL pixel stats.
 """
 
 from __future__ import annotations
@@ -138,55 +140,127 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
     if spp not in (1, 3):
         raise TIFFError(f"unsupported samples/pixel {spp}")
     bits = tags.get(258, [8])
-    if any(b != 8 for b in bits):
-        raise TIFFError("only 8-bit samples supported")
-    if one(284, 1) != 1:
+    if not bits or any(b != bits[0] for b in bits) or bits[0] not in (8, 16):
+        raise TIFFError("only uniform 8/16-bit samples supported")
+    bps = bits[0] // 8
+    planar = one(284, 1)
+    if planar not in (1, 2):
         raise TIFFError("planar configuration unsupported")
+    if spp == 1:
+        planar = 1  # single-channel planar ≡ chunky
     photometric = one(262, 1)
     if photometric not in (0, 1, 2):
         raise TIFFError(f"unsupported photometric {photometric}")
     compression = one(259, 1)
     if compression not in (1, 5, 32773):
         raise TIFFError(f"unsupported compression {compression}")
-    if 322 in tags or 323 in tags:
-        raise TIFFError("tiled TIFF unsupported")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise TIFFError("missing strip layout")
-    rows_per_strip = one(278, height)
     predictor = one(317, 1)
     if predictor not in (1, 2):
         raise TIFFError(f"unsupported predictor {predictor}")
+    if predictor == 2 and bps != 1:
+        raise TIFFError("predictor with 16-bit samples unsupported")
 
-    stride = width * spp
-    out = bytearray()
-    rows_done = 0
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        strip = data[off : off + cnt]
-        if len(strip) < cnt:
-            raise TIFFError("strip outside file")
-        n_rows = min(rows_per_strip, height - rows_done)
-        expected = n_rows * stride
+    planes = spp if planar == 2 else 1
+    ch = 1 if planar == 2 else spp  # channels per strip/tile chunk
+
+    def decompress(chunk: bytes, expected: int) -> bytes:
         if compression == 1:
-            raw = strip[:expected]
+            if len(chunk) < expected:
+                raise TIFFError("uncompressed chunk short")
+            return chunk[:expected]
+        if compression == 5:
+            try:
+                raw = lzw_decode(chunk)[:expected]
+            except Exception as exc:  # FilterError → the codec's contract
+                raise TIFFError(f"LZW chunk invalid: {exc}") from exc
             if len(raw) < expected:
-                raise TIFFError("uncompressed strip short")
-        elif compression == 5:
-            raw = lzw_decode(strip)[:expected]
-            if len(raw) < expected:
-                raise TIFFError("LZW strip short")
-        else:
-            raw = _packbits_decode(strip, expected)
-        if predictor == 2:
-            raw = _apply_predictor(
-                raw, {"Predictor": 2, "Colors": spp, "Columns": width}
-            )
-        out += raw
-        rows_done += n_rows
-    if rows_done < height:
-        raise TIFFError("strips cover fewer rows than ImageLength")
-    px = bytes(out[: width * height * spp])
+                raise TIFFError("LZW chunk short")
+            return raw
+        return _packbits_decode(chunk, expected)
+
+    # one full-image buffer per plane (chunky = one plane carrying all
+    # channels); interleave at the end
+    plane_stride = width * ch * bps
+    plane_bufs = [bytearray(plane_stride * height) for _ in range(planes)]
+
+    tiled = 322 in tags or 323 in tags
+    if tiled:
+        tw, th = one(322), one(323)
+        if tw <= 0 or th <= 0 or tw * th > MAX_DECODE_PIXELS:
+            raise TIFFError("unreasonable tile dimensions")
+        offsets, counts = tags.get(324), tags.get(325)
+        tiles_across = -(-width // tw)
+        tiles_down = -(-height // th)
+        need = planes * tiles_across * tiles_down
+        if not offsets or not counts or len(offsets) < need or len(counts) < need:
+            raise TIFFError("missing tile layout")
+        tile_stride = tw * ch * bps
+        expected = th * tile_stride
+        idx = 0
+        for p in range(planes):
+            for ty in range(tiles_down):
+                for tx in range(tiles_across):
+                    off, cnt = offsets[idx], counts[idx]
+                    idx += 1
+                    chunk = data[off : off + cnt]
+                    if len(chunk) < cnt:
+                        raise TIFFError("tile outside file")
+                    raw = decompress(chunk, expected)
+                    if predictor == 2:
+                        raw = _apply_predictor(
+                            raw, {"Predictor": 2, "Colors": ch, "Columns": tw}
+                        )
+                    copy_w = min(tw, width - tx * tw) * ch * bps
+                    buf = plane_bufs[p]
+                    for r in range(min(th, height - ty * th)):
+                        dst = (ty * th + r) * plane_stride + tx * tw * ch * bps
+                        src = r * tile_stride
+                        buf[dst : dst + copy_w] = raw[src : src + copy_w]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise TIFFError("missing strip layout")
+        rows_per_strip = one(278, height)
+        if rows_per_strip <= 0:
+            raise TIFFError("bad rows per strip")
+        strips_per_plane = -(-height // rows_per_strip)
+        if len(offsets) < planes * strips_per_plane:
+            raise TIFFError("strips cover fewer rows than ImageLength")
+        idx = 0
+        for p in range(planes):
+            rows_done = 0
+            buf = plane_bufs[p]
+            for _s in range(strips_per_plane):
+                off, cnt = offsets[idx], counts[idx]
+                idx += 1
+                chunk = data[off : off + cnt]
+                if len(chunk) < cnt:
+                    raise TIFFError("strip outside file")
+                n_rows = min(rows_per_strip, height - rows_done)
+                expected = n_rows * plane_stride
+                raw = decompress(chunk, expected)
+                if predictor == 2:
+                    raw = _apply_predictor(
+                        raw, {"Predictor": 2, "Colors": ch, "Columns": width}
+                    )
+                dst = rows_done * plane_stride
+                buf[dst : dst + expected] = raw[:expected]
+                rows_done += n_rows
+
+    if planes > 1:
+        # interleave R/G/B planes sample-wise
+        out = bytearray(width * height * spp * bps)
+        for p, buf in enumerate(plane_bufs):
+            for b in range(bps):
+                out[p * bps + b :: spp * bps] = buf[b::bps]
+        px = bytes(out)
+    else:
+        px = bytes(plane_bufs[0])
+
+    if bps == 2:
+        # downconvert: keep the high byte of each sample per file endianness
+        px = px[1::2] if endian == "<" else px[0::2]
     if photometric == 0:  # WhiteIsZero → invert to BlackIsZero
         px = bytes(255 - b for b in px)
     return width, height, spp, px
@@ -201,53 +275,103 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     predictor: int = 1,
     big_endian: bool = False,
+    bits: int = 8,
+    planar: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
-    """Fixture encoder: 8-bit gray/RGB, strip layout, compression
-    1 (none) / 5 (LZW, via the testkit encoder) / 32773 (PackBits),
-    optional horizontal predictor with LZW."""
+    """Fixture encoder: gray/RGB, 8- or 16-bit samples (``pixels`` is
+    8-bit; 16-bit widens each sample to ``v*257`` so the decoder's
+    high-byte downconversion round-trips), strip OR tile layout,
+    chunky or planar, compression 1 (none) / 5 (LZW, via the testkit
+    encoder) / 32773 (PackBits), optional horizontal predictor."""
     if channels not in (1, 3):
         raise TIFFError("unsupported channel count")
     if len(pixels) != width * height * channels:
         raise TIFFError("pixel buffer does not match dimensions")
+    if bits not in (8, 16):
+        raise TIFFError("unsupported bit depth")
+    if predictor == 2 and bits != 8:
+        raise TIFFError("predictor requires 8-bit samples")
     endian = ">" if big_endian else "<"
-    stride = width * channels
-    rps = rows_per_strip or height
-    strips: list[bytes] = []
-    for y0 in range(0, height, rps):
-        raw = pixels[y0 * stride : min(y0 + rps, height) * stride]
-        if predictor == 2:
-            buf = bytearray(raw)
-            for r in range(0, len(buf), stride):
-                for i in range(min(r + stride, len(buf)) - 1, r + channels - 1, -1):
-                    buf[i] = (buf[i] - buf[i - channels]) & 0xFF
-            raw = bytes(buf)
+    bps = bits // 8
+    if planar == 2 and channels == 3:
+        planes = [pixels[c::3] for c in range(3)]
+        ch = 1
+    else:
+        planar = 1
+        planes = [pixels]
+        ch = channels
+
+    def widen(raw: bytes) -> bytes:
+        if bps == 1:
+            return raw
+        return struct.pack(f"{endian}{len(raw)}H", *(v * 257 for v in raw))
+
+    def compress(raw: bytes) -> bytes:
         if compression == 1:
-            strips.append(raw)
-        elif compression == 5:
+            return raw
+        if compression == 5:
             from ..testkit.gen_pdf import lzw_encode
 
-            strips.append(lzw_encode(raw))
-        elif compression == 32773:
-            strips.append(_packbits_encode(raw))
-        else:
-            raise TIFFError("unsupported compression")
+            return lzw_encode(raw)
+        if compression == 32773:
+            return _packbits_encode(raw)
+        raise TIFFError("unsupported compression")
+
+    def pred(raw: bytes, row_px: int) -> bytes:
+        if predictor != 2:
+            return raw
+        stride = row_px * ch
+        buf = bytearray(raw)
+        for r in range(0, len(buf), stride):
+            for i in range(min(r + stride, len(buf)) - 1, r + ch - 1, -1):
+                buf[i] = (buf[i] - buf[i - ch]) & 0xFF
+        return bytes(buf)
+
+    strips: list[bytes] = []
+    if tile is not None:
+        tw, th = tile
+        for plane in planes:
+            stride = width * ch
+            for ty in range(0, height, th):
+                for tx in range(0, width, tw):
+                    t = bytearray(tw * th * ch)
+                    for r in range(min(th, height - ty)):
+                        src = (ty + r) * stride + tx * ch
+                        cw = min(tw, width - tx) * ch
+                        t[r * tw * ch : r * tw * ch + cw] = plane[src : src + cw]
+                    strips.append(compress(widen(pred(bytes(t), tw))))
+        rps = None
+    else:
+        rps = rows_per_strip or height
+        for plane in planes:
+            stride = width * ch
+            for y0 in range(0, height, rps):
+                raw = plane[y0 * stride : min(y0 + rps, height) * stride]
+                strips.append(compress(widen(pred(raw, width))))
 
     def val(fmt: str, *vs: int) -> bytes:
         return struct.pack(endian + fmt * len(vs), *vs)
 
     n_strips = len(strips)
+    off_tag, cnt_tag = (324, 325) if tile is not None else (273, 279)
     tag_list: list[tuple[int, int, list[int] | None]] = [
         (256, 4, [width]),
         (257, 4, [height]),
-        (258, 3, [8] * channels),
+        (258, 3, [bits] * channels),
         (259, 3, [compression]),
         (262, 3, [2 if channels == 3 else 1]),
-        (273, 4, None),  # strip offsets — filled once the layout is known
+        (off_tag, 4, None),  # offsets — filled once the layout is known
         (277, 3, [channels]),
-        (278, 4, [rps]),
-        (279, 4, [len(s) for s in strips]),
+        (cnt_tag, 4, [len(s) for s in strips]),
         (296, 3, [1]),  # ResolutionUnit: none
     ]
+    if tile is not None:
+        tag_list += [(322, 4, [tile[0]]), (323, 4, [tile[1]])]
+    else:
+        tag_list.append((278, 4, [rps]))
+    if planar == 2:
+        tag_list.append((284, 3, [2]))
     if predictor == 2:
         tag_list.append((317, 3, [2]))
     tag_list.sort(key=lambda t: t[0])  # TIFF requires ascending tags
@@ -258,7 +382,7 @@ def encode_tiff(
     type_size = {3: 2, 4: 4}
     extra_total = 0
     for tag, typ, vs in tag_list:
-        count = n_strips if tag == 273 else len(vs)
+        count = n_strips if tag == off_tag else len(vs)
         size = type_size[typ] * count
         if size > 4:
             extra_total += size
@@ -273,7 +397,7 @@ def encode_tiff(
     extra = bytearray()
     ifd += val("H", len(tag_list))
     for tag, typ, vs in tag_list:
-        if tag == 273:
+        if tag == off_tag:
             vs = strip_offsets
         fmt = "H" if typ == 3 else "I"
         packed = val(fmt, *vs)

@@ -199,3 +199,97 @@ def test_resize_reencodes_tiff_as_png(spark):
     for r in out:
         W, H, C, _px = decode_png(bytes(r["payload"]))
         assert (W, H, C) == (4, 4, 3)
+
+
+# ---------------- tiles / 16-bit / planar breadth ----------------
+
+
+def _px_gray(w, h):
+    return bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w))
+
+
+def _px_rgb(w, h):
+    return bytes(
+        v for y in range(h) for x in range(w)
+        for v in ((x * 5) % 256, (y * 9) % 256, (x + y) % 256)
+    )
+
+
+def test_tiled_gray_roundtrip_with_edge_clipping():
+    # 10x7 image, 4x4 tiles: right and bottom tiles are partial
+    px = _px_gray(10, 7)
+    for comp in (1, 5, 32773):
+        data = encode_tiff(10, 7, px, 1, compression=comp, tile=(4, 4))
+        assert decode_tiff(data) == (10, 7, 1, px), comp
+
+
+def test_tiled_rgb_roundtrip_both_endians():
+    px = _px_rgb(9, 6)
+    for be in (False, True):
+        data = encode_tiff(9, 6, px, 3, tile=(4, 3), big_endian=be)
+        assert decode_tiff(data) == (9, 6, 3, px), be
+
+
+def test_tiled_with_predictor_lzw():
+    px = _px_rgb(8, 8)
+    data = encode_tiff(8, 8, px, 3, compression=5, predictor=2, tile=(4, 4))
+    assert decode_tiff(data) == (8, 8, 3, px)
+
+
+def test_planar_rgb_strips_roundtrip():
+    px = _px_rgb(7, 5)
+    for comp in (1, 5, 32773):
+        data = encode_tiff(7, 5, px, 3, compression=comp, planar=2,
+                           rows_per_strip=2)
+        assert decode_tiff(data) == (7, 5, 3, px), comp
+
+
+def test_planar_tiled_rgb_roundtrip():
+    px = _px_rgb(9, 6)
+    data = encode_tiff(9, 6, px, 3, planar=2, tile=(4, 4))
+    assert decode_tiff(data) == (9, 6, 3, px)
+
+
+def test_16bit_high_byte_downconversion_both_endians():
+    px = _px_gray(6, 4)
+    for be in (False, True):
+        data = encode_tiff(6, 4, px, 1, bits=16, big_endian=be)
+        # v*257 = (v<<8)|v → high byte is exactly v
+        assert decode_tiff(data) == (6, 4, 1, px), be
+
+
+def test_16bit_rgb_lzw_roundtrip():
+    px = _px_rgb(5, 5)
+    data = encode_tiff(5, 5, px, 3, bits=16, compression=5)
+    assert decode_tiff(data) == (5, 5, 3, px)
+
+
+def test_16bit_planar_tiled_combination():
+    px = _px_rgb(6, 6)
+    data = encode_tiff(6, 6, px, 3, bits=16, planar=2, tile=(4, 4),
+                       big_endian=True)
+    assert decode_tiff(data) == (6, 6, 3, px)
+
+
+def test_predictor_on_16bit_raises():
+    import pytest
+
+    px = _px_gray(4, 4)
+    data = encode_tiff(4, 4, px, 1, bits=16)
+    # force a predictor tag onto the 16-bit file: decoder must refuse
+    data = data.replace(b"\x28\x01\x03\x00", b"\xff\xff\x03\x00")  # harmless if absent
+    with pytest.raises(TIFFError):
+        encode_tiff(4, 4, px, 1, bits=16, predictor=2)
+
+
+def test_breadth_mutation_fuzz_error_contract():
+    px = _px_rgb(9, 6)
+    base = encode_tiff(9, 6, px, 3, compression=5, planar=2, tile=(4, 4))
+    for pos in range(0, len(base), 11):
+        m = bytearray(base)
+        m[pos] ^= 0xFF
+        try:
+            w, h, c, out = decode_tiff(bytes(m))
+            assert w * h * c == len(out)
+        except TIFFError:
+            pass  # the declared error contract
