@@ -9764,6 +9764,91 @@ ORDER BY g_type, g_dow, event_type, dow
 """
 
 
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal: Shannon entropy of the
+    letter distribution per doc — low entropy flags the repetitive
+    boilerplate (keyword stuffing, padding runs, template spam) that
+    length/stopword gates miss.  Letter counts use the
+    length-minus-replace trick (26 codegen string ops, no explode);
+    the 26-term -Σ p·log2 p fold runs over a LITERAL alphabet array in
+    identical order on both engines, and the census sums the PER-DOC
+    rounded value as an integer (×10⁴), so cross-engine float error
+    (~1e-15 per doc, bounded by the log ulp) can never accumulate
+    across rows.  Every 5th doc gets a synthesized repetitive tail so
+    the low-entropy branch fires on the substrate.
+    Scale: pure map-side column math + ONE census exchange."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = d.withColumn(
+        "lw",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lower("text"), F.lit(" " + "zz" * 200)),
+        ).otherwise(F.lower("text")),
+    )
+    letters = ", ".join(f"'{c}'" for c in ENTROPY_ALPHABET)
+    cnts = (
+        f"transform(array({letters}),"
+        f" c -> CAST(length(lw) - length(replace(lw, c, '')) AS DOUBLE))"
+    )
+    ent = (
+        f"CASE WHEN aggregate({cnts}, 0D, (a, x) -> a + x) = 0 THEN 0D ELSE "
+        f"aggregate(transform({cnts}, x -> CASE WHEN x = 0 THEN 0D ELSE "
+        f" -(x / tot) * log2(x / tot) END), 0D, (a, x) -> a + x) END"
+    )
+    d = d.withColumn(
+        "tot", F.expr(f"aggregate({cnts}, 0D, (a, x) -> a + x)")
+    ).withColumn("e4", F.expr(f"CAST(round({ent} * 10000) AS BIGINT)"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("e4").alias("entropy_sum_e4"),
+            F.sum((F.col("e4") < 20000).cast("long")).alias("n_low_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+def _entropy_sql() -> str:
+    letters = ", ".join(f"'{c}'" for c in ENTROPY_ALPHABET)
+    cnts = (
+        f"list_transform([{letters}],"
+        f" c -> CAST(length(lw) - length(replace(lw, c, '')) AS DOUBLE))"
+    )
+    ent = (
+        f"CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, {cnts}),"
+        f" (a, x) -> a + x) = 0 THEN 0 ELSE "
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform({cnts},"
+        f" x -> CASE WHEN x = 0 THEN 0.0::DOUBLE ELSE"
+        f" -(x / tot) * log2(x / tot) END)), (a, x) -> a + x) END"
+    )
+    return f"""
+WITH lwd AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0
+              THEN lower(text) || ' ' || repeat('zz', 200)
+              ELSE lower(text) END AS lw
+  FROM documents),
+tt AS (
+  SELECT source, lw,
+         list_reduce(list_prepend(0.0::DOUBLE, {cnts}), (a, x) -> a + x)
+           AS tot
+  FROM lwd),
+e AS (SELECT source, CAST(round(({ent}) * 10000) AS BIGINT) AS e4 FROM tt)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(e4) AS BIGINT) AS entropy_sum_e4,
+       CAST(sum(CASE WHEN e4 < 20000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_entropy
+FROM e GROUP BY source ORDER BY source
+"""
+
+
+SQL_TEXT_CHAR_ENTROPY = _entropy_sql()
+
+
 def q_audit_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-store dimension audit: the 10 strongest off-diagonal
     covariance pairs over the embedding dimensions — linearly-tied or
@@ -9977,6 +10062,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "filter_url_canonicalize": (q_filter_url_canonicalize, SQL_FILTER_URL_CANON),
     "text_mojibake_repair": (q_text_mojibake_repair, SQL_TEXT_MOJIBAKE),
     "text_nfc_normalize": (q_text_nfc_normalize, SQL_TEXT_NFC),
+    "text_char_entropy": (q_text_char_entropy, SQL_TEXT_CHAR_ENTROPY),
     "filter_license_signals": (q_filter_license_signals, _sql_filter_license()),
     "filter_c4_lines": (q_filter_c4_lines, SQL_FILTER_C4_LINES),
     "cluster_zorder": (q_cluster_zorder, _sql_cluster_zorder()),
