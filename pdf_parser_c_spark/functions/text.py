@@ -384,14 +384,26 @@ def url_canonicalize(col: str = "url") -> Column:
         f"regexp_extract({u}, '\\\\?([^#]*)', 1), '&'),"
         f" p -> p != '' AND {not_tracking})), '&')"
     )
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    host = (
+        f"regexp_replace(lower(regexp_extract({u},"
+        f" '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\\\.', '')"
+    )
+    # default ports strip ONLY for their own scheme — https://h:80 is a
+    # genuinely different resource than https://h and must not merge
+    host_np = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host}, ':80$', '')"
+        f" WHEN {scheme} = 'https' THEN regexp_replace({host}, ':443$', '')"
+        f" ELSE {host} END"
+    )
+    # empty path ≡ '/' (RFC 3986 §6.2.3), /index.html collapses, runs
+    # of trailing slashes collapse
+    path = (
+        f"regexp_replace(regexp_replace(coalesce(nullif(regexp_extract({u},"
+        f" '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''), '/'),"
+        f" '/index\\\\.html$', '/'), '(.)/+$', '$1')"
+    )
     return F.expr(
-        f"concat("
-        f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '://',"
-        f"regexp_replace(regexp_replace(lower(regexp_extract({u},"
-        f" '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),"
-        f" '^www\\\\.', ''), ':(80|443)$', ''),"
-        f"regexp_replace(regexp_replace(regexp_extract({u},"
-        f" '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),"
-        f" '/index\\\\.html$', '/'), '(.)/$', '$1'),"
+        f"concat({scheme}, '://', {host_np}, {path},"
         f"CASE WHEN {q_sorted} = '' THEN '' ELSE concat('?', {q_sorted}) END)"
     )

@@ -755,6 +755,11 @@ def dim_covariance(
     part_schema = "i int, j int, s long"
 
     def gram_partials(it):
+        """One pass emits BOTH moments: Gram upper triangle under
+        (i ≥ 0), plus sentinel rows (-1, j) carrying the column sums
+        T_j and (-1, -1) carrying the row count — so the covariance
+        assembles from a single scan of the vectors (the two-subtree
+        form re-read and re-quantized the store twice)."""
         import numpy as np
 
         for batch in it:
@@ -771,25 +776,38 @@ def dim_covariance(
                 X = np.asarray(arr, dtype=np.int64)
                 G = X.T @ X
                 iu = np.triu_indices(G.shape[0])
+                T = X.sum(axis=0)
                 yield pd.DataFrame(
-                    {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"),
-                     "s": G[iu]}
+                    {
+                        "i": list(iu[0].astype("int32"))
+                        + [-1] * (len(T) + 1),
+                        "j": list(iu[1].astype("int32"))
+                        + list(range(len(T))) + [-1],
+                        "s": list(G[iu]) + list(T) + [X.shape[0]],
+                    }
                 )
 
-    gram = (
+    parts = (
         q.mapInPandas(gram_partials, schema=part_schema)
         .groupBy("i", "j")
         .agg(F.sum("s").alias("s"))
+        # materialize the tiny aggregated frame so its three consumers
+        # below share ONE corpus scan instead of re-planning the source
+        .localCheckpoint()
     )
-    totals = (
-        q.select(F.posexplode("xq").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.sum("x").alias("t"), F.count("*").alias("n"))
+    gram = parts.filter(F.col("i") >= 0)
+    totals = parts.filter((F.col("i") == -1) & (F.col("j") >= 0)).select(
+        F.col("j").alias("_p"), F.col("s").alias("t")
+    )
+    nrow = parts.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").alias("n")
     )
     return (
-        gram.join(totals.select("i", F.col("t").alias("_ti"),
-                                F.col("n").alias("n")), "i")
-        .join(totals.select(F.col("i").alias("j"), F.col("t").alias("_tj")), "j")
+        gram.join(F.broadcast(totals.withColumnRenamed("_p", "i")
+                              .withColumnRenamed("t", "_ti")), "i")
+        .join(F.broadcast(totals.withColumnRenamed("_p", "j")
+                          .withColumnRenamed("t", "_tj")), "j")
+        .join(F.broadcast(nrow))
         .select(
             "i", "j", "n",
             (F.col("n") * F.col("s") - F.col("_ti") * F.col("_tj"))

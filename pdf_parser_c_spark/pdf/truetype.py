@@ -28,6 +28,12 @@ import struct
 # as hostile (largest real CJK fonts are ~65k; sfnt gids are uint16).
 _MAX_GLYPHS = 0x10000
 _MAX_SEGMENTS = 0x10000
+# Total code→gid entries a single subtable may emit.  Per-segment and
+# per-group caps alone do NOT bound work: 65536 format-4 segments each
+# spanning 0..0xFFFE fit in ~512 KB yet describe 2^32 lookups.  Real
+# fonts top out around 65k mappings; hostile ones hit this and the
+# parser bails (decode-side DoS posture, same as the image codecs).
+_MAX_TOTAL_CODES = 0x20000
 
 # The 258 standard Macintosh glyph names, in 'post' table format-1.0
 # glyph order (Apple TrueType Reference Manual, "The 'post' table";
@@ -177,6 +183,8 @@ def _parse_cmap_subtable(data: bytes, off: int) -> dict[int, int] | None:
                 start, end, gid0 = struct.unpack(">III", rec)
                 if end < start or end - start > _MAX_GLYPHS:
                     return None
+                if len(m) + (end - start + 1) > _MAX_TOTAL_CODES:
+                    return None  # hostile total span
                 for c in range(start, end + 1):
                     if gid0 + (c - start):
                         m[c] = gid0 + (c - start)
@@ -207,10 +215,14 @@ def _parse_cmap4(data: bytes, off: int) -> dict[int, int] | None:
     p += seg_x2
     range_off_base = p
     m: dict[int, int] = {}
+    budget = _MAX_TOTAL_CODES
     for i in range(segs):
         s, e, d = starts[i], ends[i], deltas[i]
         if e < s or s == 0xFFFF:
             continue
+        budget -= e - s + 1
+        if budget < 0:
+            return None  # hostile total span (see _MAX_TOTAL_CODES)
         ro_pos = range_off_base + 2 * i
         if ro_pos + 2 > len(data):
             break

@@ -9618,18 +9618,28 @@ WITH u AS (
          || {pick(3, CANON_URL_PATHS)} || {pick(4, CANON_URL_QUERIES)}
          || {pick(5, CANON_URL_FRAGS)} AS url
   FROM documents),
+sp AS (
+  SELECT source, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_replace(lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '')
+           AS host
+  FROM u),
 c AS (
   SELECT source,
-         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
-         || regexp_replace(regexp_replace(lower(regexp_extract(url,
-              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-              '^www\\.', ''), ':(80|443)$', '')
-         || regexp_replace(regexp_replace(regexp_extract(url,
-              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-              '/index\\.html$', '/'), '(.)/$', '\\1')
+         scheme || '://'
+         || CASE WHEN scheme = 'http'
+                 THEN regexp_replace(host, ':80$', '')
+                 WHEN scheme = 'https'
+                 THEN regexp_replace(host, ':443$', '')
+                 ELSE host END
+         || regexp_replace(regexp_replace(coalesce(nullif(regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''), '/'),
+              '/index\\.html$', '/'), '(.)/+$', '\\1')
          || CASE WHEN {q_sorted} = '' THEN ''
                  ELSE '?' || {q_sorted} END AS canon
-  FROM u),
+  FROM sp),
 g AS (SELECT source, canon, count(*) AS _n FROM c GROUP BY source, canon)
 SELECT source, CAST(sum(_n) AS BIGINT) AS n_urls,
        CAST(count(*) AS BIGINT) AS n_canonical,

@@ -39,6 +39,8 @@ def build_sfnt(tables: dict[str, bytes], version: bytes = b"\x00\x01\x00\x00") -
 
 
 def cmap_format0(code_to_gid: dict[int, int]) -> bytes:
+    if any(not 0 <= c <= 0xFF for c in code_to_gid):
+        raise ValueError("cmap format 0 encodes byte codes only")
     arr = bytearray(256)
     for c, g in code_to_gid.items():
         arr[c] = g & 0xFF
@@ -127,7 +129,10 @@ def build_symbol_ttf(code_to_name: dict[int, str], *, platform: tuple[int, int] 
     for (3,0) the cmap keys follow the 0xF000 PUA convention."""
     codes = sorted(code_to_name)
     gid_of = {c: i + 1 for i, c in enumerate(codes)}
-    pua = 0xF000 if platform == (3, 0) else 0
+    # format 0 can only key byte codes, so a (3,0) format-0 fixture
+    # keys bare codes — the decoder's `0xF000|code or code` fallback
+    # finds them (matching real fonts that skip the PUA convention)
+    pua = 0xF000 if platform == (3, 0) and fmt != 0 else 0
     cmap_keys = {pua | c: g for c, g in gid_of.items()}
     if fmt == 4:
         sub = cmap_format4(cmap_keys)

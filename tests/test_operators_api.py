@@ -1420,3 +1420,23 @@ def test_dim_covariance_tolerates_null_and_ragged(spark):
     df = spark.createDataFrame(rows, "embedding array<float>")
     out = dim_covariance(df).collect()  # must not raise
     assert all(r.cov_scaled is not None for r in out)
+
+
+def test_url_canonicalize_port_and_root_rules(spark):
+    """Review findings: default ports strip only for their own scheme,
+    and bare host ≡ host/ (RFC 3986 §6.2.3)."""
+    from pdf_parser_c_spark.functions.text import url_canonicalize
+
+    rows = [
+        ("https://example.com:80/x",),   # NOT default for https — keep
+        ("http://example.com:80/x",),    # default — strip
+        ("http://example.com",),         # empty path → '/'
+        ("http://example.com/",),
+        ("http://example.com/a//",),     # slash runs collapse
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = [r.c for r in df.select(url_canonicalize("url").alias("c")).collect()]
+    assert got[0] == "https://example.com:80/x"
+    assert got[1] == "http://example.com/x"
+    assert got[2] == got[3] == "http://example.com/"
+    assert got[4] == "http://example.com/a"

@@ -158,3 +158,37 @@ def test_truetype_with_tounicode_prefers_tounicode():
                         tounicode={0x41: "Z"})},
     )
     assert parse_pdf_bytes(pdf).text == "Z"
+
+
+def test_hostile_cmap_total_span_bails_fast():
+    """A format-4 cmap whose segments are individually legal but whose
+    TOTAL span describes 2^3x lookups must bail, not loop: the
+    decode-side DoS posture (review finding — per-segment caps alone
+    don't bound work)."""
+    import time
+
+    from pdf_parser_c_spark.testkit.gen_ttf import build_sfnt, cmap_table
+
+    segs = 4096
+    ends = list(range(0xF000, 0xF000 + segs))  # end >= start trick below
+    # hand-build: every segment spans 0..0xFFFE
+    n = segs + 1
+    body = struct.pack(f">{n}H", *([0xFFFE] * segs + [0xFFFF]))
+    body += b"\x00\x00"
+    body += struct.pack(f">{n}H", *([0] * segs + [0xFFFF]))
+    body += struct.pack(f">{n}h", *([1] * n))
+    body += struct.pack(f">{n}H", *([0] * n))
+    sub = struct.pack(">HHHHHHH", 4, 14 + len(body), 0, n * 2, 2, 0, 0) + body
+    ttf = build_sfnt({"cmap": cmap_table([(3, 0, sub)])})
+    t0 = time.time()
+    assert truetype_builtin_encoding(ttf) is None
+    assert time.time() - t0 < 1.0, "hostile cmap must bail, not loop"
+    del ends
+
+
+def test_format0_symbol_platform_fixture_decodes():
+    """(3,0) + format 0 keys bare byte codes (format 0 cannot encode
+    0xF0xx); the decoder's bare-code fallback must find them."""
+    ttf = build_symbol_ttf({0x41: "heart"}, platform=(3, 0), fmt=0)
+    enc = truetype_builtin_encoding(ttf)
+    assert enc[0x41] == "♥"
