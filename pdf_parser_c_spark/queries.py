@@ -9859,6 +9859,91 @@ FROM e GROUP BY source ORDER BY source
 SQL_TEXT_CHAR_ENTROPY = _entropy_sql()
 
 
+# (name, char-class regex) — literal BMP ranges so the same pattern
+# string compiles identically under Java regex and RE2
+SCRIPT_CLASSES = (
+    ("latin", "[A-Za-z]"),
+    ("cjk", "[一-鿿]"),
+    ("kana", "[぀-ヿ]"),
+    ("hangul", "[가-힯]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+)
+SCRIPT_SAMPLES = (
+    "die große straße",          # latin (with non-ASCII letters OUTSIDE the classes)
+    "数据处理引擎测试",            # cjk
+    "データ処理てすと",            # kana + cjk
+    "데이터 처리 엔진",            # hangul
+    "обработка данных",          # cyrillic
+    "mixed 混合 テキスト 텍스트",  # all four
+)
+
+
+def q_text_script_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition census — the router every
+    multilingual pipeline needs BEFORE language-ID (script is cheap
+    and exact; lang-ID models are per-script): per-char counts of
+    Latin/CJK/Kana/Hangul/Cyrillic classes via char-class
+    regexp_extract_all (literal BMP ranges compile identically under
+    Java regex and RE2), censused per source with a CJK-dominance
+    flag.  The ASCII substrate gets deterministic per-doc multilingual
+    suffixes so every class is populated.
+    Scale: pure map-side regex counting + ONE census exchange."""
+    k = len(SCRIPT_SAMPLES)
+    arr = F.array(*[F.lit(v) for v in SCRIPT_SAMPLES])
+    idx = F.expr(
+        "CAST(pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 15),"
+        f" 16, 10) as bigint), {k}) AS INT)"
+    )
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn(
+            "tx", F.concat(F.col("text"), F.lit(" "), F.element_at(arr, idx + 1))
+        )
+    )
+    for name, pat in SCRIPT_CLASSES:
+        d = d.withColumn(
+            f"c_{name}",
+            F.expr(f"CAST(size(regexp_extract_all(tx, '{pat}', 0)) AS BIGINT)"),
+        )
+    aggs = [F.count("*").alias("n_docs")] + [
+        F.sum(f"c_{name}").alias(f"{name}_chars") for name, _ in SCRIPT_CLASSES
+    ]
+    aggs.append(
+        F.sum((F.col("c_cjk") > F.col("c_latin")).cast("long")).alias(
+            "n_cjk_dominant"
+        )
+    )
+    return d.groupBy("source").agg(*aggs).orderBy("source")
+
+
+def _script_shares_sql() -> str:
+    k = len(SCRIPT_SAMPLES)
+    lits = ", ".join("'" + v + "'" for v in SCRIPT_SAMPLES)
+    cols = ",\n       ".join(
+        f"CAST(sum(len(regexp_extract_all(tx, '{pat}'))) AS BIGINT)"
+        f" AS {name}_chars"
+        for name, pat in SCRIPT_CLASSES
+    )
+    return f"""
+WITH d AS (
+  SELECT source,
+         text || ' ' || list_extract([{lits}],
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % {k} AS INT) + 1) AS tx
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       {cols},
+       CAST(sum(CASE WHEN len(regexp_extract_all(tx, '{SCRIPT_CLASSES[1][1]}'))
+                       > len(regexp_extract_all(tx, '{SCRIPT_CLASSES[0][1]}'))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cjk_dominant
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+SQL_TEXT_SCRIPT_SHARES = _script_shares_sql()
+
+
 def q_audit_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-store dimension audit: the 10 strongest off-diagonal
     covariance pairs over the embedding dimensions — linearly-tied or
@@ -10073,6 +10158,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_mojibake_repair": (q_text_mojibake_repair, SQL_TEXT_MOJIBAKE),
     "text_nfc_normalize": (q_text_nfc_normalize, SQL_TEXT_NFC),
     "text_char_entropy": (q_text_char_entropy, SQL_TEXT_CHAR_ENTROPY),
+    "text_script_shares": (q_text_script_shares, SQL_TEXT_SCRIPT_SHARES),
     "filter_license_signals": (q_filter_license_signals, _sql_filter_license()),
     "filter_c4_lines": (q_filter_c4_lines, SQL_FILTER_C4_LINES),
     "cluster_zorder": (q_cluster_zorder, _sql_cluster_zorder()),
