@@ -115,6 +115,10 @@ def main() -> None:
         "text_nfc_normalize": "NFC: ONE ArrowEvalPython (vectorized pandas UDF — the catalog's sanctioned slow path, Spark has no normalizer) between the scan and the census agg; no joins, one exchange",
         "filter_url_canonicalize": "URL dedup gate: synthesis + canonicalization map-side regex/array codegen; ONE (source, canon) exchange then the tiny source rollup rides partial/final agg",
         "extraction_pdf_images": "image harvest e2e: armor + walk/decode kernels run back-to-back after the ONE doc_id exchange (two MapInPandas, same stage — the fused production shape); census agg is the only other exchange",
+        "audit_dim_covariance": "dimension audit: ONE MapInPandas pass (Gram + sentinel totals from the same scan), d(d+1)/2-cell agg exchange, totals/count attach as broadcasts, TakeOrdered cut — the quadratic pair space exists only in the oracle",
+        "text_char_entropy": "entropy census: 26 length-replace counts + ordered literal-array fold all map-side codegen (no Generate, no UDF); per-source census is the only exchange",
+        "text_script_shares": "script census: per-class regexp_extract_all counts map-side; ONE census exchange",
+        "events_cube": "CUBE: Expand feeds all four grouping sets into one exchange; grouping_id rides the agg keys",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]
