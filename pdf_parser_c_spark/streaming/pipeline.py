@@ -757,3 +757,59 @@ def start_extraction_stream_idempotent(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def quarantine_router(results_path: str, quarantine_path: str):
+    """foreachBatch sink splitting each micro-batch into the results
+    sink (status = 'ok') and a dead-letter quarantine (everything
+    else: parse failures, encrypted docs, armor corruption) — the
+    production pattern for streams whose payloads can be hostile:
+    the good path stays clean for downstream consumers while failed
+    turns land WITH their status/error columns for triage, and
+    nothing is ever dropped (row accounting: |batch| = |ok| + |dlq|).
+
+    Both sinks are batch-id-keyed overwrites (the
+    :func:`idempotent_batch_writer` recipe), so a replayed batch
+    rewrites the same two directories — exactly-once on both paths
+    without a transactional sink.  The split is two filters over ONE
+    persisted batch frame: the extraction kernel never runs twice."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        df.persist()
+        try:
+            ok = df.filter(F.col("status") == "ok")
+            bad = df.filter(F.col("status") != "ok")
+            ok.write.mode("overwrite").parquet(
+                f"{results_path}/batch={batch_id}"
+            )
+            bad.write.mode("overwrite").parquet(
+                f"{quarantine_path}/batch={batch_id}"
+            )
+        finally:
+            df.unpersist()
+
+    return write_batch
+
+
+def start_extraction_stream_with_quarantine(
+    spark: SparkSession,
+    input_path: str,
+    results_path: str,
+    quarantine_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """readStream → extraction kernel → ok/dead-letter split sinks
+    (see :func:`quarantine_router`)."""
+    out = extract_stream(read_transcripts_stream(spark, input_path))
+    writer = (
+        out.writeStream.foreachBatch(
+            quarantine_router(results_path, quarantine_path)
+        )
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -390,3 +390,46 @@ def test_idempotent_batch_sink_exactly_once(spark, tmp_path):
     q2 = start_extraction_stream_idempotent(spark, str(inp), out, ckpt)
     q2.awaitTermination(180)
     assert spark.read.parquet(out).count() == n_stream + len(extra)
+
+
+def test_quarantine_router_splits_ok_and_dead_letter(spark, tmp_path):
+    """Dead-letter routing: hostile payloads land in quarantine WITH
+    their status, good rows in results, nothing dropped, and a batch
+    replay rewrites both directories (exactly-once on both paths)."""
+    from pdf_parser_c_spark.engine import PDF_B64_PREFIX, extract_turns
+    from pdf_parser_c_spark.streaming.pipeline import (
+        quarantine_router,
+        start_extraction_stream_with_quarantine,
+    )
+
+    corpus = transcripts_columns_only(
+        make_transcripts(n_convs=3, turns_per_conv=4, mega_every=0)
+    )
+    corpus = corpus.assign(tool=corpus["tool"].astype("string"))
+    # poison two turns: truncated armor and invalid base64
+    corpus.loc[corpus.index[1], "text"] = PDF_B64_PREFIX + "%%%not-base64%%%"
+    corpus.loc[corpus.index[5], "text"] = PDF_B64_PREFIX + "QUJD"  # not a PDF
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write_corpus(str(inp / "p0.parquet"), corpus)
+    res, dlq, ckpt = (str(tmp_path / d) for d in ("res", "dlq", "ckpt"))
+
+    q = start_extraction_stream_with_quarantine(spark, str(inp), res, dlq, ckpt)
+    q.awaitTermination(180)
+
+    ok = spark.read.parquet(res)
+    bad = spark.read.parquet(dlq)
+    assert ok.count() + bad.count() == len(corpus)  # nothing dropped
+    assert bad.count() >= 2
+    assert ok.filter("status <> 'ok'").count() == 0
+    assert bad.filter("status = 'ok'").count() == 0
+    # quarantined rows keep identity + diagnosis columns for triage
+    statuses = {r.status for r in bad.select("status").collect()}
+    assert statuses and all(s != "ok" for s in statuses)
+
+    ok_n, bad_n = ok.count(), bad.count()
+    # replay: same batch content re-written under the same id → no dupes
+    replay = extract_turns(spark.read.parquet(str(inp)), num_partitions=2)
+    quarantine_router(res, dlq)(replay, 0)
+    assert spark.read.parquet(res).count() == ok_n
+    assert spark.read.parquet(dlq).count() == bad_n
