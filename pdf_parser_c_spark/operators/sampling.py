@@ -188,6 +188,56 @@ def mixture_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    class_col: str,
+    tokens_col: str,
+    alpha: float,
+    token_budget: int,
+) -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual-balancing
+    rule of mBERT/XLM-R/mT5, public): target share of class *s* is
+    ``p_s^alpha / Σ p^alpha`` where ``p_s`` is its token share —
+    ``alpha = 1`` keeps natural proportions, ``alpha → 0`` flattens
+    toward uniform, boosting low-resource classes.  Keep-rate per class
+    is ``min(1, budget·share_α / class_tokens)``; membership is the
+    deterministic id hash (reproducible, recomputable from the id).
+
+    Scale: identical shape to :func:`mixture_sample` — one
+    |classes|-row aggregate carries the p^alpha normalization
+    (a window over the tiny agg, NOT the corpus), broadcast back; the
+    sample is a map-side hash filter on one corpus scan."""
+    from pyspark.sql.window import Window as _W
+
+    cls = (
+        df.groupBy(class_col)
+        .agg(F.sum(tokens_col).alias("_cls_tokens"))
+        .filter(F.col("_cls_tokens") > 0)
+    )
+    w = _W.partitionBy()  # the frame is |classes| rows — tiny by contract
+    rates = (
+        cls.withColumn(
+            "_pa",
+            F.pow(F.col("_cls_tokens") / F.sum("_cls_tokens").over(w),
+                  F.lit(float(alpha))),
+        )
+        .withColumn("_share", F.col("_pa") / F.sum("_pa").over(w))
+        .withColumn(
+            "_rate",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(token_budget)) * F.col("_share")
+                / F.col("_cls_tokens"),
+            ),
+        )
+        .select(class_col, "_rate")
+    )
+    return df.join(F.broadcast(rates), class_col).filter(
+        id_hash(id_col).cast("double") < F.col("_rate") * float(_HASH_SPACE)
+    )
+
+
 def assign_splits(
     df: DataFrame,
     group_col: str,

@@ -9944,6 +9944,81 @@ FROM d GROUP BY source ORDER BY source
 SQL_TEXT_SCRIPT_SHARES = _script_shares_sql()
 
 
+TEMP_ALPHA = 0.5
+TEMP_BUDGET = 25_000
+
+
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (the mBERT/XLM-R/mT5
+    multilingual-balancing rule, public): class share ∝ p^alpha with
+    alpha = 0.5, so low-token languages are boosted toward uniform and
+    dominant ones thinned; keep-rate = min(1, budget·share_α/tokens),
+    membership by deterministic id hash
+    (operators/sampling.temperature_sample).  Census per lang: totals
+    vs kept docs/tokens and the applied rate.
+    Scale: the p^alpha normalization is a window over the
+    |classes|-row aggregate, never the corpus; the sample is one
+    map-side hash filter."""
+    from .operators.sampling import temperature_sample
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split("text", " "))
+    )
+    kept = temperature_sample(d, "doc_id", "lang", "n_tok", TEMP_ALPHA,
+                              TEMP_BUDGET)
+    kept_agg = kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tok").cast("long").alias("tokens_kept"),
+        F.round(F.max("_rate"), 6).alias("rate"),
+    )
+    totals = d.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum("n_tok").cast("long").alias("tokens_total"),
+    )
+    return (
+        totals.join(kept_agg, "lang", "left")
+        .select(
+            "lang", "n_total", "tokens_total",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("long").alias(
+                "tokens_kept"
+            ),
+            F.coalesce("rate", F.lit(0.0)).alias("rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_SAMPLE_TEMPERATURE = f"""
+WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+c AS (SELECT lang, sum(n_tok) AS cls_tokens, count(*) AS n_total,
+             CAST(sum(n_tok) AS BIGINT) AS tokens_total
+      FROM d GROUP BY lang),
+c2 AS (SELECT *, pow(cls_tokens / sum(cls_tokens) OVER (), {TEMP_ALPHA})
+              AS pa
+       FROM c WHERE cls_tokens > 0),
+r AS (SELECT lang, n_total, tokens_total,
+             least(1.0, {TEMP_BUDGET}.0 * (pa / sum(pa) OVER ())
+                        / cls_tokens) AS rate
+      FROM c2),
+k AS (SELECT d.lang, count(*) AS n_kept,
+             CAST(sum(d.n_tok) AS BIGINT) AS tokens_kept
+      FROM d JOIN r USING (lang)
+      WHERE CAST({ID_HASH_DUCK.format(col='d.doc_id')} AS DOUBLE)
+            < rate * {1 << 60}.0
+      GROUP BY d.lang)
+SELECT r.lang, r.n_total, r.tokens_total,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+       -- a NULL class can never equi-join the rate table, so its
+       -- effective rate is 0 (mirrors Spark's inner-join drop)
+       CASE WHEN r.lang IS NULL THEN 0.0
+            ELSE coalesce(round(r.rate, 6), 0.0) END AS rate
+FROM r LEFT JOIN k USING (lang) ORDER BY lang
+"""
+
+
 def q_audit_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-store dimension audit: the 10 strongest off-diagonal
     covariance pairs over the embedding dimensions — linearly-tied or
@@ -10119,6 +10194,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
+    "sample_temperature": (q_sample_temperature, SQL_SAMPLE_TEMPERATURE),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
     "audit_source_overlap": (q_audit_source_overlap, SQL_AUDIT_SOURCE_OVERLAP),
     "audit_fk_orphans": (q_audit_fk_orphans, SQL_AUDIT_FK_ORPHANS),

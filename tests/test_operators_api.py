@@ -1440,3 +1440,24 @@ def test_url_canonicalize_port_and_root_rules(spark):
     assert got[1] == "http://example.com/x"
     assert got[2] == got[3] == "http://example.com/"
     assert got[4] == "http://example.com/a"
+
+
+def test_temperature_sample_alpha_extremes(spark):
+    """alpha=1 reproduces natural-proportion mixture; alpha→0 flattens:
+    the low-resource class's keep-rate strictly rises as alpha falls."""
+    from pdf_parser_c_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big" if i % 10 else "small", 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, cls string, tk int")
+
+    def rate_of(alpha, cls):
+        kept = temperature_sample(df, "doc_id", "cls", "tk", alpha, 5000)
+        r = kept.filter(F.col("cls") == cls).agg(F.max("_rate")).first()[0]
+        return r or 0.0
+
+    # natural share of 'small' is 10%; alpha=0.3 boosts it toward 50%
+    r_small_nat = rate_of(1.0, "small")
+    r_small_flat = rate_of(0.3, "small")
+    assert r_small_flat > r_small_nat
+    # the budget is sub-corpus, so the dominant class is always thinned
+    assert rate_of(0.3, "big") < 1.0
