@@ -9944,6 +9944,137 @@ FROM d GROUP BY source ORDER BY source
 SQL_TEXT_SCRIPT_SHARES = _script_shares_sql()
 
 
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point monitor over hourly event volumes — the
+    sequential sibling of events_anomaly's pointwise z-test: it
+    accumulates SMALL sustained shifts a 2σ gate never fires on.  The
+    textbook recursion ``S_t = max(0, S_{t-1} + d_t)`` is not a window
+    function, but it equals the running DRAWUP
+    ``cumsum(d) − min(0, running_min(cumsum(d)))`` — two stock window
+    ops, so the whole monitor stays declarative.  All terms scale by
+    n_hours to remain EXACT integers (d'_t = n·x_t − total), and the
+    alarm gate is S' > 2·total (≡ sustained excess of 2 mean-hours).
+    Census per type: hours, peak statistic, alarm count, first alarm.
+    Scale: ONE corpus (type, hour) agg; the windows run over the
+    types×hours frame, never the corpus."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("x"))
+    wtot = Window.partitionBy("event_type")
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        hourly.withColumn("n_hours", F.count("*").over(wtot))
+        .withColumn("total", F.sum("x").over(wtot))
+        .withColumn("dd", F.col("n_hours") * F.col("x") - F.col("total"))
+        .withColumn("c", F.sum("dd").over(wrun))
+        .withColumn("cmin", F.least(F.lit(0), F.min("c").over(wrun)))
+        .withColumn("s", F.col("c") - F.col("cmin"))
+        .withColumn("alarm", F.col("s") > 2 * F.col("total"))
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.max("n_hours").alias("n_hours"),
+            F.max("s").alias("peak_stat"),
+            F.sum(F.col("alarm").cast("long")).alias("n_alarms"),
+            F.date_format(
+                F.min(F.when(F.col("alarm"), F.col("hr"))),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("first_alarm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_CUSUM = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2),
+d AS (
+  SELECT event_type, hr,
+         count(*) OVER (PARTITION BY event_type) AS n_hours,
+         sum(x) OVER (PARTITION BY event_type) AS total,
+         count(*) OVER (PARTITION BY event_type) * x
+           - sum(x) OVER (PARTITION BY event_type) AS dd
+  FROM hourly),
+cs AS (
+  SELECT event_type, hr, n_hours, total,
+         sum(dd) OVER (PARTITION BY event_type ORDER BY hr
+                       ROWS UNBOUNDED PRECEDING) AS c
+  FROM d),
+s AS (
+  SELECT event_type, hr, n_hours, total, c,
+         least(0, min(c) OVER (PARTITION BY event_type ORDER BY hr
+                               ROWS UNBOUNDED PRECEDING)) AS cmin
+  FROM cs),
+f AS (SELECT *, (c - cmin) AS st, (c - cmin) > 2 * total AS alarm FROM s)
+SELECT event_type,
+       CAST(max(n_hours) AS BIGINT) AS n_hours,
+       CAST(max(st) AS BIGINT) AS peak_stat,
+       CAST(sum(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       strftime(min(CASE WHEN alarm THEN hr END), '%Y-%m-%d %H:%M:%S') AS first_alarm
+FROM f GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_audit_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store norm QA beside audit_dim_covariance: per label,
+    the norm distribution census plus the two degenerate classes that
+    poison cosine stages — zero/near-zero vectors (undefined direction)
+    and extreme norms (dot-product domination before normalization).
+    Norms quantize through the SQ8-shared rounding so the sums are
+    exact integers cross-engine (sqrt of an exact integer sum-of-
+    squares is correctly rounded, then floor(·+0.5) pins the value).
+    Scale: map-side array math + ONE census exchange."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    q = e.select(
+        "label",
+        F.expr(
+            "aggregate(transform(embedding,"
+            " x -> cast(floor(x * 64 + 0.5) as bigint) *"
+            " cast(floor(x * 64 + 0.5) as bigint)), 0L, (a, v) -> a + v)"
+        ).alias("ss"),
+    ).withColumn("norm_q", F.expr("CAST(floor(sqrt(ss) + 0.5) AS BIGINT)"))
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("norm_q").alias("norm_sum_q"),
+            F.max("norm_q").alias("norm_max_q"),
+            F.sum((F.col("ss") == 0).cast("long")).alias("n_zero"),
+            F.sum((F.col("norm_q") > 640).cast("long")).alias("n_extreme"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_AUDIT_EMB_NORMS = """
+WITH q AS (
+  SELECT label,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(embedding,
+             x -> CAST(floor(x * 64 + 0.5) AS BIGINT)
+                  * CAST(floor(x * 64 + 0.5) AS BIGINT))),
+           (a, v) -> a + v) AS ss
+  FROM embeddings WHERE embedding IS NOT NULL)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CAST(floor(sqrt(ss) + 0.5) AS BIGINT)) AS BIGINT)
+         AS norm_sum_q,
+       CAST(max(CAST(floor(sqrt(ss) + 0.5) AS BIGINT)) AS BIGINT)
+         AS norm_max_q,
+       CAST(sum(CASE WHEN ss = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(sum(CASE WHEN CAST(floor(sqrt(ss) + 0.5) AS BIGINT) > 640
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+FROM q GROUP BY label ORDER BY label
+"""
+
+
 TEMP_ALPHA = 0.5
 TEMP_BUDGET = 25_000
 
@@ -10180,6 +10311,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_rolling_split": (q_events_rolling_split, SQL_EVENTS_ROLLING),
     "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
     "events_cube": (q_events_cube, SQL_EVENTS_CUBE),
+    "events_cusum": (q_events_cusum, SQL_EVENTS_CUSUM),
     "text_vocab_topk": (q_text_vocab_topk, SQL_TEXT_VOCAB),
     "text_bpe_pairs": (q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),
     "text_bpe_merges": (q_text_bpe_merges, _sql_bpe_merges()),
@@ -10200,6 +10332,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "audit_fk_orphans": (q_audit_fk_orphans, SQL_AUDIT_FK_ORPHANS),
     "audit_table_profile": (q_audit_table_profile, SQL_AUDIT_TABLE_PROFILE),
     "audit_dim_covariance": (q_audit_dim_covariance, SQL_AUDIT_DIM_COV),
+    "audit_embedding_norms": (q_audit_embedding_norms, SQL_AUDIT_EMB_NORMS),
     "audit_drift_psi": (q_audit_drift_psi, SQL_AUDIT_DRIFT_PSI),
     "events_scd2": (q_events_scd2, SQL_EVENTS_SCD2),
     "events_json_extract": (q_events_json_extract, SQL_EVENTS_JSON_EXTRACT),
