@@ -814,3 +814,82 @@ def dim_covariance(
             .alias("cov_scaled"),
         )
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: DataFrame,
+    k: int = 5,
+    n_candidates: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_scale: int = 64,
+):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98)
+    — the retrieval-diversification stage after any ANN shortlist: pick
+    items one at a time maximizing ``relevance − max-similarity-to-
+    already-picked`` (the λ=½ integer form, ×2), so near-duplicate hits
+    don't crowd the top-k.
+
+    Arithmetic contract: vectors quantize with the SQ8-shared rounding
+    and both relevance and pairwise similarity are EXACT integer dot
+    products, so the greedy argmax (ties → smaller id) is deterministic
+    and bit-reproducible by the SQL oracle's unrolled steps.
+
+    Scale shape: the corpus pays ONE broadcast-join scan for relevance
+    and a TakeOrdered shortlist cut (n_candidates rows); pairwise sims
+    are shortlist²; the greedy loop runs driver-side over ≤ n_candidates
+    collected rows — the textbook rerank stage (at 100 TB the shortlist
+    per query is still tiny; the corpus never shuffles).
+
+    → list of dicts ``(rank, id, rel, mmr2)``, length ≤ k.
+    """
+    qd = (
+        f"aggregate(zip_with("
+        f"transform({vec_col}, x -> cast(floor(x * {quant_scale} + 0.5) as bigint)),"
+        f" transform(_qv, x -> cast(floor(x * {quant_scale} + 0.5) as bigint)),"
+        f" (x, y) -> x * y), 0L, (a, b) -> a + b)"
+    )
+    cands = (
+        df.filter(F.col(vec_col).isNotNull())
+        .crossJoin(F.broadcast(query_vec.select(F.col(vec_col).alias("_qv"))))
+        .select(F.col(id_col).alias("id"), vec_col, F.expr(qd).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("id"))
+        .limit(n_candidates)
+    )
+    a = cands.select(F.col("id").alias("ia"),
+                     F.col(vec_col).alias("_va"), F.col("rel").alias("rel_a"))
+    b = cands.select(F.col("id").alias("ib"), F.col(vec_col).alias("_vb"))
+    pd_ = (
+        f"aggregate(zip_with("
+        f"transform(_va, x -> cast(floor(x * {quant_scale} + 0.5) as bigint)),"
+        f" transform(_vb, x -> cast(floor(x * {quant_scale} + 0.5) as bigint)),"
+        f" (x, y) -> x * y), 0L, (a, b) -> a + b)"
+    )
+    rows = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select("ia", "ib", "rel_a", F.expr(pd_).alias("sim"))
+        .collect()
+    )
+    rel = {}
+    sim = {}
+    for r in rows:
+        rel[r.ia] = r.rel_a
+        sim[(r.ia, r.ib)] = r.sim
+    if not rel:  # 0 or 1 candidate: no pairs — fall back to cands alone
+        rel = {r.id: r.rel for r in cands.collect()}
+    picked: list[dict] = []
+    chosen: list[int] = []
+    while rel and len(picked) < k:
+        best = None
+        for i, rl in rel.items():
+            penalty = max((sim[(i, s)] for s in chosen), default=0)
+            m = rl - penalty
+            cand = (m, -i)
+            if best is None or cand > best[0]:
+                best = (cand, i, m)
+        _, i, m = best
+        picked.append({"rank": len(picked) + 1, "id": i,
+                       "rel": rel.pop(i), "mmr2": m})
+        chosen.append(i)
+    return picked

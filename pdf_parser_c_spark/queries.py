@@ -10075,6 +10075,105 @@ FROM q GROUP BY label ORDER BY label
 """
 
 
+MMR_K = 5
+MMR_CANDS = 8
+
+
+def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking (Carbonell & Goldstein '98) over the
+    ANN shortlist: greedily pick items maximizing relevance minus the
+    max similarity to already-picked items (λ=½ integer form ×2), so
+    near-duplicates can't crowd the top-k
+    (operators/similarity.mmr_rerank).  Relevance and pairwise
+    similarity are EXACT integer dots on SQ8-quantized vectors, so the
+    greedy argmax chain is deterministic and the oracle unrolls the
+    identical {k} selection steps in SQL.
+    Scale: one broadcast-join corpus scan + TakeOrdered shortlist;
+    the greedy loop touches ≤ {c}² collected integers driver-side —
+    the textbook rerank stage; the corpus never shuffles."""
+    from .operators.similarity import mmr_rerank
+
+    e = t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding")
+    picked = mmr_rerank(
+        e.filter(F.col("vec_id") != 0), qv, k=MMR_K, n_candidates=MMR_CANDS
+    )
+    return spark.createDataFrame(
+        [(p["rank"], p["id"], p["rel"], p["mmr2"]) for p in picked],
+        "rank int, vec_id bigint, rel bigint, mmr2 bigint",
+    ).orderBy("rank")
+
+
+q_sim_mmr_rerank.__doc__ = q_sim_mmr_rerank.__doc__.format(k=MMR_K, c=MMR_CANDS)
+
+
+def _mmr_sql() -> str:
+    dot_q = (
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(range(len(xq)), i -> xq[i+1] * qq[i+1])),"
+        " (a, b) -> a + b) AS BIGINT)"
+    )
+    dot_ab = (
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(range(len(a.xq)), i -> a.xq[i+1] * b.xq[i+1])),"
+        " (a2, b2) -> a2 + b2) AS BIGINT)"
+    )
+    steps = []
+    sels = ["sel1 AS (SELECT vec_id FROM s1)"]
+    for tstep in range(2, MMR_K + 1):
+        prev = f"sel{tstep - 1}"
+        steps.append(
+            f"s{tstep} AS (\n"
+            f"  SELECT c.vec_id, c.rel, c.rel - max(p.s) AS mmr2\n"
+            f"  FROM cand c JOIN sim p ON p.ia = c.vec_id\n"
+            f"  WHERE p.ib IN (SELECT vec_id FROM {prev})\n"
+            f"    AND c.vec_id NOT IN (SELECT vec_id FROM {prev})\n"
+            f"  GROUP BY c.vec_id, c.rel\n"
+            f"  ORDER BY mmr2 DESC, c.vec_id LIMIT 1)"
+        )
+        sels.append(
+            f"sel{tstep} AS (SELECT vec_id FROM {prev}"
+            f" UNION ALL SELECT vec_id FROM s{tstep})"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, vec_id, rel, mmr2 FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    chain = []
+    # interleave: s1, sel1, s2, sel2, ... (each sel depends on its step)
+    chain.append(
+        "s1 AS (SELECT vec_id, rel, rel AS mmr2 FROM cand"
+        " ORDER BY rel DESC, vec_id LIMIT 1)"
+    )
+    for i, st in enumerate(steps):
+        chain.append(sels[i])
+        chain.append(st)
+    chain.append(sels[-1])
+    chain_sql = ",\n".join(chain)
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(floor(x * 64 + 0.5) AS BIGINT))
+    AS qq
+  FROM embeddings WHERE vec_id = 0),
+e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x * 64 + 0.5) AS BIGINT))
+           AS xq
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id <> 0),
+cand AS (
+  SELECT vec_id, xq, {dot_q} AS rel
+  FROM e, q ORDER BY rel DESC, vec_id LIMIT {MMR_CANDS}),
+sim AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {dot_ab} AS s
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+{chain_sql}
+SELECT * FROM ({union}) ORDER BY rank
+"""
+
+
+SQL_SIM_MMR = _mmr_sql()
+
+
 TEMP_ALPHA = 0.5
 TEMP_BUDGET = 25_000
 
@@ -10272,6 +10371,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sim_bruteforce_topk": (q_sim_bruteforce_topk, SQL_SIM_BRUTEFORCE),
     "sim_lsh_bucketed": (q_sim_lsh_bucketed, SQL_SIM_LSH),
     "sim_lsh_multiprobe": (q_sim_lsh_multiprobe, SQL_SIM_MULTIPROBE),
+    "sim_mmr_rerank": (q_sim_mmr_rerank, SQL_SIM_MMR),
     "sim_sq8_rerank": (q_sim_sq8_rerank, SQL_SIM_SQ8_RERANK),
     "sim_pq_adc": (q_sim_pq_adc, SQL_SIM_PQ_ADC),
     "sim_ivfadc": (q_sim_ivfadc, SQL_SIM_IVFADC),

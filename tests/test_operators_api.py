@@ -1461,3 +1461,27 @@ def test_temperature_sample_alpha_extremes(spark):
     assert r_small_flat > r_small_nat
     # the budget is sub-corpus, so the dominant class is always thinned
     assert rate_of(0.3, "big") < 1.0
+
+
+def test_mmr_rerank_demotes_near_duplicates(spark):
+    """MMR's whole point: the near-clone of the best hit must NOT take
+    rank 2 (plain relevance ranking would put it there)."""
+    from pdf_parser_c_spark.operators.similarity import mmr_rerank
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (1, [0.9, 0.1, 0.0, 0.0]),   # best hit
+        (2, [0.89, 0.11, 0.0, 0.0]),  # near-clone of 1
+        (3, [0.7, -0.7, 0.0, 0.0]),  # diverse, decent relevance
+        (4, [0.6, 0.0, 0.7, 0.0]),   # diverse
+        (5, [0.01, 0.0, 0.0, 1.0]),  # irrelevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = spark.createDataFrame([(q,)], "embedding array<float>")
+    picked = mmr_rerank(df, qv, k=3, n_candidates=5)
+    ids = [p["id"] for p in picked]
+    assert ids[0] == 1
+    assert ids[1] != 2, "near-duplicate crowded rank 2"
+    assert 2 not in ids[:2]
+    # ranks are 1..k and rel of the seed is the max relevance
+    assert [p["rank"] for p in picked] == [1, 2, 3]
