@@ -45,7 +45,9 @@ def _normalize(df: DataFrame) -> DataFrame:
             F.col("role").cast("string").alias("role"),
             F.coalesce(F.col("text").cast("string"), F.lit("")).alias("text"),
             F.col("tool").cast("string").alias("tool"),
-            F.to_timestamp("ts").alias("ts"),
+            # try_to_timestamp: one malformed text timestamp must land
+            # as ts=NULL, not abort the whole ingestion under ANSI mode
+            F.expr("try_to_timestamp(ts)").alias("ts"),
         )
         .filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
     )

@@ -1485,3 +1485,56 @@ def test_mmr_rerank_demotes_near_duplicates(spark):
     assert 2 not in ids[:2]
     # ranks are 1..k and rel of the seed is the max relevance
     assert [p["rank"] for p in picked] == [1, 2, 3]
+
+
+def test_jsonl_corrupt_lines_drop_not_crash(spark, tmp_path):
+    """Ingestion robustness: malformed JSONL lines (truncated JSON, raw
+    garbage, wrong types) must not kill the read — unkeyable rows drop
+    at the source boundary per the _normalize contract, keyed rows with
+    a bad ts land with ts=NULL."""
+    from pdf_parser_c_spark.sources.readers import read_transcripts
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"conv_id":"c1","turn_idx":0,"role":"user","text":"hi","tool":null,"ts":"2026-01-01T00:00:00"}\n'
+        '{"conv_id":"c1","turn_idx":1,"role":"user","text":"ok","tool":null,"ts":"NOT A TIME"}\n'
+        "this is not json at all\n"
+        '{"conv_id":"c1","turn_idx":\n'
+        '{"role":"user","text":"keyless"}\n'
+    )
+    got = read_transcripts(spark, str(p), "jsonl").orderBy("turn_idx").collect()
+    assert [(r.conv_id, r.turn_idx) for r in got] == [("c1", 0), ("c1", 1)]
+    assert got[0].ts is not None and got[1].ts is None
+
+
+def test_parquet_schema_evolution_tolerated(spark, tmp_path):
+    """A source dir mixing part files WITH and WITHOUT the optional
+    `tool` column (plus an extra unknown column) reads as one table:
+    the enforced schema nulls the missing column and drops the extra
+    one."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "in"
+    d.mkdir()
+    base = pa.table({
+        "conv_id": ["a"], "turn_idx": pa.array([0], pa.int32()),
+        "role": ["user"], "text": ["x"], "tool": ["t"],
+        "ts": [datetime.datetime(2026, 1, 1)],
+    })
+    pq.write_table(base, str(d / "p0.parquet"))
+    evolved = pa.table({
+        "conv_id": ["b"], "turn_idx": pa.array([1], pa.int32()),
+        "role": ["user"], "text": ["y"],
+        "ts": [datetime.datetime(2026, 1, 2)],
+        "new_col": [42],
+    })
+    pq.write_table(evolved, str(d / "p1.parquet"))
+
+    from pdf_parser_c_spark.sources.readers import read_transcripts
+
+    got = read_transcripts(spark, str(d), "parquet").orderBy("conv_id").collect()
+    assert [(r.conv_id, r.tool) for r in got] == [("a", "t"), ("b", None)]
+    assert "new_col" not in got[0].asDict()
