@@ -813,3 +813,47 @@ def start_extraction_stream_with_quarantine(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream_native(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Turn-key dedup via Spark's NATIVE
+    ``dropDuplicatesWithinWatermark`` — the bounded-state sibling of
+    :func:`dedup_stream` (which keys on a content fingerprint with
+    custom applyInPandasWithState logic).  Semantics differ and both
+    are useful: the native form guarantees at-most-once per key only
+    WITHIN the watermark horizon (state for a key expires ``delay``
+    after its event time, so a very late replay re-emits), while the
+    custom form holds fingerprints until its optional TTL.  Use native
+    for retry/replay suppression of a keyed feed; use the custom form
+    for content-level dedup.
+
+    Scale: state is one entry per key within the horizon — watermark
+    expiry bounds it regardless of stream length."""
+    return df.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def start_dedup_stream_native(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    delay: str = "10 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    out = dedup_stream_native(read_transcripts_stream(spark, input_path),
+                              delay=delay)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,56 @@
+import datetime
+
+import pandas as pd
+
+from pdf_parser_c_spark.streaming.pipeline import start_dedup_stream_native
+
+
+def _write(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    df["tool"] = df["tool"].astype("string")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+
+
+def test_native_watermark_dedup_cross_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside and across
+    micro-batches are suppressed within the horizon; a replay far past
+    the watermark re-emits (the documented at-most-once-within-horizon
+    contract, the difference vs the custom fingerprint dedup)."""
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    inp = tmp_path / "in"; inp.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    row = lambda idx, ts: ("c1", idx, "user", f"text{idx}", None, ts)
+
+    _write(str(inp / "p0.parquet"),
+           [row(0, t0), row(0, t0), row(1, t0)])  # in-batch dup
+    q = start_dedup_stream_native(spark, str(inp), out, ckpt, delay="10 minutes")
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    assert got.count() == 2  # one per key
+
+    # same key again, within the horizon → suppressed
+    _write(str(inp / "p1.parquet"),
+           [row(0, t0 + datetime.timedelta(minutes=1))])
+    q2 = start_dedup_stream_native(spark, str(inp), out, ckpt, delay="10 minutes")
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out).count() == 2
+
+    # advance the watermark far past key 0's state (a fresh key a day
+    # later; watermark moves at END of this batch), THEN replay key 0:
+    # its state was evicted, so the replay re-emits — the bounded-state
+    # semantics that differ from the custom fingerprint dedup
+    _write(str(inp / "p2.parquet"),
+           [row(9, t0 + datetime.timedelta(days=1))])
+    q3 = start_dedup_stream_native(spark, str(inp), out, ckpt, delay="10 minutes")
+    q3.awaitTermination(180)
+    assert spark.read.parquet(out).count() == 3  # the new key
+
+    _write(str(inp / "p3.parquet"),
+           [row(0, t0 + datetime.timedelta(days=1, minutes=1))])
+    q4 = start_dedup_stream_native(spark, str(inp), out, ckpt, delay="10 minutes")
+    q4.awaitTermination(180)
+    assert spark.read.parquet(out).count() == 4  # key 0 re-emitted
