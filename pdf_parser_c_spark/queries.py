@@ -10075,6 +10075,46 @@ FROM q GROUP BY label ORDER BY label
 """
 
 
+def q_extraction_fonts_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Font-inventory scan (A17: the reference surfaces per-document
+    font tables via poppler's font dict — ``inc/pdf_utils.hpp:38-51``),
+    hash-checked end-to-end: every armored PDF turn carries exactly
+    the template's two fonts (Helvetica body, Helvetica-Bold head), so
+    the census — per (font, subtype, weight, emphasized): turn count —
+    is reconstructible from doc_id alone.  This moves the
+    operators/fonts_inventory stage from pytest-only coverage to the
+    driver's oracle gate.
+    Scale: same fused armor+kernel single-stage plan as the e2e query;
+    output is fonts×turns metadata, pixels/glyphs never shuffle."""
+    from .flagship import build_transcripts_from_documents
+    from .operators.fonts_inventory import font_inventory
+
+    docs = t(spark, sf_dir, "documents")
+    tr = build_transcripts_from_documents(spark, docs, num_partitions=16)
+    inv = font_inventory(tr)
+    return (
+        inv.groupBy("font_name", "subtype", "weight", "emphasized")
+        .agg(F.count("*").alias("n_rows"),
+             F.countDistinct("conv_id", "turn_idx").alias("n_turns"))
+        .orderBy("font_name")
+    )
+
+
+SQL_EXTRACTION_FONTS = """
+WITH pdfs AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+SELECT 'Helvetica' AS font_name, 'Type1' AS subtype, 400 AS weight,
+       false AS emphasized,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM pdfs
+UNION ALL
+SELECT 'Helvetica-Bold', 'Type1', 700, true,
+       CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT)
+FROM pdfs
+ORDER BY font_name
+"""
+
+
 MMR_K = 5
 MMR_CANDS = 8
 
@@ -10498,5 +10538,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_pdf_images": (
         q_extraction_pdf_images, SQL_EXTRACTION_PDF_IMAGES
+    ),
+    "extraction_fonts_census": (
+        q_extraction_fonts_census, SQL_EXTRACTION_FONTS
     ),
 }
