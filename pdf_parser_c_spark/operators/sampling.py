@@ -300,3 +300,38 @@ def pack_sequences(
         )
         .drop("_cum")
     )
+
+
+def rendezvous_shard(
+    df: DataFrame, id_col: str, shards: list[str]
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding: each row goes to
+    the shard maximizing ``hash(id, shard)`` — the consistent-
+    assignment rule whose defining property is MINIMAL REMAP: removing
+    a shard moves ONLY that shard's rows (uniformly onto the others),
+    unlike mod-N hashing which reshuffles nearly everything.  The
+    standard recipe for stable incremental syncs, cache partitioning,
+    and shard-addressed output layouts.
+
+    Adds ``shard``.  Deterministic md5 weights — reproducible and
+    exactly mirrorable in SQL (max_by / arg_max over the same
+    literals).  Scale: pure map-side; |shards| hashes per row."""
+    if not shards:
+        raise ValueError("need at least one shard")
+    if len(shards) == 1:
+        return df.withColumn("shard", F.lit(shards[0]))
+
+    def weight(s: str) -> F.Column:
+        return F.expr(
+            _ID_HASH.format(col=f"concat(cast({id_col} as string), ':', '{s}')")
+        )
+
+    # greatest() over (weight, name) structs = argmax with a
+    # deterministic name tie-break, all in one codegen expression
+    return df.withColumn(
+        "shard",
+        F.greatest(
+            *[F.struct(weight(s).alias("w"), F.lit(s).alias("s"))
+              for s in shards]
+        ).getField("s"),
+    )

@@ -10115,6 +10115,67 @@ ORDER BY font_name
 """
 
 
+RV_SHARDS = ("shard-a", "shard-b", "shard-c", "shard-d")
+RV_REMOVED = "shard-c"
+
+
+def q_sample_shards_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) sharding with its defining property ON SHOW:
+    assign every doc to argmax hash(id, shard) over 4 shards, then
+    re-assign with one shard removed and census the (before, after)
+    transition matrix — minimal remap means every off-diagonal row has
+    before = the removed shard (mod-N hashing would scatter nearly all
+    docs).  The stable-assignment rule incremental syncs and
+    shard-addressed layouts rely on
+    (operators/sampling.rendezvous_shard).
+    Scale: both assignments are map-side (|shards| hashes per row);
+    the transition census is ONE exchange on a ≤ |shards|² key space."""
+    from .operators.sampling import rendezvous_shard
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    before = rendezvous_shard(d, "doc_id", list(RV_SHARDS))
+    after = rendezvous_shard(
+        before.withColumnRenamed("shard", "before"), "doc_id",
+        [s for s in RV_SHARDS if s != RV_REMOVED],
+    ).withColumnRenamed("shard", "after")
+    return (
+        after.groupBy("before", "after")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("moved", F.col("before") != F.col("after"))
+        .orderBy("before", "after")
+    )
+
+
+def _rendezvous_sql() -> str:
+    def w(s: str) -> str:
+        return (
+            f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{s}'),"
+            f" 1, 15)) AS BIGINT)"
+        )
+
+    def pick(shards: tuple) -> str:
+        # mirror Spark's struct-greatest: max weight, ties → LARGEST name
+        m = "greatest(" + ", ".join(w(s) for s in shards) + ")"
+        cases = " ".join(
+            f"WHEN {w(s)} = {m} THEN '{s}'"
+            for s in sorted(shards, reverse=True)
+        )
+        return f"CASE {cases} END"
+
+    kept = tuple(s for s in RV_SHARDS if s != RV_REMOVED)
+    return f"""
+WITH a AS (
+  SELECT {pick(RV_SHARDS)} AS before, {pick(kept)} AS after
+  FROM documents)
+SELECT before, after, CAST(count(*) AS BIGINT) AS n_docs,
+       before <> after AS moved
+FROM a GROUP BY before, after ORDER BY before, after
+"""
+
+
+SQL_SAMPLE_RENDEZVOUS = _rendezvous_sql()
+
+
 MMR_K = 5
 MMR_CANDS = 8
 
@@ -10467,6 +10528,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
     "sample_temperature": (q_sample_temperature, SQL_SAMPLE_TEMPERATURE),
+    "sample_shards_rendezvous": (q_sample_shards_rendezvous, SQL_SAMPLE_RENDEZVOUS),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
     "audit_source_overlap": (q_audit_source_overlap, SQL_AUDIT_SOURCE_OVERLAP),
     "audit_fk_orphans": (q_audit_fk_orphans, SQL_AUDIT_FK_ORPHANS),

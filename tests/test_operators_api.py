@@ -1538,3 +1538,27 @@ def test_parquet_schema_evolution_tolerated(spark, tmp_path):
     got = read_transcripts(spark, str(d), "parquet").orderBy("conv_id").collect()
     assert [(r.conv_id, r.tool) for r in got] == [("a", "t"), ("b", None)]
     assert "new_col" not in got[0].asDict()
+
+
+def test_rendezvous_minimal_remap_property(spark):
+    """HRW's defining property: removing one shard moves ONLY that
+    shard's rows; every other assignment is untouched."""
+    from pdf_parser_c_spark.operators.sampling import rendezvous_shard
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    shards = ["s1", "s2", "s3", "s4", "s5"]
+    before = {r.doc_id: r.shard
+              for r in rendezvous_shard(df, "doc_id", shards).collect()}
+    after = {r.doc_id: r.shard
+             for r in rendezvous_shard(df, "doc_id",
+                                       [s for s in shards if s != "s3"]).collect()}
+    for i in range(500):
+        if before[i] != "s3":
+            assert after[i] == before[i], i
+        else:
+            assert after[i] != "s3"
+    # balance: md5 weights are uniform, so no shard dominates wildly
+    from collections import Counter
+
+    c = Counter(before.values())
+    assert max(c.values()) < 3 * min(c.values())
