@@ -10115,6 +10115,94 @@ ORDER BY font_name
 """
 
 
+def q_text_attribute_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused attribute tagging — the Dolma/RedPajama architecture:
+    compute EVERY tagger in ONE scan (quality score, stopword
+    fraction, token count, PII hits, language, fingerprint) and store
+    attributes beside the corpus, so later dataset builds are cheap
+    attribute filters instead of re-running taggers over 100 TB.  The
+    census proves the fusion: per (lang, quality-pass, pii-free) cell,
+    doc/token counts and an exact 48-bit fingerprint-hash sum pinning
+    every tagged value.
+    Scale: one FileScan, zero joins, zero extra exchanges beyond the
+    census agg — the plan pin is the point (K taggers, one pass)."""
+    from .functions.text import (
+        fingerprint,
+        pii_counts,
+        quality_score,
+        stopword_fraction,
+        token_count,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    pii = pii_counts("text")
+    tagged = d.select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("n_tok"),
+        quality_score("text", "n_chars").alias("q"),
+        stopword_fraction("text").alias("stop_frac"),
+        fingerprint("text").alias("fp"),
+        sum(pii.values(), F.lit(0)).alias("pii_hits"),
+    )
+    return (
+        tagged.groupBy(
+            "lang",
+            (F.col("q") >= 0.5).alias("quality_pass"),
+            (F.col("pii_hits") == 0).alias("pii_free"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(
+                F.expr("cast(conv(substr(md5(fp), 1, 12), 16, 10) as bigint)")
+            ).alias("fp_hash_sum"),
+            F.round(F.avg("stop_frac"), 4).alias("avg_stop_frac"),
+        )
+        .orderBy("lang", "quality_pass", "pii_free")
+    )
+
+
+def _attribute_tags_sql() -> str:
+    from .functions.text import PII_EMAIL, PII_IPV4, PII_URL
+
+    stop_frac = (
+        f"(len(list_filter(string_split(text, ' '), w -> w IN {_STOP_SQL}))"
+        f" / CAST(len(string_split(text, ' ')) AS DOUBLE))"
+    )
+    q = f"(0.5 * least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) + 0.5 * {stop_frac})"
+    pii = (
+        f"(len(regexp_extract_all(text, '{PII_URL}'))"
+        f" + len(regexp_extract_all(text, '{PII_EMAIL}'))"
+        f" + len(regexp_extract_all(text, '{PII_IPV4}')))"
+    )
+    fp = (
+        "md5(substr(text, 1, 64) || '#' ||"
+        " CAST(CAST(floor(length(text) / 100) AS BIGINT) AS VARCHAR))"
+    )
+    return f"""
+WITH tagged AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         {q} >= 0.5 AS quality_pass,
+         {pii} = 0 AS pii_free,
+         {stop_frac} AS stop_frac,
+         {fp} AS fp
+  FROM documents)
+SELECT lang, quality_pass, pii_free,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(('0x' || substr(md5(fp), 1, 12)) AS BIGINT)) AS BIGINT)
+         AS fp_hash_sum,
+       round(avg(stop_frac), 4) AS avg_stop_frac
+FROM tagged GROUP BY lang, quality_pass, pii_free
+ORDER BY lang, quality_pass, pii_free
+"""
+
+
+SQL_TEXT_ATTRIBUTE_TAGS = _attribute_tags_sql()
+
+
 RV_SHARDS = ("shard-a", "shard-b", "shard-c", "shard-d")
 RV_REMOVED = "shard-c"
 
@@ -10570,6 +10658,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_nfc_normalize": (q_text_nfc_normalize, SQL_TEXT_NFC),
     "text_char_entropy": (q_text_char_entropy, SQL_TEXT_CHAR_ENTROPY),
     "text_script_shares": (q_text_script_shares, SQL_TEXT_SCRIPT_SHARES),
+    "text_attribute_tags": (q_text_attribute_tags, SQL_TEXT_ATTRIBUTE_TAGS),
     "filter_license_signals": (q_filter_license_signals, _sql_filter_license()),
     "filter_c4_lines": (q_filter_c4_lines, SQL_FILTER_C4_LINES),
     "cluster_zorder": (q_cluster_zorder, _sql_cluster_zorder()),
