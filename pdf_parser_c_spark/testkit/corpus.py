@@ -19,7 +19,16 @@ from dataclasses import dataclass
 import pandas as pd
 
 from ..engine import encode_pdf_payload
-from .gen_pdf import FontSpec, PageSpec, actual_text_span, build_pdf, text_block, tj
+from .gen_pdf import (
+    FontSpec,
+    ImageSpec,
+    PageSpec,
+    actual_text_span,
+    build_pdf,
+    do_image,
+    text_block,
+    tj,
+)
 
 FONTS = {
     "F1": FontSpec("Helvetica", encoding="WinAnsiEncoding"),
@@ -59,6 +68,28 @@ def _pdf_simple() -> bytes:
         + _footer(1)
     )
     return build_pdf([PageSpec(page)], FONTS, title="Simple Doc")
+
+
+def _pdf_images() -> bytes:
+    """Text + two embedded image XObjects (raw gray + DCT JPEG): the
+    TEXT kernel must skip them cleanly (poppler-with-codecs-disabled
+    parity) while operators/pdf_media harvests them."""
+    from ..operators.jpeg_codec import encode_jpeg
+
+    page = (
+        _h(700, "", "Figure Heading")
+        + _p(660, "Body text beside two embedded figures.")
+        + do_image(72, 420, 120, 90, "Im1")
+        + do_image(220, 420, 120, 90, "Im2")
+        + _footer(1)
+    )
+    images = {
+        "Im1": ImageSpec(16, 12, bytes([70]) * (16 * 12)),
+        "Im2": ImageSpec(16, 16, encode_jpeg(16, 16, bytes([180]) * 256, 1),
+                         kind="jpeg"),
+    }
+    return build_pdf([PageSpec(page)], FONTS, title="Figure Doc",
+                     images=images)
 
 
 def _pdf_flate() -> bytes:
@@ -238,6 +269,9 @@ def build_variants() -> list[Variant]:
         # these keep the bench/scaling corpus honest about crypt cost
         Variant("pdf_encrypted_rc4", encode_pdf_payload(_pdf_encrypted_rc4()), "ok"),
         Variant("pdf_encrypted_aes", encode_pdf_payload(_pdf_encrypted_aes()), "ok"),
+        # round 3 (tenth continuation): image-bearing PDF — text skips
+        # the XObjects, pdf_media harvests them
+        Variant("pdf_images", encode_pdf_payload(_pdf_images()), "ok"),
     ]
 
 

@@ -50,6 +50,9 @@ GOLDEN_TEXT = {
     "pdf_encrypted_aes": (
         "AES Doc\n\nAes Heading\nBody behind AES-128 with an empty user password."
     ),
+    "pdf_images": (
+        "Figure Doc\n\nFigure Heading\nBody text beside two embedded figures."
+    ),
 }
 
 GOLDEN_KIND = {

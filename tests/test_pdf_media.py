@@ -144,3 +144,28 @@ def test_mutation_fuzz_never_raises():
             assert r["status"], r
             if r["mean_luma"] is not None:
                 assert 0.0 <= r["mean_luma"] <= 255.0
+
+
+def test_image_walker_over_corpus_variants():
+    """The harvest kernel must map EVERY corpus payload variant (incl.
+    encrypted, malformed, object-stream, image-bearing) to rows or a
+    clean exception — mirroring the text kernel's fuzz contract."""
+    from pdf_parser_c_spark.engine import PDF_B64_PREFIX, _decode_armor
+    from pdf_parser_c_spark.testkit.corpus import build_variants
+
+    for v in build_variants():
+        if not v.payload.startswith(PDF_B64_PREFIX):
+            continue
+        pdf = _decode_armor(v.payload)
+        try:
+            rows = _image_rows_for_pdf(pdf)
+        except Exception:
+            continue  # kernel's doc_error path
+        for r in rows:
+            assert r["status"], (v.name, r)
+        if v.name == "pdf_images":
+            by = {r["xobj"]: r for r in rows}
+            assert by["Im1"]["decoder"] == "raw"
+            assert abs(by["Im1"]["mean_luma"] - 70.0) < 0.5
+            assert by["Im2"]["decoder"] == "jpeg"
+            assert abs(by["Im2"]["mean_luma"] - 180.0) < 3.0
