@@ -101,10 +101,13 @@ def _decode_armor(payload: str) -> bytes:
 
 
 def classify_payload(s: pd.Series) -> pd.Series:
-    """Vectorized payload sniff: 'pdf' | 'html' | 'plain'."""
+    """Vectorized payload sniff: 'pdf' | 'warc' | 'html' | 'plain'."""
+    from .sources.warc import WARC_B64_PREFIX
+
     s = s.fillna("")
     kind = pd.Series("plain", index=s.index, dtype="object")
     kind[s.str.startswith(PDF_B64_PREFIX) | s.str.startswith(PDF_B85_PREFIX)] = "pdf"
+    kind[s.str.startswith(WARC_B64_PREFIX)] = "warc"
     maybe_html = (kind == "plain") & s.str.lstrip().str.startswith("<")
     if maybe_html.any():
         kind[maybe_html] = [
@@ -212,6 +215,15 @@ def extract_pandas_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             status[i] = "ok" if t else "empty"
             if t:
                 spans[i] = [{"start": 0, "end": len(t)}]
+        elif k == "warc":
+            from .sources.warc import extract_warc_text
+
+            r = extract_warc_text(text_vals[i])
+            out_text[i] = r["text"]
+            status[i] = r["status"]
+            error[i] = r["error"]
+            if r["text"]:
+                spans[i] = [{"start": 0, "end": len(r["text"])}]
         else:  # pdf
             r = _extract_one_pdf_cached(text_vals[i])
             out_text[i] = r["text"]

@@ -192,6 +192,129 @@ def doc_to_html_payload(doc_id: int, text: str) -> str:
     )
 
 
+def doc_to_table_html_payload(doc_id: int, text: str) -> str:
+    """HTML armor with one data table whose shape and cells derive
+    from (doc_id, words) alone, so a SQL oracle can reconstruct every
+    emitted cell: C = 2 + doc_id%2 columns, R = 2 + doc_id%3 data rows;
+    header row ``h1..hC`` of <th>; data cell (r, c) = words[(r*C+c) mod
+    len(words)] (``w`` when the doc has no words); footer row = one
+    <td colspan=C> holding str(doc_id).  Cell markup noise (<b>, long
+    whitespace, entities) exercises the tag-strip/collapse path."""
+    words = text.split() or ["w"]
+    n_cols = 2 + doc_id % 2
+    n_rows = 2 + doc_id % 3
+    parts = ["<html><body><p>Prose before the table.</p><table>"]
+    parts.append("<tr>" + "".join(f"<th> h{c + 1} </th>" for c in range(n_cols))
+                 + "</tr>")
+    for r in range(n_rows):
+        cells = []
+        for c in range(n_cols):
+            w = words[(r * n_cols + c) % len(words)]
+            deco = f"<b>{w}</b>" if (r + c) % 2 == 0 else f"\n  {w}\t"
+            cells.append(f"<td>{deco}</td>")
+        parts.append("<tr>" + "".join(cells) + "</tr>")
+    parts.append(f"<tr><td colspan={n_cols}>{doc_id}</td></tr>")
+    parts.append("</table><footer>fine print</footer></body></html>")
+    return "".join(parts)
+
+
+def build_table_pages_from_documents(
+    spark: SparkSession, docs: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """documents → (doc_id, text=table-bearing HTML page); armor for
+    the html_tables operator (same executor-side pattern as the
+    transcript builders, narrow two-column output)."""
+    d = docs.select("doc_id", "text")
+    if num_partitions is not None:
+        d = d.repartition(num_partitions, "doc_id")
+
+    def kernel(batches):
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "text": [doc_to_table_html_payload(int(i), str(t))
+                         for i, t in zip(ids, b["text"])],
+            })
+
+    return d.mapInPandas(kernel, schema="doc_id long, text string")
+
+
+def doc_to_warc_payload(doc_id: int, text: str) -> str:
+    """WARC armor: the document's HTML page wrapped in a 3-record
+    web archive (warcinfo + request + response), the Common Crawl
+    container shape.  Deterministic variants by doc_id:
+
+    * ``doc_id % 2 == 0`` — every record its own gzip member
+      (standard ``.warc.gz`` layout, exercises the member splitter);
+    * ``doc_id % 4 == 1`` — the HTTP response body is chunked
+      (Transfer-Encoding: chunked, 64-byte chunks).
+
+    The response body is EXACTLY :func:`doc_to_html_payload`'s page, so
+    extraction through the WARC path must produce the same text as the
+    bare-HTML path — container invariance, SQL-reconstructible by the
+    same oracle template."""
+    from .sources.warc import build_warc, encode_warc_payload
+
+    uri = f"http://example.com/doc/{doc_id}"
+    html_body = doc_to_html_payload(doc_id, text).encode("utf-8")
+    if doc_id % 4 == 1:
+        chunks = [html_body[i: i + 64] for i in range(0, len(html_body), 64)]
+        body = b"".join(b"%x\r\n%s\r\n" % (len(c), c) for c in chunks) + b"0\r\n\r\n"
+        te = "Transfer-Encoding: chunked\r\n"
+    else:
+        body, te = html_body, ""
+    http = (
+        "HTTP/1.1 200 OK\r\n"
+        "Content-Type: text/html; charset=utf-8\r\n" + te + "\r\n"
+    ).encode("ascii") + body
+    request = (
+        f"GET /doc/{doc_id} HTTP/1.1\r\nHost: example.com\r\n\r\n"
+    ).encode("ascii")
+    date = {"WARC-Date": "2026-01-01T00:00:00Z"}
+    records = [
+        ("warcinfo", {**date, "Content-Type": "application/warc-fields"},
+         b"software: pdf-parser-c-spark\r\nformat: WARC File Format 1.1\r\n"),
+        ("request", {**date, "WARC-Target-URI": uri,
+                     "Content-Type": "application/http;msgtype=request"},
+         request),
+        ("response", {**date, "WARC-Target-URI": uri,
+                      "Content-Type": "application/http;msgtype=response"},
+         http),
+    ]
+    return encode_warc_payload(build_warc(records, gzip_members=doc_id % 2 == 0))
+
+
+def _warc_armor_batches(batches):
+    for b in batches:
+        ids = b["doc_id"].astype("int64")
+        payloads = [
+            doc_to_warc_payload(int(i), str(t)) for i, t in zip(ids, b["text"])
+        ]
+        yield pd.DataFrame(
+            {
+                "conv_id": (ids // 10).map("conv{:06d}".format),
+                "turn_idx": (ids % 10).astype("int32"),
+                "role": (ids % 3).map(lambda m: ("user", "assistant", "tool")[m]),
+                "text": payloads,
+                "tool": pd.Series([None] * len(ids), dtype="object"),
+                "ts": pd.Timestamp(_EPOCH) + pd.to_timedelta(ids, unit="m"),
+            }
+        )
+
+
+def build_warc_transcripts_from_documents(
+    spark: SparkSession, docs: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """documents → transcripts where every row is a WARC archive
+    (see doc_to_warc_payload); same one-exchange plan as
+    build_transcripts_from_documents."""
+    d = docs.select("doc_id", "text")
+    if num_partitions is not None:
+        d = d.repartition(num_partitions, "doc_id")
+    return d.mapInPandas(_warc_armor_batches, schema=TRANSCRIPTS_SCHEMA)
+
+
 def doc_to_illustrated_pdf_payload(doc_id: int, text: str) -> str:
     """PDF armor carrying 1-2 UNIFORM gray image XObjects whose
     (width, height, value) derive from fixed md5(doc_id) hex digits —

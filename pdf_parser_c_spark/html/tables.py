@@ -1,0 +1,186 @@
+"""HTML table extraction: ``<table>`` markup → typed cell rows.
+
+Training-data pipelines either linearize tables into text or route
+them to structured processing; both need the grid recovered from tag
+soup first.  The boilerplate stripper (boilerplate.py) deliberately
+flattens tables into text blocks — this module is the structured
+counterpart: every ``<table>`` in a payload becomes rows
+``(table_idx, row_idx, col_idx, is_header, rowspan, colspan, text)``
+with the GRID positions resolved (a cell after a ``rowspan=2``
+neighbor lands in the column the browser would give it, per the HTML5
+table-formation algorithm's occupancy-grid rule).
+
+Dependency-free: reuses boilerplate's tag scanner regex; cell text is
+the tag-stripped, entity-unescaped, whitespace-collapsed content.
+Spark path: :func:`html_tables` — one mapInPandas kernel emitting a
+narrow typed frame; payloads never leave the kernel.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .boilerplate import _TAG_RE, _WS_RE
+
+_CELL_TAGS = {"td", "th"}
+_ATTR_RE = re.compile(
+    r"""(\w+)\s*=\s*("([^"]*)"|'([^']*)'|([^\s"'>]+))""")
+
+
+def _attr_int(attrs: str, name: str, default: int = 1, cap: int = 1000) -> int:
+    for m in _ATTR_RE.finditer(attrs):
+        if m.group(1).lower() == name:
+            raw = m.group(3) or m.group(4) or m.group(5) or ""
+            try:
+                v = int(raw.strip())
+            except ValueError:
+                return default
+            return max(1, min(v, cap))  # HTML5: 0/negative/huge clamp
+    return default
+
+
+def extract_tables(raw: str) -> list[list[list[dict]]]:
+    """All tables in ``raw`` → [table][row] = list of cell dicts
+    ``{col, is_header, rowspan, colspan, text}`` with grid-resolved
+    column positions."""
+    tables: list[list[list[dict]]] = []
+    stack: list[dict] = []  # open tables (nested tables attach to parent cell? no: each table is emitted separately)
+    cur: dict | None = None
+    pos = 0
+    text_buf: list[str] = []
+
+    def close_cell():
+        if cur is None or cur.get("cell") is None:
+            return
+        cell = cur["cell"]
+        cell["text"] = _WS_RE.sub(" ", _html.unescape("".join(text_buf))).strip()
+        cur["row"].append(cell)
+        cur["cell"] = None
+        text_buf.clear()
+
+    def close_row():
+        if cur is None or cur.get("row") is None:
+            return
+        close_cell()
+        # place cells onto the occupancy grid (HTML5 table formation):
+        # col advances past slots covered by earlier rowspans
+        grid: dict[tuple[int, int], bool] = cur["grid"]
+        r = cur["row_idx"]
+        col = 0
+        placed = []
+        for cell in cur["row"]:
+            while grid.get((r, col)):
+                col += 1
+            cell["col"] = col
+            for dr in range(cell["rowspan"]):
+                for dc in range(cell["colspan"]):
+                    grid[(r + dr, col + dc)] = True
+            col += cell["colspan"]
+            placed.append(cell)
+        if placed:
+            cur["rows"].append(placed)
+            cur["row_idx"] += 1
+        cur["row"] = None
+
+    def close_table():
+        nonlocal cur
+        if cur is None:
+            return
+        close_row()
+        if cur["rows"]:
+            tables.append(cur["rows"])
+        cur = stack.pop() if stack else None
+
+    while True:
+        m = _TAG_RE.search(raw, pos)
+        if m is None:
+            break
+        if cur is not None and cur.get("cell") is not None:
+            text_buf.append(raw[pos: m.start()])
+        pos = m.end()
+        closing, tag, attrs = m.group(1) == "/", m.group(2).lower(), m.group(3)
+        if tag == "table":
+            if closing:
+                close_table()
+            else:
+                if cur is not None:
+                    close_cell()  # nested table: parent cell text ends here
+                    stack.append(cur)
+                cur = {"rows": [], "row": None, "cell": None,
+                       "grid": {}, "row_idx": 0}
+        elif cur is None:
+            continue
+        elif tag == "tr":
+            close_row()
+            if not closing:
+                cur["row"] = []
+        elif tag in _CELL_TAGS:
+            close_cell()
+            if not closing:
+                if cur["row"] is None:  # row-less cell: implicit <tr>
+                    cur["row"] = []
+                cur["cell"] = {
+                    "is_header": tag == "th",
+                    "rowspan": _attr_int(attrs, "rowspan"),
+                    "colspan": _attr_int(attrs, "colspan"),
+                }
+        # any other tag inside a cell is stripped (its text still flows)
+    close_table()
+    while cur is not None or stack:  # unclosed tables at EOF
+        close_table()
+        if cur is None and not stack:
+            break
+    return tables
+
+
+TABLE_CELLS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("table_idx", T.IntegerType()),
+    T.StructField("row_idx", T.IntegerType()),
+    T.StructField("col_idx", T.IntegerType()),
+    T.StructField("is_header", T.BooleanType()),
+    T.StructField("rowspan", T.IntegerType()),
+    T.StructField("colspan", T.IntegerType()),
+    T.StructField("cell", T.StringType()),
+])
+
+
+def html_tables(df: DataFrame, id_col: str = "doc_id",
+                payload_col: str = "text") -> DataFrame:
+    """(id, html payload) → one row per table cell, grid positions
+    resolved.  One mapInPandas pass; the payload column is pruned away
+    inside the kernel, only narrow typed cells shuffle."""
+    src = df.select(id_col, payload_col)
+
+    def kernel(batches):
+        for b in batches:
+            out = {k.name: [] for k in TABLE_CELLS_SCHEMA.fields}
+            for did, payload in zip(b[id_col].astype("int64"), b[payload_col]):
+                for ti, rows in enumerate(extract_tables(str(payload or ""))):
+                    for ri, row in enumerate(rows):
+                        for cell in row:
+                            out["doc_id"].append(int(did))
+                            out["table_idx"].append(ti)
+                            out["row_idx"].append(ri)
+                            out["col_idx"].append(cell["col"])
+                            out["is_header"].append(cell["is_header"])
+                            out["rowspan"].append(cell["rowspan"])
+                            out["colspan"].append(cell["colspan"])
+                            out["cell"].append(cell["text"])
+            yield pd.DataFrame({
+                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "table_idx": pd.array(out["table_idx"], dtype="int32"),
+                "row_idx": pd.array(out["row_idx"], dtype="int32"),
+                "col_idx": pd.array(out["col_idx"], dtype="int32"),
+                "is_header": pd.array(out["is_header"], dtype="boolean"),
+                "rowspan": pd.array(out["rowspan"], dtype="int32"),
+                "colspan": pd.array(out["colspan"], dtype="int32"),
+                "cell": pd.array(out["cell"], dtype="object"),
+            })
+
+    return src.mapInPandas(kernel, schema=TABLE_CELLS_SCHEMA)

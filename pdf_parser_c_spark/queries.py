@@ -10115,6 +10115,109 @@ ORDER BY font_name
 """
 
 
+def q_extraction_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn TEXT EQUALITY for the WARC ingestion path — the web
+    archive container the north rule's web-scale corpus actually
+    arrives in.  Sampled documents are armored into 3-record WARC
+    files (warcinfo + request + response, gzip-member and
+    chunked-transfer variants by doc_id — flagship.doc_to_warc_payload)
+    whose HTTP response body is EXACTLY the bare-HTML armor page; the
+    kernel must classify the ``WARCB64:`` payload, split gzip members,
+    parse records, decode chunked bodies, and boilerplate-strip the
+    response HTML to the same text as the unwrapped page — container
+    invariance, checked against the same SQL reconstruction as the
+    HTML roundtrip.  The reference reads bare files (src/main.cpp);
+    the container surface is north-rule scope.
+    Scale: identical plan to the other roundtrips (scan → one exchange
+    → armor + extract kernels fused in one stage)."""
+    from .engine import extract_turns
+    from .flagship import build_warc_transcripts_from_documents
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
+    transcripts = build_warc_transcripts_from_documents(
+        spark, docs, num_partitions=16
+    )
+    out = extract_turns(transcripts, repartition=False)
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
+    return out.select(doc_id, "kind", "status", "text").orderBy("doc_id")
+
+
+SQL_EXTRACTION_WARC_ROUNDTRIP = r"""
+SELECT doc_id, 'warc' AS kind, 'ok' AS status,
+       'Document ' || CAST(doc_id AS VARCHAR) ||
+       CASE WHEN len(collapsed) >= 25 THEN chr(10) || collapsed ELSE '' END
+         AS text
+FROM (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS collapsed
+      FROM documents WHERE doc_id % 5 = 2)
+ORDER BY doc_id
+"""
+
+
+def q_extraction_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED table extraction from HTML turns, hash-checked
+    cell-for-cell: sampled documents are armored into pages carrying a
+    data table whose shape and cell words derive from (doc_id, words)
+    alone (flagship.doc_to_table_html_payload), and the html_tables
+    kernel (html/tables.py — grid-resolved col positions per the HTML5
+    table-formation rule, tag-strip + entity-unescape + ws-collapse per
+    cell) must reproduce the exact (row_idx, col_idx, is_header, cell)
+    relation DuckDB reconstructs from the words.  The boilerplate
+    stripper flattens tables into prose; this is the structured
+    counterpart a training pipeline routes tables through.
+    Scale: one exchange on doc_id, armor + extract fused in one
+    mapInPandas stage; only narrow typed cells leave the kernel."""
+    from .flagship import build_table_pages_from_documents
+    from .html.tables import html_tables
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 3)
+    pages = build_table_pages_from_documents(spark, docs, num_partitions=16)
+    return (
+        html_tables(pages)
+        .select("doc_id", "row_idx", "col_idx", "is_header", "colspan", "cell")
+        .orderBy("doc_id", "row_idx", "col_idx")
+    )
+
+
+SQL_EXTRACTION_HTML_TABLES = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws,
+         CAST(2 + doc_id % 2 AS INTEGER) AS n_cols,
+         CAST(2 + doc_id % 3 AS INTEGER) AS n_rows
+  FROM documents WHERE doc_id % 5 = 3
+),
+header AS (
+  SELECT doc_id, 0 AS row_idx, CAST(k AS INTEGER) AS col_idx,
+         true AS is_header, 1 AS colspan,
+         'h' || CAST(k + 1 AS VARCHAR) AS cell
+  FROM (SELECT doc_id, unnest(range(n_cols)) AS k FROM w)
+),
+data AS (
+  SELECT doc_id,
+         CAST(1 + k // n_cols AS INTEGER) AS row_idx,
+         CAST(k % n_cols AS INTEGER) AS col_idx,
+         false AS is_header, 1 AS colspan,
+         CASE WHEN len(ws) = 0 THEN 'w'
+              ELSE ws[1 + (k % len(ws))] END AS cell
+  FROM (SELECT doc_id, ws, n_cols, unnest(range(n_rows * n_cols)) AS k FROM w)
+),
+footer AS (
+  SELECT doc_id, n_rows + 1 AS row_idx, 0 AS col_idx,
+         false AS is_header, n_cols AS colspan,
+         CAST(doc_id AS VARCHAR) AS cell
+  FROM w
+)
+SELECT doc_id, CAST(row_idx AS INTEGER) AS row_idx, col_idx, is_header,
+       CAST(colspan AS INTEGER) AS colspan, cell
+FROM (SELECT * FROM header UNION ALL SELECT * FROM data
+      UNION ALL SELECT * FROM footer)
+ORDER BY doc_id, row_idx, col_idx
+"""
+
+
 def q_text_attribute_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused attribute tagging — the Dolma/RedPajama architecture:
     compute EVERY tagger in ONE scan (quality score, stopword
@@ -10692,5 +10795,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_fonts_census": (
         q_extraction_fonts_census, SQL_EXTRACTION_FONTS
+    ),
+    "extraction_warc_roundtrip": (
+        q_extraction_warc_roundtrip, SQL_EXTRACTION_WARC_ROUNDTRIP
+    ),
+    "extraction_html_tables": (
+        q_extraction_html_tables, SQL_EXTRACTION_HTML_TABLES
     ),
 }

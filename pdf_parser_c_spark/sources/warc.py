@@ -1,0 +1,314 @@
+"""WARC (ISO 28500 Web ARChive) ingestion for transcript turns.
+
+Web-scale extraction corpora arrive as WARC files — the Common Crawl /
+Internet Archive container: a concatenation of records, each a version
+line + named header fields + a Content-Length-delimited block, usually
+with every record compressed as its own gzip member so readers can
+split on member boundaries.  The reference engine only ever sees bare
+PDFs (src/main.cpp reads one file per invocation); the north rule's
+web-scale framing makes the archive container itself part of the
+input surface, so the kernel learns to open it.
+
+This module is the dependency-free decoder:
+
+* :func:`iter_gzip_members` — splits multi-member ``.warc.gz`` payloads
+  (one ``zlib.decompressobj(wbits=31)`` per member, resuming on
+  ``unused_data``) and passes plain payloads through untouched.
+* :func:`parse_warc` — scans records: ``WARC/0.18|1.0|1.1`` version
+  line, CRLF header fields until the blank line, exactly
+  ``Content-Length`` block bytes; tolerant of the trailing CRLFCRLF
+  separator and resyncs to the next ``WARC/`` line after a damaged
+  record instead of failing the whole payload.
+* :func:`split_http_response` — splits a ``response`` record's block
+  into (status, headers, body), decoding ``Transfer-Encoding: chunked``
+  bodies (hex size line + chunk + CRLF, terminated by the 0 chunk).
+* :func:`extract_warc_text` — the kernel entry: armor → members →
+  records → response bodies → per-body HTML boilerplate strip or plain
+  normalization, matching what the engine does for bare html/plain
+  payloads, so WARC-wrapped turns extract to the SAME text as their
+  unwrapped equivalents (per-turn text equality is container-invariant).
+
+Like PDFs, WARC bytes ride the string ``text`` column base64-armored
+under a sniffable prefix (``WARCB64:``) — see
+``engine.encode_pdf_payload`` for the encoding rationale.
+
+Pure functions over bytes; the Spark path is ``engine.extract_turns``
+(payload kind ``warc``) — one mapInPandas kernel, no per-row Python UDF.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import re
+import zlib
+from dataclasses import dataclass, field
+
+WARC_B64_PREFIX = "WARCB64:"
+
+# no ^ anchor: used as pattern.match(buf, pos), which anchors at pos
+# (a ^ would re-anchor to the string start and fail every later record)
+_VERSION_RE = re.compile(rb"WARC/(?:0\.1[78]|1\.[01])\r?\n")
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+class WarcError(ValueError):
+    """Malformed WARC container or record."""
+
+
+@dataclass
+class WarcRecord:
+    warc_type: str
+    headers: dict[str, str] = field(default_factory=dict)
+    block: bytes = b""
+
+    @property
+    def target_uri(self) -> str | None:
+        # WARC/1.1 dropped the <...> brackets WARC/1.0 allowed
+        uri = self.headers.get("warc-target-uri")
+        if uri and uri.startswith("<") and uri.endswith(">"):
+            return uri[1:-1]
+        return uri
+
+    @property
+    def content_type(self) -> str:
+        return self.headers.get("content-type", "")
+
+
+def encode_warc_payload(buf: bytes) -> str:
+    """Armor raw WARC bytes for the string ``text`` column."""
+    return WARC_B64_PREFIX + base64.b64encode(buf).decode("ascii")
+
+
+def decode_warc_payload(payload: str) -> bytes:
+    if not payload.startswith(WARC_B64_PREFIX):
+        raise WarcError("not WARC armor")
+    try:
+        return base64.b64decode(payload[len(WARC_B64_PREFIX):], validate=True)
+    except (ValueError, binascii.Error) as exc:
+        raise WarcError(f"armor: {exc}") from exc
+
+
+def iter_gzip_members(buf: bytes):
+    """Yield decompressed gzip members; non-gzip input yields itself.
+
+    ``.warc.gz`` files are member-per-record so HDFS-style splitting
+    can seek to member boundaries; a reader must therefore loop on
+    ``decompressobj.unused_data``, not stop at the first member."""
+    if not buf.startswith(_GZIP_MAGIC):
+        if buf:
+            yield buf
+        return
+    rest = buf
+    while rest.startswith(_GZIP_MAGIC):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(rest)
+        except zlib.error as exc:
+            raise WarcError(f"gzip member: {exc}") from exc
+        if not d.eof:
+            raise WarcError("gzip member truncated")
+        yield out
+        rest = d.unused_data
+    if rest.strip(b"\r\n\x00"):
+        raise WarcError("trailing garbage after gzip members")
+
+
+def _parse_one(buf: bytes, pos: int) -> tuple[WarcRecord, int]:
+    """Parse the record starting at ``pos`` (must sit on ``WARC/``)."""
+    m = _VERSION_RE.match(buf, pos)
+    if m is None:
+        raise WarcError(f"bad version line at {pos}")
+    hdr_end = buf.find(b"\r\n\r\n", m.end() - 2)
+    # tolerate bare-LF writers
+    lf_end = buf.find(b"\n\n", m.end() - 1)
+    if hdr_end == -1 or (lf_end != -1 and lf_end < hdr_end):
+        if lf_end == -1:
+            raise WarcError("unterminated header")
+        head, body_at = buf[m.end():lf_end], lf_end + 2
+    else:
+        head, body_at = buf[m.end():hdr_end], hdr_end + 4
+    headers: dict[str, str] = {}
+    last: str | None = None
+    for raw_line in head.split(b"\n"):
+        line = raw_line.rstrip(b"\r")
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last is not None:
+            headers[last] += " " + line.strip().decode("utf-8", "replace")
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            raise WarcError(f"malformed header line {line[:40]!r}")
+        last = name.strip().decode("ascii", "replace").lower()
+        headers[last] = value.strip().decode("utf-8", "replace")
+    try:
+        length = int(headers["content-length"])
+    except (KeyError, ValueError) as exc:
+        raise WarcError("missing/bad Content-Length") from exc
+    if length < 0 or body_at + length > len(buf):
+        raise WarcError("block overruns payload")
+    block = buf[body_at: body_at + length]
+    end = body_at + length
+    # consume the standard two-CRLF record separator when present
+    for sep_bytes in (b"\r\n\r\n", b"\n\n", b"\r\n", b"\n"):
+        if buf.startswith(sep_bytes, end):
+            end += len(sep_bytes)
+            break
+    rec = WarcRecord(headers.get("warc-type", "").lower(), headers, block)
+    return rec, end
+
+
+def parse_warc(buf: bytes) -> list[WarcRecord]:
+    """All records across every gzip member (or the plain stream).
+
+    A damaged record raises only if NOTHING parses; otherwise the
+    scanner resyncs to the next ``WARC/`` line — at corpus scale one
+    truncated record must not void the rest of the archive (same
+    salvage posture as the PDF xref repair path, pdf/cos.py)."""
+    records: list[WarcRecord] = []
+    errors: list[str] = []
+    for member in iter_gzip_members(buf):
+        pos = 0
+        while pos < len(member):
+            if not member.startswith(b"WARC/", pos):
+                nxt = member.find(b"\nWARC/", pos)
+                if nxt == -1:
+                    if member[pos:].strip(b"\r\n\x00"):
+                        errors.append(f"garbage at {pos}")
+                    break
+                pos = nxt + 1
+            try:
+                rec, pos = _parse_one(member, pos)
+                records.append(rec)
+            except WarcError as exc:
+                errors.append(str(exc))
+                nxt = member.find(b"\nWARC/", pos + 1)
+                if nxt == -1:
+                    break
+                pos = nxt + 1
+    if not records and errors:
+        raise WarcError("; ".join(errors[:3]))
+    return records
+
+
+def decode_chunked(body: bytes) -> bytes:
+    """RFC 9112 §7.1 chunked transfer decoding (sizes in hex, optional
+    chunk extensions, zero-size terminator; trailers ignored)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol == -1:
+            raise WarcError("chunked: missing size line")
+        size_field = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_field, 16)
+        except ValueError as exc:
+            raise WarcError(f"chunked: bad size {size_field[:16]!r}") from exc
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)
+        if pos + size > len(body):
+            raise WarcError("chunked: chunk overruns body")
+        out += body[pos: pos + size]
+        pos += size
+        if body.startswith(b"\r\n", pos):
+            pos += 2
+
+
+def split_http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
+    """(status, lowercase headers, decoded body) from an HTTP response
+    block (``Content-Type: application/http;msgtype=response``)."""
+    sep = block.find(b"\r\n\r\n")
+    if sep == -1:
+        raise WarcError("http: missing header terminator")
+    head, body = block[:sep], block[sep + 4:]
+    lines = head.split(b"\r\n")
+    status_parts = lines[0].split(None, 2)
+    if len(status_parts) < 2 or not status_parts[0].startswith(b"HTTP/"):
+        raise WarcError(f"http: bad status line {lines[0][:40]!r}")
+    try:
+        status = int(status_parts[1])
+    except ValueError as exc:
+        raise WarcError("http: bad status code") from exc
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        name, sep2, value = line.partition(b":")
+        if sep2:
+            headers[name.strip().decode("ascii", "replace").lower()] = (
+                value.strip().decode("utf-8", "replace")
+            )
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = decode_chunked(body)
+    return status, headers, body
+
+
+_HTTP_RESPONSE_CT = re.compile(r"application/http\s*;\s*msgtype\s*=\s*response", re.I)
+
+
+def extract_warc_text(payload: str) -> dict:
+    """Kernel entry: WARC armor → extracted main text.
+
+    Every ``response`` record with a 2xx status contributes its body,
+    routed through the SAME per-payload logic the engine applies to
+    bare turns (HTML sniff → boilerplate strip, else whitespace-trim),
+    joined by blank lines in record order.  Mirrors
+    ``engine._extract_one_pdf``'s row contract: one hostile payload
+    maps to a status row, never a task failure."""
+    from ..html.boilerplate import extract_main_text, looks_like_html
+
+    try:
+        raw = decode_warc_payload(payload)
+        records = parse_warc(raw)
+    except WarcError as exc:
+        return {"status": "malformed", "text": "", "n_responses": 0,
+                "error": f"warc: {exc}"}
+    texts: list[str] = []
+    n_responses = 0
+    for rec in records:
+        if rec.warc_type != "response":
+            continue
+        if not _HTTP_RESPONSE_CT.search(rec.content_type):
+            continue
+        try:
+            status, headers, body = split_http_response(rec.block)
+        except WarcError:
+            continue
+        n_responses += 1
+        if not (200 <= status < 300):
+            continue
+        text = body.decode("utf-8", "replace")
+        ct = headers.get("content-type", "")
+        if "html" in ct.lower() or looks_like_html(text):
+            extracted = extract_main_text(text)
+        else:
+            extracted = text.strip()
+        if extracted:
+            texts.append(extracted)
+    joined = "\n\n".join(texts)
+    return {
+        "status": "ok" if joined else "empty",
+        "text": joined,
+        "n_responses": n_responses,
+        "error": "",
+    }
+
+
+def build_warc(records: list[tuple[str, dict[str, str], bytes]],
+               gzip_members: bool = False) -> bytes:
+    """Serialize (warc_type, extra_headers, block) triples to WARC/1.1
+    bytes — the testkit writer (deterministic; no clocks, no uuids
+    unless the caller passes them in extra_headers)."""
+    out = bytearray()
+    for warc_type, extra, block in records:
+        head = [f"WARC/1.1", f"WARC-Type: {warc_type}"]
+        for k, v in extra.items():
+            head.append(f"{k}: {v}")
+        head.append(f"Content-Length: {len(block)}")
+        member = ("\r\n".join(head) + "\r\n\r\n").encode("ascii") + block + b"\r\n\r\n"
+        if gzip_members:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            member = co.compress(member) + co.flush()
+        out += member
+    return bytes(out)

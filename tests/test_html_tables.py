@@ -1,0 +1,100 @@
+"""HTML table extraction: grid resolution, spans, hostility, Spark path."""
+
+from __future__ import annotations
+
+from pdf_parser_c_spark.flagship import (
+    build_table_pages_from_documents,
+    doc_to_table_html_payload,
+)
+from pdf_parser_c_spark.html.tables import extract_tables, html_tables
+
+
+def _flat(table):
+    return [[(c["col"], c["text"], c["is_header"]) for c in row]
+            for row in table]
+
+
+class TestGrid:
+    def test_header_colspan_rowspan(self):
+        ts = extract_tables(
+            "<table>"
+            "<tr><th>Name</th><th colspan=2>Scores</th></tr>"
+            '<tr><td rowspan="2">alice</td><td>1</td><td>2</td></tr>'
+            "<tr><td>3</td><td>4</td></tr>"
+            "<tr><td colspan='3'>total</td></tr>"
+            "</table>")
+        assert len(ts) == 1
+        flat = _flat(ts[0])
+        assert flat[0] == [(0, "Name", True), (1, "Scores", True)]
+        assert flat[1] == [(0, "alice", False), (1, "1", False), (2, "2", False)]
+        # rowspan occupies (2,0): this row's first free column is 1
+        assert flat[2] == [(1, "3", False), (2, "4", False)]
+        assert flat[3] == [(0, "total", False)]
+        assert ts[0][3][0]["colspan"] == 3
+
+    def test_inline_markup_and_entities(self):
+        ts = extract_tables("<table><tr><td>x <b>bold</b>\n\t &amp; y</td></tr></table>")
+        assert ts[0][0][0]["text"] == "x bold & y"
+
+    def test_nested_table_emitted_separately(self):
+        ts = extract_tables(
+            "<table><tr><td>outer"
+            "<table><tr><td>inner</td></tr></table>"
+            "</td></tr></table>")
+        texts = sorted(t[0][0]["text"] for t in ts)
+        assert texts == ["inner", "outer"]
+
+    def test_hostile_markup_never_raises(self):
+        for raw in (
+            "<table><tr><td colspan=zzz>a",
+            "<table><td>rowless cell</td>",
+            "<table></table>",
+            "<table><tr></tr></table>",
+            "</table></td></tr>",
+            "<table>" * 50 + "<tr><td>deep</td></tr>",
+            "<table><tr><td rowspan=99999 colspan=0>clamp</td></tr></table>",
+        ):
+            extract_tables(raw)  # must not raise
+
+    def test_span_clamps(self):
+        t = extract_tables(
+            "<table><tr><td rowspan=0 colspan=-3>a</td></tr></table>")[0]
+        assert t[0][0]["rowspan"] == 1 and t[0][0]["colspan"] == 1
+
+    def test_no_tables(self):
+        assert extract_tables("<html><body><p>plain prose</p></body></html>") == []
+
+
+class TestArmor:
+    def test_payload_shape(self):
+        # doc_id=3: C=2+1=3 cols, R=2+0=2 data rows
+        ts = extract_tables(doc_to_table_html_payload(3, "a b c d e"))
+        assert len(ts) == 1
+        flat = _flat(ts[0])
+        assert flat[0] == [(0, "h1", True), (1, "h2", True), (2, "h3", True)]
+        assert [c[1] for c in flat[1]] == ["a", "b", "c"]
+        assert [c[1] for c in flat[2]] == ["d", "e", "a"]
+        assert flat[3] == [(0, "3", False)]
+
+    def test_empty_doc_placeholder(self):
+        ts = extract_tables(doc_to_table_html_payload(8, "   "))
+        assert ts[0][1][0]["text"] == "w"
+
+
+class TestSparkPath:
+    def test_html_tables_frame(self, spark):
+        docs = spark.createDataFrame(
+            [(3, "a b c d e"), (8, "")], "doc_id long, text string")
+        pages = build_table_pages_from_documents(spark, docs)
+        out = html_tables(pages).orderBy("doc_id", "row_idx", "col_idx")
+        rows = out.collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # doc 3: header(3) + 2*3 data + footer = 10 cells
+        assert len(by_doc[3]) == 10
+        # doc 8: C=2, R=2+8%3=4 -> 2 + 8 + 1 = 11 cells
+        assert len(by_doc[8]) == 11
+        footer = by_doc[3][-1]
+        assert footer.colspan == 3 and footer.cell == "3" and not footer.is_header
+        assert {r.is_header for r in by_doc[3][:3]} == {True}

@@ -1,0 +1,208 @@
+"""WARC ingestion: container parsing, HTTP split, kernel integration.
+
+The reference engine reads bare files (src/main.cpp); the north rule's
+web-scale corpus arrives in WARC containers, so the extraction kernel
+grows a ``warc`` payload kind.  Invariant under test: extraction is
+container-invariant — a WARC-wrapped HTML page extracts to exactly the
+text of the bare page.
+"""
+
+from __future__ import annotations
+
+import base64
+import zlib
+
+import pytest
+
+from pdf_parser_c_spark.flagship import (
+    build_warc_transcripts_from_documents,
+    doc_to_html_payload,
+    doc_to_warc_payload,
+)
+from pdf_parser_c_spark.html.boilerplate import extract_main_text
+from pdf_parser_c_spark.sources.warc import (
+    WARC_B64_PREFIX,
+    WarcError,
+    build_warc,
+    decode_chunked,
+    decode_warc_payload,
+    encode_warc_payload,
+    extract_warc_text,
+    iter_gzip_members,
+    parse_warc,
+    split_http_response,
+)
+
+TEXT = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon")
+
+
+def _response_record(body: bytes, status: int = 200,
+                     headers: str = "Content-Type: text/html\r\n",
+                     uri: str = "http://example.com/x"):
+    http = f"HTTP/1.1 {status} X\r\n{headers}\r\n".encode() + body
+    return ("response",
+            {"WARC-Target-URI": uri,
+             "Content-Type": "application/http;msgtype=response"},
+            http)
+
+
+class TestContainer:
+    def test_roundtrip_all_variants(self):
+        # doc_id rotates gzip-member (%2) and chunked (%4==1) variants
+        for did in range(8):
+            p = doc_to_warc_payload(did, TEXT)
+            recs = parse_warc(decode_warc_payload(p))
+            assert [r.warc_type for r in recs] == [
+                "warcinfo", "request", "response"]
+            assert recs[2].target_uri == f"http://example.com/doc/{did}"
+            r = extract_warc_text(p)
+            assert r["status"] == "ok" and r["n_responses"] == 1
+            assert r["text"] == extract_main_text(doc_to_html_payload(did, TEXT))
+
+    def test_gzip_member_split(self):
+        raw = decode_warc_payload(doc_to_warc_payload(2, TEXT))  # gzip variant
+        members = list(iter_gzip_members(raw))
+        assert len(members) == 3
+        assert all(m.startswith(b"WARC/1.1") for m in members)
+
+    def test_plain_passthrough(self):
+        assert list(iter_gzip_members(b"WARC/1.1\r\n")) == [b"WARC/1.1\r\n"]
+        assert list(iter_gzip_members(b"")) == []
+
+    def test_gzip_truncated_member(self):
+        raw = decode_warc_payload(doc_to_warc_payload(2, TEXT))
+        with pytest.raises(WarcError):
+            list(iter_gzip_members(raw[: len(raw) - 6]))
+
+    def test_resync_after_damaged_record(self):
+        good = _response_record(b"hello world plain body text")
+        bad_then_good = (
+            b"WARC/1.1\r\nWARC-Type: metadata\r\nNo-Length: x\r\n\r\n"
+            + build_warc([good])
+        )
+        recs = parse_warc(bad_then_good)
+        assert [r.warc_type for r in recs] == ["response"]
+
+    def test_all_damaged_raises(self):
+        with pytest.raises(WarcError):
+            parse_warc(b"WARC/1.1\r\nbroken")
+
+    def test_bare_lf_headers(self):
+        rec = (b"WARC/1.0\nWARC-Type: resource\nContent-Length: 3\n\nabc")
+        recs = parse_warc(rec)
+        assert recs[0].warc_type == "resource" and recs[0].block == b"abc"
+
+    def test_warc10_bracketed_uri_and_continuation(self):
+        rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: <http://a/\r\n b>\r\n"
+               b"Content-Length: 0\r\n\r\n")
+        r = parse_warc(rec)[0]
+        assert r.target_uri == "http://a/ b"
+
+    def test_block_overrun(self):
+        with pytest.raises(WarcError):
+            parse_warc(b"WARC/1.1\r\nWARC-Type: x\r\nContent-Length: 99\r\n\r\nabc")
+
+
+class TestHttp:
+    def test_chunked_decode(self):
+        body = b"3\r\nabc\r\n10\r\n0123456789abcdef\r\n0\r\n\r\n"
+        assert decode_chunked(body) == b"abc0123456789abcdef"
+
+    def test_chunked_extension_and_bad(self):
+        assert decode_chunked(b"3;ext=v\r\nabc\r\n0\r\n\r\n") == b"abc"
+        for bad in (b"zz\r\nabc", b"5\r\nab", b"no-size"):
+            with pytest.raises(WarcError):
+                decode_chunked(bad)
+
+    def test_split_response(self):
+        status, headers, body = split_http_response(
+            b"HTTP/1.1 301 Moved\r\nLocation: /y\r\n\r\nbody")
+        assert status == 301 and headers["location"] == "/y" and body == b"body"
+
+    def test_split_bad_status(self):
+        with pytest.raises(WarcError):
+            split_http_response(b"NOTHTTP\r\n\r\n")
+        with pytest.raises(WarcError):
+            split_http_response(b"HTTP/1.1 abc X\r\n\r\n")
+        with pytest.raises(WarcError):
+            split_http_response(b"HTTP/1.1 200 OK -- no terminator")
+
+
+class TestKernelEntry:
+    def test_non_2xx_skipped(self):
+        buf = build_warc([
+            _response_record(b"<html><body><p>" + b"redirect page content x" * 3
+                             + b"</p></body></html>", status=302),
+            _response_record(b"<html><body><article><h1>Kept</h1><p>"
+                             + b"main content words here " * 3
+                             + b"</p></article></body></html>"),
+        ])
+        r = extract_warc_text(encode_warc_payload(buf))
+        assert r["n_responses"] == 2
+        assert "Kept" in r["text"] and "redirect" not in r["text"]
+
+    def test_plain_text_response(self):
+        buf = build_warc([_response_record(
+            b"  some plain text payload  ",
+            headers="Content-Type: text/plain\r\n")])
+        r = extract_warc_text(encode_warc_payload(buf))
+        assert r["text"] == "some plain text payload"
+
+    def test_no_responses_is_empty(self):
+        buf = build_warc([("metadata", {"Content-Type": "text/plain"}, b"x")])
+        r = extract_warc_text(encode_warc_payload(buf))
+        assert r["status"] == "empty" and r["n_responses"] == 0
+
+    def test_bad_armor_is_malformed(self):
+        assert extract_warc_text("WARCB64:!!!")["status"] == "malformed"
+        # zero-byte archive: no records, no damage -> empty, not malformed
+        assert extract_warc_text(WARC_B64_PREFIX)["status"] == "empty"
+
+    def test_truncation_and_bitflips_never_raise(self):
+        raw = decode_warc_payload(doc_to_warc_payload(7, TEXT))
+        for cut in (1, 10, len(raw) // 2, len(raw) - 3):
+            p = WARC_B64_PREFIX + base64.b64encode(raw[:cut]).decode()
+            assert extract_warc_text(p)["status"] in ("malformed", "empty", "ok")
+        for flip in range(0, len(raw), 37):
+            b = bytearray(raw)
+            b[flip] ^= 0xFF
+            p = WARC_B64_PREFIX + base64.b64encode(bytes(b)).decode()
+            extract_warc_text(p)  # any status; must not raise
+
+    def test_multi_response_join(self):
+        page = (b"<html><body><article><h1>T%d</h1><p>"
+                b"twenty five characters of body content minimum</p>"
+                b"</article></body></html>")
+        buf = build_warc([_response_record(page % 1),
+                          _response_record(page % 2)], gzip_members=True)
+        r = extract_warc_text(encode_warc_payload(buf))
+        assert r["text"].count("\n\n") == 1 and "T1" in r["text"] and "T2" in r["text"]
+
+
+class TestSparkPath:
+    def test_extract_turns_warc_kind(self, spark):
+        docs = spark.createDataFrame(
+            [(i, TEXT) for i in range(6)], "doc_id long, text string")
+        from pdf_parser_c_spark.engine import extract_turns
+
+        tr = build_warc_transcripts_from_documents(spark, docs)
+        out = extract_turns(tr, repartition=False).orderBy("conv_id", "turn_idx")
+        rows = out.collect()
+        assert len(rows) == 6
+        want = {i: extract_main_text(doc_to_html_payload(i, TEXT)) for i in range(6)}
+        for row in rows:
+            did = int(row.conv_id[4:]) * 10 + row.turn_idx
+            assert row.kind == "warc" and row.status == "ok"
+            assert row.text == want[did]
+            assert [ (s.start, s.end) for s in row.spans ] == [(0, len(want[did]))]
+
+    def test_classify_payload_warc(self):
+        import pandas as pd
+
+        from pdf_parser_c_spark.engine import classify_payload
+
+        s = pd.Series([doc_to_warc_payload(1, TEXT), "<html><body><p>x</p>",
+                       "plain", None])
+        assert list(classify_payload(s)) == ["warc", "html", "plain", "plain"]
