@@ -240,6 +240,49 @@ def build_table_pages_from_documents(
     return d.mapInPandas(kernel, schema="doc_id long, text string")
 
 
+def doc_to_rich_html_payload(doc_id: int, text: str) -> str:
+    """HTML armor exercising every Markdown-conversion rule with
+    SQL-reconstructible output (callers filter to docs with >= 14
+    words): heading level 1 + doc_id%3 titled ``Doc {id}``; a
+    paragraph with <b> around word 2 and <i> around word 4; a 3-item
+    <ul> of words 9-11; a link paragraph [word 13](…/word 12); an
+    inline-<code> paragraph of word 14.  Page furniture (<head> with
+    script/title) must drop."""
+    w = text.split()
+    lvl = 1 + doc_id % 3
+    return (
+        "<html><head><script>t()</script><title>skip</title></head><body>"
+        f"<h{lvl}>Doc {doc_id}</h{lvl}>"
+        f"<p>{w[0]} <b>{w[1]}</b> {w[2]} <i>{w[3]}</i> {' '.join(w[4:8])}</p>"
+        f"<ul><li>{w[8]}</li><li>{w[9]}</li><li>{w[10]}</li></ul>"
+        f'<p><a href="https://example.com/{w[11]}">{w[12]}</a></p>'
+        f"<p><code>{w[13]}</code></p>"
+        "</body></html>"
+    )
+
+
+def build_rich_pages_from_documents(
+    spark: SparkSession, docs: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """documents → (doc_id, text=structure-rich HTML page); armor for
+    the html→markdown converter.  Callers must pre-filter to docs with
+    >= 14 whitespace words."""
+    d = docs.select("doc_id", "text")
+    if num_partitions is not None:
+        d = d.repartition(num_partitions, "doc_id")
+
+    def kernel(batches):
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "text": [doc_to_rich_html_payload(int(i), str(t))
+                         for i, t in zip(ids, b["text"])],
+            })
+
+    return d.mapInPandas(kernel, schema="doc_id long, text string")
+
+
 def doc_to_warc_payload(doc_id: int, text: str) -> str:
     """WARC armor: the document's HTML page wrapped in a 3-record
     web archive (warcinfo + request + response), the Common Crawl

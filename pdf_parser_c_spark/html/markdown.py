@@ -1,0 +1,195 @@
+"""HTML → Markdown conversion: structure-preserving extraction.
+
+The boilerplate stripper (boilerplate.py) flattens a page to plain
+prose; modern training pipelines often keep the STRUCTURE instead —
+headings, lists, links, emphasis, code — as Markdown, which tokenizes
+compactly and preserves document semantics.  This is that converter:
+dependency-free, same tag scanner as the stripper, deterministic.
+
+Mapping (CommonMark-flavored):
+
+* ``h1..h6``            → ``#``·level + space + text
+* ``p`` / ``div`` / …   → paragraph blocks separated by blank lines
+* ``ul``/``ol`` ``li``  → ``- `` / ``1. `` items, 2-space nested indent
+* ``a href``            → ``[text](href)``
+* ``b``/``strong``      → ``**text**`` ; ``i``/``em`` → ``*text*``
+* ``code``              → `` `text` `` ; ``pre`` → fenced block (raw ws)
+* ``blockquote``        → ``> `` prefix
+* ``br``                → hard line break inside the block
+* ``hr``                → ``---``
+* ``script/style/head/noscript/svg/template`` subtrees dropped
+
+Unlike the boilerplate path this KEEPS nav/footer content — structure
+conversion and boilerplate classification are separate stages; compose
+them by stripping first when both are wanted.
+
+Pure function str → str; Spark path :func:`html_to_markdown` is a
+column-in/column-out Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+from .boilerplate import _TAG_RE, _WS_RE, _RAWTEXT_TAGS
+
+_DROP = {"script", "style", "head", "noscript", "svg", "template", "iframe"}
+_HEADING = {f"h{i}": i for i in range(1, 7)}
+_PARA_TAGS = {"p", "div", "section", "article", "main", "body", "table",
+              "tr", "figure", "figcaption", "dl", "dt", "dd", "header",
+              "footer", "nav", "aside"}
+_HREF_RE = re.compile(
+    r"""href\s*=\s*("([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.I)
+
+
+def to_markdown(raw: str) -> str:
+    """Convert an HTML fragment/page to Markdown text."""
+    blocks: list[str] = []
+    buf: list[str] = []
+    drop_depth = 0
+    pre_depth = 0
+    quote_depth = 0
+    list_stack: list[int | None] = []  # None = unordered, int = next ordinal
+    item_prefix = ""  # pending li/heading prefix for the current block
+    link_stack: list[str] = []
+    pos = 0
+
+    def flush() -> None:
+        nonlocal buf, item_prefix
+        text = "".join(buf)
+        buf = []
+        if pre_depth == 0:
+            # \x00 marks a <br> hard break: not \s, so it survives the
+            # whitespace collapse and is rewritten to Markdown's
+            # trailing-two-spaces line break afterwards
+            text = _WS_RE.sub(" ", text).strip()
+            text = re.sub(" ?\x00 ?", "  \n", text).strip("\n ")
+        else:
+            text = text.strip("\n")
+        if not text:
+            item_prefix = ""
+            return
+        prefix = "> " * quote_depth + item_prefix
+        if "\n" in text:  # pre blocks keep internal newlines
+            text = "\n".join(prefix + ln if i == 0 else ln
+                             for i, ln in enumerate(text.split("\n")))
+            blocks.append(text)
+        else:
+            blocks.append(prefix + text)
+        item_prefix = ""
+
+    def emit(text: str) -> None:
+        if drop_depth == 0 and text:
+            buf.append(text if pre_depth else _html.unescape(text))
+
+    while True:
+        m = _TAG_RE.search(raw, pos)
+        decl = raw.find("<!", pos)
+        pi = raw.find("<?", pos)
+        if pi != -1 and (decl == -1 or pi < decl):
+            decl = pi
+        if decl != -1 and (m is None or decl < m.start()):
+            emit(raw[pos:decl])
+            if raw.startswith("<!--", decl):
+                close = raw.find("-->", decl + 2)
+                pos = len(raw) if close == -1 else close + 3
+            else:
+                close = raw.find(">", decl + 2)
+                pos = len(raw) if close == -1 else close + 1
+            continue
+        if m is None:
+            break
+        emit(raw[pos: m.start()])
+        pos = m.end()
+        closing, tag, attrs = m.group(1) == "/", m.group(2).lower(), m.group(3)
+        if not closing and tag in _RAWTEXT_TAGS and tag not in _DROP:
+            close = re.search(rf"</{tag}\s*>", raw[pos:], re.I)
+            pos = pos + close.end() if close else len(raw)
+            continue
+        self_closing = attrs.rstrip().endswith("/") or tag in (
+            "br", "hr", "img", "meta", "link", "input")
+        if tag in _DROP:
+            if closing:
+                drop_depth = max(0, drop_depth - 1)
+            elif not self_closing:
+                drop_depth += 1
+            continue
+        if drop_depth > 0:
+            continue
+        if tag in _HEADING:
+            flush()
+            if not closing:
+                item_prefix = "#" * _HEADING[tag] + " "
+        elif tag in ("ul", "ol"):
+            flush()
+            if closing:
+                if list_stack:
+                    list_stack.pop()
+            else:
+                list_stack.append(1 if tag == "ol" else None)
+        elif tag == "li":
+            flush()
+            if not closing and list_stack:
+                depth = len(list_stack) - 1
+                n = list_stack[-1]
+                if n is None:
+                    item_prefix = "  " * depth + "- "
+                else:
+                    item_prefix = "  " * depth + f"{n}. "
+                    list_stack[-1] = n + 1
+        elif tag == "blockquote":
+            flush()
+            quote_depth = max(0, quote_depth + (-1 if closing else 1))
+        elif tag == "pre":
+            flush()
+            if closing:
+                if blocks and pre_depth:
+                    blocks[-1] = "```\n" + blocks[-1] + "\n```"
+                pre_depth = max(0, pre_depth - 1)
+            else:
+                pre_depth += 1
+        elif tag in _PARA_TAGS:
+            flush()
+        elif tag == "br":
+            buf.append("\n" if pre_depth else "\x00")
+        elif tag == "hr":
+            flush()
+            blocks.append("---")
+        elif tag in ("b", "strong"):
+            buf.append("**")
+        elif tag in ("i", "em"):
+            buf.append("*")
+        elif tag == "code" and pre_depth == 0:
+            buf.append("`")
+        elif tag == "a":
+            if closing:
+                href = link_stack.pop() if link_stack else ""
+                buf.append(f"]({href})" if href else "]()")
+            elif not self_closing:
+                hm = _HREF_RE.search(attrs)
+                href = (hm.group(2) or hm.group(3) or hm.group(4)) if hm else ""
+                link_stack.append(_html.unescape(href))
+                buf.append("[")
+        # other inline tags (span, u, small, img, ...) are stripped
+    emit(raw[pos:])
+    flush()
+    return "\n\n".join(blocks)
+
+
+def html_to_markdown(col):
+    """Column-level wrapper: HTML string column → Markdown string
+    column (Arrow-batched pandas UDF; the conversion is pure Python
+    per value but vectorized at batch granularity).
+
+    The hint annotations are built explicitly because this module uses
+    ``from __future__ import annotations`` (PEP 563), under which
+    in-function string hints don't resolve for pyspark's inspection."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _conv(s):
+        return s.map(lambda v: to_markdown(v) if isinstance(v, str) else None)
+
+    _conv.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_conv, "string")(col)

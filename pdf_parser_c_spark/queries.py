@@ -10218,6 +10218,57 @@ ORDER BY doc_id, row_idx, col_idx
 """
 
 
+def q_extraction_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURE-PRESERVING extraction, hash-checked string-for-string:
+    sampled documents are armored into structure-rich HTML (heading,
+    bold/italic paragraph, <ul> list, link, inline code, droppable
+    <head> furniture — flagship.doc_to_rich_html_payload) and the
+    html→markdown converter (html/markdown.py) must emit EXACTLY the
+    Markdown DuckDB reconstructs from the words: ``#``·level heading,
+    ``**``/``*`` emphasis, ``- `` items, ``[text](href)``, backticked
+    code.  Plain-text stripping loses structure; Markdown keeps it —
+    the representation modern pipelines train on.
+    Scale: one exchange on doc_id; armor kernel + Arrow-batched
+    pandas-UDF conversion fused in one stage; only (id, md) shuffles."""
+    from .flagship import build_rich_pages_from_documents
+    from .html.markdown import html_to_markdown
+
+    collapsed = F.trim(F.regexp_replace("text", r"\s+", " "))
+    n_words = F.size(F.filter(F.split(collapsed, " "), lambda x: x != ""))
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 5 == 4) & (n_words >= 14))
+    )
+    pages = build_rich_pages_from_documents(spark, docs, num_partitions=16)
+    return (
+        pages.select("doc_id", html_to_markdown(F.col("text")).alias("md"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_EXTRACTION_HTML_MARKDOWN = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 5 = 4
+)
+SELECT doc_id,
+       repeat('#', CAST(1 + doc_id % 3 AS INTEGER)) || ' Doc '
+       || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+       || ws[1] || ' **' || ws[2] || '** ' || ws[3] || ' *' || ws[4] || '* '
+       || array_to_string(ws[5:8], ' ') || chr(10) || chr(10)
+       || '- ' || ws[9] || chr(10) || chr(10)
+       || '- ' || ws[10] || chr(10) || chr(10)
+       || '- ' || ws[11] || chr(10) || chr(10)
+       || '[' || ws[13] || '](https://example.com/' || ws[12] || ')'
+       || chr(10) || chr(10)
+       || '`' || ws[14] || '`' AS md
+FROM w WHERE len(ws) >= 14
+ORDER BY doc_id
+"""
+
+
 def q_text_attribute_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused attribute tagging — the Dolma/RedPajama architecture:
     compute EVERY tagger in ONE scan (quality score, stopword
@@ -10801,5 +10852,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_html_tables": (
         q_extraction_html_tables, SQL_EXTRACTION_HTML_TABLES
+    ),
+    "extraction_html_markdown": (
+        q_extraction_html_markdown, SQL_EXTRACTION_HTML_MARKDOWN
     ),
 }

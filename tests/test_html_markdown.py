@@ -1,0 +1,91 @@
+"""HTML → Markdown converter: per-rule mapping, nesting, hostility."""
+
+from __future__ import annotations
+
+from pdf_parser_c_spark.flagship import (
+    build_rich_pages_from_documents,
+    doc_to_rich_html_payload,
+)
+from pdf_parser_c_spark.html.markdown import html_to_markdown, to_markdown
+
+
+class TestRules:
+    def test_headings(self):
+        for i in range(1, 7):
+            assert to_markdown(f"<h{i}>T</h{i}>") == "#" * i + " T"
+
+    def test_paragraphs_and_emphasis(self):
+        md = to_markdown("<p>a <b>b</b> c</p><p><i>d</i> <strong>e</strong></p>")
+        assert md == "a **b** c\n\n*d* **e**"
+
+    def test_lists_unordered_ordered_nested(self):
+        md = to_markdown("<ul><li>a</li><li>b<ol><li>c</li><li>d</li></ol></li></ul>")
+        assert md == "- a\n\n- b\n\n  1. c\n\n  2. d"
+
+    def test_links(self):
+        assert to_markdown('<p><a href="http://x/y">t</a></p>') == "[t](http://x/y)"
+        assert to_markdown("<p><a href='/rel'>r</a></p>") == "[r](/rel)"
+        assert to_markdown("<p><a>bare</a></p>") == "[bare]()"
+
+    def test_code_inline_and_fenced(self):
+        assert to_markdown("<p><code>f(x)</code></p>") == "`f(x)`"
+        md = to_markdown("<pre>a   b\n  c</pre>")
+        assert md == "```\na   b\n  c\n```"
+
+    def test_blockquote_and_hr(self):
+        assert to_markdown("<blockquote><p>q</p></blockquote>") == "> q"
+        assert to_markdown("<p>a</p><hr><p>b</p>") == "a\n\n---\n\nb"
+
+    def test_br_hard_break(self):
+        assert to_markdown("<p>a<br>b</p>") == "a  \nb"
+
+    def test_head_script_style_dropped(self):
+        md = to_markdown(
+            "<html><head><script>x()</script><title>skip</title></head>"
+            "<body><style>p{}</style><p>kept</p></body></html>")
+        assert md == "kept"
+
+    def test_entities_and_ws_collapse(self):
+        assert to_markdown("<p>a &amp;\n\n   b</p>") == "a & b"
+
+    def test_nav_footer_kept(self):
+        # structure conversion keeps chrome; boilerplate strip is a
+        # separate composable stage
+        md = to_markdown("<nav>menu item</nav><p>body</p>")
+        assert md == "menu item\n\nbody"
+
+
+class TestHostility:
+    def test_never_raises(self):
+        for raw in (
+            "", "<", "<p>unclosed", "</b></i></a>", "<ul><li>x",
+            "<pre>unclosed pre", "<a href=>e</a>", "<h1>", "<!-- <p>c</p> -->",
+            "<blockquote>" * 40 + "deep",
+            "<b><i>crossed</b></i>",
+        ):
+            to_markdown(raw)
+
+    def test_comment_content_dropped(self):
+        assert to_markdown("<p>a</p><!-- <p>hidden</p> --><p>b</p>") == "a\n\nb"
+
+
+class TestArmorAndSpark:
+    WORDS = " ".join(f"w{i}" for i in range(1, 20))
+
+    def test_armor_expected_md(self):
+        md = to_markdown(doc_to_rich_html_payload(7, self.WORDS))
+        assert md == (
+            "## Doc 7\n\nw1 **w2** w3 *w4* w5 w6 w7 w8\n\n- w9\n\n- w10\n\n"
+            "- w11\n\n[w13](https://example.com/w12)\n\n`w14`")
+
+    def test_udf_path(self, spark):
+        docs = spark.createDataFrame(
+            [(4, self.WORDS), (9, self.WORDS)], "doc_id long, text string")
+        pages = build_rich_pages_from_documents(spark, docs)
+        import pyspark.sql.functions as F
+
+        out = (pages.select("doc_id", html_to_markdown(F.col("text")).alias("md"))
+               .orderBy("doc_id").collect())
+        assert out[0].md.startswith("## Doc 4\n\n")
+        assert out[1].md.startswith("# Doc 9\n\n")
+        assert out[0].md.endswith("`w14`")
