@@ -1,0 +1,143 @@
+"""robots.txt (RFC 9309 Robots Exclusion Protocol) URL gating.
+
+A compliant web-scale corpus keeps only URLs the site's robots.txt
+allows for its crawler — the front gate CommonCrawl-derived pipelines
+(C4, RefinedWeb) apply before any content work.  This is a
+dependency-free RFC 9309 evaluator:
+
+* :func:`parse_robots` — groups of consecutive ``User-agent`` lines
+  followed by ``Allow``/``Disallow`` rules; ``#`` comments; unknown
+  directives (``Sitemap``, ``Crawl-delay``) ignored; directive names
+  case-insensitive.
+* pattern matching — ``*`` matches any octet run, a trailing ``$``
+  anchors at path end; otherwise prefix match.
+* :func:`is_allowed` — most-specific group wins (longest user-agent
+  token that is a case-insensitive substring of the product token,
+  else the ``*`` group); within the group the LONGEST matching pattern
+  wins, ``Allow`` winning length ties; no match ⇒ allowed (and no
+  robots.txt at all ⇒ allowed).
+
+Spark path: :func:`robots_gate` — robots bodies are per-host (tiny
+next to the URL corpus), so they broadcast and the gate is a map-side
+hash join + one Arrow-batched pandas UDF with a per-worker parse cache
+keyed by body identity; the URL corpus never shuffles.
+"""
+
+from __future__ import annotations
+
+import re
+
+Rule = tuple[bool, str, "re.Pattern[str]"]  # (allow, raw_pattern, regex)
+
+
+def _pattern_to_regex(pattern: str) -> "re.Pattern[str]":
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    body = ".*".join(re.escape(part) for part in pattern.split("*"))
+    return re.compile(body + ("$" if anchored else ""))
+
+
+def parse_robots(txt: str) -> list[tuple[list[str], list[Rule]]]:
+    """→ [(user_agent_tokens, rules)] per RFC 9309 group structure."""
+    groups: list[tuple[list[str], list[Rule]]] = []
+    agents: list[str] = []
+    rules: list[Rule] = []
+    collecting_agents = True
+    for raw_line in txt.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        name, sep, value = line.partition(":")
+        if not sep:
+            continue
+        name = name.strip().lower()
+        value = value.strip()
+        if name == "user-agent":
+            if not collecting_agents:  # a new group starts
+                if agents:
+                    groups.append((agents, rules))
+                agents, rules = [], []
+                collecting_agents = True
+            agents.append(value.lower())
+        elif name in ("allow", "disallow"):
+            collecting_agents = False
+            if value:  # an empty Disallow means "allow all": no rule
+                rules.append((name == "allow", value, _pattern_to_regex(value)))
+        # other directives (sitemap, crawl-delay, ...) are ignored and
+        # do NOT terminate the agent-collection state (RFC 9309 §2.2.2)
+    if agents:
+        groups.append((agents, rules))
+    return groups
+
+
+def _select_group(groups, agent: str) -> list[Rule] | None:
+    """Most-specific matching group: longest agent token contained in
+    ``agent`` (case-insensitive); the ``*`` group as fallback."""
+    agent = agent.lower()
+    best: tuple[int, list[Rule]] | None = None
+    star: list[Rule] | None = None
+    for tokens, rules in groups:
+        for tok in tokens:
+            if tok == "*":
+                if star is None:
+                    star = rules
+            elif tok and tok in agent:
+                if best is None or len(tok) > best[0]:
+                    best = (len(tok), rules)
+    if best is not None:
+        return best[1]
+    return star
+
+
+def is_allowed(groups, agent: str, path: str) -> bool:
+    """RFC 9309 §2.4.2: longest-match rule decides; Allow wins length
+    ties; no matching rule (or no applicable group) ⇒ allowed."""
+    rules = _select_group(groups, agent)
+    if not rules:
+        return True
+    if not path.startswith("/"):
+        path = "/" + path
+    verdict = True
+    best_len = -1
+    for allow, raw, rx in rules:
+        if rx.match(path):
+            # RFC: specificity = octet length of the raw pattern
+            n = len(raw)
+            if n > best_len or (n == best_len and allow and not verdict):
+                best_len, verdict = n, allow
+    return verdict
+
+
+def robots_gate(urls, robots, agent: str = "trainingbot",
+                host_col: str = "host", path_col: str = "path",
+                robots_col: str = "robots_txt"):
+    """urls(.., host, path) × robots(host, robots_txt) → urls +
+    ``allowed`` boolean.  The robots side broadcasts (one small text
+    row per host); hosts with no robots.txt row are allowed (RFC 9309
+    §2.3.1.2: unavailable ⇒ unrestricted)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def _gate(txt, path):
+        cache: dict[int, list] = {}
+
+        def one(t, p):
+            if not isinstance(t, str) or not t:
+                return True
+            key = id(t)  # pandas interns repeated object values per block
+            g = cache.get(key)
+            if g is None:
+                g = cache[key] = parse_robots(t)
+            return is_allowed(g, agent, str(p))
+
+        return pd.Series([one(t, p) for t, p in zip(txt, path)])
+
+    _gate.__annotations__ = {"txt": pd.Series, "path": pd.Series,
+                             "return": pd.Series}
+    gate = pandas_udf(_gate, "boolean")
+    joined = urls.join(F.broadcast(robots), on=host_col, how="left")
+    return joined.withColumn(
+        "allowed", gate(F.col(robots_col), F.col(path_col))
+    ).drop(robots_col)

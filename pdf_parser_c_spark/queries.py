@@ -10269,6 +10269,72 @@ ORDER BY doc_id
 """
 
 
+def q_filter_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt URL gate — the compliance front door a
+    web-scale corpus applies before any content work: per host, the
+    crawler's Allow/Disallow groups decide which paths may be kept.
+    Each synthetic host carries a deterministic robots.txt (a decoy
+    specific-agent group plus a ``*`` group whose Disallow /p/<d> is
+    partially re-opened by a LONGER Allow /p/<d><d2> — exercising
+    longest-match precedence); two hosts have no robots.txt at all
+    (unavailable ⇒ unrestricted, §2.3.1.2).  Census per host; DuckDB
+    reconstructs the verdicts with prefix logic.
+    Scale: robots bodies are per-host — tiny next to the URL corpus —
+    so they BROADCAST and the gate is a map-side join + one
+    Arrow-batched UDF with per-worker parse caching; the corpus never
+    shuffles (functions/robots.py)."""
+    from .functions.robots import robots_gate
+    from .functions.text import url_host_parts
+
+    d = t(spark, sf_dir, "documents")
+    urls = (
+        d.select("doc_id", F.expr(_synthetic_url_expr()).alias("url"))
+        .withColumn("p", url_host_parts("url"))
+        .select("doc_id", F.col("p.host").alias("host"),
+                F.concat(F.lit("/p/"), F.col("doc_id").cast("string"))
+                .alias("path"))
+    )
+    robots_rows = [
+        (URL_HOSTS[i],
+         "User-agent: fancybot\nDisallow: /\n\n"
+         f"User-agent: *\nDisallow: /p/{i}\nAllow: /p/{i}{(i + 3) % 10}\n")
+        for i in range(len(URL_HOSTS)) if i not in (5, 6)
+    ]
+    robots = spark.createDataFrame(robots_rows, ["host", "robots_txt"])
+    gated = robots_gate(urls, robots, agent="trainingbot")
+    return (
+        gated.groupBy("host")
+        .agg(F.count("*").alias("n_urls"),
+             F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+             F.sum((~F.col("allowed")).cast("long")).alias("n_blocked"))
+        .orderBy("host")
+    )
+
+
+def _sql_filter_robots() -> str:
+    hosts = ", ".join(f"'{h}'" for h in URL_HOSTS)
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+              AS BIGINT) % {len(URL_HOSTS)} AS h_idx,
+         CAST(doc_id AS VARCHAR) AS ds
+  FROM documents),
+v AS (
+  SELECT ([{hosts}])[h_idx + 1] AS host,
+         CASE WHEN h_idx IN (5, 6) THEN false  -- no robots.txt: allowed
+              WHEN starts_with(ds, CAST(h_idx AS VARCHAR))
+                   AND NOT starts_with(ds, CAST(h_idx AS VARCHAR)
+                                           || CAST((h_idx + 3) % 10 AS VARCHAR))
+              THEN true ELSE false END AS blocked
+  FROM u)
+SELECT host, count(*) AS n_urls,
+       CAST(sum(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_allowed,
+       CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+FROM v GROUP BY host ORDER BY host
+"""
+
+
 def q_text_attribute_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused attribute tagging — the Dolma/RedPajama architecture:
     compute EVERY tagger in ONE scan (quality score, stopword
@@ -10856,4 +10922,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "extraction_html_markdown": (
         q_extraction_html_markdown, SQL_EXTRACTION_HTML_MARKDOWN
     ),
+    "filter_robots_gate": (q_filter_robots_gate, _sql_filter_robots()),
 }

@@ -1,0 +1,97 @@
+"""RFC 9309 robots.txt evaluator: grouping, matching, precedence, Spark gate."""
+
+from __future__ import annotations
+
+from pdf_parser_c_spark.functions.robots import (
+    is_allowed,
+    parse_robots,
+    robots_gate,
+)
+
+ROBOTS = """
+# global rules
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Disallow: /*.pdf$
+Sitemap: http://x/sitemap.xml
+
+User-agent: trainingbot
+User-agent: otherbot
+Disallow: /tb/
+Allow: /tb/pub*
+Crawl-delay: 5
+"""
+
+
+class TestParse:
+    def test_groups(self):
+        g = parse_robots(ROBOTS)
+        assert len(g) == 2
+        assert g[0][0] == ["*"]
+        assert g[1][0] == ["trainingbot", "otherbot"]
+        # sitemap/crawl-delay ignored, not rules
+        assert len(g[0][1]) == 3 and len(g[1][1]) == 2
+
+    def test_empty_disallow_means_no_rule(self):
+        g = parse_robots("User-agent: *\nDisallow:\n")
+        assert g[0][1] == []
+        assert is_allowed(g, "x", "/anything")
+
+    def test_comments_and_blank_lines(self):
+        g = parse_robots("# top\n\nUser-agent: * # inline\nDisallow: /a # tail\n")
+        assert not is_allowed(g, "x", "/a/b")
+
+
+class TestMatch:
+    def setup_method(self):
+        self.g = parse_robots(ROBOTS)
+
+    def test_star_group_fallback(self):
+        assert is_allowed(self.g, "randombot", "/public")
+        assert not is_allowed(self.g, "randombot", "/private/x")
+
+    def test_longest_match_allow_reopens(self):
+        assert is_allowed(self.g, "randombot", "/private/ok/page")
+
+    def test_wildcard_and_anchor(self):
+        assert not is_allowed(self.g, "randombot", "/docs/file.pdf")
+        assert is_allowed(self.g, "randombot", "/docs/file.pdfx")  # $ anchored
+        g = parse_robots("User-agent: *\nDisallow: /a/*/c\n")
+        assert not is_allowed(g, "x", "/a/b/c")
+        assert is_allowed(g, "x", "/a/b/d")
+
+    def test_specific_group_replaces_star(self):
+        # the trainingbot group applies EXCLUSIVELY (no star merge)
+        assert is_allowed(self.g, "TrainingBot/1.0 (+http://x)", "/private/x")
+        assert not is_allowed(self.g, "trainingbot", "/tb/secret")
+        assert is_allowed(self.g, "trainingbot", "/tb/pub/a")
+
+    def test_longest_agent_token_wins(self):
+        g = parse_robots(
+            "User-agent: bot\nDisallow: /short\n\n"
+            "User-agent: trainingbot\nDisallow: /long\n")
+        assert not is_allowed(g, "trainingbot", "/long")
+        assert is_allowed(g, "trainingbot", "/short")
+
+    def test_tie_allow_wins(self):
+        g = parse_robots("User-agent: *\nDisallow: /ab\nAllow: /a*\n")
+        assert is_allowed(g, "x", "/ab")
+
+    def test_no_robots_allows(self):
+        assert is_allowed(parse_robots(""), "x", "/a")
+        assert is_allowed([], "x", "/a")
+
+
+class TestSparkGate:
+    def test_gate_with_missing_hosts(self, spark):
+        urls = spark.createDataFrame(
+            [(1, "a.com", "/p/10"), (2, "a.com", "/q/1"),
+             (3, "norobots.net", "/p/10")],
+            "doc_id long, host string, path string")
+        robots = spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /p/\n")],
+            ["host", "robots_txt"])
+        out = {r.doc_id: r.allowed
+               for r in robots_gate(urls, robots).collect()}
+        assert out == {1: False, 2: True, 3: True}
