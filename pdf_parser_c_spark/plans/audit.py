@@ -119,6 +119,12 @@ def main() -> None:
         "text_char_entropy": "entropy census: 26 length-replace counts + ordered literal-array fold all map-side codegen (no Generate, no UDF); per-source census is the only exchange",
         "text_script_shares": "script census: per-class regexp_extract_all counts map-side; ONE census exchange",
         "events_cube": "CUBE: Expand feeds all four grouping sets into one exchange; grouping_id rides the agg keys",
+        "extraction_warc_roundtrip": "WARC ingestion: armor + container-parse/extract kernels back-to-back after the ONE doc_id exchange (two MapInPandas, same stage); archive bytes never shuffle",
+        "extraction_html_tables": "table extraction: armor + grid kernel fused in one stage after the doc_id exchange; only narrow typed cells leave MapInPandas",
+        "extraction_html_markdown": "html->markdown: armor MapInPandas + ArrowEvalPython conversion in ONE stage; only (id, md) shuffles to the presentation sort",
+        "filter_robots_gate": "robots gate: per-host robots side BROADCAST (BroadcastHashJoin), verdict UDF map-side; census agg is the only data exchange — the URL corpus never shuffles",
+        "audit_transcript_integrity": "transcript QA: all four window/agg signals (gaps, dups, role repeats, ts order) share ONE conv_id exchange",
+        "curation_pareto": "skyline: per-length buckets reduce map-side; frontier window runs on the TINY bucket frame; survivors broadcast back (BroadcastHashJoin) — corpus never globally sorts",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

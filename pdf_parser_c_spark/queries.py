@@ -10335,6 +10335,173 @@ FROM v GROUP BY host ORDER BY host
 """
 
 
+def q_audit_transcript_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-shape QA — the input-side audit a conversation corpus
+    needs before extraction: per conv_id, count missing turn slots
+    (turn_idx gaps), duplicated turn_idx rows, role-alternation repeats
+    between consecutive DISTINCT turns, and timestamp monotonicity.
+    The corpus is deterministically corrupted for the oracle: turns
+    whose md5(doc_id) digit 3 is 0 are DROPPED (creating gaps + role
+    repeats, since role cycles with doc_id % 3) and turns whose digit 4
+    is 1 are DUPLICATED; DuckDB reconstructs the same mutations and the
+    same window-function audit.
+    Scale: one hash shuffle on conv_id feeding all four window/agg
+    signals in a single pass; conversations are the natural partition
+    key so long-conv skew is bounded by the 10-turn conv cap here and
+    by salting in the production job (engine.salted_repartition)."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.col("doc_id").cast("string"))
+    dig3 = F.conv(F.substring(h, 3, 1), 16, 10).cast("int")
+    dig4 = F.conv(F.substring(h, 4, 1), 16, 10).cast("int")
+    base = d.filter(dig3 != 0)
+    dups = d.filter(dig4 == 1)
+    turns = base.unionAll(dups).select(
+        F.format_string("conv%06d", (F.col("doc_id") / 10).cast("int"))
+        .alias("conv_id"),
+        (F.col("doc_id") % 10).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("role"),
+        F.col("doc_id").cast("long").alias("ts_min"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts_min")
+    lagged = turns.select(
+        "conv_id", "turn_idx", "role", "ts_min",
+        F.lag("turn_idx").over(w).alias("p_turn"),
+        F.lag("role").over(w).alias("p_role"),
+        F.lag("ts_min").over(w).alias("p_ts"),
+    )
+    return (
+        lagged.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            (F.count("*") - F.countDistinct("turn_idx")).alias("n_dup_turns"),
+            F.sum(
+                F.when(F.col("p_turn").isNotNull(),
+                       F.greatest(F.col("turn_idx") - F.col("p_turn") - 1,
+                                  F.lit(0)))
+                .otherwise(0).cast("long")
+            ).alias("n_missing_slots"),
+            F.sum(
+                ((F.col("turn_idx") != F.col("p_turn"))
+                 & (F.col("role") == F.col("p_role"))).cast("long")
+            ).alias("n_role_repeats"),
+            F.min((F.col("p_ts").isNull()
+                   | (F.col("ts_min") >= F.col("p_ts"))).cast("int"))
+            .cast("boolean").alias("ts_monotonic"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+SQL_AUDIT_TRANSCRIPT_INTEGRITY = """
+WITH src AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) AS BIGINT)
+           AS dig3,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) AS BIGINT)
+           AS dig4
+  FROM documents),
+turns AS (
+  SELECT doc_id FROM src WHERE dig3 <> 0
+  UNION ALL
+  SELECT doc_id FROM src WHERE dig4 = 1),
+shaped AS (
+  SELECT printf('conv%06d', CAST(doc_id // 10 AS INTEGER)) AS conv_id,
+         CAST(doc_id % 10 AS INTEGER) AS turn_idx,
+         (['user', 'assistant', 'tool'])[CAST(doc_id % 3 AS INTEGER) + 1]
+           AS role,
+         CAST(doc_id AS BIGINT) AS ts_min
+  FROM turns),
+lagged AS (
+  SELECT conv_id, turn_idx, role, ts_min,
+         lag(turn_idx) OVER w AS p_turn,
+         lag(role) OVER w AS p_role,
+         lag(ts_min) OVER w AS p_ts
+  FROM shaped
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts_min))
+SELECT conv_id,
+       count(*) AS n_turns,
+       CAST(count(*) - count(DISTINCT turn_idx) AS BIGINT) AS n_dup_turns,
+       CAST(sum(CASE WHEN p_turn IS NULL THEN 0
+                     ELSE greatest(turn_idx - p_turn - 1, 0) END) AS BIGINT)
+         AS n_missing_slots,
+       CAST(sum(CASE WHEN turn_idx <> p_turn AND role = p_role
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_role_repeats,
+       CAST(min(CASE WHEN p_ts IS NULL OR ts_min >= p_ts THEN 1 ELSE 0 END)
+            AS BOOLEAN) AS ts_monotonic
+FROM lagged GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+def q_curation_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/skyline curation frontier: the documents no other
+    document dominates on (fewer-or-equal tokens, higher-or-equal
+    lexical diversity, strict somewhere) — the "best quality at every
+    length budget" set a curation pass keeps when it cannot scalarize
+    the quality/length trade-off.  Diversity is exact integer math
+    (10000·|distinct words| ÷ |words|, floor) so both engines agree.
+    Scale: the skyline is DISTRIBUTIVE — reduce to per-token-count
+    max-diversity buckets first (groupBy, map-side partial agg; at
+    most one row per distinct document length, ~10^4 at any corpus
+    size), run the frontier window over that TINY frame, then
+    broadcast-join survivors back to the corpus.  The corpus itself
+    never sorts globally; DuckDB's oracle is the independent
+    quadratic NOT EXISTS formulation."""
+    d = t(spark, sf_dir, "documents")
+    collapsed = F.trim(F.regexp_replace("text", r"\s+", " "))
+    ws = F.filter(F.split(collapsed, " "), lambda x: x != "")
+    scored = (
+        d.select(
+            "doc_id",
+            F.size(ws).alias("n_tokens"),
+            (F.size(F.array_distinct(ws)) * 10000 / F.size(ws))
+            .cast("long").alias("diversity"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    buckets = scored.groupBy("n_tokens").agg(
+        F.max("diversity").alias("qmax"))
+    w = Window.orderBy("n_tokens").rangeBetween(
+        Window.unboundedPreceding, -1)
+    frontier = (
+        buckets.withColumn("best_shorter", F.max("qmax").over(w))
+        .filter(F.col("best_shorter").isNull()
+                | (F.col("qmax") > F.col("best_shorter")))
+        .select(F.col("n_tokens").alias("f_tokens"),
+                F.col("qmax").alias("f_qmax"))
+    )
+    return (
+        scored.join(F.broadcast(frontier),
+                    (F.col("n_tokens") == F.col("f_tokens"))
+                    & (F.col("diversity") == F.col("f_qmax")))
+        .select("doc_id", "n_tokens", "diversity")
+        .orderBy("doc_id")
+    )
+
+
+SQL_CURATION_PARETO = r"""
+WITH scored AS (
+  SELECT doc_id, len(ws) AS n_tokens,
+         CAST(len(list_distinct(ws)) * 10000 // len(ws) AS BIGINT)
+           AS diversity
+  FROM (SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(text, '\s+', ' ',
+                                                            'g')), ' '),
+                           x -> x <> '') AS ws
+        FROM documents)
+  WHERE len(ws) > 0)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, diversity
+FROM scored a
+WHERE NOT EXISTS (
+  SELECT 1 FROM scored b
+  WHERE b.n_tokens <= a.n_tokens AND b.diversity >= a.diversity
+    AND (b.n_tokens < a.n_tokens OR b.diversity > a.diversity))
+ORDER BY doc_id
+"""
+
+
 def q_text_attribute_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused attribute tagging — the Dolma/RedPajama architecture:
     compute EVERY tagger in ONE scan (quality score, stopword
@@ -10923,4 +11090,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_extraction_html_markdown, SQL_EXTRACTION_HTML_MARKDOWN
     ),
     "filter_robots_gate": (q_filter_robots_gate, _sql_filter_robots()),
+    "audit_transcript_integrity": (
+        q_audit_transcript_integrity, SQL_AUDIT_TRANSCRIPT_INTEGRITY
+    ),
+    "curation_pareto": (q_curation_pareto, SQL_CURATION_PARETO),
 }
