@@ -10502,6 +10502,133 @@ ORDER BY doc_id
 """
 
 
+def q_transcripts_tool_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call chain analytics over the transcripts shape — the
+    ``tool`` column of the input_hint: per conversation, order the
+    tool-bearing turns and census the (tool → next_tool) transition
+    bigrams, with the literal 'END' marking chain ends.  Agent-behavior
+    mining (which tools follow which) is a first-class consumer of a
+    transcript corpus.  Tool names are synthesized deterministically
+    (md5 digit 5 of doc_id over 4 tools, only on role='tool' turns) so
+    DuckDB reconstructs the same chains.
+    Scale: ONE conv_id exchange drives the per-conversation window;
+    the bigram census is a partial-agg rollup over (tool, next_tool)
+    — both sides tiny cardinality (|tools|²)."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.col("doc_id").cast("string"))
+    tools = F.array(F.lit("search"), F.lit("code"),
+                    F.lit("browser"), F.lit("calc"))
+    turns = (
+        d.filter(F.col("doc_id") % 3 == 2)  # role='tool' turns only
+        .select(
+            F.format_string("conv%06d", (F.col("doc_id") / 10).cast("int"))
+            .alias("conv_id"),
+            (F.col("doc_id") % 10).cast("int").alias("turn_idx"),
+            F.element_at(
+                tools,
+                (F.conv(F.substring(h, 5, 1), 16, 10).cast("int") % 4) + 1,
+            ).alias("tool"),
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    chained = turns.select(
+        "tool",
+        F.coalesce(F.lead("tool").over(w), F.lit("END")).alias("next_tool"),
+    )
+    return (
+        chained.groupBy("tool", "next_tool")
+        .agg(F.count("*").alias("n"))
+        .orderBy("tool", "next_tool")
+    )
+
+
+SQL_TRANSCRIPTS_TOOL_CHAINS = """
+WITH turns AS (
+  SELECT printf('conv%06d', CAST(doc_id // 10 AS INTEGER)) AS conv_id,
+         CAST(doc_id % 10 AS INTEGER) AS turn_idx,
+         (['search', 'code', 'browser', 'calc'])[
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 1))
+                AS BIGINT) % 4 + 1] AS tool
+  FROM documents WHERE doc_id % 3 = 2),
+chained AS (
+  SELECT tool,
+         coalesce(lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                  'END') AS next_tool
+  FROM turns)
+SELECT tool, next_tool, count(*) AS n
+FROM chained GROUP BY tool, next_tool
+ORDER BY tool, next_tool
+"""
+
+
+def q_dedup_conv_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-TEMPLATE dedup — near-dup at the dialogue-structure
+    level, the transcripts analogue of document fingerprinting:
+    each conversation's signature is the ordered sequence of
+    (role initial, per-turn length bucket) parts; conversations with
+    identical signatures are scripted/templated duplicates (same
+    shape, different surface words — retry storms, form-filling bots).
+    Census per signature: conversation count and the canonical keeper
+    (min conv_id).  Length bucket = |words| // 80, coarse enough that
+    template reuse collides and prose variation doesn't.
+    Scale: the signature is ONE conv_id exchange (collect_list +
+    in-group sort of ≤10-turn structs — bounded by the conv cap, no
+    skew); the signature census is a second small exchange on the
+    16-byte hash.  No pairwise comparison anywhere."""
+    d = t(spark, sf_dir, "documents")
+    collapsed = F.trim(F.regexp_replace("text", r"\s+", " "))
+    ws = F.filter(F.split(collapsed, " "), lambda x: x != "")
+    roles = F.array(F.lit("u"), F.lit("a"), F.lit("t"))
+    turns = d.select(
+        F.format_string("conv%06d", (F.col("doc_id") / 10).cast("int"))
+        .alias("conv_id"),
+        (F.col("doc_id") % 10).cast("int").alias("turn_idx"),
+        F.concat(
+            F.element_at(roles, (F.col("doc_id") % 3).cast("int") + 1),
+            (F.size(ws) / 80).cast("int").cast("string"),
+        ).alias("part"),
+    )
+    sigs = (
+        turns.groupBy("conv_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("turn_idx", "part"))
+                        ),
+                        lambda s: s["part"],
+                    ),
+                    ",",
+                )
+            ).alias("sig")
+        )
+    )
+    return (
+        sigs.groupBy("sig")
+        .agg(F.count("*").alias("n_convs"),
+             F.min("conv_id").alias("canonical"))
+        .orderBy("sig")
+    )
+
+
+SQL_DEDUP_CONV_STRUCTURE = r"""
+WITH turns AS (
+  SELECT printf('conv%06d', CAST(doc_id // 10 AS INTEGER)) AS conv_id,
+         CAST(doc_id % 10 AS INTEGER) AS turn_idx,
+         (['u', 'a', 't'])[CAST(doc_id % 3 AS INTEGER) + 1] ||
+         CAST(CAST(len(list_filter(string_split(trim(regexp_replace(
+              text, '\s+', ' ', 'g')), ' '), x -> x <> '')) // 80 AS INTEGER)
+              AS VARCHAR) AS part
+  FROM documents),
+sigs AS (
+  SELECT conv_id, md5(string_agg(part, ',' ORDER BY turn_idx)) AS sig
+  FROM turns GROUP BY conv_id)
+SELECT sig, count(*) AS n_convs, min(conv_id) AS canonical
+FROM sigs GROUP BY sig ORDER BY sig
+"""
+
+
 def q_text_attribute_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused attribute tagging — the Dolma/RedPajama architecture:
     compute EVERY tagger in ONE scan (quality score, stopword
@@ -11094,4 +11221,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_audit_transcript_integrity, SQL_AUDIT_TRANSCRIPT_INTEGRITY
     ),
     "curation_pareto": (q_curation_pareto, SQL_CURATION_PARETO),
+    "transcripts_tool_chains": (
+        q_transcripts_tool_chains, SQL_TRANSCRIPTS_TOOL_CHAINS
+    ),
+    "dedup_conv_structure": (
+        q_dedup_conv_structure, SQL_DEDUP_CONV_STRUCTURE
+    ),
 }
