@@ -10629,6 +10629,60 @@ FROM sigs GROUP BY sig ORDER BY sig
 """
 
 
+def q_events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    (series, time bucket) keep exactly min, max, first, last — the
+    four values that make a width-bounded line rendering pixel-exact,
+    and the standard lossy reduction before shipping telemetry to a
+    dashboard or anomaly model.  First/last are made deterministic
+    under (user, ts) timestamp ties by breaking on event_id — the
+    adversarial substrate exercises exact duplicate timestamps.
+    Scale: ONE (user, day) exchange; both asc/desc row_numbers and the
+    min/max aggregation share it.  Per-bucket output is O(4) rows
+    regardless of input density — the reduction ratio grows with
+    corpus size."""
+    e = t(spark, sf_dir, "events")
+    bucketed = e.select(
+        "user_id", F.to_date("ts").alias("day"),
+        "ts", "event_id", "value",
+    )
+    w_asc = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    ranked = bucketed.select(
+        "user_id", "day", "value",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+    )
+    return (
+        ranked.groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("vfirst"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("vlast"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+SQL_EVENTS_M4_DOWNSAMPLE = """
+WITH ranked AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT user_id, day, count(*) AS n,
+       min(value) AS vmin, max(value) AS vmax,
+       max(CASE WHEN rn_a = 1 THEN value END) AS vfirst,
+       max(CASE WHEN rn_d = 1 THEN value END) AS vlast
+FROM ranked GROUP BY user_id, day ORDER BY user_id, day
+"""
+
+
 def q_text_attribute_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused attribute tagging — the Dolma/RedPajama architecture:
     compute EVERY tagger in ONE scan (quality score, stopword
@@ -11226,5 +11280,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "dedup_conv_structure": (
         q_dedup_conv_structure, SQL_DEDUP_CONV_STRUCTURE
+    ),
+    "events_m4_downsample": (
+        q_events_m4_downsample, SQL_EVENTS_M4_DOWNSAMPLE
     ),
 }
