@@ -1,0 +1,192 @@
+"""Pure-Python BMP codec for the multimodal fixture path.
+
+Windows bitmaps are the simplest real-world raster container and still
+common in scraped corpora (screenshots, legacy tooling exports).  This
+decoder covers the formats that actually occur: BITMAPINFOHEADER (and
+the larger V4/V5 headers, which only append fields), 8-bit paletted
+(including grayscale palettes, emitted as one channel), 24-bit BGR,
+32-bit BGRx, bottom-up AND top-down (negative height) row order,
+4-byte row padding, and BI_RLE8 run-length compression (encoded runs,
+absolute mode with word padding, end-of-line / end-of-bitmap / delta
+escapes).  Anything else raises :class:`BMPError` so the multimodal
+kernels fall back to the labeled stub — same contract as the PNG/JPEG/
+GIF/TIFF codecs beside it.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+class BMPError(ValueError):
+    pass
+
+
+def encode_bmp(width: int, height: int, pixels: bytes, channels: int = 1,
+               top_down: bool = False, rle8: bool = False) -> bytes:
+    """8-bit grayscale (channels=1, gray palette, optionally RLE8) or
+    24-bit RGB (channels=3, stored BGR bottom-up unless top_down)."""
+    if len(pixels) != width * height * channels:
+        raise BMPError("pixel buffer does not match dimensions")
+    if channels == 1:
+        palette = b"".join(bytes((v, v, v, 0)) for v in range(256))
+        if rle8:
+            body = _rle8_encode(width, height, pixels, top_down)
+            compression = 1
+        else:
+            stride = (width + 3) & ~3
+            rows = [pixels[y * width:(y + 1) * width].ljust(stride, b"\x00")
+                    for y in range(height)]
+            body = b"".join(rows if top_down else rows[::-1])
+            compression = 0
+        bpp = 8
+    elif channels == 3:
+        if rle8:
+            raise BMPError("RLE8 is 8-bit only")
+        palette = b""
+        stride = (width * 3 + 3) & ~3
+        rows = []
+        for y in range(height):
+            row = bytearray()
+            for x in range(width):
+                r, g, b = pixels[(y * width + x) * 3:(y * width + x) * 3 + 3]
+                row += bytes((b, g, r))
+            rows.append(bytes(row).ljust(stride, b"\x00"))
+        body = b"".join(rows if top_down else rows[::-1])
+        compression, bpp = 0, 24
+    else:
+        raise BMPError(f"unsupported channel count {channels}")
+    offset = 14 + 40 + len(palette)
+    info = struct.pack("<IiiHHIIiiII", 40, width,
+                       -height if top_down else height, 1, bpp, compression,
+                       len(body), 2835, 2835, len(palette) // 4, 0)
+    header = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    return header + info + palette + body
+
+
+def _rle8_encode(width: int, height: int, pixels: bytes,
+                 top_down: bool) -> bytes:
+    out = bytearray()
+    ys = range(height) if top_down else range(height - 1, -1, -1)
+    for y in ys:
+        row = pixels[y * width:(y + 1) * width]
+        x = 0
+        while x < len(row):
+            v = row[x]
+            run = 1
+            while x + run < len(row) and row[x + run] == v and run < 255:
+                run += 1
+            out += bytes((run, v))
+            x += run
+        out += b"\x00\x00"  # end of line
+    out[-2:] = b"\x00\x01"  # last EOL becomes end of bitmap
+    return bytes(out)
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
+    """→ (width, height, channels, pixel bytes top-down row-major).
+    Raises ONLY :class:`BMPError` on malformed/unsupported input."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise BMPError("not a BMP")
+    try:
+        offset = struct.unpack_from("<I", data, 10)[0]
+        hdr_size = struct.unpack_from("<I", data, 14)[0]
+        if hdr_size < 40:
+            raise BMPError(f"unsupported header size {hdr_size}")  # OS/2 v1
+        width, height = struct.unpack_from("<ii", data, 18)
+        planes, bpp = struct.unpack_from("<HH", data, 26)
+        compression, _img_size = struct.unpack_from("<II", data, 30)
+        n_colors = struct.unpack_from("<I", data, 46)[0]
+    except struct.error as exc:
+        raise BMPError(f"truncated header: {exc}") from exc
+    top_down = height < 0
+    height = abs(height)
+    if planes != 1:
+        raise BMPError(f"bad plane count {planes}")
+    if width <= 0 or height == 0 or width * height > 64 << 20:
+        raise BMPError(f"bad dimensions {width}x{height}")
+    if bpp == 8:
+        n_colors = n_colors or 256
+        pal_at = 14 + hdr_size
+        palette = data[pal_at: pal_at + 4 * n_colors]
+        if len(palette) < 4 * n_colors:
+            raise BMPError("truncated palette")
+        if compression == 1:
+            rows = _rle8_decode(data[offset:], width, height)
+        elif compression == 0:
+            stride = (width + 3) & ~3
+            if offset + stride * height > len(data):
+                raise BMPError("truncated pixel data")
+            rows = [data[offset + y * stride: offset + y * stride + width]
+                    for y in range(height)]
+        else:
+            raise BMPError(f"unsupported 8-bit compression {compression}")
+        if not top_down:
+            rows = rows[::-1]
+        gray = all(palette[4 * i] == palette[4 * i + 1] == palette[4 * i + 2]
+                   for i in range(n_colors))
+        if gray:
+            lut = bytes(palette[4 * i] for i in range(n_colors))
+            try:
+                px = b"".join(row.translate(
+                    lut.ljust(256, b"\x00")) for row in rows)
+            except IndexError as exc:  # pragma: no cover
+                raise BMPError("palette index out of range") from exc
+            return width, height, 1, px
+        out = bytearray()
+        for row in rows:
+            for idx in row:
+                if idx >= n_colors:
+                    raise BMPError("palette index out of range")
+                out += bytes((palette[4 * idx + 2], palette[4 * idx + 1],
+                              palette[4 * idx]))
+        return width, height, 3, bytes(out)
+    if bpp in (24, 32):
+        if compression != 0:
+            raise BMPError(f"unsupported {bpp}-bit compression {compression}")
+        nch = bpp // 8
+        stride = (width * nch + 3) & ~3
+        if offset + stride * height > len(data):
+            raise BMPError("truncated pixel data")
+        out = bytearray()
+        ys = range(height) if top_down else range(height - 1, -1, -1)
+        for y in ys:
+            base = offset + y * stride
+            for x in range(width):
+                b, g, r = data[base + x * nch: base + x * nch + 3]
+                out += bytes((r, g, b))
+        return width, height, 3, bytes(out)
+    raise BMPError(f"unsupported bit depth {bpp}")
+
+
+def _rle8_decode(body: bytes, width: int, height: int) -> list[bytes]:
+    """BI_RLE8 → bottom-up row list (caller flips for top-down)."""
+    rows = [bytearray(width) for _ in range(height)]
+    x = y = pos = 0
+    while pos + 1 < len(body):
+        n, v = body[pos], body[pos + 1]
+        pos += 2
+        if n > 0:  # encoded run
+            if y >= height or x + n > width:
+                raise BMPError("RLE run overflows row")
+            rows[y][x: x + n] = bytes((v,)) * n
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return [bytes(r) for r in rows]
+        elif v == 2:  # delta
+            if pos + 1 >= len(body):
+                raise BMPError("truncated RLE delta")
+            x += body[pos]
+            y += body[pos + 1]
+            pos += 2
+            if x > width or y > height:
+                raise BMPError("RLE delta out of range")
+        else:  # absolute mode: v literal bytes, word-aligned
+            if y >= height or x + v > width or pos + v > len(body):
+                raise BMPError("RLE absolute overflows")
+            rows[y][x: x + v] = body[pos: pos + v]
+            x += v
+            pos += v + (v & 1)
+    raise BMPError("missing RLE end-of-bitmap")

@@ -108,6 +108,7 @@ def image_features(df: DataFrame) -> DataFrame:
     labeled stub (or PIL when a future environment provides it)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .bmp_codec import BMPError, decode_bmp
         from .gif_codec import GIFError, decode_gif
         from .jpeg_codec import JPEGError, decode_jpeg
         from .png_codec import PNGError, decode_png
@@ -132,7 +133,10 @@ def image_features(df: DataFrame) -> DataFrame:
                             try:
                                 decoded = (*decode_tiff(payload), "tiff")
                             except TIFFError:
-                                pass
+                                try:
+                                    decoded = (*decode_bmp(payload), "bmp")
+                                except BMPError:
+                                    pass
                 if decoded is not None:
                     w, h, ch, px, dec = decoded
                     luma = _luma_plane(w, h, ch, px)
@@ -194,6 +198,7 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from .bmp_codec import BMPError, decode_bmp
         from .gif_codec import GIFError, decode_gif
         from .jpeg_codec import JPEGError, decode_jpeg, encode_jpeg
         from .png_codec import PNGError, decode_png, encode_png
@@ -217,7 +222,10 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                             try:
                                 decoded = (*decode_tiff(payload), encode_png)
                             except TIFFError:
-                                pass
+                                try:
+                                    decoded = (*decode_bmp(payload), encode_png)
+                                except BMPError:
+                                    pass
                 if decoded is not None:
                     w0, h0, ch, px, encode = decoded
                     arr = np.frombuffer(px, dtype=np.uint8).reshape(h0, w0, ch)

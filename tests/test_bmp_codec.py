@@ -1,0 +1,109 @@
+"""BMP codec: roundtrips (palette/24-bit, orientation, RLE8), hostility,
+and the multimodal decode-chain integration."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from pdf_parser_c_spark.operators.bmp_codec import (
+    BMPError,
+    decode_bmp,
+    encode_bmp,
+)
+
+GRAY = bytes(range(0, 250, 10)) * 4  # 10x10
+RGB = bytes((i * 7) % 256 for i in range(7 * 3 * 3))  # 7x3 (odd stride)
+
+
+class TestRoundtrip:
+    @pytest.mark.parametrize("top_down,rle", list(itertools.product(
+        (False, True), (False, True))))
+    def test_gray(self, top_down, rle):
+        data = encode_bmp(10, 10, GRAY, 1, top_down=top_down, rle8=rle)
+        assert decode_bmp(data) == (10, 10, 1, GRAY)
+
+    @pytest.mark.parametrize("top_down", (False, True))
+    def test_rgb_odd_stride(self, top_down):
+        data = encode_bmp(7, 3, RGB, 3, top_down=top_down)
+        assert decode_bmp(data) == (7, 3, 3, RGB)
+
+    def test_color_palette_expands_to_rgb(self):
+        # non-gray palette: entries must expand BGR->RGB
+        data = bytearray(encode_bmp(4, 1, bytes((0, 1, 2, 3)), 1))
+        pal_at = 14 + 40
+        data[pal_at:pal_at + 16] = bytes(
+            (10, 20, 30, 0, 40, 50, 60, 0, 70, 80, 90, 0, 100, 110, 120, 0))
+        w, h, ch, px = decode_bmp(bytes(data))
+        assert (w, h, ch) == (4, 1, 3)
+        assert px == bytes((30, 20, 10, 60, 50, 40, 90, 80, 70, 120, 110, 100))
+
+    def test_32bit_bgrx(self):
+        import struct
+        # hand-build a 2x1 32-bit BMP: pixels BGRx
+        body = bytes((5, 10, 15, 0, 25, 30, 35, 0))
+        info = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 32, 0,
+                           len(body), 0, 0, 0, 0)
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        w, h, ch, px = decode_bmp(hdr + info + body)
+        assert (w, h, ch) == (2, 1, 3)
+        assert px == bytes((15, 10, 5, 35, 30, 25))
+
+
+class TestHostility:
+    def test_rejects_garbage(self):
+        for bad in (b"", b"BM", b"BM" + b"\x00" * 60,
+                    encode_bmp(10, 10, GRAY, 1)[:-5],
+                    encode_bmp(10, 10, GRAY, 1, rle8=True)[:-3]):
+            with pytest.raises(BMPError):
+                decode_bmp(bad)
+
+    def test_bitflips_raise_only_bmperror(self):
+        for rle in (False, True):
+            base = bytearray(encode_bmp(10, 10, GRAY, 1, rle8=rle))
+            for i in range(0, len(base), 5):
+                mutated = bytearray(base)
+                mutated[i] ^= 0xFF
+                try:
+                    decode_bmp(bytes(mutated))
+                except BMPError:
+                    pass
+
+    def test_dimension_bomb(self):
+        data = bytearray(encode_bmp(4, 4, bytes(16), 1))
+        import struct
+        struct.pack_into("<ii", data, 18, 1 << 16, 1 << 16)
+        with pytest.raises(BMPError):
+            decode_bmp(bytes(data))
+
+    def test_encode_guards(self):
+        with pytest.raises(BMPError):
+            encode_bmp(4, 4, bytes(3), 1)
+        with pytest.raises(BMPError):
+            encode_bmp(2, 2, bytes(8), 2)
+        with pytest.raises(BMPError):
+            encode_bmp(2, 2, bytes(12), 3, rle8=True)
+
+
+class TestChainIntegration:
+    def test_image_features_decodes_bmp(self, spark):
+        import pandas as pd
+
+        from pdf_parser_c_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            image_features,
+        )
+
+        payload = encode_bmp(10, 10, GRAY, 1, rle8=True)
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "conv_id": ["c1"], "turn_idx": [0], "media_type": ["image"],
+                "payload": [payload],
+                "meta": [{"width": 10, "height": 10, "codec": "bmp",
+                          "duration_ms": None}],
+            }), schema=MEDIA_SCHEMA)
+        row = image_features(df).collect()[0]
+        assert row.decoder == "bmp"
+        assert (row.width, row.height) == (10, 10)
+        assert abs(row.mean_luma - sum(GRAY) / len(GRAY)) < 0.01
