@@ -283,6 +283,62 @@ def build_rich_pages_from_documents(
     return d.mapInPandas(kernel, schema="doc_id long, text string")
 
 
+LINK_HOSTS = (
+    "en.wikipedia.org", "docs.python.org", "github.com", "arxiv.org",
+    "spam-mill.biz", "tracker.adnet.xyz", "casino-wins.top",
+    "news.example.com",
+)
+
+
+def doc_to_linked_html_payload(doc_id: int, text: str) -> str:
+    """HTML armor for link extraction: 1 + d7%3 outlinks whose target
+    host, anchor word, and rel=nofollow flag derive from md5(doc_id)
+    hex digits (1-based positions, mirrored in the SQL oracle:
+    link j ∈ 1..L targets LINK_HOSTS[d(7+j) % 8] at path
+    /from/{doc_id}, anchor = words[j] (or 'link'), nofollow when
+    d(10+j) is even).  A <script> containing a decoy <a> pins the
+    dropped-subtree rule."""
+    import hashlib
+
+    hx = hashlib.md5(str(doc_id).encode()).hexdigest()
+
+    def d(p: int) -> int:
+        return int(hx[p - 1], 16)
+
+    words = text.split()
+    n_links = 1 + d(7) % 3
+    parts = ["<html><head><script>var a='<a href=\"http://evil/\">x</a>';"
+             "</script></head><body><nav>"]
+    for j in range(1, n_links + 1):
+        host = LINK_HOSTS[d(7 + j) % len(LINK_HOSTS)]
+        anchor = words[j - 1] if len(words) >= j else "link"
+        rel = ' rel="nofollow"' if d(10 + j) % 2 == 0 else ""
+        parts.append(
+            f'<a href="https://{host}/from/{doc_id}"{rel}> {anchor} </a>')
+    parts.append(f"</nav><p>{' '.join(words[:12])}</p></body></html>")
+    return "".join(parts)
+
+
+def build_linked_pages_from_documents(
+    spark: SparkSession, docs: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """documents → (doc_id, text=outlink-bearing HTML page)."""
+    d = docs.select("doc_id", "text")
+    if num_partitions is not None:
+        d = d.repartition(num_partitions, "doc_id")
+
+    def kernel(batches):
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "text": [doc_to_linked_html_payload(int(i), str(t))
+                         for i, t in zip(ids, b["text"])],
+            })
+
+    return d.mapInPandas(kernel, schema="doc_id long, text string")
+
+
 def doc_to_warc_payload(doc_id: int, text: str) -> str:
     """WARC armor: the document's HTML page wrapped in a 3-record
     web archive (warcinfo + request + response), the Common Crawl

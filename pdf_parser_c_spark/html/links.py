@@ -1,0 +1,129 @@
+"""Hyperlink extraction: ``<a>`` tags → (href, anchor text, nofollow).
+
+The web graph and its anchor texts are first-class training-data
+signals: host-to-host edges feed PageRank-style quality priors
+(``operators/graph.py``), and anchor text is a cheap relevance label
+for the target page.  This extractor walks the same tag scanner as the
+boilerplate stripper and emits one row per link with the anchor's
+tag-stripped, entity-unescaped, whitespace-collapsed text and the
+``rel`` nofollow flag (the signal crawl policies and link-spam
+filters key on).
+
+Skips links inside dropped subtrees (script/style/template/head —
+javascript string soup is not a link) and tolerates unclosed tags.
+Spark path: :func:`html_links` — one mapInPandas kernel, narrow typed
+rows out.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .boilerplate import _RAWTEXT_TAGS, _TAG_RE, _WS_RE
+
+_DROP = {"script", "style", "template", "head", "noscript", "svg"}
+_ATTR_RE = re.compile(
+    r"""([\w-]+)\s*=\s*("([^"]*)"|'([^']*)'|([^\s"'>]+))""")
+
+
+def _attrs(raw: str) -> dict[str, str]:
+    out = {}
+    for m in _ATTR_RE.finditer(raw):
+        out[m.group(1).lower()] = _html.unescape(
+            m.group(3) if m.group(3) is not None
+            else m.group(4) if m.group(4) is not None
+            else m.group(5) or "")
+    return out
+
+
+def extract_links(raw: str) -> list[dict]:
+    """→ [{href, anchor, nofollow}] in document order."""
+    links: list[dict] = []
+    cur: dict | None = None
+    buf: list[str] = []
+    drop_depth = 0
+    pos = 0
+    while True:
+        m = _TAG_RE.search(raw, pos)
+        if m is None:
+            break
+        if cur is not None and drop_depth == 0:
+            buf.append(raw[pos: m.start()])
+        pos = m.end()
+        closing, tag, attrs = m.group(1) == "/", m.group(2).lower(), m.group(3)
+        if not closing and tag in _RAWTEXT_TAGS:
+            close = re.search(rf"</{tag}\s*>", raw[pos:], re.I)
+            pos = pos + close.end() if close else len(raw)
+            continue
+        self_closing = attrs.rstrip().endswith("/") or tag in (
+            "br", "hr", "img", "meta", "link", "input")
+        if tag in _DROP:
+            drop_depth = max(0, drop_depth - 1) if closing else (
+                drop_depth if self_closing else drop_depth + 1)
+            continue
+        if drop_depth > 0:
+            continue
+        if tag == "a":
+            if closing:
+                if cur is not None:
+                    cur["anchor"] = _WS_RE.sub(
+                        " ", _html.unescape("".join(buf))).strip()
+                    links.append(cur)
+                    cur, buf = None, []
+            else:
+                if cur is not None:  # implicit close of an unclosed <a>
+                    cur["anchor"] = _WS_RE.sub(
+                        " ", _html.unescape("".join(buf))).strip()
+                    links.append(cur)
+                    buf = []
+                a = _attrs(attrs)
+                cur = {
+                    "href": a.get("href", ""),
+                    "nofollow": "nofollow" in a.get("rel", "").lower().split(),
+                }
+    if cur is not None:  # EOF with an open link: keep its trailing text
+        if drop_depth == 0:
+            buf.append(raw[pos:])
+        cur["anchor"] = _WS_RE.sub(" ", _html.unescape("".join(buf))).strip()
+        links.append(cur)
+    return links
+
+
+LINKS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("link_idx", T.IntegerType()),
+    T.StructField("href", T.StringType()),
+    T.StructField("anchor", T.StringType()),
+    T.StructField("nofollow", T.BooleanType()),
+])
+
+
+def html_links(df: DataFrame, id_col: str = "doc_id",
+               payload_col: str = "text") -> DataFrame:
+    """(id, html) → one row per hyperlink in document order."""
+    src = df.select(id_col, payload_col)
+
+    def kernel(batches):
+        for b in batches:
+            rows = {k.name: [] for k in LINKS_SCHEMA.fields}
+            for did, payload in zip(b[id_col].astype("int64"), b[payload_col]):
+                for i, lk in enumerate(extract_links(str(payload or ""))):
+                    rows["doc_id"].append(int(did))
+                    rows["link_idx"].append(i)
+                    rows["href"].append(lk["href"])
+                    rows["anchor"].append(lk["anchor"])
+                    rows["nofollow"].append(lk["nofollow"])
+            yield pd.DataFrame({
+                "doc_id": pd.array(rows["doc_id"], dtype="int64"),
+                "link_idx": pd.array(rows["link_idx"], dtype="int32"),
+                "href": pd.array(rows["href"], dtype="object"),
+                "anchor": pd.array(rows["anchor"], dtype="object"),
+                "nofollow": pd.array(rows["nofollow"], dtype="boolean"),
+            })
+
+    return src.mapInPandas(kernel, schema=LINKS_SCHEMA)

@@ -10683,6 +10683,58 @@ FROM ranked GROUP BY user_id, day ORDER BY user_id, day
 """
 
 
+def q_extraction_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink extraction — the web-graph builder: every sampled
+    document becomes a page whose outlinks (target host, anchor word,
+    rel=nofollow) derive from md5(doc_id) digits
+    (flagship.doc_to_linked_html_payload), and the html_links kernel
+    (html/links.py — tag-scanner based, dropped-subtree aware: a decoy
+    <a> inside <script> must NOT surface) must reproduce every
+    (link_idx, href, anchor, nofollow) row DuckDB reconstructs from
+    the digits.  Anchor text labels the TARGET page; the (src, dst)
+    edges are the PageRank input (graph_pagerank).
+    Scale: armor + extract fused in one mapInPandas stage after the
+    doc_id exchange; only narrow link rows leave the kernel."""
+    from .flagship import build_linked_pages_from_documents
+    from .html.links import html_links
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    pages = build_linked_pages_from_documents(spark, docs, num_partitions=16)
+    return (
+        html_links(pages)
+        .orderBy("doc_id", "link_idx")
+    )
+
+
+def _sql_extraction_html_links() -> str:
+    from .flagship import LINK_HOSTS
+
+    hosts = ", ".join(f"'{h}'" for h in LINK_HOSTS)
+    return r"""
+WITH w AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 5 = 0),
+links AS (
+  SELECT doc_id, ws, hx, CAST(k AS INTEGER) AS link_idx, k + 1 AS j
+  FROM (SELECT doc_id, ws, hx,
+               unnest(range(1 + CAST(('0x' || substr(hx, 7, 1)) AS BIGINT)
+                            % 3)) AS k
+        FROM w))
+SELECT doc_id, link_idx,
+       'https://' ||
+       ([{{hosts}}])[CAST(('0x' || substr(hx, CAST(7 + j AS INTEGER), 1))
+                      AS BIGINT) % {{n}} + 1] ||
+       '/from/' || CAST(doc_id AS VARCHAR) AS href,
+       CASE WHEN len(ws) >= j THEN ws[CAST(j AS INTEGER)]
+            ELSE 'link' END AS anchor,
+       CAST(('0x' || substr(hx, CAST(10 + j AS INTEGER), 1)) AS BIGINT) % 2 = 0
+         AS nofollow
+FROM links ORDER BY doc_id, link_idx
+""".replace("{{hosts}}", hosts).replace("{{n}}", str(len(LINK_HOSTS)))
+
+
 def q_text_attribute_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused attribute tagging — the Dolma/RedPajama architecture:
     compute EVERY tagger in ONE scan (quality score, stopword
@@ -11283,5 +11335,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "events_m4_downsample": (
         q_events_m4_downsample, SQL_EVENTS_M4_DOWNSAMPLE
+    ),
+    "extraction_html_links": (
+        q_extraction_html_links, _sql_extraction_html_links()
     ),
 }

@@ -1,0 +1,67 @@
+"""Hyperlink extraction: attrs, nofollow, dropped subtrees, hostility."""
+
+from __future__ import annotations
+
+from pdf_parser_c_spark.flagship import (
+    build_linked_pages_from_documents,
+    doc_to_linked_html_payload,
+)
+from pdf_parser_c_spark.html.links import extract_links, html_links
+
+
+class TestExtract:
+    def test_basic_order_and_anchor_cleanup(self):
+        links = extract_links(
+            '<p><a href="http://a/1"> one  <b>bold</b> </a>'
+            "<a href='http://a/2'>two &amp; half</a></p>")
+        assert [(l["href"], l["anchor"]) for l in links] == [
+            ("http://a/1", "one bold"), ("http://a/2", "two & half")]
+
+    def test_nofollow_variants(self):
+        links = extract_links(
+            '<a href="/x" rel="nofollow">a</a>'
+            '<a href="/y" rel="NOFOLLOW noopener">b</a>'
+            '<a href="/z" rel="noopener">c</a>'
+            '<a href="/w">d</a>')
+        assert [l["nofollow"] for l in links] == [True, True, False, False]
+
+    def test_script_decoy_skipped(self):
+        links = extract_links(
+            "<script>var a='<a href=\"http://evil/\">x</a>';</script>"
+            '<a href="/real">r</a>')
+        assert [l["href"] for l in links] == ["/real"]
+
+    def test_missing_href_and_entities(self):
+        links = extract_links('<a rel=nofollow>bare</a><a href="/q?x=1&amp;y=2">e</a>')
+        assert links[0]["href"] == "" and links[0]["nofollow"]
+        assert links[1]["href"] == "/q?x=1&y=2"
+
+    def test_unclosed_links_never_lost(self):
+        links = extract_links('<a href="/1">first <a href="/2">second')
+        assert [(l["href"], l["anchor"]) for l in links] == [
+            ("/1", "first"), ("/2", "second")]
+
+    def test_hostile_never_raises(self):
+        for raw in ("", "<a", "</a></a>", "<a href=>x", "<a href='>"):
+            extract_links(raw)
+
+
+class TestArmorAndSpark:
+    def test_armor_deterministic(self):
+        import hashlib
+
+        text = "alpha beta gamma delta"
+        links = extract_links(doc_to_linked_html_payload(5, text))
+        hx = hashlib.md5(b"5").hexdigest()
+        assert len(links) == 1 + int(hx[6], 16) % 3
+        assert links[0]["anchor"] == "alpha"
+        assert links[0]["href"].endswith("/from/5")
+
+    def test_spark_rows(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "a b c"), (5, "d e f")], "doc_id long, text string")
+        pages = build_linked_pages_from_documents(spark, docs)
+        rows = html_links(pages).orderBy("doc_id", "link_idx").collect()
+        assert rows[0].doc_id == 0 and rows[0].link_idx == 0
+        assert all(r.href.startswith("https://") for r in rows)
+        assert {type(r.nofollow) for r in rows} == {bool}
