@@ -125,6 +125,10 @@ def main() -> None:
         "filter_robots_gate": "robots gate: per-host robots side BROADCAST (BroadcastHashJoin), verdict UDF map-side; census agg is the only data exchange — the URL corpus never shuffles",
         "audit_transcript_integrity": "transcript QA: all four window/agg signals (gaps, dups, role repeats, ts order) share ONE conv_id exchange",
         "curation_pareto": "skyline: per-length buckets reduce map-side; frontier window runs on the TINY bucket frame; survivors broadcast back (BroadcastHashJoin) — corpus never globally sorts",
+        "transcripts_tool_chains": "tool bigrams: ONE conv_id exchange for the lead() window; census is a partial-agg rollup over |tools|² keys",
+        "dedup_conv_structure": "conv-template dedup: signature is one conv_id exchange (collect_list of ≤10-turn structs); census is a second tiny exchange on the 16-byte hash; no pairwise join",
+        "events_m4_downsample": "M4: both row_number directions and min/max/first/last share ONE (user, day) exchange",
+        "extraction_html_links": "link extraction: armor + scanner kernels fused after the doc_id exchange; only narrow (href, anchor, flag) rows leave MapInPandas",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]
