@@ -1007,6 +1007,115 @@ JOIN sizes sb ON cand.db = sb.doc_id
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection — shingle containment
+    |A∩B| / |A| ≥ 0.5 — the signal Jaccard misses: a short document
+    quoted/embedded inside a longer one scores low Jaccard (the union
+    is large) but high containment.  Census over the same DF-capped
+    candidate space as dedup_ngram_jaccard: forward (A in B), backward
+    (B in A), and mutual containments — mutual ≈ symmetric dup,
+    one-directional = inclusion/expansion, the pairs a corpus keeps
+    ONE of.
+    The corpus is augmented with derived SNIPPET docs (doc_id + 10^6,
+    first 27 words of every 7th document) so one-directional inclusion
+    demonstrably fires — the substrate's native near-dups are symmetric
+    clones; DuckDB mirrors the augmentation.
+    Scale: identical bounded shape to the Jaccard query (DF-capped
+    inverted index, ≤ df² pairs per key); only the scoring
+    denominators differ."""
+    base = t(spark, sf_dir, "documents").select("doc_id", "text")
+    snippets = (
+        base.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.array_join(F.slice(F.split("text", " "), 1, 27), " ")
+            .alias("text"),
+        )
+    )
+    docs = (
+        base.unionAll(snippets)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.expr("size(ws) >= 4"))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(1, size(ws) - 3),"
+                " i -> array_join(slice(ws, i, 4), ' ')))"
+            ).alias("sstr"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"transform(sstr, x -> {SHINGLE_HASH_SPARK})")
+            .alias("shingles"),
+        )
+        .persist()
+    )
+    sizes = docs.select("doc_id", F.expr("size(shingles)").alias("n"))
+    sh = docs.select("doc_id", F.explode("shingles").alias("s"))
+    rare = (
+        sh.groupBy("s").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("s")
+    )
+    sh = sh.join(rare, "s")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    joined = (
+        cand.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .withColumn("fwd", F.col("common") / F.col("sa.n") >= 0.5)
+        .withColumn("bwd", F.col("common") / F.col("sb.n") >= 0.5)
+    )
+    return joined.agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.sum(F.col("fwd").cast("long")).alias("n_forward"),
+        F.sum(F.col("bwd").cast("long")).alias("n_backward"),
+        F.sum((F.col("fwd") & F.col("bwd")).cast("long")).alias("n_mutual"),
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string((string_split(text, ' '))[1:27], ' ')
+  FROM documents WHERE doc_id % 7 = 0),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+sstr AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 3),
+                                     i -> array_to_string(ws[i:i+3], ' '))) AS s
+        FROM w WHERE len(ws) >= 4),
+sh AS (SELECT doc_id, {SHINGLE_HASH_DUCK} AS s FROM sstr),
+sizes AS (SELECT doc_id, count(*) AS n FROM sstr GROUP BY doc_id),
+rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
+         WHERE df <= {MAX_SHINGLE_DF}),
+shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+cand AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+         FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT count(*) AS n_candidate_pairs,
+       CAST(sum(CASE WHEN common * 1.0 / sa.n >= 0.5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_forward,
+       CAST(sum(CASE WHEN common * 1.0 / sb.n >= 0.5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_backward,
+       CAST(sum(CASE WHEN common * 1.0 / sa.n >= 0.5
+                      AND common * 1.0 / sb.n >= 0.5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mutual
+FROM cand
+JOIN sizes sa ON cand.da = sa.doc_id
+JOIN sizes sb ON cand.db = sb.doc_id
+"""
+
+
 N_MINHASH = 8
 
 
@@ -10735,6 +10844,60 @@ FROM links ORDER BY doc_id, link_idx
 """.replace("{{hosts}}", hosts).replace("{{n}}", str(len(LINK_HOSTS)))
 
 
+def q_audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over event values — the
+    classic fabricated-data / instrumentation-bug screen: organic
+    multi-scale positive measurements follow P(d) = log10(1 + 1/d);
+    a synthetic or truncated feed shows up as a flat or spiked digit
+    histogram.  Implementation is INTEGER-exact cross-engine: values
+    are scaled to cents (round(v·100)), the first digit read off the
+    decimal string, shares expressed in ppm by integer division, and
+    the expected Benford ppm attached as literal constants — no
+    float log10 anywhere near the hash.
+    Scale: one map-side digit extraction + a 9-key census exchange."""
+    e = t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    digit = F.substring(
+        F.round(F.col("value") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    expected = F.array(*[F.lit(v) for v in
+                         (301030, 176091, 124939, 96910, 79181,
+                          66947, 57992, 51153, 45757)])
+    counted = (
+        e.select(digit.alias("digit"))
+        .groupBy("digit").agg(F.count("*").alias("n"))
+    )
+    total = counted.agg(F.sum("n").alias("tot"))
+    return (
+        counted.join(F.broadcast(total))
+        .select(
+            "digit", "n",
+            (F.col("n") * 1000000 / F.col("tot")).cast("long").alias("ppm"),
+            F.element_at(expected, F.col("digit")).alias("benford_ppm"),
+            ((F.col("n") * 1000000 / F.col("tot")).cast("long")
+             - F.element_at(expected, F.col("digit"))).alias("delta_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+SQL_AUDIT_BENFORD = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+              1, 1) AS INTEGER) AS digit
+  FROM events WHERE value > 0),
+counted AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+tot AS (SELECT sum(n) AS tot FROM counted)
+SELECT digit, n,
+       CAST(n * 1000000 // tot AS BIGINT) AS ppm,
+       ([301030, 176091, 124939, 96910, 79181,
+         66947, 57992, 51153, 45757])[digit] AS benford_ppm,
+       CAST(n * 1000000 // tot
+            - ([301030, 176091, 124939, 96910, 79181,
+                66947, 57992, 51153, 45757])[digit] AS BIGINT) AS delta_ppm
+FROM counted, tot ORDER BY digit
+"""
+
+
 def q_text_attribute_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused attribute tagging — the Dolma/RedPajama architecture:
     compute EVERY tagger in ONE scan (quality score, stopword
@@ -11339,4 +11502,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "extraction_html_links": (
         q_extraction_html_links, _sql_extraction_html_links()
     ),
+    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "audit_benford": (q_audit_benford, SQL_AUDIT_BENFORD),
 }
