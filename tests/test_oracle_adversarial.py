@@ -26,13 +26,16 @@ ADVERSARIAL_SET = [
     n for n, _ in sorted(QUERIES.items())
     if n.startswith(("a", "b1", "text_", "dedup_", "sketch_", "sample_",
                      "events_", "graph_", "split_", "pack_", "curation_",
-                     "sequence_", "sim_", "temporal_", "filter_", "cluster_"))
+                     "sequence_", "sim_", "temporal_", "filter_", "cluster_",
+                     "transcripts_"))
     and not n.startswith("audit")
     and n != "dedup_editdist1"  # customer-based → TPC-H set
     and n != "dedup_sorted_neighborhood"  # customer-based → TPC-H set
 ] + ["audit_source_overlap",  # documents-based (audit_fk_orphans → TPC-H set)
      "audit_table_profile",  # events-based; NULL axis exercises n_null
-     "audit_drift_psi"]  # events-based; ties/NULL values exercise the bins
+     "audit_drift_psi",  # events-based; ties/NULL values exercise the bins
+     "audit_transcript_integrity",  # doc_id-derived; gap/dup math under holes
+     "audit_benford"]  # events-based; NULL/negative values excluded by gate
 
 WORDS = ("the quick brown fox jumps lazy dog spark oracle duck table "
          "scan shuffle window agg join 光 数据 処理 émigré naïve").split()
