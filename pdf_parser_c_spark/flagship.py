@@ -339,6 +339,65 @@ def build_linked_pages_from_documents(
     return d.mapInPandas(kernel, schema="doc_id long, text string")
 
 
+def doc_to_linked_pdf_payload(doc_id: int, text: str) -> str:
+    """PDF armor carrying 1 + d7%3 /Link annotations whose URI and
+    rect derive from md5(doc_id) hex digits — the PDF twin of
+    doc_to_linked_html_payload, sharing its host digit map: annot j ∈
+    1..L targets LINK_HOSTS[d(7+j) % 8] at /from/{doc_id} with
+    rect (72, 700−20j, 72+10·(1+d(10+j)), 712−20j)."""
+    import hashlib
+
+    hx = hashlib.md5(str(doc_id).encode()).hexdigest()
+
+    def d(p: int) -> int:
+        return int(hx[p - 1], 16)
+
+    words = text.split()
+    body = " ".join(words[:8]) or "Body"
+    links = []
+    for j in range(1, 2 + d(7) % 3):
+        host = LINK_HOSTS[d(7 + j) % len(LINK_HOSTS)]
+        links.append((
+            (72, 700 - 20 * j, 72 + 10 * (1 + d(10 + j)), 712 - 20 * j),
+            f"https://{host}/from/{doc_id}",
+        ))
+    content = tj(72, 700, "F1", 12, body)
+    pdf = build_pdf([PageSpec(content, links=links)], _FONTS,
+                    title=f"Doc {doc_id}", compress=doc_id % 2 == 0,
+                    xref_stream=doc_id % 4 == 0, objstm=doc_id % 4 == 0)
+    return encode_pdf_payload(pdf)
+
+
+def build_linked_pdf_transcripts_from_documents(
+    spark: SparkSession, docs: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """documents → transcripts where every row is a link-annotated PDF."""
+    d = docs.select("doc_id", "text")
+    if num_partitions is not None:
+        d = d.repartition(num_partitions, "doc_id")
+
+    def kernel(batches):
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = [
+                doc_to_linked_pdf_payload(int(i), str(t))
+                for i, t in zip(ids, b["text"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "conv_id": (ids // 10).map("conv{:06d}".format),
+                    "turn_idx": (ids % 10).astype("int32"),
+                    "role": (ids % 3).map(
+                        lambda m: ("user", "assistant", "tool")[m]),
+                    "text": payloads,
+                    "tool": pd.Series([None] * len(ids), dtype="object"),
+                    "ts": pd.Timestamp(_EPOCH) + pd.to_timedelta(ids, unit="m"),
+                }
+            )
+
+    return d.mapInPandas(kernel, schema=TRANSCRIPTS_SCHEMA)
+
+
 def doc_to_warc_payload(doc_id: int, text: str) -> str:
     """WARC armor: the document's HTML page wrapped in a 3-record
     web archive (warcinfo + request + response), the Common Crawl

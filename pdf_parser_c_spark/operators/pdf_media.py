@@ -194,3 +194,106 @@ def extract_pdf_images(df: DataFrame, payload_col: str = "text") -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     return df.mapInPandas(gen, schema=IMAGE_ROW_SCHEMA)
+
+LINK_ANNOT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("page", T.IntegerType()),
+        T.StructField("annot_idx", T.IntegerType()),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("y0", T.DoubleType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+        T.StructField("uri", T.StringType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def _link_rows_for_pdf(pdf: bytes) -> list[dict]:
+    """/Annots walk: every /Subtype /Link with a /S /URI action →
+    (page, rect, uri).  Poppler exposes these via Annots/AnnotLink;
+    the reference's text path never reads them — harvesting hyperlinks
+    out of PDFs is the document-side twin of html/links.py."""
+    from ..pdf import cos
+    from ..pdf.cos import decode_text_string
+
+    rows: list[dict] = []
+    doc = cos.PDFDocument.open(pdf)
+    for page_i, page in enumerate(doc.pages()):
+        annots = doc.resolve(page.get("Annots"))
+        if not isinstance(annots, list):
+            continue
+        idx = 0
+        for ref in annots:
+            an = doc.resolve(ref)
+            if not isinstance(an, dict):
+                continue
+            sub = doc.resolve(an.get("Subtype"))
+            if not (isinstance(sub, cos.Name) and sub.name == "Link"):
+                continue
+            action = doc.resolve(an.get("A"))
+            if not isinstance(action, dict):
+                continue
+            s = doc.resolve(action.get("S"))
+            if not (isinstance(s, cos.Name) and s.name == "URI"):
+                continue
+            uri = doc.resolve(action.get("URI"))
+            if isinstance(uri, bytes):
+                uri = decode_text_string(uri)
+            elif not isinstance(uri, str):
+                continue
+            rect = doc.resolve(an.get("Rect"))
+            coords = [None] * 4
+            if isinstance(rect, list) and len(rect) == 4:
+                try:
+                    coords = [float(doc.resolve(v)) for v in rect]
+                except (TypeError, ValueError):
+                    coords = [None] * 4
+            rows.append(
+                {
+                    "page": page_i, "annot_idx": idx,
+                    "x0": coords[0], "y0": coords[1],
+                    "x1": coords[2], "y1": coords[3],
+                    "uri": uri, "status": "ok",
+                }
+            )
+            idx += 1
+    return rows
+
+
+def extract_pdf_annot_links(df: DataFrame, payload_col: str = "text") -> DataFrame:
+    """→ one row per /Link annotation with a URI action in the PDF
+    turns of ``df`` (non-PDF payloads yield nothing; a broken document
+    yields a labeled error row — same accounting contract as
+    extract_pdf_images)."""
+    from ..engine import PDF_B64_PREFIX, PDF_B85_PREFIX, _decode_armor
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in LINK_ANNOT_SCHEMA.fields]
+        for batch in it:
+            out: list[dict] = []
+            for conv_id, turn_idx, payload in zip(
+                batch["conv_id"], batch["turn_idx"], batch[payload_col]
+            ):
+                if payload is None or not payload.startswith(
+                    (PDF_B64_PREFIX, PDF_B85_PREFIX)
+                ):
+                    continue
+                try:
+                    rows = _link_rows_for_pdf(_decode_armor(payload))
+                except Exception:
+                    rows = [{
+                        "page": -1, "annot_idx": -1, "x0": None, "y0": None,
+                        "x1": None, "y1": None, "uri": None,
+                        "status": "doc_error",
+                    }]
+                for r in rows:
+                    r = dict(r)
+                    r["conv_id"] = conv_id
+                    r["turn_idx"] = int(turn_idx)
+                    out.append(r)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(gen, schema=LINK_ANNOT_SCHEMA)

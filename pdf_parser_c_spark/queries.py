@@ -10898,6 +10898,67 @@ FROM counted, tot ORDER BY digit
 """
 
 
+def q_extraction_pdf_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink harvest from PDF turns — the document-side twin of
+    extraction_html_links: sampled documents are armored into PDFs
+    carrying /Link annotations with /S /URI actions whose target host
+    and rect derive from md5(doc_id) digits
+    (flagship.doc_to_linked_pdf_payload, SAME host digit map as the
+    HTML armor), and the /Annots walk
+    (operators/pdf_media.extract_pdf_annot_links) must reproduce every
+    (page, annot_idx, rect, uri) row DuckDB reconstructs from the
+    digits.  Poppler surfaces these via AnnotLink; the reference's
+    text path never reads them — north-rule breadth, like the image
+    harvest.
+    Scale: armor + walk fused after the one doc_id exchange; only
+    narrow link rows leave the kernel."""
+    from .flagship import build_linked_pdf_transcripts_from_documents
+    from .operators.pdf_media import extract_pdf_annot_links
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
+    tr = build_linked_pdf_transcripts_from_documents(
+        spark, docs, num_partitions=16)
+    out = extract_pdf_annot_links(tr)
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
+    return (
+        out.select(doc_id, "page", "annot_idx",
+                   "x0", "y0", "x1", "y1", "uri", "status")
+        .orderBy("doc_id", "annot_idx")
+    )
+
+
+def _sql_extraction_pdf_links() -> str:
+    from .flagship import LINK_HOSTS
+
+    hosts = ", ".join(f"'{h}'" for h in LINK_HOSTS)
+    return r"""
+WITH w AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents WHERE doc_id % 5 = 1),
+links AS (
+  SELECT doc_id, hx, CAST(k AS INTEGER) AS annot_idx, k + 1 AS j
+  FROM (SELECT doc_id, hx,
+               unnest(range(1 + CAST(('0x' || substr(hx, 7, 1)) AS BIGINT)
+                            % 3)) AS k
+        FROM w))
+SELECT doc_id, 0 AS page, annot_idx,
+       CAST(72 AS DOUBLE) AS x0,
+       CAST(700 - 20 * j AS DOUBLE) AS y0,
+       CAST(72 + 10 * (1 + CAST(('0x' || substr(hx, CAST(10 + j AS INTEGER),
+                                                 1)) AS BIGINT)) AS DOUBLE)
+         AS x1,
+       CAST(712 - 20 * j AS DOUBLE) AS y1,
+       'https://' ||
+       ([{{hosts}}])[CAST(('0x' || substr(hx, CAST(7 + j AS INTEGER), 1))
+                      AS BIGINT) % {{n}} + 1] ||
+       '/from/' || CAST(doc_id AS VARCHAR) AS uri,
+       'ok' AS status
+FROM links ORDER BY doc_id, annot_idx
+""".replace("{{hosts}}", hosts).replace("{{n}}", str(len(LINK_HOSTS)))
+
+
 def q_text_attribute_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused attribute tagging — the Dolma/RedPajama architecture:
     compute EVERY tagger in ONE scan (quality score, stopword
@@ -11504,4 +11565,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "audit_benford": (q_audit_benford, SQL_AUDIT_BENFORD),
+    "extraction_pdf_links": (
+        q_extraction_pdf_links, _sql_extraction_pdf_links()
+    ),
 }

@@ -142,6 +142,9 @@ class PageSpec:
     mediabox: tuple[float, float, float, float] = (0, 0, 612, 792)
     fonts: list[str] = field(default_factory=list)  # resource names used
     rotate: int = 0  # page /Rotate attribute
+    # link annotations: (rect (x0, y0, x1, y1), URI) pairs → /Annots
+    links: list[tuple[tuple[float, float, float, float], str]] = field(
+        default_factory=list)
 
 
 def _tounicode_stream(mapping: dict[int, str], two_byte: bool = False) -> bytes:
@@ -492,9 +495,21 @@ def build_pdf(
         if images:
             xs = " ".join(f"/{n} {image_nums[n]} 0 R" for n in images)
             xres = f" /XObject << {xs} >>"
+        annots = ""
+        if page.links:
+            ans = []
+            for rect, uri in page.links:
+                rc = " ".join(str(v) for v in rect)
+                ans.append(w.add(
+                    f"<< /Type /Annot /Subtype /Link /Rect [ {rc} ] "
+                    f"/Border [ 0 0 0 ] "
+                    f"/A << /Type /Action /S /URI /URI ({esc(uri)}) >> >>"
+                ))
+            annots = " /Annots [ " + " ".join(f"{n} 0 R" for n in ans) + " ]"
         pn = w.add(
             f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [ {mb} ]{rot} "
-            f"/Resources << /Font << {res} >>{xres} >> /Contents {content_num} 0 R >>"
+            f"/Resources << /Font << {res} >>{xres} >>{annots} "
+            f"/Contents {content_num} 0 R >>"
         )
         page_nums.append(pn)
 

@@ -1,0 +1,86 @@
+"""/Link annotation harvest: gen_pdf /Annots, URI actions, hostility."""
+
+from __future__ import annotations
+
+from pdf_parser_c_spark.flagship import (
+    build_linked_pdf_transcripts_from_documents,
+    doc_to_linked_pdf_payload,
+)
+from pdf_parser_c_spark.operators.pdf_media import (
+    _link_rows_for_pdf,
+    extract_pdf_annot_links,
+)
+from pdf_parser_c_spark.testkit.gen_pdf import FontSpec, PageSpec, build_pdf, tj
+
+FONTS = {"F1": FontSpec("Helvetica", encoding="WinAnsiEncoding")}
+
+
+def _pdf(pages):
+    return build_pdf(pages, FONTS, title="T")
+
+
+class TestHarvest:
+    def test_multi_page_order_and_rects(self):
+        p1 = PageSpec(tj(72, 700, "F1", 12, "a"),
+                      links=[((72, 690, 200, 710), "https://e.com/a"),
+                             ((10, 20, 30, 40), "https://e.com/b")])
+        p2 = PageSpec(tj(72, 700, "F1", 12, "b"),
+                      links=[((1, 2, 3, 4), "https://e.com/c")])
+        rows = _link_rows_for_pdf(_pdf([p1, p2]))
+        assert [(r["page"], r["annot_idx"], r["uri"]) for r in rows] == [
+            (0, 0, "https://e.com/a"), (0, 1, "https://e.com/b"),
+            (1, 0, "https://e.com/c")]
+        assert (rows[1]["x0"], rows[1]["y0"], rows[1]["x1"], rows[1]["y1"]) \
+            == (10.0, 20.0, 30.0, 40.0)
+
+    def test_non_link_and_non_uri_annots_skipped(self):
+        pdf = _pdf([PageSpec(tj(72, 700, "F1", 12, "x"),
+                             links=[((0, 0, 1, 1), "https://keep/me")])])
+        # text extraction is undisturbed by annots
+        from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+
+        r = parse_pdf_bytes(pdf)
+        assert r.status == "ok" and "x" in r.text
+        rows = _link_rows_for_pdf(pdf)
+        assert len(rows) == 1
+
+    def test_special_chars_in_uri(self):
+        uri = "https://e.com/q?(a)=1&b=(2)"
+        rows = _link_rows_for_pdf(
+            _pdf([PageSpec(tj(72, 700, "F1", 12, "x"),
+                           links=[((0, 0, 1, 1), uri)])]))
+        assert rows[0]["uri"] == uri
+
+    def test_truncated_pdf_yields_error_row_via_spark(self, spark):
+        import base64
+
+        import pandas as pd
+
+        from pdf_parser_c_spark.engine import PDF_B64_PREFIX
+
+        good = doc_to_linked_pdf_payload(3, "one two three")
+        broken = PDF_B64_PREFIX + base64.b64encode(b"%PDF-1.4 garbage").decode()
+        df = spark.createDataFrame(pd.DataFrame({
+            "conv_id": ["a", "b", "c"], "turn_idx": [0, 1, 2],
+            "text": [good, broken, "plain, not pdf"]}))
+        rows = extract_pdf_annot_links(df).collect()
+        by_conv = {}
+        for r in rows:
+            by_conv.setdefault(r.conv_id, []).append(r)
+        assert all(r.status == "ok" for r in by_conv["a"])
+        assert "c" not in by_conv  # non-PDF payloads yield nothing
+        # broken doc: pages() may be empty (no rows) or an error row —
+        # never an exception; accounting stays explicit either way
+        assert all(r.status in ("ok", "doc_error")
+                   for r in by_conv.get("b", []))
+
+    def test_armor_matches_digit_map(self, spark):
+        import hashlib
+
+        docs = spark.createDataFrame(
+            [(6, "w1 w2 w3")], "doc_id long, text string")
+        tr = build_linked_pdf_transcripts_from_documents(spark, docs)
+        rows = extract_pdf_annot_links(tr).orderBy("annot_idx").collect()
+        hx = hashlib.md5(b"6").hexdigest()
+        assert len(rows) == 1 + int(hx[6], 16) % 3
+        assert rows[0].y0 == 680.0 and rows[0].uri.endswith("/from/6")
