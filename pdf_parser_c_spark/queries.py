@@ -10959,6 +10959,97 @@ FROM links ORDER BY doc_id, annot_idx
 """.replace("{{hosts}}", hosts).replace("{{n}}", str(len(LINK_HOSTS)))
 
 
+def _structured_pdf_turns(spark: SparkSession, sf_dir: str):
+    from .flagship import build_structured_pdf_transcripts_from_documents
+
+    collapsed = F.trim(F.regexp_replace("text", r"\s+", " "))
+    n_words = F.size(F.filter(F.split(collapsed, " "), lambda x: x != ""))
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 5 == 4) & (n_words >= 8))
+    )
+    return build_structured_pdf_transcripts_from_documents(
+        spark, docs, num_partitions=16)
+
+
+def q_extraction_pdf_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bookmark (/Outlines) harvest — the AUTHOR-declared section
+    structure beside the layout-inferred one (section_tree): sampled
+    documents are armored into 2-page PDFs with a 6-node outline tree
+    whose titles are the document's first 6 words and whose
+    destinations are real page refs
+    (flagship.doc_to_structured_pdf_payload), and the preorder walk
+    (operators/pdf_media.extract_pdf_outline — First/Next chains with
+    cycle bounds, §12.3.3) must reproduce every (order, depth, title,
+    dest page) row DuckDB rebuilds from the words.
+    Scale: armor + walk fused after one doc_id exchange; bookmark
+    rows are tiny metadata."""
+    from .operators.pdf_media import extract_pdf_outline
+
+    out = extract_pdf_outline(_structured_pdf_turns(spark, sf_dir))
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
+    return (
+        out.select(doc_id, "order_idx", "depth", "title", "dest_page")
+        .orderBy("doc_id", "order_idx")
+    )
+
+
+SQL_EXTRACTION_PDF_OUTLINE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 5 = 4),
+ok AS (SELECT * FROM w WHERE len(ws) >= 8),
+spec(order_idx, depth, word_idx, dest_page) AS (
+  VALUES (0, 0, 1, 0), (1, 1, 2, 0), (2, 1, 3, 0),
+         (3, 0, 4, 1), (4, 1, 5, 1), (5, 1, 6, 1))
+SELECT doc_id, CAST(order_idx AS INTEGER) AS order_idx,
+       CAST(depth AS INTEGER) AS depth,
+       ws[word_idx] AS title,
+       CAST(dest_page AS INTEGER) AS dest_page
+FROM ok, spec ORDER BY doc_id, order_idx
+"""
+
+
+def q_extraction_pdf_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AcroForm text-field harvest: the armored PDFs carry 3 /FT /Tx
+    fields (author = word 7, topic = word 8, year = str(doc_id));
+    the /AcroForm /Fields walk (operators/pdf_media.
+    extract_pdf_form_fields) must reproduce (name, type, value)
+    field-for-field.  Form data is a first-class extraction target —
+    filled forms hold the document's structured payload.
+    Scale: same fused single-stage plan as the outline harvest."""
+    from .operators.pdf_media import extract_pdf_form_fields
+
+    out = extract_pdf_form_fields(_structured_pdf_turns(spark, sf_dir))
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
+    return (
+        out.select(doc_id, "field_idx", "name", "ftype", "value")
+        .orderBy("doc_id", "field_idx")
+    )
+
+
+SQL_EXTRACTION_PDF_FORMS = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 5 = 4),
+ok AS (SELECT * FROM w WHERE len(ws) >= 8)
+SELECT doc_id, CAST(f.field_idx AS INTEGER) AS field_idx, f.name, 'Tx' AS ftype,
+       CASE f.field_idx WHEN 0 THEN ws[7] WHEN 1 THEN ws[8]
+            ELSE CAST(doc_id AS VARCHAR) END AS value
+FROM ok, (VALUES (0, 'author'), (1, 'topic'), (2, 'year'))
+     AS f(field_idx, name)
+ORDER BY doc_id, field_idx
+"""
+
+
 def q_text_attribute_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused attribute tagging — the Dolma/RedPajama architecture:
     compute EVERY tagger in ONE scan (quality score, stopword
@@ -11567,5 +11658,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "audit_benford": (q_audit_benford, SQL_AUDIT_BENFORD),
     "extraction_pdf_links": (
         q_extraction_pdf_links, _sql_extraction_pdf_links()
+    ),
+    "extraction_pdf_outline": (
+        q_extraction_pdf_outline, SQL_EXTRACTION_PDF_OUTLINE
+    ),
+    "extraction_pdf_forms": (
+        q_extraction_pdf_forms, SQL_EXTRACTION_PDF_FORMS
     ),
 }

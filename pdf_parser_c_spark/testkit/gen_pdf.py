@@ -338,6 +338,8 @@ def build_pdf(
     user_pw: bytes = b"",
     owner_pw: bytes = b"owner",
     images: dict[str, "ImageSpec"] | None = None,
+    outline: list[tuple[int, str, int]] | None = None,
+    form_fields: list[tuple[str, str]] | None = None,
 ) -> bytes:
     w = PDFWriter()
     catalog = w.reserve()
@@ -515,7 +517,56 @@ def build_pdf(
 
     kids = " ".join(f"{n} 0 R" for n in page_nums)
     w.set(pages_num, f"<< /Type /Pages /Kids [ {kids} ] /Count {len(page_nums)} >>")
-    w.set(catalog, f"<< /Type /Catalog /Pages {pages_num} 0 R >>")
+
+    cat_extra = ""
+    if outline:
+        # (level, title, page_idx) rows, levels 0.. — build the
+        # First/Last/Next/Prev/Parent chain ISO 32000 §12.3.3 expects
+        out_root = w.reserve()
+        nodes = [w.reserve() for _ in outline]
+        children: dict[int, list[int]] = {-1: []}  # parent slot → child idxs
+        parent_of: dict[int, int] = {}
+        stack: list[tuple[int, int]] = []  # (level, idx)
+        for i, (lvl, _t, _p) in enumerate(outline):
+            while stack and stack[-1][0] >= lvl:
+                stack.pop()
+            parent = stack[-1][1] if stack else -1
+            parent_of[i] = parent
+            children.setdefault(parent, []).append(i)
+            children.setdefault(i, [])
+            stack.append((lvl, i))
+        for i, (_lvl, title, page_idx) in enumerate(outline):
+            sibs = children[parent_of[i]]
+            at = sibs.index(i)
+            prev_s = f" /Prev {nodes[sibs[at - 1]]} 0 R" if at > 0 else ""
+            next_s = (f" /Next {nodes[sibs[at + 1]]} 0 R"
+                      if at + 1 < len(sibs) else "")
+            kid = ""
+            if children[i]:
+                kid = (f" /First {nodes[children[i][0]]} 0 R"
+                       f" /Last {nodes[children[i][-1]]} 0 R"
+                       f" /Count {len(children[i])}")
+            par = out_root if parent_of[i] == -1 else nodes[parent_of[i]]
+            pg = page_nums[min(page_idx, len(page_nums) - 1)]
+            w.set(nodes[i],
+                  f"<< /Title ({esc(title)}) /Parent {par} 0 R"
+                  f"{prev_s}{next_s}{kid}"
+                  f" /Dest [ {pg} 0 R /XYZ null null null ] >>")
+        top = children[-1]
+        w.set(out_root,
+              f"<< /Type /Outlines /First {nodes[top[0]]} 0 R"
+              f" /Last {nodes[top[-1]]} 0 R /Count {len(outline)} >>")
+        cat_extra += f" /Outlines {out_root} 0 R"
+    if form_fields:
+        fns = [
+            w.add(f"<< /FT /Tx /T ({esc(nm)}) /V ({esc(val)}) >>")
+            for nm, val in form_fields
+        ]
+        arr = " ".join(f"{n} 0 R" for n in fns)
+        acro = w.add(f"<< /Fields [ {arr} ] >>")
+        cat_extra += f" /AcroForm {acro} 0 R"
+    w.set(catalog,
+          f"<< /Type /Catalog /Pages {pages_num} 0 R{cat_extra} >>")
     encrypt = None
     file_id = b""
     if encrypt_variant is not None:

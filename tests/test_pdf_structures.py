@@ -1,0 +1,85 @@
+"""/Outlines and /AcroForm harvests: tree walk, cycles, hostility."""
+
+from __future__ import annotations
+
+from pdf_parser_c_spark.flagship import doc_to_structured_pdf_payload
+from pdf_parser_c_spark.operators.pdf_media import (
+    _form_rows_for_pdf,
+    _outline_rows_for_pdf,
+)
+from pdf_parser_c_spark.testkit.gen_pdf import FontSpec, PageSpec, build_pdf, tj
+
+FONTS = {"F1": FontSpec("Helvetica", encoding="WinAnsiEncoding")}
+OUTLINE = [(0, "Ch 1", 0), (1, "Sec 1.1", 0), (1, "Sec 1.2", 1),
+           (0, "Ch 2", 2), (1, "Sec 2.1", 2)]
+
+
+def _pages(n=3):
+    return [PageSpec(tj(72, 700, "F1", 12, f"page{i}")) for i in range(n)]
+
+
+class TestOutline:
+    def test_preorder_depth_dest(self):
+        for kw in ({}, {"xref_stream": True, "objstm": True},
+                   {"compress": True}):
+            pdf = build_pdf(_pages(), FONTS, outline=OUTLINE, **kw)
+            rows = _outline_rows_for_pdf(pdf)
+            assert [(r["depth"], r["title"], r["dest_page"])
+                    for r in rows] == OUTLINE
+
+    def test_three_levels(self):
+        deep = [(0, "a", 0), (1, "b", 0), (2, "c", 1), (2, "d", 1),
+                (1, "e", 2), (0, "f", 2)]
+        rows = _outline_rows_for_pdf(build_pdf(_pages(), FONTS, outline=deep))
+        assert [(r["depth"], r["title"], r["dest_page"]) for r in rows] == deep
+
+    def test_cycle_bounded(self):
+        # corrupt a /Next pointer into a self-loop: the walk must stop
+        pdf = bytearray(build_pdf(_pages(), FONTS, outline=OUTLINE))
+        rows = _outline_rows_for_pdf(bytes(pdf))
+        assert len(rows) == 5  # sanity on the uncorrupted form
+        # hand-built 2-node cycle
+        cyc = (b"%PDF-1.4\n"
+               b"1 0 obj << /Type /Catalog /Pages 5 0 R /Outlines 2 0 R >> endobj\n"
+               b"2 0 obj << /Type /Outlines /First 3 0 R /Last 3 0 R >> endobj\n"
+               b"3 0 obj << /Title (loop) /Parent 2 0 R /Next 4 0 R >> endobj\n"
+               b"4 0 obj << /Title (back) /Parent 2 0 R /Next 3 0 R >> endobj\n"
+               b"5 0 obj << /Type /Pages /Kids [] /Count 0 >> endobj\n"
+               b"trailer << /Root 1 0 R /Size 6 >>\n%%EOF")
+        rows = _outline_rows_for_pdf(cyc)
+        assert [r["title"] for r in rows] == ["loop", "back"]
+
+    def test_no_outline_is_empty(self):
+        assert _outline_rows_for_pdf(build_pdf(_pages(1), FONTS)) == []
+
+
+class TestForms:
+    def test_fields_roundtrip(self):
+        pdf = build_pdf(_pages(1), FONTS,
+                        form_fields=[("a", "x (y)"), ("b", "")])
+        rows = _form_rows_for_pdf(pdf)
+        assert [(r["name"], r["ftype"], r["value"]) for r in rows] == [
+            ("a", "Tx", "x (y)"), ("b", "Tx", "")]
+
+    def test_no_form_is_empty(self):
+        assert _form_rows_for_pdf(build_pdf(_pages(1), FONTS)) == []
+
+
+class TestArmor:
+    def test_structured_armor(self):
+        words = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+        import base64
+
+        from pdf_parser_c_spark.engine import _decode_armor
+
+        pdf = _decode_armor(doc_to_structured_pdf_payload(4, words))
+        o = _outline_rows_for_pdf(pdf)
+        assert [r["title"] for r in o] == ["w1", "w2", "w3", "w4", "w5", "w6"]
+        assert [r["dest_page"] for r in o] == [0, 0, 0, 1, 1, 1]
+        f = _form_rows_for_pdf(pdf)
+        assert [(r["name"], r["value"]) for r in f] == [
+            ("author", "w7"), ("topic", "w8"), ("year", "4")]
+        # the text path is undisturbed by the structure layer
+        from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+
+        assert parse_pdf_bytes(pdf).status == "ok"
