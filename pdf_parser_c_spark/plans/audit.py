@@ -129,6 +129,11 @@ def main() -> None:
         "dedup_conv_structure": "conv-template dedup: signature is one conv_id exchange (collect_list of ≤10-turn structs); census is a second tiny exchange on the 16-byte hash; no pairwise join",
         "events_m4_downsample": "M4: both row_number directions and min/max/first/last share ONE (user, day) exchange",
         "extraction_html_links": "link extraction: armor + scanner kernels fused after the doc_id exchange; only narrow (href, anchor, flag) rows leave MapInPandas",
+        "dedup_containment": "containment dedup: same DF-capped inverted-index shape as jaccard (bounded self-join on 8-byte shingle ints); snippet augmentation is a map-side union",
+        "audit_benford": "Benford: map-side digit extraction, 9-key census exchange, 1-row total broadcast back",
+        "extraction_pdf_links": "/Annots harvest: armor + walk kernels fused after one doc_id exchange; narrow (rect, uri) rows out",
+        "extraction_pdf_outline": "outline harvest: same fused single-stage shape; bookmark rows are tiny metadata",
+        "extraction_pdf_forms": "form harvest: same fused single-stage shape; 3 field rows per doc",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]
