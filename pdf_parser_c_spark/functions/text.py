@@ -407,3 +407,30 @@ def url_canonicalize(col: str = "url") -> Column:
         f"concat({scheme}, '://', {host_np}, {path},"
         f"CASE WHEN {q_sorted} = '' THEN '' ELSE concat('?', {q_sorted}) END)"
     )
+
+# UTS #39-style confusable skeleton: the high-frequency Cyrillic/Greek
+# lookalikes spam uses to dodge exact/fingerprint dedup, plus the
+# zero-width characters that split tokens invisibly.  A full
+# confusables.txt has ~6k entries; this is the curated hot subset —
+# the mechanism (translate + strip + casefold) is the deliverable and
+# the table extends without code changes.
+CONFUSABLE_SRC = (
+    "\u0430\u0435\u043e\u0440\u0441\u0445\u0443\u043a\u0432\u043c\u043d\u0442"
+    "\u03bf\u03b1\u03b5\u03c1\u0456\u0458"
+)
+CONFUSABLE_DST = "aeopcxykvmht" "oaepij"
+_ZERO_WIDTH_RE = "[\u200b\u200c\u200d\u2060\ufeff\u00ad]"
+
+
+def homoglyph_skeleton(col: str = "text") -> Column:
+    """Spoof-resistant text skeleton (UTS #39 idea): fold the common
+    Cyrillic/Greek confusables to their Latin shapes, strip zero-width
+    and soft-hyphen characters, lowercase, collapse whitespace.  Two
+    texts that RENDER alike skeleton-ize identically, so a hash of the
+    skeleton catches obfuscated duplicates exact dedup misses.  Pure
+    codegen (translate + regexp_replace + lower) — no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.translate(c, CONFUSABLE_SRC, CONFUSABLE_DST)
+    c = F.regexp_replace(c, _ZERO_WIDTH_RE, "")
+    c = F.lower(c)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

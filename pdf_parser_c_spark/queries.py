@@ -11050,6 +11050,105 @@ ORDER BY doc_id, field_idx
 """
 
 
+def q_dedup_homoglyph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph-obfuscation dedup — the adversarial-duplicate case:
+    spam evades exact/fingerprint dedup by swapping Latin letters for
+    identical-looking Cyrillic ones and sprinkling zero-width joiners.
+    Every 9th document gets a deterministic obfuscated clone (Latin →
+    Cyrillic translate + a zero-width space after the first word);
+    exact hashing treats the clone as NEW text, the UTS #39-style
+    skeleton (functions/text.homoglyph_skeleton: confusable fold +
+    zero-width strip + casefold, pure codegen) re-joins every pair.
+    Census: raw-hash vs skeleton-hash duplicate groups and the count
+    of obfuscated clones re-matched to their source.
+    Scale: two map-side hashes + one 16-byte-key census exchange; no
+    UDF, no pairwise join."""
+    from .functions.text import homoglyph_skeleton
+
+    base = t(spark, sf_dir, "documents").select("doc_id", "text")
+    obf = (
+        base.filter(F.col("doc_id") % 9 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.regexp_replace(
+                F.translate("text", "aeopcxy", "аеор"
+                            "сху"),
+                r"^(\S+) ", "$1​ ",
+            ).alias("text"),
+        )
+    )
+    allrows = base.unionAll(obf).select(
+        "doc_id",
+        F.md5("text").alias("raw_fp"),
+        F.md5(homoglyph_skeleton("text")).alias("skel_fp"),
+    )
+    raw_groups = (
+        allrows.groupBy("raw_fp").agg(F.count("*").alias("c"))
+        .agg(F.sum((F.col("c") > 1).cast("long")).alias("raw_dup_groups"))
+    )
+    skel = (
+        allrows.groupBy("skel_fp")
+        .agg(
+            F.count("*").alias("c"),
+            F.max((F.col("doc_id") < 2000000).cast("int")).alias("has_base"),
+            F.sum((F.col("doc_id") >= 2000000).cast("long")).alias("n_obf"),
+        )
+    )
+    skel_stats = skel.agg(
+        F.sum((F.col("c") > 1).cast("long")).alias("skel_dup_groups"),
+        F.sum(
+            F.when(F.col("has_base") == 1, F.col("n_obf")).otherwise(0)
+        ).alias("obf_rematched"),
+    )
+    return (
+        raw_groups.join(F.broadcast(skel_stats))
+        .select("raw_dup_groups", "skel_dup_groups", "obf_rematched")
+    )
+
+
+SQL_DEDUP_HOMOGLYPH = """
+WITH obf AS (
+  SELECT doc_id + 2000000 AS doc_id,
+         regexp_replace(
+           translate(text, 'aeopcxy',
+                     chr(1072) || chr(1077) || chr(1086) || chr(1088) ||
+                     chr(1089) || chr(1093) || chr(1091)),
+           '^(\\S+) ', '\\1' || chr(8203) || ' ') AS text
+  FROM documents WHERE doc_id % 9 = 0),
+allrows AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM obf),
+fps AS (
+  SELECT doc_id, md5(text) AS raw_fp,
+         md5(trim(regexp_replace(lower(regexp_replace(
+             translate(text,
+                       chr(1072) || chr(1077) || chr(1086) || chr(1088) ||
+                       chr(1089) || chr(1093) || chr(1091) || chr(1082) ||
+                       chr(1074) || chr(1084) || chr(1085) || chr(1090) ||
+                       chr(959) || chr(945) || chr(949) || chr(961) ||
+                       chr(1110) || chr(1112),
+                       'aeopcxykvmhtoaepij'),
+             '[' || chr(8203) || chr(8204) || chr(8205) || chr(8288) ||
+             chr(65279) || chr(173) || ']', '', 'g')),
+             '\\s+', ' ', 'g'))) AS skel_fp
+  FROM allrows),
+raw_g AS (
+  SELECT CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS raw_dup_groups
+  FROM (SELECT raw_fp, count(*) AS c FROM fps GROUP BY raw_fp)),
+skel_g AS (
+  SELECT CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS skel_dup_groups,
+         CAST(sum(CASE WHEN has_base = 1 THEN n_obf ELSE 0 END) AS BIGINT)
+           AS obf_rematched
+  FROM (SELECT skel_fp, count(*) AS c,
+               max(CASE WHEN doc_id < 2000000 THEN 1 ELSE 0 END) AS has_base,
+               sum(CASE WHEN doc_id >= 2000000 THEN 1 ELSE 0 END) AS n_obf
+        FROM fps GROUP BY skel_fp))
+SELECT raw_dup_groups, skel_dup_groups, obf_rematched FROM raw_g, skel_g
+"""
+
+
 def q_text_attribute_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused attribute tagging — the Dolma/RedPajama architecture:
     compute EVERY tagger in ONE scan (quality score, stopword
@@ -11665,4 +11764,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "extraction_pdf_forms": (
         q_extraction_pdf_forms, SQL_EXTRACTION_PDF_FORMS
     ),
+    "dedup_homoglyph": (q_dedup_homoglyph, SQL_DEDUP_HOMOGLYPH),
 }

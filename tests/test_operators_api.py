@@ -1562,3 +1562,16 @@ def test_rendezvous_minimal_remap_property(spark):
 
     c = Counter(before.values())
     assert max(c.values()) < 3 * min(c.values())
+
+
+def test_homoglyph_skeleton_folds_confusables(spark):
+    from pdf_parser_c_spark.functions.text import homoglyph_skeleton
+    import pyspark.sql.functions as F
+
+    # Cyrillic а/р lookalikes, an embedded zero-width space, case and
+    # whitespace noise: all four must skeleton-ize identically
+    rows = spark.createDataFrame(
+        [("pay pal",), ("раy раl",), ("pay\u200b pal",),
+         ("PAY  PAL",)], "text string",
+    ).select(homoglyph_skeleton("text").alias("s")).collect()
+    assert all(r.s == "pay pal" for r in rows)
