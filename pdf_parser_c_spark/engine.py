@@ -101,13 +101,15 @@ def _decode_armor(payload: str) -> bytes:
 
 
 def classify_payload(s: pd.Series) -> pd.Series:
-    """Vectorized payload sniff: 'pdf' | 'warc' | 'html' | 'plain'."""
+    """Vectorized payload sniff: 'pdf' | 'warc' | 'docx' | 'html' | 'plain'."""
+    from .formats.docx import DOCX_B64_PREFIX
     from .sources.warc import WARC_B64_PREFIX
 
     s = s.fillna("")
     kind = pd.Series("plain", index=s.index, dtype="object")
     kind[s.str.startswith(PDF_B64_PREFIX) | s.str.startswith(PDF_B85_PREFIX)] = "pdf"
     kind[s.str.startswith(WARC_B64_PREFIX)] = "warc"
+    kind[s.str.startswith(DOCX_B64_PREFIX)] = "docx"
     maybe_html = (kind == "plain") & s.str.lstrip().str.startswith("<")
     if maybe_html.any():
         kind[maybe_html] = [
@@ -219,6 +221,15 @@ def extract_pandas_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             from .sources.warc import extract_warc_text
 
             r = extract_warc_text(text_vals[i])
+            out_text[i] = r["text"]
+            status[i] = r["status"]
+            error[i] = r["error"]
+            if r["text"]:
+                spans[i] = [{"start": 0, "end": len(r["text"])}]
+        elif k == "docx":
+            from .formats.docx import extract_docx_text
+
+            r = extract_docx_text(text_vals[i])
             out_text[i] = r["text"]
             status[i] = r["status"]
             error[i] = r["error"]

@@ -452,6 +452,50 @@ def build_structured_pdf_transcripts_from_documents(
     return d.mapInPandas(kernel, schema=TRANSCRIPTS_SCHEMA)
 
 
+def doc_to_docx_payload(doc_id: int, text: str) -> str:
+    """DOCX armor: the document's words as 1 heading paragraph
+    ('Doc {id}') + body paragraphs of 8 words each (words[0:40]) —
+    the office-document analogue of the PDF/HTML armor templates,
+    SQL-reconstructible as 'Doc {id}' + newline-joined 8-word rows."""
+    from .formats.docx import build_docx, encode_docx_payload
+
+    words = text.split()
+    paras = [f"Doc {doc_id}"] + [
+        " ".join(words[i: i + 8]) for i in range(0, min(len(words), 40), 8)
+    ]
+    return encode_docx_payload(build_docx([p for p in paras if p]))
+
+
+def build_docx_transcripts_from_documents(
+    spark: SparkSession, docs: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """documents → transcripts where every row is a DOCX payload."""
+    d = docs.select("doc_id", "text")
+    if num_partitions is not None:
+        d = d.repartition(num_partitions, "doc_id")
+
+    def kernel(batches):
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = [
+                doc_to_docx_payload(int(i), str(t))
+                for i, t in zip(ids, b["text"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "conv_id": (ids // 10).map("conv{:06d}".format),
+                    "turn_idx": (ids % 10).astype("int32"),
+                    "role": (ids % 3).map(
+                        lambda m: ("user", "assistant", "tool")[m]),
+                    "text": payloads,
+                    "tool": pd.Series([None] * len(ids), dtype="object"),
+                    "ts": pd.Timestamp(_EPOCH) + pd.to_timedelta(ids, unit="m"),
+                }
+            )
+
+    return d.mapInPandas(kernel, schema=TRANSCRIPTS_SCHEMA)
+
+
 def doc_to_warc_payload(doc_id: int, text: str) -> str:
     """WARC armor: the document's HTML page wrapped in a 3-record
     web archive (warcinfo + request + response), the Common Crawl

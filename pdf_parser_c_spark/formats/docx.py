@@ -1,0 +1,165 @@
+"""DOCX (OOXML WordprocessingML) text extraction.
+
+Office documents are a top-3 payload class in enterprise/transcript
+corpora next to PDF and HTML.  A .docx file is a ZIP container whose
+main part ``word/document.xml`` holds the text as ``<w:p>`` paragraphs
+of ``<w:r>`` runs of ``<w:t>`` text nodes (ECMA-376 §17.3).  This
+module reads that part with the stdlib ``zipfile`` (the container) and
+a small scanner (the XML) — the same dependency-free posture as the
+PDF/HTML paths:
+
+* paragraphs → newline-separated blocks (empty paragraphs dropped),
+* ``<w:tab/>`` → a tab, ``<w:br/>``/`<w:cr/>` → a line break inside
+  the paragraph,
+* ``<w:t xml:space="preserve">`` whitespace kept; other runs trimmed
+  at paragraph ends only (interior spacing is the author's),
+* table cells (``<w:tc>``) flow in document order — WordprocessingML
+  nests tables inside the same body sequence,
+* everything else (fields, bookmarks, proofing marks, drawings) is
+  ignored.
+
+Payloads ride the string ``text`` column as ``DOCXB64:`` armor; the
+kernel classifies and routes them beside pdf/html/warc
+(``engine.classify_payload``).  Hostile input maps to a status row,
+never a task failure.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import io
+import re
+import zipfile
+from xml.sax.saxutils import escape
+
+DOCX_B64_PREFIX = "DOCXB64:"
+
+
+class DocxError(ValueError):
+    pass
+
+
+def encode_docx_payload(buf: bytes) -> str:
+    return DOCX_B64_PREFIX + base64.b64encode(buf).decode("ascii")
+
+
+def decode_docx_payload(payload: str) -> bytes:
+    if not payload.startswith(DOCX_B64_PREFIX):
+        raise DocxError("not DOCX armor")
+    try:
+        return base64.b64decode(payload[len(DOCX_B64_PREFIX):], validate=True)
+    except (ValueError, binascii.Error) as exc:
+        raise DocxError(f"armor: {exc}") from exc
+
+
+_TOKEN_RE = re.compile(
+    r"<w:(p|t|tab|br|cr)(\s[^>]*?)?(/?)>|</w:(p|t)>", re.S)
+_ENTITY_RE = re.compile(r"&(amp|lt|gt|quot|apos|#x?[0-9a-fA-F]+);")
+
+
+def _unescape(text: str) -> str:
+    def one(m: "re.Match[str]") -> str:
+        e = m.group(1)
+        table = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}
+        if e in table:
+            return table[e]
+        try:
+            if e.lower().startswith("#x"):
+                return chr(int(e[2:], 16))
+            return chr(int(e[1:]))
+        except (ValueError, OverflowError):
+            return ""
+
+    return _ENTITY_RE.sub(one, text)
+
+
+def document_xml_to_text(xml: str) -> str:
+    """WordprocessingML body → plain text (paragraphs on newlines)."""
+    paragraphs: list[str] = []
+    buf: list[str] = []
+    in_t = False
+    t_start = 0
+    pos = 0
+    while True:
+        m = _TOKEN_RE.search(xml, pos)
+        if m is None:
+            break
+        if in_t:
+            buf.append(_unescape(xml[pos: m.start()]))
+        pos = m.end()
+        open_tag, self_closed, close_tag = m.group(1), m.group(3), m.group(4)
+        if open_tag == "t" and not self_closed:
+            in_t = True
+        elif close_tag == "t":
+            in_t = False
+        elif open_tag == "tab":
+            buf.append("\t")
+        elif open_tag in ("br", "cr"):
+            buf.append("\n")
+        elif open_tag == "p" and not self_closed:
+            buf = []
+        elif close_tag == "p" or (open_tag == "p" and self_closed):
+            para = "".join(buf).strip()
+            if para:
+                paragraphs.append(para)
+            buf = []
+    return "\n".join(paragraphs)
+
+
+def extract_docx_text(payload: str) -> dict:
+    """Kernel entry: DOCX armor → main-part text; one hostile payload
+    maps to a status row (same contract as the PDF/WARC kernels)."""
+    try:
+        raw = decode_docx_payload(payload)
+        with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+            try:
+                xml = zf.read("word/document.xml").decode("utf-8", "replace")
+            except KeyError as exc:
+                raise DocxError("missing word/document.xml") from exc
+    except (DocxError, zipfile.BadZipFile, OSError) as exc:
+        return {"status": "malformed", "text": "", "error": f"docx: {exc}"}
+    except Exception as exc:  # zip bombs / weird members: never fail a task
+        return {"status": "error", "text": "",
+                "error": f"{type(exc).__name__}: {exc}"}
+    text = document_xml_to_text(xml)
+    return {"status": "ok" if text else "empty", "text": text, "error": ""}
+
+
+_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types"><Default Extension="rels" ContentType="application/vnd.'
+    'openxmlformats-package.relationships+xml"/><Default Extension="xml" '
+    'ContentType="application/xml"/><Override PartName="/word/document.xml" '
+    'ContentType="application/vnd.openxmlformats-officedocument.'
+    'wordprocessingml.document.main+xml"/></Types>'
+)
+_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'relationships"><Relationship Id="rId1" Type="http://schemas.'
+    'openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+    'Target="word/document.xml"/></Relationships>'
+)
+
+
+def build_docx(paragraphs: list[str]) -> bytes:
+    """Minimal valid .docx (testkit writer): [Content_Types].xml +
+    _rels/.rels + word/document.xml with one run per paragraph."""
+    body = "".join(
+        f"<w:p><w:r><w:t xml:space=\"preserve\">{escape(p)}</w:t></w:r></w:p>"
+        for p in paragraphs
+    )
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>' + body +
+        "</w:body></w:document>"
+    )
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        zf.writestr("_rels/.rels", _RELS)
+        zf.writestr("word/document.xml", xml)
+    return out.getvalue()

@@ -11149,6 +11149,51 @@ SELECT raw_dup_groups, skel_dup_groups, obf_rematched FROM raw_g, skel_g
 """
 
 
+def q_extraction_docx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn TEXT EQUALITY for the DOCX path — office documents are
+    a top payload class beside PDF/HTML: sampled documents are armored
+    into real ZIP/OOXML containers ('Doc {id}' heading + 8-word body
+    paragraphs — flagship.doc_to_docx_payload), the kernel must
+    classify the ``DOCXB64:`` payload, open the ZIP, parse
+    word/document.xml's <w:p>/<w:t> structure (formats/docx.py), and
+    emit exactly the newline-joined paragraph text DuckDB reconstructs
+    from the words.
+    Scale: identical fused armor+extract single-stage plan as the
+    other roundtrips."""
+    from .engine import extract_turns
+    from .flagship import build_docx_transcripts_from_documents
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 3)
+    tr = build_docx_transcripts_from_documents(spark, docs, num_partitions=16)
+    out = extract_turns(tr, repartition=False)
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
+    return out.select(doc_id, "kind", "status", "text").orderBy("doc_id")
+
+
+SQL_EXTRACTION_DOCX_ROUNDTRIP = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 5 = 3),
+paras AS (
+  SELECT doc_id,
+         list_transform(
+           range(CAST(ceil(least(len(ws), 40) / 8.0) AS BIGINT)),
+           k -> array_to_string(ws[1 + k * 8: (k + 1) * 8], ' ')) AS body
+  FROM w)
+SELECT doc_id, 'docx' AS kind, 'ok' AS status,
+       'Doc ' || CAST(doc_id AS VARCHAR) ||
+       CASE WHEN len(body) > 0 AND body[1] <> ''
+            THEN chr(10) || array_to_string(
+                   list_filter(body, x -> x <> ''), chr(10))
+            ELSE '' END AS text
+FROM paras ORDER BY doc_id
+"""
+
+
 def q_text_attribute_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused attribute tagging — the Dolma/RedPajama architecture:
     compute EVERY tagger in ONE scan (quality score, stopword
@@ -11765,4 +11810,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_extraction_pdf_forms, SQL_EXTRACTION_PDF_FORMS
     ),
     "dedup_homoglyph": (q_dedup_homoglyph, SQL_DEDUP_HOMOGLYPH),
+    "extraction_docx_roundtrip": (
+        q_extraction_docx_roundtrip, SQL_EXTRACTION_DOCX_ROUNDTRIP
+    ),
 }

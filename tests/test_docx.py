@@ -1,0 +1,100 @@
+"""DOCX extraction: container, WordprocessingML parsing, kernel path."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+from pdf_parser_c_spark.flagship import (
+    build_docx_transcripts_from_documents,
+    doc_to_docx_payload,
+)
+from pdf_parser_c_spark.formats.docx import (
+    DOCX_B64_PREFIX,
+    build_docx,
+    document_xml_to_text,
+    encode_docx_payload,
+    extract_docx_text,
+)
+
+TEXT = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon")
+
+
+class TestXml:
+    def test_paragraphs_runs_tabs_breaks(self):
+        xml = ("<w:document><w:body>"
+               "<w:p><w:r><w:t>a</w:t><w:tab/><w:t>b</w:t><w:br/>"
+               "<w:t>c</w:t></w:r></w:p>"
+               "<w:p/>"
+               '<w:p><w:r><w:t xml:space="preserve"> keep </w:t></w:r></w:p>'
+               "</w:body></w:document>")
+        assert document_xml_to_text(xml) == "a\tb\nc\nkeep"
+
+    def test_entities(self):
+        assert document_xml_to_text(
+            "<w:p><w:t>&#x41;&#66;&amp;&lt;&gt;</w:t></w:p>") == "AB&<>"
+        # a malformed entity is not an entity: passes through verbatim
+        assert document_xml_to_text(
+            "<w:p><w:t>&#xZZ;ok</w:t></w:p>") == "&#xZZ;ok"
+        # out-of-range numeric char maps to nothing, never raises
+        assert document_xml_to_text(
+            "<w:p><w:t>&#x110000;ok</w:t></w:p>") == "ok"
+
+    def test_attributes_on_tags(self):
+        xml = ('<w:p w:rsidR="00A"><w:r><w:t>x</w:t></w:r></w:p>')
+        assert document_xml_to_text(xml) == "x"
+
+    def test_table_cells_flow(self):
+        xml = ("<w:tbl><w:tr><w:tc><w:p><w:t>c1</w:t></w:p></w:tc>"
+               "<w:tc><w:p><w:t>c2</w:t></w:p></w:tc></w:tr></w:tbl>")
+        assert document_xml_to_text(xml) == "c1\nc2"
+
+
+class TestContainer:
+    def test_roundtrip(self):
+        paras = ["Heading", "body with <angle> & amp", "tabs\tstay"]
+        r = extract_docx_text(encode_docx_payload(build_docx(paras)))
+        assert r["status"] == "ok" and r["text"] == "\n".join(paras)
+
+    def test_hostility(self):
+        assert extract_docx_text("DOCXB64:!!!")["status"] == "malformed"
+        assert extract_docx_text(
+            encode_docx_payload(b"PK garbage"))["status"] == "malformed"
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("other.xml", "x")
+        assert extract_docx_text(
+            encode_docx_payload(buf.getvalue()))["status"] == "malformed"
+        # truncated zip
+        good = build_docx(["a"])
+        assert extract_docx_text(
+            encode_docx_payload(good[: len(good) // 2]))["status"] == "malformed"
+
+    def test_empty_document(self):
+        assert extract_docx_text(
+            encode_docx_payload(build_docx([])))["status"] == "empty"
+
+
+class TestKernel:
+    def test_extract_turns_docx_kind(self, spark):
+        from pdf_parser_c_spark.engine import extract_turns
+
+        docs = spark.createDataFrame(
+            [(i, TEXT) for i in range(4)], "doc_id long, text string")
+        tr = build_docx_transcripts_from_documents(spark, docs)
+        rows = extract_turns(tr, repartition=False).collect()
+        assert len(rows) == 4
+        for row in rows:
+            did = int(row.conv_id[4:]) * 10 + row.turn_idx
+            assert row.kind == "docx" and row.status == "ok"
+            assert row.text.startswith(f"Doc {did}\nalpha beta")
+            assert [(s.start, s.end) for s in row.spans] == [(0, len(row.text))]
+
+    def test_classify(self):
+        import pandas as pd
+
+        from pdf_parser_c_spark.engine import classify_payload
+
+        s = pd.Series([doc_to_docx_payload(1, TEXT), "plain"])
+        assert list(classify_payload(s)) == ["docx", "plain"]
