@@ -496,6 +496,44 @@ def build_docx_transcripts_from_documents(
     return d.mapInPandas(kernel, schema=TRANSCRIPTS_SCHEMA)
 
 
+def doc_to_wds_payload(doc_id: int, text: str) -> str:
+    """WebDataset armor: each document becomes a 2-sample tar shard
+    ({id}a, {id}b), each sample a .txt modality (8-word slices) plus a
+    .cls label (doc_id %% 10 / %% 7); gzipped shard when doc_id is
+    even.  Keys, contents, and byte sizes are SQL-reconstructible."""
+    from .sources.webdataset import build_wds_shard, encode_wds_payload
+
+    w = text.split()
+    samples = [
+        (f"{doc_id:08d}a", {"txt": " ".join(w[0:8]).encode(),
+                            "cls": str(doc_id % 10).encode()}),
+        (f"{doc_id:08d}b", {"txt": " ".join(w[8:16]).encode(),
+                            "cls": str(doc_id % 7).encode()}),
+    ]
+    return encode_wds_payload(
+        build_wds_shard(samples, gzipped=doc_id % 2 == 0))
+
+
+def build_wds_shards_from_documents(
+    spark: SparkSession, docs: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """documents → (shard_id, text=armored WebDataset shard)."""
+    d = docs.select("doc_id", "text")
+    if num_partitions is not None:
+        d = d.repartition(num_partitions, "doc_id")
+
+    def kernel(batches):
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "shard_id": ids,
+                "text": [doc_to_wds_payload(int(i), str(t))
+                         for i, t in zip(ids, b["text"])],
+            })
+
+    return d.mapInPandas(kernel, schema="shard_id long, text string")
+
+
 def doc_to_warc_payload(doc_id: int, text: str) -> str:
     """WARC armor: the document's HTML page wrapped in a 3-record
     web archive (warcinfo + request + response), the Common Crawl

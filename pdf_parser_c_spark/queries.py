@@ -11194,6 +11194,56 @@ FROM paras ORDER BY doc_id
 """
 
 
+def q_extraction_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard ingestion — the tar-of-samples format
+    multimodal training sets ship in: sampled documents become
+    2-sample shards (gzip and plain variants by doc_id —
+    flagship.doc_to_wds_payload), and the reader
+    (sources/webdataset.py: stdlib tar, first-dot key/ext split, text
+    modalities decoded, binary digest-only) must reproduce every
+    (key, ext, size, content, md5) row DuckDB reconstructs from the
+    words.  The shard is the parallelism unit — exactly Spark's
+    partition model at 100 TB.
+    Scale: armor + read fused after one doc_id exchange; member
+    payloads never leave the kernel except as text/digest."""
+    from .flagship import build_wds_shards_from_documents
+    from .sources.webdataset import read_webdataset_samples
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
+    shards = build_wds_shards_from_documents(spark, docs, num_partitions=16)
+    return (
+        read_webdataset_samples(shards)
+        .select(F.col("shard_id").alias("doc_id"), "key", "ext",
+                "n_bytes", "content", "digest", "status")
+        .orderBy("doc_id", "key", "ext")
+    )
+
+
+SQL_EXTRACTION_WDS_ROUNDTRIP = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 5 = 2),
+rows_ AS (
+  SELECT doc_id,
+         printf('%08d', CAST(doc_id AS INTEGER)) || s.suffix AS key,
+         s.ext,
+         CASE s.slot
+           WHEN 'ta' THEN array_to_string(ws[1:8], ' ')
+           WHEN 'tb' THEN array_to_string(ws[9:16], ' ')
+           WHEN 'ca' THEN CAST(doc_id % 10 AS VARCHAR)
+           ELSE CAST(doc_id % 7 AS VARCHAR) END AS content
+  FROM w, (VALUES ('a', 'txt', 'ta'), ('a', 'cls', 'ca'),
+                  ('b', 'txt', 'tb'), ('b', 'cls', 'cb'))
+       AS s(suffix, ext, slot))
+SELECT doc_id, key, ext,
+       CAST(length(content) AS INTEGER) AS n_bytes,
+       content, md5(content) AS digest, 'ok' AS status
+FROM rows_ ORDER BY doc_id, key, ext
+"""
+
+
 def q_text_attribute_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused attribute tagging — the Dolma/RedPajama architecture:
     compute EVERY tagger in ONE scan (quality score, stopword
@@ -11812,5 +11862,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_homoglyph": (q_dedup_homoglyph, SQL_DEDUP_HOMOGLYPH),
     "extraction_docx_roundtrip": (
         q_extraction_docx_roundtrip, SQL_EXTRACTION_DOCX_ROUNDTRIP
+    ),
+    "extraction_wds_roundtrip": (
+        q_extraction_wds_roundtrip, SQL_EXTRACTION_WDS_ROUNDTRIP
     ),
 }

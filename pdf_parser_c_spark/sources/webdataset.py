@@ -1,0 +1,162 @@
+"""WebDataset tar-shard ingestion.
+
+Large multimodal training sets ship as WebDataset shards: POSIX tar
+archives where each SAMPLE is a group of adjacent members sharing a
+basename stem — ``000123.jpg`` + ``000123.txt`` + ``000123.cls`` is
+one sample with three modalities.  Readers stream samples in tar
+order; the shard is the unit of parallelism (one task per shard, no
+intra-shard seek), which is exactly Spark's partition model.
+
+This reader uses the stdlib ``tarfile`` (plain and gzip shards via
+``r:*``) and applies the WebDataset grouping rule: the sample key is
+the member path up to the FIRST dot of the basename, the extension is
+everything after it (so ``a/b.seg.png`` → key ``a/b``, ext
+``seg.png``).  Member payloads decode to text for text-ish extensions
+(txt/cls/json/csv); others surface as size + digest rows so binary
+modalities stay inside the kernel (the multimodal contract).
+
+Shards ride the string ``text`` column base64-armored (``WDSB64:``),
+the sandbox stand-in for a binary column.  Hostile shards map to
+status rows, never task failures.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import hashlib
+import io
+import tarfile
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+WDS_B64_PREFIX = "WDSB64:"
+_TEXT_EXTS = {"txt", "cls", "json", "csv", "md"}
+_MAX_MEMBERS = 100_000
+_MAX_MEMBER_BYTES = 1 << 30
+
+
+class WdsError(ValueError):
+    pass
+
+
+def encode_wds_payload(buf: bytes) -> str:
+    return WDS_B64_PREFIX + base64.b64encode(buf).decode("ascii")
+
+
+def decode_wds_payload(payload: str) -> bytes:
+    if not payload.startswith(WDS_B64_PREFIX):
+        raise WdsError("not WDS armor")
+    try:
+        return base64.b64decode(payload[len(WDS_B64_PREFIX):], validate=True)
+    except (ValueError, binascii.Error) as exc:
+        raise WdsError(f"armor: {exc}") from exc
+
+
+def split_key_ext(name: str) -> tuple[str, str]:
+    """WebDataset rule: split the BASENAME at its first dot; the
+    directory part stays in the key."""
+    slash = name.rfind("/")
+    dot = name.find(".", slash + 1)
+    if dot == -1:
+        return name, ""
+    return name[:dot], name[dot + 1:]
+
+
+def iter_wds_members(buf: bytes):
+    """Yield (key, ext, payload bytes) in tar order."""
+    try:
+        tf = tarfile.open(fileobj=io.BytesIO(buf), mode="r:*")
+    except (tarfile.TarError, EOFError, OSError) as exc:
+        raise WdsError(f"tar: {exc}") from exc
+    with tf:
+        n = 0
+        it = iter(tf)
+        while True:
+            # a truncated shard yields its readable prefix (salvage —
+            # same posture as the WARC resync); a CORRUPT header mid-
+            # stream wraps into WdsError so the kernel labels the row
+            try:
+                member = next(it)
+            except StopIteration:
+                break
+            except (tarfile.TarError, EOFError, OSError) as exc:
+                raise WdsError(f"tar member: {exc}") from exc
+            if not member.isfile():
+                continue
+            n += 1
+            if n > _MAX_MEMBERS:
+                raise WdsError("member-count bomb")
+            if member.size > _MAX_MEMBER_BYTES:
+                raise WdsError("member-size bomb")
+            try:
+                f = tf.extractfile(member)
+                data = f.read() if f is not None else b""
+            except (tarfile.TarError, EOFError, OSError) as exc:
+                raise WdsError(f"tar payload: {exc}") from exc
+            key, ext = split_key_ext(member.name)
+            yield key, ext, data
+
+
+def build_wds_shard(samples: list[tuple[str, dict[str, bytes]]],
+                    gzipped: bool = False) -> bytes:
+    """Testkit writer: [(key, {ext: payload})] → deterministic shard
+    (zeroed mtime/uid/gid, members in dict order per sample)."""
+    out = io.BytesIO()
+    with tarfile.open(fileobj=out, mode="w:gz" if gzipped else "w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        for key, parts in samples:
+            for ext, payload in parts.items():
+                info = tarfile.TarInfo(name=f"{key}.{ext}")
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                tf.addfile(info, io.BytesIO(payload))
+    return out.getvalue()
+
+
+WDS_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("shard_id", T.LongType()),
+    T.StructField("key", T.StringType()),
+    T.StructField("ext", T.StringType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("content", T.StringType()),   # text exts only
+    T.StructField("digest", T.StringType()),    # md5 of the raw payload
+    T.StructField("status", T.StringType()),
+])
+
+
+def read_webdataset_samples(df: DataFrame, id_col: str = "shard_id",
+                            payload_col: str = "text") -> DataFrame:
+    """(shard_id, armored tar) → one row per member, WebDataset keys
+    split, text members decoded, binary members digest-only.  A broken
+    shard yields one labeled error row (accounting stays exact)."""
+    src = df.select(id_col, payload_col)
+
+    def gen(batches):
+        cols = [f.name for f in WDS_SAMPLE_SCHEMA.fields]
+        for b in batches:
+            out: list[dict] = []
+            for sid, payload in zip(b[id_col].astype("int64"), b[payload_col]):
+                try:
+                    for key, ext, data in iter_wds_members(
+                            decode_wds_payload(str(payload or ""))):
+                        out.append({
+                            "shard_id": int(sid), "key": key, "ext": ext,
+                            "n_bytes": len(data),
+                            "content": (data.decode("utf-8", "replace")
+                                        if ext in _TEXT_EXTS else None),
+                            "digest": hashlib.md5(data).hexdigest(),
+                            "status": "ok",
+                        })
+                except WdsError as exc:
+                    out.append({
+                        "shard_id": int(sid), "key": None, "ext": None,
+                        "n_bytes": 0, "content": None, "digest": None,
+                        "status": f"malformed: {exc}"[:80],
+                    })
+            yield pd.DataFrame(out, columns=cols)
+
+    return src.mapInPandas(gen, schema=WDS_SAMPLE_SCHEMA)

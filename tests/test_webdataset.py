@@ -1,0 +1,85 @@
+"""WebDataset shard reader: grouping rule, tar variants, hostility."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_parser_c_spark.flagship import (
+    build_wds_shards_from_documents,
+    doc_to_wds_payload,
+)
+from pdf_parser_c_spark.sources.webdataset import (
+    WdsError,
+    build_wds_shard,
+    decode_wds_payload,
+    encode_wds_payload,
+    iter_wds_members,
+    read_webdataset_samples,
+    split_key_ext,
+)
+
+SAMPLES = [
+    ("000001", {"txt": b"hello world", "cls": b"3", "bin": b"\x00\x01\x02"}),
+    ("sub/000002", {"seg.png": b"notapng", "txt": b"two"}),
+]
+
+
+class TestReader:
+    @pytest.mark.parametrize("gz", (False, True))
+    def test_order_and_grouping(self, gz):
+        rows = list(iter_wds_members(build_wds_shard(SAMPLES, gzipped=gz)))
+        assert [(k, e) for k, e, _ in rows] == [
+            ("000001", "txt"), ("000001", "cls"), ("000001", "bin"),
+            ("sub/000002", "seg.png"), ("sub/000002", "txt")]
+        assert rows[0][2] == b"hello world"
+
+    def test_first_dot_rule(self):
+        assert split_key_ext("a/b.seg.png") == ("a/b", "seg.png")
+        assert split_key_ext("x.txt") == ("x", "txt")
+        assert split_key_ext("noext") == ("noext", "")
+        # dots in the DIRECTORY don't split
+        assert split_key_ext("v1.2/k.txt") == ("v1.2/k", "txt")
+
+    def test_deterministic_bytes(self):
+        assert build_wds_shard(SAMPLES) == build_wds_shard(SAMPLES)
+
+    def test_hostility(self):
+        with pytest.raises(WdsError):
+            list(iter_wds_members(b"not a tar" * 100))
+        # truncation: salvage semantics — a readable PREFIX of members
+        # (or WdsError if the cut corrupts a header), never junk rows
+        good = build_wds_shard(SAMPLES)
+        full = [(k, e) for k, e, _ in iter_wds_members(good)]
+        for cut in (len(good) // 5, len(good) // 3, len(good) - 100):
+            try:
+                got = [(k, e) for k, e, _ in iter_wds_members(good[:cut])]
+            except WdsError:
+                continue
+            assert got == full[: len(got)]
+        with pytest.raises(WdsError):
+            decode_wds_payload("WDSB64:!!!")
+
+
+class TestSpark:
+    def test_samples_frame(self, spark):
+        docs = spark.createDataFrame(
+            [(4, " ".join(f"w{i}" for i in range(1, 20)))],
+            "doc_id long, text string")
+        shards = build_wds_shards_from_documents(spark, docs)
+        rows = (read_webdataset_samples(shards)
+                .orderBy("key", "ext").collect())
+        assert [(r.key, r.ext) for r in rows] == [
+            ("00000004a", "cls"), ("00000004a", "txt"),
+            ("00000004b", "cls"), ("00000004b", "txt")]
+        by = {(r.key, r.ext): r for r in rows}
+        assert by[("00000004a", "txt")].content == "w1 w2 w3 w4 w5 w6 w7 w8"
+        assert by[("00000004a", "cls")].content == "4"
+        assert all(r.status == "ok" for r in rows)
+
+    def test_broken_shard_error_row(self, spark):
+        import base64
+
+        bad = "WDSB64:" + base64.b64encode(b"garbage" * 100).decode()
+        df = spark.createDataFrame([(9, bad)], "shard_id long, text string")
+        rows = read_webdataset_samples(df).collect()
+        assert len(rows) == 1 and rows[0].status.startswith("malformed")
