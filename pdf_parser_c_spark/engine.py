@@ -101,8 +101,11 @@ def _decode_armor(payload: str) -> bytes:
 
 
 def classify_payload(s: pd.Series) -> pd.Series:
-    """Vectorized payload sniff: 'pdf' | 'warc' | 'docx' | 'html' | 'plain'."""
+    """Vectorized payload sniff:
+    'pdf' | 'warc' | 'docx' | 'eml' | 'ipynb' | 'html' | 'plain'."""
     from .formats.docx import DOCX_B64_PREFIX
+    from .formats.email_msg import EML_B64_PREFIX
+    from .formats.ipynb import looks_like_ipynb
     from .sources.warc import WARC_B64_PREFIX
 
     s = s.fillna("")
@@ -110,10 +113,16 @@ def classify_payload(s: pd.Series) -> pd.Series:
     kind[s.str.startswith(PDF_B64_PREFIX) | s.str.startswith(PDF_B85_PREFIX)] = "pdf"
     kind[s.str.startswith(WARC_B64_PREFIX)] = "warc"
     kind[s.str.startswith(DOCX_B64_PREFIX)] = "docx"
+    kind[s.str.startswith(EML_B64_PREFIX)] = "eml"
     maybe_html = (kind == "plain") & s.str.lstrip().str.startswith("<")
     if maybe_html.any():
         kind[maybe_html] = [
             "html" if looks_like_html(v) else "plain" for v in s[maybe_html]
+        ]
+    maybe_nb = (kind == "plain") & s.str.lstrip().str.startswith("{")
+    if maybe_nb.any():
+        kind[maybe_nb] = [
+            "ipynb" if looks_like_ipynb(v) else "plain" for v in s[maybe_nb]
         ]
     return kind
 
@@ -230,6 +239,24 @@ def extract_pandas_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             from .formats.docx import extract_docx_text
 
             r = extract_docx_text(text_vals[i])
+            out_text[i] = r["text"]
+            status[i] = r["status"]
+            error[i] = r["error"]
+            if r["text"]:
+                spans[i] = [{"start": 0, "end": len(r["text"])}]
+        elif k == "eml":
+            from .formats.email_msg import extract_email_text
+
+            r = extract_email_text(text_vals[i])
+            out_text[i] = r["text"]
+            status[i] = r["status"]
+            error[i] = r["error"]
+            if r["text"]:
+                spans[i] = [{"start": 0, "end": len(r["text"])}]
+        elif k == "ipynb":
+            from .formats.ipynb import extract_ipynb_text
+
+            r = extract_ipynb_text(text_vals[i])
             out_text[i] = r["text"]
             status[i] = r["status"]
             error[i] = r["error"]

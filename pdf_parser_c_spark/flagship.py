@@ -534,6 +534,86 @@ def build_wds_shards_from_documents(
     return d.mapInPandas(kernel, schema="shard_id long, text string")
 
 
+def doc_to_eml_payload(doc_id: int, text: str) -> str:
+    """Email armor: multipart/alternative whose text/plain part
+    (quoted-printable) is 'Doc {id}' + newline + the ws-collapsed
+    document text, and whose text/html part (base64) is the HTML armor
+    page — both Content-Transfer-Encodings exercised; the kernel must
+    prefer the plain part."""
+    from .formats.email_msg import build_eml, encode_eml_payload
+
+    collapsed = " ".join(text.split())
+    plain = f"Doc {doc_id}" + (("\n" + collapsed) if collapsed else "")
+    return encode_eml_payload(
+        build_eml(f"Doc {doc_id}", plain, doc_to_html_payload(doc_id, text)))
+
+
+def doc_to_ipynb_payload(doc_id: int, text: str) -> str:
+    """Notebook armor: markdown heading '# Doc {id}', a code cell of
+    words[0:8], a raw cell of words[8:16] — joined by blank lines in
+    the extraction policy (outputs dropped)."""
+    from .formats.ipynb import build_ipynb
+
+    w = text.split()
+    return build_ipynb([
+        ("markdown", f"# Doc {doc_id}"),
+        ("code", " ".join(w[0:8])),
+        ("raw", " ".join(w[8:16])),
+    ])
+
+
+def doc_to_srt_payload(doc_id: int, text: str) -> str:
+    """SRT armor: 2 + doc_id%2 cues; cue j (0-based) spans
+    [1000·(j+1) + doc_id%997, +800] ms with text words[4j:4j+4]
+    (or 'cue')."""
+    from .formats.srt import build_srt
+
+    w = text.split()
+    cues = []
+    for j in range(2 + doc_id % 2):
+        start = 1000 * (j + 1) + doc_id % 997
+        body = " ".join(w[4 * j: 4 * j + 4]) or "cue"
+        cues.append((start, start + 800, body))
+    return build_srt(cues)
+
+
+def _single_kind_armor_builder(payload_fn):
+    def build(spark: SparkSession, docs: DataFrame,
+              num_partitions: int | None = None) -> DataFrame:
+        d = docs.select("doc_id", "text")
+        if num_partitions is not None:
+            d = d.repartition(num_partitions, "doc_id")
+
+        def kernel(batches):
+            for b in batches:
+                ids = b["doc_id"].astype("int64")
+                payloads = [
+                    payload_fn(int(i), str(t)) for i, t in zip(ids, b["text"])
+                ]
+                yield pd.DataFrame(
+                    {
+                        "conv_id": (ids // 10).map("conv{:06d}".format),
+                        "turn_idx": (ids % 10).astype("int32"),
+                        "role": (ids % 3).map(
+                            lambda m: ("user", "assistant", "tool")[m]),
+                        "text": payloads,
+                        "tool": pd.Series([None] * len(ids), dtype="object"),
+                        "ts": pd.Timestamp(_EPOCH)
+                        + pd.to_timedelta(ids, unit="m"),
+                    }
+                )
+
+        return d.mapInPandas(kernel, schema=TRANSCRIPTS_SCHEMA)
+
+    return build
+
+
+build_eml_transcripts_from_documents = _single_kind_armor_builder(
+    doc_to_eml_payload)
+build_ipynb_transcripts_from_documents = _single_kind_armor_builder(
+    doc_to_ipynb_payload)
+
+
 def doc_to_warc_payload(doc_id: int, text: str) -> str:
     """WARC armor: the document's HTML page wrapped in a 3-record
     web archive (warcinfo + request + response), the Common Crawl

@@ -1,0 +1,132 @@
+"""RFC 5322 / MIME email text extraction.
+
+Mail archives are a staple enterprise corpus.  An .eml message is a
+header block plus a (possibly multipart) body; the extraction rule
+follows what every mail pipeline does:
+
+* walk MIME parts depth-first; prefer the FIRST ``text/plain`` leaf
+  (in multipart/alternative the plain variant is authoritative for
+  text corpora), else fall back to ``text/html`` through the existing
+  boilerplate stripper,
+* decode Content-Transfer-Encoding (base64 / quoted-printable / 7bit)
+  and the declared charset via the stdlib ``email`` package — the
+  battle-tested parser; this module adds only the corpus policy,
+* attachments (Content-Disposition: attachment) never contribute text.
+
+Messages ride the string column armored as ``EMLB64:`` (raw RFC 5322
+is CRLF-sensitive; armor keeps it byte-exact).  Hostile payloads map
+to status rows — the kernel contract.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+from email import message_from_bytes
+from email.message import Message
+
+EML_B64_PREFIX = "EMLB64:"
+
+
+class EmlError(ValueError):
+    pass
+
+
+def encode_eml_payload(buf: bytes) -> str:
+    return EML_B64_PREFIX + base64.b64encode(buf).decode("ascii")
+
+
+def decode_eml_payload(payload: str) -> bytes:
+    if not payload.startswith(EML_B64_PREFIX):
+        raise EmlError("not EML armor")
+    try:
+        return base64.b64decode(payload[len(EML_B64_PREFIX):], validate=True)
+    except (ValueError, binascii.Error) as exc:
+        raise EmlError(f"armor: {exc}") from exc
+
+
+def _part_text(part: Message) -> str:
+    raw = part.get_payload(decode=True)
+    if raw is None:
+        raw = str(part.get_payload()).encode()
+    charset = part.get_content_charset() or "utf-8"
+    try:
+        return raw.decode(charset, "replace")
+    except LookupError:  # unknown charset label
+        return raw.decode("utf-8", "replace")
+
+
+def _walk_leaves(msg: Message):
+    if msg.is_multipart():
+        for sub in msg.get_payload():
+            if isinstance(sub, Message):
+                yield from _walk_leaves(sub)
+    else:
+        yield msg
+
+
+def extract_email_text(payload: str) -> dict:
+    """Kernel entry: EML armor → (status, text, subject, error)."""
+    from ..html.boilerplate import extract_main_text
+
+    try:
+        raw = decode_eml_payload(payload)
+        msg = message_from_bytes(raw)
+    except EmlError as exc:
+        return {"status": "malformed", "text": "", "subject": "",
+                "error": f"eml: {exc}"}
+    except Exception as exc:  # stdlib parser is lenient; belt anyway
+        return {"status": "error", "text": "", "subject": "",
+                "error": f"{type(exc).__name__}: {exc}"}
+    plain: str | None = None
+    html: str | None = None
+    for part in _walk_leaves(msg):
+        if part.get_content_disposition() == "attachment":
+            continue
+        ctype = part.get_content_type()
+        if ctype == "text/plain" and plain is None:
+            plain = _part_text(part)
+        elif ctype == "text/html" and html is None:
+            html = _part_text(part)
+    if plain is not None and plain.strip():
+        text = plain.strip()
+    elif html is not None:
+        text = extract_main_text(html)
+    else:
+        text = ""
+    subject = msg.get("Subject", "") or ""
+    return {"status": "ok" if text else "empty", "text": text,
+            "subject": subject, "error": ""}
+
+
+def build_eml(subject: str, plain: str | None, html: str | None,
+              boundary: str = "=-fixture-boundary-=") -> bytes:
+    """Deterministic testkit writer: multipart/alternative when both
+    bodies are given (plain quoted-printable, html base64 — both CTE
+    paths exercised), single-part otherwise."""
+    import quopri
+
+    head = (f"From: sender@example.com\r\nTo: rcpt@example.com\r\n"
+            f"Subject: {subject}\r\nMIME-Version: 1.0\r\n")
+    if plain is not None and html is not None:
+        qp = quopri.encodestring(plain.encode("utf-8")).decode("ascii")
+        b64 = base64.encodebytes(html.encode("utf-8")).decode("ascii")
+        return (
+            head
+            + f'Content-Type: multipart/alternative; boundary="{boundary}"'
+            "\r\n\r\n"
+            f"--{boundary}\r\n"
+            "Content-Type: text/plain; charset=utf-8\r\n"
+            "Content-Transfer-Encoding: quoted-printable\r\n\r\n"
+            f"{qp}\r\n"
+            f"--{boundary}\r\n"
+            "Content-Type: text/html; charset=utf-8\r\n"
+            "Content-Transfer-Encoding: base64\r\n\r\n"
+            f"{b64}\r\n"
+            f"--{boundary}--\r\n"
+        ).encode("utf-8")
+    body = plain if plain is not None else (html or "")
+    ctype = "text/plain" if plain is not None else "text/html"
+    return (
+        head + f"Content-Type: {ctype}; charset=utf-8\r\n\r\n" + body
+    ).encode("utf-8")

@@ -1,0 +1,76 @@
+"""Jupyter notebook (.ipynb) text extraction.
+
+Notebooks are a major code-corpus format (nbformat 4: a JSON document
+with a ``cells`` list; each cell has ``cell_type`` and ``source`` as a
+string or list of lines).  Extraction policy for a training corpus:
+
+* markdown cells contribute their source verbatim,
+* code cells contribute their source (the code IS the content),
+* raw cells contribute verbatim,
+* OUTPUTS are dropped — execution artifacts (images, tracebacks,
+  huge reprs) are noise and a data-leak vector,
+* cells join with blank lines; trailing whitespace per cell trimmed.
+
+Notebooks are plain JSON text, so they need no armor: the kernel
+sniffs a leading ``{`` with a ``"cells"`` key in the head
+(``looks_like_ipynb``).  Malformed JSON maps to a status row.
+"""
+
+from __future__ import annotations
+
+import json
+
+_HEAD_PROBE = 512
+
+
+def looks_like_ipynb(payload: str) -> bool:
+    head = payload.lstrip()[:_HEAD_PROBE]
+    return head.startswith("{") and '"cells"' in head
+
+
+def _cell_source(cell: dict) -> str:
+    src = cell.get("source", "")
+    if isinstance(src, list):
+        src = "".join(s for s in src if isinstance(s, str))
+    return src if isinstance(src, str) else ""
+
+
+def extract_ipynb_text(payload: str) -> dict:
+    """Kernel entry: notebook JSON → cell text (status row on junk)."""
+    try:
+        nb = json.loads(payload)
+    except (ValueError, RecursionError) as exc:
+        return {"status": "malformed", "text": "",
+                "error": f"ipynb: {exc}"}
+    cells = nb.get("cells") if isinstance(nb, dict) else None
+    if not isinstance(cells, list):
+        return {"status": "malformed", "text": "",
+                "error": "ipynb: no cells list"}
+    parts: list[str] = []
+    for cell in cells:
+        if not isinstance(cell, dict):
+            continue
+        if cell.get("cell_type") in ("markdown", "code", "raw"):
+            s = _cell_source(cell).strip()
+            if s:
+                parts.append(s)
+    text = "\n\n".join(parts)
+    return {"status": "ok" if text else "empty", "text": text, "error": ""}
+
+
+def build_ipynb(cells: list[tuple[str, str]]) -> str:
+    """Testkit writer: [(cell_type, source)] → nbformat-4 JSON."""
+    return json.dumps(
+        {
+            "cells": [
+                {"cell_type": t, "metadata": {}, "source": s,
+                 **({"outputs": [], "execution_count": None}
+                    if t == "code" else {})}
+                for t, s in cells
+            ],
+            "metadata": {"language_info": {"name": "python"}},
+            "nbformat": 4,
+            "nbformat_minor": 5,
+        },
+        sort_keys=True,
+    )

@@ -1,0 +1,114 @@
+"""SubRip (.srt) subtitle parsing — timed speech transcripts.
+
+Speech/video corpora carry their transcripts as subtitle cues: an
+index line, a ``HH:MM:SS,mmm --> HH:MM:SS,mmm`` timing line, then text
+lines until a blank line.  For a transcripts engine these are turns
+with millisecond timestamps — the same (ordering, span) shape as the
+PDF section spans.
+
+Parser policy (matching the lenient readers in common tooling):
+
+* cue index is advisory — cues are re-numbered by position,
+* timing accepts ``,`` or ``.`` as the millisecond separator and
+  tolerates missing leading zeros,
+* basic inline markup (``<i>``, ``<b>``, ``<font …>``, ``{\\an8}``
+  positioning tags) is stripped,
+* a malformed cue is skipped (salvage), not fatal; a payload with NO
+  parsable cue reports malformed.
+
+Spark path: :func:`parse_srt_cues` — one mapInPandas pass to
+(cue_idx, start_ms, end_ms, text) rows.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_TIME_RE = re.compile(
+    r"(\d{1,2}):(\d{1,2}):(\d{1,2})[,.](\d{1,3})\s*-->\s*"
+    r"(\d{1,2}):(\d{1,2}):(\d{1,2})[,.](\d{1,3})")
+_MARKUP_RE = re.compile(r"</?[a-zA-Z][^>]*>|\{\\[^}]*\}")
+
+
+class SrtError(ValueError):
+    pass
+
+
+def _ms(h: str, m: str, s: str, ms: str) -> int:
+    return ((int(h) * 60 + int(m)) * 60 + int(s)) * 1000 + int(ms.ljust(3, "0"))
+
+
+def parse_srt(payload: str) -> list[dict]:
+    """→ [{cue_idx, start_ms, end_ms, text}] in document order."""
+    cues: list[dict] = []
+    for block in re.split(r"\r?\n\s*\r?\n", payload.strip()):
+        lines = [ln.strip("﻿").rstrip("\r")
+                 for ln in block.split("\n") if ln.strip()]
+        if not lines:
+            continue
+        t = None
+        text_at = None
+        for i, ln in enumerate(lines[:2]):
+            t = _TIME_RE.search(ln)
+            if t:
+                text_at = i + 1
+                break
+        if t is None:
+            continue  # salvage: skip unparsable block
+        text = " ".join(
+            _MARKUP_RE.sub("", ln).strip() for ln in lines[text_at:]
+        ).strip()
+        cues.append({
+            "cue_idx": len(cues),
+            "start_ms": _ms(*t.groups()[:4]),
+            "end_ms": _ms(*t.groups()[4:]),
+            "text": text,
+        })
+    return cues
+
+
+SRT_CUE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("cue_idx", T.IntegerType()),
+    T.StructField("start_ms", T.LongType()),
+    T.StructField("end_ms", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def parse_srt_cues(df: DataFrame, id_col: str = "doc_id",
+                   payload_col: str = "text") -> DataFrame:
+    """(id, srt payload) → one row per cue."""
+    src = df.select(id_col, payload_col)
+
+    def gen(batches):
+        cols = [f.name for f in SRT_CUE_SCHEMA.fields]
+        for b in batches:
+            out: list[dict] = []
+            for did, payload in zip(b[id_col].astype("int64"), b[payload_col]):
+                for cue in parse_srt(str(payload or "")):
+                    cue = dict(cue)
+                    cue["doc_id"] = int(did)
+                    out.append(cue)
+            yield pd.DataFrame(out, columns=cols)
+
+    return src.mapInPandas(gen, schema=SRT_CUE_SCHEMA)
+
+
+def build_srt(cues: list[tuple[int, int, str]]) -> str:
+    """Testkit writer: [(start_ms, end_ms, text)] → canonical SRT."""
+    def fmt(ms: int) -> str:
+        s, ms = divmod(ms, 1000)
+        m, s = divmod(s, 60)
+        h, m = divmod(m, 60)
+        return f"{h:02d}:{m:02d}:{s:02d},{ms:03d}"
+
+    blocks = [
+        f"{i + 1}\n{fmt(a)} --> {fmt(b)}\n{text}"
+        for i, (a, b, text) in enumerate(cues)
+    ]
+    return "\n\n".join(blocks) + "\n"

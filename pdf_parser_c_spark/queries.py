@@ -11244,6 +11244,131 @@ FROM rows_ ORDER BY doc_id, key, ext
 """
 
 
+def q_extraction_eml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn TEXT EQUALITY for the EMAIL path: sampled documents
+    armor into multipart/alternative MIME messages (quoted-printable
+    plain part + base64 HTML part — flagship.doc_to_eml_payload), and
+    the kernel must classify ``EMLB64:``, walk the MIME tree, decode
+    both transfer encodings, PREFER the text/plain leaf, and emit
+    exactly 'Doc {id}' + newline + the collapsed document text.
+    Mail archives are a staple enterprise corpus (formats/email_msg).
+    Scale: same fused armor+extract single-stage plan as the other
+    roundtrips."""
+    from .engine import extract_turns
+    from .flagship import build_eml_transcripts_from_documents
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    tr = build_eml_transcripts_from_documents(spark, docs, num_partitions=16)
+    out = extract_turns(tr, repartition=False)
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
+    return out.select(doc_id, "kind", "status", "text").orderBy("doc_id")
+
+
+SQL_EXTRACTION_EML_ROUNDTRIP = r"""
+SELECT doc_id, 'eml' AS kind, 'ok' AS status,
+       'Doc ' || CAST(doc_id AS VARCHAR) ||
+       CASE WHEN collapsed <> '' THEN chr(10) || collapsed ELSE '' END AS text
+FROM (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS collapsed
+      FROM documents WHERE doc_id % 5 = 0)
+ORDER BY doc_id
+"""
+
+
+def q_extraction_ipynb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn TEXT EQUALITY for the NOTEBOOK path: documents armor
+    into nbformat-4 JSON (markdown heading + code cell + raw cell),
+    the kernel sniffs bare JSON (no armor prefix — notebooks are plain
+    text), and the extraction policy (markdown+code+raw sources,
+    outputs dropped, blank-line joins) must reproduce the DuckDB
+    reconstruction.  Notebooks are a major code-corpus format.
+    Scale: same fused single-stage plan."""
+    from .engine import extract_turns
+    from .flagship import build_ipynb_transcripts_from_documents
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
+    tr = build_ipynb_transcripts_from_documents(spark, docs, num_partitions=16)
+    out = extract_turns(tr, repartition=False)
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
+    return out.select(doc_id, "kind", "status", "text").orderBy("doc_id")
+
+
+SQL_EXTRACTION_IPYNB_ROUNDTRIP = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 5 = 1)
+SELECT doc_id, 'ipynb' AS kind, 'ok' AS status,
+       '# Doc ' || CAST(doc_id AS VARCHAR) ||
+       CASE WHEN array_to_string(ws[1:8], ' ') <> ''
+            THEN chr(10) || chr(10) || array_to_string(ws[1:8], ' ')
+            ELSE '' END ||
+       CASE WHEN array_to_string(ws[9:16], ' ') <> ''
+            THEN chr(10) || chr(10) || array_to_string(ws[9:16], ' ')
+            ELSE '' END AS text
+FROM w ORDER BY doc_id
+"""
+
+
+def q_extraction_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SubRip subtitle parsing — timed speech transcripts: documents
+    armor into SRT payloads (2-3 cues with digit-deterministic
+    millisecond spans and 4-word texts — flagship.doc_to_srt_payload)
+    and the lenient cue parser (formats/srt.py: ,/. separators, markup
+    strip, salvage on bad blocks) must reproduce every
+    (cue_idx, start_ms, end_ms, text) row.
+    Scale: armor + parse fused after one doc_id exchange."""
+    from .flagship import doc_to_srt_payload
+    from .formats.srt import parse_srt_cues
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 4)
+        .select("doc_id", "text")
+    )
+
+    import pandas as pd
+
+    def kernel(batches):
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "text": [doc_to_srt_payload(int(i), str(t_))
+                         for i, t_ in zip(ids, b["text"])],
+            })
+
+    payloads = d.repartition(16, "doc_id").mapInPandas(
+        kernel, schema="doc_id long, text string")
+    return (
+        parse_srt_cues(payloads)
+        .orderBy("doc_id", "cue_idx")
+    )
+
+
+SQL_EXTRACTION_SRT_CUES = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 5 = 4),
+cues AS (
+  SELECT doc_id, ws, CAST(j AS INTEGER) AS cue_idx,
+         CAST(1000 * (j + 1) + doc_id % 997 AS BIGINT) AS start_ms
+  FROM (SELECT doc_id, ws, unnest(range(2 + doc_id % 2)) AS j FROM w))
+SELECT doc_id, cue_idx, start_ms, start_ms + 800 AS end_ms,
+       CASE WHEN array_to_string(ws[1 + 4 * cue_idx: 4 * cue_idx + 4], ' ')
+                 <> ''
+            THEN array_to_string(ws[1 + 4 * cue_idx: 4 * cue_idx + 4], ' ')
+            ELSE 'cue' END AS text
+FROM cues ORDER BY doc_id, cue_idx
+"""
+
+
 def q_text_attribute_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused attribute tagging — the Dolma/RedPajama architecture:
     compute EVERY tagger in ONE scan (quality score, stopword
@@ -11865,5 +11990,14 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_wds_roundtrip": (
         q_extraction_wds_roundtrip, SQL_EXTRACTION_WDS_ROUNDTRIP
+    ),
+    "extraction_eml_roundtrip": (
+        q_extraction_eml_roundtrip, SQL_EXTRACTION_EML_ROUNDTRIP
+    ),
+    "extraction_ipynb_roundtrip": (
+        q_extraction_ipynb_roundtrip, SQL_EXTRACTION_IPYNB_ROUNDTRIP
+    ),
+    "extraction_srt_cues": (
+        q_extraction_srt_cues, SQL_EXTRACTION_SRT_CUES
     ),
 }

@@ -1,0 +1,135 @@
+"""Email / notebook / subtitle formats: parsing, policy, kernel paths."""
+
+from __future__ import annotations
+
+from pdf_parser_c_spark.flagship import (
+    build_eml_transcripts_from_documents,
+    build_ipynb_transcripts_from_documents,
+    doc_to_eml_payload,
+    doc_to_ipynb_payload,
+    doc_to_srt_payload,
+)
+from pdf_parser_c_spark.formats.email_msg import (
+    build_eml,
+    encode_eml_payload,
+    extract_email_text,
+)
+from pdf_parser_c_spark.formats.ipynb import (
+    build_ipynb,
+    extract_ipynb_text,
+    looks_like_ipynb,
+)
+from pdf_parser_c_spark.formats.srt import build_srt, parse_srt, parse_srt_cues
+
+TEXT = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma")
+
+
+class TestEmail:
+    def test_plain_preferred_over_html(self):
+        eml = build_eml("S", "the plain body", "<html><body><p>html</p></body></html>")
+        r = extract_email_text(encode_eml_payload(eml))
+        assert r["text"] == "the plain body" and r["subject"] == "S"
+
+    def test_html_fallback_strips_boilerplate(self):
+        html = ("<html><body><nav><a href='/'>m</a></nav><article><h1>Head</h1>"
+                "<p>" + "content words here okay " * 3 + "</p></article></body></html>")
+        r = extract_email_text(encode_eml_payload(build_eml("S", None, html)))
+        assert r["status"] == "ok" and r["text"].startswith("Head")
+        assert "m" != r["text"][0]
+
+    def test_transfer_encodings_decode(self):
+        # armor builder uses qp for plain and base64 for html
+        r = extract_email_text(doc_to_eml_payload(3, "naïve émigré text"))
+        assert r["text"] == "Doc 3\nnaïve émigré text"
+
+    def test_attachment_never_contributes(self):
+        raw = (b"From: a@b\r\nSubject: s\r\nMIME-Version: 1.0\r\n"
+               b'Content-Type: multipart/mixed; boundary="bb"\r\n\r\n'
+               b"--bb\r\nContent-Type: text/plain\r\n\r\nreal body\r\n"
+               b"--bb\r\nContent-Type: text/plain\r\n"
+               b'Content-Disposition: attachment; filename="x.txt"\r\n\r\n'
+               b"attached noise\r\n--bb--\r\n")
+        r = extract_email_text(encode_eml_payload(raw))
+        assert r["text"] == "real body"
+
+    def test_hostility(self):
+        assert extract_email_text("EMLB64:!!!")["status"] == "malformed"
+        assert extract_email_text(
+            encode_eml_payload(b""))["status"] == "empty"
+        extract_email_text(encode_eml_payload(b"\xff\xfe garbage"))
+
+
+class TestIpynb:
+    def test_policy_outputs_dropped(self):
+        import json
+
+        nb = json.loads(build_ipynb([("code", "x=1")]))
+        nb["cells"][0]["outputs"] = [{"output_type": "stream",
+                                      "text": ["NOISE"]}]
+        r = extract_ipynb_text(json.dumps(nb))
+        assert r["text"] == "x=1" and "NOISE" not in r["text"]
+
+    def test_source_as_line_list(self):
+        import json
+
+        nb = json.loads(build_ipynb([("markdown", "")]))
+        nb["cells"][0]["source"] = ["line1\n", "line2"]
+        assert extract_ipynb_text(json.dumps(nb))["text"] == "line1\nline2"
+
+    def test_sniff(self):
+        assert looks_like_ipynb(build_ipynb([("code", "x")]))
+        assert not looks_like_ipynb('{"a": 1}')
+        assert not looks_like_ipynb("plain")
+
+    def test_hostility(self):
+        assert extract_ipynb_text("{broken")["status"] == "malformed"
+        assert extract_ipynb_text('{"cells": 3}')["status"] == "malformed"
+        assert extract_ipynb_text('{"cells": [1, {"cell_type": "code"}]}'
+                                  )["status"] == "empty"
+
+
+class TestSrt:
+    def test_lenient_parsing(self):
+        messy = ("1\n00:00:01.5 --> 00:00:02,000\n"
+                 "<i>styl{\\an8}ed</i> text\nsecond line\n\n"
+                 "garbage block\nno timing\n\n"
+                 "0:1:2,003 --> 0:1:2,500\nok")
+        cues = parse_srt(messy)
+        assert [(c["start_ms"], c["text"]) for c in cues] == [
+            (1500, "styled text second line"), (62003, "ok")]
+
+    def test_roundtrip(self):
+        srt = build_srt([(0, 1500, "a"), (61001, 62002, "b c")])
+        assert [(c["start_ms"], c["end_ms"], c["text"])
+                for c in parse_srt(srt)] == [(0, 1500, "a"),
+                                             (61001, 62002, "b c")]
+
+    def test_no_cues(self):
+        assert parse_srt("just some text") == []
+
+    def test_spark_cues(self, spark):
+        docs = spark.createDataFrame(
+            [(4, doc_to_srt_payload(4, TEXT))], "doc_id long, text string")
+        rows = parse_srt_cues(docs).orderBy("cue_idx").collect()
+        assert len(rows) == 2 and rows[0].start_ms == 1004
+        assert rows[0].text == "alpha beta gamma delta"
+
+
+class TestKernel:
+    def test_eml_and_ipynb_kinds(self, spark):
+        from pdf_parser_c_spark.engine import extract_turns
+
+        docs = spark.createDataFrame(
+            [(1, TEXT), (2, TEXT)], "doc_id long, text string")
+        out_e = extract_turns(
+            build_eml_transcripts_from_documents(spark, docs),
+            repartition=False).collect()
+        assert {r.kind for r in out_e} == {"eml"}
+        assert all(r.status == "ok" and r.text.startswith("Doc ")
+                   for r in out_e)
+        out_n = extract_turns(
+            build_ipynb_transcripts_from_documents(spark, docs),
+            repartition=False).collect()
+        assert {r.kind for r in out_n} == {"ipynb"}
+        assert all(r.text.startswith("# Doc ") for r in out_n)
