@@ -134,6 +134,12 @@ def main() -> None:
         "extraction_pdf_links": "/Annots harvest: armor + walk kernels fused after one doc_id exchange; narrow (rect, uri) rows out",
         "extraction_pdf_outline": "outline harvest: same fused single-stage shape; bookmark rows are tiny metadata",
         "extraction_pdf_forms": "form harvest: same fused single-stage shape; 3 field rows per doc",
+        "dedup_homoglyph": "homoglyph dedup: skeleton is pure codegen (translate+regexp+lower); two map-side hashes, one 16-byte census exchange, 1-row broadcast join",
+        "extraction_docx_roundtrip": "DOCX path: armor + zip/XML extract kernels fused after one doc_id exchange",
+        "extraction_wds_roundtrip": "WebDataset: armor + tar reader fused; member payloads leave only as text/digest",
+        "extraction_eml_roundtrip": "email path: armor + MIME walk fused after one doc_id exchange",
+        "extraction_ipynb_roundtrip": "notebook path: bare-JSON sniff + extract fused; no armor leg",
+        "extraction_srt_cues": "SRT: armor + cue parse fused; narrow (ms, text) rows out",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]
