@@ -102,9 +102,10 @@ def _decode_armor(payload: str) -> bytes:
 
 def classify_payload(s: pd.Series) -> pd.Series:
     """Vectorized payload sniff:
-    'pdf' | 'warc' | 'docx' | 'eml' | 'ipynb' | 'html' | 'plain'."""
+    'pdf' | 'warc' | 'docx' | 'eml' | 'epub' | 'ipynb' | 'html' | 'plain'."""
     from .formats.docx import DOCX_B64_PREFIX
     from .formats.email_msg import EML_B64_PREFIX
+    from .formats.epub import EPUB_B64_PREFIX
     from .formats.ipynb import looks_like_ipynb
     from .sources.warc import WARC_B64_PREFIX
 
@@ -114,6 +115,7 @@ def classify_payload(s: pd.Series) -> pd.Series:
     kind[s.str.startswith(WARC_B64_PREFIX)] = "warc"
     kind[s.str.startswith(DOCX_B64_PREFIX)] = "docx"
     kind[s.str.startswith(EML_B64_PREFIX)] = "eml"
+    kind[s.str.startswith(EPUB_B64_PREFIX)] = "epub"
     maybe_html = (kind == "plain") & s.str.lstrip().str.startswith("<")
     if maybe_html.any():
         kind[maybe_html] = [
@@ -248,6 +250,15 @@ def extract_pandas_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             from .formats.email_msg import extract_email_text
 
             r = extract_email_text(text_vals[i])
+            out_text[i] = r["text"]
+            status[i] = r["status"]
+            error[i] = r["error"]
+            if r["text"]:
+                spans[i] = [{"start": 0, "end": len(r["text"])}]
+        elif k == "epub":
+            from .formats.epub import extract_epub_text
+
+            r = extract_epub_text(text_vals[i])
             out_text[i] = r["text"]
             status[i] = r["status"]
             error[i] = r["error"]

@@ -614,6 +614,26 @@ build_ipynb_transcripts_from_documents = _single_kind_armor_builder(
     doc_to_ipynb_payload)
 
 
+def doc_to_epub_payload(doc_id: int, text: str) -> str:
+    """EPUB armor: a 2-chapter book — chapter j carries
+    '<h1>Doc {id} Ch {j}</h1>' + a 20-word <p> slice — walked
+    container → OPF → spine and stripped by the HTML heuristics, so
+    the expected text is the same heading + kept-paragraph template
+    as the web-page armor."""
+    from .formats.epub import build_epub, encode_epub_payload
+
+    w = text.split()
+    chapters = [
+        f"<h1>Doc {doc_id} Ch {j}</h1><p>{' '.join(w[20 * j: 20 * (j + 1)])}</p>"
+        for j in (0, 1)
+    ]
+    return encode_epub_payload(build_epub(chapters))
+
+
+build_epub_transcripts_from_documents = _single_kind_armor_builder(
+    doc_to_epub_payload)
+
+
 def doc_to_warc_payload(doc_id: int, text: str) -> str:
     """WARC armor: the document's HTML page wrapped in a 3-record
     web archive (warcinfo + request + response), the Common Crawl

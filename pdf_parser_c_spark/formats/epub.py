@@ -1,0 +1,144 @@
+"""EPUB text extraction.
+
+E-books are ZIP containers (OCF): ``META-INF/container.xml`` names the
+OPF package document; the OPF's ``<manifest>`` maps ids to hrefs and
+its ``<spine>`` lists the reading order as idrefs.  Extraction walks
+exactly that chain — container → OPF → spine → XHTML chapters — and
+pushes each chapter through the existing HTML boilerplate stripper, so
+book text inherits the same content heuristics as web pages.
+
+Dependency-free: stdlib ``zipfile`` + two regex lookups on the tiny
+XML parts (a full XML parser buys nothing on these two well-formed
+package files; the CHAPTERS go through the robust HTML scanner).
+Chapters join with blank lines in spine order.  Hostile containers map
+to status rows — the kernel contract.  Payloads ride the string column
+as ``EPUBB64:`` armor.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import io
+import posixpath
+import re
+import zipfile
+
+EPUB_B64_PREFIX = "EPUBB64:"
+
+
+class EpubError(ValueError):
+    pass
+
+
+def encode_epub_payload(buf: bytes) -> str:
+    return EPUB_B64_PREFIX + base64.b64encode(buf).decode("ascii")
+
+
+def decode_epub_payload(payload: str) -> bytes:
+    if not payload.startswith(EPUB_B64_PREFIX):
+        raise EpubError("not EPUB armor")
+    try:
+        return base64.b64decode(payload[len(EPUB_B64_PREFIX):], validate=True)
+    except (ValueError, binascii.Error) as exc:
+        raise EpubError(f"armor: {exc}") from exc
+
+
+_ROOTFILE_RE = re.compile(r'<rootfile[^>]*full-path="([^"]+)"', re.S)
+_ITEM_RE = re.compile(
+    r'<item\s[^>]*?/?>', re.S)
+_ATTR_RE = re.compile(r'([\w-]+)\s*=\s*"([^"]*)"')
+_ITEMREF_RE = re.compile(r'<itemref\s[^>]*?idref="([^"]+)"', re.S)
+
+
+def spine_chapter_paths(zf: zipfile.ZipFile) -> list[str]:
+    """container.xml → OPF → spine order → chapter hrefs (zip paths)."""
+    try:
+        container = zf.read("META-INF/container.xml").decode("utf-8", "replace")
+    except KeyError as exc:
+        raise EpubError("missing META-INF/container.xml") from exc
+    m = _ROOTFILE_RE.search(container)
+    if m is None:
+        raise EpubError("no rootfile in container.xml")
+    opf_path = m.group(1)
+    try:
+        opf = zf.read(opf_path).decode("utf-8", "replace")
+    except KeyError as exc:
+        raise EpubError(f"missing OPF {opf_path!r}") from exc
+    base = posixpath.dirname(opf_path)
+    items: dict[str, str] = {}
+    for tag in _ITEM_RE.findall(opf):
+        attrs = dict(_ATTR_RE.findall(tag))
+        if "id" in attrs and "href" in attrs:
+            items[attrs["id"]] = attrs["href"]
+    paths = []
+    for idref in _ITEMREF_RE.findall(opf):
+        href = items.get(idref)
+        if href:
+            paths.append(posixpath.normpath(posixpath.join(base, href)))
+    if not paths:
+        raise EpubError("empty spine")
+    return paths
+
+
+def extract_epub_text(payload: str) -> dict:
+    """Kernel entry: EPUB armor → spine-ordered chapter text."""
+    from ..html.boilerplate import extract_main_text
+
+    try:
+        raw = decode_epub_payload(payload)
+        with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+            chapters = []
+            for path in spine_chapter_paths(zf):
+                try:
+                    xhtml = zf.read(path).decode("utf-8", "replace")
+                except KeyError:
+                    continue  # spine names a missing part: skip (salvage)
+                text = extract_main_text(xhtml)
+                if text:
+                    chapters.append(text)
+    except (EpubError, zipfile.BadZipFile, OSError) as exc:
+        return {"status": "malformed", "text": "", "error": f"epub: {exc}"}
+    except Exception as exc:
+        return {"status": "error", "text": "",
+                "error": f"{type(exc).__name__}: {exc}"}
+    text = "\n\n".join(chapters)
+    return {"status": "ok" if text else "empty", "text": text, "error": ""}
+
+
+_CONTAINER_XML = (
+    '<?xml version="1.0"?><container version="1.0" xmlns="urn:oasis:names:tc:'
+    'opendocument:xmlns:container"><rootfiles><rootfile full-path="OEBPS/'
+    'content.opf" media-type="application/oebps-package+xml"/></rootfiles>'
+    "</container>"
+)
+
+
+def build_epub(chapters: list[str]) -> bytes:
+    """Testkit writer: XHTML chapter bodies → minimal valid EPUB
+    (mimetype stored first per OCF, container.xml, OPF manifest+spine,
+    one XHTML file per chapter)."""
+    n = len(chapters)
+    manifest = "".join(
+        f'<item id="ch{i}" href="ch{i}.xhtml" '
+        'media-type="application/xhtml+xml"/>' for i in range(n))
+    spine = "".join(f'<itemref idref="ch{i}"/>' for i in range(n))
+    opf = (
+        '<?xml version="1.0"?><package xmlns="http://www.idpf.org/2007/opf" '
+        'version="3.0" unique-identifier="id"><metadata/>'
+        f"<manifest>{manifest}</manifest><spine>{spine}</spine></package>"
+    )
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            zipfile.ZipInfo("mimetype"), "application/epub+zip",
+            compress_type=zipfile.ZIP_STORED)
+        zf.writestr("META-INF/container.xml", _CONTAINER_XML)
+        zf.writestr("OEBPS/content.opf", opf)
+        for i, body in enumerate(chapters):
+            zf.writestr(
+                f"OEBPS/ch{i}.xhtml",
+                '<?xml version="1.0" encoding="utf-8"?><html xmlns="http://'
+                'www.w3.org/1999/xhtml"><head><title>skip</title></head>'
+                f"<body>{body}</body></html>")
+    return out.getvalue()

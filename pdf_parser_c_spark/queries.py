@@ -11369,6 +11369,47 @@ FROM cues ORDER BY doc_id, cue_idx
 """
 
 
+def q_extraction_epub_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn TEXT EQUALITY for the EPUB path: documents armor into
+    2-chapter OCF/OPF books (flagship.doc_to_epub_payload), the kernel
+    classifies ``EPUBB64:``, walks container.xml → OPF manifest →
+    spine order, strips each XHTML chapter with the shared HTML
+    heuristics, and joins chapters with blank lines — equal to the
+    DuckDB heading+kept-paragraph reconstruction.
+    Scale: same fused armor+extract single-stage plan."""
+    from .engine import extract_turns
+    from .flagship import build_epub_transcripts_from_documents
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
+    tr = build_epub_transcripts_from_documents(spark, docs, num_partitions=16)
+    out = extract_turns(tr, repartition=False)
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
+    return out.select(doc_id, "kind", "status", "text").orderBy("doc_id")
+
+
+SQL_EXTRACTION_EPUB_ROUNDTRIP = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 5 = 2),
+chaps AS (
+  SELECT doc_id,
+         array_to_string(ws[1:20], ' ') AS s0,
+         array_to_string(ws[21:40], ' ') AS s1
+  FROM w)
+SELECT doc_id, 'epub' AS kind, 'ok' AS status,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' Ch 0' ||
+       CASE WHEN len(s0) >= 25 THEN chr(10) || s0 ELSE '' END ||
+       chr(10) || chr(10) ||
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' Ch 1' ||
+       CASE WHEN len(s1) >= 25 THEN chr(10) || s1 ELSE '' END AS text
+FROM chaps ORDER BY doc_id
+"""
+
+
 def q_text_attribute_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused attribute tagging — the Dolma/RedPajama architecture:
     compute EVERY tagger in ONE scan (quality score, stopword
@@ -11999,5 +12040,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_srt_cues": (
         q_extraction_srt_cues, SQL_EXTRACTION_SRT_CUES
+    ),
+    "extraction_epub_roundtrip": (
+        q_extraction_epub_roundtrip, SQL_EXTRACTION_EPUB_ROUNDTRIP
     ),
 }

@@ -133,3 +133,49 @@ class TestKernel:
             repartition=False).collect()
         assert {r.kind for r in out_n} == {"ipynb"}
         assert all(r.text.startswith("# Doc ") for r in out_n)
+
+
+class TestEpub:
+    def test_spine_order_and_strip(self):
+        from pdf_parser_c_spark.formats.epub import (
+            build_epub,
+            encode_epub_payload,
+            extract_epub_text,
+        )
+
+        chs = ["<h1>One</h1><p>" + "chapter one body words here " * 2 + "</p>",
+               "<h1>Two</h1><p>" + "chapter two body words here " * 2 + "</p>"]
+        r = extract_epub_text(encode_epub_payload(build_epub(chs)))
+        assert r["status"] == "ok"
+        assert r["text"].index("One") < r["text"].index("Two")
+
+    def test_hostility(self):
+        import io
+        import zipfile
+
+        from pdf_parser_c_spark.formats.epub import (
+            encode_epub_payload,
+            extract_epub_text,
+        )
+
+        assert extract_epub_text("EPUBB64:!!!")["status"] == "malformed"
+        assert extract_epub_text(
+            encode_epub_payload(b"PK junk"))["status"] == "malformed"
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("mimetype", "application/epub+zip")
+        assert extract_epub_text(
+            encode_epub_payload(buf.getvalue()))["status"] == "malformed"
+
+    def test_kernel_kind(self, spark):
+        from pdf_parser_c_spark.engine import extract_turns
+        from pdf_parser_c_spark.flagship import (
+            build_epub_transcripts_from_documents,
+        )
+
+        docs = spark.createDataFrame([(7, TEXT)], "doc_id long, text string")
+        rows = extract_turns(
+            build_epub_transcripts_from_documents(spark, docs),
+            repartition=False).collect()
+        assert rows[0].kind == "epub" and rows[0].status == "ok"
+        assert rows[0].text.startswith("Doc 7 Ch 0\n")
