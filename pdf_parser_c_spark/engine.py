@@ -102,7 +102,8 @@ def _decode_armor(payload: str) -> bytes:
 
 def classify_payload(s: pd.Series) -> pd.Series:
     """Vectorized payload sniff:
-    'pdf' | 'warc' | 'docx' | 'eml' | 'epub' | 'ipynb' | 'html' | 'plain'."""
+    'pdf' | 'warc' | 'docx' | 'eml' | 'epub' | 'ipynb' | 'rtf' | 'html' |
+    'plain'."""
     from .formats.docx import DOCX_B64_PREFIX
     from .formats.email_msg import EML_B64_PREFIX
     from .formats.epub import EPUB_B64_PREFIX
@@ -121,10 +122,14 @@ def classify_payload(s: pd.Series) -> pd.Series:
         kind[maybe_html] = [
             "html" if looks_like_html(v) else "plain" for v in s[maybe_html]
         ]
-    maybe_nb = (kind == "plain") & s.str.lstrip().str.startswith("{")
-    if maybe_nb.any():
-        kind[maybe_nb] = [
-            "ipynb" if looks_like_ipynb(v) else "plain" for v in s[maybe_nb]
+    maybe_brace = (kind == "plain") & s.str.lstrip().str.startswith("{")
+    if maybe_brace.any():
+        from .formats.rtf import looks_like_rtf
+
+        kind[maybe_brace] = [
+            "ipynb" if looks_like_ipynb(v)
+            else "rtf" if looks_like_rtf(v) else "plain"
+            for v in s[maybe_brace]
         ]
     return kind
 
@@ -259,6 +264,15 @@ def extract_pandas_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             from .formats.epub import extract_epub_text
 
             r = extract_epub_text(text_vals[i])
+            out_text[i] = r["text"]
+            status[i] = r["status"]
+            error[i] = r["error"]
+            if r["text"]:
+                spans[i] = [{"start": 0, "end": len(r["text"])}]
+        elif k == "rtf":
+            from .formats.rtf import extract_rtf_text
+
+            r = extract_rtf_text(text_vals[i])
             out_text[i] = r["text"]
             status[i] = r["status"]
             error[i] = r["error"]

@@ -634,6 +634,23 @@ build_epub_transcripts_from_documents = _single_kind_armor_builder(
     doc_to_epub_payload)
 
 
+def doc_to_rtf_payload(doc_id: int, text: str) -> str:
+    """RTF armor: 'Doc {id}' heading paragraph + 8-word body
+    paragraphs (words[0:24]) behind a font table and a \\*-destination
+    that must be skipped; non-ASCII words exercise the \\'hh path."""
+    from .formats.rtf import build_rtf
+
+    w = text.split()
+    paras = [f"Doc {doc_id}"] + [
+        " ".join(w[i: i + 8]) for i in range(0, min(len(w), 24), 8)
+    ]
+    return build_rtf([p for p in paras if p])
+
+
+build_rtf_transcripts_from_documents = _single_kind_armor_builder(
+    doc_to_rtf_payload)
+
+
 def doc_to_warc_payload(doc_id: int, text: str) -> str:
     """WARC armor: the document's HTML page wrapped in a 3-record
     web archive (warcinfo + request + response), the Common Crawl

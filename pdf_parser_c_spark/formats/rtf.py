@@ -1,0 +1,178 @@
+r"""RTF text extraction.
+
+Legacy enterprise corpora are full of RTF (the pre-OOXML Word
+format).  The format is a token stream: groups ``{...}``, control
+words ``\word<param>``, control symbols ``\x``, and plain text.  The
+extraction rules that matter (Word RTF spec §"Contents of an RTF
+file"):
+
+* destination groups — ``{\*\...}`` and the header tables
+  (``fonttbl``, ``colortbl``, ``stylesheet``, ``info``, ``pict``,
+  ``themedata``, ``fldinst``, …) — contribute NO text,
+* ``\par``/``\line`` → newline, ``\tab`` → tab, ``\~`` → NBSP-as-space,
+* ``\'hh`` is a cp1252 byte, ``\uN`` a 16-bit signed codepoint whose
+  FOLLOWING ``\ucN`` fallback characters must be skipped (default 1),
+* ``\emdash``/``\endash``/``\bullet``/quote words map to their
+  punctuation,
+* every other control word is formatting and is ignored.
+
+RTF is plain ASCII, so the kernel sniffs ``{\rtf`` directly — no
+armor.  Malformed input degrades to whatever text is recoverable
+(salvage posture); a payload with no text reports empty.
+"""
+
+from __future__ import annotations
+
+import re
+
+_CW_RE = re.compile(r"\\([a-zA-Z]{1,32})(-?\d{1,10})? ?|\\([^a-zA-Z])")
+
+_SKIP_DESTINATIONS = {
+    "fonttbl", "colortbl", "stylesheet", "info", "pict", "themedata",
+    "fldinst", "header", "footer", "footnote", "annotation", "xmlnstbl",
+    "listtable", "listoverridetable", "latentstyles", "datastore",
+    "generator", "operator", "colorschememapping",
+}
+
+_SYMBOL_WORDS = {
+    "par": "\n", "line": "\n", "tab": "\t", "emdash": "\u2014",
+    "endash": "\u2013", "bullet": "\u2022", "lquote": "\u2018",
+    "rquote": "\u2019", "ldblquote": "\u201c", "rdblquote": "\u201d",
+    "emspace": " ", "enspace": " ", "qmspace": " ", "sect": "\n",
+    "row": "\n", "cell": "\t",
+}
+
+
+def looks_like_rtf(payload: str) -> bool:
+    return payload.lstrip()[:5] == "{\\rtf"
+
+
+def rtf_to_text(raw: str) -> str:
+    out: list[str] = []
+    # stack of (skipping, uc_skip) per group
+    stack: list[tuple[bool, int]] = []
+    skipping = False
+    uc_skip = 1
+    pending_skip = 0  # \uN fallback chars to swallow
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        ch = raw[pos]
+        if ch == "{":
+            stack.append((skipping, uc_skip))
+            pos += 1
+            continue
+        if ch == "}":
+            if stack:
+                skipping, uc_skip = stack.pop()
+            pos += 1
+            continue
+        if ch == "\\":
+            m = _CW_RE.match(raw, pos)
+            if m is None:
+                pos += 1
+                continue
+            pos = m.end()
+            if m.group(3) is not None:  # control symbol
+                sym = m.group(3)
+                if skipping:
+                    continue
+                if sym == "'":
+                    hexpair = raw[pos: pos + 2]
+                    pos += 2
+                    if pending_skip > 0:
+                        pending_skip -= 1
+                        continue
+                    try:
+                        out.append(bytes([int(hexpair, 16)])
+                                   .decode("cp1252", "replace"))
+                    except ValueError:
+                        pass
+                elif sym == "*":
+                    # {\*\dest ...}: unknown destination — skip group
+                    skipping = True
+                elif sym in ("\\", "{", "}"):
+                    out.append(sym)
+                elif sym == "~":
+                    out.append(" ")
+                elif sym in ("\n", "\r"):
+                    out.append("\n")
+                continue
+            word, param = m.group(1), m.group(2)
+            if word in _SKIP_DESTINATIONS:
+                skipping = True
+                continue
+            if skipping:
+                continue
+            if word == "uc":
+                uc_skip = int(param or "1")
+                continue
+            if word == "u":
+                try:
+                    cp = int(param or "0")
+                except ValueError:
+                    cp = 0
+                if cp < 0:
+                    cp += 65536
+                if 0 < cp < 0x110000:
+                    out.append(chr(cp))
+                pending_skip = uc_skip
+                continue
+            sym = _SYMBOL_WORDS.get(word)
+            if sym is not None:
+                out.append(sym)
+            continue
+        if ch in "\r\n":
+            pos += 1
+            continue
+        if skipping:
+            pos += 1
+            continue
+        if pending_skip > 0:
+            pending_skip -= 1
+            pos += 1
+            continue
+        out.append(ch)
+        pos += 1
+    text = "".join(out)
+    # collapse runs of blank lines, trim line edges
+    lines = [ln.strip() for ln in text.split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
+def extract_rtf_text(payload: str) -> dict:
+    """Kernel entry (sniffed, no armor): RTF → plain text."""
+    try:
+        text = rtf_to_text(payload)
+    except RecursionError as exc:  # pragma: no cover — iterative parser
+        return {"status": "error", "text": "", "error": f"rtf: {exc}"}
+    # the \rtf1 header word itself never leaves text; a doc with no
+    # body text is empty, not malformed (salvage posture)
+    return {"status": "ok" if text else "empty", "text": text, "error": ""}
+
+
+def build_rtf(paragraphs: list[str]) -> str:
+    r"""Testkit writer: escape text into an RTF doc with a font table
+    (must be skipped), \'hh escapes for cp1252-able non-ASCII, and
+    \uN\'3f fallbacks for the rest."""
+    def esc(t: str) -> str:
+        parts = []
+        for c in t:
+            if c in "\\{}":
+                parts.append("\\" + c)
+            elif ord(c) < 128:
+                parts.append(c)
+            else:
+                try:
+                    b = c.encode("cp1252")
+                    parts.append(f"\\'{b[0]:02x}")
+                except UnicodeEncodeError:
+                    cp = ord(c)
+                    if cp > 32767:
+                        cp -= 65536
+                    parts.append(f"\\u{cp}?")
+        return "".join(parts)
+
+    body = "\\par\n".join(esc(p) for p in paragraphs)
+    return ("{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Helvetica;}}"
+            "{\\*\\generator fixture 1.0;}\\f0\\fs20 " + body + "}")

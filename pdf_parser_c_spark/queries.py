@@ -11410,6 +11410,51 @@ FROM chaps ORDER BY doc_id
 """
 
 
+def q_extraction_rtf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn TEXT EQUALITY for the RTF path (legacy Word format):
+    documents armor into RTF docs (heading + 8-word paragraphs behind
+    a font table and a \\*-destination that must contribute nothing —
+    flagship.doc_to_rtf_payload); the kernel sniffs ``{\\rtf`` from
+    the raw text (no armor prefix) and the token-stream parser
+    (formats/rtf.py: groups, control words, \\'hh cp1252 bytes, \\uN
+    with \\uc fallback skipping, destination drops) must reproduce the
+    DuckDB reconstruction.
+    Scale: same fused armor+extract single-stage plan."""
+    from .engine import extract_turns
+    from .flagship import build_rtf_transcripts_from_documents
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 3)
+    tr = build_rtf_transcripts_from_documents(spark, docs, num_partitions=16)
+    out = extract_turns(tr, repartition=False)
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
+    return out.select(doc_id, "kind", "status", "text").orderBy("doc_id")
+
+
+SQL_EXTRACTION_RTF_ROUNDTRIP = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 5 = 3),
+paras AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             range(CAST(ceil(least(len(ws), 24) / 8.0) AS BIGINT)),
+             k -> array_to_string(ws[1 + k * 8: (k + 1) * 8], ' ')),
+           x -> x <> '') AS body
+  FROM w)
+SELECT doc_id, 'rtf' AS kind, 'ok' AS status,
+       'Doc ' || CAST(doc_id AS VARCHAR) ||
+       CASE WHEN len(body) > 0
+            THEN chr(10) || array_to_string(body, chr(10))
+            ELSE '' END AS text
+FROM paras ORDER BY doc_id
+"""
+
+
 def q_text_attribute_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused attribute tagging — the Dolma/RedPajama architecture:
     compute EVERY tagger in ONE scan (quality score, stopword
@@ -12043,5 +12088,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_epub_roundtrip": (
         q_extraction_epub_roundtrip, SQL_EXTRACTION_EPUB_ROUNDTRIP
+    ),
+    "extraction_rtf_roundtrip": (
+        q_extraction_rtf_roundtrip, SQL_EXTRACTION_RTF_ROUNDTRIP
     ),
 }

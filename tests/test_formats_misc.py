@@ -179,3 +179,48 @@ class TestEpub:
             repartition=False).collect()
         assert rows[0].kind == "epub" and rows[0].status == "ok"
         assert rows[0].text.startswith("Doc 7 Ch 0\n")
+
+
+class TestRtf:
+    def test_escapes_and_destinations(self):
+        from pdf_parser_c_spark.formats.rtf import rtf_to_text
+
+        t = rtf_to_text(
+            r"{\rtf1{\fonttbl{\f0 Arial;}}{\info{\author Hidden}}"
+            r"\uc1\u26085?text \tab end\par}")
+        assert t == "日text \tend"
+        # uc2 skips TWO fallback chars
+        assert rtf_to_text(r"{\rtf1 \uc2\u26085ABtext}") == "日text"
+        # negative codepoints wrap mod 2^16
+        assert rtf_to_text(r"{\rtf1 \u-3000?x}") == chr(62536) + "x"
+        # cp1252 hex bytes
+        assert rtf_to_text(r"{\rtf1 caf\'e9}") == "café"
+
+    def test_symbols_and_groups(self):
+        from pdf_parser_c_spark.formats.rtf import rtf_to_text
+
+        assert rtf_to_text(r"{\rtf1 a\emdash b \{x\} c\\d}") == (
+            "a—b {x} c\\d")
+        # unknown \* destination skipped entirely
+        assert rtf_to_text(r"{\rtf1 keep{\*\mystery drop this}ed}") == "keeped"
+
+    def test_hostility(self):
+        from pdf_parser_c_spark.formats.rtf import extract_rtf_text, rtf_to_text
+
+        rtf_to_text(r"{\rtf1 {{{ unclosed")
+        rtf_to_text("")
+        rtf_to_text(r"{\rtf1 \'zz bad hex}")
+        assert extract_rtf_text(r"{\rtf1 }")["status"] == "empty"
+
+    def test_kernel_kind(self, spark):
+        from pdf_parser_c_spark.engine import extract_turns
+        from pdf_parser_c_spark.flagship import (
+            build_rtf_transcripts_from_documents,
+        )
+
+        docs = spark.createDataFrame([(3, TEXT)], "doc_id long, text string")
+        rows = extract_turns(
+            build_rtf_transcripts_from_documents(spark, docs),
+            repartition=False).collect()
+        assert rows[0].kind == "rtf" and rows[0].status == "ok"
+        assert rows[0].text.startswith("Doc 3\nalpha beta")
