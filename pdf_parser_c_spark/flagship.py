@@ -651,6 +651,38 @@ build_rtf_transcripts_from_documents = _single_kind_armor_builder(
     doc_to_rtf_payload)
 
 
+MULTIFORMAT_KINDS = ("pdf", "html", "plain", "docx", "eml", "ipynb",
+                     "rtf", "epub", "warc")
+
+
+def doc_to_multiformat_payload(doc_id: int, text: str) -> str:
+    """Route a document to one of the NINE payload armorers by
+    doc_id % 9 (order: MULTIFORMAT_KINDS) — the whole-dispatch armor
+    for the multiformat census."""
+    mode = doc_id % 9
+    if mode == 0:
+        return doc_to_pdf_payload(doc_id, text)
+    if mode == 1:
+        return doc_to_html_payload(doc_id, text)
+    if mode == 2:
+        return text
+    if mode == 3:
+        return doc_to_docx_payload(doc_id, text)
+    if mode == 4:
+        return doc_to_eml_payload(doc_id, text)
+    if mode == 5:
+        return doc_to_ipynb_payload(doc_id, text)
+    if mode == 6:
+        return doc_to_rtf_payload(doc_id, text)
+    if mode == 7:
+        return doc_to_epub_payload(doc_id, text)
+    return doc_to_warc_payload(doc_id, text)
+
+
+build_multiformat_transcripts_from_documents = _single_kind_armor_builder(
+    doc_to_multiformat_payload)
+
+
 def doc_to_warc_payload(doc_id: int, text: str) -> str:
     """WARC armor: the document's HTML page wrapped in a 3-record
     web archive (warcinfo + request + response), the Common Crawl

@@ -11455,6 +11455,109 @@ FROM paras ORDER BY doc_id
 """
 
 
+def q_extraction_multiformat_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHOLE-DISPATCH census — the capstone over the kernel's nine
+    payload kinds: every document is armored into the format chosen by
+    doc_id % 9 (pdf, html, plain, docx, eml, ipynb, rtf, epub, warc —
+    flagship.doc_to_multiformat_payload), pushed through ONE
+    extract_turns pass, and the per-kind (n_turns, n_ok, total
+    extracted chars) census must equal the union of the nine
+    armor-template reconstructions in DuckDB.  One query proving the
+    classify→route→extract surface end-to-end in a single scan — the
+    production shape for a mixed corpus.
+    Scale: identical plan to the production job (scan → one exchange →
+    armor + kernel fused); census is a 9-row aggregate."""
+    from .engine import extract_turns
+    from .flagship import build_multiformat_transcripts_from_documents
+
+    docs = t(spark, sf_dir, "documents")
+    tr = build_multiformat_transcripts_from_documents(
+        spark, docs, num_partitions=16)
+    out = extract_turns(tr, repartition=False)
+    return (
+        out.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("kind")
+    )
+
+
+SQL_EXTRACTION_MULTIFORMAT_CENSUS = r"""
+WITH w AS (
+  SELECT doc_id, doc_id % 9 AS mode,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS collapsed,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws,
+         length(trim(text)) AS plain_len
+  FROM documents),
+parts AS (
+  SELECT *,
+         CASE WHEN len(ws) = 0 THEN 'Untitled'
+              ELSE array_to_string(
+                list_transform(ws[1:3], x -> upper(x[1]) || x[2:]), ' ')
+         END AS t3,
+         array_to_string(ws[4:43], ' ') AS pdf_rest,
+         list_filter(list_transform(
+             range(CAST(ceil(least(len(ws), 40) / 8.0) AS BIGINT)),
+             k -> array_to_string(ws[1 + k * 8: (k + 1) * 8], ' ')),
+           x -> x <> '') AS docx_body,
+         list_filter(list_transform(
+             range(CAST(ceil(least(len(ws), 24) / 8.0) AS BIGINT)),
+             k -> array_to_string(ws[1 + k * 8: (k + 1) * 8], ' ')),
+           x -> x <> '') AS rtf_body,
+         array_to_string(ws[1:8], ' ') AS nb1,
+         array_to_string(ws[9:16], ' ') AS nb2,
+         array_to_string(ws[1:20], ' ') AS ep0,
+         array_to_string(ws[21:40], ' ') AS ep1
+  FROM w),
+lens AS (
+  SELECT doc_id, mode,
+    CASE mode
+      WHEN 0 THEN length('Doc ' || CAST(doc_id AS VARCHAR)) + 2 + length(t3)
+                  + CASE WHEN pdf_rest <> '' THEN 1 + length(pdf_rest)
+                         ELSE 0 END
+      WHEN 1 THEN length('Document ' || CAST(doc_id AS VARCHAR))
+                  + CASE WHEN length(collapsed) >= 25
+                         THEN 1 + length(collapsed) ELSE 0 END
+      WHEN 2 THEN plain_len
+      WHEN 3 THEN length('Doc ' || CAST(doc_id AS VARCHAR))
+                  + CASE WHEN len(docx_body) > 0
+                         THEN 1 + length(array_to_string(docx_body, chr(10)))
+                         ELSE 0 END
+      WHEN 4 THEN length('Doc ' || CAST(doc_id AS VARCHAR))
+                  + CASE WHEN collapsed <> ''
+                         THEN 1 + length(collapsed) ELSE 0 END
+      WHEN 5 THEN length('# Doc ' || CAST(doc_id AS VARCHAR))
+                  + CASE WHEN nb1 <> '' THEN 2 + length(nb1) ELSE 0 END
+                  + CASE WHEN nb2 <> '' THEN 2 + length(nb2) ELSE 0 END
+      WHEN 6 THEN length('Doc ' || CAST(doc_id AS VARCHAR))
+                  + CASE WHEN len(rtf_body) > 0
+                         THEN 1 + length(array_to_string(rtf_body, chr(10)))
+                         ELSE 0 END
+      WHEN 7 THEN 2 * length('Doc ' || CAST(doc_id AS VARCHAR) || ' Ch 0')
+                  + 2
+                  + CASE WHEN length(ep0) >= 25 THEN 1 + length(ep0)
+                         ELSE 0 END
+                  + CASE WHEN length(ep1) >= 25 THEN 1 + length(ep1)
+                         ELSE 0 END
+      ELSE length('Document ' || CAST(doc_id AS VARCHAR))
+           + CASE WHEN length(collapsed) >= 25
+                  THEN 1 + length(collapsed) ELSE 0 END
+    END AS text_len
+  FROM parts)
+SELECT (['pdf', 'html', 'plain', 'docx', 'eml', 'ipynb', 'rtf', 'epub',
+         'warc'])[mode + 1] AS kind,
+       count(*) AS n_turns,
+       CAST(sum(CASE WHEN mode = 2 AND text_len = 0 THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_ok,
+       CAST(sum(text_len) AS BIGINT) AS total_chars
+FROM lens GROUP BY mode ORDER BY kind
+"""
+
+
 def q_text_attribute_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused attribute tagging — the Dolma/RedPajama architecture:
     compute EVERY tagger in ONE scan (quality score, stopword
@@ -12091,5 +12194,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_rtf_roundtrip": (
         q_extraction_rtf_roundtrip, SQL_EXTRACTION_RTF_ROUNDTRIP
+    ),
+    "extraction_multiformat_census": (
+        q_extraction_multiformat_census, SQL_EXTRACTION_MULTIFORMAT_CENSUS
     ),
 }
