@@ -140,6 +140,9 @@ def main() -> None:
         "extraction_eml_roundtrip": "email path: armor + MIME walk fused after one doc_id exchange",
         "extraction_ipynb_roundtrip": "notebook path: bare-JSON sniff + extract fused; no armor leg",
         "extraction_srt_cues": "SRT: armor + cue parse fused; narrow (ms, text) rows out",
+        "extraction_epub_roundtrip": "EPUB path: armor + OCF/OPF walk + chapter strip fused after one doc_id exchange",
+        "extraction_rtf_roundtrip": "RTF path: bare-text sniff + token-stream parse fused; no armor leg",
+        "extraction_multiformat_census": "whole-dispatch capstone: ONE armor+extract pass over all nine kinds; census is a 9-row aggregate",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]
