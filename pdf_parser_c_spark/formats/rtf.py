@@ -54,6 +54,7 @@ def rtf_to_text(raw: str) -> str:
     skipping = False
     uc_skip = 1
     pending_skip = 0  # \uN fallback chars to swallow
+    pending_high: int | None = None  # held high surrogate of a \u pair
     pos = 0
     n = len(raw)
     while pos < n:
@@ -114,7 +115,18 @@ def rtf_to_text(raw: str) -> str:
                     cp = 0
                 if cp < 0:
                     cp += 65536
-                if 0 < cp < 0x110000:
+                # astral chars travel as UTF-16 surrogate PAIRS of \u
+                # words (Word spec): combine; drop lone surrogates
+                if 0xD800 <= cp <= 0xDBFF:
+                    pending_high = cp
+                elif 0xDC00 <= cp <= 0xDFFF:
+                    if pending_high is not None:
+                        out.append(chr(0x10000
+                                       + ((pending_high - 0xD800) << 10)
+                                       + (cp - 0xDC00)))
+                    pending_high = None
+                elif 0 < cp < 0x110000:
+                    pending_high = None
                     out.append(chr(cp))
                 pending_skip = uc_skip
                 continue
@@ -168,6 +180,12 @@ def build_rtf(paragraphs: list[str]) -> str:
                     parts.append(f"\\'{b[0]:02x}")
                 except UnicodeEncodeError:
                     cp = ord(c)
+                    if cp > 0xFFFF:  # astral: UTF-16 surrogate pair
+                        cp -= 0x10000
+                        hi = 0xD800 + (cp >> 10)
+                        lo = 0xDC00 + (cp & 0x3FF)
+                        parts.append(f"\\u{hi - 65536}?\\u{lo - 65536}?")
+                        continue
                     if cp > 32767:
                         cp -= 65536
                     parts.append(f"\\u{cp}?")

@@ -1,0 +1,130 @@
+"""Property-based fuzz for the format parsers: roundtrips hold on
+well-formed input, hostile input never raises anything but the
+format's own error (or returns a status row)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# text without the structural characters each writer escapes poorly /
+# the parser normalizes away; roundtrip properties quantify over these
+_para = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc"),
+        blacklist_characters="  "),
+    min_size=1, max_size=60,
+).map(lambda s: " ".join(s.split())).filter(lambda s: s)
+
+
+class TestRtfProperty:
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(_para, min_size=0, max_size=5))
+    def test_roundtrip(self, paras):
+        from pdf_parser_c_spark.formats.rtf import build_rtf, rtf_to_text
+
+        got = rtf_to_text(build_rtf(paras))
+        want = "\n".join(p.strip() for p in paras if p.strip())
+        assert got == want
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=500))
+    def test_parser_total(self, junk):
+        from pdf_parser_c_spark.formats.rtf import rtf_to_text
+
+        rtf_to_text(junk)  # any text input: never raises
+
+
+class TestDocxProperty:
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(_para, min_size=0, max_size=5))
+    def test_roundtrip(self, paras):
+        from pdf_parser_c_spark.formats.docx import (
+            build_docx,
+            encode_docx_payload,
+            extract_docx_text,
+        )
+
+        r = extract_docx_text(encode_docx_payload(build_docx(paras)))
+        want = "\n".join(p.strip() for p in paras if p.strip())
+        assert r["text"] == want
+        assert r["status"] == ("ok" if want else "empty")
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.binary(max_size=800))
+    def test_container_total(self, junk):
+        from pdf_parser_c_spark.formats.docx import (
+            encode_docx_payload,
+            extract_docx_text,
+        )
+
+        out = extract_docx_text(encode_docx_payload(junk))
+        assert out["status"] in ("ok", "empty", "malformed", "error")
+
+
+class TestSrtProperty:
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 10**8), st.integers(0, 10**4),
+                  _para.filter(lambda s: "-->" not in s
+                               and not s.split("\n")[0].strip().isdigit())),
+        min_size=0, max_size=6))
+    def test_roundtrip(self, triples):
+        from pdf_parser_c_spark.formats.srt import build_srt, parse_srt
+
+        cues = [(a, a + d, t) for a, d, t in triples]
+        got = parse_srt(build_srt(cues))
+        # markup strip may eat <...> spans in the text; quantified text
+        # has none (no '<' guarantee not enforced — normalize instead)
+        import re
+
+        def norm(t):
+            return " ".join(
+                re.sub(r"</?[a-zA-Z][^>]*>|\{\\[^}]*\}", "", t).split())
+
+        assert [(c["start_ms"], c["end_ms"], c["text"]) for c in got] == [
+            (a, b, norm(t)) for a, b, t in cues]
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=400))
+    def test_parser_total(self, junk):
+        from pdf_parser_c_spark.formats.srt import parse_srt
+
+        parse_srt(junk)
+
+
+class TestHtmlProperty:
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="<>/ab &#;x\"'=-!?" + "é", max_size=300))
+    def test_converters_total_on_tag_soup(self, soup):
+        from pdf_parser_c_spark.html.links import extract_links
+        from pdf_parser_c_spark.html.markdown import to_markdown
+        from pdf_parser_c_spark.html.tables import extract_tables
+
+        to_markdown(soup)
+        extract_tables(soup)
+        extract_links(soup)
+
+
+class TestWdsProperty:
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z0-9_]{1,12}", fullmatch=True),
+            st.dictionaries(st.from_regex(r"[a-z0-9]{1,6}", fullmatch=True),
+                            st.binary(max_size=64), min_size=1, max_size=3)),
+        min_size=0, max_size=4), st.booleans())
+    def test_roundtrip(self, samples, gz):
+        from pdf_parser_c_spark.sources.webdataset import (
+            build_wds_shard,
+            iter_wds_members,
+        )
+
+        # unique keys: duplicate stems would still roundtrip but make
+        # the expectation order-ambiguous across dict merge semantics
+        seen = set()
+        samples = [s for s in samples
+                   if s[0] not in seen and not seen.add(s[0])]
+        got = list(iter_wds_members(build_wds_shard(samples, gzipped=gz)))
+        want = [(k, e, p) for k, parts in samples for e, p in parts.items()]
+        assert got == want
