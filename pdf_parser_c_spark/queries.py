@@ -11230,15 +11230,17 @@ rows_ AS (
          printf('%08d', CAST(doc_id AS INTEGER)) || s.suffix AS key,
          s.ext,
          CASE s.slot
-           WHEN 'ta' THEN array_to_string(ws[1:8], ' ')
-           WHEN 'tb' THEN array_to_string(ws[9:16], ' ')
+           -- COALESCE: an out-of-range DuckDB slice is NULL, not []
+           WHEN 'ta' THEN COALESCE(array_to_string(ws[1:8], ' '), '')
+           WHEN 'tb' THEN COALESCE(array_to_string(ws[9:16], ' '), '')
            WHEN 'ca' THEN CAST(doc_id % 10 AS VARCHAR)
            ELSE CAST(doc_id % 7 AS VARCHAR) END AS content
   FROM w, (VALUES ('a', 'txt', 'ta'), ('a', 'cls', 'ca'),
                   ('b', 'txt', 'tb'), ('b', 'cls', 'cb'))
        AS s(suffix, ext, slot))
 SELECT doc_id, key, ext,
-       CAST(length(content) AS INTEGER) AS n_bytes,
+       -- member size is UTF-8 OCTETS, not characters (CJK/accents)
+       CAST(octet_length(encode(content)) AS INTEGER) AS n_bytes,
        content, md5(content) AS digest, 'ok' AS status
 FROM rows_ ORDER BY doc_id, key, ext
 """
