@@ -126,9 +126,12 @@ def classify_payload(s: pd.Series) -> pd.Series:
     if maybe_brace.any():
         from .formats.rtf import looks_like_rtf
 
+        # RTF first: '{\rtf' is an exact unambiguous prefix, while the
+        # ipynb sniff is a heuristic over the first bytes — a valid RTF
+        # doc QUOTING notebook JSON ('"cells"') must stay RTF
         kind[maybe_brace] = [
-            "ipynb" if looks_like_ipynb(v)
-            else "rtf" if looks_like_rtf(v) else "plain"
+            "rtf" if looks_like_rtf(v)
+            else "ipynb" if looks_like_ipynb(v) else "plain"
             for v in s[maybe_brace]
         ]
     return kind
@@ -195,6 +198,33 @@ def _extract_one_pdf(payload: str) -> dict:
     }
 
 
+_FORMAT_EXTRACTORS: "dict[str, object] | None" = None
+
+
+def _format_extractors() -> dict:
+    """kind → extractor for every payload kind sharing the
+    text/status/error row contract; adding a format is one entry here
+    plus its sniff in classify_payload — the kernel loop never grows."""
+    global _FORMAT_EXTRACTORS
+    if _FORMAT_EXTRACTORS is None:
+        from .formats.docx import extract_docx_text
+        from .formats.email_msg import extract_email_text
+        from .formats.epub import extract_epub_text
+        from .formats.ipynb import extract_ipynb_text
+        from .formats.rtf import extract_rtf_text
+        from .sources.warc import extract_warc_text
+
+        _FORMAT_EXTRACTORS = {
+            "warc": extract_warc_text,
+            "docx": extract_docx_text,
+            "eml": extract_email_text,
+            "epub": extract_epub_text,
+            "rtf": extract_rtf_text,
+            "ipynb": extract_ipynb_text,
+        }
+    return _FORMAT_EXTRACTORS
+
+
 def extract_pandas_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Kernel over one Arrow batch of transcript rows.
 
@@ -233,61 +263,7 @@ def extract_pandas_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             status[i] = "ok" if t else "empty"
             if t:
                 spans[i] = [{"start": 0, "end": len(t)}]
-        elif k == "warc":
-            from .sources.warc import extract_warc_text
-
-            r = extract_warc_text(text_vals[i])
-            out_text[i] = r["text"]
-            status[i] = r["status"]
-            error[i] = r["error"]
-            if r["text"]:
-                spans[i] = [{"start": 0, "end": len(r["text"])}]
-        elif k == "docx":
-            from .formats.docx import extract_docx_text
-
-            r = extract_docx_text(text_vals[i])
-            out_text[i] = r["text"]
-            status[i] = r["status"]
-            error[i] = r["error"]
-            if r["text"]:
-                spans[i] = [{"start": 0, "end": len(r["text"])}]
-        elif k == "eml":
-            from .formats.email_msg import extract_email_text
-
-            r = extract_email_text(text_vals[i])
-            out_text[i] = r["text"]
-            status[i] = r["status"]
-            error[i] = r["error"]
-            if r["text"]:
-                spans[i] = [{"start": 0, "end": len(r["text"])}]
-        elif k == "epub":
-            from .formats.epub import extract_epub_text
-
-            r = extract_epub_text(text_vals[i])
-            out_text[i] = r["text"]
-            status[i] = r["status"]
-            error[i] = r["error"]
-            if r["text"]:
-                spans[i] = [{"start": 0, "end": len(r["text"])}]
-        elif k == "rtf":
-            from .formats.rtf import extract_rtf_text
-
-            r = extract_rtf_text(text_vals[i])
-            out_text[i] = r["text"]
-            status[i] = r["status"]
-            error[i] = r["error"]
-            if r["text"]:
-                spans[i] = [{"start": 0, "end": len(r["text"])}]
-        elif k == "ipynb":
-            from .formats.ipynb import extract_ipynb_text
-
-            r = extract_ipynb_text(text_vals[i])
-            out_text[i] = r["text"]
-            status[i] = r["status"]
-            error[i] = r["error"]
-            if r["text"]:
-                spans[i] = [{"start": 0, "end": len(r["text"])}]
-        else:  # pdf
+        elif k == "pdf":
             r = _extract_one_pdf_cached(text_vals[i])
             out_text[i] = r["text"]
             status[i] = r["status"]
@@ -295,6 +271,13 @@ def extract_pandas_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             spans[i] = r["spans"]
             n_pages[i] = r["n_pages"]
             error[i] = r["error"]
+        else:  # container/office formats: shared text/status/error contract
+            r = _format_extractors()[k](text_vals[i])
+            out_text[i] = r["text"]
+            status[i] = r["status"]
+            error[i] = r["error"]
+            if r["text"]:
+                spans[i] = [{"start": 0, "end": len(r["text"])}]
 
     return pd.DataFrame(
         {

@@ -368,34 +368,44 @@ def doc_to_linked_pdf_payload(doc_id: int, text: str) -> str:
     return encode_pdf_payload(pdf)
 
 
-def build_linked_pdf_transcripts_from_documents(
-    spark: SparkSession, docs: DataFrame, num_partitions: int | None = None
-) -> DataFrame:
-    """documents → transcripts where every row is a link-annotated PDF."""
-    d = docs.select("doc_id", "text")
-    if num_partitions is not None:
-        d = d.repartition(num_partitions, "doc_id")
+def _single_kind_armor_builder(payload_fn):
+    """Factory for the documents → transcripts armor builders: one
+    mapInPandas kernel, one exchange, every row the given payload kind.
+    Every single-kind builder below is an instance — the
+    conv_id/turn_idx/role/ts derivation exists exactly once."""
+    def build(spark: SparkSession, docs: DataFrame,
+              num_partitions: int | None = None) -> DataFrame:
+        d = docs.select("doc_id", "text")
+        if num_partitions is not None:
+            d = d.repartition(num_partitions, "doc_id")
 
-    def kernel(batches):
-        for b in batches:
-            ids = b["doc_id"].astype("int64")
-            payloads = [
-                doc_to_linked_pdf_payload(int(i), str(t))
-                for i, t in zip(ids, b["text"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "conv_id": (ids // 10).map("conv{:06d}".format),
-                    "turn_idx": (ids % 10).astype("int32"),
-                    "role": (ids % 3).map(
-                        lambda m: ("user", "assistant", "tool")[m]),
-                    "text": payloads,
-                    "tool": pd.Series([None] * len(ids), dtype="object"),
-                    "ts": pd.Timestamp(_EPOCH) + pd.to_timedelta(ids, unit="m"),
-                }
-            )
+        def kernel(batches):
+            for b in batches:
+                ids = b["doc_id"].astype("int64")
+                payloads = [
+                    payload_fn(int(i), str(t)) for i, t in zip(ids, b["text"])
+                ]
+                yield pd.DataFrame(
+                    {
+                        "conv_id": (ids // 10).map("conv{:06d}".format),
+                        "turn_idx": (ids % 10).astype("int32"),
+                        "role": (ids % 3).map(
+                            lambda m: ("user", "assistant", "tool")[m]),
+                        "text": payloads,
+                        "tool": pd.Series([None] * len(ids), dtype="object"),
+                        "ts": pd.Timestamp(_EPOCH)
+                        + pd.to_timedelta(ids, unit="m"),
+                    }
+                )
 
-    return d.mapInPandas(kernel, schema=TRANSCRIPTS_SCHEMA)
+        return d.mapInPandas(kernel, schema=TRANSCRIPTS_SCHEMA)
+
+    return build
+
+
+# documents → transcripts where every row is a link-annotated PDF
+build_linked_pdf_transcripts_from_documents = _single_kind_armor_builder(
+    doc_to_linked_pdf_payload)
 
 
 def doc_to_structured_pdf_payload(doc_id: int, text: str) -> str:
@@ -422,34 +432,9 @@ def doc_to_structured_pdf_payload(doc_id: int, text: str) -> str:
     return encode_pdf_payload(pdf)
 
 
-def build_structured_pdf_transcripts_from_documents(
-    spark: SparkSession, docs: DataFrame, num_partitions: int | None = None
-) -> DataFrame:
-    """documents → transcripts where every row is an outline+form PDF."""
-    d = docs.select("doc_id", "text")
-    if num_partitions is not None:
-        d = d.repartition(num_partitions, "doc_id")
-
-    def kernel(batches):
-        for b in batches:
-            ids = b["doc_id"].astype("int64")
-            payloads = [
-                doc_to_structured_pdf_payload(int(i), str(t))
-                for i, t in zip(ids, b["text"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "conv_id": (ids // 10).map("conv{:06d}".format),
-                    "turn_idx": (ids % 10).astype("int32"),
-                    "role": (ids % 3).map(
-                        lambda m: ("user", "assistant", "tool")[m]),
-                    "text": payloads,
-                    "tool": pd.Series([None] * len(ids), dtype="object"),
-                    "ts": pd.Timestamp(_EPOCH) + pd.to_timedelta(ids, unit="m"),
-                }
-            )
-
-    return d.mapInPandas(kernel, schema=TRANSCRIPTS_SCHEMA)
+# documents → transcripts where every row is an outline+form PDF
+build_structured_pdf_transcripts_from_documents = _single_kind_armor_builder(
+    doc_to_structured_pdf_payload)
 
 
 def doc_to_docx_payload(doc_id: int, text: str) -> str:
@@ -466,34 +451,9 @@ def doc_to_docx_payload(doc_id: int, text: str) -> str:
     return encode_docx_payload(build_docx([p for p in paras if p]))
 
 
-def build_docx_transcripts_from_documents(
-    spark: SparkSession, docs: DataFrame, num_partitions: int | None = None
-) -> DataFrame:
-    """documents → transcripts where every row is a DOCX payload."""
-    d = docs.select("doc_id", "text")
-    if num_partitions is not None:
-        d = d.repartition(num_partitions, "doc_id")
-
-    def kernel(batches):
-        for b in batches:
-            ids = b["doc_id"].astype("int64")
-            payloads = [
-                doc_to_docx_payload(int(i), str(t))
-                for i, t in zip(ids, b["text"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "conv_id": (ids // 10).map("conv{:06d}".format),
-                    "turn_idx": (ids % 10).astype("int32"),
-                    "role": (ids % 3).map(
-                        lambda m: ("user", "assistant", "tool")[m]),
-                    "text": payloads,
-                    "tool": pd.Series([None] * len(ids), dtype="object"),
-                    "ts": pd.Timestamp(_EPOCH) + pd.to_timedelta(ids, unit="m"),
-                }
-            )
-
-    return d.mapInPandas(kernel, schema=TRANSCRIPTS_SCHEMA)
+# documents → transcripts where every row is a DOCX payload
+build_docx_transcripts_from_documents = _single_kind_armor_builder(
+    doc_to_docx_payload)
 
 
 def doc_to_wds_payload(doc_id: int, text: str) -> str:
@@ -575,37 +535,6 @@ def doc_to_srt_payload(doc_id: int, text: str) -> str:
         body = " ".join(w[4 * j: 4 * j + 4]) or "cue"
         cues.append((start, start + 800, body))
     return build_srt(cues)
-
-
-def _single_kind_armor_builder(payload_fn):
-    def build(spark: SparkSession, docs: DataFrame,
-              num_partitions: int | None = None) -> DataFrame:
-        d = docs.select("doc_id", "text")
-        if num_partitions is not None:
-            d = d.repartition(num_partitions, "doc_id")
-
-        def kernel(batches):
-            for b in batches:
-                ids = b["doc_id"].astype("int64")
-                payloads = [
-                    payload_fn(int(i), str(t)) for i, t in zip(ids, b["text"])
-                ]
-                yield pd.DataFrame(
-                    {
-                        "conv_id": (ids // 10).map("conv{:06d}".format),
-                        "turn_idx": (ids % 10).astype("int32"),
-                        "role": (ids % 3).map(
-                            lambda m: ("user", "assistant", "tool")[m]),
-                        "text": payloads,
-                        "tool": pd.Series([None] * len(ids), dtype="object"),
-                        "ts": pd.Timestamp(_EPOCH)
-                        + pd.to_timedelta(ids, unit="m"),
-                    }
-                )
-
-        return d.mapInPandas(kernel, schema=TRANSCRIPTS_SCHEMA)
-
-    return build
 
 
 build_eml_transcripts_from_documents = _single_kind_armor_builder(
@@ -728,34 +657,9 @@ def doc_to_warc_payload(doc_id: int, text: str) -> str:
     return encode_warc_payload(build_warc(records, gzip_members=doc_id % 2 == 0))
 
 
-def _warc_armor_batches(batches):
-    for b in batches:
-        ids = b["doc_id"].astype("int64")
-        payloads = [
-            doc_to_warc_payload(int(i), str(t)) for i, t in zip(ids, b["text"])
-        ]
-        yield pd.DataFrame(
-            {
-                "conv_id": (ids // 10).map("conv{:06d}".format),
-                "turn_idx": (ids % 10).astype("int32"),
-                "role": (ids % 3).map(lambda m: ("user", "assistant", "tool")[m]),
-                "text": payloads,
-                "tool": pd.Series([None] * len(ids), dtype="object"),
-                "ts": pd.Timestamp(_EPOCH) + pd.to_timedelta(ids, unit="m"),
-            }
-        )
-
-
-def build_warc_transcripts_from_documents(
-    spark: SparkSession, docs: DataFrame, num_partitions: int | None = None
-) -> DataFrame:
-    """documents → transcripts where every row is a WARC archive
-    (see doc_to_warc_payload); same one-exchange plan as
-    build_transcripts_from_documents."""
-    d = docs.select("doc_id", "text")
-    if num_partitions is not None:
-        d = d.repartition(num_partitions, "doc_id")
-    return d.mapInPandas(_warc_armor_batches, schema=TRANSCRIPTS_SCHEMA)
+# documents → transcripts where every row is a WARC archive
+build_warc_transcripts_from_documents = _single_kind_armor_builder(
+    doc_to_warc_payload)
 
 
 def doc_to_illustrated_pdf_payload(doc_id: int, text: str) -> str:
@@ -792,35 +696,9 @@ def doc_to_illustrated_pdf_payload(doc_id: int, text: str) -> str:
     return encode_pdf_payload(pdf)
 
 
-def _illustrated_armor_batches(batches):
-    for b in batches:
-        ids = b["doc_id"].astype("int64")
-        payloads = [
-            doc_to_illustrated_pdf_payload(int(i), str(t))
-            for i, t in zip(ids, b["text"])
-        ]
-        yield pd.DataFrame(
-            {
-                "conv_id": (ids // 10).map("conv{:06d}".format),
-                "turn_idx": (ids % 10).astype("int32"),
-                "role": (ids % 3).map(lambda m: ("user", "assistant", "tool")[m]),
-                "text": payloads,
-                "tool": pd.Series([None] * len(ids), dtype="object"),
-                "ts": pd.Timestamp(_EPOCH) + pd.to_timedelta(ids, unit="m"),
-            }
-        )
-
-
-def build_illustrated_transcripts_from_documents(
-    spark: SparkSession, docs: DataFrame, num_partitions: int | None = None
-) -> DataFrame:
-    """documents → transcripts where every row is an image-bearing PDF
-    (see doc_to_illustrated_pdf_payload); same one-exchange plan as
-    build_transcripts_from_documents."""
-    d = docs.select("doc_id", "text")
-    if num_partitions is not None:
-        d = d.repartition(num_partitions, "doc_id")
-    return d.mapInPandas(_illustrated_armor_batches, schema=TRANSCRIPTS_SCHEMA)
+# documents → transcripts where every row is an image-bearing PDF
+build_illustrated_transcripts_from_documents = _single_kind_armor_builder(
+    doc_to_illustrated_pdf_payload)
 
 
 def _armor_row(doc_id: int, text: str) -> str:
@@ -856,36 +734,10 @@ def _armor_batches(batches):
         )
 
 
-def _cjk_armor_batches(batches):
-    """mapInPandas kernel: every document becomes a legacy-CMap PDF
-    transcript (family rotates by doc_id % 4)."""
-    for b in batches:
-        ids = b["doc_id"].astype("int64")
-        payloads = [
-            doc_to_cjk_pdf_payload(int(i), str(t)) for i, t in zip(ids, b["text"])
-        ]
-        yield pd.DataFrame(
-            {
-                "conv_id": (ids // 10).map("conv{:06d}".format),
-                "turn_idx": (ids % 10).astype("int32"),
-                "role": (ids % 3).map(lambda m: ("user", "assistant", "tool")[m]),
-                "text": payloads,
-                "tool": pd.Series([None] * len(ids), dtype="object"),
-                "ts": pd.Timestamp(_EPOCH) + pd.to_timedelta(ids, unit="m"),
-            }
-        )
-
-
-def build_cjk_transcripts_from_documents(
-    spark: SparkSession, docs: DataFrame, num_partitions: int | None = None
-) -> DataFrame:
-    """documents → transcripts where every row is a legacy-CMap PDF
-    (see doc_to_cjk_pdf_payload); same one-exchange plan as
-    build_transcripts_from_documents."""
-    d = docs.select("doc_id", "text")
-    if num_partitions is not None:
-        d = d.repartition(num_partitions, "doc_id")
-    return d.mapInPandas(_cjk_armor_batches, schema=TRANSCRIPTS_SCHEMA)
+# documents → transcripts where every row is a legacy-CMap PDF
+# (family rotates by doc_id % 4, see doc_to_cjk_pdf_payload)
+build_cjk_transcripts_from_documents = _single_kind_armor_builder(
+    doc_to_cjk_pdf_payload)
 
 
 def build_transcripts_from_documents(

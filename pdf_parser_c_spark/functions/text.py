@@ -428,9 +428,14 @@ def homoglyph_skeleton(col: str = "text") -> Column:
     and soft-hyphen characters, lowercase, collapse whitespace.  Two
     texts that RENDER alike skeleton-ize identically, so a hash of the
     skeleton catches obfuscated duplicates exact dedup misses.  Pure
-    codegen (translate + regexp_replace + lower) — no UDF."""
+    codegen (lower + translate + regexp_replace) — no UDF.
+
+    Order matters: lower() FIRST, so uppercase Cyrillic/Greek
+    confusables fold through their lowercase forms (the table keys are
+    lowercase); translating before lowering would let all-caps spam
+    ('СОРОС') skip the fold entirely."""
     c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
     c = F.translate(c, CONFUSABLE_SRC, CONFUSABLE_DST)
     c = F.regexp_replace(c, _ZERO_WIDTH_RE, "")
-    c = F.lower(c)
     return F.trim(F.regexp_replace(c, r"\s+", " "))

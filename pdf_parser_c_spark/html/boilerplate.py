@@ -42,6 +42,29 @@ MIN_BLOCK_CHARS = 25
 MAX_LINK_DENSITY = 0.4
 
 
+def _decl_span(raw: str, pos: int, tag_start: int | None):
+    """If a markup declaration / PI / comment starts at or before the
+    next real tag, return ``(decl_start, resume_pos)``; else ``None``.
+
+    Shared by every tag scanner (boilerplate, markdown, links, tables)
+    so commented-out markup (``<!-- <a href=...> -->``) never reaches
+    the tag path of ANY of them.  HTML5 §13.2.5: ``<!--`` opens a
+    comment closed by ``-->`` (with ``<!-->``/``<!--->`` abruptly
+    closed); any other ``<!`` or ``<?`` is a bogus comment / doctype /
+    CDATA consumed through the next ``>``."""
+    decl = raw.find("<!", pos)
+    pi = raw.find("<?", pos)
+    if pi != -1 and (decl == -1 or pi < decl):
+        decl = pi
+    if decl == -1 or (tag_start is not None and tag_start < decl):
+        return None
+    if raw.startswith("<!--", decl):
+        close = raw.find("-->", decl + 2)  # +2 not +4: <!--> / <!---> close abruptly
+        return decl, (len(raw) if close == -1 else close + 3)
+    close = raw.find(">", decl + 2)
+    return decl, (len(raw) if close == -1 else close + 1)
+
+
 def looks_like_html(payload: str) -> bool:
     head = payload.lstrip()[:256].lower()
     return head.startswith("<!doctype html") or head.startswith("<html") or (
@@ -112,22 +135,11 @@ def _segment(raw: str) -> list[tuple[str, int, str, bool]]:
         # markup declarations / PIs come BEFORE tag handling: a comment
         # body may contain real-looking tags (`<!-- <footer> -->`), and
         # letting those reach the tag path leaks commented-out text and
-        # poisons the drop/main/link stacks.  HTML5 §13.2.5: `<!--`
-        # opens a comment closed by `-->` (with `<!-->`/`<!--->`
-        # abruptly-closed forms); any other `<!` or `<?` is a bogus
-        # comment / doctype / CDATA consumed through the next `>`.
-        decl = raw.find("<!", pos)
-        pi = raw.find("<?", pos)
-        if pi != -1 and (decl == -1 or pi < decl):
-            decl = pi
-        if decl != -1 and (m is None or decl < m.start()):
-            emit(raw[pos:decl])
-            if raw.startswith("<!--", decl):
-                close = raw.find("-->", decl + 2)  # +2 not +4: <!--> / <!---> close abruptly
-                pos = len(raw) if close == -1 else close + 3
-            else:
-                close = raw.find(">", decl + 2)
-                pos = len(raw) if close == -1 else close + 1
+        # poisons the drop/main/link stacks.
+        d = _decl_span(raw, pos, m.start() if m else None)
+        if d is not None:
+            emit(raw[pos:d[0]])
+            pos = d[1]
             continue
         if m is None:
             break

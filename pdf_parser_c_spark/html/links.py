@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from .boilerplate import _RAWTEXT_TAGS, _TAG_RE, _WS_RE
+from .boilerplate import _RAWTEXT_TAGS, _TAG_RE, _WS_RE, _decl_span
 
 _DROP = {"script", "style", "template", "head", "noscript", "svg"}
 _ATTR_RE = re.compile(
@@ -50,6 +50,14 @@ def extract_links(raw: str) -> list[dict]:
     pos = 0
     while True:
         m = _TAG_RE.search(raw, pos)
+        # comments/doctypes/PIs first: commented-out markup must not
+        # produce ghost links (shared rule, boilerplate._decl_span)
+        d = _decl_span(raw, pos, m.start() if m else None)
+        if d is not None:
+            if cur is not None and drop_depth == 0:
+                buf.append(raw[pos: d[0]])
+            pos = d[1]
+            continue
         if m is None:
             break
         if cur is not None and drop_depth == 0:

@@ -32,7 +32,7 @@ from __future__ import annotations
 import html as _html
 import re
 
-from .boilerplate import _TAG_RE, _WS_RE, _RAWTEXT_TAGS
+from .boilerplate import _TAG_RE, _WS_RE, _RAWTEXT_TAGS, _decl_span
 
 _DROP = {"script", "style", "head", "noscript", "svg", "template", "iframe"}
 _HEADING = {f"h{i}": i for i in range(1, 7)}
@@ -51,6 +51,7 @@ def to_markdown(raw: str) -> str:
     pre_depth = 0
     quote_depth = 0
     list_stack: list[int | None] = []  # None = unordered, int = next ordinal
+    pre_marks: list[int] = []  # len(blocks) at each <pre> open
     item_prefix = ""  # pending li/heading prefix for the current block
     link_stack: list[str] = []
     pos = 0
@@ -85,18 +86,10 @@ def to_markdown(raw: str) -> str:
 
     while True:
         m = _TAG_RE.search(raw, pos)
-        decl = raw.find("<!", pos)
-        pi = raw.find("<?", pos)
-        if pi != -1 and (decl == -1 or pi < decl):
-            decl = pi
-        if decl != -1 and (m is None or decl < m.start()):
-            emit(raw[pos:decl])
-            if raw.startswith("<!--", decl):
-                close = raw.find("-->", decl + 2)
-                pos = len(raw) if close == -1 else close + 3
-            else:
-                close = raw.find(">", decl + 2)
-                pos = len(raw) if close == -1 else close + 1
+        d = _decl_span(raw, pos, m.start() if m else None)
+        if d is not None:
+            emit(raw[pos:d[0]])
+            pos = d[1]
             continue
         if m is None:
             break
@@ -144,10 +137,18 @@ def to_markdown(raw: str) -> str:
         elif tag == "pre":
             flush()
             if closing:
-                if blocks and pre_depth:
-                    blocks[-1] = "```\n" + blocks[-1] + "\n```"
+                # fence ONLY blocks this pre actually contributed — an
+                # empty <pre></pre> must not fence the previous
+                # unrelated paragraph
+                if pre_depth:
+                    start = pre_marks.pop() if pre_marks else len(blocks)
+                    if len(blocks) > start:
+                        body = "\n\n".join(blocks[start:])
+                        del blocks[start:]
+                        blocks.append("```\n" + body + "\n```")
                 pre_depth = max(0, pre_depth - 1)
             else:
+                pre_marks.append(len(blocks))
                 pre_depth += 1
         elif tag in _PARA_TAGS:
             flush()

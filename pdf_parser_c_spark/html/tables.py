@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from .boilerplate import _TAG_RE, _WS_RE
+from .boilerplate import _TAG_RE, _WS_RE, _decl_span
 
 _CELL_TAGS = {"td", "th"}
 _ATTR_RE = re.compile(
@@ -98,6 +98,14 @@ def extract_tables(raw: str) -> list[list[list[dict]]]:
 
     while True:
         m = _TAG_RE.search(raw, pos)
+        # comments/doctypes/PIs first: a commented-out <tr> must not
+        # materialize ghost cells (shared rule, boilerplate._decl_span)
+        d = _decl_span(raw, pos, m.start() if m else None)
+        if d is not None:
+            if cur is not None and cur.get("cell") is not None:
+                text_buf.append(raw[pos: d[0]])
+            pos = d[1]
+            continue
         if m is None:
             break
         if cur is not None and cur.get("cell") is not None:

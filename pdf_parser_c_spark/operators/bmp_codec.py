@@ -126,12 +126,16 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
         gray = all(palette[4 * i] == palette[4 * i + 1] == palette[4 * i + 2]
                    for i in range(n_colors))
         if gray:
+            # range-check BEFORE translate: bytes.translate never
+            # raises, so an out-of-range index would silently decode to
+            # fabricated black — the color branch raises, and so must we
+            if n_colors < 256:
+                for row in rows:
+                    if max(row) >= n_colors:
+                        raise BMPError("palette index out of range")
             lut = bytes(palette[4 * i] for i in range(n_colors))
-            try:
-                px = b"".join(row.translate(
-                    lut.ljust(256, b"\x00")) for row in rows)
-            except IndexError as exc:  # pragma: no cover
-                raise BMPError("palette index out of range") from exc
+            px = b"".join(row.translate(
+                lut.ljust(256, b"\x00")) for row in rows)
             return width, height, 1, px
         out = bytearray()
         for row in rows:

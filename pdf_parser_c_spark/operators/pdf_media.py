@@ -263,40 +263,15 @@ def _link_rows_for_pdf(pdf: bytes) -> list[dict]:
     return rows
 
 
+# → one row per /Link annotation with a URI action in the PDF turns
+# (non-PDF payloads yield nothing; a broken document yields a labeled
+# error row — the shared _pdf_rows_operator contract, defined below).
 def extract_pdf_annot_links(df: DataFrame, payload_col: str = "text") -> DataFrame:
-    """→ one row per /Link annotation with a URI action in the PDF
-    turns of ``df`` (non-PDF payloads yield nothing; a broken document
-    yields a labeled error row — same accounting contract as
-    extract_pdf_images)."""
-    from ..engine import PDF_B64_PREFIX, PDF_B85_PREFIX, _decode_armor
-
-    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in LINK_ANNOT_SCHEMA.fields]
-        for batch in it:
-            out: list[dict] = []
-            for conv_id, turn_idx, payload in zip(
-                batch["conv_id"], batch["turn_idx"], batch[payload_col]
-            ):
-                if payload is None or not payload.startswith(
-                    (PDF_B64_PREFIX, PDF_B85_PREFIX)
-                ):
-                    continue
-                try:
-                    rows = _link_rows_for_pdf(_decode_armor(payload))
-                except Exception:
-                    rows = [{
-                        "page": -1, "annot_idx": -1, "x0": None, "y0": None,
-                        "x1": None, "y1": None, "uri": None,
-                        "status": "doc_error",
-                    }]
-                for r in rows:
-                    r = dict(r)
-                    r["conv_id"] = conv_id
-                    r["turn_idx"] = int(turn_idx)
-                    out.append(r)
-            yield pd.DataFrame(out, columns=cols)
-
-    return df.mapInPandas(gen, schema=LINK_ANNOT_SCHEMA)
+    return _pdf_rows_operator(
+        _link_rows_for_pdf, LINK_ANNOT_SCHEMA,
+        {"page": -1, "annot_idx": -1, "x0": None, "y0": None,
+         "x1": None, "y1": None, "uri": None, "status": "doc_error"},
+    )(df, payload_col)
 
 OUTLINE_SCHEMA = T.StructType(
     [

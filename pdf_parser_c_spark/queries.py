@@ -10853,9 +10853,13 @@ def q_audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     are scaled to cents (round(v·100)), the first digit read off the
     decimal string, shares expressed in ppm by integer division, and
     the expected Benford ppm attached as literal constants — no
-    float log10 anywhere near the hash.
+    float log10 anywhere near the hash.  The gate is on the SCALED
+    integer (round(v·100) ≥ 1), not value > 0: a positive value under
+    half a cent would round to 0, whose "first digit" 0 crashes
+    Spark's 1-based element_at while DuckDB silently yields NULL.
     Scale: one map-side digit extraction + a 9-key census exchange."""
-    e = t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    e = t(spark, sf_dir, "events").filter(
+        F.round(F.col("value") * 100).cast("long") >= 1)
     digit = F.substring(
         F.round(F.col("value") * 100).cast("long").cast("string"), 1, 1
     ).cast("int")
@@ -10884,7 +10888,7 @@ SQL_AUDIT_BENFORD = """
 WITH d AS (
   SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
               1, 1) AS INTEGER) AS digit
-  FROM events WHERE value > 0),
+  FROM events WHERE CAST(round(value * 100) AS BIGINT) >= 1),
 counted AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
 tot AS (SELECT sum(n) AS tot FROM counted)
 SELECT digit, n,
@@ -11055,10 +11059,12 @@ def q_dedup_homoglyph(spark: SparkSession, sf_dir: str) -> DataFrame:
     spam evades exact/fingerprint dedup by swapping Latin letters for
     identical-looking Cyrillic ones and sprinkling zero-width joiners.
     Every 9th document gets a deterministic obfuscated clone (Latin →
-    Cyrillic translate + a zero-width space after the first word);
-    exact hashing treats the clone as NEW text, the UTS #39-style
-    skeleton (functions/text.homoglyph_skeleton: confusable fold +
-    zero-width strip + casefold, pure codegen) re-joins every pair.
+    Cyrillic translate, BOTH cases — uppercase spam like 'СОРОС' is
+    the primary threat shape — + a zero-width space after the first
+    word); exact hashing treats the clone as NEW text, the UTS
+    #39-style skeleton (functions/text.homoglyph_skeleton: casefold
+    FIRST, then confusable fold + zero-width strip, pure codegen)
+    re-joins every pair.
     Census: raw-hash vs skeleton-hash duplicate groups and the count
     of obfuscated clones re-matched to their source.
     Scale: two map-side hashes + one 16-byte-key census exchange; no
@@ -11071,8 +11077,8 @@ def q_dedup_homoglyph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (F.col("doc_id") + 2000000).alias("doc_id"),
             F.regexp_replace(
-                F.translate("text", "aeopcxy", "аеор"
-                            "сху"),
+                F.translate("text", "aeopcxyAEOPCXY",
+                            "аеорсхуАЕОРСХУ"),
                 r"^(\S+) ", "$1​ ",
             ).alias("text"),
         )
@@ -11110,9 +11116,11 @@ SQL_DEDUP_HOMOGLYPH = """
 WITH obf AS (
   SELECT doc_id + 2000000 AS doc_id,
          regexp_replace(
-           translate(text, 'aeopcxy',
+           translate(text, 'aeopcxyAEOPCXY',
                      chr(1072) || chr(1077) || chr(1086) || chr(1088) ||
-                     chr(1089) || chr(1093) || chr(1091)),
+                     chr(1089) || chr(1093) || chr(1091) ||
+                     chr(1040) || chr(1045) || chr(1054) || chr(1056) ||
+                     chr(1057) || chr(1061) || chr(1059)),
            '^(\\S+) ', '\\1' || chr(8203) || ' ') AS text
   FROM documents WHERE doc_id % 9 = 0),
 allrows AS (
@@ -11120,8 +11128,8 @@ allrows AS (
   UNION ALL SELECT doc_id, text FROM obf),
 fps AS (
   SELECT doc_id, md5(text) AS raw_fp,
-         md5(trim(regexp_replace(lower(regexp_replace(
-             translate(text,
+         md5(trim(regexp_replace(regexp_replace(
+             translate(lower(text),
                        chr(1072) || chr(1077) || chr(1086) || chr(1088) ||
                        chr(1089) || chr(1093) || chr(1091) || chr(1082) ||
                        chr(1074) || chr(1084) || chr(1085) || chr(1090) ||
@@ -11129,7 +11137,7 @@ fps AS (
                        chr(1110) || chr(1112),
                        'aeopcxykvmhtoaepij'),
              '[' || chr(8203) || chr(8204) || chr(8205) || chr(8288) ||
-             chr(65279) || chr(173) || ']', '', 'g')),
+             chr(65279) || chr(173) || ']', '', 'g'),
              '\\s+', ' ', 'g'))) AS skel_fp
   FROM allrows),
 raw_g AS (

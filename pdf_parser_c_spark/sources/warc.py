@@ -50,6 +50,7 @@ WARC_B64_PREFIX = "WARCB64:"
 # (a ^ would re-anchor to the string start and fail every later record)
 _VERSION_RE = re.compile(rb"WARC/(?:0\.1[78]|1\.[01])\r?\n")
 _GZIP_MAGIC = b"\x1f\x8b"
+_MAX_MEMBER_BYTES = 1 << 30  # inflated-size cap per gzip member (bomb guard)
 
 
 class WarcError(ValueError):
@@ -103,7 +104,13 @@ def iter_gzip_members(buf: bytes):
     while rest.startswith(_GZIP_MAGIC):
         d = zlib.decompressobj(wbits=31)
         try:
-            out = d.decompress(rest)
+            # cap the inflated size so a gzip bomb (tiny member, GBs
+            # out) raises a WarcError status row instead of OOMing the
+            # executor — same guard class as webdataset._MAX_MEMBER_BYTES
+            out = d.decompress(rest, _MAX_MEMBER_BYTES)
+            if not d.eof and d.unconsumed_tail:
+                raise WarcError(
+                    f"gzip member exceeds {_MAX_MEMBER_BYTES} bytes inflated")
         except zlib.error as exc:
             raise WarcError(f"gzip member: {exc}") from exc
         if not d.eof:
@@ -264,6 +271,9 @@ def extract_warc_text(payload: str) -> dict:
     except WarcError as exc:
         return {"status": "malformed", "text": "", "n_responses": 0,
                 "error": f"warc: {exc}"}
+    except Exception as exc:  # belt: hostile containers never fail a task
+        return {"status": "malformed", "text": "", "n_responses": 0,
+                "error": f"warc: {type(exc).__name__}: {exc}"}
     texts: list[str] = []
     n_responses = 0
     for rec in records:

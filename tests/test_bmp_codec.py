@@ -107,3 +107,22 @@ class TestChainIntegration:
         assert row.decoder == "bmp"
         assert (row.width, row.height) == (10, 10)
         assert abs(row.mean_luma - sum(GRAY) / len(GRAY)) < 0.01
+
+
+class TestGrayPaletteRange:
+    def test_gray_palette_index_out_of_range_raises(self):
+        # bytes.translate never raises, so the gray fast path must
+        # range-check explicitly — silent black pixels are fabricated
+        # data (review finding)
+        import struct
+
+        w, h, nc = 2, 1, 4
+        pal = b"".join(bytes((i, i, i, 0)) for i in range(nc))
+        stride = (w + 3) & ~3
+        px = bytes((200, 1)) + b"\x00" * (stride - w)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                          len(px), 0, 0, nc, 0)
+        off = 14 + 40 + len(pal)
+        hdr = struct.pack("<2sIHHI", b"BM", off + len(px), 0, 0, off)
+        with pytest.raises(BMPError, match="palette index"):
+            decode_bmp(hdr + dib + pal + px)

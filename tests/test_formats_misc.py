@@ -224,3 +224,18 @@ class TestRtf:
             repartition=False).collect()
         assert rows[0].kind == "rtf" and rows[0].status == "ok"
         assert rows[0].text.startswith("Doc 3\nalpha beta")
+
+
+class TestClassifyPrecedence:
+    def test_rtf_quoting_notebook_json_stays_rtf(self):
+        # '{\rtf' is an exact prefix; the ipynb sniff is a heuristic —
+        # RTF must win even when the document QUOTES notebook JSON
+        # (review finding: ipynb-first lost the text of such docs)
+        import pandas as pd
+
+        from pdf_parser_c_spark.engine import classify_payload
+
+        rtf = r'{\rtf1\ansi notes about "cells" and "nbformat" \par x}'
+        nb = '{"cells": [], "nbformat": 4, "metadata": {}}'
+        assert list(classify_payload(pd.Series([rtf, nb]))) == [
+            "rtf", "ipynb"]

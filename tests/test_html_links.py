@@ -65,3 +65,20 @@ class TestArmorAndSpark:
         assert rows[0].doc_id == 0 and rows[0].link_idx == 0
         assert all(r.href.startswith("https://") for r in rows)
         assert {type(r.nofollow) for r in rows} == {bool}
+
+
+class TestComments:
+    def test_commented_out_links_are_ghosts(self):
+        from pdf_parser_c_spark.html.links import extract_links
+
+        raw = ('<!-- <a href="http://ghost/">g</a> -->'
+               '<a href="http://real/">r <!-- hidden --> ok</a>')
+        links = extract_links(raw)
+        assert [x["href"] for x in links] == ["http://real/"]
+        assert links[0]["anchor"] == "r ok"
+
+    def test_unclosed_comment_swallows_tail(self):
+        from pdf_parser_c_spark.html.links import extract_links
+
+        raw = '<a href="http://a/">a</a><!-- <a href="http://b/">b</a>'
+        assert [x["href"] for x in extract_links(raw)] == ["http://a/"]

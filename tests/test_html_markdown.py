@@ -89,3 +89,17 @@ class TestArmorAndSpark:
         assert out[0].md.startswith("## Doc 4\n\n")
         assert out[1].md.startswith("# Doc 9\n\n")
         assert out[0].md.endswith("`w14`")
+
+
+class TestEmptyPre:
+    def test_empty_pre_does_not_fence_previous_block(self):
+        from pdf_parser_c_spark.html.markdown import to_markdown
+
+        md = to_markdown("<p>hello world</p><pre></pre><p>after</p>")
+        assert md == "hello world\n\nafter"
+
+    def test_nonempty_pre_still_fenced(self):
+        from pdf_parser_c_spark.html.markdown import to_markdown
+
+        md = to_markdown("<p>x</p><pre>code here</pre>")
+        assert md == "x\n\n```\ncode here\n```"

@@ -98,3 +98,14 @@ class TestSparkPath:
         footer = by_doc[3][-1]
         assert footer.colspan == 3 and footer.cell == "3" and not footer.is_header
         assert {r.is_header for r in by_doc[3][:3]} == {True}
+
+
+class TestComments:
+    def test_commented_out_rows_are_ghosts(self):
+        from pdf_parser_c_spark.html.tables import extract_tables
+
+        raw = ('<table><!-- <tr><td>ghost</td></tr> -->'
+               '<tr><td>real <!-- x --> cell</td></tr></table>')
+        tables = extract_tables(raw)
+        assert len(tables) == 1 and len(tables[0]) == 1
+        assert tables[0][0][0]["text"] == "real cell"

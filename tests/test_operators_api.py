@@ -1575,3 +1575,13 @@ def test_homoglyph_skeleton_folds_confusables(spark):
          ("PAY  PAL",)], "text string",
     ).select(homoglyph_skeleton("text").alias("s")).collect()
     assert all(r.s == "pay pal" for r in rows)
+
+    # UPPERCASE Cyrillic spam — the primary threat shape — must fold
+    # through casefold-then-translate ('СОРОС'
+    # and 'COPOC' identical); translate-before-lower missed it
+    # (round-3 review finding)
+    rows = spark.createDataFrame(
+        [("СОРОС",), ("COPOC",), ("copoc",)],
+        "text string",
+    ).select(homoglyph_skeleton("text").alias("s")).collect()
+    assert all(r.s == "copoc" for r in rows)

@@ -95,9 +95,11 @@ def _adversarial_events(rnd):
                 "event_type": ("view", "click", "signup", "purchase",
                                "error")[i % 5],
                 # NULL value/props every 13th row: sums/avgs/quantiles
-                # must skip them identically on both engines
+                # must skip them identically on both engines; 0.001 is
+                # positive but rounds to 0 cents — the benford gate must
+                # exclude it on BOTH engines (digit 0 crashes element_at)
                 "value": None if i % 13 == 5
-                else (-1.5, 0.0, 2.25, 100.0, 0.125)[i % 5],
+                else (-1.5, 0.0, 2.25, 100.0, 0.125, 0.001)[i % 6],
                 "props": None if i % 13 == 8 else f"p{i % 4}",
             }
         )

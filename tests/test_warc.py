@@ -206,3 +206,34 @@ class TestSparkPath:
         s = pd.Series([doc_to_warc_payload(1, TEXT), "<html><body><p>x</p>",
                        "plain", None])
         assert list(classify_payload(s)) == ["warc", "html", "plain", "plain"]
+
+
+class TestBombGuard:
+    def test_gzip_bomb_is_malformed_not_oom(self, monkeypatch):
+        # a tiny gzip member inflating past the cap must land as a
+        # labeled malformed row, never OOM/fail the task (review
+        # finding: decompress had no output cap)
+        from pdf_parser_c_spark.sources import warc as W
+
+        monkeypatch.setattr(W, "_MAX_MEMBER_BYTES", 4096)
+        bomb = zlib.compress(b"\x00" * (1 << 20), 9)
+        # wrap as a gzip member (wbits=31 writer)
+        import gzip as _gzip
+
+        member = _gzip.compress(b"\x00" * (1 << 20))
+        payload = WARC_B64_PREFIX + base64.b64encode(member).decode()
+        r = extract_warc_text(payload)
+        assert r["status"] == "malformed"
+        assert "exceeds" in r["error"]
+        assert bomb  # silence unused
+
+    def test_unexpected_exception_is_belted(self, monkeypatch):
+        # non-WarcError escapes from the parser must also become rows
+        from pdf_parser_c_spark.sources import warc as W
+
+        def boom(_raw):
+            raise MemoryError("simulated")
+
+        monkeypatch.setattr(W, "parse_warc", boom)
+        r = extract_warc_text(WARC_B64_PREFIX + base64.b64encode(b"x").decode())
+        assert r["status"] == "malformed" and "MemoryError" in r["error"]
