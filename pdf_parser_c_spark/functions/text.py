@@ -171,6 +171,42 @@ def scrub_pii(col: str = "text") -> Column:
     return F.regexp_replace(out, PII_IPV4, "<IP>")
 
 
+# Credential patterns shared with the DuckDB oracle — the gitleaks-
+# class rule shapes for the token formats that actually leak into web
+# corpora (training-data safety: a model must not memorize live keys).
+# Plain character classes only, no lookaround, so Java regex and RE2
+# agree.  Deliberately NOT anchored on \b: secrets get pasted mid-token
+# ("key=AKIA...", "Bearer eyJ...") and a boundary miss is worse than a
+# rare over-match.
+SECRET_PATTERNS = (
+    ("aws_key", "AKIA[0-9A-Z]{16}"),
+    ("gh_token", "ghp_[A-Za-z0-9]{36}"),
+    ("private_key", "-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+    ("jwt", "eyJ[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}"),
+    ("slack_token", "xox[baprs]-[A-Za-z0-9-]{10,}"),
+)
+
+
+def secret_counts(col: str = "text") -> dict[str, Column]:
+    """Per-class credential match counts (independent patterns; the
+    scrub order decides the placeholder when classes ever overlap)."""
+    return {
+        kind: F.size(F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(0)))
+        for kind, pat in SECRET_PATTERNS
+    }
+
+
+def scrub_secrets(col: str = "text") -> Column:
+    """Redact every credential class with a typed placeholder, JWT
+    last (its first segment could in principle sit inside a longer
+    base64 run another rule already consumed).  Pure regexp_replace
+    chain — JVM-side, idempotent."""
+    out = F.col(col) if isinstance(col, str) else col
+    for kind, pat in SECRET_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
 def lang_ngram_prediction(profiles: dict[str, tuple[str, ...]], col: str = "text") -> Column:
     """Language-ID via char n-gram profiles: argmax of per-language
     trigram-hit counts, deterministic first-wins tiebreak.  The second

@@ -143,6 +143,8 @@ def main() -> None:
         "extraction_epub_roundtrip": "EPUB path: armor + OCF/OPF walk + chapter strip fused after one doc_id exchange",
         "extraction_rtf_roundtrip": "RTF path: bare-text sniff + token-stream parse fused; no armor leg",
         "extraction_multiformat_census": "whole-dispatch capstone: ONE armor+extract pass over all nine kinds; census is a 9-row aggregate",
+        "filter_secret_scan": "secret scan: injection + 5-pattern detect + scrub + residual all map-side regexp codegen; the 6-row kind census is the corpus's ONLY exchange",
+        "dedup_line_boilerplate": "line boilerplate: line-forming map-side array math, ONE (source, line) exchange; per-source doc counts ride a BroadcastHashJoin — no doc pairs anywhere",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]
