@@ -17,6 +17,11 @@ Mapping (CommonMark-flavored):
 * ``blockquote``        → ``> `` prefix
 * ``br``                → hard line break inside the block
 * ``hr``                → ``---``
+* ``table``             → GFM pipe table: one ``| … |`` line per
+  ``<tr>``, the separator after the FIRST row (which serves as the
+  header, ``th`` or not — GFM requires one); cell text gets the usual
+  inline treatment with ``|`` escaped; rowspan/colspan flattened (GFM
+  has no spans); a table nested in a cell is inlined space-joined
 * ``script/style/head/noscript/svg/template`` subtrees dropped
 
 Unlike the boilerplate path this KEEPS nav/footer content — structure
@@ -36,9 +41,13 @@ from .boilerplate import _TAG_RE, _WS_RE, _RAWTEXT_TAGS, _decl_span
 
 _DROP = {"script", "style", "head", "noscript", "svg", "template", "iframe"}
 _HEADING = {f"h{i}": i for i in range(1, 7)}
-_PARA_TAGS = {"p", "div", "section", "article", "main", "body", "table",
-              "tr", "figure", "figcaption", "dl", "dt", "dd", "header",
+_PARA_TAGS = {"p", "div", "section", "article", "main", "body",
+              "figure", "figcaption", "dl", "dt", "dd", "header",
               "footer", "nav", "aside"}
+# block-level tags swallowed (as cell-internal spaces) while a table
+# is open — structure inside a cell can't survive into a pipe table
+_TBL_SWALLOW = ({"tr", "td", "th", "ul", "ol", "li", "blockquote",
+                 "pre", "hr"} | _PARA_TAGS | set(_HEADING))
 _HREF_RE = re.compile(
     r"""href\s*=\s*("([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.I)
 
@@ -84,6 +93,42 @@ def to_markdown(raw: str) -> str:
         if drop_depth == 0 and text:
             buf.append(text if pre_depth else _html.unescape(text))
 
+    table_stack: list[dict] = []
+
+    def tbl_close_cell(st: dict) -> None:
+        nonlocal buf
+        if st["in_cell"]:
+            text = _WS_RE.sub(" ", "".join(buf).replace("\x00", " ")).strip()
+            st["row"].append(text.replace("|", "\\|"))
+            st["in_cell"] = False
+        buf = []  # also discards inter-cell stray text (browsers hoist it)
+
+    def tbl_close_row(st: dict) -> None:
+        if st["row"] is not None:
+            st["rows"].append(st["row"])
+            st["row"] = None
+
+    def tbl_render(st: dict) -> str:
+        rows = [r for r in st["rows"] if r]
+        if not rows:
+            return ""
+        lines = ["| " + " | ".join(r) + " |" for r in rows]
+        lines.insert(1, "| " + " | ".join(["---"] * len(rows[0])) + " |")
+        return "\n".join(lines)
+
+    def tbl_finish() -> None:
+        nonlocal buf
+        st = table_stack.pop()
+        tbl_close_cell(st)
+        tbl_close_row(st)
+        block = tbl_render(st)
+        if st["outer"] is not None:  # nested: inline into the outer cell
+            buf = st["outer"]
+            if block:
+                buf.append(" " + block.replace("\n", " ") + " ")
+        elif block:
+            blocks.append(block)
+
     while True:
         m = _TAG_RE.search(raw, pos)
         d = _decl_span(raw, pos, m.start() if m else None)
@@ -110,7 +155,35 @@ def to_markdown(raw: str) -> str:
             continue
         if drop_depth > 0:
             continue
-        if tag in _HEADING:
+        if tag == "table" or (table_stack and tag in _TBL_SWALLOW):
+            st = table_stack[-1] if table_stack else None
+            if tag == "table" and not closing:
+                outer = None
+                if st is not None and st["in_cell"]:
+                    outer, buf = buf, []
+                else:
+                    flush()
+                table_stack.append(
+                    {"rows": [], "row": None, "in_cell": False,
+                     "outer": outer})
+            elif st is None:
+                pass  # stray </table> with nothing open
+            elif tag == "table":
+                tbl_finish()
+            elif tag == "tr":
+                tbl_close_cell(st)
+                tbl_close_row(st)
+                if not closing:
+                    st["row"] = []
+            elif tag in ("td", "th"):
+                tbl_close_cell(st)
+                if not closing:
+                    if st["row"] is None:  # row-less cell: implicit <tr>
+                        st["row"] = []
+                    st["in_cell"] = True
+            else:  # block structure inside a cell flattens to a space
+                buf.append(" ")
+        elif tag in _HEADING:
             flush()
             if not closing:
                 item_prefix = "#" * _HEADING[tag] + " "
@@ -174,6 +247,8 @@ def to_markdown(raw: str) -> str:
                 buf.append("[")
         # other inline tags (span, u, small, img, ...) are stripped
     emit(raw[pos:])
+    while table_stack:  # unclosed tables at EOF still render
+        tbl_finish()
     flush()
     return "\n\n".join(blocks)
 

@@ -145,6 +145,7 @@ def main() -> None:
         "extraction_multiformat_census": "whole-dispatch capstone: ONE armor+extract pass over all nine kinds; census is a 9-row aggregate",
         "filter_secret_scan": "secret scan: injection + 5-pattern detect + scrub + residual all map-side regexp codegen; the 6-row kind census is the corpus's ONLY exchange",
         "dedup_line_boilerplate": "line boilerplate: line-forming map-side array math, ONE (source, line) exchange; per-source doc counts ride a BroadcastHashJoin — no doc pairs anywhere",
+        "extraction_html_md_tables": "GFM tables: armor MapInPandas + ArrowEvalPython conversion in ONE stage after the doc_id exchange; only (id, md) shuffles to the presentation sort",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

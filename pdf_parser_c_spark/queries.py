@@ -12133,6 +12133,70 @@ GROUP BY s.source ORDER BY s.source
 """
 
 
+def q_extraction_html_md_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GFM pipe-table conversion, hash-checked string-for-string: the
+    table-bearing armor pages (flagship.doc_to_table_html_payload —
+    shape and cells derived from (doc_id, words) alone) run through the
+    html→markdown converter, which must emit EXACTLY the pipe table
+    DuckDB reconstructs: first row as header, ``| --- |`` separator,
+    ``**bold**`` cells where the armor decorates, the colspan footer
+    flattened to a single cell, surrounding prose/footer blocks intact.
+    Tables are the web's densest structured data; keeping them as GFM
+    (not flattened prose) is what makes them trainable.
+    Scale: one exchange on doc_id; armor kernel + Arrow-batched
+    pandas-UDF conversion fused in one stage; only (id, md) shuffles."""
+    from .flagship import build_table_pages_from_documents
+    from .html.markdown import html_to_markdown
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 1)
+    pages = build_table_pages_from_documents(spark, docs, num_partitions=16)
+    return (
+        pages.select("doc_id", html_to_markdown(F.col("text")).alias("md"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_EXTRACTION_HTML_MD_TABLES = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws,
+         CAST(2 + doc_id % 2 AS INTEGER) AS n_cols,
+         CAST(2 + doc_id % 3 AS INTEGER) AS n_rows
+  FROM documents WHERE doc_id % 7 = 1
+),
+hdr AS (
+  SELECT doc_id,
+         '| ' || array_to_string(list_transform(range(n_cols),
+                 c -> 'h' || CAST(c + 1 AS VARCHAR)), ' | ') || ' |'
+           AS h_line,
+         '| ' || array_to_string(list_transform(range(n_cols),
+                 c -> '---'), ' | ') || ' |' AS sep_line
+  FROM w),
+d AS (
+  SELECT doc_id, r,
+         '| ' || array_to_string(list_transform(range(n_cols), c ->
+             CASE WHEN (r + c) % 2 = 0
+                  THEN '**' || replace(CASE WHEN len(ws) = 0 THEN 'w'
+                       ELSE ws[1 + ((r * n_cols + c) % len(ws))] END,
+                       '|', '\|') || '**'
+                  ELSE replace(CASE WHEN len(ws) = 0 THEN 'w'
+                       ELSE ws[1 + ((r * n_cols + c) % len(ws))] END,
+                       '|', '\|') END), ' | ') || ' |' AS line
+  FROM (SELECT doc_id, ws, n_cols, unnest(range(n_rows)) AS r FROM w)),
+body AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY r) AS data_lines
+  FROM d GROUP BY doc_id)
+SELECT w.doc_id,
+       'Prose before the table.' || chr(10) || chr(10) ||
+       h.h_line || chr(10) || h.sep_line || chr(10) || b.data_lines ||
+       chr(10) || '| ' || CAST(w.doc_id AS VARCHAR) || ' |' ||
+       chr(10) || chr(10) || 'fine print' AS md
+FROM w JOIN hdr h USING (doc_id) JOIN body b ON w.doc_id = b.doc_id
+ORDER BY w.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -12379,6 +12443,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "dedup_homoglyph": (q_dedup_homoglyph, SQL_DEDUP_HOMOGLYPH),
     "filter_secret_scan": (q_filter_secret_scan, _sql_filter_secret_scan()),
+    "extraction_html_md_tables": (
+        q_extraction_html_md_tables, SQL_EXTRACTION_HTML_MD_TABLES
+    ),
     "dedup_line_boilerplate": (
         q_dedup_line_boilerplate, SQL_DEDUP_LINE_BOILERPLATE
     ),

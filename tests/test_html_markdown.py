@@ -103,3 +103,44 @@ class TestEmptyPre:
 
         md = to_markdown("<p>x</p><pre>code here</pre>")
         assert md == "x\n\n```\ncode here\n```"
+
+
+class TestPipeTables:
+    def test_basic_table_with_header_and_escape(self):
+        from pdf_parser_c_spark.html.markdown import to_markdown
+
+        md = to_markdown(
+            "<p>before</p><table><tr><th> h1 </th><th>h2</th></tr>"
+            "<tr><td><b>a</b></td><td>x|y</td></tr>"
+            "<tr><td colspan=2>7</td></tr></table><p>after</p>")
+        assert md == ("before\n\n"
+                      "| h1 | h2 |\n| --- | --- |\n"
+                      "| **a** | x\\|y |\n| 7 |\n\nafter")
+
+    def test_first_row_is_header_even_without_th(self):
+        from pdf_parser_c_spark.html.markdown import to_markdown
+
+        md = to_markdown("<table><tr><td>a</td><td>b</td></tr>"
+                         "<tr><td>c</td><td>d</td></tr></table>")
+        assert md == "| a | b |\n| --- | --- |\n| c | d |"
+
+    def test_nested_table_inlined_and_unclosed_renders(self):
+        from pdf_parser_c_spark.html.markdown import to_markdown
+
+        md = to_markdown("<table><tr><td>x<table><tr><td>in</td></tr>"
+                         "</table>y</td></tr></table>")
+        assert "in" in md and md.startswith("| x ")
+        assert to_markdown("<table><tr><td>open") == "| open |\n| --- |"
+
+    def test_block_tags_inside_cells_flatten(self):
+        from pdf_parser_c_spark.html.markdown import to_markdown
+
+        md = to_markdown("<table><tr><td><p>a</p><p>b</p></td></tr></table>")
+        assert md == "| a b |\n| --- |"
+
+    def test_commented_out_table_rows_ignored(self):
+        from pdf_parser_c_spark.html.markdown import to_markdown
+
+        md = to_markdown("<table><!-- <tr><td>ghost</td></tr> -->"
+                         "<tr><td>real</td></tr></table>")
+        assert md == "| real |\n| --- |"
