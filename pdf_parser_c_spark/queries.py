@@ -12197,6 +12197,150 @@ ORDER BY w.doc_id
 """
 
 
+_BADWORD_PHRASES = ("contraband", "verboten gem", "redline")
+
+
+def _badword_pattern(phrase: str) -> str:
+    """Word-boundary pattern shared verbatim by Spark and DuckDB:
+    explicit character-class boundaries instead of \\b (identical
+    semantics in Java regex and RE2, no ASCII-vs-unicode ambiguity),
+    internal spaces matching any whitespace run."""
+    body = phrase.replace(" ", "\\s+")
+    return f"(^|[^a-z0-9]){body}([^a-z0-9]|$)"
+
+
+def q_filter_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist page filter — the C4 §2.2 'dirty words' stage (any
+    listed word/phrase anywhere drops the page), with the two failure
+    modes that make naive substring matching wrong exercised by
+    deterministic injection: doc_id % 8 == 3 plants a bare hit,
+    == 5 plants a CASE-VARIANT MULTIWORD hit ('Verboten  GEM.'),
+    == 7 plants a GLUED non-hit ('nocontraband') that word-boundary
+    matching must NOT flag.  The phrase list is a neutral stand-in
+    (the mechanism — boundary-safe, case-folded, whitespace-tolerant
+    broadcast phrase matching — is the deliverable; a deployment
+    swaps the list).  Census per source: docs, flagged docs, per-
+    phrase hit totals.
+    Scale: pure map-side regexp over lower(text); the per-source
+    census is the corpus's ONLY exchange — the list rides the plan as
+    literals (a file-backed list would broadcast)."""
+    d = t(spark, sf_dir, "documents")
+    injected = (
+        F.when(F.col("doc_id") % 8 == 3,
+               F.concat(F.col("text"), F.lit(" contraband found")))
+        .when(F.col("doc_id") % 8 == 5,
+              F.concat(F.col("text"), F.lit(" so Verboten  GEM.")))
+        .when(F.col("doc_id") % 8 == 7,
+              F.concat(F.col("text"), F.lit(" nocontraband here")))
+        .otherwise(F.col("text"))
+    )
+    low = F.lower(injected)
+    hits = {
+        p: F.size(F.regexp_extract_all(low, F.lit(_badword_pattern(p)),
+                                       F.lit(0)))
+        for p in _BADWORD_PHRASES
+    }
+    total = sum(hits.values())
+    return (
+        d.select("source", total.alias("n_hits"),
+                 *[hits[p].alias(f"h{i}")
+                   for i, p in enumerate(_BADWORD_PHRASES)])
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum((F.col("n_hits") > 0).cast("long")).alias("flagged_docs"),
+             F.sum("h0").cast("long").alias("hits_contraband"),
+             F.sum("h1").cast("long").alias("hits_verboten_gem"),
+             F.sum("h2").cast("long").alias("hits_redline"))
+        .orderBy("source")
+    )
+
+
+def _sql_filter_badwords() -> str:
+    def n(pat: str) -> str:
+        return f"len(regexp_extract_all(low, '{pat}'))"
+
+    p0, p1, p2 = (_badword_pattern(p) for p in _BADWORD_PHRASES)
+    return f"""
+WITH inj AS (
+  SELECT source,
+         lower(CASE
+           WHEN doc_id % 8 = 3 THEN text || ' contraband found'
+           WHEN doc_id % 8 = 5 THEN text || ' so Verboten  GEM.'
+           WHEN doc_id % 8 = 7 THEN text || ' nocontraband here'
+           ELSE text END) AS low
+  FROM documents),
+c AS (
+  SELECT source, {n(p0)} AS h0, {n(p1)} AS h1, {n(p2)} AS h2 FROM inj)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN h0 + h1 + h2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS flagged_docs,
+       CAST(sum(h0) AS BIGINT) AS hits_contraband,
+       CAST(sum(h1) AS BIGINT) AS hits_verboten_gem,
+       CAST(sum(h2) AS BIGINT) AS hits_redline
+FROM c GROUP BY source ORDER BY source
+"""
+
+
+def q_graph_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level web-graph construction — the end-to-end composition
+    the link harvest exists for: armor pages → REAL html_links kernel
+    → rel=nofollow edges excluded (the crawl-graph rule: nofollow
+    carries no endorsement) → (source, target-host) edge census with
+    link and distinct-doc weights.  This is the edge list PageRank-
+    style quality priors (graph_pagerank) consume; the oracle
+    reconstructs every surviving edge from the armor's md5 digit map,
+    so the kernel, the nofollow flag, and the aggregation are all
+    hash-checked together.
+    Scale: armor + extract fused after the doc_id exchange; the
+    source attach joins two frames partitioned by the SAME doc_id key
+    (no extra corpus shuffle at scale), then ONE (source, host)
+    census exchange."""
+    from .flagship import build_linked_pages_from_documents
+    from .html.links import html_links
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    pages = build_linked_pages_from_documents(spark, docs, num_partitions=16)
+    links = html_links(pages).filter(~F.col("nofollow"))
+    edges = links.select(
+        "doc_id",
+        F.regexp_extract("href", r"https://([^/]+)/", 1).alias("dst_host"))
+    src = docs.select("doc_id", "source")
+    return (
+        edges.join(src, "doc_id")
+        .groupBy("source", "dst_host")
+        .agg(F.count("*").cast("long").alias("n_links"),
+             F.countDistinct("doc_id").cast("long").alias("n_docs"))
+        .orderBy("source", "dst_host")
+    )
+
+
+def _sql_graph_host_edges() -> str:
+    from .flagship import LINK_HOSTS
+
+    hosts = ", ".join(f"'{h}'" for h in LINK_HOSTS)
+    return r"""
+WITH w AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents WHERE doc_id % 5 = 0),
+links AS (
+  SELECT doc_id, source, hx, k + 1 AS j
+  FROM (SELECT doc_id, source, hx,
+               unnest(range(1 + CAST(('0x' || substr(hx, 7, 1)) AS BIGINT)
+                            % 3)) AS k
+        FROM w)),
+kept AS (
+  SELECT doc_id, source,
+         ([{{hosts}}])[CAST(('0x' || substr(hx, CAST(7 + j AS INTEGER), 1))
+                        AS BIGINT) % {{n}} + 1] AS dst_host
+  FROM links
+  WHERE CAST(('0x' || substr(hx, CAST(10 + j AS INTEGER), 1)) AS BIGINT)
+        % 2 <> 0)
+SELECT source, dst_host, CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM kept GROUP BY source, dst_host ORDER BY source, dst_host
+""".replace("{{hosts}}", hosts).replace("{{n}}", str(len(LINK_HOSTS)))
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -12446,6 +12590,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "extraction_html_md_tables": (
         q_extraction_html_md_tables, SQL_EXTRACTION_HTML_MD_TABLES
     ),
+    "filter_badwords": (q_filter_badwords, _sql_filter_badwords()),
+    "graph_host_edges": (q_graph_host_edges, _sql_graph_host_edges()),
     "dedup_line_boilerplate": (
         q_dedup_line_boilerplate, SQL_DEDUP_LINE_BOILERPLATE
     ),
