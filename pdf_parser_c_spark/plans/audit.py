@@ -148,6 +148,7 @@ def main() -> None:
         "extraction_html_md_tables": "GFM tables: armor MapInPandas + ArrowEvalPython conversion in ONE stage after the doc_id exchange; only (id, md) shuffles to the presentation sort",
         "filter_badwords": "badwords gate: injection + boundary-safe phrase regexps all map-side codegen; the per-source census is the corpus's ONLY exchange",
         "graph_host_edges": "web graph: armor + link kernel fused after the doc_id exchange; source attach joins two doc_id-partitioned frames, then ONE (source, host) census exchange",
+        "text_code_detect": "code routing: keyword regexp + length-minus-translate symbol count all map-side codegen; per-source census is the ONLY exchange",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

@@ -12341,6 +12341,81 @@ FROM kept GROUP BY source, dst_host ORDER BY source, dst_host
 """.replace("{{hosts}}", hosts).replace("{{n}}", str(len(LINK_HOSTS)))
 
 
+_CODE_KEYWORD_PAT = (
+    "(^|[^a-z0-9_])(def|return|import|class|function|const|var|lambda)"
+    "([^a-z0-9_]|$)")
+_CODE_SYMBOLS = "(){};="
+
+
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection — the routing stage that sends code to
+    a code pipeline (different dedup granularity, different quality
+    rules) instead of letting it pollute prose stats: every 6th
+    document gets a deterministic code snippet spliced in (def/return
+    keywords + call/assignment symbols built from its own words), and
+    the detector — boundary-matched keyword hits AND a symbol-density
+    count via the length-minus-translate trick, both pure codegen —
+    must flag exactly those.  Census per source: docs, detected code
+    docs, total keyword hits, total symbol count.
+    Scale: map-side string math only; the per-source census is the
+    corpus's ONLY exchange."""
+    d = t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    # try_element_at, not element_at: under ANSI a one-word doc would
+    # ABORT the job on index 2 (the adversarial substrate catches this)
+    w0 = F.coalesce(F.try_element_at(w, F.lit(1)), F.lit("f"))
+    w1 = F.coalesce(F.try_element_at(w, F.lit(2)), F.lit("x"))
+    injected = (
+        F.when(F.col("doc_id") % 6 == 2,
+               F.concat(F.col("text"), F.lit(" def "), w0, F.lit("("), w1,
+                        F.lit("): return "), w1, F.lit(" == 1;")))
+        .otherwise(F.col("text"))
+    )
+    kw = F.size(F.regexp_extract_all(injected, F.lit(_CODE_KEYWORD_PAT),
+                                     F.lit(0)))
+    sym = (F.length(injected)
+           - F.length(F.translate(injected, _CODE_SYMBOLS, "")))
+    return (
+        d.select("source", kw.alias("kw"), sym.alias("sym"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(((F.col("kw") >= 2) & (F.col("sym") >= 4)).cast("long"))
+             .alias("code_docs"),
+             F.sum("kw").cast("long").alias("keyword_hits"),
+             F.sum("sym").cast("long").alias("symbol_chars"))
+        .orderBy("source")
+    )
+
+
+SQL_TEXT_CODE_DETECT = r"""
+WITH w AS (
+  SELECT doc_id, source, text,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+inj AS (
+  SELECT source,
+         CASE WHEN doc_id % 6 = 2
+              THEN text || ' def ' || COALESCE(ws[1], 'f') || '(' ||
+                   COALESCE(ws[2], 'x') || '): return ' ||
+                   COALESCE(ws[2], 'x') || ' == 1;'
+              ELSE text END AS t
+  FROM w),
+c AS (
+  SELECT source,
+         len(regexp_extract_all(t,
+ '(^|[^a-z0-9_])(def|return|import|class|function|const|var|lambda)([^a-z0-9_]|$)'
+         )) AS kw,
+         length(t) - length(translate(t, '(){};=', '')) AS sym
+  FROM inj)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN kw >= 2 AND sym >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS code_docs,
+       CAST(sum(kw) AS BIGINT) AS keyword_hits,
+       CAST(sum(sym) AS BIGINT) AS symbol_chars
+FROM c GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -12592,6 +12667,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "filter_badwords": (q_filter_badwords, _sql_filter_badwords()),
     "graph_host_edges": (q_graph_host_edges, _sql_graph_host_edges()),
+    "text_code_detect": (q_text_code_detect, SQL_TEXT_CODE_DETECT),
     "dedup_line_boilerplate": (
         q_dedup_line_boilerplate, SQL_DEDUP_LINE_BOILERPLATE
     ),
