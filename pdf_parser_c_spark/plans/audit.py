@@ -144,7 +144,7 @@ def main() -> None:
         "extraction_rtf_roundtrip": "RTF path: bare-text sniff + token-stream parse fused; no armor leg",
         "extraction_multiformat_census": "whole-dispatch capstone: ONE armor+extract pass over all nine kinds; census is a 9-row aggregate",
         "filter_secret_scan": "secret scan: injection + 5-pattern detect + scrub + residual all map-side regexp codegen; the 6-row kind census is the corpus's ONLY exchange",
-        "dedup_line_boilerplate": "line boilerplate: line-forming map-side array math, ONE (source, line) exchange; per-source doc counts ride a BroadcastHashJoin — no doc pairs anywhere",
+        "dedup_line_boilerplate": "line boilerplate: line-forming + md5 map-side, ONE (source, line-hash) exchange shipping 16-byte keys; per-source doc counts ride a BroadcastHashJoin — no doc pairs anywhere",
         "extraction_html_md_tables": "GFM tables: armor MapInPandas + ArrowEvalPython conversion in ONE stage after the doc_id exchange; only (id, md) shuffles to the presentation sort",
         "filter_badwords": "badwords gate: injection + boundary-safe phrase regexps all map-side codegen; the per-source census is the corpus's ONLY exchange",
         "graph_host_edges": "web graph: armor + link kernel fused after the doc_id exchange; source attach joins two doc_id-partitioned frames, then ONE (source, host) census exchange",

@@ -12060,9 +12060,11 @@ def q_dedup_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate (nav, footer) and known content (body, ref) to
     separate.  Census per source: docs, line instances, distinct
     lines, boilerplate lines, and instances removed.
-    Scale: map-side line explode + ONE (source, line) exchange; the
-    per-source doc counts ride a broadcast join.  No doc↔doc pairs
-    anywhere — line hashing is what makes this linear at 100 TB."""
+    Scale: map-side line explode + md5 BEFORE the exchange, so the
+    one (source, line-hash) shuffle ships 16-byte keys regardless of
+    line length; the per-source doc counts ride a broadcast join.  No
+    doc↔doc pairs anywhere — line hashing is what makes this linear
+    at 100 TB."""
     d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     ws = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
     lines = F.array_remove(
@@ -12077,8 +12079,14 @@ def q_dedup_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "",
     )
-    lined = d.select("doc_id", "source", F.explode(lines).alias("line"))
-    stats = lined.groupBy("source", "line").agg(
+    # hash BEFORE the exchange: the census only needs identity, so the
+    # shuffle key is 16 bytes regardless of line length — at 100 TB
+    # raw lines would dominate the shuffle for nothing (generators
+    # can't nest in expressions, so hash the exploded column)
+    lined = d.select(
+        "doc_id", "source", F.explode(lines).alias("line")
+    ).select("doc_id", "source", F.md5("line").alias("line_h"))
+    stats = lined.groupBy("source", "line_h").agg(
         F.countDistinct("doc_id").alias("df"),
         F.count("*").alias("cnt"),
     )
@@ -12115,8 +12123,9 @@ l AS (
     FROM w)
   WHERE line <> ''),
 stats AS (
-  SELECT source, line, count(DISTINCT doc_id) AS df, count(*) AS cnt
-  FROM l GROUP BY source, line),
+  SELECT source, md5(line) AS line_h,
+         count(DISTINCT doc_id) AS df, count(*) AS cnt
+  FROM l GROUP BY source, md5(line)),
 nd AS (
   SELECT source, count(DISTINCT doc_id) AS n_docs
   FROM documents GROUP BY source)
