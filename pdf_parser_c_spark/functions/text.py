@@ -197,10 +197,12 @@ def secret_counts(col: str = "text") -> dict[str, Column]:
 
 
 def scrub_secrets(col: str = "text") -> Column:
-    """Redact every credential class with a typed placeholder, JWT
-    last (its first segment could in principle sit inside a longer
-    base64 run another rule already consumed).  Pure regexp_replace
-    chain — JVM-side, idempotent."""
+    """Redact every credential class with a typed placeholder, in
+    SECRET_PATTERNS declaration order (the classes are structurally
+    disjoint; if a future broad pattern — e.g. a generic high-entropy
+    base64 rule — is added, place it AFTER the specific ones so it
+    cannot consume their prefixes first).  Pure regexp_replace chain —
+    JVM-side, idempotent."""
     out = F.col(col) if isinstance(col, str) else col
     for kind, pat in SECRET_PATTERNS:
         out = F.regexp_replace(out, pat, f"<{kind.upper()}>")

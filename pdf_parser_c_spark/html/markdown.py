@@ -41,13 +41,17 @@ from .boilerplate import _TAG_RE, _WS_RE, _RAWTEXT_TAGS, _decl_span
 
 _DROP = {"script", "style", "head", "noscript", "svg", "template", "iframe"}
 _HEADING = {f"h{i}": i for i in range(1, 7)}
+# tr/td/th stay in the paragraph set so ORPHANED row fragments (no
+# <table> wrapper — common in scraped partial HTML) still break into
+# blocks instead of word-fusing; inside a real table the table branch
+# intercepts them first
 _PARA_TAGS = {"p", "div", "section", "article", "main", "body",
               "figure", "figcaption", "dl", "dt", "dd", "header",
-              "footer", "nav", "aside"}
+              "footer", "nav", "aside", "tr", "td", "th"}
 # block-level tags swallowed (as cell-internal spaces) while a table
 # is open — structure inside a cell can't survive into a pipe table
-_TBL_SWALLOW = ({"tr", "td", "th", "ul", "ol", "li", "blockquote",
-                 "pre", "hr"} | _PARA_TAGS | set(_HEADING))
+_TBL_SWALLOW = ({"tr", "td", "th", "caption", "ul", "ol", "li",
+                 "blockquote", "pre", "hr"} | _PARA_TAGS | set(_HEADING))
 _HREF_RE = re.compile(
     r"""href\s*=\s*("([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.I)
 
@@ -97,7 +101,12 @@ def to_markdown(raw: str) -> str:
 
     def tbl_close_cell(st: dict) -> None:
         nonlocal buf
-        if st["in_cell"]:
+        if st["in_caption"]:  # a structural tag ends an open caption
+            text = _WS_RE.sub(" ", "".join(buf).replace("\x00", " ")).strip()
+            if text:
+                st["caption"] = text
+            st["in_caption"] = False
+        elif st["in_cell"]:
             text = _WS_RE.sub(" ", "".join(buf).replace("\x00", " ")).strip()
             st["row"].append(text.replace("|", "\\|"))
             st["in_cell"] = False
@@ -121,13 +130,25 @@ def to_markdown(raw: str) -> str:
         st = table_stack.pop()
         tbl_close_cell(st)
         tbl_close_row(st)
-        block = tbl_render(st)
-        if st["outer"] is not None:  # nested: inline into the outer cell
+        out = [b for b in (st["caption"], tbl_render(st)) if b]
+        out.extend(st["after"])
+        parent = table_stack[-1] if table_stack else None
+        if st["outer"] is not None:  # opened inside a cell: inline there
             buf = st["outer"]
-            if block:
-                buf.append(" " + block.replace("\n", " ") + " ")
-        elif block:
-            blocks.append(block)
+            for b in out:
+                buf.append(" " + b.replace("\n", " ") + " ")
+        elif parent is not None:
+            # table-in-table outside a cell: browsers hoist it AFTER
+            # the outer table — emitting now would invert document order
+            parent["after"].extend(out)
+        else:
+            # every LINE gets the quote prefix (a pipe table inside a
+            # blockquote needs '> ' per line to stay quoted markdown)
+            prefix = "> " * quote_depth
+            for b in out:
+                blocks.append(
+                    "\n".join(prefix + ln for ln in b.split("\n"))
+                    if prefix else b)
 
     while True:
         m = _TAG_RE.search(raw, pos)
@@ -165,6 +186,7 @@ def to_markdown(raw: str) -> str:
                     flush()
                 table_stack.append(
                     {"rows": [], "row": None, "in_cell": False,
+                     "in_caption": False, "caption": "", "after": [],
                      "outer": outer})
             elif st is None:
                 pass  # stray </table> with nothing open
@@ -181,6 +203,10 @@ def to_markdown(raw: str) -> str:
                     if st["row"] is None:  # row-less cell: implicit <tr>
                         st["row"] = []
                     st["in_cell"] = True
+            elif tag == "caption":
+                tbl_close_cell(st)
+                if not closing:
+                    st["in_caption"] = True
             else:  # block structure inside a cell flattens to a space
                 buf.append(" ")
         elif tag in _HEADING:

@@ -862,14 +862,19 @@ def mmr_rerank(
     # self-joined two separate TakeOrdered subtrees — the corpus paid
     # a SECOND scan and every bench pass re-JIT'd two giant unrolled
     # quantize expressions for an 8×8 table: 9.6 s → ~1 s.)  Exactness
-    # is preserved: candidates always carry full-length non-null
-    # vectors (a null element or short vector nulls `rel`, and DESC
-    # ordering puts NULLs last, excluding them from the shortlist), and
-    # floor(float32→float64 · scale + 0.5) is the same IEEE double op
-    # the JVM expression performed.
+    # is preserved: floor(float32→float64 · scale + 0.5) is the same
+    # IEEE double op the JVM expression performed.  A vector with a
+    # NULL element nulls `rel` (DESC puts NULLs last), but when the
+    # corpus has FEWER than n_candidates healthy rows the limit cannot
+    # exclude it — drop null-rel/null-element rows here, exactly as
+    # the oracle's max/argmax ignores SQL NULLs.
     import math
 
-    rows = cands.select("id", "rel", F.col(vec_col).alias("_v")).collect()
+    rows = [
+        r for r in cands.select(
+            "id", "rel", F.col(vec_col).alias("_v")).collect()
+        if r.rel is not None and all(x is not None for x in r._v)
+    ]
     qvecs = {
         r.id: [int(math.floor(float(x) * quant_scale + 0.5)) for x in r._v]
         for r in rows

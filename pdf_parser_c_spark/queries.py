@@ -11984,9 +11984,9 @@ def q_filter_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["slack_token"].alias("n_slack"),
         scrub_secrets("text").alias("clean"),
     )
-    res = secret_counts("clean")
-    residual = (res["aws_key"] + res["gh_token"] + res["private_key"]
-                + res["jwt"] + res["slack_token"])
+    # sum over values(), not named keys: a sixth SECRET_PATTERNS entry
+    # must automatically join the residual-must-be-zero gate
+    residual = sum(secret_counts("clean").values())
     return (
         scanned.withColumn("residual", residual)
         .groupBy("kind")
@@ -12042,9 +12042,8 @@ SELECT kind, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_pem) AS BIGINT) AS pem_headers,
        CAST(sum(n_jwt) AS BIGINT) AS jwts,
        CAST(sum(n_slack) AS BIGINT) AS slack_tokens,
-       CAST(sum({n('clean', pats['aws_key'])} + {n('clean', pats['gh_token'])}
-            + {n('clean', pats['private_key'])} + {n('clean', pats['jwt'])}
-            + {n('clean', pats['slack_token'])}) AS BIGINT) AS residual
+       CAST(sum({' + '.join(n('clean', p) for _, p in SECRET_PATTERNS)})
+            AS BIGINT) AS residual
 FROM c GROUP BY kind ORDER BY kind
 """
 

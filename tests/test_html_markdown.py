@@ -144,3 +144,37 @@ class TestPipeTables:
         md = to_markdown("<table><!-- <tr><td>ghost</td></tr> -->"
                          "<tr><td>real</td></tr></table>")
         assert md == "| real |\n| --- |"
+
+
+class TestTableEdgeFindings:
+    """Round-3 review findings on the pipe-table path, each reproduced
+    then fixed: caption loss, orphaned-row word-fusing, nested-table
+    order inversion, lost blockquote prefix."""
+
+    def test_caption_survives_as_block(self):
+        from pdf_parser_c_spark.html.markdown import to_markdown
+
+        md = to_markdown("<table><caption>Budget 2024</caption>"
+                         "<tr><td>a</td></tr></table>")
+        assert md == "Budget 2024\n\n| a |\n| --- |"
+
+    def test_orphaned_rows_do_not_word_fuse(self):
+        from pdf_parser_c_spark.html.markdown import to_markdown
+
+        md = to_markdown("<tr><td>alpha</td></tr><tr><td>beta</td></tr>")
+        assert md == "alpha\n\nbeta"
+
+    def test_table_in_table_outside_cell_hoists_after(self):
+        from pdf_parser_c_spark.html.markdown import to_markdown
+
+        md = to_markdown("<table><tr><td>a</td></tr>"
+                         "<table><tr><td>b</td></tr></table>"
+                         "<tr><td>c</td></tr></table>")
+        assert md == "| a |\n| --- |\n| c |\n\n| b |\n| --- |"
+
+    def test_blockquote_prefix_applies_per_line(self):
+        from pdf_parser_c_spark.html.markdown import to_markdown
+
+        md = to_markdown("<blockquote><table><tr><td>q</td></tr>"
+                         "</table></blockquote>")
+        assert md == "> | q |\n> | --- |"
