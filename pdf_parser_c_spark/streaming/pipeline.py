@@ -42,12 +42,22 @@ def start_extraction_stream(
     output_path: str,
     checkpoint_path: str,
     available_now: bool = True,
+    transform=None,
 ) -> StreamingQuery:
     """readStream → extract → writeStream with exactly-once checkpointing.
 
     ``available_now=True`` drains everything currently in the source and
-    stops — the backfill/test mode; ``False`` runs continuously."""
+    stops — the backfill/test mode; ``False`` runs continuously.
+
+    ``transform`` (optional ``DataFrame → DataFrame``) runs between the
+    extraction kernel and the sink — the hook that composes the batch
+    curation stages into the stream (e.g. ``withColumn("text",
+    functions.text.scrub_secrets("text"))``).  It must be STATELESS
+    (pure column ops): exactly-once replay re-executes it per batch, so
+    stateful or non-deterministic transforms would break idempotency."""
     out = extract_stream(read_transcripts_stream(spark, input_path))
+    if transform is not None:
+        out = transform(out)
     writer = (
         out.writeStream.format("parquet")
         .option("path", output_path)
