@@ -128,3 +128,41 @@ class TestWdsProperty:
         got = list(iter_wds_members(build_wds_shard(samples, gzipped=gz)))
         want = [(k, e, p) for k, parts in samples for e, p in parts.items()]
         assert got == want
+
+
+class TestMarkdownTableProperty:
+    """The pipe-table scanner is a new parser path: totality (never
+    raises on arbitrary tag soup), determinism, and a structural
+    roundtrip on well-formed tables."""
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(
+        alphabet=st.sampled_from(list("<>/abtdrhp |&;!-\"'=\n")),
+        max_size=400))
+    def test_converter_total_and_deterministic(self, soup):
+        from pdf_parser_c_spark.html.markdown import to_markdown
+
+        assert to_markdown(soup) == to_markdown(soup)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(
+        st.lists(_para.map(lambda s: s.replace("|", " ").strip() or "c"),
+                 min_size=1, max_size=4),
+        min_size=1, max_size=4))
+    def test_wellformed_table_roundtrip(self, rows):
+        from pdf_parser_c_spark.html.markdown import to_markdown
+
+        width = len(rows[0])
+        rows = [r[:width] + ["c"] * (width - len(r)) for r in rows]
+        import html as _html
+
+        html = "<table>" + "".join(
+            "<tr>" + "".join(f"<td>{_html.escape(c)}</td>" for c in r)
+            + "</tr>" for r in rows) + "</table>"
+        md = to_markdown(html)
+        lines = md.split("\n")
+        assert len(lines) == len(rows) + 1  # + separator
+        assert lines[1] == "| " + " | ".join(["---"] * width) + " |"
+        for got, want in zip(lines[:1] + lines[2:], rows):
+            cells = [c.strip() for c in got.strip("|").split(" | ")]
+            assert cells == [" ".join(c.split()) for c in want]
