@@ -149,6 +149,7 @@ def main() -> None:
         "filter_badwords": "badwords gate: injection + boundary-safe phrase regexps all map-side codegen; the per-source census is the corpus's ONLY exchange",
         "graph_host_edges": "web graph: armor + link kernel fused after the doc_id exchange; source attach joins two doc_id-partitioned frames, then ONE (source, host) census exchange",
         "text_code_detect": "code routing: keyword regexp + length-minus-translate symbol count all map-side codegen; per-source census is the ONLY exchange",
+        "export_wds_census": "WDS export: ONE shard_id exchange into FlatMapGroupsInPandas; each task materializes exactly one shard",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

@@ -12424,6 +12424,38 @@ FROM c GROUP BY source ORDER BY source
 """
 
 
+def q_export_wds_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset EXPORT census, byte-exact: sampled documents are
+    packed into tar shards by the real writer
+    (sources/webdataset.export_wds_shards — one member per doc,
+    id-sorted, shard = id % 8) and the census reports each shard's
+    sample count and EXACT container size, which DuckDB reconstructs
+    from octet lengths alone (512-B USTAR header + 512-B payload
+    blocks per member, 1024-B end-of-archive, 10240-B record
+    padding).  This pins the sink half of the WebDataset story the
+    same way extraction_wds_roundtrip pins the source half.
+    Scale: ONE shard_id exchange; each task materializes one shard."""
+    from .sources.webdataset import export_wds_shards
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    return (
+        export_wds_shards(docs, n_shards=8)
+        .select("shard_id", "n_samples", "n_bytes")
+        .orderBy("shard_id")
+    )
+
+
+SQL_EXPORT_WDS_CENSUS = """
+SELECT doc_id % 8 AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(((sum(512 + ((octet_length(encode(COALESCE(text, ''))) + 511)
+                  // 512) * 512) + 1024 + 10239) // 10240) * 10240 AS BIGINT)
+         AS n_bytes
+FROM documents WHERE doc_id % 3 = 1
+GROUP BY doc_id % 8 ORDER BY shard_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -12676,6 +12708,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "filter_badwords": (q_filter_badwords, _sql_filter_badwords()),
     "graph_host_edges": (q_graph_host_edges, _sql_graph_host_edges()),
     "text_code_detect": (q_text_code_detect, SQL_TEXT_CODE_DETECT),
+    "export_wds_census": (q_export_wds_census, SQL_EXPORT_WDS_CENSUS),
     "dedup_line_boilerplate": (
         q_dedup_line_boilerplate, SQL_DEDUP_LINE_BOILERPLATE
     ),

@@ -160,3 +160,53 @@ def read_webdataset_samples(df: DataFrame, id_col: str = "shard_id",
             yield pd.DataFrame(out, columns=cols)
 
     return src.mapInPandas(gen, schema=WDS_SAMPLE_SCHEMA)
+
+
+def export_wds_shards(
+    docs: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curated docs → WebDataset tar shards — the sink-side handoff a
+    training pipeline consumes (the reverse of this module's reader).
+
+    Each doc becomes one sample (``{id:012d}.txt``); shard assignment
+    is ``id % n_shards`` and members are sorted by id, so the shard
+    BYTES are deterministic: USTAR headers are 512 B, payloads pad to
+    512-B blocks, and tarfile closes with 1024 B of zeros padded to
+    the 10240-B record size — an oracle can reconstruct every shard's
+    exact size from octet lengths alone (``export_wds_census``).
+
+    Scale: ONE exchange on shard_id; each task materializes one shard
+    (applyInPandas holds the group), so size n_shards to the standard
+    ~1 GB WDS shard — at 100 TB that is ~10^5 shards, each built and
+    written independently.  Returns (shard_id, n_samples, n_bytes,
+    tar) with the tar as a binary column for the caller's sink."""
+    from pyspark.sql import functions as F
+
+    schema = T.StructType([
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("tar", T.BinaryType()),
+    ])
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        samples = [
+            (f"{int(i):012d}", {"txt": str(t or "").encode("utf-8")})
+            for i, t in zip(pdf[id_col], pdf[text_col])
+        ]
+        tar = build_wds_shard(samples)
+        return pd.DataFrame({
+            "shard_id": [int(pdf["_shard"].iloc[0])],
+            "n_samples": [len(samples)],
+            "n_bytes": [len(tar)],
+            "tar": [tar],
+        })
+
+    d = docs.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        (F.col(id_col) % n_shards).alias("_shard"))
+    return d.groupBy("_shard").applyInPandas(build, schema=schema)

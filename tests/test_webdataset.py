@@ -83,3 +83,31 @@ class TestSpark:
         df = spark.createDataFrame([(9, bad)], "shard_id long, text string")
         rows = read_webdataset_samples(df).collect()
         assert len(rows) == 1 and rows[0].status.startswith("malformed")
+
+
+class TestExportShards:
+    def test_export_roundtrips_through_reader(self, spark):
+        import pyspark.sql.functions as F
+
+        from pdf_parser_c_spark.sources.webdataset import (
+            encode_wds_payload, export_wds_shards, read_webdataset_samples)
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(
+                ["alpha beta", "", "gamma δelta π", "x" * 600])],
+            "doc_id long, text string")
+        shards = export_wds_shards(docs, n_shards=2).collect()
+        assert sum(r.n_samples for r in shards) == 4
+        for r in shards:
+            # byte-exact size claim: the tar IS n_bytes long
+            assert len(r.tar) == r.n_bytes
+            assert r.n_bytes % 10240 == 0
+
+        armored = spark.createDataFrame(
+            [(r.shard_id, encode_wds_payload(bytes(r.tar))) for r in shards],
+            "shard_id long, text string")
+        members = read_webdataset_samples(armored).collect()
+        texts = {int(m.key): m.content for m in members}
+        assert texts == {0: "alpha beta", 1: "", 2: "gamma δelta π",
+                         3: "x" * 600}
+        assert all(m.status == "ok" and m.ext == "txt" for m in members)
