@@ -844,16 +844,35 @@ def mmr_rerank(
 
     → list of dicts ``(rank, id, rel, mmr2)``, length ≤ k.
     """
+    # quantizer hardened for hostile elements UNDER ANSI MODE: a NaN
+    # maps to 0 via nanvl and ±inf clamps to ±2^23 — without this,
+    # cast/multiply on an inf embedding ABORTS the whole job
+    # (ARITHMETIC_OVERFLOW; measured).  The clamp keeps every dot
+    # bounded by d·(2^23)² < 2^63 for d ≤ 4096, so the bigint sum can
+    # never overflow either.  Multiply in double (explicit cast), not
+    # float32, so the driver-side pairwise path reproduces it exactly
+    # for ANY quant_scale, not just powers of two.
+    _q1 = (
+        "cast(floor(least(greatest("
+        "nanvl(cast(x as double), cast(0 as double))"
+        f" * cast({quant_scale} as double) + 0.5,"
+        " cast(-8388608 as double)), cast(8388608 as double))) as bigint)"
+    )
     qd = (
         f"aggregate(zip_with("
-        f"transform({vec_col}, x -> cast(floor(x * {quant_scale} + 0.5) as bigint)),"
-        f" transform(_qv, x -> cast(floor(x * {quant_scale} + 0.5) as bigint)),"
+        f"transform({vec_col}, x -> {_q1}),"
+        f" transform(_qv, x -> {_q1}),"
         f" (x, y) -> x * y), 0L, (a, b) -> a + b)"
     )
     cands = (
         df.filter(F.col(vec_col).isNotNull())
         .crossJoin(F.broadcast(query_vec.select(F.col(vec_col).alias("_qv"))))
         .select(F.col(id_col).alias("id"), vec_col, F.expr(qd).alias("rel"))
+        # NULL rel (a null element or a length mismatch with the query)
+        # disqualifies CANDIDACY — filtered in the plan, not after the
+        # limit, so a sub-n_candidates corpus can't smuggle one in; the
+        # oracle's cand CTE carries the same WHERE rel IS NOT NULL
+        .filter(F.col("rel").isNotNull())
         .orderBy(F.desc("rel"), F.asc("id"))
         .limit(n_candidates)
     )
@@ -861,24 +880,25 @@ def mmr_rerank(
     # dots run driver-side in plain Python.  (The previous shape
     # self-joined two separate TakeOrdered subtrees — the corpus paid
     # a SECOND scan and every bench pass re-JIT'd two giant unrolled
-    # quantize expressions for an 8×8 table: 9.6 s → ~1 s.)  Exactness
-    # is preserved: floor(float32→float64 · scale + 0.5) is the same
-    # IEEE double op the JVM expression performed.  A vector with a
-    # NULL element nulls `rel` (DESC puts NULLs last), but when the
-    # corpus has FEWER than n_candidates healthy rows the limit cannot
-    # exclude it — drop null-rel/null-element rows here, exactly as
-    # the oracle's max/argmax ignores SQL NULLs.
+    # quantize expressions for an 8×8 table: 9.6 s → ~1 s.)
     import math
+
+    def _quant(x) -> int:
+        # mirror the JVM _q1 expression bit-for-bit: NaN → 0 (nanvl),
+        # double multiply + 0.5, clamp to ±2^23, floor
+        xv = float(x)
+        if xv != xv:  # NaN
+            xv = 0.0
+        v = xv * float(quant_scale) + 0.5
+        v = min(max(v, -8388608.0), 8388608.0)
+        return int(math.floor(v))
 
     rows = [
         r for r in cands.select(
             "id", "rel", F.col(vec_col).alias("_v")).collect()
-        if r.rel is not None and all(x is not None for x in r._v)
+        if all(x is not None for x in r._v)  # belt; rel filter implies it
     ]
-    qvecs = {
-        r.id: [int(math.floor(float(x) * quant_scale + 0.5)) for x in r._v]
-        for r in rows
-    }
+    qvecs = {r.id: [_quant(x) for x in r._v] for r in rows}
     rel = {r.id: r.rel for r in rows}
     sim = {
         (i, j): sum(x * y for x, y in zip(qvecs[i], qvecs[j]))

@@ -11803,8 +11803,10 @@ e AS (
            AS xq
   FROM embeddings WHERE embedding IS NOT NULL AND vec_id <> 0),
 cand AS (
-  SELECT vec_id, xq, {dot_q} AS rel
-  FROM e, q ORDER BY rel DESC, vec_id LIMIT {MMR_CANDS}),
+  SELECT vec_id, xq, rel FROM (
+    SELECT vec_id, xq, {dot_q} AS rel FROM e, q)
+  WHERE rel IS NOT NULL
+  ORDER BY rel DESC, vec_id LIMIT {MMR_CANDS}),
 sim AS (
   SELECT a.vec_id AS ia, b.vec_id AS ib, {dot_ab} AS s
   FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),

@@ -1616,3 +1616,28 @@ def test_secret_scrub_covers_all_classes_idempotently(spark):
     twice = clean.select(scrub_secrets("text").alias("t2")).collect()
     assert [t.t2 for t in twice] == [r.clean for r in rows]
     assert len(SECRET_PATTERNS) == 5
+
+
+def test_mmr_rerank_hostile_vectors_never_abort(spark):
+    """Round-3 review findings: NaN/inf elements must quantize
+    (nanvl-0 / ±2^23 clamp) instead of ARITHMETIC_OVERFLOW-aborting
+    the job under ANSI, and a null-element vector in a
+    smaller-than-n_candidates corpus must be excluded from candidacy
+    (the limit alone cannot exclude it)."""
+    from pdf_parser_c_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0]),            # query
+        (1, [0.9, 0.1]),
+        (2, [float("nan"), 1.0]),   # NaN element → quantizes to 0
+        (3, [float("inf"), 0.5]),   # inf element → clamps, still ranks
+        (4, [None, 0.3]),           # null element → rel NULL → excluded
+        (5, [0.2, 0.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = df.filter("vec_id = 0").select("embedding")
+    picked = mmr_rerank(df.filter("vec_id != 0"), qv, k=5, n_candidates=8)
+    ids = [p["id"] for p in picked]
+    assert 4 not in ids          # null-element row never a candidate
+    assert set(ids) == {1, 2, 3, 5}
+    assert ids[0] == 3           # clamped inf dot dominates relevance
