@@ -150,6 +150,7 @@ def main() -> None:
         "graph_host_edges": "web graph: armor + link kernel fused after the doc_id exchange; source attach joins two doc_id-partitioned frames, then ONE (source, host) census exchange",
         "text_code_detect": "code routing: keyword regexp + length-minus-translate symbol count all map-side codegen; per-source census is the ONLY exchange",
         "export_wds_census": "WDS export: ONE shard_id exchange into FlatMapGroupsInPandas; each task materializes exactly one shard",
+        "sim_bitext_margin": "bitext mining: ONE map-side pair build (side B broadcast, dot>0 prune); rank and k-NN sum share each endpoint's window partitioning — exactly two pair-frame exchanges, no rejoin",
     }
     for name, note in audit.items():
         fn, _sql = QUERIES[name]

@@ -12458,6 +12458,100 @@ GROUP BY doc_id % 8 ORDER BY shard_id
 """
 
 
+_BITEXT_K = 4  # neighborhood size for the margin denominator
+
+
+def q_sim_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk '19 — the
+    LASER/CCMatrix parallel-corpus recipe): between two populations
+    (labels 0 and 1 as the two languages), keep MUTUAL nearest
+    neighbors and score each pair by the margin RATIO — its similarity
+    against the mean of both endpoints' k-NN neighborhoods — which
+    kills hub vectors that are everyone's nearest neighbor.  All
+    arithmetic is integer-exact: SQ8-quantized dots, the ratio emitted
+    as margin_ppm = dot·2k·10⁶ DIV (sumTopK_A + sumTopK_B).
+    Scale: side B broadcasts (the smaller language); the pair frame is
+    map-side, then two id-keyed window exchanges for the neighborhood
+    sums.  At 100 TB the pair build composes with the repo's LSH/IVF
+    bucketing (sim_lsh_bucketed) instead of the broadcast — the margin
+    math is unchanged."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    q1 = "cast(floor(x * 64 + 0.5) as bigint)"
+    quant = f"transform(embedding, x -> {q1})"
+    a = e.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("ia"), F.expr(quant).alias("xa"))
+    b = e.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("ib"), F.expr(quant).alias("xb"))
+    dot = ("aggregate(zip_with(xa, xb, (x, y) -> x * y), 0L,"
+           " (s, v) -> s + v)")
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .select("ia", "ib", F.expr(dot).alias("dot"))
+        .filter(F.col("dot") > 0)
+    )
+    # rank AND neighborhood sum share each endpoint's partitioning, so
+    # the pair frame is built ONCE and pays exactly two exchanges
+    # (groupBy+join-back re-planned the whole pair build per consumer —
+    # three BroadcastNestedLoop subtrees in the captured plan)
+    wa = Window.partitionBy("ia").orderBy(F.desc("dot"), F.asc("ib"))
+    wb = Window.partitionBy("ib").orderBy(F.desc("dot"), F.asc("ia"))
+    return (
+        pairs
+        .withColumn("rka", F.row_number().over(wa))
+        .withColumn("sum_a", F.sum(
+            F.when(F.col("rka") <= _BITEXT_K, F.col("dot"))
+        ).over(Window.partitionBy("ia")))
+        .withColumn("rkb", F.row_number().over(wb))
+        .withColumn("sum_b", F.sum(
+            F.when(F.col("rkb") <= _BITEXT_K, F.col("dot"))
+        ).over(Window.partitionBy("ib")))
+        .filter((F.col("rka") == 1) & (F.col("rkb") == 1))
+        .select(
+            "ia", "ib", "dot",
+            F.expr(f"(dot * {2 * _BITEXT_K * 1000000}) div (sum_a + sum_b)")
+            .alias("margin_ppm"),
+        )
+        .orderBy("ia")
+    )
+
+
+SQL_SIM_BITEXT_MARGIN = f"""
+WITH a AS (
+  SELECT vec_id AS ia,
+         list_transform(embedding, x -> CAST(floor(x * 64 + 0.5) AS BIGINT))
+           AS xa
+  FROM embeddings WHERE label = 0 AND embedding IS NOT NULL),
+b AS (
+  SELECT vec_id AS ib,
+         list_transform(embedding, x -> CAST(floor(x * 64 + 0.5) AS BIGINT))
+           AS xb
+  FROM embeddings WHERE label = 1 AND embedding IS NOT NULL),
+p AS (
+  SELECT ia, ib, dot FROM (
+    SELECT ia, ib,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(len(xa)), i -> xa[i+1] * xb[i+1])),
+               (s, v) -> s + v) AS dot
+    FROM a, b)
+  WHERE dot > 0),
+r AS (
+  SELECT ia, ib, dot,
+         row_number() OVER (PARTITION BY ia ORDER BY dot DESC, ib) AS rka,
+         row_number() OVER (PARTITION BY ib ORDER BY dot DESC, ia) AS rkb
+  FROM p),
+sa AS (SELECT ia, sum(dot) AS sum_a FROM r WHERE rka <= {_BITEXT_K}
+       GROUP BY ia),
+sb AS (SELECT ib, sum(dot) AS sum_b FROM r WHERE rkb <= {_BITEXT_K}
+       GROUP BY ib)
+SELECT r.ia, r.ib, r.dot,
+       CAST(r.dot * {2 * _BITEXT_K * 1000000} // (sa.sum_a + sb.sum_b)
+            AS BIGINT) AS margin_ppm
+FROM r JOIN sa ON r.ia = sa.ia JOIN sb ON r.ib = sb.ib
+WHERE r.rka = 1 AND r.rkb = 1
+ORDER BY r.ia
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -12711,6 +12805,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "graph_host_edges": (q_graph_host_edges, _sql_graph_host_edges()),
     "text_code_detect": (q_text_code_detect, SQL_TEXT_CODE_DETECT),
     "export_wds_census": (q_export_wds_census, SQL_EXPORT_WDS_CENSUS),
+    "sim_bitext_margin": (q_sim_bitext_margin, SQL_SIM_BITEXT_MARGIN),
     "dedup_line_boilerplate": (
         q_dedup_line_boilerplate, SQL_DEDUP_LINE_BOILERPLATE
     ),
