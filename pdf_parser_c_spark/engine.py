@@ -102,8 +102,8 @@ def _decode_armor(payload: str) -> bytes:
 
 def classify_payload(s: pd.Series) -> pd.Series:
     """Vectorized payload sniff:
-    'pdf' | 'warc' | 'docx' | 'eml' | 'epub' | 'ipynb' | 'rtf' | 'html' |
-    'plain'."""
+    'pdf' | 'warc' | 'docx' | 'eml' | 'epub' | 'ipynb' | 'rtf' | 'latex' |
+    'md' | 'html' | 'plain'."""
     from .formats.docx import DOCX_B64_PREFIX
     from .formats.email_msg import EML_B64_PREFIX
     from .formats.epub import EPUB_B64_PREFIX
@@ -133,6 +133,20 @@ def classify_payload(s: pd.Series) -> pd.Series:
             "rtf" if looks_like_rtf(v)
             else "ipynb" if looks_like_ipynb(v) else "plain"
             for v in s[maybe_brace]
+        ]
+    maybe_tex = (kind == "plain") & s.str.lstrip().str.startswith("\\")
+    if maybe_tex.any():
+        from .formats.latex import looks_like_latex
+
+        kind[maybe_tex] = [
+            "latex" if looks_like_latex(v) else "plain" for v in s[maybe_tex]
+        ]
+    maybe_md = (kind == "plain") & s.str.lstrip().str.startswith("#")
+    if maybe_md.any():
+        from .formats.markdown_doc import looks_like_markdown
+
+        kind[maybe_md] = [
+            "md" if looks_like_markdown(v) else "plain" for v in s[maybe_md]
         ]
     return kind
 
@@ -211,6 +225,8 @@ def _format_extractors() -> dict:
         from .formats.email_msg import extract_email_text
         from .formats.epub import extract_epub_text
         from .formats.ipynb import extract_ipynb_text
+        from .formats.latex import extract_latex_text
+        from .formats.markdown_doc import extract_markdown_text
         from .formats.rtf import extract_rtf_text
         from .sources.warc import extract_warc_text
 
@@ -221,6 +237,8 @@ def _format_extractors() -> dict:
             "epub": extract_epub_text,
             "rtf": extract_rtf_text,
             "ipynb": extract_ipynb_text,
+            "latex": extract_latex_text,
+            "md": extract_markdown_text,
         }
     return _FORMAT_EXTRACTORS
 

@@ -580,6 +580,98 @@ build_rtf_transcripts_from_documents = _single_kind_armor_builder(
     doc_to_rtf_payload)
 
 
+def doc_to_latex_payload(doc_id: int, text: str) -> str:
+    r"""LaTeX armor: a full article whose body is SQL-reconstructible —
+    ``\section{Doc {id}}`` heading, an 8-word paragraph with the first
+    two words wrapped in \textbf/\emph, a comment line and an equation
+    environment that must contribute NOTHING, a 2-item itemize of
+    2-word items (words[8:12]), and a trailing 8-word paragraph
+    (words[12:20]) split by \\ after its 4th word.  Expected text:
+    'Doc {id}' \n words[0:8] \n words[8:10] \n words[10:12] \n
+    words[12:16] \n words[16:20] (empty slices drop)."""
+    w = text.split()
+
+    def seg(a: int, b: int) -> str:
+        return " ".join(w[a:b])
+
+    p1 = seg(2, 8)
+    body1 = ""
+    if w[:8]:
+        lead = " ".join(
+            [rf"\textbf{{{w[0]}}}" if len(w) > 0 else "",
+             rf"\emph{{{w[1]}}}" if len(w) > 1 else ""]).strip()
+        body1 = (lead + (" " + p1 if p1 else "")).strip()
+    items = ""
+    if seg(8, 10) or seg(10, 12):
+        items = (
+            "\\begin{itemize}\n"
+            + (f"\\item {seg(8, 10)}\n" if seg(8, 10) else "")
+            + (f"\\item {seg(10, 12)}\n" if seg(10, 12) else "")
+            + "\\end{itemize}\n"
+        )
+    tail = ""
+    if seg(12, 16):
+        tail = seg(12, 16)
+        if seg(16, 20):
+            tail += " \\\\\n" + seg(16, 20)
+    return (
+        "\\documentclass{article}\n"
+        "\\usepackage{amsmath}\n"
+        f"% decoy comment for doc {doc_id}\n"
+        "\\begin{document}\n"
+        f"\\section{{Doc {doc_id}}}\n"
+        f"{body1}\\cite{{decoy{doc_id}}}\n\n"
+        "\\begin{equation}\nE = mc^2\n\\end{equation}\n"
+        f"{items}"
+        f"{tail}\n"
+        "\\end{document}\n"
+    )
+
+
+build_latex_transcripts_from_documents = _single_kind_armor_builder(
+    doc_to_latex_payload)
+
+
+def doc_to_md_payload(doc_id: int, text: str) -> str:
+    """Markdown armor: '# Doc {id}' ATX heading, an 8-word paragraph
+    whose first three words wear **bold**/*em*/`code`, a 2-bullet list
+    (2-word items, words[8:12]), a '> ' blockquote of words[12:16], a
+    fenced code block 'code {id}' whose fence lines drop, and a link
+    line '[w16](url) w17 w18 w19'.  Expected text: 'Doc {id}' \\n
+    words[0:8] \\n words[8:10] \\n words[10:12] \\n words[12:16] \\n
+    'code {id}' \\n words[16:20] (empty slices drop)."""
+    w = text.split()
+
+    def seg(a: int, b: int) -> str:
+        return " ".join(w[a:b])
+
+    lines = [f"# Doc {doc_id}", ""]
+    if w[:8]:
+        deco = [f"**{w[0]}**"]
+        if len(w) > 1:
+            deco.append(f"*{w[1]}*")
+        if len(w) > 2:
+            deco.append(f"`{w[2]}`")
+        deco += w[3:8]
+        lines += [" ".join(deco), ""]
+    if seg(8, 10):
+        lines.append(f"- {seg(8, 10)}")
+    if seg(10, 12):
+        lines.append(f"- {seg(10, 12)}")
+    lines.append("")
+    if seg(12, 16):
+        lines += [f"> {seg(12, 16)}", ""]
+    lines += ["```python", f"code {doc_id}", "```", ""]
+    if seg(16, 20):
+        lines.append(
+            f"[{w[16]}](https://example.com/{doc_id}) {seg(17, 20)}".strip())
+    return "\n".join(lines) + "\n"
+
+
+build_md_transcripts_from_documents = _single_kind_armor_builder(
+    doc_to_md_payload)
+
+
 MULTIFORMAT_KINDS = ("pdf", "html", "plain", "docx", "eml", "ipynb",
                      "rtf", "epub", "warc")
 

@@ -1,0 +1,254 @@
+r"""LaTeX source text extraction.
+
+Academic corpora (arXiv, theses, preprint mirrors) arrive as LaTeX
+source; for an LLM-data pipeline the prose must be stripped out of the
+markup the same way ``detex``/pandoc-style readers do.  The rules that
+matter (public knowledge — Lamport's book + the detex man page):
+
+* ``%`` starts a comment to end-of-line unless escaped (``\%``),
+* only the body between ``\begin{document}`` and ``\end{document}``
+  contributes text; a payload with no such pair is processed whole
+  (salvage posture for fragments),
+* math contributes nothing: ``$...$``, ``$$...$$``, ``\(...\)``,
+  ``\[...\]`` and the display environments (equation, align, gather,
+  eqnarray, displaymath, math, multline) are dropped wholesale,
+* sectioning commands (``\section{X}`` and friends, ``\title{X}``)
+  emit X on its own line,
+* argument-keeping commands (``\textbf``, ``\emph``, ...) unwrap to
+  their argument; argument-dropping commands (``\cite``, ``\label``,
+  ``\usepackage``, ``\includegraphics``, ...) vanish with their
+  arguments; any OTHER ``\word`` is formatting and is dropped while
+  group braces stay transparent,
+* ``\item`` breaks a line, ``\\`` breaks a line, ``~`` is a tie
+  (space), ``--``/``---`` are en/em dashes, ``` `` ``/``''`` are
+  curly quotes, ``\'e``-style accents compose via NFC,
+* escaped specials (``\%`` ``\&`` ``\_`` ``\#`` ``\$`` ``\{`` ``\}``)
+  are literal.
+
+Output normalization: lines are stripped, empties dropped, joined with
+``\n`` — the same whitespace posture as the other format kernels.
+
+LaTeX is plain text, so the kernel sniffs ``\documentclass`` /
+``\begin{document}`` directly — no armor.  Malformed input degrades to
+whatever text is recoverable; a payload with no text reports empty.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+# one master token regex: comments handled before tokenizing
+_TOKEN_RE = re.compile(
+    r"\\begin\{(?P<beg>[a-zA-Z*]+)\}"
+    r"|\\end\{(?P<end>[a-zA-Z*]+)\}"
+    r"|\\(?P<cw>[a-zA-Z]+)\*?\s*"
+    r"|\\(?P<sym>[^a-zA-Z])"
+    r"|(?P<ddol>\$\$)"
+    r"|(?P<dol>\$)"
+    r"|(?P<obr>\{)|(?P<cbr>\})"
+)
+
+_MATH_ENVS = {
+    "equation", "equation*", "align", "align*", "gather", "gather*",
+    "eqnarray", "eqnarray*", "displaymath", "math", "multline",
+    "multline*", "alignat", "alignat*",
+}
+
+# heading commands: the braced argument becomes its own output line
+_HEADINGS = {
+    "part", "chapter", "section", "subsection", "subsubsection",
+    "paragraph", "subparagraph", "title", "caption",
+}
+
+# unwrap to the braced argument's text
+_KEEP_ARG = {
+    "textbf", "textit", "texttt", "textsc", "textsf", "textrm",
+    "emph", "underline", "mbox", "textnormal", "textsl", "uppercase",
+    "lowercase", "footnotetext",
+}
+
+# vanish together with one braced argument
+_DROP_ARG = {
+    "documentclass", "usepackage", "label", "ref", "eqref", "pageref",
+    "cite", "citep", "citet", "includegraphics", "bibliography",
+    "bibliographystyle", "input", "include", "vspace", "hspace",
+    "hypersetup", "author", "date", "thanks", "footnote", "url",
+    "href",  # href takes two args; second handled as group text
+    "newcommand", "renewcommand", "setlength", "pagestyle",
+    "thispagestyle", "graphicspath",
+}
+
+_LINE_BREAKS = {"par", "item", "newline", "linebreak", "smallskip",
+                "medskip", "bigskip", "noindent", "maketitle",
+                "tableofcontents", "clearpage", "newpage"}
+_BREAK_EMITS = {"par", "item", "newline", "linebreak"}
+
+# combining accents: \'e  \"o  \`a  \^o  \~n  \=o  \.z
+_ACCENTS = {
+    "'": "\u0301", '"': "\u0308", "`": "\u0300", "^": "\u0302",
+    "~": "\u0303", "=": "\u0304", ".": "\u0307",
+}
+# letter-command accents: \c{c} cedilla, \v{s} caron, \u{a} breve
+_ACCENT_WORDS = {"c": "\u0327", "v": "\u030c", "u": "\u0306",
+                 "H": "\u030b", "k": "\u0328", "r": "\u030a",
+                 "b": "\u0331", "d": "\u0323"}
+
+_COMMENT_RE = re.compile(r"(?<!\\)%[^\n]*")
+_MATH_INLINE = [
+    (re.compile(r"\\\[.*?\\\]", re.S), " "),
+    (re.compile(r"\\\(.*?\\\)", re.S), " "),
+]
+
+
+def looks_like_latex(payload: str) -> bool:
+    head = payload.lstrip()[:4096]
+    return head.startswith("\\documentclass") or "\\begin{document}" in head
+
+
+def _read_group(s: str, pos: int) -> tuple[str, int]:
+    """Read a balanced ``{...}`` starting at pos (which must point at
+    '{'); returns (content, next_pos).  Unbalanced input reads to EOF
+    (salvage)."""
+    depth = 0
+    start = pos + 1
+    i = pos
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            i += 2
+            continue
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                return s[start:i], i + 1
+        i += 1
+    return s[start:], n
+
+
+def latex_to_text(raw: str) -> str:
+    # 1. comments go first so a '%' can't hide structure
+    src = _COMMENT_RE.sub("", raw.replace("\r\n", "\n").replace("\r", "\n"))
+    # 2. body window
+    m = re.search(r"\\begin\{document\}", src)
+    if m:
+        src = src[m.end():]
+        m2 = re.search(r"\\end\{document\}", src)
+        if m2:
+            src = src[: m2.start()]
+    # 3. bracketed display math (regex-safe: no nesting in practice)
+    for rx, rep in _MATH_INLINE:
+        src = rx.sub(rep, src)
+
+    out: list[str] = []
+    pos = 0
+    n = len(src)
+    math_depth = 0        # inside a math environment
+    dollar = 0            # 1 = inside $...$, 2 = inside $$...$$
+    while pos < n:
+        mt = _TOKEN_RE.search(src, pos)
+        if mt is None:
+            if not math_depth and not dollar:
+                out.append(src[pos:])
+            break
+        if mt.start() > pos and not math_depth and not dollar:
+            out.append(src[pos:mt.start()])
+        pos = mt.end()
+        if mt.group("ddol"):
+            dollar = 0 if dollar == 2 else 2
+            continue
+        if mt.group("dol"):
+            dollar = 0 if dollar == 1 else 1
+            continue
+        if mt.group("beg") is not None:
+            if mt.group("beg") in _MATH_ENVS:
+                math_depth += 1
+            elif not math_depth and not dollar:
+                out.append("\n")
+            continue
+        if mt.group("end") is not None:
+            if mt.group("end") in _MATH_ENVS:
+                math_depth = max(0, math_depth - 1)
+            elif not math_depth and not dollar:
+                out.append("\n")
+            continue
+        if math_depth or dollar:
+            continue
+        if mt.group("obr") or mt.group("cbr"):
+            continue  # groups are transparent
+        sym = mt.group("sym")
+        if sym is not None:
+            if sym in _ACCENTS and pos < n:
+                base = src[pos]
+                skip = 1
+                if base == "{":
+                    g, pos2 = _read_group(src, pos)
+                    base, skip = (g[:1] or ""), 0
+                    pos = pos2
+                else:
+                    pos += skip
+                out.append(unicodedata.normalize(
+                    "NFC", base + _ACCENTS[sym]))
+            elif sym == "\\":
+                out.append("\n")
+            elif sym in "%&_#${}":
+                out.append(sym)
+            elif sym == ",":
+                out.append(" ")
+            # other control symbols vanish
+            continue
+        cw = mt.group("cw")
+        if cw is None:
+            continue
+        if cw in _HEADINGS:
+            if pos < n and src[pos] == "{":
+                g, pos = _read_group(src, pos)
+                out.append("\n" + latex_to_text(g) + "\n")
+            continue
+        if cw in _KEEP_ARG:
+            if pos < n and src[pos] == "{":
+                g, pos = _read_group(src, pos)
+                out.append(latex_to_text(g))
+            continue
+        if cw in _DROP_ARG:
+            # optional [..] then one {..} argument
+            if pos < n and src[pos] == "[":
+                close = src.find("]", pos)
+                if close != -1:
+                    pos = close + 1
+            if pos < n and src[pos] == "{":
+                _, pos = _read_group(src, pos)
+            continue
+        if cw in _ACCENT_WORDS:
+            if pos < n and src[pos] == "{":
+                g, pos = _read_group(src, pos)
+                if g:
+                    out.append(unicodedata.normalize(
+                        "NFC", g[0] + _ACCENT_WORDS[cw]) + g[1:])
+            continue
+        if cw in _LINE_BREAKS:
+            if cw in _BREAK_EMITS:
+                out.append("\n")
+            continue
+        # unknown command: drop the token, keep flowing text
+        continue
+
+    text = "".join(out)
+    text = text.replace("~", " ")
+    text = text.replace("---", "\u2014").replace("--", "\u2013")
+    text = text.replace("``", "\u201c").replace("''", "\u201d")
+    lines = [re.sub(r"[ \t]+", " ", ln).strip() for ln in text.split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
+def extract_latex_text(payload: str) -> dict:
+    """Kernel contract shared by every format extractor."""
+    try:
+        text = latex_to_text(payload)
+    except Exception as exc:  # hostile payloads must map to a row
+        return {"text": "", "status": "error",
+                "error": f"{type(exc).__name__}: {exc}"}
+    return {"text": text, "status": "ok" if text else "empty", "error": ""}

@@ -1,0 +1,152 @@
+r"""Markdown source text extraction (CommonMark-lite → plain text).
+
+README/docs/wiki corpora arrive as Markdown.  The pipeline already
+EXPORTS Markdown (html/markdown.py); this module is the opposite
+direction — rendering Markdown *source* down to the plain prose the
+text-analysis stages consume.  Rules (the CommonMark constructs with
+real corpus frequency):
+
+* ATX headings ``#{1,6} text`` → ``text`` on its own line (closing
+  ``#`` run stripped per spec); setext headings (a line followed by
+  ``===``/``---`` underlining) keep the text line, drop the underline,
+* fenced code blocks keep their CONTENT verbatim (code is payload for
+  an LLM corpus); the fence lines and info string are dropped;
+  indented code blocks keep their text with the 4-space indent
+  stripped,
+* emphasis ``**x**`` ``*x*`` ``__x__`` ``_x_`` ``~~x~~`` and inline
+  code ````x```` unwrap to ``x``,
+* links ``[text](url)`` → ``text``; images ``![alt](url)`` → ``alt``;
+  reference links ``[text][id]`` → ``text``; autolinks ``<http://u>``
+  → the URL; reference definition lines ``[id]: url`` vanish,
+* list markers (``-``/``*``/``+``/``1.`` + space) and blockquote
+  ``>`` prefixes strip; thematic breaks (``---``, ``***``) vanish,
+* inline HTML tags strip (text survives); HTML entities for the
+  big five (&amp; &lt; &gt; &quot; &#39;) decode,
+* hard-break trailing ``\\`` or two-space line ends are just line ends.
+
+Output normalization: lines stripped, empties dropped, joined with
+``\n`` — the shared format-kernel whitespace posture.
+
+Markdown is plain text — the kernel sniff requires an ATX heading on
+the FIRST non-blank line (the high-precision corpus signal); anything
+less markdown-shaped stays 'plain', which is the safe default since
+plain extraction is the identity.
+"""
+
+from __future__ import annotations
+
+import re
+
+_FENCE_RE = re.compile(r"^(`{3,}|~{3,})\s*(\S*)\s*$")
+_ATX_RE = re.compile(r"^(#{1,6})(?:\s+(.*?))?\s*(?:#+\s*)?$")
+_SETEXT_RE = re.compile(r"^(=+|-+)\s*$")
+_THEMATIC_RE = re.compile(r"^ {0,3}((\* *){3,}|(- *){3,}|(_ *){3,})$")
+_LIST_RE = re.compile(r"^( {0,3})([-*+]|\d{1,9}[.)])\s+(.*)$")
+_REFDEF_RE = re.compile(r"^ {0,3}\[[^\]]+\]:\s+\S+.*$")
+
+_IMG_RE = re.compile(r"!\[([^\]]*)\]\([^)]*\)")
+_LINK_RE = re.compile(r"\[([^\]]*)\]\(([^)]*)\)")
+_REFLINK_RE = re.compile(r"\[([^\]]*)\]\[[^\]]*\]")
+_AUTOLINK_RE = re.compile(r"<(https?://[^>\s]+)>")
+_CODE_SPAN_RE = re.compile(r"(`+)(.+?)\1")
+_STRONG_RE = re.compile(r"(\*\*|__)(?=\S)(.+?)(?<=\S)\1")
+_EM_RE = re.compile(r"(\*|_)(?=\S)(.+?)(?<=\S)\1")
+_STRIKE_RE = re.compile(r"~~(?=\S)(.+?)(?<=\S)~~")
+_HTML_TAG_RE = re.compile(r"</?[a-zA-Z][a-zA-Z0-9-]*(\s[^<>]*)?/?>")
+
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&amp;", "&")]  # &amp; last
+
+
+def looks_like_markdown(payload: str) -> bool:
+    for line in payload.lstrip().split("\n", 8)[:8]:
+        if not line.strip():
+            continue
+        m = _ATX_RE.match(line.strip())
+        return bool(m and (m.group(2) or "").strip())
+    return False
+
+
+def _inline(s: str) -> str:
+    s = _IMG_RE.sub(r"\1", s)
+    s = _LINK_RE.sub(r"\1", s)
+    s = _REFLINK_RE.sub(r"\1", s)
+    s = _AUTOLINK_RE.sub(r"\1", s)
+    s = _CODE_SPAN_RE.sub(r"\2", s)
+    s = _STRONG_RE.sub(r"\2", s)
+    s = _EM_RE.sub(r"\2", s)
+    s = _STRIKE_RE.sub(r"\1", s)
+    s = _HTML_TAG_RE.sub("", s)
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return s.rstrip("\\").strip()
+
+
+def markdown_to_text(raw: str) -> str:
+    lines = raw.replace("\r\n", "\n").replace("\r", "\n").split("\n")
+    out: list[str] = []
+    i = 0
+    n = len(lines)
+    fence: str | None = None
+    while i < n:
+        ln = lines[i]
+        if fence is not None:
+            m = _FENCE_RE.match(ln.strip())
+            if m and m.group(1)[0] == fence[0] and len(m.group(1)) >= len(fence):
+                fence = None
+            else:
+                out.append(ln.rstrip())
+            i += 1
+            continue
+        stripped = ln.strip()
+        m = _FENCE_RE.match(stripped)
+        if m:
+            fence = m.group(1)
+            i += 1
+            continue
+        if not stripped:
+            i += 1
+            continue
+        if _REFDEF_RE.match(ln):
+            i += 1
+            continue
+        if _THEMATIC_RE.match(stripped):
+            i += 1
+            continue
+        # blockquote prefixes strip (possibly nested)
+        while stripped.startswith(">"):
+            stripped = stripped[1:].lstrip()
+        m = _ATX_RE.match(stripped)
+        if m:
+            out.append(_inline(m.group(2) or ""))
+            i += 1
+            continue
+        # setext underline on the NEXT line promotes this one; either
+        # way the text line survives and the underline is consumed
+        if i + 1 < n and _SETEXT_RE.match(lines[i + 1].strip()) \
+                and stripped and not _LIST_RE.match(stripped):
+            out.append(_inline(stripped))
+            i += 2
+            continue
+        m = _LIST_RE.match(stripped)
+        if m:
+            out.append(_inline(m.group(3)))
+            i += 1
+            continue
+        if ln.startswith("    "):  # indented code block
+            out.append(ln[4:].rstrip())
+            i += 1
+            continue
+        out.append(_inline(stripped))
+        i += 1
+    return "\n".join(ln for ln in (x.strip() for x in out) if ln)
+
+
+def extract_markdown_text(payload: str) -> dict:
+    """Kernel contract shared by every format extractor."""
+    try:
+        text = markdown_to_text(payload)
+    except Exception as exc:
+        return {"text": "", "status": "error",
+                "error": f"{type(exc).__name__}: {exc}"}
+    return {"text": text, "status": "ok" if text else "empty", "error": ""}

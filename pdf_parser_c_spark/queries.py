@@ -11465,6 +11465,93 @@ FROM paras ORDER BY doc_id
 """
 
 
+def q_extraction_latex_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Per-turn TEXT EQUALITY for the LaTeX path (academic-source
+    corpora): documents armor into full articles (\section heading,
+    \textbf/\emph-decorated paragraph, comment + equation environment
+    + \cite decoys that must contribute NOTHING, itemize items, a \\
+    line break — flagship.doc_to_latex_payload); the kernel sniffs
+    ``\documentclass`` from the raw text (no armor prefix) and the
+    detex-style reader (formats/latex.py) must reproduce the DuckDB
+    word-slice reconstruction.
+    Scale: same fused armor+extract single-stage plan."""
+    from .engine import extract_turns
+    from .flagship import build_latex_transcripts_from_documents
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
+    tr = build_latex_transcripts_from_documents(spark, docs, num_partitions=16)
+    out = extract_turns(tr, repartition=False)
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
+    return out.select(doc_id, "kind", "status", "text").orderBy("doc_id")
+
+
+SQL_EXTRACTION_LATEX_ROUNDTRIP = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 5 = 1)
+SELECT doc_id, 'latex' AS kind, 'ok' AS status,
+       array_to_string(
+         list_filter(
+           ['Doc ' || CAST(doc_id AS VARCHAR),
+            array_to_string(ws[1:8], ' '),
+            array_to_string(ws[9:10], ' '),
+            array_to_string(ws[11:12], ' '),
+            array_to_string(ws[13:16], ' '),
+            array_to_string(ws[17:20], ' ')],
+           x -> x <> ''),
+         chr(10)) AS text
+FROM w ORDER BY doc_id
+"""
+
+
+def q_extraction_md_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn TEXT EQUALITY for the Markdown path (README/docs/wiki
+    corpora): documents armor into Markdown files (ATX heading,
+    bold/em/code-span-decorated paragraph, bullet list, blockquote,
+    fenced code block whose fences drop but whose CONTENT survives, a
+    link whose URL drops — flagship.doc_to_md_payload); the kernel
+    sniffs a first-line ATX heading and the CommonMark-lite reader
+    (formats/markdown_doc.py) must reproduce the DuckDB word-slice
+    reconstruction.
+    Scale: same fused armor+extract single-stage plan."""
+    from .engine import extract_turns
+    from .flagship import build_md_transcripts_from_documents
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    tr = build_md_transcripts_from_documents(spark, docs, num_partitions=16)
+    out = extract_turns(tr, repartition=False)
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
+    return out.select(doc_id, "kind", "status", "text").orderBy("doc_id")
+
+
+SQL_EXTRACTION_MD_ROUNDTRIP = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 5 = 0)
+SELECT doc_id, 'md' AS kind, 'ok' AS status,
+       array_to_string(
+         list_filter(
+           ['Doc ' || CAST(doc_id AS VARCHAR),
+            array_to_string(ws[1:8], ' '),
+            array_to_string(ws[9:10], ' '),
+            array_to_string(ws[11:12], ' '),
+            array_to_string(ws[13:16], ' '),
+            'code ' || CAST(doc_id AS VARCHAR),
+            array_to_string(ws[17:20], ' ')],
+           x -> x <> ''),
+         chr(10)) AS text
+FROM w ORDER BY doc_id
+"""
+
+
 def q_extraction_multiformat_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHOLE-DISPATCH census — the capstone over the kernel's nine
     payload kinds: every document is armored into the format chosen by
@@ -12832,5 +12919,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_multiformat_census": (
         q_extraction_multiformat_census, SQL_EXTRACTION_MULTIFORMAT_CENSUS
+    ),
+    "extraction_latex_roundtrip": (
+        q_extraction_latex_roundtrip, SQL_EXTRACTION_LATEX_ROUNDTRIP
+    ),
+    "extraction_md_roundtrip": (
+        q_extraction_md_roundtrip, SQL_EXTRACTION_MD_ROUNDTRIP
     ),
 }

@@ -166,3 +166,63 @@ class TestMarkdownTableProperty:
         for got, want in zip(lines[:1] + lines[2:], rows):
             cells = [c.strip() for c in got.strip("|").split(" | ")]
             assert cells == [" ".join(c.split()) for c in want]
+
+
+def _strip_tex_specials(s):
+    return "".join(
+        c for c in s
+        if c not in "\\{}$%&~^_#`'-" and (c == " " or not c.isspace())
+    ).strip()
+
+
+def _strip_md_specials(s):
+    return "".join(
+        c for c in s
+        if c not in "*_`#>[]()!<>&~|=-\\" and (c == " " or not c.isspace())
+    ).strip()
+
+
+class TestLatexProperty:
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=500))
+    def test_parser_total(self, junk):
+        from pdf_parser_c_spark.formats.latex import latex_to_text
+
+        assert latex_to_text(junk) == latex_to_text(junk)
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(
+        _para.map(_strip_tex_specials).filter(bool),
+        min_size=0, max_size=4))
+    def test_armor_paragraphs_survive(self, paras):
+        # paragraphs of markup-free text separated by blank lines come
+        # back as their own lines, body-windowed
+        from pdf_parser_c_spark.formats.latex import latex_to_text
+
+        src = ("\\begin{document}\n"
+               + "\n\n".join(paras) + "\n\\end{document}")
+        want = "\n".join(
+            " ".join(p.split()) for p in paras if p.strip())
+        assert latex_to_text(src) == want
+
+
+class TestMarkdownDocProperty:
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=500))
+    def test_parser_total(self, junk):
+        from pdf_parser_c_spark.formats.markdown_doc import markdown_to_text
+
+        assert markdown_to_text(junk) == markdown_to_text(junk)
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(
+        _para.map(_strip_md_specials).filter(
+            lambda s: s and not s[0].isdigit() and s[0] not in "+ "),
+        min_size=0, max_size=4))
+    def test_plain_paragraphs_survive(self, paras):
+        from pdf_parser_c_spark.formats.markdown_doc import markdown_to_text
+
+        src = "\n\n".join(paras)
+        want = "\n".join(
+            " ".join(p.split()) for p in paras if p.strip())
+        assert markdown_to_text(src) == want

@@ -1,0 +1,147 @@
+r"""LaTeX and Markdown payload kinds: parser semantics, kernel
+routing, sniff precision, hostility."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pdf_parser_c_spark.engine import classify_payload, extract_turns
+from pdf_parser_c_spark.flagship import (
+    build_latex_transcripts_from_documents,
+    build_md_transcripts_from_documents,
+)
+from pdf_parser_c_spark.formats.latex import (
+    extract_latex_text,
+    latex_to_text,
+    looks_like_latex,
+)
+from pdf_parser_c_spark.formats.markdown_doc import (
+    extract_markdown_text,
+    looks_like_markdown,
+    markdown_to_text,
+)
+
+TEXT = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma")
+
+
+class TestLatex:
+    def test_comments_math_and_cites_vanish(self):
+        src = ("\\documentclass{article}\n% dead\n\\begin{document}\n"
+               "keep % trailing comment\n$x^2$ \\(a+b\\) \\[c\\]\n"
+               "\\begin{equation}\nE=mc^2\n\\end{equation}\n"
+               "also\\cite{k}\\label{l} kept\n\\end{document}\nafter")
+        assert latex_to_text(src) == "keep\nalso kept"
+
+    def test_headings_emphasis_items(self):
+        src = ("\\begin{document}\\section{Top}\n"
+               "\\textbf{bold} \\emph{em} plain\n"
+               "\\begin{itemize}\\item one\\item two\\end{itemize}"
+               "\\end{document}")
+        assert latex_to_text(src) == "Top\nbold em plain\none\ntwo"
+
+    def test_escapes_accents_dashes_quotes(self):
+        assert latex_to_text(r"50\% A \& B a\_b") == "50% A & B a_b"
+        assert latex_to_text(r"caf\'e na\"ive \c{c}a") == "café naïve ça"
+        assert latex_to_text("x --- y -- z") == "x \u2014 y \u2013 z"
+        assert latex_to_text("``q''") == "\u201cq\u201d"
+        assert latex_to_text("a~b") == "a b"
+        assert latex_to_text("l1 \\\\ l2") == "l1\nl2"
+
+    def test_preamble_only_body(self):
+        # no \begin{document}: whole payload is processed (fragment
+        # salvage); with one, the preamble vanishes
+        assert latex_to_text("\\alpha text") == "text"
+        src = "preamble junk\n\\begin{document}body\\end{document}"
+        assert latex_to_text(src) == "body"
+
+    def test_hostility_total(self):
+        latex_to_text("\\begin{document}{{{ unclosed \\textbf{")
+        latex_to_text("$ unterminated math")
+        latex_to_text("")
+        assert extract_latex_text("\\documentclass{a}")["status"] == "empty"
+
+    def test_kernel_kind(self, spark):
+        docs = spark.createDataFrame([(7, TEXT)], "doc_id long, text string")
+        rows = extract_turns(
+            build_latex_transcripts_from_documents(spark, docs),
+            repartition=False).collect()
+        assert rows[0].kind == "latex" and rows[0].status == "ok"
+        assert rows[0].text.startswith("Doc 7\nalpha beta")
+
+
+class TestMarkdown:
+    def test_headings_emphasis_links(self):
+        src = ("# Top #\n\nSub\n---\n\n**b** *i* `c` ~~s~~\n"
+               "[t](http://u) ![alt](i.png) <https://auto>\n")
+        assert markdown_to_text(src) == (
+            "Top\nSub\nb i c s\nt alt https://auto")
+
+    def test_fences_keep_content_lists_quotes(self):
+        src = ("# H\n```python\nx = 1\n```\n- a\n* b\n1. c\n> q deep\n"
+               "---\n    indented code\n")
+        assert markdown_to_text(src) == (
+            "H\nx = 1\na\nb\nc\nq deep\nindented code")
+
+    def test_refdefs_and_html_strip(self):
+        src = "# H\n[id]: https://target\n<b>bold</b> [x][id] &amp; &lt;\n"
+        assert markdown_to_text(src) == "H\nbold x & <"
+
+    def test_hostility_total(self):
+        markdown_to_text("")
+        markdown_to_text("```\nunterminated fence")
+        markdown_to_text("[")
+        assert extract_markdown_text("#  \n")["status"] == "empty"
+
+    def test_kernel_kind(self, spark):
+        docs = spark.createDataFrame([(9, TEXT)], "doc_id long, text string")
+        rows = extract_turns(
+            build_md_transcripts_from_documents(spark, docs),
+            repartition=False).collect()
+        assert rows[0].kind == "md" and rows[0].status == "ok"
+        assert rows[0].text.startswith("Doc 9\nalpha beta")
+
+
+class TestSniffPrecision:
+    def test_plain_stays_plain(self):
+        # prose, a shell comment without heading shape, a lone '#'
+        vals = ["just words here", "#hashtag no space", "#", "  # ok md",
+                "\\not latex", "\\documentclass{article} x",
+                "\\begin{document}hello\\end{document}"]
+        got = list(classify_payload(pd.Series(vals)))
+        assert got == ["plain", "plain", "plain", "md",
+                       "plain", "latex", "latex"]
+
+    def test_md_requires_first_content_line_heading(self):
+        assert looks_like_markdown("\n\n## Title\nbody")
+        assert not looks_like_markdown("body first\n# then heading")
+
+    def test_latex_prefix(self):
+        assert looks_like_latex("  \\documentclass[12pt]{article}")
+        assert not looks_like_latex("\\newcommand only")
+
+
+@pytest.mark.parametrize("n_words", [0, 1, 9, 17, 30])
+def test_armor_roundtrip_word_counts(n_words):
+    """The armor template and both parsers agree on every slice
+    boundary (empty paragraph / item / tail cases)."""
+    from pdf_parser_c_spark.flagship import (
+        doc_to_latex_payload,
+        doc_to_md_payload,
+    )
+
+    w = [f"w{i}" for i in range(n_words)]
+    text = " ".join(w)
+
+    def seg(a, b):
+        return " ".join(w[a:b])
+
+    exp_tex = "\n".join(filter(None, [
+        "Doc 3", seg(0, 8), seg(8, 10), seg(10, 12), seg(12, 16),
+        seg(16, 20)]))
+    assert latex_to_text(doc_to_latex_payload(3, text)) == exp_tex
+    exp_md = "\n".join(filter(None, [
+        "Doc 3", seg(0, 8), seg(8, 10), seg(10, 12), seg(12, 16),
+        "code 3", seg(16, 20)]))
+    assert markdown_to_text(doc_to_md_payload(3, text)) == exp_md
