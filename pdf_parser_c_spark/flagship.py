@@ -673,14 +673,14 @@ build_md_transcripts_from_documents = _single_kind_armor_builder(
 
 
 MULTIFORMAT_KINDS = ("pdf", "html", "plain", "docx", "eml", "ipynb",
-                     "rtf", "epub", "warc")
+                     "rtf", "epub", "warc", "latex", "md")
 
 
 def doc_to_multiformat_payload(doc_id: int, text: str) -> str:
-    """Route a document to one of the NINE payload armorers by
-    doc_id % 9 (order: MULTIFORMAT_KINDS) — the whole-dispatch armor
+    """Route a document to one of the ELEVEN payload armorers by
+    doc_id % 11 (order: MULTIFORMAT_KINDS) — the whole-dispatch armor
     for the multiformat census."""
-    mode = doc_id % 9
+    mode = doc_id % 11
     if mode == 0:
         return doc_to_pdf_payload(doc_id, text)
     if mode == 1:
@@ -697,7 +697,11 @@ def doc_to_multiformat_payload(doc_id: int, text: str) -> str:
         return doc_to_rtf_payload(doc_id, text)
     if mode == 7:
         return doc_to_epub_payload(doc_id, text)
-    return doc_to_warc_payload(doc_id, text)
+    if mode == 8:
+        return doc_to_warc_payload(doc_id, text)
+    if mode == 9:
+        return doc_to_latex_payload(doc_id, text)
+    return doc_to_md_payload(doc_id, text)
 
 
 build_multiformat_transcripts_from_documents = _single_kind_armor_builder(

@@ -142,7 +142,7 @@ def main() -> None:
         "extraction_srt_cues": "SRT: armor + cue parse fused; narrow (ms, text) rows out",
         "extraction_epub_roundtrip": "EPUB path: armor + OCF/OPF walk + chapter strip fused after one doc_id exchange",
         "extraction_rtf_roundtrip": "RTF path: bare-text sniff + token-stream parse fused; no armor leg",
-        "extraction_multiformat_census": "whole-dispatch capstone: ONE armor+extract pass over all nine kinds; census is a 9-row aggregate",
+        "extraction_multiformat_census": "whole-dispatch capstone: ONE armor+extract pass over all eleven kinds; census is an 11-row aggregate",
         "filter_secret_scan": "secret scan: injection + 5-pattern detect + scrub + residual all map-side regexp codegen; the 6-row kind census is the corpus's ONLY exchange",
         "dedup_line_boilerplate": "line boilerplate: line-forming + md5 map-side, ONE (source, line-hash) exchange shipping 16-byte keys; per-source doc counts ride a BroadcastHashJoin — no doc pairs anywhere",
         "extraction_html_md_tables": "GFM tables: armor MapInPandas + ArrowEvalPython conversion in ONE stage after the doc_id exchange; only (id, md) shuffles to the presentation sort",

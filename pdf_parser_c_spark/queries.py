@@ -11553,17 +11553,17 @@ FROM w ORDER BY doc_id
 
 
 def q_extraction_multiformat_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WHOLE-DISPATCH census — the capstone over the kernel's nine
+    """WHOLE-DISPATCH census — the capstone over the kernel's eleven
     payload kinds: every document is armored into the format chosen by
-    doc_id % 9 (pdf, html, plain, docx, eml, ipynb, rtf, epub, warc —
-    flagship.doc_to_multiformat_payload), pushed through ONE
-    extract_turns pass, and the per-kind (n_turns, n_ok, total
-    extracted chars) census must equal the union of the nine
+    doc_id % 11 (pdf, html, plain, docx, eml, ipynb, rtf, epub, warc,
+    latex, md — flagship.doc_to_multiformat_payload), pushed through
+    ONE extract_turns pass, and the per-kind (n_turns, n_ok, total
+    extracted chars) census must equal the union of the eleven
     armor-template reconstructions in DuckDB.  One query proving the
     classify→route→extract surface end-to-end in a single scan — the
     production shape for a mixed corpus.
     Scale: identical plan to the production job (scan → one exchange →
-    armor + kernel fused); census is a 9-row aggregate."""
+    armor + kernel fused); census is an 11-row aggregate."""
     from .engine import extract_turns
     from .flagship import build_multiformat_transcripts_from_documents
 
@@ -11584,7 +11584,7 @@ def q_extraction_multiformat_census(spark: SparkSession, sf_dir: str) -> DataFra
 
 SQL_EXTRACTION_MULTIFORMAT_CENSUS = r"""
 WITH w AS (
-  SELECT doc_id, doc_id % 9 AS mode,
+  SELECT doc_id, doc_id % 11 AS mode,
          trim(regexp_replace(text, '\s+', ' ', 'g')) AS collapsed,
          list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
                                   ' '), x -> x <> '') AS ws,
@@ -11608,7 +11608,12 @@ parts AS (
          array_to_string(ws[1:8], ' ') AS nb1,
          array_to_string(ws[9:16], ' ') AS nb2,
          array_to_string(ws[1:20], ' ') AS ep0,
-         array_to_string(ws[21:40], ' ') AS ep1
+         array_to_string(ws[21:40], ' ') AS ep1,
+         array_to_string(ws[1:8], ' ') AS sl1,
+         array_to_string(ws[9:10], ' ') AS sl2,
+         array_to_string(ws[11:12], ' ') AS sl3,
+         array_to_string(ws[13:16], ' ') AS sl4,
+         array_to_string(ws[17:20], ' ') AS sl5
   FROM w),
 lens AS (
   SELECT doc_id, mode,
@@ -11640,13 +11645,20 @@ lens AS (
                          ELSE 0 END
                   + CASE WHEN length(ep1) >= 25 THEN 1 + length(ep1)
                          ELSE 0 END
-      ELSE length('Document ' || CAST(doc_id AS VARCHAR))
+      WHEN 8 THEN length('Document ' || CAST(doc_id AS VARCHAR))
            + CASE WHEN length(collapsed) >= 25
                   THEN 1 + length(collapsed) ELSE 0 END
+      WHEN 9 THEN length(array_to_string(list_filter(
+             ['Doc ' || CAST(doc_id AS VARCHAR), sl1, sl2, sl3, sl4, sl5],
+             x -> x <> ''), chr(10)))
+      ELSE length(array_to_string(list_filter(
+             ['Doc ' || CAST(doc_id AS VARCHAR), sl1, sl2, sl3, sl4,
+              'code ' || CAST(doc_id AS VARCHAR), sl5],
+             x -> x <> ''), chr(10)))
     END AS text_len
   FROM parts)
 SELECT (['pdf', 'html', 'plain', 'docx', 'eml', 'ipynb', 'rtf', 'epub',
-         'warc'])[mode + 1] AS kind,
+         'warc', 'latex', 'md'])[mode + 1] AS kind,
        count(*) AS n_turns,
        CAST(sum(CASE WHEN mode = 2 AND text_len = 0 THEN 0 ELSE 1 END)
             AS BIGINT) AS n_ok,
