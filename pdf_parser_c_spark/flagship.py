@@ -672,6 +672,62 @@ build_md_transcripts_from_documents = _single_kind_armor_builder(
     doc_to_md_payload)
 
 
+def doc_to_sitemap_payload(doc_id: int, text: str) -> str:
+    """Sitemap armor: doc_id % 3 == 0 builds a <sitemapindex> of two
+    child sitemaps, else a <urlset> of 2 + doc_id % 2 page entries —
+    loc/lastmod/changefreq/priority all pure doc_id arithmetic so the
+    frontier rows are SQL-reconstructible.  Entry j: loc
+    'https://site{doc_id % 7}.example.com/p/{doc_id}/{j}', lastmod
+    '2024-01-{1 + doc_id % 28:02d}', changefreq [daily, weekly,
+    monthly][j % 3], priority (doc_id % 10)/10 on entry 0 only."""
+    from .sources.feeds import build_sitemap
+
+    if doc_id % 3 == 0:
+        return build_sitemap([
+            {"loc": f"https://site{doc_id % 7}.example.com/sitemap{j}.xml",
+             "lastmod": f"2024-01-{1 + doc_id % 28:02d}"}
+            for j in (0, 1)
+        ], index=True)
+    freq = ("daily", "weekly", "monthly")
+    return build_sitemap([
+        {"loc": f"https://site{doc_id % 7}.example.com/p/{doc_id}/{j}",
+         "lastmod": f"2024-01-{1 + doc_id % 28:02d}",
+         "changefreq": freq[j % 3],
+         "priority": f"{(doc_id % 10) / 10:.1f}" if j == 0 else None}
+        for j in range(2 + doc_id % 2)
+    ])
+
+
+def doc_to_feed_payload(doc_id: int, text: str) -> str:
+    """Feed armor: RSS 2.0 when doc_id is even, Atom when odd; two
+    items each.  Item j: title words[3j:3j+3] (or 'item'), link
+    'https://blog{doc_id % 5}.example.com/{doc_id}/{j}', id
+    'tag:{doc_id}-{j}', published a fixed-format date keyed on
+    (doc_id, j) — all SQL-reconstructible."""
+    from .sources.feeds import build_atom, build_rss
+
+    w = text.split()
+    items = []
+    for j in (0, 1):
+        title = " ".join(w[3 * j: 3 * j + 3]) or "item"
+        title = (title.replace("&", "&amp;").replace("<", "&lt;")
+                 .replace(">", "&gt;"))
+        items.append({
+            "title": title,
+            "link": f"https://blog{doc_id % 5}.example.com/{doc_id}/{j}",
+        })
+    if doc_id % 2 == 0:
+        for j, it in enumerate(items):
+            it["guid"] = f"tag:{doc_id}-{j}"
+            it["pubDate"] = (
+                f"Mon, {1 + doc_id % 28:02d} Jan 2024 0{j}:00:00 GMT")
+        return build_rss(items)
+    for j, it in enumerate(items):
+        it["id"] = f"tag:{doc_id}-{j}"
+        it["updated"] = f"2024-01-{1 + doc_id % 28:02d}T0{j}:00:00Z"
+    return build_atom(items)
+
+
 MULTIFORMAT_KINDS = ("pdf", "html", "plain", "docx", "eml", "ipynb",
                      "rtf", "epub", "warc", "latex", "md")
 

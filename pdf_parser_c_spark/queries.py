@@ -11552,6 +11552,136 @@ FROM w ORDER BY doc_id
 """
 
 
+def q_extraction_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier construction from sitemap.xml: documents armor
+    into sitemaps.org XML (doc_id % 3 == 0 a <sitemapindex> of child
+    sitemaps — the recursive frontier — else a <urlset> of page
+    entries with lastmod/changefreq/priority; all doc_id arithmetic,
+    flagship.doc_to_sitemap_payload) and the namespace-tolerant
+    salvage reader (sources/feeds.py) must reproduce every
+    (entry_idx, is_index, loc, lastmod, changefreq, priority) row.
+    Scale: armor + parse fused after one doc_id exchange; at corpus
+    scale the frontier feeds filter_robots_gate / graph_host_edges."""
+    from .flagship import doc_to_sitemap_payload
+    from .sources.feeds import parse_sitemap_entries
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 1)
+        .select("doc_id", "text")
+    )
+
+    import pandas as pd
+
+    def kernel(batches):
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "text": [doc_to_sitemap_payload(int(i), str(t_))
+                         for i, t_ in zip(ids, b["text"])],
+            })
+
+    payloads = d.repartition(16, "doc_id").mapInPandas(
+        kernel, schema="doc_id long, text string")
+    return parse_sitemap_entries(payloads).orderBy("doc_id", "entry_idx")
+
+
+SQL_EXTRACTION_SITEMAP_FRONTIER = r"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 1),
+idx AS (
+  SELECT doc_id, CAST(j AS INTEGER) AS entry_idx
+  FROM (SELECT doc_id,
+               unnest(range(CASE WHEN doc_id % 3 = 0 THEN 2
+                                 ELSE 2 + doc_id % 2 END)) AS j
+        FROM d))
+SELECT doc_id, entry_idx,
+       doc_id % 3 = 0 AS is_index,
+       CASE WHEN doc_id % 3 = 0
+            THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.com/sitemap'
+                 || CAST(entry_idx AS VARCHAR) || '.xml'
+            ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                 || '/' || CAST(entry_idx AS VARCHAR)
+       END AS loc,
+       '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+         AS lastmod,
+       CASE WHEN doc_id % 3 = 0 THEN NULL
+            ELSE (['daily', 'weekly', 'monthly'])[entry_idx % 3 + 1]
+       END AS changefreq,
+       CASE WHEN doc_id % 3 <> 0 AND entry_idx = 0
+            THEN CAST(doc_id % 10 AS DOUBLE) / 10
+            ELSE NULL END AS priority
+FROM idx ORDER BY doc_id, entry_idx
+"""
+
+
+def q_extraction_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed ingestion (content discovery): documents armor into RSS
+    2.0 (even doc_id) or Atom (odd) feeds of two items — titles from
+    word slices, links/ids/dates from doc_id arithmetic
+    (flagship.doc_to_feed_payload) — and the reader
+    (sources/feeds.py: CDATA/entity decode, Atom link-rel selection,
+    salvage on bad entries) must reproduce every
+    (item_idx, feed_kind, title, link, entry_id, published) row.
+    Scale: armor + parse fused after one doc_id exchange."""
+    from .flagship import doc_to_feed_payload
+    from .sources.feeds import parse_feed_items
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 2)
+        .select("doc_id", "text")
+    )
+
+    import pandas as pd
+
+    def kernel(batches):
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "text": [doc_to_feed_payload(int(i), str(t_))
+                         for i, t_ in zip(ids, b["text"])],
+            })
+
+    payloads = d.repartition(16, "doc_id").mapInPandas(
+        kernel, schema="doc_id long, text string")
+    return parse_feed_items(payloads).orderBy("doc_id", "item_idx")
+
+
+SQL_EXTRACTION_FEED_ITEMS = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 4 = 2),
+items AS (
+  SELECT doc_id, ws, CAST(j AS INTEGER) AS item_idx
+  FROM (SELECT doc_id, ws, unnest(range(2)) AS j FROM w))
+SELECT doc_id, item_idx,
+       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_kind,
+       CASE WHEN array_to_string(ws[1 + 3 * item_idx: 3 * item_idx + 3], ' ')
+                 <> ''
+            THEN array_to_string(ws[1 + 3 * item_idx: 3 * item_idx + 3], ' ')
+            ELSE 'item' END AS title,
+       'https://blog' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/'
+         || CAST(doc_id AS VARCHAR) || '/' || CAST(item_idx AS VARCHAR)
+         AS link,
+       'tag:' || CAST(doc_id AS VARCHAR) || '-' || CAST(item_idx AS VARCHAR)
+         AS entry_id,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'Mon, ' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                 || ' Jan 2024 0' || CAST(item_idx AS VARCHAR)
+                 || ':00:00 GMT'
+            ELSE '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                 || 'T0' || CAST(item_idx AS VARCHAR) || ':00:00Z'
+       END AS published
+FROM items ORDER BY doc_id, item_idx
+"""
+
+
 def q_extraction_multiformat_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHOLE-DISPATCH census — the capstone over the kernel's eleven
     payload kinds: every document is armored into the format chosen by
@@ -12937,5 +13067,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_md_roundtrip": (
         q_extraction_md_roundtrip, SQL_EXTRACTION_MD_ROUNDTRIP
+    ),
+    "extraction_sitemap_frontier": (
+        q_extraction_sitemap_frontier, SQL_EXTRACTION_SITEMAP_FRONTIER
+    ),
+    "extraction_feed_items": (
+        q_extraction_feed_items, SQL_EXTRACTION_FEED_ITEMS
     ),
 }

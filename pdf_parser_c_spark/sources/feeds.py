@@ -1,0 +1,233 @@
+"""Sitemap and RSS/Atom feed parsing — the crawl-frontier side.
+
+A web-scale ingestion pipeline discovers URLs before it fetches them:
+``sitemap.xml`` files enumerate a site's pages (sitemaps.org protocol:
+``<urlset>`` of ``<url><loc/><lastmod/><changefreq/><priority/>``, or
+a ``<sitemapindex>`` of child sitemaps), and RSS 2.0 / Atom feeds
+announce new content.  These parsers turn either document into frontier
+rows; the Spark operators are one ``mapInPandas`` pass each, the same
+shape as the other source readers (srt, webdataset).
+
+Parser posture (matching the lenient readers in crawler tooling):
+
+* namespace prefixes are ignored (``<ns:loc>`` == ``<loc>``),
+* entity-decoded text (&amp; &lt; &gt; &quot; &#39; — the five XML
+  predefineds), CDATA unwrapped,
+* a malformed entry is skipped (salvage), never fatal; a payload with
+  no parsable entry yields zero rows,
+* RSS item link is ``<link>text</link>``; Atom entry link is
+  ``<link href="..."/>`` (first alternate or first link wins) — both
+  normalize to one ``link`` column.
+
+No XML library: the repo's scanners are regex/token based by design
+(see html/), which keeps hostile input on the salvage path instead of
+a parser exception.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_CDATA_RE = re.compile(r"<!\[CDATA\[(.*?)\]\]>", re.S)
+_TAG_TEXT = {
+    "loc", "lastmod", "changefreq", "priority", "title", "link",
+    "guid", "pubDate", "id", "updated",
+}
+
+
+def _decode_text(s: str) -> str:
+    s = _CDATA_RE.sub(r"\1", s)
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&")):
+        s = s.replace(ent, ch)
+    return s.strip()
+
+
+def _elem_re(tag: str) -> re.Pattern:
+    # namespace-tolerant: <tag>, <x:tag>, attributes allowed
+    return re.compile(
+        rf"<(?:[A-Za-z0-9_.-]+:)?{tag}(?:\s[^<>]*)?>(.*?)"
+        rf"</(?:[A-Za-z0-9_.-]+:)?{tag}\s*>",
+        re.S | re.I)
+
+
+_URL_BLOCK = _elem_re("url")
+_SITEMAP_BLOCK = _elem_re("sitemap")
+_ITEM_BLOCK = _elem_re("item")
+_ENTRY_BLOCK = _elem_re("entry")
+_TEXT_RES = {t: _elem_re(t) for t in _TAG_TEXT}
+_ATOM_LINK = re.compile(
+    r"<(?:[A-Za-z0-9_.-]+:)?link\s[^<>]*?href\s*=\s*\"([^\"]*)\"[^<>]*/?>",
+    re.S | re.I)
+_ATOM_LINK_REL = re.compile(r"rel\s*=\s*\"([^\"]*)\"", re.I)
+
+
+def _text_of(block: str, tag: str) -> str | None:
+    m = _TEXT_RES[tag].search(block)
+    return _decode_text(m.group(1)) if m else None
+
+
+def parse_sitemap(xml: str) -> list[dict]:
+    """→ [{entry_idx, is_index, loc, lastmod, changefreq, priority}].
+
+    ``is_index`` rows come from ``<sitemapindex>`` children (their
+    loc points at another sitemap, the recursive frontier)."""
+    out: list[dict] = []
+    for is_index, block_re in ((False, _URL_BLOCK), (True, _SITEMAP_BLOCK)):
+        for m in block_re.finditer(xml):
+            block = m.group(1)
+            loc = _text_of(block, "loc")
+            if not loc:
+                continue  # salvage: loc is mandatory
+            prio = _text_of(block, "priority")
+            try:
+                prio_f = float(prio) if prio is not None else None
+            except ValueError:
+                prio_f = None
+            out.append({
+                "entry_idx": len(out),
+                "is_index": is_index,
+                "loc": loc,
+                "lastmod": _text_of(block, "lastmod"),
+                "changefreq": _text_of(block, "changefreq"),
+                "priority": prio_f,
+            })
+    return out
+
+
+def _atom_link(block: str) -> str | None:
+    best: str | None = None
+    for m in _ATOM_LINK.finditer(block):
+        rel = _ATOM_LINK_REL.search(m.group(0))
+        if rel is None or rel.group(1) == "alternate":
+            return _decode_text(m.group(1))
+        if best is None:
+            best = _decode_text(m.group(1))
+    return best
+
+
+def parse_feed(xml: str) -> list[dict]:
+    """→ [{item_idx, feed_kind, title, link, entry_id, published}]
+    for RSS 2.0 ``<item>`` and Atom ``<entry>`` elements."""
+    out: list[dict] = []
+    for kind, block_re in (("rss", _ITEM_BLOCK), ("atom", _ENTRY_BLOCK)):
+        for m in block_re.finditer(xml):
+            block = m.group(1)
+            title = _text_of(block, "title")
+            if kind == "rss":
+                link = _text_of(block, "link")
+                entry_id = _text_of(block, "guid")
+                published = _text_of(block, "pubDate")
+            else:
+                link = _atom_link(block)
+                entry_id = _text_of(block, "id")
+                published = _text_of(block, "updated")
+            if not title and not link:
+                continue  # salvage
+            out.append({
+                "item_idx": len(out),
+                "feed_kind": kind,
+                "title": title,
+                "link": link,
+                "entry_id": entry_id,
+                "published": published,
+            })
+    return out
+
+
+SITEMAP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("entry_idx", T.IntegerType()),
+    T.StructField("is_index", T.BooleanType()),
+    T.StructField("loc", T.StringType()),
+    T.StructField("lastmod", T.StringType()),
+    T.StructField("changefreq", T.StringType()),
+    T.StructField("priority", T.DoubleType()),
+])
+
+FEED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("item_idx", T.IntegerType()),
+    T.StructField("feed_kind", T.StringType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("link", T.StringType()),
+    T.StructField("entry_id", T.StringType()),
+    T.StructField("published", T.StringType()),
+])
+
+
+def _rows_operator(parse_fn, schema):
+    def op(df: DataFrame, id_col: str = "doc_id",
+           payload_col: str = "text") -> DataFrame:
+        src = df.select(id_col, payload_col)
+        cols = [f.name for f in schema.fields]
+
+        def gen(batches):
+            for b in batches:
+                out: list[dict] = []
+                for did, payload in zip(
+                        b[id_col].astype("int64"), b[payload_col]):
+                    for row in parse_fn(str(payload or "")):
+                        row = dict(row)
+                        row["doc_id"] = int(did)
+                        out.append(row)
+                yield pd.DataFrame(out, columns=cols)
+
+        return src.mapInPandas(gen, schema=schema)
+    return op
+
+
+parse_sitemap_entries = _rows_operator(parse_sitemap, SITEMAP_SCHEMA)
+parse_feed_items = _rows_operator(parse_feed, FEED_SCHEMA)
+
+
+def build_sitemap(entries: list[dict], index: bool = False) -> str:
+    """Testkit writer: canonical sitemaps.org XML."""
+    tag, child = ("sitemapindex", "sitemap") if index else ("urlset", "url")
+    parts = [f'<?xml version="1.0" encoding="UTF-8"?>\n<{tag} '
+             'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">']
+    for e in entries:
+        parts.append(f"<{child}>")
+        for k in ("loc", "lastmod", "changefreq", "priority"):
+            v = e.get(k)
+            if v is not None:
+                parts.append(f"<{k}>{v}</{k}>")
+        parts.append(f"</{child}>")
+    parts.append(f"</{tag}>")
+    return "\n".join(parts)
+
+
+def build_rss(items: list[dict]) -> str:
+    parts = ['<?xml version="1.0"?>\n<rss version="2.0"><channel>',
+             "<title>feed</title>"]
+    for it in items:
+        parts.append("<item>")
+        for k in ("title", "link", "guid", "pubDate"):
+            v = it.get(k)
+            if v is not None:
+                parts.append(f"<{k}>{v}</{k}>")
+        parts.append("</item>")
+    parts.append("</channel></rss>")
+    return "\n".join(parts)
+
+
+def build_atom(entries: list[dict]) -> str:
+    parts = ['<?xml version="1.0"?>',
+             '<feed xmlns="http://www.w3.org/2005/Atom">']
+    for e in entries:
+        parts.append("<entry>")
+        if e.get("title") is not None:
+            parts.append(f"<title>{e['title']}</title>")
+        if e.get("link") is not None:
+            parts.append(f'<link rel="alternate" href="{e["link"]}"/>')
+        if e.get("id") is not None:
+            parts.append(f"<id>{e['id']}</id>")
+        if e.get("updated") is not None:
+            parts.append(f"<updated>{e['updated']}</updated>")
+        parts.append("</entry>")
+    parts.append("</feed>")
+    return "\n".join(parts)

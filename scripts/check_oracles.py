@@ -60,7 +60,12 @@ def norm_cell(v):
 
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    # None-safe sort: NULLs first within a column (a NULL-bearing
+    # column that sorts first alphabetically must not TypeError)
+    return sorted(
+        (tuple(norm_cell(r[i]) for i in order) for r in rows),
+        key=lambda tup: tuple((v is not None, v) for v in tup),
+    )
 
 
 def main() -> int:

@@ -1,0 +1,112 @@
+"""Sitemap / RSS / Atom frontier readers: parse semantics, salvage,
+namespace tolerance, Spark operator path."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_parser_c_spark.sources.feeds import (
+    build_atom,
+    build_rss,
+    build_sitemap,
+    parse_feed,
+    parse_feed_items,
+    parse_sitemap,
+    parse_sitemap_entries,
+)
+
+
+class TestSitemap:
+    def test_urlset_fields(self):
+        xml = build_sitemap([
+            {"loc": "https://a/x", "lastmod": "2024-01-02",
+             "changefreq": "daily", "priority": "0.8"},
+            {"loc": "https://a/y"},
+        ])
+        rows = parse_sitemap(xml)
+        assert rows[0] == {
+            "entry_idx": 0, "is_index": False, "loc": "https://a/x",
+            "lastmod": "2024-01-02", "changefreq": "daily",
+            "priority": 0.8}
+        assert rows[1]["lastmod"] is None and rows[1]["priority"] is None
+
+    def test_index_and_namespace(self):
+        xml = ('<sm:sitemapindex xmlns:sm="x"><sm:sitemap>'
+               "<sm:loc>https://a/s.xml</sm:loc></sm:sitemap>"
+               "</sm:sitemapindex>")
+        rows = parse_sitemap(xml)
+        assert rows == [{
+            "entry_idx": 0, "is_index": True, "loc": "https://a/s.xml",
+            "lastmod": None, "changefreq": None, "priority": None}]
+
+    def test_salvage(self):
+        # missing loc → skipped; bad priority → None; junk → no rows
+        xml = ("<urlset><url><lastmod>x</lastmod></url>"
+               "<url><loc>https://a</loc><priority>high</priority></url>"
+               "</urlset>")
+        rows = parse_sitemap(xml)
+        assert len(rows) == 1 and rows[0]["priority"] is None
+        assert parse_sitemap("not xml at all") == []
+
+    def test_entity_and_cdata(self):
+        xml = ("<urlset><url><loc><![CDATA[https://a/?q=1&amp;r=2]]></loc>"
+               "</url></urlset>")
+        assert parse_sitemap(xml)[0]["loc"] == "https://a/?q=1&r=2"
+
+
+class TestFeeds:
+    def test_rss_fields(self):
+        xml = build_rss([{"title": "T &amp; U", "link": "https://b/1",
+                          "guid": "g1", "pubDate": "d"}])
+        assert parse_feed(xml) == [{
+            "item_idx": 0, "feed_kind": "rss", "title": "T & U",
+            "link": "https://b/1", "entry_id": "g1", "published": "d"}]
+
+    def test_atom_link_rel_selection(self):
+        # alternate (or rel-less) wins over self
+        xml = ('<feed><entry><title>t</title>'
+               '<link rel="self" href="https://self"/>'
+               '<link rel="alternate" href="https://alt"/>'
+               "<id>i</id><updated>u</updated></entry></feed>")
+        assert parse_feed(xml)[0]["link"] == "https://alt"
+        xml2 = ('<feed><entry><title>t</title>'
+                '<link rel="self" href="https://only"/></entry></feed>')
+        assert parse_feed(xml2)[0]["link"] == "https://only"
+
+    def test_salvage(self):
+        # an entry with neither title nor link is dropped
+        xml = "<feed><entry><updated>u</updated></entry></feed>"
+        assert parse_feed(xml) == []
+        assert parse_feed("") == []
+
+    def test_mixed_rss_then_atom_ordering(self):
+        xml = (build_rss([{"title": "r", "link": "https://r"}])
+               + build_atom([{"title": "a", "link": "https://a"}]))
+        kinds = [r["feed_kind"] for r in parse_feed(xml)]
+        assert kinds == ["rss", "atom"]
+
+
+class TestSparkOperators:
+    def test_sitemap_rows(self, spark):
+        xml = build_sitemap([{"loc": "https://a/x", "priority": "0.5"}])
+        df = spark.createDataFrame([(1, xml), (2, "junk")],
+                                   "doc_id long, text string")
+        rows = parse_sitemap_entries(df).collect()
+        assert len(rows) == 1
+        assert rows[0].loc == "https://a/x" and rows[0].priority == 0.5
+
+    def test_feed_rows(self, spark):
+        df = spark.createDataFrame(
+            [(1, build_rss([{"title": "t", "link": "https://l"}]))],
+            "doc_id long, text string")
+        rows = parse_feed_items(df).collect()
+        assert rows[0].feed_kind == "rss" and rows[0].title == "t"
+
+
+class TestFeedsProperty:
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=500))
+    def test_parsers_total(self, junk):
+        assert parse_sitemap(junk) == parse_sitemap(junk)
+        assert parse_feed(junk) == parse_feed(junk)
