@@ -826,8 +826,16 @@ def doc_to_illustrated_pdf_payload(doc_id: int, text: str) -> str:
     SQL_EXTRACTION_PDF_IMAGES): n_images = 1 + (d6 %% 2); image j ∈
     {1, 2}: width = 4 + d(3j+4) %% 12, height = 3 + d(3j+5) %% 10,
     value = 16·d(3j+6) + d(3j+7).
+
+    Every doc additionally carries ONE CCITT Group-4 fax image (the
+    scanned-page shape): width 15, height = 2 + d(14) %% 6, the first
+    d(15) %% 16 columns black — width 15 makes the bilevel mean luma
+    EXACTLY 17·(15 − black_cols), so the fax path joins the same
+    integer-sum census.
     """
     import hashlib
+
+    from .operators.ccitt_codec import encode_ccitt_g4
 
     hx = hashlib.md5(str(doc_id).encode()).hexdigest()
 
@@ -843,6 +851,11 @@ def doc_to_illustrated_pdf_payload(doc_id: int, text: str) -> str:
         v = 16 * d(3 * j + 6) + d(3 * j + 7)
         images[f"Im{j}"] = ImageSpec(w, h, bytes([v]) * (w * h))
         content += do_image(72 + 120 * (j - 1), 400, 96, 96, f"Im{j}")
+    fw, fh, bc = 15, 2 + d(14) % 6, d(15) % 16
+    fax_row = b"\x00" * bc + b"\xff" * (fw - bc)
+    images["Fx1"] = ImageSpec(
+        fw, fh, encode_ccitt_g4(fax_row * fh, fw, fh), kind="g4")
+    content += do_image(72, 260, 96, 48, "Fx1")
     pdf = build_pdf([PageSpec(content)], _FONTS, title=f"Doc {doc_id}",
                     compress=doc_id % 2 == 0, images=images)
     return encode_pdf_payload(pdf)

@@ -1,0 +1,430 @@
+"""CCITT Group 3 / Group 4 fax codec (ITU-T T.4 / T.6).
+
+Scanned-document corpora carry their page images as /CCITTFaxDecode
+streams — bilevel data Modified-Huffman (MH, K=0), Modified-READ
+(MR, K>0) or Modified-Modified-READ (MMR/G4, K<0) coded.  The TEXT
+kernel keeps these unsupported (matching the reference's poppler
+build — pdf/filters.py); this codec serves the media-harvest path
+(operators/pdf_media.py) the same way jpeg_codec serves /DCTDecode.
+
+Implemented from the published ITU-T tables:
+
+* T.4 §2 terminal + makeup run-length codes (white and black) and
+  the shared extended makeup codes to 2560; runs past 2623 chain
+  2560-makeups per §2.2.2,
+* T.6 §4.2 two-dimensional modes: Pass, Horizontal, Vertical(0,±1..3),
+* Group 3 1-D (per-line MH), Group 3 mixed (EOL + tag bit selects
+  1-D/2-D per line), Group 4 (pure 2-D, optional EOFB),
+* PDF DecodeParms semantics (ISO 32000 §7.4.6): K, Columns, Rows,
+  BlackIs1 (default: 0 bits are black), EncodedByteAlign.
+
+Both directions ship — the encoder exists for the testkit/armor
+(deterministic fixtures) and makes every table entry self-checking
+via encode→decode roundtrips; a handful of spec-quoted codewords are
+additionally pinned in tests so the shared-table-hides-a-typo failure
+mode is covered for the common entries.
+
+Output is one byte per pixel (0 = black, 255 = white), the luma
+contract the image-feature kernels consume; ``pack_bits`` converts to
+the PDF filter's packed form when byte output is needed.
+"""
+
+from __future__ import annotations
+
+
+class CCITTError(ValueError):
+    pass
+
+
+MAX_DECODE_PIXELS = 64_000_000  # shared posture with the other codecs
+
+# T.4 terminating codes, white runs 0-63
+_WHITE_TERM = [
+    "00110101", "000111", "0111", "1000", "1011", "1100", "1110", "1111",
+    "10011", "10100", "00111", "01000", "001000", "000011", "110100",
+    "110101", "101010", "101011", "0100111", "0001100", "0001000",
+    "0010111", "0000011", "0000100", "0101000", "0101011", "0010011",
+    "0100100", "0011000", "00000010", "00000011", "00011010", "00011011",
+    "00010010", "00010011", "00010100", "00010101", "00010110",
+    "00010111", "00101000", "00101001", "00101010", "00101011",
+    "00101100", "00101101", "00000100", "00000101", "00001010",
+    "00001011", "01010010", "01010011", "01010100", "01010101",
+    "00100100", "00100101", "01011000", "01011001", "01011010",
+    "01011011", "01001010", "01001011", "00110010", "00110011",
+    "00110100",
+]
+# T.4 makeup codes, white runs 64-1728
+_WHITE_MAKEUP = [
+    "11011", "10010", "010111", "0110111", "00110110", "00110111",
+    "01100100", "01100101", "01101000", "01100111", "011001100",
+    "011001101", "011010010", "011010011", "011010100", "011010101",
+    "011010110", "011010111", "011011000", "011011001", "011011010",
+    "011011011", "010011000", "010011001", "010011010", "011000",
+    "010011011",
+]
+# T.4 terminating codes, black runs 0-63
+_BLACK_TERM = [
+    "0000110111", "010", "11", "10", "011", "0011", "0010", "00011",
+    "000101", "000100", "0000100", "0000101", "0000111", "00000100",
+    "00000111", "000011000", "0000010111", "0000011000", "0000001000",
+    "00001100111", "00001101000", "00001101100", "00000110111",
+    "00000101000", "00000010111", "00000011000", "000011001010",
+    "000011001011", "000011001100", "000011001101", "000001101000",
+    "000001101001", "000001101010", "000001101011", "000011010010",
+    "000011010011", "000011010100", "000011010101", "000011010110",
+    "000011010111", "000001101100", "000001101101", "000011011010",
+    "000011011011", "000001010100", "000001010101", "000001010110",
+    "000001010111", "000001100100", "000001100101", "000001010010",
+    "000001010011", "000000100100", "000000110111", "000000111000",
+    "000000100111", "000000101000", "000001011000", "000001011001",
+    "000000101011", "000000101100", "000001011010", "000001100110",
+    "000001100111",
+]
+# T.4 makeup codes, black runs 64-1728
+_BLACK_MAKEUP = [
+    "0000001111", "000011001000", "000011001001", "000001011011",
+    "000000110011", "000000110100", "000000110101", "0000001101100",
+    "0000001101101", "0000001001010", "0000001001011", "0000001001100",
+    "0000001001101", "0000001110010", "0000001110011", "0000001110100",
+    "0000001110101", "0000001110110", "0000001110111", "0000001010010",
+    "0000001010011", "0000001010100", "0000001010101", "0000001011010",
+    "0000001011011", "0000001100100", "0000001100101",
+]
+# T.4 extended makeup codes (shared), runs 1792-2560
+_EXT_MAKEUP = [
+    "00000001000", "00000001100", "00000001101", "000000010010",
+    "000000010011", "000000010100", "000000010101", "000000010110",
+    "000000010111", "000000011100", "000000011101", "000000011110",
+    "000000011111",
+]
+
+_EOL = "000000000001"
+
+
+def _build_decode(term, makeup):
+    d = {}
+    for run, code in enumerate(term):
+        d[code] = ("t", run)
+    for i, code in enumerate(makeup):
+        d[code] = ("m", 64 * (i + 1))
+    for i, code in enumerate(_EXT_MAKEUP):
+        d[code] = ("m", 1792 + 64 * i)
+    return d
+
+
+_WHITE_DECODE = _build_decode(_WHITE_TERM, _WHITE_MAKEUP)
+_BLACK_DECODE = _build_decode(_BLACK_TERM, _BLACK_MAKEUP)
+_MAX_CODE_LEN = 14  # longest MH codeword
+
+_WHITE_ENC = {run: code for run, code in enumerate(_WHITE_TERM)}
+_WHITE_ENC.update({64 * (i + 1): c for i, c in enumerate(_WHITE_MAKEUP)})
+_BLACK_ENC = {run: code for run, code in enumerate(_BLACK_TERM)}
+_BLACK_ENC.update({64 * (i + 1): c for i, c in enumerate(_BLACK_MAKEUP)})
+for _i, _c in enumerate(_EXT_MAKEUP):
+    _WHITE_ENC[1792 + 64 * _i] = _c
+    _BLACK_ENC[1792 + 64 * _i] = _c
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.n = len(data) * 8
+
+    def eof(self) -> bool:
+        return self.pos >= self.n
+
+    def read_bit(self) -> int:
+        if self.pos >= self.n:
+            raise CCITTError("bit underrun")
+        b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def peek_bits(self, k: int) -> str:
+        out = []
+        p = self.pos
+        while k > 0 and p < self.n:
+            out.append(str((self.data[p >> 3] >> (7 - (p & 7))) & 1))
+            p += 1
+            k -= 1
+        return "".join(out)
+
+    def byte_align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _read_mh_run(r: _BitReader, white: bool) -> int:
+    """One complete MH run: zero or more makeup codes + a terminal."""
+    table = _WHITE_DECODE if white else _BLACK_DECODE
+    total = 0
+    while True:
+        code = ""
+        kind = None
+        for _ in range(_MAX_CODE_LEN):
+            code += str(r.read_bit())
+            hit = table.get(code)
+            if hit is not None:
+                kind, val = hit
+                break
+        else:
+            raise CCITTError(f"bad MH code {code!r}")
+        total += val
+        if kind == "t":
+            return total
+
+
+def _encode_mh_run(run: int, white: bool, out: list) -> None:
+    enc = _WHITE_ENC if white else _BLACK_ENC
+    while run >= 2624:
+        out.append(enc[2560])
+        run -= 2560
+    if run >= 64:
+        makeup = (run // 64) * 64
+        out.append(enc[makeup])
+        run -= makeup
+    out.append(enc[run])
+
+
+def _decode_1d_line(r: _BitReader, columns: int) -> bytes:
+    line = bytearray()
+    white = True
+    while len(line) < columns:
+        run = _read_mh_run(r, white)
+        run = min(run, columns - len(line))
+        line.extend((b"\xff" if white else b"\x00") * run)
+        white = not white
+    return bytes(line)
+
+
+def _tr(line: bytes, columns: int) -> list:
+    """Changing elements, T.4 convention: an imaginary white pixel
+    precedes the line, so a black first pixel changes at position 0."""
+    head = [0] if columns and line[0] == 0 else []
+    return head + [i for i in range(1, columns) if line[i] != line[i - 1]]
+
+
+def _decode_2d_line(r: _BitReader, columns: int, ref: bytes) -> bytes:
+    ref_tr = _tr(ref, columns)
+    line = bytearray()
+    a0 = -1
+    white = True  # color of the current run (a0 color)
+
+    def b1b2():
+        # b1: first changing element on the reference line right of a0
+        # of colour OPPOSITE to a0's (T.6 §2.2.2).  Lines start white
+        # and transitions alternate, so ref_tr[even] changes to black:
+        # for a white current run b1 must be a to-black change.
+        for idx, t in enumerate(ref_tr):
+            if t > a0 and (idx % 2 == 0) == white:
+                b2 = ref_tr[idx + 1] if idx + 1 < len(ref_tr) else columns
+                return t, b2
+        return columns, columns
+
+    while len(line) < columns:
+        b1, b2 = b1b2()
+        # mode decode
+        if r.peek_bits(1) == "1":                     # V0
+            r.read_bit()
+            a1 = b1
+        elif r.peek_bits(3) == "011":                 # VR1
+            r.pos += 3
+            a1 = b1 + 1
+        elif r.peek_bits(3) == "010":                 # VL1
+            r.pos += 3
+            a1 = b1 - 1
+        elif r.peek_bits(3) == "001":                 # Horizontal
+            r.pos += 3
+            start = a0 if a0 >= 0 else 0
+            r1 = _read_mh_run(r, white)
+            r2 = _read_mh_run(r, not white)
+            a1 = min(start + r1, columns)
+            a2 = min(a1 + r2, columns)
+            line.extend((b"\xff" if white else b"\x00") * (a1 - len(line)))
+            line.extend((b"\x00" if white else b"\xff") * (a2 - len(line)))
+            a0 = a2
+            continue
+        elif r.peek_bits(4) == "0001":                # Pass
+            r.pos += 4
+            line.extend((b"\xff" if white else b"\x00") * (b2 - len(line)))
+            a0 = b2
+            continue
+        elif r.peek_bits(6) == "000011":              # VR2
+            r.pos += 6
+            a1 = b1 + 2
+        elif r.peek_bits(6) == "000010":              # VL2
+            r.pos += 6
+            a1 = b1 - 2
+        elif r.peek_bits(7) == "0000011":             # VR3
+            r.pos += 7
+            a1 = b1 + 3
+        elif r.peek_bits(7) == "0000010":             # VL3
+            r.pos += 7
+            a1 = b1 - 3
+        else:
+            raise CCITTError(
+                f"bad 2-D mode code {r.peek_bits(7)!r} at bit {r.pos}")
+        a1 = max(0, min(a1, columns))
+        if a1 < len(line):
+            raise CCITTError("2-D coding moved backwards")
+        line.extend((b"\xff" if white else b"\x00") * (a1 - len(line)))
+        a0 = a1
+        white = not white
+    return bytes(line)
+
+
+def decode_ccitt(
+    data: bytes,
+    columns: int = 1728,
+    rows: int = 0,
+    k: int = -1,
+    black_is_1: bool = False,
+    byte_align: bool = False,
+) -> tuple[int, int, bytes]:
+    """→ (columns, n_rows, luma bytes: 0 black / 255 white, row-major).
+
+    ``rows=0`` decodes until EOFB / data end.  ``black_is_1`` only
+    affects packed re-encoding (``pack_bits``); luma output is always
+    0=black."""
+    if columns <= 0 or columns > 65536:
+        raise CCITTError(f"bad Columns {columns}")
+    r = _BitReader(data)
+    ref = b"\xff" * columns  # imaginary all-white line above row 0
+    out = bytearray()
+    n_rows = 0
+    mode_2d = k < 0
+    while True:
+        if rows and n_rows >= rows:
+            break
+        if (n_rows + 1) * columns > MAX_DECODE_PIXELS:
+            raise CCITTError("decoded size cap exceeded")
+        if byte_align and k <= 0:
+            r.byte_align()
+        # skip fill + EOL prefixes (G3); detect EOFB (G4)
+        while r.peek_bits(12) == _EOL:
+            r.pos += 12
+            if k > 0:
+                mode_2d = r.read_bit() == 0
+            if r.peek_bits(12) == _EOL or r.eof():
+                # EOFB / RTC: done
+                return columns, n_rows, bytes(out)
+        if r.eof() or not r.peek_bits(1):
+            break
+        try:
+            line = (_decode_2d_line(r, columns, ref)
+                    if mode_2d else _decode_1d_line(r, columns))
+        except CCITTError:
+            if n_rows and not rows:
+                break  # trailing garbage after last full row: salvage
+            raise
+        out.extend(line)
+        ref = line
+        n_rows += 1
+        if k > 0:
+            mode_2d = False  # next line's tag bit decides (after EOL)
+    return columns, n_rows, bytes(out)
+
+
+def pack_bits(luma: bytes, columns: int, black_is_1: bool = False) -> bytes:
+    """Luma rows → the PDF filter's packed-bit output (rows padded to
+    whole bytes; default 0-bit = black per BlackIs1=false)."""
+    out = bytearray()
+    stride = (columns + 7) // 8
+    for row_start in range(0, len(luma), columns):
+        row = luma[row_start: row_start + columns]
+        packed = bytearray(stride)
+        for i, px in enumerate(row):
+            black = px < 128
+            bit = 1 if (black == black_is_1) else 0
+            if bit:
+                packed[i >> 3] |= 0x80 >> (i & 7)
+        out.extend(packed)
+    return bytes(out)
+
+
+def _encode_2d_line(line: bytes, ref: bytes, columns: int, out: list) -> None:
+    cur_tr = _tr(line, columns)
+    ref_tr = _tr(ref, columns)
+    a0 = -1
+    white = True
+    while a0 < columns:
+        # a1: first transition in cur right of a0; a2: the next one
+        a1 = next((t for t in cur_tr if t > a0), columns)
+        a2 = next((t for t in cur_tr if t > a1), columns)
+        # b1: first ref transition right of a0 with opposite color
+        b1, b2 = columns, columns
+        for idx, t in enumerate(ref_tr):
+            if t > a0:
+                changing_to_black = idx % 2 == 0
+                if changing_to_black == white:
+                    b1 = t
+                    b2 = ref_tr[idx + 1] if idx + 1 < len(ref_tr) else columns
+                    break
+        if b2 < a1:
+            out.append("0001")  # pass
+            a0 = b2
+            continue
+        d = a1 - b1
+        if -3 <= d <= 3:
+            out.append({0: "1", 1: "011", 2: "000011", 3: "0000011",
+                        -1: "010", -2: "000010", -3: "0000010"}[d])
+            a0 = a1
+            white = not white
+            continue
+        out.append("001")  # horizontal
+        start = a0 if a0 >= 0 else 0
+        _encode_mh_run(a1 - start, white, out)
+        _encode_mh_run(a2 - a1, not white, out)
+        a0 = a2
+
+
+def encode_ccitt_g4(luma: bytes, columns: int, rows: int,
+                    eofb: bool = True) -> bytes:
+    """Group 4 (MMR) encoder over a luma bitmap (≥128 = white).  The
+    testkit writer for /CCITTFaxDecode fixtures; every decoder table
+    entry it uses is exercised by roundtrip."""
+    if len(luma) < columns * rows:
+        raise CCITTError("bitmap smaller than columns*rows")
+    bits: list = []
+    ref = b"\xff" * columns
+    for y in range(rows):
+        line = bytes(
+            0xFF if luma[y * columns + x] >= 128 else 0
+            for x in range(columns))
+        _encode_2d_line(line, ref, columns, bits)
+        ref = line
+    if eofb:
+        bits.append(_EOL + _EOL)
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i: i + 8], 2) for i in range(0, len(s), 8))
+
+
+def encode_ccitt_g3_1d(luma: bytes, columns: int, rows: int,
+                       byte_align: bool = False) -> bytes:
+    """Group 3 one-dimensional (MH) encoder, EOL before each line."""
+    if len(luma) < columns * rows:
+        raise CCITTError("bitmap smaller than columns*rows")
+    bits: list = []
+    for y in range(rows):
+        if byte_align:
+            s = "".join(bits)
+            bits = [s + "0" * (-len(s) % 8)]
+        bits.append(_EOL)
+        x = 0
+        white = True
+        while x < columns:
+            run = 0
+            want = 0xFF if white else 0
+            while x + run < columns and (
+                    (luma[y * columns + x + run] >= 128) == (want == 0xFF)):
+                run += 1
+            _encode_mh_run(run, white, bits)
+            x += run
+            white = not white
+    bits.append(_EOL + _EOL)
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i: i + 8], 2) for i in range(0, len(s), 8))

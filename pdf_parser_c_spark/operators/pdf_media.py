@@ -50,6 +50,7 @@ _MAX_FORM_DEPTH = 3
 def _image_rows_for_pdf(pdf: bytes) -> list[dict]:
     from ..pdf import cos
     from ..pdf.filters import FilterError, decode_stream
+    from .ccitt_codec import CCITTError, decode_ccitt
     from .jpeg_codec import JPEGError, decode_jpeg
     from .multimodal import _ahash, _luma_plane
 
@@ -121,6 +122,38 @@ def _image_rows_for_pdf(pdf: bytes) -> list[dict]:
                         mean_luma=float(sum(map(sum, luma)) / (jw * jh)),
                         phash=_ahash(luma),
                     )
+                elif names and names[-1] in ("CCITTFaxDecode", "CCF"):
+                    parms = doc.resolve(st.dict.get("DecodeParms"))
+                    head = names[:-1]
+                    if isinstance(parms, list):
+                        fax_parms = doc.resolve(parms[-1]) if parms else None
+                        head_parms = parms[: len(head)]
+                    else:
+                        fax_parms = None if head else parms
+                        head_parms = parms if head else None
+                    data = decode_stream(
+                        st.raw, [cos.Name(n) for n in head], head_parms,
+                    ) if head else st.raw
+                    fp = fax_parms if isinstance(fax_parms, dict) else {}
+                    cw, ch_rows, flat = decode_ccitt(
+                        data,
+                        columns=int(doc.resolve(fp.get("Columns", 1728))),
+                        rows=int(doc.resolve(fp.get("Rows",
+                                                    row["height"] or 0))),
+                        k=int(doc.resolve(fp.get("K", 0))),
+                        byte_align=bool(
+                            doc.resolve(fp.get("EncodedByteAlign", False))),
+                    )
+                    if cw and ch_rows:
+                        luma = _luma_plane(cw, ch_rows, 1, flat)
+                        row.update(
+                            width=cw, height=ch_rows, decoder="ccitt",
+                            mean_luma=float(
+                                sum(map(sum, luma)) / (cw * ch_rows)),
+                            phash=_ahash(luma),
+                        )
+                    else:
+                        row["status"] = "empty_fax_image"
                 elif (
                     isinstance(bpc, (int, float)) and int(bpc) == 8
                     and cspace in ("DeviceGray", "DeviceRGB")
@@ -142,7 +175,7 @@ def _image_rows_for_pdf(pdf: bytes) -> list[dict]:
                         )
                 else:
                     row["status"] = "unsupported_image"
-            except (FilterError, JPEGError) as exc:
+            except (FilterError, JPEGError, CCITTError) as exc:
                 row["status"] = f"image_error:{type(exc).__name__}"
             except Exception:
                 row["status"] = "image_error"

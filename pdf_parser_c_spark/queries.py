@@ -9795,6 +9795,7 @@ def q_extraction_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_turns"),
             F.count("*").alias("n_images"),
             F.sum((F.col("decoder") == "raw").cast("long")).alias("n_raw"),
+            F.sum((F.col("decoder") == "ccitt").cast("long")).alias("n_fax"),
             F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
             F.sum((F.col("width") * F.col("height")).cast("long")).alias(
                 "sum_pixels"
@@ -9813,15 +9814,23 @@ imgs AS (
          4 + CAST(('0x' || substr(h, 3*j + 4, 1)) AS INT) % 12 AS w,
          3 + CAST(('0x' || substr(h, 3*j + 5, 1)) AS INT) % 10 AS ht,
          16 * CAST(('0x' || substr(h, 3*j + 6, 1)) AS INT)
-           + CAST(('0x' || substr(h, 3*j + 7, 1)) AS INT) AS v
+           + CAST(('0x' || substr(h, 3*j + 7, 1)) AS INT) AS v,
+         0 AS is_fax
   FROM hx,
        UNNEST(CASE WHEN CAST(('0x' || substr(h, 6, 1)) AS INT) % 2 = 0
-                   THEN [1] ELSE [1, 2] END) AS t(j))
+                   THEN [1] ELSE [1, 2] END) AS t(j)
+  UNION ALL
+  SELECT doc_id, 15 AS w,
+         2 + CAST(('0x' || substr(h, 14, 1)) AS INT) % 6 AS ht,
+         17 * (15 - CAST(('0x' || substr(h, 15, 1)) AS INT) % 16) AS v,
+         1 AS is_fax
+  FROM hx)
 SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'user'
             WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_turns,
        CAST(count(*) AS BIGINT) AS n_images,
-       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(sum(1 - is_fax) AS BIGINT) AS n_raw,
+       CAST(sum(is_fax) AS BIGINT) AS n_fax,
        CAST(count(*) AS BIGINT) AS n_ok,
        CAST(sum(w * ht) AS BIGINT) AS sum_pixels,
        CAST(sum(v) AS BIGINT) AS luma_sum

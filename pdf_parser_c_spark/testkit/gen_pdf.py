@@ -121,8 +121,9 @@ class FontSpec:
 @dataclass
 class ImageSpec:
     """Image XObject fixture: ``kind`` is 'gray'/'rgb' (raw 8-bit
-    samples, Flate-compressed) or 'jpeg' (pre-encoded bytes behind
-    /DCTDecode)."""
+    samples, Flate-compressed), 'jpeg' (pre-encoded bytes behind
+    /DCTDecode) or 'g4' (pre-encoded CCITT Group 4 bits behind
+    /CCITTFaxDecode with /K -1, 1-bit DeviceGray)."""
 
     width: int
     height: int
@@ -358,6 +359,15 @@ def build_pdf(
                     f"{base} /ColorSpace /DeviceRGB /Filter /DCTDecode",
                     spec.data,
                 )
+            elif spec.kind == "g4":
+                g4 = (
+                    f"/Type /XObject /Subtype /Image /Width {spec.width} "
+                    f"/Height {spec.height} /BitsPerComponent 1 "
+                    "/ColorSpace /DeviceGray /Filter /CCITTFaxDecode "
+                    f"/DecodeParms << /K -1 /Columns {spec.width} "
+                    f"/Rows {spec.height} >>"
+                )
+                image_nums[iname] = w.add_stream(g4, spec.data)
             else:
                 cs = "/DeviceGray" if spec.kind == "gray" else "/DeviceRGB"
                 image_nums[iname] = w.add_stream(

@@ -1,0 +1,173 @@
+"""CCITT G3/G4 codec: spec-pinned codewords, roundtrip fuzz,
+hostility, and the PDF media-harvest path."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pdf_parser_c_spark.operators.ccitt_codec import (
+    _BLACK_ENC,
+    _WHITE_ENC,
+    CCITTError,
+    decode_ccitt,
+    encode_ccitt_g3_1d,
+    encode_ccitt_g4,
+    pack_bits,
+)
+
+
+class TestSpecCodewords:
+    def test_published_t4_entries(self):
+        # spot pins from the ITU-T T.4 tables (shared-table typos
+        # would roundtrip silently; these would not)
+        assert _WHITE_ENC[0] == "00110101"
+        assert _WHITE_ENC[1] == "000111"
+        assert _WHITE_ENC[4] == "1011"
+        assert _WHITE_ENC[63] == "00110100"
+        assert _WHITE_ENC[64] == "11011"
+        assert _WHITE_ENC[128] == "10010"
+        assert _WHITE_ENC[1664] == "011000"
+        assert _WHITE_ENC[1728] == "010011011"
+        assert _BLACK_ENC[0] == "0000110111"
+        assert _BLACK_ENC[1] == "010"
+        assert _BLACK_ENC[2] == "11"
+        assert _BLACK_ENC[3] == "10"
+        assert _BLACK_ENC[63] == "000001100111"
+        assert _BLACK_ENC[64] == "0000001111"
+        assert _BLACK_ENC[1728] == "0000001100101"
+        # shared extended makeups
+        assert _WHITE_ENC[1792] == _BLACK_ENC[1792] == "00000001000"
+        assert _WHITE_ENC[2560] == _BLACK_ENC[2560] == "000000011111"
+
+    def test_prefix_free(self):
+        for enc in (_WHITE_ENC, _BLACK_ENC):
+            codes = sorted(enc.values(), key=len)
+            for i, a in enumerate(codes):
+                for b in codes[i + 1:]:
+                    assert not b.startswith(a) or a == b, (a, b)
+
+
+def _stripes(cols, rows, seed):
+    rng = random.Random(seed)
+    luma = bytearray()
+    for _ in range(rows):
+        x = 0
+        white = rng.random() < 0.5
+        while x < cols:
+            run = min(cols - x, rng.randint(1, cols))
+            luma.extend((b"\xff" if white else b"\x00") * run)
+            x += run
+            white = not white
+    return bytes(luma)
+
+
+class TestRoundtrip:
+    @pytest.mark.parametrize("cols,rows", [(1, 1), (8, 3), (17, 5),
+                                           (64, 4), (1728, 2)])
+    def test_g4_and_g3(self, cols, rows):
+        for seed in range(8):
+            luma = _stripes(cols, rows, seed)
+            for enc, k in ((encode_ccitt_g4, -1), (encode_ccitt_g3_1d, 0)):
+                c, r, out = decode_ccitt(enc(luma, cols, rows),
+                                         columns=cols, rows=rows, k=k)
+                assert (c, r) == (cols, rows)
+                assert out == luma
+
+    def test_noisy_pixels(self):
+        rng = random.Random(7)
+        for _ in range(40):
+            cols, rows = rng.choice([(3, 4), (9, 2), (33, 3)])
+            luma = bytes(rng.choice((0, 255)) for _ in range(cols * rows))
+            for enc, k in ((encode_ccitt_g4, -1), (encode_ccitt_g3_1d, 0)):
+                assert decode_ccitt(enc(luma, cols, rows), columns=cols,
+                                    rows=rows, k=k)[2] == luma
+
+    def test_eofb_row_detection(self):
+        luma = _stripes(40, 3, 1)
+        _, r, out = decode_ccitt(encode_ccitt_g4(luma, 40, 3), columns=40,
+                                 k=-1)  # rows unknown → EOFB stops it
+        assert r == 3 and out == luma
+
+    def test_long_runs_chain_makeups(self):
+        cols = 6000  # forces 2560-makeup chaining
+        luma = b"\xff" * cols + b"\x00" * cols
+        _, r, out = decode_ccitt(encode_ccitt_g3_1d(luma, cols, 2),
+                                 columns=cols, rows=2, k=0)
+        assert r == 2 and out == luma
+
+    def test_byte_align(self):
+        luma = _stripes(31, 4, 3)
+        data = encode_ccitt_g3_1d(luma, 31, 4, byte_align=True)
+        _, r, out = decode_ccitt(data, columns=31, rows=4, k=0,
+                                 byte_align=True)
+        assert r == 4 and out == luma
+
+    def test_pack_bits(self):
+        luma = b"\x00\xff\xff\x00\x00\xff\x00\x00\xff"
+        # BlackIs1=false (default): black pixels are 0 bits
+        assert pack_bits(luma, 9) == bytes([0b01100100, 0b10000000])
+        assert pack_bits(luma, 9, black_is_1=True) == bytes(
+            [0b10011011, 0b00000000])
+
+
+class TestHostility:
+    def test_truncated_raises_or_salvages(self):
+        luma = _stripes(64, 4, 9)
+        data = encode_ccitt_g4(luma, 64, 4)
+        for cut in (1, len(data) // 2, len(data) - 1):
+            try:
+                c, r, out = decode_ccitt(data[:cut], columns=64, k=-1)
+                assert r <= 4 and len(out) == 64 * r  # salvage: whole rows
+            except CCITTError:
+                pass
+
+    def test_bit_flips_never_crash_uncontrolled(self):
+        rng = random.Random(11)
+        luma = _stripes(48, 3, 13)
+        data = bytearray(encode_ccitt_g4(luma, 48, 3))
+        for _ in range(300):
+            i = rng.randrange(len(data))
+            data[i] ^= 1 << rng.randrange(8)
+            try:
+                decode_ccitt(bytes(data), columns=48, rows=3, k=-1)
+            except CCITTError:
+                pass
+            data[i] ^= 0  # keep mutating cumulatively
+
+    def test_bad_params(self):
+        with pytest.raises(CCITTError):
+            decode_ccitt(b"\x00", columns=0)
+        with pytest.raises(CCITTError):
+            encode_ccitt_g4(b"\xff" * 3, 4, 1)
+
+    def test_size_cap(self, monkeypatch):
+        # a bomb-shaped stream must hit the pixel cap, not OOM
+        from pdf_parser_c_spark.operators import ccitt_codec
+
+        monkeypatch.setattr(ccitt_codec, "MAX_DECODE_PIXELS", 1000)
+        luma = _stripes(64, 40, 5)
+        data = encode_ccitt_g4(luma, 64, 40)
+        with pytest.raises(CCITTError):
+            decode_ccitt(data, columns=64, rows=40, k=-1)
+
+
+class TestPdfHarvest:
+    def test_fax_image_row(self, spark):
+        from pdf_parser_c_spark.flagship import (
+            build_illustrated_transcripts_from_documents,
+        )
+        from pdf_parser_c_spark.operators.pdf_media import extract_pdf_images
+
+        docs = spark.createDataFrame([(5, "alpha beta")],
+                                     "doc_id long, text string")
+        tr = build_illustrated_transcripts_from_documents(spark, docs)
+        rows = extract_pdf_images(tr).collect()
+        fax = [r for r in rows if r.decoder == "ccitt"]
+        assert len(fax) == 1
+        assert fax[0].width == 15 and fax[0].status == "ok"
+        # bilevel stripe armor → mean luma is exactly 17·(15−black_cols)
+        assert fax[0].mean_luma % 17 == 0
+        assert 0 <= fax[0].mean_luma <= 255
+        assert fax[0].phash is not None
