@@ -728,6 +728,22 @@ def doc_to_feed_payload(doc_id: int, text: str) -> str:
     return build_atom(items)
 
 
+def doc_to_mp3_payload(doc_id: int, text: str) -> str:
+    """MP3 armor: 3 + doc_id % 4 MPEG-1 Layer III mono frames at
+    32 kHz (36 ms each, exactly).  doc_id % 3 == 0 → CBR at bitrate
+    index 1 + doc_id % 14; else VBR with per-frame index
+    1 + (doc_id + j) % 14 — frame count, exact duration, bitrate sum
+    and the CBR/VBR flag are all doc_id arithmetic."""
+    from .operators.mp3_meta import _BR_V1_L3, build_mp3, encode_mp3_payload
+
+    n = 3 + doc_id % 4
+    if doc_id % 3 == 0:
+        frames = [_BR_V1_L3[1 + doc_id % 14]] * n
+    else:
+        frames = [_BR_V1_L3[1 + (doc_id + j) % 14] for j in range(n)]
+    return encode_mp3_payload(build_mp3(frames))
+
+
 MULTIFORMAT_KINDS = ("pdf", "html", "plain", "docx", "eml", "ipynb",
                      "rtf", "epub", "warc", "latex", "md")
 

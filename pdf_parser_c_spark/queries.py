@@ -11691,6 +11691,61 @@ FROM items ORDER BY doc_id, item_idx
 """
 
 
+def q_extraction_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality accounting WITHOUT decoding audio: documents
+    armor into MPEG-1 Layer III frame sequences (CBR or VBR by doc_id,
+    flagship.doc_to_mp3_payload); the frame-header walker
+    (operators/mp3_meta.py: sync scan, full bitrate/sample-rate
+    tables, exact frame-length formulas, ID3 skip, Xing detection)
+    must reproduce every (n_frames, duration_ms, bitrate_sum, vbr)
+    row — the duration/bitrate census a speech pipeline runs before
+    any transcription stage.
+    Scale: armor + parse fused after one doc_id exchange; rows are
+    narrow metadata, audio bytes never leave the kernel."""
+    from .flagship import doc_to_mp3_payload
+    from .operators.mp3_meta import extract_mp3_meta
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 3)
+        .select("doc_id", "text")
+    )
+
+    import pandas as pd
+
+    def kernel(batches):
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "text": [doc_to_mp3_payload(int(i), str(t_))
+                         for i, t_ in zip(ids, b["text"])],
+            })
+
+    payloads = d.repartition(16, "doc_id").mapInPandas(
+        kernel, schema="doc_id long, text string")
+    return extract_mp3_meta(payloads).orderBy("doc_id")
+
+
+SQL_EXTRACTION_MP3_FRAMES = r"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+f AS (
+  SELECT doc_id, CAST(j AS INTEGER) AS j
+  FROM d, UNNEST(range(3 + doc_id % 4)) AS t(j))
+SELECT doc_id,
+       CAST(3 + doc_id % 4 AS INT) AS n_frames,
+       1 AS version, 3 AS layer, 32000 AS sample_rate,
+       CAST(36 * (3 + doc_id % 4) AS BIGINT) AS duration_ms,
+       CAST(sum(([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[
+           CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 14
+                ELSE 1 + (doc_id + j) % 14 END]) AS BIGINT)
+         AS bitrate_sum_kbps,
+       doc_id % 3 <> 0 AS vbr,
+       'ok' AS status
+FROM f GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_extraction_multiformat_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHOLE-DISPATCH census — the capstone over the kernel's eleven
     payload kinds: every document is armored into the format chosen by
@@ -13082,5 +13137,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_feed_items": (
         q_extraction_feed_items, SQL_EXTRACTION_FEED_ITEMS
+    ),
+    "extraction_mp3_frames": (
+        q_extraction_mp3_frames, SQL_EXTRACTION_MP3_FRAMES
     ),
 }

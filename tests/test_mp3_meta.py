@@ -1,0 +1,89 @@
+"""MP3 frame-header metadata: table pins, resync, ID3/Xing, Spark."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pdf_parser_c_spark.operators.mp3_meta import (
+    MP3Error,
+    build_mp3,
+    encode_mp3_payload,
+    extract_mp3_meta,
+    parse_mp3_meta,
+)
+
+
+class TestParse:
+    def test_v1_l3_exact_duration(self):
+        # 32 kHz, 1152 samples → exactly 36 ms per frame
+        m = parse_mp3_meta(build_mp3([96, 128, 96]))
+        assert m["n_frames"] == 3 and m["duration_ms"] == 108
+        assert m["bitrate_sum_kbps"] == 320 and m["vbr"]
+
+    def test_versions_and_layers(self):
+        assert parse_mp3_meta(build_mp3([64], version=2, sr_idx=1))[
+            "sample_rate"] == 24000
+        assert parse_mp3_meta(build_mp3([256], layer=1))["layer"] == 1
+        assert parse_mp3_meta(build_mp3([64], layer=2))["layer"] == 2
+        m25 = parse_mp3_meta(build_mp3([32], version=25, sr_idx=2))
+        assert m25["version"] == 25 and m25["sample_rate"] == 8000
+        # V2 L3 frames carry 576 samples: 64kbps@24kHz → 24 ms
+        assert parse_mp3_meta(build_mp3([64], version=2, sr_idx=1))[
+            "duration_ms"] == 24
+
+    def test_resync_and_id3(self):
+        raw = b"garbage!" + build_mp3([96]) + b"xx" + build_mp3([96])
+        m = parse_mp3_meta(raw)
+        assert m["n_frames"] == 2 and m["n_sync_skips"] == 10
+        id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+        assert parse_mp3_meta(id3 + build_mp3([96]))["n_sync_skips"] == 0
+
+    def test_xing_header(self):
+        frame = bytearray(build_mp3([128]))
+        # V1 mono side info = 17 bytes after the 4-byte header
+        p = 4 + 17
+        frame[p: p + 4] = b"Xing"
+        frame[p + 4: p + 8] = (1).to_bytes(4, "big")
+        frame[p + 8: p + 12] = (5000).to_bytes(4, "big")
+        assert parse_mp3_meta(bytes(frame))["xing_frames"] == 5000
+
+    def test_no_frames_raises(self):
+        with pytest.raises(MP3Error):
+            parse_mp3_meta(b"not audio at all")
+        with pytest.raises(MP3Error):
+            parse_mp3_meta(b"")
+
+    def test_truncated_never_crashes(self):
+        full = build_mp3([96, 112, 128])
+        for cut in range(0, len(full), 37):
+            try:
+                parse_mp3_meta(full[:cut])
+            except MP3Error:
+                pass
+
+    def test_bit_flip_fuzz(self):
+        rng = random.Random(3)
+        data = bytearray(build_mp3([96, 128]))
+        for _ in range(400):
+            i = rng.randrange(len(data))
+            data[i] ^= 1 << rng.randrange(8)
+            try:
+                parse_mp3_meta(bytes(data))
+            except MP3Error:
+                pass
+
+
+class TestSpark:
+    def test_rows_and_error_labeling(self, spark):
+        ok = encode_mp3_payload(build_mp3([96, 96]))
+        bad = "MP3B64:!!!notbase64"
+        other = "plain text"
+        df = spark.createDataFrame(
+            [(1, ok), (2, bad), (3, other)], "doc_id long, text string")
+        rows = {r.doc_id: r for r in extract_mp3_meta(df).collect()}
+        assert rows[1].status == "ok" and rows[1].n_frames == 2
+        assert rows[1].duration_ms == 72 and rows[1].vbr is False
+        assert rows[2].status.startswith("mp3_error")
+        assert rows[3].status == "not_mp3"
