@@ -11691,6 +11691,99 @@ FROM items ORDER BY doc_id, item_idx
 """
 
 
+def q_pipeline_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAWL-PIPELINE composition capstone: sitemap ingestion →
+    URL canonicalization → robots gate → per-host census, all in one
+    plan — the URL-side production shape before any fetch.  Documents
+    armor into page urlsets (2 + doc_id %% 2 entries on host
+    site{doc_id %% 7}; doc_id %% 8 == 1 docs append a NOISY duplicate
+    of entry 0 — uppercase scheme/host, :443, utm param — that
+    canonicalization must collapse), the frontier rows pass the RFC
+    9309 gate (Disallow /p/ re-opened by Allow /p/{host digit}:
+    longest-match precedence decides per doc_id's leading digit), and
+    the host census counts raw urls, distinct canonical urls, and
+    allowed urls.
+    Scale: sitemap parse is one mapInPandas pass; robots bodies
+    broadcast; the only exchange is the host census agg."""
+    from .flagship import doc_to_sitemap_payload  # noqa: F401 (sibling armor)
+    from .functions.robots import robots_gate
+    from .functions.text import url_canonicalize
+    from .sources.feeds import build_sitemap, parse_sitemap_entries
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 1)
+        .select("doc_id", "text")
+    )
+
+    import pandas as pd
+
+    def kernel(batches):
+        for b in batches:
+            out_ids, out_xml = [], []
+            for did in b["doc_id"].astype("int64"):
+                did = int(did)
+                k = did % 7
+                n = 2 + did % 2
+                entries = [
+                    {"loc": f"https://site{k}.example.com/p/{did}/{j}"}
+                    for j in range(n)
+                ]
+                if did % 8 == 1:
+                    entries.append({
+                        "loc": (f"HTTPS://Site{k}.Example.com:443"
+                                f"/p/{did}/0?utm_source=sm")})
+                out_ids.append(did)
+                out_xml.append(build_sitemap(entries))
+            yield pd.DataFrame({"doc_id": out_ids, "text": out_xml})
+
+    payloads = d.repartition(16, "doc_id").mapInPandas(
+        kernel, schema="doc_id long, text string")
+    frontier = (
+        parse_sitemap_entries(payloads)
+        .filter(~F.col("is_index"))
+        .withColumn("canonical", url_canonicalize("loc"))
+        .withColumn("host", F.regexp_extract("canonical",
+                                             r"https://([^/]+)/", 1))
+        .withColumn("path", F.regexp_extract("canonical",
+                                             r"https://[^/]+(/.*)", 1))
+    )
+    robots = spark.createDataFrame(
+        [(f"site{k}.example.com",
+          f"User-agent: *\nDisallow: /p/\nAllow: /p/{k}\n")
+         for k in range(7)],
+        ["host", "robots_txt"])
+    gated = robots_gate(frontier, robots, agent="trainingbot")
+    return (
+        gated.groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("canonical").alias("n_canonical"),
+            F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+        )
+        .orderBy("host")
+    )
+
+
+SQL_PIPELINE_CRAWL_FRONTIER = r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 7 AS k FROM documents WHERE doc_id % 4 = 1),
+urls AS (
+  SELECT doc_id, k, CAST(j AS INTEGER) AS j
+  FROM d, UNNEST(range(2 + doc_id % 2)) AS t(j)
+  UNION ALL
+  SELECT doc_id, k, 0 FROM d WHERE doc_id % 8 = 1)
+SELECT 'site' || CAST(k AS VARCHAR) || '.example.com' AS host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT CAST(doc_id AS VARCHAR) || '/'
+                  || CAST(j AS VARCHAR)) AS BIGINT) AS n_canonical,
+       CAST(sum(CASE WHEN starts_with(CAST(doc_id AS VARCHAR),
+                                      CAST(k AS VARCHAR))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed
+FROM urls GROUP BY 1 ORDER BY host
+"""
+
+
 def q_extraction_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality accounting WITHOUT decoding audio: documents
     armor into MPEG-1 Layer III frame sequences (CBR or VBR by doc_id,
@@ -13140,5 +13233,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_mp3_frames": (
         q_extraction_mp3_frames, SQL_EXTRACTION_MP3_FRAMES
+    ),
+    "pipeline_crawl_frontier": (
+        q_pipeline_crawl_frontier, SQL_PIPELINE_CRAWL_FRONTIER
     ),
 }

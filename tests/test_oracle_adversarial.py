@@ -27,7 +27,7 @@ ADVERSARIAL_SET = [
     if n.startswith(("a", "b1", "text_", "dedup_", "sketch_", "sample_",
                      "events_", "graph_", "split_", "pack_", "curation_",
                      "sequence_", "sim_", "temporal_", "filter_", "cluster_",
-                     "transcripts_", "export_"))
+                     "transcripts_", "export_", "pipeline_"))
     and not n.startswith("audit")
     and n != "dedup_editdist1"  # customer-based → TPC-H set
     and n != "dedup_sorted_neighborhood"  # customer-based → TPC-H set
