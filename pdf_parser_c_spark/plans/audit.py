@@ -142,6 +142,12 @@ def main() -> None:
         "extraction_srt_cues": "SRT: armor + cue parse fused; narrow (ms, text) rows out",
         "extraction_epub_roundtrip": "EPUB path: armor + OCF/OPF walk + chapter strip fused after one doc_id exchange",
         "extraction_rtf_roundtrip": "RTF path: bare-text sniff + token-stream parse fused; no armor leg",
+        "extraction_latex_roundtrip": "LaTeX path: bare-text \\documentclass sniff + detex-style parse fused after ONE doc_id exchange",
+        "extraction_md_roundtrip": "Markdown path: first-line ATX sniff + CommonMark-lite render fused after ONE doc_id exchange",
+        "extraction_sitemap_frontier": "sitemap armor + frontier parse fused; narrow (loc, lastmod, freq, priority) rows out",
+        "extraction_feed_items": "RSS/Atom armor + item parse fused; narrow feed rows out",
+        "extraction_mp3_frames": "MP3 armor + header walk fused; audio bytes never leave the kernel, rows are integer metadata",
+        "pipeline_crawl_frontier": "sitemap parse one MapInPandas; robots bodies BroadcastExchange into the gate; host census is the only data exchange",
         "extraction_multiformat_census": "whole-dispatch capstone: ONE armor+extract pass over all eleven kinds; census is an 11-row aggregate",
         "filter_secret_scan": "secret scan: injection + 5-pattern detect + scrub + residual all map-side regexp codegen; the 6-row kind census is the corpus's ONLY exchange",
         "dedup_line_boilerplate": "line boilerplate: line-forming + md5 map-side, ONE (source, line-hash) exchange shipping 16-byte keys; per-source doc counts ride a BroadcastHashJoin — no doc pairs anywhere",
