@@ -728,6 +728,24 @@ def doc_to_feed_payload(doc_id: int, text: str) -> str:
     return build_atom(items)
 
 
+def doc_to_csv_payload(doc_id: int, text: str) -> str:
+    """CSV armor: header (name,count,note) + 2 + doc_id % 3 data rows.
+    Row r: name = words[2r] (or 'r{r}'), count = doc_id + r (numeric,
+    so the header sniff always fires), note = 'words[2r],words[2r+1]'
+    when both exist (the embedded comma forces RFC 4180 quoting) else
+    'x'.  Every cell is SQL-reconstructible."""
+    from .formats.csv_table import build_csv
+
+    w = text.split()
+    rows = [["name", "count", "note"]]
+    for r in range(2 + doc_id % 3):
+        name = w[2 * r] if len(w) > 2 * r else f"r{r}"
+        note = (f"{w[2 * r]},{w[2 * r + 1]}"
+                if len(w) > 2 * r + 1 else "x")
+        rows.append([name, str(doc_id + r), note])
+    return build_csv(rows)
+
+
 def doc_to_mp3_payload(doc_id: int, text: str) -> str:
     """MP3 armor: 3 + doc_id % 4 MPEG-1 Layer III mono frames at
     32 kHz (36 ms each, exactly).  doc_id % 3 == 0 → CBR at bitrate

@@ -1,0 +1,158 @@
+"""RFC 4180 CSV payload parsing — tabular attachments as typed cells.
+
+Transcript corpora carry tabular attachments (exports, tool outputs)
+as CSV text.  Spark's native reader handles CSV *files*; this parser
+handles CSV *payloads* (one document = one table) and emits
+(row_idx, col_idx, value) cells — the same narrow-rows shape as the
+HTML table extractor, so downstream table-understanding stages consume
+both sources identically.
+
+RFC 4180 semantics, lenient where real exports are:
+
+* fields separated by ``,``; records by CRLF or LF,
+* a field starting with ``"`` is quoted: commas, newlines and doubled
+  quotes (``""`` → ``"``) are literal inside it; an unterminated quote
+  runs to EOF (salvage),
+* quotes appearing mid-field in an UNQUOTED field are literal (the
+  common Excel-ism),
+* ragged rows are kept at their natural width (no padding) — width
+  accounting is the consumer's census,
+* a ``header`` flag marks row 0 (sniffed: every cell in row 0
+  non-numeric while some later cell is numeric).
+
+One ``mapInPandas`` pass; cells never concatenate back through the
+driver.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def parse_csv(text: str) -> list[list[str]]:
+    """→ rows of fields, RFC 4180 + salvage."""
+    rows: list[list[str]] = []
+    row: list[str] = []
+    field: list[str] = []
+    i = 0
+    n = len(text)
+    in_quotes = False
+    field_started = False
+
+    def end_field():
+        nonlocal field, field_started
+        row.append("".join(field))
+        field = []
+        field_started = False
+
+    def end_row():
+        nonlocal row
+        end_field()
+        rows.append(row)
+        row = []
+
+    while i < n:
+        c = text[i]
+        if in_quotes:
+            if c == '"':
+                if i + 1 < n and text[i + 1] == '"':
+                    field.append('"')
+                    i += 2
+                    continue
+                in_quotes = False
+                i += 1
+                continue
+            field.append(c)
+            i += 1
+            continue
+        if c == '"' and not field_started and not field:
+            in_quotes = True
+            field_started = True
+            i += 1
+            continue
+        if c == ",":
+            end_field()
+            i += 1
+            continue
+        if c == "\r":
+            if i + 1 < n and text[i + 1] == "\n":
+                i += 1
+            end_row()
+            i += 1
+            continue
+        if c == "\n":
+            end_row()
+            i += 1
+            continue
+        field.append(c)
+        field_started = True
+        i += 1
+    if field or field_started or row:
+        end_row()
+    # a trailing fully-empty record (file ends with newline) is not a row
+    return [r for r in rows if not (len(r) == 1 and r[0] == "")]
+
+
+def _is_number(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def sniff_header(rows: list[list[str]]) -> bool:
+    """Row 0 is a header when none of its cells parse numeric but some
+    later cell does — the common-case heuristic."""
+    if len(rows) < 2 or not rows[0]:
+        return False
+    if any(_is_number(c) for c in rows[0] if c):
+        return False
+    return any(_is_number(c) for r in rows[1:] for c in r if c)
+
+
+CSV_CELL_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("row_idx", T.IntegerType()),
+    T.StructField("col_idx", T.IntegerType()),
+    T.StructField("is_header", T.BooleanType()),
+    T.StructField("value", T.StringType()),
+])
+
+
+def parse_csv_cells(df: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "text") -> DataFrame:
+    """(id, csv payload) → one row per cell."""
+    src = df.select(id_col, payload_col)
+    cols = [f.name for f in CSV_CELL_SCHEMA.fields]
+
+    def gen(batches):
+        for b in batches:
+            out: list[dict] = []
+            for did, payload in zip(b[id_col].astype("int64"),
+                                    b[payload_col]):
+                rows = parse_csv(str(payload or ""))
+                header = sniff_header(rows)
+                for ri, r in enumerate(rows):
+                    for ci, v in enumerate(r):
+                        out.append({
+                            "doc_id": int(did), "row_idx": ri,
+                            "col_idx": ci,
+                            "is_header": header and ri == 0,
+                            "value": v,
+                        })
+            yield pd.DataFrame(out, columns=cols)
+
+    return src.mapInPandas(gen, schema=CSV_CELL_SCHEMA)
+
+
+def build_csv(rows: list[list[str]]) -> str:
+    """Testkit writer: minimal-quoting RFC 4180."""
+    def fmt(v: str) -> str:
+        if any(ch in v for ch in ',"\r\n'):
+            return '"' + v.replace('"', '""') + '"'
+        return v
+
+    return "\r\n".join(",".join(fmt(c) for c in r) for r in rows) + "\r\n"

@@ -11691,6 +11691,73 @@ FROM items ORDER BY doc_id, item_idx
 """
 
 
+def q_extraction_csv_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular-attachment parsing: documents armor into RFC 4180 CSV
+    tables (header + numeric count column + a quoted note cell whose
+    embedded comma must survive — flagship.doc_to_csv_payload) and the
+    payload-level reader (formats/csv_table.py: quoted fields, doubled
+    quotes, CRLF records, header sniff) must reproduce every
+    (row_idx, col_idx, is_header, value) cell — the narrow-rows twin
+    of the HTML table extractor.
+    Scale: armor + parse fused after one doc_id exchange."""
+    from .flagship import doc_to_csv_payload
+    from .formats.csv_table import parse_csv_cells
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+    )
+
+    import pandas as pd
+
+    def kernel(batches):
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "text": [doc_to_csv_payload(int(i), str(t_))
+                         for i, t_ in zip(ids, b["text"])],
+            })
+
+    payloads = d.repartition(16, "doc_id").mapInPandas(
+        kernel, schema="doc_id long, text string")
+    return parse_csv_cells(payloads).orderBy("doc_id", "row_idx", "col_idx")
+
+
+SQL_EXTRACTION_CSV_CELLS = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 4 = 0),
+hdr AS (
+  SELECT doc_id, 0 AS row_idx, c.col_idx, true AS is_header, c.v AS value
+  FROM w, (VALUES (0, 'name'), (1, 'count'), (2, 'note')) AS c(col_idx, v)),
+data AS (
+  SELECT doc_id, ws, CAST(j AS INTEGER) AS r
+  FROM w, UNNEST(range(2 + doc_id % 3)) AS t(j)),
+cells AS (
+  SELECT * FROM hdr
+  UNION ALL
+  SELECT doc_id, r + 1, 0, false,
+         CASE WHEN len(ws) > 2 * r THEN ws[2 * r + 1]
+              ELSE 'r' || CAST(r AS VARCHAR) END
+  FROM data
+  UNION ALL
+  SELECT doc_id, r + 1, 1, false, CAST(doc_id + r AS VARCHAR) FROM data
+  UNION ALL
+  SELECT doc_id, r + 1, 2, false,
+         CASE WHEN len(ws) > 2 * r + 1
+              THEN ws[2 * r + 1] || ',' || ws[2 * r + 2]
+              ELSE 'x' END
+  FROM data)
+SELECT doc_id, CAST(row_idx AS INT) AS row_idx, CAST(col_idx AS INT)
+         AS col_idx, is_header, value
+FROM cells ORDER BY doc_id, row_idx, col_idx
+"""
+
+
 def q_pipeline_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CRAWL-PIPELINE composition capstone: sitemap ingestion →
     URL canonicalization → robots gate → per-host census, all in one
@@ -13236,5 +13303,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "pipeline_crawl_frontier": (
         q_pipeline_crawl_frontier, SQL_PIPELINE_CRAWL_FRONTIER
+    ),
+    "extraction_csv_cells": (
+        q_extraction_csv_cells, SQL_EXTRACTION_CSV_CELLS
     ),
 }

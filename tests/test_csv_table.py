@@ -1,0 +1,66 @@
+"""RFC 4180 CSV payload parsing: quoting, salvage, header sniff."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_parser_c_spark.formats.csv_table import (
+    build_csv,
+    parse_csv,
+    parse_csv_cells,
+    sniff_header,
+)
+
+
+class TestParse:
+    def test_quoting_rules(self):
+        assert parse_csv('a,"b,c",d\r\n') == [["a", "b,c", "d"]]
+        assert parse_csv('"he said ""hi""",x\n') == [['he said "hi"', "x"]]
+        assert parse_csv('"multi\nline",y\n') == [["multi\nline", "y"]]
+        # Excel-ism: quote mid-unquoted-field is literal
+        assert parse_csv('a"b,c\n') == [['a"b', "c"]]
+
+    def test_records_and_ragged(self):
+        assert parse_csv("a,b\nc\nd,e,f\n") == [["a", "b"], ["c"],
+                                                ["d", "e", "f"]]
+        assert parse_csv("a,b") == [["a", "b"]]  # no trailing newline
+        assert parse_csv("") == []
+        assert parse_csv("\n\n") == []  # empty records dropped
+        assert parse_csv("a,,b\n") == [["a", "", "b"]]
+
+    def test_unterminated_quote_salvage(self):
+        assert parse_csv('a,"runs to eof') == [["a", "runs to eof"]]
+
+    def test_header_sniff(self):
+        assert sniff_header([["name", "count"], ["x", "3"]])
+        assert not sniff_header([["1", "count"], ["x", "3"]])
+        assert not sniff_header([["name", "count"], ["x", "y"]])
+        assert not sniff_header([["only row"]])
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.lists(st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        max_size=12), min_size=1, max_size=4), min_size=1, max_size=4))
+    def test_roundtrip(self, rows):
+        # writer quotes minimally; parser must return rows verbatim
+        # (cells containing bare \r or \n normalize through quoting)
+        got = parse_csv(build_csv(rows))
+        want = [r for r in rows if r != [""]]  # a lone empty cell row
+        assert got == want                     # serializes to a blank record
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=400))
+    def test_total(self, junk):
+        assert parse_csv(junk) == parse_csv(junk)
+
+
+class TestSpark:
+    def test_cells(self, spark):
+        csv = build_csv([["name", "count"], ["a,b", "3"]])
+        df = spark.createDataFrame([(1, csv)], "doc_id long, text string")
+        rows = parse_csv_cells(df).collect()
+        by_pos = {(r.row_idx, r.col_idx): r for r in rows}
+        assert by_pos[(0, 0)].is_header and by_pos[(0, 0)].value == "name"
+        assert not by_pos[(1, 0)].is_header
+        assert by_pos[(1, 0)].value == "a,b"
