@@ -1,0 +1,348 @@
+"""Compact Font Format (Type1C / CFF) built-in encoding reader.
+
+PDFs embed PostScript fonts as bare CFF behind ``/FontFile3 /Subtype
+/Type1C``.  When such a font carries no /Encoding dict and no
+ToUnicode, its built-in encoding IS the base encoding (ISO 32000
+§9.6.6.2) — poppler reads it via FoFiType1C; this module is that
+reader re-expressed from the public CFF spec (Adobe TN #5176):
+
+* header + INDEX structures (Name, Top DICT, String, CharStrings),
+* DICT operand encoding (ints, 3/5-byte forms, packed-BCD reals),
+* charset formats 0/1/2 (glyph → SID), predefined 0 (ISOAdobe
+  identity),
+* encoding formats 0/1 plus supplements (code → glyph), predefined
+  Standard/Expert,
+* SID → name via the standard strings (the printable prefix of
+  Appendix A, SIDs 0-228, covers the text-bearing glyph space;
+  SIDs 229-390 resolve to a labeled ``sidNNN`` placeholder — honest
+  unknown, decoded to U+FFFD downstream) or the font's String INDEX
+  for SID ≥ 391.
+
+CID-keyed CFF (a /ROS Top DICT) has no code→glyph encoding — the
+reader returns None and the CIDFont machinery (CMaps) applies instead.
+"""
+
+from __future__ import annotations
+
+_ASCII_NAMES = [
+    ".notdef", "space", "exclam", "quotedbl", "numbersign", "dollar",
+    "percent", "ampersand", "quoteright", "parenleft", "parenright",
+    "asterisk", "plus", "comma", "hyphen", "period", "slash",
+    "zero", "one", "two", "three", "four", "five", "six", "seven",
+    "eight", "nine", "colon", "semicolon", "less", "equal", "greater",
+    "question", "at",
+    "A", "B", "C", "D", "E", "F", "G", "H", "I", "J", "K", "L", "M",
+    "N", "O", "P", "Q", "R", "S", "T", "U", "V", "W", "X", "Y", "Z",
+    "bracketleft", "backslash", "bracketright", "asciicircum",
+    "underscore", "quoteleft",
+    "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+    "n", "o", "p", "q", "r", "s", "t", "u", "v", "w", "x", "y", "z",
+    "braceleft", "bar", "braceright", "asciitilde",
+]
+_UPPER_NAMES = [
+    "exclamdown", "cent", "sterling", "fraction", "yen", "florin",
+    "section", "currency", "quotesingle", "quotedblleft",
+    "guillemotleft", "guilsinglleft", "guilsinglright", "fi", "fl",
+    "endash", "dagger", "daggerdbl", "periodcentered", "paragraph",
+    "bullet", "quotesinglbase", "quotedblbase", "quotedblright",
+    "guillemotright", "ellipsis", "perthousand", "questiondown",
+    "grave", "acute", "circumflex", "tilde", "macron", "breve",
+    "dotaccent", "dieresis", "ring", "cedilla", "hungarumlaut",
+    "ogonek", "caron", "emdash", "AE", "ordfeminine", "Lslash",
+    "Oslash", "OE", "ordmasculine", "ae", "dotlessi", "lslash",
+    "oslash", "oe", "germandbls", "onesuperior", "logicalnot", "mu",
+    "trademark", "Eth", "onehalf", "plusminus", "Thorn", "onequarter",
+    "divide", "brokenbar", "degree", "thorn", "threequarters",
+    "twosuperior", "registered", "minus", "eth", "multiply",
+    "threesuperior", "copyright",
+]
+_ACCENTED = [
+    "Aacute", "Acircumflex", "Adieresis", "Agrave", "Aring", "Atilde",
+    "Ccedilla", "Eacute", "Ecircumflex", "Edieresis", "Egrave",
+    "Iacute", "Icircumflex", "Idieresis", "Igrave", "Ntilde", "Oacute",
+    "Ocircumflex", "Odieresis", "Ograve", "Otilde", "Scaron", "Uacute",
+    "Ucircumflex", "Udieresis", "Ugrave", "Yacute", "Ydieresis",
+    "Zcaron", "aacute", "acircumflex", "adieresis", "agrave", "aring",
+    "atilde", "ccedilla", "eacute", "ecircumflex", "edieresis",
+    "egrave", "iacute", "icircumflex", "idieresis", "igrave", "ntilde",
+    "oacute", "ocircumflex", "odieresis", "ograve", "otilde", "scaron",
+    "uacute", "ucircumflex", "udieresis", "ugrave", "yacute",
+    "ydieresis", "zcaron",
+]
+STD_STRINGS = _ASCII_NAMES + _UPPER_NAMES + _ACCENTED  # SIDs 0-228
+_N_STD = 391  # full Appendix-A count; 229-390 → labeled placeholder
+
+
+class CFFError(ValueError):
+    pass
+
+
+def _read_index(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """CFF INDEX at pos → (items, next_pos)."""
+    if pos + 2 > len(data):
+        raise CFFError("INDEX header past EOF")
+    count = int.from_bytes(data[pos: pos + 2], "big")
+    pos += 2
+    if count == 0:
+        return [], pos
+    off_size = data[pos]
+    pos += 1
+    if not 1 <= off_size <= 4:
+        raise CFFError(f"bad offSize {off_size}")
+    offs = []
+    for i in range(count + 1):
+        o = int.from_bytes(data[pos: pos + off_size], "big")
+        pos += off_size
+        offs.append(o)
+    base = pos - 1  # offsets are 1-based from here
+    items = []
+    for i in range(count):
+        a, b = base + offs[i], base + offs[i + 1]
+        if not (0 <= a <= b <= len(data)):
+            raise CFFError("INDEX item out of range")
+        items.append(data[a:b])
+    return items, base + offs[count]
+
+
+def _parse_dict(raw: bytes) -> dict:
+    """CFF DICT → {op: [operands]}; two-byte ops keyed as 1200+op2."""
+    out: dict[int, list] = {}
+    operands: list = []
+    i = 0
+    n = len(raw)
+    while i < n:
+        b0 = raw[i]
+        if 32 <= b0 <= 246:
+            operands.append(b0 - 139)
+            i += 1
+        elif 247 <= b0 <= 250:
+            operands.append((b0 - 247) * 256 + raw[i + 1] + 108)
+            i += 2
+        elif 251 <= b0 <= 254:
+            operands.append(-(b0 - 251) * 256 - raw[i + 1] - 108)
+            i += 2
+        elif b0 == 28:
+            operands.append(int.from_bytes(raw[i + 1: i + 3], "big",
+                                           signed=True))
+            i += 3
+        elif b0 == 29:
+            operands.append(int.from_bytes(raw[i + 1: i + 5], "big",
+                                           signed=True))
+            i += 5
+        elif b0 == 30:  # packed-BCD real
+            i += 1
+            digits = []
+            done = False
+            while i < n and not done:
+                byte = raw[i]
+                i += 1
+                for nib in (byte >> 4, byte & 0xF):
+                    if nib <= 9:
+                        digits.append(str(nib))
+                    elif nib == 0xA:
+                        digits.append(".")
+                    elif nib == 0xB:
+                        digits.append("E")
+                    elif nib == 0xC:
+                        digits.append("E-")
+                    elif nib == 0xE:
+                        digits.append("-")
+                    elif nib == 0xF:
+                        done = True
+                        break
+            try:
+                operands.append(float("".join(digits) or "0"))
+            except ValueError:
+                operands.append(0.0)
+        elif b0 == 12:
+            out[1200 + raw[i + 1]] = operands
+            operands = []
+            i += 2
+        elif b0 <= 21:
+            out[b0] = operands
+            operands = []
+            i += 1
+        else:
+            raise CFFError(f"bad DICT byte {b0}")
+    return out
+
+
+def _sid_name(sid: int, strings: list[bytes]) -> str:
+    if sid < len(STD_STRINGS):
+        return STD_STRINGS[sid]
+    if sid < _N_STD:
+        return f"sid{sid}"  # unmapped Appendix-A tail: labeled unknown
+    idx = sid - _N_STD
+    if idx < len(strings):
+        return strings[idx].decode("latin-1")
+    return f"sid{sid}"
+
+
+def _read_charset(data: bytes, off: int, n_glyphs: int,
+                  strings: list[bytes]) -> list[str]:
+    """→ glyph names by GID (predefined 0 = ISOAdobe identity)."""
+    if off == 0:
+        return [_sid_name(min(g, _N_STD - 1), strings)
+                for g in range(n_glyphs)]
+    if off in (1, 2):  # Expert charsets: outside the prose domain
+        return [f"gid{g}" for g in range(n_glyphs)]
+    names = [".notdef"]
+    fmt = data[off]
+    pos = off + 1
+    if fmt == 0:
+        for _ in range(n_glyphs - 1):
+            sid = int.from_bytes(data[pos: pos + 2], "big")
+            pos += 2
+            names.append(_sid_name(sid, strings))
+    elif fmt in (1, 2):
+        step = 1 if fmt == 1 else 2
+        while len(names) < n_glyphs:
+            first = int.from_bytes(data[pos: pos + 2], "big")
+            n_left = int.from_bytes(data[pos + 2: pos + 2 + step], "big")
+            pos += 2 + step
+            for k in range(n_left + 1):
+                if len(names) >= n_glyphs:
+                    break
+                names.append(_sid_name(first + k, strings))
+    else:
+        raise CFFError(f"bad charset format {fmt}")
+    return names
+
+
+def cff_builtin_encoding(data: bytes) -> dict[int, str] | None:
+    """→ {code: glyph_name} from a bare-CFF font's custom encoding, or
+    None when the font uses a predefined encoding (caller applies the
+    Standard table) or is CID-keyed.  Raises CFFError on any corrupt
+    structure (hostile input maps to the one controlled failure)."""
+    try:
+        return _builtin_encoding(data)
+    except (IndexError, OverflowError, MemoryError) as exc:
+        raise CFFError(f"corrupt CFF: {type(exc).__name__}") from exc
+
+
+def _builtin_encoding(data: bytes) -> dict[int, str] | None:
+    if len(data) < 4:
+        raise CFFError("truncated CFF header")
+    hdr_size = data[2]
+    pos = hdr_size
+    _names, pos = _read_index(data, pos)       # Name INDEX
+    top_dicts, pos = _read_index(data, pos)    # Top DICT INDEX
+    strings, pos = _read_index(data, pos)      # String INDEX
+    if not top_dicts:
+        raise CFFError("no Top DICT")
+    top = _parse_dict(top_dicts[0])
+    if 1230 in top:  # /ROS → CID-keyed: no code→glyph encoding
+        return None
+    enc_off = int(top.get(16, [0])[0]) if top.get(16) else 0
+    if enc_off in (0, 1):  # predefined Standard/Expert
+        return None
+    cs_entry = top.get(17)
+    if not cs_entry:
+        raise CFFError("no CharStrings")
+    charstrings, _ = _read_index(data, int(cs_entry[0]))
+    n_glyphs = len(charstrings)
+    charset_off = int(top.get(15, [0])[0]) if top.get(15) else 0
+    gid_names = _read_charset(data, charset_off, n_glyphs, strings)
+
+    fmt = data[enc_off]
+    pos = enc_off + 1
+    enc: dict[int, str] = {}
+    base_fmt = fmt & 0x7F
+    if base_fmt == 0:
+        n_codes = data[pos]
+        pos += 1
+        for gid in range(1, n_codes + 1):
+            code = data[pos]
+            pos += 1
+            if gid < len(gid_names):
+                enc[code] = gid_names[gid]
+    elif base_fmt == 1:
+        n_ranges = data[pos]
+        pos += 1
+        gid = 1
+        for _ in range(n_ranges):
+            first, n_left = data[pos], data[pos + 1]
+            pos += 2
+            for k in range(n_left + 1):
+                if gid < len(gid_names):
+                    enc[first + k] = gid_names[gid]
+                gid += 1
+    else:
+        raise CFFError(f"bad encoding format {base_fmt}")
+    if fmt & 0x80:  # supplements: (code, SID) pairs
+        n_sups = data[pos]
+        pos += 1
+        for _ in range(n_sups):
+            code = data[pos]
+            sid = int.from_bytes(data[pos + 1: pos + 3], "big")
+            pos += 3
+            enc[code] = _sid_name(sid, strings)
+    return enc or None
+
+
+def build_cff(glyph_map: dict[int, str], font_name: str = "TestFont") -> bytes:
+    """Testkit writer: a minimal bare CFF whose custom charset names
+    each glyph and whose format-0 custom encoding maps ``code →
+    name`` per ``glyph_map``.  Names outside the standard strings go
+    through the String INDEX (SID ≥ 391) — exercising both SID paths.
+    """
+    names = list(dict.fromkeys(glyph_map.values()))  # stable glyph order
+    gid_names = [".notdef"] + names
+    custom = [n for n in gid_names[1:] if n not in STD_STRINGS]
+
+    def sid_of(name: str) -> int:
+        if name in STD_STRINGS:
+            return STD_STRINGS.index(name)
+        return _N_STD + custom.index(name)
+
+    def index_of(items: list[bytes]) -> bytes:
+        if not items:
+            return (0).to_bytes(2, "big")
+        body = b"".join(items)
+        off_size = 1 if len(body) < 255 else 2
+        out = len(items).to_bytes(2, "big") + bytes([off_size])
+        o = 1
+        offs = []
+        for it in items:
+            offs.append(o)
+            o += len(it)
+        offs.append(o)
+        for o in offs:
+            out += o.to_bytes(off_size, "big")
+        return out + body
+
+    header = bytes([1, 0, 4, 2])
+    name_index = index_of([font_name.encode()])
+    string_index = index_of([n.encode() for n in custom])
+    gsubr_index = index_of([])
+    charstrings = index_of([b"\x0e"] * len(gid_names))  # endchar each
+
+    # charset format 0
+    charset = bytes([0]) + b"".join(
+        sid_of(n).to_bytes(2, "big") for n in gid_names[1:])
+    # encoding format 0: code per gid 1..n
+    code_by_name = {}
+    for code, n in glyph_map.items():
+        code_by_name.setdefault(n, code)  # first code wins
+    encoding = bytes([0, len(gid_names) - 1]) + bytes(
+        code_by_name[n] for n in gid_names[1:])
+
+    def top_dict(cs_off: int, enc_off: int, chst_off: int) -> bytes:
+        def num(v: int) -> bytes:
+            return b"\x1d" + v.to_bytes(4, "big")  # 5-byte int form
+        return (num(chst_off) + bytes([15])        # charset
+                + num(enc_off) + bytes([16])       # Encoding
+                + num(cs_off) + bytes([17]))       # CharStrings
+
+    # fixed-size top dict (always 5-byte ints) → two-pass offset solve
+    dummy = top_dict(0, 0, 0)
+    top_index_len = len(index_of([dummy]))
+    base = (len(header) + len(name_index) + top_index_len
+            + len(string_index) + len(gsubr_index))
+    chst_off = base
+    enc_off = chst_off + len(charset)
+    cs_off = enc_off + len(encoding)
+    top_index = index_of([top_dict(cs_off, enc_off, chst_off)])
+    assert len(top_index) == top_index_len
+    return (header + name_index + top_index + string_index + gsubr_index
+            + charset + encoding + charstrings)

@@ -776,9 +776,21 @@ def _load_simple(doc: PDFDocument, fd: dict, font: Font) -> None:
         # (poppler FoFiType1::getEncoding; used when no /BaseEncoding)
         desc = doc.dget(fd, "FontDescriptor")
         ff = doc.resolve(desc.get("FontFile")) if isinstance(desc, dict) else None
+        ff3 = doc.resolve(desc.get("FontFile3")) if isinstance(desc, dict) else None
         if isinstance(ff, Stream):
             try:
                 names = _parse_type1_builtin_encoding(ff.data())
+            except Exception:
+                names = None
+            if names:
+                builtin = {c: glyph_to_unicode(n) for c, n in names.items()}
+        elif isinstance(ff3, Stream):
+            # bare-CFF (Type1C) program: its custom encoding is the
+            # base (poppler FoFiType1C::getEncoding / convertToType1)
+            from .cff import cff_builtin_encoding
+
+            try:
+                names = cff_builtin_encoding(ff3.data())
             except Exception:
                 names = None
             if names:

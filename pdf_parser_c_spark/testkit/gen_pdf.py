@@ -110,6 +110,7 @@ class FontSpec:
     font_matrix: tuple = (0.001, 0, 0, 0.001, 0, 0)
     font_file: bytes | None = None  # embedded Type1 program → /FontFile
     font_file2: bytes | None = None  # embedded TrueType program → /FontFile2 (+ /Subtype /TrueType)
+    font_file3: bytes | None = None  # bare CFF program → /FontFile3 /Subtype /Type1C
 
     def is_bold(self) -> bool:
         return "Bold" in self.base
@@ -482,6 +483,11 @@ def build_pdf(
                 spec.font_file, compress=compress,
             )
             ffile = f" /FontFile {ff_num} 0 R"
+        elif spec.font_file3 is not None:
+            ff_num = w.add_stream(
+                "/Subtype /Type1C", spec.font_file3, compress=compress
+            )
+            ffile = f" /FontFile3 {ff_num} 0 R"
         fd = w.add(
             f"<< /Type /FontDescriptor /FontName /{spec.base} /Flags {flags} "
             f"/FontBBox [0 -250 1000 750] /ItalicAngle {-12 if spec.is_italic() else 0} "

@@ -1,0 +1,119 @@
+"""Bare-CFF (Type1C) built-in encodings: reader semantics, the
+FontFile3 decode path, hostility.
+
+Parity target: poppler FoFiType1C::getEncoding — a symbolic Type1C
+font with no /Encoding and no ToUnicode must decode through the CFF
+program's own encoding/charset (reference: GfxFont base-encoding
+priority, inc/pdf_utils.hpp:31 <GfxFont.h>).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+from pdf_parser_c_spark.pdf.cff import (
+    STD_STRINGS,
+    CFFError,
+    build_cff,
+    cff_builtin_encoding,
+)
+from pdf_parser_c_spark.testkit.gen_pdf import (
+    FontSpec,
+    PageSpec,
+    build_pdf,
+    tj_bytes,
+)
+
+
+class TestReader:
+    def test_custom_encoding_roundtrip(self):
+        m = {0x41: "smiley", 0x42: "B", 0x43: "arrowup", 0x44: "zcaron"}
+        assert cff_builtin_encoding(build_cff(m)) == m
+
+    def test_standard_and_custom_sids_mix(self):
+        # 'quoteright' SID 8 (standard) + a String-INDEX name
+        m = {0x27: "quoteright", 0x80: "myglyph.alt"}
+        assert cff_builtin_encoding(build_cff(m)) == m
+
+    def test_std_strings_prefix(self):
+        assert STD_STRINGS[0] == ".notdef"
+        assert STD_STRINGS[1] == "space"
+        assert STD_STRINGS[34] == "A"
+        assert STD_STRINGS[66] == "a"
+        assert STD_STRINGS[96] == "exclamdown"
+        assert STD_STRINGS[109] == "fi"
+        assert STD_STRINGS[137] == "emdash"
+        assert STD_STRINGS[228] == "zcaron"
+        assert len(STD_STRINGS) == 229
+
+    def test_predefined_encoding_returns_none(self):
+        # Encoding op 0 (Standard): caller falls back to the module's
+        # StandardEncoding table — build then patch the op operand
+        data = bytearray(build_cff({0x41: "A"}))
+        # our writer emits encoding offset as a 5-byte int before op 16
+        i = data.find(bytes([16]), 4)
+        data[i - 5: i] = b"\x1d" + (0).to_bytes(4, "big")
+        assert cff_builtin_encoding(bytes(data)) is None
+
+    def test_truncated_raises(self):
+        data = build_cff({0x41: "A"})
+        for cut in (0, 3, 10, len(data) // 2):
+            with pytest.raises(CFFError):
+                cff_builtin_encoding(data[:cut])
+
+    def test_bit_flip_fuzz_total(self):
+        rng = random.Random(5)
+        base = build_cff({0x41: "smiley", 0x42: "B"})
+        for _ in range(400):
+            data = bytearray(base)
+            for _ in range(rng.randint(1, 4)):
+                data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+            try:
+                cff_builtin_encoding(bytes(data))
+            except CFFError:
+                pass  # controlled failure only
+
+
+def _extract(cff: bytes, codes: list[int]) -> str:
+    spec = FontSpec("SymCFF", encoding=None, font_file3=cff, flags=4)
+    pdf = build_pdf(
+        [PageSpec(tj_bytes(72, 700, "F1", 12, bytes(codes)))],
+        {"F1": spec})
+    doc = parse_pdf_bytes(pdf)
+    assert doc.status == "ok"
+    return doc.text
+
+
+class TestDecodePath:
+    def test_symbolic_type1c_decodes_via_cff_encoding(self):
+        cff = build_cff({0x41: "diamond", 0x42: "heart", 0x20: "space",
+                         0x43: "eacute"})
+        text = _extract(cff, [0x41, 0x20, 0x42, 0x20, 0x43])
+        assert text == "♦ ♥ é"
+
+    def test_explicit_encoding_still_wins(self):
+        # /Differences outrank the program per §9.6.6
+        cff = build_cff({0x41: "diamond"})
+        spec = FontSpec("SymCFF", encoding=None,
+                        differences=[0x41, "bullet"], font_file3=cff,
+                        flags=4)
+        pdf = build_pdf(
+            [PageSpec(tj_bytes(72, 700, "F1", 12, b"\x41"))],
+            {"F1": spec})
+        assert parse_pdf_bytes(pdf).text == "•"
+
+    def test_unknown_glyph_names_are_honest_unknowns(self):
+        cff = build_cff({0x41: "notarealname"})
+        assert _extract(cff, [0x41]) == "�"
+
+    def test_corrupt_fontfile3_falls_back(self):
+        spec = FontSpec("SymCFF", encoding=None,
+                        font_file3=b"\x01\x00garbage", flags=4)
+        pdf = build_pdf(
+            [PageSpec(tj_bytes(72, 700, "F1", 12, b"\x41"))],
+            {"F1": spec})
+        doc = parse_pdf_bytes(pdf)
+        assert doc.status == "ok"  # degraded decode, never a crash
