@@ -245,8 +245,24 @@ HTML_PAYLOAD = (
 PLAIN_PAYLOAD = "A plain text transcript turn with no markup at all."
 
 
-def build_variants() -> list[Variant]:
-    """The fixed payload catalog, index-stable."""
+def build_variants(extended: bool = False) -> list[Variant]:
+    """The fixed payload catalog, index-stable.  ``extended`` adds the
+    raw-text sniffed kinds (latex, markdown) for the kernel fuzz ONLY —
+    the default catalog stays frozen so the scaling corpus
+    (make_transcripts) is comparable across sampling vintages."""
+    base = _base_variants()
+    if extended:
+        base += [
+            Variant("latex", "\\documentclass{article}\n\\begin{document}\n"
+                    "\\section{Fuzz}\nBody \\textbf{text} here.\n"
+                    "\\end{document}\n", "ok"),
+            Variant("markdown",
+                    "# Fuzz\n\nBody **text** `here`.\n\n- item\n", "ok"),
+        ]
+    return base
+
+
+def _base_variants() -> list[Variant]:
     return [
         Variant("plain", PLAIN_PAYLOAD, "ok"),
         Variant("html", HTML_PAYLOAD, "ok"),

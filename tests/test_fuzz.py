@@ -19,7 +19,7 @@ _BASES = None
 def _bases():
     global _BASES
     if _BASES is None:
-        vs = {v.name: v for v in build_variants()}
+        vs = {v.name: v for v in build_variants(extended=True)}
         from pdf_parser_c_spark.engine import _decode_armor
         _BASES = [
             _decode_armor(vs[n].payload)
@@ -146,7 +146,7 @@ def test_kernel_cache_transparent(monkeypatch):
     from pdf_parser_c_spark.engine import extract_pandas_batch
     from pdf_parser_c_spark.testkit.corpus import build_variants
 
-    vs = build_variants()
+    vs = build_variants(extended=True)
     df = pd.DataFrame(
         {"conv_id": ["c"] * len(vs) * 2, "turn_idx": range(len(vs) * 2),
          "role": "u", "text": [v.payload for v in vs] * 2, "tool": None,
