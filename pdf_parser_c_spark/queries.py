@@ -11758,6 +11758,110 @@ FROM cells ORDER BY doc_id, row_idx, col_idx
 """
 
 
+def q_transcripts_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT training-string preparation: render each conversation into
+    ONE template string (``<|role|>\\n{content}<|end|>\\n`` per turn,
+    turn order) and emit the LOSS-MASK SPANS — the [start, end)
+    character offsets of every assistant turn's content inside the
+    rendered string — plus a conv-level render hash.  This is the
+    chat-template stage every SFT pipeline runs; getting offsets wrong
+    silently trains on user text, so the oracle pins them exactly.
+    Docs form convs (doc_id // 10) with role cycling doc_id % 3.
+    Scale: offsets are window cumulative sums on the conv exchange;
+    the rendered string exists only inside the per-conv agg (never a
+    driver-side concat); spans join the 1-row-per-conv agg on the same
+    key, so AQE reuses the exchange."""
+    d = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 10).cast("long").alias("conv"),
+        (F.col("doc_id") % 10).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("role"),
+        F.trim(F.regexp_replace("text", r"\s+", " ")).alias("content"),
+    )
+    header = F.concat(F.lit("<|"), F.col("role"), F.lit("|>\n"))
+    piece = F.concat(header, F.col("content"), F.lit("<|end|>\n"))
+    turns = d.withColumn("piece", piece).withColumn(
+        "piece_len", F.length("piece"))
+    w = Window.partitionBy("conv").orderBy("turn_idx")
+    turns = turns.withColumn(
+        "turn_start",
+        F.coalesce(
+            F.sum("piece_len").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "span_start", F.col("turn_start") + F.length(header)
+    ).withColumn("span_end", F.col("span_start") + F.length("content"))
+    convs = (
+        turns.groupBy("conv")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("turn_idx", "piece"))),
+                        lambda s: s["piece"],
+                    ),
+                    "",
+                )
+            ).alias("render_md5"),
+        )
+    )
+    w2 = Window.partitionBy("conv").orderBy("turn_idx")
+    spans = (
+        turns.filter(F.col("role") == "assistant")
+        .select("conv", "turn_idx", "span_start", "span_end")
+        .select("conv", (F.row_number().over(w2) - 1).alias("span_idx"),
+                "span_start", "span_end")
+    )
+    return (
+        spans.join(convs, "conv")
+        .select("conv", "n_turns", "render_md5", "span_idx",
+                "span_start", "span_end")
+        .orderBy("conv", "span_idx")
+    )
+
+
+SQL_TRANSCRIPTS_SFT_RENDER = r"""
+WITH turns AS (
+  SELECT doc_id // 10 AS conv, CAST(doc_id % 10 AS INT) AS turn_idx,
+         (['user', 'assistant', 'tool'])[CAST(doc_id % 3 AS INT) + 1]
+           AS role,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS content
+  FROM documents),
+pieces AS (
+  SELECT *,
+         '<|' || role || '|>' || chr(10) || content || '<|end|>'
+           || chr(10) AS piece,
+         length('<|' || role || '|>') + 1 AS header_len
+  FROM turns),
+offs AS (
+  SELECT *,
+         COALESCE(sum(length(piece)) OVER (
+             PARTITION BY conv ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS turn_start
+  FROM pieces),
+convs AS (
+  SELECT conv, CAST(count(*) AS BIGINT) AS n_turns,
+         md5(string_agg(piece, '' ORDER BY turn_idx)) AS render_md5
+  FROM pieces GROUP BY conv)
+SELECT o.conv, c.n_turns, c.render_md5,
+       CAST(row_number() OVER (PARTITION BY o.conv ORDER BY o.turn_idx)
+            - 1 AS INT) AS span_idx,
+       CAST(o.turn_start + o.header_len AS BIGINT) AS span_start,
+       CAST(o.turn_start + o.header_len + length(o.content) AS BIGINT)
+         AS span_end
+FROM offs o JOIN convs c USING (conv)
+WHERE o.role = 'assistant'
+ORDER BY conv, span_idx
+"""
+
+
 def q_pipeline_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CRAWL-PIPELINE composition capstone: sitemap ingestion →
     URL canonicalization → robots gate → per-host census, all in one
@@ -13306,5 +13410,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_csv_cells": (
         q_extraction_csv_cells, SQL_EXTRACTION_CSV_CELLS
+    ),
+    "transcripts_sft_render": (
+        q_transcripts_sft_render, SQL_TRANSCRIPTS_SFT_RENDER
     ),
 }
