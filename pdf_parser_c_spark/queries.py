@@ -11862,6 +11862,73 @@ ORDER BY conv, span_idx
 """
 
 
+def q_transcripts_prefix_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation prefix-sharing census — the KV-cache-planning /
+    template-detection signal: for each depth k, how many
+    conversations reach depth k and how many DISTINCT turn-content
+    prefixes exist among them.  High sharing at depth 1-2 exposes
+    templated openings (dedup candidates) and predicts prefix-cache
+    hit rates in serving/training.  Convs from doc_id // 10; every
+    third conv's first TWO turns are replaced with a shared template
+    opening so the sharing branch provably fires.
+    Scale: the running prefix is a per-conv window (bounded by conv
+    length, the natural partition key); the census is one depth
+    aggregate — two exchanges total."""
+    d = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 10).cast("long").alias("conv"),
+        (F.col("doc_id") % 10).cast("int").alias("turn_idx"),
+        F.trim(F.regexp_replace("text", r"\s+", " ")).alias("content"),
+    )
+    templated = F.when(
+        (F.col("conv") % 3 == 0) & (F.col("turn_idx") < 2),
+        F.concat(F.lit("TEMPLATE_OPENING_"),
+                 F.col("turn_idx").cast("string")),
+    ).otherwise(F.col("content"))
+    w = Window.partitionBy("conv").orderBy("turn_idx")
+    pref = (
+        d.withColumn("content", templated)
+        .withColumn(
+            "prefix_hash",
+            F.md5(F.array_join(
+                F.collect_list("content").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)),
+                "\x1f")),
+        )
+        .withColumn("depth", F.row_number().over(w))
+    )
+    return (
+        pref.groupBy("depth")
+        .agg(
+            F.count("*").alias("n_convs"),
+            F.countDistinct("prefix_hash").alias("n_prefixes"),
+        )
+        .orderBy("depth")
+    )
+
+
+SQL_TRANSCRIPTS_PREFIX_SHARING = r"""
+WITH turns AS (
+  SELECT doc_id // 10 AS conv, CAST(doc_id % 10 AS INT) AS turn_idx,
+         CASE WHEN (doc_id // 10) % 3 = 0 AND doc_id % 10 < 2
+              THEN 'TEMPLATE_OPENING_' || CAST(doc_id % 10 AS VARCHAR)
+              ELSE trim(regexp_replace(text, '\s+', ' ', 'g')) END
+           AS content
+  FROM documents),
+pref AS (
+  SELECT conv,
+         CAST(row_number() OVER (PARTITION BY conv ORDER BY turn_idx)
+              AS INT) AS depth,
+         md5(string_agg(content, chr(31))
+             OVER (PARTITION BY conv ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS prefix_hash
+  FROM turns)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(count(DISTINCT prefix_hash) AS BIGINT) AS n_prefixes
+FROM pref GROUP BY depth ORDER BY depth
+"""
+
+
 def q_pipeline_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CRAWL-PIPELINE composition capstone: sitemap ingestion →
     URL canonicalization → robots gate → per-host census, all in one
@@ -13413,5 +13480,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "transcripts_sft_render": (
         q_transcripts_sft_render, SQL_TRANSCRIPTS_SFT_RENDER
+    ),
+    "transcripts_prefix_sharing": (
+        q_transcripts_prefix_sharing, SQL_TRANSCRIPTS_PREFIX_SHARING
     ),
 }
