@@ -11862,6 +11862,67 @@ ORDER BY conv, span_idx
 """
 
 
+def q_filter_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression (Sweeney) — the privacy gate beside the
+    PII scrub: rows whose quasi-identifier tuple (event_type, day-of-
+    week, value sign) lands in a group smaller than k=5 are
+    suppressed; the census reports kept/suppressed rows and small
+    groups per event_type.  Window count over the quasi-id — one
+    exchange; no self-join.
+    Scale: group counts ride the same shuffle the suppression filter
+    consumes; at corpus scale the quasi-id cardinality is tiny next to
+    rows, so the exchange is the natural one."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        # 3-state sign keeps NULL values a real (countable) group on
+        # both engines instead of a skipped-by-countDistinct NULL
+        F.when(F.col("value").isNull(), "null")
+        .when(F.col("value") >= 0, "nonneg")
+        .otherwise("neg")
+        .alias("sign"),
+    )
+    w = Window.partitionBy("event_type", "dow", "sign")
+    g = ev.withColumn("grp_n", F.count("*").over(w))
+    qid = F.concat_ws("|", F.col("dow").cast("string"), "sign")
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum((F.col("grp_n") >= 5).cast("long")).alias("n_kept"),
+            F.sum((F.col("grp_n") < 5).cast("long")).alias("n_suppressed"),
+            F.countDistinct(qid).alias("n_groups"),
+            F.countDistinct(
+                F.when(F.col("grp_n") < 5, qid)
+            ).alias("n_small_groups"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_FILTER_K_ANONYMITY = """
+WITH q AS (
+  SELECT event_type, CAST(date_part('dow', ts) AS INT) AS dow,
+         CASE WHEN value IS NULL THEN 'null'
+              WHEN value >= 0 THEN 'nonneg' ELSE 'neg' END AS sign
+  FROM events),
+g AS (
+  SELECT *, count(*) OVER (PARTITION BY event_type, dow, sign) AS grp_n,
+         CAST(dow AS VARCHAR) || '|' || sign AS qid
+  FROM q)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN grp_n >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suppressed,
+       CAST(count(DISTINCT qid) AS BIGINT) AS n_groups,
+       CAST(count(DISTINCT CASE WHEN grp_n < 5 THEN qid END)
+            AS BIGINT) AS n_small_groups
+FROM g GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_transcripts_prefix_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation prefix-sharing census — the KV-cache-planning /
     template-detection signal: for each depth k, how many
@@ -13483,5 +13544,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "transcripts_prefix_sharing": (
         q_transcripts_prefix_sharing, SQL_TRANSCRIPTS_PREFIX_SHARING
+    ),
+    "filter_k_anonymity": (
+        q_filter_k_anonymity, SQL_FILTER_K_ANONYMITY
     ),
 }
