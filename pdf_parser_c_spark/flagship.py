@@ -746,6 +746,23 @@ def doc_to_csv_payload(doc_id: int, text: str) -> str:
     return build_csv(rows)
 
 
+def doc_to_xlsx_payload(doc_id: int, text: str) -> str:
+    """XLSX armor: sheet 1 = header (name, count) + 2 + doc_id % 3
+    data rows (name = words[2r] or 'r{r}', count = doc_id + r); odd
+    doc_ids add sheet 2 with one ('extra', doc_id) row — sheets,
+    shared strings, and numeric cells all SQL-reconstructible."""
+    from .formats.xlsx import build_xlsx, encode_xlsx_payload
+
+    w = text.split()
+    rows: list[list] = [["name", "count"]]
+    for r in range(2 + doc_id % 3):
+        rows.append([w[2 * r] if len(w) > 2 * r else f"r{r}", doc_id + r])
+    sheets = [rows]
+    if doc_id % 2 == 1:
+        sheets.append([["extra", doc_id]])
+    return encode_xlsx_payload(build_xlsx(sheets))
+
+
 def doc_to_mp3_payload(doc_id: int, text: str) -> str:
     """MP3 armor: 3 + doc_id % 4 MPEG-1 Layer III mono frames at
     32 kHz (36 ms each, exactly).  doc_id % 3 == 0 → CBR at bitrate

@@ -1,0 +1,301 @@
+"""XLSX (OOXML SpreadsheetML) cell extraction.
+
+Spreadsheets are the tabular half of the office payload class beside
+DOCX.  A .xlsx file is a ZIP container: ``xl/workbook.xml`` lists
+sheets, ``xl/worksheets/sheetN.xml`` holds rows of cells, and shared
+text lives in ``xl/sharedStrings.xml`` (ECMA-376 §18).  This module
+reads the container with the stdlib ``zipfile`` and small scanners —
+the dependency-free posture shared by docx/epub:
+
+* cell references (``r="B3"``) resolve to 0-based (row, col); cells
+  WITHOUT an ``r`` attribute follow the previous cell (the
+  streaming-writer convention),
+* cell types: ``t="s"`` shared string, ``t="inlineStr"`` inline
+  ``<is><t>``, ``t="str"`` formula string, ``t="b"`` boolean
+  (``TRUE``/``FALSE``), default numeric — the raw ``<v>`` text is
+  kept verbatim (no float re-formatting: value fidelity is the
+  contract),
+* worksheets emit in workbook order; a sheet that fails to parse is
+  skipped (salvage) while the rest of the book survives,
+* hostile input maps to a status row, never a task failure.
+
+Payloads ride the string ``text`` column as ``XLSXB64:`` armor; cells
+come out as (sheet_idx, row_idx, col_idx, value, is_number) — the
+same narrow-rows shape as the CSV and HTML table extractors.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import io
+import re
+import zipfile
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+XLSX_B64_PREFIX = "XLSXB64:"
+
+
+class XlsxError(ValueError):
+    pass
+
+
+def encode_xlsx_payload(buf: bytes) -> str:
+    return XLSX_B64_PREFIX + base64.b64encode(buf).decode("ascii")
+
+
+_SI_RE = re.compile(r"<si>(.*?)</si>", re.S)
+_T_RE = re.compile(r"<t(?:\s[^>]*)?>(.*?)</t>", re.S)
+_ROW_RE = re.compile(r"<row(\s[^>]*)?>(.*?)</row>", re.S)
+_CELL_RE = re.compile(
+    r"<c(\s[^>]*?)?(?:/>|>(.*?)</c>)", re.S)
+_V_RE = re.compile(r"<v(?:\s[^>]*)?>(.*?)</v>", re.S)
+_ATTR_R = re.compile(r'\br="([A-Z]+\d+)"')
+_ATTR_T = re.compile(r'\bt="([a-zA-Z]+)"')
+_SHEET_RE = re.compile(r"<sheet\s[^>]*?name=\"([^\"]*)\"[^>]*?/?>")
+
+
+def _unescape(s: str) -> str:
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        s = s.replace(ent, ch)
+    return s
+
+
+def _ref_to_rc(ref: str) -> tuple[int, int]:
+    col = 0
+    i = 0
+    for i, ch in enumerate(ref):
+        if ch.isdigit():
+            break
+        col = col * 26 + (ord(ch) - 64)
+    return int(ref[i:]) - 1, col - 1
+
+
+def parse_xlsx_cells_bytes(buf: bytes) -> list[dict]:
+    """→ [{sheet_idx, row_idx, col_idx, value, is_number}] in
+    (sheet, row, col) order."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(buf))
+    except (zipfile.BadZipFile, ValueError) as exc:
+        raise XlsxError(f"container: {exc}") from exc
+    names = set(zf.namelist())
+
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in names:
+        try:
+            ss = zf.read("xl/sharedStrings.xml").decode("utf-8", "replace")
+            for si in _SI_RE.finditer(ss):
+                shared.append("".join(
+                    _unescape(m.group(1)) for m in _T_RE.finditer(si.group(1))
+                ))
+        except Exception:
+            shared = []
+
+    sheets = sorted(
+        n for n in names
+        if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
+    sheets.sort(key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1])[0]))
+    out: list[dict] = []
+    for s_idx, part in enumerate(sheets):
+        try:
+            xml = zf.read(part).decode("utf-8", "replace")
+        except Exception:
+            continue  # salvage: skip a broken sheet
+        seq_row = -1
+        for rm in _ROW_RE.finditer(xml):
+            body = rm.group(2)
+            next_col = 0
+            rr = re.search(r'\br="(\d+)"', rm.group(1) or "")
+            seq_row = int(rr.group(1)) - 1 if rr else seq_row + 1
+            for cm in _CELL_RE.finditer(body):
+                attrs = cm.group(1) or ""
+                inner = cm.group(2) or ""
+                ref = _ATTR_R.search(attrs)
+                if ref:
+                    r, c = _ref_to_rc(ref.group(1))
+                else:  # streaming writers omit refs: follow the row
+                    r, c = seq_row, next_col
+                next_col = c + 1
+                ctype = _ATTR_T.search(attrs)
+                ctype = ctype.group(1) if ctype else "n"
+                value = None
+                is_number = False
+                vm = _V_RE.search(inner)
+                if ctype == "s":
+                    if vm:
+                        try:
+                            value = shared[int(vm.group(1))]
+                        except (ValueError, IndexError):
+                            value = None
+                elif ctype == "inlineStr":
+                    value = "".join(
+                        _unescape(m.group(1))
+                        for m in _T_RE.finditer(inner)) or None
+                elif ctype == "b":
+                    if vm:
+                        value = "TRUE" if vm.group(1).strip() == "1" \
+                            else "FALSE"
+                else:  # 'n', 'str', unknown: raw <v> text verbatim
+                    if vm:
+                        value = _unescape(vm.group(1))
+                        is_number = ctype == "n"
+                if value is None:
+                    continue  # empty cell: no row
+                out.append({
+                    "sheet_idx": s_idx, "row_idx": r, "col_idx": c,
+                    "value": value, "is_number": is_number,
+                })
+    out.sort(key=lambda d: (d["sheet_idx"], d["row_idx"], d["col_idx"]))
+    return out
+
+
+XLSX_CELL_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sheet_idx", T.IntegerType()),
+    T.StructField("row_idx", T.IntegerType()),
+    T.StructField("col_idx", T.IntegerType()),
+    T.StructField("value", T.StringType()),
+    T.StructField("is_number", T.BooleanType()),
+    T.StructField("status", T.StringType()),
+])
+
+
+def parse_xlsx_cells(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "text") -> DataFrame:
+    """(id, XLSXB64 payload) → one row per non-empty cell; hostile
+    payloads become one labeled error row per document."""
+    src = df.select(id_col, payload_col)
+    cols = [f.name for f in XLSX_CELL_SCHEMA.fields]
+
+    def gen(batches):
+        for b in batches:
+            out: list[dict] = []
+            for did, payload in zip(b[id_col].astype("int64"),
+                                    b[payload_col]):
+                p = str(payload or "")
+                try:
+                    if not p.startswith(XLSX_B64_PREFIX):
+                        raise XlsxError("not XLSX armor")
+                    buf = base64.b64decode(
+                        p[len(XLSX_B64_PREFIX):], validate=True)
+                    for cell in parse_xlsx_cells_bytes(buf):
+                        cell = dict(cell)
+                        cell["doc_id"] = int(did)
+                        cell["status"] = "ok"
+                        out.append(cell)
+                except (XlsxError, binascii.Error, ValueError) as exc:
+                    out.append({
+                        "doc_id": int(did), "sheet_idx": -1, "row_idx": -1,
+                        "col_idx": -1, "value": None, "is_number": None,
+                        "status": f"xlsx_error:{type(exc).__name__}",
+                    })
+                except Exception:
+                    out.append({
+                        "doc_id": int(did), "sheet_idx": -1, "row_idx": -1,
+                        "col_idx": -1, "value": None, "is_number": None,
+                        "status": "xlsx_error",
+                    })
+            yield pd.DataFrame(out, columns=cols)
+
+    return src.mapInPandas(gen, schema=XLSX_CELL_SCHEMA)
+
+
+def _esc(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def _rc_to_ref(row: int, col: int) -> str:
+    letters = ""
+    c = col + 1
+    while c:
+        c, rem = divmod(c - 1, 26)
+        letters = chr(65 + rem) + letters
+    return f"{letters}{row + 1}"
+
+
+def build_xlsx(sheets: list[list[list]]) -> bytes:
+    """Testkit writer: sheets of rows of cells (str → shared string,
+    int/float → number, bool → boolean) → minimal valid .xlsx."""
+    shared: list[str] = []
+    shared_idx: dict[str, int] = {}
+
+    def sid(s: str) -> int:
+        if s not in shared_idx:
+            shared_idx[s] = len(shared)
+            shared.append(s)
+        return shared_idx[s]
+
+    sheet_parts = []
+    for rows in sheets:
+        body = []
+        for r, row in enumerate(rows):
+            cells = []
+            for c, v in enumerate(row):
+                if v is None:
+                    continue
+                ref = _rc_to_ref(r, c)
+                if isinstance(v, bool):
+                    cells.append(
+                        f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>')
+                elif isinstance(v, (int, float)):
+                    cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+                else:
+                    cells.append(
+                        f'<c r="{ref}" t="s"><v>{sid(str(v))}</v></c>')
+            body.append(f'<row r="{r + 1}">' + "".join(cells) + "</row>")
+        sheet_parts.append(
+            '<?xml version="1.0"?><worksheet xmlns="http://schemas.'
+            'openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+            + "".join(body) + "</sheetData></worksheet>")
+
+    ss = ('<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats'
+          '.org/spreadsheetml/2006/main" count="{n}" uniqueCount="{n}">'
+          .format(n=len(shared))
+          + "".join(f"<si><t>{_esc(s)}</t></si>" for s in shared)
+          + "</sst>")
+    wb_sheets = "".join(
+        f'<sheet name="Sheet{i + 1}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i in range(len(sheets)))
+    workbook = (
+        '<?xml version="1.0"?><workbook xmlns="http://schemas.'
+        'openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://'
+        'schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets>{wb_sheets}</sheets></workbook>")
+    rels = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+            'openxmlformats.org/package/2006/relationships">'
+            + "".join(
+                f'<Relationship Id="rId{i + 1}" Type="http://schemas.'
+                'openxmlformats.org/officeDocument/2006/relationships/'
+                f'worksheet" Target="worksheets/sheet{i + 1}.xml"/>'
+                for i in range(len(sheets)))
+            + f'<Relationship Id="rId{len(sheets) + 1}" Type="http://'
+            'schemas.openxmlformats.org/officeDocument/2006/relationships'
+            '/sharedStrings" Target="sharedStrings.xml"/>'
+            '</Relationships>')
+    ctypes = ('<?xml version="1.0"?><Types xmlns="http://schemas.'
+              'openxmlformats.org/package/2006/content-types">'
+              '<Default Extension="xml" ContentType="application/xml"/>'
+              '<Override PartName="/xl/workbook.xml" ContentType="applica'
+              'tion/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
+              '.main+xml"/></Types>')
+    root_rels = ('<?xml version="1.0"?><Relationships xmlns="http://'
+                 'schemas.openxmlformats.org/package/2006/relationships">'
+                 '<Relationship Id="rId1" Type="http://schemas.openxml'
+                 'formats.org/officeDocument/2006/relationships/office'
+                 'Document" Target="xl/workbook.xml"/></Relationships>')
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", ctypes)
+        zf.writestr("_rels/.rels", root_rels)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", ss)
+        for i, part in enumerate(sheet_parts):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", part)
+    return buf.getvalue()

@@ -11923,6 +11923,73 @@ FROM g GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_extraction_xlsx_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spreadsheet-payload parsing (the tabular office format beside
+    DOCX): documents armor into 1-2-sheet workbooks with shared
+    strings and numeric cells (flagship.doc_to_xlsx_payload); the
+    stdlib-zip SpreadsheetML reader (formats/xlsx.py: sharedStrings,
+    A1-ref resolution, cell types, per-sheet salvage) must reproduce
+    every (sheet_idx, row_idx, col_idx, value, is_number) cell.
+    Scale: armor + parse fused after one doc_id exchange; cells are
+    narrow rows, container bytes never leave the kernel."""
+    from .flagship import doc_to_xlsx_payload
+    from .formats.xlsx import parse_xlsx_cells
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 2)
+        .select("doc_id", "text")
+    )
+
+    import pandas as pd
+
+    def kernel(batches):
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "text": [doc_to_xlsx_payload(int(i), str(t_))
+                         for i, t_ in zip(ids, b["text"])],
+            })
+
+    payloads = d.repartition(16, "doc_id").mapInPandas(
+        kernel, schema="doc_id long, text string")
+    return parse_xlsx_cells(payloads).orderBy(
+        "doc_id", "sheet_idx", "row_idx", "col_idx")
+
+
+SQL_EXTRACTION_XLSX_CELLS = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 4 = 2),
+data AS (
+  SELECT doc_id, ws, CAST(j AS INTEGER) AS r
+  FROM w, UNNEST(range(2 + doc_id % 3)) AS t(j)),
+cells AS (
+  SELECT doc_id, 0 AS sheet_idx, 0 AS row_idx, c.col_idx,
+         c.v AS value, false AS is_number
+  FROM w, (VALUES (0, 'name'), (1, 'count')) AS c(col_idx, v)
+  UNION ALL
+  SELECT doc_id, 0, r + 1, 0,
+         CASE WHEN len(ws) > 2 * r THEN ws[2 * r + 1]
+              ELSE 'r' || CAST(r AS VARCHAR) END, false
+  FROM data
+  UNION ALL
+  SELECT doc_id, 0, r + 1, 1, CAST(doc_id + r AS VARCHAR), true FROM data
+  UNION ALL
+  SELECT doc_id, 1, 0, 0, 'extra', false FROM w WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id, 1, 0, 1, CAST(doc_id AS VARCHAR), true
+  FROM w WHERE doc_id % 2 = 1)
+SELECT doc_id, CAST(sheet_idx AS INT) AS sheet_idx,
+       CAST(row_idx AS INT) AS row_idx, CAST(col_idx AS INT) AS col_idx,
+       value, is_number, 'ok' AS status
+FROM cells ORDER BY doc_id, sheet_idx, row_idx, col_idx
+"""
+
+
 def q_transcripts_prefix_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation prefix-sharing census — the KV-cache-planning /
     template-detection signal: for each depth k, how many
@@ -13547,5 +13614,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "filter_k_anonymity": (
         q_filter_k_anonymity, SQL_FILTER_K_ANONYMITY
+    ),
+    "extraction_xlsx_cells": (
+        q_extraction_xlsx_cells, SQL_EXTRACTION_XLSX_CELLS
     ),
 }

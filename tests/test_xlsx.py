@@ -1,0 +1,93 @@
+"""XLSX cell extraction: types, refs, salvage, Spark path."""
+
+from __future__ import annotations
+
+import io
+import random
+import zipfile
+
+import pytest
+
+from pdf_parser_c_spark.formats.xlsx import (
+    XlsxError,
+    build_xlsx,
+    encode_xlsx_payload,
+    parse_xlsx_cells,
+    parse_xlsx_cells_bytes,
+)
+
+
+class TestParse:
+    def test_types_and_entities(self):
+        cells = parse_xlsx_cells_bytes(build_xlsx(
+            [[["a & b", 3], [True, 2.5]]]))
+        vals = {(c["row_idx"], c["col_idx"]): (c["value"], c["is_number"])
+                for c in cells}
+        assert vals[(0, 0)] == ("a & b", False)
+        assert vals[(0, 1)] == ("3", True)
+        assert vals[(1, 0)] == ("TRUE", False)
+        assert vals[(1, 1)] == ("2.5", True)
+
+    def test_multi_sheet_order_and_wide_refs(self):
+        # column AA (idx 26) resolves via the base-26 letters
+        row = [None] * 26 + ["wide"]
+        cells = parse_xlsx_cells_bytes(build_xlsx([[["x"]], [row]]))
+        assert cells[0]["sheet_idx"] == 0
+        assert cells[1] == {"sheet_idx": 1, "row_idx": 0, "col_idx": 26,
+                            "value": "wide", "is_number": False}
+
+    def test_missing_refs_follow_row(self):
+        # streaming-writer form: no r= on cells
+        sheet = ('<?xml version="1.0"?><worksheet><sheetData>'
+                 '<row r="3"><c t="inlineStr"><is><t>a</t></is></c>'
+                 "<c><v>7</v></c></row>"
+                 "<row><c><v>9</v></c></row>"
+                 "</sheetData></worksheet>")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        cells = parse_xlsx_cells_bytes(buf.getvalue())
+        assert [(c["row_idx"], c["col_idx"], c["value"]) for c in cells] \
+            == [(2, 0, "a"), (2, 1, "7"), (3, 0, "9")]
+
+    def test_broken_sheet_salvage(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("xl/worksheets/sheet1.xml", "<not xml")
+            zf.writestr("xl/worksheets/sheet2.xml",
+                        "<worksheet><sheetData><row r=\"1\">"
+                        '<c r="A1"><v>5</v></c></row></sheetData>'
+                        "</worksheet>")
+        cells = parse_xlsx_cells_bytes(buf.getvalue())
+        assert len(cells) == 1 and cells[0]["sheet_idx"] == 1
+
+    def test_not_a_zip_raises(self):
+        with pytest.raises(XlsxError):
+            parse_xlsx_cells_bytes(b"not a zip at all")
+
+    def test_bit_flip_fuzz(self):
+        rng = random.Random(9)
+        base = build_xlsx([[["a", 1], ["b", 2]]])
+        for _ in range(200):
+            data = bytearray(base)
+            data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+            try:
+                parse_xlsx_cells_bytes(bytes(data))
+            except XlsxError:
+                pass  # controlled failure only
+
+
+class TestSpark:
+    def test_cells_and_error_rows(self, spark):
+        ok = encode_xlsx_payload(build_xlsx([[["h"], [1]]]))
+        df = spark.createDataFrame(
+            [(1, ok), (2, "XLSXB64:!!!"), (3, "plain")],
+            "doc_id long, text string")
+        rows = parse_xlsx_cells(df).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert [r.value for r in sorted(by_doc[1],
+                                        key=lambda r: r.row_idx)] == ["h", "1"]
+        assert by_doc[2][0].status.startswith("xlsx_error")
+        assert by_doc[3][0].status.startswith("xlsx_error")
