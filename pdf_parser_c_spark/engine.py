@@ -102,12 +102,13 @@ def _decode_armor(payload: str) -> bytes:
 
 def classify_payload(s: pd.Series) -> pd.Series:
     """Vectorized payload sniff:
-    'pdf' | 'warc' | 'docx' | 'eml' | 'epub' | 'ipynb' | 'rtf' | 'latex' |
-    'md' | 'html' | 'plain'."""
+    'pdf' | 'warc' | 'docx' | 'eml' | 'epub' | 'odt' | 'ipynb' | 'rtf' |
+    'latex' | 'md' | 'html' | 'plain'."""
     from .formats.docx import DOCX_B64_PREFIX
     from .formats.email_msg import EML_B64_PREFIX
     from .formats.epub import EPUB_B64_PREFIX
     from .formats.ipynb import looks_like_ipynb
+    from .formats.odt import ODT_B64_PREFIX
     from .sources.warc import WARC_B64_PREFIX
 
     s = s.fillna("")
@@ -117,6 +118,7 @@ def classify_payload(s: pd.Series) -> pd.Series:
     kind[s.str.startswith(DOCX_B64_PREFIX)] = "docx"
     kind[s.str.startswith(EML_B64_PREFIX)] = "eml"
     kind[s.str.startswith(EPUB_B64_PREFIX)] = "epub"
+    kind[s.str.startswith(ODT_B64_PREFIX)] = "odt"
     maybe_html = (kind == "plain") & s.str.lstrip().str.startswith("<")
     if maybe_html.any():
         kind[maybe_html] = [
@@ -227,6 +229,7 @@ def _format_extractors() -> dict:
         from .formats.ipynb import extract_ipynb_text
         from .formats.latex import extract_latex_text
         from .formats.markdown_doc import extract_markdown_text
+        from .formats.odt import extract_odt_text
         from .formats.rtf import extract_rtf_text
         from .sources.warc import extract_warc_text
 
@@ -239,6 +242,7 @@ def _format_extractors() -> dict:
             "ipynb": extract_ipynb_text,
             "latex": extract_latex_text,
             "md": extract_markdown_text,
+            "odt": extract_odt_text,
         }
     return _FORMAT_EXTRACTORS
 

@@ -746,6 +746,24 @@ def doc_to_csv_payload(doc_id: int, text: str) -> str:
     return build_csv(rows)
 
 
+def doc_to_odt_payload(doc_id: int, text: str) -> str:
+    """ODT armor: 'Doc {id}' heading + 8-word paragraphs (words[0:24])
+    — the OpenDocument twin of the DOCX/RTF armor templates, expected
+    text 'Doc {id}' + newline-joined 8-word rows."""
+    from .formats.odt import build_odt, encode_odt_payload
+
+    w = text.split()
+    paras = [
+        " ".join(w[i: i + 8]) for i in range(0, min(len(w), 24), 8)
+    ]
+    return encode_odt_payload(
+        build_odt([p for p in paras if p], heading=f"Doc {doc_id}"))
+
+
+build_odt_transcripts_from_documents = _single_kind_armor_builder(
+    doc_to_odt_payload)
+
+
 def doc_to_xlsx_payload(doc_id: int, text: str) -> str:
     """XLSX armor: sheet 1 = header (name, count) + 2 + doc_id % 3
     data rows (name = words[2r] or 'r{r}', count = doc_id + r); odd

@@ -1,0 +1,168 @@
+"""ODT (OpenDocument Text) extraction.
+
+The LibreOffice/OpenOffice half of the office payload class.  An .odt
+file is a ZIP container whose ``content.xml`` holds text as
+``<text:p>`` paragraphs and ``<text:h>`` headings inside
+``<office:body>`` (OASIS ODF §5); this module reads it with the
+stdlib ``zipfile`` and a scanner — the docx/epub posture:
+
+* ``<text:p>`` / ``<text:h>`` → newline-separated blocks (empty
+  blocks dropped; headings are their own block),
+* ``<text:tab/>`` → tab, ``<text:line-break/>`` → newline inside the
+  block, ``<text:s text:c="n"/>`` → n spaces (default 1),
+* spans and other inline elements are transparent,
+* ``<text:note>`` bodies (footnotes/endnotes) and
+  ``<office:annotation>`` bodies drop — they are apparatus, not
+  running text,
+* XML entities decode; hostile input maps to a status row.
+
+Payloads ride the ``text`` column as ``ODTB64:`` armor; the kernel
+classifies and routes them beside docx/epub.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import io
+import re
+import zipfile
+
+ODT_B64_PREFIX = "ODTB64:"
+
+
+class OdtError(ValueError):
+    pass
+
+
+def encode_odt_payload(buf: bytes) -> str:
+    return ODT_B64_PREFIX + base64.b64encode(buf).decode("ascii")
+
+
+_TOKEN_RE = re.compile(
+    r"<text:(?P<open>p|h|tab|line-break|s|note)(?P<attrs>\s[^>]*?)?"
+    r"(?P<selfclose>/)?>"
+    r"|</text:(?P<close>p|h|note)>"
+    r"|<office:annotation(\s[^>]*?)?>|</office:annotation>",
+    re.S)
+_C_ATTR = re.compile(r'text:c="(\d+)"')
+
+
+def _unescape(s: str) -> str:
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        s = s.replace(ent, ch)
+    return s
+
+
+def odt_to_text(content_xml: str) -> str:
+    m = re.search(r"<office:body(\s[^>]*)?>", content_xml)
+    src = content_xml[m.end():] if m else content_xml
+    blocks: list[str] = []
+    cur: list[str] = []
+    in_block = 0
+    drop = 0  # inside note/annotation
+    pos = 0
+    for tok in _TOKEN_RE.finditer(src):
+        if in_block and not drop and tok.start() > pos:
+            cur.append(_unescape(re.sub(r"<[^>]*>", "",
+                                        src[pos:tok.start()])))
+        pos = tok.end()
+        g = tok.group(0)
+        if g.startswith("<office:annotation"):
+            drop += 1
+            continue
+        if g == "</office:annotation>":
+            drop = max(0, drop - 1)
+            continue
+        tag = tok.group("open")
+        closing = tok.group("close")
+        if closing == "note":
+            drop = max(0, drop - 1)
+            continue
+        if tag == "note":
+            drop += 1
+            continue
+        if drop:  # p/h inside a dropped note must not touch in_block
+            continue
+        if closing in ("p", "h"):
+            if in_block:
+                in_block -= 1
+                if not in_block:
+                    text = "".join(cur).strip()
+                    if text:
+                        blocks.append(re.sub(r"[ \t]+(\n)", r"\1", text))
+                    cur = []
+            continue
+        if tag in ("p", "h") and not tok.group("selfclose"):
+            if in_block:
+                in_block += 1  # nested block (rare): flatten
+            else:
+                in_block = 1
+            continue
+        if not in_block:
+            continue
+        if tag == "tab":
+            cur.append("\t")
+        elif tag == "line-break":
+            cur.append("\n")
+        elif tag == "s":
+            n = _C_ATTR.search(tok.group("attrs") or "")
+            cur.append(" " * (int(n.group(1)) if n else 1))
+    if in_block and not drop and pos < len(src):
+        tail = _unescape(re.sub(r"<[^>]*>", "", src[pos:])).strip()
+        if tail:
+            blocks.append(tail)
+    return "\n".join(blocks)
+
+
+def extract_odt_text(payload: str) -> dict:
+    """Kernel contract shared by every format extractor."""
+    try:
+        if not payload.startswith(ODT_B64_PREFIX):
+            raise OdtError("not ODT armor")
+        buf = base64.b64decode(payload[len(ODT_B64_PREFIX):], validate=True)
+        try:
+            zf = zipfile.ZipFile(io.BytesIO(buf))
+            xml = zf.read("content.xml").decode("utf-8", "replace")
+        except (zipfile.BadZipFile, KeyError, ValueError) as exc:
+            raise OdtError(f"container: {exc}") from exc
+        text = odt_to_text(xml)
+    except (OdtError, binascii.Error, ValueError) as exc:
+        return {"text": "", "status": "malformed",
+                "error": f"odt: {exc}"}
+    except Exception as exc:
+        return {"text": "", "status": "error",
+                "error": f"{type(exc).__name__}: {exc}"}
+    return {"text": text, "status": "ok" if text else "empty", "error": ""}
+
+
+def _esc(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def build_odt(blocks: list[str], heading: str | None = None) -> bytes:
+    """Testkit writer: minimal valid ODT (mimetype first + stored,
+    per the ODF package rules)."""
+    paras = ""
+    if heading is not None:
+        paras += (f'<text:h text:outline-level="1">{_esc(heading)}'
+                  "</text:h>")
+    for b in blocks:
+        paras += f"<text:p>{_esc(b)}</text:p>"
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:text>"
+        + paras +
+        "</office:text></office:body></office:document-content>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zi = zipfile.ZipInfo("mimetype")
+        zf.writestr(zi, "application/vnd.oasis.opendocument.text",
+                    compress_type=zipfile.ZIP_STORED)
+        zf.writestr("content.xml", content)
+    return buf.getvalue()

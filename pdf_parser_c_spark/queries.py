@@ -11923,6 +11923,50 @@ FROM g GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_extraction_odt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn TEXT EQUALITY for the ODT path (OpenDocument, the
+    LibreOffice office format): documents armor into heading +
+    8-word-paragraph ODT containers (flagship.doc_to_odt_payload);
+    the kernel classifies ``ODTB64:`` and the content.xml scanner
+    (formats/odt.py: text:p/h blocks, tab/line-break/s expansion,
+    note/annotation drops) must reproduce the DuckDB reconstruction —
+    the same expected template as the DOCX/RTF paths.
+    Scale: same fused armor+extract single-stage plan."""
+    from .engine import extract_turns
+    from .flagship import build_odt_transcripts_from_documents
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 4)
+    tr = build_odt_transcripts_from_documents(spark, docs, num_partitions=16)
+    out = extract_turns(tr, repartition=False)
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
+    return out.select(doc_id, "kind", "status", "text").orderBy("doc_id")
+
+
+SQL_EXTRACTION_ODT_ROUNDTRIP = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 5 = 4),
+paras AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             range(CAST(ceil(least(len(ws), 24) / 8.0) AS BIGINT)),
+             k -> array_to_string(ws[1 + k * 8: (k + 1) * 8], ' ')),
+           x -> x <> '') AS body
+  FROM w)
+SELECT doc_id, 'odt' AS kind, 'ok' AS status,
+       'Doc ' || CAST(doc_id AS VARCHAR) ||
+       CASE WHEN len(body) > 0
+            THEN chr(10) || array_to_string(body, chr(10))
+            ELSE '' END AS text
+FROM paras ORDER BY doc_id
+"""
+
+
 def q_extraction_xlsx_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spreadsheet-payload parsing (the tabular office format beside
     DOCX): documents armor into 1-2-sheet workbooks with shared
@@ -13617,5 +13661,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_xlsx_cells": (
         q_extraction_xlsx_cells, SQL_EXTRACTION_XLSX_CELLS
+    ),
+    "extraction_odt_roundtrip": (
+        q_extraction_odt_roundtrip, SQL_EXTRACTION_ODT_ROUNDTRIP
     ),
 }

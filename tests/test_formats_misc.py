@@ -239,3 +239,43 @@ class TestClassifyPrecedence:
         nb = '{"cells": [], "nbformat": 4, "metadata": {}}'
         assert list(classify_payload(pd.Series([rtf, nb]))) == [
             "rtf", "ipynb"]
+
+
+class TestOdt:
+    def test_blocks_tabs_notes(self):
+        from pdf_parser_c_spark.formats.odt import odt_to_text
+
+        xml = ("<office:body><office:text>"
+               "<text:h>Head</text:h>"
+               "<text:p>a<text:tab/>b"
+               "<text:note><text:p>footnote drop</text:p></text:note>"
+               "c<text:s text:c=\"2\"/>d<text:line-break/>e</text:p>"
+               "<text:p><text:span>span</text:span> kept &amp; ok</text:p>"
+               "</office:text></office:body>")
+        assert odt_to_text(xml) == "Head\na\tbc  d\ne\nspan kept & ok"
+
+    def test_container_and_errors(self):
+        from pdf_parser_c_spark.formats.odt import (
+            build_odt,
+            encode_odt_payload,
+            extract_odt_text,
+        )
+
+        p = encode_odt_payload(build_odt(["body words"], heading="H"))
+        assert extract_odt_text(p)["text"] == "H\nbody words"
+        assert extract_odt_text("ODTB64:!!!")["status"] == "malformed"
+        assert extract_odt_text(
+            encode_odt_payload(b"not a zip"))["status"] == "malformed"
+
+    def test_kernel_kind(self, spark):
+        from pdf_parser_c_spark.engine import extract_turns
+        from pdf_parser_c_spark.flagship import (
+            build_odt_transcripts_from_documents,
+        )
+
+        docs = spark.createDataFrame([(4, TEXT)], "doc_id long, text string")
+        rows = extract_turns(
+            build_odt_transcripts_from_documents(spark, docs),
+            repartition=False).collect()
+        assert rows[0].kind == "odt" and rows[0].status == "ok"
+        assert rows[0].text.startswith("Doc 4\nalpha beta")

@@ -30,7 +30,12 @@ def _norm_cell(v):
 
 def _norm(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    # None-safe sort (NULLs first within a column), matching
+    # scripts/check_oracles.py
+    return sorted(
+        (tuple(_norm_cell(r[i]) for i in order) for r in rows),
+        key=lambda tup: tuple((v is not None, v) for v in tup),
+    )
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
