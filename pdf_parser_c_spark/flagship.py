@@ -798,14 +798,14 @@ def doc_to_mp3_payload(doc_id: int, text: str) -> str:
 
 
 MULTIFORMAT_KINDS = ("pdf", "html", "plain", "docx", "eml", "ipynb",
-                     "rtf", "epub", "warc", "latex", "md")
+                     "rtf", "epub", "warc", "latex", "md", "odt")
 
 
 def doc_to_multiformat_payload(doc_id: int, text: str) -> str:
-    """Route a document to one of the ELEVEN payload armorers by
-    doc_id % 11 (order: MULTIFORMAT_KINDS) — the whole-dispatch armor
+    """Route a document to one of the TWELVE payload armorers by
+    doc_id % 12 (order: MULTIFORMAT_KINDS) — the whole-dispatch armor
     for the multiformat census."""
-    mode = doc_id % 11
+    mode = doc_id % 12
     if mode == 0:
         return doc_to_pdf_payload(doc_id, text)
     if mode == 1:
@@ -826,7 +826,9 @@ def doc_to_multiformat_payload(doc_id: int, text: str) -> str:
         return doc_to_warc_payload(doc_id, text)
     if mode == 9:
         return doc_to_latex_payload(doc_id, text)
-    return doc_to_md_payload(doc_id, text)
+    if mode == 10:
+        return doc_to_md_payload(doc_id, text)
+    return doc_to_odt_payload(doc_id, text)
 
 
 build_multiformat_transcripts_from_documents = _single_kind_armor_builder(

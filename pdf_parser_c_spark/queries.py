@@ -12250,17 +12250,17 @@ FROM f GROUP BY doc_id ORDER BY doc_id
 
 
 def q_extraction_multiformat_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WHOLE-DISPATCH census — the capstone over the kernel's eleven
+    """WHOLE-DISPATCH census — the capstone over the kernel's twelve
     payload kinds: every document is armored into the format chosen by
-    doc_id % 11 (pdf, html, plain, docx, eml, ipynb, rtf, epub, warc,
-    latex, md — flagship.doc_to_multiformat_payload), pushed through
-    ONE extract_turns pass, and the per-kind (n_turns, n_ok, total
-    extracted chars) census must equal the union of the eleven
+    doc_id % 12 (pdf, html, plain, docx, eml, ipynb, rtf, epub, warc,
+    latex, md, odt — flagship.doc_to_multiformat_payload), pushed
+    through ONE extract_turns pass, and the per-kind (n_turns, n_ok,
+    total extracted chars) census must equal the union of the twelve
     armor-template reconstructions in DuckDB.  One query proving the
     classify→route→extract surface end-to-end in a single scan — the
     production shape for a mixed corpus.
     Scale: identical plan to the production job (scan → one exchange →
-    armor + kernel fused); census is an 11-row aggregate."""
+    armor + kernel fused); census is a 12-row aggregate."""
     from .engine import extract_turns
     from .flagship import build_multiformat_transcripts_from_documents
 
@@ -12281,7 +12281,7 @@ def q_extraction_multiformat_census(spark: SparkSession, sf_dir: str) -> DataFra
 
 SQL_EXTRACTION_MULTIFORMAT_CENSUS = r"""
 WITH w AS (
-  SELECT doc_id, doc_id % 11 AS mode,
+  SELECT doc_id, doc_id % 12 AS mode,
          trim(regexp_replace(text, '\s+', ' ', 'g')) AS collapsed,
          list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
                                   ' '), x -> x <> '') AS ws,
@@ -12348,14 +12348,18 @@ lens AS (
       WHEN 9 THEN length(array_to_string(list_filter(
              ['Doc ' || CAST(doc_id AS VARCHAR), sl1, sl2, sl3, sl4, sl5],
              x -> x <> ''), chr(10)))
-      ELSE length(array_to_string(list_filter(
+      WHEN 10 THEN length(array_to_string(list_filter(
              ['Doc ' || CAST(doc_id AS VARCHAR), sl1, sl2, sl3, sl4,
               'code ' || CAST(doc_id AS VARCHAR), sl5],
              x -> x <> ''), chr(10)))
+      ELSE length('Doc ' || CAST(doc_id AS VARCHAR))
+           + CASE WHEN len(rtf_body) > 0
+                  THEN 1 + length(array_to_string(rtf_body, chr(10)))
+                  ELSE 0 END
     END AS text_len
   FROM parts)
 SELECT (['pdf', 'html', 'plain', 'docx', 'eml', 'ipynb', 'rtf', 'epub',
-         'warc', 'latex', 'md'])[mode + 1] AS kind,
+         'warc', 'latex', 'md', 'odt'])[mode + 1] AS kind,
        count(*) AS n_turns,
        CAST(sum(CASE WHEN mode = 2 AND text_len = 0 THEN 0 ELSE 1 END)
             AS BIGINT) AS n_ok,
