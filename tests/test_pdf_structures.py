@@ -83,3 +83,65 @@ class TestArmor:
         from pdf_parser_c_spark.extract.document import parse_pdf_bytes
 
         assert parse_pdf_bytes(pdf).status == "ok"
+
+
+class TestStructTree:
+    """Tagged-PDF structure harvest (ISO 32000 §14.7)."""
+
+    def _tagged(self):
+        from pdf_parser_c_spark.testkit.gen_pdf import (
+            FontSpec, PageSpec, build_pdf, tj_marked,
+        )
+
+        content = (tj_marked(72, 700, "F1", 14, "Head", 0, tag="H1")
+                   + tj_marked(72, 650, "F1", 10, "body one", 1)
+                   + tj_marked(72, 600, "F1", 10, "body two", 2))
+        return build_pdf(
+            [PageSpec(content)], {"F1": FontSpec("Helvetica")},
+            struct_tree=[(0, "Document", 0, -1), (1, "H1", 0, 0),
+                         (1, "P", 0, 1), (2, "Span", 0, 2)])
+
+    def test_preorder_roles_and_text(self):
+        from pdf_parser_c_spark.operators.pdf_media import (
+            _struct_rows_for_pdf,
+        )
+
+        rows = _struct_rows_for_pdf(self._tagged())
+        assert [(r["order_idx"], r["depth"], r["role"], r["text"])
+                for r in rows] == [
+            (0, 0, "Document", ""), (1, 1, "H1", "Head"),
+            (2, 1, "P", "body one"), (3, 2, "Span", "body two")]
+
+    def test_text_path_undisturbed(self):
+        # MCID marked-content wrappers must not change extracted text
+        from pdf_parser_c_spark.extract.document import parse_pdf_bytes
+
+        doc = parse_pdf_bytes(self._tagged())
+        assert doc.status == "ok"
+        assert "Head" in doc.text and "body one" in doc.text
+
+    def test_untagged_pdf_yields_no_rows(self):
+        from pdf_parser_c_spark.operators.pdf_media import (
+            _struct_rows_for_pdf,
+        )
+        from pdf_parser_c_spark.testkit.gen_pdf import (
+            FontSpec, PageSpec, build_pdf, tj,
+        )
+
+        pdf = build_pdf([PageSpec(tj(72, 700, "F1", 10, "x"))],
+                        {"F1": FontSpec("Helvetica")})
+        assert _struct_rows_for_pdf(pdf) == []
+
+    def test_spark_operator(self, spark):
+        from pdf_parser_c_spark.engine import encode_pdf_payload
+        from pdf_parser_c_spark.operators.pdf_media import (
+            extract_pdf_structure,
+        )
+
+        df = spark.createDataFrame(
+            [("c1", 0, encode_pdf_payload(self._tagged())),
+             ("c1", 1, "plain turn skipped")],
+            "conv_id string, turn_idx int, text string")
+        rows = extract_pdf_structure(df).collect()
+        assert len(rows) == 4
+        assert {r.role for r in rows} == {"Document", "H1", "P", "Span"}
