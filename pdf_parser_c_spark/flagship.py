@@ -28,6 +28,7 @@ from .testkit.gen_pdf import (
     text_block,
     tj,
     tj_bytes,
+    tj_marked,
 )
 
 _FONTS = {
@@ -744,6 +745,32 @@ def doc_to_csv_payload(doc_id: int, text: str) -> str:
                 if len(w) > 2 * r + 1 else "x")
         rows.append([name, str(doc_id + r), note])
     return build_csv(rows)
+
+
+def doc_to_tagged_pdf_payload(doc_id: int, text: str) -> str:
+    """Tagged-PDF armor: an accessibility structure tree — Document
+    root, H1 'Doc {id}' (MCID 0), one or two P elements over 8-word
+    slices (MCIDs 1, 2; empty slices omitted) — with the content
+    stream's show-texts wrapped in the matching /MCID marked-content
+    sequences (gen_pdf.tj_marked + struct_tree)."""
+    w = text.split()
+    content = tj_marked(72, 700, "F1", 14, f"Doc {doc_id}", 0, tag="H1")
+    tree = [(0, "Document", 0, -1), (1, "H1", 0, 0)]
+    mcid, y = 1, 650
+    for a, b in ((0, 8), (8, 16)):
+        p = " ".join(w[a:b])
+        if p:
+            content += tj_marked(72, y, "F1", 10, p, mcid)
+            tree.append((1, "P", 0, mcid))
+            mcid += 1
+            y -= 40
+    pdf = build_pdf([PageSpec(content)], _FONTS, title=f"Doc {doc_id}",
+                    struct_tree=tree)
+    return encode_pdf_payload(pdf)
+
+
+build_tagged_pdf_transcripts_from_documents = _single_kind_armor_builder(
+    doc_to_tagged_pdf_payload)
 
 
 def doc_to_odt_payload(doc_id: int, text: str) -> str:

@@ -395,6 +395,131 @@ def _outline_rows_for_pdf(pdf: bytes) -> list[dict]:
     return rows
 
 
+STRUCT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("order_idx", T.IntegerType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("page", T.IntegerType()),
+        T.StructField("n_mcids", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def _page_num_index(doc) -> dict[int, int]:
+    """Page object NUMBER → document-order index (shared by the
+    outline and structure walks: /Pg and /Dest hold Refs)."""
+    from ..pdf import cos
+
+    page_index: dict[int, int] = {}
+    walked: set[int] = set()
+
+    def index_pages(node_ref) -> None:
+        num = node_ref.num if isinstance(node_ref, cos.Ref) else None
+        node = doc.resolve(node_ref)
+        if not isinstance(node, dict) or len(page_index) > 10000:
+            return
+        if num is not None:
+            if num in walked:
+                return
+            walked.add(num)
+        if node.get("Type") == cos.Name("Pages") or "Kids" in node:
+            for kid in doc.dget(node, "Kids", []) or []:
+                index_pages(kid)
+        elif num is not None:
+            page_index[num] = len(page_index)
+
+    index_pages(doc.catalog.get("Pages"))
+    return page_index
+
+
+def _struct_rows_for_pdf(pdf: bytes) -> list[dict]:
+    """Tagged-PDF structure harvest (ISO 32000 §14.7): preorder walk
+    of /StructTreeRoot emitting (order, depth, role, page, text) —
+    text resolved through each element's /K MCIDs against the
+    marked-content sequences the interpreter recorded per page
+    (poppler exposes the same via StructTreeRoot/StructElement).
+    The author-declared logical structure beside the layout-inferred
+    section_tree."""
+    from ..pdf import cos
+    from ..pdf.content import ContentInterpreter
+
+    doc = cos.PDFDocument.open(pdf)
+    root = doc.resolve(doc.dget(doc.catalog, "StructTreeRoot"))
+    rows: list[dict] = []
+    if not isinstance(root, dict):
+        return rows
+    page_index = _page_num_index(doc)
+
+    # text per (page_idx, mcid) — one interpreter pass per page
+    mcid_text: dict[tuple[int, int], str] = {}
+    for p_idx, page in enumerate(doc.pages()):
+        try:
+            x1, y1, x2, y2 = doc.page_mediabox(page)
+            rotate = int(doc.resolve(page.get("Rotate")) or 0)
+            interp = ContentInterpreter(doc, (x1, y1, x2, y2),
+                                        rotate=rotate)
+            glyphs = interp.run(doc.page_content(page),
+                                doc.dget(page, "Resources"))
+            for mcid, a, b in interp.mcid_ranges:
+                mcid_text[(p_idx, mcid)] = "".join(
+                    g.text for g in glyphs[a:b])
+        except Exception:
+            continue  # damaged page: structure text degrades to ''
+
+    seen: set[int] = set()
+
+    def walk(node_ref, depth: int) -> None:
+        node = doc.resolve(node_ref)
+        if not isinstance(node, dict) or len(rows) >= _MAX_OUTLINE_NODES:
+            return
+        key = id(node)
+        if key in seen:
+            return
+        seen.add(key)
+        s = doc.resolve(node.get("S"))
+        role = s.name if isinstance(s, cos.Name) else ""
+        pg = node.get("Pg")
+        p_idx = page_index.get(pg.num) if isinstance(pg, cos.Ref) else None
+        k = doc.resolve(node.get("K"))
+        kids = k if isinstance(k, list) else [] if k is None else [k]
+        mcids: list[int] = []
+        child_refs = []
+        for kid in kids:
+            kv = doc.resolve(kid)
+            if isinstance(kv, (int, float)):
+                mcids.append(int(kv))
+            elif isinstance(kv, dict) and kv.get("Type") == cos.Name("MCR"):
+                m = doc.resolve(kv.get("MCID"))
+                if isinstance(m, (int, float)):
+                    mcids.append(int(m))
+                mpg = kv.get("Pg")
+                if isinstance(mpg, cos.Ref) and p_idx is None:
+                    p_idx = page_index.get(mpg.num)
+            elif isinstance(kv, dict):
+                child_refs.append(kid)
+        text = "".join(
+            mcid_text.get((p_idx, m), "") for m in mcids
+        ) if p_idx is not None else ""
+        if role:  # StructTreeRoot itself has no /S
+            rows.append({
+                "order_idx": len(rows), "depth": depth, "role": role,
+                "page": p_idx, "n_mcids": len(mcids),
+                "text": text, "status": "ok",
+            })
+        for kid in child_refs:
+            walk(kid, depth + 1)
+
+    k = doc.resolve(root.get("K"))
+    for top in (k if isinstance(k, list) else [] if k is None else [k]):
+        walk(top, 0)
+    return rows
+
+
 FORM_FIELD_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType()),
@@ -490,4 +615,10 @@ extract_pdf_form_fields = _pdf_rows_operator(
     _form_rows_for_pdf, FORM_FIELD_SCHEMA,
     {"field_idx": -1, "name": None, "ftype": None, "value": None,
      "status": "doc_error"},
+)
+
+extract_pdf_structure = _pdf_rows_operator(
+    _struct_rows_for_pdf, STRUCT_SCHEMA,
+    {"order_idx": -1, "depth": -1, "role": None, "page": None,
+     "n_mcids": 0, "text": None, "status": "doc_error"},
 )

@@ -120,6 +120,9 @@ class ContentInterpreter:
 
     def run(self, content: bytes, resources: dict | None) -> list[Glyph]:
         self.glyphs = []
+        # tagged-PDF harvest surface: (mcid, glyph_start, glyph_end)
+        # per marked-content sequence carrying /MCID (§14.7.5.3)
+        self.mcid_ranges: list[tuple[int, int, int]] = []
         self._exec(content, resources or {}, self.base_ctm, depth=0)
         return self.glyphs
 
@@ -158,7 +161,7 @@ class ContentInterpreter:
         # ActualText span state (poppler.patch:122-151 semantics);
         # each BDC/BMC pushes (actual_text | None, oc_hid) so EMC can
         # unwind both the span and the optional-content suppression
-        mc_stack: list[tuple[str | None, bool]] = []
+        mc_stack: list[tuple[str | None, bool, tuple[int, int] | None]] = []
         span_buf: list[Glyph] | None = None
         span_depth = 0
         # optional-content state (§8.11, poppler Gfx::ocState): >0 while
@@ -431,23 +434,31 @@ class ContentInterpreter:
                         hid = True
                         oc_hidden += 1
                     actual = None
+                    mcid_open = None
                     if isinstance(props, dict):
                         at = doc.resolve(props.get("ActualText"))
                         if isinstance(at, bytes):
                             from .cos import decode_text_string
 
                             actual = decode_text_string(at)
-                    mc_stack.append((actual, hid))
+                        mcid = doc.resolve(props.get("MCID"))
+                        if isinstance(mcid, (int, float)):
+                            mcid_open = (int(mcid), len(self.glyphs))
+                    mc_stack.append((actual, hid, mcid_open))
                     if actual is not None and span_buf is None:
                         span_buf = []
                         span_depth = len(mc_stack)
                 elif op == "BMC":
-                    mc_stack.append((None, False))
+                    mc_stack.append((None, False, None))
                 elif op == "EMC":
                     if mc_stack:
-                        actual, hid = mc_stack.pop()
+                        actual, hid, mcid_open = mc_stack.pop()
                         if hid:
                             oc_hidden -= 1
+                        if mcid_open is not None:
+                            self.mcid_ranges.append(
+                                (mcid_open[0], mcid_open[1],
+                                 len(self.glyphs)))
                         if span_buf is not None and len(mc_stack) == span_depth - 1:
                             flush_span(actual or "")
                 elif op == "Do" and stack and isinstance(stack[-1], Name):

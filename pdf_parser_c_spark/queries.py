@@ -11923,6 +11923,65 @@ FROM g GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_extraction_pdf_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged-PDF logical structure harvest (ISO 32000 §14.7 — the
+    accessibility tree poppler exposes via StructTreeRoot): documents
+    armor into tagged PDFs (Document → H1 + P elements whose /K MCIDs
+    point at marked-content sequences in the page stream —
+    flagship.doc_to_tagged_pdf_payload); the harvest walks the tree,
+    resolves each element's MCIDs against the interpreter's recorded
+    marked-content glyph ranges, and must reproduce every
+    (order_idx, depth, role, n_mcids, text) row.  The author-declared
+    structure beside the layout-inferred section_tree.
+    Scale: one mapInPandas pass; the interpreter runs once per page
+    and the tree walk is metadata-sized."""
+    from .flagship import build_tagged_pdf_transcripts_from_documents
+    from .operators.pdf_media import extract_pdf_structure
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 3)
+    tr = build_tagged_pdf_transcripts_from_documents(
+        spark, docs, num_partitions=16)
+    rows = extract_pdf_structure(tr)
+    doc_id = (
+        F.substring("conv_id", 5, 6).cast("long") * 10 + F.col("turn_idx")
+    ).alias("doc_id")
+    return (
+        rows.select(doc_id, "order_idx", "depth", "role", "page",
+                    "n_mcids", "text", "status")
+        .orderBy("doc_id", "order_idx")
+    )
+
+
+SQL_EXTRACTION_PDF_STRUCTURE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 4 = 3),
+parts AS (
+  SELECT doc_id,
+         array_to_string(ws[1:8], ' ') AS p1,
+         array_to_string(ws[9:16], ' ') AS p2
+  FROM w),
+rows_ AS (
+  SELECT doc_id, 0 AS order_idx, 0 AS depth, 'Document' AS role,
+         0 AS n_mcids, '' AS text
+  FROM parts
+  UNION ALL
+  SELECT doc_id, 1, 1, 'H1', 1, 'Doc ' || CAST(doc_id AS VARCHAR)
+  FROM parts
+  UNION ALL
+  SELECT doc_id, 2, 1, 'P', 1, p1 FROM parts WHERE p1 <> ''
+  UNION ALL
+  SELECT doc_id, CASE WHEN p1 <> '' THEN 3 ELSE 2 END, 1, 'P', 1, p2
+  FROM parts WHERE p2 <> '')
+SELECT doc_id, CAST(order_idx AS INT) AS order_idx,
+       CAST(depth AS INT) AS depth, role, CAST(0 AS INT) AS page,
+       CAST(n_mcids AS INT) AS n_mcids, text, 'ok' AS status
+FROM rows_ ORDER BY doc_id, order_idx
+"""
+
+
 def q_extraction_odt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn TEXT EQUALITY for the ODT path (OpenDocument, the
     LibreOffice office format): documents armor into heading +
@@ -13668,5 +13727,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_odt_roundtrip": (
         q_extraction_odt_roundtrip, SQL_EXTRACTION_ODT_ROUNDTRIP
+    ),
+    "extraction_pdf_structure": (
+        q_extraction_pdf_structure, SQL_EXTRACTION_PDF_STRUCTURE
     ),
 }

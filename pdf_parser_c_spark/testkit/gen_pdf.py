@@ -342,6 +342,7 @@ def build_pdf(
     images: dict[str, "ImageSpec"] | None = None,
     outline: list[tuple[int, str, int]] | None = None,
     form_fields: list[tuple[str, str]] | None = None,
+    struct_tree: list[tuple[int, str, int, int]] | None = None,
 ) -> bytes:
     w = PDFWriter()
     catalog = w.reserve()
@@ -581,6 +582,35 @@ def build_pdf(
         arr = " ".join(f"{n} 0 R" for n in fns)
         acro = w.add(f"<< /Fields [ {arr} ] >>")
         cat_extra += f" /AcroForm {acro} 0 R"
+    if struct_tree:
+        # (level, role, page_idx, mcid) rows; mcid < 0 → grouping
+        # element with no content of its own (§14.7.2 structure tree)
+        st_root = w.reserve()
+        nodes = [w.reserve() for _ in struct_tree]
+        children: dict[int, list[int]] = {-1: []}
+        parent_of: dict[int, int] = {}
+        stack: list[tuple[int, int]] = []
+        for i, (lvl, _r, _p, _m) in enumerate(struct_tree):
+            while stack and stack[-1][0] >= lvl:
+                stack.pop()
+            parent = stack[-1][1] if stack else -1
+            parent_of[i] = parent
+            children.setdefault(parent, []).append(i)
+            children.setdefault(i, [])
+            stack.append((lvl, i))
+        for i, (_lvl, role, page_idx, mcid) in enumerate(struct_tree):
+            par = st_root if parent_of[i] == -1 else nodes[parent_of[i]]
+            pg = page_nums[min(page_idx, len(page_nums) - 1)]
+            ks = [f"{nodes[c]} 0 R" for c in children[i]]
+            if mcid >= 0:
+                ks.insert(0, str(mcid))
+            k = f" /K [ {' '.join(ks)} ]" if ks else ""
+            w.set(nodes[i],
+                  f"<< /Type /StructElem /S /{role} /P {par} 0 R"
+                  f" /Pg {pg} 0 R{k} >>")
+        top = " ".join(f"{nodes[i]} 0 R" for i in children[-1])
+        w.set(st_root, f"<< /Type /StructTreeRoot /K [ {top} ] >>")
+        cat_extra += f" /StructTreeRoot {st_root} 0 R"
     w.set(catalog,
           f"<< /Type /Catalog /Pages {pages_num} 0 R{cat_extra} >>")
     encrypt = None
@@ -601,6 +631,16 @@ def build_pdf(
 
 
 # ---------------- content-stream helpers ----------------
+
+
+def tj_marked(x: float, y: float, font: str, size: float, text: str,
+              mcid: int, tag: str = "P") -> str:
+    """A show-text fragment wrapped in a /MCID marked-content
+    sequence (tagged-PDF §14.7.5.3) so the structure tree can point
+    at it."""
+    return (f"/{tag} << /MCID {mcid} >> BDC\n"
+            + tj(x, y, font, size, text)
+            + "EMC\n")
 
 
 def tj(x: float, y: float, font: str, size: float, text: str) -> str:
