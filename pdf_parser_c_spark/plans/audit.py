@@ -148,6 +148,13 @@ def main() -> None:
         "extraction_feed_items": "RSS/Atom armor + item parse fused; narrow feed rows out",
         "extraction_mp3_frames": "MP3 armor + header walk fused; audio bytes never leave the kernel, rows are integer metadata",
         "pipeline_crawl_frontier": "sitemap parse one MapInPandas; robots bodies BroadcastExchange into the gate; host census is the only data exchange",
+        "extraction_csv_cells": "CSV armor + RFC 4180 parse fused; typed cell rows out",
+        "extraction_xlsx_cells": "XLSX armor + SpreadsheetML parse fused; container bytes never leave the kernel",
+        "extraction_odt_roundtrip": "ODT path: ODTB64 armor + content.xml scan fused after ONE doc_id exchange",
+        "extraction_pdf_structure": "tagged-PDF walk: armor + interpreter + tree walk in one MapInPandas stage",
+        "transcripts_sft_render": "offsets are window cumulative sums on the conv exchange; render string only inside the per-conv agg; spans join reuses the key",
+        "transcripts_prefix_sharing": "running prefix window on the conv key; census is the second (depth) exchange",
+        "filter_k_anonymity": "group counts ride ONE quasi-id window exchange; no self-join",
         "extraction_multiformat_census": "whole-dispatch capstone: ONE armor+extract pass over all eleven kinds; census is an 11-row aggregate",
         "filter_secret_scan": "secret scan: injection + 5-pattern detect + scrub + residual all map-side regexp codegen; the 6-row kind census is the corpus's ONLY exchange",
         "dedup_line_boilerplate": "line boilerplate: line-forming + md5 map-side, ONE (source, line-hash) exchange shipping 16-byte keys; per-source doc counts ride a BroadcastHashJoin — no doc pairs anywhere",
