@@ -867,3 +867,69 @@ def start_dedup_stream_native(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def frontier_stream(df: DataFrame, delay: str = "2 hours") -> DataFrame:
+    """Streaming crawl-frontier construction: sitemap payload turns →
+    parsed page entries → canonical URLs, each emitted AT MOST ONCE
+    within the watermark horizon (dropDuplicatesWithinWatermark on the
+    canonical form, so noisy variants — case, :443, tracking params —
+    collapse to one fetch).  Event time rides through the parse so the
+    dedup state stays bounded; sitemapindex rows pass through tagged
+    for the recursive fetcher.
+
+    Input schema: (doc_id long, ts timestamp, text string<sitemap>).
+    """
+    import pandas as pd
+
+    from ..functions.text import url_canonicalize
+    from ..sources.feeds import parse_sitemap
+
+    schema = ("doc_id long, ts timestamp, entry_idx int, is_index boolean,"
+              " loc string, lastmod string")
+
+    def gen(batches):
+        cols = ["doc_id", "ts", "entry_idx", "is_index", "loc", "lastmod"]
+        for b in batches:
+            out: list[dict] = []
+            for did, ts, payload in zip(
+                    b["doc_id"].astype("int64"), b["ts"], b["text"]):
+                for row in parse_sitemap(str(payload or "")):
+                    out.append({
+                        "doc_id": int(did), "ts": ts,
+                        "entry_idx": row["entry_idx"],
+                        "is_index": row["is_index"],
+                        "loc": row["loc"], "lastmod": row["lastmod"],
+                    })
+            yield pd.DataFrame(out, columns=cols)
+
+    rows = df.select("doc_id", "ts", "text").mapInPandas(gen, schema=schema)
+    pages = rows.withColumn("canonical", url_canonicalize("loc"))
+    return (
+        pages.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["canonical"])
+    )
+
+
+def start_frontier_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    delay: str = "2 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    raw = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .parquet(input_path)
+    )
+    writer = (
+        frontier_stream(raw, delay=delay)
+        .writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

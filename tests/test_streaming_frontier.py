@@ -1,0 +1,62 @@
+"""Streaming crawl-frontier: sitemap parse + watermarked canonical
+dedup across micro-batches and restarts."""
+
+import datetime
+
+import pandas as pd
+
+from pdf_parser_c_spark.sources.feeds import build_sitemap
+from pdf_parser_c_spark.streaming.pipeline import start_frontier_stream
+
+
+def _write(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+
+
+def test_frontier_stream_dedups_canonical(spark, tmp_path):
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    clean = build_sitemap([{"loc": "https://site1.example.com/p/1"}])
+    noisy = build_sitemap(
+        [{"loc": "HTTPS://Site1.Example.com:443/p/1?utm_source=x"},
+         {"loc": "https://site1.example.com/p/2"}])
+    _write(str(inp / "p0.parquet"), [(1, t0, clean), (2, t0, noisy)])
+    q = start_frontier_stream(spark, str(inp), out, ckpt,
+                              delay="30 minutes")
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    # the noisy variant of /p/1 collapsed onto the clean one
+    assert got.count() == 2
+    assert sorted(r.canonical for r in got.collect()) == [
+        "https://site1.example.com/p/1", "https://site1.example.com/p/2"]
+
+    # same canonical again within the horizon → suppressed on restart
+    _write(str(inp / "p1.parquet"), [(
+        3, t0 + datetime.timedelta(minutes=5),
+        build_sitemap([{"loc": "https://site1.example.com/p/1"}]))])
+    q2 = start_frontier_stream(spark, str(inp), out, ckpt,
+                               delay="30 minutes")
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_frontier_stream_index_rows_pass(spark, tmp_path):
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    idx = build_sitemap(
+        [{"loc": "https://site2.example.com/sitemap0.xml"}], index=True)
+    _write(str(inp / "p0.parquet"), [(1, t0, idx)])
+    q = start_frontier_stream(spark, str(inp), out, ckpt)
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0].is_index
