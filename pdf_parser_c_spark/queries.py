@@ -12253,6 +12253,76 @@ FROM urls GROUP BY 1 ORDER BY host
 """
 
 
+def q_extraction_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction pinned end-to-end: documents armor
+    into real PCM16 WAV payloads with constant amplitude
+    512·(1 + d1) and exactly 1 + d2 %% 3 seconds at 8 kHz (md5(doc_id)
+    digits d1, d2), so the decoded duration and RMS are EXACT
+    rationals DuckDB reconstructs from doc_id alone — the audio
+    analogue of the uniform-gray image census.
+    Scale: armor + decode fused in one mapInPandas stage; samples
+    never leave the kernel, rows are 6 columns."""
+    from .operators.multimodal import audio_features
+    from .operators.riff_codec import encode_wav
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 1)
+        .select("doc_id")
+    )
+
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for b in batches:
+            rows = []
+            for did in b["doc_id"].astype("int64"):
+                did = int(did)
+                hx = hashlib.md5(str(did).encode()).hexdigest()
+                amp = 512 * (1 + int(hx[0], 16))  # rms = (1+d)/64: terminates in 6 decimals, no rounding ties
+                secs = 1 + int(hx[1], 16) % 3
+                samples = np.full(8000 * secs, amp, dtype=np.int16)
+                rows.append({
+                    "conv_id": f"conv{did:06d}", "turn_idx": 0,
+                    "media_type": "audio",
+                    "payload": encode_wav(8000, samples),
+                    "meta": {"sample_rate": 8000},
+                })
+            yield pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "media_type",
+                               "payload", "meta"])
+
+    media = d.repartition(16, "doc_id").mapInPandas(
+        kernel,
+        schema=("conv_id string, turn_idx int, media_type string, "
+                "payload binary, meta map<string,int>"))
+    feats = audio_features(media)
+    return (
+        feats.select(
+            F.substring("conv_id", 5, 6).cast("long").alias("doc_id"),
+            "duration_s", "sample_rate", "rms", "decoder")
+        .orderBy("doc_id")
+    )
+
+
+SQL_EXTRACTION_WAV_FEATURES = """
+WITH hx AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE doc_id % 4 = 1)
+SELECT doc_id,
+       CAST(1 + CAST(('0x' || substr(h, 2, 1)) AS INT) % 3 AS DOUBLE)
+         AS duration_s,
+       8000 AS sample_rate,
+       round(512.0 * (1 + CAST(('0x' || substr(h, 1, 1)) AS INT))
+             / 32768.0, 6) AS rms,
+       'wav' AS decoder
+FROM hx ORDER BY doc_id
+"""
+
+
 def q_extraction_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality accounting WITHOUT decoding audio: documents
     armor into MPEG-1 Layer III frame sequences (CBR or VBR by doc_id,
@@ -13730,5 +13800,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_pdf_structure": (
         q_extraction_pdf_structure, SQL_EXTRACTION_PDF_STRUCTURE
+    ),
+    "extraction_wav_features": (
+        q_extraction_wav_features, SQL_EXTRACTION_WAV_FEATURES
     ),
 }
