@@ -11862,6 +11862,81 @@ ORDER BY conv, span_idx
 """
 
 
+def q_events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view-maintenance proof: the corpus splits into a
+    BASE partition and a DELTA (last 25% of event time), each
+    aggregates independently, and the MERGED partials must equal the
+    direct full aggregation — the mergeability contract a 100 TB
+    pipeline relies on to maintain daily rollups without full
+    recomputation.  The census emits both paths' numbers side by side
+    so a drift is visible in the row, not just a boolean.
+    Scale: the merge path is exactly how partial/final HashAggregate
+    already works inside one job; this pins it ACROSS jobs (base agg
+    persisted yesterday + today's delta)."""
+    ev = t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    cut = ev.agg(
+        F.percentile_approx(epoch, F.lit(0.75), F.lit(10000))
+    ).collect()[0][0]
+    base = ev.filter(epoch <= cut)
+    delta = ev.filter(epoch > cut)
+
+    def part(df, tag):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sv"),
+        ).withColumn("part", F.lit(tag))
+
+    merged = (
+        part(base, "base").unionByName(part(delta, "delta"))
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n_merged"),
+             F.round(F.sum("sv"), 2).alias("sum_merged"))
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_direct"),
+        F.round(F.sum("value"), 2).alias("sum_direct"),
+    )
+    return (
+        merged.join(direct, "event_type")
+        .select(
+            "event_type", "n_merged", "n_direct",
+            (F.col("n_merged") == F.col("n_direct")).alias("n_match"),
+            (F.abs(F.col("sum_merged") - F.col("sum_direct")) < 0.05)
+            .alias("sum_match"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_events_incremental_agg() -> str:
+    return """
+WITH cut AS (
+  SELECT approx_quantile(CAST(epoch(ts) AS BIGINT), 0.75) AS c FROM events),
+direct AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_direct,
+         round(sum(value), 2) AS sum_direct
+  FROM events GROUP BY event_type),
+parts AS (
+  SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
+  FROM events, cut WHERE CAST(epoch(ts) AS BIGINT) <= c
+  GROUP BY event_type
+  UNION ALL
+  SELECT event_type, count(*), round(sum(value), 2)
+  FROM events, cut WHERE CAST(epoch(ts) AS BIGINT) > c
+  GROUP BY event_type),
+merged AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_merged,
+         round(sum(sv), 2) AS sum_merged
+  FROM parts GROUP BY event_type)
+SELECT m.event_type, n_merged, n_direct,
+       n_merged = n_direct AS n_match,
+       abs(sum_merged - sum_direct) < 0.05 AS sum_match
+FROM merged m JOIN direct d ON m.event_type = d.event_type
+ORDER BY m.event_type
+"""
+
+
 def q_filter_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity suppression (Sweeney) — the privacy gate beside the
     PII scrub: rows whose quasi-identifier tuple (event_type, day-of-
@@ -13791,6 +13866,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "filter_k_anonymity": (
         q_filter_k_anonymity, SQL_FILTER_K_ANONYMITY
+    ),
+    "events_incremental_agg": (
+        q_events_incremental_agg, _sql_events_incremental_agg()
     ),
     "extraction_xlsx_cells": (
         q_extraction_xlsx_cells, SQL_EXTRACTION_XLSX_CELLS
