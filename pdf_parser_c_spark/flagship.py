@@ -747,6 +747,28 @@ def doc_to_csv_payload(doc_id: int, text: str) -> str:
     return build_csv(rows)
 
 
+def doc_to_avro_payload(doc_id: int, text: str) -> str:
+    """Avro OCF armor: records (name string, n long, ok boolean) — 2 +
+    doc_id % 3 rows with name = words[2r] or 'r{r}', n = doc_id + r,
+    ok = (doc_id + r) even; deflate codec on even doc_ids so both
+    block codecs ride the oracle."""
+    from .sources.avro_ocf import build_avro_ocf, encode_avro_payload
+
+    w = text.split()
+    schema = {"type": "record", "name": "row", "fields": [
+        {"name": "name", "type": "string"},
+        {"name": "n", "type": "long"},
+        {"name": "ok", "type": "boolean"},
+    ]}
+    rows = [
+        {"name": w[2 * r] if len(w) > 2 * r else f"r{r}",
+         "n": doc_id + r, "ok": (doc_id + r) % 2 == 0}
+        for r in range(2 + doc_id % 3)
+    ]
+    return encode_avro_payload(build_avro_ocf(
+        schema, rows, codec="deflate" if doc_id % 2 == 0 else "null"))
+
+
 def doc_to_tagged_pdf_payload(doc_id: int, text: str) -> str:
     """Tagged-PDF armor: an accessibility structure tree — Document
     root, H1 'Doc {id}' (MCID 0), one or two P elements over 8-word

@@ -12328,6 +12328,68 @@ FROM urls GROUP BY 1 ORDER BY host
 """
 
 
+def q_extraction_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF ingestion (the event/log interchange format; the
+    sandbox has no spark-avro data-source jar, so the reader is the
+    repo's own binary decoder — sources/avro_ocf.py: zigzag varints,
+    unions, counted blocks, null + deflate codecs, sync-marker
+    verification): documents armor into 2-3-record containers
+    (flagship.doc_to_avro_payload) and every decoded
+    (rec_idx, field, vtype, value) cell must match the DuckDB
+    reconstruction.
+    Scale: armor + parse fused after one doc_id exchange; typed-cell
+    narrow rows, container bytes never leave the kernel."""
+    from .flagship import doc_to_avro_payload
+    from .sources.avro_ocf import parse_avro_cells
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 3)
+        .select("doc_id", "text")
+    )
+
+    import pandas as pd
+
+    def kernel(batches):
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "text": [doc_to_avro_payload(int(i), str(t_))
+                         for i, t_ in zip(ids, b["text"])],
+            })
+
+    payloads = d.repartition(16, "doc_id").mapInPandas(
+        kernel, schema="doc_id long, text string")
+    return parse_avro_cells(payloads).orderBy("doc_id", "rec_idx", "field")
+
+
+SQL_EXTRACTION_AVRO_RECORDS = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 4 = 3),
+data AS (
+  SELECT doc_id, ws, CAST(j AS INTEGER) AS r
+  FROM w, UNNEST(range(2 + doc_id % 3)) AS t(j)),
+cells AS (
+  SELECT doc_id, r, 'name' AS field, 'string' AS vtype,
+         CASE WHEN len(ws) > 2 * r THEN ws[2 * r + 1]
+              ELSE 'r' || CAST(r AS VARCHAR) END AS value
+  FROM data
+  UNION ALL
+  SELECT doc_id, r, 'n', 'long', CAST(doc_id + r AS VARCHAR) FROM data
+  UNION ALL
+  SELECT doc_id, r, 'ok', 'boolean',
+         CASE WHEN (doc_id + r) % 2 = 0 THEN 'true' ELSE 'false' END
+  FROM data)
+SELECT doc_id, CAST(r AS INT) AS rec_idx, field, vtype, value,
+       'ok' AS status
+FROM cells ORDER BY doc_id, rec_idx, field
+"""
+
+
 def q_extraction_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction pinned end-to-end: documents armor
     into real PCM16 WAV payloads with constant amplitude
@@ -13881,5 +13943,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_wav_features": (
         q_extraction_wav_features, SQL_EXTRACTION_WAV_FEATURES
+    ),
+    "extraction_avro_records": (
+        q_extraction_avro_records, SQL_EXTRACTION_AVRO_RECORDS
     ),
 }

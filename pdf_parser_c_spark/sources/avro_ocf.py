@@ -1,0 +1,360 @@
+"""Avro Object Container File (OCF) reading — dependency-free.
+
+Avro is a top data-interchange format for event/log corpora; the
+sandbox ships Spark's core avro jars but not the spark-avro DATA
+SOURCE, so `spark.read.format("avro")` is unavailable (the
+ROADMAP-documented seam).  This module reads OCF payloads with the
+binary encoding from the public Avro 1.11 spec instead:
+
+* header: magic ``Obj\\x01`` + metadata map (``avro.schema`` JSON,
+  ``avro.codec``) + 16-byte sync marker,
+* blocks: (record count, byte length, payload, sync) with ``null``
+  and ``deflate`` (raw zlib, -15 window) codecs,
+* values: zigzag-varint int/long, little-endian float/double, bool,
+  length-prefixed string/bytes, null; record fields in schema order;
+  unions by branch index (the common ["null", T] nullable shape),
+  arrays/maps as counted blocks (negative count = sized form), enum
+  by symbol index, fixed by size.
+
+Rows come out as typed cells (the xlsx/csv narrow shape) so mixed
+schemas flow through one operator; a malformed container maps to a
+labeled error row (salvage posture).  The writer half synthesizes
+deterministic OCFs for the testkit/armor.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import io
+import json
+import struct
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+AVRO_B64_PREFIX = "AVROB64:"
+_MAGIC = b"Obj\x01"
+
+
+class AvroError(ValueError):
+    pass
+
+
+def encode_avro_payload(buf: bytes) -> str:
+    return AVRO_B64_PREFIX + base64.b64encode(buf).decode("ascii")
+
+
+class _Reader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def bytes_(self, n: int) -> bytes:
+        if n < 0 or self.pos + n > len(self.data):
+            raise AvroError("byte underrun")  # negative n would move
+            # the reader BACKWARD — a loop, not an error, without this
+        out = self.data[self.pos: self.pos + n]
+        self.pos += n
+        return out
+
+    def long_(self) -> int:
+        shift = 0
+        acc = 0
+        while True:
+            if self.pos >= len(self.data):
+                raise AvroError("varint underrun")
+            b = self.data[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            if shift > 70:
+                raise AvroError("varint too long")
+        return (acc >> 1) ^ -(acc & 1)  # zigzag
+
+    def string_(self) -> str:
+        return self.bytes_(self.long_()).decode("utf-8", "replace")
+
+
+def _decode_value(r: _Reader, schema):
+    if isinstance(schema, str):
+        t = schema
+    elif isinstance(schema, dict):
+        t = schema.get("type")
+    elif isinstance(schema, list):  # union: branch index then value
+        idx = r.long_()
+        if not 0 <= idx < len(schema):
+            raise AvroError("union branch out of range")
+        return _decode_value(r, schema[idx])
+    else:
+        raise AvroError(f"bad schema node {schema!r}")
+    if t == "null":
+        return None
+    if t == "boolean":
+        return r.bytes_(1) != b"\x00"
+    if t in ("int", "long"):
+        return r.long_()
+    if t == "float":
+        return struct.unpack("<f", r.bytes_(4))[0]
+    if t == "double":
+        return struct.unpack("<d", r.bytes_(8))[0]
+    if t == "string":
+        return r.string_()
+    if t == "bytes":
+        return r.bytes_(r.long_())
+    if t == "fixed":
+        return r.bytes_(int(schema["size"]))
+    if t == "enum":
+        syms = schema.get("symbols") or []
+        i = r.long_()
+        return syms[i] if 0 <= i < len(syms) else f"enum{i}"
+    if t == "array":
+        out = []
+        while True:
+            n = r.long_()
+            if n == 0:
+                break
+            if n < 0:
+                r.long_()  # block byte size (sized form)
+                n = -n
+            if n > len(r.data) - r.pos + 1:
+                raise AvroError("array count exceeds remaining bytes")
+            for _ in range(n):
+                out.append(_decode_value(r, schema["items"]))
+        return out
+    if t == "map":
+        out = {}
+        while True:
+            n = r.long_()
+            if n == 0:
+                break
+            if n < 0:
+                r.long_()
+                n = -n
+            if n > len(r.data) - r.pos + 1:
+                raise AvroError("map count exceeds remaining bytes")
+            for _ in range(n):
+                out[r.string_()] = _decode_value(r, schema["values"])
+        return out
+    if t == "record":
+        return {
+            f["name"]: _decode_value(r, f["type"])
+            for f in schema.get("fields", [])
+        }
+    raise AvroError(f"unsupported type {t!r}")
+
+
+def parse_avro_ocf(buf: bytes) -> tuple[dict, list]:
+    """→ (schema, records).  Any corrupt structure — including a
+    bit-flipped schema JSON whose nodes lose required keys — raises
+    AvroError, the one controlled failure."""
+    try:
+        return _parse_ocf(buf)
+    except (KeyError, TypeError, IndexError, OverflowError,
+            UnicodeDecodeError, MemoryError, RecursionError) as exc:
+        raise AvroError(f"corrupt container: {type(exc).__name__}") from exc
+
+
+def _parse_ocf(buf: bytes) -> tuple[dict, list]:
+    r = _Reader(buf)
+    if r.bytes_(4) != _MAGIC:
+        raise AvroError("bad magic")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.long_()
+        if n == 0:
+            break
+        if n < 0:
+            r.long_()
+            n = -n
+        if n > len(r.data) - r.pos + 1:
+            raise AvroError("metadata count exceeds remaining bytes")
+        for _ in range(n):
+            k = r.string_()
+            meta[k] = r.bytes_(r.long_())
+    sync = r.bytes_(16)
+    try:
+        schema = json.loads(meta.get("avro.schema", b"null"))
+    except json.JSONDecodeError as exc:
+        raise AvroError(f"schema json: {exc}") from exc
+    codec = meta.get("avro.codec", b"null").decode("ascii", "replace")
+    if codec not in ("null", "deflate"):
+        raise AvroError(f"unsupported codec {codec!r}")
+    records: list = []
+    while r.pos < len(r.data):
+        n_recs = r.long_()
+        blen = r.long_()
+        if n_recs < 0 or blen < 0 or n_recs > 10_000_000:
+            raise AvroError("bad block header")
+        payload = r.bytes_(blen)
+        if r.bytes_(16) != sync:
+            raise AvroError("sync marker mismatch")
+        if codec == "deflate":
+            try:
+                payload = zlib.decompress(payload, -15)
+            except zlib.error as exc:
+                raise AvroError(f"deflate: {exc}") from exc
+        br = _Reader(payload)
+        for _ in range(n_recs):
+            records.append(_decode_value(br, schema))
+    return schema, records
+
+
+AVRO_CELL_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("rec_idx", T.IntegerType()),
+    T.StructField("field", T.StringType()),
+    T.StructField("vtype", T.StringType()),
+    T.StructField("value", T.StringType()),
+    T.StructField("status", T.StringType()),
+])
+
+
+def _cell_value(v) -> tuple[str, str]:
+    if v is None:
+        return "null", ""
+    if isinstance(v, bool):
+        return "boolean", "true" if v else "false"
+    if isinstance(v, int):
+        return "long", str(v)
+    if isinstance(v, float):
+        return "double", repr(v)
+    if isinstance(v, bytes):
+        return "bytes", v.hex()
+    if isinstance(v, (list, dict)):
+        return ("array" if isinstance(v, list) else "map",
+                json.dumps(v, sort_keys=True, default=str))
+    return "string", str(v)
+
+
+def parse_avro_cells(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "text") -> DataFrame:
+    """(id, AVROB64 payload) → one row per record field (typed-cell
+    narrow shape); hostile payloads become one labeled error row."""
+    src = df.select(id_col, payload_col)
+    cols = [f.name for f in AVRO_CELL_SCHEMA.fields]
+
+    def gen(batches):
+        for b in batches:
+            out: list[dict] = []
+            for did, payload in zip(b[id_col].astype("int64"),
+                                    b[payload_col]):
+                p = str(payload or "")
+                try:
+                    if not p.startswith(AVRO_B64_PREFIX):
+                        raise AvroError("not AVRO armor")
+                    buf = base64.b64decode(
+                        p[len(AVRO_B64_PREFIX):], validate=True)
+                    _schema, records = parse_avro_ocf(buf)
+                    for ri, rec in enumerate(records):
+                        if not isinstance(rec, dict):
+                            rec = {"value": rec}
+                        for k, v in rec.items():
+                            vt, vs = _cell_value(v)
+                            out.append({
+                                "doc_id": int(did), "rec_idx": ri,
+                                "field": k, "vtype": vt, "value": vs,
+                                "status": "ok",
+                            })
+                except (AvroError, binascii.Error, ValueError) as exc:
+                    out.append({
+                        "doc_id": int(did), "rec_idx": -1, "field": None,
+                        "vtype": None, "value": None,
+                        "status": f"avro_error:{type(exc).__name__}",
+                    })
+                except Exception:
+                    out.append({
+                        "doc_id": int(did), "rec_idx": -1, "field": None,
+                        "vtype": None, "value": None,
+                        "status": "avro_error",
+                    })
+            yield pd.DataFrame(out, columns=cols)
+
+    return src.mapInPandas(gen, schema=AVRO_CELL_SCHEMA)
+
+
+class _Writer:
+    def __init__(self):
+        self.buf = io.BytesIO()
+
+    def long_(self, v: int) -> None:
+        z = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+        while True:
+            b = z & 0x7F
+            z >>= 7
+            if z:
+                self.buf.write(bytes([b | 0x80]))
+            else:
+                self.buf.write(bytes([b]))
+                break
+
+    def string_(self, s: str) -> None:
+        raw = s.encode("utf-8")
+        self.long_(len(raw))
+        self.buf.write(raw)
+
+
+def _encode_value(w: _Writer, schema, v) -> None:
+    if isinstance(schema, list):
+        for i, branch in enumerate(schema):
+            bt = branch if isinstance(branch, str) else branch.get("type")
+            if (v is None) == (bt == "null"):
+                w.long_(i)
+                _encode_value(w, branch, v)
+                return
+        raise AvroError("no union branch for value")
+    t = schema if isinstance(schema, str) else schema.get("type")
+    if t == "null":
+        return
+    if t == "boolean":
+        w.buf.write(b"\x01" if v else b"\x00")
+    elif t in ("int", "long"):
+        w.long_(int(v))
+    elif t == "double":
+        w.buf.write(struct.pack("<d", float(v)))
+    elif t == "float":
+        w.buf.write(struct.pack("<f", float(v)))
+    elif t == "string":
+        w.string_(str(v))
+    elif t == "record":
+        for f in schema["fields"]:
+            _encode_value(w, f["type"], v[f["name"]])
+    elif t == "array":
+        if v:
+            w.long_(len(v))
+            for item in v:
+                _encode_value(w, schema["items"], item)
+        w.long_(0)
+    else:
+        raise AvroError(f"writer: unsupported type {t!r}")
+
+
+def build_avro_ocf(schema: dict, rows: list, codec: str = "null",
+                   sync: bytes = b"\x07" * 16) -> bytes:
+    """Testkit writer: one-block OCF with the given record schema."""
+    w = _Writer()
+    w.buf.write(_MAGIC)
+    w.long_(2)  # metadata map: 2 entries
+    w.string_("avro.schema")
+    w.string_(json.dumps(schema))
+    w.string_("avro.codec")
+    w.string_(codec)
+    w.long_(0)
+    w.buf.write(sync)
+    body = _Writer()
+    for row in rows:
+        _encode_value(body, schema, row)
+    payload = body.buf.getvalue()
+    if codec == "deflate":
+        payload = zlib.compress(payload)[2:-4]  # raw deflate per spec
+    w.long_(len(rows))
+    w.long_(len(payload))
+    w.buf.write(payload)
+    w.buf.write(sync)
+    return w.buf.getvalue()

@@ -1,0 +1,110 @@
+"""Avro OCF reader: binary encoding, codecs, salvage, Spark path."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pdf_parser_c_spark.sources.avro_ocf import (
+    AvroError,
+    build_avro_ocf,
+    encode_avro_payload,
+    parse_avro_cells,
+    parse_avro_ocf,
+)
+
+SCHEMA = {"type": "record", "name": "r", "fields": [
+    {"name": "name", "type": "string"},
+    {"name": "n", "type": "long"},
+    {"name": "ok", "type": "boolean"},
+    {"name": "opt", "type": ["null", "string"]},
+    {"name": "score", "type": "double"},
+    {"name": "tags", "type": {"type": "array", "items": "string"}},
+]}
+ROWS = [
+    {"name": "a b", "n": -7, "ok": True, "opt": None, "score": 1.5,
+     "tags": ["x", "y"]},
+    {"name": "ünïcode", "n": 2**40, "ok": False, "opt": "here",
+     "score": -0.25, "tags": []},
+]
+
+
+class TestRoundtrip:
+    @pytest.mark.parametrize("codec", ["null", "deflate"])
+    def test_full_schema(self, codec):
+        _s, recs = parse_avro_ocf(build_avro_ocf(SCHEMA, ROWS, codec=codec))
+        assert recs == ROWS
+
+    def test_zigzag_extremes(self):
+        schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "v", "type": "long"}]}
+        vals = [0, -1, 1, 2**62, -(2**62), 63, -64]
+        rows = [{"v": v} for v in vals]
+        _s, recs = parse_avro_ocf(build_avro_ocf(schema, rows))
+        assert [r["v"] for r in recs] == vals
+
+
+class TestHostility:
+    def test_bad_magic_and_truncation(self):
+        good = build_avro_ocf(SCHEMA, ROWS)
+        with pytest.raises(AvroError):
+            parse_avro_ocf(b"NOPE" + good[4:])
+        for cut in (2, 10, len(good) // 2, len(good) - 1):
+            with pytest.raises(AvroError):
+                parse_avro_ocf(good[:cut])
+
+    def test_sync_mismatch(self):
+        good = bytearray(build_avro_ocf(SCHEMA, ROWS))
+        good[-1] ^= 0xFF  # trailing sync marker
+        with pytest.raises(AvroError):
+            parse_avro_ocf(bytes(good))
+
+    def test_unknown_codec(self):
+        bad = build_avro_ocf(SCHEMA, ROWS)
+        # rebuild with a bogus codec string
+        from pdf_parser_c_spark.sources import avro_ocf as m
+
+        w = m._Writer()
+        w.buf.write(b"Obj\x01")
+        w.long_(2)
+        w.string_("avro.schema")
+        w.string_('"long"')
+        w.string_("avro.codec")
+        w.string_("snappy")
+        w.long_(0)
+        w.buf.write(b"\x07" * 16)
+        with pytest.raises(AvroError):
+            parse_avro_ocf(w.buf.getvalue())
+        assert parse_avro_ocf(bad)[1] == ROWS  # control
+
+    def test_bit_flip_fuzz(self):
+        rng = random.Random(17)
+        base = build_avro_ocf(SCHEMA, ROWS, codec="deflate")
+        for _ in range(300):
+            data = bytearray(base)
+            data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+            try:
+                parse_avro_ocf(bytes(data))
+            except AvroError:
+                pass  # controlled failure only
+
+
+class TestSpark:
+    def test_cells_and_error_rows(self, spark):
+        ok = encode_avro_payload(build_avro_ocf(
+            {"type": "record", "name": "r",
+             "fields": [{"name": "a", "type": "string"},
+                        {"name": "b", "type": "long"}]},
+            [{"a": "x", "b": 5}]))
+        df = spark.createDataFrame(
+            [(1, ok), (2, "AVROB64:!!!"), (3, "plain")],
+            "doc_id long, text string")
+        rows = parse_avro_cells(df).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        cells = {(r.field, r.vtype): r.value for r in by_doc[1]}
+        assert cells == {("a", "string"): "x", ("b", "long"): "5"}
+        assert by_doc[2][0].status.startswith("avro_error")
+        assert by_doc[3][0].status.startswith("avro_error")
