@@ -155,6 +155,9 @@ def main() -> None:
         "transcripts_sft_render": "offsets are window cumulative sums on the conv exchange; render string only inside the per-conv agg; spans join reuses the key",
         "transcripts_prefix_sharing": "running prefix window on the conv key; census is the second (depth) exchange",
         "filter_k_anonymity": "group counts ride ONE quasi-id window exchange; no self-join",
+        "events_incremental_agg": "base/delta partials + merge vs direct: two aggs + a broadcast-sized join of 5-row frames",
+        "extraction_wav_features": "WAV armor + PCM decode fused; samples never leave the kernel",
+        "extraction_avro_records": "Avro armor + binary decode fused; typed-cell rows out",
         "extraction_multiformat_census": "whole-dispatch capstone: ONE armor+extract pass over all eleven kinds; census is an 11-row aggregate",
         "filter_secret_scan": "secret scan: injection + 5-pattern detect + scrub + residual all map-side regexp codegen; the 6-row kind census is the corpus's ONLY exchange",
         "dedup_line_boilerplate": "line boilerplate: line-forming + md5 map-side, ONE (source, line-hash) exchange shipping 16-byte keys; per-source doc counts ride a BroadcastHashJoin — no doc pairs anywhere",
