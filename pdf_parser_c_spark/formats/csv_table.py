@@ -40,6 +40,7 @@ def parse_csv(text: str) -> list[list[str]]:
     n = len(text)
     in_quotes = False
     field_started = False
+    row_marked = False  # a quote/char/comma appeared: NOT a blank line
 
     def end_field():
         nonlocal field, field_started
@@ -48,10 +49,14 @@ def parse_csv(text: str) -> list[list[str]]:
         field_started = False
 
     def end_row():
-        nonlocal row
+        nonlocal row, row_marked
         end_field()
-        rows.append(row)
+        # a truly blank record (empty line) is not a row, but a line
+        # holding a quoted empty string ('""') or a lone comma IS one
+        if row != [""] or row_marked:
+            rows.append(row)
         row = []
+        row_marked = False
 
     while i < n:
         c = text[i]
@@ -70,10 +75,12 @@ def parse_csv(text: str) -> list[list[str]]:
         if c == '"' and not field_started and not field:
             in_quotes = True
             field_started = True
+            row_marked = True
             i += 1
             continue
         if c == ",":
             end_field()
+            row_marked = True
             i += 1
             continue
         if c == "\r":
@@ -88,11 +95,11 @@ def parse_csv(text: str) -> list[list[str]]:
             continue
         field.append(c)
         field_started = True
+        row_marked = True
         i += 1
-    if field or field_started or row:
+    if field or field_started or row or row_marked:
         end_row()
-    # a trailing fully-empty record (file ends with newline) is not a row
-    return [r for r in rows if not (len(r) == 1 and r[0] == "")]
+    return rows
 
 
 def _is_number(s: str) -> bool:

@@ -129,9 +129,25 @@ def _read_group(s: str, pos: int) -> tuple[str, int]:
     return s[start:], n
 
 
+_VERBATIM_RE = re.compile(
+    r"\\begin\{(verbatim|lstlisting|Verbatim)\*?\}(.*?)"
+    r"\\end\{\1\*?\}", re.S)
+
+
 def latex_to_text(raw: str) -> str:
-    # 1. comments go first so a '%' can't hide structure
-    src = _COMMENT_RE.sub("", raw.replace("\r\n", "\n").replace("\r", "\n"))
+    # 0. verbatim bodies come out FIRST — their %, $, \\ are literal
+    # text, not markup (a lone '$' in a shell snippet must not flip
+    # the math state for the rest of the document)
+    verbatims: list[str] = []
+
+    def _stash(m: "re.Match[str]") -> str:
+        verbatims.append(m.group(2))
+        return f"\n\x02{len(verbatims) - 1}\x02\n"
+
+    raw = _VERBATIM_RE.sub(_stash, raw.replace("\r\n", "\n")
+                           .replace("\r", "\n"))
+    # 1. comments go next so a '%' can't hide structure
+    src = _COMMENT_RE.sub("", raw)
     # 2. body window
     m = re.search(r"\\begin\{document\}", src)
     if m:
@@ -164,15 +180,17 @@ def latex_to_text(raw: str) -> str:
             dollar = 0 if dollar == 1 else 1
             continue
         if mt.group("beg") is not None:
+            dollar = 0  # an unbalanced '$' must not swallow the rest
             if mt.group("beg") in _MATH_ENVS:
                 math_depth += 1
-            elif not math_depth and not dollar:
+            elif not math_depth:
                 out.append("\n")
             continue
         if mt.group("end") is not None:
+            dollar = 0
             if mt.group("end") in _MATH_ENVS:
                 math_depth = max(0, math_depth - 1)
-            elif not math_depth and not dollar:
+            elif not math_depth:
                 out.append("\n")
             continue
         if math_depth or dollar:
@@ -240,6 +258,14 @@ def latex_to_text(raw: str) -> str:
     text = text.replace("~", " ")
     text = text.replace("---", "\u2014").replace("--", "\u2013")
     text = text.replace("``", "\u201c").replace("''", "\u201d")
+    # restore verbatim bodies literally (their internal newlines become
+    # block lines like any other text)
+    if verbatims:
+        text = re.sub(
+            r"\x02(\d+)\x02",
+            lambda m: verbatims[int(m.group(1))]
+            if int(m.group(1)) < len(verbatims) else "",
+            text)
     lines = [re.sub(r"[ \t]+", " ", ln).strip() for ln in text.split("\n")]
     return "\n".join(ln for ln in lines if ln)
 

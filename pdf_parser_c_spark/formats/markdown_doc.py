@@ -50,7 +50,10 @@ _REFLINK_RE = re.compile(r"\[([^\]]*)\]\[[^\]]*\]")
 _AUTOLINK_RE = re.compile(r"<(https?://[^>\s]+)>")
 _CODE_SPAN_RE = re.compile(r"(`+)(.+?)\1")
 _STRONG_RE = re.compile(r"(\*\*|__)(?=\S)(.+?)(?<=\S)\1")
-_EM_RE = re.compile(r"(\*|_)(?=\S)(.+?)(?<=\S)\1")
+# underscore emphasis may not open/close intra-word (CommonMark §6.2);
+# asterisks may
+_EM_STAR_RE = re.compile(r"\*(?=\S)(.+?)(?<=\S)\*")
+_EM_UND_RE = re.compile(r"(?<![\w_])_(?=\S)(.+?)(?<=\S)_(?![\w_])")
 _STRIKE_RE = re.compile(r"~~(?=\S)(.+?)(?<=\S)~~")
 _HTML_TAG_RE = re.compile(r"</?[a-zA-Z][a-zA-Z0-9-]*(\s[^<>]*)?/?>")
 
@@ -68,17 +71,30 @@ def looks_like_markdown(payload: str) -> bool:
 
 
 def _inline(s: str) -> str:
+    # code-span CONTENT is verbatim: stash it before emphasis rules so
+    # `snake_case` keeps its underscores
+    code: list[str] = []
+
+    def _stash(m: "re.Match[str]") -> str:
+        code.append(m.group(2))
+        return f"\x02{len(code) - 1}\x02"
+
+    s = _CODE_SPAN_RE.sub(_stash, s)
     s = _IMG_RE.sub(r"\1", s)
     s = _LINK_RE.sub(r"\1", s)
     s = _REFLINK_RE.sub(r"\1", s)
     s = _AUTOLINK_RE.sub(r"\1", s)
-    s = _CODE_SPAN_RE.sub(r"\2", s)
     s = _STRONG_RE.sub(r"\2", s)
-    s = _EM_RE.sub(r"\2", s)
+    s = _EM_STAR_RE.sub(r"\1", s)
+    s = _EM_UND_RE.sub(r"\1", s)
     s = _STRIKE_RE.sub(r"\1", s)
     s = _HTML_TAG_RE.sub("", s)
     for ent, ch in _ENTITIES:
         s = s.replace(ent, ch)
+    if code:
+        s = re.sub(r"\x02(\d+)\x02",
+                   lambda m: code[int(m.group(1))]
+                   if int(m.group(1)) < len(code) else "", s)
     return s.rstrip("\\").strip()
 
 

@@ -55,7 +55,10 @@ _CELL_RE = re.compile(
 _V_RE = re.compile(r"<v(?:\s[^>]*)?>(.*?)</v>", re.S)
 _ATTR_R = re.compile(r'\br="([A-Z]+\d+)"')
 _ATTR_T = re.compile(r'\bt="([a-zA-Z]+)"')
-_SHEET_RE = re.compile(r"<sheet\s[^>]*?name=\"([^\"]*)\"[^>]*?/?>")
+_SHEET_TAG_RE = re.compile(r"<sheet\s[^>]*?/?>")
+_RID_RE = re.compile(r'\br:id="([^"]+)"')
+_REL_RE = re.compile(
+    r'<Relationship\s[^>]*?Id="([^"]+)"[^>]*?Target="([^"]+)"[^>]*?/?>')
 
 
 def _unescape(s: str) -> str:
@@ -95,10 +98,30 @@ def parse_xlsx_cells_bytes(buf: bytes) -> list[dict]:
         except Exception:
             shared = []
 
-    sheets = sorted(
-        n for n in names
-        if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
-    sheets.sort(key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1])[0]))
+    # workbook.xml declares the LOGICAL sheet order; its r:id values
+    # map through the workbook rels to worksheet parts.  Fall back to
+    # filename order only when either part is missing/corrupt.
+    sheets: list[str] = []
+    try:
+        wb = zf.read("xl/workbook.xml").decode("utf-8", "replace")
+        rels = zf.read("xl/_rels/workbook.xml.rels").decode(
+            "utf-8", "replace")
+        target_by_rid = {rid: tgt for rid, tgt in _REL_RE.findall(rels)}
+        for tag in _SHEET_TAG_RE.findall(wb):
+            rid = _RID_RE.search(tag)
+            tgt = target_by_rid.get(rid.group(1)) if rid else None
+            if not tgt:
+                continue
+            part = tgt if tgt.startswith("xl/") else "xl/" + tgt.lstrip("/")
+            if part in names:
+                sheets.append(part)
+    except Exception:
+        sheets = []
+    if not sheets:
+        sheets = sorted(
+            (n for n in names
+             if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1])[0]))
     out: list[dict] = []
     for s_idx, part in enumerate(sheets):
         try:

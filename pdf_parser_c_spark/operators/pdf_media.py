@@ -332,26 +332,9 @@ def _outline_rows_for_pdf(pdf: bytes) -> list[dict]:
 
     doc = cos.PDFDocument.open(pdf)
     # page object NUMBER → document-order index (pages() copies the
-    # dicts, so identity can't key the map; the Ref number can)
-    page_index: dict[int, int] = {}
-    walked: set[int] = set()
-
-    def index_pages(node_ref) -> None:
-        num = node_ref.num if isinstance(node_ref, cos.Ref) else None
-        node = doc.resolve(node_ref)
-        if not isinstance(node, dict) or len(page_index) > 10000:
-            return
-        if num is not None:
-            if num in walked:
-                return
-            walked.add(num)
-        if node.get("Type") == cos.Name("Pages") or "Kids" in node:
-            for kid in doc.dget(node, "Kids", []) or []:
-                index_pages(kid)
-        elif num is not None:
-            page_index[num] = len(page_index)
-
-    index_pages(doc.catalog.get("Pages"))
+    # dicts, so identity can't key the map; the Ref number can) —
+    # shared with the structure walk
+    page_index = _page_num_index(doc)
     root = doc.resolve(doc.dget(doc.catalog, "Outlines"))
     rows: list[dict] = []
     if not isinstance(root, dict):

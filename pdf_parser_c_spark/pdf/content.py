@@ -455,12 +455,20 @@ class ContentInterpreter:
                         actual, hid, mcid_open = mc_stack.pop()
                         if hid:
                             oc_hidden -= 1
+                        if span_buf is not None and len(mc_stack) == span_depth - 1:
+                            flush_span(actual or "")
+                        # record the MCID range AFTER a same-BDC
+                        # ActualText flush so the replacement glyphs
+                        # land inside it (/Span <</MCID n /ActualText
+                        # (…)>> — the common tagged-PDF shape); an
+                        # MCID nested INSIDE a still-open outer
+                        # ActualText span keeps an empty range: its
+                        # content is replaced wholesale by the outer
+                        # span's text
                         if mcid_open is not None:
                             self.mcid_ranges.append(
                                 (mcid_open[0], mcid_open[1],
                                  len(self.glyphs)))
-                        if span_buf is not None and len(mc_stack) == span_depth - 1:
-                            flush_span(actual or "")
                 elif op == "Do" and stack and isinstance(stack[-1], Name):
                     xobjs = doc.dget(resources, "XObject", {}) or {}
                     xo = doc.resolve(xobjs.get(stack[-1].name))

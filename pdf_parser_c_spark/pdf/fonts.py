@@ -777,6 +777,10 @@ def _load_simple(doc: PDFDocument, fd: dict, font: Font) -> None:
         desc = doc.dget(fd, "FontDescriptor")
         ff = doc.resolve(desc.get("FontFile")) if isinstance(desc, dict) else None
         ff3 = doc.resolve(desc.get("FontFile3")) if isinstance(desc, dict) else None
+        ff3_sub = None
+        if isinstance(ff3, Stream):
+            s3 = doc.resolve(ff3.dict.get("Subtype"))
+            ff3_sub = s3.name if isinstance(s3, Name) else None
         if isinstance(ff, Stream):
             try:
                 names = _parse_type1_builtin_encoding(ff.data())
@@ -784,9 +788,11 @@ def _load_simple(doc: PDFDocument, fd: dict, font: Font) -> None:
                 names = None
             if names:
                 builtin = {c: glyph_to_unicode(n) for c, n in names.items()}
-        elif isinstance(ff3, Stream):
+        elif isinstance(ff3, Stream) and ff3_sub in ("Type1C", None):
             # bare-CFF (Type1C) program: its custom encoding is the
-            # base (poppler FoFiType1C::getEncoding / convertToType1)
+            # base (poppler FoFiType1C::getEncoding / convertToType1).
+            # /Subtype /OpenType FontFile3 is an sfnt wrapper, NOT bare
+            # CFF — it falls through to the TrueType cmap/post path
             from .cff import cff_builtin_encoding
 
             try:
@@ -795,19 +801,28 @@ def _load_simple(doc: PDFDocument, fd: dict, font: Font) -> None:
                 names = None
             if names:
                 builtin = {c: glyph_to_unicode(n) for c, n in names.items()}
-        elif font.subtype == "TrueType" and isinstance(desc, dict):
+        elif isinstance(desc, dict) and (
+                font.subtype == "TrueType" or ff3_sub == "OpenType"):
             # symbolic TrueType: the built-in encoding lives in the
             # embedded program's cmap/post tables (poppler FoFiTrueType
             # / Gfx8BitFont; non-symbolic TrueType without /Encoding
-            # stays StandardEncoding, also poppler's rule)
+            # stays StandardEncoding, also poppler's rule).  The sfnt
+            # program may arrive as /FontFile2 or as /FontFile3
+            # /Subtype /OpenType.
             dflags = doc.resolve(desc.get("Flags"))
             symbolic = isinstance(dflags, (int, float)) and int(dflags) & FLAG_SYMBOLIC
-            ff2 = doc.resolve(desc.get("FontFile2")) if symbolic else None
-            if isinstance(ff2, Stream):
+            prog = None
+            if symbolic:
+                ff2 = doc.resolve(desc.get("FontFile2"))
+                if isinstance(ff2, Stream):
+                    prog = ff2
+                elif ff3_sub == "OpenType":
+                    prog = ff3
+            if prog is not None:
                 from .truetype import truetype_builtin_encoding
 
                 try:
-                    builtin = truetype_builtin_encoding(ff2.data())
+                    builtin = truetype_builtin_encoding(prog.data())
                 except Exception:
                     builtin = None
     if builtin is not None:

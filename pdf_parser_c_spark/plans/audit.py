@@ -158,7 +158,7 @@ def main() -> None:
         "events_incremental_agg": "base/delta partials + merge vs direct: two aggs + a broadcast-sized join of 5-row frames",
         "extraction_wav_features": "WAV armor + PCM decode fused; samples never leave the kernel",
         "extraction_avro_records": "Avro armor + binary decode fused; typed-cell rows out",
-        "extraction_multiformat_census": "whole-dispatch capstone: ONE armor+extract pass over all eleven kinds; census is an 11-row aggregate",
+        "extraction_multiformat_census": "whole-dispatch capstone: ONE armor+extract pass over all twelve kinds; census is a 12-row aggregate",
         "filter_secret_scan": "secret scan: injection + 5-pattern detect + scrub + residual all map-side regexp codegen; the 6-row kind census is the corpus's ONLY exchange",
         "dedup_line_boilerplate": "line boilerplate: line-forming + md5 map-side, ONE (source, line-hash) exchange shipping 16-byte keys; per-source doc counts ride a BroadcastHashJoin — no doc pairs anywhere",
         "extraction_html_md_tables": "GFM tables: armor MapInPandas + ArrowEvalPython conversion in ONE stage after the doc_id exchange; only (id, md) shuffles to the presentation sort",

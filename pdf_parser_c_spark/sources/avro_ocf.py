@@ -123,8 +123,10 @@ def _decode_value(r: _Reader, schema):
             if n < 0:
                 r.long_()  # block byte size (sized form)
                 n = -n
-            if n > len(r.data) - r.pos + 1:
-                raise AvroError("array count exceeds remaining bytes")
+            if n > 10_000_000:
+                raise AvroError("array count bomb")  # null items are
+                # zero bytes, so a bytes-remaining bound would reject
+                # valid arrays of nulls; an absolute cap bounds work
             for _ in range(n):
                 out.append(_decode_value(r, schema["items"]))
         return out
@@ -137,8 +139,8 @@ def _decode_value(r: _Reader, schema):
             if n < 0:
                 r.long_()
                 n = -n
-            if n > len(r.data) - r.pos + 1:
-                raise AvroError("map count exceeds remaining bytes")
+            if n > 10_000_000:
+                raise AvroError("map count bomb")
             for _ in range(n):
                 out[r.string_()] = _decode_value(r, schema["values"])
         return out
@@ -173,8 +175,8 @@ def _parse_ocf(buf: bytes) -> tuple[dict, list]:
         if n < 0:
             r.long_()
             n = -n
-        if n > len(r.data) - r.pos + 1:
-            raise AvroError("metadata count exceeds remaining bytes")
+        if n > 1_000_000:
+            raise AvroError("metadata count bomb")
         for _ in range(n):
             k = r.string_()
             meta[k] = r.bytes_(r.long_())

@@ -108,3 +108,12 @@ class TestSpark:
         assert cells == {("a", "string"): "x", ("b", "long"): "5"}
         assert by_doc[2][0].status.startswith("avro_error")
         assert by_doc[3][0].status.startswith("avro_error")
+
+
+class TestReviewRegressions:
+    def test_array_of_nulls_is_valid(self):
+        schema = {"type": "record", "name": "r", "fields": [
+            {"name": "a",
+             "type": {"type": "array", "items": ["null", "string"]}}]}
+        rows = [{"a": [None, None, None]}]
+        assert parse_avro_ocf(build_avro_ocf(schema, rows))[1] == rows

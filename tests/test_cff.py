@@ -117,3 +117,24 @@ class TestDecodePath:
             {"F1": spec})
         doc = parse_pdf_bytes(pdf)
         assert doc.status == "ok"  # degraded decode, never a crash
+
+
+class TestFontFile3Subtypes:
+    def test_opentype_fontfile3_falls_to_truetype_path(self):
+        # /FontFile3 /Subtype /OpenType wraps an sfnt, NOT bare CFF:
+        # the symbolic-TrueType cmap/post path must still run (review
+        # finding: the CFF branch used to consume it and lose text)
+        from pdf_parser_c_spark.testkit.gen_ttf import build_symbol_ttf
+
+        ttf = build_symbol_ttf(
+            {0x41: "diamond", 0x20: "space", 0x42: "heart"})
+        spec = FontSpec("SymOT", encoding=None, flags=4)
+        spec.font_file3 = ttf  # writer marks it /Subtype /Type1C, so
+        # build the descriptor by hand via the OpenType label below
+        pdf = build_pdf(
+            [PageSpec(tj_bytes(72, 700, "F1", 12, b"\x41\x20\x42"))],
+            {"F1": spec})
+        pdf = pdf.replace(b"/Subtype /Type1C", b"/Subtype /OpenType")
+        doc = parse_pdf_bytes(pdf)
+        assert doc.status == "ok"
+        assert doc.text == "♦ ♥"

@@ -64,3 +64,14 @@ class TestSpark:
         assert by_pos[(0, 0)].is_header and by_pos[(0, 0)].value == "name"
         assert not by_pos[(1, 0)].is_header
         assert by_pos[(1, 0)].value == "a,b"
+
+
+class TestReviewRegressions:
+    def test_quoted_empty_single_cell_row_kept(self):
+        assert parse_csv('""\nx\n') == [[""], ["x"]]
+
+    def test_lone_comma_row_kept(self):
+        assert parse_csv(",\n") == [["", ""]]
+
+    def test_blank_lines_still_dropped(self):
+        assert parse_csv("a\n\n\nb\n") == [["a"], ["b"]]

@@ -145,3 +145,30 @@ def test_armor_roundtrip_word_counts(n_words):
         "Doc 3", seg(0, 8), seg(8, 10), seg(10, 12), seg(12, 16),
         "code 3", seg(16, 20)]))
     assert markdown_to_text(doc_to_md_payload(3, text)) == exp_md
+
+
+class TestReviewRegressions:
+    """Round-3 thirteenth-continuation review findings, pinned."""
+
+    def test_latex_verbatim_dollar_and_comment_literal(self):
+        src = ("\\begin{document}Intro "
+               "\\begin{verbatim}echo $HOME % literal\\end{verbatim}"
+               " Real prose\\end{document}")
+        got = latex_to_text(src)
+        assert got == "Intro\necho $HOME % literal\nReal prose"
+
+    def test_latex_unbalanced_dollar_resets_at_env(self):
+        src = ("\\begin{document}a $ swallowed "
+               "\\begin{itemize}\\item c\\end{itemize} d\\end{document}")
+        got = latex_to_text(src)
+        assert "c" in got and "d" in got
+
+    def test_md_code_span_content_verbatim(self):
+        assert markdown_to_text("# H\n`snake_case_name` x\n") == \
+            "H\nsnake_case_name x"
+
+    def test_md_intraword_underscores_survive_prose(self):
+        assert markdown_to_text("# H\nuse foo_bar and baz_qux\n") == \
+            "H\nuse foo_bar and baz_qux"
+        # real underscore emphasis still unwraps
+        assert markdown_to_text("# H\n_emph_ word\n") == "H\nemph word"

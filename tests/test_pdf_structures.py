@@ -145,3 +145,21 @@ class TestStructTree:
         rows = extract_pdf_structure(df).collect()
         assert len(rows) == 4
         assert {r.role for r in rows} == {"Document", "H1", "P", "Span"}
+
+    def test_mcid_with_actualtext_keeps_replacement_text(self):
+        # /Span <</MCID n /ActualText (…)>> — the replacement glyphs
+        # must land INSIDE the recorded MCID range (review finding)
+        from pdf_parser_c_spark.operators.pdf_media import (
+            _struct_rows_for_pdf,
+        )
+        from pdf_parser_c_spark.testkit.gen_pdf import (
+            FontSpec, PageSpec, build_pdf, tj,
+        )
+
+        content = ("/Span << /MCID 0 /ActualText (Hello) >> BDC\n"
+                   + tj(72, 700, "F1", 12, "ignored")
+                   + "EMC\n")
+        pdf = build_pdf([PageSpec(content)], {"F1": FontSpec("Helvetica")},
+                        struct_tree=[(0, "P", 0, 0)])
+        rows = _struct_rows_for_pdf(pdf)
+        assert rows[0]["text"] == "Hello"

@@ -91,3 +91,38 @@ class TestSpark:
                                         key=lambda r: r.row_idx)] == ["h", "1"]
         assert by_doc[2][0].status.startswith("xlsx_error")
         assert by_doc[3][0].status.startswith("xlsx_error")
+
+
+class TestReviewRegressions:
+    def test_workbook_xml_order_wins_over_filenames(self, tmp_path):
+        # workbook.xml lists sheet2.xml FIRST: logical order must win
+        import io
+        import zipfile
+
+        from pdf_parser_c_spark.formats.xlsx import parse_xlsx_cells_bytes
+
+        def sheet(v):
+            return ("<worksheet><sheetData><row r=\"1\">"
+                    f'<c r="A1"><v>{v}</v></c></row></sheetData>'
+                    "</worksheet>")
+
+        wb = ('<workbook xmlns:r="http://x"><sheets>'
+              '<sheet name="B" sheetId="1" r:id="rId2"/>'
+              '<sheet name="A" sheetId="2" r:id="rId1"/>'
+              "</sheets></workbook>")
+        rels = ('<Relationships>'
+                '<Relationship Id="rId1" Type="t" '
+                'Target="worksheets/sheet1.xml"/>'
+                '<Relationship Id="rId2" Type="t" '
+                'Target="worksheets/sheet2.xml"/>'
+                "</Relationships>")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("xl/workbook.xml", wb)
+            zf.writestr("xl/_rels/workbook.xml.rels", rels)
+            zf.writestr("xl/worksheets/sheet1.xml", sheet(1))
+            zf.writestr("xl/worksheets/sheet2.xml", sheet(2))
+        cells = parse_xlsx_cells_bytes(buf.getvalue())
+        # sheet2.xml (rId2, listed first) is sheet_idx 0
+        assert [(c["sheet_idx"], c["value"]) for c in cells] == [
+            (0, "2"), (1, "1")]
