@@ -769,6 +769,26 @@ def doc_to_avro_payload(doc_id: int, text: str) -> str:
         schema, rows, codec="deflate" if doc_id % 2 == 0 else "null"))
 
 
+def doc_to_zip_bundle_payload(doc_id: int, text: str) -> str:
+    """ZIP-attachment armor: one turn bundling THREE member documents
+    — '{id}.md' (the Markdown armor), '{id}.tex' (the LaTeX armor) and
+    'notes.txt' (the collapsed plain text) — so the explode operator's
+    children re-enter the kernel and route through three different
+    sniffs.  Expected member texts are the md/latex/plain templates."""
+    from .sources.archive import build_zip, encode_zip_payload
+
+    collapsed = " ".join(text.split())
+    return encode_zip_payload(build_zip([
+        (f"{doc_id}.md", doc_to_md_payload(doc_id, text).encode()),
+        (f"{doc_id}.tex", doc_to_latex_payload(doc_id, text).encode()),
+        ("notes.txt", collapsed.encode()),
+    ]))
+
+
+build_zip_bundle_transcripts_from_documents = _single_kind_armor_builder(
+    doc_to_zip_bundle_payload)
+
+
 def doc_to_tagged_pdf_payload(doc_id: int, text: str) -> str:
     """Tagged-PDF armor: an accessibility structure tree — Document
     root, H1 'Doc {id}' (MCID 0), one or two P elements over 8-word

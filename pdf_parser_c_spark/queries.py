@@ -12515,6 +12515,82 @@ FROM f GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_extraction_zip_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive container handling: a single turn's payload is a ZIP
+    bundling three member documents (markdown + latex + plain text —
+    flagship.doc_to_zip_bundle_payload); explode_zip_attachments
+    (sources/archive.py) emits kernel-ready children and ONE more
+    extract_turns pass routes each member through its own sniff.  The
+    per-kind census (turns, ok, total chars) must equal the union of
+    the three member templates — proving containers can nest without
+    new extraction code.
+    Scale: explode + kernel are two fused mapInPandas stages on the
+    same doc_id exchange; member bytes never leave the kernel."""
+    from .engine import extract_turns
+    from .flagship import build_zip_bundle_transcripts_from_documents
+    from .sources.archive import explode_zip_attachments
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 2)
+    tr = build_zip_bundle_transcripts_from_documents(
+        spark, docs, num_partitions=16)
+    kids = explode_zip_attachments(tr).filter(F.col("status") == "ok")
+    out = extract_turns(
+        kids.select("conv_id",
+                    F.col("member_idx").cast("int").alias("turn_idx"),
+                    "text"),
+        repartition=False,
+    )
+    return (
+        out.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("kind")
+    )
+
+
+SQL_EXTRACTION_ZIP_ATTACHMENTS = r"""
+WITH w AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS collapsed,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 4 = 2),
+parts AS (
+  SELECT doc_id, collapsed,
+         array_to_string(ws[1:8], ' ') AS sl1,
+         array_to_string(ws[9:10], ' ') AS sl2,
+         array_to_string(ws[11:12], ' ') AS sl3,
+         array_to_string(ws[13:16], ' ') AS sl4,
+         array_to_string(ws[17:20], ' ') AS sl5
+  FROM w),
+members AS (
+  SELECT doc_id, 'md' AS kind, 1 AS ok,
+         length(array_to_string(list_filter(
+             ['Doc ' || CAST(doc_id AS VARCHAR), sl1, sl2, sl3, sl4,
+              'code ' || CAST(doc_id AS VARCHAR), sl5],
+             x -> x <> ''), chr(10))) AS chars
+  FROM parts
+  UNION ALL
+  SELECT doc_id, 'latex', 1,
+         length(array_to_string(list_filter(
+             ['Doc ' || CAST(doc_id AS VARCHAR), sl1, sl2, sl3, sl4, sl5],
+             x -> x <> ''), chr(10)))
+  FROM parts
+  UNION ALL
+  SELECT doc_id, 'plain',
+         CASE WHEN collapsed <> '' THEN 1 ELSE 0 END,
+         length(collapsed)
+  FROM parts)
+SELECT kind, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(ok) AS BIGINT) AS n_ok,
+       CAST(sum(chars) AS BIGINT) AS total_chars
+FROM members GROUP BY kind ORDER BY kind
+"""
+
+
 def q_extraction_multiformat_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHOLE-DISPATCH census — the capstone over the kernel's twelve
     payload kinds: every document is armored into the format chosen by
@@ -13946,5 +14022,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_avro_records": (
         q_extraction_avro_records, SQL_EXTRACTION_AVRO_RECORDS
+    ),
+    "extraction_zip_attachments": (
+        q_extraction_zip_attachments, SQL_EXTRACTION_ZIP_ATTACHMENTS
     ),
 }

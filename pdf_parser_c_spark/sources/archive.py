@@ -1,0 +1,165 @@
+"""ZIP attachment explosion — one turn, many documents.
+
+Enterprise transcript dumps attach bundles: a single turn's payload is
+a ZIP whose members are themselves documents (markdown, LaTeX, CSV,
+PDFs, office files).  This operator explodes such payloads into child
+rows that ride the SAME twelve-kind kernel dispatch as top-level
+turns — recursive container handling with one extra mapInPandas
+stage, no new extraction code:
+
+* text members (by decodability) pass through as raw payload strings
+  so the kernel's sniffs (ATX heading, ``\\documentclass``, ``{\\rtf``,
+  HTML, JSON…) route them,
+* binary members re-armor with the magic-matched prefix (PDF →
+  ``PDFB64:``, OOXML zip → ``DOCXB64:``, ODF zip → ``ODTB64:``…)
+  so the prefix-sniffed kinds route them,
+* a member that fails both is a labeled ``binary`` row (honest skip),
+* hostile containers map to one error row per document (salvage).
+
+Payloads ride the ``text`` column as ``ZIPB64:`` armor.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import io
+import zipfile
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+ZIP_B64_PREFIX = "ZIPB64:"
+
+_MAX_MEMBERS = 4096
+_MAX_MEMBER_BYTES = 256 * 1024 * 1024  # shared decode-bomb posture
+
+
+class ZipAttachmentError(ValueError):
+    pass
+
+
+def encode_zip_payload(buf: bytes) -> str:
+    return ZIP_B64_PREFIX + base64.b64encode(buf).decode("ascii")
+
+
+def _member_to_payload(name: str, raw: bytes) -> tuple[str, str] | None:
+    """→ (payload string for the kernel, transport tag) or None for a
+    member we can only label as binary."""
+    from ..engine import encode_pdf_payload
+
+    if raw.startswith(b"%PDF-"):
+        return encode_pdf_payload(raw), "pdf-armor"
+    if raw[:2] == b"PK":
+        # nested OOXML/ODF/EPUB zips re-armor by their marker file
+        try:
+            zf = zipfile.ZipFile(io.BytesIO(raw))
+            names = set(zf.namelist())
+        except (zipfile.BadZipFile, ValueError):
+            return None
+        if any(n.startswith("word/") for n in names):
+            from ..formats.docx import encode_docx_payload
+
+            return encode_docx_payload(raw), "docx-armor"
+        if "content.xml" in names:
+            from ..formats.odt import encode_odt_payload
+
+            return encode_odt_payload(raw), "odt-armor"
+        if "META-INF/container.xml" in names:
+            from ..formats.epub import encode_epub_payload
+
+            return encode_epub_payload(raw), "epub-armor"
+        return None
+    try:
+        return raw.decode("utf-8"), "text"
+    except UnicodeDecodeError:
+        return None
+
+
+ATTACHMENT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("member_idx", T.IntegerType()),
+    T.StructField("member", T.StringType()),
+    T.StructField("transport", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("status", T.StringType()),
+])
+
+
+def explode_zip_attachments(df: DataFrame,
+                            payload_col: str = "text") -> DataFrame:
+    """ZIP payload turns → one child row per member, kernel-ready.
+
+    Children keep (conv_id, turn_idx) and add (member_idx, member);
+    feed the result straight to ``engine.extract_turns`` — the ``text``
+    column carries each member as a sniffable payload."""
+
+    def gen(batches):
+        cols = [f.name for f in ATTACHMENT_SCHEMA.fields]
+        for b in batches:
+            out: list[dict] = []
+            for conv_id, turn_idx, payload in zip(
+                    b["conv_id"], b["turn_idx"], b[payload_col]):
+                p = str(payload or "")
+                if not p.startswith(ZIP_B64_PREFIX):
+                    continue
+                base = {"conv_id": conv_id, "turn_idx": int(turn_idx)}
+                try:
+                    raw = base64.b64decode(
+                        p[len(ZIP_B64_PREFIX):], validate=True)
+                    zf = zipfile.ZipFile(io.BytesIO(raw))
+                    infos = zf.infolist()[:_MAX_MEMBERS]
+                    for mi, info in enumerate(infos):
+                        if info.is_dir():
+                            continue
+                        if info.file_size > _MAX_MEMBER_BYTES:
+                            out.append({**base, "member_idx": mi,
+                                        "member": info.filename,
+                                        "transport": None, "text": None,
+                                        "status": "member_too_large"})
+                            continue
+                        try:
+                            data = zf.read(info)
+                        except Exception:
+                            out.append({**base, "member_idx": mi,
+                                        "member": info.filename,
+                                        "transport": None, "text": None,
+                                        "status": "member_error"})
+                            continue
+                        conv = _member_to_payload(info.filename, data)
+                        if conv is None:
+                            out.append({**base, "member_idx": mi,
+                                        "member": info.filename,
+                                        "transport": "binary",
+                                        "text": None, "status": "binary"})
+                        else:
+                            text, transport = conv
+                            out.append({**base, "member_idx": mi,
+                                        "member": info.filename,
+                                        "transport": transport,
+                                        "text": text, "status": "ok"})
+                except (zipfile.BadZipFile, binascii.Error,
+                        ValueError) as exc:
+                    out.append({**base, "member_idx": -1, "member": None,
+                                "transport": None, "text": None,
+                                "status":
+                                f"zip_error:{type(exc).__name__}"})
+                except Exception:
+                    out.append({**base, "member_idx": -1, "member": None,
+                                "transport": None, "text": None,
+                                "status": "zip_error"})
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("conv_id", "turn_idx", payload_col).mapInPandas(
+        gen, schema=ATTACHMENT_SCHEMA)
+
+
+def build_zip(members: list[tuple[str, bytes]]) -> bytes:
+    """Testkit writer: [(name, raw bytes)] → deterministic ZIP."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, raw in members:
+            zf.writestr(name, raw)
+    return buf.getvalue()

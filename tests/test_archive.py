@@ -1,0 +1,75 @@
+"""ZIP attachment explosion: member routing, re-armoring, salvage."""
+
+from __future__ import annotations
+
+from pdf_parser_c_spark.engine import extract_turns
+from pdf_parser_c_spark.sources.archive import (
+    build_zip,
+    encode_zip_payload,
+    explode_zip_attachments,
+)
+
+
+def _bundle(members):
+    return encode_zip_payload(build_zip(members))
+
+
+class TestExplode:
+    def test_text_and_binary_members(self, spark):
+        payload = _bundle([
+            ("a.md", b"# Doc 1\n\nbody words\n"),
+            ("b.tex", b"\\documentclass{a}\n\\begin{document}x"
+                      b"\\end{document}"),
+            ("blob.bin", b"\x00\x01\x02\xff\xfe"),
+        ])
+        df = spark.createDataFrame([("c1", 0, payload), ("c1", 1, "plain")],
+                                   "conv_id string, turn_idx int, text string")
+        rows = {r.member: r for r in explode_zip_attachments(df).collect()}
+        assert rows["a.md"].transport == "text"
+        assert rows["b.tex"].transport == "text"
+        assert rows["blob.bin"].status == "binary"
+
+    def test_pdf_and_docx_members_rearmor(self, spark):
+        from pdf_parser_c_spark.formats.docx import build_docx
+        from pdf_parser_c_spark.testkit.gen_pdf import (
+            FontSpec, PageSpec, build_pdf, tj,
+        )
+
+        pdf = build_pdf([PageSpec(tj(72, 700, "F1", 12, "Pdf Member Text"))],
+                        {"F1": FontSpec("Helvetica")})
+        docx = build_docx(["Docx member text"])
+        payload = _bundle([("x.pdf", pdf), ("y.docx", docx)])
+        df = spark.createDataFrame([("c1", 0, payload)],
+                                   "conv_id string, turn_idx int, text string")
+        kids = explode_zip_attachments(df)
+        out = extract_turns(
+            kids.select("conv_id",
+                        kids.member_idx.cast("int").alias("turn_idx"),
+                        "text"),
+            repartition=False).collect()
+        by_kind = {r.kind: r for r in out}
+        assert "Pdf Member Text" in by_kind["pdf"].text
+        assert by_kind["docx"].text == "Docx member text"
+
+    def test_hostile_container(self, spark):
+        df = spark.createDataFrame(
+            [("c1", 0, "ZIPB64:!!!"), ("c1", 1, "ZIPB64:" + "QUJD")],
+            "conv_id string, turn_idx int, text string")
+        rows = explode_zip_attachments(df).collect()
+        assert all(r.status.startswith("zip_error") for r in rows)
+
+    def test_nested_odf_member(self, spark):
+        from pdf_parser_c_spark.formats.odt import build_odt
+
+        payload = _bundle([("doc.odt", build_odt(["odt body"],
+                                                 heading="H"))])
+        df = spark.createDataFrame([("c1", 0, payload)],
+                                   "conv_id string, turn_idx int, text string")
+        kids = explode_zip_attachments(df).collect()
+        assert kids[0].transport == "odt-armor"
+        out = extract_turns(
+            spark.createDataFrame(
+                [("c1", 0, kids[0].text)],
+                "conv_id string, turn_idx int, text string"),
+            repartition=False).collect()
+        assert out[0].kind == "odt" and out[0].text == "H\nodt body"
