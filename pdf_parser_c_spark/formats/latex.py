@@ -164,14 +164,29 @@ def latex_to_text(raw: str) -> str:
     n = len(src)
     math_depth = 0        # inside a math environment
     dollar = 0            # 1 = inside $...$, 2 = inside $$...$$
+    def emit_text(chunk: str) -> None:
+        # a single '$' cannot span a paragraph in valid LaTeX: an
+        # unbalanced one resets at the blank line instead of
+        # swallowing the rest of the document (inner environments,
+        # e.g. aligned inside $$..$$, do NOT reset math state)
+        nonlocal dollar
+        if math_depth:
+            return
+        if dollar:
+            brk = chunk.find("\n\n")
+            if brk == -1:
+                return
+            dollar = 0
+            chunk = chunk[brk:]
+        out.append(chunk)
+
     while pos < n:
         mt = _TOKEN_RE.search(src, pos)
         if mt is None:
-            if not math_depth and not dollar:
-                out.append(src[pos:])
+            emit_text(src[pos:])
             break
-        if mt.start() > pos and not math_depth and not dollar:
-            out.append(src[pos:mt.start()])
+        if mt.start() > pos:
+            emit_text(src[pos:mt.start()])
         pos = mt.end()
         if mt.group("ddol"):
             dollar = 0 if dollar == 2 else 2
@@ -180,17 +195,15 @@ def latex_to_text(raw: str) -> str:
             dollar = 0 if dollar == 1 else 1
             continue
         if mt.group("beg") is not None:
-            dollar = 0  # an unbalanced '$' must not swallow the rest
             if mt.group("beg") in _MATH_ENVS:
                 math_depth += 1
-            elif not math_depth:
+            elif not math_depth and not dollar:
                 out.append("\n")
             continue
         if mt.group("end") is not None:
-            dollar = 0
             if mt.group("end") in _MATH_ENVS:
                 math_depth = max(0, math_depth - 1)
-            elif not math_depth:
+            elif not math_depth and not dollar:
                 out.append("\n")
             continue
         if math_depth or dollar:

@@ -49,7 +49,8 @@ _LINK_RE = re.compile(r"\[([^\]]*)\]\(([^)]*)\)")
 _REFLINK_RE = re.compile(r"\[([^\]]*)\]\[[^\]]*\]")
 _AUTOLINK_RE = re.compile(r"<(https?://[^>\s]+)>")
 _CODE_SPAN_RE = re.compile(r"(`+)(.+?)\1")
-_STRONG_RE = re.compile(r"(\*\*|__)(?=\S)(.+?)(?<=\S)\1")
+_STRONG_STAR_RE = re.compile(r"\*\*(?=\S)(.+?)(?<=\S)\*\*")
+_STRONG_UND_RE = re.compile(r"(?<![\w_])__(?=\S)(.+?)(?<=\S)__(?![\w_])")
 # underscore emphasis may not open/close intra-word (CommonMark §6.2);
 # asterisks may
 _EM_STAR_RE = re.compile(r"\*(?=\S)(.+?)(?<=\S)\*")
@@ -84,7 +85,8 @@ def _inline(s: str) -> str:
     s = _LINK_RE.sub(r"\1", s)
     s = _REFLINK_RE.sub(r"\1", s)
     s = _AUTOLINK_RE.sub(r"\1", s)
-    s = _STRONG_RE.sub(r"\2", s)
+    s = _STRONG_STAR_RE.sub(r"\1", s)
+    s = _STRONG_UND_RE.sub(r"\1", s)
     s = _EM_STAR_RE.sub(r"\1", s)
     s = _EM_UND_RE.sub(r"\1", s)
     s = _STRIKE_RE.sub(r"\1", s)

@@ -112,7 +112,10 @@ def parse_xlsx_cells_bytes(buf: bytes) -> list[dict]:
             tgt = target_by_rid.get(rid.group(1)) if rid else None
             if not tgt:
                 continue
-            part = tgt if tgt.startswith("xl/") else "xl/" + tgt.lstrip("/")
+            # OPC targets may be absolute part names ('/xl/…'): strip
+            # the leading slash BEFORE deciding whether to prefix
+            tgt = tgt.lstrip("/")
+            part = tgt if tgt.startswith("xl/") else "xl/" + tgt
             if part in names:
                 sheets.append(part)
     except Exception:

@@ -105,12 +105,25 @@ def explode_zip_attachments(df: DataFrame,
                 p = str(payload or "")
                 if not p.startswith(ZIP_B64_PREFIX):
                     continue
-                base = {"conv_id": conv_id, "turn_idx": int(turn_idx)}
+                try:  # NULL turn_idx must salvage, not kill the task
+                    ti = int(turn_idx)
+                except (TypeError, ValueError):
+                    ti = -1
+                base = {"conv_id": conv_id, "turn_idx": ti}
                 try:
                     raw = base64.b64decode(
                         p[len(ZIP_B64_PREFIX):], validate=True)
                     zf = zipfile.ZipFile(io.BytesIO(raw))
-                    infos = zf.infolist()[:_MAX_MEMBERS]
+                    all_infos = zf.infolist()
+                    infos = all_infos[:_MAX_MEMBERS]
+                    if len(all_infos) > _MAX_MEMBERS:
+                        # honest-skip posture: the drop is LABELED so
+                        # censuses see the truncation
+                        out.append({**base, "member_idx": _MAX_MEMBERS,
+                                    "member": None, "transport": None,
+                                    "text": None,
+                                    "status": "members_truncated:"
+                                    f"{len(all_infos) - _MAX_MEMBERS}"})
                     for mi, info in enumerate(infos):
                         if info.is_dir():
                             continue

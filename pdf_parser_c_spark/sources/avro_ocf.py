@@ -48,11 +48,21 @@ def encode_avro_payload(buf: bytes) -> str:
 
 
 class _Reader:
-    __slots__ = ("data", "pos")
+    __slots__ = ("data", "pos", "item_budget")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
+        # cumulative collection-item budget PROPORTIONAL to input
+        # size: null items cost zero bytes, so a flat per-collection
+        # cap would still grant huge CPU amplification to tiny
+        # payloads (second-review finding)
+        self.item_budget = len(data) * 8 + 1024
+
+    def spend_items(self, n: int) -> None:
+        self.item_budget -= n
+        if self.item_budget < 0:
+            raise AvroError("collection item budget exceeded")
 
     def bytes_(self, n: int) -> bytes:
         if n < 0 or self.pos + n > len(self.data):
@@ -123,10 +133,7 @@ def _decode_value(r: _Reader, schema):
             if n < 0:
                 r.long_()  # block byte size (sized form)
                 n = -n
-            if n > 10_000_000:
-                raise AvroError("array count bomb")  # null items are
-                # zero bytes, so a bytes-remaining bound would reject
-                # valid arrays of nulls; an absolute cap bounds work
+            r.spend_items(n)
             for _ in range(n):
                 out.append(_decode_value(r, schema["items"]))
         return out
@@ -139,8 +146,7 @@ def _decode_value(r: _Reader, schema):
             if n < 0:
                 r.long_()
                 n = -n
-            if n > 10_000_000:
-                raise AvroError("map count bomb")
+            r.spend_items(n)
             for _ in range(n):
                 out[r.string_()] = _decode_value(r, schema["values"])
         return out
@@ -175,8 +181,7 @@ def _parse_ocf(buf: bytes) -> tuple[dict, list]:
         if n < 0:
             r.long_()
             n = -n
-        if n > 1_000_000:
-            raise AvroError("metadata count bomb")
+        r.spend_items(n)
         for _ in range(n):
             k = r.string_()
             meta[k] = r.bytes_(r.long_())
@@ -203,8 +208,10 @@ def _parse_ocf(buf: bytes) -> tuple[dict, list]:
             except zlib.error as exc:
                 raise AvroError(f"deflate: {exc}") from exc
         br = _Reader(payload)
+        br.item_budget = r.item_budget  # one budget per document
         for _ in range(n_recs):
             records.append(_decode_value(br, schema))
+        r.item_budget = br.item_budget
     return schema, records
 
 

@@ -73,3 +73,13 @@ class TestExplode:
                 "conv_id string, turn_idx int, text string"),
             repartition=False).collect()
         assert out[0].kind == "odt" and out[0].text == "H\nodt body"
+
+
+class TestReviewRegressions:
+    def test_null_turn_idx_salvages(self, spark):
+        payload = _bundle([("a.txt", b"hello")])
+        df = spark.createDataFrame(
+            [("c1", None, payload)],
+            "conv_id string, turn_idx int, text string")
+        rows = explode_zip_attachments(df).collect()
+        assert rows[0].turn_idx == -1 and rows[0].status == "ok"

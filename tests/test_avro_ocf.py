@@ -117,3 +117,29 @@ class TestReviewRegressions:
              "type": {"type": "array", "items": ["null", "string"]}}]}
         rows = [{"a": [None, None, None]}]
         assert parse_avro_ocf(build_avro_ocf(schema, rows))[1] == rows
+
+    def test_null_item_bomb_is_bounded(self):
+        # tiny payload claiming 10M zero-byte items must fail fast
+        import json as _json
+
+        from pdf_parser_c_spark.sources import avro_ocf as m
+
+        w = m._Writer()
+        w.buf.write(b"Obj\x01")
+        w.long_(2)
+        w.string_("avro.schema")
+        w.string_(_json.dumps({"type": "array", "items": "null"}))
+        w.string_("avro.codec")
+        w.string_("null")
+        w.long_(0)
+        w.buf.write(b"\x07" * 16)
+        body = m._Writer()
+        body.long_(10_000_000)
+        body.long_(0)
+        p = body.buf.getvalue()
+        w.long_(1)
+        w.long_(len(p))
+        w.buf.write(p)
+        w.buf.write(b"\x07" * 16)
+        with pytest.raises(AvroError):
+            parse_avro_ocf(w.buf.getvalue())

@@ -157,11 +157,22 @@ class TestReviewRegressions:
         got = latex_to_text(src)
         assert got == "Intro\necho $HOME % literal\nReal prose"
 
-    def test_latex_unbalanced_dollar_resets_at_env(self):
-        src = ("\\begin{document}a $ swallowed "
-               "\\begin{itemize}\\item c\\end{itemize} d\\end{document}")
+    def test_latex_unbalanced_dollar_resets_at_paragraph(self):
+        # a lone $ cannot span a blank line in valid LaTeX: prose
+        # after the paragraph break must survive
+        src = ("\\begin{document}a $ swallowed junk\n\n"
+               "next paragraph survives\\end{document}")
         got = latex_to_text(src)
-        assert "c" in got and "d" in got
+        assert "next paragraph survives" in got
+        assert "junk" not in got
+
+    def test_latex_inner_env_inside_display_math_stays_math(self):
+        # second-review finding: \begin{aligned} inside $$..$$ must
+        # not leak math or invert the state
+        src = ("\\begin{document}$$\\begin{aligned}x=1\\\\y=2"
+               "\\end{aligned}$$ Next prose.\\end{document}")
+        got = latex_to_text(src)
+        assert got == "Next prose."
 
     def test_md_code_span_content_verbatim(self):
         assert markdown_to_text("# H\n`snake_case_name` x\n") == \
@@ -172,3 +183,9 @@ class TestReviewRegressions:
             "H\nuse foo_bar and baz_qux"
         # real underscore emphasis still unwraps
         assert markdown_to_text("# H\n_emph_ word\n") == "H\nemph word"
+
+    def test_md_intraword_double_underscore_survives(self):
+        assert markdown_to_text("# H\nobj__proto__chain\n") == \
+            "H\nobj__proto__chain"
+        assert markdown_to_text("# H\n__strong__ word\n") == \
+            "H\nstrong word"

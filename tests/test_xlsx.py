@@ -126,3 +126,25 @@ class TestReviewRegressions:
         # sheet2.xml (rId2, listed first) is sheet_idx 0
         assert [(c["sheet_idx"], c["value"]) for c in cells] == [
             (0, "2"), (1, "1")]
+
+    def test_absolute_opc_targets_resolve(self):
+        import io
+        import zipfile
+
+        from pdf_parser_c_spark.formats.xlsx import parse_xlsx_cells_bytes
+
+        wb = ('<workbook xmlns:r="http://x"><sheets>'
+              '<sheet name="A" sheetId="1" r:id="rId1"/>'
+              "</sheets></workbook>")
+        rels = ('<Relationships><Relationship Id="rId1" Type="t" '
+                'Target="/xl/worksheets/sheet1.xml"/></Relationships>')
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("xl/workbook.xml", wb)
+            zf.writestr("xl/_rels/workbook.xml.rels", rels)
+            zf.writestr("xl/worksheets/sheet1.xml",
+                        '<worksheet><sheetData><row r="1">'
+                        '<c r="A1"><v>7</v></c></row></sheetData>'
+                        "</worksheet>")
+        cells = parse_xlsx_cells_bytes(buf.getvalue())
+        assert [(c["sheet_idx"], c["value"]) for c in cells] == [(0, "7")]
