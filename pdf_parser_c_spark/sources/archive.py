@@ -176,3 +176,97 @@ def build_zip(members: list[tuple[str, bytes]]) -> bytes:
         for name, raw in members:
             zf.writestr(name, raw)
     return buf.getvalue()
+
+
+def explode_eml_attachments(df: DataFrame,
+                            payload_col: str = "text") -> DataFrame:
+    """MIME attachment explosion — the email twin of the ZIP explode:
+    parts carrying a filename (Content-Disposition attachment or a
+    named inline part) become kernel-ready child rows through the same
+    magic-based re-armoring; the mail BODY parts stay with the normal
+    ``eml`` kernel kind and are NOT re-emitted here."""
+    from ..formats.email_msg import EML_B64_PREFIX, decode_eml_payload
+
+    def gen(batches):
+        import email
+        from email import policy
+
+        cols = [f.name for f in ATTACHMENT_SCHEMA.fields]
+        for b in batches:
+            out: list[dict] = []
+            for conv_id, turn_idx, payload in zip(
+                    b["conv_id"], b["turn_idx"], b[payload_col]):
+                p = str(payload or "")
+                if not p.startswith(EML_B64_PREFIX):
+                    continue
+                try:
+                    ti = int(turn_idx)
+                except (TypeError, ValueError):
+                    ti = -1
+                base = {"conv_id": conv_id, "turn_idx": ti}
+                try:
+                    msg = email.message_from_bytes(
+                        decode_eml_payload(p), policy=policy.default)
+                    mi = 0
+                    for part in msg.walk():
+                        if part.is_multipart():
+                            continue
+                        name = part.get_filename()
+                        if not name:
+                            continue  # body part: the eml kind owns it
+                        raw = part.get_payload(decode=True) or b""
+                        if len(raw) > _MAX_MEMBER_BYTES:
+                            out.append({**base, "member_idx": mi,
+                                        "member": name, "transport": None,
+                                        "text": None,
+                                        "status": "member_too_large"})
+                            mi += 1
+                            continue
+                        conv = _member_to_payload(name, raw)
+                        if conv is None:
+                            out.append({**base, "member_idx": mi,
+                                        "member": name,
+                                        "transport": "binary",
+                                        "text": None, "status": "binary"})
+                        else:
+                            text, transport = conv
+                            out.append({**base, "member_idx": mi,
+                                        "member": name,
+                                        "transport": transport,
+                                        "text": text, "status": "ok"})
+                        mi += 1
+                except Exception:
+                    out.append({**base, "member_idx": -1, "member": None,
+                                "transport": None, "text": None,
+                                "status": "eml_error"})
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("conv_id", "turn_idx", payload_col).mapInPandas(
+        gen, schema=ATTACHMENT_SCHEMA)
+
+
+def build_eml_with_attachments(
+        subject: str, plain: str,
+        attachments: list[tuple[str, bytes]]) -> bytes:
+    """Testkit writer: multipart/mixed with base64 attachments."""
+    import base64 as _b64
+
+    boundary = "=-mixed-fixture-="
+    parts = [
+        ("Content-Type: text/plain; charset=utf-8\r\n"
+         "Content-Transfer-Encoding: 7bit\r\n\r\n" + plain + "\r\n")
+    ]
+    for name, raw in attachments:
+        b64 = _b64.encodebytes(raw).decode("ascii")
+        parts.append(
+            f'Content-Type: application/octet-stream; name="{name}"\r\n'
+            "Content-Transfer-Encoding: base64\r\n"
+            f'Content-Disposition: attachment; filename="{name}"\r\n\r\n'
+            + b64 + "\r\n")
+    body = "".join(f"--{boundary}\r\n" + p for p in parts)
+    return (
+        "From: sender@example.com\r\nTo: rcpt@example.com\r\n"
+        f"Subject: {subject}\r\nMIME-Version: 1.0\r\n"
+        f'Content-Type: multipart/mixed; boundary="{boundary}"\r\n\r\n'
+        + body + f"--{boundary}--\r\n"
+    ).encode("utf-8")

@@ -83,3 +83,68 @@ class TestReviewRegressions:
             "conv_id string, turn_idx int, text string")
         rows = explode_zip_attachments(df).collect()
         assert rows[0].turn_idx == -1 and rows[0].status == "ok"
+
+
+class TestEmlAttachments:
+    def test_mime_attachments_explode_and_route(self, spark):
+        from pdf_parser_c_spark.formats.email_msg import encode_eml_payload
+        from pdf_parser_c_spark.sources.archive import (
+            build_eml_with_attachments,
+            explode_eml_attachments,
+        )
+        from pdf_parser_c_spark.testkit.gen_pdf import (
+            FontSpec, PageSpec, build_pdf, tj,
+        )
+
+        pdf = build_pdf([PageSpec(tj(72, 700, "F1", 12, "Attached Pdf"))],
+                        {"F1": FontSpec("Helvetica")})
+        eml = build_eml_with_attachments(
+            "Subj", "the body text",
+            [("report.pdf", pdf), ("notes.md", b"# Note\n\nwords\n"),
+             ("blob.bin", b"\x00\xff\x00")])
+        df = spark.createDataFrame(
+            [("c1", 0, encode_eml_payload(eml))],
+            "conv_id string, turn_idx int, text string")
+        kids = {r.member: r for r in explode_eml_attachments(df).collect()}
+        assert kids["report.pdf"].transport == "pdf-armor"
+        assert kids["notes.md"].transport == "text"
+        assert kids["blob.bin"].status == "binary"
+        # children extract through the normal kernel
+        out = extract_turns(
+            spark.createDataFrame(
+                [("c1", 0, kids["report.pdf"].text),
+                 ("c1", 1, kids["notes.md"].text)],
+                "conv_id string, turn_idx int, text string"),
+            repartition=False).collect()
+        by_kind = {r.kind: r for r in out}
+        assert "Attached Pdf" in by_kind["pdf"].text
+        assert by_kind["md"].text == "Note\nwords"
+
+    def test_body_still_owned_by_eml_kind(self, spark):
+        from pdf_parser_c_spark.formats.email_msg import encode_eml_payload
+        from pdf_parser_c_spark.sources.archive import (
+            build_eml_with_attachments,
+            explode_eml_attachments,
+        )
+
+        eml = build_eml_with_attachments("S", "body words", [])
+        p = encode_eml_payload(eml)
+        df = spark.createDataFrame([("c1", 0, p)],
+                                   "conv_id string, turn_idx int, text string")
+        assert explode_eml_attachments(df).count() == 0  # no attachments
+        out = extract_turns(
+            spark.createDataFrame(
+                [("c1", 0, p)],
+                "conv_id string, turn_idx int, text string"),
+            repartition=False).collect()
+        assert out[0].kind == "eml" and "body words" in out[0].text
+
+    def test_hostile_eml(self, spark):
+        df = spark.createDataFrame([("c1", 0, "EMLB64:!!!")],
+                                   "conv_id string, turn_idx int, text string")
+        from pdf_parser_c_spark.sources.archive import (
+            explode_eml_attachments,
+        )
+
+        rows = explode_eml_attachments(df).collect()
+        assert rows[0].status == "eml_error"
