@@ -134,6 +134,16 @@ _VERBATIM_RE = re.compile(
     r"\\end\{\1\*?\}", re.S)
 
 
+def _closes_math(src: str, pos: int, marker: str) -> bool:
+    """True when an opening ``$``/``$$`` at pos has a closing marker
+    before the next paragraph break (TeX forbids math across blank
+    lines) — otherwise the dollar is literal text."""
+    brk = src.find("\n\n", pos)
+    end = brk if brk != -1 else len(src)
+    close = src.find(marker, pos)
+    return close != -1 and close < end
+
+
 def latex_to_text(raw: str) -> str:
     # 0. verbatim bodies come out FIRST — their %, $, \\ are literal
     # text, not markup (a lone '$' in a shell snippet must not flip
@@ -189,10 +199,24 @@ def latex_to_text(raw: str) -> str:
             emit_text(src[pos:mt.start()])
         pos = mt.end()
         if mt.group("ddol"):
-            dollar = 0 if dollar == 2 else 2
+            if dollar == 2:
+                dollar = 0
+            elif _closes_math(src, pos, "$$"):
+                dollar = 2
+            elif not math_depth and not dollar:
+                out.append("$$")  # unmatched display marker: literal
             continue
         if mt.group("dol"):
-            dollar = 0 if dollar == 1 else 1
+            if dollar == 1:
+                dollar = 0
+            elif dollar == 0:
+                # a currency '$' with no closing '$' in the paragraph
+                # is literal text, not an open math span that would
+                # swallow the document tail (third-review finding)
+                if _closes_math(src, pos, "$"):
+                    dollar = 1
+                elif not math_depth:
+                    out.append("$")
             continue
         if mt.group("beg") is not None:
             if mt.group("beg") in _MATH_ENVS:

@@ -11,10 +11,15 @@ stage, no new extraction code:
   so the kernel's sniffs (ATX heading, ``\\documentclass``, ``{\\rtf``,
   HTML, JSON…) route them,
 * binary members re-armor with the magic-matched prefix (PDF →
-  ``PDFB64:``, OOXML zip → ``DOCXB64:``, ODF zip → ``ODTB64:``…)
-  so the prefix-sniffed kinds route them,
-* a member that fails both is a labeled ``binary`` row (honest skip),
-* hostile containers map to one error row per document (salvage).
+  ``PDFB64:``, WordprocessingML zip → ``DOCXB64:``, ODF zip →
+  ``ODTB64:``, EPUB → ``EPUBB64:``) so the prefix-sniffed kinds route
+  them; SpreadsheetML zips re-armor as ``XLSXB64:`` with transport
+  ``xlsx-armor`` — those children feed ``formats.xlsx
+  .parse_xlsx_cells`` (a cells operator), NOT ``extract_turns``,
+* a member that fails every probe is a labeled ``binary`` row,
+* hostile containers map to one error row per document (salvage), and
+  a CUMULATIVE per-payload decompressed-byte budget stops deflate
+  amplification across members (each member also has its own cap).
 
 Payloads ride the ``text`` column as ``ZIPB64:`` armor.
 """
@@ -34,6 +39,7 @@ ZIP_B64_PREFIX = "ZIPB64:"
 
 _MAX_MEMBERS = 4096
 _MAX_MEMBER_BYTES = 256 * 1024 * 1024  # shared decode-bomb posture
+_MAX_PAYLOAD_BYTES = 1024 * 1024 * 1024  # cumulative per payload
 
 
 class ZipAttachmentError(ValueError):
@@ -62,6 +68,10 @@ def _member_to_payload(name: str, raw: bytes) -> tuple[str, str] | None:
             from ..formats.docx import encode_docx_payload
 
             return encode_docx_payload(raw), "docx-armor"
+        if "xl/workbook.xml" in names:
+            from ..formats.xlsx import encode_xlsx_payload
+
+            return encode_xlsx_payload(raw), "xlsx-armor"
         if "content.xml" in names:
             from ..formats.odt import encode_odt_payload
 
@@ -86,6 +96,31 @@ ATTACHMENT_SCHEMA = T.StructType([
     T.StructField("text", T.StringType()),
     T.StructField("status", T.StringType()),
 ])
+
+
+def _emit_member(out: list, base: dict, mi: int, name: str,
+                 raw: bytes, budget: list) -> bool:
+    """Shared member-row emitter (zip + eml paths).  ``budget`` is a
+    one-element remaining-bytes list: deflate amplification is bounded
+    PER PAYLOAD, not just per member.  Returns False when the budget
+    is exhausted (caller stops)."""
+    budget[0] -= len(raw)
+    if budget[0] < 0:
+        out.append({**base, "member_idx": mi, "member": name,
+                    "transport": None, "text": None,
+                    "status": "payload_budget_exceeded"})
+        return False
+    conv = _member_to_payload(name, raw)
+    if conv is None:
+        out.append({**base, "member_idx": mi, "member": name,
+                    "transport": "binary", "text": None,
+                    "status": "binary"})
+    else:
+        text, transport = conv
+        out.append({**base, "member_idx": mi, "member": name,
+                    "transport": transport, "text": text,
+                    "status": "ok"})
+    return True
 
 
 def explode_zip_attachments(df: DataFrame,
@@ -124,6 +159,7 @@ def explode_zip_attachments(df: DataFrame,
                                     "text": None,
                                     "status": "members_truncated:"
                                     f"{len(all_infos) - _MAX_MEMBERS}"})
+                    budget = [_MAX_PAYLOAD_BYTES]
                     for mi, info in enumerate(infos):
                         if info.is_dir():
                             continue
@@ -141,18 +177,9 @@ def explode_zip_attachments(df: DataFrame,
                                         "transport": None, "text": None,
                                         "status": "member_error"})
                             continue
-                        conv = _member_to_payload(info.filename, data)
-                        if conv is None:
-                            out.append({**base, "member_idx": mi,
-                                        "member": info.filename,
-                                        "transport": "binary",
-                                        "text": None, "status": "binary"})
-                        else:
-                            text, transport = conv
-                            out.append({**base, "member_idx": mi,
-                                        "member": info.filename,
-                                        "transport": transport,
-                                        "text": text, "status": "ok"})
+                        if not _emit_member(out, base, mi,
+                                            info.filename, data, budget):
+                            break
                 except (zipfile.BadZipFile, binascii.Error,
                         ValueError) as exc:
                     out.append({**base, "member_idx": -1, "member": None,
@@ -208,6 +235,7 @@ def explode_eml_attachments(df: DataFrame,
                     msg = email.message_from_bytes(
                         decode_eml_payload(p), policy=policy.default)
                     mi = 0
+                    budget = [_MAX_PAYLOAD_BYTES]
                     for part in msg.walk():
                         if part.is_multipart():
                             continue
@@ -222,18 +250,9 @@ def explode_eml_attachments(df: DataFrame,
                                         "status": "member_too_large"})
                             mi += 1
                             continue
-                        conv = _member_to_payload(name, raw)
-                        if conv is None:
-                            out.append({**base, "member_idx": mi,
-                                        "member": name,
-                                        "transport": "binary",
-                                        "text": None, "status": "binary"})
-                        else:
-                            text, transport = conv
-                            out.append({**base, "member_idx": mi,
-                                        "member": name,
-                                        "transport": transport,
-                                        "text": text, "status": "ok"})
+                        if not _emit_member(out, base, mi, name, raw,
+                                            budget):
+                            break
                         mi += 1
                 except Exception:
                     out.append({**base, "member_idx": -1, "member": None,

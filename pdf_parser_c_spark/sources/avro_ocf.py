@@ -37,6 +37,7 @@ from pyspark.sql import types as T
 
 AVRO_B64_PREFIX = "AVROB64:"
 _MAGIC = b"Obj\x01"
+_MAX_BLOCK_BYTES = 256 * 1024 * 1024  # shared decode-bomb posture
 
 
 class AvroError(ValueError):
@@ -197,21 +198,29 @@ def _parse_ocf(buf: bytes) -> tuple[dict, list]:
     while r.pos < len(r.data):
         n_recs = r.long_()
         blen = r.long_()
-        if n_recs < 0 or blen < 0 or n_recs > 10_000_000:
+        if n_recs < 0 or blen < 0:
             raise AvroError("bad block header")
+        # record counts charge the CONTAINER-sized budget: a "null" /
+        # empty-record schema makes records zero-byte items, the same
+        # amplification the collection budget kills (third review)
+        r.spend_items(n_recs)
         payload = r.bytes_(blen)
         if r.bytes_(16) != sync:
             raise AvroError("sync marker mismatch")
         if codec == "deflate":
             try:
-                payload = zlib.decompress(payload, -15)
+                d = zlib.decompressobj(-15)
+                payload = d.decompress(payload, _MAX_BLOCK_BYTES)
+                if d.unconsumed_tail:
+                    raise AvroError("deflate block exceeds size cap")
             except zlib.error as exc:
                 raise AvroError(f"deflate: {exc}") from exc
         br = _Reader(payload)
-        br.item_budget = r.item_budget  # one budget per document
+        # collection budget keyed to the DECOMPRESSED bytes: a valid
+        # highly-compressible block may legitimately hold far more
+        # items than its compressed size suggests (third review)
         for _ in range(n_recs):
             records.append(_decode_value(br, schema))
-        r.item_budget = br.item_budget
     return schema, records
 
 

@@ -148,3 +148,37 @@ class TestEmlAttachments:
 
         rows = explode_eml_attachments(df).collect()
         assert rows[0].status == "eml_error"
+
+    def test_xlsx_member_rearmors_for_cells_operator(self, spark):
+        from pdf_parser_c_spark.formats.xlsx import (
+            build_xlsx,
+            parse_xlsx_cells,
+        )
+        from pdf_parser_c_spark.sources.archive import (
+            explode_zip_attachments,
+        )
+
+        payload = _bundle([("sheet.xlsx", build_xlsx([[["h"], [5]]]))])
+        df = spark.createDataFrame([("c1", 0, payload)],
+                                   "conv_id string, turn_idx int, text string")
+        kids = explode_zip_attachments(df).collect()
+        assert kids[0].transport == "xlsx-armor"
+        cells = parse_xlsx_cells(
+            spark.createDataFrame([(1, kids[0].text)],
+                                  "doc_id long, text string")).collect()
+        assert [c.value for c in sorted(cells, key=lambda c: c.row_idx)] \
+            == ["h", "5"]
+
+    def test_cumulative_payload_budget(self, spark, monkeypatch):
+        from pdf_parser_c_spark.sources import archive as m
+
+        monkeypatch.setattr(m, "_MAX_PAYLOAD_BYTES", 64)
+        payload = _bundle([("a.txt", b"x" * 40), ("b.txt", b"y" * 40),
+                           ("c.txt", b"z" * 40)])
+        df = spark.createDataFrame([("c1", 0, payload)],
+                                   "conv_id string, turn_idx int, text string")
+        rows = sorted(m.explode_zip_attachments(df).collect(),
+                      key=lambda r: r.member_idx)
+        assert rows[0].status == "ok"
+        assert rows[1].status == "payload_budget_exceeded"
+        assert len(rows) == 2  # iteration stops at the budget

@@ -143,3 +143,31 @@ class TestReviewRegressions:
         w.buf.write(b"\x07" * 16)
         with pytest.raises(AvroError):
             parse_avro_ocf(w.buf.getvalue())
+
+    def test_nrecs_null_schema_bomb_is_bounded(self):
+        # third-review: record counts must charge the budget too
+        from pdf_parser_c_spark.sources import avro_ocf as m
+
+        w = m._Writer()
+        w.buf.write(b"Obj\x01")
+        w.long_(2)
+        w.string_("avro.schema")
+        w.string_('"null"')
+        w.string_("avro.codec")
+        w.string_("null")
+        w.long_(0)
+        w.buf.write(b"\x07" * 16)
+        w.long_(10_000_000)
+        w.long_(0)
+        w.buf.write(b"\x07" * 16)
+        with pytest.raises(AvroError):
+            parse_avro_ocf(w.buf.getvalue())
+
+    def test_compressible_block_budget_is_decompressed_sized(self):
+        # third-review: a valid highly-compressible block must parse
+        schema = {"type": "record", "name": "r", "fields": [
+            {"name": "a", "type": {"type": "array", "items": "long"}}]}
+        rows = [{"a": [7] * 100_000}]
+        _s, recs = parse_avro_ocf(
+            build_avro_ocf(schema, rows, codec="deflate"))
+        assert recs == rows

@@ -157,14 +157,16 @@ class TestReviewRegressions:
         got = latex_to_text(src)
         assert got == "Intro\necho $HOME % literal\nReal prose"
 
-    def test_latex_unbalanced_dollar_resets_at_paragraph(self):
-        # a lone $ cannot span a blank line in valid LaTeX: prose
-        # after the paragraph break must survive
-        src = ("\\begin{document}a $ swallowed junk\n\n"
+    def test_latex_unbalanced_dollar_is_literal(self):
+        # a lone $ with no closing $ in its paragraph is currency /
+        # literal text (third-review refinement): NOTHING is swallowed
+        src = ("\\begin{document}costs $5 fee here\n\n"
                "next paragraph survives\\end{document}")
         got = latex_to_text(src)
+        assert "costs $5 fee here" in got
         assert "next paragraph survives" in got
-        assert "junk" not in got
+        # a PAIRED $...$ in the same paragraph still drops as math
+        assert latex_to_text("a $x^2$ b") == "a b"
 
     def test_latex_inner_env_inside_display_math_stays_math(self):
         # second-review finding: \begin{aligned} inside $$..$$ must
