@@ -12591,6 +12591,104 @@ FROM members GROUP BY kind ORDER BY kind
 """
 
 
+def q_extraction_eml_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIME-attachment pipeline, oracle-checked: documents armor into
+    multipart/mixed emails whose attachments are a Markdown file (the
+    md armor) and an undecodable binary blob; explode_eml_attachments
+    emits kernel-ready children, the md child extracts through its own
+    sniff, and the census (per-kind members + extracted chars + binary
+    count) must equal the template reconstruction — the email twin of
+    extraction_zip_attachments.
+    Scale: explode + kernel fused on the doc_id exchange; attachment
+    bytes never leave the kernel."""
+    from .engine import extract_turns
+    from .flagship import doc_to_md_payload
+    from .sources.archive import (
+        build_eml_with_attachments,
+        explode_eml_attachments,
+    )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 1)
+        .select("doc_id", "text")
+    )
+
+    import pandas as pd
+
+    def kernel(batches):
+        from .formats.email_msg import encode_eml_payload
+
+        for b in batches:
+            ids, payloads = [], []
+            for did, t_ in zip(b["doc_id"].astype("int64"), b["text"]):
+                did = int(did)
+                collapsed = " ".join(str(t_).split())
+                eml = build_eml_with_attachments(
+                    f"Doc {did}", collapsed or "empty",
+                    [(f"{did}.md",
+                      doc_to_md_payload(did, str(t_)).encode()),
+                     ("blob.bin", bytes([0, 255, did % 256]))])
+                ids.append(did)
+                payloads.append(encode_eml_payload(eml))
+            yield pd.DataFrame({
+                "conv_id": [f"conv{i:06d}" for i in ids],
+                "turn_idx": [0] * len(ids),
+                "text": payloads,
+            })
+
+    tr = d.repartition(16, "doc_id").mapInPandas(
+        kernel, schema="conv_id string, turn_idx int, text string")
+    kids = explode_eml_attachments(tr)
+    ok_kids = kids.filter(F.col("status") == "ok")
+    extracted = extract_turns(
+        ok_kids.select("conv_id",
+                       F.col("member_idx").cast("int").alias("turn_idx"),
+                       "text"),
+        repartition=False,
+    )
+    census = (
+        extracted.groupBy("kind")
+        .agg(F.count("*").alias("n_members"),
+             F.sum(F.length("text")).alias("total_chars"))
+    )
+    binary = (
+        kids.filter(F.col("status") == "binary")
+        .agg(F.count("*").alias("n_members"))
+        .select(F.lit("binary").alias("kind"), "n_members",
+                F.lit(0).cast("long").alias("total_chars"))
+    )
+    return census.unionByName(binary).orderBy("kind")
+
+
+SQL_EXTRACTION_EML_ATTACHMENTS = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 4 = 1),
+parts AS (
+  SELECT doc_id,
+         array_to_string(ws[1:8], ' ') AS sl1,
+         array_to_string(ws[9:10], ' ') AS sl2,
+         array_to_string(ws[11:12], ' ') AS sl3,
+         array_to_string(ws[13:16], ' ') AS sl4,
+         array_to_string(ws[17:20], ' ') AS sl5
+  FROM w)
+SELECT 'binary' AS kind, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(0 AS BIGINT) AS total_chars
+FROM parts
+UNION ALL
+SELECT 'md', CAST(count(*) AS BIGINT),
+       CAST(sum(length(array_to_string(list_filter(
+           ['Doc ' || CAST(doc_id AS VARCHAR), sl1, sl2, sl3, sl4,
+            'code ' || CAST(doc_id AS VARCHAR), sl5],
+           x -> x <> ''), chr(10)))) AS BIGINT)
+FROM parts
+ORDER BY kind
+"""
+
+
 def q_extraction_multiformat_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHOLE-DISPATCH census — the capstone over the kernel's twelve
     payload kinds: every document is armored into the format chosen by
@@ -14025,5 +14123,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_zip_attachments": (
         q_extraction_zip_attachments, SQL_EXTRACTION_ZIP_ATTACHMENTS
+    ),
+    "extraction_eml_attachments": (
+        q_extraction_eml_attachments, SQL_EXTRACTION_EML_ATTACHMENTS
     ),
 }
