@@ -12689,6 +12689,77 @@ ORDER BY kind
 """
 
 
+def q_extraction_error_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERROR-PATH accounting, oracle-checked: corpus-scale jobs are
+    judged by how they account for the bad 1%, so this query armors
+    documents into a deterministic mix of hostile and healthy payloads
+    — doc_id % 4: truncated PDF (status 'malformed'), whitespace-only
+    plain turn ('empty'), a bit-flipped DOCX container ('malformed'),
+    a healthy markdown file ('ok') — and the per-(kind, status) census
+    must equal the parity arithmetic.  No hostile payload may abort a
+    task; every one must land in a labeled row.
+    Scale: identical fused armor+kernel plan; the census proves the
+    salvage contract the fuzz suites exercise, at the driver gate."""
+    from .engine import extract_turns
+    from .flagship import doc_to_md_payload
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    import base64
+
+    import pandas as pd
+
+    def kernel(batches):
+        for b in batches:
+            ids, payloads = [], []
+            for did, t_ in zip(b["doc_id"].astype("int64"), b["text"]):
+                did = int(did)
+                mode = did % 4
+                if mode == 0:
+                    p = "PDFB64:" + base64.b64encode(
+                        b"%PDF-1.7\ntruncated before any xref"
+                    ).decode()
+                elif mode == 1:
+                    p = "   \t  "
+                elif mode == 2:
+                    p = "DOCXB64:" + base64.b64encode(
+                        b"PK\x03\x04 not really a zip"
+                    ).decode()
+                else:
+                    p = doc_to_md_payload(did, str(t_))
+                ids.append(did)
+                payloads.append(p)
+            yield pd.DataFrame({
+                "conv_id": [f"conv{i:06d}" for i in ids],
+                "turn_idx": [0] * len(ids),
+                "text": payloads,
+            })
+
+    tr = d.repartition(16, "doc_id").mapInPandas(
+        kernel, schema="conv_id string, turn_idx int, text string")
+    out = extract_turns(tr, repartition=False)
+    return (
+        out.groupBy("kind", "status")
+        .agg(F.count("*").alias("n"))
+        .orderBy("kind", "status")
+    )
+
+
+SQL_EXTRACTION_ERROR_CENSUS = """
+WITH d AS (
+  SELECT doc_id, doc_id % 4 AS mode FROM documents)
+SELECT CASE mode WHEN 1 THEN 'plain' WHEN 3 THEN 'md' END AS kind,
+       CASE mode WHEN 1 THEN 'empty' WHEN 3 THEN 'ok' END AS status,
+       CAST(count(*) AS BIGINT) AS n
+FROM d WHERE mode IN (1, 3) GROUP BY mode
+UNION ALL
+SELECT CASE mode WHEN 0 THEN 'pdf' ELSE 'docx' END, 'malformed',
+       CAST(count(*) AS BIGINT)
+FROM d WHERE mode IN (0, 2) GROUP BY mode
+ORDER BY kind, status
+"""
+
+
 def q_extraction_multiformat_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHOLE-DISPATCH census — the capstone over the kernel's twelve
     payload kinds: every document is armored into the format chosen by
@@ -14126,5 +14197,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_eml_attachments": (
         q_extraction_eml_attachments, SQL_EXTRACTION_EML_ATTACHMENTS
+    ),
+    "extraction_error_census": (
+        q_extraction_error_census, SQL_EXTRACTION_ERROR_CENSUS
     ),
 }
