@@ -158,6 +158,9 @@ def main() -> None:
         "events_incremental_agg": "base/delta partials + merge vs direct: two aggs + a broadcast-sized join of 5-row frames",
         "extraction_wav_features": "WAV armor + PCM decode fused; samples never leave the kernel",
         "extraction_avro_records": "Avro armor + binary decode fused; typed-cell rows out",
+        "extraction_zip_attachments": "armor + explode + kernel: three fused MapInPandas on ONE doc_id exchange; census agg only",
+        "extraction_eml_attachments": "MIME armor + explode + kernel fused; binary leg joins via unionByName of 1-row aggs",
+        "extraction_error_census": "hostile/healthy armor + kernel fused; per-(kind,status) census is the one agg exchange",
         "extraction_multiformat_census": "whole-dispatch capstone: ONE armor+extract pass over all twelve kinds; census is a 12-row aggregate",
         "filter_secret_scan": "secret scan: injection + 5-pattern detect + scrub + residual all map-side regexp codegen; the 6-row kind census is the corpus's ONLY exchange",
         "dedup_line_boilerplate": "line boilerplate: line-forming + md5 map-side, ONE (source, line-hash) exchange shipping 16-byte keys; per-source doc counts ride a BroadcastHashJoin — no doc pairs anywhere",
