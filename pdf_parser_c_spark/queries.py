@@ -12760,6 +12760,60 @@ ORDER BY kind, status
 """
 
 
+def q_transcripts_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window planning: for each candidate window size, how
+    many conversations fit WHOLE (rendered token total <= budget), how
+    many need truncation, and how many tokens the truncated tail loses
+    — the capacity census run before packing SFT data into a trainer's
+    fixed context.  Convs from doc_id // 10; tokens are whitespace
+    tokens of the collapsed turn text (the repo's token_count
+    convention).
+    Scale: ONE conv-keyed aggregation; the window grid is a literal
+    explode over the 3-row budget frame, so the corpus is scanned and
+    shuffled once."""
+    d = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 10).cast("long").alias("conv"),
+        F.size(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")),
+                       " ")).alias("n_tok"),
+    )
+    convs = d.groupBy("conv").agg(F.sum("n_tok").alias("conv_tok"))
+    budgets = spark.range(1).select(
+        F.explode(F.array(F.lit(64), F.lit(256), F.lit(1024)))
+        .alias("budget"))
+    return (
+        convs.crossJoin(budgets)
+        .groupBy("budget")
+        .agg(
+            F.sum((F.col("conv_tok") <= F.col("budget")).cast("long"))
+            .alias("n_fit"),
+            F.sum((F.col("conv_tok") > F.col("budget")).cast("long"))
+            .alias("n_truncated"),
+            F.sum(
+                F.greatest(F.col("conv_tok") - F.col("budget"), F.lit(0))
+            ).alias("tokens_lost"),
+        )
+        .orderBy("budget")
+    )
+
+
+SQL_TRANSCRIPTS_CONTEXT_FIT = r"""
+WITH convs AS (
+  SELECT doc_id // 10 AS conv,
+         CAST(sum(len(string_split(trim(regexp_replace(text, '\s+', ' ',
+                                                       'g')), ' '))
+                  ) AS BIGINT) AS conv_tok
+  FROM documents GROUP BY 1),
+budgets AS (SELECT unnest([64, 256, 1024]) AS budget)
+SELECT budget,
+       CAST(sum(CASE WHEN conv_tok <= budget THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fit,
+       CAST(sum(CASE WHEN conv_tok > budget THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truncated,
+       CAST(sum(greatest(conv_tok - budget, 0)) AS BIGINT) AS tokens_lost
+FROM convs, budgets GROUP BY budget ORDER BY budget
+"""
+
+
 def q_extraction_multiformat_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHOLE-DISPATCH census — the capstone over the kernel's twelve
     payload kinds: every document is armored into the format chosen by
@@ -14200,5 +14254,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "extraction_error_census": (
         q_extraction_error_census, SQL_EXTRACTION_ERROR_CENSUS
+    ),
+    "transcripts_context_fit": (
+        q_transcripts_context_fit, SQL_TRANSCRIPTS_CONTEXT_FIT
     ),
 }
