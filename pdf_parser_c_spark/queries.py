@@ -12814,6 +12814,72 @@ FROM convs, budgets GROUP BY budget ORDER BY budget
 """
 
 
+def q_sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic reshuffle census: every epoch must see
+    EXACTLY the same membership (the reshuffle key is hash(id, epoch),
+    never a filter), and consecutive epochs must disagree on shuffle
+    order almost everywhere.  Output per epoch: doc count, an
+    order-free member-hash sum (identical across epochs — the
+    invariance pin), and the count of documents keeping the SAME
+    SUCCESSOR as in the previous epoch (a real reshuffle drives this
+    to ~0; a rotation would keep ~all).  The successor count is
+    bounded above by 3 in the armor contract and the oracle pins that
+    bound exactly by recomputing the coincidence count from the same
+    published xxhash64 constants... DuckDB lacks xxhash64, so the
+    oracle instead pins the two order-free columns and the Spark side
+    CLAMPS the successor count to a boolean 'reshuffled' flag
+    (same_successor < 5% of n_docs) that both engines can state.
+    Scale: the lead-window is UNPARTITIONED (a single-task sort) —
+    this census is an audit-scale probe by design; the production
+    reshuffle itself is repartitionByRange(xxhash64(id, epoch)) with
+    no successor audit, and membership invariance is the contract that
+    matters at 100 TB (pinned here order-free)."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    frames = []
+    for ep in (0, 1, 2):
+        w = Window.orderBy(F.xxhash64(F.col("doc_id"), F.lit(ep)))
+        frames.append(
+            d.select("doc_id", F.lit(ep).alias("epoch"),
+                     F.lead("doc_id").over(w).alias("succ")))
+    ranked = frames[0]
+    for f in frames[1:]:
+        ranked = ranked.unionByName(f)
+    prev = ranked.select(
+        F.col("doc_id").alias("p_doc"), (F.col("epoch") + 1).alias("epoch"),
+        F.col("succ").alias("p_succ"))
+    joined = ranked.join(
+        prev, (ranked.doc_id == prev.p_doc) & (ranked.epoch == prev.epoch),
+        "left").drop(prev.epoch).drop("p_doc")
+    return (
+        joined.groupBy("epoch")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.expr("cast(conv(substr(md5(cast(doc_id as string)), 1, "
+                       "12), 16, 10) as bigint)")
+            ).alias("member_hash_sum"),
+            (F.sum((F.col("succ") == F.col("p_succ")).cast("long"))
+             < F.count("*") * 0.05).alias("reshuffled"),
+        )
+        .select("epoch", "n_docs", "member_hash_sum",
+                F.coalesce("reshuffled", F.lit(True)).alias("reshuffled"))
+        .orderBy("epoch")
+    )
+
+
+SQL_SAMPLE_EPOCH_SHUFFLE = """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT)) AS BIGINT) AS member_hash_sum
+  FROM documents)
+SELECT CAST(e AS INT) AS epoch, n_docs, member_hash_sum,
+       true AS reshuffled
+FROM m, UNNEST([0, 1, 2]) AS t(e)
+ORDER BY epoch
+"""
+
+
 def q_extraction_multiformat_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHOLE-DISPATCH census — the capstone over the kernel's twelve
     payload kinds: every document is armored into the format chosen by
@@ -14257,5 +14323,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "transcripts_context_fit": (
         q_transcripts_context_fit, SQL_TRANSCRIPTS_CONTEXT_FIT
+    ),
+    "sample_epoch_shuffle": (
+        q_sample_epoch_shuffle, SQL_SAMPLE_EPOCH_SHUFFLE
     ),
 }
