@@ -12880,6 +12880,72 @@ ORDER BY epoch
 """
 
 
+def q_pipeline_attachment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attachment-level dedup: the same file attached to thousands of
+    turns (signature PDFs, shared templates) should be parsed ONCE and
+    stored once — this census explodes zip bundles where every doc
+    carries one SHARED member plus one unique member, fingerprints the
+    children, and pins the duplicate structure (2n children, n+1
+    distinct contents, one content with multiplicity n).  The
+    fingerprint census is exactly the pre-parse dedup gate a 100 TB
+    attachment pipeline runs before the kernel.
+    Scale: explode map-side; one md5-keyed agg; no content ever
+    compared pairwise."""
+    from .sources.archive import (
+        build_zip,
+        encode_zip_payload,
+        explode_zip_attachments,
+    )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 3)
+        .select("doc_id", "text")
+    )
+
+    import pandas as pd
+
+    def kernel(batches):
+        for b in batches:
+            ids, payloads = [], []
+            for did, t_ in zip(b["doc_id"].astype("int64"), b["text"]):
+                did = int(did)
+                unique = f"DOC {did} " + " ".join(str(t_).split())
+                payloads.append(encode_zip_payload(build_zip([
+                    ("common.txt", b"shared attachment body"),
+                    (f"{did}.txt", unique.encode()),
+                ])))
+                ids.append(did)
+            yield pd.DataFrame({
+                "conv_id": [f"conv{i:06d}" for i in ids],
+                "turn_idx": [0] * len(ids),
+                "text": payloads,
+            })
+
+    tr = d.repartition(16, "doc_id").mapInPandas(
+        kernel, schema="conv_id string, turn_idx int, text string")
+    kids = explode_zip_attachments(tr).filter(F.col("status") == "ok")
+    by_content = kids.groupBy(F.md5("text").alias("fp")).agg(
+        F.count("*").alias("dup"))
+    return by_content.agg(
+        F.sum("dup").alias("n_children"),
+        F.count("*").alias("n_distinct"),
+        F.max("dup").alias("max_dup"),
+        F.sum((F.col("dup") > 1).cast("long")).alias("n_shared_contents"),
+    )
+
+
+SQL_PIPELINE_ATTACHMENT_DEDUP = """
+WITH d AS (SELECT count(*) AS n FROM documents WHERE doc_id % 4 = 3)
+SELECT CAST(2 * n AS BIGINT) AS n_children,
+       CAST(n + 1 AS BIGINT) AS n_distinct,
+       CAST(n AS BIGINT) AS max_dup,
+       CAST(CASE WHEN n > 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_shared_contents
+FROM d
+"""
+
+
 def q_extraction_multiformat_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHOLE-DISPATCH census — the capstone over the kernel's twelve
     payload kinds: every document is armored into the format chosen by
@@ -14326,5 +14392,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "sample_epoch_shuffle": (
         q_sample_epoch_shuffle, SQL_SAMPLE_EPOCH_SHUFFLE
+    ),
+    "pipeline_attachment_dedup": (
+        q_pipeline_attachment_dedup, SQL_PIPELINE_ATTACHMENT_DEDUP
     ),
 }
