@@ -772,16 +772,21 @@ def doc_to_avro_payload(doc_id: int, text: str) -> str:
 def doc_to_zip_bundle_payload(doc_id: int, text: str) -> str:
     """ZIP-attachment armor: one turn bundling THREE member documents
     — '{id}.md' (the Markdown armor), '{id}.tex' (the LaTeX armor) and
-    'notes.txt' (the collapsed plain text) — so the explode operator's
-    children re-enter the kernel and route through three different
-    sniffs.  Expected member texts are the md/latex/plain templates."""
+    'notes.txt' ('Document {id}' + the collapsed plain text) — so the
+    explode operator's children re-enter the kernel and route through
+    three different sniffs.  Expected member texts are the md/latex/
+    plain templates.  The plain member is prefixed deterministically
+    ('Document {id}\\n') so a corpus document whose text happens to
+    begin with '# ' or '\\documentclass' cannot flip the member's sniff
+    away from 'plain' (the census pins per-kind counts)."""
     from .sources.archive import build_zip, encode_zip_payload
 
     collapsed = " ".join(text.split())
+    plain = f"Document {doc_id}" + (("\n" + collapsed) if collapsed else "")
     return encode_zip_payload(build_zip([
         (f"{doc_id}.md", doc_to_md_payload(doc_id, text).encode()),
         (f"{doc_id}.tex", doc_to_latex_payload(doc_id, text).encode()),
-        ("notes.txt", collapsed.encode()),
+        ("notes.txt", plain.encode()),
     ]))
 
 

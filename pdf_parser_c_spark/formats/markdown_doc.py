@@ -97,7 +97,10 @@ def _inline(s: str) -> str:
         s = re.sub(r"\x02(\d+)\x02",
                    lambda m: code[int(m.group(1))]
                    if int(m.group(1)) < len(code) else "", s)
-    return s.rstrip("\\").strip()
+    s = s.strip()
+    if s.endswith("\\"):  # hard-break marker: strip at most ONE backslash
+        s = s[:-1].rstrip()
+    return s
 
 
 def markdown_to_text(raw: str) -> str:
@@ -110,7 +113,9 @@ def markdown_to_text(raw: str) -> str:
         ln = lines[i]
         if fence is not None:
             m = _FENCE_RE.match(ln.strip())
-            if m and m.group(1)[0] == fence[0] and len(m.group(1)) >= len(fence):
+            # CommonMark 4.5: a closing fence may not carry an info string
+            if m and not m.group(2) and m.group(1)[0] == fence[0] \
+                    and len(m.group(1)) >= len(fence):
                 fence = None
             else:
                 out.append(ln.rstrip())
@@ -157,7 +162,8 @@ def markdown_to_text(raw: str) -> str:
             continue
         out.append(_inline(stripped))
         i += 1
-    return "\n".join(ln for ln in (x.strip() for x in out) if ln)
+    # each branch strips at append time; code lines keep their indent
+    return "\n".join(ln for ln in out if ln.strip())
 
 
 def extract_markdown_text(payload: str) -> dict:

@@ -70,7 +70,8 @@ def odt_to_text(content_xml: str) -> str:
         pos = tok.end()
         g = tok.group(0)
         if g.startswith("<office:annotation"):
-            drop += 1
+            if not g.endswith("/>"):  # self-closing: no body to drop
+                drop += 1
             continue
         if g == "</office:annotation>":
             drop = max(0, drop - 1)
@@ -81,7 +82,8 @@ def odt_to_text(content_xml: str) -> str:
             drop = max(0, drop - 1)
             continue
         if tag == "note":
-            drop += 1
+            if not tok.group("selfclose"):  # <text:note/> has no body
+                drop += 1
             continue
         if drop:  # p/h inside a dropped note must not touch in_block
             continue

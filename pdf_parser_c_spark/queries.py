@@ -12580,9 +12580,9 @@ members AS (
              x -> x <> ''), chr(10)))
   FROM parts
   UNION ALL
-  SELECT doc_id, 'plain',
-         CASE WHEN collapsed <> '' THEN 1 ELSE 0 END,
-         length(collapsed)
+  SELECT doc_id, 'plain', 1,
+         length('Document ' || CAST(doc_id AS VARCHAR)) +
+         CASE WHEN collapsed <> '' THEN 1 + length(collapsed) ELSE 0 END
   FROM parts)
 SELECT kind, CAST(count(*) AS BIGINT) AS n_members,
        CAST(sum(ok) AS BIGINT) AS n_ok,
