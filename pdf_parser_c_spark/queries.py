@@ -5151,9 +5151,16 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_overlap") >= 5)
         .select(F.col("doc").alias("doc_id"), F.lit(True).alias("_ct"))
     )
+    # Both flag frames are ≪ corpus (near-dup LOSERS and contaminated
+    # docs only), so broadcast them: without the hint Spark plans two
+    # corpus-sized SortMergeJoins (exchange + sort on every corpus row)
+    # just to attach two boolean flags.  At 100 TB the loser set is
+    # bounded by dup-group volume (typically low single-digit % of
+    # docs); if it ever outgrew the broadcast threshold AQE would have
+    # picked SMJ anyway — the hint encodes the expected shape.
     staged = (
-        f.join(nd_losers, "doc_id", "left")
-        .join(contam, "doc_id", "left")
+        f.join(F.broadcast(nd_losers), "doc_id", "left")
+        .join(F.broadcast(contam), "doc_id", "left")
         .select(
             F.when(~F.col("q_ok"), 0)
             .when(~F.col("l_ok"), 1)
@@ -5172,7 +5179,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = ", ".join(f"'{s}'" for s in CURATION_STAGES)
     w_rev = Window.orderBy(F.desc("st")).rowsBetween(Window.unboundedPreceding, 0)
     return (
-        stages.join(hist, stages["st"] == hist["sr"], "left")
+        stages.join(F.broadcast(hist), stages["st"] == hist["sr"], "left")
         .select(
             "st",
             F.coalesce("n", F.lit(0)).alias("n"),
@@ -11875,11 +11882,16 @@ def q_events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted yesterday + today's delta)."""
     ev = t(spark, sf_dir, "events")
     epoch = F.col("ts").cast("timestamp").cast("long")
-    cut = ev.agg(
-        F.percentile_approx(epoch, F.lit(0.75), F.lit(10000))
-    ).collect()[0][0]
-    base = ev.filter(epoch <= cut)
-    delta = ev.filter(epoch > cut)
+    # The cut point rides the plan as a broadcast 1-row crossJoin (the
+    # canonical scalar-subquery shape) instead of a driver-side
+    # collect(): the whole entry is ONE job, and ReusedExchange shares
+    # the broadcast between the base and delta branches.
+    cut_df = ev.agg(
+        F.percentile_approx(epoch, F.lit(0.75), F.lit(10000)).alias("_cut")
+    )
+    evc = ev.crossJoin(F.broadcast(cut_df))
+    base = evc.filter(epoch <= F.col("_cut"))
+    delta = evc.filter(epoch > F.col("_cut"))
 
     def part(df, tag):
         return df.groupBy("event_type").agg(
