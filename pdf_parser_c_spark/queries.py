@@ -6505,14 +6505,19 @@ def q_text_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit; a trained model broadcasts its weight array and
     element_at's it — same plan), document score = mean feature
     weight; census per lang.
-    Scale: the entire forward pass is JVM column math — no UDF, no
-    shuffle before the tiny final agg
-    (functions/text.hashed_linear_score)."""
-    from .functions.text import hashed_linear_score
+    Scale: the forward pass is JVM column math — no UDF; the explode +
+    WholeStageCodegen form (functions/text.hashed_linear_scores) beats
+    the higher-order-function lambda 1.6× because Catalyst lambdas are
+    interpreted per element; its one exchange carries a single partial
+    row per doc (map-side combine over contiguous exploded features)."""
+    from .functions.text import hashed_linear_scores
 
     d = t(spark, sf_dir, "documents")
+    scores = hashed_linear_scores(
+        d, id_cols=("doc_id", "lang"), col="text",
+        n_buckets=HASHED_CLS_BUCKETS)
     return (
-        d.withColumn("score", hashed_linear_score("text", HASHED_CLS_BUCKETS))
+        scores
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
