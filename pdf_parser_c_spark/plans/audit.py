@@ -21,6 +21,64 @@ KEY_LINES = re.compile(
 )
 
 
+def _split_top(s: str) -> list:
+    """Split a comma-separated argument list at paren/bracket depth 0."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def unpartitioned_window_specs(df) -> list:
+    """Return one context snippet per ``windowspecdefinition`` in the
+    optimized logical plan that has an EMPTY partition spec — i.e. a
+    window that funnels its whole input frame through a single task.
+
+    Detection: a windowspecdefinition's arguments are partition
+    expressions (plain), then sort orders (``… ASC/DESC NULLS …``),
+    then the ``specifiedwindowframe``; no plain argument ⇒ no
+    partitioning.  (The logical ``Window`` node's own bracket groups
+    are ambiguous — a partition-only window and an order-only window
+    both print two groups — so the spec arguments are the reliable
+    signal.)
+
+    Used by tests/test_window_guardrail.py to sweep the whole catalog:
+    an unpartitioned window is fine over a BOUNDED frame (centroid
+    tables, histogram bins, stage censuses) and a scale bug over a
+    corpus-derived one, so every hit must carry an explicit allowlist
+    justification."""
+    txt = df._jdf.queryExecution().optimizedPlan().toString()
+    bad = []
+    for m in re.finditer(r"windowspecdefinition\(", txt):
+        start, depth, i = m.end(), 1, m.end()
+        while depth and i < len(txt):
+            if txt[i] == "(":
+                depth += 1
+            elif txt[i] == ")":
+                depth -= 1
+            i += 1
+        args = _split_top(txt[start:i - 1])
+        part = [
+            a for a in args
+            if not a.startswith("specifiedwindowframe")
+            and not re.search(r" (ASC|DESC) NULLS", a)
+        ]
+        if not part:
+            bad.append(txt[max(0, m.start() - 80):m.start() + 40]
+                       .replace("\n", " "))
+    return bad
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from pdf_parser_c_spark.engine import extract_turns, get_spark

@@ -368,11 +368,15 @@ def test_global_shuffle_no_corpus_global_window(spark):
 def test_hashed_classifier_is_mapside_column_math(spark):
     plan = plan_of(spark, QUERIES["text_hashed_classifier"][0](spark, SF_DIR),
                    "simple")
-    # the forward pass is JVM expressions: no Python eval, no joins,
-    # one lang-keyed exchange (partial+final agg)
+    # the forward pass is JVM codegen expressions: no Python eval, no
+    # joins, no Catalyst lambdas (transform/aggregate are interpreted
+    # per element — the r4 profile's 5.4 s), and exactly two bounded
+    # exchanges: the per-doc partial-aggregated score fold plus the
+    # lang census
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
-    assert n_data_exchanges(plan) == 1
+    assert "lambdafunction" not in plan
+    assert n_data_exchanges(plan) == 2
 
 
 def test_soft_weights_single_digest_exchange(spark):

@@ -1,0 +1,74 @@
+"""Catalog-wide guardrail: no NEW unpartitioned window over a
+corpus-derived frame.
+
+``Window.orderBy(...)`` without ``partitionBy`` funnels its whole input
+frame through ONE task — fine over a bounded frame (centroid tables,
+histogram bins, stage censuses), a scale bug over the corpus.  The
+sweep walks every catalog query's optimized plan
+(plans/audit.unpartitioned_window_specs) and fails if a query outside
+the justified allowlist carries one — so a future query copying e.g.
+sample_epoch_shuffle's audit-scale probe without its caveat trips CI
+(r3 VERDICT task 4).
+
+The allowlist is asserted in BOTH directions: an offender missing a
+justification fails, and a justification whose query no longer has an
+unpartitioned window fails (stale entries rot the list).
+"""
+
+from pdf_parser_c_spark.plans.audit import unpartitioned_window_specs
+from pdf_parser_c_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# query name -> why its unpartitioned window is NOT a scale hazard.
+# Every frame below is BOUNDED (size independent of corpus rows) or the
+# query is explicitly documented as an audit-scale probe with the
+# production reshuffle named in its docstring.
+ALLOWED = {
+    "ann_ivf_census": "row_number over the K-row deterministic-init "
+                      "centroid seed frame (K constant)",
+    "dedup_semantic": "same K-row centroid seed numbering (SemDeDup "
+                      "reuses the IVF trainer)",
+    "sim_pq_adc": "row_number over the per-subspace codebook seed "
+                  "(K_sub * n_subspaces rows, constant)",
+    "sim_ivfadc": "coarse-centroid + PQ-codebook seed numbering, both "
+                  "constant-size model frames",
+    "sample_shuffle_global": "running sum over the NUM_BUCKETS-row "
+                             "bucket-offset frame — the documented "
+                             "trick that AVOIDS a corpus global window",
+    "curation_funnel": "reverse cumsum over the 6-row stage census",
+    "sample_temperature": "p^alpha normalization over the |classes|-row "
+                          "aggregate, never the corpus",
+    "audit_drift_psi": "total-count window over the fixed bin grid "
+                       "(bounded rows by construction)",
+    "dedup_sorted_neighborhood": "bucket-successor lead over DISTINCT "
+                                 "bucket ids — metadata-sized (~n/window "
+                                 "8-byte keys), documented tradeoff in "
+                                 "the query docstring",
+    "curation_pareto": "cumulative max over the quality-bucket frame "
+                       "(bounded by the bucket grid)",
+    "sample_epoch_shuffle": "documented audit-scale probe; docstring "
+                            "names repartitionByRange as the production "
+                            "reshuffle (r3 VERDICT accepts as scoped)",
+}
+
+
+def test_no_unjustified_unpartitioned_windows(spark):
+    offenders = {}
+    for name, (fn, _sql) in QUERIES.items():
+        hits = unpartitioned_window_specs(fn(spark, SF_DIR))
+        if hits:
+            offenders[name] = hits
+
+    unjustified = {n: v for n, v in offenders.items() if n not in ALLOWED}
+    assert not unjustified, (
+        "catalog queries carry an unpartitioned window with no allowlist "
+        f"justification (add one ONLY if the frame is provably bounded): "
+        f"{ {n: v[0] for n, v in unjustified.items()} }"
+    )
+
+    stale = sorted(set(ALLOWED) - set(offenders))
+    assert not stale, (
+        f"allowlist entries no longer match any unpartitioned window "
+        f"(remove them so the list stays tight): {stale}"
+    )
