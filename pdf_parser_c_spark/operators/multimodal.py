@@ -186,14 +186,41 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
+def _bilinear_resize(arr, width: int, height: int):
+    """True bilinear resample of an (h, w, ch) uint8 array to
+    (height, width, ch), vectorized numpy only.
+
+    Half-pixel-center sampling (``src = (dst + 0.5) · scale − 0.5``,
+    the OpenCV INTER_LINEAR / TF align_corners=False convention) with
+    edge clamping, float32 accumulation, round-half-even back to
+    uint8.  Deterministic — golden-pinned in test_multimodal."""
+    import numpy as np
+
+    h0, w0, ch = arr.shape
+    sx = (np.arange(width, dtype=np.float64) + 0.5) * (w0 / width) - 0.5
+    sy = (np.arange(height, dtype=np.float64) + 0.5) * (h0 / height) - 0.5
+    x0 = np.clip(np.floor(sx).astype(np.int64), 0, w0 - 1)
+    y0 = np.clip(np.floor(sy).astype(np.int64), 0, h0 - 1)
+    x1 = np.minimum(x0 + 1, w0 - 1)
+    y1 = np.minimum(y0 + 1, h0 - 1)
+    fx = np.clip(sx - x0, 0.0, 1.0).astype(np.float32)
+    fy = np.clip(sy - y0, 0.0, 1.0).astype(np.float32)
+    a = arr.astype(np.float32)
+    top = a[y0][:, x0] * (1 - fx)[None, :, None] + a[y0][:, x1] * fx[None, :, None]
+    bot = a[y1][:, x0] * (1 - fx)[None, :, None] + a[y1][:, x1] * fx[None, :, None]
+    out = top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize kernel: PNG, baseline-JPEG, and GIF payloads genuinely
-    resample (nearest-neighbor via numpy index grids); PNG/JPEG
-    re-encode in their own format, GIFs re-encode as RGB PNG (palette
+    """Resize kernel: PNG, baseline-JPEG, GIF, TIFF and BMP payloads
+    genuinely resample (vectorized numpy BILINEAR interpolation,
+    half-pixel centers — see _bilinear_resize); PNG/JPEG re-encode in
+    their own format, the rest re-encode as RGB PNG (palette
     re-quantization is out of scope, and the schema carries no format
     column — truthful resample, lossless container swap).  Undecodable
     payloads pass through with ``resized=False`` (PIL drop-in point
-    marked)."""
+    for formats our codecs don't cover)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -229,9 +256,7 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 if decoded is not None:
                     w0, h0, ch, px, encode = decoded
                     arr = np.frombuffer(px, dtype=np.uint8).reshape(h0, w0, ch)
-                    ys = np.linspace(0, h0 - 1, height).round().astype(int)
-                    xs = np.linspace(0, w0 - 1, width).round().astype(int)
-                    out = arr[np.ix_(ys, xs)].tobytes()
+                    out = _bilinear_resize(arr, width, height).tobytes()
                     rows.append(
                         {
                             "conv_id": r["conv_id"],
@@ -243,8 +268,8 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                         }
                     )
                     continue
-                if HAVE_PIL:  # pragma: no cover
-                    raise NotImplementedError("real resize needs PIL wiring")
+                # PIL drop-in point: formats our codecs don't cover
+                # pass through untouched, truthfully flagged
                 rows.append(
                     {
                         "conv_id": r["conv_id"],

@@ -63,6 +63,65 @@ def test_resize_png_really_resamples(spark):
         assert len(px) == 128 * 128 * ch
 
 
+def test_bilinear_resize_golden_pins():
+    """_bilinear_resize is TRUE bilinear: golden-pinned against
+    hand-computed half-pixel-center interpolation, not index
+    sampling (which a nearest-neighbor regression would pass)."""
+    import numpy as np
+
+    from pdf_parser_c_spark.operators.multimodal import _bilinear_resize
+
+    # 2x2 -> 4x4 upsample of a single-channel gradient.  src coords for
+    # dst i in {0..3}: (i+0.5)*0.5-0.5 = -0.25, 0.25, 0.75, 1.25 ->
+    # clamped weights 0, 0.25, 0.75, 1 between the two src samples.
+    a = np.array([[[0], [100]], [[40], [200]]], dtype=np.uint8)
+    out = _bilinear_resize(a, 4, 4)
+    expected = np.array(
+        [[0, 25, 75, 100],
+         [10, 39, 96, 125],
+         [30, 66, 139, 175],
+         [40, 80, 160, 200]], dtype=np.uint8)[:, :, None]
+    assert out.shape == (4, 4, 1)
+    assert np.array_equal(out, expected), (out[..., 0], expected[..., 0])
+
+    # 4x4 -> 2x2 downsample: dst centers land exactly between src
+    # pixels 0/1 and 2/3 -> plain 2-tap averages per axis
+    g = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    small = _bilinear_resize(g, 2, 2)
+    # rows avg (0,1) & (2,3), cols likewise: e.g. mean of 0,1,4,5 = 2.5
+    # -> rint half-even = 2
+    exp = np.array([[2, 4], [10, 12]], dtype=np.uint8)[:, :, None]
+    assert np.array_equal(small, exp), (small[..., 0], exp[..., 0])
+
+    # identity: same-size resize must be exact for any channel count
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert np.array_equal(_bilinear_resize(rgb, 3, 2), rgb)
+
+
+def test_resize_interpolates_not_samples(spark):
+    """End-to-end proof the kernel interpolates: upscaling a 2-pixel
+    black/white PNG must produce INTERMEDIATE gray levels, which
+    nearest-neighbor index sampling can never emit."""
+    import pandas as pd
+
+    from pdf_parser_c_spark.operators.png_codec import encode_png
+
+    payload = encode_png(2, 1, bytes([0, 255]), 1)
+    frame = pd.DataFrame(
+        {"conv_id": ["c"], "turn_idx": [0], "media_type": ["image"],
+         "payload": [payload],
+         "meta": [{"width": 2, "height": 1}]}
+    )
+    df = spark.createDataFrame(frame, schema=MEDIA_SCHEMA)
+    rows = resize_images(df, 8, 1).collect()
+    assert len(rows) == 1 and rows[0]["resized"]
+    w, h, ch, px = _decode_any(bytes(rows[0]["payload"]))
+    assert (w, h, ch) == (8, 1, 1)
+    # src x = (i+0.5)/4 - 0.5 over [0,1]: weights 0,0,0.125,0.375,
+    # 0.625,0.875,1,1 -> 0,0,32,96,159,223,255,255
+    assert list(px) == [0, 0, 32, 96, 159, 223, 255, 255]
+
+
 def test_image_features_real_codec_decode(spark):
     rows = image_features(_media_df(spark)).collect()
     decs = sorted({r["decoder"] for r in rows})
