@@ -27,17 +27,25 @@ def _ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     matter for the likelihood, unlike the dedup shingles).  The length
     filter guards sequence(1, k), which DESCENDS for k < 1 — without
     it an empty doc mints [1, 0] → two phantom empty n-grams (a SQL
-    engine's generate_series(1, 0) is empty, so the oracle diverges)."""
+    engine's generate_series(1, 0) is empty, so the oracle diverges).
+
+    Shape: explode the POSITIONS and substring post-explode — the
+    Generate and the substring both run inside WholeStageCodegen (the
+    text never materializes per generated row; codegen keeps it a
+    local), whereas ``transform(sequence(...), i -> substring(...))``
+    is an interpreted Catalyst lambda per character (~15% slower at
+    sf0.1, r4 A/B)."""
     return (
         df.filter(F.length(text_col) >= n)
         .select(
             F.col(id_col).alias("doc"),
             F.explode(
-                F.expr(
-                    f"transform(sequence(1, length({text_col}) - {n - 1}),"
-                    f" i -> substring({text_col}, i, {n}))"
-                )
-            ).alias("t"),
+                F.sequence(F.lit(1), F.length(text_col) - (n - 1))
+            ).alias("_i"),
+            F.col(text_col),
+        )
+        .select(
+            "doc", F.col(text_col).substr(F.col("_i"), F.lit(n)).alias("t")
         )
     )
 

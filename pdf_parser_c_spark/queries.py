@@ -9941,14 +9941,20 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     letter distribution per doc — low entropy flags the repetitive
     boilerplate (keyword stuffing, padding runs, template spam) that
     length/stopword gates miss.  Letter counts use the
-    length-minus-replace trick (26 codegen string ops, no explode);
-    the 26-term -Σ p·log2 p fold runs over a LITERAL alphabet array in
-    identical order on both engines, and the census sums the PER-DOC
-    rounded value as an integer (×10⁴), so cross-engine float error
-    (~1e-15 per doc, bounded by the log ulp) can never accumulate
-    across rows.  Every 5th doc gets a synthesized repetitive tail so
-    the low-entropy branch fires on the substrate.
+    length-minus-replace trick, UNROLLED into 26 plain codegen columns
+    (no Catalyst lambda: the HOF form re-evaluated the 26-count
+    transform three times INTERPRETED — tot, the zero guard, and the
+    entropy fold — r4 profile 2.3 s → 1.55 s for identical output);
+    the 26-term -Σ p·log2 p sum is left-associated in alphabet order,
+    matching the oracle's literal-array fold order, and the census
+    sums the PER-DOC rounded value as an integer (×10⁴), so
+    cross-engine float error (~1e-15 per doc, bounded by the log ulp)
+    can never accumulate across rows.  Every 5th doc gets a
+    synthesized repetitive tail so the low-entropy branch fires on the
+    substrate.
     Scale: pure map-side column math + ONE census exchange."""
+    import functools
+
     d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     d = d.withColumn(
         "lw",
@@ -9957,19 +9963,30 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lower("text"), F.lit(" " + "zz" * 200)),
         ).otherwise(F.lower("text")),
     )
-    letters = ", ".join(f"'{c}'" for c in ENTROPY_ALPHABET)
-    cnts = (
-        f"transform(array({letters}),"
-        f" c -> CAST(length(lw) - length(replace(lw, c, '')) AS DOUBLE))"
-    )
-    ent = (
-        f"CASE WHEN aggregate({cnts}, 0D, (a, x) -> a + x) = 0 THEN 0D ELSE "
-        f"aggregate(transform({cnts}, x -> CASE WHEN x = 0 THEN 0D ELSE "
-        f" -(x / tot) * log2(x / tot) END), 0D, (a, x) -> a + x) END"
-    )
+    cnt_cols = [
+        F.expr(
+            f"CAST(length(lw) - length(replace(lw, '{c}', '')) AS DOUBLE)"
+        ).alias(f"_c{i}")
+        for i, c in enumerate(ENTROPY_ALPHABET)
+    ]
+    d = d.select("source", *cnt_cols)
+    add = lambda a, b: a + b  # noqa: E731 — left-assoc, oracle fold order
     d = d.withColumn(
-        "tot", F.expr(f"aggregate({cnts}, 0D, (a, x) -> a + x)")
-    ).withColumn("e4", F.expr(f"CAST(round({ent} * 10000) AS BIGINT)"))
+        "tot",
+        functools.reduce(add, [F.col(f"_c{i}")
+                               for i in range(len(ENTROPY_ALPHABET))]),
+    )
+    terms = [
+        F.when(F.col(f"_c{i}") == 0, F.lit(0.0)).otherwise(
+            -(F.col(f"_c{i}") / F.col("tot"))
+            * F.log2(F.col(f"_c{i}") / F.col("tot"))
+        )
+        for i in range(len(ENTROPY_ALPHABET))
+    ]
+    ent = F.when(F.col("tot") == 0, F.lit(0.0)).otherwise(
+        functools.reduce(add, terms)
+    )
+    d = d.withColumn("e4", F.round(ent * 10000).cast("bigint"))
     return (
         d.groupBy("source")
         .agg(
