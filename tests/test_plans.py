@@ -717,3 +717,29 @@ def test_ivfadc_prunes_before_adc(spark):
     plan = plan_of(spark, QUERIES["sim_ivfadc"][0](spark, SF_DIR), "simple")
     assert plan.count("TakeOrderedAndProject") >= 2  # ADC shortlist + exact rerank
     assert "SortMergeJoin" not in plan
+
+
+def test_entropy_and_lm_ngrams_are_lambda_free(spark):
+    """r4: Catalyst higher-order functions are interpreted per element,
+    so the per-char/per-letter hot paths must carry NO lambdafunction —
+    text_char_entropy is 26 unrolled codegen columns, and the LM
+    n-gram builder is explode + substr (quality_lm._ngrams)."""
+    plan = plan_of(spark, QUERIES["text_char_entropy"][0](spark, SF_DIR),
+                   "simple")
+    assert "lambdafunction" not in plan
+    assert n_data_exchanges(plan) == 1  # census only
+
+    from pdf_parser_c_spark.operators.quality_lm import _ngrams
+    from pdf_parser_c_spark.queries import t
+
+    ng = _ngrams(t(spark, SF_DIR, "documents"), "doc_id", "text", 3)
+    assert "lambdafunction" not in plan_of(spark, ng, "simple")
+
+
+def test_section_tree_sort_reads_persisted_flat(spark):
+    """r4: the presentational orderBy's range sampling must read the
+    persisted flat adjacency (InMemoryTableScan), not re-run the
+    armor + PDF-parse kernel twice."""
+    df = QUERIES["section_tree"][0](spark, SF_DIR)
+    plan = plan_of(spark, df, "simple")
+    assert "InMemoryTableScan" in plan
