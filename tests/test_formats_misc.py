@@ -254,6 +254,25 @@ class TestOdt:
                "</office:text></office:body>")
         assert odt_to_text(xml) == "Head\na\tbc  d\ne\nspan kept & ok"
 
+    def test_self_closing_note_and_annotation_keep_following_text(self):
+        # r3 ADVICE: <text:note/> / <office:annotation/> used to
+        # increment the drop counter with no matching close, silently
+        # discarding the rest of the document
+        from pdf_parser_c_spark.formats.odt import odt_to_text
+
+        xml = ("<office:body><text:p>before <text:note/>after</text:p>"
+               "<text:p>tail para</text:p></office:body>")
+        assert odt_to_text(xml) == "before after\ntail para"
+        xml2 = ("<office:body><text:p>a"
+                "<office:annotation office:name=\"x\"/>b</text:p>"
+                "</office:body>")
+        assert odt_to_text(xml2) == "ab"
+        # real (bodied) notes/annotations still drop
+        xml3 = ("<office:body><text:p>k<text:note id=\"1\">DROP"
+                "</text:note>m<office:annotation>DROP2"
+                "</office:annotation>n</text:p></office:body>")
+        assert odt_to_text(xml3) == "kmn"
+
     def test_container_and_errors(self):
         from pdf_parser_c_spark.formats.odt import (
             build_odt,

@@ -88,6 +88,19 @@ class TestMarkdown:
         src = "# H\n[id]: https://target\n<b>bold</b> [x][id] &amp; &lt;\n"
         assert markdown_to_text(src) == "H\nbold x & <"
 
+    def test_hard_break_strips_one_backslash_only(self):
+        # r3 ADVICE: rstrip("\\") ate every trailing backslash; a
+        # literal backslash run before the hard-break marker survives
+        assert markdown_to_text("line ends hard\\\n") == "line ends hard"
+        assert markdown_to_text("literal run\\\\\n") == "literal run\\"
+
+    def test_closing_fence_must_have_no_info_string(self):
+        # CommonMark 4.5: ``` lang on a potential close OPENS text
+        src = ("para\n```py\n  kept indent\n``` not-a-close\nstill\n"
+               "```\nafter")
+        assert markdown_to_text(src) == (
+            "para\n  kept indent\n``` not-a-close\nstill\nafter")
+
     def test_hostility_total(self):
         markdown_to_text("")
         markdown_to_text("```\nunterminated fence")
