@@ -98,6 +98,28 @@ def test_bilinear_resize_golden_pins():
     assert np.array_equal(_bilinear_resize(rgb, 3, 2), rgb)
 
 
+def test_bilinear_resize_properties():
+    """Invariants over random shapes: output shape exact, values
+    bounded by the input's min/max (bilinear is a convex combination),
+    same-size resize is the identity, constant images stay constant."""
+    import numpy as np
+
+    from pdf_parser_c_spark.operators.multimodal import _bilinear_resize
+
+    rng = np.random.default_rng(42)
+    for _ in range(25):
+        h0, w0 = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        ch = int(rng.choice([1, 3, 4]))
+        h1, w1 = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+        a = rng.integers(0, 256, size=(h0, w0, ch), dtype=np.uint8)
+        out = _bilinear_resize(a, w1, h1)
+        assert out.shape == (h1, w1, ch) and out.dtype == np.uint8
+        assert out.min() >= a.min() and out.max() <= a.max()
+        assert np.array_equal(_bilinear_resize(a, w0, h0), a)
+        flat = np.full((h0, w0, ch), 77, dtype=np.uint8)
+        assert (_bilinear_resize(flat, w1, h1) == 77).all()
+
+
 def test_resize_interpolates_not_samples(spark):
     """End-to-end proof the kernel interpolates: upscaling a 2-pixel
     black/white PNG must produce INTERMEDIATE gray levels, which
