@@ -3604,9 +3604,10 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair (one anti-join on this frame).
     Scale: the pair space is the DF-capped inverted index the whole
     dedup family shares (bounded hottest key, never all-pairs); split
-    labels are map-side hash math recomputable from the id alone, and
-    both attach joins key on doc ids — broadcastable at any corpus
-    size since pairs ≪ corpus."""
+    labels are map-side hash math recomputable from the id alone, so
+    they are COMPUTED directly on the pair frame (assign_splits on
+    doc_a, then doc_b) — zero attach joins, no second corpus scan
+    (r4: replaced two pair↔corpus joins)."""
     from .operators.dedup import ngram_jaccard_pairs
     from .operators.sampling import assign_splits
 
@@ -3614,22 +3615,15 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         d, "doc_id", "text", n=4, threshold=0.2, max_shingle_df=MAX_SHINGLE_DF
     ).select("doc_a", "doc_b")
-    sp = assign_splits(d.select("doc_id"), "doc_id", 0.1, 0.1).select(
-        "doc_id", "split"
-    )
-    j = (
-        pairs.join(
-            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("_sa")),
-            "doc_a",
-        )
-        .join(
-            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("_sb")),
-            "doc_b",
-        )
-        .select(
-            F.least("_sa", "_sb").alias("split_a"),
-            F.greatest("_sa", "_sb").alias("split_b"),
-        )
+    labeled = assign_splits(
+        assign_splits(pairs, "doc_a", 0.1, 0.1).withColumnRenamed(
+            "split", "_sa"
+        ),
+        "doc_b", 0.1, 0.1,
+    ).withColumnRenamed("split", "_sb")
+    j = labeled.select(
+        F.least("_sa", "_sb").alias("split_a"),
+        F.greatest("_sa", "_sb").alias("split_b"),
     )
     return (
         j.groupBy("split_a", "split_b")
