@@ -5792,7 +5792,12 @@ def q_sketch_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: vs dedup_contamination's broadcast of the full shingle
     set, the Bloom side is FIXED-size (m bits) however large the
     benchmark grows; the probe stays a map-side hash join + one
-    (doc, shingle) agg."""
+    (doc, shingle) agg — keyed on the 60-bit shingle HASH, not the
+    string, so the exchange ships 8-byte ints (~30-byte strings
+    otherwise; the dedup_line_boilerplate precedent).  Bit positions
+    still derive from the string map-side before the exchange; the
+    oracle hashes identically, so a collision shifts both engines the
+    same way."""
     from .operators.sketches import BLOOM_K, BLOOM_M, bloom_bits, hash60
 
     sh = (
@@ -5806,18 +5811,20 @@ def q_sketch_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = sh.filter(F.col("doc_id") < 40).select("s").distinct()
     bits = bloom_bits(bench, "s")
+    bench_h = bench.select(hash60("s").alias("h")).distinct()
     probe = sh.filter(F.col("doc_id") >= 40)
     exp = probe.select(
         "doc_id", "source", "s",
         F.explode(F.expr(f"sequence(0, {BLOOM_K - 1})")).alias("j"),
     ).select(
-        "doc_id", "source", "s",
+        "doc_id", "source",
+        hash60("s").alias("h"),
         (hash60("concat(j, '#', s)") % BLOOM_M).alias("pos"),
     )
     per_sh = (
         exp.join(F.broadcast(bits.withColumn("_set", F.lit(1))), "pos", "left")
-        .join(F.broadcast(bench.withColumn("_in", F.lit(1))), "s", "left")
-        .groupBy("doc_id", "source", "s")
+        .join(F.broadcast(bench_h.withColumn("_in", F.lit(1))), "h", "left")
+        .groupBy("doc_id", "source", "h")
         .agg(
             (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == BLOOM_K)
             .cast("int").alias("bloom_hit"),
@@ -5847,17 +5854,18 @@ sstr AS (SELECT DISTINCT doc_id, source,
                                       i -> array_to_string(ws[i:i+3], ' '))) AS s
          FROM w),
 bench AS (SELECT DISTINCT s FROM sstr WHERE doc_id < 40),
+bench_h AS (SELECT DISTINCT {_H60_DUCK.format(x='s')} AS h FROM bench),
 bits AS (SELECT DISTINCT {_H60_DUCK.format(x="j || '#' || s")} % 8192 AS pos
          FROM bench, unnest([0, 1, 2]) AS u(j)),
-exp AS (SELECT doc_id, source, s,
+exp AS (SELECT doc_id, source, {_H60_DUCK.format(x='s')} AS h,
                {_H60_DUCK.format(x="j || '#' || s")} % 8192 AS pos
         FROM sstr, unnest([0, 1, 2]) AS u(j) WHERE doc_id >= 40),
-per_sh AS (SELECT doc_id, source, exp.s,
+per_sh AS (SELECT doc_id, source, exp.h,
                   CASE WHEN sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) = 3
                        THEN 1 ELSE 0 END AS bloom_hit,
-                  max(CASE WHEN bn.s IS NOT NULL THEN 1 ELSE 0 END) AS exact_hit
+                  max(CASE WHEN bn.h IS NOT NULL THEN 1 ELSE 0 END) AS exact_hit
            FROM exp LEFT JOIN bits b ON exp.pos = b.pos
-                    LEFT JOIN bench bn ON exp.s = bn.s
+                    LEFT JOIN bench_h bn ON exp.h = bn.h
            GROUP BY 1, 2, 3),
 per_doc AS (SELECT doc_id, source, max(bloom_hit) AS bf, max(exact_hit) AS ef
             FROM per_sh GROUP BY 1, 2)
