@@ -169,10 +169,13 @@ def hashed_linear_scores(
       bytes), the right trade for corpus scoring at 100 TB.
 
     Use the Column form only when the score must stay a map-side
-    column (no shuffle budget).  Caveats: a NULL ``col`` drops the row
-    (explode emits nothing) whereas the Column form yields NULL; the
-    per-doc sum order differs from the Column form by ≤1e-15 — eleven
-    orders inside the 2.5e-4 sign-gate margin.
+    column (no shuffle budget).  Caveats: a NULL ``col`` is coalesced
+    to ``''`` before the split, so the doc survives with exactly one
+    empty-string feature (matching DuckDB ``string_split`` semantics
+    and keeping n_docs aligned with the oracle, which counts
+    NULL-score rows) rather than being silently dropped by the
+    explode; the per-doc sum order differs from the Column form by
+    ≤1e-15 — eleven orders inside the 2.5e-4 sign-gate margin.
 
     Returns ``df.select(*id_cols) + score:double``."""
     import hashlib
@@ -184,7 +187,7 @@ def hashed_linear_scores(
          - 500) / 500.0
         for b in range(n_buckets)
     ]
-    d = df.withColumn("_tk", F.split(F.col(col), " "))
+    d = df.withColumn("_tk", F.split(F.coalesce(F.col(col), F.lit("")), " "))
     uni = d.select(*id_cols, F.explode("_tk").alias("feat"))
     zipped = F.arrays_zip(
         F.slice("_tk", 1, F.size("_tk") - 1).alias("a"),

@@ -102,6 +102,37 @@ def global_shuffle(df: DataFrame, id_col: str, n_buckets: int = 16) -> DataFrame
     )
 
 
+def epoch_shuffle(
+    df: DataFrame, id_col: str, epoch: int, num_partitions: int | None = None
+) -> DataFrame:
+    """Production per-epoch deterministic reshuffle — the operator the
+    ``sample_epoch_shuffle`` census audits: a membership-preserving
+    permutation of ``df`` whose global order is ``xxhash64(id, epoch)``
+    (ties → id), realized as ``repartitionByRange`` +
+    ``sortWithinPartitions`` so NO task ever sorts more than its own
+    partition.  Epoch ``e`` and ``e+1`` share membership exactly (the
+    key is a hash, never a filter) but agree on almost no adjacency —
+    the properties q_sample_epoch_shuffle pins at audit scale; the
+    permutation-equivalence test proves this operator realizes the
+    SAME permutation as that probe's single-task ``orderBy``.
+
+    Scale: one range exchange of the corpus (sampled boundaries — fine
+    here, where only the ORDER is the contract, unlike global_shuffle's
+    reproducible-position requirement) + per-partition sorts.  Output
+    rows are physically in shuffle order: partition i holds the i-th
+    hash range, rows sorted within, so a sequential reader (training
+    data loader) sees the full permutation without any position
+    column."""
+    keyed = df.withColumn(
+        "_ekey", F.xxhash64(F.col(id_col), F.lit(epoch))
+    )
+    if num_partitions is not None:
+        keyed = keyed.repartitionByRange(num_partitions, "_ekey", id_col)
+    else:
+        keyed = keyed.repartitionByRange("_ekey", id_col)
+    return keyed.sortWithinPartitions("_ekey", id_col).drop("_ekey")
+
+
 def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by id hash — deterministic,
     map-side, and stable under re-runs and repartitioning (rand()-based

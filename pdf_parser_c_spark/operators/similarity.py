@@ -15,6 +15,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# Hard ceiling on the MMR rerank shortlist: the one intentional
+# .collect() in this module is bounded by it (see mmr_rerank).
+MMR_MAX_CANDIDATES = 4096
+
 
 def _dot(a: str, b: str) -> str:
     return (
@@ -842,8 +846,24 @@ def mmr_rerank(
     collected rows — the textbook rerank stage (at 100 TB the shortlist
     per query is still tiny; the corpus never shuffles).
 
+    Driver-pull guard: ``n_candidates`` is hard-capped at
+    :data:`MMR_MAX_CANDIDATES` — a ValueError, not a silent clamp — so
+    the one ``.collect()`` in this module can never become a
+    corpus-sized driver pull however the API is called.  (The C²
+    pairwise table at the cap is ~16M int dots, still comfortably
+    driver-side; anything larger belongs in :func:`knn_join`.)
+
     → list of dicts ``(rank, id, rel, mmr2)``, length ≤ k.
     """
+    if n_candidates > MMR_MAX_CANDIDATES:
+        raise ValueError(
+            f"n_candidates={n_candidates} exceeds MMR_MAX_CANDIDATES="
+            f"{MMR_MAX_CANDIDATES}: the MMR shortlist is collected to the"
+            " driver and must stay bounded; raise the cap explicitly only"
+            " with a matched driver-memory budget."
+        )
+    if n_candidates < 1:
+        raise ValueError(f"n_candidates must be >= 1, got {n_candidates}")
     # quantizer hardened for hostile elements UNDER ANSI MODE: a NaN
     # maps to 0 via nanvl and ±inf clamps to ±2^23 — without this,
     # cast/multiply on an inf embedding ABORTS the whole job

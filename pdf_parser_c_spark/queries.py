@@ -2407,15 +2407,28 @@ def _section_tree_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist the armor + PDF-parse kernel runs TWICE per call (measured
     2.18 s vs 1.04 s for the pipeline itself at sf0.1, the r3 bench
     regression).  At 100 TB the same role is played by materializing
-    extraction output once and sorting the materialized table."""
+    extraction output once and sorting the materialized table.
+
+    Eviction contract: entries are evicted (and unpersisted) only for
+    applicationIds OTHER than the current one — i.e. stale stopped
+    sessions — never for the live app.  Evicting a live-app entry
+    would unpersist a frame that a previously returned q_section_tree
+    DataFrame may still reference, silently re-running the armor +
+    PDF-parse kernel twice per sort (the exact r3 regression the
+    persist fixed).  Within one application the memo therefore holds
+    one small persisted frame per distinct sf_dir touched (bounded by
+    the handful of test scale factors).  The memo never invalidates
+    within an application: if the parquet under an sf_dir is rewritten
+    mid-app, call ``_SECTION_TREE_MEMO.clear()`` first."""
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _SECTION_TREE_MEMO.get(key)
     if hit is not None:
         return hit
-    while _SECTION_TREE_MEMO:
-        _, old = _SECTION_TREE_MEMO.popitem()
+    app_id = spark.sparkContext.applicationId
+    for old_key in [k for k in _SECTION_TREE_MEMO if k[0] != app_id]:
+        old = _SECTION_TREE_MEMO.pop(old_key)
         try:
-            old.unpersist()
+            old.unpersist(blocking=False)
         except Exception:
             pass  # stale entry from a stopped session
     from .engine import extract_turns
@@ -5177,10 +5190,13 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Both flag frames are ≪ corpus (near-dup LOSERS and contaminated
     # docs only), so broadcast them: without the hint Spark plans two
     # corpus-sized SortMergeJoins (exchange + sort on every corpus row)
-    # just to attach two boolean flags.  At 100 TB the loser set is
-    # bounded by dup-group volume (typically low single-digit % of
-    # docs); if it ever outgrew the broadcast threshold AQE would have
-    # picked SMJ anyway — the hint encodes the expected shape.
+    # just to attach two boolean flags.  HARD ASSUMPTION: an explicit
+    # broadcast hint bypasses autoBroadcastJoinThreshold and AQE will
+    # NOT demote it — there is no automatic fallback to SMJ.  The flag
+    # sets scale with corpus size (loser set ~ low single-digit % of
+    # docs), so at the 100 TB design point a production deployment must
+    # either verify the flag frames stay under the 8 GB broadcast-
+    # relation limit or drop the hint and accept the two shuffles.
     staged = (
         f.join(F.broadcast(nd_losers), "doc_id", "left")
         .join(F.broadcast(contam), "doc_id", "left")
@@ -5797,7 +5813,12 @@ def q_sketch_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise; the dedup_line_boilerplate precedent).  Bit positions
     still derive from the string map-side before the exchange; the
     oracle hashes identically, so a collision shifts both engines the
-    same way."""
+    same way.  Caveat: because exact_hit membership is ALSO keyed on
+    the 60-bit hash, the "exact" ground-truth baseline is itself a
+    60-bit-hash approximation — a probe shingle colliding with any
+    bench shingle registers a false exact hit (prob ~2^-60 per pair,
+    negligible at bench scale, and invisible to the parity gate since
+    the oracle collides identically)."""
     from .operators.sketches import BLOOM_K, BLOOM_M, bloom_bits, hash60
 
     sh = (
@@ -12896,9 +12917,12 @@ def q_sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same_successor < 5% of n_docs) that both engines can state.
     Scale: the lead-window is UNPARTITIONED (a single-task sort) —
     this census is an audit-scale probe by design; the production
-    reshuffle itself is repartitionByRange(xxhash64(id, epoch)) with
-    no successor audit, and membership invariance is the contract that
-    matters at 100 TB (pinned here order-free)."""
+    reshuffle is :func:`~pdf_parser_c_spark.operators.sampling.
+    epoch_shuffle` (repartitionByRange(xxhash64(id, epoch)) + per-
+    partition sort, no successor audit), proven permutation-equivalent
+    to this probe's ordering by
+    test_epoch_shuffle_permutation_equivalence; membership invariance
+    is the contract that matters at 100 TB (pinned here order-free)."""
     d = t(spark, sf_dir, "documents").select("doc_id")
     frames = []
     for ep in (0, 1, 2):

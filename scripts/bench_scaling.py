@@ -347,7 +347,11 @@ def write_report(repo: str, cells: dict, corpus_len: int,
     fj832_norm = fj832 / hw832
     shm28 = eff(2, 8, shmjob) if len(shmjob) >= 2 else float("nan")
     nd28 = eff(2, 8, shm2job) if len(shm2job) >= 2 else float("nan")
-    best28 = max(x for x in (fj28, shm28, nd28) if x == x)
+    # default=nan: a samples file lacking level-2 or level-8 full-job
+    # cells makes all three NaN; the verdict then falls through to the
+    # 8→32-normalized branch instead of crashing write_report.
+    best28 = max([x for x in (fj28, shm28, nd28) if x == x],
+                 default=float("nan"))
     fulljob_verdict = ("PASS" if (best28 >= 0.8 or fj832_norm >= 0.8)
                        else "FAIL")
     # 4->16 triangulation: a second independent N->4N window whose hw

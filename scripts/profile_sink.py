@@ -1,0 +1,193 @@
+"""Phase decomposition of the full production job's write side
+(r4 VERDICT task 1: job-minus-kernel wall is non-monotonic in cores —
+1.79 s at 8 → 2.43 s at 16 → 1.63 s at 32 in the r4 window — and that
+bump is what drags full-job 4→16 raw scaling to 0.737).
+
+For each core count this script runs, in ONE fresh JVM per level, the
+same (bucket, salt)-aligned kernel pipeline through four sinks of
+strictly increasing machinery, timing each action:
+
+  noop       mapInPandas kernel + one exchange, format("noop") sink —
+             zero file/commit cost (the kernel+shuffle floor)
+  flat       + parquet encode/footers, NO partitionBy, static commit
+  part       + partitionBy("bucket") with STATIC overwrite commit
+  dynpart    + partitionOverwriteMode=dynamic (what run_extraction_job
+             sets unconditionally) — staging dir + per-partition-dir
+             driver moves
+  job        the real run_extraction_job (adds accumulator tally +
+             driver-side control-table writes + lineage listing)
+
+The per-phase DELTAS attribute the write residual: parquet encode =
+flat−noop, partition layout = part−flat, dynamic-commit tax =
+dynpart−part, control tables = job−dynpart.  Every phase is best-of-R
+(host noise only slows a run) with load1 recorded per sample.
+
+Usage:
+  python scripts/profile_sink.py [n_convs=400] [turns=6] [runs=3] \
+      [cores...=8 16 32]
+Writes one JSON line per (cores, phase) to stderr progress and a final
+summary JSON to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from pdf_parser_c_spark.engine import (
+    JOB_RESULT_SCHEMA, _job_map_batches, _ReplacePerKeyDict,
+    extract_turns, get_spark, run_extraction_job, with_bucket,
+)
+
+cores = int(sys.argv[1]); path = sys.argv[2]; runs = int(sys.argv[3])
+spark = get_spark(app=f"sinkprof-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.read.parquet(path)
+n = df.count()
+extract_turns(df.limit(64), num_partitions=cores).count()  # warm workers
+
+n_buckets = 64
+num_partitions = cores * 4
+k = -(-num_partitions // n_buckets)
+b = with_bucket(df, n_buckets)
+aligned = b.repartition(
+    n_buckets * k, F.col("bucket"),
+    F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(k)))
+
+
+def kernel_frame():
+    accum = spark.sparkContext.accumulator({{}}, _ReplacePerKeyDict())
+    return aligned.mapInPandas(_job_map_batches(accum), schema=JOB_RESULT_SCHEMA)
+
+
+def t_noop():
+    kernel_frame().write.format("noop").mode("overwrite").save()
+
+
+def t_flat():
+    out = tempfile.mkdtemp(prefix=f"prof_flat_{{cores}}_")
+    try:
+        kernel_frame().write.mode("overwrite").parquet(out)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def t_part():
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    out = tempfile.mkdtemp(prefix=f"prof_part_{{cores}}_")
+    try:
+        kernel_frame().write.mode("overwrite").partitionBy("bucket").parquet(out)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def t_dynpart():
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out = tempfile.mkdtemp(prefix=f"prof_dyn_{{cores}}_")
+    try:
+        kernel_frame().write.mode("overwrite").partitionBy("bucket").parquet(out)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+
+def t_job():
+    out = tempfile.mkdtemp(prefix=f"prof_job_{{cores}}_")
+    try:
+        run_extraction_job(spark, df, out, n_buckets=n_buckets,
+                           num_partitions=num_partitions,
+                           job_id=f"prof{{cores}}")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+phases = [("noop", t_noop), ("flat", t_flat), ("part", t_part),
+          ("dynpart", t_dynpart), ("job", t_job)]
+best = {{}}
+for _ in range(runs):
+    for name, fn in phases:
+        t0 = time.perf_counter()
+        fn()
+        sec = time.perf_counter() - t0
+        load1 = round(os.getloadavg()[0], 2)
+        print(json.dumps({{"cores": cores, "phase": name,
+                           "sec": round(sec, 3), "load1": load1}}),
+              file=sys.stderr)
+        if name not in best or sec < best[name]:
+            best[name] = sec
+print(json.dumps({{"cores": cores, "rows": n, "best": best}}))
+spark.stop()
+"""
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    n_convs = int(args[0]) if len(args) > 0 else 400
+    turns = int(args[1]) if len(args) > 1 else 6
+    runs = int(args[2]) if len(args) > 2 else 3
+    cores_list = [int(c) for c in args[3:]] or [8, 16, 32]
+
+    sys.path.insert(0, REPO)
+    from pdf_parser_c_spark.testkit.corpus import (
+        make_transcripts,
+        transcripts_columns_only,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = transcripts_columns_only(
+        make_transcripts(n_convs=n_convs, turns_per_conv=turns,
+                         mega_every=10, mega_factor=10))
+    corpus = corpus.assign(
+        ts=corpus["ts"].dt.tz_localize(None).astype("datetime64[us]"))
+    tmp = tempfile.mkdtemp(prefix="sinkprof_")
+    pq.write_table(pa.Table.from_pandas(corpus, preserve_index=False),
+                   f"{tmp}/transcripts.parquet", row_group_size=2048)
+    with open(f"{tmp}/runner.py", "w") as f:
+        f.write(RUNNER.format(repo=REPO))
+    print(f"corpus: {len(corpus)} turns at {tmp}", file=sys.stderr)
+
+    summary = {}
+    for cores in cores_list:
+        out = subprocess.run(
+            [sys.executable, f"{tmp}/runner.py", str(cores),
+             f"{tmp}/transcripts.parquet", str(runs)],
+            capture_output=True, text=True, check=True)
+        sys.stderr.write(out.stderr)
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        summary[cores] = r
+        print(f"== cores={cores}: {json.dumps(r['best'])}", file=sys.stderr)
+    # per-phase deltas
+    report = {}
+    for cores, r in summary.items():
+        b = r["best"]
+        report[cores] = {
+            "rows": r["rows"],
+            "noop(kernel+exchange)": round(b["noop"], 3),
+            "parquet_encode": round(b["flat"] - b["noop"], 3),
+            "partition_layout": round(b["part"] - b["flat"], 3),
+            "dynamic_commit_tax": round(b["dynpart"] - b["part"], 3),
+            "control_tables": round(b["job"] - b["dynpart"], 3),
+            "total_job": round(b["job"], 3),
+            "write_residual(job-noop)": round(b["job"] - b["noop"], 3),
+        }
+    print(json.dumps(report, indent=2))
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

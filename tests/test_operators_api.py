@@ -959,6 +959,21 @@ def test_hashed_linear_score_guards_and_determinism(spark):
     assert len({round(v, 9) for v in s.values()}) >= 3
 
 
+def test_hashed_linear_scores_retains_null_text_docs(spark):
+    """Frame form vs NULL text (r4 ADVICE): a NULL-text doc must NOT
+    vanish from the output — it coalesces to '' (one empty-string
+    feature, DuckDB string_split semantics), keeping n_docs aligned
+    with the oracle, and scores the same as an explicit ''."""
+    from pdf_parser_c_spark.functions.text import hashed_linear_scores
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "two words")], "doc_id long, text string"
+    )
+    s = {r["doc_id"]: r["score"] for r in hashed_linear_scores(df).collect()}
+    assert set(s) == {0, 1, 2}, "NULL-text doc was dropped"
+    assert s[0] == s[1]  # NULL scores exactly like ''
+
+
 def test_count_triangles_known_graphs(spark):
     from pdf_parser_c_spark.operators.graph import count_triangles
 
@@ -1485,6 +1500,31 @@ def test_mmr_rerank_demotes_near_duplicates(spark):
     assert 2 not in ids[:2]
     # ranks are 1..k and rel of the seed is the max relevance
     assert [p["rank"] for p in picked] == [1, 2, 3]
+
+
+def test_mmr_rerank_shortlist_cap_guard(spark):
+    """The one intentional .collect() in similarity.py is bounded: an
+    n_candidates above MMR_MAX_CANDIDATES must raise BEFORE any Spark
+    job runs — the API can never silently become a driver-side corpus
+    pull (r4 verdict task 2)."""
+    import pytest
+
+    from pdf_parser_c_spark.operators.similarity import (
+        MMR_MAX_CANDIDATES,
+        mmr_rerank,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    qv = spark.createDataFrame([([1.0, 0.0],)], "embedding array<float>")
+    with pytest.raises(ValueError, match="MMR_MAX_CANDIDATES"):
+        mmr_rerank(df, qv, k=3, n_candidates=MMR_MAX_CANDIDATES + 1)
+    with pytest.raises(ValueError, match=">= 1"):
+        mmr_rerank(df, qv, k=3, n_candidates=0)
+    # at the boundary the call still works (sub-shortlist corpus)
+    picked = mmr_rerank(df, qv, k=1, n_candidates=MMR_MAX_CANDIDATES)
+    assert [p["id"] for p in picked] == [1]
 
 
 def test_jsonl_corrupt_lines_drop_not_crash(spark, tmp_path):

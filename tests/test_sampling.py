@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from pdf_parser_c_spark.operators.sampling import (
     assign_splits,
     cap_per_class,
+    epoch_shuffle,
     hash_sample,
     pack_sequences,
 )
@@ -176,3 +177,61 @@ def test_pack_sequences_matches_pandas_reference(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_epoch_shuffle_permutation_equivalence(spark, rows):
+    """The production reshuffle (repartitionByRange + per-partition
+    sort) must realize the SAME global permutation as the audit-scale
+    probe's single-task ``orderBy(xxhash64(id, epoch))`` — and be a
+    pure permutation: exact membership invariance across epochs, near-
+    zero adjacency agreement between consecutive epochs."""
+    ids_in = sorted(r["rid"] for r in rows.select("rid").collect())
+
+    def audit_order(ep):
+        return [
+            r["rid"]
+            for r in rows.select("rid")
+            .orderBy(F.xxhash64(F.col("rid"), F.lit(ep)), "rid")
+            .collect()
+        ]
+
+    def production_order(ep):
+        out = epoch_shuffle(rows, "rid", ep, num_partitions=8).select(
+            "rid", F.spark_partition_id().alias("pid")
+        )
+        got = out.collect()
+        # collect() concatenates partitions in index order with
+        # within-partition order preserved — assert that explicitly
+        pids = [r["pid"] for r in got]
+        assert pids == sorted(pids), "collect order not partition-ordered"
+        return [r["rid"] for r in got]
+
+    orders = {}
+    for ep in (0, 1, 2):
+        prod = production_order(ep)
+        assert prod == audit_order(ep), f"epoch {ep}: permutations differ"
+        assert sorted(prod) == ids_in, f"epoch {ep}: membership changed"
+        orders[ep] = prod
+
+    # consecutive epochs are genuinely different permutations with
+    # near-zero successor agreement (the census's 'reshuffled' pin)
+    for a, b in ((0, 1), (1, 2)):
+        succ_a = set(zip(orders[a], orders[a][1:]))
+        succ_b = set(zip(orders[b], orders[b][1:]))
+        assert len(succ_a & succ_b) < 0.05 * len(ids_in)
+
+
+def test_epoch_shuffle_schema_and_determinism(spark, rows):
+    """No helper columns leak into the output schema, and re-running
+    the same epoch yields the identical physical order (deterministic
+    range boundaries + hash keys — no rand())."""
+    out = epoch_shuffle(rows, "rid", 1, num_partitions=4)
+    assert out.columns == rows.columns
+    a = [r["rid"] for r in out.select("rid").collect()]
+    b = [
+        r["rid"]
+        for r in epoch_shuffle(rows, "rid", 1, num_partitions=4)
+        .select("rid")
+        .collect()
+    ]
+    assert a == b

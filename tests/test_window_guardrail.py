@@ -47,9 +47,12 @@ ALLOWED = {
                                  "the query docstring",
     "curation_pareto": "cumulative max over the quality-bucket frame "
                        "(bounded by the bucket grid)",
-    "sample_epoch_shuffle": "documented audit-scale probe; docstring "
-                            "names repartitionByRange as the production "
-                            "reshuffle (r3 VERDICT accepts as scoped)",
+    "sample_epoch_shuffle": "audit-scale probe of the TESTED production "
+                            "operator operators/sampling.epoch_shuffle "
+                            "(repartitionByRange + per-partition sort; "
+                            "test_epoch_shuffle_permutation_equivalence "
+                            "proves probe and production realize the "
+                            "same permutation)",
 }
 
 
