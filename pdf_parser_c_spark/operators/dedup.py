@@ -169,24 +169,17 @@ def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> Da
 _SETS_SLOT: list[DataFrame] = []
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 4,
-    threshold: float = 0.2,
-    max_shingle_df: int = 200,
+def persisted_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4
 ) -> DataFrame:
-    """Near-dup pairs (doc_a, doc_b, jaccard ≥ threshold) via a
-    DF-capped inverted index.  Jaccard denominators use FULL per-doc
-    shingle counts; the cap only prunes candidate generation.
-
-    The sets frame is persisted (sizes, the DF count, and both
-    candidate-join sides all consume it; uncached, shingle construction
-    re-runs per plan branch) with single-slot eviction: a new call
-    unpersists the previous call's frame, so repeated invocations in a
-    long-lived session hold at most one cached copy — an older result
-    still pending collection just recomputes."""
+    """Persist a ``hashed_shingle_sets`` frame with single-slot
+    eviction: a new call unpersists the previous call's frame, so
+    repeated invocations in a long-lived session hold at most one
+    cached copy — an older result still pending collection just
+    recomputes.  Exposed so multi-stage jobs (curation_funnel) can
+    share ONE shingle materialization between near-dup pair generation
+    and benchmark decontamination instead of re-running the ~N·L
+    shingle construction per consumer."""
     while _SETS_SLOT:
         old = _SETS_SLOT.pop()
         try:
@@ -195,6 +188,16 @@ def ngram_jaccard_pairs(
             pass  # frame from a stopped session
     sets = hashed_shingle_sets(df, id_col, text_col, n).persist()
     _SETS_SLOT.append(sets)
+    return sets
+
+
+def jaccard_pairs_from_sets(
+    sets: DataFrame, threshold: float = 0.2, max_shingle_df: int = 200
+) -> DataFrame:
+    """Near-dup pair generation over a precomputed ``(doc, shingles)``
+    frame (the caller manages its persistence — see
+    :func:`persisted_shingle_sets`); the inverted-index body of
+    :func:`ngram_jaccard_pairs`."""
     sizes = sets.select("doc", F.expr("size(shingles)").alias("n"))
     sh = sets.select("doc", F.explode("shingles").alias("s"))
     rare = (
@@ -217,6 +220,26 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    threshold: float = 0.2,
+    max_shingle_df: int = 200,
+) -> DataFrame:
+    """Near-dup pairs (doc_a, doc_b, jaccard ≥ threshold) via a
+    DF-capped inverted index.  Jaccard denominators use FULL per-doc
+    shingle counts; the cap only prunes candidate generation.
+
+    The sets frame is persisted (sizes, the DF count, and both
+    candidate-join sides all consume it; uncached, shingle construction
+    re-runs per plan branch) with single-slot eviction
+    (:func:`persisted_shingle_sets`)."""
+    sets = persisted_shingle_sets(df, id_col, text_col, n)
+    return jaccard_pairs_from_sets(sets, threshold, max_shingle_df)
 
 
 # K hash functions from the ONE md5 already paid for by the shingle

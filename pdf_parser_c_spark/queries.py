@@ -5138,8 +5138,9 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles; the census is a ≤6-row aggregate."""
     from .operators.dedup import (
         connected_components,
-        contamination_overlap,
-        ngram_jaccard_pairs,
+        hashed_shingles,
+        jaccard_pairs_from_sets,
+        persisted_shingle_sets,
     )
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -5174,16 +5175,32 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     s3 = f.filter("q_ok and l_ok and e_ok").select("doc_id", "text")
-    pairs = ngram_jaccard_pairs(
-        s3, "doc_id", "text", n=4, threshold=0.2, max_shingle_df=MAX_SHINGLE_DF
+    # ONE shingle materialization shared by near-dup pair generation
+    # AND decontamination (r4 VERDICT task 6): both stages consume the
+    # same persisted (doc, shingles) frame instead of each re-running
+    # the ~N·L shingle construction.  Probing s3 (not the full corpus)
+    # for contamination is result-identical: the stage chain assigns a
+    # doc its FIRST failing stage, so _ct is only ever read for docs
+    # that passed quality/lang/exact — exactly s3's membership — and
+    # the oracle's full-corpus probe agrees on those docs.
+    sets = persisted_shingle_sets(s3, "doc_id", "text", 4)
+    pairs = jaccard_pairs_from_sets(
+        sets, threshold=0.2, max_shingle_df=MAX_SHINGLE_DF
     )
     nd_losers = (
         connected_components(pairs, "doc_a", "doc_b")
         .filter(F.col("doc") != F.col("component"))
         .select(F.col("doc").alias("doc_id"), F.lit(True).alias("_nd"))
     )
+    bench_sh = (
+        hashed_shingles(d.filter(F.col("doc_id") < 40), "doc_id", "text", 4)
+        .select("s").distinct()
+    )
     contam = (
-        contamination_overlap(corpus, d.filter(F.col("doc_id") < 40), "doc_id", "text", 4)
+        sets.select("doc", F.explode("shingles").alias("s"))
+        .join(F.broadcast(bench_sh), "s")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_overlap"))
         .filter(F.col("n_overlap") >= 5)
         .select(F.col("doc").alias("doc_id"), F.lit(True).alias("_ct"))
     )

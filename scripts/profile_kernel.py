@@ -1,0 +1,68 @@
+"""cProfile of the extraction kernel's Python hot path (r4 VERDICT
+task 7): run ``extract_pandas_batch`` — the exact function every Spark
+worker executes per Arrow batch — over the PDF-heavy deterministic
+corpus in ONE process, and print the top cumulative/tottime entries.
+No Spark: this isolates the Python/numpy work the 32 workers each run,
+which is where kernel throughput lives.
+
+Usage: python scripts/profile_kernel.py [n_convs=300] [turns=10] [top=25]
+"""
+
+from __future__ import annotations
+
+import cProfile
+import io
+import os
+import pstats
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    turns = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    top = int(sys.argv[3]) if len(sys.argv) > 3 else 25
+
+    from pdf_parser_c_spark.engine import extract_pandas_batch
+    from pdf_parser_c_spark.testkit.corpus import (
+        make_transcripts,
+        transcripts_columns_only,
+    )
+
+    corpus = transcripts_columns_only(
+        make_transcripts(n_convs=n_convs, turns_per_conv=turns,
+                         mega_every=10, mega_factor=10))
+    print(f"{len(corpus)} turns", file=sys.stderr)
+    # one warm pass: import-time and regex-compile costs out of the way
+    # (Spark workers amortize them across the whole job); batch in
+    # 64-row slices to mirror arrow.maxRecordsPerBatch
+    batches = [corpus.iloc[i:i + 64] for i in range(0, len(corpus), 64)]
+    for b in batches[:4]:
+        extract_pandas_batch(b)
+
+    t0 = time.perf_counter()
+    for b in batches:
+        extract_pandas_batch(b)
+    plain = time.perf_counter() - t0
+    print(f"unprofiled: {len(corpus) / plain:.0f} turns/sec "
+          f"({plain:.2f} s)", file=sys.stderr)
+
+    prof = cProfile.Profile()
+    prof.enable()
+    for b in batches:
+        extract_pandas_batch(b)
+    prof.disable()
+
+    for sort in ("cumulative", "tottime"):
+        s = io.StringIO()
+        pstats.Stats(prof, stream=s).strip_dirs().sort_stats(sort).print_stats(top)
+        print(f"===== sorted by {sort} =====")
+        print(s.getvalue())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -454,3 +454,124 @@ def test_query_matches_oracle_on_adversarial_extraction(
     spark, adv_extract_duck, adv_extract_dir, name
 ):
     _compare(spark, adv_extract_duck, adv_extract_dir, name)
+
+
+# --------------------------------------------------------------------------
+# DEGENERATE substrate (r4 VERDICT task 4): the extreme ends the mixed
+# hostile fixtures above don't reach — an ALL-DUPLICATE document corpus
+# (every near-dup stage's flag frames go dense or empty at once; the
+# curation funnel's broadcast-flag joins see a 1-winner/119-loser exact
+# stage and pair components of exactly two) and an events table whose
+# timestamps are ALL EQUAL (the incremental-agg percentile cut lands on
+# the single instant → the delta partition is EMPTY; every gap is zero;
+# every window is one tie-group ordered only by event_id).
+# --------------------------------------------------------------------------
+
+DEGENERATE_SET = [
+    n for n in sorted(QUERIES)
+    if n.startswith(("events_", "temporal_", "curation_", "split_",
+                     "dedup_", "sample_"))
+    and n != "dedup_editdist1"          # customer-based → TPC-H set
+    and n != "dedup_sorted_neighborhood"  # customer-based → TPC-H set
+] + ["audit_transcript_integrity"]  # doc_id-derived gap/dup math
+
+# ~33 tokens, stopword-rich: passes the curation quality gates
+# (n_tok ≥ 24, stop_frac ≥ 0.03) so every copy reaches the dedup stages
+_DUP_TEXT = ("the quick brown fox jumps over the lazy dog and it runs to "
+             "the river in the morning light where the birds sing of joy "
+             "and the wind is calm across the fields")
+
+
+def _degenerate_documents(rnd):
+    """120 docs: ~3/4 byte-identical copies of one stopword-rich text
+    (dup components as dense as they can get), a sprinkle of singleton
+    docs (unique random words — no pair membership at all), and
+    adjacent NEAR-DUP PAIRS (i, i+1) that are near-dups of each other
+    ONLY — components of exactly two members, the single-pair groups
+    the split-leakage audit labels map-side."""
+    rows = []
+    for i in range(120):
+        kind = i % 8
+        if kind == 5:
+            t = " ".join(rnd.choice(WORDS) for _ in range(30)) + f" only{i}"
+        elif kind == 6:
+            t = " ".join(f"pair{i}w{j}" for j in range(30))
+        elif kind == 7:
+            # partner of doc i-1: same shingles plus a tail → jaccard
+            # ≈ 0.9 with i-1 and ~0 with everything else — a two-member
+            # near-dup component
+            t = " ".join(f"pair{i - 1}w{j}" for j in range(30)) + " tail"
+        else:
+            t = _DUP_TEXT
+        rows.append({"doc_id": i, "text": t,
+                     "lang": ("en", "zh", "de")[i % 3],
+                     "source": f"src{i % 8}", "n_chars": len(t)})
+    return pd.DataFrame(rows)
+
+
+def _degenerate_events(rnd):
+    """240 events, ONE timestamp: the all-ties extreme — percentile
+    cuts are the single value, every lag/lead gap is zero, session
+    windows collapse to one group per user, and order inside every
+    window exists only through the event_id tiebreak."""
+    one_ts = pd.Timestamp("2024-03-01 00:00:00")
+    rows = []
+    for i in range(240):
+        rows.append({
+            "event_id": i,
+            "ts": one_ts,
+            "user_id": i % 7,
+            "event_type": ("view", "click", "signup", "purchase",
+                           "error")[i % 5],
+            "value": None if i % 13 == 5
+            else (-1.5, 0.0, 2.25, 100.0, 0.125, 0.001)[i % 6],
+            "props": None if i % 13 == 8 else f"p{i % 4}",
+        })
+    df = pd.DataFrame(rows)
+    return df.assign(ts=df["ts"].astype("datetime64[us]"))
+
+
+@pytest.fixture(scope="module")
+def degen_dir(tmp_path_factory):
+    import random
+
+    rnd = random.Random(20260821)
+    d = tmp_path_factory.mktemp("degen_sf")
+    for t in TABLES:
+        if t in ("documents", "events", "embeddings"):
+            continue
+        shutil.copy(f"{SRC}/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(_degenerate_documents(rnd),
+                             preserve_index=False)
+        .cast(pq.read_schema(f"{SRC}/documents.parquet")),
+        d / "documents.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(_degenerate_events(rnd),
+                             preserve_index=False)
+        .cast(pq.read_schema(f"{SRC}/events.parquet")),
+        d / "events.parquet",
+    )
+    # embeddings: reuse the hostile vectors (zero/clone/antipode axes)
+    pq.write_table(
+        pa.Table.from_pandas(_adversarial_embeddings(rnd),
+                             preserve_index=False)
+        .cast(pq.read_schema(f"{SRC}/embeddings.parquet")),
+        d / "embeddings.parquet",
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def degen_duck(degen_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{degen_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", DEGENERATE_SET)
+def test_query_matches_oracle_on_degenerate_data(spark, degen_duck,
+                                                 degen_dir, name):
+    _compare(spark, degen_duck, degen_dir, name)
