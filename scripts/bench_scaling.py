@@ -323,6 +323,45 @@ def write_report(repo: str, cells: dict, corpus_len: int,
            if c in shm_results else "n/a | n/a |")
         for c in levels
     )
+    # sink-phase decomposition (scripts/profile_sink.py sidecar):
+    # same (bucket, salt)-aligned kernel plan driven into sinks of
+    # increasing machinery — noop / flat parquet / partitionBy /
+    # dynamic-overwrite / full job — so the sink cost is isolated on
+    # an IDENTICAL plan instead of subtracted across two different ones
+    sink_phase_section = ""
+    sink_sidecar = f"{repo}/BENCH/SINK_PHASES.json"
+    if os.path.exists(sink_sidecar):
+        with open(sink_sidecar) as f:
+            sp = json.load(f)
+        sp_rows = "\n".join(
+            f"| {c} | {v['noop(kernel+exchange)']:.2f} | "
+            f"{v['total_job']:.2f} | {v['write_residual(job-noop)']:.2f} | "
+            f"{v['parquet_encode']:.2f} | {v['partition_layout']:.2f} | "
+            f"{v['dynamic_commit_tax']:.2f} | {v['control_tables']:.2f} |"
+            for c, v in sorted(sp["cells"].items(), key=lambda kv: int(kv[0]))
+        )
+        sink_phase_section = f"""
+
+### Sink-phase decomposition (identical plan, noop → full sink; r5)
+
+`scripts/profile_sink.py`, {sp['corpus_rows']} turns,
+best-of-{sp['runs_per_phase']} per phase per level, fresh JVM per
+level.  Every phase runs the SAME (bucket, salt)-aligned
+mapInPandas kernel plan; only the sink differs, so each delta is
+that sink layer's true cost (negative deltas = host noise floor).
+
+| cores | noop (kernel+exchange) s | full job s | residual (job−noop) s | parquet encode Δ | partitionBy Δ | dynamic-commit Δ | control tables Δ |
+|---|---|---|---|---|---|---|---|
+{sp_rows}
+
+Reading: the write side of the full production job costs ≲1.2 s at
+every level and grows MONOTONICALLY with cores (more simultaneous
+file writers on one shared virtual disk) — there is no 16-core
+write-side bump on an identical-plan comparison; the r4 bump was an
+artifact of the job−kernel subtraction above.  The dynamic
+partition-overwrite commit adds nothing measurable over a static
+partitioned write at this scale, and the driver-written
+O(n_buckets) control tables are sub-second."""
     half_rows = "| n/a | | | | |"
     half_eff = half_kernel_eff = float("nan")
     if half_results:
@@ -471,6 +510,16 @@ not at 32 where it introduces its own confound.
 | cores (N) | kernel s | disk write side s | shm-sink write side s | no-disk write side s |
 |---|---|---|---|---|
 {decomp_rows}
+
+Caveat on this subtraction (r5): the kernel runner partitions by
+`repartition(cores*4)` with no bucket column while the full job runs
+`n_buckets*k` (bucket, salt)-aligned partitions, so "job − kernel"
+conflates exchange-shape differences and two independent noise draws
+with actual sink cost — it is an upper bound that can even go
+non-monotonic across levels (the r4 window showed 1.79 s at 8 →
+2.43 s at 16 → 1.63 s at 32 from exactly this).  The sink-phase
+section below isolates the sink on an IDENTICAL plan.
+{sink_phase_section}
 
 ### Size scaling (half corpus, no-disk config)
 
