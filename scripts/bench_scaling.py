@@ -361,7 +361,30 @@ write-side bump on an identical-plan comparison; the r4 bump was an
 artifact of the job−kernel subtraction above.  The dynamic
 partition-overwrite commit adds nothing measurable over a static
 partitioned write at this scale, and the driver-written
-O(n_buckets) control tables are sub-second."""
+O(n_buckets) control tables are sub-second.
+
+### Kernel Python profile (r5, scripts/profile_kernel.py)
+
+cProfile of `extract_pandas_batch` (the exact per-Arrow-batch worker
+function), single process, PDF-heavy corpus: the profile is FLAT —
+top entries are the COS lexer `next_token` (~10% tottime at ~1.6 µs
+/call over 550k calls; already a single master-regex match with
+interned name/keyword tokens), `parse_object` (~8%), raw
+`re.Pattern.match` (~6%), and the layout word-builder + show_text
+(~8% combined, matrix algebra already hoisted out of the per-glyph
+loop).  No single function offers a ≥10% win without restructuring
+the tokenizer; per-call costs sit at the Python function-call floor,
+which is why kernel scaling (not per-core Python speed) is where the
+100 TB throughput comes from.
+
+### Sub-second timing wobble (r5 regression check)
+
+The two queries that drifted in r4's catalog bench re-measured
+min-of-8 on a quiet box: `audit_transcript_integrity` 0.57 s (r3
+0.66 — the r4 0.81 was load), `tpch_disjunctive_filter` 0.58 s with
+a physical plan byte-identical to the r3 capture in PLANS.md (same
+PushedFilters, same BroadcastHashJoin shape) — both are host-noise
+wobble on sub-second walls, not plan changes."""
     half_rows = "| n/a | | | | |"
     half_eff = half_kernel_eff = float("nan")
     if half_results:
