@@ -119,7 +119,7 @@ def main() -> None:
         "events_rolling_split": "hot-key-safe rolling: ghost-carry union, RANGE frame inside (user, epoch) cells — hash-identical to events_rolling per the shared oracle",
         "events_sessionize_split": "hot-key-safe sessions: (user, epoch) cell windows + epoch-granularity merge/renumber pass — hash-identical to events_sessionize per the shared oracle",
         "snapshot_diff": "both snapshots reduce map-side to (key, md5); ONE full-outer key join, payloads never shuffle",
-        "curation_funnel": "end-to-end curation: map-side gates, conditional-min window per digest, DF-capped jaccard graph on survivors, broadcast benchmark probe; the near-dup-loser and contamination flag sets attach via BroadcastHashJoin (r4: zero SortMergeJoin in the plan — two corpus-sized exchanges removed), census is a 6-row reverse cumsum on a broadcast stage join",
+        "curation_funnel": "end-to-end curation: map-side gates, conditional-min window per digest, DF-capped jaccard graph on survivors, broadcast benchmark probe; near-dup pairs AND decontamination consume ONE persisted shingle frame (r5: persisted_shingle_sets — the contamination branch no longer re-scans the corpus, it probes the post-gate survivors, result-identical because a doc is classified by its FIRST failing stage); flag sets attach via BroadcastHashJoin (r4: zero SortMergeJoin), census is a 6-row reverse cumsum on a broadcast stage join",
         "text_hashed_classifier": "fastText inference with NO Catalyst lambda: explode + arrays_zip bigrams + Literal weight array, all WholeStageCodegen; two bounded exchanges (per-doc partial-agg fold + lang census); r4: 5.4 s -> 1.1 s",
         "tpch_forecast_revenue": "Q6: every predicate pushed to the parquet scan, 4-column ReadSchema, 1-row partial/final agg, zero joins",
         "tpch_promo_share": "Q14: part broadcast, conditional share rides the partial agg, shipdate pushed",
