@@ -470,10 +470,14 @@ def test_query_matches_oracle_on_adversarial_extraction(
 DEGENERATE_SET = [
     n for n in sorted(QUERIES)
     if n.startswith(("events_", "temporal_", "curation_", "split_",
-                     "dedup_", "sample_"))
+                     "dedup_", "sample_", "text_", "sketch_", "sim_",
+                     "cluster_", "filter_", "sequence_", "graph_",
+                     "pack_", "transcripts_", "export_", "pipeline_"))
     and n != "dedup_editdist1"          # customer-based → TPC-H set
     and n != "dedup_sorted_neighborhood"  # customer-based → TPC-H set
-] + ["audit_transcript_integrity"]  # doc_id-derived gap/dup math
+] + ["audit_transcript_integrity",  # doc_id-derived gap/dup math
+     "audit_source_overlap", "audit_table_profile", "audit_drift_psi",
+     "audit_benford"]  # documents/events-based audits
 
 # ~33 tokens, stopword-rich: passes the curation quality gates
 # (n_tok ≥ 24, stop_frac ≥ 0.03) so every copy reaches the dedup stages
