@@ -33,6 +33,7 @@ import base64
 import binascii
 import json
 import os
+import re
 import time
 from typing import Iterator
 
@@ -100,6 +101,11 @@ def _decode_armor(payload: str) -> bytes:
     return base64.b85decode(payload[len(PDF_B85_PREFIX) :])
 
 
+# first non-blank char, reading only the leading whitespace — never a
+# full-string lstrip copy (payloads can be multi-MB armor strings)
+_FIRST_NONBLANK = re.compile(r"\s*(\S)")
+
+
 def classify_payload(s: pd.Series) -> pd.Series:
     """Vectorized payload sniff:
     'pdf' | 'warc' | 'docx' | 'eml' | 'epub' | 'odt' | 'ipynb' | 'rtf' |
@@ -111,46 +117,54 @@ def classify_payload(s: pd.Series) -> pd.Series:
     from .formats.odt import ODT_B64_PREFIX
     from .sources.warc import WARC_B64_PREFIX
 
-    s = s.fillna("")
-    kind = pd.Series("plain", index=s.index, dtype="object")
-    kind[s.str.startswith(PDF_B64_PREFIX) | s.str.startswith(PDF_B85_PREFIX)] = "pdf"
-    kind[s.str.startswith(WARC_B64_PREFIX)] = "warc"
-    kind[s.str.startswith(DOCX_B64_PREFIX)] = "docx"
-    kind[s.str.startswith(EML_B64_PREFIX)] = "eml"
-    kind[s.str.startswith(EPUB_B64_PREFIX)] = "epub"
-    kind[s.str.startswith(ODT_B64_PREFIX)] = "odt"
-    maybe_html = (kind == "plain") & s.str.lstrip().str.startswith("<")
-    if maybe_html.any():
-        kind[maybe_html] = [
-            "html" if looks_like_html(v) else "plain" for v in s[maybe_html]
-        ]
-    maybe_brace = (kind == "plain") & s.str.lstrip().str.startswith("{")
-    if maybe_brace.any():
-        from .formats.rtf import looks_like_rtf
+    from .formats.latex import looks_like_latex
+    from .formats.markdown_doc import looks_like_markdown
+    from .formats.rtf import looks_like_rtf
 
-        # RTF first: '{\rtf' is an exact unambiguous prefix, while the
-        # ipynb sniff is a heuristic over the first bytes — a valid RTF
-        # doc QUOTING notebook JSON ('"cells"') must stay RTF
-        kind[maybe_brace] = [
-            "rtf" if looks_like_rtf(v)
-            else "ipynb" if looks_like_ipynb(v) else "plain"
-            for v in s[maybe_brace]
-        ]
-    maybe_tex = (kind == "plain") & s.str.lstrip().str.startswith("\\")
-    if maybe_tex.any():
-        from .formats.latex import looks_like_latex
+    # ONE Python pass beats the previous 10-op pandas chain: each
+    # pandas .str op costs ~5 µs/row of dispatch overhead regardless of
+    # string length, so six prefix checks + four lstrip/startswith
+    # probes dominated the sniff (r5 microbench: 48 µs/row → 4 µs/row,
+    # ~4% of kernel wall).  Per value: C-speed prefix startswith, then
+    # an anchored regex that reads only the leading blanks (never a
+    # full-payload lstrip copy) to pick the sniff branch.
+    def one(v) -> str:
+        if not v:
+            return "plain"
+        if v.startswith(PDF_B64_PREFIX) or v.startswith(PDF_B85_PREFIX):
+            return "pdf"
+        if v.startswith(WARC_B64_PREFIX):
+            return "warc"
+        if v.startswith(DOCX_B64_PREFIX):
+            return "docx"
+        if v.startswith(EML_B64_PREFIX):
+            return "eml"
+        if v.startswith(EPUB_B64_PREFIX):
+            return "epub"
+        if v.startswith(ODT_B64_PREFIX):
+            return "odt"
+        m = _FIRST_NONBLANK.match(v)
+        c = m.group(1) if m else ""
+        if c == "<":
+            return "html" if looks_like_html(v) else "plain"
+        if c == "{":
+            # RTF first: '{\rtf' is an exact unambiguous prefix, while
+            # the ipynb sniff is a heuristic over the first bytes — a
+            # valid RTF doc QUOTING notebook JSON ('"cells"') must
+            # stay RTF
+            if looks_like_rtf(v):
+                return "rtf"
+            return "ipynb" if looks_like_ipynb(v) else "plain"
+        if c == "\\":
+            return "latex" if looks_like_latex(v) else "plain"
+        if c == "#":
+            return "md" if looks_like_markdown(v) else "plain"
+        return "plain"
 
-        kind[maybe_tex] = [
-            "latex" if looks_like_latex(v) else "plain" for v in s[maybe_tex]
-        ]
-    maybe_md = (kind == "plain") & s.str.lstrip().str.startswith("#")
-    if maybe_md.any():
-        from .formats.markdown_doc import looks_like_markdown
-
-        kind[maybe_md] = [
-            "md" if looks_like_markdown(v) else "plain" for v in s[maybe_md]
-        ]
-    return kind
+    return pd.Series(
+        [one(v) if isinstance(v, str) else "plain" for v in s],
+        index=s.index, dtype="object",
+    )
 
 
 def _kernel_cache_size() -> int:
