@@ -366,16 +366,20 @@ O(n_buckets) control tables are sub-second.
 ### Kernel Python profile (r5, scripts/profile_kernel.py)
 
 cProfile of `extract_pandas_batch` (the exact per-Arrow-batch worker
-function), single process, PDF-heavy corpus: the profile is FLAT —
-top entries are the COS lexer `next_token` (~10% tottime at ~1.6 µs
-/call over 550k calls; already a single master-regex match with
-interned name/keyword tokens), `parse_object` (~8%), raw
+function), single process, PDF-heavy corpus.  The one non-flat entry
+it exposed — `classify_payload` at ~7% cum, ten pandas `.str` ops
+each paying ~5 µs/row of dispatch overhead — was rewritten as one
+Python pass (C-speed prefix startswith + anchored first-non-blank
+regex): sniff 48 → ~2 µs/row, single-core kernel **913 → 1004
+turns/sec (+10%)**, classification byte-identical on hostile probes.
+What remains is FLAT: the COS lexer `next_token` (~10% tottime at
+~1.6 µs/call over 550k calls; already a single master-regex match
+with interned name/keyword tokens), `parse_object` (~8%), raw
 `re.Pattern.match` (~6%), and the layout word-builder + show_text
 (~8% combined, matrix algebra already hoisted out of the per-glyph
-loop).  No single function offers a ≥10% win without restructuring
-the tokenizer; per-call costs sit at the Python function-call floor,
-which is why kernel scaling (not per-core Python speed) is where the
-100 TB throughput comes from.
+loop) — per-call costs at the Python function-call floor, which is
+why kernel scaling (not per-core Python speed) is where the 100 TB
+throughput comes from.
 
 ### Sub-second timing wobble (r5 regression check)
 
