@@ -370,8 +370,10 @@ function), single process, PDF-heavy corpus.  The one non-flat entry
 it exposed — `classify_payload` at ~7% cum, ten pandas `.str` ops
 each paying ~5 µs/row of dispatch overhead — was rewritten as one
 Python pass (C-speed prefix startswith + anchored first-non-blank
-regex): sniff 48 → ~2 µs/row, single-core kernel **913 → 1004
-turns/sec (+10%)**, classification byte-identical on hostile probes.
+regex): sniff 48 → ~2 µs/row (27× on a back-to-back microbench,
+~4-5% of single-core kernel wall; single wall-clock runs under this
+host's load swings are not precise enough to resolve it end-to-end),
+classification byte-identical on hostile probes.
 What remains is FLAT: the COS lexer `next_token` (~10% tottime at
 ~1.6 µs/call over 550k calls; already a single master-regex match
 with interned name/keyword tokens), `parse_object` (~8%), raw
