@@ -127,7 +127,7 @@ def main() -> None:
         "dedup_incremental": "continuous-ingest probe: map-side band index both sides, two (band_idx,bucket) equi-joins, batch-sized new side; census is one agg over the union",
         "sample_mixture": "token-budget mixture build: one tiny rate aggregate broadcast back, map-side hash filter, one corpus scan",
         "events_retention": "cohort matrix: one min-window on user_id, distinct + matrix agg on bounded exchanges; output is weeks^2 rows",
-        "audit_source_overlap": "mixture audit: map-side per-source shingle sets, shingle-keyed self-join with |sources|^2 max fanout per key; output <= sources^2 rows",
+        "audit_source_overlap": "mixture audit: ONE shingle construction + ONE shingle-keyed exchange (collect_set source lists), pairwise combos exploded from the <=|sources| array (|sources|^2 max fanout per key), sizes re-derived from the same aggregate, tiny size frames broadcast; output <= sources^2 rows",
         "sketch_hll_distinct": "HLL: register agg is <=256 rows/group with map-side partial max; the exact-distinct branch (audit column) is the only corpus-keyed shuffle",
         "sketch_cms_heavy": "count-min: cell table <=3072 rows, BroadcastExchange to the probe; corpus side is Generate + one bounded partial agg",
         "sketch_kmv_setops": "KMV: one distinct-hash exchange builds the sketches; everything pairwise runs on S*k sketch rows (windows + joins at metadata scale)",
