@@ -230,7 +230,22 @@ def kmv_union_pairs(sketches: DataFrame, group_col: str,
     summary of the MERGED sketch (k smallest distinct hashes of the
     union).  Union/intersection/Jaccard estimates derive from these
     via :func:`kmv_estimate_col` — pure metadata-scale work on S×k
-    rows."""
+    rows.
+
+    Plan note (r5, measured): this function references ``sketches``
+    five times and Catalyst does NOT reuse the exchange across the
+    renamed subtrees, so the corpus-sized sketch build in its lineage
+    runs per reference — but the branches are INDEPENDENT stages that
+    Spark schedules concurrently, and at bench scale the overlapped
+    redundant scans beat serializing everything through a cache (an
+    interleaved A/B with a persisted sketch frame measured 1.3 s vs
+    3.5 s min-of-4 at sf0.1 — the persist forces the corpus pass to
+    complete alone before any pairwise work starts).  At 100 TB the
+    right shape is different again: sketches are TABLES maintained per
+    source (S·k rows, appended as data lands), so the pairwise stage
+    reads a materialized sketch table and the corpus is never
+    re-scanned at all — pass such a frame in and this function does
+    exactly that."""
     groups = sketches.select(F.col(group_col).alias("g")).distinct()
     pairs = (
         groups.alias("x")
