@@ -5009,8 +5009,11 @@ def q_audit_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the same aggregate by exploding it — so the sizes branch
     reuses the exchange instead of re-running the shingle construction
     (r5: the previous self-join shape built the shingle frame once per
-    join side plus once for sizes; 2.66 → 1.55 s min-of-4 at sf0.1,
-    measured under background load).  Output is ≤ sources² rows."""
+    join side plus once for sizes; interleaved A/B min-of-4 at sf0.1:
+    2.32 → 1.91 s, and the single-exchange form is far less
+    load-sensitive — worst sample 3.4 vs 7.4 s.  Unlike the KMV persist
+    experiment this is a STRUCTURAL dedup, no cache barrier, so the
+    win holds).  Output is ≤ sources² rows."""
     d = t(spark, sf_dir, "documents")
     sh_raw = (
         d.select("source", F.split("text", " ").alias("ws"))
